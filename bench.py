@@ -1,0 +1,66 @@
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rag_system_vector_db_spark.registry import QUERIES  # noqa: E402
+from rag_system_vector_db_spark.session import get_spark  # noqa: E402
+
+# Headliners: vector search + dedup-ish + analytics; every registered
+# query that exists is eligible, this list is the stable scored subset.
+HEADLINE = [
+    "knn_topk_cosine",
+    "knn_batch",
+    "similarity_matrix",
+    "collection_stats",
+    "insert_upsert",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers once
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

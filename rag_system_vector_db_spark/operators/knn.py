@@ -1,0 +1,124 @@
+"""Brute-force exact k-NN (cosine / dot / euclidean) over a vector column.
+
+Reference parity: scripts/milvus_db.py:107 ``search_vectors`` (top-k
+cosine search) and scripts/eval.py:80 (per-question retrieval loop →
+batch k-NN here).
+
+Scale design (100 TB posture):
+- Single query: score is a narrow projection over the corpus scan;
+  ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject — each
+  task keeps a k-heap, only n_partitions×k rows reach the driver-side
+  merge. No full sort, no wide shuffle.
+- Batch queries: the query set is the small side → ``F.broadcast`` —
+  corpus never shuffles for the join. Per-query top-k then runs as a
+  two-phase prune: partial top-k per (shuffle-free) map partition via
+  groupBy(spark_partition_id, query) with a bounded sorted-list agg,
+  then a final window over candidates only (n_partitions×k×Q rows, not
+  N×Q). Falls back to plain window for tiny inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+_METRICS = {"cosine": V.cosine, "dot": V.dot, "euclidean": V.euclidean}
+
+
+def _score(metric: str, a, b):
+    try:
+        fn = _METRICS[metric]
+    except KeyError:
+        raise ValueError(f"metric must be one of {sorted(_METRICS)}") from None
+    return fn(a, b)
+
+
+def _ascending(metric: str) -> bool:
+    return metric == "euclidean"
+
+
+def topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Top-k for one literal query vector (milvus search_vectors shape).
+
+    Returns (id_col, score) — score full-precision double.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    score = _score(metric, F.col(vec_col), q).alias("score")
+    scored = corpus.select(F.col(id_col), score)
+    order = [F.col("score").asc() if _ascending(metric) else F.col("score").desc(), F.col(id_col).asc()]
+    return scored.orderBy(*order).limit(k)
+
+
+def topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    metric: str = "cosine",
+    prune_partial: bool = True,
+) -> DataFrame:
+    """Per-query top-k for a (small, broadcast) query set.
+
+    Returns (query_id, id_col, score, rank).
+    """
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            _score(metric, F.col(vec_col), F.col(query_vec_col)).alias("score"),
+        )
+    )
+    asc = _ascending(metric)
+    if prune_partial:
+        # Phase 1: map-side prune — k best per (map partition, query).
+        # groupBy(spark_partition_id) never shuffles corpus rows wide:
+        # the agg input is already partition-local, so partial
+        # aggregation collapses each partition to ≤k candidate structs
+        # before any exchange.
+        pair = F.struct(F.col("score"), F.col(id_col))
+        cand = (
+            scored.withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid", query_id_col)
+            .agg(F.slice(F.sort_array(F.collect_list(pair), asc=asc), 1, k).alias("top"))
+            .select(query_id_col, F.explode("top").alias("p"))
+            .select(query_id_col, F.col("p." + id_col).alias(id_col), F.col("p.score").alias("score"))
+        )
+    else:
+        cand = scored
+    order = [F.col("score").asc() if asc else F.col("score").desc(), F.col(id_col).asc()]
+    w = Window.partitionBy(query_id_col).orderBy(*order)
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def similarity_matrix(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Full pairwise similarity (reference prepare_data.py:101
+    ``test_similarity``). Quadratic — callers bound the input; the
+    smaller side is broadcast so only one side streams.
+    """
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .select("id_a", "id_b", _score(metric, F.col("_va"), F.col("_vb")).alias("score"))
+    )
