@@ -1,0 +1,206 @@
+"""Chunking operators — Spark-first re-expression of the reference's
+chunking strategies.
+
+Reference parity:
+- src/chunking_strategy.py:19 ``process_diary_chunks``: date-regex day
+  detection (``N{st,nd,rd,th} Day of <Month> 18xx - <title>``), date
+  lines become their own chunks, content chunks every 3 lines, per-chunk
+  line_count/word_count/is_date_chunk + day metadata (full_date, title).
+- src/archive/chunking_strategy.py:4 ``split_large_chunk``: max-size
+  splitting at sentence/space boundaries.
+
+Scale design: everything is windowed **per document** (partitionBy
+doc_id) — a corpus of diaries parallelizes across executors; no global
+ordering, no driver-side loops. The reference's single-stream loop
+becomes window cumsums + groupBy, all JVM-side.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DATE_PATTERN = r"^\d{1,2}(st|nd|rd|th)? Day of [A-Za-z]+ 18\d{2} - .+$"
+TITLE_PATTERN = r" - (.+)$"
+
+
+def chunk_by_tokens(
+    docs: DataFrame,
+    window: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed token-window chunking (the generic strategy).
+
+    Returns (id, chunk_number, chunk_text, word_count, n_chars).
+    transform(sequence) + posexplode stays inside codegen; one narrow
+    projection per doc, no shuffle.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(window)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * window + 1, window)),
+    )
+    return (
+        docs.select(F.col(id_col), F.posexplode(chunks).alias("chunk_number", "chunk_text"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_number").cast("long"),
+            "chunk_text",
+            F.size(F.split(F.col("chunk_text"), " ")).cast("long").alias("word_count"),
+            F.length("chunk_text").cast("long").alias("n_chars"),
+        )
+    )
+
+
+def diary_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_per_line: int = 5,
+) -> DataFrame:
+    """Synthesize a diary-shaped line stream from flat documents: a
+    deterministic date header line + the text re-wrapped N tokens per
+    line. Lets the diary chunker run on the synthetic corpus with an
+    exactly reproducible oracle."""
+    toks = F.split(F.col(text_col), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(tokens_per_line)).cast("int")
+    body = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * tokens_per_line + 1, tokens_per_line)),
+    )
+    header = F.concat(
+        (F.col(id_col) % 28 + 1).cast("string"),
+        F.lit(" Day of March 1887 - Entry "),
+        F.col(id_col).cast("string"),
+    )
+    lines = F.concat(F.array(header), body)
+    return docs.select(
+        F.col(id_col), F.posexplode(lines).alias("line_no", "line")
+    ).select(F.col(id_col), F.col("line_no").cast("long"), "line")
+
+
+def chunk_diary(
+    lines: DataFrame,
+    lines_per_chunk: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Diary chunker (chunking_strategy.py:19) over a (doc, line_no,
+    line) stream. Date-header lines open a new day and emit their own
+    chunk; content lines group into ``lines_per_chunk`` chunks within
+    the day. Content before the first date line is dropped (reference
+    behavior).
+
+    Returns (doc_id, day_id, chunk_id, is_date_chunk, chunk_text,
+    line_count, word_count, title).
+    """
+    is_date = F.col("line").rlike(DATE_PATTERN)
+    w_doc = Window.partitionBy(id_col).orderBy("line_no")
+    lined = lines.withColumn("is_date", is_date).withColumn(
+        "day_id", F.sum(F.col("is_date").cast("int")).over(w_doc)
+    )
+
+    # Day metadata (full_date, title) — one row per day, broadcast-join back.
+    days = (
+        lined.filter("is_date")
+        .select(
+            id_col,
+            "day_id",
+            F.col("line").alias("full_date"),
+            F.regexp_extract("line", TITLE_PATTERN, 1).alias("title"),
+        )
+    )
+
+    date_chunks = lined.filter("is_date").select(
+        F.col(id_col),
+        "day_id",
+        F.lit(-1).cast("long").alias("chunk_id"),
+        F.lit(True).alias("is_date_chunk"),
+        F.col("line").alias("chunk_text"),
+        F.lit(1).cast("long").alias("line_count"),
+        F.size(F.split("line", " ")).cast("long").alias("word_count"),
+    )
+
+    w_day = Window.partitionBy(id_col, "day_id").orderBy("line_no")
+    content = (
+        lined.filter((~F.col("is_date")) & (F.col("day_id") >= 1))
+        .withColumn("rn", F.row_number().over(w_day))
+        .withColumn("chunk_id", F.floor((F.col("rn") - 1) / lines_per_chunk))
+    )
+    content_chunks = (
+        content.groupBy(id_col, "day_id", "chunk_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                    lambda x: x["line"],
+                ),
+            ).alias("chunk_text"),
+            F.count("*").cast("long").alias("line_count"),
+            F.sum(F.size(F.split("line", " "))).cast("long").alias("word_count"),
+        )
+        .withColumn("is_date_chunk", F.lit(False))
+        .select(
+            id_col, "day_id", "chunk_id", "is_date_chunk",
+            "chunk_text", "line_count", "word_count",
+        )
+    )
+
+    return (
+        date_chunks.unionByName(content_chunks)
+        .join(F.broadcast(days.select(id_col, "day_id", "title")), [id_col, "day_id"])
+    )
+
+
+def diary_stats(chunks: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Corpus metadata rollup (chunking_strategy.py:115): per doc
+    total_days, total_chunks, avg_chunks_per_day."""
+    return chunks.groupBy(id_col).agg(
+        F.countDistinct("day_id").cast("long").alias("total_days"),
+        F.count("*").cast("long").alias("total_chunks"),
+        F.round(F.count("*") / F.countDistinct("day_id"), 6).alias("avg_chunks_per_day"),
+    )
+
+
+def split_large_chunks(
+    chunks: DataFrame,
+    max_size: int = 800,
+    text_col: str = "chunk_text",
+) -> DataFrame:
+    """Greedy max-size splitting at sentence/space boundaries
+    (archive/chunking_strategy.py:4 ``split_large_chunk``).
+
+    The greedy rfind loop is inherently sequential per chunk → Arrow
+    pandas_udf via mapInPandas (batched, no per-row pickling). Emits
+    one row per part with ``part_no``; all other columns pass through.
+    """
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in chunks.schema.fields
+    ) + ", part_no bigint, part_text string"
+
+    def split_text(text: str) -> list[str]:
+        parts: list[str] = []
+        while len(text) > max_size:
+            cut = text.rfind(".", 0, max_size)
+            if cut == -1:
+                cut = text.rfind(" ", 0, max_size)
+            if cut == -1:
+                cut = max_size
+            parts.append(text[: cut + 1].strip())
+            text = text[cut + 1 :].strip()
+        if text:
+            parts.append(text)
+        return parts
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                for i, part in enumerate(split_text(rec[text_col])):
+                    rows.append({**rec, "part_no": i, "part_text": part})
+            yield pd.DataFrame(rows, columns=list(pdf.columns) + ["part_no", "part_text"])
+
+    return chunks.mapInPandas(gen, schema=out_schema)

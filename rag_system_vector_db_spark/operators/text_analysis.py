@@ -1,0 +1,109 @@
+"""Text-analysis operators for a training-data pipeline: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure Column expressions (codegen, pushdown-friendly); the md5
+fingerprint family is portable to the DuckDB oracle (functions.hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions import text as X
+
+# Public-domain common-word lists per language (tiny on purpose — the
+# operator shape matters, swap lists freely).
+STOPWORDS = {
+    "en": ("the", "a", "an", "and", "of", "to", "in", "is", "it", "that"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "den", "mit", "von"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "du", "que"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "de", "que"),
+}
+
+
+def _ratio(text_col, words: tuple[str, ...]):
+    return X.stopword_count(text_col, words) / X.token_count(text_col)
+
+
+def lang_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stopword-ratio language guess. Argmax over per-language ratios,
+    ties broken by language-code order (en first)."""
+    t = F.col(text_col)
+    ratios = {lang: _ratio(t, words) for lang, words in STOPWORDS.items()}
+    best = F.greatest(*ratios.values())
+    pred = F.lit("unknown")
+    for lang in reversed(list(STOPWORDS)):  # earlier langs win ties
+        pred = F.when(ratios[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("unknown"))
+    return docs.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        F.round(best, 6).alias("stopword_ratio"),
+    )
+
+
+def text_quality(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Quality metrics: token count, type-token ratio, mean word
+    length, composite score in [0,1]."""
+    t = F.col(text_col)
+    toks = X.tokens(t)
+    n = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    ttr = n_uniq / n
+    mean_wl = (F.length(t) - (n - 1)) / n  # chars minus separators
+    score = F.round(ttr * 0.5 + F.least(n / F.lit(100.0), F.lit(1.0)) * 0.5, 6)
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        n_uniq.cast("long").alias("n_uniq_tokens"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        score.alias("quality_score"),
+    )
+
+
+def token_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Whitespace token counting + distinct counts (BPE-ish proxy:
+    distinct lowercase alphanumeric tokens)."""
+    t = F.col(text_col)
+    toks = X.tokens(t)
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_tokens"),
+        F.length(t).cast("long").alias("n_chars_computed"),
+    )
+
+
+def doc_fingerprint(
+    docs: DataFrame,
+    k: int = 4,
+    shingle_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """k-min-hash fingerprint over character shingles (winnowing-style):
+    the k lexicographically smallest md5s of distinct char n-grams.
+
+    Plan: explode distinct shingles → md5 → per-doc window top-k. The
+    shuffle carries (doc_id, 32-byte hash) rows only — never raw text.
+    Returns (doc_id, fp_rank, fp_hash).
+    """
+    sh = F.explode(F.array_distinct(X.char_shingles(F.col(text_col), shingle_len)))
+    hashed = docs.select(F.col(id_col), sh.alias("shingle")).select(
+        F.col(id_col), H.md5_hex(F.col("shingle")).alias("fp_hash")
+    ).distinct()
+    w = Window.partitionBy(id_col).orderBy("fp_hash")
+    return (
+        hashed.withColumn("fp_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fp_rank") <= k)
+        .select(id_col, "fp_rank", "fp_hash")
+    )

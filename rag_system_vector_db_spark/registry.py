@@ -14,7 +14,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import vector as V
-from .operators import knn
+from .operators import chunking, knn, text_analysis
+from .operators.text_analysis import STOPWORDS
 from .sources import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -265,3 +266,240 @@ def similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
     out = knn.similarity_matrix(emb)
     return out.withColumn("score", F.round("score", 6))
+
+
+# ---------------------------------------------------------------------------
+# Chunking / ingestion (reference parity: src/chunking_strategy.py)
+# ---------------------------------------------------------------------------
+
+# Shared DuckDB CTE: diary-shaped line stream synthesized from documents
+# (must match operators.chunking.diary_lines exactly).
+_DD_DIARY_LINES = """
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 50
+    ), linesarr AS (
+        SELECT doc_id,
+               [CAST(doc_id % 28 + 1 AS VARCHAR) || ' Day of March 1887 - Entry ' || CAST(doc_id AS VARCHAR)]
+               || [array_to_string(t[i*5+1 : i*5+5], ' ') FOR i IN range(CAST(ceil(len(t)/5.0) AS BIGINT))] AS ls
+        FROM toks
+    ), lines AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(ls, 1) - 1 AS BIGINT) AS line_no,
+               unnest(ls) AS line
+        FROM linesarr
+    )
+"""
+
+_DD_DIARY_CHUNKS = _DD_DIARY_LINES + """
+    , lined AS (
+        SELECT doc_id, line_no, line,
+               regexp_matches(line, '^\\d{1,2}(st|nd|rd|th)? Day of [A-Za-z]+ 18\\d{2} - .+$') AS is_date,
+               sum(CASE WHEN regexp_matches(line, '^\\d{1,2}(st|nd|rd|th)? Day of [A-Za-z]+ 18\\d{2} - .+$') THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY line_no) AS day_id
+        FROM lines
+    ), days AS (
+        SELECT doc_id, day_id, regexp_extract(line, ' - (.+)$', 1) AS title
+        FROM lined WHERE is_date
+    ), date_chunks AS (
+        SELECT doc_id, day_id, CAST(-1 AS BIGINT) AS chunk_id, true AS is_date_chunk,
+               line AS chunk_text, CAST(1 AS BIGINT) AS line_count,
+               CAST(len(string_split(line, ' ')) AS BIGINT) AS word_count
+        FROM lined WHERE is_date
+    ), content AS (
+        SELECT doc_id, day_id, line_no, line,
+               row_number() OVER (PARTITION BY doc_id, day_id ORDER BY line_no) AS rn
+        FROM lined WHERE NOT is_date AND day_id >= 1
+    ), content_chunks AS (
+        SELECT doc_id, day_id, CAST(floor((rn - 1) / 3) AS BIGINT) AS chunk_id,
+               false AS is_date_chunk,
+               string_agg(line, chr(10) ORDER BY line_no) AS chunk_text,
+               CAST(count(*) AS BIGINT) AS line_count,
+               CAST(sum(len(string_split(line, ' '))) AS BIGINT) AS word_count
+        FROM content
+        GROUP BY doc_id, day_id, CAST(floor((rn - 1) / 3) AS BIGINT)
+    ), chunks AS (
+        SELECT c.*, d.title
+        FROM (SELECT * FROM date_chunks UNION ALL SELECT * FROM content_chunks) c
+        JOIN days d USING (doc_id, day_id)
+    )
+"""
+
+
+@query(
+    "chunk_documents",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), chunked AS (
+        SELECT doc_id,
+               [array_to_string(t[i*40+1 : i*40+40], ' ') FOR i IN range(CAST(ceil(len(t)/40.0) AS BIGINT))] AS chunks
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS chunk_number,
+           unnest(chunks) AS chunk_text,
+           CAST(len(string_split(unnest(chunks), ' ')) AS BIGINT) AS word_count,
+           CAST(length(unnest(chunks)) AS BIGINT) AS n_chars
+    FROM chunked
+    """,
+)
+def chunk_documents(spark, sf_dir):
+    """Fixed token-window chunking with per-chunk metadata
+    (chunking_strategy.py:19 analog on the flat corpus)."""
+    return chunking.chunk_by_tokens(load_table(spark, sf_dir, "documents"), window=40)
+
+
+@query("chunk_diary", oracle="WITH " + _DD_DIARY_CHUNKS + """
+    SELECT doc_id, day_id, chunk_id, is_date_chunk, chunk_text,
+           line_count, word_count, title
+    FROM chunks
+    """)
+def chunk_diary(spark, sf_dir):
+    """Diary chunker: date-regex day detection + chunk-per-3-lines +
+    day metadata (chunking_strategy.py:19 process_diary_chunks)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    lines = chunking.diary_lines(docs)
+    return chunking.chunk_diary(lines)
+
+
+@query("chunk_stats", oracle="WITH " + _DD_DIARY_CHUNKS + """
+    SELECT doc_id,
+           CAST(count(DISTINCT day_id) AS BIGINT) AS total_days,
+           CAST(count(*) AS BIGINT) AS total_chunks,
+           round(count(*) / count(DISTINCT day_id), 6) AS avg_chunks_per_day
+    FROM chunks GROUP BY doc_id
+    """)
+def chunk_stats(spark, sf_dir):
+    """Corpus chunk metadata rollup (chunking_strategy.py:115)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return chunking.diary_stats(chunking.chunk_diary(chunking.diary_lines(docs)))
+
+
+@query("split_large_chunks")  # rows-only: greedy sequential split loop
+def split_large_chunks(spark, sf_dir):
+    """Max-size sentence/space-boundary splitting
+    (archive/chunking_strategy.py:4 split_large_chunk)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("chunk_text")
+    )
+    return chunking.split_large_chunks(docs, max_size=200)
+
+
+@query(
+    "regex_extract_meta",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '(spark|hash|join)', 1) AS first_kw,
+           CAST(len(regexp_extract_all(text, '(spark|hash|join)')) AS BIGINT) AS kw_count
+    FROM documents
+    """,
+)
+def regex_extract_meta(spark, sf_dir):
+    """Regex metadata extraction (the date-pattern machinery of
+    chunking_strategy.py:46, generalized to keyword patterns)."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_extract("text", r"(spark|hash|join)", 1).alias("first_kw"),
+        F.size(F.regexp_extract_all("text", F.lit(r"(spark|hash|join)"), F.lit(1)))
+        .cast("long")
+        .alias("kw_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+
+def _dd_sw_count(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(string_split(text, ' '), t -> list_contains([{words}], t)))"
+
+
+def _dd_sw_ratio(lang: str) -> str:
+    return f"({_dd_sw_count(lang)} / CAST(len(string_split(text, ' ')) AS DOUBLE))"
+
+
+_DD_BEST = "greatest(" + ", ".join(f"r_{lg}" for lg in STOPWORDS) + ")"
+_DD_PRED = "CASE WHEN " + _DD_BEST + " = 0 THEN 'unknown' " + " ".join(
+    f"WHEN r_{lg} = {_DD_BEST} THEN '{lg}'" for lg in STOPWORDS
+) + " ELSE 'unknown' END"
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id,
+               {", ".join(f"{_dd_sw_ratio(lg)} AS r_{lg}" for lg in STOPWORDS)}
+        FROM documents
+    )
+    SELECT doc_id, {_DD_PRED} AS pred_lang, round({_DD_BEST}, 6) AS stopword_ratio
+    FROM r
+    """,
+)
+def lang_id(spark, sf_dir):
+    """Stopword-ratio language ID heuristic."""
+    return text_analysis.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_quality",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, length(text) AS nc,
+               len(string_split(text, ' ')) AS n,
+               len(list_distinct(string_split(text, ' '))) AS nu
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(nu AS BIGINT) AS n_uniq_tokens,
+           round(nu / CAST(n AS DOUBLE), 6) AS ttr,
+           round((nc - (n - 1)) / CAST(n AS DOUBLE), 6) AS mean_word_len,
+           round((nu / CAST(n AS DOUBLE)) * 0.5 + least(n / 100.0, 1.0) * 0.5, 6) AS quality_score
+    FROM t
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Length/diversity quality scoring."""
+    return text_analysis.text_quality(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_computed
+    FROM documents
+    """,
+)
+def token_count(spark, sf_dir):
+    """Token counting."""
+    return text_analysis.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, md5(unnest(sub)) AS fp_hash
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN length(text) < 8 THEN [text]
+                        ELSE [substr(text, i + 1, 8) FOR i IN range(length(text) - 7)] END AS sub
+            FROM documents
+        )
+    )
+    SELECT doc_id, fp_rank, fp_hash FROM (
+        SELECT doc_id, fp_hash,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY fp_hash) AS BIGINT) AS fp_rank
+        FROM sh
+    ) WHERE fp_rank <= 4
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """k-min-hash document fingerprint over char shingles."""
+    return text_analysis.doc_fingerprint(load_table(spark, sf_dir, "documents"))
