@@ -503,3 +503,151 @@ def token_count(spark, sf_dir):
 def doc_fingerprint(spark, sf_dir):
     """k-min-hash document fingerprint over char shingles."""
     return text_analysis.doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup suite (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+_DD_SHINGLES = """
+    sh AS (
+        SELECT DISTINCT doc_id, unnest(
+            CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                 ELSE [array_to_string(t[i + 1 : i + 3], ' ') FOR i IN range(len(t) - 2)]
+            END) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ), shf AS (SELECT * FROM sh WHERE shingle <> '')
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_hash,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
+           doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+    FROM documents
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact content-hash dedup, keep-first."""
+    from .operators import dedup
+
+    return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+_DD_MINHASH_SIG = (
+    "sig AS (SELECT doc_id, "
+    + ", ".join(f"min(md5('{r}:' || shingle)) AS h{r}" for r in range(8))
+    + " FROM shf GROUP BY doc_id)"
+)
+
+_DD_BANDS = (
+    "bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(h{2*b} || '|' || h{2*b+1}) AS band_sig FROM sig"
+        for b in range(4)
+    )
+    + ")"
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_DD_SHINGLES}, {_DD_MINHASH_SIG}, {_DD_BANDS}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared_bands
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash (8 perms) + LSH (4 bands × 2 rows) candidate pairs."""
+    from .operators import dedup
+
+    return dedup.dedup_minhash_lsh(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_DD_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b, inter,
+           round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard ≥ 0.2 pairs via inverted-index join."""
+    from .operators import dedup
+
+    return dedup.dedup_ngram_jaccard(load_table(spark, sf_dir, "documents"))
+
+
+_DD_SIMHASH_SUMS = (
+    "sums AS (SELECT doc_id, "
+    + ", ".join(f"sum(((hv >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(32))
+    + " FROM hv GROUP BY doc_id)"
+)
+
+_DD_SIMHASH_VAL = (
+    "sim AS (SELECT doc_id, CAST("
+    + " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    + " AS BIGINT) AS simhash FROM sums)"
+)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), hv AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks
+    ), {_DD_SIMHASH_SUMS}, {_DD_SIMHASH_VAL},
+    bands AS (
+        SELECT doc_id, simhash, band, (simhash >> (8 * band)) & 255 AS band_val
+        FROM sim, (VALUES (0), (1), (2), (3)) b(band)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash near-dup pairs (hamming ≤ 6) via byte-banding."""
+    from .operators import dedup
+
+    return dedup.dedup_simhash(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT id_a, id_b, round(score, 6) AS score FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_dd_cosine('a.embedding', 'b.embedding')} AS score
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < 200 AND b.vec_id < 200 AND a.vec_id < b.vec_id
+    ) WHERE score >= 0.3
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (≥ 0.3) on a bounded slice."""
+    from .operators import dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return dedup.dedup_embedding_cosine(emb, threshold=0.3)
