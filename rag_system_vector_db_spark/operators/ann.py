@@ -1,0 +1,157 @@
+"""Approximate nearest neighbor — the scale path past brute force.
+
+Two classic index families re-expressed as DataFrame plans:
+
+- Random-hyperplane LSH (cosine): sign-pattern bucket per vector; a
+  query only scores vectors in its bucket. Hyperplanes are
+  deterministic (seeded hash) so plans — and the DuckDB oracle, which
+  receives the same planes as SQL literals — are reproducible.
+- IVF (inverted file): Lloyd k-means coarse quantizer (driver holds
+  only K×dim centroids — the iterative loop moves KB, not data), then
+  probe the nprobe nearest centroid cells per query.
+
+At 100 TB: bucket/cell assignment is a narrow map; candidate scoring
+shuffles only matching buckets (AQE skew-join for hot cells); the
+centroid table is broadcast everywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (also inlined into oracles)."""
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in rng.standard_normal(dim)] for _ in range(n_planes)]
+
+
+def _plane_lit(plane: list[float]):
+    return F.array(*[F.lit(x) for x in plane])
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Bucket id = bit b set iff dot(v, plane_b) > 0."""
+    bucket = F.lit(0).cast("long")
+    for b, p in enumerate(planes):
+        bucket = bucket + F.when(V.dot(vec_col, _plane_lit(p)) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Single-probe LSH search: score only same-bucket candidates.
+    Returns (query_id, id, score, rank)."""
+    cb = corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
+    qb = queries.withColumn("_bucket", lsh_bucket(F.col(query_vec_col), planes))
+    scored = (
+        cb.join(F.broadcast(qb), "_bucket")
+        .select(
+            query_id_col,
+            id_col,
+            V.cosine(F.col(vec_col), F.col(query_vec_col)).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --- IVF ---
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd iterations as DataFrame aggs. Init = first k vectors by id
+    (deterministic). Each iteration: broadcast centroids → argmin
+    assignment (narrow) → per-cluster mean (one shuffle of dim doubles
+    per row, map-side combined). Only centroids ever reach the driver."""
+    init = vectors.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [[float(x) for x in r[0]] for r in init]
+    dim = len(centroids[0])
+    for _ in range(n_iter):
+        assigned = vectors.select(
+            F.col(vec_col), _nearest_centroid(F.col(vec_col), centroids).alias("cluster")
+        )
+        sums = assigned.groupBy("cluster").agg(
+            *[F.sum(F.col(vec_col)[d].cast("double")).alias(f"s{d}") for d in range(dim)],
+            F.count("*").alias("n"),
+        )
+        rows = {r["cluster"]: r for r in sums.collect()}
+        centroids = [
+            [rows[c][f"s{d}"] / rows[c]["n"] for d in range(dim)] if c in rows else centroids[c]
+            for c in range(k)
+        ]
+    return centroids
+
+
+def _nearest_centroid(vec_col, centroids: list[list[float]]):
+    """Argmin of euclidean distance over broadcast centroid literals."""
+    best_d = None
+    best_i = F.lit(0)
+    for i, c in enumerate(centroids):
+        d = V.euclidean(vec_col, _plane_lit(c))
+        if best_d is None:
+            best_d, best_i = d, F.lit(i)
+        else:
+            cond = d < best_d
+            best_i = F.when(cond, F.lit(i)).otherwise(best_i)
+            best_d = F.when(cond, d).otherwise(best_d)
+    return best_i
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF probe search: per query, score only the nprobe nearest
+    centroid cells. Returns (query_id, id, score, rank)."""
+    cell = corpus.withColumn("_cell", _nearest_centroid(F.col(vec_col), centroids))
+    probes = []
+    for i, c in enumerate(centroids):
+        probes.append(
+            F.struct(F.lit(i).alias("cell"), V.euclidean(F.col(query_vec_col), _plane_lit(c)).alias("d"))
+        )
+    qcells = (
+        queries.select(
+            query_id_col,
+            query_vec_col,
+            F.explode(
+                F.slice(F.array_sort(F.array(*probes), lambda a, b: F.when(a["d"] < b["d"], -1).when(a["d"] > b["d"], 1).otherwise(0)), 1, nprobe)
+            ).alias("p"),
+        )
+        .select(query_id_col, query_vec_col, F.col("p.cell").alias("_cell"))
+    )
+    scored = (
+        cell.join(F.broadcast(qcells), "_cell")
+        .select(
+            query_id_col,
+            id_col,
+            V.cosine(F.col(vec_col), F.col(query_vec_col)).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

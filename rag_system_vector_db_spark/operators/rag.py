@@ -1,0 +1,116 @@
+"""RAG pipeline operators: retrieve → context → (stub) answer, and the
+batch eval harness.
+
+Reference parity:
+- app.py:59 ``process_query``: embed question → top-k search →
+  get-by-ids → context list → LLM answer.
+- scripts/eval.py:58 ``evaluate_rag_with_groq``: per-QA retrieval +
+  LLM-judge grade.
+
+The LLM (Groq) calls are stubbed deterministically (extractive answer,
+reciprocal-rank grade) — the retrieval/data plane is real and
+distributed; generation is an external service in any deployment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import knn
+from .embedding import embed_documents, embed_text_py
+
+
+class LLMStub:
+    """Deterministic stand-in for src/groq_proxy.py GroqProxyRestAPI."""
+
+    @staticmethod
+    def generate_response(question: str, context: list[str], max_chars: int = 200) -> str:
+        if not context:
+            return "Could not find relevant data within the document."
+        return " ".join(context)[:max_chars]
+
+    @staticmethod
+    def eval_grade(hit_rank: int | None) -> float:
+        """Reciprocal-rank grade in [0,1] (LLM-as-judge stand-in)."""
+        return 0.0 if hit_rank is None else 1.0 / hit_rank
+
+
+def retrieve(
+    corpus: DataFrame,
+    question: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embed a question driver-side (it's the query, not data) and
+    search the distributed index. Returns (id, score)."""
+    qv = embed_text_py(question)
+    return knn.topk(corpus, [float(x) for x in qv], k=k, id_col=id_col, vec_col=vec_col)
+
+
+def rag_query(
+    spark: SparkSession,
+    docs: DataFrame,
+    question: str,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Full process_query (app.py:59): embed corpus + question,
+    retrieve, assemble context, stub-generate. Returns the reference's
+    response dict shape."""
+    indexed = embed_documents(docs, text_col=text_col)
+    hits = retrieve(indexed, question, k=k, id_col=id_col).collect()
+    ids = [r[id_col] for r in hits]
+    ctx_rows = (
+        docs.filter(F.col(id_col).isin(ids)).select(id_col, text_col).collect()
+    )
+    by_id = {r[id_col]: r[text_col] for r in ctx_rows}
+    context = [by_id[i] for i in ids if i in by_id]
+    return {
+        "response": LLMStub.generate_response(question, context),
+        "context": context,
+        "source_ids": [str(i) for i in ids],
+        "success": bool(context),
+    }
+
+
+def eval_retrieval(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    expected_col: str = "expected_id",
+) -> DataFrame:
+    """Batch eval (eval.py:58): for each query with a known expected
+    id, the rank of the expected doc in top-k (null = miss) and the
+    stub grade 1/rank. One broadcast batch-kNN, no per-question loop."""
+    topk = knn.topk_batch(
+        corpus, queries.select(query_id_col, query_vec_col), k=k,
+        id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )
+    expected = queries.select(query_id_col, expected_col)
+    hits = topk.join(F.broadcast(expected), query_id_col).filter(
+        F.col(id_col) == F.col(expected_col)
+    )
+    return (
+        expected.join(
+            hits.select(query_id_col, F.col("rank").alias("hit_rank")),
+            query_id_col,
+            "left",
+        )
+        .select(
+            query_id_col,
+            expected_col,
+            F.col("hit_rank").cast("long"),
+            F.round(
+                F.when(F.col("hit_rank").isNotNull(), 1.0 / F.col("hit_rank")).otherwise(0.0),
+                6,
+            ).alias("grade"),
+        )
+    )

@@ -1,0 +1,136 @@
+"""General OLAP plans over the TPC-H-ish tables — the engine-generality
+headliners for bench.
+
+Money aggregates go through DECIMAL(18,2) so parallel summation is
+exact and order-independent (identical in Spark and DuckDB regardless
+of partitioning), then cast to double for a stable output schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+
+def _dec(col, p: int = 18, s: int = 2):
+    return F.col(col).cast(f"decimal({p},{s})")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy multi-agg groupBy. Filter pushes to
+    parquet; all aggs map-side combinable; two-column group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # Narrow decimal factors keep every product within decimal(38,_)
+    # in both engines, so sums stay exact and order-independent.
+    disc = F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 3, 2)
+    charge = _dec("l_extendedprice") * disc * (F.lit(1).cast("decimal(3,2)") + _dec("l_tax", 3, 2))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def revenue_topn(spark: SparkSession, sf_dir: str, n: int = 10) -> DataFrame:
+    """Join-heavy: lineitem ⋈ orders ⋈ customer ⋈ nation, revenue per
+    customer, top-N. Dimensions broadcast; the fact tables join on
+    their natural keys and AQE picks the physical strategy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 3, 2))
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).alias("revenue_d"))
+    )
+    return (
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.col("n_name"),
+            F.col("revenue_d"),
+        )
+        .orderBy(F.col("revenue_d").desc(), F.col("c_custkey"))
+        .limit(n)
+        .select("c_custkey", "c_name", "n_name", F.col("revenue_d").cast("double").alias("revenue"))
+    )
+
+
+def window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event aggregation (batch shape of the streaming
+    windowed agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    # Exact integer hour buckets from raw nanos (ts is TIMESTAMP(NANOS)
+    # in parquet — see sources.tables); avoids cross-engine timestamp
+    # canonicalization entirely.
+    return (
+        ev.groupBy(
+            F.expr("ts_ns div 3600000000000").alias("hour_id"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured: JSON props extraction + aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Window top-k per group: k priciest parts per brand."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        part.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("p_brand", "rank", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: lag + cumulative-sum session ids per user, then
+    per-session stats. Single shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap = F.expr("ts_ns div 1000000000") - F.lag(F.expr("ts_ns div 1000000000")).over(w)
+    with_sess = (
+        ev.withColumn("new_sess", F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0))
+        .withColumn("session_no", F.sum("new_sess").over(w))
+    )
+    return (
+        with_sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
