@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 DIM = 64
 
@@ -44,7 +45,9 @@ def embed_text_py(text: str, dim: int = DIM) -> np.ndarray:
     return v.astype(np.float32)
 
 
-@F.pandas_udf("array<float>")
+# DataType object (not a DDL string) so the decorator doesn't need an
+# active SparkSession at import time.
+@F.pandas_udf(T.ArrayType(T.FloatType()))
 def embed_udf(texts: pd.Series) -> pd.Series:
     cache: dict[str, np.ndarray] = {}
     out = []

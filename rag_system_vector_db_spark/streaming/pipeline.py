@@ -1,0 +1,128 @@
+"""Structured Streaming: the reference's batch ingest pipeline
+(prepare_data.py process_pdf → chunk → embed → insert) re-expressed as
+a continuous stream, plus watermarked event-time aggregation.
+
+Local tests drive these with the file source + memory sink and
+``processAllAvailable()``; on a cluster the same plans run off Kafka
+with checkpointed exactly-once sinks — only the source/sink lines
+change, the transformation DAG is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.chunking import chunk_by_tokens
+from ..operators.embedding import embed_udf
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (see sources.tables)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, path: str) -> DataFrame:
+    """File-source document stream (one file = one micro-batch locally)."""
+    return spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(path)
+
+
+def ingest_pipeline(docs_stream: DataFrame, chunk_window: int = 40) -> DataFrame:
+    """Continuous chunk → embed: the streaming twin of the reference's
+    prepare_data pipeline. Stateless per-row transforms — scales
+    linearly with input rate, no state store."""
+    chunks = chunk_by_tokens(docs_stream, window=chunk_window)
+    return chunks.withColumn("embedding", embed_udf(F.col("chunk_text")))
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window counts — late rows beyond the
+    watermark are dropped and state is bounded (required for any
+    unbounded run)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_event_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session-window aggregation (the streaming twin of
+    plans.analytics.sessionize_events)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("session_window.start").alias("sess_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> None:
+    """Drive a streaming DF to completion against a memory sink
+    (local smoke path)."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def run_complete_to_memory(stream_df: DataFrame, name: str) -> None:
+    """Complete-mode variant for aggregations (emits every window,
+    watermark-final results not required)."""
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

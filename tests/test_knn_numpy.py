@@ -1,0 +1,90 @@
+"""k-NN operators cross-checked against numpy brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rag_system_vector_db_spark.operators import ann, knn
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = df.collect()
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    order = np.argsort(ids)
+    return df, mat[order], ids[order]
+
+
+def _np_cosine_topk(mat, ids, q, k, exclude=None):
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))
+    out = [(int(ids[i]), float(sims[i])) for i in order if ids[i] != exclude]
+    return out[:k]
+
+
+def test_topk_matches_numpy(emb):
+    df, mat, ids = emb
+    q = mat[5]
+    got = knn.topk(df.filter(F.col("vec_id") != 5), list(q), k=8).collect()
+    exp = _np_cosine_topk(mat, ids, q, 8, exclude=5)
+    assert [(r.vec_id, round(r.score, 9)) for r in got] == [
+        (i, round(s, 9)) for i, s in exp
+    ]
+
+
+def test_topk_batch_matches_numpy(emb, spark):
+    df, mat, ids = emb
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = knn.topk_batch(df, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    for qid in range(3):
+        exp = _np_cosine_topk(mat, ids, mat[qid], 5)
+        assert sorted(by_q[qid]) == [(i + 1, e[0]) for i, e in enumerate(exp)]
+
+
+def test_topk_batch_prune_equals_plain(emb, spark):
+    df, _, _ = emb
+    queries = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = knn.topk_batch(df, queries, k=4, prune_partial=True).collect()
+    b = knn.topk_batch(df, queries, k=4, prune_partial=False).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted([(r.query_id, r.rank, r.vec_id) for r in a]) == sorted(
+        [(r.query_id, r.rank, r.vec_id) for r in b]
+    )
+
+
+def test_euclidean_metric(emb):
+    df, mat, ids = emb
+    q = mat[0]
+    got = knn.topk(df, list(q), k=3, metric="euclidean").collect()
+    d = np.linalg.norm(mat - q, axis=1)
+    order = sorted(range(len(ids)), key=lambda i: (d[i], ids[i]))[:3]
+    assert [r.vec_id for r in got] == [int(ids[i]) for i in order]
+    assert got[0].vec_id == 0 and got[0].score < 1e-9
+
+
+def test_ivf_recall_reasonable(emb, spark):
+    """IVF with nprobe=4 of k=8 cells should mostly agree with exact
+    top-1 (sanity of the cell assignment + probe machinery)."""
+    df, mat, ids = emb
+    centroids = ann.kmeans_fit(df, k=8, n_iter=3)
+    assert len(centroids) == 8 and len(centroids[0]) == 64
+    queries = df.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = ann.ann_ivf_topk(df, queries, centroids, k=1, nprobe=4).collect()
+    hits = 0
+    for r in got:
+        exact = _np_cosine_topk(mat, ids, mat[r.query_id], 1)
+        hits += r.vec_id == exact[0][0]
+    assert hits >= 5  # self-match via its own cell ≥ half the time
