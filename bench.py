@@ -19,11 +19,33 @@ from rag_system_vector_db_spark.session import get_spark  # noqa: E402
 # Headliners: vector search + dedup-ish + analytics; every registered
 # query that exists is eligible, this list is the stable scored subset.
 HEADLINE = [
+    # vector search / RAG core
     "knn_topk_cosine",
     "knn_batch",
     "similarity_matrix",
+    "rag_retrieve",
+    "rag_eval_retrieval",
+    "ann_lsh_cosine",
+    # store surface
     "collection_stats",
     "insert_upsert",
+    # chunking + text analysis
+    "chunk_documents",
+    "chunk_diary",
+    "doc_fingerprint",
+    "text_quality",
+    # dedup
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    # analytics
+    "agg_pricing_summary",
+    "join_revenue_topn",
+    "window_events",
+    "sessionize_events",
+    "events_json_extract",
+    "topk_per_group",
 ]
 
 

@@ -93,17 +93,19 @@ def doc_fingerprint(
     """k-min-hash fingerprint over character shingles (winnowing-style):
     the k lexicographically smallest md5s of distinct char n-grams.
 
-    Plan: explode distinct shingles → md5 → per-doc window top-k. The
-    shuffle carries (doc_id, 32-byte hash) rows only — never raw text.
+    Shuffle-free plan: per row, sort the distinct shingle hashes and
+    slice the k smallest (array_sort + slice inside codegen), then
+    posexplode k rows per doc — no wide explode, no window shuffle.
     Returns (doc_id, fp_rank, fp_hash).
     """
-    sh = F.explode(F.array_distinct(X.char_shingles(F.col(text_col), shingle_len)))
-    hashed = docs.select(F.col(id_col), sh.alias("shingle")).select(
-        F.col(id_col), H.md5_hex(F.col("shingle")).alias("fp_hash")
-    ).distinct()
-    w = Window.partitionBy(id_col).orderBy("fp_hash")
-    return (
-        hashed.withColumn("fp_rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("fp_rank") <= k)
-        .select(id_col, "fp_rank", "fp_hash")
+    hashes = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.array_distinct(X.char_shingles(F.col(text_col), shingle_len)),
+                lambda s: F.md5(s),
+            )
+        )
     )
+    return docs.select(
+        F.col(id_col), F.posexplode(F.slice(hashes, 1, k)).alias("pos", "fp_hash")
+    ).select(F.col(id_col), (F.col("pos") + 1).cast("long").alias("fp_rank"), "fp_hash")

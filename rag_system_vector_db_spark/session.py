@@ -20,6 +20,15 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or (os.cpu_count() or 4)
     if shuffle_partitions is None:
         shuffle_partitions = cpus
+    # Python workers unpickle pandas_udf closures that reference this
+    # package; they inherit PYTHONPATH, not the driver's sys.path, so a
+    # driver launched from outside the repo needs the root exported.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+        )
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

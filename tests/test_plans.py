@@ -1,0 +1,69 @@
+"""Physical-plan assertions: the optimizations we design for must
+actually appear in the plan (pushdown, broadcast, TakeOrdered, no
+Python in JVM-only paths)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rag_system_vector_db_spark.operators import knn
+from rag_system_vector_db_spark.plans import analytics
+from rag_system_vector_db_spark.registry import QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_and_projection_pushdown(spark, sf_dir):
+    df = QUERIES["query_entities_filter"](spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(lang)" in plan or "EqualTo(lang,en)" in plan
+    # column pruning: text (the widest column) must not be read
+    assert "text" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_knn_topk_uses_takeordered(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = knn.topk(emb, [0.1] * 64, k=10)
+    assert "TakeOrderedAndProject" in _plan(df)  # per-partition k-heap, no full sort
+
+
+def test_knn_batch_broadcasts_queries(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = _plan(knn.topk_batch(emb, queries, k=5))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan  # corpus must never shuffle for the join
+
+
+def test_revenue_topn_broadcasts_dims(spark, sf_dir):
+    plan = _plan(analytics.revenue_topn(spark, sf_dir))
+    assert "BroadcastExchange" in plan  # customer/nation are broadcast
+    assert "TakeOrderedAndProject" in plan  # top-N without global sort
+
+
+def test_pricing_summary_partial_agg(spark, sf_dir):
+    plan = _plan(analytics.pricing_summary(spark, sf_dir))
+    # map-side combine: partial then final HashAggregate pair
+    assert plan.count("HashAggregate") >= 2
+    assert "PushedFilters: [" in plan and "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_dedup_paths_are_jvm_only(spark, sf_dir):
+    # no Python UDF nodes in dedup plans — all codegen
+    for name in ("dedup_exact", "dedup_minhash_lsh", "dedup_simhash"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_chunking_is_jvm_only(spark, sf_dir):
+    plan = _plan(QUERIES["chunk_documents"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
