@@ -58,6 +58,13 @@ def main() -> None:
     spark = get_spark("bench")
     # warm the JVM + parquet footers once
     spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    # Untimed warmup pass: compiles + caches each query's whole-stage
+    # codegen classes so the timed runs measure steady-state engine
+    # throughput rather than one-off JIT compilation.
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is not None:
+            fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -59,14 +59,25 @@ def shingle_set(
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int = 8, id_col: str = "doc_id"
 ) -> DataFrame:
-    """MinHash signature: per doc, min of seeded md5 per hash family.
-    One groupBy with map-side partial mins — a single shuffle of
-    (id, num_hashes × 32B)."""
-    aggs = [
-        F.min(H.md5_hex(F.col("shingle"), seed=r)).alias(f"h{r}")
-        for r in range(num_hashes)
-    ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    """MinHash signature via a two-point hash family: two independent
+    md5 draws per shingle (a: 60-bit, b: 56-bit), h_r = min(a + r·b).
+
+    2 md5s per row instead of num_hashes — the classic Carter-Wegman
+    (a + r·b) construction gives the independent families. One groupBy
+    with map-side partial mins — a single shuffle of
+    (id, num_hashes × 8B). b is 56-bit so r·b never overflows int64
+    for num_hashes ≤ 64.
+    """
+    if num_hashes > 64:
+        raise ValueError("num_hashes > 64 would overflow the a + r*b family")
+    base = shingles.select(
+        F.col(id_col),
+        H.md5_long(F.col("shingle"), seed=0).alias("_ha"),
+        H.md5_long(F.col("shingle"), seed=1, width=14).alias("_hb"),
+    )
+    return base.groupBy(id_col).agg(
+        *[F.min(F.col("_ha") + r * F.col("_hb")).alias(f"h{r}") for r in range(num_hashes)]
+    )
 
 
 def lsh_band_buckets(
@@ -187,13 +198,15 @@ def simhash(
 
 def dedup_simhash(
     docs: DataFrame,
-    max_hamming: int = 6,
+    max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming. Candidates
-    via byte-banding (4 bands of 8 bits — pigeonhole guarantees recall
-    for hamming ≤ 3; wider hamming trades recall, standard practice).
+    via byte-banding: 4 bands of 8 bits, so by pigeonhole every pair
+    with hamming ≤ 3 shares at least one whole band — the default is
+    exact. max_hamming > 3 trades recall for reach (pairs differing in
+    4+ bits spread across all 4 bands are missed).
     Returns (doc_a, doc_b, hamming)."""
     s = simhash(docs, id_col, text_col)
     bands = s.select(

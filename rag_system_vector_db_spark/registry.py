@@ -536,16 +536,22 @@ def dedup_exact(spark, sf_dir):
     return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
 
 
+# Two-point family mirror of operators.dedup.minhash_signatures:
+# a = 60-bit md5 (seed 0), b = 56-bit md5 (seed 1), h_r = min(a + r*b).
 _DD_MINHASH_SIG = (
+    "mh AS (SELECT doc_id, "
+    "('0x' || substr(md5('0:' || shingle), 1, 15))::BIGINT AS ha, "
+    "('0x' || substr(md5('1:' || shingle), 1, 14))::BIGINT AS hb FROM shf), "
     "sig AS (SELECT doc_id, "
-    + ", ".join(f"min(md5('{r}:' || shingle)) AS h{r}" for r in range(8))
-    + " FROM shf GROUP BY doc_id)"
+    + ", ".join(f"min(ha + {r} * hb) AS h{r}" for r in range(8))
+    + " FROM mh GROUP BY doc_id)"
 )
 
 _DD_BANDS = (
     "bands AS ("
     + " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, md5(h{2*b} || '|' || h{2*b+1}) AS band_sig FROM sig"
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(CAST(h{2*b} AS VARCHAR) || '|' || CAST(h{2*b+1} AS VARCHAR)) AS band_sig FROM sig"
         for b in range(4)
     )
     + ")"
@@ -624,11 +630,12 @@ _DD_SIMHASH_VAL = (
            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
     FROM bands a
     JOIN bands b ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
 )
 def dedup_simhash(spark, sf_dir):
-    """32-bit SimHash near-dup pairs (hamming ≤ 6) via byte-banding."""
+    """32-bit SimHash near-dup pairs (hamming ≤ 3, exact via 4×8-bit
+    byte-banding — pigeonhole guarantees every such pair shares a band)."""
     from .operators import dedup
 
     return dedup.dedup_simhash(load_table(spark, sf_dir, "documents"))
