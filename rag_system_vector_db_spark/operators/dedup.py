@@ -137,29 +137,65 @@ def dedup_minhash_lsh(
 def dedup_ngram_jaccard(
     docs: DataFrame,
     n: int = 3,
-    threshold: float = 0.2,
+    threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs generated by the
-    shared-shingle join (inverted-index style — never all-pairs).
-    Returns (doc_a, doc_b, inter, jaccard ≥ threshold)."""
-    sh = shingle_set(docs, n, id_col, text_col)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    """Exact n-gram Jaccard ≥ threshold via prefix filtering (AllPairs/
+    PPJoin principle, Chaudhuri ICDE'06 / Bayardo WWW'07).
+
+    Shingles are hashed to 60-bit ints and globally ordered by hash;
+    only each doc's first ``sz - ceil(t·sz) + 1`` hashes enter the
+    inverted-index self-join — any pair with J ≥ t must share a prefix
+    hash, so candidate recall is exact. The exact intersection is then
+    computed only for surviving candidate pairs via array_intersect on
+    the per-doc sorted hash arrays.
+
+    Scale: join shuffle volume scales with (1 - t)·corpus shingles
+    (8-byte keys, never raw text); the full posting lists move once
+    (groupBy) and are joined back only to the candidate pairs.
+    Returns (doc_a, doc_b, inter, jaccard)."""
+    sh = shingle_set(docs, n, id_col, text_col).select(
+        F.col(id_col), H.md5_long(F.col("shingle")).alias("h")
+    )
+    arrs = sh.groupBy(id_col).agg(F.array_sort(F.collect_set("h")).alias("arr"))
+    # Carry the (bounded: one doc's shingles) hash array through the
+    # prefix explode + join so the posting lists never need a join-back
+    # — the shingle scan runs ONCE and the plan has no re-computed
+    # subtrees. The join shuffles prefix rows only: (1-t)·sz per doc.
+    prefix_len = (
+        F.size("arr") - F.ceil(F.lit(float(threshold)) * F.size("arr")) + 1
+    ).cast("int")
+    pre = arrs.select(
+        F.col(id_col),
+        F.col("arr"),
+        F.size("arr").alias("sz"),
+        F.explode(F.slice(F.col("arr"), F.lit(1), prefix_len)).alias("h"),
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    pairs = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(F.count("*").cast("long").alias("inter"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(
+            F.first("a.arr").alias("arr_a"),
+            F.first("b.arr").alias("arr_b"),
+            F.first("a.sz").alias("sz_a"),
+            F.first("b.sz").alias("sz_b"),
+        )
     )
     return (
-        inter.join(F.broadcast(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a")), "doc_a")
-        .join(F.broadcast(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "sz_b")), "doc_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        pairs.withColumn(
+            "inter", F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
+        )
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", F.round("jaccard", 6).alias("jaccard"))
     )

@@ -386,6 +386,33 @@ def split_large_chunks(spark, sf_dir):
 
 
 @query(
+    "extract_dates",
+    oracle="WITH " + _DD_DIARY_LINES + """
+    SELECT doc_id, line_no,
+           CAST(regexp_extract(line, '^(\\d{1,2})', 1) AS BIGINT) AS day_num,
+           regexp_extract(line, '^\\d{1,2}(st|nd|rd|th)? Day of ([A-Za-z]+)', 2) AS month,
+           CAST(regexp_extract(line, ' (18\\d{2}) - ', 1) AS BIGINT) AS year,
+           regexp_extract(line, ' - (.+)$', 1) AS title
+    FROM lines
+    WHERE regexp_matches(line, '^\\d{1,2}(st|nd|rd|th)? Day of [A-Za-z]+ 18\\d{2} - .+$')
+    """,
+)
+def extract_dates(spark, sf_dir):
+    """Date-regex day extraction + title metadata
+    (chunking_strategy.py:46 extract_date_parts)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    lines = chunking.diary_lines(docs)
+    return lines.filter(F.col("line").rlike(chunking.DATE_PATTERN)).select(
+        "doc_id",
+        "line_no",
+        F.regexp_extract("line", r"^(\d{1,2})", 1).cast("long").alias("day_num"),
+        F.regexp_extract("line", r"^\d{1,2}(st|nd|rd|th)? Day of ([A-Za-z]+)", 2).alias("month"),
+        F.regexp_extract("line", r" (18\d{2}) - ", 1).cast("long").alias("year"),
+        F.regexp_extract("line", chunking.TITLE_PATTERN, 1).alias("title"),
+    )
+
+
+@query(
     "regex_extract_meta",
     oracle="""
     SELECT doc_id,
@@ -578,12 +605,18 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 @query(
     "dedup_ngram_jaccard",
+    # Ground-truth formulation: FULL inverted-index join (no prefix
+    # filter) over the same 60-bit shingle hashes — independently
+    # validates that Spark's prefix-filtered plan is exact.
     oracle=f"""
     WITH {_DD_SHINGLES},
-    sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+    hs AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM shf
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM hs GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
-        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY doc_a, doc_b
     )
     SELECT doc_a, doc_b, inter,
@@ -591,11 +624,12 @@ def dedup_minhash_lsh(spark, sf_dir):
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.2
+    WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard ≥ 0.2 pairs via inverted-index join."""
+    """Exact 3-gram Jaccard ≥ 0.8 pairs via prefix-filtered
+    inverted-index join (oracle runs the unfiltered full join)."""
     from .operators import dedup
 
     return dedup.dedup_ngram_jaccard(load_table(spark, sf_dir, "documents"))
