@@ -83,6 +83,68 @@ def token_counts(
     )
 
 
+# BPE-ish pre-tokenization split (GPT-2-style, ASCII-simplified):
+# letter runs | digit runs | single non-alphanumeric non-space marks.
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Characteristic char-trigram profiles per language (tiny on purpose;
+# the operator shape is the point — swap profiles freely).
+NGRAM_PROFILES = {
+    "en": ("the", "ing", "and", "ion"),
+    "de": ("der", "sch", "ein", "und"),
+    "fr": ("les", "ent", "que", "des"),
+    "es": ("que", "los", "ado", "nte"),
+}
+
+
+def bpe_token_count(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """BPE-ish regex pre-tokenization counts: letter runs, digit runs
+    and punctuation marks as separate tokens (the GPT-2 pre-tokenizer
+    shape). chars_per_token is a compression-rate proxy for token-budget
+    estimation. All codegen (regexp_extract_all)."""
+    t = F.col(text_col)
+    toks = F.regexp_extract_all(t, F.lit(BPE_SPLIT_PATTERN), F.lit(0))
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_bpe_tokens"),
+        F.round(F.length(t) / F.size(toks), 6).alias("chars_per_token"),
+    )
+
+
+def _gram_count(t, gram: str):
+    """Occurrences of ``gram`` in t via the length-difference trick —
+    pure codegen string ops, no explode, portable to any SQL engine."""
+    return (F.length(t) - F.length(F.replace(t, F.lit(gram), F.lit("")))) / len(gram)
+
+
+def lang_id_ngram(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Character-trigram-profile language guess: per language, total
+    occurrences of its characteristic trigrams per 100 chars; argmax
+    wins, ties broken by language-code order (en first)."""
+    t = F.col(text_col)
+    scores = {
+        lang: F.round(
+            sum((_gram_count(t, g) for g in grams), F.lit(0.0)) / F.length(t) * 100, 6
+        )
+        for lang, grams in NGRAM_PROFILES.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("unknown")
+    for lang in reversed(list(NGRAM_PROFILES)):  # earlier langs win ties
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("unknown"))
+    return docs.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        best.alias("ngram_score"),
+    )
+
+
 def doc_fingerprint(
     docs: DataFrame,
     k: int = 4,

@@ -509,6 +509,63 @@ def token_count(spark, sf_dir):
 
 
 @query(
+    "bpe_token_count",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, length(text) AS nc,
+               regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_bpe_tokens,
+           round(nc / CAST(len(toks) AS DOUBLE), 6) AS chars_per_token
+    FROM t
+    """,
+)
+def bpe_token_count(spark, sf_dir):
+    """BPE-ish regex pre-tokenization counting (GPT-2 pre-tokenizer
+    shape): letter runs / digit runs / punctuation marks."""
+    return text_analysis.bpe_token_count(load_table(spark, sf_dir, "documents"))
+
+
+def _dd_gram_score(grams: tuple[str, ...]) -> str:
+    s = " + ".join(
+        f"((length(text) - length(replace(text, '{g}', ''))) / {len(g)})" for g in grams
+    )
+    return f"round((0.0 + {s}) / length(text) * 100, 6)"
+
+
+_DD_NG_BEST = "greatest(" + ", ".join(f"g_{lg}" for lg in text_analysis.NGRAM_PROFILES) + ")"
+_DD_NG_PRED = (
+    "CASE WHEN " + _DD_NG_BEST + " = 0 THEN 'unknown' "
+    + " ".join(
+        f"WHEN g_{lg} = {_DD_NG_BEST} THEN '{lg}'"
+        for lg in text_analysis.NGRAM_PROFILES
+    )
+    + " ELSE 'unknown' END"
+)
+
+
+@query(
+    "lang_id_ngram",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               {", ".join(f"{_dd_gram_score(grams)} AS g_{lg}" for lg, grams in text_analysis.NGRAM_PROFILES.items())}
+        FROM documents
+    )
+    SELECT doc_id, {_DD_NG_PRED} AS pred_lang, {_DD_NG_BEST} AS ngram_score
+    FROM g
+    """,
+)
+def lang_id_ngram(spark, sf_dir):
+    """Char-trigram-profile language ID (n-gram heuristic counterpart
+    of the stopword-ratio lang_id)."""
+    return text_analysis.lang_id_ngram(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "doc_fingerprint",
     oracle="""
     WITH sh AS (
