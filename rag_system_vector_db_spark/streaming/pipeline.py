@@ -98,6 +98,46 @@ def session_event_counts(
     )
 
 
+def streaming_dedup(docs_stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming exact dedup with explicit group state
+    (applyInPandasWithState): keyed by content hash, the first document
+    seen for a hash is emitted as keeper; later arrivals only bump the
+    duplicate counter in state (emitting nothing). The streaming twin
+    of operators.dedup.dedup_exact.
+
+    State per key is two longs — bounded by the number of DISTINCT
+    contents, not the stream length; partitioned by hash across
+    executors, so the dedup scales out with the state store."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    hashed = docs_stream.select(
+        F.md5(F.col(text_col)).alias("text_hash"), F.col("doc_id")
+    )
+
+    def dedup_fn(key, pdf_iter, state: GroupState):
+        n_new = 0
+        min_id = None
+        for pdf in pdf_iter:
+            n_new += len(pdf)
+            batch_min = int(pdf["doc_id"].min())
+            min_id = batch_min if min_id is None else min(min_id, batch_min)
+        if state.exists:
+            keeper, n_seen = state.get
+            state.update((int(keeper), int(n_seen) + n_new))
+            return iter(())  # duplicate content — emit nothing
+        state.update((int(min_id), n_new))
+        return iter([pd.DataFrame({"text_hash": [key[0]], "keeper_id": [min_id]})])
+
+    return hashed.groupBy("text_hash").applyInPandasWithState(
+        dedup_fn,
+        outputStructType="text_hash string, keeper_id long",
+        stateStructType="keeper_id long, n_seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> None:
     """Drive a streaming DF to completion against a memory sink
     (local smoke path)."""

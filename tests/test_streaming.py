@@ -51,6 +51,45 @@ def test_streaming_windowed_counts(spark, sf_dir, stream_dirs):
     assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
 
+def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState keep-first dedup: a hash seen in an
+    earlier micro-batch must be suppressed in later ones."""
+    import pandas as pd
+
+    src = tmp_path / "docs"
+    src.mkdir()
+
+    def write_batch(name, doc_ids, texts):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": pd.array(doc_ids, dtype="int64"),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+            }
+        )
+        pdf.to_parquet(src / name)
+
+    write_batch("b1.parquet", [1, 2], ["alpha text", "beta text"])
+    out = P.streaming_dedup(P.stream_documents(spark, str(src)))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: doc 3 duplicates doc 1's content, doc 4 is new
+        write_batch("b2.parquet", [3, 4], ["alpha text", "gamma text"])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    keepers = {r.keeper_id for r in spark.sql("SELECT * FROM dedup_out").collect()}
+    assert keepers == {1, 2, 4}  # 3 suppressed as duplicate of 1
+
+
 def test_streaming_session_windows(spark, sf_dir, stream_dirs):
     ev = P.stream_events(spark, stream_dirs["events"])
     agg = P.session_event_counts(ev, gap="30 minutes", watermark="2 hours")
