@@ -22,6 +22,7 @@ HEADLINE = [
     # vector search / RAG core
     "knn_topk_cosine",
     "knn_batch",
+    "knn_batch_np",
     "similarity_matrix",
     "rag_retrieve",
     "rag_eval_retrieval",

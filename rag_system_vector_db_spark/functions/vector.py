@@ -1,11 +1,14 @@
 """Vector math as pure Column expressions.
 
 All JVM-side (Catalyst higher-order functions — `aggregate`,
-`zip_with`, `transform`) so scoring stays inside whole-stage codegen;
-no Python in the hot loop. Accumulation is sequential left-to-right in
-DOUBLE, which matches the DuckDB oracle's
-`list_sum(list_transform(list_zip(a, b), x -> x[1]*x[2]))` exactly, so
-value-hash comparisons are bit-stable.
+`zip_with`, `transform`): no Python workers, no serialization across
+the language boundary. Note HOFs evaluate via CodegenFallback
+(interpreted Catalyst, still JVM) rather than whole-stage codegen —
+exactness and portability are the point of this path; for raw
+throughput fan-out use operators.knn.topk_batch_np (Arrow + BLAS).
+Accumulation is sequential left-to-right in DOUBLE, which matches the
+DuckDB oracle's `list_sum(list_transform(list_zip(a, b), x ->
+x[1]*x[2]))` exactly, so value-hash comparisons are bit-stable.
 
 Reference parity: scripts/prepare_data.py:101 (test_similarity dot
 matrix), scripts/milvus_db.py:40 (COSINE metric collections).

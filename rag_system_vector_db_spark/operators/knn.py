@@ -106,6 +106,63 @@ def topk_batch(
     )
 
 
+def topk_batch_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Arrow/numpy batch cosine kNN — the raw-throughput path for wide
+    query fan-out over a huge corpus.
+
+    The (small) query set is collected to a Q×D float64 matrix and
+    shipped inside the UDF closure; each corpus Arrow batch is scored
+    with ONE BLAS matmul (B×D @ D×Q) and reduced to its per-query
+    top-k before leaving Python — candidate volume is
+    n_batches × Q × k, never N × Q. A final per-query window merges
+    candidates. Ranks are exact (ties broken by id); scores differ
+    from the sequential-sum HOF path only in float64 last-ulp
+    rounding, so this is registered rows-only rather than
+    oracle-hashed. Returns (query_id, id, score, rank).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    qids = [r[0] for r in q_rows]
+    qmat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    schema = f"{query_id_col} long, {id_col} long, score double"
+
+    def score_batches(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            scores = (mat @ qmat.T) / np.outer(norms, qnorm)  # B×Q
+            kk = min(k, len(ids))
+            out_q, out_i, out_s = [], [], []
+            for qi in range(scores.shape[1]):
+                col = scores[:, qi]
+                # exact top-k incl. the (score desc, id asc) tiebreak
+                top = np.lexsort((ids, -col))[:kk]
+                out_q.extend([qids[qi]] * len(top))
+                out_i.extend(ids[top])
+                out_s.extend(col[top])
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_i, "score": out_s}
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(score_batches, schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def similarity_matrix(
     vectors: DataFrame,
     id_col: str = "vec_id",

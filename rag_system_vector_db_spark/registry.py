@@ -251,6 +251,20 @@ def knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("knn_batch_np")  # rows-only: BLAS matmul sums differ in last-ulp
+def knn_batch_np(spark, sf_dir):
+    """Arrow+BLAS batch kNN — raw-throughput twin of knn_batch; exact
+    ranks (unit-tested against the HOF path), float scores off by ulps."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = knn.topk_batch_np(emb, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), F.col("rank").cast("long")
+    )
+
+
 @query(
     "similarity_matrix",
     oracle=f"""

@@ -63,6 +63,23 @@ def test_topk_batch_prune_equals_plain(emb, spark):
     )
 
 
+def test_topk_batch_np_ranks_equal_hof_path(emb, spark):
+    """The Arrow+BLAS path must produce identical (query, rank, id)
+    triples to the exact HOF path; scores agree to 1e-9."""
+    df, _, _ = emb
+    queries = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = knn.topk_batch_np(df, queries, k=6).collect()
+    b = knn.topk_batch(df, queries, k=6).collect()
+    key = lambda r: (r.query_id, r.rank)
+    a, b = sorted(a, key=key), sorted(b, key=key)
+    assert [(r.query_id, r.rank, r.vec_id) for r in a] == [
+        (r.query_id, r.rank, r.vec_id) for r in b
+    ]
+    assert all(abs(x.score - y.score) < 1e-9 for x, y in zip(a, b))
+
+
 def test_euclidean_metric(emb):
     df, mat, ids = emb
     q = mat[0]
