@@ -40,6 +40,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_embedding_lsh",
+    "tfidf_top_terms",
     # analytics
     "agg_pricing_summary",
     "join_revenue_topn",

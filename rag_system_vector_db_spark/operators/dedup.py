@@ -282,6 +282,43 @@ def dedup_simhash(
     )
 
 
+def dedup_embedding_lsh(
+    vectors: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup at scale: random-hyperplane LSH buckets as
+    the candidate generator — only same-bucket pairs are scored, so
+    the join shuffles one bucket id per row instead of exploding
+    all-pairs. Exact cosine is applied to candidates; recall per pair
+    with angle θ is (1 - θ/π)^n_planes (tune n_planes/band count for
+    the target recall).
+    Returns (id_a, id_b, score ≥ threshold)."""
+    from ..functions import vector as V
+    from .ann import lsh_bucket
+
+    b = vectors.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("_bucket")
+    )
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            V.cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", F.round("score", 6).alias("score"))
+    )
+
+
 def dedup_embedding_cosine(
     vectors: DataFrame,
     threshold: float = 0.3,

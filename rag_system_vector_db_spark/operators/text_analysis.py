@@ -145,6 +145,34 @@ def lang_id_ngram(
     )
 
 
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (smoothed idf =
+    ln((N+1)/(df+1))). Corpus statistics as two shuffles: term
+    frequency per (doc, term) and document frequency per term (both
+    map-side combinable); N is a broadcast scalar. Top-k per doc via
+    window on the scored rows.
+    Returns (doc_id, term, tf, df, tfidf, rank)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(X.tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = docs.select(F.count("*").alias("_n"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log((F.col("_n") + 1) / (F.col("df") + 1)))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", F.round("tfidf", 6).alias("tfidf"), "rank")
+    )
+
+
 def doc_fingerprint(
     docs: DataFrame,
     k: int = 4,

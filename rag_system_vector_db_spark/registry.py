@@ -580,6 +580,35 @@ def lang_id_ngram(spark, sf_dir):
 
 
 @query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), toksf AS (SELECT * FROM toks WHERE term <> ''),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toksf GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS _n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               tf.tf * ln((n._n + 1) / CAST(df.df + 1 AS DOUBLE)) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (smoothed idf)."""
+    return text_analysis.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+@query(
     "doc_fingerprint",
     oracle="""
     WITH sh AS (
@@ -744,6 +773,16 @@ def dedup_simhash(spark, sf_dir):
     from .operators import dedup
 
     return dedup.dedup_simhash(load_table(spark, sf_dir, "documents"))
+
+
+@query("dedup_embedding_lsh")  # oracle attached after _planes_sql below
+def dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup at scale: 6-plane LSH buckets generate
+    candidates, exact cosine ≥ 0.3 on same-bucket pairs only."""
+    from .operators import ann, dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.dedup_embedding_lsh(emb, ann.hyperplanes(6, 64), threshold=0.3)
 
 
 @query(
@@ -931,6 +970,33 @@ def _ann_lsh_oracle() -> str:
 
 
 ORACLES["ann_lsh_cosine"] = _ann_lsh_oracle()
+
+
+def _dedup_embedding_lsh_oracle() -> str:
+    from .operators import ann
+
+    planes = ann.hyperplanes(6, 64)
+    return f"""
+    WITH {_planes_sql(planes)},
+    dots AS (
+        SELECT e.vec_id, p.pid, {_dd_dot('e.embedding', 'p.w')} AS d
+        FROM embeddings e CROSS JOIN planes p
+    ), buckets AS (
+        SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << pid) ELSE 0 END) AS bucket
+        FROM dots GROUP BY vec_id
+    ), v AS (
+        SELECT e.vec_id, e.embedding, b.bucket
+        FROM embeddings e JOIN buckets b USING (vec_id)
+    )
+    SELECT id_a, id_b, round(score, 6) AS score FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_dd_cosine('a.embedding', 'b.embedding')} AS score
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ) WHERE score >= 0.3
+    """
+
+
+ORACLES["dedup_embedding_lsh"] = _dedup_embedding_lsh_oracle()
 
 
 @query("ann_ivf")  # rows-only: iterative k-means fit
