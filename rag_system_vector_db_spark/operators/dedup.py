@@ -119,18 +119,25 @@ def dedup_minhash_lsh(
         rows,
         id_col,
     )
-    a, c = b.alias("a"), b.alias("b")
-    return (
-        a.join(
-            c,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .agg(F.count("*").cast("long").alias("n_shared_bands"))
+    # Pair generation via bucket-collect instead of a self-join: the
+    # signature pipeline (shingle explode + md5s + mins) runs ONCE, and
+    # one groupBy replaces the join's two exchanges. Bucket arrays are
+    # bounded by dup-cluster size; for pathological hot buckets at
+    # scale, cap with a document-frequency filter before this groupBy
+    # (a 10M-doc bucket means 10^14 pairs either way — drop it, don't
+    # join it).
+    buckets = (
+        b.groupBy("band", "band_sig")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ex = buckets.select(F.col("ids"), F.posexplode("ids").alias("i", "doc_a"))
+    pairs = ex.select(
+        "doc_a",
+        F.explode(F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))).alias("doc_b"),
+    )
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count("*").cast("long").alias("n_shared_bands")
     )
 
 
@@ -262,15 +269,21 @@ def dedup_simhash(
             )
         ).alias("e"),
     ).select(id_col, "simhash", F.col("e.band").alias("band"), F.col("e.band_val").alias("band_val"))
-    a, b = bands.alias("a"), bands.alias("b")
+    # Bucket-collect pair generation (see dedup_minhash_lsh): the
+    # simhash aggregation runs once; sorted (id, simhash) structs give
+    # doc_a < doc_b for free.
+    bk = (
+        bands.groupBy("band", "band_val")
+        .agg(F.sort_array(F.collect_list(F.struct(id_col, "simhash"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    ex = bk.select(F.col("ds"), F.posexplode("ds").alias("i", "a"))
+    pairs = ex.select(
+        F.col("a"),
+        F.explode(F.slice(F.col("ds"), F.col("i") + 2, F.size("ds"))).alias("b"),
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
+        pairs.select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
             F.bit_count(
