@@ -23,6 +23,20 @@ from pyspark.sql import functions as F
 from . import knn
 
 
+def list_collections(root: str) -> list[dict]:
+    """milvus_db.py:36 list_collections: every collection directory
+    (has a _manifest.json) under ``root`` with its manifest."""
+    out = []
+    if not os.path.isdir(root):
+        return out
+    for name in sorted(os.listdir(root)):
+        mp = os.path.join(root, name, "_manifest.json")
+        if os.path.isfile(mp):
+            with open(mp) as f:
+                out.append({"collectionName": name, **json.load(f)})
+    return out
+
+
 class VectorCollection:
     """Mirrors ZillizClient's collection API (milvus_db.py:14)."""
 

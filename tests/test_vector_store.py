@@ -5,7 +5,10 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from rag_system_vector_db_spark.operators.vector_store import VectorCollection
+from rag_system_vector_db_spark.operators.vector_store import (
+    VectorCollection,
+    list_collections,
+)
 
 
 @pytest.fixture()
@@ -60,6 +63,25 @@ def test_scan_pagination(coll):
         seen.extend(r.vec_id for r in batch)
     assert seen == sorted(seen)
     assert len(seen) == emb.count()
+
+
+def test_list_collections(spark, tmp_path):
+    VectorCollection.create(spark, str(tmp_path / "a"), dimension=8)
+    VectorCollection.create(spark, str(tmp_path / "b"), dimension=16, metric="dot")
+    (tmp_path / "not_a_collection").mkdir()
+    got = list_collections(str(tmp_path))
+    assert [c["collectionName"] for c in got] == ["a", "b"]
+    assert got[0]["dimension"] == 8 and got[1]["metricType"] == "dot"
+
+
+def test_compact_preserves_resolved_view(coll, spark):
+    c, emb = coll
+    patch = emb.filter(F.col("vec_id") < 2).withColumn("label", F.lit(777))
+    c.insert(patch)
+    before = {(r.vec_id, r.label) for r in c.df().select("vec_id", "label").collect()}
+    c.compact()
+    after = {(r.vec_id, r.label) for r in c.df().select("vec_id", "label").collect()}
+    assert before == after
 
 
 def test_search_matches_bruteforce(coll, spark):
