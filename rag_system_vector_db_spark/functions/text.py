@@ -28,19 +28,24 @@ def token_count(col: Column) -> Column:
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as space-joined strings.
+    """Word n-gram shingles as space-joined strings; [] for texts
+    shorter than n tokens.
 
-    transform(sequence(...)) keeps it inside codegen; returns [] for
-    texts shorter than n tokens.
+    Built by zip_with-folding n shifted slices of the token array.
+    Higher-order functions run interpreted (CodegenFallback), so the
+    per-element lambda must be cheap: a 2-arg concat here benches ~3x
+    faster than the transform(sequence, i -> concat_ws(slice(toks,i,n)))
+    formulation, whose per-element slice allocates an array each call.
+    Map-side only — no shuffle, unlike a posexplode+lead window plan.
     """
     toks = tokens(col)
     k = F.size(toks) - F.lit(n - 1)
-    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    out = F.slice(toks, 1, k)
+    for i in range(1, n):
+        out = F.zip_with(
+            out, F.slice(toks, i + 1, k), lambda a, b: F.concat_ws(" ", a, b)
         )
-    )
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(out)
 
 
 def char_shingles(col: Column, n: int = 8) -> Column:

