@@ -68,6 +68,71 @@ def ann_lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ann_lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Multi-probe LSH (Lv VLDB'07): besides its own bucket, each query
+    probes every bucket at hamming distance 1 (one flipped plane bit) —
+    recall of a (1+n_planes)-probe search for the cost of ONE index,
+    instead of maintaining 1+n_planes hash tables.
+
+    Only the (small, broadcast) query side fans out — the corpus keeps
+    exactly one bucket per vector, so each (query, candidate) pair can
+    match at most one probe row and no dedup pass is needed.
+    Returns (query_id, id, score, rank).
+    """
+    cb = corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
+    qb = queries.withColumn("_b0", lsh_bucket(F.col(query_vec_col), planes))
+    probes = F.array(
+        F.col("_b0"),
+        *[F.col("_b0").bitwiseXOR(F.lit(1 << b)) for b in range(len(planes))],
+    )
+    qp = qb.select(
+        query_id_col, query_vec_col, F.explode(probes).alias("_bucket")
+    )
+    scored = cb.join(F.broadcast(qp), "_bucket").select(
+        query_id_col,
+        id_col,
+        V.cosine(F.col(vec_col), F.col(query_vec_col)).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def recall_at_k(
+    ann_hits: DataFrame,
+    exact_hits: DataFrame,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k harness: fraction of the exact top-k an ANN search
+    recovered, per query. Both inputs are (query_id, id[, ...]) top-k
+    result sets. Returns (query_id, n_exact, n_hit, recall)."""
+    hits = exact_hits.select(query_id_col, id_col).join(
+        ann_hits.select(query_id_col, id_col), [query_id_col, id_col], "left_semi"
+    )
+    per_q = exact_hits.groupBy(query_id_col).agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    got = hits.groupBy(query_id_col).agg(F.count("*").cast("long").alias("n_hit"))
+    return (
+        per_q.join(got, query_id_col, "left")
+        .select(
+            query_id_col,
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(F.coalesce("n_hit", F.lit(0)) / F.col("n_exact"), 6).alias("recall"),
+        )
+    )
+
+
 # --- IVF ---
 
 
@@ -155,3 +220,83 @@ def ann_ivf_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ann_ivf_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 3,
+    nprobe: int = 2,
+    shortlist: int = 10,
+    quant_decimals: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF with exact re-ranking (the IVF-PQ serving pattern): the
+    probed cells are scored with QUANTIZED vectors (rounded to
+    ``quant_decimals`` — standing in for PQ codes, which cost bytes/vec
+    instead of dim×4) to build a per-query shortlist; exact cosine then
+    re-scores only shortlist×Q rows against the full-precision vectors.
+
+    At scale the first pass reads the small quantized index, and the
+    expensive full-precision column is fetched (join by id) for
+    shortlist rows only. Returns (query_id, id, score, rank) with exact
+    scores.
+    """
+    quant = F.transform(F.col(vec_col), lambda x: F.round(x, quant_decimals))
+    cell = corpus.select(
+        F.col(id_col),
+        quant.alias("_qv"),
+        _nearest_centroid(F.col(vec_col), centroids).alias("_cell"),
+    )
+    probes = [
+        F.struct(
+            F.lit(i).alias("cell"),
+            V.euclidean(F.col(query_vec_col), _plane_lit(c)).alias("d"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    qcells = queries.select(
+        query_id_col,
+        query_vec_col,
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.array(*probes),
+                    lambda a, b: F.when(a["d"] < b["d"], -1)
+                    .when(a["d"] > b["d"], 1)
+                    .otherwise(0),
+                ),
+                1,
+                nprobe,
+            )
+        ).alias("p"),
+    ).select(query_id_col, query_vec_col, F.col("p.cell").alias("_cell"))
+    approx = cell.join(F.broadcast(qcells), "_cell").select(
+        query_id_col,
+        id_col,
+        V.cosine(F.col("_qv"), F.col(query_vec_col)).alias("_approx"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("_approx").desc(), F.col(id_col))
+    short = (
+        approx.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= shortlist)
+        .select(query_id_col, id_col)
+    )
+    exact = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(short), id_col)
+        .join(
+            F.broadcast(queries.select(query_id_col, query_vec_col)), query_id_col
+        )
+        .select(
+            query_id_col,
+            id_col,
+            V.cosine(F.col(vec_col), F.col(query_vec_col)).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return exact.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)

@@ -1020,6 +1020,177 @@ def ann_ivf(spark, sf_dir):
     )
 
 
+@query("ann_lsh_multiprobe")  # oracle attached after _multiprobe_oracle below
+def ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH (Lv VLDB'07): each query also probes the
+    n_planes buckets one flipped bit away — one index, 1+n_planes
+    probes' recall."""
+    from .operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    planes = ann.hyperplanes(4, 64)
+    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ann.ann_lsh_multiprobe_topk(emb, queries, planes, k=3)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), F.col("rank").cast("long")
+    )
+
+
+def _multiprobe_oracle() -> str:
+    from .operators import ann
+
+    planes = ann.hyperplanes(4, 64)
+    return f"""
+    WITH {_planes_sql(planes)},
+    dots AS (
+        SELECT e.vec_id, p.pid, {_dd_dot('e.embedding', 'p.w')} AS d
+        FROM embeddings e CROSS JOIN planes p
+    ), buckets AS (
+        SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << pid) ELSE 0 END) AS bucket
+        FROM dots GROUP BY vec_id
+    ), q AS (
+        SELECT e.vec_id AS query_id, e.embedding AS query_vec, b.bucket
+        FROM embeddings e JOIN buckets b USING (vec_id) WHERE e.vec_id < 5
+    ), probes AS (
+        SELECT query_id, query_vec, bucket AS pb FROM q
+        UNION ALL
+        SELECT query_id, query_vec, xor(bucket, (1::BIGINT << t.i)) AS pb
+        FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) t
+    ), c AS (
+        SELECT e.vec_id, e.embedding, b.bucket
+        FROM embeddings e JOIN buckets b USING (vec_id)
+    ), scored AS (
+        SELECT p.query_id, c.vec_id,
+               {_dd_cosine('c.embedding', 'p.query_vec')} AS score
+        FROM c JOIN probes p ON c.bucket = p.pb
+    ), ranked AS (
+        SELECT query_id, vec_id, score,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, round(score, 6) AS score, rank
+    FROM ranked WHERE rank <= 3
+    """
+
+
+ORACLES["ann_lsh_multiprobe"] = _multiprobe_oracle()
+
+
+@query("ann_ivf_rerank")  # rows-only: iterative k-means fit
+def ann_ivf_rerank(spark, sf_dir):
+    """IVF + exact re-rank: probed cells scored on quantized vectors
+    (PQ-code stand-in) build a 10-deep shortlist; exact cosine re-ranks
+    only shortlist rows."""
+    from .operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ann.kmeans_fit(emb, k=8, n_iter=3)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ann.ann_ivf_rerank_topk(emb, queries, centroids, k=3, nprobe=2, shortlist=10)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), F.col("rank").cast("long")
+    )
+
+
+@query("ann_recall_at_k")  # oracle attached after _recall_oracle below
+def ann_recall_at_k(spark, sf_dir):
+    """Recall@10 harness: single-probe vs multi-probe LSH against the
+    exact brute-force top-10, per query — the evaluation loop that
+    justifies an ANN index's probe budget."""
+    from .operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    planes = ann.hyperplanes(4, 64)
+    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    bf = knn.topk_batch(load_table(spark, sf_dir, "embeddings"), queries, k=10)
+    single = ann.ann_lsh_topk(emb, queries, planes, k=10)
+    multi = ann.ann_lsh_multiprobe_topk(emb, queries, planes, k=10)
+    r1 = ann.recall_at_k(single, bf).select(
+        "query_id", F.col("recall").alias("recall_single")
+    )
+    r2 = ann.recall_at_k(multi, bf).select(
+        "query_id", F.col("recall").alias("recall_multi")
+    )
+    return r1.join(r2, "query_id")
+
+
+def _recall_oracle() -> str:
+    from .operators import ann
+
+    planes = ann.hyperplanes(4, 64)
+    return f"""
+    WITH {_planes_sql(planes)},
+    dots AS (
+        SELECT e.vec_id, p.pid, {_dd_dot('e.embedding', 'p.w')} AS d
+        FROM embeddings e CROSS JOIN planes p
+    ), buckets AS (
+        SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << pid) ELSE 0 END) AS bucket
+        FROM dots GROUP BY vec_id
+    ), q AS (
+        SELECT e.vec_id AS query_id, e.embedding AS query_vec, b.bucket
+        FROM embeddings e JOIN buckets b USING (vec_id) WHERE e.vec_id < 20
+    ), c AS (
+        SELECT e.vec_id, e.embedding, b.bucket
+        FROM embeddings e JOIN buckets b USING (vec_id)
+    ), bf AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_dd_cosine('e.embedding', 'q.query_vec')} DESC, e.vec_id
+                   ) AS rank
+            FROM embeddings e CROSS JOIN q
+        ) WHERE rank <= 10
+    ), single AS (
+        SELECT query_id, vec_id FROM (
+            SELECT p.query_id, c.vec_id,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY {_dd_cosine('c.embedding', 'p.query_vec')} DESC, c.vec_id
+                   ) AS rank
+            FROM c JOIN q p ON c.bucket = p.bucket
+        ) WHERE rank <= 10
+    ), probes AS (
+        SELECT query_id, query_vec, bucket AS pb FROM q
+        UNION ALL
+        SELECT query_id, query_vec, xor(bucket, (1::BIGINT << t.i)) AS pb
+        FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) t
+    ), multi AS (
+        SELECT query_id, vec_id FROM (
+            SELECT p.query_id, c.vec_id,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY {_dd_cosine('c.embedding', 'p.query_vec')} DESC, c.vec_id
+                   ) AS rank
+            FROM c JOIN probes p ON c.bucket = p.pb
+        ) WHERE rank <= 10
+    )
+    SELECT q.query_id,
+           round(coalesce(s.n, 0) / 10.0, 6) AS recall_single,
+           round(coalesce(m.n, 0) / 10.0, 6) AS recall_multi
+    FROM (SELECT DISTINCT query_id FROM q) q
+    LEFT JOIN (
+        SELECT bf.query_id, count(*) AS n FROM bf
+        JOIN single s ON s.query_id = bf.query_id AND s.vec_id = bf.vec_id
+        GROUP BY bf.query_id
+    ) s ON s.query_id = q.query_id
+    LEFT JOIN (
+        SELECT bf.query_id, count(*) AS n FROM bf
+        JOIN multi m ON m.query_id = bf.query_id AND m.vec_id = bf.vec_id
+        GROUP BY bf.query_id
+    ) m ON m.query_id = q.query_id
+    """
+
+
+ORACLES["ann_recall_at_k"] = _recall_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Analytics engine generality (bench headliners)
 # ---------------------------------------------------------------------------

@@ -105,3 +105,63 @@ def test_ivf_recall_reasonable(emb, spark):
         exact = _np_cosine_topk(mat, ids, mat[r.query_id], 1)
         hits += r.vec_id == exact[0][0]
     assert hits >= 5  # self-match via its own cell ≥ half the time
+
+def test_multiprobe_superset_of_single(emb, spark):
+    """Multi-probe candidates strictly include the single-probe bucket,
+    so per-query recall vs brute force can only go up."""
+    df, _, _ = emb
+    planes = ann.hyperplanes(4, 64)
+    queries = df.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    bf = knn.topk_batch(df, queries, k=10)
+    single = ann.ann_lsh_topk(df, queries, planes, k=10)
+    multi = ann.ann_lsh_multiprobe_topk(df, queries, planes, k=10)
+    r1 = {r.query_id: r.recall for r in ann.recall_at_k(single, bf).collect()}
+    r2 = {r.query_id: r.recall for r in ann.recall_at_k(multi, bf).collect()}
+    assert set(r1) == set(r2) and len(r1) == 10
+    assert all(r2[q] >= r1[q] for q in r1)
+    assert all(0.0 <= r1[q] <= 1.0 for q in r1)
+    # every query finds at least itself in its own bucket
+    assert all(r1[q] > 0 for q in r1)
+
+
+def test_recall_at_k_exact_self_is_one(emb, spark):
+    """recall(exact, exact) == 1 for every query."""
+    df, _, _ = emb
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    bf = knn.topk_batch(df, queries, k=7)
+    out = ann.recall_at_k(bf, bf).collect()
+    assert len(out) == 5
+    assert all(r.recall == 1.0 and r.n_exact == 7 and r.n_hit == 7 for r in out)
+
+
+def test_ivf_rerank_scores_are_exact(emb, spark):
+    """Re-ranked scores must equal the exact cosine for the returned
+    ids (the quantized first pass only picks the shortlist)."""
+    df, mat, ids = emb
+    centroids = ann.kmeans_fit(df, k=4, n_iter=2)
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = ann.ann_ivf_rerank_topk(
+        df, queries, centroids, k=3, nprobe=2, shortlist=10
+    ).collect()
+    assert {r.query_id for r in got} == set(range(5))
+    id_to_row = {int(i): mat[j] for j, i in enumerate(ids)}
+    for r in got:
+        q, v = id_to_row[r.query_id], id_to_row[r.vec_id]
+        exact = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        assert abs(r.score - exact) < 1e-6
+    # with nprobe = all cells and a deep shortlist, rerank == exact knn
+    got_all = ann.ann_ivf_rerank_topk(
+        df, queries, centroids, k=3, nprobe=4, shortlist=50
+    ).collect()
+    by_q = {}
+    for r in sorted(got_all, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    for qid in range(5):
+        exp = _np_cosine_topk(mat, ids, mat[qid], 3)
+        assert by_q[qid] == [e[0] for e in exp]
