@@ -27,6 +27,7 @@ HEADLINE = [
     "rag_retrieve",
     "rag_eval_retrieval",
     "ann_lsh_cosine",
+    "ann_lsh_multiprobe",
     # store surface
     "collection_stats",
     "insert_upsert",
@@ -45,6 +46,10 @@ HEADLINE = [
     # analytics
     "agg_pricing_summary",
     "join_revenue_topn",
+    "local_supplier_volume",
+    "rollup_pricing",
+    "order_priority_pivot",
+    "dormant_customers",
     "window_events",
     "sessionize_events",
     "events_json_extract",

@@ -70,6 +70,113 @@ def revenue_topn(spark: SparkSession, sf_dir: str, n: int = 10) -> DataFrame:
     )
 
 
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue from orders where the supplier and the
+    customer share a nation, per nation of one region, one order year.
+
+    Physical posture: the two fact tables (lineitem, orders) shuffle
+    once on the order key; customer joins the fact side on custkey;
+    supplier/nation/region are broadcast. The region + year filters cut
+    the fact scan first (pushdown), and the c_nationkey = s_nationkey
+    predicate rides the supplier broadcast join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 3, 2))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: (returnflag, linestatus) → per-flag subtotals
+    → grand total in one pass (Spark expands grouping sets inside a
+    single shuffle; every agg stays map-side combinable). NULL group
+    keys from the rollup are labelled 'ALL' for a sentinel-free compare.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+            "sum_price",
+        )
+    )
+
+
+def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (pivot shape): per order priority, order
+    counts and totals split by order status — one scan, one shuffle,
+    every branch a map-side-combinable sum(CASE WHEN ...)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def _status(s: str):
+        return F.when(F.col("o_orderstatus") == s, 1).otherwise(0)
+
+    def _price(s: str):
+        return F.when(
+            F.col("o_orderstatus") == s, _dec("o_totalprice")
+        ).otherwise(F.lit(0).cast("decimal(18,2)"))
+
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_status("F")).cast("long").alias("n_f"),
+            F.sum(_status("O")).cast("long").alias("n_o"),
+            F.sum(_status("P")).cast("long").alias("n_p"),
+            F.sum(_price("F")).cast("double").alias("total_f"),
+            F.sum(_price("O")).cast("double").alias("total_o"),
+        )
+    )
+
+
+def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 flavor: positive-balance customers with NO order since
+    a cutoff, aggregated by market segment. The no-recent-order
+    predicate is a LEFT ANTI join — only customer keys cross the
+    shuffle, never a wide row, and the filtered orders side is
+    pre-projected to its join key."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
 def window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event aggregation (batch shape of the streaming
     windowed agg)."""

@@ -1245,6 +1245,92 @@ def join_revenue_topn(spark, sf_dir):
 
 
 @query(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: same-nation supplier/customer revenue per nation
+    of one region and order year."""
+    from .plans import analytics
+
+    return analytics.local_supplier_volume(spark, sf_dir)
+
+
+@query(
+    "rollup_pricing",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n_rows,
+           sum(l_quantity) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_pricing(spark, sf_dir):
+    """ROLLUP: leaf groups + per-flag subtotals + grand total, one pass."""
+    from .plans import analytics
+
+    return analytics.rollup_pricing(spark, sf_dir)
+
+
+@query(
+    "order_priority_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total_o
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_pivot(spark, sf_dir):
+    """Conditional aggregation (pivot shape) over order status."""
+    from .plans import analytics
+
+    return analytics.order_priority_pivot(spark, sf_dir)
+
+
+@query(
+    "dormant_customers",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_custs,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer c
+    LEFT JOIN (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    ) o ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 0 AND o.o_custkey IS NULL
+    GROUP BY c.c_mktsegment
+    """,
+)
+def dormant_customers(spark, sf_dir):
+    """TPC-H Q22 flavor: anti-join (no recent order) + segment rollup."""
+    from .plans import analytics
+
+    return analytics.dormant_customers(spark, sf_dir)
+
+
+@query(
     "window_events",
     oracle="""
     SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
