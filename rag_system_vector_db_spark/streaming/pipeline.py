@@ -138,6 +138,52 @@ def streaming_dedup(docs_stream: DataFrame, text_col: str = "text") -> DataFrame
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame, id_col: str = "event_id", watermark: str = "2 hours"
+) -> DataFrame:
+    """Engine-managed streaming dedup (idempotent ingest): duplicate
+    keys arriving within the watermark horizon are dropped, and the
+    key-state is evicted once event time passes the watermark — bounded
+    state without custom code. Complements streaming_dedup
+    (applyInPandasWithState), which keeps richer per-key state but
+    never expires it."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    join_key: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Time-bounded stream-stream inner join: right-stream rows match
+    left-stream rows of the same key with r_ts in [l_ts, l_ts+within]
+    (the click-attribution shape). Both sides carry watermarks and the
+    join condition bounds event-time distance, so the engine can evict
+    join state — without both, state grows with the stream."""
+    l = left.withWatermark("ts", watermark).select(
+        F.col(join_key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("value").alias("l_value"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col(join_key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("value").alias("r_value"),
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> None:
     """Drive a streaming DF to completion against a memory sink
     (local smoke path)."""

@@ -98,3 +98,82 @@ def test_streaming_session_windows(spark, sf_dir, stream_dirs):
     assert got.count() > 0
     total = got.groupBy().sum("n_events").first()[0]
     assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a re-delivered event_id within
+    the watermark horizon is dropped across micro-batches."""
+    import pandas as pd
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    base_ns = 1_700_000_000 * 1_000_000_000
+
+    def write_batch(name, ids, offsets_s):
+        pdf = pd.DataFrame(
+            {
+                "event_id": pd.array(ids, dtype="int64"),
+                "ts": pd.array(
+                    [base_ns + o * 1_000_000_000 for o in offsets_s], dtype="int64"
+                ),
+                "user_id": pd.array([1] * len(ids), dtype="int64"),
+                "event_type": ["click"] * len(ids),
+                "value": [1.0] * len(ids),
+                "props": ["{}"] * len(ids),
+            }
+        )
+        pdf.to_parquet(src / name)
+
+    write_batch("b1.parquet", [1, 2], [0, 10])
+    out = P.dedup_within_watermark(P.stream_events(spark, str(src)))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # id 1 re-delivered (dup), id 3 new
+        write_batch("b2.parquet", [1, 3], [5, 20])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [r.event_id for r in spark.sql("SELECT * FROM wm_dedup_out").collect()]
+    assert sorted(got) == [1, 2, 3]
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, stream_dirs):
+    """Time-bounded stream-stream inner join must produce exactly the
+    batch join's matches once all input is processed."""
+    from pyspark.sql import functions as F
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = sorted(r[0] for r in batch.select("event_type").distinct().collect())
+    t_l, t_r = types[0], types[1]
+
+    ev_l = P.stream_events(spark, stream_dirs["events"]).filter(
+        F.col("event_type") == t_l
+    )
+    ev_r = P.stream_events(spark, stream_dirs["events"]).filter(
+        F.col("event_type") == t_r
+    )
+    joined = P.stream_stream_join(ev_l, ev_r, within="1 hour")
+    P.run_to_memory(joined, "ssj_out")
+    got = spark.sql("SELECT * FROM ssj_out")
+
+    b = batch.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    bl = b.filter(F.col("event_type") == t_l).select(
+        F.col("user_id").alias("l_key"), F.col("ts").alias("l_ts")
+    )
+    br = b.filter(F.col("event_type") == t_r).select(
+        F.col("user_id").alias("r_key"), F.col("ts").alias("r_ts")
+    )
+    expected = bl.join(
+        br,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 hour")),
+    ).count()
+    assert expected > 0
+    assert got.count() == expected
