@@ -1,0 +1,76 @@
+"""Sketch/sampling operators on the portable md5 hash family —
+deterministic, so the DuckDB oracle reproduces them bit-for-bit
+(unlike approx_count_distinct / TABLESAMPLE, whose internals are
+engine-specific).
+
+- KMV (k minimum values) distinct-count estimate: keep the k smallest
+  normalized hashes of the key; ndv ≈ (k-1)/u_k where u_k is the k-th
+  smallest hash mapped into [0,1). Beyer SIGMOD'07.
+- Hash sampling: keep rows whose key hash falls below the rate — a
+  reproducible sample that is stable across engines, retries and
+  cluster sizes, unlike rand()-based sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+
+HASH_SPACE = float(1 << 60)  # md5_long is uniform on [0, 2^60)
+
+
+def kmv_distinct(
+    df: DataFrame, key_col: str, k: int = 32
+) -> DataFrame:
+    """KMV ndv estimate vs the exact count, one output row:
+    (k, ndv_exact, ndv_est, rel_err).
+
+    Scale path: per-partition partial top-k first (each input partition
+    collapses its distinct hashes to ≤k BEFORE the exchange — the
+    groupBy(spark_partition_id) agg is partition-local), then a global
+    merge of ≤ n_partitions×k candidates. The exact count is computed
+    alongside for the harness; a production pipeline drops it — that
+    distinct IS what the sketch avoids.
+    """
+    hashes = df.select(H.md5_long(F.col(key_col).cast("string")).alias("h"))
+    partial = (
+        hashes.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs"))
+        .select(F.explode("hs").alias("h"))
+    )
+    kth = (
+        partial.distinct()
+        .orderBy("h")
+        .limit(k)
+        .agg(F.max("h").alias("h_k"), F.count("*").alias("n_kept"))
+    )
+    exact = df.select(F.countDistinct(key_col).alias("ndv_exact"))
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise((k - 1) / (F.col("h_k") / F.lit(HASH_SPACE)))
+    return (
+        kth.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            F.col("ndv_exact").cast("long"),
+            F.round(est, 6).alias("ndv_est"),
+            F.round(
+                F.abs(est - F.col("ndv_exact")) / F.col("ndv_exact"), 6
+            ).alias("rel_err"),
+        )
+    )
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float
+) -> DataFrame:
+    """Deterministic hash sample: row kept iff
+    md5(key)/2^60 < rate. Reproducible across engines/retries/cluster
+    sizes and consistent per key (the same key always samples the same
+    way — joins between same-rate samples of two tables stay aligned).
+    """
+    u = H.md5_long(F.col(key_col).cast("string")) / F.lit(HASH_SPACE)
+    return df.filter(u < rate)

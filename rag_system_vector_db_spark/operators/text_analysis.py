@@ -158,6 +158,10 @@ def tfidf_top_terms(
         F.col(id_col), F.explode(X.tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
+    # df derives from tf, and joining it back WITHOUT a broadcast hint
+    # lets Spark reuse tf's shuffle exchange for both branches
+    # (ReusedExchange) — a broadcast would force the tf subtree to run
+    # twice, which benches slower despite the cheaper join.
     df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     n_docs = docs.select(F.count("*").alias("_n"))
     scored = (
@@ -165,11 +169,82 @@ def tfidf_top_terms(
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf", F.col("tf") * F.log((F.col("_n") + 1) / (F.col("df") + 1)))
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    # Top-k per doc as ONE groupBy agg (sort_array + slice on bounded
+    # per-doc term lists) instead of a window — drops the window's
+    # extra sort stage; ties break on term asc via the struct order.
+    pair = F.struct((-F.col("tfidf")).alias("neg"), F.col("term"), F.col("tf"), F.col("df"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "term", "tf", "df", F.round("tfidf", 6).alias("tfidf"), "rank")
+        scored.groupBy(id_col)
+        .agg(F.slice(F.sort_array(F.collect_list(pair)), 1, k).alias("top"))
+        .select(F.col(id_col), F.posexplode("top").alias("pos", "p"))
+        .select(
+            id_col,
+            F.col("p.term").alias("term"),
+            F.col("p.tf").alias("tf"),
+            F.col("p.df").alias("df"),
+            F.round(-F.col("p.neg"), 6).alias("tfidf"),
+            (F.col("pos") + 1).cast("long").alias("rank"),
+        )
+    )
+
+
+# Default redaction patterns: real PII shapes (email/phone may hit
+# nothing on clean corpora — that's the point of a scrubber) plus a
+# blocklist slot for eval-set decontamination terms.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b",
+}
+
+
+def redact_terms(
+    docs: DataFrame,
+    patterns: dict[str, str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PII / contaminant scrubbing: apply each named regex in order,
+    replacing matches with ``[NAME]`` and counting hits per pattern —
+    the decontamination pass a training pipeline runs before tokenizing.
+
+    Pure codegen string ops (regexp_count/regexp_replace), portable to
+    the DuckDB oracle. Returns (id, n_<name>..., n_chars_redacted,
+    redacted_hash)."""
+    if patterns is None:
+        patterns = PII_PATTERNS
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(p)).cast("long").alias(f"n_{name}")
+        for name, p in patterns.items()
+    ]
+    red = t
+    for name, p in patterns.items():
+        red = F.regexp_replace(red, p, f"[{name.upper()}]")
+    return docs.select(
+        F.col(id_col),
+        *counts,
+        F.length(red).cast("long").alias("n_chars_redacted"),
+        F.md5(red).alias("redacted_hash"),
+    )
+
+
+def normalize_text(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Canonicalization before hashing/dedup: lowercase, strip
+    non-alphanumerics (keeping spaces), collapse whitespace runs, trim.
+    Emits the normalized length and md5 so exact-dedup keys off the
+    canonical form, not raw bytes."""
+    t = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(t), r"[^a-z0-9 ]", ""), r" +", " "
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        F.md5(norm).alias("norm_hash"),
     )
 
 

@@ -224,6 +224,26 @@ def topk_per_group(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     )
 
 
+def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (percentile is a single
+    shuffled agg; for 100 TB interactive use swap in approx_percentile
+    — t-digest, mergeable, bounded memory — this exact form is the
+    oracle-checkable anchor)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75, 0.95]))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(q.alias("qs"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("qs")[0], 6).alias("p25"),
+            F.round(F.col("qs")[1], 6).alias("p50"),
+            F.round(F.col("qs")[2], 6).alias("p75"),
+            F.round(F.col("qs")[3], 6).alias("p95"),
+        )
+    )
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: lag + cumulative-sum session ids per user, then
     per-session stats. Single shuffle on user_id."""

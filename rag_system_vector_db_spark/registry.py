@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions import hashing as H
 from .functions import vector as V
 from .operators import chunking, knn, text_analysis
 from .operators.text_analysis import STOPWORDS
@@ -1307,6 +1308,116 @@ def order_priority_pivot(spark, sf_dir):
     from .plans import analytics
 
     return analytics.order_priority_pivot(spark, sf_dir)
+
+
+@query(
+    "redact_pii",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text, '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')) AS n_phone,
+           len(regexp_extract_all(text, '\b(customer|query)\b')) AS n_leak,
+           length(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '[PHONE]', 'g'),
+               '\b(customer|query)\b', '[LEAK]', 'g')) AS n_chars_redacted,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '[PHONE]', 'g'),
+               '\b(customer|query)\b', '[LEAK]', 'g')) AS redacted_hash
+    FROM documents
+    """,
+)
+def redact_pii(spark, sf_dir):
+    """PII + contaminant scrubbing: email/phone regexes (PII shapes)
+    plus a blocklist (eval-set decontamination), counts + redacted
+    hash."""
+    pats = dict(text_analysis.PII_PATTERNS)
+    pats["leak"] = r"\b(customer|query)\b"
+    return text_analysis.redact_terms(
+        load_table(spark, sf_dir, "documents"), patterns=pats
+    )
+
+
+@query(
+    "normalize_text",
+    oracle="""
+    SELECT doc_id,
+           length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS n_chars_norm,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+    FROM documents
+    """,
+)
+def normalize_text(spark, sf_dir):
+    """Canonicalization before hashing/dedup (lower, strip, collapse)."""
+    return text_analysis.normalize_text(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT {H.dd_md5_long('user_id::VARCHAR')} AS h FROM events
+    ), kth AS (
+        SELECT max(h) AS h_k, count(*) AS n_kept
+        FROM (SELECT h FROM h ORDER BY h LIMIT 32)
+    ), exact AS (
+        SELECT count(DISTINCT user_id) AS ndv_exact FROM events
+    )
+    SELECT CAST(32 AS BIGINT) AS k,
+           ndv_exact,
+           round(CASE WHEN n_kept < 32 THEN CAST(n_kept AS DOUBLE)
+                      ELSE 31 / (h_k / 1152921504606846976.0) END, 6) AS ndv_est,
+           round(abs(CASE WHEN n_kept < 32 THEN CAST(n_kept AS DOUBLE)
+                          ELSE 31 / (h_k / 1152921504606846976.0) END - ndv_exact) / ndv_exact, 6) AS rel_err
+    FROM kth, exact
+    """,
+)
+def kmv_distinct_q(spark, sf_dir):
+    """KMV distinct-count sketch (Beyer SIGMOD'07) on events.user_id vs
+    the exact count."""
+    from .operators import sketch
+
+    return sketch.kmv_distinct(load_table(spark, sf_dir, "events"), "user_id", k=32)
+
+
+@query(
+    "hash_sample",
+    oracle=f"""
+    SELECT source, count(*) AS n_sampled, sum(n_chars) AS sum_chars
+    FROM documents
+    WHERE {H.dd_md5_long('doc_id::VARCHAR')} / 1152921504606846976.0 < 0.1
+    GROUP BY source
+    """,
+)
+def hash_sample_q(spark, sf_dir):
+    """Deterministic hash sampling at 10% keyed on doc_id — stable
+    across engines/retries, per-source rollup of the sample."""
+    from .operators import sketch
+
+    s = sketch.hash_sample(load_table(spark, sf_dir, "documents"), "doc_id", 0.1)
+    return s.groupBy("source").agg(
+        F.count("*").alias("n_sampled"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+@query(
+    "quantile_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+           round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def quantile_stats(spark, sf_dir):
+    """Exact interpolated quantiles per return flag."""
+    from .plans import analytics
+
+    return analytics.quantile_stats(spark, sf_dir)
 
 
 @query(
