@@ -407,16 +407,21 @@ def split_large_chunks(spark, sf_dir):
            CAST(regexp_extract(line, '^(\\d{1,2})', 1) AS BIGINT) AS day_num,
            regexp_extract(line, '^\\d{1,2}(st|nd|rd|th)? Day of ([A-Za-z]+)', 2) AS month,
            CAST(regexp_extract(line, ' (18\\d{2}) - ', 1) AS BIGINT) AS year,
-           regexp_extract(line, ' - (.+)$', 1) AS title
+           regexp_extract(line, ' - (.+)$', 1) AS title,
+           CAST(len(regexp_extract_all(line, '\\b[A-Z]\\w*\\b')) AS BIGINT) AS n_caps,
+           array_to_string(list_sort(regexp_extract_all(line, '\\b[A-Z]\\w*\\b')), ',') AS caps_csv
     FROM lines
     WHERE regexp_matches(line, '^\\d{1,2}(st|nd|rd|th)? Day of [A-Za-z]+ 18\\d{2} - .+$')
     """,
 )
 def extract_dates(spark, sf_dir):
     """Date-regex day extraction + title metadata
-    (chunking_strategy.py:46 extract_date_parts)."""
+    (chunking_strategy.py:46 extract_date_parts), plus the capitalized-
+    word metadata of archive/chunking_strategy_v3.py:62
+    (palavras_maiusculas) as a sorted CSV."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     lines = chunking.diary_lines(docs)
+    caps = F.regexp_extract_all("line", F.lit(r"\b[A-Z]\w*\b"), 0)
     return lines.filter(F.col("line").rlike(chunking.DATE_PATTERN)).select(
         "doc_id",
         "line_no",
@@ -424,6 +429,8 @@ def extract_dates(spark, sf_dir):
         F.regexp_extract("line", r"^\d{1,2}(st|nd|rd|th)? Day of ([A-Za-z]+)", 2).alias("month"),
         F.regexp_extract("line", r" (18\d{2}) - ", 1).cast("long").alias("year"),
         F.regexp_extract("line", chunking.TITLE_PATTERN, 1).alias("title"),
+        F.size(caps).cast("long").alias("n_caps"),
+        F.concat_ws(",", F.array_sort(caps)).alias("caps_csv"),
     )
 
 

@@ -23,3 +23,52 @@ def test_llm_stub_no_context():
     assert LLMStub.eval_grade(None) == 0.0
     assert LLMStub.eval_grade(1) == 1.0
     assert LLMStub.eval_grade(4) == 0.25
+
+
+def test_load_qa_pairs_line_pairing(spark, tmp_path):
+    """eval.py:30 parse_qa_files semantics: strip, pair by line index,
+    truncate to the shorter file."""
+    from rag_system_vector_db_spark.sources.qa_files import load_qa_pairs
+
+    q = tmp_path / "questions.txt"
+    a = tmp_path / "answers.txt"
+    q.write_text("What is day one?\n  Second question?  \nThird?\nExtra question\n")
+    a.write_text("Day one answer\nSecond answer\nThird answer\n")
+    df = load_qa_pairs(spark, str(q), str(a))
+    rows = sorted(df.collect(), key=lambda r: r.qa_id)
+    assert [r.qa_id for r in rows] == [0, 1, 2]  # extra question dropped
+    assert rows[1].question == "Second question?"  # stripped
+    assert rows[2].expected_answer == "Third answer"
+
+
+def test_qa_pairs_feed_eval_retrieval(spark, sf_dir, tmp_path):
+    """QA file -> embed questions -> eval harness end-to-end (the
+    eval.py flow with files as the entry point)."""
+    from pyspark.sql import functions as F
+
+    from rag_system_vector_db_spark.operators import rag
+    from rag_system_vector_db_spark.operators.embedding import embed_udf
+    from rag_system_vector_db_spark.sources.qa_files import load_qa_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    texts = [r.text for r in docs.select("text").collect()]
+    q = tmp_path / "q.txt"
+    a = tmp_path / "a.txt"
+    # questions ARE corpus texts, so rank-1 self-retrieval is expected
+    q.write_text("\n".join(texts[:3]) + "\n")
+    a.write_text("\n".join(f"answer {i}" for i in range(3)) + "\n")
+
+    from rag_system_vector_db_spark.operators.embedding import embed_documents
+
+    corpus = embed_documents(docs).select(
+        F.col("doc_id").alias("vec_id"), F.col("embedding")
+    )
+    qa = load_qa_pairs(spark, str(q), str(a))
+    queries = qa.select(
+        F.col("qa_id").alias("query_id"),
+        embed_udf(F.col("question")).alias("query_vec"),
+        F.col("qa_id").alias("expected_id"),  # doc i embeds question i
+    )
+    out = rag.eval_retrieval(corpus, queries, k=5).collect()
+    assert len(out) == 3
+    assert all(r.hit_rank == 1 and r.grade == 1.0 for r in out)
