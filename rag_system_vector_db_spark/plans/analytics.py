@@ -45,7 +45,10 @@ def revenue_topn(spark: SparkSession, sf_dir: str, n: int = 10) -> DataFrame:
     """Join-heavy: lineitem ⋈ orders ⋈ customer ⋈ nation, revenue per
     customer, top-N. Dimensions broadcast; the fact tables join on
     their natural keys and AQE picks the physical strategy."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # split=True: the local file scans as 3 partitions, serializing the
+    # join probe on 3 of 32 cores; the gate makes it a no-op once the
+    # input has >= defaultParallelism natural splits (any real fact table).
+    li = load_table(spark, sf_dir, "lineitem", split=True)
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")

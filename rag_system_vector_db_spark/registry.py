@@ -890,11 +890,17 @@ def rag_eval_retrieval(spark, sf_dir):
     from .operators import rag
 
     emb = load_table(spark, sf_dir, "embeddings")
-    total = emb.count()
-    queries = emb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"),
-        ((F.col("vec_id") * 7 + 3) % total).alias("expected_id"),
+    # Corpus size enters the plan as a broadcast scalar instead of a
+    # separate .count() action — one job, no extra scan.
+    total_df = emb.select(F.count("*").alias("_t"))
+    queries = (
+        emb.filter(F.col("vec_id") < 20)
+        .crossJoin(F.broadcast(total_df))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            ((F.col("vec_id") * 7 + 3) % F.col("_t")).alias("expected_id"),
+        )
     )
     return rag.eval_retrieval(emb, queries, k=10)
 
