@@ -330,6 +330,70 @@ def dedup_simhash(
     )
 
 
+def dedup_cluster(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → canonical keeper per
+    doc (the step after any pair-generating dedup: clusters of
+    transitively-linked documents collapse to their min id).
+
+    Min-label propagation as iterative DataFrame joins: each round a
+    node adopts the smallest label among itself and its neighbors;
+    converges in O(component diameter) rounds (dup clusters are
+    shallow). localCheckpoint() truncates the growing lineage each
+    round — without it the plan tree doubles per iteration. The loop
+    moves only (node, label) longs; an early-exit count per round stops
+    at the fixpoint.
+    Returns (node, cluster_id, is_keeper).
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+            .withColumnRenamed("dst", "node")
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
+    )
+
+
 def dedup_embedding_lsh(
     vectors: DataFrame,
     planes: list[list[float]],

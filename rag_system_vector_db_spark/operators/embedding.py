@@ -72,3 +72,24 @@ def embed_documents(
 ) -> DataFrame:
     """Batch index build: attach a normalized embedding column."""
     return docs.withColumn(out_col, embed_udf(F.col(text_col)))
+
+
+def label_centroids(
+    vectors: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label centroid, one (label, pos, mean_val) row per dimension
+    — the class-prototype / cluster-summary aggregation (and the bulk
+    step of a k-means round).
+
+    posexplode + groupBy(label, pos) keeps the whole thing a single
+    map-side-combinable shuffle of primitive doubles; no vector UDAF,
+    no driver collection. Rebuild arrays downstream with
+    sort_array(collect_list(struct(pos, mean_val))) if needed.
+    """
+    ex = vectors.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    )
+    return ex.groupBy(label_col, "pos").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("v"), 6).alias("mean_val"),
+    )

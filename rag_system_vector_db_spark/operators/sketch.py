@@ -64,6 +64,20 @@ def kmv_distinct(
     )
 
 
+def stratified_sample(
+    df: DataFrame, strata_col: str, key_col: str, rates: dict[str, float]
+) -> DataFrame:
+    """Deterministic per-stratum sampling (sampleBy without the RNG):
+    each stratum gets its own keep-rate, rows hash-threshold on the key
+    so re-runs and engines agree. Strata absent from ``rates`` are
+    dropped (rate 0)."""
+    u = H.md5_long(F.col(key_col).cast("string")) / F.lit(HASH_SPACE)
+    rate = F.lit(0.0)
+    for stratum, r in rates.items():
+        rate = F.when(F.col(strata_col) == stratum, F.lit(float(r))).otherwise(rate)
+    return df.filter(u < rate)
+
+
 def hash_sample(
     df: DataFrame, key_col: str, rate: float
 ) -> DataFrame:

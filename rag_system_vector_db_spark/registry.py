@@ -1324,6 +1324,89 @@ def order_priority_pivot(spark, sf_dir):
 
 
 @query(
+    "dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
+        WHERE {_dd_cosine('a.embedding', 'b.embedding')} >= 0.3
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ), cc(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
+    )
+    SELECT node, min(label) AS cluster_id,
+           (node = min(label)) AS is_keeper
+    FROM cc GROUP BY node
+    """,
+)
+def dedup_cluster_q(spark, sf_dir):
+    """Connected components over near-dup pairs → canonical keeper
+    (min-label propagation; the oracle is a DuckDB recursive CTE over
+    the same pair set, so even the iterative step is hash-checked)."""
+    from .operators import dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    pairs = dedup.dedup_embedding_cosine(emb, threshold=0.3)
+    return dedup.dedup_cluster(pairs, "id_a", "id_b")
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+    SELECT lang, count(*) AS n_sampled, sum(n_chars) AS sum_chars
+    FROM documents
+    WHERE {H.dd_md5_long('doc_id::VARCHAR')} / 1152921504606846976.0 <
+          CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 0.1 WHEN 'fr' THEN 0.05 ELSE 0.0 END
+    GROUP BY lang
+    """,
+)
+def stratified_sample_q(spark, sf_dir):
+    """Per-language deterministic sampling rates (rebalancing a
+    multilingual corpus); strata without a rate drop out."""
+    from .operators import sketch
+
+    s = sketch.stratified_sample(
+        load_table(spark, sf_dir, "documents"),
+        "lang",
+        "doc_id",
+        {"en": 0.3, "de": 0.1, "fr": 0.05},
+    )
+    return s.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+@query(
+    "label_centroids",
+    oracle="""
+    SELECT label, pos, count(*) AS n, round(avg(v), 6) AS mean_val
+    FROM (
+        SELECT label, unnest(embedding) AS v,
+               unnest(range(len(embedding))) AS pos
+        FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def label_centroids_q(spark, sf_dir):
+    """Per-label centroid rows (class prototypes): posexplode +
+    groupBy(label, dim) — one map-side-combinable shuffle of primitive
+    doubles."""
+    from .operators import embedding
+
+    out = embedding.label_centroids(
+        load_table(spark, sf_dir, "embeddings", split=True)
+    )
+    return out.select("label", F.col("pos").cast("long"), "n", "mean_val")
+
+
+@query(
     "redact_pii",
     oracle=r"""
     SELECT doc_id,

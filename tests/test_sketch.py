@@ -43,3 +43,57 @@ def test_hash_sample_rate_and_determinism(spark, sf_dir):
     # nested property: a 10% sample is a subset of the 20% sample
     c = {r.doc_id for r in sketch.hash_sample(docs, "doc_id", 0.1).collect()}
     assert c <= a
+
+
+def test_stratified_sample_rates_and_strata(spark, sf_dir):
+    from rag_system_vector_db_spark.operators.sketch import (
+        hash_sample,
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = stratified_sample(docs, "lang", "doc_id", {"en": 1.0, "de": 0.0})
+    langs = {r.lang for r in s.select("lang").distinct().collect()}
+    assert langs == {"en"}  # de sampled at 0, others dropped entirely
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert s.count() == n_en  # rate 1.0 keeps every row
+    # stratum at rate r matches the plain hash_sample at r on that stratum
+    s2 = stratified_sample(docs, "lang", "doc_id", {"fr": 0.2})
+    plain = hash_sample(docs.filter(F.col("lang") == "fr"), "doc_id", 0.2)
+    assert {r.doc_id for r in s2.collect()} == {r.doc_id for r in plain.collect()}
+
+
+def test_dedup_cluster_transitivity(spark):
+    """Chains must collapse to one cluster keyed by the min id, and
+    separate components must stay separate."""
+    from rag_system_vector_db_spark.operators.dedup import dedup_cluster
+
+    # chain 1-2-3-4 (transitive, never directly paired 1-4), pair 9-7,
+    # and a long path 10..15 to exercise multiple propagation rounds
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (9, 7), (10, 11), (11, 12), (12, 13), (13, 14), (14, 15)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.node: (r.cluster_id, r.is_keeper) for r in dedup_cluster(pairs).collect()}
+    assert {n for n, (c, _) in got.items() if c == 1} == {1, 2, 3, 4}
+    assert {n for n, (c, _) in got.items() if c == 7} == {7, 9}
+    assert {n for n, (c, _) in got.items() if c == 10} == set(range(10, 16))
+    keepers = {n for n, (_, k) in got.items() if k}
+    assert keepers == {1, 7, 10}
+
+
+def test_label_centroids_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from rag_system_vector_db_spark.operators.embedding import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(np.array(r.embedding, dtype=np.float64))
+    got = label_centroids(emb).collect()
+    for r in got:
+        mat = np.stack(by_label[r.label])
+        assert r.n == len(mat)
+        assert abs(r.mean_val - round(float(mat[:, r.pos].mean()), 6)) < 2e-6
