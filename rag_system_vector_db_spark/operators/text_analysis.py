@@ -158,10 +158,10 @@ def tfidf_top_terms(
         F.col(id_col), F.explode(X.tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
-    # df derives from tf, and joining it back WITHOUT a broadcast hint
-    # lets Spark reuse tf's shuffle exchange for both branches
-    # (ReusedExchange) — a broadcast would force the tf subtree to run
-    # twice, which benches slower despite the cheaper join.
+    # df derives from tf; the join back is left UNHINTED so AQE picks
+    # the strategy from runtime stats (it broadcasts the vocabulary-
+    # sized df side when it fits, shuffle-joins otherwise) — a static
+    # broadcast hint benched slower by forcing early materialization.
     df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     n_docs = docs.select(F.count("*").alias("_n"))
     scored = (
@@ -245,6 +245,41 @@ def normalize_text(
         F.col(id_col),
         F.length(norm).cast("long").alias("n_chars_norm"),
         F.md5(norm).alias("norm_hash"),
+    )
+
+
+def ngram_counts(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level top-k word n-grams (collocation mining / corpus
+    profiling). One explode + one map-side-combinable count shuffle +
+    TakeOrdered(k) — no global sort. Ties break on the gram string.
+    Returns (gram, n_docs, n_occurrences) for the k most frequent."""
+    grams = docs.select(
+        F.col(text_col),
+        F.explode(X.word_shingles(F.col(text_col), n)).alias("gram"),
+    ).filter(F.col("gram") != "")
+    counts = grams.groupBy("gram").agg(
+        F.count("*").cast("long").alias("n_occurrences")
+    )
+    per_doc = (
+        docs.select(
+            F.explode(F.array_distinct(X.word_shingles(F.col(text_col), n))).alias(
+                "gram"
+            )
+        )
+        .filter(F.col("gram") != "")
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    return (
+        counts.join(per_doc, "gram")
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
+        .limit(k)
+        .select("gram", "n_docs", "n_occurrences")
     )
 
 

@@ -1324,6 +1324,31 @@ def order_priority_pivot(spark, sf_dir):
 
 
 @query(
+    "ngram_counts",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+                 ELSE [array_to_string(t[i + 1 : i + 2], ' ') FOR i IN range(len(t) - 1)]
+            END) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ), gf AS (SELECT * FROM g WHERE gram <> '')
+    SELECT gram,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences
+    FROM gf
+    GROUP BY gram
+    ORDER BY n_occurrences DESC, gram
+    LIMIT 20
+    """,
+)
+def ngram_counts_q(spark, sf_dir):
+    """Corpus top-20 word bigrams (collocation mining): count shuffle +
+    TakeOrdered, no global sort."""
+    return text_analysis.ngram_counts(load_table(spark, sf_dir, "documents"), n=2, k=20)
+
+
+@query(
     "dedup_cluster",
     oracle=f"""
     WITH RECURSIVE pairs AS (

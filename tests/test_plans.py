@@ -67,3 +67,36 @@ def test_dedup_paths_are_jvm_only(spark, sf_dir):
 def test_chunking_is_jvm_only(spark, sf_dir):
     plan = _plan(QUERIES["chunk_documents"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q5_pushdown_and_broadcasts(spark, sf_dir):
+    plan = _plan(QUERIES["local_supplier_volume"](spark, sf_dir))
+    # region + order-year filters reach the scans
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    # every dimension joins as a broadcast build side
+    assert plan.count("BroadcastHashJoin") >= 4
+    # exactly one wide exchange (the final groupBy) besides broadcasts
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_tfidf_aggs_are_partial(spark, sf_dir):
+    """Both tf and df aggregations must map-side combine (partial +
+    final HashAggregate pairs), and the final top-k runs as one agg,
+    not a window sort."""
+    df = QUERIES["tfidf_top_terms"](spark, sf_dir)
+    df.count()  # finalize AQE so the executed plan is the real one
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 4
+    assert "Window" not in plan
+
+
+def test_ngram_counts_uses_takeordered(spark, sf_dir):
+    plan = _plan(QUERIES["ngram_counts"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_multiprobe_broadcasts_query_side(spark, sf_dir):
+    plan = _plan(QUERIES["ann_lsh_multiprobe"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan  # corpus never shuffles for the probe join
