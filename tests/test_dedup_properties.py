@@ -1,0 +1,114 @@
+"""Property-based checks of the dedup math on random corpora —
+the invariants the scale optimizations rely on:
+
+- Prefix filtering (dedup_ngram_jaccard) must equal the unfiltered
+  brute-force Jaccard join on ANY input (candidate recall is exact).
+- SimHash byte-banding must find EVERY pair with hamming <= 3
+  (pigeonhole over 4x8-bit bands).
+- MinHash-LSH candidates must include every identical-text pair
+  (identical signatures share all bands).
+
+Hypothesis drives small random word-soup corpora through the same
+operators the registry uses; Spark runs once per generated corpus.
+Python reference implementations (itertools brute force) are the
+ground truth — independent of both Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from rag_system_vector_db_spark.operators import dedup
+
+WORDS = ["spark", "join", "scan", "hash", "row", "agg", "key", "table"]
+
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=3, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _shingles(text: str, n: int = 3) -> set[str]:
+    toks = text.split(" ")
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=corpus_strategy)
+def test_prefix_filtered_jaccard_equals_bruteforce(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.dedup_ngram_jaccard(docs, n=3, threshold=0.5).collect()
+    }
+    expected = {}
+    sh = [_shingles(t) for t in texts]
+    for a, b in combinations(range(len(texts)), 2):
+        if not sh[a] or not sh[b]:
+            continue
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a] | sh[b])
+        j = inter / union
+        if j >= 0.5:
+            expected[(a, b)] = round(j, 6)
+    assert set(got) == set(expected)
+    for k in got:
+        assert abs(got[k] - expected[k]) < 1e-6
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=corpus_strategy)
+def test_simhash_banding_finds_all_close_pairs(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sims = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.dedup_simhash(docs, max_hamming=3).collect()
+    }
+    for a, b in combinations(sorted(sims), 2):
+        h = bin(sims[a] ^ sims[b]).count("1")
+        if h <= 3:
+            assert (a, b) in got and got[(a, b)] == h  # pigeonhole guarantee
+    # and nothing below the bar sneaks in
+    for (a, b), h in got.items():
+        assert h <= 3 and bin(sims[a] ^ sims[b]).count("1") == h
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=corpus_strategy)
+def test_minhash_lsh_catches_identical_texts(spark, texts):
+    # force at least one exact duplicate pair
+    texts = list(texts) + [texts[0]]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.doc_a, r.doc_b) for r in dedup.dedup_minhash_lsh(docs).collect()
+    }
+    dup = (0, len(texts) - 1)
+    if _shingles(texts[0]):
+        assert dup in pairs  # identical signatures share every band
