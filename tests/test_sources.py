@@ -1,0 +1,73 @@
+"""Source-layer behavior: partition pruning on hive layouts and the
+gated small-scan split."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_system_vector_db_spark.sources import load_table
+from rag_system_vector_db_spark.sources.writer import (
+    read_partitioned,
+    write_partitioned,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def part_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("part") / "docs_by_lang")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    write_partitioned(docs, out, ["lang"])
+    return out
+
+
+def test_partitioned_layout_on_disk(part_dir, spark, sf_dir):
+    langs = {
+        r.lang
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("lang")
+        .distinct()
+        .collect()
+    }
+    dirs = {d for d in os.listdir(part_dir) if d.startswith("lang=")}
+    assert dirs == {f"lang={lang}" for lang in langs}
+
+
+def test_partition_filter_prunes_directories(part_dir, spark, sf_dir):
+    df = read_partitioned(spark, part_dir).filter(F.col("lang") == "en")
+    plan = _plan(df)
+    # the lang predicate is a PartitionFilter (directory pruning),
+    # not a data filter evaluated per row
+    assert "PartitionFilters: [" in plan
+    assert "lang" in plan.split("PartitionFilters")[1][:120]
+    n_en = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("lang") == "en")
+        .count()
+    )
+    assert df.count() == n_en
+
+
+def test_roundtrip_preserves_rows(part_dir, spark, sf_dir):
+    orig = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    back = read_partitioned(spark, part_dir)
+    assert back.count() == orig.count()
+    a = {r.doc_id for r in back.select("doc_id").collect()}
+    b = {r.doc_id for r in orig.select("doc_id").collect()}
+    assert a == b
+
+
+def test_small_scan_split_gate(spark, sf_dir):
+    """documents splits to defaultParallelism; a table not in the
+    default list stays at its natural split count unless opted in."""
+    dp = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents")
+    assert docs.rdd.getNumPartitions() == dp
+    nation = load_table(spark, sf_dir, "nation")
+    assert nation.rdd.getNumPartitions() < dp

@@ -177,3 +177,47 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, stream_dirs):
     ).count()
     assert expected > 0
     assert got.count() == expected
+
+
+def test_streaming_checkpoint_exactly_once_resume(spark, tmp_path):
+    """Checkpointed file-source -> parquet-sink query, stopped and
+    restarted: already-committed input files are not reprocessed, new
+    files are, and no duplicates appear in the sink."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def write_batch(name, ids):
+        pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="int64"),
+                "text": [f"text {i}" for i in ids],
+                "lang": ["en"] * len(ids),
+                "source": ["s"] * len(ids),
+                "n_chars": pd.array([6] * len(ids), dtype="int64"),
+            }
+        ).to_parquet(src / name)
+
+    def run_once():
+        stream = P.stream_documents(spark, str(src))
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write_batch("b1.parquet", [1, 2, 3])
+    run_once()
+    write_batch("b2.parquet", [4, 5])
+    run_once()  # restart from the same checkpoint
+    got = sorted(r.doc_id for r in spark.read.parquet(str(sink)).collect())
+    assert got == [1, 2, 3, 4, 5]  # b1 not reprocessed, b2 picked up
