@@ -42,7 +42,6 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
-    "dedup_cluster",
     "tfidf_top_terms",
     "redact_pii",
     "normalize_text",

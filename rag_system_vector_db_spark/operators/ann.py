@@ -18,7 +18,7 @@ centroid table is broadcast everywhere.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
@@ -54,6 +54,8 @@ def ann_lsh_topk(
 ) -> DataFrame:
     """Single-probe LSH search: score only same-bucket candidates.
     Returns (query_id, id, score, rank)."""
+    from .knn import topk_per_key_agg
+
     cb = corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
     qb = queries.withColumn("_bucket", lsh_bucket(F.col(query_vec_col), planes))
     scored = (
@@ -64,8 +66,7 @@ def ann_lsh_topk(
             V.cosine(F.col(vec_col), F.col(query_vec_col)).alias("score"),
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return topk_per_key_agg(scored, query_id_col, id_col, k)
 
 
 def ann_lsh_multiprobe_topk(
@@ -94,6 +95,8 @@ def ann_lsh_multiprobe_topk(
         F.col("_b0"),
         *[F.col("_b0").bitwiseXOR(F.lit(1 << b)) for b in range(len(planes))],
     )
+    from .knn import topk_per_key_agg
+
     qp = qb.select(
         query_id_col, query_vec_col, F.explode(probes).alias("_bucket")
     )
@@ -102,8 +105,7 @@ def ann_lsh_multiprobe_topk(
         id_col,
         V.cosine(F.col(vec_col), F.col(query_vec_col)).alias("score"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return topk_per_key_agg(scored, query_id_col, id_col, k)
 
 
 def recall_at_k(
@@ -210,6 +212,8 @@ def ann_ivf_topk(
         )
         .select(query_id_col, query_vec_col, F.col("p.cell").alias("_cell"))
     )
+    from .knn import topk_per_key_agg
+
     scored = (
         cell.join(F.broadcast(qcells), "_cell")
         .select(
@@ -218,8 +222,7 @@ def ann_ivf_topk(
             V.cosine(F.col(vec_col), F.col(query_vec_col)).alias("score"),
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return topk_per_key_agg(scored, query_id_col, id_col, k)
 
 
 def ann_ivf_rerank_topk(
@@ -275,17 +278,16 @@ def ann_ivf_rerank_topk(
             )
         ).alias("p"),
     ).select(query_id_col, query_vec_col, F.col("p.cell").alias("_cell"))
+    from .knn import topk_per_key_agg
+
     approx = cell.join(F.broadcast(qcells), "_cell").select(
         query_id_col,
         id_col,
         V.cosine(F.col("_qv"), F.col(query_vec_col)).alias("_approx"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("_approx").desc(), F.col(id_col))
-    short = (
-        approx.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= shortlist)
-        .select(query_id_col, id_col)
-    )
+    short = topk_per_key_agg(
+        approx, query_id_col, id_col, shortlist, score_col="_approx"
+    ).select(query_id_col, id_col)
     exact = (
         corpus.select(F.col(id_col), F.col(vec_col))
         .join(F.broadcast(short), id_col)
@@ -298,5 +300,4 @@ def ann_ivf_rerank_topk(
             V.cosine(F.col(vec_col), F.col(query_vec_col)).alias("score"),
         )
     )
-    w2 = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
-    return exact.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+    return topk_per_key_agg(exact, query_id_col, id_col, k)

@@ -368,23 +368,22 @@ def dedup_cluster(
             .agg(F.min("label").alias("nmin"))
             .withColumnRenamed("dst", "node")
         )
+        # The changed flag rides the same pass (no extra self-join):
+        # the eager localCheckpoint materializes once, then both the
+        # convergence count and the next round read the cached rows.
+        best = F.least(F.col("label"), F.coalesce("nmin", F.col("label")))
         new_labels = (
             labels.join(neigh, "node", "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
-                    "label"
-                ),
+                best.alias("_new"),
+                (best != F.col("label")).alias("_chg"),
             )
+            .withColumnRenamed("_new", "label")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("_chg").count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     return labels.select(

@@ -87,23 +87,22 @@ def topk_batch(
         # groupBy(spark_partition_id) never shuffles corpus rows wide:
         # the agg input is already partition-local, so partial
         # aggregation collapses each partition to ≤k candidate structs
-        # before any exchange.
-        pair = F.struct(F.col("score"), F.col(id_col))
+        # before any exchange. The sort key is (orientation-fixed
+        # score, id) so boundary score-ties keep the SAME candidate the
+        # final ordering prefers (id asc).
+        order = F.col("score") if asc else -F.col("score")
+        pair = F.struct(order.alias("_o"), F.col(id_col), F.col("score").alias("_s"))
         cand = (
             scored.withColumn("_pid", F.spark_partition_id())
             .groupBy("_pid", query_id_col)
-            .agg(F.slice(F.sort_array(F.collect_list(pair), asc=asc), 1, k).alias("top"))
+            .agg(F.slice(F.sort_array(F.collect_list(pair)), 1, k).alias("top"))
             .select(query_id_col, F.explode("top").alias("p"))
-            .select(query_id_col, F.col("p." + id_col).alias(id_col), F.col("p.score").alias("score"))
+            .select(query_id_col, F.col("p." + id_col).alias(id_col), F.col("p._s").alias("score"))
         )
     else:
         cand = scored
-    order = [F.col("score").asc() if asc else F.col("score").desc(), F.col(id_col).asc()]
-    w = Window.partitionBy(query_id_col).orderBy(*order)
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    # Final merge as one agg (topk_per_key_agg) — no window sort stage.
+    return topk_per_key_agg(cand, query_id_col, id_col, k, asc=asc)
 
 
 def topk_batch_np(
@@ -161,6 +160,36 @@ def topk_batch_np(
         F.col("score").desc(), F.col(id_col).asc()
     )
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def topk_per_key_agg(
+    scored: DataFrame,
+    key_col: str,
+    id_col: str,
+    k: int,
+    score_col: str = "score",
+    asc: bool = False,
+) -> DataFrame:
+    """Per-key top-k as ONE sort_array/slice aggregation instead of a
+    row_number window — saves the window's separate sort stage. Right
+    when k is small and per-key candidate counts are bounded (LSH
+    buckets, partial-pruned kNN candidates); ties break on id asc.
+    Returns (key, id, score, rank)."""
+    order = F.col(score_col) if asc else -F.col(score_col)
+    pair = F.struct(
+        order.alias("_o"), F.col(id_col), F.col(score_col).alias("_s")
+    )
+    return (
+        scored.groupBy(key_col)
+        .agg(F.slice(F.sort_array(F.collect_list(pair)), 1, k).alias("_top"))
+        .select(key_col, F.posexplode("_top").alias("_pos", "_p"))
+        .select(
+            key_col,
+            F.col(f"_p.{id_col}").alias(id_col),
+            F.col("_p._s").alias(score_col),
+            (F.col("_pos") + 1).cast("int").alias("rank"),
+        )
+    )
 
 
 def similarity_matrix(
