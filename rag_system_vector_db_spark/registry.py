@@ -1324,6 +1324,64 @@ def order_priority_pivot(spark, sf_dir):
 
 
 @query(
+    "multimodal_stats",
+    oracle="""
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           count(*) AS n_media,
+           sum(length(text)) AS total_bytes,
+           count(DISTINCT md5(text)) AS n_distinct_payloads,
+           min(doc_id % 640 + 16) AS min_width,
+           max(doc_id % 90000 + 1000) AS max_duration_ms
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def multimodal_stats(spark, sf_dir):
+    """Binary-column corpus stats per media kind (payload bytes, md5
+    cardinality, typed-metadata ranges). The payload is the synthetic
+    utf-8 media (operators.multimodal.synthesize_media), so the oracle
+    reproduces every value from the documents table."""
+    from .operators import multimodal
+
+    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return media.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.countDistinct(F.md5("content")).alias("n_distinct_payloads"),
+        F.min("meta.width").alias("min_width"),
+        F.max("meta.duration_ms").alias("max_duration_ms"),
+    )
+
+
+@query(
+    "multimodal_frames",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id AS media_id, text
+        FROM documents WHERE doc_id % 3 = 2
+    ), frames AS (
+        SELECT media_id, t.i AS frame_no,
+               substr(text, t.i * 64 + 1, 64) AS frame
+        FROM media CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS i) t
+        WHERE t.i * 64 < length(text)
+    )
+    SELECT media_id, frame_no, md5(frame) AS frame_md5
+    FROM frames
+    """,
+)
+def multimodal_frames(spark, sf_dir):
+    """Deterministic frame sampling over video payloads (mapInPandas
+    byte windows standing in for ffmpeg keyframes) — the Python batch
+    kernel is hash-checked against the oracle's substring md5s."""
+    from .operators import multimodal
+
+    media = multimodal.synthesize_media(
+        load_table(spark, sf_dir, "documents", split=True)
+    )
+    return multimodal.frame_sample(media, every_n_bytes=64, max_frames=5)
+
+
+@query(
     "ngram_counts",
     oracle="""
     WITH g AS (
