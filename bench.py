@@ -48,6 +48,7 @@ HEADLINE = [
     "kmv_distinct",
     # analytics
     "agg_pricing_summary",
+    "column_profile",
     "join_revenue_topn",
     "local_supplier_volume",
     "rollup_pricing",

@@ -227,6 +227,46 @@ def topk_per_group(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     )
 
 
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the `describe` every engine ships): count /
+    mean / stddev / min / max for lineitem money columns, plus the
+    price↔quantity correlation.
+
+    Floating sums are NOT order-independent under parallelism, so the
+    moments are built from DECIMAL sums (x, x², x·y exact in
+    decimal(38,*)) and only converted to double inside the final
+    scalar formulas — bit-identical across engines and partitionings.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = _dec("l_extendedprice")  # decimal(18,2)
+    q = _dec("l_quantity")
+    agg = li.agg(
+        F.count("*").alias("n"),
+        F.sum(p).alias("sum_p"),
+        F.sum(p * p).alias("sumsq_p"),
+        F.sum(q).alias("sum_q"),
+        F.sum(q * q).alias("sumsq_q"),
+        F.sum(p * q).alias("sum_pq"),
+        F.min("l_extendedprice").alias("min_p"),
+        F.max("l_extendedprice").alias("max_p"),
+    )
+    n = F.col("n").cast("double")
+    sp, sq = F.col("sum_p").cast("double"), F.col("sum_q").cast("double")
+    ssp, ssq = F.col("sumsq_p").cast("double"), F.col("sumsq_q").cast("double")
+    spq = F.col("sum_pq").cast("double")
+    var_p = (ssp - sp * sp / n) / (n - 1)
+    var_q = (ssq - sq * sq / n) / (n - 1)
+    cov = (spq - sp * sq / n) / (n - 1)
+    return agg.select(
+        F.col("n").cast("long"),
+        F.round(sp / n, 6).alias("mean_price"),
+        F.round(F.sqrt(var_p), 6).alias("std_price"),
+        F.round("min_p", 6).alias("min_price"),
+        F.round("max_p", 6).alias("max_price"),
+        F.round(cov / F.sqrt(var_p * var_q), 6).alias("corr_price_qty"),
+    )
+
+
 def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles per group (percentile is a single
     shuffled agg; for 100 TB interactive use swap in approx_percentile

@@ -1581,6 +1581,39 @@ def hash_sample_q(spark, sf_dir):
 
 
 @query(
+    "column_profile",
+    oracle="""
+    WITH a AS (
+        SELECT count(*) AS n,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_p,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sumsq_p,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_q,
+               sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sumsq_q,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sum_pq,
+               min(l_extendedprice) AS min_p,
+               max(l_extendedprice) AS max_p
+        FROM lineitem
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(CAST(sum_p AS DOUBLE) / n, 6) AS mean_price,
+           round(sqrt((CAST(sumsq_p AS DOUBLE) - CAST(sum_p AS DOUBLE) * CAST(sum_p AS DOUBLE) / n) / (n - 1)), 6) AS std_price,
+           round(min_p, 6) AS min_price,
+           round(max_p, 6) AS max_price,
+           round(((CAST(sum_pq AS DOUBLE) - CAST(sum_p AS DOUBLE) * CAST(sum_q AS DOUBLE) / n) / (n - 1))
+                 / sqrt(((CAST(sumsq_p AS DOUBLE) - CAST(sum_p AS DOUBLE) * CAST(sum_p AS DOUBLE) / n) / (n - 1))
+                      * ((CAST(sumsq_q AS DOUBLE) - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE) / n) / (n - 1))), 6) AS corr_price_qty
+    FROM a
+    """,
+)
+def column_profile(spark, sf_dir):
+    """describe-style profile with order-independent moments (decimal
+    sums of x, x², x·y; doubles only in the final scalar formulas)."""
+    from .plans import analytics
+
+    return analytics.column_profile(spark, sf_dir)
+
+
+@query(
     "quantile_stats",
     oracle="""
     SELECT l_returnflag,
