@@ -221,3 +221,71 @@ def test_streaming_checkpoint_exactly_once_resume(spark, tmp_path):
     run_once()  # restart from the same checkpoint
     got = sorted(r.doc_id for r in spark.read.parquet(str(sink)).collect())
     assert got == [1, 2, 3, 4, 5]  # b1 not reprocessed, b2 picked up
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
+    """LEFT OUTER stream-stream join: unmatched left rows are held in
+    state and emitted with null right side only after the watermark
+    passes their join window."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    base_ns = 1_700_000_000 * 1_000_000_000
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            {
+                "event_id": pd.array([r[0] for r in rows], dtype="int64"),
+                "ts": pd.array(
+                    [base_ns + r[1] * 1_000_000_000 for r in rows], dtype="int64"
+                ),
+                "user_id": pd.array([r[2] for r in rows], dtype="int64"),
+                "event_type": [r[3] for r in rows],
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+        pdf.to_parquet(src / name)
+
+    clicks = P.stream_events(spark, str(src)).filter(F.col("event_type") == "c")
+    buys = P.stream_events(spark, str(src)).filter(F.col("event_type") == "b")
+    l = clicks.withWatermark("ts", "10 minutes").select(
+        F.col("user_id").alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r = buys.withWatermark("ts", "10 minutes").select(
+        F.col("user_id").alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    joined = l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 5 minutes")),
+        "left_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_outer")
+        .start()
+    )
+    try:
+        # user 1 click->buy matches; user 2 click has no buy
+        write_batch("b1.parquet", [(1, 0, 1, "c"), (2, 60, 1, "b"), (3, 0, 2, "c")])
+        q.processAllAvailable()
+        # advance event time far past the watermark so unmatched state flushes
+        write_batch("b2.parquet", [(9, 7200, 99, "c")])
+        q.processAllAvailable()
+        write_batch("b3.parquet", [(10, 14400, 99, "b")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM ssj_outer").collect()
+    by_click = {r_.l_event_id: r_.r_event_id for r_ in rows}
+    assert by_click.get(1) == 2  # matched within the 5-minute window
+    assert 3 in by_click and by_click[3] is None  # flushed as unmatched
