@@ -108,6 +108,56 @@ def ann_lsh_multiprobe_topk(
     return topk_per_key_agg(scored, query_id_col, id_col, k)
 
 
+def probe_sweep(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    exact_hits: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Recall/cost tradeoff sweep: for each probe budget m = 0..n_planes
+    (own bucket + first m flipped bits), mean recall@k vs mean scored
+    candidates per query — the curve that picks an index's probe
+    budget. One corpus bucket pass serves every budget; the probe
+    relation just grows with m.
+    Returns (n_probes, mean_recall, mean_candidates)."""
+    from pyspark.sql import functions as F2
+
+    from .knn import topk_per_key_agg
+
+    cb = corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
+    qb = queries.withColumn("_b0", lsh_bucket(F.col(query_vec_col), planes))
+    out = []
+    n_q = queries.count()
+    for m in range(len(planes) + 1):
+        probes = F.array(
+            F.col("_b0"),
+            *[F.col("_b0").bitwiseXOR(F.lit(1 << b)) for b in range(m)],
+        )
+        qp = qb.select(
+            query_id_col, query_vec_col, F.explode(probes).alias("_bucket")
+        )
+        scored = cb.join(F.broadcast(qp), "_bucket").select(
+            query_id_col,
+            id_col,
+            V.cosine(F.col(vec_col), F.col(query_vec_col)).alias("score"),
+        )
+        n_cand = scored.count()
+        hits = topk_per_key_agg(scored, query_id_col, id_col, k)
+        rec = recall_at_k(hits, exact_hits, query_id_col, id_col).agg(
+            F2.avg("recall").alias("r")
+        ).first()["r"]
+        out.append((m + 1, round(float(rec), 6), round(n_cand / n_q, 6)))
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        out, "n_probes long, mean_recall double, mean_candidates double"
+    )
+
+
 def recall_at_k(
     ann_hits: DataFrame,
     exact_hits: DataFrame,

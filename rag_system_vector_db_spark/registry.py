@@ -1110,6 +1110,22 @@ def ann_ivf_rerank(spark, sf_dir):
     )
 
 
+@query("ann_probe_sweep")  # rows-only: per-budget driver-side aggregation loop
+def ann_probe_sweep(spark, sf_dir):
+    """Probe-budget sweep: mean recall@10 and mean scored candidates
+    per query for 1..5 probes — the curve that sizes a multi-probe
+    index's budget."""
+    from .operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    planes = ann.hyperplanes(4, 64)
+    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    bf = knn.topk_batch(load_table(spark, sf_dir, "embeddings"), queries, k=10)
+    return ann.probe_sweep(emb, queries, planes, bf, k=10)
+
+
 @query("ann_recall_at_k")  # oracle attached after _recall_oracle below
 def ann_recall_at_k(spark, sf_dir):
     """Recall@10 harness: single-probe vs multi-probe LSH against the

@@ -165,3 +165,22 @@ def test_ivf_rerank_scores_are_exact(emb, spark):
     for qid in range(5):
         exp = _np_cosine_topk(mat, ids, mat[qid], 3)
         assert by_q[qid] == [e[0] for e in exp]
+
+
+def test_probe_sweep_monotone(emb, spark):
+    """More probes → recall and candidate volume both non-decreasing."""
+    df, _, _ = emb
+    planes = ann.hyperplanes(4, 64)
+    queries = df.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    bf = knn.topk_batch(df, queries, k=10)
+    rows = sorted(
+        ann.probe_sweep(df, queries, planes, bf, k=10).collect(),
+        key=lambda r: r.n_probes,
+    )
+    assert [r.n_probes for r in rows] == [1, 2, 3, 4, 5]
+    for a, b in zip(rows, rows[1:]):
+        assert b.mean_recall >= a.mean_recall
+        assert b.mean_candidates >= a.mean_candidates
+    assert rows[0].mean_recall > 0  # the self bucket always hits
