@@ -71,3 +71,42 @@ def test_small_scan_split_gate(spark, sf_dir):
     assert docs.rdd.getNumPartitions() == dp
     nation = load_table(spark, sf_dir, "nation")
     assert nation.rdd.getNumPartitions() < dp
+
+
+def test_pdf_ingest_fake_decoder(spark, tmp_path):
+    """binaryFile -> mapInPandas decode plumbing with the deterministic
+    fake decoder (real codec not installed); page breaks become
+    newlines, exactly the reference's page-join."""
+    from rag_system_vector_db_spark.sources.pdf import (
+        extract_text_from_pdf,
+        pdf_to_documents,
+    )
+
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    (d / "a.pdf").write_bytes(b"page one\x0cpage two")
+    (d / "b.pdf").write_bytes(b"single page")
+    out = {r.path.split("/")[-1]: r for r in pdf_to_documents(
+        spark, str(d), decoder="fake"
+    ).collect()}
+    assert out["a.pdf"].text == "page one\npage two"
+    assert out["b.pdf"].text == "single page"
+    assert out["b.pdf"].n_chars == 11
+    # the real path is an explicit stub until a codec lands
+    with pytest.raises(NotImplementedError):
+        extract_text_from_pdf(b"%PDF-1.4 ...")
+
+
+def test_pdf_ingest_feeds_chunker(spark, tmp_path):
+    """PDF text flows into the normal chunk operator unchanged."""
+    from rag_system_vector_db_spark.operators.chunking import chunk_by_tokens
+    from rag_system_vector_db_spark.sources.pdf import pdf_to_documents
+
+    d = tmp_path / "pdfs2"
+    d.mkdir()
+    (d / "diary.pdf").write_bytes(" ".join(f"w{i}" for i in range(100)).encode())
+    docs = pdf_to_documents(spark, str(d), decoder="fake").withColumn(
+        "doc_id", F.lit(0)
+    )
+    chunks = chunk_by_tokens(docs, window=40)
+    assert chunks.count() == 3  # 100 tokens / 40 per window
