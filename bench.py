@@ -55,6 +55,7 @@ HEADLINE = [
     "order_priority_pivot",
     "dormant_customers",
     "window_events",
+    "sliding_window_events",
     "sessionize_events",
     "events_json_extract",
     "topk_per_group",

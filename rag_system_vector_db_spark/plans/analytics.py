@@ -200,6 +200,30 @@ def window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour windows every hour (each event lands in exactly
+    two windows) via the native F.window — same operator the streaming
+    twin uses. Output keys on integer window-start hours (UTC) so the
+    oracle does exact integer arithmetic instead of timestamp
+    canonicalization."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            (F.unix_timestamp("window.start") / 3600)
+            .cast("long")
+            .alias("win_start_hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured: JSON props extraction + aggregation."""
     ev = load_table(spark, sf_dir, "events")

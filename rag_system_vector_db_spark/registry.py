@@ -1688,6 +1688,28 @@ def window_events(spark, sf_dir):
 
 
 @query(
+    "sliding_window_events",
+    oracle="""
+    SELECT t.win_start_hour, event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM (
+        SELECT event_type, value,
+               unnest([epoch_ns(ts) // 3600000000000,
+                       epoch_ns(ts) // 3600000000000 - 1]) AS win_start_hour
+        FROM events
+    ) t
+    GROUP BY t.win_start_hour, event_type
+    """,
+)
+def sliding_window_events(spark, sf_dir):
+    """Sliding 2h/1h windows (native F.window, integer-hour keys)."""
+    from .plans import analytics
+
+    return analytics.sliding_window_events(spark, sf_dir)
+
+
+@query(
     "events_json_extract",
     oracle="""
     SELECT event_type, count(*) AS n,
