@@ -158,14 +158,15 @@ def tfidf_top_terms(
         F.col(id_col), F.explode(X.tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
-    # df derives from tf; the join back is left UNHINTED so AQE picks
-    # the strategy from runtime stats (it broadcasts the vocabulary-
-    # sized df side when it fits, shuffle-joins otherwise) — a static
-    # broadcast hint benched slower by forcing early materialization.
-    df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    # df as an unordered count window OVER tf — the scan+explode+tf
+    # subtree runs exactly ONCE (a groupBy+join-back formulation plans
+    # it twice; Spark doesn't share the subtree). No orderBy → no sort,
+    # just a term-hashed exchange; hot-term skew here equals the skew
+    # the df-join's term shuffle would have had anyway.
+    w = Window.partitionBy("term")
     n_docs = docs.select(F.count("*").alias("_n"))
     scored = (
-        tf.join(df_, "term")
+        tf.withColumn("df", F.count("*").over(w).cast("long"))
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf", F.col("tf") * F.log((F.col("_n") + 1) / (F.col("df") + 1)))
     )

@@ -80,15 +80,20 @@ def test_q5_pushdown_and_broadcasts(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 1
 
 
-def test_tfidf_aggs_are_partial(spark, sf_dir):
-    """Both tf and df aggregations must map-side combine (partial +
-    final HashAggregate pairs), and the final top-k runs as one agg,
-    not a window sort."""
+def test_tfidf_single_subtree_no_sorts(spark, sf_dir):
+    """The scan+explode+tf subtree must appear ONCE (df is an
+    unordered count window over tf, not a join-back of a second
+    aggregation), and nothing in the plan needs a Sort node — the df
+    window has no orderBy and the top-k is a sort_array agg."""
     df = QUERIES["tfidf_top_terms"](spark, sf_dir)
     df.count()  # finalize AQE so the executed plan is the real one
     plan = _plan(df)
-    assert plan.count("HashAggregate") >= 4
-    assert "Window" not in plan
+    assert plan.count("Generate explode") == 1  # one explode subtree
+    assert "Window" in plan
+    # the window's partition-local sort is fine; no GLOBAL sort allowed
+    for line in plan.splitlines():
+        if "Sort [" in line:
+            assert ", false, 0" in line  # local sort only
 
 
 def test_ngram_counts_uses_takeordered(spark, sf_dir):
