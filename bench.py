@@ -26,6 +26,7 @@ HEADLINE = [
     "similarity_matrix",
     "rag_retrieve",
     "rag_eval_retrieval",
+    "hybrid_search_rrf",
     "ann_lsh_cosine",
     "ann_lsh_multiprobe",
     # store surface

@@ -905,6 +905,62 @@ def rag_eval_retrieval(spark, sf_dir):
     return rag.eval_retrieval(emb, queries, k=10)
 
 
+@query(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+    toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), qtoks AS (
+        SELECT * FROM toks WHERE term IN ('spark', 'join', 'fast')
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
+        FROM qtoks GROUP BY doc_id, term
+    ), stats AS (
+        SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl FROM documents
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), bm25 AS (
+        SELECT tf.doc_id,
+               sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))) AS bm25
+        FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    ), kw_top AS (
+        SELECT doc_id AS _id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+        FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT 20
+    ), vec AS (
+        SELECT e.vec_id AS _id, {_dd_cosine('e.embedding', 'q.qv')} AS score
+        FROM embeddings e, q
+    ), vec_top AS (
+        SELECT _id, row_number() OVER (ORDER BY score DESC, _id) AS vec_rank
+        FROM vec ORDER BY score DESC, _id LIMIT 20
+    ), fused AS (
+        SELECT coalesce(k._id, v._id) AS _id, k.bm25_rank, v.vec_rank,
+               round(coalesce(1.0 / (60 + k.bm25_rank), 0.0)
+                     + coalesce(1.0 / (60 + v.vec_rank), 0.0), 6) AS fused
+        FROM kw_top k FULL OUTER JOIN vec_top v ON k._id = v._id
+    )
+    SELECT _id AS doc_id, bm25_rank, vec_rank, fused,
+           row_number() OVER (ORDER BY fused DESC, _id) AS rank
+    FROM fused ORDER BY fused DESC, _id LIMIT 10
+    """,
+)
+def hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 keyword tower + cosine vector tower fused
+    by reciprocal-rank fusion (Cormack SIGIR'09) — the production RAG
+    serving pattern, fully declarative so the oracle reproduces it."""
+    from .operators import hybrid
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    return hybrid.hybrid_search_rrf(
+        docs, emb, ["spark", "join", "fast"], [float(x) for x in qv], k=10, depth=20
+    )
+
+
 @query("rag_pipeline_e2e")  # rows-only: uses the Python hash embedder
 def rag_pipeline_e2e(spark, sf_dir):
     """Full app.py pipeline on raw text: embed corpus (pandas_udf) +

@@ -72,3 +72,47 @@ def test_qa_pairs_feed_eval_retrieval(spark, sf_dir, tmp_path):
     out = rag.eval_retrieval(corpus, queries, k=5).collect()
     assert len(out) == 3
     assert all(r.hit_rank == 1 and r.grade == 1.0 for r in out)
+
+
+def test_hybrid_rrf_fuses_both_towers(spark, sf_dir):
+    """RRF must include docs from either tower (full outer) and score
+    docs present in both above the floor of a single tower at the same
+    ranks."""
+    from pyspark.sql import functions as F
+
+    from rag_system_vector_db_spark.operators import hybrid
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    out = hybrid.hybrid_search_rrf(
+        docs, emb, ["spark", "join"], qv, k=10, depth=15
+    ).collect()
+    assert 0 < len(out) <= 10
+    ranks = sorted(r.rank for r in out)
+    assert ranks == list(range(1, len(out) + 1))
+    for r in out:
+        expected = (1.0 / (60 + r.bm25_rank) if r.bm25_rank else 0.0) + (
+            1.0 / (60 + r.vec_rank) if r.vec_rank else 0.0
+        )
+        assert abs(r.fused - round(expected, 6)) < 1e-9
+        assert r.bm25_rank is not None or r.vec_rank is not None
+    # fused ordering is descending
+    by_rank = sorted(out, key=lambda r: r.rank)
+    assert all(a.fused >= b.fused for a, b in zip(by_rank, by_rank[1:]))
+
+
+def test_bm25_prefers_term_dense_docs(spark):
+    from rag_system_vector_db_spark.operators.hybrid import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark join"),
+            (2, "spark row value table"),
+            (3, "row value table scan"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.bm25 for r in bm25_scores(docs, ["spark", "join"]).collect()}
+    assert set(got) == {1, 2}  # doc 3 matches nothing
+    assert got[1] > got[2]  # more matched mass ranks higher
