@@ -955,9 +955,10 @@ def hybrid_search_rrf(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    # query vector rides the plan as a broadcast row — no driver fetch
+    q = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
     return hybrid.hybrid_search_rrf(
-        docs, emb, ["spark", "join", "fast"], [float(x) for x in qv], k=10, depth=20
+        docs, emb, ["spark", "join", "fast"], q, k=10, depth=20
     )
 
 
