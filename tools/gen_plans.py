@@ -1,0 +1,89 @@
+"""Regenerate PLANS.md — physical-plan evidence for flagship queries.
+
+Usage: python tools/gen_plans.py > PLANS.md
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rag_system_vector_db_spark.registry import QUERIES  # noqa: E402
+from rag_system_vector_db_spark.session import get_spark  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_PLAN_SF_DIR", "/root/testdata/sf0.01")
+
+NOTES = {
+    "knn_batch": (
+        "Query side broadcast (BroadcastNestedLoopJoin / BroadcastExchange); "
+        "corpus scans once, per-partition partial top-k collapses each "
+        "partition to <=k rows before the only exchange; no global sort."
+    ),
+    "dedup_minhash_lsh": (
+        "Shingle explode + codegen md5s; ONE groupBy produces signatures "
+        "(map-side partial mins); bucket-collect pair generation means one "
+        "more groupBy instead of a self-join's two exchanges."
+    ),
+    "local_supplier_volume": (
+        "Region/year filters pushed to the parquet scans (PushedFilters); "
+        "every dimension is a BroadcastHashJoin build side; single wide "
+        "exchange for the final groupBy."
+    ),
+    "hybrid_search_rrf": (
+        "BM25 tower touches only query-term postings (filter under the "
+        "explode); both towers reduce via agg-based top-k; RRF is a "
+        "full-outer join of two depth-20 relations; query vector enters "
+        "as a broadcast row."
+    ),
+    "tfidf_top_terms": (
+        "One explode subtree; df is an unordered count window over tf "
+        "(partition-local sort only); top-k per doc is a sort_array/slice "
+        "aggregation — no global sorts anywhere."
+    ),
+}
+
+
+def main() -> None:
+    spark = get_spark("plans", cpus=8)
+    print("# PLANS — physical-plan evidence for the flagship queries")
+    print()
+    print("Generated with `.explain(formatted)` at sf0.01 (plans are scale-")
+    print("invariant in shape; AQE may re-pick join strategies from runtime")
+    print("stats at larger inputs). Regenerate: `python tools/gen_plans.py`.")
+    for name, note in NOTES.items():
+        df = QUERIES[name](spark, SF)
+        df.count()  # finalize AQE
+        p = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        tree, _, details = p.partition("\n\n")
+        keep = [
+            line
+            for line in details.splitlines()
+            if line.startswith(
+                ("(", "PushedFilters", "PartitionFilters", "Join type")
+            )
+            and (
+                "Scan parquet" in line
+                or line.startswith(
+                    ("PushedFilters", "PartitionFilters", "Join type")
+                )
+            )
+        ]
+        print(f"\n## {name}\n")
+        print(note)
+        print("\n```")
+        print(tree.strip())
+        if keep:
+            print()
+            print("\n".join(keep))
+        print("```")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
