@@ -19,7 +19,7 @@ Scale design (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
@@ -156,10 +156,7 @@ def topk_batch_np(
             )
 
     cand = corpus.select(id_col, vec_col).mapInPandas(score_batches, schema)
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
-    )
-    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return topk_per_key_agg(cand, query_id_col, id_col, k)
 
 
 def topk_per_key_agg(
