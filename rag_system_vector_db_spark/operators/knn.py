@@ -134,7 +134,11 @@ def topk_batch_np(
     qids = [r[0] for r in q_rows]
     qmat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)
-    schema = f"{query_id_col} long, {id_col} long, score double"
+    # Output id types follow the INPUT schemas (string/int ids work the
+    # same as long — a hardcoded "long" would null them out in Arrow).
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    schema = f"{query_id_col} {qid_t}, {id_col} {id_t}, score double"
 
     def score_batches(batches):
         for pdf in batches:
@@ -161,7 +165,7 @@ def topk_batch_np(
 
 def topk_per_key_agg(
     scored: DataFrame,
-    key_col: str,
+    key_col: str | list[str],
     id_col: str,
     k: int,
     score_col: str = "score",
@@ -171,17 +175,19 @@ def topk_per_key_agg(
     row_number window — saves the window's separate sort stage. Right
     when k is small and per-key candidate counts are bounded (LSH
     buckets, partial-pruned kNN candidates); ties break on id asc.
-    Returns (key, id, score, rank)."""
+    ``key_col`` may be one column name or a list (composite key).
+    Returns (*keys, id, score, rank)."""
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
     order = F.col(score_col) if asc else -F.col(score_col)
     pair = F.struct(
         order.alias("_o"), F.col(id_col), F.col(score_col).alias("_s")
     )
     return (
-        scored.groupBy(key_col)
+        scored.groupBy(*keys)
         .agg(F.slice(F.sort_array(F.collect_list(pair)), 1, k).alias("_top"))
-        .select(key_col, F.posexplode("_top").alias("_pos", "_p"))
+        .select(*keys, F.posexplode("_top").alias("_pos", "_p"))
         .select(
-            key_col,
+            *keys,
             F.col(f"_p.{id_col}").alias(id_col),
             F.col("_p._s").alias(score_col),
             (F.col("_pos") + 1).cast("int").alias("rank"),

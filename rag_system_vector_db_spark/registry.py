@@ -57,7 +57,7 @@ def _dd_cosine(a: str, b: str) -> str:
     oracle="""
     SELECT source,
            count(*) AS n_rows,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            round(avg(n_chars), 6) AS avg_chars,
            min(doc_id) AS min_id,
            max(doc_id) AS max_id
@@ -309,8 +309,8 @@ _DD_DIARY_CHUNKS = _DD_DIARY_LINES + """
     , lined AS (
         SELECT doc_id, line_no, line,
                regexp_matches(line, '^\\d{1,2}(st|nd|rd|th)? Day of [A-Za-z]+ 18\\d{2} - .+$') AS is_date,
-               sum(CASE WHEN regexp_matches(line, '^\\d{1,2}(st|nd|rd|th)? Day of [A-Za-z]+ 18\\d{2} - .+$') THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY doc_id ORDER BY line_no) AS day_id
+               CAST(sum(CASE WHEN regexp_matches(line, '^\\d{1,2}(st|nd|rd|th)? Day of [A-Za-z]+ 18\\d{2} - .+$') THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY line_no) AS BIGINT) AS day_id
         FROM lines
     ), days AS (
         SELECT doc_id, day_id, regexp_extract(line, ' - (.+)$', 1) AS title
@@ -1380,9 +1380,9 @@ def rollup_pricing(spark, sf_dir):
     oracle="""
     SELECT o_orderpriority,
            count(*) AS n_orders,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
            CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total_f,
            CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total_o
     FROM orders
@@ -1401,7 +1401,7 @@ def order_priority_pivot(spark, sf_dir):
     oracle="""
     SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
            count(*) AS n_media,
-           sum(length(text)) AS total_bytes,
+           CAST(sum(length(text)) AS BIGINT) AS total_bytes,
            count(DISTINCT md5(text)) AS n_distinct_payloads,
            min(doc_id % 640 + 16) AS min_width,
            max(doc_id % 90000 + 1000) AS max_duration_ms
@@ -1421,8 +1421,8 @@ def multimodal_stats(spark, sf_dir):
         F.count("*").alias("n_media"),
         F.sum(F.length("content")).alias("total_bytes"),
         F.countDistinct(F.md5("content")).alias("n_distinct_payloads"),
-        F.min("meta.width").alias("min_width"),
-        F.max("meta.duration_ms").alias("max_duration_ms"),
+        F.min("meta.width").cast("long").alias("min_width"),
+        F.max("meta.duration_ms").cast("long").alias("max_duration_ms"),
     )
 
 
@@ -1515,7 +1515,7 @@ def dedup_cluster_q(spark, sf_dir):
 @query(
     "stratified_sample",
     oracle=f"""
-    SELECT lang, count(*) AS n_sampled, sum(n_chars) AS sum_chars
+    SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM documents
     WHERE {H.dd_md5_long('doc_id::VARCHAR')} / 1152921504606846976.0 <
           CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 0.1 WHEN 'fr' THEN 0.05 ELSE 0.0 END
@@ -1636,7 +1636,7 @@ def kmv_distinct_q(spark, sf_dir):
 @query(
     "hash_sample",
     oracle=f"""
-    SELECT source, count(*) AS n_sampled, sum(n_chars) AS sum_chars
+    SELECT source, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM documents
     WHERE {H.dd_md5_long('doc_id::VARCHAR')} / 1152921504606846976.0 < 0.1
     GROUP BY source
@@ -1770,7 +1770,7 @@ def sliding_window_events(spark, sf_dir):
     "events_json_extract",
     oracle="""
     SELECT event_type, count(*) AS n,
-           sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+           CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
            min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
            max(json_extract_string(props, '$.k')::BIGINT) AS max_k
     FROM events
@@ -1815,7 +1815,7 @@ def topk_per_group(spark, sf_dir):
         FROM t
     ), sess AS (
         SELECT user_id, event_id, value,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY event_id) AS session_no
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS session_no
         FROM s
     )
     SELECT user_id, session_no, count(*) AS n_events, round(sum(value), 6) AS sum_value
