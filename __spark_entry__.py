@@ -16,7 +16,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from rag_system_vector_db_spark.registry import ORACLES, QUERIES  # noqa: E402
+from rag_system_vector_db_spark.registry import (  # noqa: E402
+    LAZY_ORACLES,
+    ORACLES,
+    QUERIES,
+)
+
+# The driver's oracle run is fixed at sf0.01; data-dependent oracles
+# (IVF centroid literals) are rendered for that directory here.
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 # The driver's correctness run checks the FIRST 50 dict entries only
 # (r1 checked exactly 50 of 62). Surface never-yet-driver-verified and
@@ -66,4 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return _ordered(ORACLES)
+    resolved = dict(ORACLES)
+    for name, fn in LAZY_ORACLES.items():
+        resolved[name] = fn(_ORACLE_SF_DIR)
+    return _ordered(resolved)

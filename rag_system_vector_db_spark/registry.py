@@ -21,6 +21,11 @@ from .sources import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+# Oracles whose SQL depends on the data directory (e.g. IVF centroids
+# trained on the sf's sample) — resolved to strings by
+# __spark_entry__.oracle_sql() for the driver's fixed sf0.01 run, and by
+# tests for whatever sf they exercise.
+LAZY_ORACLES: dict[str, Callable[[str], str]] = {}
 
 
 def query(name: str, oracle: str | None = None):
@@ -45,6 +50,14 @@ def _dd_norm(a: str) -> str:
 
 def _dd_cosine(a: str, b: str) -> str:
     return f"({_dd_dot(a, b)} / ({_dd_norm(a)} * {_dd_norm(b)}))"
+
+
+def _dd_euclid(a: str, b: str) -> str:
+    # matches functions.vector.euclidean: zip-diff, sequential sum of squares
+    return (
+        f"sqrt(list_sum(list_transform(list_zip(({a})::DOUBLE[], ({b})::DOUBLE[]),"
+        f" x -> (x[1]-x[2])*(x[1]-x[2]))))"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -390,7 +403,39 @@ def chunk_stats(spark, sf_dir):
     return chunking.diary_stats(chunking.chunk_diary(chunking.diary_lines(docs)))
 
 
-@query("split_large_chunks")  # rows-only: greedy sequential split loop
+@query(
+    "split_large_chunks",
+    # The greedy per-chunk split loop is sequential in Spark (Arrow
+    # mapInPandas kernel) but still SQL-expressible: a recursive CTE
+    # carries (rest, part_no) and replays the same rfind('.')-then-
+    # rfind(' ')-then-hard-cut decision per step, so even the Python
+    # kernel is hash-checked (same pattern as dedup_cluster's oracle).
+    oracle="""
+    WITH RECURSIVE split AS (
+        SELECT doc_id, text AS chunk_text, text AS rest,
+               CAST(-1 AS BIGINT) AS part_no, CAST(NULL AS VARCHAR) AS part_text
+        FROM documents
+        UNION ALL
+        SELECT doc_id, chunk_text,
+               CASE WHEN len(rest) > 200 THEN trim(substr(rest, cut + 2)) ELSE '' END AS rest,
+               part_no + 1,
+               CASE WHEN len(rest) > 200 THEN trim(substr(rest, 1, cut + 1)) ELSE rest END AS part_text
+        FROM (
+            SELECT doc_id, chunk_text, rest, part_no,
+                   CASE
+                     WHEN position('.' IN reverse(substr(rest, 1, 200))) > 0
+                       THEN 200 - position('.' IN reverse(substr(rest, 1, 200)))
+                     WHEN position(' ' IN reverse(substr(rest, 1, 200))) > 0
+                       THEN 200 - position(' ' IN reverse(substr(rest, 1, 200)))
+                     ELSE 200
+                   END AS cut
+            FROM split WHERE rest <> ''
+        )
+    )
+    SELECT doc_id, chunk_text, part_no, part_text
+    FROM split WHERE part_no >= 0
+    """,
+)
 def split_large_chunks(spark, sf_dir):
     """Max-size sentence/space-boundary splitting
     (archive/chunking_strategy.py:4 split_large_chunk)."""
@@ -795,23 +840,20 @@ def dedup_embedding_lsh(spark, sf_dir):
     return dedup.dedup_embedding_lsh(emb, ann.hyperplanes(6, 64), threshold=0.3)
 
 
-@query(
-    "dedup_embedding_cosine",
-    oracle=f"""
-    SELECT id_a, id_b, round(score, 6) AS score FROM (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               {_dd_cosine('a.embedding', 'b.embedding')} AS score
-        FROM embeddings a, embeddings b
-        WHERE a.vec_id < 200 AND b.vec_id < 200 AND a.vec_id < b.vec_id
-    ) WHERE score >= 0.3
-    """,
-)
+@query("dedup_embedding_cosine")  # oracle attached after _bucketed_pairs_oracle below
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (≥ 0.3) on a bounded slice."""
-    from .operators import dedup
+    """Embedding-cosine near-dup pairs (≥ 0.3) — the NAMED operator runs
+    the scale path over the FULL table: 4-plane LSH candidates (higher
+    recall than the 6-plane entry), exact cosine rescoring of
+    same-bucket pairs only. The O(n²) all-pairs form survives only as
+    dedup.dedup_embedding_cosine(all_pairs=True), the explicit
+    bounded-slice escape hatch (see dedup_cluster's pair seed)."""
+    from .operators import ann, dedup
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    return dedup.dedup_embedding_cosine(emb, threshold=0.3)
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    return dedup.dedup_embedding_cosine(
+        emb, threshold=0.3, planes=ann.hyperplanes(4, 64, seed=7)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1047,10 +1089,8 @@ def _ann_lsh_oracle() -> str:
 ORACLES["ann_lsh_cosine"] = _ann_lsh_oracle()
 
 
-def _dedup_embedding_lsh_oracle() -> str:
-    from .operators import ann
-
-    planes = ann.hyperplanes(6, 64)
+def _bucketed_pairs_oracle(planes, threshold: float) -> str:
+    """Bucketed near-dup pair oracle: same-bucket pairs, exact cosine."""
     return f"""
     WITH {_planes_sql(planes)},
     dots AS (
@@ -1067,21 +1107,35 @@ def _dedup_embedding_lsh_oracle() -> str:
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                {_dd_cosine('a.embedding', 'b.embedding')} AS score
         FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    ) WHERE score >= 0.3
+    ) WHERE score >= {threshold}
     """
 
 
-ORACLES["dedup_embedding_lsh"] = _dedup_embedding_lsh_oracle()
+def _attach_bucketed_pair_oracles():
+    from .operators import ann
+
+    ORACLES["dedup_embedding_lsh"] = _bucketed_pairs_oracle(
+        ann.hyperplanes(6, 64), 0.3
+    )
+    ORACLES["dedup_embedding_cosine"] = _bucketed_pairs_oracle(
+        ann.hyperplanes(4, 64, seed=7), 0.3
+    )
 
 
-@query("ann_ivf")  # rows-only: iterative k-means fit
+_attach_bucketed_pair_oracles()
+
+
+@query("ann_ivf")  # oracle: LAZY_ORACLES["ann_ivf"] (centroids are per-sf literals)
 def ann_ivf(spark, sf_dir):
-    """IVF: k-means coarse quantizer (5 Lloyd iterations) + 2-probe
-    search, top-3 per query."""
+    """IVF: coarse quantizer trained on a bounded deterministic sample
+    (faiss posture — kmeans_fit_sample) + 2-probe search, top-3 per
+    query. The fitted centroids are driver-held literals, so the same
+    centroids inline into the DuckDB oracle and the whole path is
+    hash-checked."""
     from .operators import ann
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = ann.kmeans_fit(emb, k=8, n_iter=3)
+    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -1089,6 +1143,66 @@ def ann_ivf(spark, sf_dir):
     return out.select(
         "query_id", "vec_id", F.round("score", 6).alias("score"), F.col("rank").cast("long")
     )
+
+
+def _cents_sql(centroids) -> str:
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(centroids)
+    )
+    return f"cents(cid, w) AS (VALUES {rows})"
+
+
+def _ivf_common(centroids, n_queries: int) -> str:
+    """Shared CTEs: exact-argmin cell assignment (ties -> lowest cid,
+    like _nearest_centroid's strict <) and 2-probe query cell choice."""
+    return f"""
+    WITH {_cents_sql(centroids)},
+    assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_dd_euclid('e.embedding', 'c.w')}, c.cid
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS query_vec
+        FROM embeddings WHERE vec_id < {n_queries}
+    ), qprobe AS (
+        SELECT query_id, query_vec, cid FROM (
+            SELECT q.query_id, q.query_vec, c.cid,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_dd_euclid('q.query_vec', 'c.w')}, c.cid
+                   ) AS rn
+            FROM q CROSS JOIN cents c
+        ) WHERE rn <= 2
+    )
+    """
+
+
+def _ivf_oracle(sf_dir: str) -> str:
+    from .operators import ann
+
+    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
+    return _ivf_common(centroids, 5) + f"""
+    , scored AS (
+        SELECT p.query_id, s.vec_id,
+               {_dd_cosine('s.embedding', 'p.query_vec')} AS score
+        FROM assigned s JOIN qprobe p ON s.cid = p.cid
+    ), ranked AS (
+        SELECT query_id, vec_id, score,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, round(score, 6) AS score, rank
+    FROM ranked WHERE rank <= 3
+    """
+
+
+LAZY_ORACLES["ann_ivf"] = _ivf_oracle
 
 
 @query("ann_lsh_multiprobe")  # oracle attached after _multiprobe_oracle below
@@ -1149,15 +1263,16 @@ def _multiprobe_oracle() -> str:
 ORACLES["ann_lsh_multiprobe"] = _multiprobe_oracle()
 
 
-@query("ann_ivf_rerank")  # rows-only: iterative k-means fit
+@query("ann_ivf_rerank")  # oracle: LAZY_ORACLES["ann_ivf_rerank"]
 def ann_ivf_rerank(spark, sf_dir):
     """IVF + exact re-rank: probed cells scored on quantized vectors
     (PQ-code stand-in) build a 10-deep shortlist; exact cosine re-ranks
-    only shortlist rows."""
+    only shortlist rows. Sample-trained quantizer → centroid literals →
+    fully hash-checked."""
     from .operators import ann
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = ann.kmeans_fit(emb, k=8, n_iter=3)
+    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -1167,11 +1282,47 @@ def ann_ivf_rerank(spark, sf_dir):
     )
 
 
-@query("ann_probe_sweep")  # rows-only: per-budget driver-side aggregation loop
+def _ivf_rerank_oracle(sf_dir: str) -> str:
+    from .operators import ann
+
+    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
+    quant = "list_transform((s.embedding)::DOUBLE[], x -> round(x, 1))"
+    return _ivf_common(centroids, 5) + f"""
+    , qscored AS (
+        SELECT p.query_id, s.vec_id,
+               {_dd_cosine(quant, 'p.query_vec')} AS approx
+        FROM assigned s JOIN qprobe p ON s.cid = p.cid
+    ), short AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY approx DESC, vec_id) AS rn
+            FROM qscored
+        ) WHERE rn <= 10
+    ), exact AS (
+        SELECT s.query_id, s.vec_id,
+               {_dd_cosine('e.embedding', 'q.query_vec')} AS score
+        FROM short s
+        JOIN embeddings e ON e.vec_id = s.vec_id
+        JOIN q ON q.query_id = s.query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, score,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+        FROM exact
+    )
+    SELECT query_id, vec_id, round(score, 6) AS score, rank
+    FROM ranked WHERE rank <= 3
+    """
+
+
+LAZY_ORACLES["ann_ivf_rerank"] = _ivf_rerank_oracle
+
+
+@query("ann_probe_sweep")  # oracle attached below (_probe_sweep_oracle)
 def ann_probe_sweep(spark, sf_dir):
     """Probe-budget sweep: mean recall@10 and mean scored candidates
     per query for 1..5 probes — the curve that sizes a multi-probe
-    index's budget."""
+    index's budget. Single plan: the budget is an exploded column over
+    one bucket join (no driver-side per-budget loop)."""
     from .operators import ann
 
     emb = load_table(spark, sf_dir, "embeddings", split=True)
@@ -1181,6 +1332,80 @@ def ann_probe_sweep(spark, sf_dir):
     )
     bf = knn.topk_batch(load_table(spark, sf_dir, "embeddings"), queries, k=10)
     return ann.probe_sweep(emb, queries, planes, bf, k=10)
+
+
+def _probe_sweep_oracle() -> str:
+    from .operators import ann
+
+    planes = ann.hyperplanes(4, 64)
+    return f"""
+    WITH {_planes_sql(planes)},
+    dots AS (
+        SELECT e.vec_id, p.pid, {_dd_dot('e.embedding', 'p.w')} AS d
+        FROM embeddings e CROSS JOIN planes p
+    ), buckets AS (
+        SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << pid) ELSE 0 END) AS bucket
+        FROM dots GROUP BY vec_id
+    ), q AS (
+        SELECT e.vec_id AS query_id, e.embedding AS query_vec, b.bucket
+        FROM embeddings e JOIN buckets b USING (vec_id) WHERE e.vec_id < 10
+    ), c AS (
+        SELECT e.vec_id, e.embedding, b.bucket
+        FROM embeddings e JOIN buckets b USING (vec_id)
+    ), probes AS (
+        SELECT query_id, query_vec, bucket AS pb, 0 AS m_min FROM q
+        UNION ALL
+        SELECT query_id, query_vec, xor(bucket, (1::BIGINT << t.i)) AS pb, t.i + 1 AS m_min
+        FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) t
+    ), cand AS (
+        SELECT p.query_id, c.vec_id, p.m_min,
+               {_dd_cosine('c.embedding', 'p.query_vec')} AS score
+        FROM c JOIN probes p ON c.bucket = p.pb
+    ), budgets AS (
+        SELECT unnest([0, 1, 2, 3, 4]) AS m
+    ), pb AS (
+        SELECT b.m, cand.query_id, cand.vec_id, cand.score
+        FROM cand JOIN budgets b ON b.m >= cand.m_min
+    ), topk AS (
+        SELECT m, query_id, vec_id FROM (
+            SELECT m, query_id, vec_id,
+                   row_number() OVER (PARTITION BY m, query_id ORDER BY score DESC, vec_id) AS rn
+            FROM pb
+        ) WHERE rn <= 10
+    ), bf AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_dd_cosine('e.embedding', 'q.query_vec')} DESC, e.vec_id
+                   ) AS rank
+            FROM embeddings e CROSS JOIN q
+        ) WHERE rank <= 10
+    ), hitc AS (
+        SELECT t.m, t.query_id, count(*) AS n_hit
+        FROM topk t JOIN bf ON bf.query_id = t.query_id AND bf.vec_id = t.vec_id
+        GROUP BY t.m, t.query_id
+    ), nex AS (
+        SELECT query_id, count(*) AS n_exact FROM bf GROUP BY query_id
+    ), grid AS (
+        SELECT b.m, n.query_id, n.n_exact FROM budgets b CROSS JOIN nex n
+    ), rec AS (
+        SELECT g.m, avg(coalesce(h.n_hit, 0) / g.n_exact) AS mean_recall
+        FROM grid g LEFT JOIN hitc h ON h.m = g.m AND h.query_id = g.query_id
+        GROUP BY g.m
+    ), candn AS (
+        SELECT m, count(*) AS n_cand FROM pb GROUP BY m
+    ), nq AS (
+        SELECT count(DISTINCT query_id) AS n_q FROM q
+    )
+    SELECT CAST(r.m + 1 AS BIGINT) AS n_probes,
+           round(r.mean_recall, 6) AS mean_recall,
+           round(c.n_cand / nq.n_q, 6) AS mean_candidates
+    FROM rec r JOIN candn c ON c.m = r.m CROSS JOIN nq
+    """
+
+
+ORACLES["ann_probe_sweep"] = _probe_sweep_oracle()
 
 
 @query("ann_recall_at_k")  # oracle attached after _recall_oracle below
@@ -1508,7 +1733,7 @@ def dedup_cluster_q(spark, sf_dir):
     from .operators import dedup
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    pairs = dedup.dedup_embedding_cosine(emb, threshold=0.3)
+    pairs = dedup.dedup_embedding_cosine(emb, threshold=0.3, all_pairs=True)
     return dedup.dedup_cluster(pairs, "id_a", "id_b")
 
 
