@@ -55,6 +55,8 @@ _VERIFY_FIRST = [
     "ann_ivf",
     "ann_ivf_rerank",
     "ann_probe_sweep",
+    # new queries() entries this round
+    "multimodal_pipeline",
 ]
 
 

@@ -105,12 +105,32 @@ class VectorCollection:
         )
 
     def compact(self) -> None:
-        """Materialize the resolved view (maintenance; optional)."""
-        resolved = self.df().withColumn("_batch", F.lit(0))
-        tmp = self._data_path() + "_compacting"
-        resolved.write.mode("overwrite").parquet(tmp)
+        """Materialize the resolved view (maintenance; optional).
+
+        Crash-safe swap: write the resolved view to a tmp directory,
+        rename the live data dir aside, rename tmp into place, then
+        drop the old dir. No read-back-and-overwrite of the live dir
+        (a failure mid-overwrite there would destroy the collection),
+        and the tmp dir never outlives the call. A crash between the
+        two renames leaves `<data>_old` intact for manual recovery.
+        (On object stores, directory rename is not atomic — there,
+        compaction swaps a manifest pointer instead.)"""
+        import shutil
+
         final = self._data_path()
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(final)
+        tmp = final + "_compacting"
+        old = final + "_old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        try:
+            self.df().withColumn("_batch", F.lit(0)).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            os.rename(final, old)
+            os.rename(tmp, final)
+            shutil.rmtree(old, ignore_errors=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     # -- reads --
 

@@ -1680,6 +1680,43 @@ def multimodal_frames(spark, sf_dir):
 
 
 @query(
+    "multimodal_pipeline",
+    # The mapInPandas feature kernel is a deterministic fake (md5-byte
+    # features), so even the Python path is hash-checked: the oracle
+    # recomputes each feature from the md5 hex digits.
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           [round((16 * (strpos('0123456789abcdef', substr(md5(text), i*2+1, 1)) - 1)
+                   + strpos('0123456789abcdef', substr(md5(text), i*2+2, 1)) - 1) / 255.0, 6)
+            FOR i IN range(8)] AS features
+    FROM documents
+    """,
+)
+def multimodal_pipeline(spark, sf_dir):
+    """Full multimodal ingest pipeline: binary column + typed metadata
+    (synthesize_media) → Arrow mapInPandas feature extraction
+    (operators/multimodal.py extract_features; the deterministic
+    md5-byte fake stands in for a CNN/audio head with the same
+    schema/batch contract)."""
+    from .operators import multimodal
+
+    media = multimodal.synthesize_media(
+        load_table(spark, sf_dir, "documents", split=True)
+    )
+    out = multimodal.extract_features(media, n_features=8)
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "content_md5",
+        F.transform("features", lambda x: F.round(x, 6)).alias("features"),
+    )
+
+
+@query(
     "ngram_counts",
     oracle="""
     WITH g AS (

@@ -2,12 +2,14 @@
 ``extract_text_from_pdf`` re-expressed as a distributed binaryFile
 scan + mapInPandas decode.
 
-The PDF codec (pypdf/PyPDF2) is NOT in this container, so the real
-decode raises NotImplementedError behind an import-try, exactly like
-the multimodal decoders; ``decoder="fake"`` treats the payload as
-utf-8 text (one page per form-feed), which keeps every piece of Spark
-plumbing — the binaryFile source, Arrow batching, the output schema —
-real and tested. Dropping in the real library is a one-function change.
+The real decode imports pypdf (or PyPDF2's modern PdfReader API) when
+the wheel exists and extracts page texts joined with newlines —
+prepare_data.py:31 parity. Where no codec is installed (this
+container), ``decoder="auto"`` falls back to the deterministic fake
+decoder (payload as utf-8 text, one page per form-feed), which keeps
+every piece of Spark plumbing — the binaryFile source, Arrow batching,
+the output schema — real and tested; ``decoder="real"`` raises
+instead of silently degrading.
 
 At scale: spark.read.format("binaryFile") distributes file reads
 across executors (one task per file split set); decode is
@@ -20,29 +22,33 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+_PDF_MOD = None
 try:  # pragma: no cover - not in this container
-    import pypdf  # type: ignore  # noqa: F401
-
-    _HAVE_PDF = True
+    import pypdf as _PDF_MOD  # type: ignore  # noqa: F401
 except ImportError:
     try:  # pragma: no cover
-        import PyPDF2  # type: ignore  # noqa: F401
-
-        _HAVE_PDF = True
+        import PyPDF2 as _PDF_MOD  # type: ignore  # noqa: F401
     except ImportError:
-        _HAVE_PDF = False
+        _PDF_MOD = None
+
+_HAVE_PDF = _PDF_MOD is not None and hasattr(_PDF_MOD, "PdfReader")
 
 
 def extract_text_from_pdf(content: bytes) -> str:
-    """Real decode path (prepare_data.py:31): concatenates page texts
-    with newlines. Raises until a PDF library is installed."""
+    """Real decode path (prepare_data.py:31): page texts joined with
+    newlines. Raises until a PDF library is installed."""
     if not _HAVE_PDF:
         raise NotImplementedError(
-            "PDF decode requires pypdf/PyPDF2 — not in this container; "
+            "PDF decode requires pypdf/PyPDF2>=3 — not in this container; "
             "use pdf_to_documents(..., decoder='fake') for the tested "
             "plumbing path"
         )
-    raise AssertionError("unreachable")  # pragma: no cover
+    from io import BytesIO  # pragma: no cover - needs the wheel
+
+    reader = _PDF_MOD.PdfReader(BytesIO(content))  # pragma: no cover
+    return "\n".join(
+        (page.extract_text() or "") for page in reader.pages
+    )  # pragma: no cover
 
 
 def _fake_extract(content: bytes) -> str:
@@ -52,12 +58,22 @@ def _fake_extract(content: bytes) -> str:
 
 
 def pdf_to_documents(
-    spark: SparkSession, path_glob: str, decoder: str = "real"
+    spark: SparkSession, path_glob: str, decoder: str = "auto"
 ) -> DataFrame:
     """Distributed PDF → documents rows: binaryFile scan → mapInPandas
-    decode → (path, n_pages_hint, text, n_chars). The doc_id is the
-    stable md5 of the file path (reproducible across runs/cluster
-    sizes)."""
+    decode → (path, text, n_chars).
+
+    decoder: "auto" = real pypdf extraction when the wheel exists,
+    fake utf-8/form-feed decode otherwise; "real" = require the wheel
+    (raises without it); "fake" = force the deterministic stub."""
+    if decoder == "auto":
+        decoder = "real" if _HAVE_PDF else "fake"
+    if decoder == "real" and not _HAVE_PDF:
+        # fail at plan build, not wrapped inside a Python worker
+        raise NotImplementedError(
+            "decoder='real' requires pypdf/PyPDF2>=3 (not installed); "
+            "use decoder='auto' to fall back to the fake codec"
+        )
     extract = extract_text_from_pdf if decoder == "real" else _fake_extract
     files = spark.read.format("binaryFile").load(path_glob)
 

@@ -53,14 +53,24 @@ def load_table(
         # rejects natively; read it as raw nanos (long). Event-time
         # queries do exact integer arithmetic on `ts_ns` (matching the
         # oracle's epoch_ns) — `ts` stays available as a micros-precision
-        # timestamp for streaming/watermark use.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp for streaming/watermark use. The legacy conf is
+        # captured at read-build time, so it is saved/restored around
+        # the read instead of leaking into the session (where it would
+        # silently turn later TIMESTAMP(NANOS) reads into longs).
         from pyspark.sql import functions as F
 
-        return (
-            spark.read.parquet(f"{sf_dir}/{name}.parquet")
-            .withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+        return df.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
         )
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if split is None:

@@ -74,6 +74,28 @@ def test_qa_pairs_feed_eval_retrieval(spark, sf_dir, tmp_path):
     assert all(r.hit_rank == 1 and r.grade == 1.0 for r in out)
 
 
+def test_eval_from_qa_files_end_to_end(spark, sf_dir, tmp_path):
+    """The single-call eval surface: QA text files in, per-question
+    grades out (eval.py:30 parse + eval.py:58 loop, distributed)."""
+    from rag_system_vector_db_spark.operators.rag import eval_from_qa_files
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    texts = [r.text for r in docs.select("text").orderBy("doc_id").collect()]
+    q = tmp_path / "questions.txt"
+    a = tmp_path / "answers.txt"
+    # 2 questions that ARE corpus texts (rank-1 expected) + 1 that isn't
+    q.write_text(texts[0] + "\n" + texts[1] + "\nunmatched question\n")
+    a.write_text("ans0\nans1\nans2\n")
+    out = {r.qa_id: r for r in eval_from_qa_files(
+        spark, docs, str(q), str(a), k=5
+    ).collect()}
+    assert len(out) == 3
+    assert out[0].hit_rank == 1 and out[0].grade == 1.0
+    assert out[1].hit_rank == 1 and out[1].grade == 1.0
+    assert out[2].hit_rank is None and out[2].grade == 0.0
+    assert out[2].expected_answer == "ans2"
+
+
 def test_hybrid_rrf_fuses_both_towers(spark, sf_dir):
     """RRF must include docs from either tower (full outer) and score
     docs present in both above the floor of a single tower at the same

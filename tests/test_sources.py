@@ -77,10 +77,7 @@ def test_pdf_ingest_fake_decoder(spark, tmp_path):
     """binaryFile -> mapInPandas decode plumbing with the deterministic
     fake decoder (real codec not installed); page breaks become
     newlines, exactly the reference's page-join."""
-    from rag_system_vector_db_spark.sources.pdf import (
-        extract_text_from_pdf,
-        pdf_to_documents,
-    )
+    from rag_system_vector_db_spark.sources.pdf import pdf_to_documents
 
     d = tmp_path / "pdfs"
     d.mkdir()
@@ -92,9 +89,36 @@ def test_pdf_ingest_fake_decoder(spark, tmp_path):
     assert out["a.pdf"].text == "page one\npage two"
     assert out["b.pdf"].text == "single page"
     assert out["b.pdf"].n_chars == 11
-    # the real path is an explicit stub until a codec lands
-    with pytest.raises(NotImplementedError):
-        extract_text_from_pdf(b"%PDF-1.4 ...")
+
+
+def test_pdf_decoder_auto_and_real(spark, tmp_path):
+    """decoder='auto' uses real pypdf extraction when the wheel exists,
+    falls back to the fake codec otherwise; decoder='real' never
+    silently degrades."""
+    from rag_system_vector_db_spark.sources import pdf as pdf_mod
+
+    d = tmp_path / "pdfs_auto"
+    d.mkdir()
+    if pdf_mod._HAVE_PDF:
+        from io import BytesIO
+
+        # build a tiny real PDF via the installed lib, round-trip it
+        writer = pdf_mod._PDF_MOD.PdfWriter()
+        writer.add_blank_page(width=72, height=72)
+        buf = BytesIO()
+        writer.write(buf)
+        (d / "real.pdf").write_bytes(buf.getvalue())
+        rows = pdf_mod.pdf_to_documents(spark, str(d)).collect()
+        assert len(rows) == 1  # decoded by the real path, no raise
+    else:
+        (d / "fake.pdf").write_bytes(b"page one\x0cpage two")
+        rows = pdf_mod.pdf_to_documents(spark, str(d)).collect()  # auto->fake
+        assert rows[0].text == "page one\npage two"
+        # the real path is an explicit stub until a codec lands
+        with pytest.raises(NotImplementedError):
+            pdf_mod.extract_text_from_pdf(b"%PDF-1.4 ...")
+        with pytest.raises(NotImplementedError):
+            pdf_mod.pdf_to_documents(spark, str(d), decoder="real")
 
 
 def test_pdf_ingest_feeds_chunker(spark, tmp_path):

@@ -33,9 +33,21 @@ NOTES = {
     ),
     "hybrid_search_rrf": (
         "BM25 tower touches only query-term postings (filter under the "
-        "explode); both towers reduce via agg-based top-k; RRF is a "
-        "full-outer join of two depth-20 relations; query vector enters "
-        "as a broadcast row."
+        "explode); corpus stats (N, avgdl) aggregate length-translate "
+        "scalars — no second tokenize/explode; both towers reduce via "
+        "agg-based top-k; RRF is a full-outer join of two depth-20 "
+        "relations; query vector enters as a broadcast row."
+    ),
+    "ann_probe_sweep": (
+        "ONE bucket join serves every probe budget: probe rows carry "
+        "min-budget, the budget dimension is an exploded column, and "
+        "recall + candidate counts aggregate per budget — no per-budget "
+        "driver loop or repeated corpus passes."
+    ),
+    "ann_ivf_rerank": (
+        "Centroids are broadcast literals (sample-trained quantizer); "
+        "probed cells score QUANTIZED vectors into a shortlist; exact "
+        "cosine re-scores only shortlist x Q rows via broadcast joins."
     ),
     "tfidf_top_terms": (
         "One explode subtree; df is an unordered count window over tf "
