@@ -57,6 +57,13 @@ _VERIFY_FIRST = [
     "ann_probe_sweep",
     # new queries() entries this round
     "multimodal_pipeline",
+    # r2 training-data curation suite
+    "repetition_stats",
+    "quality_filters",
+    "benchmark_contamination",
+    "corpus_mix",
+    "length_histogram",
+    "pca_project",
 ]
 
 

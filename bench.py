@@ -70,6 +70,13 @@ EXTRA = [
     "ann_probe_sweep",
     "dedup_embedding_cosine",
     "split_large_chunks",
+    # r2 curation suite
+    "repetition_stats",
+    "quality_filters",
+    "benchmark_contamination",
+    "corpus_mix",
+    "length_histogram",
+    "pca_project",
 ]
 
 

@@ -74,6 +74,74 @@ def embed_documents(
     return docs.withColumn(out_col, embed_udf(F.col(text_col)))
 
 
+def pca_fit_sample(
+    sf_dir: str,
+    n_components: int = 2,
+    sample_limit: int = 4096,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[list[float]]]:
+    """Fit a PCA basis on a bounded deterministic sample, driver-side
+    in numpy — the same posture as ann.kmeans_fit_sample: dimensionality
+    models train on an O(100k) subsample regardless of corpus size, the
+    projection then applies to every vector via broadcast literals.
+    Reads the first ``sample_limit`` vectors by id straight from
+    parquet (KB-to-MB scale, no Spark job), float64 eigh, components
+    sign-fixed so each one's largest-|loading| entry is positive —
+    fully reproducible, so the basis can be inlined as SQL literals
+    into a DuckDB oracle exactly like LSH planes / IVF centroids.
+    Returns (mean, components[n_components][dim])."""
+    import duckdb
+
+    rel = duckdb.sql(
+        f"SELECT {id_col}, {vec_col} FROM read_parquet('{sf_dir}/{table}.parquet') "
+        f"ORDER BY {id_col} LIMIT {sample_limit}"
+    )
+    x = np.array([list(r[1]) for r in rel.fetchall()], dtype=np.float64)
+    mu = x.mean(axis=0)
+    xc = x - mu
+    _, vecs = np.linalg.eigh(xc.T @ xc)  # ascending eigenvalues
+    comps = []
+    for i in range(1, n_components + 1):
+        v = vecs[:, -i]
+        if v[int(np.abs(v).argmax())] < 0:
+            v = -v
+        comps.append([float(c) for c in v])
+    return [float(m) for m in mu], comps
+
+
+def pca_project(
+    vectors: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project every vector onto a fitted PCA basis — the 2-D/low-D
+    map used for corpus visualization and density-based curation.
+
+    pc_i = dot(vec, comp_i) - dot(mean, comp_i): the mean offset is a
+    per-component SCALAR baked in at plan time, so the per-row work is
+    one zip_with/aggregate dot product per component (JVM-side HOFs,
+    sequential double accumulation — bit-stable vs the DuckDB oracle's
+    list_sum). Components ride the plan as literals; no shuffle, no
+    Python workers. Returns (id, pc1..pcK) rounded to 6dp."""
+    from ..functions import vector as V
+
+    outs = [F.col(id_col)]
+    for i, comp in enumerate(components, start=1):
+        lit = F.array(*[F.lit(float(c)) for c in comp])
+        # scalar offset computed the same sequential way both engines use
+        off = 0.0
+        for m, c in zip(mean, comp):
+            off += m * c
+        outs.append(
+            F.round(V.dot(F.col(vec_col), lit) - F.lit(off), 6).alias(f"pc{i}")
+        )
+    return vectors.select(*outs)
+
+
 def label_centroids(
     vectors: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -2089,3 +2089,184 @@ def sessionize_events(spark, sf_dir):
     from .plans import analytics
 
     return analytics.sessionize_events(spark, sf_dir)
+
+
+# --- training-data curation suite (r2): repetition, filter gates,
+# contamination, mix, length profile, PCA map ---
+
+
+_DD_TOKS = "string_split(text, ' ')"
+
+
+@query(
+    "repetition_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_DD_TOKS}) AS g FROM documents),
+    tc AS (SELECT doc_id, g, count(*) AS c FROM toks WHERE g <> '' GROUP BY 1, 2),
+    t1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  CAST(count(*) AS BIGINT) AS n_uniq_tokens,
+                  max(c) AS top_c,
+                  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c
+           FROM tc GROUP BY 1),
+    g2 AS (SELECT doc_id,
+                  unnest(CASE WHEN len({_DD_TOKS}) < 2 THEN []::VARCHAR[] ELSE
+                         [array_to_string(({_DD_TOKS})[i + 1 : i + 2], ' ')
+                          FOR i IN range(len({_DD_TOKS}) - 1)] END) AS g
+           FROM documents),
+    gc AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+    t2 AS (SELECT doc_id, sum(c) AS n2, max(c) AS top2_c,
+                  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup2_c
+           FROM gc GROUP BY 1)
+    SELECT t1.doc_id, n_tokens, n_uniq_tokens,
+           round(CAST(dup_c AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
+           round(CAST(top_c AS DOUBLE) / n_tokens, 6) AS top_token_frac,
+           round(coalesce(CAST(top2_c AS DOUBLE) / n2, 0.0), 6) AS top_2gram_frac,
+           round(coalesce(CAST(dup2_c AS DOUBLE) / n2, 0.0), 6) AS dup_2gram_frac
+    FROM t1 LEFT JOIN t2 ON t1.doc_id = t2.doc_id
+    """,
+)
+def repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals (dup-token / top-token /
+    2-gram shares) per document."""
+    from .operators import curation
+
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    return curation.repetition_stats(docs)
+
+
+@query(
+    "quality_filters",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len({_DD_TOKS}) AS BIGINT) AS n,
+             CAST(length(text) - (len({_DD_TOKS}) - 1) AS DOUBLE)
+               / len({_DD_TOKS}) AS mean_wl,
+             CAST(len(list_filter({_DD_TOKS},
+                  t -> list_contains(['the','a','an','and','or','of','to','in','on','for','is','are','was','be','it','this','that','with','as','at'], t)))
+               AS DOUBLE) / len({_DD_TOKS}) AS swf,
+             CAST(len(list_distinct({_DD_TOKS})) AS DOUBLE)
+               / len({_DD_TOKS}) AS ttr
+      FROM documents)
+    SELECT doc_id, n AS n_tokens,
+           round(mean_wl, 6) AS mean_word_len,
+           round(swf, 6) AS stopword_frac,
+           round(ttr, 6) AS ttr,
+           (n >= 20 AND n <= 80) AS ok_len,
+           (mean_wl >= 3.0 AND mean_wl <= 8.0) AS ok_word_len,
+           swf >= 0.05 AS ok_stopwords,
+           ttr >= 0.3 AS ok_ttr,
+           (n >= 20 AND n <= 80 AND mean_wl >= 3.0 AND mean_wl <= 8.0
+            AND swf >= 0.05 AND ttr >= 0.3) AS keep
+    FROM q
+    """,
+)
+def quality_filters(spark, sf_dir):
+    """C4/Gopher-style hard filter gates: per-rule booleans + `keep`
+    conjunction, thresholds compared at full double precision."""
+    from .operators import curation
+
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    return curation.quality_filters(docs)
+
+
+@query(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH gr AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(list_distinct(CASE WHEN len({_DD_TOKS}) < 4 THEN []::VARCHAR[] ELSE
+                      [array_to_string(({_DD_TOKS})[i + 1 : i + 4], ' ')
+                       FOR i IN range(len({_DD_TOKS}) - 3)] END)) AS g
+        FROM documents)
+      WHERE g <> ''),
+    bench AS (SELECT doc_id AS bench_id, g FROM gr WHERE doc_id % 53 = 0),
+    hits AS (SELECT gr.doc_id, gr.g, b.bench_id
+             FROM gr JOIN bench b ON gr.g = b.g AND gr.doc_id <> b.bench_id)
+    SELECT doc_id,
+           CAST(count(DISTINCT g) AS BIGINT) AS n_shared_grams,
+           CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
+    FROM hits GROUP BY doc_id
+    """,
+)
+def benchmark_contamination(spark, sf_dir):
+    """Eval-set n-gram contamination scan (benchmark = doc_id % 53
+    subset, word 4-grams, benchmark grams broadcast)."""
+    from .operators import curation
+
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    return curation.benchmark_contamination(docs)
+
+
+@query(
+    "corpus_mix",
+    oracle=f"""
+    WITH agg AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_DD_TOKS})) AS BIGINT) AS total_tokens,
+             CAST(sum(length(text)) AS BIGINT) AS total_chars
+      FROM documents GROUP BY 1, 2)
+    SELECT source, lang, n_docs, total_tokens, total_chars,
+           round(CAST(total_tokens AS DOUBLE) / sum(total_tokens) OVER (), 6)
+             AS token_share
+    FROM agg
+    """,
+)
+def corpus_mix(spark, sf_dir):
+    """Training-mix table per (source, lang) with corpus token shares."""
+    from .operators import curation
+
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    return curation.corpus_mix(docs)
+
+
+@query(
+    "length_histogram",
+    oracle=f"""
+    WITH b AS (
+      SELECT lang, CAST(len({_DD_TOKS}) AS BIGINT) AS n FROM documents)
+    SELECT lang, n - (n % 16) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(min(n) AS BIGINT) AS min_tokens,
+           CAST(max(n) AS BIGINT) AS max_tokens
+    FROM b GROUP BY 1, 2
+    """,
+)
+def length_histogram(spark, sf_dir):
+    """Token-length histogram per (lang, 16-wide bin), integer-exact
+    bin edges."""
+    from .operators import curation
+
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    return curation.length_histogram(docs)
+
+
+@query("pca_project")  # oracle: LAZY_ORACLES["pca_project"] (per-sf basis literals)
+def pca_project(spark, sf_dir):
+    """PCA corpus map: sample-fit basis (driver-side numpy, bounded
+    deterministic sample) applied to every embedding as broadcast
+    literals — dot-product HOFs, no shuffle."""
+    from .operators import embedding
+
+    mean, comps = embedding.pca_fit_sample(sf_dir, n_components=2)
+    vecs = load_table(spark, sf_dir, "embeddings", split=True)
+    return embedding.pca_project(vecs, mean, comps)
+
+
+def _pca_oracle(sf_dir: str) -> str:
+    from .operators import embedding
+
+    mean, comps = embedding.pca_fit_sample(sf_dir, n_components=2)
+    cols = []
+    for i, comp in enumerate(comps, start=1):
+        lit = f"[{', '.join(repr(x) for x in comp)}]::DOUBLE[]"
+        off = 0.0
+        for m, c in zip(mean, comp):
+            off += m * c
+        cols.append(f"round({_dd_dot('embedding', lit)} - {off!r}, 6) AS pc{i}")
+    return f"SELECT vec_id, {', '.join(cols)} FROM embeddings"
+
+
+LAZY_ORACLES["pca_project"] = _pca_oracle
