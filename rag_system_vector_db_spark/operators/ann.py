@@ -30,16 +30,29 @@ def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     return [[float(x) for x in rng.standard_normal(dim)] for _ in range(n_planes)]
 
 
-def _plane_lit(plane: list[float]):
-    return F.array(*[F.lit(x) for x in plane])
+def _mat_lit(vecs: list[list[float]]):
+    """A list-of-vectors as ONE nested array literal. Building the same
+    thing as F.array(F.lit(x) per element, per vector) costs one py4j
+    round-trip per scalar — 512 calls for 8x64 centroids, several
+    seconds of pure plan-construction latency per query build. One
+    nested F.lit is one call."""
+    return F.lit([[float(x) for x in v] for v in vecs])
 
 
 def lsh_bucket(vec_col, planes: list[list[float]]):
-    """Bucket id = bit b set iff dot(v, plane_b) > 0."""
-    bucket = F.lit(0).cast("long")
-    for b, p in enumerate(planes):
-        bucket = bucket + F.when(V.dot(vec_col, _plane_lit(p)) > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return bucket
+    """Bucket id = bit b set iff dot(v, plane_b) > 0. The planes enter
+    as one nested literal and each dot appears exactly once
+    (transform), keeping both plan-build time and the interpreted-HOF
+    tree size linear in n_planes."""
+    dots = F.transform(_mat_lit(planes), lambda p: V.dot(vec_col, p))
+    weights = F.lit([1 << b for b in range(len(planes))]).cast("array<long>")
+    return F.aggregate(
+        F.zip_with(
+            dots, weights, lambda d, w: F.when(d > 0, w).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
 
 
 def ann_lsh_topk(
@@ -289,8 +302,8 @@ def kmeans_fit(
     centroids = [[float(x) for x in r[0]] for r in init]
     dim = len(centroids[0])
     for _ in range(n_iter):
-        assigned = vectors.select(
-            F.col(vec_col), _nearest_centroid(F.col(vec_col), centroids).alias("cluster")
+        assigned = with_cell(vectors, vec_col, centroids, out_col="cluster").select(
+            F.col(vec_col), "cluster"
         )
         sums = assigned.groupBy("cluster").agg(
             *[F.sum(F.col(vec_col)[d].cast("double")).alias(f"s{d}") for d in range(dim)],
@@ -316,19 +329,44 @@ def _by_dist_then_cell(a, b):
     )
 
 
-def _nearest_centroid(vec_col, centroids: list[list[float]]):
-    """Argmin of euclidean distance over broadcast centroid literals."""
-    best_d = None
-    best_i = F.lit(0)
-    for i, c in enumerate(centroids):
-        d = V.euclidean(vec_col, _plane_lit(c))
-        if best_d is None:
-            best_d, best_i = d, F.lit(i)
-        else:
-            cond = d < best_d
-            best_i = F.when(cond, F.lit(i)).otherwise(best_i)
-            best_d = F.when(cond, d).otherwise(best_d)
-    return best_i
+def _centroid_dists(vec_col, centroids: list[list[float]]):
+    """Array of euclidean distances to each broadcast centroid literal
+    — each distance expression appears exactly ONCE. (A nested
+    when(d < best, ...)-chain argmin duplicates every distance subtree
+    into each later branch; HOFs evaluate interpreted with no common
+    subexpression elimination, so that formulation re-ran the 64-dim
+    euclideans hundreds of times per row — measured 15x slower at
+    sf0.1.)"""
+    return F.transform(_mat_lit(centroids), lambda c: V.euclidean(vec_col, c))
+
+
+def _argmin(darr):
+    """Index of the first minimum (ties -> lowest cid, the oracle's
+    ORDER BY d, cid). Evaluate on a MATERIALIZED distance column —
+    passing the raw _centroid_dists expression here would inline it
+    twice."""
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+
+def _probe_structs(query_vec_col, centroids: list[list[float]]):
+    """(cell, distance) structs for probe-order sorting — nested
+    literal + index-transform, one euclidean subtree per centroid."""
+    return F.transform(
+        _mat_lit(centroids),
+        lambda c, i: F.struct(
+            i.alias("cell"), V.euclidean(query_vec_col, c).alias("d")
+        ),
+    )
+
+
+def with_cell(df: DataFrame, vec_col, centroids, out_col: str = "_cell") -> DataFrame:
+    """Attach the nearest-centroid cell id; the distance array is
+    materialized once per row then dropped."""
+    return (
+        df.withColumn("_cd", _centroid_dists(F.col(vec_col), centroids))
+        .withColumn(out_col, _argmin(F.col("_cd")))
+        .drop("_cd")
+    )
 
 
 def ann_ivf_topk(
@@ -344,18 +382,14 @@ def ann_ivf_topk(
 ) -> DataFrame:
     """IVF probe search: per query, score only the nprobe nearest
     centroid cells. Returns (query_id, id, score, rank)."""
-    cell = corpus.withColumn("_cell", _nearest_centroid(F.col(vec_col), centroids))
-    probes = []
-    for i, c in enumerate(centroids):
-        probes.append(
-            F.struct(F.lit(i).alias("cell"), V.euclidean(F.col(query_vec_col), _plane_lit(c)).alias("d"))
-        )
+    cell = with_cell(corpus, vec_col, centroids)
+    probes = _probe_structs(F.col(query_vec_col), centroids)
     qcells = (
         queries.select(
             query_id_col,
             query_vec_col,
             F.explode(
-                F.slice(F.array_sort(F.array(*probes), _by_dist_then_cell), 1, nprobe)
+                F.slice(F.array_sort(probes, _by_dist_then_cell), 1, nprobe)
             ).alias("p"),
         )
         .select(query_id_col, query_vec_col, F.col("p.cell").alias("_cell"))
@@ -403,23 +437,17 @@ def ann_ivf_rerank_topk(
     quant = F.transform(
         F.col(vec_col).cast("array<double>"), lambda x: F.round(x, quant_decimals)
     )
-    cell = corpus.select(
-        F.col(id_col),
-        quant.alias("_qv"),
-        _nearest_centroid(F.col(vec_col), centroids).alias("_cell"),
-    )
-    probes = [
-        F.struct(
-            F.lit(i).alias("cell"),
-            V.euclidean(F.col(query_vec_col), _plane_lit(c)).alias("d"),
-        )
-        for i, c in enumerate(centroids)
-    ]
+    cell = with_cell(
+        corpus.select(F.col(id_col), quant.alias("_qv"), F.col(vec_col)),
+        vec_col,
+        centroids,
+    ).select(id_col, "_qv", "_cell")
+    probes = _probe_structs(F.col(query_vec_col), centroids)
     qcells = queries.select(
         query_id_col,
         query_vec_col,
         F.explode(
-            F.slice(F.array_sort(F.array(*probes), _by_dist_then_cell), 1, nprobe)
+            F.slice(F.array_sort(probes, _by_dist_then_cell), 1, nprobe)
         ).alias("p"),
     ).select(query_id_col, query_vec_col, F.col("p.cell").alias("_cell"))
     from .knn import topk_per_key_agg

@@ -1134,9 +1134,12 @@ def ann_ivf(spark, sf_dir):
     hash-checked."""
     from .operators import ann
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # corpus side split: cell assignment is CPU-heavy per-row work
+    # (K 64-dim distances in interpreted HOFs); query side stays an
+    # unsplit scan so no exchange sits under the broadcast.
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
     centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
-    queries = emb.filter(F.col("vec_id") < 5).select(
+    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     out = ann.ann_ivf_topk(emb, queries, centroids, k=3, nprobe=2)
@@ -1271,9 +1274,11 @@ def ann_ivf_rerank(spark, sf_dir):
     fully hash-checked."""
     from .operators import ann
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # split/unsplit sides chosen as in ann_ivf (heavy map work vs
+    # broadcast query scan)
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
     centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
-    queries = emb.filter(F.col("vec_id") < 5).select(
+    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     out = ann.ann_ivf_rerank_topk(emb, queries, centroids, k=3, nprobe=2, shortlist=10)

@@ -105,3 +105,49 @@ def test_multiprobe_broadcasts_query_side(spark, sf_dir):
     plan = _plan(QUERIES["ann_lsh_multiprobe"](spark, sf_dir))
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan  # corpus never shuffles for the probe join
+
+
+def test_quality_filters_zero_shuffle(spark, sf_dir):
+    """Pure codegen filter gates: no aggregate, no hash exchange —
+    the only allowed exchange is the gated small-file round-robin
+    split."""
+    plan = _plan(QUERIES["quality_filters"](spark, sf_dir))
+    assert "HashAggregate" not in plan and "Window" not in plan
+    assert "hashpartitioning" not in plan
+    assert "EvalPython" not in plan  # JVM-only
+
+
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    plan = _plan(QUERIES["benchmark_contamination"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan  # corpus side must not shuffle-join
+
+
+def test_repetition_stats_partial_aggs(spark, sf_dir):
+    plan = _plan(QUERIES["repetition_stats"](spark, sf_dir))
+    # both explode subtrees reduce via partial+final HashAggregate pairs
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_pca_project_is_map_only(spark, sf_dir):
+    """Projection against literal basis: no shuffle beyond the gated
+    split, no Python workers, embeddings scan prunes the label col."""
+    plan = _plan(QUERIES["pca_project"](spark, sf_dir))
+    assert "hashpartitioning" not in plan
+    assert "EvalPython" not in plan
+    assert "label" not in plan.split("ReadSchema")[1][:300]
+
+
+def test_ivf_cell_assignment_single_distance_subtrees(spark, sf_dir):
+    """The argmin must reference the materialized distance array, not
+    inline one euclidean tree per comparison branch (the when-chain
+    regression: interpreted HOFs get no CSE)."""
+    from rag_system_vector_db_spark.operators import ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
+    plan = _optimized(ann.with_cell(emb, "embedding", cents))
+    # one aggregate(zip_with(...)) euclidean per centroid, inside ONE
+    # transform over the nested literal -> the distance machinery
+    # appears O(1) times, not O(k) or O(2^k)
+    assert plan.count("zip_with") <= 2

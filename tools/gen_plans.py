@@ -47,7 +47,20 @@ NOTES = {
     "ann_ivf_rerank": (
         "Centroids are broadcast literals (sample-trained quantizer); "
         "probed cells score QUANTIZED vectors into a shortlist; exact "
-        "cosine re-scores only shortlist x Q rows via broadcast joins."
+        "cosine re-scores only shortlist x Q rows via broadcast joins. "
+        "Cell assignment is an array-argmin over ONE nested centroid "
+        "literal (each distance subtree appears once; a when-chain "
+        "argmin re-evaluated them combinatorially — 15x slower)."
+    ),
+    "benchmark_contamination": (
+        "Benchmark-side grams BROADCAST (eval sets are small); the "
+        "corpus-side explode joins without a shuffle and only matching "
+        "grams reach the per-doc aggregation."
+    ),
+    "repetition_stats": (
+        "Two explode subtrees each reduced by map-side-combinable "
+        "HashAggregate pairs keyed (doc, gram) then (doc); the final "
+        "join reuses the doc-hash partitioning from both aggs."
     ),
     "tfidf_top_terms": (
         "One explode subtree; df is an unordered count window over tf "
