@@ -77,6 +77,11 @@ EXTRA = [
     "corpus_mix",
     "length_histogram",
     "pca_project",
+    # r2 vector-index build suite
+    "ann_pq_adc",
+    "pq_reconstruction_error",
+    "embedding_quantize_int8",
+    "ann_ivf_indexed",
 ]
 
 

@@ -407,6 +407,168 @@ def ann_ivf_topk(
     return topk_per_key_agg(scored, query_id_col, id_col, k)
 
 
+# --- PQ (product quantization) ---
+
+
+def pq_fit_sample(
+    sf_dir: str,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 3,
+    sample_limit: int = 4096,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train per-subspace PQ codebooks (Jégou PAMI'11) on a bounded
+    deterministic sample, driver-side in numpy — same posture as
+    ``kmeans_fit_sample``: faiss trains PQ on an O(100k) subsample
+    however large the corpus is, then encodes everything against the
+    broadcast codebooks. dim must divide evenly into ``m`` subspaces;
+    each gets an independent ``k``-centroid Lloyd fit (init = first k
+    sample subvectors, ties -> lowest code). Returns
+    codebooks[m][k][dim/m], inlineable as SQL literals for oracles."""
+    import duckdb
+
+    rel = duckdb.sql(
+        f"SELECT {id_col}, {vec_col} FROM read_parquet('{sf_dir}/{table}.parquet') "
+        f"ORDER BY {id_col} LIMIT {sample_limit}"
+    )
+    x = np.array([list(r[1]) for r in rel.fetchall()], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    dsub = dim // m
+    books: list[list[list[float]]] = []
+    for mi in range(m):
+        xs = x[:, mi * dsub : (mi + 1) * dsub]
+        cents = xs[:k].copy()
+        for _ in range(n_iter):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # ties -> lowest code
+            for c in range(k):
+                members = xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append([[float(v) for v in c] for c in cents])
+    return books
+
+
+def _euclid2(a, b):
+    """Squared euclidean between two array expressions, sequential
+    double accumulation (no sqrt — PQ argmin/ADC sum squared terms;
+    the oracle's list_sum matches this order exactly)."""
+    d = F.zip_with(
+        a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x - y
+    )
+    return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v * v)
+
+
+def _books_lit(codebooks: list[list[list[float]]]):
+    """codebooks[m][k][dsub] as ONE nested literal (see _mat_lit)."""
+    return F.lit([[[float(x) for x in c] for c in book] for book in codebooks])
+
+
+def _subvectors(vec_col, m: int, dsub: int):
+    """The m subspace slices of a vector, as an array of arrays."""
+    v = vec_col.cast("array<double>")
+    return F.array(*[F.slice(v, mi * dsub + 1, dsub) for mi in range(m)])
+
+
+def pq_code_expr(vec_col, codebooks: list[list[list[float]]]):
+    """PQ encode: per subspace, the code of the nearest centroid by
+    squared euclidean (ties -> lowest code, matching the oracle's
+    ORDER BY d, code). One zip_with pairs each subvector with its
+    codebook, so every distance subtree evaluates exactly once; the
+    argmin runs on the materialized per-subspace distance array.
+    Returns an array<int> of m codes."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    dists = F.zip_with(
+        _books_lit(codebooks),
+        _subvectors(vec_col, m, dsub),
+        lambda book, sv: F.transform(book, lambda c: _euclid2(sv, c)),
+    )
+    return F.transform(
+        dists, lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int")
+    )
+
+
+def pq_adc_dist(query_vec_col, codes_col, codebooks: list[list[list[float]]]):
+    """Asymmetric distance (ADC): euclidean between the full-precision
+    query and a corpus vector's PQ reconstruction — computed straight
+    from the codes, Σ_m ||q_m - codebook[m][code_m]||², left-to-right
+    over subspaces (the oracle adds its per-subspace terms in the same
+    order), sqrt once at the end."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cb = _books_lit(codebooks)
+    total = None
+    for mi in range(m):
+        sv = F.slice(query_vec_col.cast("array<double>"), mi * dsub + 1, dsub)
+        cent = F.element_at(F.element_at(cb, mi + 1), codes_col[mi] + 1)
+        t = _euclid2(sv, cent)
+        total = t if total is None else total + t
+    return F.sqrt(total)
+
+
+def ann_pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """PQ-compressed exhaustive search (faiss IndexPQ): the corpus is
+    encoded to m small codes (m bytes/vector instead of dim×4), every
+    query scans ALL codes with ADC — the memory-bound regime where the
+    working set shrinks 64× and the scan stays sequential. Combine
+    with IVF cell pruning for the IVF-PQ serving shape
+    (ann_ivf_rerank_topk shows the shortlist+rerank half).
+    Returns (query_id, id, dist, rank), dist ascending."""
+    from .knn import topk_per_key_agg
+
+    coded = corpus.select(
+        F.col(id_col), pq_code_expr(F.col(vec_col), codebooks).alias("_codes")
+    )
+    scored = coded.join(
+        F.broadcast(queries.select(query_id_col, query_vec_col))
+    ).select(
+        query_id_col,
+        id_col,
+        pq_adc_dist(F.col(query_vec_col), F.col("_codes"), codebooks).alias("dist"),
+    )
+    return topk_per_key_agg(scored, query_id_col, id_col, k, score_col="dist", asc=True)
+
+
+def pq_reconstruction_error(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index-quality metric: per-subspace mean squared quantization
+    error over the whole corpus (the number PQ papers tune m/k
+    against). Encode + per-subspace error in one narrow projection,
+    then a single map-side-combinable groupBy(subspace).
+    Returns (subspace, n, mse)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    errs = F.zip_with(
+        _books_lit(codebooks),
+        _subvectors(F.col(vec_col), m, dsub),
+        lambda book, sv: F.array_min(F.transform(book, lambda c: _euclid2(sv, c))),
+    )
+    return (
+        corpus.select(F.posexplode(errs).alias("subspace", "e2"))
+        .groupBy("subspace")
+        .agg(F.count("*").alias("n"), F.round(F.avg("e2"), 6).alias("mse"))
+        .select(F.col("subspace").cast("long"), F.col("n").cast("long"), "mse")
+    )
+
+
 def ann_ivf_rerank_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -473,3 +635,65 @@ def ann_ivf_rerank_topk(
         )
     )
     return topk_per_key_agg(exact, query_id_col, id_col, k)
+
+
+# --- IVF as a materialized, partition-pruned index layout ---
+
+
+def ivf_index_build(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Batch index build (the north-star workload): assign every vector
+    its IVF cell and materialize the corpus as a CELL-PARTITIONED
+    parquet layout. Probing then reads only nprobe directories per
+    query — partition pruning does the inverted-file lookup, no
+    per-row filter ever touches non-probed cells' bytes. At cluster
+    scale this is the one-off O(corpus) job that turns a 100 TB
+    embedding table into an index whose queries read nprobe/K of it."""
+    coded = with_cell(corpus, vec_col, centroids, out_col="cell").select(
+        id_col, vec_col, "cell"
+    )
+    coded.write.partitionBy("cell").mode("overwrite").parquet(index_dir)
+
+
+def ann_ivf_indexed_topk(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Probe search over the materialized index: identical result
+    contract to ann_ivf_topk, but the corpus side is the partitioned
+    layout and the cell join key is the PARTITION column — Spark's
+    dynamic partition pruning turns the broadcast probe set into
+    directory-level skips before any I/O."""
+    from .knn import topk_per_key_agg
+
+    idx = spark.read.parquet(index_dir)
+    probes = _probe_structs(F.col(query_vec_col), centroids)
+    qcells = (
+        queries.select(
+            query_id_col,
+            query_vec_col,
+            F.explode(
+                F.slice(F.array_sort(probes, _by_dist_then_cell), 1, nprobe)
+            ).alias("p"),
+        )
+        .select(query_id_col, query_vec_col, F.col("p.cell").alias("cell"))
+    )
+    scored = idx.join(F.broadcast(qcells), "cell").select(
+        query_id_col,
+        id_col,
+        V.cosine(F.col(vec_col), F.col(query_vec_col)).alias("score"),
+    )
+    return topk_per_key_agg(scored, query_id_col, id_col, k)

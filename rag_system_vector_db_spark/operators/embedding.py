@@ -161,3 +161,47 @@ def label_centroids(
         F.count("*").cast("long").alias("n"),
         F.round(F.avg("v"), 6).alias("mean_val"),
     )
+
+
+def quantize_int8_profile(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 scalar quantization profile — the compression
+    step serving stacks apply before PQ is worth it (4 bytes -> 1 byte
+    per dim, ~0.4% recall cost at 64-128d). Per dimension: absmax over
+    the corpus, scale = absmax/127, code = clamp(floor(v/scale + 0.5)),
+    and the reconstruction-error stats that decide whether int8 is
+    safe for a given corpus.
+
+    Two narrow shuffles of primitive doubles (absmax agg, then error
+    agg), both map-side-combinable; the 64-row scale table broadcasts
+    back onto the exploded values. floor(v/scale + 0.5) is used instead
+    of round() so the tie behavior is a fixed formula in both engines.
+    Returns (pos, absmax, scale, mean_abs_err, max_abs_err)."""
+    ex = vectors.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v")
+    )
+    scales = ex.groupBy("pos").agg(F.max(F.abs(F.col("v"))).alias("absmax"))
+    scales = scales.withColumn("scale", F.col("absmax") / 127)
+    code = F.greatest(
+        F.lit(-127.0),
+        F.least(F.lit(127.0), F.floor(F.col("v") / F.col("scale") + 0.5).cast("double")),
+    )
+    recon = code * F.col("scale")
+    err = F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+        F.abs(F.col("v") - recon)
+    )
+    return (
+        ex.join(F.broadcast(scales), "pos")
+        .select("pos", "absmax", "scale", err.alias("_err"))
+        .groupBy("pos", "absmax", "scale")
+        .agg(
+            F.round(F.avg("_err"), 6).alias("mean_abs_err"),
+            F.round(F.max("_err"), 6).alias("max_abs_err"),
+        )
+        .select(
+            F.col("pos").cast("long"),
+            F.round("absmax", 6).alias("absmax"),
+            F.round("scale", 6).alias("scale"),
+            "mean_abs_err",
+            "max_abs_err",
+        )
+    )

@@ -8,6 +8,8 @@ AFTER any ordering/ranking on full precision, so value-hashes agree.
 
 from __future__ import annotations
 
+import os as _os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2275,3 +2277,212 @@ def _pca_oracle(sf_dir: str) -> str:
 
 
 LAZY_ORACLES["pca_project"] = _pca_oracle
+
+
+# ---------------------------------------------------------------------------
+# PQ / quantization / materialized index (vector-index build suite)
+# ---------------------------------------------------------------------------
+
+
+def _dd_euclid2(a: str, b: str) -> str:
+    # squared euclidean — matches operators.ann._euclid2's sequential sum
+    return (
+        f"list_sum(list_transform(list_zip(({a})::DOUBLE[], ({b})::DOUBLE[]),"
+        f" x -> (x[1]-x[2])*(x[1]-x[2])))"
+    )
+
+
+def _books_sql(books) -> str:
+    rows = ", ".join(
+        f"({mi}, {ki}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for mi, book in enumerate(books)
+        for ki, c in enumerate(book)
+    )
+    return f"books(m, k, w) AS (VALUES {rows})"
+
+
+def _pq_codes_cte(books) -> str:
+    """Shared CTE: per-(vector, subspace) nearest-code assignment by
+    squared euclidean, ties -> lowest code (operators.ann.pq_code_expr's
+    argmin semantics)."""
+    dsub = len(books[0][0])
+    sub = f"list_slice((e.embedding)::DOUBLE[], b.m*{dsub} + 1, b.m*{dsub} + {dsub})"
+    return f"""
+    WITH {_books_sql(books)},
+    codes AS (
+        SELECT vec_id, m, code FROM (
+            SELECT e.vec_id, b.m, b.k AS code,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, b.m
+                       ORDER BY {_dd_euclid2(sub, 'b.w')}, b.k
+                   ) AS rn
+            FROM embeddings e CROSS JOIN books b
+        ) WHERE rn = 1
+    )
+    """
+
+
+@query("ann_pq_adc")  # oracle: LAZY_ORACLES["ann_pq_adc"] (codebook literals)
+def ann_pq_adc(spark, sf_dir):
+    """PQ-compressed exhaustive search (faiss IndexPQ shape): 4x16
+    codebooks sample-trained driver-side (Jégou PAMI'11), corpus
+    encoded to 4 codes/vector, queries scan all codes with asymmetric
+    distance. The fitted codebooks inline into the DuckDB oracle as
+    literals, so encode + ADC + ranking are all hash-checked."""
+    from .operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    books = ann.pq_fit_sample(sf_dir, m=4, k=16, n_iter=3)
+    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ann.ann_pq_adc_topk(emb, queries, books, k=3)
+    return out.select(
+        "query_id", "vec_id", F.round("dist", 6).alias("dist"), F.col("rank").cast("long")
+    )
+
+
+def _pq_adc_oracle(sf_dir: str) -> str:
+    from .operators import ann
+
+    books = ann.pq_fit_sample(sf_dir, m=4, k=16, n_iter=3)
+    dsub = len(books[0][0])
+
+    def qsub(mi: int) -> str:
+        return f"list_slice((q.query_vec)::DOUBLE[], {mi * dsub + 1}, {(mi + 1) * dsub})"
+
+    legs = " + ".join(
+        _dd_euclid2(qsub(mi), f"c{mi}.w") for mi in range(len(books))
+    )  # SQL + is left-associative, matching pq_adc_dist's python loop
+    joins = "\n        ".join(
+        f"JOIN cw c{mi} ON c{mi}.vec_id = c0.vec_id AND c{mi}.m = {mi}"
+        for mi in range(1, len(books))
+    )
+    return _pq_codes_cte(books) + f"""
+    , cw AS (
+        SELECT c.vec_id, c.m, b.w
+        FROM codes c JOIN books b ON b.m = c.m AND b.k = c.code
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS query_vec
+        FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+        SELECT q.query_id, c0.vec_id, sqrt({legs}) AS dist
+        FROM cw c0
+        {joins}
+        CROSS JOIN q
+        WHERE c0.m = 0
+    ), ranked AS (
+        SELECT query_id, vec_id, dist,
+               row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, round(dist, 6) AS dist, rank
+    FROM ranked WHERE rank <= 3
+    """
+
+
+LAZY_ORACLES["ann_pq_adc"] = _pq_adc_oracle
+
+
+@query("pq_reconstruction_error")  # oracle: LAZY_ORACLES["pq_reconstruction_error"]
+def pq_reconstruction_error_q(spark, sf_dir):
+    """Per-subspace mean squared PQ quantization error over the whole
+    corpus — the metric that sizes m/k for a target recall. One narrow
+    projection + one map-side-combinable groupBy."""
+    from .operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    books = ann.pq_fit_sample(sf_dir, m=4, k=16, n_iter=3)
+    return ann.pq_reconstruction_error(emb, books)
+
+
+def _pq_recon_oracle(sf_dir: str) -> str:
+    from .operators import ann
+
+    books = ann.pq_fit_sample(sf_dir, m=4, k=16, n_iter=3)
+    dsub = len(books[0][0])
+    sub = f"list_slice((e.embedding)::DOUBLE[], b.m*{dsub} + 1, b.m*{dsub} + {dsub})"
+    return f"""
+    WITH {_books_sql(books)},
+    best AS (
+        SELECT e.vec_id, b.m, min({_dd_euclid2(sub, 'b.w')}) AS e2
+        FROM embeddings e CROSS JOIN books b
+        GROUP BY e.vec_id, b.m
+    )
+    SELECT CAST(m AS BIGINT) AS subspace, CAST(count(*) AS BIGINT) AS n,
+           round(avg(e2), 6) AS mse
+    FROM best GROUP BY m
+    """
+
+
+LAZY_ORACLES["pq_reconstruction_error"] = _pq_recon_oracle
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH ex AS (
+        SELECT unnest((embedding)::DOUBLE[]) AS v,
+               unnest(range(len(embedding))) AS pos
+        FROM embeddings
+    ), s AS (
+        SELECT pos, max(abs(v)) AS absmax FROM ex GROUP BY pos
+    ), e AS (
+        SELECT ex.pos, s.absmax, s.absmax / 127 AS scale,
+               CASE WHEN s.absmax / 127 = 0 THEN 0.0
+                    ELSE abs(ex.v - greatest(-127.0, least(127.0,
+                         floor(ex.v / (s.absmax / 127) + 0.5))) * (s.absmax / 127))
+               END AS aerr
+        FROM ex JOIN s ON ex.pos = s.pos
+    )
+    SELECT CAST(pos AS BIGINT) AS pos, round(absmax, 6) AS absmax,
+           round(scale, 6) AS scale,
+           round(avg(aerr), 6) AS mean_abs_err,
+           round(max(aerr), 6) AS max_abs_err
+    FROM e GROUP BY pos, absmax, scale
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 scalar-quantization profile per dimension:
+    absmax, scale, and reconstruction-error stats (the 4-bytes->1-byte
+    compression check serving stacks run before enabling int8)."""
+    from .operators import embedding
+
+    return embedding.quantize_int8_profile(
+        load_table(spark, sf_dir, "embeddings", split=True)
+    )
+
+
+_WAREHOUSE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "spark-warehouse"
+)
+
+
+@query("ann_ivf_indexed")  # oracle: LAZY_ORACLES["ann_ivf_indexed"] (= ann_ivf's)
+def ann_ivf_indexed(spark, sf_dir):
+    """IVF over a MATERIALIZED cell-partitioned parquet index (the
+    batch index build north star): build once (idempotent — skipped if
+    the layout exists), then probe by joining on the PARTITION column
+    so pruning skips non-probed cells' directories before I/O. Result
+    contract identical to ann_ivf, so the same centroid-literal oracle
+    hash-checks the whole build+search path."""
+    from .operators import ann
+
+    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
+    index_dir = _os.path.join(
+        _WAREHOUSE, f"ivf_index_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    if not _os.path.exists(_os.path.join(index_dir, "_SUCCESS")):
+        ann.ivf_index_build(
+            load_table(spark, sf_dir, "embeddings", split=True), centroids, index_dir
+        )
+    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ann.ann_ivf_indexed_topk(spark, index_dir, queries, centroids, k=3, nprobe=2)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), F.col("rank").cast("long")
+    )
+
+
+LAZY_ORACLES["ann_ivf_indexed"] = _ivf_oracle
