@@ -69,6 +69,9 @@ _VERIFY_FIRST = [
     "pq_reconstruction_error",
     "embedding_quantize_int8",
     "ann_ivf_indexed",
+    # r2 time-series joins
+    "events_asof_attribution",
+    "events_range_join",
 ]
 
 

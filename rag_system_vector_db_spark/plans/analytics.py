@@ -328,3 +328,106 @@ def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
     )
+
+
+def asof_attribution(
+    spark: SparkSession,
+    sf_dir: str,
+    left_type: str = "purchase",
+    right_type: str = "click",
+) -> DataFrame:
+    """As-of join — the time-series operator Spark has no native verb
+    for (DuckDB spells it ASOF JOIN): each purchase is attributed to
+    the LATEST click at-or-before it by the same user.
+
+    Implemented as union-tag + one windowed last(ignorenulls) pass:
+    both sides interleave into a single (user_id, ts, side) sort, so
+    the whole operator is ONE shuffle with no join at all — the shape
+    that survives 100 TB (a per-key sort-merge as-of needs the same
+    sort anyway, plus join machinery; skew lands on AQE's sort spill
+    rather than a hot join bucket). Ties at equal ts: the click sorts
+    first (side 0) so a same-instant click attributes, matching the
+    oracle's ORDER BY ts_ns, side, event_id.
+    Returns (purchase_id, user_id, ts_ns, value, click_id,
+    click_ts_ns, lag_s); click columns null when no prior click."""
+    # micros, not nanos: DuckDB TIMESTAMP truncates parquet NANOS to
+    # microseconds, so the oracle's epoch_us(ts) is the exact common
+    # precision — both engines sort/compare/emit identical integers.
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.filter(F.col("event_type").isin(right_type, left_type)).select(
+        "user_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == right_type, 0).otherwise(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r_id = F.when(F.col("side") == 0, F.col("event_id"))
+    r_ts = F.when(F.col("side") == 0, F.col("ts_us"))
+    return (
+        u.withColumn("click_id", F.last(r_id, ignorenulls=True).over(w))
+        .withColumn("click_ts_us", F.last(r_ts, ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "ts_us",
+            F.round("value", 6).alias("value"),
+            "click_id",
+            "click_ts_us",
+            F.expr("(ts_us - click_ts_us) div 1000000").alias("lag_s"),
+        )
+    )
+
+
+def events_range_join(
+    spark: SparkSession, sf_dir: str, window_s: int = 300
+) -> DataFrame:
+    """Band (range) self-join: per event, how many OTHER events the
+    same user produced within ±window_s — the local-density feature
+    (bursts, bot detection) that a naive |Δt| ≤ W predicate would
+    compute as an O(n²)-per-user theta join.
+
+    Bucketize ts into W-wide buckets and fan the PROBE side out to its
+    own bucket ± 1: every qualifying pair shares (user_id, bucket) in
+    exactly one probe row, so an equi-join + exact |Δt| filter finds
+    each pair once. The join is a plain shuffle-hash equi-join on
+    narrow keys — at 100 TB this scales with events-per-(user, 2W)
+    band, not events-per-user².
+    Returns (event_id, user_id, ts_ns, n_neighbors)."""
+    # micros precision end-to-end (see asof_attribution's note)
+    w_us = window_s * 1_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns div 1000").alias("ts_us"), "event_id"
+    )
+    right = ev.withColumn("bucket", F.expr(f"ts_us div {w_us}"))
+    probe = ev.select(
+        "user_id",
+        F.col("ts_us").alias("p_ts_us"),
+        F.col("event_id").alias("p_event_id"),
+        F.explode(
+            F.array(
+                F.expr(f"ts_us div {w_us} - 1"),
+                F.expr(f"ts_us div {w_us}"),
+                F.expr(f"ts_us div {w_us} + 1"),
+            )
+        ).alias("bucket"),
+    )
+    pairs = probe.join(right, ["user_id", "bucket"]).filter(
+        (F.col("event_id") != F.col("p_event_id"))
+        & (F.abs(F.col("ts_us") - F.col("p_ts_us")) <= w_us)
+    )
+    counts = pairs.groupBy("p_event_id").agg(F.count("*").alias("n_neighbors"))
+    return (
+        ev.join(counts, ev.event_id == counts.p_event_id, "left")
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.coalesce("n_neighbors", F.lit(0)).cast("long").alias("n_neighbors"),
+        )
+    )

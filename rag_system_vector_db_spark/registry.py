@@ -2486,3 +2486,61 @@ def ann_ivf_indexed(spark, sf_dir):
 
 
 LAZY_ORACLES["ann_ivf_indexed"] = _ivf_oracle
+
+
+# ---------------------------------------------------------------------------
+# Time-series joins the DataFrame API has no native verb for
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_asof_attribution",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+               CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+        SELECT user_id, ts_us, event_id, value, side,
+               last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts_us, side, event_id
+                         ROWS UNBOUNDED PRECEDING) AS click_id,
+               last_value(CASE WHEN side = 0 THEN ts_us END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts_us, side, event_id
+                         ROWS UNBOUNDED PRECEDING) AS click_ts_us
+        FROM u
+    )
+    SELECT event_id AS purchase_id, user_id, ts_us, round(value, 6) AS value,
+           click_id, click_ts_us,
+           (ts_us - click_ts_us) // 1000000 AS lag_s
+    FROM w WHERE side = 1
+    """,
+)
+def events_asof_attribution(spark, sf_dir):
+    """As-of join (purchase -> latest at-or-before click, per user):
+    union-tag + one windowed last(ignorenulls) pass — ONE shuffle, no
+    join (DuckDB's ASOF JOIN verb, re-expressed for Spark)."""
+    from .plans import analytics
+
+    return analytics.asof_attribution(spark, sf_dir)
+
+
+@query(
+    "events_range_join",
+    oracle="""
+    SELECT a.event_id, a.user_id, epoch_us(a.ts) AS ts_us,
+           CAST(count(b.event_id) AS BIGINT) AS n_neighbors
+    FROM events a LEFT JOIN events b
+      ON b.user_id = a.user_id AND b.event_id <> a.event_id
+     AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 300000000
+    GROUP BY a.event_id, a.user_id, epoch_us(a.ts)
+    """,
+)
+def events_range_join_q(spark, sf_dir):
+    """Band (range) self-join via time-bucket fan-out: |Δt| ≤ 5 min
+    neighbor counts per event without an O(n²)-per-user theta join.
+    The oracle runs the naive theta join to prove the bucketed
+    candidate generation is exactly equivalent."""
+    from .plans import analytics
+
+    return analytics.events_range_join(spark, sf_dir)
