@@ -654,10 +654,14 @@ def ivf_index_build(
     per-row filter ever touches non-probed cells' bytes. At cluster
     scale this is the one-off O(corpus) job that turns a 100 TB
     embedding table into an index whose queries read nprobe/K of it."""
-    coded = with_cell(corpus, vec_col, centroids, out_col="cell").select(
-        id_col, vec_col, "cell"
-    )
-    coded.write.partitionBy("cell").mode("overwrite").parquet(index_dir)
+    # keep every payload column (entities carry metadata); cell and the
+    # _batch = 0 stamp make the layout the base of the streaming
+    # maintenance log (streaming.pipeline.start_ivf_index_maintenance
+    # appends micro-batches with increasing ids; reads resolve latest)
+    coded = with_cell(corpus, vec_col, centroids, out_col="cell")
+    coded.withColumn("_batch", F.lit(0).cast("long")).write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(index_dir)
 
 
 def ann_ivf_indexed_topk(

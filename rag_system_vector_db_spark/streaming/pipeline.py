@@ -212,3 +212,98 @@ def run_complete_to_memory(stream_df: DataFrame, name: str) -> None:
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+EMBEDDINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def stream_embeddings(spark: SparkSession, path: str) -> DataFrame:
+    """File-source embedding stream (Kafka-shaped in production)."""
+    return spark.readStream.schema(EMBEDDINGS_SCHEMA).parquet(path)
+
+
+def start_ivf_index_maintenance(
+    emb_stream: DataFrame,
+    centroids: list[list[float]],
+    index_dir: str,
+    checkpoint_dir: str,
+):
+    """Incremental maintenance of the cell-partitioned IVF index
+    (operators.ann.ivf_index_build's layout): each micro-batch assigns
+    cells and APPENDS into the partitioned layout, stamped with the
+    micro-batch id. Upserts are resolved at read time (latest _batch
+    per vec_id — see read_ivf_index); a replayed batch after failure
+    rewrites identical rows under the same _batch stamp, so the
+    read-time resolution is also what makes the append sink effectively
+    idempotent. Periodic compact_ivf_index folds the log down so probe
+    reads stay O(live rows). This is the streaming half of the batch
+    index build: bulk-build once, then the index follows the ingest
+    stream without rebuilds."""
+    from ..operators.ann import with_cell
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        coded = with_cell(batch_df, "embedding", centroids, out_col="cell")
+        (
+            # +1: the bulk build owns _batch = 0 and streaming batch ids
+            # start at 0 — without the offset a first-batch upsert TIES
+            # with its base row and max_by resolution is arbitrary
+            coded.withColumn("_batch", F.lit(batch_id + 1).cast("long"))
+            .write.partitionBy("cell")
+            .mode("append")
+            .parquet(index_dir)
+        )
+
+    return (
+        emb_stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_ivf_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Resolved view of the maintained index: latest version of every
+    vector (max _batch per vec_id — an updated vector may have moved
+    cells, so resolution is global, one shuffle on vec_id). Probe-path
+    readers that prune cells first instead resolve within probed cells
+    only and rely on compaction to clear cross-cell staleness — the
+    standard LSM trade; this view is the correctness reference."""
+    idx = spark.read.parquet(index_dir)
+    payload = [c for c in idx.columns if c not in ("vec_id", "_batch")]
+    return (
+        idx.groupBy("vec_id")
+        .agg(F.max_by(F.struct(*payload), F.col("_batch")).alias("s"))
+        .select("vec_id", "s.*")
+    )
+
+
+def compact_ivf_index(spark: SparkSession, index_dir: str) -> None:
+    """Fold the append log down to one live row per vec_id, keeping the
+    cell-partitioned layout. Crash-safe swap like
+    VectorCollection.compact: write resolved tmp, rename live aside,
+    rename tmp in, drop old (object stores swap a manifest instead)."""
+    import os
+    import shutil
+
+    tmp = index_dir.rstrip("/") + "_compacting"
+    old = index_dir.rstrip("/") + "_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    try:
+        (
+            read_ivf_index(spark, index_dir)
+            .withColumn("_batch", F.lit(0))
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        os.rename(index_dir, old)
+        os.rename(tmp, index_dir)
+        shutil.rmtree(old, ignore_errors=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

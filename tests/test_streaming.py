@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from rag_system_vector_db_spark.streaming import pipeline as P
 
@@ -289,3 +290,83 @@ def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
     by_click = {r_.l_event_id: r_.r_event_id for r_ in rows}
     assert by_click.get(1) == 2  # matched within the 5-minute window
     assert 3 in by_click and by_click[3] is None  # flushed as unmatched
+
+
+def test_streaming_ivf_index_maintenance_upserts(spark, tmp_path):
+    """Bulk-build the cell-partitioned index, stream two micro-batches
+    of upserts (one moves a vector far enough to change cell), and
+    check the resolved view is exactly latest-version-per-vec_id —
+    then compaction folds the log to one physical row per vector with
+    search results unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    from rag_system_vector_db_spark.operators import ann
+
+    rng = np.random.default_rng(7)
+
+    def emb_pdf(ids, shift=0.0):
+        return pd.DataFrame(
+            {
+                "vec_id": pd.array(ids, dtype="int64"),
+                "embedding": [
+                    (rng.standard_normal(8) + shift).astype("float32")
+                    for _ in ids
+                ],
+                "label": pd.array([i % 3 for i in ids], dtype="int32"),
+            }
+        )
+
+    src = tmp_path / "src"
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    base = emb_pdf(range(20))
+    spark.createDataFrame(base).write.mode("overwrite").parquet(
+        str(tmp_path / "base")
+    )
+    cents = [[0.0] * 8, [2.0] * 8, [-2.0] * 8, [4.0] * 8]
+    ann.ivf_index_build(
+        spark.read.parquet(str(tmp_path / "base")), cents, idx, vec_col="embedding"
+    )
+
+    # two update batches: ids 3..7 re-embedded near +2 (cell likely
+    # changes), then ids 5..9 near -2 (later batch must win for 5..7)
+    b1 = emb_pdf(range(3, 8), shift=2.0)
+    b2 = emb_pdf(range(5, 10), shift=-2.0)
+    b1.to_parquet(src / "b1.parquet")
+    q = P.start_ivf_index_maintenance(
+        P.stream_embeddings(spark, str(src)), cents, idx, ckpt
+    )
+    try:
+        q.processAllAvailable()
+        b2.to_parquet(src / "b2.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    resolved = P.read_ivf_index(spark, idx)
+    got = {r.vec_id: list(r.embedding) for r in resolved.collect()}
+    want = {int(r.vec_id): list(r.embedding) for _, r in base.iterrows()}
+    for df_upd in (b1, b2):  # later batches overwrite
+        for _, r in df_upd.iterrows():
+            want[int(r.vec_id)] = list(r.embedding)
+    assert len(got) == 20
+    assert all(np.allclose(got[i], want[i]) for i in want)
+
+    # compaction: one physical row per vector, same resolved content
+    P.compact_ivf_index(spark, idx)
+    raw = spark.read.parquet(idx)
+    assert raw.count() == 20
+    got2 = {r.vec_id: list(r.embedding) for r in P.read_ivf_index(spark, idx).collect()}
+    assert all(np.allclose(got2[i], want[i]) for i in want)
+    # cells in the compacted layout are the true nearest-centroid cells
+    recomputed = ann.with_cell(raw.select("vec_id", "embedding"), "embedding", cents)
+    mismatch = (
+        raw.select("vec_id", "cell")
+        .join(recomputed.select("vec_id", F.col("_cell").alias("c2")), "vec_id")
+        .filter(F.col("cell") != F.col("c2"))
+        .count()
+    )
+    assert mismatch == 0
