@@ -31,47 +31,38 @@ _ORACLE_SF_DIR = "/root/testdata/sf0.01"
 # recently-fixed entries first so every operator gets a green row;
 # long-verified entries follow in registration order.
 _VERIFY_FIRST = [
-    # 12 entries the r1 driver run never reached
-    "redact_pii",
-    "normalize_text",
-    "kmv_distinct",
-    "hash_sample",
-    "quantile_stats",
-    "column_profile",
-    "window_events",
-    "sliding_window_events",
-    "sessionize_events",
-    "events_json_extract",
-    "topk_per_group",
-    "dormant_customers",
-    # r1 hash-fails, oracle typing fixed this round
-    "collection_stats",
-    "chunk_diary",
-    "order_priority_pivot",
-    "multimodal_stats",
-    "stratified_sample",
-    # newly oracle-backed this round (were rows-only)
-    "split_large_chunks",
-    "ann_ivf",
-    "ann_ivf_rerank",
-    "ann_probe_sweep",
-    # new queries() entries this round
+    # r2 driver row failed (array-typed features column); serialized
+    # to %.6f CSV this round — re-verify first
     "multimodal_pipeline",
-    # r2 training-data curation suite
-    "repetition_stats",
-    "quality_filters",
-    "benchmark_contamination",
-    "corpus_mix",
-    "length_histogram",
-    "pca_project",
-    # r2 vector-index build suite
-    "ann_pq_adc",
-    "pq_reconstruction_error",
-    "embedding_quantize_int8",
-    "ann_ivf_indexed",
-    # r2 time-series joins
-    "events_asof_attribution",
-    "events_range_join",
+    # the 25 entries at r2 dict positions 51-75 (unchecked in r2; all
+    # were green in the r1 driver run)
+    "bpe_token_count",
+    "lang_id_ngram",
+    "tfidf_top_terms",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
+    "dedup_embedding_cosine",
+    "rag_retrieve",
+    "rag_eval_retrieval",
+    "hybrid_search_rrf",
+    "rag_pipeline_e2e",
+    "ann_lsh_cosine",
+    "ann_lsh_multiprobe",
+    "ann_recall_at_k",
+    "agg_pricing_summary",
+    "join_revenue_topn",
+    "local_supplier_volume",
+    "rollup_pricing",
+    "multimodal_frames",
+    "ngram_counts",
+    "dedup_cluster",
+    "label_centroids",
+    # new r3 operators (appended as they land) — must stay inside the
+    # 50-entry driver window
 ]
 
 

@@ -1690,15 +1690,23 @@ def multimodal_frames(spark, sf_dir):
     "multimodal_pipeline",
     # The mapInPandas feature kernel is a deterministic fake (md5-byte
     # features), so even the Python path is hash-checked: the oracle
-    # recomputes each feature from the md5 hex digits.
+    # recomputes each feature from the md5 hex digits. The feature
+    # vector is serialized to a fixed %.6f CSV string on BOTH sides —
+    # the driver's pandas canonicalizer cannot sort array-typed
+    # columns, so oracle-backed results must be scalar-only (enforced
+    # by tests/oracle.py). %.6f of the same binary double is identical
+    # across Java Formatter and C printf unless the decimal expansion
+    # ties at the 7th digit, which k/255 doubles never do.
     oracle="""
     SELECT doc_id AS media_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
            CAST(length(text) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5,
-           [round((16 * (strpos('0123456789abcdef', substr(md5(text), i*2+1, 1)) - 1)
-                   + strpos('0123456789abcdef', substr(md5(text), i*2+2, 1)) - 1) / 255.0, 6)
-            FOR i IN range(8)] AS features
+           array_to_string(
+               [printf('%.6f',
+                       (16 * (strpos('0123456789abcdef', substr(md5(text), i*2+1, 1)) - 1)
+                        + strpos('0123456789abcdef', substr(md5(text), i*2+2, 1)) - 1) / 255.0)
+                FOR i IN range(8)], ',') AS features_csv
     FROM documents
     """,
 )
@@ -1719,7 +1727,9 @@ def multimodal_pipeline(spark, sf_dir):
         "kind",
         "n_bytes",
         "content_md5",
-        F.transform("features", lambda x: F.round(x, 6)).alias("features"),
+        F.array_join(
+            F.transform("features", lambda x: F.format_string("%.6f", x)), ","
+        ).alias("features_csv"),
     )
 
 

@@ -58,6 +58,21 @@ def _dtype_key(dt) -> str:
 
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str):
+    # The driver's pandas canonicalizer cannot sort array/map/struct
+    # cells (r2 lesson: multimodal_pipeline's array<double> column
+    # failed the driver row despite matching values). Oracle-backed
+    # results must be scalar-only; serialize complex columns (e.g.
+    # F.array_join of a %.6f-formatted transform) before returning.
+    complex_cols = [
+        f.name
+        for f in spark_df.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    assert not complex_cols, (
+        f"oracle-backed result has complex-typed columns {complex_cols}; "
+        "the driver hash cannot canonicalize these — serialize to a "
+        "deterministic string (CSV/JSON) in both the query and the oracle"
+    )
     sp = spark_df.toPandas()
     rel = con.sql(sql)
     dp = rel.df()
