@@ -63,28 +63,29 @@ def load_table(
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which the Spark reader
-        # rejects natively; read it as raw nanos (long). Event-time
-        # queries do exact integer arithmetic on `ts_ns` (matching the
-        # oracle's epoch_ns) — `ts` stays available as a micros-precision
-        # timestamp for streaming/watermark use. The legacy conf is
-        # captured at read-build time, so it is saved/restored around
-        # the read instead of leaking into the session (where it would
-        # silently turn later TIMESTAMP(NANOS) reads into longs).
+        # Event-time queries do exact integer arithmetic on `ts_ns`
+        # (matching the oracle's epoch_ns); `ts` is a session-tz
+        # (UTC) timestamp for streaming/watermark/window use. The
+        # parquet `ts` physical type has varied across testdata
+        # generations (TIMESTAMP(NANOS) read as long vs plain
+        # timestamp[us] read as timestamp_ntz), so both layouts
+        # normalize to the same (ts_ns long, ts timestamp) contract.
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        key = "spark.sql.legacy.parquet.nanosAsLong"
-        prev = spark.conf.get(key, None)
-        spark.conf.set(key, "true")
-        try:
-            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        finally:
-            if prev is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, prev)
-        return df.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumnRenamed("ts", "ts_ns").withColumn(
+                "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+            )
+        # timestamp_ntz/timestamp: interpret as UTC (session tz is
+        # UTC) — exact micros, scaled to nanos for oracle parity.
+        ts_utc = F.col("ts").cast("timestamp")
+        return (
+            df.withColumn("ts_ns", F.unix_micros(ts_utc) * F.lit(1000))
+            .withColumn("ts", ts_utc)
+            .select("event_id", "ts_ns", "user_id", "event_type", "value", "props", "ts")
         )
     skey = (sf_dir, name)
     schema = _SCHEMA_CACHE.get(skey)

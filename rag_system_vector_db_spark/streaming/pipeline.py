@@ -27,16 +27,21 @@ DOCUMENTS_SCHEMA = T.StructType(
     ]
 )
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (see sources.tables)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    # The physical `ts` type varies across testdata generations
+    # (TIMESTAMP(NANOS) → long, timestamp[us] → timestamp_ntz); the
+    # stream source needs the matching schema, so callers probe the
+    # files once (footer read) and build it here.
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def stream_documents(spark: SparkSession, path: str) -> DataFrame:
@@ -53,10 +58,28 @@ def ingest_pipeline(docs_stream: DataFrame, chunk_window: int = 40) -> DataFrame
 
 
 def stream_events(spark: SparkSession, path: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
-    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    """Event stream normalized to the batch contract: (event_id, ts_ns
+    long, user_id, event_type, value, props, ts timestamp). Probes the
+    existing files (one footer read) to match the on-disk `ts` type —
+    file streams require an explicit schema and a mismatched one reads
+    garbage silently."""
+    try:
+        probed = spark.read.parquet(path).schema["ts"].dataType
+    except Exception:
+        # Empty source dir (stream started before first micro-batch
+        # lands): assume the raw-nanos long layout the local producers
+        # write; a timestamp layout stream should stage one file first.
+        probed = T.LongType()
+    raw = spark.readStream.schema(_events_schema(probed)).parquet(path)
+    if isinstance(probed, T.LongType):
+        return raw.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        )
+    ts_utc = F.col("ts").cast("timestamp")
+    return (
+        raw.withColumn("ts_ns", F.unix_micros(ts_utc) * F.lit(1000))
+        .withColumn("ts", ts_utc)
+        .select("event_id", "ts_ns", "user_id", "event_type", "value", "props", "ts")
     )
 
 

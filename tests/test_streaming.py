@@ -149,7 +149,9 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, stream_dirs):
     batch join's matches once all input is processed."""
     from pyspark.sql import functions as F
 
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from rag_system_vector_db_spark.sources.tables import load_table
+
+    batch = load_table(spark, sf_dir, "events")
     types = sorted(r[0] for r in batch.select("event_type").distinct().collect())
     t_l, t_r = types[0], types[1]
 
@@ -163,7 +165,7 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, stream_dirs):
     P.run_to_memory(joined, "ssj_out")
     got = spark.sql("SELECT * FROM ssj_out")
 
-    b = batch.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    b = batch  # load_table already normalizes ts to a UTC timestamp
     bl = b.filter(F.col("event_type") == t_l).select(
         F.col("user_id").alias("l_key"), F.col("ts").alias("l_ts")
     )
