@@ -431,3 +431,84 @@ def events_range_join(
             F.coalesce("n_neighbors", F.lit(0)).cast("long").alias("n_neighbors"),
         )
     )
+
+
+def skew_profile(spark: SparkSession, sf_dir: str, key: str = "l_suppkey") -> DataFrame:
+    """Join-key skew diagnostics — the pre-flight check before choosing
+    broadcast / salted / plain shuffle join strategy (plans/scale.py
+    salted_join is the remedy this measures the need for).
+
+    One map-side-combinable groupBy(key) produces the per-key counts;
+    everything after runs on the (tiny) per-key frame: distribution
+    moments, exact p50/p90/p99 of rows-per-key, max/mean skew ratio,
+    and the top-5 heavy hitters serialized to a CSV string (scalar-only
+    output so the driver hash can canonicalize it). At 100 TB the only
+    full-data pass is the first count shuffle — identical shape to the
+    join it profiles, partials collapse per key before the exchange."""
+    li = load_table(spark, sf_dir, "lineitem").select(F.col(key).alias("key"))
+    per_key = li.groupBy("key").agg(F.count("*").alias("cnt"))
+    hot = (
+        per_key.orderBy(F.col("cnt").desc(), F.col("key"))
+        .limit(5)
+        .agg(
+            F.array_join(
+                F.collect_list(F.concat_ws(":", F.col("key"), F.col("cnt"))), ","
+            ).alias("top_keys_csv")
+        )
+    )
+    # exact quantiles over per-key counts: small frame (n_keys rows),
+    # sort_array over the collected counts — deterministic, no
+    # approx_percentile engine drift.
+    stats = per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.sort_array(F.collect_list("cnt")).alias("_sorted"),
+    ).select(
+        "n_keys",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("max_cnt").cast("long").alias("max_cnt"),
+        F.round(F.col("n_rows") / F.col("n_keys"), 6).alias("mean_cnt"),
+        F.col("_sorted")[((F.col("n_keys") * 50).cast("long") / 100).cast("int")].cast("long").alias("p50_cnt"),
+        F.col("_sorted")[((F.col("n_keys") * 90).cast("long") / 100).cast("int")].cast("long").alias("p90_cnt"),
+        F.col("_sorted")[((F.col("n_keys") * 99).cast("long") / 100).cast("int")].cast("long").alias("p99_cnt"),
+        F.round(F.col("max_cnt") * F.col("n_keys") / F.col("n_rows"), 6).alias("skew_ratio"),
+    )
+    return stats.crossJoin(F.broadcast(hot))
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over events: users grouped by first-seen
+    week, retention = distinct active users per (cohort, weeks-since).
+
+    Two shuffles, both map-side-combinable: (1) min(ts) per user (the
+    cohort assignment), (2) distinct (cohort, offset, user) collapse →
+    count. The user-level join broadcasts nothing wide — cohort rides
+    as one small int per user. Week ids are integer epoch-days/7 so
+    both engines agree without timezone/DST drift."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns div 86400000000000").alias("day")
+    )
+    ev = ev.withColumn("week", F.expr("day div 7"))
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    joined = ev.join(first, "user_id").select(
+        "cohort_week",
+        (F.col("week") - F.col("cohort_week")).alias("weeks_since"),
+        "user_id",
+    )
+    base = first.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    ret = joined.groupBy("cohort_week", "weeks_since").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    return (
+        ret.join(F.broadcast(base), "cohort_week")
+        .select(
+            "cohort_week",
+            "weeks_since",
+            F.col("n_active").cast("long"),
+            F.col("cohort_size").cast("long"),
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        )
+    )

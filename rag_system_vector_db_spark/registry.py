@@ -1694,9 +1694,12 @@ def multimodal_frames(spark, sf_dir):
     # vector is serialized to a fixed %.6f CSV string on BOTH sides —
     # the driver's pandas canonicalizer cannot sort array-typed
     # columns, so oracle-backed results must be scalar-only (enforced
-    # by tests/oracle.py). %.6f of the same binary double is identical
-    # across Java Formatter and C printf unless the decimal expansion
-    # ties at the 7th digit, which k/255 doubles never do.
+    # by tests/oracle.py). %.6f agrees across engines here even though
+    # Java's Formatter rounds the double's shortest decimal repr
+    # HALF_UP while C's printf rounds the exact binary expansion:
+    # the two can only disagree within ~1 ulp of a x.xxxxxx5 tie
+    # boundary, and k/255 doubles are never closer than ~2e-9 to a
+    # 1e-7 grid midpoint, so both schemes land on the same 6th digit.
     oracle="""
     SELECT doc_id AS media_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -68,11 +68,13 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str):
         for f in spark_df.schema.fields
         if f.dataType.typeName() in ("array", "map", "struct")
     ]
-    assert not complex_cols, (
-        f"oracle-backed result has complex-typed columns {complex_cols}; "
-        "the driver hash cannot canonicalize these — serialize to a "
-        "deterministic string (CSV/JSON) in both the query and the oracle"
-    )
+    if complex_cols:
+        # Raise (not assert) so the guard survives `python -O`.
+        raise TypeError(
+            f"oracle-backed result has complex-typed columns {complex_cols}; "
+            "the driver hash cannot canonicalize these — serialize to a "
+            "deterministic string (CSV/JSON) in both the query and the oracle"
+        )
     sp = spark_df.toPandas()
     rel = con.sql(sql)
     dp = rel.df()
