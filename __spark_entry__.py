@@ -60,6 +60,8 @@ _VERIFY_FIRST = [
     "events_range_join",
     # new r4 operators (appended as they land) — must stay inside the
     # 50-entry driver window
+    "skew_profile",
+    "cohort_retention",
 ]
 
 

@@ -85,6 +85,9 @@ EXTRA = [
     # r2 time-series joins
     "events_asof_attribution",
     "events_range_join",
+    # r4 diagnostics + cohort analytics
+    "skew_profile",
+    "cohort_retention",
 ]
 
 

@@ -447,12 +447,21 @@ def skew_profile(spark: SparkSession, sf_dir: str, key: str = "l_suppkey") -> Da
     join it profiles, partials collapse per key before the exchange."""
     li = load_table(spark, sf_dir, "lineitem").select(F.col(key).alias("key"))
     per_key = li.groupBy("key").agg(F.count("*").alias("cnt"))
+    # top-5 heavy hitters: collect_list order is NOT guaranteed, so the
+    # (cnt desc, key asc) order is enforced by sort_array on
+    # (-cnt, key) structs AFTER collection; limit(5) bounds the collect.
     hot = (
         per_key.orderBy(F.col("cnt").desc(), F.col("key"))
         .limit(5)
         .agg(
             F.array_join(
-                F.collect_list(F.concat_ws(":", F.col("key"), F.col("cnt"))), ","
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct((-F.col("cnt")).alias("_n"), F.col("key"), F.col("cnt")))
+                    ),
+                    lambda s: F.concat_ws(":", s["key"], s["cnt"]),
+                ),
+                ",",
             ).alias("top_keys_csv")
         )
     )
@@ -469,9 +478,11 @@ def skew_profile(spark: SparkSession, sf_dir: str, key: str = "l_suppkey") -> Da
         F.col("n_rows").cast("long").alias("n_rows"),
         F.col("max_cnt").cast("long").alias("max_cnt"),
         F.round(F.col("n_rows") / F.col("n_keys"), 6).alias("mean_cnt"),
-        F.col("_sorted")[((F.col("n_keys") * 50).cast("long") / 100).cast("int")].cast("long").alias("p50_cnt"),
-        F.col("_sorted")[((F.col("n_keys") * 90).cast("long") / 100).cast("int")].cast("long").alias("p90_cnt"),
-        F.col("_sorted")[((F.col("n_keys") * 99).cast("long") / 100).cast("int")].cast("long").alias("p99_cnt"),
+        # percentile = sorted[floor(n*p/100)] 0-based (F.get), so the
+        # oracle's 1-based list index is the same expression + 1
+        F.get("_sorted", F.expr("CAST(n_keys * 50 div 100 AS INT)")).cast("long").alias("p50_cnt"),
+        F.get("_sorted", F.expr("CAST(n_keys * 90 div 100 AS INT)")).cast("long").alias("p90_cnt"),
+        F.get("_sorted", F.expr("CAST(n_keys * 99 div 100 AS INT)")).cast("long").alias("p99_cnt"),
         F.round(F.col("max_cnt") * F.col("n_keys") / F.col("n_rows"), 6).alias("skew_ratio"),
     )
     return stats.crossJoin(F.broadcast(hot))

@@ -2557,3 +2557,74 @@ def events_range_join_q(spark, sf_dir):
     from .plans import analytics
 
     return analytics.events_range_join(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# r4: operational diagnostics + cohort analytics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skew_profile",
+    oracle="""
+    WITH per_key AS (
+        SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY l_suppkey
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(cnt) AS BIGINT) AS n_rows,
+               CAST(max(cnt) AS BIGINT) AS max_cnt,
+               list_sort(list(cnt)) AS sorted_cnts
+        FROM per_key
+    ), hot AS (
+        SELECT string_agg(key || ':' || cnt, ',' ORDER BY cnt DESC, key) AS top_keys_csv
+        FROM (SELECT key, cnt FROM per_key ORDER BY cnt DESC, key LIMIT 5)
+    )
+    SELECT n_keys, n_rows, max_cnt,
+           round(n_rows / CAST(n_keys AS DOUBLE), 6) AS mean_cnt,
+           CAST(sorted_cnts[CAST(n_keys * 50 // 100 AS INT) + 1] AS BIGINT) AS p50_cnt,
+           CAST(sorted_cnts[CAST(n_keys * 90 // 100 AS INT) + 1] AS BIGINT) AS p90_cnt,
+           CAST(sorted_cnts[CAST(n_keys * 99 // 100 AS INT) + 1] AS BIGINT) AS p99_cnt,
+           round(max_cnt * n_keys / CAST(n_rows AS DOUBLE), 6) AS skew_ratio,
+           hot.top_keys_csv
+    FROM s, hot
+    """,
+)
+def skew_profile(spark, sf_dir):
+    """Join-key skew diagnostics (rows-per-key distribution + heavy
+    hitters) — the measurement that decides between plain shuffle,
+    broadcast, and plans/scale.py salted_join."""
+    from .plans import analytics
+
+    return analytics.skew_profile(spark, sf_dir)
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, epoch_ns(ts) // 604800000000000 AS week FROM events
+    ), first AS (
+        SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+    ), base AS (
+        SELECT cohort_week, count(DISTINCT user_id) AS cohort_size
+        FROM first GROUP BY cohort_week
+    ), ret AS (
+        SELECT f.cohort_week, e.week - f.cohort_week AS weeks_since,
+               count(DISTINCT e.user_id) AS n_active
+        FROM ev e JOIN first f USING (user_id)
+        GROUP BY f.cohort_week, e.week - f.cohort_week
+    )
+    SELECT r.cohort_week, r.weeks_since,
+           CAST(r.n_active AS BIGINT) AS n_active,
+           CAST(b.cohort_size AS BIGINT) AS cohort_size,
+           round(r.n_active / CAST(b.cohort_size AS DOUBLE), 6) AS retention
+    FROM ret r JOIN base b USING (cohort_week)
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Weekly cohort retention over events (first-seen-week cohorts,
+    distinct-active per week offset) — the standard product-analytics
+    rollup, integer epoch-week keys for cross-engine stability."""
+    from .plans import analytics
+
+    return analytics.cohort_retention(spark, sf_dir)
