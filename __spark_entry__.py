@@ -62,6 +62,8 @@ _VERIFY_FIRST = [
     # 50-entry driver window
     "skew_profile",
     "cohort_retention",
+    "dedup_fuzzy_edit",
+    "semdedup",
 ]
 
 

@@ -88,6 +88,9 @@ EXTRA = [
     # r4 diagnostics + cohort analytics
     "skew_profile",
     "cohort_retention",
+    # r4 dedup additions
+    "dedup_fuzzy_edit",
+    "semdedup",
 ]
 
 

@@ -469,3 +469,150 @@ def dedup_embedding_cosine(
         dim = len(vectors.select(vec_col).first()[0])
         planes = hyperplanes(n_planes, dim, seed)
     return dedup_embedding_lsh(vectors, planes, threshold, id_col, vec_col)
+
+
+def _passjoin_segments(key_len: int, k: int) -> list[tuple[int, int, int]]:
+    """Even PassJoin partition of a fixed-length key into k+1 segments:
+    (seg_id, start_1based, seg_len). Shorter segments first, like
+    Li et al. SIGMOD'11's even partition."""
+    n_seg = k + 1
+    base, extra = divmod(key_len, n_seg)
+    out, pos = [], 1  # 1-based for SQL substring
+    for i in range(n_seg):
+        ln = base + (1 if i >= n_seg - extra else 0)
+        out.append((i, pos, ln))
+        pos += ln
+    return out
+
+
+def dedup_fuzzy_edit(
+    docs: DataFrame,
+    key_len: int = 32,
+    k: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Edit-distance near-dup pairs: levenshtein ≤ k on the lowered
+    ``key_len``-char prefix key, found via PassJoin segment blocking
+    (Li et al. SIGMOD'11) — NOT an all-pairs theta join.
+
+    Pigeonhole: k edits can corrupt at most k of the k+1 segments, so
+    any qualifying pair shares at least one segment EXACTLY, shifted by
+    at most k positions. Candidate generation is therefore an
+    equi-join: index side emits each doc's k+1 segments, probe side
+    emits each doc's substrings at the segment positions ± k (≤
+    (k+1)(2k+1) short probe rows per doc); exact levenshtein then
+    removes false positives. The shuffle carries ~10-char segment keys,
+    never full texts, and candidates scale with segment-collision
+    frequency, not n² (hot segments → AQE skew join). Docs shorter
+    than ``key_len`` are excluded (their prefix key is not comparable
+    under a fixed segmentation).
+
+    Returns (doc_a < doc_b, edit_dist ≤ k), one row per pair."""
+    segs = _passjoin_segments(key_len, k)
+    d = (
+        docs.filter(F.length(text_col) >= key_len)
+        .select(
+            F.col(id_col).alias("id"),
+            F.substring(F.lower(F.col(text_col)), 1, key_len).alias("p"),
+        )
+    )
+    seg_lits = F.array(
+        *[
+            F.struct(F.lit(i).alias("seg_id"), F.lit(s).alias("start"), F.lit(ln).alias("len"))
+            for i, s, ln in segs
+        ]
+    )
+    index = (
+        d.select("id", "p", F.explode(seg_lits).alias("g"))
+        .select(
+            F.col("id").alias("id_i"),
+            F.col("g.seg_id").alias("seg_id"),
+            F.expr("substring(p, g.start, g.len)").alias("s"),
+        )
+    )
+    probe_lits = F.array(
+        *[
+            F.struct(F.lit(i).alias("seg_id"), F.lit(s + dlt).alias("start"), F.lit(ln).alias("len"))
+            for i, s, ln in segs
+            for dlt in range(-k, k + 1)
+            if 1 <= s + dlt and (s + dlt) + ln - 1 <= key_len
+        ]
+    )
+    probes = (
+        d.select("id", "p", F.explode(probe_lits).alias("g"))
+        .select(
+            F.col("id").alias("id_p"),
+            F.col("g.seg_id").alias("seg_id"),
+            F.expr("substring(p, g.start, g.len)").alias("s"),
+        )
+    )
+    cand = (
+        index.join(probes, ["seg_id", "s"])
+        .filter(F.col("id_i") != F.col("id_p"))
+        .select(
+            F.least("id_i", "id_p").alias("id_a"),
+            F.greatest("id_i", "id_p").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = d.select(F.col("id").alias("id_a"), F.col("p").alias("pa"))
+    b = d.select(F.col("id").alias("id_b"), F.col("p").alias("pb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("edit_dist", F.levenshtein("pa", "pb").cast("long"))
+        .filter(F.col("edit_dist") <= k)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "edit_dist")
+    )
+
+
+def semdedup(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup.
+    Every vector is assigned to its nearest (broadcast-literal)
+    centroid; near-duplicate pairs are searched WITHIN each cluster
+    only, so candidate volume scales with cluster occupancy, not n².
+    A vector is dropped when some same-cluster vector with a smaller id
+    has cosine ≥ threshold (keep-first, same convention as dedup_exact);
+    its keeper is the smallest such id.
+
+    Returns one row per dropped vector:
+    (cid, vec_id, keeper_id = min qualifying smaller id,
+     score = cosine to that keeper). Chains are reported pairwise —
+    a keeper may itself be dropped against a smaller id (resolve full
+    transitive groups with dedup_cluster over these pairs)."""
+    from ..functions import vector as V
+    from .ann import with_cell
+
+    b = with_cell(vectors, vec_col, centroids, out_col="cid").select(
+        "cid", F.col(id_col), F.col(vec_col)
+    )
+    lhs, rhs = b.alias("a"), b.alias("b")
+    pairs = (
+        lhs.join(
+            rhs,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col("a.cid").alias("cid"),
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            V.cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+    return (
+        pairs.groupBy("cid", F.col("id_b").alias(id_col))
+        .agg(
+            F.min("id_a").alias("keeper_id"),
+            F.min_by("score", "id_a").alias("_s"),
+        )
+        .select("cid", id_col, "keeper_id", F.round("_s", 6).alias("score"))
+    )

@@ -2628,3 +2628,71 @@ def cohort_retention(spark, sf_dir):
     from .plans import analytics
 
     return analytics.cohort_retention(spark, sf_dir)
+
+
+@query(
+    "dedup_fuzzy_edit",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, substr(lower(text), 1, 32) AS p
+        FROM documents WHERE length(text) >= 32
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.p, b.p) <= 2
+    """,
+)
+def dedup_fuzzy_edit(spark, sf_dir):
+    """Fuzzy (edit-distance) near-dup pairs via PassJoin segment
+    blocking — candidates from an equi-join on shifted segments, exact
+    levenshtein verify; the oracle's naive theta join proves candidate
+    recall is exact."""
+    from .operators import dedup
+
+    return dedup.dedup_fuzzy_edit(load_table(spark, sf_dir, "documents"))
+
+
+@query("semdedup")  # oracle: LAZY_ORACLES["semdedup"] (centroid literals)
+def semdedup_q(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): embedding near-dup drop list
+    scoped to k-means cells — the cluster-then-dedup curation pass for
+    web-scale corpora. Same fitted-centroid literals as ann_ivf, so
+    the whole path (assignment + within-cell pairs + keep-first
+    keeper) is hash-checked."""
+    from .operators import ann, dedup
+
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
+    return dedup.semdedup(emb, centroids, threshold=0.3)
+
+
+def _semdedup_oracle(sf_dir: str) -> str:
+    from .operators import ann
+
+    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
+    return f"""
+    WITH {_cents_sql(centroids)},
+    assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_dd_euclid('e.embedding', 'c.w')}, c.cid
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ), pairs AS (
+        SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+               {_dd_cosine('a.embedding', 'b.embedding')} AS score
+        FROM assigned a
+        JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    )
+    SELECT cid, id_b AS vec_id, min(id_a) AS keeper_id,
+           round(min_by(score, id_a), 6) AS score
+    FROM pairs WHERE score >= 0.3
+    GROUP BY cid, id_b
+    """
+
+
+LAZY_ORACLES["semdedup"] = _semdedup_oracle

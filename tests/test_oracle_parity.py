@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from rag_system_vector_db_spark.registry import ORACLES, QUERIES
+from rag_system_vector_db_spark.registry import LAZY_ORACLES, ORACLES, QUERIES
 from tests.oracle import compare, duck_connection
 
 
@@ -20,6 +20,12 @@ def con(sf_dir):
 def test_oracle_parity(name, spark, sf_dir, con):
     df = QUERIES[name](spark, sf_dir)
     compare(df, con, ORACLES[name])
+
+
+@pytest.mark.parametrize("name", sorted(LAZY_ORACLES))
+def test_lazy_oracle_parity(name, spark, sf_dir, con):
+    df = QUERIES[name](spark, sf_dir)
+    compare(df, con, LAZY_ORACLES[name](sf_dir))
 
 
 def test_every_query_runs(spark, sf_dir):
