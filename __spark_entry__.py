@@ -64,6 +64,7 @@ _VERIFY_FIRST = [
     "cohort_retention",
     "dedup_fuzzy_edit",
     "semdedup",
+    "keyword_index_topk",
 ]
 
 

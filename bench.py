@@ -91,6 +91,8 @@ EXTRA = [
     # r4 dedup additions
     "dedup_fuzzy_edit",
     "semdedup",
+    # r4 materialized text index
+    "keyword_index_topk",
 ]
 
 

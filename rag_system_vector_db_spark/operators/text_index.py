@@ -1,0 +1,124 @@
+"""Materialized inverted text index: the BM25-serving analog of the
+IVF cell layout (ann.ivf_index_build).
+
+Build once: postings (term, doc_id, tf, dl) written as parquet
+PARTITIONED BY term-hash bucket, plus a one-row corpus-stats table
+(n_docs, avgdl). Query: the literal query terms map to their buckets
+driver-side (same portable md5 the build used), so the postings scan
+carries a PARTITION-column filter — directory pruning skips every
+non-queried bucket before I/O, and the term filter pushes into the
+pruned files. df/idf derive from the pruned postings themselves (a
+term's postings live entirely inside its bucket), so no separate term
+dictionary is needed.
+
+At 100 TB this is the classic search posture: the O(corpus) tokenize +
+groupBy happens once at build; a query then reads |query_terms|
+buckets ≈ (n_query_buckets / n_buckets) of the index, scores only
+matching postings, and top-k's via TakeOrdered — never a full scan.
+
+Reference parity: the BM25 keyword tower of hybrid_search_rrf
+(operators/hybrid.py bm25_scores) — identical formula and result
+contract, served from the materialized index instead of re-tokenizing
+the corpus per query.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions import text as X
+from .hybrid import BM25_B, BM25_K1
+
+
+def term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of the build's bucket expression: first 15 md5
+    hex chars as a 60-bit int (functions.hashing.md5_long), mod
+    n_buckets. Must stay in lockstep with keyword_index_build."""
+    return int(hashlib.md5(term.encode()).hexdigest()[: H.HEX_WIDTH], 16) % n_buckets
+
+
+def keyword_index_build(
+    docs: DataFrame,
+    index_dir: str,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One-off batch index build: tokenize → per-(term, doc) tf with
+    doc length → write bucket-partitioned postings + corpus stats.
+    One explode → one map-side-combinable groupBy; the write shuffles
+    on the partition column so each bucket directory gets locality."""
+    toks = docs.select(
+        F.col(id_col),
+        F.size(X.tokens(F.col(text_col))).alias("_dl"),
+        F.explode(X.tokens(F.col(text_col))).alias("term"),
+    )
+    postings = (
+        toks.groupBy("term", id_col)
+        .agg(F.count("*").cast("double").alias("tf"), F.first("_dl").alias("dl"))
+        .withColumn("bucket", (H.md5_long(F.col("term")) % n_buckets).cast("int"))
+    )
+    (
+        postings.repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(f"{index_dir}/postings")
+    )
+    # corpus constants (allocation-free dl: token count ≡ spaces + 1)
+    dl_expr = (
+        F.length(F.col(text_col))
+        - F.length(F.translate(F.col(text_col), " ", ""))
+        + 1
+    )
+    stats = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg(dl_expr).alias("avgdl"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/stats")
+
+
+def keyword_index_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query_terms: list[str],
+    k: int = 10,
+    n_buckets: int = 32,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-k served from the materialized index. The bucket IN
+    filter is on the PARTITION column (directory pruning — asserted in
+    tests), the term IN filter pushes into the pruned parquet files.
+    Returns (rank, doc_id, bm25)."""
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in query_terms})
+    post = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(query_terms))
+    )
+    stats = spark.read.parquet(f"{index_dir}/stats")
+    dfreq = post.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (
+        (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        post.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("_bm25"))
+        .orderBy(F.col("_bm25").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("_bm25").desc(), F.col("doc_id"))
+    return scored.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        F.round("_bm25", 6).alias("bm25"),
+    )

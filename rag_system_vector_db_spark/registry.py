@@ -2696,3 +2696,51 @@ def _semdedup_oracle(sf_dir: str) -> str:
 
 
 LAZY_ORACLES["semdedup"] = _semdedup_oracle
+
+
+@query(
+    "keyword_index_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), qtoks AS (
+        SELECT * FROM toks WHERE term IN ('spark', 'join', 'fast')
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
+        FROM qtoks GROUP BY doc_id, term
+    ), stats AS (
+        SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl FROM documents
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), bm25 AS (
+        SELECT tf.doc_id,
+               sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))) AS bm25
+        FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    )
+    SELECT row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank,
+           doc_id, round(bm25, 6) AS bm25
+    FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def keyword_index_topk(spark, sf_dir):
+    """BM25 top-10 served from the MATERIALIZED bucket-partitioned
+    inverted index (build idempotent, like ann_ivf_indexed): query
+    terms prune to their hash buckets at the directory level before
+    any I/O. Result contract = hybrid's keyword tower, so the oracle
+    recomputes it straight from documents — index-independent."""
+    from .operators import text_index
+
+    index_dir = _os.path.join(
+        _WAREHOUSE, f"kw_index_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    if not _os.path.exists(_os.path.join(index_dir, "stats", "_SUCCESS")):
+        text_index.keyword_index_build(
+            load_table(spark, sf_dir, "documents"), index_dir
+        )
+    return text_index.keyword_index_topk(
+        spark, index_dir, ["spark", "join", "fast"], k=10
+    )

@@ -1,0 +1,65 @@
+"""Materialized inverted text index: build + pruned BM25 serving.
+
+Mirrors the reference's retrieval surface (hybrid BM25 tower) served
+from a bucket-partitioned postings layout instead of per-query corpus
+tokenization — the text analog of tests/test_pq.py's IVF layout checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rag_system_vector_db_spark.operators import hybrid, text_index
+
+TERMS = ["spark", "join", "fast"]
+
+
+def _build(spark, sf_dir, tmp_path):
+    idx = str(tmp_path / "kw_index")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    text_index.keyword_index_build(docs, idx, n_buckets=32)
+    return idx, docs
+
+
+def test_index_serving_matches_direct_bm25(spark, sf_dir, tmp_path):
+    """The index-served top-k must equal re-tokenizing the corpus."""
+    idx, docs = _build(spark, sf_dir, tmp_path)
+    served = text_index.keyword_index_topk(spark, idx, TERMS, k=10).collect()
+    direct = (
+        hybrid.bm25_scores(docs, TERMS)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+        .collect()
+    )
+    assert [r.doc_id for r in served] == [r.doc_id for r in direct]
+    for s, d in zip(served, direct):
+        assert abs(s.bm25 - d.bm25) < 1e-6
+
+
+def test_postings_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The bucket IN filter must reach the scan as a PartitionFilter
+    (directory-level skip), and term buckets must be consistent
+    between the Python twin and the build's column expression."""
+    idx, docs = _build(spark, sf_dir, tmp_path)
+    buckets = sorted({text_index.term_bucket_py(t, 32) for t in TERMS})
+    pruned = spark.read.parquet(f"{idx}/postings").filter(
+        F.col("bucket").isin(buckets)
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1][:160]
+    # bucket twin consistency: every queried term's postings are found
+    # inside the pruned slice
+    found = {
+        r.term
+        for r in pruned.filter(F.col("term").isin(TERMS)).select("term").distinct().collect()
+    }
+    full = {
+        r.term
+        for r in spark.read.parquet(f"{idx}/postings")
+        .filter(F.col("term").isin(TERMS))
+        .select("term")
+        .distinct()
+        .collect()
+    }
+    assert found == full
