@@ -65,6 +65,7 @@ _VERIFY_FIRST = [
     "dedup_fuzzy_edit",
     "semdedup",
     "keyword_index_topk",
+    "minhash_accuracy",
 ]
 
 

@@ -93,6 +93,7 @@ EXTRA = [
     "semdedup",
     # r4 materialized text index
     "keyword_index_topk",
+    "minhash_accuracy",
 ]
 
 

@@ -616,3 +616,71 @@ def semdedup(
         )
         .select("cid", id_col, "keeper_id", F.round("_s", 6).alias("score"))
     )
+
+
+def minhash_accuracy(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Estimator-quality harness for the MinHash sketch: for every LSH
+    candidate pair, the signature-agreement estimate of Jaccard
+    (#equal components / num_hashes) next to the EXACT shingle-set
+    Jaccard and the absolute error — the measurement that sizes
+    num_hashes/bands/rows for a target recall-precision point.
+
+    The signature pipeline runs once; candidate pairs come from the
+    same band-bucket collect as dedup_minhash_lsh, and the (small)
+    pair set then broadcast-joins against the per-doc signature and
+    shingle-set tables — exact Jaccard is computed ONLY on candidates,
+    never all pairs. Returns (doc_a, doc_b, est_jaccard,
+    exact_jaccard, abs_err)."""
+    sh = shingle_set(docs, n, id_col, text_col)
+    sigs = minhash_signatures(sh, num_hashes, id_col)
+    b = lsh_band_buckets(sigs, bands, rows, id_col)
+    buckets = (
+        b.groupBy("band", "band_sig")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ex = buckets.select(F.col("ids"), F.posexplode("ids").alias("i", "doc_a"))
+    pairs = (
+        ex.select(
+            "doc_a",
+            F.explode(F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))).alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sset"))
+    sa = sigs.select(
+        F.col(id_col).alias("doc_a"), *[F.col(f"h{r}").alias(f"a{r}") for r in range(num_hashes)]
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("doc_b"), *[F.col(f"h{r}").alias(f"b{r}") for r in range(num_hashes)]
+    )
+    est = sum(
+        F.when(F.col(f"a{r}") == F.col(f"b{r}"), 1).otherwise(0) for r in range(num_hashes)
+    ) / float(num_hashes)
+    ja = sets.select(F.col(id_col).alias("doc_a"), F.col("sset").alias("set_a"))
+    jb = sets.select(F.col(id_col).alias("doc_b"), F.col("sset").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    union = (F.size("set_a") + F.size("set_b") - F.size(F.array_intersect("set_a", "set_b"))).cast("double")
+    return (
+        sa.join(F.broadcast(pairs), "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", est)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .join(ja, "doc_a")
+        .join(jb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("est_jaccard", 6).alias("est_jaccard"),
+            F.round(inter / union, 6).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - inter / union), 6).alias("abs_err"),
+        )
+    )

@@ -2744,3 +2744,49 @@ def keyword_index_topk(spark, sf_dir):
     return text_index.keyword_index_topk(
         spark, index_dir, ["spark", "join", "fast"], k=10
     )
+
+
+_DD_MH_EST = " + ".join(
+    f"(CASE WHEN sa.h{r} = sb.h{r} THEN 1 ELSE 0 END)" for r in range(8)
+)
+
+
+@query(
+    "minhash_accuracy",
+    oracle=f"""
+    WITH {_DD_SHINGLES}, {_DD_MINHASH_SIG}, {_DD_BANDS},
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ), sizes AS (
+        SELECT doc_id, CAST(count(*) AS DOUBLE) AS n_sh FROM shf GROUP BY doc_id
+    ), inter AS (
+        SELECT p.doc_a, p.doc_b, CAST(count(*) AS DOUBLE) AS n_int
+        FROM pairs p
+        JOIN shf x ON x.doc_id = p.doc_a
+        JOIN shf y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+        GROUP BY p.doc_a, p.doc_b
+    ), est AS (
+        SELECT p.doc_a, p.doc_b, ({_DD_MH_EST}) / 8.0 AS est_j
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.doc_a
+        JOIN sig sb ON sb.doc_id = p.doc_b
+    )
+    SELECT e.doc_a, e.doc_b, round(e.est_j, 6) AS est_jaccard,
+           round(coalesce(i.n_int, 0) / (na.n_sh + nb.n_sh - coalesce(i.n_int, 0)), 6) AS exact_jaccard,
+           round(abs(e.est_j - coalesce(i.n_int, 0) / (na.n_sh + nb.n_sh - coalesce(i.n_int, 0))), 6) AS abs_err
+    FROM est e
+    LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+    JOIN sizes na ON na.doc_id = e.doc_a
+    JOIN sizes nb ON nb.doc_id = e.doc_b
+    """,
+)
+def minhash_accuracy(spark, sf_dir):
+    """MinHash estimator-quality harness: signature-agreement Jaccard
+    estimate vs exact shingle-set Jaccard on every LSH candidate pair
+    — the num_hashes/bands sizing measurement, exact only on
+    candidates (never all pairs)."""
+    from .operators import dedup
+
+    return dedup.minhash_accuracy(load_table(spark, sf_dir, "documents"))
