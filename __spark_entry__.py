@@ -66,6 +66,7 @@ _VERIFY_FIRST = [
     "semdedup",
     "keyword_index_topk",
     "minhash_accuracy",
+    "lm_perplexity",
 ]
 
 

@@ -94,6 +94,7 @@ EXTRA = [
     # r4 materialized text index
     "keyword_index_topk",
     "minhash_accuracy",
+    "lm_perplexity",
 ]
 
 

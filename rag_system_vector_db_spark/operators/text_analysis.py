@@ -310,3 +310,49 @@ def doc_fingerprint(
     return docs.select(
         F.col(id_col), F.posexplode(F.slice(hashes, 1, k)).alias("pos", "fp_hash")
     ).select(F.col(id_col), (F.col("pos") + 1).cast("long").alias("fp_rank"), "fp_hash")
+
+
+def lm_perplexity(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style LM quality signal (Wenzek et al. LREC'20): per-doc
+    perplexity under a corpus-trained unigram LM, bucketed head /
+    middle / tail by perplexity terciles. The deterministic unigram
+    model stands in for KenLM (not in this container) — the swap point
+    is the (term → logp) table; everything downstream is unchanged.
+
+    Shuffle shape: (1) tf per (doc, term) — map-side combinable;
+    (2) vocab counts per term, derived FROM tf so the corpus pass runs
+    once and the term-hashed partitioning is reused by the join;
+    (3) per-doc rollup. The corpus token total rides as a broadcast
+    scalar. The tercile split is a window over the one-row-per-doc
+    frame (the CCNet sort step); swap ntile for approx quantile cuts
+    if even n_docs rows can't sort at your scale.
+    Returns (doc_id, n_tokens, avg_logp, perplexity, ppl_bucket)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(X.tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").cast("double").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    per_doc = (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (
+                F.sum(F.col("tf") * F.log(F.col("cnt") / F.col("total")))
+                / F.sum("tf")
+            ).alias("_logp"),
+        )
+    )
+    w = Window.orderBy(F.col("_logp").desc(), F.col(id_col))
+    bucket = F.ntile(3).over(w)
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        F.round("_logp", 6).alias("avg_logp"),
+        F.round(F.exp(-F.col("_logp")), 6).alias("perplexity"),
+        F.when(bucket == 1, "head").when(bucket == 2, "middle").otherwise("tail").alias("ppl_bucket"),
+    )

@@ -2790,3 +2790,37 @@ def minhash_accuracy(spark, sf_dir):
     from .operators import dedup
 
     return dedup.minhash_accuracy(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "lm_perplexity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+        GROUP BY doc_id, term
+    ), vocab AS (
+        SELECT term, CAST(sum(tf) AS DOUBLE) AS cnt FROM tf GROUP BY term
+    ), tot AS (SELECT sum(cnt) AS total FROM vocab),
+    d AS (
+        SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_tokens,
+               sum(t.tf * ln(v.cnt / s.total)) / sum(t.tf) AS logp
+        FROM tf t JOIN vocab v USING (term) CROSS JOIN tot s
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, round(logp, 6) AS avg_logp,
+           round(exp(-logp), 6) AS perplexity,
+           CASE ntile(3) OVER (ORDER BY logp DESC, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS ppl_bucket
+    FROM d
+    """,
+)
+def lm_perplexity(spark, sf_dir):
+    """CCNet-style perplexity quality signal under a corpus-trained
+    unigram LM (deterministic KenLM stand-in), head/middle/tail
+    tercile buckets."""
+    from .operators import text_analysis
+
+    return text_analysis.lm_perplexity(load_table(spark, sf_dir, "documents"))
