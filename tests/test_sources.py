@@ -134,3 +134,42 @@ def test_pdf_ingest_feeds_chunker(spark, tmp_path):
     )
     chunks = chunk_by_tokens(docs, window=40)
     assert chunks.count() == 3  # 100 tokens / 40 per window
+
+
+# --- JSONL corpus source -------------------------------------------------
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
+    """Parseable lines land in the docs contract, malformed/incomplete
+    lines in the quarantine frame; parquet documents round-trip
+    loss-free through JSONL."""
+    from rag_system_vector_db_spark.sources.jsonl import (
+        read_jsonl_docs,
+        write_jsonl_docs,
+    )
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha beta", "lang": "en", "source": "s1"}\n'
+        '{"doc_id": 2, "text": "gamma"}\n'  # optional fields defaulted
+        'not json at all\n'
+        '{"doc_id": 3}\n'  # missing text -> quarantine
+        '{"text": "no id"}\n'  # missing doc_id -> quarantine
+    )
+    docs, corrupt = read_jsonl_docs(spark, str(p))
+    rows = {r.doc_id: r for r in docs.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2].lang == "und" and rows[2].source == "jsonl"
+    assert rows[1].n_chars == len("alpha beta")
+    assert corrupt.count() == 3
+
+    # round-trip the real documents table through JSONL
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tmp_path / "export"
+    write_jsonl_docs(src, str(out))
+    back, bad = read_jsonl_docs(spark, str(out))
+    assert bad.count() == 0
+    assert back.count() == src.count()
+    a = {(r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in back.collect()}
+    b = {(r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in src.collect()}
+    assert a == b
