@@ -67,6 +67,8 @@ _VERIFY_FIRST = [
     "keyword_index_topk",
     "minhash_accuracy",
     "lm_perplexity",
+    "sequence_packing",
+    "incremental_dedup",
 ]
 
 

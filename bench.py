@@ -95,6 +95,8 @@ EXTRA = [
     "keyword_index_topk",
     "minhash_accuracy",
     "lm_perplexity",
+    "sequence_packing",
+    "incremental_dedup",
 ]
 
 

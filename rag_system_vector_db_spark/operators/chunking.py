@@ -204,3 +204,75 @@ def split_large_chunks(
             yield pd.DataFrame(rows, columns=list(pdf.columns) + ["part_no", "part_text"])
 
     return chunks.mapInPandas(gen, schema=out_schema)
+
+
+def sequence_packing(
+    docs: DataFrame,
+    seq_len: int = 512,
+    shard_size: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """GPT-style sequence packing layout: per group (language shard),
+    documents are concatenated in id order into one token stream cut
+    every ``seq_len`` tokens; each doc's byte-position in that stream
+    is its prefix token sum.
+
+    The prefix sum is computed the SCALE-SAFE two-phase way, not with
+    one global window: (1) docs get a shard id (``id div shard_size``);
+    a window inside each (group, shard) computes the within-shard
+    prefix — bounded partitions, no global sort; (2) per-shard totals
+    (a tiny frame: one row per shard) get a cumulative window per
+    group, giving each shard its stream offset; a broadcast join adds
+    the two. Result is bit-identical to the naive full-stream cumsum —
+    which is exactly what the oracle computes — while the only
+    full-data sort is per-shard.
+
+    Token count is the allocation-free spaces+1 scalar (single-space
+    tokenization). Returns (group, doc_id, n_tokens, start_offset,
+    first_pack, last_pack, n_packs) — first/last pack index the
+    seq_len-token training sequences the doc lands in."""
+    n_tok = (
+        F.length(F.col(text_col))
+        - F.length(F.translate(F.col(text_col), " ", ""))
+        + 1
+    ).cast("long")
+    d = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        (F.col(id_col) / shard_size).cast("long").alias("_shard"),
+    )
+    w_in = (
+        Window.partitionBy("grp", "_shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = d.withColumn("_pre", F.sum("n_tokens").over(w_in) - F.col("n_tokens"))
+    totals = d.groupBy("grp", "_shard").agg(F.sum("n_tokens").alias("_tot"))
+    w_sh = (
+        Window.partitionBy("grp")
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.withColumn(
+        "_off", F.sum("_tot").over(w_sh) - F.col("_tot")
+    ).select("grp", "_shard", "_off")
+    out = within.join(F.broadcast(offsets), ["grp", "_shard"]).select(
+        F.col("grp").alias(group_col),
+        F.col(id_col),
+        "n_tokens",
+        (F.col("_pre") + F.col("_off")).alias("start_offset"),
+    )
+    first = F.expr(f"start_offset div {seq_len}")
+    last = F.expr(f"(start_offset + n_tokens - 1) div {seq_len}")
+    return out.select(
+        group_col,
+        id_col,
+        "n_tokens",
+        "start_offset",
+        first.cast("long").alias("first_pack"),
+        last.cast("long").alias("last_pack"),
+        (last - first + 1).cast("long").alias("n_packs"),
+    )

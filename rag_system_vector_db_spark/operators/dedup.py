@@ -684,3 +684,70 @@ def minhash_accuracy(
             F.round(F.abs(F.col("est_jaccard") - inter / union), 6).alias("abs_err"),
         )
     )
+
+
+def incremental_dedup(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows: int = 2,
+    frac_num: int = 4,
+    frac_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental (new-batch vs base-corpus) dedup — the nightly
+    ingest posture: only the NEW slice is checked, against the base's
+    indexed artifacts, never base-vs-base again.
+
+    The batch split point ((max_id · frac_num) div frac_den) enters
+    the plan as a broadcast scalar — no driver action. Exact layer:
+    new docs probe the DISTINCT base content-hash set (md5 keys, never
+    text, through the join). Near-dup layer: the minhash/LSH band
+    pipeline runs ONCE over the corpus; new-side band rows equi-join
+    base-side band rows, so candidate volume is bucket-collision
+    bound exactly like dedup_minhash_lsh. At scale the base band
+    table is the persisted index artifact — only the new slice is
+    re-signed per batch.
+
+    Returns one row per NEW doc: (doc_id, is_exact_dup,
+    n_base_candidates = distinct base docs sharing ≥1 LSH band)."""
+    split = docs.agg(F.max(id_col).alias("_m")).select(
+        F.expr(f"_m * {frac_num} div {frac_den}").alias("_split")
+    )
+    tagged = docs.crossJoin(F.broadcast(split))
+    new = tagged.filter(F.col(id_col) > F.col("_split"))
+    base = tagged.filter(F.col(id_col) <= F.col("_split"))
+    bhash = (
+        base.select(F.md5(F.col(text_col)).alias("_h"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    ex = (
+        new.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+        .join(bhash, "_h", "left")
+        .select(F.col(id_col), F.coalesce("_dup", F.lit(False)).alias("is_exact_dup"))
+    )
+    b = lsh_band_buckets(
+        minhash_signatures(shingle_set(docs, n, id_col, text_col), num_hashes, id_col),
+        bands,
+        rows,
+        id_col,
+    ).crossJoin(F.broadcast(split))
+    nb = b.filter(F.col(id_col) > F.col("_split")).select(
+        F.col(id_col).alias("_new_id"), "band", "band_sig"
+    )
+    bb = b.filter(F.col(id_col) <= F.col("_split")).select(
+        F.col(id_col).alias("_base_id"), "band", "band_sig"
+    )
+    cand = nb.join(bb, ["band", "band_sig"]).select("_new_id", "_base_id").distinct()
+    counts = cand.groupBy("_new_id").agg(F.count("*").cast("long").alias("_n"))
+    return (
+        ex.join(counts, ex[id_col] == counts["_new_id"], "left")
+        .select(
+            id_col,
+            "is_exact_dup",
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_base_candidates"),
+        )
+    )

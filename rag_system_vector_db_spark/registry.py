@@ -2824,3 +2824,68 @@ def lm_perplexity(spark, sf_dir):
     from .operators import text_analysis
 
     return text_analysis.lm_perplexity(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "sequence_packing",
+    oracle="""
+    WITH d AS (
+        SELECT lang, doc_id,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+        FROM documents
+    ), pre AS (
+        SELECT lang, doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+        FROM d
+    )
+    SELECT lang, doc_id, n_tokens, start_offset,
+           start_offset // 512 AS first_pack,
+           (start_offset + n_tokens - 1) // 512 AS last_pack,
+           (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1 AS n_packs
+    FROM pre
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    """GPT-style pack layout for LLM training sequences: per-language
+    concat-then-chunk offsets via the two-phase (shard-local window +
+    tiny shard-offset frame) prefix sum — bit-identical to the
+    oracle's naive full-stream cumsum, but the only full-data sort is
+    per-shard."""
+    from .operators import chunking
+
+    return chunking.sequence_packing(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "incremental_dedup",
+    oracle=f"""
+    WITH {_DD_SHINGLES}, {_DD_MINHASH_SIG}, {_DD_BANDS},
+    s AS (SELECT (max(doc_id) * 4) // 5 AS split FROM documents),
+    newd AS (SELECT d.doc_id, d.text FROM documents d, s WHERE d.doc_id > s.split),
+    bh AS (
+        SELECT DISTINCT md5(d.text) AS h FROM documents d, s WHERE d.doc_id <= s.split
+    ), ex AS (
+        SELECT n.doc_id, (bh.h IS NOT NULL) AS is_exact_dup
+        FROM newd n LEFT JOIN bh ON md5(n.text) = bh.h
+    ), cand AS (
+        SELECT DISTINCT nb.doc_id AS new_id, bb.doc_id AS base_id
+        FROM bands nb
+        JOIN bands bb ON nb.band = bb.band AND nb.band_sig = bb.band_sig
+        CROSS JOIN s
+        WHERE nb.doc_id > s.split AND bb.doc_id <= s.split
+    ), c AS (
+        SELECT new_id, CAST(count(*) AS BIGINT) AS n FROM cand GROUP BY new_id
+    )
+    SELECT e.doc_id, e.is_exact_dup,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_base_candidates
+    FROM ex e LEFT JOIN c ON c.new_id = e.doc_id
+    """,
+)
+def incremental_dedup(spark, sf_dir):
+    """New-batch vs base-corpus dedup (nightly ingest posture): exact
+    content-hash probe + minhash/LSH band collisions of the new slice
+    against the base only; split point is a broadcast scalar."""
+    from .operators import dedup
+
+    return dedup.incremental_dedup(load_table(spark, sf_dir, "documents"))
