@@ -321,38 +321,40 @@ def lm_perplexity(
     model stands in for KenLM (not in this container) — the swap point
     is the (term → logp) table; everything downstream is unchanged.
 
-    Shuffle shape: (1) tf per (doc, term) — map-side combinable;
-    (2) vocab counts per term, derived FROM tf so the corpus pass runs
-    once and the term-hashed partitioning is reused by the join;
-    (3) per-doc rollup. The corpus token total rides as a broadcast
-    scalar. The tercile split is a window over the one-row-per-doc
-    frame (the CCNet sort step); swap ntile for approx quantile cuts
-    if even n_docs rows can't sort at your scale.
+    The tokenize subtree plans exactly ONCE: vocab counts come from an
+    unordered sum window over the tf frame partitioned by term (the
+    tfidf df trick — a groupBy+join-back would plan the explode
+    twice), and the corpus total enters via the decomposition
+    logp = Σ tf·ln(cnt)/n − ln(total), where total is a global window
+    over the one-row-per-doc frame (n_docs rows through a single
+    partition — tiny; the oracle uses the identical decomposition so
+    float semantics agree). The tercile split orders by the
+    Σ tf·ln(cnt)/n term alone — equivalent, since −ln(total) is a
+    constant shift. Swap ntile for approx quantile cuts if even
+    n_docs rows can't sort at your scale.
     Returns (doc_id, n_tokens, avg_logp, perplexity, ppl_bucket)."""
     toks = docs.select(
         F.col(id_col), F.explode(X.tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
-    vocab = tf.groupBy("term").agg(F.sum("tf").cast("double").alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("total"))
-    per_doc = (
-        tf.join(vocab, "term")
-        .crossJoin(F.broadcast(total))
-        .groupBy(id_col)
-        .agg(
-            F.sum("tf").cast("long").alias("n_tokens"),
-            (
-                F.sum(F.col("tf") * F.log(F.col("cnt") / F.col("total")))
-                / F.sum("tf")
-            ).alias("_logp"),
-        )
+    w_term = Window.partitionBy("term")
+    scored = tf.withColumn("cnt", F.sum("tf").over(w_term).cast("double"))
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        (F.sum(F.col("tf") * F.log("cnt")) / F.sum("tf")).alias("_a"),
     )
-    w = Window.orderBy(F.col("_logp").desc(), F.col(id_col))
-    bucket = F.ntile(3).over(w)
-    return per_doc.select(
+    w_all = Window.partitionBy()  # single-partition frame: n_docs rows
+    w_rank = Window.orderBy(F.col("_a").desc(), F.col(id_col))
+    with_tot = per_doc.withColumn(
+        "_logp", F.col("_a") - F.log(F.sum("n_tokens").over(w_all).cast("double"))
+    ).withColumn("_bucket", F.ntile(3).over(w_rank))
+    return with_tot.select(
         F.col(id_col),
         "n_tokens",
         F.round("_logp", 6).alias("avg_logp"),
         F.round(F.exp(-F.col("_logp")), 6).alias("perplexity"),
-        F.when(bucket == 1, "head").when(bucket == 2, "middle").otherwise("tail").alias("ppl_bucket"),
+        F.when(F.col("_bucket") == 1, "head")
+        .when(F.col("_bucket") == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
     )

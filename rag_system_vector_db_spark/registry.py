@@ -2800,21 +2800,26 @@ def minhash_accuracy(spark, sf_dir):
     ), tf AS (
         SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
         GROUP BY doc_id, term
-    ), vocab AS (
-        SELECT term, CAST(sum(tf) AS DOUBLE) AS cnt FROM tf GROUP BY term
-    ), tot AS (SELECT sum(cnt) AS total FROM vocab),
-    d AS (
-        SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_tokens,
-               sum(t.tf * ln(v.cnt / s.total)) / sum(t.tf) AS logp
-        FROM tf t JOIN vocab v USING (term) CROSS JOIN tot s
-        GROUP BY t.doc_id
+    ), scored AS (
+        SELECT doc_id, tf,
+               CAST(sum(tf) OVER (PARTITION BY term) AS DOUBLE) AS cnt
+        FROM tf
+    ), d AS (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+               sum(tf * ln(cnt)) / sum(tf) AS a
+        FROM scored GROUP BY doc_id
+    ), t AS (
+        -- same decomposition as the Spark plan: logp = a - ln(total)
+        SELECT doc_id, n_tokens,
+               a - ln(CAST(sum(n_tokens) OVER () AS DOUBLE)) AS logp,
+               ntile(3) OVER (ORDER BY a DESC, doc_id) AS b
+        FROM d
     )
     SELECT doc_id, n_tokens, round(logp, 6) AS avg_logp,
            round(exp(-logp), 6) AS perplexity,
-           CASE ntile(3) OVER (ORDER BY logp DESC, doc_id)
-                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
            END AS ppl_bucket
-    FROM d
+    FROM t
     """,
 )
 def lm_perplexity(spark, sf_dir):

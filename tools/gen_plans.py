@@ -67,6 +67,36 @@ NOTES = {
         "(partition-local sort only); top-k per doc is a sort_array/slice "
         "aggregation — no global sorts anywhere."
     ),
+    "keyword_index_topk": (
+        "Both postings scans carry PartitionFilters on the term-hash "
+        "bucket (directory pruning before I/O) plus the pushed term IN "
+        "filter; df and corpus stats are broadcast sides; top-k is "
+        "TakeOrderedAndProject over scored postings only."
+    ),
+    "dedup_fuzzy_edit": (
+        "PassJoin: segment/substring equi-join on ~11-char keys "
+        "generates candidates (no theta join anywhere); distinct pair "
+        "set then re-joins the 32-char prefix keys for the exact "
+        "levenshtein verify — full texts never enter a shuffle."
+    ),
+    "lm_perplexity": (
+        "The tokenize/tf subtree plans ONCE: vocab counts are an "
+        "unordered sum window over tf (term-partitioned), the corpus "
+        "total folds in as logp = a - ln(total) with total a "
+        "single-partition window over the per-doc frame (n_docs rows)."
+    ),
+    "sequence_packing": (
+        "Two-phase prefix sum: shard-local windows (bounded "
+        "partitions) + cumulative window over the tiny per-shard "
+        "totals frame, recombined by a broadcast join — no global "
+        "sort of the corpus."
+    ),
+    "incremental_dedup": (
+        "Band pipeline runs once over the corpus; new-side rows "
+        "equi-join base-side rows on (band, band_sig); the batch "
+        "split point is a broadcast scalar, exact layer probes the "
+        "distinct base hash set — md5 keys only through the shuffle."
+    ),
 }
 
 
