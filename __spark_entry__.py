@@ -69,6 +69,7 @@ _VERIFY_FIRST = [
     "lm_perplexity",
     "sequence_packing",
     "incremental_dedup",
+    "funnel_analysis",
 ]
 
 

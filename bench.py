@@ -97,6 +97,7 @@ EXTRA = [
     "lm_perplexity",
     "sequence_packing",
     "incremental_dedup",
+    "funnel_analysis",
 ]
 
 

@@ -523,3 +523,63 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
         )
     )
+
+
+def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel over events (view → click → purchase): a
+    user converts step k only if step k's first occurrence is AT OR
+    AFTER step k-1's first occurrence (classic product-analytics
+    semantics, strictly ordered by event time with event_id as the
+    deterministic tie-break).
+
+    One map-side-combinable groupBy(user) computes the three
+    first-occurrence timestamps as conditional mins — no joins, no
+    windows over raw events; the funnel conjunctions and the final
+    one-row rollup run on the tiny per-user frame. Micros precision
+    (ts_ns div 1000) so both engines compare identical integers."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+    )
+    # first occurrence = min (ts, event_id) struct per step; the
+    # event_id tie-break makes simultaneous events deterministic
+    def first_of(step: str):
+        return F.min(
+            F.when(
+                F.col("event_type") == step,
+                F.struct(F.col("ts_us"), F.col("event_id")),
+            )
+        ).alias(f"_{step}")
+
+    per_user = ev.groupBy("user_id").agg(
+        first_of("view"), first_of("click"), first_of("purchase")
+    )
+    s1 = F.col("_view").isNotNull()
+    s2 = s1 & F.col("_click").isNotNull() & (
+        (F.col("_click.ts_us") > F.col("_view.ts_us"))
+        | (
+            (F.col("_click.ts_us") == F.col("_view.ts_us"))
+            & (F.col("_click.event_id") >= F.col("_view.event_id"))
+        )
+    )
+    s3 = s2 & F.col("_purchase").isNotNull() & (
+        (F.col("_purchase.ts_us") > F.col("_click.ts_us"))
+        | (
+            (F.col("_purchase.ts_us") == F.col("_click.ts_us"))
+            & (F.col("_purchase.event_id") >= F.col("_click.event_id"))
+        )
+    )
+    flags = per_user.select(
+        s1.alias("f1"), s2.alias("f2"), s3.alias("f3")
+    )
+    return flags.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.col("f1").cast("long")).cast("long").alias("step_view"),
+        F.sum(F.col("f2").cast("long")).cast("long").alias("step_click"),
+        F.sum(F.col("f3").cast("long")).cast("long").alias("step_purchase"),
+        F.round(
+            F.sum(F.col("f3").cast("long")) / F.sum(F.col("f1").cast("long")), 6
+        ).alias("conversion"),
+    )

@@ -2894,3 +2894,39 @@ def incremental_dedup(spark, sf_dir):
     from .operators import dedup
 
     return dedup.incremental_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "funnel_analysis",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+    ), per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN (ts_us, event_id) END) AS v,
+               min(CASE WHEN event_type = 'click' THEN (ts_us, event_id) END) AS c,
+               min(CASE WHEN event_type = 'purchase' THEN (ts_us, event_id) END) AS p
+        FROM ev GROUP BY user_id
+    ), flags AS (
+        SELECT (v IS NOT NULL) AS f1,
+               (v IS NOT NULL AND c IS NOT NULL AND c >= v) AS f2,
+               (v IS NOT NULL AND c IS NOT NULL AND c >= v
+                AND p IS NOT NULL AND p >= c) AS f3
+        FROM per_user
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
+           CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+           CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase,
+           round(sum(CASE WHEN f3 THEN 1 ELSE 0 END)
+                 / CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS DOUBLE), 6) AS conversion
+    FROM flags
+    """,
+)
+def funnel_analysis(spark, sf_dir):
+    """Ordered view->click->purchase funnel: conditional-min first
+    occurrences per user in ONE map-side-combinable groupBy, funnel
+    conjunctions on the tiny per-user frame."""
+    from .plans import analytics
+
+    return analytics.funnel_analysis(spark, sf_dir)
