@@ -70,6 +70,7 @@ _VERIFY_FIRST = [
     "sequence_packing",
     "incremental_dedup",
     "funnel_analysis",
+    "matryoshka_recall",
 ]
 
 

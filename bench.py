@@ -98,6 +98,7 @@ EXTRA = [
     "sequence_packing",
     "incremental_dedup",
     "funnel_analysis",
+    "matryoshka_recall",
 ]
 
 

@@ -701,3 +701,64 @@ def ann_ivf_indexed_topk(
         V.cosine(F.col(vec_col), F.col(query_vec_col)).alias("score"),
     )
     return topk_per_key_agg(scored, query_id_col, id_col, k)
+
+
+def matryoshka_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Matryoshka truncation sweep (Kusupati et al. NeurIPS'22): for
+    each prefix dimensionality, exact cosine top-k on the TRUNCATED
+    vectors, graded as recall@k against the full-dimension top-k —
+    the measurement that picks the serving dimensionality/recall
+    trade-off (the embedding analog of ann_probe_sweep's probe
+    budget).
+
+    ONE plan serves every dim: the (query × dim) set is exploded on
+    the broadcast side (|Q|·|dims| rows), the corpus scans once, and
+    slice(vec, 1, dim) truncates inside the cosine — no per-dim jobs.
+    The largest entry of ``dims`` must be the full dimension; it is
+    the grading baseline. Returns (dim, query_id, n_hits, recall)."""
+    from .knn import topk_per_key_agg
+
+    full_dim = max(dims)
+    qd = queries.select(
+        query_id_col,
+        query_vec_col,
+        F.explode(F.array(*[F.lit(d) for d in dims])).alias("dim"),
+    )
+    scored = corpus.crossJoin(F.broadcast(qd)).select(
+        "dim",
+        F.col(query_id_col),
+        F.col(id_col),
+        V.cosine(
+            F.expr(f"slice({vec_col}, 1, dim)"),
+            F.expr(f"slice({query_vec_col}, 1, dim)"),
+        ).alias("score"),
+    )
+    tops = topk_per_key_agg(scored, ["dim", query_id_col], id_col, k)
+    base = (
+        tops.filter(F.col("dim") == full_dim)
+        .select(F.col(query_id_col), F.col(id_col))
+    )
+    hits = tops.join(F.broadcast(base), [query_id_col, id_col]).groupBy(
+        "dim", query_id_col
+    ).agg(F.count("*").cast("long").alias("n_hits"))
+    # left-join from the full (dim, query) key set: a truncated top-k
+    # CAN miss the full top-k entirely (n_hits = 0)
+    keys = tops.select("dim", query_id_col).distinct()
+    return (
+        keys.join(hits, ["dim", query_id_col], "left")
+        .select(
+            F.col("dim").cast("long"),
+            query_id_col,
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / float(k), 6).alias("recall"),
+        )
+    )

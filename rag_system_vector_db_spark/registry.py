@@ -2930,3 +2930,46 @@ def funnel_analysis(spark, sf_dir):
     from .plans import analytics
 
     return analytics.funnel_analysis(spark, sf_dir)
+
+
+@query(
+    "matryoshka_recall",
+    oracle=f"""
+    WITH dims(dim) AS (VALUES (16), (32), (64)),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS query_vec
+        FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+        SELECT d.dim, q.query_id, e.vec_id,
+               {_dd_cosine('e.embedding[1:d.dim]', 'q.query_vec[1:d.dim]')} AS score
+        FROM embeddings e CROSS JOIN q CROSS JOIN dims d
+    ), ranked AS (
+        SELECT dim, query_id, vec_id,
+               row_number() OVER (PARTITION BY dim, query_id
+                                  ORDER BY score DESC, vec_id) AS rn
+        FROM scored
+    ), tops AS (SELECT dim, query_id, vec_id FROM ranked WHERE rn <= 10),
+    base AS (SELECT query_id, vec_id FROM tops WHERE dim = 64),
+    hits AS (
+        SELECT t.dim, t.query_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM tops t JOIN base b ON b.query_id = t.query_id AND b.vec_id = t.vec_id
+        GROUP BY t.dim, t.query_id
+    ), keys AS (SELECT DISTINCT dim, query_id FROM tops)
+    SELECT CAST(k.dim AS BIGINT) AS dim, k.query_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall
+    FROM keys k LEFT JOIN hits h ON h.dim = k.dim AND h.query_id = k.query_id
+    """,
+)
+def matryoshka_recall(spark, sf_dir):
+    """Matryoshka (prefix-truncation) dimensionality sweep: exact
+    cosine top-10 on 16/32/64-dim prefixes graded as recall@10 vs the
+    full 64-dim top-10 — one plan, corpus scanned once, dim exploded
+    on the broadcast query side."""
+    from .operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    queries = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 5
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    return ann.matryoshka_recall(emb, queries, dims=[16, 32, 64], k=10)
