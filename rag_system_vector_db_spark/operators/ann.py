@@ -18,7 +18,7 @@ centroid table is broadcast everywhere.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
@@ -720,14 +720,15 @@ def matryoshka_recall(
     trade-off (the embedding analog of ann_probe_sweep's probe
     budget).
 
-    ONE plan serves every dim: the (query × dim) set is exploded on
-    the broadcast side (|Q|·|dims| rows), the corpus scans once, and
-    slice(vec, 1, dim) truncates inside the cosine — no per-dim jobs.
-    The largest entry of ``dims`` must be the full dimension; it is
-    the grading baseline. Returns (dim, query_id, n_hits, recall)."""
-    from .knn import topk_per_key_agg
-
-    full_dim = max(dims)
+    ONE plan, ONE corpus scan serves every dim: the (query x dim) set
+    is exploded on the broadcast side (|Q|*|dims| rows),
+    slice(vec, 1, dim) truncates inside the cosine, and top-k per
+    (dim, query) collapses to id-arrays in one agg. The full-dim
+    baseline is then a max_by window over that tiny frame — reusing
+    the top-k relation twice would replan the whole scoring subtree
+    (Spark shares no subtrees), so the grading join is a window, not
+    a self-join. The largest ``dims`` entry is the grading baseline.
+    Returns (dim, query_id, n_hits, recall)."""
     qd = queries.select(
         query_id_col,
         query_vec_col,
@@ -742,23 +743,20 @@ def matryoshka_recall(
             F.expr(f"slice({query_vec_col}, 1, dim)"),
         ).alias("score"),
     )
-    tops = topk_per_key_agg(scored, ["dim", query_id_col], id_col, k)
-    base = (
-        tops.filter(F.col("dim") == full_dim)
-        .select(F.col(query_id_col), F.col(id_col))
+    pair = F.struct((-F.col("score")).alias("_o"), F.col(id_col))
+    tops = scored.groupBy("dim", query_id_col).agg(
+        F.transform(
+            F.slice(F.sort_array(F.collect_list(pair)), 1, k),
+            lambda s: s[id_col],
+        ).alias("ids")
     )
-    hits = tops.join(F.broadcast(base), [query_id_col, id_col]).groupBy(
-        "dim", query_id_col
-    ).agg(F.count("*").cast("long").alias("n_hits"))
-    # left-join from the full (dim, query) key set: a truncated top-k
-    # CAN miss the full top-k entirely (n_hits = 0)
-    keys = tops.select("dim", query_id_col).distinct()
-    return (
-        keys.join(hits, ["dim", query_id_col], "left")
-        .select(
-            F.col("dim").cast("long"),
-            query_id_col,
-            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            F.round(F.coalesce("n_hits", F.lit(0)) / float(k), 6).alias("recall"),
-        )
+    w = Window.partitionBy(query_id_col)
+    graded = tops.withColumn(
+        "_base", F.expr("max_by(ids, dim)").over(w)
+    ).withColumn("_hits", F.size(F.array_intersect("ids", "_base")))
+    return graded.select(
+        F.col("dim").cast("long"),
+        query_id_col,
+        F.col("_hits").cast("long").alias("n_hits"),
+        F.round(F.col("_hits") / float(k), 6).alias("recall"),
     )

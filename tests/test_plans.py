@@ -151,3 +151,35 @@ def test_ivf_cell_assignment_single_distance_subtrees(spark, sf_dir):
     # transform over the nested literal -> the distance machinery
     # appears O(1) times, not O(k) or O(2^k)
     assert plan.count("zip_with") <= 2
+
+
+def test_fuzzy_edit_no_theta_join(spark, sf_dir):
+    """PassJoin candidate generation must be equi-joins only — a
+    CartesianProduct / BroadcastNestedLoop here means the blocking
+    regressed to all-pairs."""
+    plan = _plan(QUERIES["dedup_fuzzy_edit"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_dedup_no_theta_join(spark, sf_dir):
+    """New-vs-base layers are equi-joins on hash/band keys; raw text
+    must never be a join key (only md5 keys cross the shuffle)."""
+    plan = _plan(QUERIES["incremental_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_lm_perplexity_single_scan(spark, sf_dir):
+    """The tokenize subtree must plan exactly once (vocab via window,
+    total via the logp decomposition)."""
+    plan = _plan(QUERIES["lm_perplexity"](spark, sf_dir))
+    assert plan.count("FileScan") == 1
+
+
+def test_matryoshka_single_corpus_scan(spark, sf_dir):
+    """All dims are served by one corpus scan: the dim axis explodes
+    on the broadcast query side. (The query-side scan of the same
+    parquet is separate and tiny.)"""
+    plan = _plan(QUERIES["matryoshka_recall"](spark, sf_dir))
+    assert plan.count("FileScan") <= 3
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
