@@ -330,3 +330,75 @@ def compact_ivf_index(spark: SparkSession, index_dir: str) -> None:
         shutil.rmtree(old, ignore_errors=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- streaming corpus dedup against a persisted base index ---------------
+
+
+def build_dedup_index(docs: DataFrame, index_dir: str) -> None:
+    """Bulk half of incremental corpus dedup (the streaming analog of
+    operators.dedup.incremental_dedup): persist the base corpus's
+    dedup artifacts — the DISTINCT content-hash set and the
+    minhash/LSH band table. These are the only things a new batch ever
+    joins against; the base text itself is never re-read."""
+    from ..operators.dedup import lsh_band_buckets, minhash_signatures, shingle_set
+
+    docs.select(F.md5("text").alias("text_hash")).distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/hashes")
+    bands = lsh_band_buckets(minhash_signatures(shingle_set(docs)))
+    bands.write.mode("overwrite").parquet(f"{index_dir}/bands")
+
+
+def start_streaming_corpus_dedup(
+    docs_stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming ingest with dedup-at-the-door: each micro-batch is
+    checked against the persisted index (exact content hash, then
+    minhash/LSH band collision — candidate-level, the conservative
+    drop) and against itself (keep-first within the batch); only novel
+    docs land in ``out_dir``, and their hash + band rows APPEND to the
+    index so later batches dedup against earlier ones.
+
+    Replay safety: a replayed batch re-probes an index that already
+    contains its own rows, so every doc drops as a duplicate — the
+    append sink converges instead of duplicating. Output rows carry
+    the micro-batch stamp; readers that need exactly-once semantics
+    resolve latest-per-doc_id like read_ivf_index."""
+    from ..operators.dedup import lsh_band_buckets, minhash_signatures, shingle_set
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hashed = batch_df.withColumn("_h", F.md5("text"))
+        # within-batch keep-first on content
+        w_first = hashed.groupBy("_h").agg(F.min("doc_id").alias("_keep"))
+        local = hashed.join(w_first, "_h").filter(F.col("doc_id") == F.col("_keep")).drop("_keep")
+        base_hashes = spark.read.parquet(f"{index_dir}/hashes")
+        fresh = local.join(
+            base_hashes, local["_h"] == base_hashes["text_hash"], "left_anti"
+        )
+        bands = lsh_band_buckets(minhash_signatures(shingle_set(fresh)))
+        base_bands = spark.read.parquet(f"{index_dir}/bands").select("band", "band_sig")
+        near_dup_ids = (
+            bands.join(base_bands, ["band", "band_sig"], "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        novel = fresh.join(near_dup_ids, "doc_id", "left_anti")
+        out = novel.drop("_h").withColumn("_batch", F.lit(batch_id).cast("long"))
+        out.write.mode("append").parquet(out_dir)
+        novel.select(F.col("_h").alias("text_hash")).distinct().write.mode(
+            "append"
+        ).parquet(f"{index_dir}/hashes")
+        bands.join(novel.select("doc_id"), "doc_id", "left_semi").write.mode(
+            "append"
+        ).parquet(f"{index_dir}/bands")
+
+    return (
+        docs_stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -372,3 +372,89 @@ def test_streaming_ivf_index_maintenance_upserts(spark, tmp_path):
         .count()
     )
     assert mismatch == 0
+
+
+def test_streaming_corpus_dedup_against_base_index(spark, tmp_path):
+    """Dedup-at-the-door ingest: micro-batches are checked against the
+    persisted base index (exact hash + LSH band collision) and the
+    index absorbs each batch's novel docs, so later batches dedup
+    against earlier ones. The streamed survivor set must equal the
+    batch-computed expectation from the same operators."""
+    import pandas as pd
+
+    from rag_system_vector_db_spark.operators.dedup import (
+        lsh_band_buckets,
+        minhash_signatures,
+        shingle_set,
+    )
+
+    base_texts = [
+        "the quick brown fox jumps over the lazy dog near the old river bank today",
+        "spark executes declarative plans with catalyst and tungsten at cluster scale",
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+
+    def doc_rows(ids, texts):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="int64"),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+            }
+        )
+
+    base = spark.createDataFrame(doc_rows([1, 2], base_texts))
+    idx = str(tmp_path / "dedup_index")
+    P.build_dedup_index(base, idx)
+
+    b1_texts = [
+        base_texts[0],  # exact dup of base -> dropped
+        "completely novel content about window aggregation and shuffle exchange plans",
+    ]
+    b2_texts = [
+        b1_texts[1],  # repeat of batch-1 novel doc -> dropped via updated index
+        "another fresh document describing broadcast joins and partition pruning",
+    ]
+    doc_rows([10, 11], b1_texts).to_parquet(src / "b1.parquet")
+
+    out_dir = str(tmp_path / "novel")
+    q = P.start_streaming_corpus_dedup(
+        P.stream_documents(spark, str(src)),
+        idx,
+        out_dir,
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        doc_rows([20, 21], b2_texts).to_parquet(src / "b2.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    survivors = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    # batch expectation from the same operators: doc 10 exact-dups base,
+    # doc 20 exact-dups doc 11's (streamed) content; 11/21 are novel
+    # unless their bands collide with the base (compute, don't guess)
+    def band_sigs(ids, texts):
+        df = lsh_band_buckets(
+            minhash_signatures(shingle_set(spark.createDataFrame(doc_rows(ids, texts))))
+        )
+        return {(r.band, r.band_sig) for r in df.collect()}
+
+    base_sigs = band_sigs([1, 2], base_texts)  # PRE-stream artifacts
+    sig11 = band_sigs([11], [b1_texts[1]])
+    sig21 = band_sigs([21], [b2_texts[1]])
+    expected = set()
+    seen = set(base_sigs)
+    if not (sig11 & seen):
+        expected.add(11)
+        seen |= sig11  # the index absorbs 11 before batch 2
+    if not (sig21 & seen):
+        expected.add(21)
+    assert survivors == expected
+    # the index absorbed the streamed novel docs
+    n_hashes = spark.read.parquet(f"{idx}/hashes").distinct().count()
+    assert n_hashes == 2 + len(expected)
