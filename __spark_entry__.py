@@ -71,6 +71,7 @@ _VERIFY_FIRST = [
     "incremental_dedup",
     "funnel_analysis",
     "matryoshka_recall",
+    "ivf_cell_stats",
 ]
 
 

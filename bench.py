@@ -99,6 +99,7 @@ EXTRA = [
     "incremental_dedup",
     "funnel_analysis",
     "matryoshka_recall",
+    "ivf_cell_stats",
 ]
 
 

@@ -2973,3 +2973,65 @@ def matryoshka_recall(spark, sf_dir):
         F.col("vec_id") < 5
     ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
     return ann.matryoshka_recall(emb, queries, dims=[16, 32, 64], k=10)
+
+
+@query("ivf_cell_stats")  # oracle: LAZY_ORACLES["ivf_cell_stats"] (centroid literals)
+def ivf_cell_stats(spark, sf_dir):
+    """IVF index balance diagnostics — the vector-side companion of
+    skew_profile: per-cell occupancy and mean/max distance to the
+    centroid, plus each cell's share of the corpus. A skewed cell list
+    means probe cost varies wildly per query (hot cells dominate);
+    this is the measurement that sizes k or triggers re-training.
+    One narrow assignment pass (broadcast centroid literals) + one
+    map-side-combinable groupBy(cell)."""
+    from .operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
+    assigned = ann.with_cell(emb, "embedding", centroids, out_col="cid")
+    dists = ann._centroid_dists(F.col("embedding"), centroids)
+    d = assigned.withColumn("_d", F.get(dists, F.col("cid")))
+    total = d.select(F.count("*").alias("_t"))
+    return (
+        d.groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(F.avg("_d"), 6).alias("mean_dist"),
+            F.round(F.max("_d"), 6).alias("max_dist"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cid",
+            "n_vecs",
+            "mean_dist",
+            "max_dist",
+            F.round(F.col("n_vecs") / F.col("_t"), 6).alias("share"),
+        )
+    )
+
+
+def _ivf_cell_stats_oracle(sf_dir: str) -> str:
+    from .operators import ann
+
+    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
+    return f"""
+    WITH {_cents_sql(centroids)},
+    assigned AS (
+        SELECT vec_id, cid, d FROM (
+            SELECT e.vec_id, c.cid, {_dd_euclid('e.embedding', 'c.w')} AS d,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_dd_euclid('e.embedding', 'c.w')}, c.cid
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ), tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM assigned)
+    SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(d), 6) AS mean_dist,
+           round(max(d), 6) AS max_dist,
+           round(count(*) / (SELECT t FROM tot), 6) AS share
+    FROM assigned GROUP BY cid
+    """
+
+
+LAZY_ORACLES["ivf_cell_stats"] = _ivf_cell_stats_oracle
