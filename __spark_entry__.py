@@ -72,6 +72,9 @@ _VERIFY_FIRST = [
     "funnel_analysis",
     "matryoshka_recall",
     "ivf_cell_stats",
+    "hybrid_index_rrf",
+    "embedding_drift",
+    "semdedup_clusters",
 ]
 
 

@@ -100,6 +100,9 @@ EXTRA = [
     "funnel_analysis",
     "matryoshka_recall",
     "ivf_cell_stats",
+    "hybrid_index_rrf",
+    "embedding_drift",
+    "semdedup_clusters",
 ]
 
 

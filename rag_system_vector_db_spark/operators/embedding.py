@@ -205,3 +205,48 @@ def quantize_int8_profile(vectors: DataFrame, vec_col: str = "embedding") -> Dat
             "max_abs_err",
         )
     )
+
+def embedding_drift(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid drift between two corpus halves (id-split) —
+    the embedding-space monitoring metric: a re-embedded or
+    distribution-shifted batch moves class centroids, and this is the
+    alarm that triggers re-indexing / re-training.
+
+    Same single-shuffle posexplode shape as label_centroids, with the
+    (label, half, dim) means rounded to 6 BEFORE the distance so the
+    downstream arithmetic is deterministic cross-engine; the split
+    point (max id) rides as a broadcast scalar. Returns one row per
+    label: counts per half, euclidean centroid drift, and the single
+    largest per-dimension shift."""
+    split = vectors.agg(F.max(id_col).alias("_m"))
+    half = F.when(F.col(id_col) * 2 <= F.col("_m"), "a").otherwise("b")
+    ex = (
+        vectors.crossJoin(F.broadcast(split))
+        .select(
+            F.col(label_col),
+            half.alias("half"),
+            F.posexplode(F.col(vec_col)).alias("pos", "v"),
+        )
+    )
+    per = ex.groupBy(label_col, "half", "pos").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("v"), 6).alias("m"),
+    )
+    a = per.filter(F.col("half") == "a").select(
+        label_col, "pos", F.col("n").alias("n_a"), F.col("m").alias("ma")
+    )
+    b = per.filter(F.col("half") == "b").select(
+        label_col, "pos", F.col("n").alias("n_b"), F.col("m").alias("mb")
+    )
+    j = a.join(b, [label_col, "pos"])
+    return j.groupBy(label_col).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.round(F.sqrt(F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))), 6).alias("drift"),
+        F.round(F.max(F.abs(F.col("ma") - F.col("mb"))), 6).alias("max_dim_shift"),
+    )

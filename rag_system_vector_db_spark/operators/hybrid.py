@@ -129,6 +129,21 @@ def hybrid_search_rrf(
         vec.withColumn("_q", F.lit(0)), "_q", "_id", depth
     ).select(F.col("_id"), F.col("rank").alias("vec_rank"))
 
+    return rrf_fuse(kw_top, vec_top, k=k, rrf_k=rrf_k, id_col=id_col)
+
+
+def rrf_fuse(
+    kw_top: DataFrame,
+    vec_top: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists (_id, bm25_rank) and
+    (_id, vec_rank): fused = Σ 1/(rrf_k + rank), full-outer so a doc
+    ranked by only one tower still scores. Shared by the per-query
+    tokenizing path (hybrid_search_rrf) and the materialized-index
+    serving path (text_index.hybrid_index_rrf)."""
     fused = (
         kw_top.join(vec_top, "_id", "full_outer")
         .withColumn(

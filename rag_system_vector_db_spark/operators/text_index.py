@@ -94,6 +94,27 @@ def keyword_index_topk(
     filter is on the PARTITION column (directory pruning — asserted in
     tests), the term IN filter pushes into the pruned parquet files.
     Returns (rank, doc_id, bm25)."""
+    scored = bm25_from_index(spark, index_dir, query_terms, n_buckets, k1, b)
+    top = scored.orderBy(F.col("_bm25").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("_bm25").desc(), F.col("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        F.round("_bm25", 6).alias("bm25"),
+    )
+
+
+def bm25_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    query_terms: list[str],
+    n_buckets: int = 32,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Scored (doc_id, _bm25) postings rollup from the materialized
+    index — the shared tower behind keyword_index_topk and
+    hybrid_index_rrf."""
     buckets = sorted({term_bucket_py(t, n_buckets) for t in query_terms})
     post = (
         spark.read.parquet(f"{index_dir}/postings")
@@ -108,17 +129,46 @@ def keyword_index_topk(
         (F.col("tf") * (k1 + 1.0))
         / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
     )
-    scored = (
+    return (
         post.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.sum(contrib).alias("_bm25"))
-        .orderBy(F.col("_bm25").desc(), F.col("doc_id"))
-        .limit(k)
     )
-    w = Window.orderBy(F.col("_bm25").desc(), F.col("doc_id"))
-    return scored.select(
-        F.row_number().over(w).cast("long").alias("rank"),
-        "doc_id",
-        F.round("_bm25", 6).alias("bm25"),
+
+
+def hybrid_index_rrf(
+    spark: SparkSession,
+    index_dir: str,
+    vectors: DataFrame,
+    query_terms: list[str],
+    query_vec: DataFrame,
+    k: int = 10,
+    depth: int = 20,
+    rrf_k: int = 60,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Hybrid retrieval SERVED FROM THE MATERIALIZED INDEX: BM25 tower
+    reads only the query terms' pruned postings buckets (no per-query
+    corpus tokenize), vector tower is the usual broadcast-query cosine
+    scan, fusion is the shared rrf_fuse. Result contract identical to
+    hybrid_search_rrf — the production serving shape where the text
+    index is built once and queried many times."""
+    from ..functions import vector as V
+    from .hybrid import rrf_fuse
+    from .knn import topk_per_key_agg
+
+    kw = bm25_from_index(spark, index_dir, query_terms, n_buckets).select(
+        F.col("doc_id").alias("_id"), F.col("_bm25").alias("score")
     )
+    kw_top = topk_per_key_agg(
+        kw.withColumn("_q", F.lit(0)), "_q", "_id", depth
+    ).select(F.col("_id"), F.col("rank").alias("bm25_rank"))
+    vec = vectors.crossJoin(F.broadcast(query_vec)).select(
+        F.col("vec_id").alias("_id"),
+        V.cosine(F.col("embedding"), F.col("qv")).alias("score"),
+    )
+    vec_top = topk_per_key_agg(
+        vec.withColumn("_q", F.lit(0)), "_q", "_id", depth
+    ).select(F.col("_id"), F.col("rank").alias("vec_rank"))
+    return rrf_fuse(kw_top, vec_top, k=k, rrf_k=rrf_k, id_col="doc_id")

@@ -3035,3 +3035,122 @@ def _ivf_cell_stats_oracle(sf_dir: str) -> str:
 
 
 LAZY_ORACLES["ivf_cell_stats"] = _ivf_cell_stats_oracle
+
+
+# Identical result contract to hybrid_search_rrf, so the same oracle
+# hash-checks the index-served path end to end.
+@query("hybrid_index_rrf", oracle=ORACLES["hybrid_search_rrf"])
+def hybrid_index_rrf(spark, sf_dir):
+    """Hybrid RRF retrieval SERVED FROM THE MATERIALIZED inverted
+    index (keyword tower reads pruned postings buckets only — no
+    per-query corpus tokenize); vector tower + fusion unchanged.
+    Build is idempotent and shared with keyword_index_topk."""
+    from .operators import text_index
+
+    index_dir = _os.path.join(
+        _WAREHOUSE, f"kw_index_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    if not _os.path.exists(_os.path.join(index_dir, "stats", "_SUCCESS")):
+        text_index.keyword_index_build(
+            load_table(spark, sf_dir, "documents"), index_dir
+        )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
+    return text_index.hybrid_index_rrf(
+        spark, index_dir, emb, ["spark", "join", "fast"], q, k=10, depth=20
+    )
+
+
+@query(
+    "embedding_drift",
+    oracle="""
+    WITH s AS (SELECT max(vec_id) AS m FROM embeddings),
+    ex AS (
+        SELECT e.label,
+               CASE WHEN e.vec_id * 2 <= s.m THEN 'a' ELSE 'b' END AS half,
+               unnest(range(len(e.embedding))) AS pos,
+               unnest(e.embedding) AS v
+        FROM embeddings e CROSS JOIN s
+    ), per AS (
+        SELECT label, half, pos, CAST(count(*) AS BIGINT) AS n,
+               round(avg(v), 6) AS m
+        FROM ex GROUP BY label, half, pos
+    ), j AS (
+        SELECT a.label, a.pos, a.n AS n_a, b.n AS n_b, a.m AS ma, b.m AS mb
+        FROM per a JOIN per b
+          ON a.label = b.label AND a.pos = b.pos
+         AND a.half = 'a' AND b.half = 'b'
+    )
+    SELECT label, max(n_a) AS n_a, max(n_b) AS n_b,
+           round(sqrt(sum((ma - mb) * (ma - mb))), 6) AS drift,
+           round(max(abs(ma - mb)), 6) AS max_dim_shift
+    FROM j GROUP BY label
+    """,
+)
+def embedding_drift(spark, sf_dir):
+    """Per-label centroid drift between two id-split corpus halves —
+    the embedding-space monitoring alarm (re-embedded batch or
+    distribution shift moves class centroids). Per-dim means rounded
+    before the distance so the arithmetic is cross-engine
+    deterministic."""
+    from .operators import embedding
+
+    return embedding.embedding_drift(
+        load_table(spark, sf_dir, "embeddings", split=True)
+    )
+
+
+@query("semdedup_clusters")  # oracle: LAZY_ORACLES["semdedup_clusters"]
+def semdedup_clusters(spark, sf_dir):
+    """Full transitive SemDeDup groups: connected components over the
+    (keeper_id, vec_id) drop edges → canonical cluster id + keeper per
+    vector (min-label propagation; the recursive-CTE oracle
+    hash-checks even the iteration)."""
+    from .operators import ann, dedup
+
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
+    sem = dedup.semdedup(emb, centroids, threshold=0.3)
+    pairs = sem.select(F.col("keeper_id").alias("doc_a"), F.col("vec_id").alias("doc_b"))
+    return dedup.dedup_cluster(pairs, "doc_a", "doc_b")
+
+
+def _semdedup_clusters_oracle(sf_dir: str) -> str:
+    from .operators import ann
+
+    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
+    return f"""
+    WITH RECURSIVE {_cents_sql(centroids)},
+    assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_dd_euclid('e.embedding', 'c.w')}, c.cid
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ), sempairs AS (
+        SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+               {_dd_cosine('a.embedding', 'b.embedding')} AS score
+        FROM assigned a
+        JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    ), sem AS (
+        SELECT min(id_a) AS keeper_id, id_b AS vec_id
+        FROM sempairs WHERE score >= 0.3 GROUP BY cid, id_b
+    ), edges AS (
+        SELECT keeper_id AS src, vec_id AS dst FROM sem
+        UNION
+        SELECT vec_id AS src, keeper_id AS dst FROM sem
+    ), cc(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
+    )
+    SELECT node, min(label) AS cluster_id,
+           (node = min(label)) AS is_keeper
+    FROM cc GROUP BY node
+    """
+
+
+LAZY_ORACLES["semdedup_clusters"] = _semdedup_clusters_oracle
