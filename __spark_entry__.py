@@ -75,6 +75,9 @@ _VERIFY_FIRST = [
     "hybrid_index_rrf",
     "embedding_drift",
     "semdedup_clusters",
+    "knn_filtered",
+    "maxsim_group_retrieval",
+    "knn_graph_lsh",
 ]
 
 

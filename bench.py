@@ -103,6 +103,9 @@ EXTRA = [
     "hybrid_index_rrf",
     "embedding_drift",
     "semdedup_clusters",
+    "knn_filtered",
+    "maxsim_group_retrieval",
+    "knn_graph_lsh",
 ]
 
 

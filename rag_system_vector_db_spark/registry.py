@@ -3154,3 +3154,169 @@ def _semdedup_clusters_oracle(sf_dir: str) -> str:
 
 
 LAZY_ORACLES["semdedup_clusters"] = _semdedup_clusters_oracle
+
+
+@query(
+    "knn_filtered",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+    allowed AS (
+        SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200
+    ), scored AS (
+        SELECT e.vec_id, {_dd_cosine('e.embedding', 'q.qv')} AS score
+        FROM embeddings e JOIN allowed a ON a.doc_id = e.vec_id, q
+    )
+    SELECT vec_id, round(score, 6) AS score,
+           row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+    FROM scored ORDER BY score DESC, vec_id LIMIT 5
+    """,
+)
+def knn_filtered(spark, sf_dir):
+    """Filtered vector search (Milvus search+filter surface,
+    milvus_db.py:51 query_entities' expr filter composed with
+    milvus_db.py:107 search_vectors): metadata predicate first, cosine
+    top-k over survivors only. The predicate pushes to the documents
+    scan and the semi-join keeps only allowed ids — at scale the
+    filter prunes BEFORE any distance work, the pre-filter posture
+    (exact; contrast with post-filtering an unfiltered ANN list, which
+    loses recall under selective predicates)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    allowed = docs.filter(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 200)
+    ).select(F.col("doc_id").alias("vec_id"))
+    qv = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
+    scored = (
+        emb.join(allowed, "vec_id", "left_semi")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", V.cosine(F.col("embedding"), F.col("qv")).alias("score"))
+    )
+    top = scored.orderBy(F.col("score").desc(), "vec_id").limit(5)
+    w = Window.orderBy(F.col("score").desc(), "vec_id")
+    return top.select(
+        "vec_id",
+        F.round("score", 6).alias("score"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+@query(
+    "maxsim_group_retrieval",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+    scored AS (
+        SELECT e.label, e.vec_id, {_dd_cosine('e.embedding', 'q.qv')} AS score
+        FROM embeddings e, q
+    ), per_label AS (
+        SELECT label, max(score) AS maxsim FROM scored GROUP BY label
+    ), best AS (
+        SELECT s.label, min(s.vec_id) AS best_vec
+        FROM scored s JOIN per_label p ON p.label = s.label AND s.score = p.maxsim
+        GROUP BY s.label
+    )
+    SELECT p.label, b.best_vec, round(p.maxsim, 6) AS maxsim,
+           row_number() OVER (ORDER BY p.maxsim DESC, p.label) AS rank
+    FROM per_label p JOIN best b ON b.label = p.label
+    ORDER BY p.maxsim DESC, p.label LIMIT 3
+    """,
+)
+def maxsim_group_retrieval(spark, sf_dir):
+    """Multi-vector (parent-document / late-interaction lite)
+    retrieval: each label is a parent with many vectors; a parent's
+    score is the MAX cosine over its members (ColBERT's maxsim
+    collapsed to one query vector), returning top-3 parents with
+    their best-matching member. One narrow scoring pass + one
+    map-side-combinable max_by groupBy — member count per parent never
+    multiplies the shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
+    scored = emb.crossJoin(F.broadcast(qv)).select(
+        "label",
+        "vec_id",
+        V.cosine(F.col("embedding"), F.col("qv")).alias("score"),
+    )
+    # max_by with (score, -vec_id) struct: ties on score pick the
+    # SMALLEST vec_id, matching the oracle's min(vec_id) over argmax
+    per = scored.groupBy("label").agg(
+        F.max("score").alias("maxsim"),
+        F.max_by(
+            "vec_id", F.struct(F.col("score"), (-F.col("vec_id")).alias("_nid"))
+        ).alias("best_vec"),
+    )
+    top = per.orderBy(F.col("maxsim").desc(), "label").limit(3)
+    w = Window.orderBy(F.col("maxsim").desc(), "label")
+    return top.select(
+        "label",
+        "best_vec",
+        F.round("maxsim", 6).alias("maxsim"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+@query("knn_graph_lsh")  # oracle attached below (plane literals)
+def knn_graph_lsh(spark, sf_dir):
+    """Corpus kNN-graph build (the neighborhood-graph step behind
+    HNSW/NN-descent index construction and graph-based dedup): every
+    vector's top-3 cosine neighbors among its LSH bucket's candidates
+    (4 planes -> 16 buckets). The bucket equi-self-join bounds
+    candidate volume by bucket occupancy (never n²); per-source top-k
+    is the agg-based prune. Vectors alone in their bucket have no
+    rows — at scale raise recall with multiprobe, not bigger
+    buckets."""
+    from .operators import ann
+    from .operators.knn import topk_per_key_agg
+
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    planes = ann.hyperplanes(4, 64)
+    b = emb.select(
+        "vec_id", "embedding", ann.lsh_bucket(F.col("embedding"), planes).alias("_b")
+    )
+    lhs, rhs = b.alias("a"), b.alias("b")
+    scored = (
+        lhs.join(
+            rhs,
+            (F.col("a._b") == F.col("b._b"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            V.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("score"),
+        )
+    )
+    out = topk_per_key_agg(scored, "src", "dst", 3)
+    return out.select(
+        "src", "dst", F.round("score", 6).alias("score"), F.col("rank").cast("long")
+    )
+
+
+def _knn_graph_oracle() -> str:
+    from .operators import ann
+
+    planes = ann.hyperplanes(4, 64)
+    return f"""
+    WITH {_planes_sql(planes)},
+    dots AS (
+        SELECT e.vec_id, p.pid, {_dd_dot('e.embedding', 'p.w')} AS d
+        FROM embeddings e CROSS JOIN planes p
+    ), buckets AS (
+        SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << pid) ELSE 0 END) AS bucket
+        FROM dots GROUP BY vec_id
+    ), c AS (
+        SELECT e.vec_id, e.embedding, b.bucket
+        FROM embeddings e JOIN buckets b USING (vec_id)
+    ), scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               {_dd_cosine('a.embedding', 'b.embedding')} AS score
+        FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ), ranked AS (
+        SELECT src, dst, score,
+               row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rank
+        FROM scored
+    )
+    SELECT src, dst, round(score, 6) AS score, rank
+    FROM ranked WHERE rank <= 3
+    """
+
+
+ORACLES["knn_graph_lsh"] = _knn_graph_oracle()
