@@ -112,3 +112,87 @@ def test_minhash_lsh_catches_identical_texts(spark, texts):
     dup = (0, len(texts) - 1)
     if _shingles(texts[0]):
         assert dup in pairs  # identical signatures share every band
+
+
+# --- r4: PassJoin fuzzy-edit recall + sequence-packing invariants --------
+
+# character soup with a narrow alphabet so ed<=2 pairs actually occur
+_char_texts = st.lists(
+    st.text(alphabet="abcd ", min_size=32, max_size=40),
+    min_size=2,
+    max_size=6,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_char_texts)
+def test_passjoin_fuzzy_edit_recall_is_exact(spark, texts):
+    """PassJoin blocking must find EVERY levenshtein<=2 pair on the
+    32-char prefix key — the pigeonhole guarantee, vs a Python
+    brute-force ground truth independent of both engines."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.edit_dist
+        for r in dedup.dedup_fuzzy_edit(docs, key_len=32, k=2).collect()
+    }
+    keys = [t[:32].lower() for t in texts]
+    expected = {}
+    for a, b in combinations(range(len(texts)), 2):
+        if len(texts[a]) < 32 or len(texts[b]) < 32:
+            continue
+        d = _lev(keys[a], keys[b])
+        if d <= 2:
+            expected[(a, b)] = d
+    assert got == expected
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(WORDS), min_size=1, max_size=30).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_sequence_packing_offsets_are_contiguous(spark, texts):
+    """The two-phase prefix sum must produce the same contiguous
+    stream layout as a sequential scan: per group, offsets in id
+    order are exactly the running token total."""
+    from rag_system_vector_db_spark.operators.chunking import sequence_packing
+
+    docs = spark.createDataFrame(
+        [(i, t, "en" if i % 2 else "de") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    )
+    rows = sorted(
+        sequence_packing(docs, seq_len=16, shard_size=2).collect(),
+        key=lambda r: (r.lang, r.doc_id),
+    )
+    running: dict[str, int] = {}
+    for r in rows:
+        assert r.start_offset == running.get(r.lang, 0)
+        running[r.lang] = r.start_offset + r.n_tokens
+        assert r.first_pack == r.start_offset // 16
+        assert r.last_pack == (r.start_offset + r.n_tokens - 1) // 16
