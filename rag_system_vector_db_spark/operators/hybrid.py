@@ -155,16 +155,25 @@ def rrf_fuse(
             ),
         )
     )
-    out = topk_per_key_agg(
-        fused.withColumn("_q", F.lit(0)), "_q", "_id", k, score_col="fused"
+    # Top-k with the rank payload CARRIED THROUGH one sort_array/slice
+    # agg — joining the top-k ids back against `fused` would replan
+    # both towers (Spark shares no subtrees; measured 10 scans vs 5).
+    pair = F.struct(
+        (-F.col("fused")).alias("_o"),
+        F.col("_id"),
+        F.col("bm25_rank"),
+        F.col("vec_rank"),
+        F.col("fused"),
     )
     return (
-        out.join(fused.select("_id", "bm25_rank", "vec_rank"), "_id")
+        fused.groupBy()
+        .agg(F.slice(F.sort_array(F.collect_list(pair)), 1, k).alias("_top"))
+        .select(F.posexplode("_top").alias("_pos", "_p"))
         .select(
-            F.col("_id").alias(id_col),
-            F.col("bm25_rank").cast("long"),
-            F.col("vec_rank").cast("long"),
-            F.col("fused"),
-            F.col("rank").cast("long"),
+            F.col("_p._id").alias(id_col),
+            F.col("_p.bm25_rank").cast("long").alias("bm25_rank"),
+            F.col("_p.vec_rank").cast("long").alias("vec_rank"),
+            F.col("_p.fused").alias("fused"),
+            (F.col("_pos") + 1).cast("long").alias("rank"),
         )
     )
