@@ -97,6 +97,28 @@ NOTES = {
         "split point is a broadcast scalar, exact layer probes the "
         "distinct base hash set — md5 keys only through the shuffle."
     ),
+    "hybrid_search_rrf": (
+        "Each tower plans ONCE: rrf_fuse carries the rank payload "
+        "through a single sort_array/slice top-k agg instead of "
+        "re-joining the fused relation (which re-planned both towers "
+        "— 10 scans before, 5 now)."
+    ),
+    "knn_filtered": (
+        "The metadata predicate pushes to the documents scan "
+        "(PushedFilters) and semi-joins ids BEFORE any cosine work — "
+        "exact pre-filter posture; top-k via TakeOrdered."
+    ),
+    "knn_graph_lsh": (
+        "Bucket equi-self-join (no theta join): candidate volume is "
+        "bucket-occupancy bound; per-source top-3 collapses in the "
+        "agg-based prune before any wide exchange."
+    ),
+    "matryoshka_recall": (
+        "One corpus scan serves every dim (exploded on the broadcast "
+        "query side); the full-dim grading baseline is a max_by "
+        "window over the tiny per-(dim, query) frame — no subtree "
+        "reuse, no second scoring pass."
+    ),
 }
 
 
