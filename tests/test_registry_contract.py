@@ -1,0 +1,39 @@
+"""Driver-contract invariants: the things that silently cost a round
+if they drift (the driver checks only the FIRST 50 queries() entries,
+and every oracle key must resolve to a registered query)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+from rag_system_vector_db_spark.registry import LAZY_ORACLES, ORACLES, QUERIES
+
+
+def test_every_oracle_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
+    assert set(LAZY_ORACLES) <= set(QUERIES)
+    assert not set(ORACLES) & set(LAZY_ORACLES), "a query can't have both"
+
+
+def test_verify_first_names_resolve_and_fit_the_window():
+    missing = set(entry._VERIFY_FIRST) - set(QUERIES)
+    assert not missing, f"_VERIFY_FIRST names not registered: {sorted(missing)}"
+    assert len(entry._VERIFY_FIRST) <= 50, (
+        "the driver checks only 50 entries; a longer verify-first list "
+        "pushes its own tail outside the window"
+    )
+    assert len(entry._VERIFY_FIRST) == len(set(entry._VERIFY_FIRST))
+
+
+def test_ordered_puts_verify_first_entries_first():
+    q = entry.queries()
+    names = list(q)
+    head = names[: len(entry._VERIFY_FIRST)]
+    assert head == entry._VERIFY_FIRST
+    # and the dict is complete: same key set as the registry
+    assert set(names) == set(QUERIES)
+
+
+def test_oracle_sql_resolves_lazy_entries_to_strings():
+    o = entry.oracle_sql()
+    for name in LAZY_ORACLES:
+        assert isinstance(o[name], str) and "SELECT" in o[name].upper()
