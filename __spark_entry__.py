@@ -78,6 +78,7 @@ _VERIFY_FIRST = [
     "knn_filtered",
     "maxsim_group_retrieval",
     "knn_graph_lsh",
+    "events_anomaly",
 ]
 
 

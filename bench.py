@@ -106,6 +106,7 @@ EXTRA = [
     "knn_filtered",
     "maxsim_group_retrieval",
     "knn_graph_lsh",
+    "events_anomaly",
 ]
 
 

@@ -583,3 +583,46 @@ def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("f3").cast("long")) / F.sum(F.col("f1").cast("long")), 6
         ).alias("conversion"),
     )
+
+
+def events_anomaly(spark: SparkSession, sf_dir: str, window_hours: int = 6) -> DataFrame:
+    """Trailing-window anomaly detection over the event stream: hourly
+    event counts scored as z = (cnt - trailing_mean) / trailing_std
+    against the preceding ``window_hours`` hours (current hour
+    excluded), flagged at |z| > 2 — the ops-dashboard spike/drop
+    detector.
+
+    The raw stream collapses to one row per hour FIRST (map-side
+    combinable count shuffle); every window after that runs on the
+    tiny hourly frame. Variance uses the explicit E[x²]-E[x]² form
+    over exact integer sums so both engines agree bit-for-bit before
+    the final round; hours with undefined or zero deviation are
+    unflagged."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts_ns div 3600000000000").alias("hour_id")
+    )
+    hourly = ev.groupBy("hour_id").agg(F.count("*").cast("long").alias("cnt"))
+    w = (
+        Window.orderBy("hour_id")
+        .rowsBetween(-window_hours, -1)
+    )
+    n = F.count("cnt").over(w)
+    s1 = F.sum("cnt").over(w)
+    s2 = F.sum(F.col("cnt") * F.col("cnt")).over(w)
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    scored = hourly.select(
+        "hour_id",
+        "cnt",
+        n.cast("long").alias("n_hist"),
+        mean.alias("_mean"),
+        var.alias("_var"),
+    ).filter(F.col("n_hist") >= window_hours)
+    z = (F.col("cnt") - F.col("_mean")) / F.sqrt("_var")
+    return scored.select(
+        "hour_id",
+        "cnt",
+        F.round("_mean", 6).alias("trailing_mean"),
+        F.round(F.when(F.col("_var") > 0, z), 6).alias("zscore"),
+        F.when(F.col("_var") > 0, F.abs(z) > 2).otherwise(F.lit(False)).alias("is_anomaly"),
+    )

@@ -3320,3 +3320,36 @@ def _knn_graph_oracle() -> str:
 
 
 ORACLES["knn_graph_lsh"] = _knn_graph_oracle()
+
+
+@query(
+    "events_anomaly",
+    oracle="""
+    WITH hourly AS (
+        SELECT epoch_ns(ts) // 3600000000000 AS hour_id,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    ), scored AS (
+        SELECT hour_id, cnt,
+               CAST(count(cnt) OVER w AS BIGINT) AS n_hist,
+               sum(cnt) OVER w / CAST(count(cnt) OVER w AS DOUBLE) AS m,
+               sum(cnt * cnt) OVER w / CAST(count(cnt) OVER w AS DOUBLE)
+                 - (sum(cnt) OVER w / CAST(count(cnt) OVER w AS DOUBLE))
+                   * (sum(cnt) OVER w / CAST(count(cnt) OVER w AS DOUBLE)) AS v
+        FROM hourly
+        WINDOW w AS (ORDER BY hour_id ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT hour_id, cnt, round(m, 6) AS trailing_mean,
+           round(CASE WHEN v > 0 THEN (cnt - m) / sqrt(v) END, 6) AS zscore,
+           CASE WHEN v > 0 THEN abs((cnt - m) / sqrt(v)) > 2 ELSE FALSE END AS is_anomaly
+    FROM scored WHERE n_hist >= 6
+    """,
+)
+def events_anomaly(spark, sf_dir):
+    """Trailing-window z-score spike/drop detector on hourly event
+    counts: the stream collapses to one row per hour before any
+    window; variance via exact integer sums (E[x²]-E[x]²) so engines
+    agree bit-for-bit pre-round."""
+    from .plans import analytics
+
+    return analytics.events_anomaly(spark, sf_dir)
