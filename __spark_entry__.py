@@ -79,6 +79,7 @@ _VERIFY_FIRST = [
     "maxsim_group_retrieval",
     "knn_graph_lsh",
     "events_anomaly",
+    "retrieval_metrics",
 ]
 
 

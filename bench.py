@@ -107,6 +107,7 @@ EXTRA = [
     "maxsim_group_retrieval",
     "knn_graph_lsh",
     "events_anomaly",
+    "retrieval_metrics",
 ]
 
 

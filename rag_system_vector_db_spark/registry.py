@@ -3353,3 +3353,68 @@ def events_anomaly(spark, sf_dir):
     from .plans import analytics
 
     return analytics.events_anomaly(spark, sf_dir)
+
+
+@query(
+    "retrieval_metrics",
+    oracle=f"""
+    WITH total AS (SELECT count(*) AS n FROM embeddings),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS query_vec,
+               CASE WHEN vec_id % 2 = 0 THEN vec_id
+                    ELSE (vec_id * 7 + 3) % (SELECT n FROM total) END AS expected_id
+        FROM embeddings WHERE vec_id < 20
+    ), scored AS (
+        SELECT q.query_id, e.vec_id,
+               {_dd_cosine('e.embedding', 'q.query_vec')} AS score
+        FROM embeddings e, q
+    ), ranked AS (
+        SELECT query_id, vec_id, score,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+        FROM scored
+    ), hits AS (
+        SELECT r.query_id, r.rank AS hit_rank
+        FROM ranked r JOIN q ON q.query_id = r.query_id AND r.vec_id = q.expected_id
+        WHERE r.rank <= 10
+    ), per AS (
+        SELECT q.query_id, h.hit_rank FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN hit_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           round(avg(CASE WHEN hit_rank IS NULL THEN 0.0 ELSE 1.0 / hit_rank END), 6) AS mrr,
+           round(avg(CASE WHEN hit_rank = 1 THEN 1.0 ELSE 0.0 END), 6) AS hit_at_1,
+           round(avg(CASE WHEN hit_rank <= 5 THEN 1.0 ELSE 0.0 END), 6) AS hit_at_5,
+           round(avg(CASE WHEN hit_rank <= 10 THEN 1.0 ELSE 0.0 END), 6) AS hit_at_10
+    FROM per
+    """,
+)
+def retrieval_metrics(spark, sf_dir):
+    """Corpus-level retrieval quality rollup (the aggregate half of
+    eval.py's harness): MRR and hit@{{1,5,10}} over the same batch
+    eval rag_eval_retrieval runs per query — one extra
+    map-side-combinable agg on the tiny per-query frame."""
+    from .operators import rag
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    total_df = emb.select(F.count("*").alias("_t"))
+    queries = (
+        emb.filter(F.col("vec_id") < 20)
+        .crossJoin(F.broadcast(total_df))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.when(F.col("vec_id") % 2 == 0, F.col("vec_id"))
+            .otherwise((F.col("vec_id") * 7 + 3) % F.col("_t"))
+            .alias("expected_id"),
+        )
+    )
+    per = rag.eval_retrieval(emb, queries, k=10)
+    hit = F.col("hit_rank").isNotNull()
+    return per.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum(hit.cast("long")).cast("long").alias("n_hits"),
+        F.round(F.avg(F.when(hit, 1.0 / F.col("hit_rank")).otherwise(0.0)), 6).alias("mrr"),
+        F.round(F.avg(F.when(F.col("hit_rank") == 1, 1.0).otherwise(0.0)), 6).alias("hit_at_1"),
+        F.round(F.avg(F.when(F.col("hit_rank") <= 5, 1.0).otherwise(0.0)), 6).alias("hit_at_5"),
+        F.round(F.avg(F.when(F.col("hit_rank") <= 10, 1.0).otherwise(0.0)), 6).alias("hit_at_10"),
+    )
