@@ -37,3 +37,11 @@ def test_oracle_sql_resolves_lazy_entries_to_strings():
     o = entry.oracle_sql()
     for name in LAZY_ORACLES:
         assert isinstance(o[name], str) and "SELECT" in o[name].upper()
+
+
+def test_bench_lists_name_registered_queries():
+    import bench
+
+    missing = (set(bench.HEADLINE) | set(bench.EXTRA)) - set(QUERIES)
+    assert not missing, f"bench names not registered: {sorted(missing)}"
+    assert not set(bench.HEADLINE) & set(bench.EXTRA)
