@@ -119,6 +119,16 @@ NOTES = {
         "window over the tiny per-(dim, query) frame — no subtree "
         "reuse, no second scoring pass."
     ),
+    "events_anomaly": (
+        "The raw stream collapses to one row per hour (map-side "
+        "combinable count) BEFORE any window; trailing mean/variance "
+        "run on the tiny hourly frame via exact integer sums."
+    ),
+    "retrieval_metrics": (
+        "Same broadcast batch-kNN eval as rag_eval_retrieval plus one "
+        "map-side-combinable rollup agg on the per-query frame — the "
+        "corpus never shuffles for the metrics."
+    ),
 }
 
 
