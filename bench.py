@@ -156,25 +156,33 @@ def main() -> None:
             fn(spark, sf_dir).count()  # warm
     extra = best_of(EXTRA)
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "timed_passes": 2,
-                "extra_queries": extra,
-                # 1/5/15-min load averages bracketing the timed runs:
-                # >~1.5 at start means machine noise inflated numbers
-                # (observed swing 20-40%) — re-run before reading a
-                # regression off this record.
-                "load_avg_before": [round(x, 2) for x in load_before],
-                "load_avg_after": [round(x, 2) for x in os.getloadavg()],
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "timed_passes": 2,
+        "extra_queries": extra,
+        # 1/5/15-min load averages bracketing the timed runs:
+        # >~1.5 at start means machine noise inflated numbers
+        # (observed swing 20-40%) — re-run before reading a
+        # regression off this record.
+        "load_avg_before": [round(x, 2) for x in load_before],
+        "load_avg_after": [round(x, 2) for x in os.getloadavg()],
+    }
+    # Compact separators: the driver keeps only a bounded tail of the
+    # output, and the r4 record lost the first headliners to that
+    # window — every byte of the line counts.
+    line = json.dumps(result, separators=(",", ":"))
+    # Durable copy so the record survives any tail truncation: the
+    # full JSON also lands in BENCH_result.json at the repo root.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_result.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+    print(line)
+    sys.stdout.flush()
     spark.stop()
 
 

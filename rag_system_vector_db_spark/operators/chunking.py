@@ -149,9 +149,11 @@ def chunk_diary(
         )
     )
 
+    # days is one row per detected day heading — corpus-proportional,
+    # so no forced broadcast; AQE promotes the join when it is small.
     return (
         date_chunks.unionByName(content_chunks)
-        .join(F.broadcast(days.select(id_col, "day_id", "title")), [id_col, "day_id"])
+        .join(days.select(id_col, "day_id", "title"), [id_col, "day_id"])
     )
 
 
@@ -223,9 +225,10 @@ def sequence_packing(
     one global window: (1) docs get a shard id (``id div shard_size``);
     a window inside each (group, shard) computes the within-shard
     prefix — bounded partitions, no global sort; (2) per-shard totals
-    (a tiny frame: one row per shard) get a cumulative window per
-    group, giving each shard its stream offset; a broadcast join adds
-    the two. Result is bit-identical to the naive full-stream cumsum —
+    (a small frame: one row per shard) get a cumulative window per
+    group, giving each shard its stream offset; an equi-join (AQE
+    broadcasts it when small) adds the two. Result is bit-identical
+    to the naive full-stream cumsum —
     which is exactly what the oracle computes — while the only
     full-data sort is per-shard.
 
@@ -242,7 +245,9 @@ def sequence_packing(
         F.col(group_col).alias("grp"),
         F.col(id_col),
         n_tok.alias("n_tokens"),
-        (F.col(id_col) / shard_size).cast("long").alias("_shard"),
+        # integer div, not float division: float truncates toward zero
+        # for negative ids and loses precision past 2^53.
+        F.expr(f"{id_col} div {shard_size}").cast("long").alias("_shard"),
     )
     w_in = (
         Window.partitionBy("grp", "_shard")
@@ -259,7 +264,9 @@ def sequence_packing(
     offsets = totals.withColumn(
         "_off", F.sum("_tot").over(w_sh) - F.col("_tot")
     ).select("grp", "_shard", "_off")
-    out = within.join(F.broadcast(offsets), ["grp", "_shard"]).select(
+    # offsets is one row per shard — corpus/shard_size, so it is NOT
+    # fixed-size; no forced broadcast (AQE promotes when small).
+    out = within.join(offsets, ["grp", "_shard"]).select(
         F.col("grp").alias(group_col),
         F.col(id_col),
         "n_tokens",

@@ -212,15 +212,17 @@ def dedup_ngram_jaccard(
         .agg(F.count("*").alias("_m"))
     )
     # Join the posting arrays back onto the ~|result|-sized candidate
-    # set. Broadcast is right while the corpus fits (candidates << docs
-    # after prefix+positional pruning); at cluster scale flip to a
-    # shuffle hash join on the id — still two joins against a relation
-    # of one array per doc.
+    # set. No explicit broadcast hint: `arrs` is corpus-proportional
+    # (one hash array per doc), so forcing it to every executor is a
+    # scale-killer at 100 TB. AQE (enabled in session.py) converts
+    # these to broadcast joins at runtime exactly when the measured
+    # shuffle output is under the threshold — small corpora keep the
+    # broadcast plan, large ones get a shuffle hash join on the id.
     aa = arrs.select(F.col(id_col).alias("doc_a"), F.col("arr").alias("arr_a"))
     bb = arrs.select(F.col(id_col).alias("doc_b"), F.col("arr").alias("arr_b"))
     return (
-        cands.join(F.broadcast(aa), "doc_a")
-        .join(F.broadcast(bb), "doc_b")
+        cands.join(aa, "doc_a")
+        .join(bb, "doc_b")
         .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")).cast("long"))
         .withColumn(
             "jaccard",
@@ -690,8 +692,12 @@ def minhash_accuracy(
     union = (
         F.size("set_a") + F.size("set_b") - F.size(F.array_intersect("set_a", "set_b"))
     ).cast("double")
+    # No broadcast hint on `pairs`: LSH candidate volume is
+    # data-dependent and unbounded on a skewed corpus, so forcing it
+    # resident on every executor is unsafe at scale. AQE promotes the
+    # join to broadcast at runtime when the pair set is actually small.
     return (
-        sa.join(F.broadcast(pairs), "doc_a")
+        sa.join(pairs, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",

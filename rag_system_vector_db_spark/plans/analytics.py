@@ -58,8 +58,11 @@ def revenue_topn(spark: SparkSession, sf_dir: str, n: int = 10) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum(rev).alias("revenue_d"))
     )
+    # customer scales with SF (15B rows at the 100 TB posture), so it
+    # gets no forced broadcast — AQE promotes the join at runtime when
+    # the table is actually small. nation is fixed 25 rows: safe hint.
     return (
-        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select(
             F.col("c_custkey"),
@@ -95,8 +98,10 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, F.col("o_custkey") == cust.c_custkey)
+        # supplier scales with SF (no forced broadcast — AQE decides);
+        # nation/region are fixed 25/5 rows so their hints are safe.
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -433,18 +438,30 @@ def events_range_join(
     )
 
 
-def skew_profile(spark: SparkSession, sf_dir: str, key: str = "l_suppkey") -> DataFrame:
+def skew_profile(
+    spark: SparkSession,
+    sf_dir: str,
+    key: str = "l_suppkey",
+    exact_quantiles: bool = True,
+) -> DataFrame:
     """Join-key skew diagnostics — the pre-flight check before choosing
     broadcast / salted / plain shuffle join strategy (plans/scale.py
     salted_join is the remedy this measures the need for).
 
     One map-side-combinable groupBy(key) produces the per-key counts;
-    everything after runs on the (tiny) per-key frame: distribution
-    moments, exact p50/p90/p99 of rows-per-key, max/mean skew ratio,
-    and the top-5 heavy hitters serialized to a CSV string (scalar-only
-    output so the driver hash can canonicalize it). At 100 TB the only
-    full-data pass is the first count shuffle — identical shape to the
-    join it profiles, partials collapse per key before the exchange."""
+    everything after runs on the per-key frame: distribution moments,
+    p50/p90/p99 of rows-per-key, max/mean skew ratio, and the top-5
+    heavy hitters serialized to a CSV string (scalar-only output so the
+    driver hash can canonicalize it). At 100 TB the only full-data pass
+    is the first count shuffle — identical shape to the join it
+    profiles, partials collapse per key before the exchange.
+
+    Quantiles: the default exact path sorts ALL per-key counts inside
+    one aggregation buffer — memory is bounded by join-key CARDINALITY,
+    fine while n_keys is millions but not at billions of keys. Pass
+    ``exact_quantiles=False`` for the scale path (approx_percentile,
+    bounded sketch memory, engine-dependent at the margin — which is
+    why the oracle-matched default stays exact)."""
     li = load_table(spark, sf_dir, "lineitem").select(F.col(key).alias("key"))
     per_key = li.groupBy("key").agg(F.count("*").alias("cnt"))
     # top-5 heavy hitters: collect_list order is NOT guaranteed, so the
@@ -465,24 +482,38 @@ def skew_profile(spark: SparkSession, sf_dir: str, key: str = "l_suppkey") -> Da
             ).alias("top_keys_csv")
         )
     )
-    # exact quantiles over per-key counts: small frame (n_keys rows),
-    # sort_array over the collected counts — deterministic, no
-    # approx_percentile engine drift.
+    if exact_quantiles:
+        # exact quantiles over per-key counts: sort_array over the
+        # collected counts — deterministic, no approx_percentile engine
+        # drift. Buffer memory = O(n_keys); see docstring for the limit.
+        q_aggs = [F.sort_array(F.collect_list("cnt")).alias("_sorted")]
+        q_cols = [
+            # percentile = sorted[floor(n*p/100)] 0-based (F.get), so the
+            # oracle's 1-based list index is the same expression + 1
+            F.get("_sorted", F.expr(f"CAST(n_keys * {p} div 100 AS INT)"))
+            .cast("long")
+            .alias(f"p{p}_cnt")
+            for p in (50, 90, 99)
+        ]
+    else:
+        # scale path: t-digest-style sketch, bounded memory regardless
+        # of key cardinality.
+        q_aggs = [
+            F.approx_percentile("cnt", F.lit(p / 100.0), F.lit(10000)).alias(f"_p{p}")
+            for p in (50, 90, 99)
+        ]
+        q_cols = [F.col(f"_p{p}").cast("long").alias(f"p{p}_cnt") for p in (50, 90, 99)]
     stats = per_key.agg(
         F.count("*").alias("n_keys"),
         F.sum("cnt").alias("n_rows"),
         F.max("cnt").alias("max_cnt"),
-        F.sort_array(F.collect_list("cnt")).alias("_sorted"),
+        *q_aggs,
     ).select(
         "n_keys",
         F.col("n_rows").cast("long").alias("n_rows"),
         F.col("max_cnt").cast("long").alias("max_cnt"),
         F.round(F.col("n_rows") / F.col("n_keys"), 6).alias("mean_cnt"),
-        # percentile = sorted[floor(n*p/100)] 0-based (F.get), so the
-        # oracle's 1-based list index is the same expression + 1
-        F.get("_sorted", F.expr("CAST(n_keys * 50 div 100 AS INT)")).cast("long").alias("p50_cnt"),
-        F.get("_sorted", F.expr("CAST(n_keys * 90 div 100 AS INT)")).cast("long").alias("p90_cnt"),
-        F.get("_sorted", F.expr("CAST(n_keys * 99 div 100 AS INT)")).cast("long").alias("p99_cnt"),
+        *q_cols,
         F.round(F.col("max_cnt") * F.col("n_keys") / F.col("n_rows"), 6).alias("skew_ratio"),
     )
     return stats.crossJoin(F.broadcast(hot))

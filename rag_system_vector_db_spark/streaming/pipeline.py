@@ -65,11 +65,17 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
     garbage silently."""
     try:
         probed = spark.read.parquet(path).schema["ts"].dataType
-    except Exception:
-        # Empty source dir (stream started before first micro-batch
-        # lands): assume the raw-nanos long layout the local producers
-        # write; a timestamp layout stream should stage one file first.
-        probed = T.LongType()
+    except Exception as e:
+        # A guessed schema on an empty dir is a silent-corruption
+        # hazard: if the first file that lands uses the other `ts`
+        # layout, the mismatched explicit schema reads garbage with no
+        # error. Fail fast instead — stage one file, then start.
+        raise FileNotFoundError(
+            f"stream_events: cannot probe the `ts` layout of {path!r} "
+            "(empty or missing source dir). Stage at least one parquet "
+            "file before starting the stream so the schema matches the "
+            "on-disk layout."
+        ) from e
     raw = spark.readStream.schema(_events_schema(probed)).parquet(path)
     if isinstance(probed, T.LongType):
         return raw.withColumnRenamed("ts", "ts_ns").withColumn(
@@ -205,6 +211,50 @@ def stream_stream_join(
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
     )
     return l.join(r, cond, "inner")
+
+
+def rocksdb_state_store_conf(
+    bounded_memory_mb: int | None = 512,
+) -> dict[str, str]:
+    """Cluster-deploy state-store configuration for the stateful
+    queries in this module (stream-stream joins, dropDuplicates
+    WithinWatermark, applyInPandasWithState, windowed aggs).
+
+    The default HDFS-backed store keeps every key IN EXECUTOR HEAP —
+    fine locally, an OOM risk once join/dedup state reaches tens of GB
+    per executor. RocksDB spills state to local disk with incremental
+    changelog checkpointing, so state size is bounded by disk, not
+    heap. Apply at session build time (configs are static):
+
+        builder = SparkSession.builder
+        for k, v in rocksdb_state_store_conf().items():
+            builder = builder.config(k, v)
+
+    Not applied in the local test sessions: single-JVM local runs keep
+    tiny state, and the HDFS store avoids the per-test RocksDB native
+    file churn."""
+    conf = {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        # changelog checkpointing uploads per-batch deltas instead of
+        # full snapshots — the difference between O(state) and
+        # O(changed keys) per commit at scale.
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+        # unbounded native memory is the classic RocksDB failure mode;
+        # cap the block cache + memtables per executor.
+    }
+    if bounded_memory_mb is not None:
+        conf.update(
+            {
+                "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
+                "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB": str(
+                    bounded_memory_mb
+                ),
+            }
+        )
+    return conf
 
 
 def run_to_memory(stream_df: DataFrame, name: str) -> None:
@@ -390,12 +440,20 @@ def start_streaming_corpus_dedup(
         novel = fresh.join(near_dup_ids, "doc_id", "left_anti")
         out = novel.drop("_h").withColumn("_batch", F.lit(batch_id).cast("long"))
         out.write.mode("append").parquet(out_dir)
-        novel.select(F.col("_h").alias("text_hash")).distinct().write.mode(
-            "append"
-        ).parquet(f"{index_dir}/hashes")
+        # Band rows append BEFORE hashes: replay skips docs whose hash
+        # the index already holds (left_anti above), so if a crash
+        # landed the hashes first their band rows would never be
+        # written and those docs would escape near-dup detection
+        # forever. With bands-first, a crash between the two appends
+        # replays the batch against un-absorbed hashes and rewrites
+        # both (duplicate band/out rows are harmless: bands feed
+        # semi-joins, out resolves latest-per-doc_id).
         bands.join(novel.select("doc_id"), "doc_id", "left_semi").write.mode(
             "append"
         ).parquet(f"{index_dir}/bands")
+        novel.select(F.col("_h").alias("text_hash")).distinct().write.mode(
+            "append"
+        ).parquet(f"{index_dir}/hashes")
 
     return (
         docs_stream.writeStream.foreachBatch(upsert)

@@ -252,6 +252,11 @@ def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
         )
         pdf.to_parquet(src / name)
 
+    # stage the first batch before building the streams: stream_events
+    # fails fast on an empty dir (it must probe the on-disk ts layout)
+    # user 1 click->buy matches; user 2 click has no buy
+    write_batch("b1.parquet", [(1, 0, 1, "c"), (2, 60, 1, "b"), (3, 0, 2, "c")])
+
     clicks = P.stream_events(spark, str(src)).filter(F.col("event_type") == "c")
     buys = P.stream_events(spark, str(src)).filter(F.col("event_type") == "b")
     l = clicks.withWatermark("ts", "10 minutes").select(
@@ -278,8 +283,6 @@ def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
         .start()
     )
     try:
-        # user 1 click->buy matches; user 2 click has no buy
-        write_batch("b1.parquet", [(1, 0, 1, "c"), (2, 60, 1, "b"), (3, 0, 2, "c")])
         q.processAllAvailable()
         # advance event time far past the watermark so unmatched state flushes
         write_batch("b2.parquet", [(9, 7200, 99, "c")])
@@ -458,3 +461,34 @@ def test_streaming_corpus_dedup_against_base_index(spark, tmp_path):
     # the index absorbed the streamed novel docs
     n_hashes = spark.read.parquet(f"{idx}/hashes").distinct().count()
     assert n_hashes == 2 + len(expected)
+
+
+def test_rocksdb_state_store_conf_shape():
+    """Cluster config notes are real config keys with the safety knobs
+    on: RocksDB provider + changelog checkpointing + bounded memory."""
+    conf = P.rocksdb_state_store_conf()
+    assert conf["spark.sql.streaming.stateStore.providerClass"].endswith(
+        "RocksDBStateStoreProvider"
+    )
+    assert (
+        conf["spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"]
+        == "true"
+    )
+    assert (
+        conf["spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage"] == "true"
+    )
+    assert conf["spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB"] == "512"
+    # unbounded variant drops the memory caps but keeps the provider
+    unbounded = P.rocksdb_state_store_conf(bounded_memory_mb=None)
+    assert "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage" not in unbounded
+
+
+def test_stream_events_fails_fast_on_empty_dir(spark, tmp_path):
+    """An empty source dir cannot be layout-probed; a guessed schema
+    would read garbage silently once files land — must raise instead."""
+    import pytest as _pytest
+
+    empty = tmp_path / "no_events"
+    empty.mkdir()
+    with _pytest.raises(FileNotFoundError, match="cannot probe"):
+        P.stream_events(spark, str(empty))
