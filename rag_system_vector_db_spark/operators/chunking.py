@@ -95,7 +95,18 @@ def chunk_diary(
 
     Returns (doc_id, day_id, chunk_id, is_date_chunk, chunk_text,
     line_count, word_count, title).
+
+    Reference-exact details (replayed against the reference's own
+    golden fixtures in tests/test_chunking_golden.py): lines are
+    stripped and blank lines dropped (chunking_strategy.py's
+    ``line.strip(); if line:``), and word_count counts WHITESPACE-RUN
+    tokens (Python ``str.split()``), not single-space fields — the
+    PDF-extracted diary text is full of double spaces and the two
+    differ on every such line.
     """
+    lines = lines.select(
+        F.col(id_col), F.col("line_no"), F.trim("line").alias("line")
+    ).filter(F.col("line") != "")
     is_date = F.col("line").rlike(DATE_PATTERN)
     w_doc = Window.partitionBy(id_col).orderBy("line_no")
     lined = lines.withColumn("is_date", is_date).withColumn(
@@ -120,7 +131,7 @@ def chunk_diary(
         F.lit(True).alias("is_date_chunk"),
         F.col("line").alias("chunk_text"),
         F.lit(1).cast("long").alias("line_count"),
-        F.size(F.split("line", " ")).cast("long").alias("word_count"),
+        F.size(F.split("line", r"\s+")).cast("long").alias("word_count"),
     )
 
     w_day = Window.partitionBy(id_col, "day_id").orderBy("line_no")
@@ -140,7 +151,9 @@ def chunk_diary(
                 ),
             ).alias("chunk_text"),
             F.count("*").cast("long").alias("line_count"),
-            F.sum(F.size(F.split("line", " "))).cast("long").alias("word_count"),
+            # per-line whitespace-token sum == tokens of '\n'.join(buffer)
+            # because every buffered line is stripped and non-empty
+            F.sum(F.size(F.split("line", r"\s+"))).cast("long").alias("word_count"),
         )
         .withColumn("is_date_chunk", F.lit(False))
         .select(

@@ -321,19 +321,22 @@ _DD_DIARY_LINES = """
 """
 
 _DD_DIARY_CHUNKS = _DD_DIARY_LINES + """
-    , lined AS (
+    , stripped AS (
+        SELECT doc_id, line_no, trim(line) AS line
+        FROM lines WHERE trim(line) <> ''
+    ), lined AS (
         SELECT doc_id, line_no, line,
                regexp_matches(line, '^\\d{1,2}(st|nd|rd|th)? Day of [A-Za-z]+ 18\\d{2} - .+$') AS is_date,
                CAST(sum(CASE WHEN regexp_matches(line, '^\\d{1,2}(st|nd|rd|th)? Day of [A-Za-z]+ 18\\d{2} - .+$') THEN 1 ELSE 0 END)
                    OVER (PARTITION BY doc_id ORDER BY line_no) AS BIGINT) AS day_id
-        FROM lines
+        FROM stripped
     ), days AS (
         SELECT doc_id, day_id, regexp_extract(line, ' - (.+)$', 1) AS title
         FROM lined WHERE is_date
     ), date_chunks AS (
         SELECT doc_id, day_id, CAST(-1 AS BIGINT) AS chunk_id, true AS is_date_chunk,
                line AS chunk_text, CAST(1 AS BIGINT) AS line_count,
-               CAST(len(string_split(line, ' ')) AS BIGINT) AS word_count
+               CAST(len(regexp_split_to_array(line, '\\s+')) AS BIGINT) AS word_count
         FROM lined WHERE is_date
     ), content AS (
         SELECT doc_id, day_id, line_no, line,
@@ -344,7 +347,7 @@ _DD_DIARY_CHUNKS = _DD_DIARY_LINES + """
                false AS is_date_chunk,
                string_agg(line, chr(10) ORDER BY line_no) AS chunk_text,
                CAST(count(*) AS BIGINT) AS line_count,
-               CAST(sum(len(string_split(line, ' '))) AS BIGINT) AS word_count
+               CAST(sum(len(regexp_split_to_array(line, '\\s+'))) AS BIGINT) AS word_count
         FROM content
         GROUP BY doc_id, day_id, CAST(floor((rn - 1) / 3) AS BIGINT)
     ), chunks AS (
