@@ -108,6 +108,8 @@ EXTRA = [
     "knn_graph_lsh",
     "events_anomaly",
     "retrieval_metrics",
+    # r5
+    "ivf_probe_sweep",
 ]
 
 

@@ -407,6 +407,103 @@ def ann_ivf_topk(
     return topk_per_key_agg(scored, query_id_col, id_col, k)
 
 
+def ivf_probe_sweep(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    exact_hits: DataFrame,
+    max_nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF nprobe recall/cost sweep — the IVF analog of
+    ``probe_sweep``: for each probe budget nprobe = 1..max_nprobe,
+    mean recall@k vs mean scored candidates per query. The curve that
+    sizes an IVF index's probe budget (faiss's nprobe parameter).
+
+    ONE plan, no driver-side per-budget loop: each query's cells are
+    sorted by (centroid distance, cell id) once and the first
+    max_nprobe carry their probe rank r (1-based) — the MINIMUM
+    nprobe that includes them. The cell join runs once; each candidate
+    explodes only to budgets >= its rank. Per-(budget, query) top-k,
+    recall vs the exact hits, and candidate counts all aggregate from
+    that single joined relation — one corpus pass instead of
+    max_nprobe passes.
+    Returns (n_probes, mean_recall, mean_candidates)."""
+    from .knn import topk_per_key_agg
+
+    cell = with_cell(corpus, vec_col, centroids)
+    probes = _probe_structs(F.col(query_vec_col), centroids)
+    qp = (
+        queries.select(
+            query_id_col,
+            query_vec_col,
+            F.posexplode(
+                F.slice(F.array_sort(probes, _by_dist_then_cell), 1, max_nprobe)
+            ).alias("_r0", "p"),
+        )
+        .select(
+            query_id_col,
+            query_vec_col,
+            F.col("p.cell").alias("_cell"),
+            (F.col("_r0") + 1).alias("_m_min"),
+        )
+    )
+    # A corpus vector has exactly one cell and a query's probed cells
+    # are distinct, so (query, candidate) pairs are unique and _m_min
+    # (the candidate's probe rank) is well-defined per pair.
+    cand = cell.join(F.broadcast(qp), "_cell").select(
+        query_id_col,
+        id_col,
+        F.col("_m_min"),
+        V.cosine(F.col(vec_col), F.col(query_vec_col)).alias("score"),
+    )
+    per_budget = cand.withColumn(
+        "m", F.explode(F.sequence(F.col("_m_min"), F.lit(max_nprobe)))
+    )
+    hits = topk_per_key_agg(per_budget, ["m", query_id_col], id_col, k)
+    hit_counts = (
+        hits.join(
+            exact_hits.select(query_id_col, id_col), [query_id_col, id_col], "left_semi"
+        )
+        .groupBy("m", query_id_col)
+        .agg(F.count("*").alias("n_hit"))
+    )
+    n_exact = exact_hits.groupBy(query_id_col).agg(F.count("*").alias("n_exact"))
+    grid = n_exact.crossJoin(
+        corpus.sparkSession.range(1, max_nprobe + 1).select(
+            F.col("id").cast("int").alias("m")
+        )
+    )
+    recall = (
+        grid.join(hit_counts, ["m", query_id_col], "left")
+        .groupBy("m")
+        .agg(
+            F.avg(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")
+            ).alias("mean_recall")
+        )
+    )
+    n_q = queries.agg(F.countDistinct(query_id_col).alias("n_q"))
+    cand_counts = (
+        per_budget.groupBy("m")
+        .agg(F.count("*").alias("n_cand"))
+        .crossJoin(F.broadcast(n_q))
+        .select("m", (F.col("n_cand") / F.col("n_q")).alias("mean_candidates"))
+    )
+    return (
+        recall.join(cand_counts, "m")
+        .select(
+            F.col("m").cast("long").alias("n_probes"),
+            F.round("mean_recall", 6).alias("mean_recall"),
+            F.round("mean_candidates", 6).alias("mean_candidates"),
+        )
+    )
+
+
 # --- PQ (product quantization) ---
 
 

@@ -347,10 +347,13 @@ def dedup_cluster(
     converges in O(component diameter) rounds (dup clusters are
     shallow). localCheckpoint() truncates the growing lineage each
     round — without it the plan tree doubles per iteration. The loop
-    moves only (node, label) longs; an early-exit count per round stops
-    at the fixpoint.
+    moves only (node, label) longs; the changed-count convergence
+    check rides the checkpoint job itself as an observed metric
+    (df.observe), so each round is exactly ONE job — no second count
+    action over the cached rows.
     Returns (node, cluster_id, is_keeper).
     """
+    from pyspark.sql import Observation
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -370,23 +373,24 @@ def dedup_cluster(
             .agg(F.min("label").alias("nmin"))
             .withColumnRenamed("dst", "node")
         )
-        # The changed flag rides the same pass (no extra self-join):
-        # the eager localCheckpoint materializes once, then both the
-        # convergence count and the next round read the cached rows.
+        # The changed count rides the checkpoint job: eager
+        # localCheckpoint executes the plan through withAction, which
+        # reports observed metrics — verified to fire without any
+        # follow-up action — so the per-round cost is one job, not two.
         best = F.least(F.col("label"), F.coalesce("nmin", F.col("label")))
-        new_labels = (
+        obs = Observation()
+        labels = (
             labels.join(neigh, "node", "left")
-            .select(
-                "node",
-                best.alias("_new"),
-                (best != F.col("label")).alias("_chg"),
-            )
+            .select("node", best.alias("_new"), (best != F.col("label")).alias("_chg"))
             .withColumnRenamed("_new", "label")
+            .observe(
+                obs,
+                F.coalesce(F.sum(F.col("_chg").cast("long")), F.lit(0)).alias("chg"),
+            )
+            .drop("_chg")
             .localCheckpoint()
         )
-        changed = new_labels.filter("_chg").count()
-        labels = new_labels.drop("_chg")
-        if changed == 0:
+        if obs.get["chg"] == 0:
             break
     return labels.select(
         F.col("node"),

@@ -129,6 +129,115 @@ def eval_from_qa_files(
     )
 
 
+def evaluation_results(
+    spark: SparkSession,
+    docs: DataFrame,
+    questions_file: str,
+    answers_file: str,
+    k: int = 10,
+    max_chars: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The reference's ``data/evaluation_results.json`` record shape
+    (eval.py:58 evaluate_rag_with_groq → eval.py's final json.dump):
+    one row per QA pair with question / expected_answer /
+    predicted_answer / groq_evaluation.
+
+    predicted_answer is LLMStub.generate_response over the top-k
+    retrieved contexts in rank order (the reference's Groq call,
+    deterministic here): joined context truncated to ``max_chars``,
+    or the reference's literal no-data sentence when retrieval returns
+    nothing. groq_evaluation mirrors the judge's "Grade: X" text with
+    the deterministic reciprocal-rank grade. Everything is one batch
+    plan — per-question contexts assemble via a rank-ordered agg, no
+    driver loop over questions.
+
+    Returns (qa_id, question, expected_answer, predicted_answer,
+    groq_evaluation); ``write_evaluation_results`` dumps the
+    reference's JSON artifact."""
+    from ..sources.qa_files import load_qa_pairs
+    from .embedding import embed_documents, embed_udf
+
+    qa = load_qa_pairs(spark, questions_file, answers_file)
+    corpus = embed_documents(docs, text_col=text_col).select(
+        F.col(id_col).alias("vec_id"), F.col("embedding")
+    )
+    expected = qa.join(
+        docs.select(F.col(id_col).alias("expected_id"), F.col(text_col)),
+        qa.question == F.col(text_col),
+        "left",
+    ).select("qa_id", "question", "expected_answer", "expected_id")
+    queries = expected.select(
+        F.col("qa_id").alias("query_id"),
+        embed_udf(F.col("question")).alias("query_vec"),
+        "expected_id",
+    )
+    topk = knn.topk_batch(
+        corpus, queries.select("query_id", "query_vec"), k=k,
+        query_id_col="query_id", query_vec_col="query_vec",
+    )
+    # rank-ordered context per question: collect (rank, text) structs,
+    # sort in the array (collect_list order is not guaranteed), join
+    ctx = (
+        topk.join(docs.select(F.col(id_col).alias("vec_id"), F.col(text_col)), "vec_id")
+        .groupBy(F.col("query_id").alias("qa_id"))
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rank", text_col))),
+                    lambda s: s[text_col],
+                ),
+            ).alias("_ctx")
+        )
+    )
+    graded = eval_retrieval(corpus, queries, k=k).select(
+        F.col("query_id").alias("qa_id"), "hit_rank", "grade"
+    )
+    predicted = F.when(
+        F.coalesce(F.col("_ctx"), F.lit("")) == "",
+        F.lit("Could not find relevant data within the document."),
+    ).otherwise(F.substring("_ctx", 1, max_chars))
+    return (
+        expected.select("qa_id", "question", "expected_answer")
+        .join(ctx, "qa_id", "left")
+        .join(graded, "qa_id", "left")
+        .select(
+            "qa_id",
+            "question",
+            "expected_answer",
+            predicted.alias("predicted_answer"),
+            F.concat(F.lit("Grade: "), F.col("grade").cast("string")).alias(
+                "groq_evaluation"
+            ),
+        )
+    )
+
+
+def write_evaluation_results(results: DataFrame, out_file: str) -> list[dict]:
+    """Dump the reference's artifact: a JSON LIST of records in QA
+    order, keys question / expected_answer / predicted_answer /
+    groq_evaluation, indent=4, ensure_ascii=False (eval.py's final
+    json.dump line). The QA set is config-sized (the reference's is a
+    handful of lines), so the driver-side collect is bounded."""
+    import json
+
+    rows = results.orderBy("qa_id").collect()
+    records = [
+        {
+            "question": r.question,
+            "expected_answer": r.expected_answer,
+            "predicted_answer": r.predicted_answer,
+            "groq_evaluation": r.groq_evaluation,
+        }
+        for r in rows
+    ]
+    with open(out_file, "w", encoding="utf-8") as f:
+        json.dump(records, f, indent=4, ensure_ascii=False)
+    return records
+
+
 def eval_retrieval(
     corpus: DataFrame,
     queries: DataFrame,

@@ -3421,3 +3421,105 @@ def retrieval_metrics(spark, sf_dir):
         F.round(F.avg(F.when(F.col("hit_rank") <= 5, 1.0).otherwise(0.0)), 6).alias("hit_at_5"),
         F.round(F.avg(F.when(F.col("hit_rank") <= 10, 1.0).otherwise(0.0)), 6).alias("hit_at_10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r5: IVF nprobe sweep (the IVF analog of ann_probe_sweep)
+# ---------------------------------------------------------------------------
+
+
+@query("ivf_probe_sweep")  # oracle: LAZY_ORACLES["ivf_probe_sweep"] (centroid literals)
+def ivf_probe_sweep(spark, sf_dir):
+    """IVF nprobe recall/latency sweep: mean recall@10 and mean scored
+    candidates per query for nprobe = 1..4 over the 8-cell quantizer —
+    the curve that sizes an IVF index's probe budget (faiss nprobe).
+    ONE plan: the budget is an exploded column over a single cell join
+    (no driver-side per-nprobe loop), same centroid literals as
+    ann_ivf so the whole sweep is hash-checked."""
+    from .operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
+    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    bf = knn.topk_batch(load_table(spark, sf_dir, "embeddings"), queries, k=10)
+    return ann.ivf_probe_sweep(emb, queries, centroids, bf, max_nprobe=4, k=10)
+
+
+def _ivf_probe_sweep_oracle(sf_dir: str) -> str:
+    from .operators import ann
+
+    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
+    return f"""
+    WITH {_cents_sql(centroids)},
+    assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_dd_euclid('e.embedding', 'c.w')}, c.cid
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS query_vec
+        FROM embeddings WHERE vec_id < 10
+    ), qprobe AS (
+        SELECT query_id, query_vec, cid, rn AS m_min FROM (
+            SELECT q.query_id, q.query_vec, c.cid,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_dd_euclid('q.query_vec', 'c.w')}, c.cid
+                   ) AS rn
+            FROM q CROSS JOIN cents c
+        ) WHERE rn <= 4
+    ), cand AS (
+        SELECT p.query_id, s.vec_id, p.m_min,
+               {_dd_cosine('s.embedding', 'p.query_vec')} AS score
+        FROM assigned s JOIN qprobe p ON s.cid = p.cid
+    ), budgets AS (
+        SELECT unnest([1, 2, 3, 4]) AS m
+    ), pb AS (
+        SELECT b.m, cand.query_id, cand.vec_id, cand.score
+        FROM cand JOIN budgets b ON b.m >= cand.m_min
+    ), topk AS (
+        SELECT m, query_id, vec_id FROM (
+            SELECT m, query_id, vec_id,
+                   row_number() OVER (PARTITION BY m, query_id ORDER BY score DESC, vec_id) AS rn
+            FROM pb
+        ) WHERE rn <= 10
+    ), bf AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_dd_cosine('e.embedding', 'q.query_vec')} DESC, e.vec_id
+                   ) AS rank
+            FROM embeddings e CROSS JOIN q
+        ) WHERE rank <= 10
+    ), hitc AS (
+        SELECT t.m, t.query_id, count(*) AS n_hit
+        FROM topk t JOIN bf ON bf.query_id = t.query_id AND bf.vec_id = t.vec_id
+        GROUP BY t.m, t.query_id
+    ), nex AS (
+        SELECT query_id, count(*) AS n_exact FROM bf GROUP BY query_id
+    ), grid AS (
+        SELECT b.m, n.query_id, n.n_exact FROM budgets b CROSS JOIN nex n
+    ), rec AS (
+        SELECT g.m, avg(coalesce(h.n_hit, 0) / g.n_exact) AS mean_recall
+        FROM grid g LEFT JOIN hitc h ON h.m = g.m AND h.query_id = g.query_id
+        GROUP BY g.m
+    ), candn AS (
+        SELECT m, count(*) AS n_cand FROM pb GROUP BY m
+    ), nq AS (
+        SELECT count(DISTINCT query_id) AS n_q FROM q
+    )
+    SELECT CAST(r.m AS BIGINT) AS n_probes,
+           round(r.mean_recall, 6) AS mean_recall,
+           round(c.n_cand / nq.n_q, 6) AS mean_candidates
+    FROM rec r JOIN candn c ON c.m = r.m CROSS JOIN nq
+    """
+
+
+LAZY_ORACLES["ivf_probe_sweep"] = _ivf_probe_sweep_oracle

@@ -138,3 +138,51 @@ def test_bm25_prefers_term_dense_docs(spark):
     got = {r.doc_id: r.bm25 for r in bm25_scores(docs, ["spark", "join"]).collect()}
     assert set(got) == {1, 2}  # doc 3 matches nothing
     assert got[1] > got[2]  # more matched mass ranks higher
+
+
+def test_evaluation_results_artifact_round_trip(spark, sf_dir, tmp_path):
+    """eval.py's final artifact: data/evaluation_results.json — a JSON
+    LIST of {question, expected_answer, predicted_answer,
+    groq_evaluation} records in QA order, produced end-to-end from
+    questions.txt/answers.txt."""
+    import json
+
+    from rag_system_vector_db_spark.operators.rag import (
+        evaluation_results,
+        write_evaluation_results,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    texts = [r.text for r in docs.select("text").orderBy("doc_id").collect()]
+    q = tmp_path / "questions.txt"
+    a = tmp_path / "answers.txt"
+    # first two questions ARE corpus texts (rank-1 self-retrieval);
+    # the third matches nothing exactly but still retrieves context
+    q.write_text(texts[0] + "\n" + texts[1] + "\nutterly novel question\n")
+    a.write_text("answer zero\nanswer one\nanswer two\n")
+
+    res = evaluation_results(spark, docs, str(q), str(a), k=5)
+    out_file = tmp_path / "evaluation_results.json"
+    records = write_evaluation_results(res, str(out_file))
+
+    # the artifact is the reference's shape: a list, these exact keys
+    on_disk = json.loads(out_file.read_text())
+    assert on_disk == records
+    assert [set(r) for r in on_disk] == [
+        {"question", "expected_answer", "predicted_answer", "groq_evaluation"}
+    ] * 3
+    assert [r["question"] for r in on_disk] == [texts[0], texts[1], "utterly novel question"]
+    assert on_disk[0]["expected_answer"] == "answer zero"
+    # self-retrieval hits rank 1 -> judge grade 1.0; context non-empty
+    assert on_disk[0]["groq_evaluation"] == "Grade: 1.0"
+    assert on_disk[1]["groq_evaluation"] == "Grade: 1.0"
+    # no exact match -> grade 0.0, but retrieval still yields context
+    assert on_disk[2]["groq_evaluation"] == "Grade: 0.0"
+    for r in on_disk:
+        assert r["predicted_answer"]
+        assert len(r["predicted_answer"]) <= 200
+    # deterministic end to end
+    res2 = evaluation_results(spark, docs, str(q), str(a), k=5)
+    assert [tuple(r) for r in res2.orderBy("qa_id").collect()] == [
+        tuple(r) for r in res.orderBy("qa_id").collect()
+    ]
