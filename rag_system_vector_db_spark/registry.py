@@ -3523,3 +3523,32 @@ def _ivf_probe_sweep_oracle(sf_dir: str) -> str:
 
 
 LAZY_ORACLES["ivf_probe_sweep"] = _ivf_probe_sweep_oracle
+
+
+@query("eval_results_artifact")  # rows-only: Python hash-embedder path (like rag_pipeline_e2e)
+def eval_results_artifact(spark, sf_dir):
+    """The reference eval.py's data/evaluation_results.json record
+    shape (question / expected_answer / predicted_answer /
+    groq_evaluation per QA pair), produced end to end from line-paired
+    QA text files synthesized deterministically from the corpus: the
+    first 5 documents' texts are the questions (self-retrieval), so
+    ranks and grades are stable. Rows-only by the same declaration as
+    rag_pipeline_e2e — the question embedder is the Python Arrow
+    kernel; the record assembly itself is round-trip tested in
+    tests/test_rag.py."""
+    import tempfile as _tf
+
+    from .operators import rag
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    texts = [
+        r.text.replace("\n", " ")
+        for r in docs.select("doc_id", "text").orderBy("doc_id").limit(5).collect()
+    ]
+    d = _tf.mkdtemp(prefix="qa_eval_")
+    qf, af = f"{d}/questions.txt", f"{d}/answers.txt"
+    with open(qf, "w") as f:
+        f.write("\n".join(texts) + "\n")
+    with open(af, "w") as f:
+        f.write("\n".join(f"expected answer {i}" for i in range(len(texts))) + "\n")
+    return rag.evaluation_results(spark, docs, qf, af, k=5)

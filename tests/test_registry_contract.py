@@ -45,3 +45,26 @@ def test_bench_lists_name_registered_queries():
     missing = (set(bench.HEADLINE) | set(bench.EXTRA)) - set(QUERIES)
     assert not missing, f"bench names not registered: {sorted(missing)}"
     assert not set(bench.HEADLINE) & set(bench.EXTRA)
+
+
+def test_no_forced_broadcast_of_data_proportional_relations():
+    """Scale-posture regression guard (r4 verdict): the only explicit
+    F.broadcast hints allowed are query-side / one-row-scalar /
+    fixed-size frames. The sites that once forced corpus-proportional
+    relations resident (dedup_ngram_jaccard's per-doc shingle arrays,
+    minhash_accuracy's candidate pair set, TPC-H customer/supplier,
+    chunk_diary's day table, sequence_packing's shard offsets) must
+    stay hint-free so AQE chooses from runtime sizes."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "rag_system_vector_db_spark"
+    banned = {
+        "operators/dedup.py": ["F.broadcast(aa)", "F.broadcast(bb)", "F.broadcast(pairs)"],
+        "operators/chunking.py": ["F.broadcast(days", "F.broadcast(offsets)"],
+        "plans/analytics.py": ["F.broadcast(cust)", "F.broadcast(supp)"],
+    }
+    offenders = []
+    for rel, needles in banned.items():
+        src = (root / rel).read_text()
+        offenders += [(rel, n) for n in needles if n in src]
+    assert not offenders, f"forced data-proportional broadcasts reappeared: {offenders}"

@@ -129,6 +129,13 @@ NOTES = {
         "map-side-combinable rollup agg on the per-query frame — the "
         "corpus never shuffles for the metrics."
     ),
+    "ivf_probe_sweep": (
+        "ONE cell join serves every nprobe budget (the IVF analog of "
+        "ann_probe_sweep): each query's probed cells carry their probe "
+        "rank, candidates explode only to budgets >= that rank, and "
+        "recall + candidate counts aggregate per budget — one corpus "
+        "pass instead of max_nprobe."
+    ),
 }
 
 
