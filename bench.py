@@ -110,6 +110,9 @@ EXTRA = [
     "retrieval_metrics",
     # r5
     "ivf_probe_sweep",
+    "quality_classifier",
+    "hard_negative_mining",
+    "cluster_purity",
 ]
 
 

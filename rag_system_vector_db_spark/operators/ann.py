@@ -407,6 +407,105 @@ def ann_ivf_topk(
     return topk_per_key_agg(scored, query_id_col, id_col, k)
 
 
+def hard_negative_mining(
+    vectors: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining (the training-pair step of
+    embedding-model fine-tuning): for each anchor, the most-similar
+    vector with a DIFFERENT label among its LSH-bucket candidates —
+    highest cosine, ties to the lowest negative id.
+
+    Scale: same posture as every dedup/ANN path here — candidates are
+    bucket-bound (equi-self-join on the bucket id, volume scales with
+    bucket occupancy, never n²); top-1 per anchor reduces via a single
+    map-side-combinable max_by agg, no window over the pair set.
+    Anchors whose bucket holds no cross-label vector produce no row
+    (they have no hard negative at this probe depth — widen with
+    multi-probe buckets if coverage matters more than cost).
+    Returns (vec_id, label, neg_id, neg_label, score)."""
+    b = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(label_col),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    a, c = b.alias("a"), b.alias("n")
+    pairs = a.join(
+        c,
+        (F.col("a._bucket") == F.col("n._bucket"))
+        & (F.col(f"a.{label_col}") != F.col(f"n.{label_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias(id_col),
+        F.col(f"a.{label_col}").alias(label_col),
+        F.col(f"n.{id_col}").alias("neg_id"),
+        F.col(f"n.{label_col}").alias("neg_label"),
+        V.cosine(F.col(f"a.{vec_col}"), F.col(f"n.{vec_col}")).alias("score"),
+    )
+    # max_by on (score, -neg_id): highest cosine wins, exact ties go to
+    # the lowest negative id — deterministic, oracle-matched.
+    return (
+        pairs.groupBy(id_col, label_col)
+        .agg(
+            F.max_by(
+                F.struct("neg_id", "neg_label", "score"),
+                F.struct(F.col("score"), (-F.col("neg_id")).alias("_t")),
+            ).alias("s")
+        )
+        .select(
+            id_col,
+            label_col,
+            F.col("s.neg_id"),
+            F.col("s.neg_label"),
+            F.round("s.score", 6).alias("score"),
+        )
+    )
+
+
+def cluster_purity(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label purity of the IVF cells (the diversity/alignment
+    diagnostic next to ivf_cell_stats' occupancy balance): per cell,
+    occupancy, distinct labels, the majority label (ties to the lowest
+    label id) and its share. Low purity = the quantizer's semantic
+    cells cut across labels — retrain or re-label before using cells
+    as sampling strata.
+
+    One narrow assignment pass (broadcast centroid literals) + two
+    map-side-combinable groupBys ((cell,label) then cell); nothing
+    wide ever shuffles. Returns (cell, n, n_labels, top_label,
+    top_share)."""
+    cell = with_cell(vectors, vec_col, centroids, out_col="cell")
+    per_label = cell.groupBy("cell", label_col).agg(F.count("*").alias("c"))
+    return (
+        per_label.groupBy("cell")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.count("*").cast("long").alias("n_labels"),
+            F.max_by(
+                F.col(label_col),
+                F.struct(F.col("c"), (-F.col(label_col)).alias("_t")),
+            ).alias("top_label"),
+            F.max(F.struct(F.col("c"), (-F.col(label_col)).alias("_t"))).alias("_m"),
+        )
+        .select(
+            F.col("cell").cast("long"),
+            "n",
+            "n_labels",
+            "top_label",
+            F.round(F.col("_m.c") / F.col("n"), 6).alias("top_share"),
+        )
+    )
+
+
 def ivf_probe_sweep(
     corpus: DataFrame,
     queries: DataFrame,

@@ -236,3 +236,71 @@ def length_histogram(
         F.min("n").cast("long").alias("min_tokens"),
         F.max("n").cast("long").alias("max_tokens"),
     )
+
+
+def classifier_weights(n_features: int = 64, seed: str = "qcls") -> list[float]:
+    """Deterministic stand-in weights for a trained quality classifier
+    (the fasttext linear model of the CCNet/GPT-3 filtering recipes):
+    one weight in [-1, 1) per hashed feature bucket, derived from md5
+    of the bucket index and rounded to 6 dp so both engines inline the
+    exact same decimals. The SWAP POINT for a real model: replace this
+    list with the trained weight vector — every plan below is
+    unchanged (weights are broadcast literals either way, exactly like
+    the IVF centroid and PCA basis literals)."""
+    import hashlib
+
+    out = []
+    for i in range(n_features):
+        h = int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16)
+        out.append(round(h / float(16**15) * 2.0 - 1.0, 6))
+    return out
+
+
+def quality_classifier(
+    docs: DataFrame,
+    n_features: int = 64,
+    weights: list[float] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """fasttext-style linear quality scorer (Joulin EACL'17 shape, the
+    learned counterpart of quality_filters' hand-set gates): tokens
+    hash into ``n_features`` buckets, the doc's raw score is the mean
+    bucket weight, prob is its sigmoid, keep = raw >= 0.
+
+    Plan: one explode + ONE map-side-combinable groupBy(doc); the
+    weight lookup is element_at on a broadcast literal array (pure
+    codegen, no join, no Python). Determinism across engines: weights
+    are INTEGER micro-units (weight x 1e6) summed exactly as longs —
+    order-free, no float accumulation anywhere — and the exact sum is
+    what the output carries: ``sum_micro / (n_tokens * 1e6)`` IS the
+    raw mean-weight score, bit-recoverable. A rounded rational raw
+    score is deliberately NOT emitted: s/n can land exactly on a 5e-7
+    rounding boundary (observed at sf0.001), where engines' double
+    rounding legitimately disagrees; the sigmoid prob is transcendental
+    and cannot tie, so it rounds safely.
+    Returns (doc_id, n_tokens, sum_micro, prob, keep)."""
+    from ..functions import hashing as H
+
+    w = weights if weights is not None else classifier_weights(n_features)
+    w_micro = [int(round(x * 1_000_000)) for x in w]
+    warr = F.array(*[F.lit(x).cast("long") for x in w_micro])
+    toks = docs.select(
+        F.col(id_col), F.explode(X.tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    feat = toks.select(
+        F.col(id_col),
+        F.element_at(warr, (H.md5_long(F.col("tok")) % n_features + 1).cast("int")).alias("wt"),
+    )
+    per = feat.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("wt").cast("long").alias("sum_micro"),
+    )
+    raw = F.col("sum_micro").cast("double") / (F.col("n_tokens") * 1_000_000.0)
+    return per.select(
+        F.col(id_col),
+        "n_tokens",
+        "sum_micro",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6).alias("prob"),
+        (F.col("sum_micro") >= 0).alias("keep"),
+    )

@@ -3552,3 +3552,163 @@ def eval_results_artifact(spark, sf_dir):
     with open(af, "w") as f:
         f.write("\n".join(f"expected answer {i}" for i in range(len(texts))) + "\n")
     return rag.evaluation_results(spark, docs, qf, af, k=5)
+
+
+# ---------------------------------------------------------------------------
+# r5: learned quality scoring + contrastive mining + cell purity
+# ---------------------------------------------------------------------------
+
+
+def _qcls_weights_sql(w: list[float]) -> str:
+    rows = ", ".join(
+        f"({i}, {int(round(x * 1_000_000))}::BIGINT)" for i, x in enumerate(w)
+    )
+    return f"qw(i, wt) AS (VALUES {rows})"
+
+
+def _quality_classifier_oracle() -> str:
+    from .operators.curation import classifier_weights
+
+    w = classifier_weights(64)
+    return f"""
+    WITH {_qcls_weights_sql(w)},
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), f AS (
+        SELECT doc_id, {H.dd_md5_long('tok')} % 64 AS b
+        FROM toks WHERE tok <> ''
+    ), per AS (
+        SELECT f.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(qw.wt) AS BIGINT) AS sum_micro
+        FROM f JOIN qw ON qw.i = f.b
+        GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_tokens, sum_micro,
+           round(1.0 / (1.0 + exp(-((sum_micro::DOUBLE) / (n_tokens * 1000000.0)))), 6) AS prob,
+           sum_micro >= 0 AS keep
+    FROM per
+    """
+
+
+@query("quality_classifier", oracle=None)
+def quality_classifier(spark, sf_dir):
+    """fasttext-style learned quality scorer (the CCNet/GPT-3 model
+    filter next to quality_filters' hand-set gates): hashed token
+    buckets x broadcast literal weights, mean-weight raw score,
+    sigmoid prob, keep gate. Weights are the documented swap point for
+    a trained model. One explode + one map-side-combinable groupBy;
+    exact decimal sums make the score order-independent."""
+    from .operators import curation
+
+    return curation.quality_classifier(load_table(spark, sf_dir, "documents"))
+
+
+ORACLES["quality_classifier"] = _quality_classifier_oracle()
+
+
+@query("hard_negative_mining")  # oracle attached below (_hard_negative_oracle)
+def hard_negative_mining(spark, sf_dir):
+    """Contrastive hard-negative mining for embedding training: per
+    anchor, the most-similar DIFFERENT-label vector among its
+    LSH-bucket candidates (highest cosine, ties to lowest id).
+    Bucket-bound candidate volume — the same 6-plane index
+    dedup_embedding_lsh uses."""
+    from .operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    planes = ann.hyperplanes(6, 64)
+    out = ann.hard_negative_mining(emb, planes)
+    return out.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        "neg_id",
+        F.col("neg_label").cast("long").alias("neg_label"),
+        "score",
+    )
+
+
+def _hard_negative_oracle() -> str:
+    from .operators import ann
+
+    planes = ann.hyperplanes(6, 64)
+    return f"""
+    WITH {_planes_sql(planes)},
+    dots AS (
+        SELECT e.vec_id, p.pid, {_dd_dot('e.embedding', 'p.w')} AS d
+        FROM embeddings e CROSS JOIN planes p
+    ), buckets AS (
+        SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << pid) ELSE 0 END) AS bucket
+        FROM dots GROUP BY vec_id
+    ), v AS (
+        SELECT e.vec_id, e.embedding, e.label, b.bucket
+        FROM embeddings e JOIN buckets b USING (vec_id)
+    ), pairs AS (
+        SELECT a.vec_id, a.label, n.vec_id AS neg_id, n.label AS neg_label,
+               {_dd_cosine('a.embedding', 'n.embedding')} AS score
+        FROM v a JOIN v n ON a.bucket = n.bucket AND a.label <> n.label
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, neg_id
+        ) AS rn FROM pairs
+    )
+    SELECT vec_id, CAST(label AS BIGINT) AS label, neg_id,
+           CAST(neg_label AS BIGINT) AS neg_label, round(score, 6) AS score
+    FROM ranked WHERE rn = 1
+    """
+
+
+ORACLES["hard_negative_mining"] = _hard_negative_oracle()
+
+
+@query("cluster_purity")  # oracle: LAZY_ORACLES["cluster_purity"] (centroid literals)
+def cluster_purity(spark, sf_dir):
+    """IVF cell label purity (the alignment diagnostic next to
+    ivf_cell_stats' occupancy balance): per cell, occupancy, distinct
+    labels, majority label + share. Same fitted centroid literals as
+    ann_ivf; one assignment pass + two map-side-combinable groupBys."""
+    from .operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
+    return ann.cluster_purity(emb, centroids).select(
+        "cell",
+        "n",
+        "n_labels",
+        F.col("top_label").cast("long").alias("top_label"),
+        "top_share",
+    )
+
+
+def _cluster_purity_oracle(sf_dir: str) -> str:
+    from .operators import ann
+
+    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
+    return f"""
+    WITH {_cents_sql(centroids)},
+    assigned AS (
+        SELECT vec_id, label, cid FROM (
+            SELECT e.vec_id, e.label, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_dd_euclid('e.embedding', 'c.w')}, c.cid
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ), per_label AS (
+        SELECT cid, label, count(*) AS c FROM assigned GROUP BY cid, label
+    ), ranked AS (
+        SELECT cid, label, c,
+               row_number() OVER (PARTITION BY cid ORDER BY c DESC, label) AS rn,
+               CAST(sum(c) OVER (PARTITION BY cid) AS BIGINT) AS n,
+               CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n_labels
+        FROM per_label
+    )
+    SELECT CAST(cid AS BIGINT) AS cell, n, n_labels,
+           CAST(label AS BIGINT) AS top_label,
+           round(c / n, 6) AS top_share
+    FROM ranked WHERE rn = 1
+    """
+
+
+LAZY_ORACLES["cluster_purity"] = _cluster_purity_oracle

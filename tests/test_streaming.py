@@ -492,3 +492,57 @@ def test_stream_events_fails_fast_on_empty_dir(spark, tmp_path):
     empty.mkdir()
     with _pytest.raises(FileNotFoundError, match="cannot probe"):
         P.stream_events(spark, str(empty))
+
+
+def test_streaming_dedup_on_rocksdb_state_store(spark, tmp_path):
+    """The cluster state-store config is not vaporware: the same
+    stateful dedup runs green with the RocksDB provider active
+    (providerClass is a runtime SQL conf, read at query start)."""
+    import pandas as pd
+
+    src = tmp_path / "docs_rdb"
+    src.mkdir()
+
+    def write_batch(name, doc_ids, texts):
+        pd.DataFrame(
+            {
+                "doc_id": pd.array(doc_ids, dtype="int64"),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+            }
+        ).to_parquet(src / name)
+
+    write_batch("b1.parquet", [1, 2], ["alpha", "beta"])
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        P.rocksdb_state_store_conf()[conf_key],
+    )
+    try:
+        out = P.streaming_dedup(P.stream_documents(spark, str(src)))
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("rdb_dedup_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            write_batch("b2.parquet", [3, 4], ["alpha", "gamma"])  # 3 dups 1
+            q.processAllAvailable()
+            # the running query actually used RocksDB state
+            assert "RocksDB" in q.lastProgress["stateOperators"][0]["customMetrics"].keys().__str__() or "rocksdb" in str(q.lastProgress).lower()
+        finally:
+            q.stop()
+        keepers = sorted(
+            r.keeper_id for r in spark.sql("SELECT * FROM rdb_dedup_out").collect()
+        )
+        assert keepers == [1, 2, 4]
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
