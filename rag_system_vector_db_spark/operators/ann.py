@@ -121,6 +121,64 @@ def ann_lsh_multiprobe_topk(
     return topk_per_key_agg(scored, query_id_col, id_col, k)
 
 
+def _budget_sweep_tail(
+    per_budget: DataFrame,
+    queries: DataFrame,
+    exact_hits: DataFrame,
+    m_lo: int,
+    m_hi: int,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared recall/cost reduction for the probe-budget sweeps: ONE
+    aggregation over the (budget, query, candidate) relation yields
+    both the top-k id array and the candidate count; hits are
+    size(array_intersect) against the broadcast per-query exact-id
+    arrays — no semi-join, so the expensive candidate subtree and the
+    exact-baseline tower each plan exactly ONCE (Spark re-plans every
+    reference to a frame; the semi-join + separate count formulation
+    ran both towers twice). Recall denominator is k: the exact top-k
+    is always full whenever the corpus has >= k vectors (any real
+    scale; the oracles' per-query counts equal k too).
+    Returns (m, mean_recall, mean_candidates) for m in [m_lo, m_hi]."""
+    exact_arr = exact_hits.groupBy(query_id_col).agg(
+        F.collect_set(id_col).alias("_exact")
+    )
+    pair = F.struct((-F.col("score")).alias("_o"), F.col(id_col))
+    agged = per_budget.groupBy("m", query_id_col).agg(
+        F.count("*").alias("n_cand"),
+        F.slice(F.sort_array(F.collect_list(pair)), 1, k).alias("_top"),
+    )
+    joined = agged.join(F.broadcast(exact_arr), query_id_col).select(
+        "m",
+        query_id_col,
+        "n_cand",
+        F.size(
+            F.array_intersect(
+                F.transform("_top", lambda s: s[id_col]), F.col("_exact")
+            )
+        ).alias("n_hit"),
+    )
+    grid = queries.select(query_id_col).distinct().crossJoin(
+        F.broadcast(
+            per_budget.sparkSession.range(m_lo, m_hi + 1).select(
+                F.col("id").cast("int").alias("m")
+            )
+        )
+    )
+    return (
+        grid.join(joined, ["m", query_id_col], "left")
+        .groupBy("m")
+        .agg(
+            F.avg(F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(k))).alias(
+                "mean_recall"
+            ),
+            F.avg(F.coalesce(F.col("n_cand"), F.lit(0))).alias("mean_candidates"),
+        )
+    )
+
+
 def probe_sweep(
     corpus: DataFrame,
     queries: DataFrame,
@@ -145,8 +203,6 @@ def probe_sweep(
     candidate counts all aggregate from that single joined relation —
     at scale this is one corpus pass instead of n_planes+1.
     Returns (n_probes, mean_recall, mean_candidates)."""
-    from .knn import topk_per_key_agg
-
     n_planes = len(planes)
     cb = corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
     qb = queries.withColumn("_b0", lsh_bucket(F.col(query_vec_col), planes))
@@ -180,41 +236,12 @@ def probe_sweep(
     per_budget = cand.withColumn(
         "m", F.explode(F.sequence(F.col("_m_min"), F.lit(n_planes)))
     )
-    hits = topk_per_key_agg(per_budget, ["m", query_id_col], id_col, k)
-    hit_counts = (
-        hits.join(
-            exact_hits.select(query_id_col, id_col), [query_id_col, id_col], "left_semi"
-        )
-        .groupBy("m", query_id_col)
-        .agg(F.count("*").alias("n_hit"))
-    )
-    n_exact = exact_hits.groupBy(query_id_col).agg(F.count("*").alias("n_exact"))
-    grid = n_exact.crossJoin(
-        corpus.sparkSession.range(n_planes + 1).select(F.col("id").cast("int").alias("m"))
-    )
-    recall = (
-        grid.join(hit_counts, ["m", query_id_col], "left")
-        .groupBy("m")
-        .agg(
-            F.avg(
-                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")
-            ).alias("mean_recall")
-        )
-    )
-    n_q = queries.agg(F.countDistinct(query_id_col).alias("n_q"))
-    cand_counts = (
-        per_budget.groupBy("m")
-        .agg(F.count("*").alias("n_cand"))
-        .crossJoin(F.broadcast(n_q))
-        .select("m", (F.col("n_cand") / F.col("n_q")).alias("mean_candidates"))
-    )
-    return (
-        recall.join(cand_counts, "m")
-        .select(
-            (F.col("m") + 1).cast("long").alias("n_probes"),
-            F.round("mean_recall", 6).alias("mean_recall"),
-            F.round("mean_candidates", 6).alias("mean_candidates"),
-        )
+    return _budget_sweep_tail(
+        per_budget, queries, exact_hits, 0, n_planes, k, id_col, query_id_col
+    ).select(
+        (F.col("m") + 1).cast("long").alias("n_probes"),
+        F.round("mean_recall", 6).alias("mean_recall"),
+        F.round("mean_candidates", 6).alias("mean_candidates"),
     )
 
 
@@ -532,8 +559,6 @@ def ivf_probe_sweep(
     that single joined relation — one corpus pass instead of
     max_nprobe passes.
     Returns (n_probes, mean_recall, mean_candidates)."""
-    from .knn import topk_per_key_agg
-
     cell = with_cell(corpus, vec_col, centroids)
     probes = _probe_structs(F.col(query_vec_col), centroids)
     qp = (
@@ -563,43 +588,12 @@ def ivf_probe_sweep(
     per_budget = cand.withColumn(
         "m", F.explode(F.sequence(F.col("_m_min"), F.lit(max_nprobe)))
     )
-    hits = topk_per_key_agg(per_budget, ["m", query_id_col], id_col, k)
-    hit_counts = (
-        hits.join(
-            exact_hits.select(query_id_col, id_col), [query_id_col, id_col], "left_semi"
-        )
-        .groupBy("m", query_id_col)
-        .agg(F.count("*").alias("n_hit"))
-    )
-    n_exact = exact_hits.groupBy(query_id_col).agg(F.count("*").alias("n_exact"))
-    grid = n_exact.crossJoin(
-        corpus.sparkSession.range(1, max_nprobe + 1).select(
-            F.col("id").cast("int").alias("m")
-        )
-    )
-    recall = (
-        grid.join(hit_counts, ["m", query_id_col], "left")
-        .groupBy("m")
-        .agg(
-            F.avg(
-                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")
-            ).alias("mean_recall")
-        )
-    )
-    n_q = queries.agg(F.countDistinct(query_id_col).alias("n_q"))
-    cand_counts = (
-        per_budget.groupBy("m")
-        .agg(F.count("*").alias("n_cand"))
-        .crossJoin(F.broadcast(n_q))
-        .select("m", (F.col("n_cand") / F.col("n_q")).alias("mean_candidates"))
-    )
-    return (
-        recall.join(cand_counts, "m")
-        .select(
-            F.col("m").cast("long").alias("n_probes"),
-            F.round("mean_recall", 6).alias("mean_recall"),
-            F.round("mean_candidates", 6).alias("mean_candidates"),
-        )
+    return _budget_sweep_tail(
+        per_budget, queries, exact_hits, 1, max_nprobe, k, id_col, query_id_col
+    ).select(
+        F.col("m").cast("long").alias("n_probes"),
+        F.round("mean_recall", 6).alias("mean_recall"),
+        F.round("mean_candidates", 6).alias("mean_candidates"),
     )
 
 

@@ -183,3 +183,46 @@ def test_matryoshka_single_corpus_scan(spark, sf_dir):
     plan = _plan(QUERIES["matryoshka_recall"](spark, sf_dir))
     assert plan.count("FileScan") <= 3
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_quality_classifier_map_only_single_scan(spark, sf_dir):
+    """Learned scorer is one scan + one partial/final agg pair: the
+    weight lookup is a literal array element_at — no join, no Python."""
+    plan = _plan(QUERIES["quality_classifier"](spark, sf_dir))
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side combine
+
+
+def test_hard_negative_mining_no_theta_join(spark, sf_dir):
+    """Candidates come from the bucket equi-self-join only — a
+    CartesianProduct / BroadcastNestedLoop here means the mining
+    regressed to all-pairs."""
+    plan = _plan(QUERIES["hard_negative_mining"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cluster_purity_no_joins_two_agg_levels(spark, sf_dir):
+    """Assignment is broadcast-literal math (no join against a
+    centroid table); purity reduces via (cell,label) then cell aggs,
+    both map-side combinable."""
+    plan = _plan(QUERIES["cluster_purity"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Aggregate") >= 4  # two partial/final pairs (hash or object)
+
+
+def test_ivf_probe_sweep_single_cell_join(spark, sf_dir):
+    """Every nprobe budget is served by ONE equi cell join (the budget
+    axis is an exploded column); only the exact-baseline tower may use
+    the broadcast nested-loop shape."""
+    plan = _plan(QUERIES["ivf_probe_sweep"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # at most two nested-loop towers: the exact brute-force baseline
+    # (corpus x broadcast queries — intended) and the trivial
+    # queries-x-budgets grid cross (n_q x max_nprobe rows). The sweep
+    # itself joins cells equi-style. Raw FileScan counts also include
+    # re-planned scans of the tiny query side, so they are not a good
+    # proxy for corpus passes — the BNLJ count is.
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
