@@ -42,7 +42,9 @@ _VERIFY_FIRST = [
     "skew_profile",
     "semdedup_clusters",
     "eval_results_artifact",
-    "incremental_dedup",
+    # new r5 op (incremental_dedup rotated out: its r4 green stamp is
+    # current — that code did not change in r5)
+    "quality_classifier",
     # the 43 r3-stamped entries whose code moved in r4 (and some again
     # in r5: chunk_diary/chunk_stats word_count, dedup_ngram_jaccard /
     # join_revenue_topn / local_supplier_volume broadcast drops,
@@ -90,6 +92,11 @@ _VERIFY_FIRST = [
     "multimodal_pipeline",
     "multimodal_stats",
     "multimodal_frames",
+    # positions 51+: next-in-line if the driver window ever widens —
+    # the remaining never-driver-checked r5 ops (pytest-green at the
+    # driver's sf), then everything else in registration order
+    "hard_negative_mining",
+    "cluster_purity",
 ]
 
 

@@ -113,6 +113,7 @@ EXTRA = [
     "quality_classifier",
     "hard_negative_mining",
     "cluster_purity",
+    "keyword_index_batch",
 ]
 
 

@@ -172,3 +172,58 @@ def hybrid_index_rrf(
         vec.withColumn("_q", F.lit(0)), "_q", "_id", depth
     ).select(F.col("_id"), F.col("rank").alias("vec_rank"))
     return rrf_fuse(kw_top, vec_top, k=k, rrf_k=rrf_k, id_col="doc_id")
+
+
+def keyword_index_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+    n_buckets: int = 32,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Batch BM25 serving: MANY keyword queries against the
+    materialized index in ONE plan — the nightly-eval / offline-rerank
+    shape (keyword_index_topk is the single-query latency shape).
+
+    The union of all queries' terms prunes the postings read once
+    (partition-column bucket IN + term IN pushed into the pruned
+    files); a broadcast (query_id, term) frame fans each posting out
+    only to the queries that asked for its term; df/idf compute once
+    per term and are shared across queries; per-query top-k reduces by
+    one agg (no window over the scored set). Adding a query to the
+    batch costs only its term fan-out — the index I/O is shared.
+    Returns (query_id, rank, doc_id, bm25)."""
+    from .knn import topk_per_key_agg
+
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in all_terms})
+    post = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
+    )
+    stats = spark.read.parquet(f"{index_dir}/stats")
+    dfreq = post.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries for t in ts], "query_id long, term string"
+    )
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = idf * (
+        (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        post.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib).alias("_bm25"))
+    )
+    top = topk_per_key_agg(scored, "query_id", "doc_id", k, score_col="_bm25")
+    return top.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("_bm25", 6).alias("bm25"),
+    )

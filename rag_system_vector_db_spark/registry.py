@@ -3712,3 +3712,70 @@ def _cluster_purity_oracle(sf_dir: str) -> str:
 
 
 LAZY_ORACLES["cluster_purity"] = _cluster_purity_oracle
+
+
+_KWB_QUERIES = [
+    (0, ["spark", "join", "fast"]),
+    (1, ["vector", "data", "scan"]),
+    (2, ["window", "group", "stream"]),
+    (3, ["hash", "merge", "slow"]),
+    (4, ["filter", "column"]),
+]
+
+
+def _kwb_qt_sql() -> str:
+    rows = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in _KWB_QUERIES for t in ts
+    )
+    return f"qt(query_id, term) AS (VALUES {rows})"
+
+
+@query(
+    "keyword_index_batch",
+    oracle=f"""
+    WITH {_kwb_qt_sql()},
+    toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), qtoks AS (
+        SELECT * FROM toks WHERE term IN (SELECT DISTINCT term FROM qt)
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
+        FROM qtoks GROUP BY doc_id, term
+    ), stats AS (
+        SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl FROM documents
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), bm25 AS (
+        SELECT qt.query_id, tf.doc_id,
+               sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))) AS bm25
+        FROM tf JOIN qt USING (term) JOIN dfreq d USING (term) CROSS JOIN stats s
+        GROUP BY qt.query_id, tf.doc_id
+    ), ranked AS (
+        SELECT query_id, doc_id, bm25,
+               row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
+        FROM bm25
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(bm25, 6) AS bm25
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def keyword_index_batch(spark, sf_dir):
+    """Batch BM25 from the materialized bucket-pruned inverted index:
+    5 keyword queries in ONE plan — shared postings read (union of the
+    queries' term buckets), shared df/idf, per-query agg top-k. The
+    offline-eval / rerank serving shape next to keyword_index_topk's
+    single-query shape; oracle recomputes every query straight from
+    documents, index-independent."""
+    from .operators import text_index
+
+    index_dir = _os.path.join(
+        _WAREHOUSE, f"kw_index_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    if not _os.path.exists(_os.path.join(index_dir, "stats", "_SUCCESS")):
+        text_index.keyword_index_build(
+            load_table(spark, sf_dir, "documents"), index_dir
+        )
+    return text_index.keyword_index_batch(spark, index_dir, _KWB_QUERIES, k=10)

@@ -63,3 +63,31 @@ def test_postings_scan_is_partition_pruned(spark, sf_dir, tmp_path):
         .collect()
     }
     assert found == full
+
+
+def test_batch_serving_matches_per_query_topk(spark, sf_dir, tmp_path):
+    """One batch plan must reproduce each query's single-query
+    index-served top-k exactly, and the batch postings scan stays
+    partition-pruned to the union of the queries' term buckets."""
+    idx, docs = _build(spark, sf_dir, tmp_path)
+    queries = [(0, TERMS), (1, ["vector", "data"]), (2, ["window", "stream"])]
+    batch = text_index.keyword_index_batch(spark, idx, queries, k=10)
+    rows = batch.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, terms in queries:
+        single = text_index.keyword_index_topk(spark, idx, terms, k=10).collect()
+        got = sorted(by_q[qid], key=lambda r: r.rank)
+        assert [(r.rank, r.doc_id) for r in got] == [
+            (s.rank, s.doc_id) for s in single
+        ], qid
+        for g, s in zip(got, single):
+            assert abs(g.bm25 - s.bm25) < 1e-6
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1][:160]
+    # every postings scan in the plan must be the PRUNED one (the df
+    # tower re-reads the same pruned slice — two directory-skipped
+    # scans of |query buckets| files, not two corpus passes)
+    assert plan.count("FileScan parquet") <= 6
