@@ -97,6 +97,8 @@ _VERIFY_FIRST = [
     # driver's sf), then everything else in registration order
     "hard_negative_mining",
     "cluster_purity",
+    "keyword_index_batch",
+    "hybrid_index_batch",
 ]
 
 

@@ -114,6 +114,7 @@ EXTRA = [
     "hard_negative_mining",
     "cluster_purity",
     "keyword_index_batch",
+    "hybrid_index_batch",
 ]
 
 

@@ -177,3 +177,50 @@ def rrf_fuse(
             (F.col("_pos") + 1).cast("long").alias("rank"),
         )
     )
+
+
+def rrf_fuse_batch(
+    kw_top: DataFrame,
+    vec_top: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Keyed RRF fusion: the batch twin of ``rrf_fuse``. Inputs carry
+    (query_id, _id, bm25_rank) / (query_id, _id, vec_rank); the
+    full-outer join and the payload-carrying top-k agg both key on
+    query_id, so every query fuses inside ONE plan with no per-query
+    loop. Returns (query_id, doc_id, bm25_rank, vec_rank, fused,
+    rank)."""
+    fused = (
+        kw_top.join(vec_top, [query_id_col, "_id"], "full_outer")
+        .withColumn(
+            "fused",
+            F.round(
+                F.coalesce(1.0 / (rrf_k + F.col("bm25_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (rrf_k + F.col("vec_rank")), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    pair = F.struct(
+        (-F.col("fused")).alias("_o"),
+        F.col("_id"),
+        F.col("bm25_rank"),
+        F.col("vec_rank"),
+        F.col("fused"),
+    )
+    return (
+        fused.groupBy(query_id_col)
+        .agg(F.slice(F.sort_array(F.collect_list(pair)), 1, k).alias("_top"))
+        .select(query_id_col, F.posexplode("_top").alias("_pos", "_p"))
+        .select(
+            query_id_col,
+            F.col("_p._id").alias(id_col),
+            F.col("_p.bm25_rank").cast("long").alias("bm25_rank"),
+            F.col("_p.vec_rank").cast("long").alias("vec_rank"),
+            F.col("_p.fused").alias("fused"),
+            (F.col("_pos") + 1).cast("long").alias("rank"),
+        )
+    )

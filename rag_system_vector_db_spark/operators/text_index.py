@@ -227,3 +227,37 @@ def keyword_index_batch(
         "doc_id",
         F.round("_bm25", 6).alias("bm25"),
     )
+
+
+def hybrid_index_batch(
+    spark: SparkSession,
+    index_dir: str,
+    vectors: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    query_vecs: DataFrame,
+    k: int = 10,
+    depth: int = 20,
+    rrf_k: int = 60,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Batch hybrid retrieval from the materialized index: MANY
+    (terms, vector) queries fused in ONE plan — the completion of the
+    built-once / served-many story across BOTH towers. Keyword tower =
+    keyword_index_batch (shared pruned postings read, per-query agg
+    top-depth); vector tower = one broadcast batch-kNN corpus pass for
+    every query vector; fusion = rrf_fuse_batch keyed on query_id.
+    ``query_vecs`` is a (query_id, query_vec) frame aligned with
+    ``queries``' ids. Returns (query_id, doc_id, bm25_rank, vec_rank,
+    fused, rank)."""
+    from .hybrid import rrf_fuse_batch
+    from .knn import topk_batch
+
+    kw_top = keyword_index_batch(
+        spark, index_dir, queries, k=depth, n_buckets=n_buckets
+    ).select(
+        "query_id", F.col("doc_id").alias("_id"), F.col("rank").alias("bm25_rank")
+    )
+    vec_top = topk_batch(vectors, query_vecs, k=depth).select(
+        "query_id", F.col("vec_id").alias("_id"), F.col("rank").alias("vec_rank")
+    )
+    return rrf_fuse_batch(kw_top, vec_top, k=k, rrf_k=rrf_k)

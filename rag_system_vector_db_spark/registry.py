@@ -3779,3 +3779,83 @@ def keyword_index_batch(spark, sf_dir):
             load_table(spark, sf_dir, "documents"), index_dir
         )
     return text_index.keyword_index_batch(spark, index_dir, _KWB_QUERIES, k=10)
+
+
+@query(
+    "hybrid_index_batch",
+    oracle=f"""
+    WITH {_kwb_qt_sql()},
+    qv AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ), toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), qtoks AS (
+        SELECT * FROM toks WHERE term IN (SELECT DISTINCT term FROM qt)
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
+        FROM qtoks GROUP BY doc_id, term
+    ), stats AS (
+        SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl FROM documents
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), bm25 AS (
+        SELECT qt.query_id, tf.doc_id,
+               sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))) AS bm25
+        FROM tf JOIN qt USING (term) JOIN dfreq d USING (term) CROSS JOIN stats s
+        GROUP BY qt.query_id, tf.doc_id
+    ), kw_top AS (
+        SELECT query_id, doc_id AS _id,
+               row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS bm25_rank
+        FROM bm25 QUALIFY bm25_rank <= 20
+    ), vec AS (
+        SELECT q.query_id, e.vec_id AS _id, {_dd_cosine('e.embedding', 'q.qv')} AS score
+        FROM embeddings e CROSS JOIN qv q
+    ), vec_top AS (
+        SELECT query_id, _id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, _id) AS vec_rank
+        FROM vec QUALIFY vec_rank <= 20
+    ), fused AS (
+        SELECT coalesce(k.query_id, v.query_id) AS query_id,
+               coalesce(k._id, v._id) AS _id, k.bm25_rank, v.vec_rank,
+               round(coalesce(1.0 / (60 + k.bm25_rank), 0.0)
+                     + coalesce(1.0 / (60 + v.vec_rank), 0.0), 6) AS fused
+        FROM kw_top k FULL OUTER JOIN vec_top v
+          ON k.query_id = v.query_id AND k._id = v._id
+    ), ranked AS (
+        SELECT query_id, _id, bm25_rank, vec_rank, fused,
+               row_number() OVER (PARTITION BY query_id ORDER BY fused DESC, _id) AS rank
+        FROM fused
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, _id AS doc_id,
+           CAST(bm25_rank AS BIGINT) AS bm25_rank,
+           CAST(vec_rank AS BIGINT) AS vec_rank, fused,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def hybrid_index_batch(spark, sf_dir):
+    """Batch hybrid RRF from the materialized index: 5 (terms, vector)
+    queries fused in ONE plan — shared pruned postings read for the
+    keyword tower, one broadcast batch-kNN corpus pass for the vector
+    tower, keyed RRF fusion. The built-once / served-many completion
+    of hybrid_index_rrf's single-query shape; the oracle recomputes
+    every query from documents + embeddings, index-independent."""
+    from .operators import text_index
+
+    index_dir = _os.path.join(
+        _WAREHOUSE, f"kw_index_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    if not _os.path.exists(_os.path.join(index_dir, "stats", "_SUCCESS")):
+        text_index.keyword_index_build(
+            load_table(spark, sf_dir, "documents"), index_dir
+        )
+    emb = load_table(spark, sf_dir, "embeddings")
+    query_vecs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return text_index.hybrid_index_batch(
+        spark, index_dir, emb, _KWB_QUERIES, query_vecs, k=10, depth=20
+    )

@@ -91,3 +91,33 @@ def test_batch_serving_matches_per_query_topk(spark, sf_dir, tmp_path):
     # tower re-reads the same pruned slice — two directory-skipped
     # scans of |query buckets| files, not two corpus passes)
     assert plan.count("FileScan parquet") <= 6
+
+
+def test_hybrid_batch_matches_single_query_hybrid(spark, sf_dir, tmp_path):
+    """The keyed batch fusion must reproduce each query's single-query
+    hybrid_index_rrf output exactly."""
+    idx, docs = _build(spark, sf_dir, tmp_path)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [(0, TERMS), (1, ["vector", "data"])]
+    qv = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = text_index.hybrid_index_batch(
+        spark, idx, emb, queries, qv, k=10, depth=20
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, terms in queries:
+        one_vec = emb.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("qv")
+        )
+        single = text_index.hybrid_index_rrf(
+            spark, idx, emb, terms, one_vec, k=10, depth=20
+        ).collect()
+        got = sorted(by_q[qid], key=lambda r: r.rank)
+        assert [(r.rank, r.doc_id, r.bm25_rank, r.vec_rank) for r in got] == [
+            (s.rank, s.doc_id, s.bm25_rank, s.vec_rank) for s in single
+        ], qid
+        for g, s in zip(got, single):
+            assert abs(g.fused - s.fused) < 1e-9
