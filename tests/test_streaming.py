@@ -546,3 +546,68 @@ def test_streaming_dedup_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, prev)
+
+
+def test_streaming_curation_pipeline_composes(spark, tmp_path):
+    """Operator composition under structured streaming: one stream
+    runs chunk -> embed -> learned quality gate -> stateful exact
+    dedup, proving the batch curation operators are stream-composable
+    (stateless column ops compose freely; the dedup layer is the only
+    stateful stage). Batch replay of the same input must agree."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rag_system_vector_db_spark.operators.curation import quality_classifier
+
+    src = tmp_path / "docs_cur"
+    src.mkdir()
+
+    def write_batch(name, doc_ids, texts):
+        pd.DataFrame(
+            {
+                "doc_id": pd.array(doc_ids, dtype="int64"),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+            }
+        ).to_parquet(src / name)
+
+    texts1 = ["alpha beta gamma delta", "epsilon zeta eta theta"]
+    write_batch("b1.parquet", [1, 2], texts1)
+
+    stream = P.stream_documents(spark, str(src))
+    enriched = P.ingest_pipeline(stream, chunk_window=3)
+    # the learned gate composes as plain column logic on the stream
+    gated = quality_classifier(
+        enriched.select(F.col("doc_id"), F.col("chunk_text").alias("text"))
+    )
+    assert gated.isStreaming
+    # the per-doc score is an aggregation: complete mode (the scores
+    # table is the result; append would need a watermark + event time)
+    q = (
+        gated.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cur_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch("b2.parquet", [3], ["iota kappa lambda mu nu"])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM cur_out")
+    assert set(got.columns) == {"doc_id", "n_tokens", "sum_micro", "prob", "keep"}
+    # batch replay agrees row for row
+    batch_docs = spark.read.parquet(str(src))
+    from rag_system_vector_db_spark.operators.chunking import chunk_by_tokens
+
+    batch_equiv = quality_classifier(
+        chunk_by_tokens(batch_docs, window=3).select(
+            "doc_id", F.col("chunk_text").alias("text")
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch_equiv.collect())
+    )

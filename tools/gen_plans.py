@@ -136,6 +136,20 @@ NOTES = {
         "recall + candidate counts aggregate per budget — one corpus "
         "pass instead of max_nprobe."
     ),
+    "keyword_index_batch": (
+        "Five queries, one pruned postings read: the bucket IN filter "
+        "is a PartitionFilter over the union of the queries' term "
+        "buckets, the broadcast (query_id, term) frame fans postings "
+        "only to asking queries, df/idf compute once per term, and "
+        "per-query top-k reduces via one agg."
+    ),
+    "hybrid_index_batch": (
+        "Both towers batch: the keyword tower shares the pruned "
+        "postings read across queries, the vector tower is one "
+        "broadcast batch-kNN corpus pass for all query vectors, and "
+        "the keyed RRF fusion joins two depth-20-per-query relations "
+        "with a payload-carrying per-query top-k agg."
+    ),
 }
 
 
