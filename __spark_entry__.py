@@ -99,6 +99,9 @@ _VERIFY_FIRST = [
     "cluster_purity",
     "keyword_index_batch",
     "hybrid_index_batch",
+    # rrf_fuse now delegates to rrf_fuse_batch (r5) — re-stamp the
+    # index-served hybrid path too (hybrid_search_rrf is in-window)
+    "hybrid_index_rrf",
 ]
 
 

@@ -137,6 +137,9 @@ def main() -> None:
 
     # Best-of-2 timed passes: steady-state engine throughput, not
     # scheduler/GC jitter (single-pass numbers swing ±40% locally).
+    OUTLIER_RETIME_SEC = 3.0
+    retimed: list[str] = []
+
     def best_of(names: list[str], passes: int = 2) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
@@ -154,10 +157,14 @@ def main() -> None:
             # 1.2 s -> 10.9 s once per ~70-query run, normal standalone
             # and in every other run). One extra pass for slow results
             # kills the outlier without lengthening the normal path.
-            if best > 3.0:
+            # Every retimed query is RECORDED (outlier_retimed in the
+            # JSON) so best-of-3 numbers are never silently compared
+            # against other rounds' best-of-2.
+            if best > OUTLIER_RETIME_SEC:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).count()
                 best = min(best, time.perf_counter() - t0)
+                retimed.append(name)
             out[name] = round(best, 4)
         return out
 
@@ -179,6 +186,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "timed_passes": 2,
+        # queries that got the one extra anti-outlier pass this run
+        # (their value is best-of-3; empty on a clean run)
+        "outlier_retimed": retimed,
+        "outlier_retime_threshold_sec": OUTLIER_RETIME_SEC,
         "extra_queries": extra,
         # 1/5/15-min load averages bracketing the timed runs:
         # >~1.5 at start means machine noise inflated numbers
@@ -189,16 +200,19 @@ def main() -> None:
     }
     # Compact separators: the driver keeps only a bounded tail of the
     # output, and the r4 record lost the first headliners to that
-    # window — every byte of the line counts.
+    # window — every byte of the line counts. Print FIRST (the channel
+    # the driver consumes), then write the durable file copy
+    # best-effort: a full disk must not cost the primary record.
     line = json.dumps(result, separators=(",", ":"))
-    # Durable copy so the record survives any tail truncation: the
-    # full JSON also lands in BENCH_result.json at the repo root.
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_result.json")
-    with open(out_path, "w") as f:
-        json.dump(result, f, indent=1)
-        f.write("\n")
     print(line)
     sys.stdout.flush()
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_result.json")
+    try:
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+            f.write("\n")
+    except OSError as e:
+        print(f"warning: could not write {out_path}: {e}", file=sys.stderr)
     spark.stop()
 
 

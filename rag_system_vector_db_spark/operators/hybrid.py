@@ -143,40 +143,17 @@ def rrf_fuse(
     (_id, vec_rank): fused = Σ 1/(rrf_k + rank), full-outer so a doc
     ranked by only one tower still scores. Shared by the per-query
     tokenizing path (hybrid_search_rrf) and the materialized-index
-    serving path (text_index.hybrid_index_rrf)."""
-    fused = (
-        kw_top.join(vec_top, "_id", "full_outer")
-        .withColumn(
-            "fused",
-            F.round(
-                F.coalesce(1.0 / (rrf_k + F.col("bm25_rank")), F.lit(0.0))
-                + F.coalesce(1.0 / (rrf_k + F.col("vec_rank")), F.lit(0.0)),
-                6,
-            ),
-        )
-    )
-    # Top-k with the rank payload CARRIED THROUGH one sort_array/slice
-    # agg — joining the top-k ids back against `fused` would replan
-    # both towers (Spark shares no subtrees; measured 10 scans vs 5).
-    pair = F.struct(
-        (-F.col("fused")).alias("_o"),
-        F.col("_id"),
-        F.col("bm25_rank"),
-        F.col("vec_rank"),
-        F.col("fused"),
-    )
-    return (
-        fused.groupBy()
-        .agg(F.slice(F.sort_array(F.collect_list(pair)), 1, k).alias("_top"))
-        .select(F.posexplode("_top").alias("_pos", "_p"))
-        .select(
-            F.col("_p._id").alias(id_col),
-            F.col("_p.bm25_rank").cast("long").alias("bm25_rank"),
-            F.col("_p.vec_rank").cast("long").alias("vec_rank"),
-            F.col("_p.fused").alias("fused"),
-            (F.col("_pos") + 1).cast("long").alias("rank"),
-        )
-    )
+    serving path (text_index.hybrid_index_rrf). Thin single-query
+    wrapper over ``rrf_fuse_batch`` (constant key) — ONE fusion
+    implementation, no drift between the single and batch paths."""
+    return rrf_fuse_batch(
+        kw_top.withColumn("_q", F.lit(0)),
+        vec_top.withColumn("_q", F.lit(0)),
+        k=k,
+        rrf_k=rrf_k,
+        id_col=id_col,
+        query_id_col="_q",
+    ).drop("_q")
 
 
 def rrf_fuse_batch(
@@ -187,12 +164,15 @@ def rrf_fuse_batch(
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Keyed RRF fusion: the batch twin of ``rrf_fuse``. Inputs carry
-    (query_id, _id, bm25_rank) / (query_id, _id, vec_rank); the
-    full-outer join and the payload-carrying top-k agg both key on
-    query_id, so every query fuses inside ONE plan with no per-query
-    loop. Returns (query_id, doc_id, bm25_rank, vec_rank, fused,
-    rank)."""
+    """Keyed RRF fusion — THE fusion implementation (``rrf_fuse`` is a
+    constant-key wrapper). Inputs carry (query_id, _id, bm25_rank) /
+    (query_id, _id, vec_rank); the full-outer join and the
+    payload-carrying top-k agg both key on query_id, so every query
+    fuses inside ONE plan with no per-query loop. The top-k carries
+    the rank payload THROUGH one sort_array/slice agg — joining top-k
+    ids back against the fused frame would replan both towers (Spark
+    shares no subtrees; measured 10 scans vs 5). Returns (query_id,
+    doc_id, bm25_rank, vec_rank, fused, rank)."""
     fused = (
         kw_top.join(vec_top, [query_id_col, "_id"], "full_outer")
         .withColumn(

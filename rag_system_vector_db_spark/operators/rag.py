@@ -107,11 +107,18 @@ def eval_from_qa_files(
     # expected doc = exact text match of the question against the
     # corpus (the self-retrieval convention the tests use); missing
     # matches keep null expected and grade on rank of the top hit.
-    expected = qa.join(
-        docs.select(F.col(id_col).alias("expected_id"), F.col(text_col)),
-        qa.question == F.col(text_col),
-        "left",
-    ).select("qa_id", "question", "expected_answer", "expected_id")
+    # exact-dup corpus texts exist (dedup_exact finds them): aggregate
+    # to the MIN matching id so a question matching several identical
+    # docs still yields exactly one QA row (keep-first convention).
+    expected = (
+        qa.join(
+            docs.select(F.col(id_col).alias("expected_id"), F.col(text_col)),
+            qa.question == F.col(text_col),
+            "left",
+        )
+        .groupBy("qa_id", "question", "expected_answer")
+        .agg(F.min("expected_id").alias("expected_id"))
+    )
     queries = expected.select(
         F.col("qa_id").alias("query_id"),
         embed_udf(F.col("question")).alias("query_vec"),
@@ -163,11 +170,18 @@ def evaluation_results(
     corpus = embed_documents(docs, text_col=text_col).select(
         F.col(id_col).alias("vec_id"), F.col("embedding")
     )
-    expected = qa.join(
-        docs.select(F.col(id_col).alias("expected_id"), F.col(text_col)),
-        qa.question == F.col(text_col),
-        "left",
-    ).select("qa_id", "question", "expected_answer", "expected_id")
+    # exact-dup corpus texts exist (dedup_exact finds them): aggregate
+    # to the MIN matching id so a question matching several identical
+    # docs still yields exactly one QA row (keep-first convention).
+    expected = (
+        qa.join(
+            docs.select(F.col(id_col).alias("expected_id"), F.col(text_col)),
+            qa.question == F.col(text_col),
+            "left",
+        )
+        .groupBy("qa_id", "question", "expected_answer")
+        .agg(F.min("expected_id").alias("expected_id"))
+    )
     queries = expected.select(
         F.col("qa_id").alias("query_id"),
         embed_udf(F.col("question")).alias("query_vec"),
@@ -177,10 +191,20 @@ def evaluation_results(
         corpus, queries.select("query_id", "query_vec"), k=k,
         query_id_col="query_id", query_vec_col="query_vec",
     )
-    # rank-ordered context per question: collect (rank, text) structs,
-    # sort in the array (collect_list order is not guaranteed), join
+    # ONE tower: the context assembly and the hit-rank grade both
+    # reduce from the same topk frame (expected ids ride a broadcast
+    # join into the same agg). A separate eval_retrieval call here
+    # would re-plan the corpus embed + batch kNN a second time — Spark
+    # shares no subtrees across DataFrame references.
     ctx = (
         topk.join(docs.select(F.col(id_col).alias("vec_id"), F.col(text_col)), "vec_id")
+        .join(
+            F.broadcast(
+                expected.select(F.col("qa_id").alias("query_id"), "expected_id")
+            ),
+            "query_id",
+            "left",
+        )
         .groupBy(F.col("query_id").alias("qa_id"))
         .agg(
             F.concat_ws(
@@ -189,11 +213,16 @@ def evaluation_results(
                     F.array_sort(F.collect_list(F.struct("rank", text_col))),
                     lambda s: s[text_col],
                 ),
-            ).alias("_ctx")
+            ).alias("_ctx"),
+            F.min(
+                F.when(F.col("vec_id") == F.col("expected_id"), F.col("rank"))
+            ).alias("hit_rank"),
         )
     )
-    graded = eval_retrieval(corpus, queries, k=k).select(
-        F.col("query_id").alias("qa_id"), "hit_rank", "grade"
+    # same grade formula as eval_retrieval (reciprocal rank, 0 on miss)
+    grade = F.round(
+        F.when(F.col("hit_rank").isNotNull(), 1.0 / F.col("hit_rank")).otherwise(0.0),
+        6,
     )
     predicted = F.when(
         F.coalesce(F.col("_ctx"), F.lit("")) == "",
@@ -202,13 +231,12 @@ def evaluation_results(
     return (
         expected.select("qa_id", "question", "expected_answer")
         .join(ctx, "qa_id", "left")
-        .join(graded, "qa_id", "left")
         .select(
             "qa_id",
             "question",
             "expected_answer",
             predicted.alias("predicted_answer"),
-            F.concat(F.lit("Grade: "), F.col("grade").cast("string")).alias(
+            F.concat(F.lit("Grade: "), grade.cast("string")).alias(
                 "groq_evaluation"
             ),
         )

@@ -194,6 +194,12 @@ def keyword_index_batch(
     per term and are shared across queries; per-query top-k reduces by
     one agg (no window over the scored set). Adding a query to the
     batch costs only its term fan-out — the index I/O is shared.
+
+    NOTE: the BM25 pruning/df/idf/contrib expressions intentionally
+    mirror ``bm25_from_index`` (kept separate so the driver-green
+    single-query plan stays byte-stable); formula drift between the
+    two is caught by tests/test_text_index.py's batch-vs-single
+    equality tests.
     Returns (query_id, rank, doc_id, bm25)."""
     from .knn import topk_per_key_agg
 

@@ -3536,8 +3536,6 @@ def eval_results_artifact(spark, sf_dir):
     rag_pipeline_e2e — the question embedder is the Python Arrow
     kernel; the record assembly itself is round-trip tested in
     tests/test_rag.py."""
-    import tempfile as _tf
-
     from .operators import rag
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
@@ -3545,7 +3543,11 @@ def eval_results_artifact(spark, sf_dir):
         r.text.replace("\n", " ")
         for r in docs.select("doc_id", "text").orderBy("doc_id").limit(5).collect()
     ]
-    d = _tf.mkdtemp(prefix="qa_eval_")
+    # fixed per-sf path (like the kw_index reuse): repeated bench/driver
+    # invocations overwrite the same two small files instead of leaking
+    # a fresh mkdtemp per call
+    d = _os.path.join(_WAREHOUSE, f"qa_eval_{_os.path.basename(sf_dir.rstrip('/'))}")
+    _os.makedirs(d, exist_ok=True)
     qf, af = f"{d}/questions.txt", f"{d}/answers.txt"
     with open(qf, "w") as f:
         f.write("\n".join(texts) + "\n")

@@ -393,11 +393,20 @@ def build_dedup_index(docs: DataFrame, index_dir: str) -> None:
     joins against; the base text itself is never re-read."""
     from ..operators.dedup import lsh_band_buckets, minhash_signatures, shingle_set
 
-    docs.select(F.md5("text").alias("text_hash")).distinct().write.mode(
-        "overwrite"
-    ).parquet(f"{index_dir}/hashes")
+    # _batch = -1 marks bulk-build rows; streaming appends stamp their
+    # micro-batch id, and probes read only STRICTLY OLDER stamps so a
+    # replayed batch never collides with its own partial writes.
+    (
+        docs.select(F.md5("text").alias("text_hash"))
+        .distinct()
+        .withColumn("_batch", F.lit(-1).cast("long"))
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/hashes")
+    )
     bands = lsh_band_buckets(minhash_signatures(shingle_set(docs)))
-    bands.write.mode("overwrite").parquet(f"{index_dir}/bands")
+    bands.withColumn("_batch", F.lit(-1).cast("long")).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/bands")
 
 
 def start_streaming_corpus_dedup(
@@ -413,11 +422,16 @@ def start_streaming_corpus_dedup(
     docs land in ``out_dir``, and their hash + band rows APPEND to the
     index so later batches dedup against earlier ones.
 
-    Replay safety: a replayed batch re-probes an index that already
-    contains its own rows, so every doc drops as a duplicate — the
-    append sink converges instead of duplicating. Output rows carry
-    the micro-batch stamp; readers that need exactly-once semantics
-    resolve latest-per-doc_id like read_ivf_index."""
+    Replay safety: every index row carries its micro-batch stamp and
+    probes read only STRICTLY OLDER stamps, so a replayed batch sees
+    exactly the pre-batch index state regardless of which of its own
+    appends survived the crash — it recomputes the identical novel
+    set and rewrites all three artifacts (duplicate rows under the
+    same stamp are harmless: bands/hashes feed semi-joins, out
+    resolves latest-per-doc_id like read_ivf_index). This keeps the
+    completeness invariant — every doc the index hashes also has its
+    band rows — which a stamp-free append order cannot guarantee
+    across crashes."""
     from ..operators.dedup import lsh_band_buckets, minhash_signatures, shingle_set
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
@@ -426,34 +440,37 @@ def start_streaming_corpus_dedup(
         # within-batch keep-first on content
         w_first = hashed.groupBy("_h").agg(F.min("doc_id").alias("_keep"))
         local = hashed.join(w_first, "_h").filter(F.col("doc_id") == F.col("_keep")).drop("_keep")
-        base_hashes = spark.read.parquet(f"{index_dir}/hashes")
+        # Probe only rows stamped strictly before this batch: after a
+        # crash mid-append, the replay (same batch_id) must not see its
+        # own partial writes — hash rows would make `fresh` empty and
+        # the batch's band rows / out rows would never be rewritten.
+        base_hashes = spark.read.parquet(f"{index_dir}/hashes").filter(
+            F.col("_batch") < batch_id
+        )
         fresh = local.join(
             base_hashes, local["_h"] == base_hashes["text_hash"], "left_anti"
         )
         bands = lsh_band_buckets(minhash_signatures(shingle_set(fresh)))
-        base_bands = spark.read.parquet(f"{index_dir}/bands").select("band", "band_sig")
+        base_bands = (
+            spark.read.parquet(f"{index_dir}/bands")
+            .filter(F.col("_batch") < batch_id)
+            .select("band", "band_sig")
+        )
         near_dup_ids = (
             bands.join(base_bands, ["band", "band_sig"], "left_semi")
             .select("doc_id")
             .distinct()
         )
         novel = fresh.join(near_dup_ids, "doc_id", "left_anti")
-        out = novel.drop("_h").withColumn("_batch", F.lit(batch_id).cast("long"))
+        stamp = F.lit(batch_id).cast("long")
+        out = novel.drop("_h").withColumn("_batch", stamp)
         out.write.mode("append").parquet(out_dir)
-        # Band rows append BEFORE hashes: replay skips docs whose hash
-        # the index already holds (left_anti above), so if a crash
-        # landed the hashes first their band rows would never be
-        # written and those docs would escape near-dup detection
-        # forever. With bands-first, a crash between the two appends
-        # replays the batch against un-absorbed hashes and rewrites
-        # both (duplicate band/out rows are harmless: bands feed
-        # semi-joins, out resolves latest-per-doc_id).
-        bands.join(novel.select("doc_id"), "doc_id", "left_semi").write.mode(
-            "append"
-        ).parquet(f"{index_dir}/bands")
-        novel.select(F.col("_h").alias("text_hash")).distinct().write.mode(
-            "append"
-        ).parquet(f"{index_dir}/hashes")
+        bands.join(novel.select("doc_id"), "doc_id", "left_semi").withColumn(
+            "_batch", stamp
+        ).write.mode("append").parquet(f"{index_dir}/bands")
+        novel.select(F.col("_h").alias("text_hash")).distinct().withColumn(
+            "_batch", stamp
+        ).write.mode("append").parquet(f"{index_dir}/hashes")
 
     return (
         docs_stream.writeStream.foreachBatch(upsert)

@@ -226,3 +226,19 @@ def test_ivf_probe_sweep_single_cell_join(spark, sf_dir):
     # re-planned scans of the tiny query side, so they are not a good
     # proxy for corpus passes — the BNLJ count is.
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_skew_profile_approx_path_runs(spark, sf_dir):
+    """The exact_quantiles=False scale path (approx_percentile sketch)
+    must execute and stay within sketch error of the exact default —
+    otherwise the documented 100 TB swap-in is dead code."""
+    from rag_system_vector_db_spark.plans.analytics import skew_profile
+
+    exact = skew_profile(spark, sf_dir).first()
+    approx = skew_profile(spark, sf_dir, exact_quantiles=False).first()
+    assert approx.n_keys == exact.n_keys and approx.n_rows == exact.n_rows
+    for col in ("p50_cnt", "p90_cnt", "p99_cnt"):
+        e, a = getattr(exact, col), getattr(approx, col)
+        # 10k-bucket sketch on per-key counts: tight but not exact
+        assert abs(a - e) <= max(2, 0.05 * e), (col, e, a)
+    assert approx.skew_ratio == exact.skew_ratio

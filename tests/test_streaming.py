@@ -611,3 +611,63 @@ def test_streaming_curation_pipeline_composes(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, batch_equiv.collect())
     )
+
+
+def test_streaming_corpus_dedup_replay_after_partial_index_write(spark, tmp_path):
+    """Crash-replay convergence: if a crashed attempt of micro-batch 0
+    landed its BAND rows (stamped _batch=0) but not its hashes, the
+    replay must not collide with its own partial writes — the doc
+    still lands in out_dir and its hash row is written, restoring the
+    completeness invariant (every hashed doc has band rows)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rag_system_vector_db_spark.operators.dedup import (
+        lsh_band_buckets,
+        minhash_signatures,
+        shingle_set,
+    )
+
+    def doc_rows(ids, texts):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="int64"),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+            }
+        )
+
+    base = spark.createDataFrame(
+        doc_rows([1], ["spark plans execute with catalyst and tungsten"])
+    )
+    idx = str(tmp_path / "dedup_index")
+    P.build_dedup_index(base, idx)
+
+    novel_text = "entirely new prose about watermarks and stateful stream joins"
+    batch = spark.createDataFrame(doc_rows([10], [novel_text]))
+    # simulate the crashed attempt: batch 0's band rows reached the
+    # index, its hashes and out rows did not
+    lsh_band_buckets(minhash_signatures(shingle_set(batch))).withColumn(
+        "_batch", F.lit(0).cast("long")
+    ).write.mode("append").parquet(f"{idx}/bands")
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    doc_rows([10], [novel_text]).to_parquet(src / "b1.parquet")
+    out_dir = str(tmp_path / "novel")
+    q = P.start_streaming_corpus_dedup(
+        P.stream_documents(spark, str(src)), idx, out_dir, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert {r.doc_id for r in spark.read.parquet(out_dir).collect()} == {10}
+    hashes = spark.read.parquet(f"{idx}/hashes")
+    import hashlib
+
+    h = hashlib.md5(novel_text.encode()).hexdigest()
+    assert hashes.filter(F.col("text_hash") == h).count() == 1
