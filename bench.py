@@ -115,6 +115,7 @@ EXTRA = [
     "cluster_purity",
     "keyword_index_batch",
     "hybrid_index_batch",
+    "multimodal_dedup",
 ]
 
 

@@ -146,3 +146,27 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
         "resize requires PIL — not in this container; plumbing validated "
         "via extract_features/frame_sample fakes"
     )
+
+
+def dedup_media(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Exact binary-payload dedup — the content-hash image/audio dedup
+    every multimodal pretraining pipeline runs before feature
+    extraction (a crawl re-downloads the same bytes under many URLs).
+    Keep-first (min id) per payload md5; returns the DROP LIST: one
+    row per duplicate occurrence with its keeper and the payload's
+    copy count. md5 keys, never payload bytes, cross the shuffle —
+    the binary column is read once and reduced to 16-byte digests
+    before any exchange.
+    Returns (content_md5, media_id, kind, keeper_id, n_copies)."""
+    hashed = media.select(
+        F.col(id_col), F.col("kind"), F.md5(F.col("content")).alias("content_md5")
+    )
+    keep = hashed.groupBy("content_md5").agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count("*").cast("long").alias("n_copies"),
+    )
+    return (
+        hashed.join(keep, "content_md5")
+        .filter(F.col(id_col) != F.col("keeper_id"))
+        .select("content_md5", id_col, "kind", "keeper_id", "n_copies")
+    )

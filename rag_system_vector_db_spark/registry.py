@@ -3861,3 +3861,53 @@ def hybrid_index_batch(spark, sf_dir):
     return text_index.hybrid_index_batch(
         spark, index_dir, emb, _KWB_QUERIES, query_vecs, k=10, depth=20
     )
+
+
+@query(
+    "multimodal_dedup",
+    oracle="""
+    WITH m AS (
+        SELECT d.doc_id AS media_id,
+               CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               md5(p.text) AS content_md5
+        FROM documents d JOIN documents p ON p.doc_id = d.doc_id // 3
+    ), k AS (
+        SELECT content_md5, min(media_id) AS keeper_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM m GROUP BY content_md5
+    )
+    SELECT m.content_md5, m.media_id, m.kind, k.keeper_id, k.n_copies
+    FROM m JOIN k USING (content_md5)
+    WHERE m.media_id <> k.keeper_id
+    """,
+)
+def multimodal_dedup(spark, sf_dir):
+    """Binary-payload exact dedup over a re-crawled media table (the
+    content-hash image/audio dedup step of a multimodal pretraining
+    pipeline — a crawl fetches the same bytes under many URLs):
+    keep-first per payload md5, drop list with keeper + copy count.
+    The corpus has no exact-dup texts, so the media table simulates
+    the re-crawl deterministically: media row i carries the payload of
+    doc i div 3 (each payload appears under ~3 media ids). Payload
+    bytes reduce to digests before the shuffle; the oracle reproduces
+    every hash from the documents self-join."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(F.col("doc_id").alias("_pid"), F.col("text").alias("_ptext"))
+    media = (
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.expr("doc_id div 3").alias("_pid"),
+        )
+        .join(payloads, "_pid")
+        .select(
+            "media_id",
+            F.element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                (F.col("media_id") % 3 + 1).cast("int"),
+            ).alias("kind"),
+            F.encode(F.col("_ptext"), "utf-8").alias("content"),
+        )
+    )
+    return multimodal.dedup_media(media)
