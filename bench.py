@@ -116,6 +116,7 @@ EXTRA = [
     "keyword_index_batch",
     "hybrid_index_batch",
     "multimodal_dedup",
+    "volume_shipping",
 ]
 
 

@@ -657,3 +657,55 @@ def events_anomaly(spark: SparkSession, sf_dir: str, window_hours: int = 6) -> D
         F.round(F.when(F.col("_var") > 0, z), 6).alias("zscore"),
         F.when(F.col("_var") > 0, F.abs(z) > 2).otherwise(F.lit(False)).alias("is_anomaly"),
     )
+
+
+def volume_shipping(
+    spark: SparkSession,
+    sf_dir: str,
+    nation_a: str = "NATION_18",
+    nation_b: str = "NATION_19",
+) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two trading nations —
+    revenue of lineitems a supplier of one nation shipped to a customer
+    of the other (both directions), per (supp_nation, cust_nation,
+    ship year).
+
+    Physical posture: the ship-date range filter pushes into the
+    lineitem scan; the two-nation predicates push into the 25-row
+    nation ROLE tables (broadcast — fixed size), which then prune
+    supplier/customer before the fact probe; lineitem⋈orders shuffles
+    once on the order key; supplier/customer get no forced broadcast
+    (they scale with SF — AQE promotes from runtime sizes). The pair
+    OR-condition rides the joined row, exactly like the spec query.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n_s = nation.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n_c = nation.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 3, 2)
+    )
+    pair = (
+        (F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b)
+    ) | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_s), supp.s_nationkey == F.col("_sn_key"))
+        .join(F.broadcast(n_c), cust.c_nationkey == F.col("_cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )

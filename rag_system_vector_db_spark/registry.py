@@ -3911,3 +3911,31 @@ def multimodal_dedup(spark, sf_dir):
         )
     )
     return multimodal.dedup_media(media)
+
+
+@query(
+    "volume_shipping",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND ((sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+        OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: cross-nation shipping revenue per
+    (supp_nation, cust_nation, ship year) — the two-role-joins-of-one-
+    dimension pattern (nation joins twice under different roles)."""
+    from .plans import analytics
+
+    return analytics.volume_shipping(spark, sf_dir)

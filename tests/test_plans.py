@@ -242,3 +242,12 @@ def test_skew_profile_approx_path_runs(spark, sf_dir):
         # 10k-bucket sketch on per-key counts: tight but not exact
         assert abs(a - e) <= max(2, 0.05 * e), (col, e, a)
     assert approx.skew_ratio == exact.skew_ratio
+
+
+def test_volume_shipping_pushdown_and_role_broadcasts(spark, sf_dir):
+    """Q7 shape: ship-date range reaches the lineitem scan; both
+    25-row nation role tables broadcast; no theta join."""
+    plan = _plan(QUERIES["volume_shipping"](spark, sf_dir))
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert plan.count("BroadcastExchange") >= 2  # both nation roles
+    assert "CartesianProduct" not in plan
