@@ -117,6 +117,7 @@ EXTRA = [
     "hybrid_index_batch",
     "multimodal_dedup",
     "volume_shipping",
+    "promo_revenue",
 ]
 
 

@@ -709,3 +709,49 @@ def volume_shipping(
         )
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
+
+
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion effect — the share of revenue coming
+    from PROMO-type parts, per ship month. Exercises the part
+    dimension (lineitem ⋈ part on partkey), which no other headliner
+    touches.
+
+    Physical posture: ship-date range pushes into the lineitem scan;
+    part joins on its key with NO forced broadcast (it scales with SF
+    — AQE promotes when small); both numerator and denominator are
+    conditional decimal sums inside ONE map-side-combinable groupBy
+    (no second pass, no window). Month keys are integer yyyymm so the
+    engines agree without date-format drift.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 3, 2)
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    yyyymm = (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("long")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(yyyymm.alias("ship_month"))
+        .agg(
+            F.sum(promo).alias("_promo"),
+            F.sum(rev).alias("_total"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+        .select(
+            "ship_month",
+            "n_items",
+            F.col("_promo").cast("double").alias("promo_revenue"),
+            F.col("_total").cast("double").alias("total_revenue"),
+            F.round(
+                F.lit(100.0) * F.col("_promo").cast("double")
+                / F.col("_total").cast("double"),
+                6,
+            ).alias("promo_pct"),
+        )
+    )

@@ -3939,3 +3939,32 @@ def volume_shipping(spark, sf_dir):
     from .plans import analytics
 
     return analytics.volume_shipping(spark, sf_dir)
+
+
+@query(
+    "promo_revenue",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM l.l_shipdate) * 100 + EXTRACT(month FROM l.l_shipdate) AS BIGINT) AS ship_month,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS total_revenue,
+           round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE), 6) AS promo_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promotion revenue share per ship month — the
+    first headliner to exercise the part dimension (lineitem join on
+    partkey, conditional decimal sums, one map-side-combinable agg)."""
+    from .plans import analytics
+
+    return analytics.promo_revenue(spark, sf_dir)
