@@ -118,6 +118,7 @@ EXTRA = [
     "multimodal_dedup",
     "volume_shipping",
     "promo_revenue",
+    "discounted_revenue",
 ]
 
 

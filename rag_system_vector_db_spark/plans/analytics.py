@@ -755,3 +755,59 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_pct"),
         )
     )
+
+
+def discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from a DISJUNCTION of conjunctive
+    (brand, size range, quantity range) clauses across the
+    lineitem ⋈ part join — the classic predicate-pushdown stress
+    query.
+
+    The OR spans both join sides, so Catalyst cannot push it below the
+    join by itself; the per-side HULLS are stated explicitly (brand IN
+    + max size on the part scan, quantity envelope on the lineitem
+    scan) — at 100 TB those hulls are the difference between scanning
+    three brands' parts and scanning every part. The exact disjunction
+    then filters the joined rows. One conditional-sum agg, single row
+    out.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        # quantity envelope of the three clauses (pushdown hull)
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        # brand + size hulls (pushdown)
+        F.col("p_brand").isin("Brand#4", "Brand#19", "Brand#16")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 35)
+    )
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#4")
+            & (F.col("p_size") <= 15)
+            & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & (F.col("p_size") <= 25)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#16")
+            & (F.col("p_size") <= 35)
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 30)
+        )
+    )
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 3, 2)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(clause)
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )

@@ -3968,3 +3968,25 @@ def promo_revenue(spark, sf_dir):
     from .plans import analytics
 
     return analytics.promo_revenue(spark, sf_dir)
+
+
+@query(
+    "discounted_revenue",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#4'  AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#16' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive (brand, size,
+    quantity) clauses across lineitem ⋈ part, with the per-side
+    pushdown hulls stated explicitly (the OR spans both sides, so
+    Catalyst cannot derive them)."""
+    from .plans import analytics
+
+    return analytics.discounted_revenue(spark, sf_dir)

@@ -251,3 +251,14 @@ def test_volume_shipping_pushdown_and_role_broadcasts(spark, sf_dir):
     assert "GreaterThanOrEqual(l_shipdate" in plan
     assert plan.count("BroadcastExchange") >= 2  # both nation roles
     assert "CartesianProduct" not in plan
+
+
+def test_discounted_revenue_pushes_hulls_to_both_scans(spark, sf_dir):
+    """Q19 shape: the hand-stated per-side hulls must reach the scans
+    (the OR spans both sides, so without them nothing pushes) — brand
+    IN on part, quantity envelope on lineitem."""
+    plan = _plan(QUERIES["discounted_revenue"](spark, sf_dir))
+    assert "In(p_brand" in plan
+    assert "GreaterThanOrEqual(l_quantity,1" in plan
+    assert "LessThanOrEqual(l_quantity,30" in plan
+    assert "CartesianProduct" not in plan
