@@ -119,6 +119,8 @@ EXTRA = [
     "volume_shipping",
     "promo_revenue",
     "discounted_revenue",
+    "ann_ivfpq",
+    "substring_dedup",
 ]
 
 

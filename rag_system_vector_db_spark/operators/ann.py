@@ -827,6 +827,54 @@ def ann_ivf_rerank_topk(
     return topk_per_key_agg(exact, query_id_col, id_col, k)
 
 
+def ann_ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-PQ composite (faiss IndexIVFPQ, Jégou PAMI'11 §V): the
+    corpus is encoded ONCE into (cell, m PQ codes) — the inverted-file
+    + compressed-code layout where a vector costs m bytes + a cell id
+    instead of dim×4 — and each query ADC-scans only its nprobe nearest
+    cells. Encoding raw vectors, not residuals (faiss
+    ``by_residual=False``), so the same codebooks serve every cell and
+    the oracle replays encode + probe + ADC from the fitted literals.
+
+    At 100 TB this is THE serving shape for vector search: the scan is
+    bounded by nprobe/K of the corpus and reads 64×-compressed codes;
+    the cell join key is broadcast probe structs, the per-query top-k
+    reduces via a map-side-combinable agg (no window over the scored
+    relation). Returns (query_id, id, dist, rank), dist ascending."""
+    from .knn import topk_per_key_agg
+
+    coded = with_cell(
+        corpus.select(F.col(id_col), F.col(vec_col)), vec_col, centroids
+    ).select(
+        F.col(id_col), pq_code_expr(F.col(vec_col), codebooks).alias("_codes"), "_cell"
+    )
+    probes = _probe_structs(F.col(query_vec_col), centroids)
+    qcells = queries.select(
+        query_id_col,
+        query_vec_col,
+        F.explode(
+            F.slice(F.array_sort(probes, _by_dist_then_cell), 1, nprobe)
+        ).alias("p"),
+    ).select(query_id_col, query_vec_col, F.col("p.cell").alias("_cell"))
+    scored = coded.join(F.broadcast(qcells), "_cell").select(
+        query_id_col,
+        id_col,
+        pq_adc_dist(F.col(query_vec_col), F.col("_codes"), codebooks).alias("dist"),
+    )
+    return topk_per_key_agg(scored, query_id_col, id_col, k, score_col="dist", asc=True)
+
+
 # --- IVF as a materialized, partition-pruned index layout ---
 
 

@@ -778,3 +778,58 @@ def incremental_dedup(
             F.coalesce("_n", F.lit(0)).cast("long").alias("n_base_candidates"),
         )
     )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-duplication signal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    ExactSubstr criterion, re-expressed relationally): a window of
+    ``w`` consecutive tokens is *duplicated* when its hash occurs ≥ 2
+    times corpus-wide (any doc, self-repeats included). Per doc:
+    window count, duplicated-window count, duplicated fraction — the
+    per-doc number the ExactSubstr cut step thresholds on.
+
+    The suffix-array formulation of the paper is a single-machine
+    construction; at 100 TB the equivalent signal is this relational
+    shape: docs reduce to (id, window-hash) rows map-side
+    (word_shingles — no shuffle), one map-side-combinable count per
+    hash, and a hash-partitioned join back. Boilerplate-heavy hot
+    windows are single aggregated rows on the count side, so skew is
+    bounded and AQE split-joins the residue. Raw text never crosses a
+    shuffle. Returns (doc_id, n_windows, n_dup_windows, dup_fraction).
+    """
+    wins = docs.select(
+        F.col(id_col), F.explode(X.word_shingles(F.col(text_col), w)).alias("_win")
+    ).select(F.col(id_col), H.md5_long(F.col("_win")).alias("_wh"))
+    counts = wins.groupBy("_wh").agg(F.count("*").cast("long").alias("_cnt"))
+    per_doc = (
+        wins.join(counts, "_wh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum((F.col("_cnt") >= 2).cast("long")).cast("long").alias("n_dup_windows"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(
+                F.when(F.col("n_windows") == F.lit(0), F.lit(0.0)).otherwise(
+                    F.col("n_dup_windows") / F.col("n_windows")
+                ),
+                6,
+            ),
+        )
+    )

@@ -3990,3 +3990,124 @@ def discounted_revenue(spark, sf_dir):
     from .plans import analytics
 
     return analytics.discounted_revenue(spark, sf_dir)
+
+
+@query("ann_ivfpq")  # oracle: LAZY_ORACLES["ann_ivfpq"] (centroid+codebook literals)
+def ann_ivfpq(spark, sf_dir):
+    """IVF-PQ composite search (faiss IndexIVFPQ): corpus encoded once
+    into (cell, 4 PQ codes), queries ADC-scan only their 2 probed
+    cells — the inverted-file + compressed-code serving shape that
+    bounds a 100 TB scan to nprobe/K of 64×-compressed codes. Both the
+    coarse quantizer and the codebooks are sample-fitted driver-side
+    and inline into the DuckDB oracle as literals, so cell assignment,
+    PQ encode, probe choice, ADC and ranking are all hash-checked."""
+    from .operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
+    books = ann.pq_fit_sample(sf_dir, m=4, k=16, n_iter=3)
+    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ann.ann_ivfpq_topk(emb, queries, centroids, books, k=3, nprobe=2)
+    return out.select(
+        "query_id", "vec_id", F.round("dist", 6).alias("dist"), F.col("rank").cast("long")
+    )
+
+
+def _ivfpq_oracle(sf_dir: str) -> str:
+    from .operators import ann
+
+    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
+    books = ann.pq_fit_sample(sf_dir, m=4, k=16, n_iter=3)
+    dsub = len(books[0][0])
+    sub = f"list_slice((e.embedding)::DOUBLE[], b.m*{dsub} + 1, b.m*{dsub} + {dsub})"
+
+    def qsub(mi: int) -> str:
+        return f"list_slice((p.query_vec)::DOUBLE[], {mi * dsub + 1}, {(mi + 1) * dsub})"
+
+    legs = " + ".join(
+        _dd_euclid2(qsub(mi), f"c{mi}.w") for mi in range(len(books))
+    )  # SQL + is left-associative, matching pq_adc_dist's python loop
+    joins = "\n        ".join(
+        f"JOIN cw c{mi} ON c{mi}.vec_id = c0.vec_id AND c{mi}.m = {mi}"
+        for mi in range(1, len(books))
+    )
+    # _ivf_common: cents + per-vector cell (assigned) + queries (q) +
+    # 2-probe cells (qprobe); then the PQ half: books + per-(vec,
+    # subspace) code + the code's centroid (cw); ADC only on rows whose
+    # assigned cell is probed.
+    return _ivf_common(centroids, 5) + f"""
+    , {_books_sql(books)}, codes AS (
+        SELECT vec_id, m, code FROM (
+            SELECT e.vec_id, b.m, b.k AS code,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, b.m
+                       ORDER BY {_dd_euclid2(sub, 'b.w')}, b.k
+                   ) AS rn
+            FROM embeddings e CROSS JOIN books b
+        ) WHERE rn = 1
+    ), cw AS (
+        SELECT c.vec_id, c.m, b.w
+        FROM codes c JOIN books b ON b.m = c.m AND b.k = c.code
+    ), scored AS (
+        SELECT p.query_id, c0.vec_id, sqrt({legs}) AS dist
+        FROM cw c0
+        {joins}
+        JOIN assigned a ON a.vec_id = c0.vec_id
+        JOIN qprobe p ON a.cid = p.cid
+        WHERE c0.m = 0
+    ), ranked AS (
+        SELECT query_id, vec_id, dist,
+               row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, round(dist, 6) AS dist, rank
+    FROM ranked WHERE rank <= 3
+    """
+
+
+LAZY_ORACLES["ann_ivfpq"] = _ivfpq_oracle
+
+
+@query(
+    "substring_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), w AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(t) < 8 THEN []::BIGINT[]
+                 ELSE [{H.dd_md5_long("array_to_string(t[i + 1 : i + 8], ' ')")}
+                       FOR i IN range(len(t) - 7)]
+            END) AS wh
+        FROM toks
+    ), c AS (
+        SELECT wh, count(*) AS cnt FROM w GROUP BY wh
+    ), perdoc AS (
+        SELECT w.doc_id,
+               count(*) AS n_windows,
+               sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM w JOIN c USING (wh)
+        GROUP BY w.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_windows,
+           round(CASE WHEN COALESCE(p.n_windows, 0) = 0 THEN 0.0
+                      ELSE p.n_dup * 1.0 / p.n_windows END, 6) AS dup_fraction
+    FROM documents d LEFT JOIN perdoc p USING (doc_id)
+    """,
+)
+def substring_dedup_q(spark, sf_dir):
+    """Exact substring duplication (Lee et al. 2021 ExactSubstr
+    criterion, relational form): per-doc fraction of 8-token windows
+    whose hash occurs ≥ 2 times corpus-wide. Docs reduce to window
+    hashes map-side; one count shuffle + one hash-partitioned join
+    back — the paper's suffix array re-expressed as a plan that
+    survives 100 TB."""
+    from .operators import dedup
+
+    return dedup.substring_dedup(
+        load_table(spark, sf_dir, "documents", split=True), w=8
+    )
