@@ -121,6 +121,10 @@ EXTRA = [
     "discounted_revenue",
     "ann_ivfpq",
     "substring_dedup",
+    "order_priority_check",
+    "customer_order_distribution",
+    "small_quantity_revenue",
+    "large_volume_customers",
 ]
 
 

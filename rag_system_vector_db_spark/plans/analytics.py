@@ -811,3 +811,127 @@ def discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).cast("double").alias("revenue"),
         )
     )
+
+
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of one quarter's orders that
+    have at least one late-shipped lineitem (EXISTS — shipped ≥ 60
+    days after the order date; the schema has no l_commitdate, so the
+    late predicate compares l_shipdate to o_orderdate).
+
+    Physical posture: LEFT SEMI join — the fact-side EXISTS that
+    neither duplicates orders with many late items nor needs a
+    distinct. Both sides shuffle once on the order key; the quarter
+    filter pushes to the orders scan; lineitem projects only
+    (l_orderkey, l_shipdate). The cross-side date predicate rides the
+    join condition, evaluated before any order row is emitted."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed exactly N orders —
+    including the zero-order customers the LEFT OUTER join exists for.
+
+    Physical posture: aggregate orders per custkey FIRST (map-side
+    combinable count), then left-join customer against the per-cust
+    counts — the wide customer rows never cross the orders shuffle.
+    The final distribution groupBy collapses to ≤ max-orders rows."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce("_n", F.lit(0)).cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+    )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: yearly revenue that would vanish if one
+    brand's small orders (quantity < 20% of that part's average
+    quantity) were dropped — the correlated-average pattern.
+
+    Physical posture: the brand filter cuts part to a handful of keys;
+    lineitem semi-joins down to those parts' items ONCE, and both the
+    per-part average and the detail re-join run over that same frame,
+    partitioned by partkey both times (exchange reuse — the second
+    groupBy and the join see the partitioning the first shuffle
+    established). l_quantity is integer-valued, so avg is exact and
+    order-independent in both engines; money sums in DECIMAL."""
+    bparts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(bparts, F.col("l_partkey") == F.col("p_partkey"))
+        .drop("p_partkey")
+    )
+    per_part = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("_avg_qty"))
+    small = li.join(per_part, "l_partkey").filter(
+        F.col("l_quantity") < 0.2 * F.col("_avg_qty")
+    )
+    return small.agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.round(
+            F.coalesce(F.sum(_dec("l_extendedprice")), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            / 7.0,
+            6,
+        ).alias("avg_yearly"),
+    )
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose single orders total > 300
+    units — the having-on-fact-agg semi-join.
+
+    Physical posture: lineitem aggregates per order first (map-side
+    combinable sum, the only full-fact shuffle); the HAVING filter
+    collapses the agg to a handful of hot orders, and AQE promotes the
+    subsequent orders/customer joins to broadcasts from the runtime
+    size. Top-100 by total price via TakeOrdered, no global sort."""
+    qty = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sum_qty"))
+        .filter(F.col("_sum_qty") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(qty, orders.o_orderkey == qty.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            # NTZ has no direct long cast; NTZ -> timestamp is identity
+            # wall-clock under the session's UTC tz, so this is the same
+            # epoch-seconds integer DuckDB's epoch() produces.
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("order_epoch"),
+            F.round("o_totalprice", 6).alias("o_totalprice"),
+            F.col("_sum_qty").cast("long").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )

@@ -4111,3 +4111,108 @@ def substring_dedup_q(spark, sf_dir):
     return dedup.substring_dedup(
         load_table(spark, sf_dir, "documents", split=True), w=8
     )
+
+
+@query(
+    "order_priority_check",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1
+    """,
+)
+def order_priority_check_q(spark, sf_dir):
+    """TPC-H Q4 shape: per-priority count of one quarter's orders with
+    ≥ 1 late-shipped lineitem — the EXISTS-as-LEFT-SEMI pattern (no
+    duplicate orders, no distinct; cross-side date predicate rides the
+    join condition)."""
+    from .plans import analytics
+
+    return analytics.order_priority_check(spark, sf_dir)
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def customer_order_distribution_q(spark, sf_dir):
+    """TPC-H Q13 shape: customers-per-order-count distribution
+    including zero-order customers (the LEFT OUTER reason). Orders
+    aggregate per custkey BEFORE the customer join, so wide customer
+    rows never cross the fact shuffle."""
+    from .plans import analytics
+
+    return analytics.customer_order_distribution(spark, sf_dir)
+
+
+@query(
+    "small_quantity_revenue",
+    oracle="""
+    WITH bp AS (
+        SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'
+    ), li AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l JOIN bp ON l.l_partkey = bp.p_partkey
+    ), pa AS (
+        SELECT l_partkey, avg(l_quantity) AS avg_qty FROM li GROUP BY l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(COALESCE(sum(CAST(li.l_extendedprice AS DECIMAL(18,2))),
+                               CAST(0 AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6)
+               AS avg_yearly
+    FROM li JOIN pa USING (l_partkey)
+    WHERE li.l_quantity < 0.2 * pa.avg_qty
+    """,
+)
+def small_quantity_revenue_q(spark, sf_dir):
+    """TPC-H Q17 shape: revenue share of one brand's small-quantity
+    items (quantity < 20% of the part's average) — the
+    correlated-average pattern: brand semi-join cuts lineitem once,
+    per-part avg + detail re-join both reuse that frame's partkey
+    partitioning. Integer-valued quantities make the avg exact in
+    both engines."""
+    from .plans import analytics
+
+    return analytics.small_quantity_revenue(spark, sf_dir)
+
+
+@query(
+    "large_volume_customers",
+    oracle="""
+    WITH oq AS (
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(epoch(o.o_orderdate) AS BIGINT) AS order_epoch,
+           round(o.o_totalprice, 6) AS o_totalprice,
+           CAST(oq.sum_qty AS BIGINT) AS sum_qty
+    FROM orders o
+    JOIN oq ON o.o_orderkey = oq.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def large_volume_customers_q(spark, sf_dir):
+    """TPC-H Q18 shape: customers whose single orders total > 300
+    units — HAVING on the fact agg collapses to a handful of hot
+    orders; AQE broadcasts the survivors through the orders/customer
+    joins. Top-100 via TakeOrdered with an orderkey tie-break."""
+    from .plans import analytics
+
+    return analytics.large_volume_customers(spark, sf_dir)
