@@ -125,6 +125,8 @@ EXTRA = [
     "customer_order_distribution",
     "small_quantity_revenue",
     "large_volume_customers",
+    "tokenizer_fertility",
+    "dsir_selection",
 ]
 
 

@@ -304,3 +304,78 @@ def quality_classifier(
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6).alias("prob"),
         (F.col("sum_micro") >= 0).alias("keep"),
     )
+
+
+def dsir_lambdas(n_features: int = 64, seed: str = "dsir") -> list[float]:
+    """Deterministic stand-in for the per-bucket log-likelihood ratio
+    log p_target(b) − log p_raw(b) of DSIR's two fitted hashed n-gram
+    models (Xie et al. NeurIPS'23, "Data Selection for Language Models
+    via Importance Resampling"). Same derivation as
+    ``classifier_weights`` under its own seed; the SWAP POINT for real
+    fitted models — replace this list with the fitted log-ratios and
+    every plan below is unchanged (broadcast literals, exactly like
+    the IVF centroids / PCA basis / classifier weights)."""
+    return classifier_weights(n_features, seed=seed)
+
+
+def dsir_selection(
+    docs: DataFrame,
+    n_features: int = 64,
+    lambdas: list[float] | None = None,
+    keep_quantile: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR data selection (Xie et al. NeurIPS'23): per-doc importance
+    log-ratio under hashed n-gram features — unigrams AND bigrams hash
+    into ``n_features`` buckets, the doc's log importance weight is
+    the sum of per-bucket log-ratios — then select the top
+    ``1 - keep_quantile`` fraction by corpus quantile cut (the
+    resampling step's deterministic analog: DSIR's Gumbel-top-k keeps
+    the highest-weight docs in expectation; the quantile cut is the
+    noise-free version both engines replay exactly).
+
+    Determinism: λ in INTEGER micro-units summed as longs (order-free,
+    no float accumulation — the quality_classifier posture); the
+    reported ``importance`` is exp of the per-feature mean log-ratio
+    (geometric-mean ratio — bounded, overflow-free; transcendental so
+    its 6-dp rounding cannot tie on a boundary). Plan: two map-side
+    explodes union into ONE map-side-combinable groupBy(doc); the
+    quantile cut is a 1-row broadcast crossJoin (exact percentile
+    here; approx_percentile is the stated 100 TB swap-in).
+    Returns (doc_id, n_feats, logratio_micro, importance, selected)."""
+    from ..functions import hashing as H
+
+    lams = lambdas if lambdas is not None else dsir_lambdas(n_features)
+    lam_micro = [int(round(x * 1_000_000)) for x in lams]
+    larr = F.array(*[F.lit(x).cast("long") for x in lam_micro])
+    t = F.col(text_col)
+    uni = docs.select(F.col(id_col), F.explode(X.tokens(t)).alias("f"))
+    bi = docs.select(F.col(id_col), F.explode(X.word_shingles(t, 2)).alias("f"))
+    feats = uni.unionAll(bi).filter(F.col("f") != "")
+    per = (
+        feats.select(
+            F.col(id_col),
+            F.element_at(
+                larr, (H.md5_long(F.col("f")) % n_features + 1).cast("int")
+            ).alias("_lam"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum("_lam").cast("long").alias("logratio_micro"),
+        )
+    )
+    cut = per.agg(
+        F.expr(f"percentile(logratio_micro, {keep_quantile})").alias("_cut")
+    )
+    return per.crossJoin(F.broadcast(cut)).select(
+        F.col(id_col),
+        "n_feats",
+        "logratio_micro",
+        F.round(
+            F.exp(F.col("logratio_micro").cast("double") / (F.col("n_feats") * 1_000_000.0)),
+            6,
+        ).alias("importance"),
+        (F.col("logratio_micro") >= F.col("_cut")).alias("selected"),
+    )

@@ -358,3 +358,35 @@ def lm_perplexity(
         .otherwise("tail")
         .alias("ppl_bucket"),
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """Tokenizer fertility per language — subword tokens per
+    whitespace word, the multilingual tokenizer-efficiency metric
+    (high fertility = a language pays more sequence length per word;
+    the number tokenizer-vocab sizing and corpus-mix decisions weigh).
+    Subwords are the BPE-ish regex pre-tokens of bpe_token_count;
+    also reports chars-per-subword (compression rate).
+
+    One narrow projection + ONE map-side-combinable groupBy(lang);
+    all counts are exact integer sums, ratios derived once from the
+    aggregated longs. Returns (lang, n_docs, n_subword_tokens,
+    n_words, n_chars, fertility, chars_per_subword)."""
+    t = F.col(text_col)
+    toks = F.regexp_extract_all(t, F.lit(BPE_SPLIT_PATTERN), F.lit(0))
+    per = docs.select(
+        F.col(lang_col),
+        F.size(toks).cast("long").alias("_bpe"),
+        F.size(X.tokens(t)).cast("long").alias("_words"),
+        F.length(t).cast("long").alias("_chars"),
+    )
+    return per.groupBy(lang_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_bpe").cast("long").alias("n_subword_tokens"),
+        F.sum("_words").cast("long").alias("n_words"),
+        F.sum("_chars").cast("long").alias("n_chars"),
+        F.round(F.sum("_bpe") / F.sum("_words"), 6).alias("fertility"),
+        F.round(F.sum("_chars") / F.sum("_bpe"), 6).alias("chars_per_subword"),
+    )

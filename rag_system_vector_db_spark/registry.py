@@ -4216,3 +4216,81 @@ def large_volume_customers_q(spark, sf_dir):
     from .plans import analytics
 
     return analytics.large_volume_customers(spark, sf_dir)
+
+
+@query(
+    "tokenizer_fertility",
+    oracle=r"""
+    WITH t AS (
+        SELECT lang, length(text) AS nc,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS nbpe,
+               len(string_split(text, ' ')) AS nw
+        FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nbpe) AS BIGINT) AS n_subword_tokens,
+           CAST(sum(nw) AS BIGINT) AS n_words,
+           CAST(sum(nc) AS BIGINT) AS n_chars,
+           round(sum(nbpe) * 1.0 / sum(nw), 6) AS fertility,
+           round(sum(nc) * 1.0 / sum(nbpe), 6) AS chars_per_subword
+    FROM t GROUP BY lang
+    """,
+)
+def tokenizer_fertility_q(spark, sf_dir):
+    """Tokenizer fertility per language (subword tokens per whitespace
+    word — the multilingual tokenizer-efficiency metric that weighs
+    vocab sizing and corpus-mix decisions), plus chars-per-subword.
+    One narrow projection + one map-side-combinable groupBy(lang)."""
+    return text_analysis.tokenizer_fertility(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+def _dsir_oracle() -> str:
+    from .operators.curation import dsir_lambdas
+
+    lam = dsir_lambdas(64)
+    return f"""
+    WITH {_qcls_weights_sql(lam)},
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    uni AS (SELECT doc_id, unnest(t) AS f FROM toks),
+    bi AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+                 ELSE [array_to_string(t[i + 1 : i + 2], ' ') FOR i IN range(len(t) - 1)]
+            END) AS f
+        FROM toks
+    ), feats AS (
+        SELECT doc_id, f FROM uni WHERE f <> ''
+        UNION ALL
+        SELECT doc_id, f FROM bi WHERE f <> ''
+    ), per AS (
+        SELECT feats.doc_id,
+               CAST(count(*) AS BIGINT) AS n_feats,
+               CAST(sum(qw.wt) AS BIGINT) AS logratio_micro
+        FROM feats JOIN qw ON qw.i = {H.dd_md5_long('f')} % 64
+        GROUP BY feats.doc_id
+    ), cut AS (
+        SELECT quantile_cont(logratio_micro, 0.75) AS c FROM per
+    )
+    SELECT doc_id, n_feats, logratio_micro,
+           round(exp((logratio_micro::DOUBLE) / (n_feats * 1000000.0)), 6) AS importance,
+           logratio_micro >= cut.c AS selected
+    FROM per, cut
+    """
+
+
+@query("dsir_selection", oracle=None)
+def dsir_selection_q(spark, sf_dir):
+    """DSIR data selection (Xie et al. NeurIPS'23): per-doc importance
+    log-ratio under hashed unigram+bigram features (λ table = the
+    documented swap point for the two fitted n-gram models), top-25%
+    corpus-quantile keep cut — the deterministic analog of the
+    resampling step. Integer micro-unit sums keep the score
+    order-free; the quantile cut rides a 1-row broadcast."""
+    from .operators import curation
+
+    return curation.dsir_selection(load_table(spark, sf_dir, "documents"))
+
+
+ORACLES["dsir_selection"] = _dsir_oracle()
