@@ -127,6 +127,8 @@ EXTRA = [
     "large_volume_customers",
     "tokenizer_fertility",
     "dsir_selection",
+    "top_supplier_revenue",
+    "suppliers_kept_waiting",
 ]
 
 

@@ -935,3 +935,74 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue over one
+    quarter — the agg-then-max-scalar pattern (the reference view +
+    scalar subquery, re-expressed without a view).
+
+    Physical posture: one map-side-combinable fact agg per suppkey;
+    the global max is a 1-row broadcast crossJoin over the (tiny)
+    per-supplier frame — no second fact pass, no window over the agg.
+    Revenue stays DECIMAL end-to-end so the max-equality predicate is
+    exact in both engines (a double max could strand ties)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 3, 2))
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("_rev"))
+    mx = per_supp.agg(F.max("_rev").alias("_mx"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("_rev") == F.col("_mx"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    multi-supplier order — the EXISTS + NOT-EXISTS pair over the same
+    fact, re-expressed as two stacked aggs (no correlated re-scans:
+    the second agg and the join-back reuse the first shuffle's
+    (orderkey) partitioning). "Late" compares l_shipdate to
+    o_orderdate + 90 days (the schema has no l_receiptdate /
+    l_commitdate). Top-10 suppliers by wait count, TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    ls = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+                ).cast("int")
+            ).alias("_late")
+        )
+    )
+    per_order = ls.groupBy("l_orderkey").agg(
+        F.count("*").alias("_n_supps"), F.sum("_late").alias("_n_late")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        ls.join(per_order, "l_orderkey")
+        .filter(
+            (F.col("_late") == 1) & (F.col("_n_supps") >= 2) & (F.col("_n_late") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey"))
+        .limit(10)
+    )

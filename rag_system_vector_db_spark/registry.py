@@ -4219,6 +4219,65 @@ def large_volume_customers_q(spark, sf_dir):
 
 
 @query(
+    "top_supplier_revenue",
+    oracle="""
+    WITH r AS (
+        SELECT l_suppkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.rev AS DOUBLE) AS total_revenue
+    FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.rev = (SELECT max(rev) FROM r)
+    """,
+)
+def top_supplier_revenue_q(spark, sf_dir):
+    """TPC-H Q15 shape: the quarter's maximum-revenue supplier(s) —
+    agg-then-max-scalar (the reference's view + scalar subquery): one
+    fact agg, 1-row broadcast max, exact DECIMAL equality so ties
+    survive in both engines."""
+    from .plans import analytics
+
+    return analytics.top_supplier_revenue(spark, sf_dir)
+
+
+@query(
+    "suppliers_kept_waiting",
+    oracle="""
+    WITH ls AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               max(CASE WHEN l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+                        THEN 1 ELSE 0 END) AS late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ), po AS (
+        SELECT l_orderkey, count(*) AS n_supps, sum(late) AS n_late
+        FROM ls GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM ls JOIN po USING (l_orderkey)
+    JOIN supplier s ON ls.l_suppkey = s.s_suppkey
+    WHERE ls.late = 1 AND po.n_supps >= 2 AND po.n_late = 1
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, s.s_suppkey
+    LIMIT 10
+    """,
+)
+def suppliers_kept_waiting_q(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the only late shipper on a
+    multi-supplier order — the EXISTS + NOT-EXISTS pair re-expressed
+    as two stacked aggs sharing the orderkey partitioning (no
+    correlated re-scans). Top-10 by wait count, TakeOrdered."""
+    from .plans import analytics
+
+    return analytics.suppliers_kept_waiting(spark, sf_dir)
+
+
+@query(
     "tokenizer_fertility",
     oracle=r"""
     WITH t AS (
