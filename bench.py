@@ -129,6 +129,7 @@ EXTRA = [
     "dsir_selection",
     "top_supplier_revenue",
     "suppliers_kept_waiting",
+    "keyword_index_phrase",
 ]
 
 

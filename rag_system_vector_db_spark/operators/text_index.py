@@ -267,3 +267,86 @@ def hybrid_index_batch(
         "query_id", F.col("vec_id").alias("_id"), F.col("rank").alias("vec_rank")
     )
     return rrf_fuse_batch(kw_top, vec_top, k=k, rrf_k=rrf_k)
+
+
+def positional_index_build(
+    docs: DataFrame,
+    index_dir: str,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Positional postings build — the phrase-query extension of the
+    inverted index (the classic IR positional index, Manning IR ch.2):
+    (term, doc_id, sorted position array) written bucket-partitioned
+    exactly like the tf postings, as its own heavier layout
+    (``postings_pos``). Positions come from posexplode BEFORE any
+    token filter, so they index the original token stream. One explode
+    + one map-side-combinable groupBy; collect_list is bounded by a
+    term's per-doc tf."""
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(X.tokens(F.col(text_col))).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    postings = (
+        toks.groupBy("term", id_col)
+        .agg(F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias("positions"))
+        .withColumn("bucket", (H.md5_long(F.col("term")) % n_buckets).cast("int"))
+    )
+    (
+        postings.repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(f"{index_dir}/postings_pos")
+    )
+
+
+def _shift_positions(col, off: int):
+    """Positions shifted left by ``off`` (term i's positions become
+    candidate phrase-start positions)."""
+    return F.transform(col, lambda p: p - off) if off else col
+
+
+def phrase_topk(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: list[str],
+    k: int = 10,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Exact phrase query over the positional index: doc matches where
+    the phrase's terms occur at consecutive positions; score = number
+    of phrase occurrences. Term i's positions shift left by i, and the
+    intersection of all shifted arrays IS the set of phrase starts —
+    per-doc array ops only, no positional explode at query time.
+
+    Scale posture: the bucket IN filter is on the PARTITION column
+    (directory pruning, same as the tf postings); each join is an
+    equi-join on doc_id between term posting lists whose sizes are
+    df(term) — the classic intersect-smallest-lists-first cost, here
+    left to AQE since runtime sizes drive the join order. Returns
+    (rank, doc_id, n_phrase), phrase-count descending."""
+    if len(phrase) < 2:
+        raise ValueError("phrase needs >= 2 terms")
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in phrase})
+    post = spark.read.parquet(f"{index_dir}/postings_pos").filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(sorted(set(phrase)))
+    )
+    joined = None
+    for i, t in enumerate(phrase):
+        pi = post.filter(F.col("term") == t).select(
+            F.col("doc_id"),
+            _shift_positions(F.col("positions"), i).alias(f"_p{i}"),
+        )
+        joined = pi if joined is None else joined.join(pi, "doc_id")
+    starts = F.col("_p0")
+    for i in range(1, len(phrase)):
+        starts = F.array_intersect(starts, F.col(f"_p{i}"))
+    scored = joined.select(
+        "doc_id", F.size(starts).cast("long").alias("n_phrase")
+    ).filter(F.col("n_phrase") > 0)
+    top = scored.orderBy(F.col("n_phrase").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("n_phrase").desc(), F.col("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"), "doc_id", "n_phrase"
+    )

@@ -4219,6 +4219,47 @@ def large_volume_customers_q(spark, sf_dir):
 
 
 @query(
+    "keyword_index_phrase",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+               unnest(range(len(string_split(text, ' ')))) AS pos
+        FROM documents
+    ), p0 AS (
+        SELECT doc_id, pos FROM toks WHERE term = 'part'
+    ), p1 AS (
+        SELECT doc_id, pos FROM toks WHERE term = 'filter'
+    ), m AS (
+        SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_phrase
+        FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+        GROUP BY 1
+    )
+    SELECT row_number() OVER (ORDER BY n_phrase DESC, doc_id) AS rank,
+           doc_id, n_phrase
+    FROM m ORDER BY n_phrase DESC, doc_id LIMIT 10
+    """,
+)
+def keyword_index_phrase(spark, sf_dir):
+    """Exact phrase query ("part filter") served from the MATERIALIZED
+    positional index (the phrase extension of keyword_index_topk's
+    layout): term i's positions shift left by i, the intersection of
+    the shifted arrays is the phrase-start set — bucket-partition
+    pruning before I/O, per-doc array ops at query time, no positional
+    explode. The oracle recomputes adjacency straight from documents,
+    index-independent."""
+    from .operators import text_index
+
+    index_dir = _os.path.join(
+        _WAREHOUSE, f"kwpos_index_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    if not _os.path.exists(_os.path.join(index_dir, "postings_pos", "_SUCCESS")):
+        text_index.positional_index_build(
+            load_table(spark, sf_dir, "documents"), index_dir
+        )
+    return text_index.phrase_topk(spark, index_dir, ["part", "filter"], k=10)
+
+
+@query(
     "top_supplier_revenue",
     oracle="""
     WITH r AS (

@@ -121,3 +121,50 @@ def test_hybrid_batch_matches_single_query_hybrid(spark, sf_dir, tmp_path):
         ], qid
         for g, s in zip(got, single):
             assert abs(g.fused - s.fused) < 1e-9
+
+
+def test_phrase_query_positional_index(spark, sf_dir, tmp_path):
+    """Phrase serving: positional-index phrase counts must equal a
+    brute-force adjacency count from the raw corpus, and the
+    postings_pos scan must be partition-pruned to the phrase terms'
+    buckets."""
+    idx = str(tmp_path / "kwpos_index")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    text_index.positional_index_build(docs, idx, n_buckets=32)
+    phrase = ["part", "filter"]
+    got = text_index.phrase_topk(spark, idx, phrase, k=10)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1][:160]
+    rows = got.collect()
+    assert rows, "phrase should match at least one doc"
+    # brute force: count adjacent (part, filter) token pairs per doc
+    toks = docs.select(
+        F.col("doc_id"), F.posexplode(F.split("text", " ")).alias("pos", "term")
+    )
+    a = toks.filter(F.col("term") == phrase[0]).select("doc_id", "pos")
+    b = toks.filter(F.col("term") == phrase[1]).select(
+        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("pos2")
+    )
+    brute = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_id2"))
+            & (F.col("pos2") == F.col("pos") + 1),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    expect = {r.doc_id: r.n for r in brute.collect()}
+    for r in rows:
+        assert expect[r.doc_id] == r.n_phrase
+    # three-term phrase sanity: never more matches than the two-term prefix
+    got3 = {
+        r.doc_id: r.n_phrase
+        for r in text_index.phrase_topk(
+            spark, idx, ["part", "filter", "small"], k=50
+        ).collect()
+    }
+    two = {r.doc_id: r.n_phrase for r in text_index.phrase_topk(spark, idx, phrase, k=50).collect()}
+    for d, n in got3.items():
+        assert n <= two.get(d, 0)
