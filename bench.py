@@ -130,6 +130,7 @@ EXTRA = [
     "top_supplier_revenue",
     "suppliers_kept_waiting",
     "keyword_index_phrase",
+    "bloom_dedup_probe",
 ]
 
 

@@ -88,3 +88,67 @@ def hash_sample(
     """
     u = H.md5_long(F.col(key_col).cast("string")) / F.lit(HASH_SPACE)
     return df.filter(u < rate)
+
+
+def bloom_dedup_probe(
+    docs: DataFrame,
+    m: int = 1024,
+    k_hashes: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom-filter membership pre-screen for dedup-at-the-door
+    (Bloom CACM'70): the base half of the corpus (even doc ids — a
+    scale-independent split, no scalar to ship) builds an m-bit filter
+    from its content hashes (k seeded bit positions per doc); EVERY
+    doc then probes it. A doc is a ``bloom_hit`` when all k of its
+    bits are set. Base docs can never miss (the no-false-negative
+    property — asserted by the oracle row-for-row); non-base hits
+    that aren't exact dups are the measured false positives, the m/k
+    sizing trade-off this harness quantifies before a pipeline trusts
+    the sketch as its cheap first gate.
+
+    Relational bloom at scale: the filter is the DISTINCT set of set
+    bit positions — bounded by the CONSTANT m, never by data, so its
+    broadcast hint is safe under the no-data-proportional-broadcast
+    rule. Probing is an m-bounded broadcast join + one
+    map-side-combinable groupBy; the exact-dup check is a semi-join on
+    16-byte content digests. Returns (doc_id, in_base, bloom_hit,
+    exact_dup, false_positive)."""
+    content = H.md5_hex(F.col(text_col))
+    base = docs.filter(F.col(id_col) % 2 == 0)
+    bits = (
+        base.select(
+            F.explode(
+                F.array(
+                    *[(H.md5_long(content, seed=s) % m).alias("b") for s in range(k_hashes)]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+        .withColumn("_set", F.lit(1))
+    )
+    probe = docs.select(
+        F.col(id_col),
+        (F.col(id_col) % 2 == 0).alias("in_base"),
+        content.alias("_c"),
+        F.explode(
+            F.array(*[(H.md5_long(content, seed=s) % m) for s in range(k_hashes)])
+        ).alias("bit"),
+    )
+    hits = (
+        probe.join(F.broadcast(bits), "bit", "left")
+        .groupBy(id_col, "in_base", "_c")
+        .agg((F.sum(F.coalesce(F.col("_set"), F.lit(0))) == k_hashes).alias("bloom_hit"))
+    )
+    base_hashes = base.select(content.alias("_c")).distinct()
+    return (
+        hits.join(base_hashes.withColumn("_dup", F.lit(1)), "_c", "left")
+        .select(
+            F.col(id_col),
+            "in_base",
+            "bloom_hit",
+            F.col("_dup").isNotNull().alias("exact_dup"),
+            (F.col("bloom_hit") & F.col("_dup").isNull()).alias("false_positive"),
+        )
+    )

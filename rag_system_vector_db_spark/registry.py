@@ -4219,6 +4219,50 @@ def large_volume_customers_q(spark, sf_dir):
 
 
 @query(
+    "bloom_dedup_probe",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id, md5(text) AS ch, doc_id % 2 = 0 AS in_base FROM documents
+    ), bits AS (
+        SELECT DISTINCT b FROM (
+            SELECT {H.dd_md5_long('ch', 0)} % 1024 AS b FROM c WHERE in_base
+            UNION ALL
+            SELECT {H.dd_md5_long('ch', 1)} % 1024 AS b FROM c WHERE in_base
+        )
+    ), probe AS (
+        SELECT doc_id, in_base, ch, {H.dd_md5_long('ch', 0)} % 1024 AS b FROM c
+        UNION ALL
+        SELECT doc_id, in_base, ch, {H.dd_md5_long('ch', 1)} % 1024 AS b FROM c
+    ), hits AS (
+        SELECT p.doc_id, p.in_base, p.ch,
+               sum(CASE WHEN bits.b IS NOT NULL THEN 1 ELSE 0 END) = 2 AS bloom_hit
+        FROM probe p LEFT JOIN bits ON p.b = bits.b
+        GROUP BY 1, 2, 3
+    ), bh AS (
+        SELECT DISTINCT ch FROM c WHERE in_base
+    )
+    SELECT h.doc_id, h.in_base, h.bloom_hit,
+           bh.ch IS NOT NULL AS exact_dup,
+           h.bloom_hit AND bh.ch IS NULL AS false_positive
+    FROM hits h LEFT JOIN bh ON h.ch = bh.ch
+    """,
+)
+def bloom_dedup_probe_q(spark, sf_dir):
+    """Bloom-filter dedup pre-screen (Bloom CACM'70): the even-id half
+    of the corpus builds a 1024-bit / 2-hash filter from content
+    digests, every doc probes it — base docs can never miss (the
+    no-false-negative property, hash-checked row-for-row) and non-base
+    hits are the measured false-positive rate. The filter is the
+    distinct set-bit table, bounded by the CONSTANT m — the one
+    broadcast the no-data-proportional-hint rule explicitly allows."""
+    from .operators import sketch
+
+    return sketch.bloom_dedup_probe(
+        load_table(spark, sf_dir, "documents"), m=1024, k_hashes=2
+    )
+
+
+@query(
     "keyword_index_phrase",
     oracle="""
     WITH toks AS (
