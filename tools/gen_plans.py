@@ -150,6 +150,49 @@ NOTES = {
         "the keyed RRF fusion joins two depth-20-per-query relations "
         "with a payload-carrying per-query top-k agg."
     ),
+    "ann_ivfpq": (
+        "IVF-PQ composite: the corpus encodes ONCE into (cell, 4 PQ "
+        "codes) in a single projection (centroid argmin + per-subspace "
+        "code argmin over nested literals); probe structs broadcast; "
+        "ADC runs only on probed cells' code rows; per-query top-k is "
+        "an agg, no window over the scored relation."
+    ),
+    "substring_dedup": (
+        "Docs collapse to window hashes map-side (word_shingles, no "
+        "shuffle); ONE map-side-combinable count per hash; the "
+        "join-back is hash-partitioned with the count side already "
+        "aggregated — a boilerplate-hot window is a single count row, "
+        "so skew is bounded before AQE even looks."
+    ),
+    "keyword_index_phrase": (
+        "postings_pos scan carries the bucket PartitionFilter "
+        "(directory pruning) + term pushdown; each phrase term "
+        "contributes one posting-list frame and the joins are doc_id "
+        "equi-joins between df(term)-sized lists; phrase starts come "
+        "from array_intersect of shifted position arrays — per-doc "
+        "array ops, no positional explode at query time."
+    ),
+    "dsir_selection": (
+        "Unigram and bigram features are two map-side explodes "
+        "unioned into ONE groupBy(doc); the lambda lookup is "
+        "element_at on a broadcast literal array (no join); the "
+        "quantile cut is a 1-row broadcast crossJoin over the per-doc "
+        "frame — no second corpus pass, no global sort."
+    ),
+    "bloom_dedup_probe": (
+        "The filter is the distinct set-bit table — bounded by the "
+        "CONSTANT m=1024, so its BroadcastHashJoin hint is safe under "
+        "the no-data-proportional-broadcast rule; probe explodes k=2 "
+        "bit rows per doc and reduces in one map-side-combinable "
+        "groupBy; the exact-dup check joins 16-byte digests only."
+    ),
+    "suppliers_kept_waiting": (
+        "Q21's EXISTS + NOT-EXISTS pair as two stacked aggs: the "
+        "(order, supplier) agg establishes the orderkey partitioning, "
+        "and both the per-order rollup and the join-back reuse it "
+        "(one fact exchange, no correlated re-scans); supplier join "
+        "is AQE-promoted from runtime size; top-10 via TakeOrdered."
+    ),
 }
 
 
