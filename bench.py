@@ -131,6 +131,7 @@ EXTRA = [
     "suppliers_kept_waiting",
     "keyword_index_phrase",
     "bloom_dedup_probe",
+    "scd2_intervals",
 ]
 
 

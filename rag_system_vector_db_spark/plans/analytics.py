@@ -1006,3 +1006,41 @@ def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_suppkey"))
         .limit(10)
     )
+
+
+def scd2_intervals(
+    spark: SparkSession, sf_dir: str, event_type: str = "purchase"
+) -> DataFrame:
+    """SCD2 history build (the warehouse slowly-changing-dimension
+    merge, Kimball type 2): each user's change events become validity
+    intervals — a version row opens at its event time and closes when
+    the next CHANGED value arrives (no-op repeats collapse into the
+    open interval; the last version stays open, is_current).
+
+    Physical posture: ONE shuffle — change detection (lag) and
+    interval build (lead + row_number) are windows over the same
+    (user_id) partitioning and (ts, event_id) order, so the second
+    window reuses the first's sort, no second exchange. Micros
+    precision end-to-end (the engines' exact common timestamp grain).
+    Returns (user_id, version, value, valid_from_us, valid_to_us,
+    is_current); valid_to_us null while current."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == event_type
+    )
+    u = ev.select(
+        "user_id", F.expr("ts_ns div 1000").alias("ts_us"), "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    chg = u.withColumn("_prev", F.lag("value").over(w)).filter(
+        F.col("_prev").isNull() | (F.col("value") != F.col("_prev"))
+    )
+    return (
+        chg.select(
+            "user_id",
+            F.row_number().over(w).cast("long").alias("version"),
+            F.round("value", 6).alias("value"),
+            F.col("ts_us").alias("valid_from_us"),
+            F.lead("ts_us").over(w).alias("valid_to_us"),
+        )
+        .withColumn("is_current", F.col("valid_to_us").isNull())
+    )

@@ -4219,6 +4219,43 @@ def large_volume_customers_q(spark, sf_dir):
 
 
 @query(
+    "scd2_intervals",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+        FROM events WHERE event_type = 'purchase'
+    ), chg AS (
+        SELECT *, lag(value) OVER (
+            PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        FROM u
+    ), c AS (
+        SELECT user_id, ts_us, event_id, value FROM chg
+        WHERE prev IS NULL OR value <> prev
+    ), v AS (
+        SELECT user_id, value, ts_us AS valid_from_us,
+               lead(ts_us) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id) AS version
+        FROM c
+    )
+    SELECT user_id, CAST(version AS BIGINT) AS version,
+           round(value, 6) AS value, valid_from_us, valid_to_us,
+           valid_to_us IS NULL AS is_current
+    FROM v
+    """,
+)
+def scd2_intervals_q(spark, sf_dir):
+    """SCD2 history build (Kimball type-2 dimension merge): change
+    events → validity intervals with open current rows; lag change
+    detection and lead/row_number interval build share ONE (user_id)
+    shuffle and sort. Micros precision end-to-end."""
+    from .plans import analytics
+
+    return analytics.scd2_intervals(spark, sf_dir)
+
+
+@query(
     "bloom_dedup_probe",
     oracle=f"""
     WITH c AS (
