@@ -132,6 +132,7 @@ EXTRA = [
     "keyword_index_phrase",
     "bloom_dedup_probe",
     "scd2_intervals",
+    "ann_ivfpq_indexed",
 ]
 
 

@@ -671,7 +671,15 @@ def pq_code_expr(vec_col, codebooks: list[list[list[float]]]):
     ORDER BY d, code). One zip_with pairs each subvector with its
     codebook, so every distance subtree evaluates exactly once; the
     argmin runs on the materialized per-subspace distance array.
-    Returns an array<int> of m codes."""
+    Returns an array<int> of m codes.
+
+    Formulation note (measured at sf0.1): HOFs run interpreted, but
+    the alternative — expanding the m×k distances into explicit
+    element_at/literal arithmetic for whole-stage codegen — built a
+    ~2048-term expression tree that ran 6x SLOWER (10.5 s vs 1.7 s
+    for ann_pq_adc): the giant tree defeats codegen and re-evaluates
+    element accesses the zip_with formulation materializes once. The
+    interpreted-but-materialized shape wins."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     dists = F.zip_with(
@@ -689,7 +697,12 @@ def pq_adc_dist(query_vec_col, codes_col, codebooks: list[list[list[float]]]):
     query and a corpus vector's PQ reconstruction — computed straight
     from the codes, Σ_m ||q_m - codebook[m][code_m]||², left-to-right
     over subspaces (the oracle adds its per-subspace terms in the same
-    order), sqrt once at the end."""
+    order), sqrt once at the end.
+
+    Reference formulation — the serving paths use pq_adc_luts +
+    pq_adc_dist_lut (bit-identical values, ~10x less per-row work);
+    this stays as the direct-definition twin the LUT path is
+    unit-tested against."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     cb = _books_lit(codebooks)
@@ -698,6 +711,43 @@ def pq_adc_dist(query_vec_col, codes_col, codebooks: list[list[list[float]]]):
         sv = F.slice(query_vec_col.cast("array<double>"), mi * dsub + 1, dsub)
         cent = F.element_at(F.element_at(cb, mi + 1), codes_col[mi] + 1)
         t = _euclid2(sv, cent)
+        total = t if total is None else total + t
+    return F.sqrt(total)
+
+
+def pq_adc_luts(query_vec_col, codebooks: list[list[list[float]]]):
+    """Per-QUERY ADC lookup tables — faiss's actual ADC trick (Jégou
+    PAMI'11 §V.A): luts[m][k] = ||q_m − codebook[m][k]||², computed
+    once per query row (Q × m × k entries, interpreted-HOF cost paid
+    on the tiny broadcast side), so the corpus-side distance is m
+    array lookups + m−1 adds per row instead of m interpreted
+    dsub-dim euclideans. Each entry is the SAME _euclid2 expression
+    pq_adc_dist would evaluate per corpus row — identical operands,
+    identical order — so LUT-served distances are bit-identical."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    qv = query_vec_col.cast("array<double>")
+
+    # one-arg lambda via a closure helper: a two-arg lambda would make
+    # F.transform pass the ELEMENT INDEX as the second argument
+    def _table(mi: int):
+        sv = F.slice(qv, mi * dsub + 1, dsub)
+        return F.transform(
+            F.lit([[float(x) for x in c] for c in codebooks[mi]]),
+            lambda c: _euclid2(sv, c),
+        )
+
+    return F.array(*[_table(mi) for mi in range(m)])
+
+
+def pq_adc_dist_lut(lut_col, codes_col, m: int):
+    """ADC from the per-query LUT: sqrt of the left-associative sum of
+    the m table entries the corpus row's codes select — the same
+    addition order as pq_adc_dist's python loop and the oracle's
+    SQL `+` chain."""
+    total = None
+    for mi in range(m):
+        t = F.element_at(F.element_at(lut_col, mi + 1), codes_col[mi] + 1)
         total = t if total is None else total + t
     return F.sqrt(total)
 
@@ -724,12 +774,13 @@ def ann_pq_adc_topk(
     coded = corpus.select(
         F.col(id_col), pq_code_expr(F.col(vec_col), codebooks).alias("_codes")
     )
-    scored = coded.join(
-        F.broadcast(queries.select(query_id_col, query_vec_col))
-    ).select(
+    qlut = queries.select(
+        query_id_col, pq_adc_luts(F.col(query_vec_col), codebooks).alias("_lut")
+    )
+    scored = coded.join(F.broadcast(qlut)).select(
         query_id_col,
         id_col,
-        pq_adc_dist(F.col(query_vec_col), F.col("_codes"), codebooks).alias("dist"),
+        pq_adc_dist_lut(F.col("_lut"), F.col("_codes"), len(codebooks)).alias("dist"),
     )
     return topk_per_key_agg(scored, query_id_col, id_col, k, score_col="dist", asc=True)
 
@@ -866,11 +917,80 @@ def ann_ivfpq_topk(
         F.explode(
             F.slice(F.array_sort(probes, _by_dist_then_cell), 1, nprobe)
         ).alias("p"),
-    ).select(query_id_col, query_vec_col, F.col("p.cell").alias("_cell"))
+    ).select(
+        query_id_col,
+        pq_adc_luts(F.col(query_vec_col), codebooks).alias("_lut"),
+        F.col("p.cell").alias("_cell"),
+    )
     scored = coded.join(F.broadcast(qcells), "_cell").select(
         query_id_col,
         id_col,
-        pq_adc_dist(F.col(query_vec_col), F.col("_codes"), codebooks).alias("dist"),
+        pq_adc_dist_lut(F.col("_lut"), F.col("_codes"), len(codebooks)).alias("dist"),
+    )
+    return topk_per_key_agg(scored, query_id_col, id_col, k, score_col="dist", asc=True)
+
+
+def ivfpq_index_build(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialized IVF-PQ index (faiss's on-disk IndexIVFPQ layout):
+    every vector stored as (id, m PQ codes) in its cell's partition
+    directory — the full-precision embedding column is NOT written, so
+    the index is ~64× smaller than the corpus and a probe reads only
+    compressed codes. The one-off O(corpus) encode job that turns a
+    100 TB embedding table into an index whose queries read
+    nprobe/K of a 64×-smaller artifact."""
+    coded = with_cell(
+        corpus.select(F.col(id_col), F.col(vec_col)), vec_col, centroids, out_col="cell"
+    ).select(
+        F.col(id_col), pq_code_expr(F.col(vec_col), codebooks).alias("codes"), "cell"
+    )
+    coded.write.partitionBy("cell").mode("overwrite").parquet(index_dir)
+
+
+def ann_ivfpq_indexed_topk(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """ADC probe search over the materialized IVF-PQ index: identical
+    result contract to ann_ivfpq_topk, but the corpus side is the
+    code-only partitioned layout — the cell join key is the PARTITION
+    column, so directory pruning skips non-probed cells before any
+    I/O, and what IS read is m bytes of codes per vector, not the
+    embedding. The serving half of the build-once/probe-many story
+    ann_ivf_indexed tells for full-precision IVF."""
+    from .knn import topk_per_key_agg
+
+    idx = spark.read.parquet(index_dir)
+    probes = _probe_structs(F.col(query_vec_col), centroids)
+    qcells = queries.select(
+        query_id_col,
+        query_vec_col,
+        F.explode(
+            F.slice(F.array_sort(probes, _by_dist_then_cell), 1, nprobe)
+        ).alias("p"),
+    ).select(
+        query_id_col,
+        pq_adc_luts(F.col(query_vec_col), codebooks).alias("_lut"),
+        F.col("p.cell").alias("cell"),
+    )
+    scored = idx.join(F.broadcast(qcells), "cell").select(
+        query_id_col,
+        id_col,
+        pq_adc_dist_lut(F.col("_lut"), F.col("codes"), len(codebooks)).alias("dist"),
     )
     return topk_per_key_agg(scored, query_id_col, id_col, k, score_col="dist", asc=True)
 

@@ -4015,6 +4015,40 @@ def ann_ivfpq(spark, sf_dir):
     )
 
 
+@query("ann_ivfpq_indexed")  # oracle: LAZY_ORACLES (= ann_ivfpq's — same contract)
+def ann_ivfpq_indexed(spark, sf_dir):
+    """IVF-PQ over a MATERIALIZED code-only cell-partitioned layout
+    (faiss's on-disk IndexIVFPQ): build once (idempotent), ~64×
+    smaller than the corpus because only PQ codes are stored; probes
+    join on the PARTITION column so pruning skips non-probed cells'
+    directories before I/O. Result contract identical to ann_ivfpq, so
+    the same centroid+codebook-literal oracle hash-checks the whole
+    build+ADC path."""
+    from .operators import ann
+
+    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
+    books = ann.pq_fit_sample(sf_dir, m=4, k=16, n_iter=3)
+    index_dir = _os.path.join(
+        _WAREHOUSE, f"ivfpq_index_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    if not _os.path.exists(_os.path.join(index_dir, "_SUCCESS")):
+        ann.ivfpq_index_build(
+            load_table(spark, sf_dir, "embeddings", split=True),
+            centroids,
+            books,
+            index_dir,
+        )
+    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ann.ann_ivfpq_indexed_topk(
+        spark, index_dir, queries, centroids, books, k=3, nprobe=2
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("dist", 6).alias("dist"), F.col("rank").cast("long")
+    )
+
+
 def _ivfpq_oracle(sf_dir: str) -> str:
     from .operators import ann
 
@@ -4068,6 +4102,7 @@ def _ivfpq_oracle(sf_dir: str) -> str:
 
 
 LAZY_ORACLES["ann_ivfpq"] = _ivfpq_oracle
+LAZY_ORACLES["ann_ivfpq_indexed"] = _ivfpq_oracle
 
 
 @query(

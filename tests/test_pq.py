@@ -129,3 +129,62 @@ def test_ivf_indexed_equals_unindexed(spark, sf_dir, tmp_path):
     assert sorted([(r.query_id, r.vec_id, round(r.score, 9)) for r in a]) == sorted(
         [(r.query_id, r.vec_id, round(r.score, 9)) for r in b]
     )
+
+
+def test_ivfpq_indexed_prunes_and_matches_inline(spark, sf_dir, tmp_path, books):
+    """The code-only IVF-PQ layout must (a) store NO embedding column
+    (the 64x size win), (b) prune non-probed cell directories at plan
+    time, and (c) reproduce the inline ann_ivfpq_topk ranking."""
+    cents = ann.kmeans_fit_sample(sf_dir, k=4, n_iter=2)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx_dir = str(tmp_path / "ivfpq_idx")
+    ann.ivfpq_index_build(emb, cents, books, idx_dir)
+    idx = spark.read.parquet(idx_dir)
+    assert set(idx.columns) == {"vec_id", "codes", "cell"}
+    pruned = idx.filter(F.col("cell") == 1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:120]
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = sorted(
+        ann.ann_ivfpq_indexed_topk(
+            spark, idx_dir, queries, cents, books, k=3, nprobe=2
+        ).collect(),
+        key=lambda r: (r.query_id, r.rank),
+    )
+    want = sorted(
+        ann.ann_ivfpq_topk(emb, queries, cents, books, k=3, nprobe=2).collect(),
+        key=lambda r: (r.query_id, r.rank),
+    )
+    assert [(r.query_id, r.vec_id, r.rank) for r in got] == [
+        (r.query_id, r.vec_id, r.rank) for r in want
+    ]
+    for g, w in zip(got, want):
+        assert abs(g.dist - w.dist) < 1e-9
+
+
+def test_adc_lut_bit_identical_to_direct(spark, sf_dir, books):
+    """The LUT-served ADC must be BIT-identical to the direct
+    definition (same _euclid2 operands, same left-assoc sum order) —
+    the invariant that lets the serving paths swap formulations
+    without touching the oracles."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    coded = emb.select(
+        F.col("vec_id"), ann.pq_code_expr(F.col("embedding"), books).alias("codes")
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    both = coded.join(
+        F.broadcast(
+            q.select("qid", "qv", ann.pq_adc_luts(F.col("qv"), books).alias("lut"))
+        )
+    ).select(
+        "qid",
+        "vec_id",
+        ann.pq_adc_dist(F.col("qv"), F.col("codes"), books).alias("direct"),
+        ann.pq_adc_dist_lut(F.col("lut"), F.col("codes"), len(books)).alias("lut_d"),
+    )
+    assert both.filter(F.col("direct") != F.col("lut_d")).count() == 0
