@@ -133,6 +133,10 @@ EXTRA = [
     "bloom_dedup_probe",
     "scd2_intervals",
     "ann_ivfpq_indexed",
+    "shipping_priority",
+    "revenue_forecast",
+    "returned_items",
+    "market_share",
 ]
 
 

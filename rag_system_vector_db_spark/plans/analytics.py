@@ -1044,3 +1044,190 @@ def scd2_intervals(
         )
         .withColumn("is_current", F.col("valid_to_us").isNull())
     )
+
+
+def shipping_priority(
+    spark: SparkSession,
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1996-03-15",
+    n: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: shipping priority — the 10 highest-revenue
+    orders not yet shipped as of a date, for one market segment
+    (customer placed the order before the cutoff, at least one
+    lineitem ships after it).
+
+    Physical posture: both date filters push into their scans
+    (o_orderdate < cutoff on orders, l_shipdate > cutoff on lineitem)
+    and the segment filter prunes customer BEFORE its join — the fact
+    shuffle carries only qualifying rows. The customer join needs no
+    columns beyond the key, so it is a semi-join in effect (projected
+    to c_custkey); no forced broadcast — customer scales with SF, AQE
+    promotes from runtime sizes. Top-N via TakeOrdered (sort+limit),
+    never a full global sort. Order-date keys are integer yyyymmdd so
+    the engines compare identical integers.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == segment)
+        .select("c_custkey")
+    )
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 3, 2)
+    )
+    odate = (
+        F.year("o_orderdate") * 10000
+        + F.month("o_orderdate") * 100
+        + F.dayofmonth("o_orderdate")
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            odate.alias("o_orderdate_key"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate_key", "l_orderkey")
+        .limit(n)
+    )
+
+
+def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: forecast revenue change — the revenue that
+    would have been gained by eliminating small discounts in one year
+    (sum of l_extendedprice * l_discount over a (shipdate, discount,
+    quantity) box predicate).
+
+    Physical posture: the whole query is ONE scan + map-side-
+    combinable agg with every predicate in PushedFilters — the
+    canonical pushdown showcase. At 100 TB the date range alone
+    prunes partitions in a date-partitioned layout, and the residual
+    filters evaluate inside the parquet reader before any row
+    surfaces; no join, no shuffle beyond the 1-row final agg.
+    Discount bounds compare against the same double literals in both
+    engines (0.01-step domain, exactly representable comparisons).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    gain = _dec("l_extendedprice") * _dec("l_discount", 3, 2)
+    return li.agg(
+        F.sum(gain).cast("double").alias("revenue"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+
+
+def returned_items(
+    spark: SparkSession, sf_dir: str, n: int = 20
+) -> DataFrame:
+    """TPC-H Q10 shape: returned-item reporting — the top customers by
+    revenue lost to returns in one quarter (lineitems flagged 'R' on
+    orders placed that quarter), with customer and nation detail.
+
+    Physical posture: the quarter filter pushes into the orders scan
+    and the returnflag filter into the lineitem scan — both reach
+    PushedFilters; the fact join shuffles only the quarter's orders.
+    Customer joins hint-free (SF-scaled, AQE decides); the 25-row
+    nation dimension broadcasts. The wide name/acctbal columns ride
+    the group-by keys (functionally dependent on c_custkey, so the
+    agg stays map-side-combinable). Top-N via TakeOrdered with
+    c_custkey tie-break.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 3, 2)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(n)
+    )
+
+
+def market_share(
+    spark: SparkSession,
+    sf_dir: str,
+    nation: str = "NATION_3",
+    region: str = "EUROPE",
+    p_type: str = "ECONOMY",
+) -> DataFrame:
+    """TPC-H Q8 shape: national market share — one nation's share of
+    revenue for one part type among customers of one region, per
+    order year. The widest headliner join tree (lineitem, orders,
+    customer, supplier, part, nation twice under different roles,
+    region), with the share as a conditional-sum ratio.
+
+    Physical posture: the part-type predicate prunes part before the
+    fact probe; the order-date range pushes into the orders scan; the
+    customer-side region restriction flows region→nation→customer
+    through two fixed-size broadcast dims; the SUPPLIER-side nation
+    is a second broadcast ROLE copy whose name feeds the conditional
+    numerator (the spec's CASE WHEN nation = X) — no filter, every
+    surviving row contributes to the denominator. Supplier/customer/
+    part are hint-free (SF-scaled, AQE). Numerator and denominator
+    are decimal sums in ONE map-side-combinable agg.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == p_type).select(
+        "p_partkey"
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    n_cust = nat.join(
+        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    ).select(F.col("n_nationkey").alias("_cn_key"))
+    n_supp = nat.select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 3, 2)
+    )
+    national = F.when(F.col("supp_nation") == nation, rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("_cn_key"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), supp.s_nationkey == F.col("_sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(national).alias("_national"),
+            F.sum(rev).alias("_total"),
+        )
+        .select(
+            "o_year",
+            F.col("_national").cast("double").alias("national_revenue"),
+            F.col("_total").cast("double").alias("total_revenue"),
+            F.round(
+                F.col("_national").cast("double") / F.col("_total").cast("double"), 6
+            ).alias("mkt_share"),
+        )
+    )

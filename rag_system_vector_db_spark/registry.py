@@ -4510,3 +4510,117 @@ def dsir_selection_q(spark, sf_dir):
 
 
 ORACLES["dsir_selection"] = _dsir_oracle()
+
+
+@query(
+    "shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(EXTRACT(year FROM o.o_orderdate) * 10000
+              + EXTRACT(month FROM o.o_orderdate) * 100
+              + EXTRACT(day FROM o.o_orderdate) AS BIGINT) AS o_orderdate_key,
+           o.o_orderpriority,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, o_orderdate_key, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: top-10 unshipped-order revenue for one market
+    segment — both date filters and the segment filter reach their
+    scans' PushedFilters; top-N via TakeOrdered, no global sort."""
+    from .plans import analytics
+
+    return analytics.shipping_priority(spark, sf_dir)
+
+
+@query(
+    "revenue_forecast",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def revenue_forecast(spark, sf_dir):
+    """TPC-H Q6 shape: one scan + one map-side-combinable agg with
+    every predicate pushed to the parquet reader — the canonical
+    pushdown showcase (date range prunes partitions in a partitioned
+    layout; residual filters evaluate before any row surfaces)."""
+    from .plans import analytics
+
+    return analytics.revenue_forecast(spark, sf_dir)
+
+
+@query(
+    "returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top customers by returned-item revenue in one
+    quarter — quarter filter pushed to orders, returnflag to lineitem,
+    25-row nation broadcast, customer hint-free (AQE)."""
+    from .plans import analytics
+
+    return analytics.returned_items(spark, sf_dir)
+
+
+@query(
+    "market_share",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS national_revenue,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS total_revenue,
+           round(CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE), 6) AS mkt_share
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN region r ON cn.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE p.p_type = 'ECONOMY'
+      AND r.r_name = 'EUROPE'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's revenue share for one part type
+    among one region's customers, per order year — the widest
+    headliner join tree (7 relations, nation twice under different
+    roles); share = conditional-sum ratio in ONE agg."""
+    from .plans import analytics
+
+    return analytics.market_share(spark, sf_dir)

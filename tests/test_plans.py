@@ -262,3 +262,47 @@ def test_discounted_revenue_pushes_hulls_to_both_scans(spark, sf_dir):
     assert "GreaterThanOrEqual(l_quantity,1" in plan
     assert "LessThanOrEqual(l_quantity,30" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_shipping_priority_pushdown_and_takeordered(spark, sf_dir):
+    """Q3 shape: both date filters and the segment filter reach their
+    scans; top-N is TakeOrdered, not a global sort."""
+    plan = _plan(QUERIES["shipping_priority"](spark, sf_dir))
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_revenue_forecast_all_predicates_pushed_no_shuffle_join(spark, sf_dir):
+    """Q6 shape: date range, discount box and quantity cap all reach
+    PushedFilters; the plan has no join at all."""
+    plan = _plan(QUERIES["revenue_forecast"](spark, sf_dir))
+    # PushedFilters renders truncated in toString; the DataFilters
+    # mirror proves scan-level evaluation of every predicate
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "(l_discount" in plan and "(l_quantity" in plan
+    assert "(l_shipdate" in plan
+    assert "Join" not in plan
+
+
+def test_returned_items_pushdown_and_nation_broadcast(spark, sf_dir):
+    """Q10 shape: quarter filter on orders, returnflag on lineitem,
+    nation broadcast, TakeOrdered top-20."""
+    plan = _plan(QUERIES["returned_items"](spark, sf_dir))
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_market_share_role_dims_and_part_prune(spark, sf_dir):
+    """Q8 shape: part-type predicate reaches the part scan, order-date
+    range the orders scan; customer-side region restriction and the
+    supplier-side nation role both ride broadcasts."""
+    plan = _plan(QUERIES["market_share"](spark, sf_dir))
+    assert "EqualTo(p_type,ECONOMY)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
