@@ -137,6 +137,7 @@ EXTRA = [
     "revenue_forecast",
     "returned_items",
     "market_share",
+    "keyword_index_merge",
 ]
 
 

@@ -350,3 +350,137 @@ def phrase_topk(
     return top.select(
         F.row_number().over(w).cast("long").alias("rank"), "doc_id", "n_phrase"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance (the LSM posture of streaming/pipeline.py's
+# IVF maintenance, applied to the inverted index): a mergeable layout whose
+# postings are partitioned by (batch, bucket) with a tiny commit ledger.
+# New corpus slices merge in WITHOUT re-tokenizing the base — at 100 TB the
+# nightly ingest appends its own postings partitions (cost = O(new docs))
+# while serving keeps reading the same directory with the same bucket
+# pruning; only the O(n_batches)-row ledger and the 1-row stats cache are
+# rewritten.
+# ---------------------------------------------------------------------------
+
+
+def _batch_postings(docs: DataFrame, batch_id: int, n_buckets: int,
+                    id_col: str, text_col: str) -> DataFrame:
+    """(term, doc_id, tf, dl, batch, bucket) postings rows for one
+    corpus slice — identical per-row contract to keyword_index_build,
+    plus the batch stamp that makes replays overwrite themselves."""
+    toks = docs.select(
+        F.col(id_col),
+        F.size(X.tokens(F.col(text_col))).alias("_dl"),
+        F.explode(X.tokens(F.col(text_col))).alias("term"),
+    )
+    return (
+        toks.groupBy("term", id_col)
+        .agg(F.count("*").cast("double").alias("tf"), F.first("_dl").alias("dl"))
+        .withColumn("batch", F.lit(batch_id).cast("int"))
+        .withColumn("bucket", (H.md5_long(F.col("term")) % n_buckets).cast("int"))
+    )
+
+
+def _ledger_row(docs: DataFrame, batch_id: int, text_col: str) -> DataFrame:
+    """One (batch, n_docs, sum_dl) commit row — the idempotence ledger
+    AND the stats source (avgdl = sum(sum_dl)/sum(n_docs), exact under
+    any merge order). dl uses the allocation-free spaces+1 identity."""
+    dl_expr = (
+        F.length(F.col(text_col))
+        - F.length(F.translate(F.col(text_col), " ", ""))
+        + 1
+    )
+    return docs.agg(
+        F.lit(batch_id).cast("int").alias("batch"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(dl_expr).cast("long").alias("sum_dl"),
+    )
+
+
+def _refresh_stats(spark: SparkSession, index_dir: str) -> None:
+    """Rebuild the 1-row (n_docs, avgdl) stats cache from the ledger so
+    the serving path (bm25_from_index) stays byte-identical to the
+    non-mergeable layout's."""
+    led = spark.read.parquet(f"{index_dir}/ledger")
+    stats = led.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/stats")
+
+
+def mergeable_index_build(
+    docs: DataFrame,
+    index_dir: str,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Bulk build of the MERGEABLE inverted-index layout: postings
+    partitioned by (batch, bucket) with the bulk corpus as batch 0,
+    plus the commit ledger and the derived stats cache. Serving is
+    unchanged — bm25_from_index reads the same paths with the same
+    bucket pruning (batch is just one more partition level)."""
+    spark = docs.sparkSession
+    post = _batch_postings(docs, 0, n_buckets, id_col, text_col)
+    (
+        post.repartition("bucket")
+        .write.partitionBy("batch", "bucket")
+        .mode("overwrite")
+        .parquet(f"{index_dir}/postings")
+    )
+    _ledger_row(docs, 0, text_col).coalesce(1).write.mode("overwrite").parquet(
+        f"{index_dir}/ledger"
+    )
+    _refresh_stats(spark, index_dir)
+
+
+def keyword_index_merge(
+    spark: SparkSession,
+    docs_new: DataFrame,
+    index_dir: str,
+    batch_id: int,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Merge a new corpus slice into a mergeable index — idempotent and
+    crash-convergent:
+
+    1. batch already in the ledger → only refresh the stats cache (the
+       repair for a crash between ledger append and stats rewrite) and
+       skip: replays cannot double-insert.
+    2. else write the slice's postings with DYNAMIC partition
+       overwrite — the write replaces exactly its own batch=<id>
+       partitions, so a replay after a crashed or un-acked write lands
+       on clean state instead of appending duplicates.
+    3. append the ledger row — THE commit point — then refresh stats.
+
+    A crash at any boundary leaves the index serving a consistent
+    prefix of committed batches, and re-running the same merge
+    converges. Only the new slice is ever tokenized."""
+    committed = {
+        r["batch"]
+        for r in spark.read.parquet(f"{index_dir}/ledger").select("batch").collect()
+    }
+    if batch_id in committed:
+        _refresh_stats(spark, index_dir)
+        return "skipped"
+    post = _batch_postings(docs_new, batch_id, n_buckets, id_col, text_col)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            post.repartition("bucket")
+            .write.partitionBy("batch", "bucket")
+            .mode("overwrite")
+            .parquet(f"{index_dir}/postings")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _ledger_row(docs_new, batch_id, text_col).coalesce(1).write.mode("append").parquet(
+        f"{index_dir}/ledger"
+    )
+    _refresh_stats(spark, index_dir)
+    return "merged"

@@ -4624,3 +4624,65 @@ def market_share(spark, sf_dir):
     from .plans import analytics
 
     return analytics.market_share(spark, sf_dir)
+
+
+@query(
+    "keyword_index_merge",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), qtoks AS (
+        SELECT * FROM toks WHERE term IN ('table', 'scan', 'window')
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
+        FROM qtoks GROUP BY doc_id, term
+    ), stats AS (
+        SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl FROM documents
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), bm25 AS (
+        SELECT tf.doc_id,
+               sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))) AS bm25
+        FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    )
+    SELECT row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank,
+           doc_id, round(bm25, 6) AS bm25
+    FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def keyword_index_merge_q(spark, sf_dir):
+    """Incremental inverted-index maintenance (the nightly-ingest shape
+    of the BM25 layout): the even-id half bulk-builds the MERGEABLE
+    index (postings partitioned by (batch, bucket) + commit ledger),
+    the odd-id half merges in as batch 1 — only the new slice is
+    tokenized, replays overwrite their own batch partitions
+    (idempotent), and a crash at any boundary converges on re-run.
+    Serving reads the merged directory with the usual bucket pruning;
+    the oracle recomputes BM25 from the FULL corpus, proving
+    merge == rebuild."""
+    from .operators import text_index
+
+    index_dir = _os.path.join(
+        _WAREHOUSE, f"kw_index_m_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    committed: set[int] = set()
+    if _os.path.exists(_os.path.join(index_dir, "ledger", "_SUCCESS")):
+        committed = {
+            r["batch"]
+            for r in spark.read.parquet(f"{index_dir}/ledger").select("batch").collect()
+        }
+    if not {0, 1} <= committed:
+        text_index.mergeable_index_build(
+            docs.filter(F.col("doc_id") % 2 == 0), index_dir
+        )
+        text_index.keyword_index_merge(
+            spark, docs.filter(F.col("doc_id") % 2 == 1), index_dir, batch_id=1
+        )
+    return text_index.keyword_index_topk(
+        spark, index_dir, ["table", "scan", "window"], k=10
+    )

@@ -168,3 +168,70 @@ def test_phrase_query_positional_index(spark, sf_dir, tmp_path):
     two = {r.doc_id: r.n_phrase for r in text_index.phrase_topk(spark, idx, phrase, k=50).collect()}
     for d, n in got3.items():
         assert n <= two.get(d, 0)
+
+
+def test_merge_equals_rebuild(spark, sf_dir, tmp_path):
+    """Incremental maintenance contract: bulk-build on half the corpus
+    + merge of the other half must serve EXACTLY what a full rebuild
+    serves (ids and scores), for single-term df and stats alike."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merged = str(tmp_path / "kw_merged")
+    rebuilt = str(tmp_path / "kw_rebuilt")
+    text_index.mergeable_index_build(docs.filter(F.col("doc_id") % 2 == 0), merged)
+    out = text_index.keyword_index_merge(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), merged, batch_id=1
+    )
+    assert out == "merged"
+    text_index.keyword_index_build(docs, rebuilt, n_buckets=32)
+    a = text_index.keyword_index_topk(spark, merged, TERMS, k=10).collect()
+    b = text_index.keyword_index_topk(spark, rebuilt, TERMS, k=10).collect()
+    assert [(r.doc_id, r.bm25) for r in a] == [(r.doc_id, r.bm25) for r in b]
+
+
+def test_merge_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Replaying a committed merge must not duplicate postings or
+    change served results; the ledger short-circuits it."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "kw_replay")
+    text_index.mergeable_index_build(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    text_index.keyword_index_merge(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), idx, batch_id=1
+    )
+    n_before = spark.read.parquet(f"{idx}/postings").count()
+    served_before = text_index.keyword_index_topk(spark, idx, TERMS, k=10).collect()
+    out = text_index.keyword_index_merge(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), idx, batch_id=1
+    )
+    assert out == "skipped"
+    assert spark.read.parquet(f"{idx}/postings").count() == n_before
+    served_after = text_index.keyword_index_topk(spark, idx, TERMS, k=10).collect()
+    assert served_before == served_after
+
+
+def test_merge_crash_before_ledger_converges(spark, sf_dir, tmp_path):
+    """Crash-convergence: postings written but ledger row missing (the
+    crash window between write and commit). The replay's DYNAMIC
+    partition overwrite replaces the orphan batch partitions instead of
+    appending duplicates, and the end state equals a clean merge."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "kw_crash")
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    text_index.mergeable_index_build(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    # simulate the torn merge: batch-1 postings land, no ledger commit
+    post = text_index._batch_postings(odd, 1, 32, "doc_id", "text")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        post.repartition("bucket").write.partitionBy("batch", "bucket").mode(
+            "overwrite"
+        ).parquet(f"{idx}/postings")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    out = text_index.keyword_index_merge(spark, odd, idx, batch_id=1)
+    assert out == "merged"
+    # no duplicate (term, doc) postings survived the replay
+    p = spark.read.parquet(f"{idx}/postings")
+    assert p.count() == p.select("term", "doc_id").distinct().count()
+    # stats reflect the full corpus
+    stats = spark.read.parquet(f"{idx}/stats").collect()[0]
+    assert stats.n_docs == docs.count()
