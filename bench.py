@@ -138,6 +138,7 @@ EXTRA = [
     "returned_items",
     "market_share",
     "keyword_index_merge",
+    "cdc_apply",
 ]
 
 

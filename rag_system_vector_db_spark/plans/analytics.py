@@ -1231,3 +1231,47 @@ def market_share(
             ).alias("mkt_share"),
         )
     )
+
+
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply (the lakehouse MERGE / Debezium-compaction
+    shape): fold a keyed change log into current table state —
+    last-write-wins per key, delete tombstones drop the key. The log
+    here derives deterministically from events (key = user_id, 'error'
+    rows are tombstones, everything else upserts the row's value),
+    standing in for a real CDC feed; the fold itself is the operator.
+
+    Physical posture: ONE map-side-combinable groupBy — the latest op
+    per key is a max_by over the (ts, event_id) total order (no window
+    over the raw log, no self-join), with the op count riding the same
+    agg for audit. At 100 TB this is the nightly Debezium-compaction
+    pass: shuffle keyed by user_id, each reducer folds its keys
+    independently, tombstoned keys simply emit nothing. Micros
+    precision end-to-end (the engines' exact common timestamp grain).
+
+    Returns (user_id, value, updated_at_us, n_ops) for keys whose
+    latest op is an upsert.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "value",
+    )
+    last = F.max_by(
+        F.struct("op", "value", F.col("ts_us").alias("_ts")),
+        F.struct("ts_us", "event_id"),
+    )
+    folded = log.groupBy("user_id").agg(
+        last.alias("_last"), F.count("*").cast("long").alias("n_ops")
+    )
+    return folded.filter(F.col("_last.op") == "U").select(
+        "user_id",
+        F.col("_last.value").alias("value"),
+        F.col("_last._ts").alias("updated_at_us"),
+        "n_ops",
+    )

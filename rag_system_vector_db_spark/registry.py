@@ -4686,3 +4686,33 @@ def keyword_index_merge_q(spark, sf_dir):
     return text_index.keyword_index_topk(
         spark, index_dir, ["table", "scan", "window"], k=10
     )
+
+
+@query(
+    "cdc_apply",
+    oracle="""
+    WITH log AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               value
+        FROM events
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
+               ) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_ops
+        FROM log
+    )
+    SELECT user_id, value, ts_us AS updated_at_us, CAST(n_ops AS BIGINT) AS n_ops
+    FROM ranked WHERE rn = 1 AND op = 'U'
+    """,
+)
+def cdc_apply_q(spark, sf_dir):
+    """CDC changelog apply (lakehouse MERGE / Debezium compaction):
+    fold a keyed change log to current state — last-write-wins per
+    key, tombstones drop the key. ONE map-side-combinable groupBy
+    (max_by over the (ts, event_id) total order), no window over the
+    raw log; the oracle replays the fold with a window."""
+    from .plans import analytics
+
+    return analytics.cdc_apply(spark, sf_dir)

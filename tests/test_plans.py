@@ -306,3 +306,12 @@ def test_market_share_role_dims_and_part_prune(spark, sf_dir):
     assert "GreaterThanOrEqual(o_orderdate" in plan
     assert plan.count("BroadcastExchange") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_cdc_apply_single_agg_no_window(spark, sf_dir):
+    """The changelog fold must be ONE map-side-combinable groupBy —
+    no window (sort) over the raw log, no self-join."""
+    plan = _plan(QUERIES["cdc_apply"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "partial_max_by" in plan or "partial_" in plan  # map-side combine
