@@ -139,6 +139,7 @@ EXTRA = [
     "market_share",
     "keyword_index_merge",
     "cdc_apply",
+    "ann_ivfpq_residual",
 ]
 
 

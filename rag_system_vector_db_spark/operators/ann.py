@@ -625,6 +625,13 @@ def pq_fit_sample(
         f"ORDER BY {id_col} LIMIT {sample_limit}"
     )
     x = np.array([list(r[1]) for r in rel.fetchall()], dtype=np.float64)
+    return _lloyd_books(x, m, k, n_iter)
+
+
+def _lloyd_books(x, m: int, k: int, n_iter: int) -> list[list[list[float]]]:
+    """Per-subspace Lloyd fit over a sample matrix (shared by the raw
+    and residual PQ trainers): init = first k sample subvectors,
+    ties -> lowest code."""
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
@@ -642,6 +649,37 @@ def pq_fit_sample(
                     cents[c] = members.mean(axis=0)
         books.append([[float(v) for v in c] for c in cents])
     return books
+
+
+def pq_fit_residual_sample(
+    sf_dir: str,
+    centroids: list[list[float]],
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 3,
+    sample_limit: int = 4096,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Residual-PQ codebook fit (faiss IndexIVFPQ ``by_residual=True``,
+    its default): each sample vector is assigned to its nearest coarse
+    centroid (exact argmin, ties -> lowest cid — _argmin's semantics)
+    and the codebooks train on the RESIDUALS x − c(x). Residuals
+    cluster far tighter around zero than raw vectors, so the same m×k
+    code budget quantizes finer — the reason faiss defaults to it.
+    Same bounded deterministic sample posture as pq_fit_sample."""
+    import duckdb
+
+    rel = duckdb.sql(
+        f"SELECT {id_col}, {vec_col} FROM read_parquet('{sf_dir}/{table}.parquet') "
+        f"ORDER BY {id_col} LIMIT {sample_limit}"
+    )
+    x = np.array([list(r[1]) for r in rel.fetchall()], dtype=np.float64)
+    c = np.array(centroids, dtype=np.float64)
+    d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)  # ties -> lowest cid
+    return _lloyd_books(x - c[assign], m, k, n_iter)
 
 
 def _euclid2(a, b):
@@ -1118,3 +1156,69 @@ def matryoshka_recall(
         F.col("_hits").cast("long").alias("n_hits"),
         F.round(F.col("_hits") / float(k), 6).alias("recall"),
     )
+
+
+def _residual_expr(vec_col, cell_col, centroids: list[list[float]]):
+    """x − centroid[cell], elementwise (zip_with; the oracle's
+    list_transform(list_zip(...)) computes the identical sequence)."""
+    cent = F.element_at(_mat_lit(centroids), cell_col + 1)
+    return F.zip_with(vec_col.cast("array<double>"), cent, lambda x, c: x - c)
+
+
+def ann_ivfpq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding (faiss IndexIVFPQ
+    ``by_residual=True``, its default — the completion of ann_ivfpq's
+    ``by_residual=False``): vectors encode the residual x − c(x)
+    against codebooks trained on residuals, so the code budget spends
+    itself on the within-cell spread instead of the cell layout.
+
+    The serving cost faiss pays for it appears here too: the ADC
+    lookup tables become per-(query, PROBED CELL) — the query residual
+    q − c changes with the cell — instead of per-query. That work
+    lands on the exploded broadcast side (nprobe small LUT builds per
+    query); the corpus side stays m lookups + m−1 adds per code row.
+    Same probe choice, join shape and top-k agg as ann_ivfpq_topk.
+    Returns (query_id, id, dist, rank), dist ascending."""
+    from .knn import topk_per_key_agg
+
+    coded = with_cell(
+        corpus.select(F.col(id_col), F.col(vec_col)), vec_col, centroids
+    ).select(
+        F.col(id_col),
+        pq_code_expr(
+            _residual_expr(F.col(vec_col), F.col("_cell"), centroids), codebooks
+        ).alias("_codes"),
+        "_cell",
+    )
+    probes = _probe_structs(F.col(query_vec_col), centroids)
+    qcells = queries.select(
+        query_id_col,
+        query_vec_col,
+        F.explode(
+            F.slice(F.array_sort(probes, _by_dist_then_cell), 1, nprobe)
+        ).alias("p"),
+    ).select(
+        query_id_col,
+        pq_adc_luts(
+            _residual_expr(F.col(query_vec_col), F.col("p.cell"), centroids),
+            codebooks,
+        ).alias("_lut"),
+        F.col("p.cell").alias("_cell"),
+    )
+    scored = coded.join(F.broadcast(qcells), "_cell").select(
+        query_id_col,
+        id_col,
+        pq_adc_dist_lut(F.col("_lut"), F.col("_codes"), len(codebooks)).alias("dist"),
+    )
+    return topk_per_key_agg(scored, query_id_col, id_col, k, score_col="dist", asc=True)

@@ -4716,3 +4716,90 @@ def cdc_apply_q(spark, sf_dir):
     from .plans import analytics
 
     return analytics.cdc_apply(spark, sf_dir)
+
+
+@query("ann_ivfpq_residual")  # oracle: LAZY_ORACLES (centroid + residual-codebook literals)
+def ann_ivfpq_residual(spark, sf_dir):
+    """IVF-PQ with RESIDUAL encoding (faiss IndexIVFPQ's default,
+    by_residual=True): codebooks train on x − c(x) so the code budget
+    quantizes the within-cell spread; ADC LUTs become per-(query,
+    probed cell) on the exploded broadcast side. Completes the PQ
+    family next to ann_ivfpq's by_residual=False. Coarse centroids AND
+    residual codebooks inline into the DuckDB oracle, so assignment,
+    residual encode, probe choice, per-cell LUT ADC and ranking are
+    all hash-checked."""
+    from .operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
+    books = ann.pq_fit_residual_sample(sf_dir, centroids, m=4, k=16, n_iter=3)
+    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ann.ann_ivfpq_residual_topk(emb, queries, centroids, books, k=3, nprobe=2)
+    return out.select(
+        "query_id", "vec_id", F.round("dist", 6).alias("dist"), F.col("rank").cast("long")
+    )
+
+
+def _ivfpq_residual_oracle(sf_dir: str) -> str:
+    from .operators import ann
+
+    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
+    books = ann.pq_fit_residual_sample(sf_dir, centroids, m=4, k=16, n_iter=3)
+    dsub = len(books[0][0])
+    rsub = f"list_slice(res.r, b.m*{dsub} + 1, b.m*{dsub} + {dsub})"
+
+    def qrsub(mi: int) -> str:
+        return f"list_slice(qr.qr, {mi * dsub + 1}, {(mi + 1) * dsub})"
+
+    legs = " + ".join(
+        _dd_euclid2(qrsub(mi), f"c{mi}.w") for mi in range(len(books))
+    )  # SQL + is left-associative, matching pq_adc_dist_lut's loop
+    joins = "\n        ".join(
+        f"JOIN cw c{mi} ON c{mi}.vec_id = c0.vec_id AND c{mi}.m = {mi}"
+        for mi in range(1, len(books))
+    )
+    # residuals (corpus AND query side) are elementwise x − c against
+    # the SAME cell the row assigned/probed — list_zip subtraction
+    # computes the identical float sequence as Spark's zip_with
+    return _ivf_common(centroids, 5) + f"""
+    , {_books_sql(books)}, res AS (
+        SELECT a.vec_id, a.cid,
+               list_transform(list_zip((a.embedding)::DOUBLE[], c.w),
+                              x -> x[1] - x[2]) AS r
+        FROM assigned a JOIN cents c ON c.cid = a.cid
+    ), codes AS (
+        SELECT vec_id, cid, m, code FROM (
+            SELECT res.vec_id, res.cid, b.m, b.k AS code,
+                   row_number() OVER (
+                       PARTITION BY res.vec_id, b.m
+                       ORDER BY {_dd_euclid2(rsub, 'b.w')}, b.k
+                   ) AS rn
+            FROM res CROSS JOIN books b
+        ) WHERE rn = 1
+    ), cw AS (
+        SELECT c.vec_id, c.cid, c.m, b.w
+        FROM codes c JOIN books b ON b.m = c.m AND b.k = c.code
+    ), qres AS (
+        SELECT p.query_id, p.cid,
+               list_transform(list_zip((p.query_vec)::DOUBLE[], c.w),
+                              x -> x[1] - x[2]) AS qr
+        FROM qprobe p JOIN cents c ON c.cid = p.cid
+    ), scored AS (
+        SELECT qr.query_id, c0.vec_id, sqrt({legs}) AS dist
+        FROM cw c0
+        {joins}
+        JOIN qres qr ON c0.cid = qr.cid
+        WHERE c0.m = 0
+    ), ranked AS (
+        SELECT query_id, vec_id, dist,
+               row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, round(dist, 6) AS dist, rank
+    FROM ranked WHERE rank <= 3
+    """
+
+
+LAZY_ORACLES["ann_ivfpq_residual"] = _ivfpq_residual_oracle
