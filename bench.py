@@ -140,6 +140,7 @@ EXTRA = [
     "keyword_index_merge",
     "cdc_apply",
     "ann_ivfpq_residual",
+    "dedup_cluster_stats",
 ]
 
 

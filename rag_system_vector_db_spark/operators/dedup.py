@@ -833,3 +833,28 @@ def substring_dedup(
             ),
         )
     )
+
+
+def cluster_stats(cc: DataFrame) -> DataFrame:
+    """Duplicate-cluster size profile over a connected-components
+    labelling (dedup_cluster's output): for each cluster size, how
+    many clusters have it, how many docs they hold, and how many of
+    those docs dedup would remove (size − 1 per cluster, the keeper
+    stays). The number that sizes a dedup run's payoff BEFORE the
+    deletes happen — and the skew diagnostic for the components step
+    (one giant cluster = a near-dup storm worth inspecting).
+
+    Two map-side-combinable groupBys over the tiny (node, label)
+    relation — the expensive part (pair generation + label
+    propagation) is already done upstream."""
+    per_cluster = cc.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("_sz")
+    )
+    return (
+        per_cluster.groupBy(F.col("_sz").alias("cluster_size"))
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("_sz").cast("long").alias("n_docs"),
+            F.sum(F.col("_sz") - 1).cast("long").alias("n_removable"),
+        )
+    )

@@ -4803,3 +4803,45 @@ def _ivfpq_residual_oracle(sf_dir: str) -> str:
 
 
 LAZY_ORACLES["ann_ivfpq_residual"] = _ivfpq_residual_oracle
+
+
+@query(
+    "dedup_cluster_stats",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
+        WHERE {_dd_cosine('a.embedding', 'b.embedding')} >= 0.3
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ), cc(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
+    ), labelled AS (
+        SELECT node, min(label) AS cluster_id FROM cc GROUP BY node
+    ), per_cluster AS (
+        SELECT cluster_id, count(*) AS sz FROM labelled GROUP BY cluster_id
+    )
+    SELECT sz AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(sum(sz - 1) AS BIGINT) AS n_removable
+    FROM per_cluster GROUP BY sz
+    """,
+)
+def dedup_cluster_stats_q(spark, sf_dir):
+    """Duplicate-cluster size histogram + removable-doc counts over
+    the connected-components labelling — the payoff/skew measurement
+    a dedup run reads before deleting anything. Same pair set and
+    components as dedup_cluster, so the recursive-CTE oracle
+    hash-checks the iteration AND the rollup."""
+    from .operators import dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    pairs = dedup.dedup_embedding_cosine(emb, threshold=0.3, all_pairs=True)
+    cc = dedup.dedup_cluster(pairs, "id_a", "id_b")
+    return dedup.cluster_stats(cc)
