@@ -141,6 +141,9 @@ EXTRA = [
     "cdc_apply",
     "ann_ivfpq_residual",
     "dedup_cluster_stats",
+    "minhash_band_sweep",
+    "retrieval_ndcg",
+    "knn_graph_degree_stats",
 ]
 
 

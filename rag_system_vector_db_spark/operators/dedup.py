@@ -858,3 +858,135 @@ def cluster_stats(cc: DataFrame) -> DataFrame:
             F.sum(F.col("_sz") - 1).cast("long").alias("n_removable"),
         )
     )
+
+
+def minhash_band_sweep(
+    docs: DataFrame,
+    configs: tuple[tuple[int, int], ...] = ((8, 1), (4, 2), (2, 4), (1, 8)),
+    n: int = 3,
+    num_hashes: int = 8,
+    tau: float = 0.02,
+    max_id: int = 120,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Banding-scheme sweep for MinHash-LSH (the bands×rows sizing
+    curve next to minhash_accuracy's estimator error): for each
+    (bands, rows) split of the same ``num_hashes`` signature, the
+    candidate count plus recall/precision against exact shingle
+    Jaccard ≥ τ — the empirical S-curve that picks a banding scheme
+    for a target threshold (more rows per band → fewer, more precise
+    candidates; more bands → higher recall).
+
+    Ground truth needs EXACT Jaccard on every pair, so the harness
+    runs on an explicitly bounded id-prefix subset (``max_id``, the
+    similarity_matrix posture) — the pair relation is
+    O(max_id²) BY CONSTRUCTION, never corpus-scaled; production
+    candidate generation stays the banded path this sweep sizes. All
+    configs evaluate on ONE signature frame and ONE pair pass (the
+    config axis explodes per pair).
+
+    Returns (bands, rows, n_pairs, n_true, n_candidates, n_hits,
+    recall, precision) — recall/precision null when undefined."""
+    for b, r in configs:
+        if b * r > num_hashes:
+            raise ValueError(f"config {b}x{r} exceeds {num_hashes} hashes")
+    sub = docs.filter(F.col(id_col) < max_id)
+    sh = shingle_set(sub, n, id_col, text_col)
+    feats = (
+        sh.select(
+            F.col(id_col),
+            F.col("shingle"),
+            H.md5_long(F.col("shingle"), seed=0).alias("_ha"),
+            H.md5_long(F.col("shingle"), seed=1, width=14).alias("_hb"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.collect_set("shingle").alias("sset"),
+            *[
+                F.min(F.col("_ha") + r * F.col("_hb")).alias(f"h{r}")
+                for r in range(num_hashes)
+            ],
+        )
+    )
+    sa = feats.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("sset").alias("set_a"),
+        *[F.col(f"h{r}").alias(f"a{r}") for r in range(num_hashes)],
+    )
+    sb = feats.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("sset").alias("set_b"),
+        *[F.col(f"h{r}").alias(f"b{r}") for r in range(num_hashes)],
+    )
+    # bounded-subset theta join: the exact-truth requirement, NOT the
+    # production candidate path (see docstring)
+    pairs = sa.join(sb, F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    union = (
+        F.size("set_a") + F.size("set_b") - F.size(F.array_intersect("set_a", "set_b"))
+    ).cast("double")
+
+    def _cand(b: int, r: int):
+        bands_ok = [
+            reduce_and([F.col(f"a{band * r + row}") == F.col(f"b{band * r + row}")
+                        for row in range(r)])
+            for band in range(b)
+        ]
+        out = bands_ok[0]
+        for expr in bands_ok[1:]:
+            out = out | expr
+        return out
+
+    def reduce_and(exprs):
+        out = exprs[0]
+        for e in exprs[1:]:
+            out = out & e
+        return out
+
+    cfg = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).cast("long").alias("bands"),
+                    F.lit(r).cast("long").alias("rows"),
+                    _cand(b, r).alias("cand"),
+                )
+                for b, r in configs
+            ]
+        )
+    ).alias("c")
+    per = pairs.select((inter / union).alias("_j"), cfg).select(
+        F.col("c.bands").alias("bands"),
+        F.col("c.rows").alias("rows"),
+        F.col("c.cand").alias("_cand"),
+        (F.col("_j") >= tau).alias("_true"),
+    )
+    n_true = F.sum(F.when(F.col("_true"), 1).otherwise(0)).cast("long")
+    n_cand = F.sum(F.when(F.col("_cand"), 1).otherwise(0)).cast("long")
+    n_hit = F.sum(F.when(F.col("_cand") & F.col("_true"), 1).otherwise(0)).cast("long")
+    return (
+        per.groupBy("bands", "rows")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            n_true.alias("n_true"),
+            n_cand.alias("n_candidates"),
+            n_hit.alias("n_hits"),
+        )
+        .select(
+            "bands",
+            "rows",
+            "n_pairs",
+            "n_true",
+            "n_candidates",
+            "n_hits",
+            F.when(
+                F.col("n_true") > 0,
+                F.round(F.col("n_hits") / F.col("n_true"), 6),
+            ).alias("recall"),
+            F.when(
+                F.col("n_candidates") > 0,
+                F.round(F.col("n_hits") / F.col("n_candidates"), 6),
+            ).alias("precision"),
+        )
+    )

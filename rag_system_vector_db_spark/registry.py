@@ -8,6 +8,7 @@ AFTER any ordering/ranking on full precision, so value-hashes agree.
 
 from __future__ import annotations
 
+import math as _math
 import os as _os
 
 from collections.abc import Callable
@@ -3256,16 +3257,10 @@ def maxsim_group_retrieval(spark, sf_dir):
     )
 
 
-@query("knn_graph_lsh")  # oracle attached below (plane literals)
-def knn_graph_lsh(spark, sf_dir):
-    """Corpus kNN-graph build (the neighborhood-graph step behind
-    HNSW/NN-descent index construction and graph-based dedup): every
-    vector's top-3 cosine neighbors among its LSH bucket's candidates
-    (4 planes -> 16 buckets). The bucket equi-self-join bounds
-    candidate volume by bucket occupancy (never n²); per-source top-k
-    is the agg-based prune. Vectors alone in their bucket have no
-    rows — at scale raise recall with multiprobe, not bigger
-    buckets."""
+def _knn_graph_edges(spark, sf_dir):
+    """Shared kNN-graph edge build for knn_graph_lsh and its degree
+    diagnostics: per-vector top-3 cosine neighbors among LSH-bucket
+    candidates (4 planes -> 16 buckets), agg-based per-source prune."""
     from .operators import ann
     from .operators.knn import topk_per_key_agg
 
@@ -3287,7 +3282,20 @@ def knn_graph_lsh(spark, sf_dir):
             V.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("score"),
         )
     )
-    out = topk_per_key_agg(scored, "src", "dst", 3)
+    return topk_per_key_agg(scored, "src", "dst", 3)
+
+
+@query("knn_graph_lsh")  # oracle attached below (plane literals)
+def knn_graph_lsh(spark, sf_dir):
+    """Corpus kNN-graph build (the neighborhood-graph step behind
+    HNSW/NN-descent index construction and graph-based dedup): every
+    vector's top-3 cosine neighbors among its LSH bucket's candidates
+    (4 planes -> 16 buckets). The bucket equi-self-join bounds
+    candidate volume by bucket occupancy (never n²); per-source top-k
+    is the agg-based prune. Vectors alone in their bucket have no
+    rows — at scale raise recall with multiprobe, not bigger
+    buckets."""
+    out = _knn_graph_edges(spark, sf_dir)
     return out.select(
         "src", "dst", F.round("score", 6).alias("score"), F.col("rank").cast("long")
     )
@@ -4845,3 +4853,289 @@ def dedup_cluster_stats_q(spark, sf_dir):
     pairs = dedup.dedup_embedding_cosine(emb, threshold=0.3, all_pairs=True)
     cc = dedup.dedup_cluster(pairs, "id_a", "id_b")
     return dedup.cluster_stats(cc)
+
+
+def _band_sweep_oracle() -> str:
+    def cand(b: int, r: int) -> str:
+        bands_sql = " OR ".join(
+            "("
+            + " AND ".join(f"a{band * r + row} = b{band * r + row}" for row in range(r))
+            + ")"
+            for band in range(b)
+        )
+        return bands_sql
+
+    legs = "\n    UNION ALL\n    ".join(
+        f"""SELECT CAST({b} AS BIGINT) AS bands, CAST({r} AS BIGINT) AS rows_per_band,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN j >= 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+               CAST(sum(CASE WHEN {cand(b, r)} THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+               CAST(sum(CASE WHEN ({cand(b, r)}) AND j >= 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        FROM scored"""
+        for b, r in ((8, 1), (4, 2), (2, 4), (1, 8))
+    )
+    ab = ", ".join(f"sa.h{i} AS a{i}, sb.h{i} AS b{i}" for i in range(8))
+    return f"""
+    WITH dsub AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+    sh AS (
+        SELECT DISTINCT doc_id, unnest(
+            CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                 ELSE [array_to_string(t[i + 1 : i + 3], ' ') FOR i IN range(len(t) - 2)]
+            END) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM dsub)
+    ), shf AS (SELECT * FROM sh WHERE shingle <> ''),
+    mh AS (SELECT doc_id,
+        ('0x' || substr(md5('0:' || shingle), 1, 15))::BIGINT AS ha,
+        ('0x' || substr(md5('1:' || shingle), 1, 14))::BIGINT AS hb FROM shf),
+    sig AS (SELECT doc_id, {", ".join(f"min(ha + {i} * hb) AS h{i}" for i in range(8))}
+        FROM mh GROUP BY doc_id),
+    sizes AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS n FROM shf GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS DOUBLE) AS ni
+        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, {ab},
+               coalesce(i.ni, 0) / (x.n + y.n - coalesce(i.ni, 0)) AS j
+        FROM sig sa
+        JOIN sig sb ON sa.doc_id < sb.doc_id
+        JOIN sizes x ON x.doc_id = sa.doc_id
+        JOIN sizes y ON y.doc_id = sb.doc_id
+        LEFT JOIN inter i ON i.da = sa.doc_id AND i.db = sb.doc_id
+    ), agged AS (
+    {legs}
+    )
+    SELECT bands, rows_per_band AS rows, n_pairs, n_true, n_candidates, n_hits,
+           CASE WHEN n_true > 0 THEN round(n_hits::DOUBLE / n_true, 6) END AS recall,
+           CASE WHEN n_candidates > 0 THEN round(n_hits::DOUBLE / n_candidates, 6) END AS precision
+    FROM agged
+    """
+
+
+@query("minhash_band_sweep", oracle=None)
+def minhash_band_sweep_q(spark, sf_dir):
+    """Banding-scheme sweep: candidate volume + recall/precision vs
+    exact Jaccard ≥ τ for every (bands, rows) split of one 8-component
+    signature — the empirical S-curve that sizes MinHash-LSH banding.
+    Exact truth runs on an explicitly bounded id-prefix subset (the
+    similarity_matrix posture); one signature frame, one pair pass,
+    configs exploded per pair."""
+    from .operators import dedup
+
+    return dedup.minhash_band_sweep(load_table(spark, sf_dir, "documents"))
+
+
+ORACLES["minhash_band_sweep"] = _band_sweep_oracle()
+
+
+# 1-based DCG rank discounts 1/log2(rank+1), inlined as literals on
+# BOTH engines so no log evaluates at query time (libm log drift is
+# the classic cross-engine hash killer)
+_NDCG_DISC = [1.0 / _math.log2(r + 1) for r in range(1, 11)]
+_NDCG_DISC_SQL = "[" + ", ".join(repr(d) for d in _NDCG_DISC) + "]::DOUBLE[]"
+
+
+@query(
+    "retrieval_ndcg",
+    oracle=f"""
+    WITH total AS (SELECT count(*) AS n FROM embeddings),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS query_vec,
+               vec_id AS e1,
+               (vec_id * 7 + 3) % (SELECT n FROM total) AS e2,
+               (vec_id * 13 + 5) % (SELECT n FROM total) AS e3
+        FROM embeddings WHERE vec_id < 10
+    ), rel0 AS (
+        SELECT query_id, e1 AS doc_id, 3 AS g FROM q
+        UNION ALL SELECT query_id, e2, 2 FROM q
+        UNION ALL SELECT query_id, e3, 1 FROM q
+    ), rels AS (
+        SELECT query_id, doc_id, max(g) AS g FROM rel0 GROUP BY 1, 2
+    ), scored AS (
+        SELECT q.query_id, e.vec_id,
+               {_dd_cosine("e.embedding", "q.query_vec")} AS score
+        FROM embeddings e, q
+    ), ranked AS (
+        SELECT query_id, vec_id, row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+        FROM scored
+    ), hits AS (
+        SELECT r.query_id, r.rank, (pow(2, rel.g) - 1) * ({_NDCG_DISC_SQL})[r.rank] AS term
+        FROM ranked r JOIN rels rel ON rel.query_id = r.query_id AND rel.doc_id = r.vec_id
+        WHERE r.rank <= 10
+    ), dcg AS (
+        SELECT query_id, list_sum(list(term ORDER BY rank)) AS dcg FROM hits GROUP BY query_id
+    ), idcg AS (
+        SELECT query_id, CAST(len(gs) AS BIGINT) AS n_rel,
+               list_sum([(pow(2, gs[i + 1]) - 1) * ({_NDCG_DISC_SQL})[i + 1]
+                         FOR i IN range(len(gs))]) AS idcg
+        FROM (SELECT query_id, list(g ORDER BY g DESC) AS gs FROM rels GROUP BY query_id)
+        GROUP BY query_id, gs
+    )
+    SELECT i.query_id, i.n_rel,
+           round(coalesce(d.dcg, 0.0), 6) AS dcg,
+           round(i.idcg, 6) AS idcg,
+           round(coalesce(d.dcg, 0.0) / i.idcg, 6) AS ndcg
+    FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id
+    """,
+)
+def retrieval_ndcg(spark, sf_dir):
+    """NDCG@10 with graded relevance (the ranking-quality completion
+    of retrieval_metrics' binary MRR/hit@k): each query carries a
+    deterministic 3/2/1-graded relevant-doc trio (self + two pseudo-
+    random ids, grade collisions resolved by max); DCG sums
+    (2^grade−1)·disc[rank] over the exact top-10 in rank order, IDCG
+    over the grades sorted descending — the rank discounts are
+    PRECOMPUTED literals on both engines, and both sums run
+    sequentially in sorted order, so the floats match bit-for-bit.
+    One corpus scan (broadcast batch kNN) + two tiny aggs."""
+    from .operators import knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    total_df = emb.select(F.count("*").alias("_t"))
+    q = (
+        emb.filter(F.col("vec_id") < 10)
+        .crossJoin(F.broadcast(total_df))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.col("vec_id").alias("e1"),
+            ((F.col("vec_id") * 7 + 3) % F.col("_t")).alias("e2"),
+            ((F.col("vec_id") * 13 + 5) % F.col("_t")).alias("e3"),
+        )
+    )
+    rels = (
+        q.select(
+            "query_id",
+            F.explode(
+                F.array(
+                    F.struct(F.col("e1").alias("doc"), F.lit(3).alias("g")),
+                    F.struct(F.col("e2").alias("doc"), F.lit(2).alias("g")),
+                    F.struct(F.col("e3").alias("doc"), F.lit(1).alias("g")),
+                )
+            ).alias("x"),
+        )
+        .groupBy("query_id", F.col("x.doc").alias("doc_id"))
+        .agg(F.max("x.g").alias("g"))
+    )
+    top = knn.topk_batch(emb, q.select("query_id", "query_vec"), k=10)
+    disc = F.lit(_NDCG_DISC)
+    term = (F.pow(F.lit(2), F.col("g")) - 1) * F.element_at(disc, F.col("rank").cast("int"))
+    dcg = (
+        top.join(
+            rels,
+            (top.query_id == rels.query_id) & (top.vec_id == rels.doc_id),
+        )
+        .select(top.query_id.alias("query_id"), F.col("rank"), term.alias("_term"))
+        .groupBy("query_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("rank"), F.col("_term")))
+                    ),
+                    lambda s: s["_term"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("_dcg")
+        )
+    )
+    idcg = rels.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_rel"),
+        F.reverse(F.array_sort(F.collect_list("g"))).alias("_gs"),
+    ).select(
+        "query_id",
+        "n_rel",
+        F.aggregate(
+            F.zip_with(
+                F.col("_gs"),
+                F.slice(disc, 1, F.size("_gs")),
+                lambda gg, d: (F.pow(F.lit(2), gg) - 1) * d,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("_idcg"),
+    )
+    return idcg.join(dcg, "query_id", "left").select(
+        "query_id",
+        "n_rel",
+        F.round(F.coalesce(F.col("_dcg"), F.lit(0.0)), 6).alias("dcg"),
+        F.round("_idcg", 6).alias("idcg"),
+        F.round(F.coalesce(F.col("_dcg"), F.lit(0.0)) / F.col("_idcg"), 6).alias("ndcg"),
+    )
+
+
+def _knn_graph_degree_oracle() -> str:
+    base = _knn_graph_oracle().rsplit("SELECT src, dst", 1)[0]
+    return base + """
+    , edges AS (SELECT src, dst FROM ranked WHERE rank <= 3),
+    n AS (SELECT count(*) AS n_nodes FROM embeddings),
+    outd AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+    ind AS (SELECT dst, count(*) AS id_ FROM edges GROUP BY dst),
+    recip AS (
+        SELECT count(*) AS n_recip
+        FROM edges e JOIN edges r ON r.src = e.dst AND r.dst = e.src
+    )
+    SELECT CAST(n.n_nodes AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST(n.n_nodes - (SELECT count(*) FROM outd) AS BIGINT) AS n_isolated,
+           round((SELECT count(*) FROM edges)::DOUBLE / n.n_nodes, 6) AS mean_out_degree,
+           CAST((SELECT max(id_) FROM ind) AS BIGINT) AS max_in_degree,
+           CAST((SELECT count(*) FROM ind WHERE id_ >= 6) AS BIGINT) AS n_hubs,
+           round((SELECT n_recip FROM recip)::DOUBLE
+                 / (SELECT count(*) FROM edges), 6) AS reciprocity
+    FROM n
+    """
+
+
+@query("knn_graph_degree_stats", oracle=None)
+def knn_graph_degree_stats(spark, sf_dir):
+    """kNN-graph quality diagnostics (the NN-descent / HNSW
+    pre-flight): isolated-node count (bucket singletons that got no
+    neighbors — the recall hole multiprobe would fix), in-degree hub
+    count (nodes ≥ 2k inbound — the skew that makes graph-build
+    reducers hot), mean out-degree and edge reciprocity (symmetric
+    neighborhoods predict NN-descent convergence). One edge build
+    (shared with knn_graph_lsh) + three tiny aggs over (src, dst)
+    longs; the corpus count rides as a broadcast scalar."""
+    edges = _knn_graph_edges(spark, sf_dir).select("src", "dst")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_df = emb.select(F.count("*").cast("long").alias("n_nodes"))
+    outd = edges.groupBy("src").agg(F.count("*").alias("_od"))
+    ind = edges.groupBy("dst").agg(F.count("*").alias("_id"))
+    e2 = edges.select(F.col("src").alias("_rs"), F.col("dst").alias("_rd"))
+    recip = edges.join(
+        e2, (F.col("_rs") == F.col("dst")) & (F.col("_rd") == F.col("src"))
+    ).select(F.count("*").cast("long").alias("n_recip"))
+    stats = edges.agg(F.count("*").cast("long").alias("n_edges")).crossJoin(
+        F.broadcast(n_df)
+    ).crossJoin(
+        F.broadcast(outd.agg(F.count("*").cast("long").alias("_n_src")))
+    ).crossJoin(
+        F.broadcast(
+            ind.agg(
+                F.max("_id").cast("long").alias("max_in_degree"),
+                F.sum(F.when(F.col("_id") >= 6, 1).otherwise(0))
+                .cast("long")
+                .alias("n_hubs"),
+            )
+        )
+    ).crossJoin(F.broadcast(recip))
+    return stats.select(
+        "n_nodes",
+        "n_edges",
+        (F.col("n_nodes") - F.col("_n_src")).cast("long").alias("n_isolated"),
+        F.round(F.col("n_edges").cast("double") / F.col("n_nodes"), 6).alias(
+            "mean_out_degree"
+        ),
+        "max_in_degree",
+        "n_hubs",
+        F.round(F.col("n_recip").cast("double") / F.col("n_edges"), 6).alias(
+            "reciprocity"
+        ),
+    )
+
+
+ORACLES["knn_graph_degree_stats"] = _knn_graph_degree_oracle()
