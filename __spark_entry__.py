@@ -27,81 +27,75 @@ from rag_system_vector_db_spark.registry import (  # noqa: E402
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 # The driver's correctness run checks the FIRST 50 dict entries only.
-# r5 rotation (VERDICT r4 item 1): every entry whose code changed
-# AFTER its last green driver stamp verifies first — the r5-new /
-# r5-changed operators, then the 43 r3-stamped entries that r4's perf
-# surgery touched (hybrid rrf_fuse rework, shared shingle pipeline,
-# chunker word-count semantics, analytics broadcast drops). The r4
-# cohort (CORRECTNESS_r04: 50/50 green, code untouched since) rotates
-# out and follows in registration order.
+# r5-final rotation: (a) every entry that has NEVER had a driver stamp
+# (the r5-new operators — 36 of them, across the whole session)
+# verifies first; (b) the remaining slots go to entries whose code
+# changed AFTER their last green stamp (r4's rrf_fuse/shingle/chunker
+# surgery + r5's broadcast drops + today's knn-graph edge-builder
+# refactor). Changed-but-unslotted entries (chunk_documents,
+# split_large_chunks, extract_dates, local_supplier_volume, the rest
+# of the r3 cohort) queue at positions 51+ for the next round's
+# window.
 _VERIFY_FIRST = [
-    # new in r5 / code changed in r5 after their r4 stamp
+    # (a) never driver-checked — r5 new operators
     "ivf_probe_sweep",
-    "minhash_accuracy",
-    "sequence_packing",
-    "skew_profile",
-    "semdedup_clusters",
     "eval_results_artifact",
-    # new r5 op (incremental_dedup rotated out: its r4 green stamp is
-    # current — that code did not change in r5)
     "quality_classifier",
-    # the 43 r3-stamped entries whose code moved in r4 (and some again
-    # in r5: chunk_diary/chunk_stats word_count, dedup_ngram_jaccard /
-    # join_revenue_topn / local_supplier_volume broadcast drops,
-    # dedup_cluster observe convergence)
-    "hybrid_search_rrf",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "chunk_documents",
-    "chunk_diary",
-    "chunk_stats",
-    "split_large_chunks",
-    "extract_dates",
-    "regex_extract_meta",
-    "dedup_exact",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_cluster",
-    "knn_topk_cosine",
-    "knn_batch",
-    "similarity_matrix",
-    "vector_norms",
-    "rag_retrieve",
-    "rag_eval_retrieval",
-    "ann_lsh_cosine",
-    "ann_lsh_multiprobe",
-    "ann_ivf",
-    "ann_ivf_rerank",
-    "ann_recall_at_k",
-    "ann_probe_sweep",
-    "lang_id",
-    "lang_id_ngram",
-    "text_quality",
-    "token_count",
-    "bpe_token_count",
-    "doc_fingerprint",
-    "tfidf_top_terms",
-    "ngram_counts",
-    "label_centroids",
-    "agg_pricing_summary",
-    "join_revenue_topn",
-    "local_supplier_volume",
-    "rollup_pricing",
-    "order_priority_pivot",
-    "multimodal_pipeline",
-    "multimodal_stats",
-    "multimodal_frames",
-    # positions 51+: next-in-line if the driver window ever widens —
-    # the remaining never-driver-checked r5 ops (pytest-green at the
-    # driver's sf), then everything else in registration order
     "hard_negative_mining",
     "cluster_purity",
     "keyword_index_batch",
     "hybrid_index_batch",
-    # rrf_fuse now delegates to rrf_fuse_batch (r5) — re-stamp the
-    # index-served hybrid path too (hybrid_search_rrf is in-window)
+    "multimodal_dedup",
+    "volume_shipping",
+    "promo_revenue",
+    "discounted_revenue",
+    "ann_ivfpq",
+    "ann_ivfpq_indexed",
+    "substring_dedup",
+    "order_priority_check",
+    "customer_order_distribution",
+    "small_quantity_revenue",
+    "large_volume_customers",
+    "scd2_intervals",
+    "bloom_dedup_probe",
+    "keyword_index_phrase",
+    "top_supplier_revenue",
+    "suppliers_kept_waiting",
+    "tokenizer_fertility",
+    "dsir_selection",
+    "shipping_priority",
+    "revenue_forecast",
+    "returned_items",
+    "market_share",
+    "keyword_index_merge",
+    "cdc_apply",
+    "ann_ivfpq_residual",
+    "dedup_cluster_stats",
+    "minhash_band_sweep",
+    "retrieval_ndcg",
+    "knn_graph_degree_stats",
+    # (b) code changed after last green stamp
+    "knn_graph_lsh",
+    "minhash_accuracy",
+    "sequence_packing",
+    "skew_profile",
+    "semdedup_clusters",
+    "hybrid_search_rrf",
     "hybrid_index_rrf",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "chunk_diary",
+    "chunk_stats",
+    "dedup_cluster",
+    "join_revenue_topn",
+    # positions 51+: changed-after-stamp entries awaiting the r6
+    # window, most-recently-changed first
+    "chunk_documents",
+    "split_large_chunks",
+    "extract_dates",
+    "local_supplier_volume",
+    "regex_extract_meta",
 ]
 
 
