@@ -38,6 +38,10 @@ _ORACLE_SF_DIR = "/root/testdata/sf0.01"
 # window.
 _VERIFY_FIRST = [
     # (a) never driver-checked — r5 new operators
+    "global_sales_opportunity",
+    "group_reservoir_sample",
+    "priority_sample",
+    "compaction_plan",
     "ivf_probe_sweep",
     "eval_results_artifact",
     "quality_classifier",
@@ -90,12 +94,10 @@ _VERIFY_FIRST = [
     "dedup_cluster",
     "join_revenue_topn",
     # positions 51+: changed-after-stamp entries awaiting the r6
-    # window, most-recently-changed first
+    # window, most-recently-changed first (extract_dates,
+    # local_supplier_volume, regex_extract_meta, split_large_chunks queue behind these in
+    # registration order)
     "chunk_documents",
-    "split_large_chunks",
-    "extract_dates",
-    "local_supplier_volume",
-    "regex_extract_meta",
 ]
 
 

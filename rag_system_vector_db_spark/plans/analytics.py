@@ -1275,3 +1275,42 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_last._ts").alias("updated_at_us"),
         "n_ops",
     )
+
+
+def global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: wealthy-but-dormant customers per country —
+    customers in a fixed set of nations whose balance beats the
+    positive-balance average and who have placed NO orders.
+
+    Physical posture: the nation-set filter pushes to the customer
+    scan; the positive-balance average is a 1-row broadcast scalar
+    (crossJoin of an agg, no second customer pass beyond the shared
+    scan); "no orders" is a LEFT ANTI against orders projected to
+    o_custkey only, so the fact side crosses the shuffle as bare keys.
+    The threshold compares exactly: ``acctbal * n > sum`` in DECIMAL
+    (not ``acctbal > sum/n`` in floating point), so an ULP of
+    double-division drift can never flip a membership decision between
+    engines — at 100 TB a boundary customer is a wrong-answer bug, not
+    noise. Final groupBy collapses to ≤ |nation set| rows."""
+    codes = [1, 3, 5, 7, 9, 11, 13]
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(codes))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).alias("_sum"),
+        F.count("*").cast("long").alias("_cnt"),
+    )
+    rich = cust.crossJoin(F.broadcast(pos)).filter(
+        _dec("c_acctbal") * F.col("_cnt") > F.col("_sum")
+    )
+    dormant = rich.join(
+        load_table(spark, sf_dir, "orders").select("o_custkey"),
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return dormant.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("numcust"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+    )

@@ -5139,3 +5139,472 @@ def knn_graph_degree_stats(spark, sf_dir):
 
 
 ORACLES["knn_graph_degree_stats"] = _knn_graph_degree_oracle()
+
+
+@query(
+    "global_sales_opportunity",
+    oracle="""
+    WITH inc AS (
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+    ), pos AS (
+        SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM inc WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM inc, pos
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = inc.c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def global_sales_opportunity_q(spark, sf_dir):
+    """TPC-H Q22 shape: wealthy zero-order customers per nation —
+    scalar-average threshold (exact DECIMAL cross-multiply, never a
+    float division) + LEFT ANTI against key-projected orders."""
+    from .plans import analytics
+
+    return analytics.global_sales_opportunity(spark, sf_dir)
+
+
+@query(
+    "group_reservoir_sample",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {H.dd_md5_long('CAST(doc_id AS VARCHAR)', 'rsv')}, doc_id
+               ) AS rank
+        FROM documents
+    )
+    SELECT source, doc_id, n_chars, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def group_reservoir_sample_q(spark, sf_dir):
+    """Per-group fixed-size uniform sample (the distributed reservoir:
+    eval-set carving, per-source spot-check extraction). Priority =
+    seeded md5 of the id — a uniform 60-bit draw that is reproducible
+    across engines, runs AND cluster sizes, unlike rand(seed) whose
+    stream depends on partitioning. Smallest-k-per-group via the
+    sort_array/slice agg (one map-side-combinable shuffle, no window
+    sort stage); adding a doc never evicts more than one survivor —
+    the reservoir property — so incremental re-runs are stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        H.md5_long(F.col("doc_id").cast("string"), "rsv").alias("_pri"),
+    )
+    top = knn.topk_per_key_agg(scored, "source", "doc_id", 5, score_col="_pri", asc=True)
+    meta = docs.select(F.col("doc_id").alias("_d"), F.col("n_chars").alias("_nc"))
+    return (
+        top.join(meta, top.doc_id == F.col("_d"))
+        .select("source", "doc_id", F.col("_nc").alias("n_chars"), F.col("rank").cast("long"))
+    )
+
+
+@query(
+    "priority_sample",
+    oracle=f"""
+    WITH pri AS (
+        SELECT source, doc_id, n_chars,
+               CAST(n_chars AS DOUBLE)
+                   / (({H.dd_md5_long('CAST(doc_id AS VARCHAR)', 'pps')} + 1)
+                      / 1152921504606846976.0) AS priority
+        FROM documents
+    ), ranked AS (
+        SELECT source, doc_id, n_chars, priority,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY priority DESC, doc_id
+               ) AS rank
+        FROM pri
+    )
+    SELECT source, doc_id, n_chars, round(priority, 4) AS priority,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def priority_sample_q(spark, sf_dir):
+    """Weighted sampling without replacement (Rosén/Duffield priority
+    sampling, the PPS workhorse for budget-capped corpus selection):
+    each doc draws u ∈ (0,1] from a seeded md5 and competes with
+    priority = weight / u; the per-group top-k is a PPSWOR sample with
+    inclusion probability ∝ weight (n_chars here — byte-budgeted
+    selection). Per-row arithmetic only (two IEEE ops in a fixed
+    order, bit-identical in both engines); ranking happens on full
+    precision, rounding only on output. Same agg-based top-k as the
+    uniform reservoir — no window, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (H.md5_long(F.col("doc_id").cast("string"), "pps") + F.lit(1)) / F.lit(
+        1152921504606846976.0
+    )
+    scored = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (F.col("n_chars").cast("double") / u).alias("_pri"),
+    )
+    top = knn.topk_per_key_agg(scored, "source", "doc_id", 5, score_col="_pri", asc=False)
+    meta = docs.select(F.col("doc_id").alias("_d"), F.col("n_chars").alias("_nc"))
+    return (
+        top.join(meta, top.doc_id == F.col("_d"))
+        .select(
+            "source",
+            "doc_id",
+            F.col("_nc").alias("n_chars"),
+            F.round("_pri", 4).alias("priority"),
+            F.col("rank").cast("long"),
+        )
+    )
+
+
+@query(
+    "compaction_plan",
+    oracle="""
+    WITH sized AS (
+        SELECT source, doc_id, n_chars,
+               COALESCE(sum(n_chars) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS before
+        FROM documents
+    ), binned AS (
+        SELECT source, before // 4096 AS bin, n_chars FROM sized
+    )
+    SELECT source, CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_chars) AS BIGINT) AS bin_chars
+    FROM binned GROUP BY source, bin
+    """,
+)
+def compaction_plan_q(spark, sf_dir):
+    """Small-file compaction planner (the nightly table-maintenance
+    pass every 100 TB lake runs: bin-pack many small files into
+    ~target-size rewrite groups). Files = document rows, size =
+    n_chars, target = 4096: each source's files are packed in id
+    order by running-size-before ``div`` target — greedy first-fit in
+    arrival order, the same assignment Delta/Iceberg OPTIMIZE
+    computes. One window per source (prefix sum of a long) + one
+    map-side-combinable rollup of (source, bin). At real scale the
+    prefix sum runs per table-partition — bounded rows per window
+    partition; for a single giant partition switch to the two-phase
+    shard prefix sum sequence_packing uses (chunking.py:209)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sized = docs.select(
+        "source",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("_before"),
+    )
+    return (
+        sized.select("source", "n_chars", F.expr("_before div 4096").alias("bin"))
+        .groupBy("source", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("n_chars").cast("long").alias("bin_chars"),
+        )
+    )
+
+
+def _z_interleave_spark(x, y, bits: int = 10):
+    """Morton/Z-order interleave of two non-negative ints (bit i of x
+    -> bit 2i, bit i of y -> bit 2i+1), as portable div/mod arithmetic
+    identical in Spark and DuckDB."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + (F.shiftright(x, i).bitwiseAND(F.lit(1))) * F.lit(1 << (2 * i))
+            + (F.shiftright(y, i).bitwiseAND(F.lit(1))) * F.lit(1 << (2 * i + 1))
+        )
+    return z
+
+
+def _z_interleave_dd(x: str, y: str, bits: int = 10) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x}) >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"((({y}) >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "zorder_layout",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT user_id & 1023 AS x,
+               (epoch_ns(ts) // 3600000000000) & 1023 AS y
+        FROM events
+    ), z AS (
+        SELECT x, y, {_z_interleave_dd('x', 'y')} // 1024 AS block FROM keyed
+    )
+    SELECT CAST(block AS BIGINT) AS block,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+           CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y,
+           CAST(max(x) - min(x) AS BIGINT) AS x_span,
+           CAST(max(y) - min(y) AS BIGINT) AS y_span
+    FROM z GROUP BY block
+    """,
+)
+def zorder_layout_q(spark, sf_dir):
+    """Z-order (Morton-curve) data layout for multi-column pruning —
+    the Delta/Iceberg OPTIMIZE ZORDER BY primitive: interleaving the
+    bits of two cluster keys gives ONE sort key under which any
+    fixed-size run of rows stays tight in BOTH dimensions, so min/max
+    file stats prune selective predicates on either column. Keys here:
+    user_id and epoch-hour (both masked to 10 bits); blocks = zvalue
+    div 1024 model the file boundary, and the emitted per-block
+    x/y spans ARE the pruning quality measurement (a z-ordered block
+    covers ~sqrt(block_rows) of each key range instead of the full
+    span a single-key sort leaves on the second column). The
+    interleave is 40 shift-mask-add codegen ops per row, no shuffle
+    until the per-block rollup; at 100 TB the same zvalue is the
+    repartitionByRange + sortWithinPartitions key for the rewrite."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.col("user_id").bitwiseAND(F.lit(1023)).alias("x"),
+        F.expr("ts_ns div 3600000000000").bitwiseAND(F.lit(1023)).alias("y"),
+    )
+    z = keyed.select(
+        "x",
+        "y",
+        F.shiftright(_z_interleave_spark(F.col("x"), F.col("y")), 10).alias("block"),
+    )
+    return z.groupBy("block").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("x").cast("long").alias("min_x"),
+        F.max("x").cast("long").alias("max_x"),
+        F.min("y").cast("long").alias("min_y"),
+        F.max("y").cast("long").alias("max_y"),
+        (F.max("x") - F.min("x")).cast("long").alias("x_span"),
+        (F.max("y") - F.min("y")).cast("long").alias("y_span"),
+    )
+
+
+@query(
+    "bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), vocab AS (
+        SELECT w, count(*) AS n FROM words WHERE len(w) >= 2 GROUP BY w
+    ), pairs AS (
+        SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair,
+               n
+        FROM vocab
+    ), counts AS (
+        SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences
+        FROM pairs GROUP BY pair
+    ), ranked AS (
+        SELECT pair, n_occurrences,
+               row_number() OVER (ORDER BY n_occurrences DESC, pair) AS rank
+        FROM counts
+    )
+    SELECT pair, n_occurrences, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def bpe_pair_counts_q(spark, sf_dir):
+    """One BPE training round (Sennrich ACL'16): the top adjacent
+    symbol pairs whose merge the next vocab entry would be. The
+    classic scale trick: corpus text collapses to the (word, count)
+    VOCAB first — one map-side-combinable shuffle over the raw text —
+    and pair explosion + pair counting then run over the vocab table
+    only, so per-round cost is vocabulary-sized, independent of corpus
+    size (this is why real BPE trainers iterate in minutes over TBs).
+    Adjacent pairs via a transform/sequence HOF (no Python), global
+    top-20 via TakeOrdered + a 20-row window for the rank column."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    counts = (
+        vocab.select(
+            "n",
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("n").cast("long").alias("n_occurrences"))
+    )
+    top = counts.orderBy(F.col("n_occurrences").desc(), "pair").limit(20)
+    w = Window.orderBy(F.col("n_occurrences").desc(), "pair")
+    return top.select(
+        "pair", "n_occurrences", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
+@query(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+               ) AS from_type
+        FROM events
+    ), counts AS (
+        SELECT from_type, event_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE from_type IS NOT NULL
+        GROUP BY from_type, event_type
+    )
+    SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM counts
+    """,
+)
+def event_transitions_q(spark, sf_dir):
+    """First-order Markov transition table over per-user event
+    streams (the session-flow / funnel-discovery primitive): lag
+    within (user_id) order gives consecutive-event bigrams, one
+    map-side-combinable count per (from, to), row-probabilities
+    normalized by a window over the ≤|types|² result frame (never the
+    raw log). ONE shuffle keyed by user_id does all the sequencing —
+    the same partitioning sessionize_events and scd2_intervals ride;
+    ts_ns integer ordering with event_id tie-break makes the sequence
+    (hence every count) deterministic in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wf), 6).alias("p"),
+    )
+
+
+def _pagerank_oracle() -> str:
+    base = _knn_graph_oracle().rsplit("SELECT src, dst", 1)[0]
+    rounds = []
+    D = 1
+    prev = "p0"
+    for k in (1, 2, 3):
+        rounds.append(
+            f"""
+    c{k} AS (
+        SELECT ew.dst, sum({prev}.a * ew.w6) AS s
+        FROM ew JOIN {prev} ON {prev}.vec_id = ew.src GROUP BY ew.dst
+    ), p{k} AS (
+        SELECT e.vec_id,
+               CAST(18 * {D} + 17 * COALESCE(c{k}.s, 0) AS BIGINT) AS a
+        FROM embeddings e LEFT JOIN c{k} ON c{k}.dst = e.vec_id
+    )"""
+        )
+        D *= 120
+        prev = f"p{k}"
+    return (
+        base
+        + """
+    , edges AS (SELECT src, dst FROM ranked WHERE rank <= 3),
+    od AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+    ew AS (SELECT e.src, e.dst, 6 // od.od AS w6 FROM edges e JOIN od USING (src)),
+    p0 AS (SELECT vec_id, CAST(1 AS BIGINT) AS a FROM embeddings),"""
+        + ",".join(rounds)
+        + f"""
+    SELECT vec_id, round(a / {D}.0, 6) AS pagerank FROM p3
+    """
+    )
+
+
+@query("knn_graph_pagerank")  # oracle attached below (plane literals)
+def knn_graph_pagerank_q(spark, sf_dir):
+    """PageRank over the corpus kNN graph (3 power iterations, d =
+    0.85) — the graph-centrality signal retrieval stacks use for
+    authority-weighted dedup keeps and crawl-frontier ordering. The
+    iteration is EXACT INTEGER arithmetic: pr is carried as a
+    numerator over the common denominator 120^k (0.85 = 17/20 and
+    out-degrees ∈ {{1,2,3}} divide 6, so pr' = (18·D + 17·Σ a·(6/od))
+    / 120D stays integral) — summed longs are order-independent, so
+    three join-agg rounds hash-match the oracle's unrolled CTEs
+    bit-for-bit, with ONE float division at output. Edges build once
+    (lazy localCheckpoint) and feed all rounds; per round only
+    (node, numerator) longs shuffle. Dangling-node mass is dropped,
+    the standard simplified-PageRank convention."""
+    edges = _knn_graph_edges(spark, sf_dir).select("src", "dst").localCheckpoint(eager=False)
+    od = edges.groupBy("src").agg(F.count("*").alias("od"))
+    ew = edges.join(od, "src").select("src", "dst", F.expr("6 div od").alias("w6"))
+    ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    pr = ids.select("vec_id", F.lit(1).cast("long").alias("a"))
+    D = 1
+    for _ in range(3):
+        contrib = (
+            ew.join(pr, ew.src == pr.vec_id)
+            .groupBy("dst")
+            .agg(F.sum(F.col("a") * F.col("w6")).alias("_s"))
+        )
+        pr = ids.join(contrib, ids.vec_id == contrib.dst, "left").select(
+            ids.vec_id,
+            (F.lit(18 * D) + F.lit(17) * F.coalesce("_s", F.lit(0)))
+            .cast("long")
+            .alias("a"),
+        )
+        D *= 120
+    return pr.select(
+        "vec_id", F.round(F.col("a").cast("double") / F.lit(float(D)), 6).alias("pagerank")
+    )
+
+
+ORACLES["knn_graph_pagerank"] = _pagerank_oracle()
+
+
+def _mutual_knn_oracle() -> str:
+    base = _knn_graph_oracle().rsplit("SELECT src, dst", 1)[0]
+    return base + """
+    , edges AS (SELECT src, dst, score FROM ranked WHERE rank <= 3)
+    SELECT e.src AS id_a, e.dst AS id_b, round(e.score, 6) AS score
+    FROM edges e JOIN edges r ON r.src = e.dst AND r.dst = e.src
+    WHERE e.src < e.dst
+    """
+
+
+@query("mutual_knn")  # oracle attached below (plane literals)
+def mutual_knn_q(spark, sf_dir):
+    """Reciprocal nearest neighbors: pairs where EACH vector sits in
+    the other's top-3 — the high-precision pair filter under
+    RNN-clustering and two-stage dedup (mutuality kills the hub
+    false-positives a one-directional kNN graph keeps: a hub in many
+    top-3 lists reciprocates only its own 3). One edge build feeds
+    both sides of the (dst, src)=(src, dst) equi-self-join — edge
+    volume is ≤ 3n rows of longs, so the join shuffles a frame ~the
+    size of the node set, nothing pairwise. Score is the cosine from
+    the src<dst direction (the element-wise product and sequential
+    sum are symmetric, so both directions carry the identical
+    double)."""
+    edges = _knn_graph_edges(spark, sf_dir).select("src", "dst", "score")
+    rev = edges.select(F.col("src").alias("_rs"), F.col("dst").alias("_rd"))
+    return (
+        edges.join(rev, (F.col("_rs") == F.col("dst")) & (F.col("_rd") == F.col("src")))
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("id_a"),
+            F.col("dst").alias("id_b"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+ORACLES["mutual_knn"] = _mutual_knn_oracle()
