@@ -28,20 +28,28 @@ _ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 # The driver's correctness run checks the FIRST 50 dict entries only.
 # r5-final rotation: (a) every entry that has NEVER had a driver stamp
-# (the r5-new operators — 36 of them, across the whole session)
-# verifies first; (b) the remaining slots go to entries whose code
-# changed AFTER their last green stamp (r4's rrf_fuse/shingle/chunker
-# surgery + r5's broadcast drops + today's knn-graph edge-builder
-# refactor). Changed-but-unslotted entries (chunk_documents,
-# split_large_chunks, extract_dates, local_supplier_volume, the rest
-# of the r3 cohort) queue at positions 51+ for the next round's
-# window.
+# (the 45 r5-new operators) verifies first; (b) the remaining 5 slots
+# go to the changed-after-stamp entries whose r4/r5 edits changed
+# BEHAVIOR, not just the plan (sequence_packing's integer-div fix,
+# chunk_diary/chunk_stats' reference-exact word_count) plus the two
+# most-reworked retrieval/dedup paths (hybrid_search_rrf's rrf_fuse
+# rework, dedup_ngram_jaccard's shingle+broadcast surgery).
+# Changed-but-unslotted entries queue at positions 51+ for r6:
+# the listed tail first, then dedup_minhash_lsh, dedup_simhash,
+# semdedup_clusters, hybrid_index_rrf, chunk_documents, dedup_cluster,
+# join_revenue_topn, split_large_chunks, extract_dates,
+# local_supplier_volume, regex_extract_meta in registration order.
 _VERIFY_FIRST = [
     # (a) never driver-checked — r5 new operators
     "global_sales_opportunity",
     "group_reservoir_sample",
     "priority_sample",
     "compaction_plan",
+    "zorder_layout",
+    "bpe_pair_counts",
+    "event_transitions",
+    "knn_graph_pagerank",
+    "mutual_knn",
     "ivf_probe_sweep",
     "eval_results_artifact",
     "quality_classifier",
@@ -78,26 +86,18 @@ _VERIFY_FIRST = [
     "minhash_band_sweep",
     "retrieval_ndcg",
     "knn_graph_degree_stats",
-    # (b) code changed after last green stamp
-    "knn_graph_lsh",
-    "minhash_accuracy",
+    # (b) code changed after last green stamp — behavior edits first
     "sequence_packing",
-    "skew_profile",
-    "semdedup_clusters",
-    "hybrid_search_rrf",
-    "hybrid_index_rrf",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
     "chunk_diary",
     "chunk_stats",
-    "dedup_cluster",
-    "join_revenue_topn",
-    # positions 51+: changed-after-stamp entries awaiting the r6
-    # window, most-recently-changed first (extract_dates,
-    # local_supplier_volume, regex_extract_meta, split_large_chunks queue behind these in
-    # registration order)
-    "chunk_documents",
+    "hybrid_search_rrf",
+    "dedup_ngram_jaccard",
+    # positions 51+: next-in-line for the r6 window
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "minhash_accuracy",
+    "knn_graph_lsh",
+    "skew_profile",
 ]
 
 
