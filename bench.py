@@ -144,6 +144,16 @@ EXTRA = [
     "minhash_band_sweep",
     "retrieval_ndcg",
     "knn_graph_degree_stats",
+    # r5 second wave
+    "global_sales_opportunity",
+    "group_reservoir_sample",
+    "priority_sample",
+    "compaction_plan",
+    "zorder_layout",
+    "bpe_pair_counts",
+    "event_transitions",
+    "knn_graph_pagerank",
+    "mutual_knn",
 ]
 
 

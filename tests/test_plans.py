@@ -315,3 +315,67 @@ def test_cdc_apply_single_agg_no_window(spark, sf_dir):
     assert "Window" not in plan
     assert "Join" not in plan
     assert "partial_max_by" in plan or "partial_" in plan  # map-side combine
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    """global_sales_opportunity: the no-orders check must be a LEFT
+    ANTI (never a distinct + outer join), the scalar average a
+    broadcast, and the orders side must cross as bare keys."""
+    plan = _plan(QUERIES["global_sales_opportunity"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan
+    read = plan.split("ReadSchema")
+    orders_read = [s for s in read[1:] if "o_custkey" in s[:300]]
+    assert orders_read and all(
+        "o_totalprice" not in s[:300] for s in orders_read
+    ), "orders scan must project o_custkey only"
+
+
+def test_sampling_uses_agg_topk_not_window(spark, sf_dir):
+    """Both samplers rank via the sort_array/slice agg — no Window
+    sort stage over the corpus."""
+    for name in ("group_reservoir_sample", "priority_sample"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "Window" not in plan, name
+        # the sort_array/slice top-k lowers to a collect_list
+        # ObjectHashAggregate with a partial (map-side) phase
+        assert "partial_collect_list" in plan, name
+
+
+def test_zorder_is_codegen_single_shuffle(spark, sf_dir):
+    """The Morton interleave must stay inside whole-stage codegen with
+    exactly one exchange (the per-block rollup)."""
+    df = QUERIES["zorder_layout"](spark, sf_dir)
+    plan = _plan(df)
+    # the interleave is pure shiftright/&/* arithmetic in a Project —
+    # JVM codegen territory, never a Python eval node
+    assert "shiftright" in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg exchange only
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_counts_vocab_first(spark, sf_dir):
+    """bpe_pair_counts: two partial/final agg pairs (vocab, then pair
+    counts) and a TakeOrdered top-20 — never a global sort of pairs."""
+    plan = _plan(QUERIES["bpe_pair_counts"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_compaction_window_is_per_source(spark, sf_dir):
+    plan = _plan(QUERIES["compaction_plan"](spark, sf_dir))
+    assert "Window" in plan
+    assert "partitionspec=[source" in plan.replace(" ", "").lower() or (
+        "PartitionBy: [source" in plan or "source" in plan.split("Window")[1][:200]
+    )
+
+
+def test_pagerank_shuffles_longs_only(spark, sf_dir):
+    """knn_graph_pagerank: no Python eval anywhere, and the iteration
+    must not re-derive edges per round (lazy localCheckpoint caps the
+    lineage — the plan shows scan-of-checkpoint, not three LSH
+    self-joins)."""
+    df = QUERIES["knn_graph_pagerank"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("ExistingRDD") >= 1 or "Scan ExistingRDD" in plan

@@ -193,6 +193,52 @@ NOTES = {
         "(one fact exchange, no correlated re-scans); supplier join "
         "is AQE-promoted from runtime size; top-10 via TakeOrdered."
     ),
+    "global_sales_opportunity": (
+        "Q22: nation-set filter pushed to the customer scan; the "
+        "positive-balance average rides as a 1-row BroadcastExchange "
+        "(exact DECIMAL cross-multiply threshold); the no-orders check "
+        "is a LEFT ANTI whose orders side is projected to o_custkey "
+        "before the exchange — bare keys cross the shuffle."
+    ),
+    "priority_sample": (
+        "PPSWOR priority sampling: per-row md5 draw + one IEEE divide "
+        "inside codegen; per-group top-k lowers to a "
+        "partial_collect_list ObjectHashAggregate pair — no Window "
+        "sort stage, group survivors bounded at k before the exchange."
+    ),
+    "compaction_plan": (
+        "Prefix-sum Window partitioned by source (single exchange), "
+        "bin assignment is integer div in a Project, rollup is a "
+        "partial/final HashAggregate pair over (source, bin)."
+    ),
+    "zorder_layout": (
+        "Morton interleave = 40 shiftright/&/* ops in one codegen "
+        "Project (no Python eval, no join); the only exchange is the "
+        "per-block stats rollup's partial->final agg pair."
+    ),
+    "bpe_pair_counts": (
+        "Corpus collapses to the (word, count) vocab in the first "
+        "partial/final agg pair; pair explosion runs over the vocab "
+        "only (transform/sequence HOFs, vocabulary-sized, corpus-size "
+        "independent); top-20 via TakeOrderedAndProject."
+    ),
+    "event_transitions": (
+        "ONE exchange keyed by user_id drives the lag window; bigram "
+        "counts are a partial/final agg pair; row-normalization "
+        "windows only the tiny (from,to) result frame."
+    ),
+    "knn_graph_pagerank": (
+        "Edges materialize once behind a lazy localCheckpoint (plan "
+        "shows Scan ExistingRDD, not three repeated LSH self-joins); "
+        "each of the 3 rounds shuffles only (node, numerator) longs "
+        "through a partial/final sum pair; exact integer arithmetic "
+        "keeps the rounds hash-checkable."
+    ),
+    "mutual_knn": (
+        "One edge build feeds both sides of the reversed "
+        "equi-self-join (<=3n rows of longs); src<dst dedup is a "
+        "codegen Filter — nothing pairwise ever materializes."
+    ),
 }
 
 
