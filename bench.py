@@ -154,6 +154,7 @@ EXTRA = [
     "event_transitions",
     "knn_graph_pagerank",
     "mutual_knn",
+    "kmeans_refine",
 ]
 
 

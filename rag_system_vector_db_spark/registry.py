@@ -5608,3 +5608,122 @@ def mutual_knn_q(spark, sf_dir):
 
 
 ORACLES["mutual_knn"] = _mutual_knn_oracle()
+
+
+def _kmeans_oracle() -> str:
+    """Two unrolled Lloyd rounds in the same fixed-point arithmetic as
+    the Spark plan (see kmeans_refine)."""
+    dist = "list_sum(list_transform(list_zip(q.vq, c.cq), p -> (p[1]-p[2])*(p[1]-p[2])))"
+
+    def assign(cents: str, out: str) -> str:
+        return f"""
+    {out} AS (
+        SELECT vec_id, vq, cid FROM (
+            SELECT q.vec_id, q.vq, c.cid,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id ORDER BY {dist}, c.cid
+                   ) AS rn
+            FROM q CROSS JOIN {cents} c
+        ) WHERE rn = 1
+    )"""
+
+    def means(a: str, out: str) -> str:
+        return f"""
+    {out} AS (
+        SELECT cid, pos,
+               CAST(CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS mq,
+               CAST(count(*) AS BIGINT) AS n_vecs
+        FROM (
+            SELECT cid, unnest(vq) AS v, unnest(range(len(vq))) AS pos FROM {a}
+        )
+        GROUP BY cid, pos
+    )"""
+
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              v -> CAST(round(v * 1000000.0) AS BIGINT) + 1000000) AS vq
+        FROM embeddings
+    ), c0 AS (
+        SELECT CAST(vec_id AS INT) AS cid, vq AS cq FROM q WHERE vec_id < 8
+    ),{assign('c0', 'a1')},{means('a1', 'm1')},
+    c1 AS (
+        SELECT cid, list(mq ORDER BY pos) AS cq FROM m1 GROUP BY cid
+    ),{assign('c1', 'a2')},{means('a2', 'm2')}
+    SELECT cid, CAST(pos AS BIGINT) AS pos,
+           round((mq - 1000000) / 1000000.0, 6) AS c,
+           n_vecs
+    FROM m2
+    """
+
+
+@query("kmeans_refine", oracle=_kmeans_oracle())
+def kmeans_refine_q(spark, sf_dir):
+    """Distributed Lloyd's k-means refinement (the batch clustering
+    pass behind IVF coarse quantizers, SemDeDup cells and corpus-map
+    topic fits) — k=8 seeds (lowest vec_ids), TWO full
+    assign-recompute rounds over the whole corpus, reporting the
+    refined centroids in long format plus cell sizes.
+
+    The iteration runs in EXACT FIXED-POINT arithmetic so it is
+    hash-checkable across engines (the same trick as
+    knn_graph_pagerank's integer numerators): components quantize
+    ONCE to offset micro-units (round(v·1e6) + 1e6 ≥ 0 — the offset
+    makes the mean's integer division floor-consistent everywhere and
+    cancels in every distance), squared-L2 distances are then exact
+    longs with cid tie-break, and new centroids are sum div n — no
+    float accumulates across rows anywhere, so two rounds compound
+    zero drift. One FLOAT division per output cell at the end.
+
+    Physical posture: per round, the k centroid arrays collapse to a
+    ONE-ROW collect_list frame that rides a broadcast crossJoin (the
+    scalar-attachment idiom) — assignment is a per-row array-argmin
+    inside codegen, NO shuffle; the only exchanges are the two
+    (cid, pos) mean rollups (map-side combinable, ≤ k·dims rows out).
+    At 100 TB each round is one corpus scan + one tiny agg — the
+    textbook Lloyd-on-MapReduce layout, with the corpus quantization
+    subtree shared by both rounds."""
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, v -> cast(round(cast(v as double) * 1000000.0)"
+            " as bigint) + 1000000)"
+        ).alias("vq"),
+    )
+    cents = q.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("vq").alias("cq")
+    )
+    dist = (
+        "aggregate(zip_with(vq, c.cq, (a, b) -> (a - b) * (a - b)),"
+        " cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    argmin = F.expr(
+        f"array_sort(transform(_cs, c -> struct({dist} AS d, c.cid AS cid)))[0].cid"
+    )
+    means = None
+    for _ in range(2):
+        one_row = cents.agg(F.collect_list(F.struct("cid", "cq")).alias("_cs"))
+        assigned = q.crossJoin(F.broadcast(one_row)).select(
+            "vec_id", "vq", argmin.alias("cid")
+        )
+        means = (
+            assigned.select("cid", F.posexplode("vq").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.expr("sum(v) div count(*)").cast("long").alias("mq"),
+                F.count("*").cast("long").alias("n_vecs"),
+            )
+        )
+        cents = means.groupBy("cid").agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, mq))), s -> s.mq)").alias(
+                "cq"
+            )
+        )
+    return means.select(
+        "cid",
+        F.col("pos").cast("long"),
+        F.round((F.col("mq") - F.lit(1000000)) / F.lit(1000000.0), 6).alias("c"),
+        "n_vecs",
+    )

@@ -379,3 +379,14 @@ def test_pagerank_shuffles_longs_only(spark, sf_dir):
     plan = _plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("ExistingRDD") >= 1 or "Scan ExistingRDD" in plan
+
+
+def test_kmeans_assignment_is_shuffle_free(spark, sf_dir):
+    """kmeans_refine: per-round assignment must be a broadcast
+    crossJoin + codegen array-argmin — no SortMergeJoin, no Window;
+    the only exchanges are the tiny (cid, pos) mean rollups."""
+    plan = _plan(QUERIES["kmeans_refine"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
