@@ -155,6 +155,8 @@ EXTRA = [
     "knn_graph_pagerank",
     "mutual_knn",
     "kmeans_refine",
+    "salted_join_topn",
+    "triangle_count",
 ]
 
 

@@ -5727,3 +5727,137 @@ def kmeans_refine_q(spark, sf_dir):
         F.round((F.col("mq") - F.lit(1000000)) / F.lit(1000000.0), 6).alias("c"),
         "n_vecs",
     )
+
+
+@query(
+    "salted_join_topn",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_custkey, c.c_name,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_name
+    ), ranked AS (
+        SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rank
+        FROM rev
+    )
+    SELECT c_custkey, c_name, n_orders, revenue, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def salted_join_topn_q(spark, sf_dir):
+    """The skew-salting remedy as a first-class verified operator:
+    top-10 customers by order revenue computed THROUGH
+    plans/scale.salted_join — the fact side carries a deterministic
+    whole-row salt, the dimension side replicates `salt`× so one hot
+    custkey lands on `salt` reducers instead of one. The oracle is the
+    PLAIN join: salting must be invisible in the result (correctness
+    never depends on salt placement), which is exactly the property
+    that makes it safe to flip on for a skewed 100 TB fact table when
+    AQE's skew split isn't enough (extreme single-key skew, or a
+    non-AQE engine). Money sums ride DECIMAL so reducer order can't
+    drift them; top-10 via TakeOrdered."""
+    from .plans.scale import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    joined = salted_join(orders, cust, "c_custkey", salt=8)
+    rev = joined.groupBy("c_custkey", "c_name").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )
+    top = rev.orderBy(F.col("revenue").desc(), "c_custkey").limit(10)
+    w = Window.orderBy(F.col("revenue").desc(), "c_custkey")
+    return top.select(
+        "c_custkey",
+        "c_name",
+        "n_orders",
+        "revenue",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+def _triangle_oracle() -> str:
+    base = _knn_graph_oracle().rsplit("SELECT src, dst", 1)[0]
+    return base + """
+    , und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM ranked WHERE rank <= 3
+    ), deg AS (
+        SELECT v, count(*) AS d FROM (
+            SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+        ) GROUP BY v
+    ), tri AS (
+        SELECT count(*) AS n_triangles
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), wedges AS (
+        SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg
+    )
+    SELECT CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           wedges.n_wedges,
+           round(CASE WHEN wedges.n_wedges = 0 THEN 0.0
+                      ELSE 3.0 * tri.n_triangles / wedges.n_wedges END, 6)
+               AS clustering_coefficient
+    FROM tri, wedges
+    """
+
+
+@query("triangle_count")  # oracle attached below (plane literals)
+def triangle_count_q(spark, sf_dir):
+    """Triangle count + global clustering coefficient over the
+    undirected kNN graph — the graph-cohesion diagnostic (high
+    transitivity predicts tight dup clusters and good NN-descent
+    convergence; near-zero means the LSH buckets are slicing real
+    neighborhoods apart). Canonical a<b edge orientation makes each
+    triangle count EXACTLY once via the standard two-equi-join
+    enumeration (e1=(a,b), e2=(b,c), closing edge (a,c)) — join
+    volume is bounded by wedge count, never n³; wedges = Σ C(d,2)
+    from one degree agg. All-integer counts, one float division."""
+    edges = _knn_graph_edges(spark, sf_dir).select("src", "dst")
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.count("*").cast("long").alias("n_triangles"))
+    )
+    wedges = deg.select(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    counts = und.agg(F.count("*").cast("long").alias("n_edges")).crossJoin(
+        F.broadcast(deg.agg(F.count("*").cast("long").alias("n_nodes")))
+    ).crossJoin(F.broadcast(tri)).crossJoin(F.broadcast(wedges))
+    return counts.select(
+        "n_edges",
+        "n_nodes",
+        "n_triangles",
+        "n_wedges",
+        F.round(
+            F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")
+            ),
+            6,
+        ).alias("clustering_coefficient"),
+    )
+
+
+ORACLES["triangle_count"] = _triangle_oracle()
