@@ -234,3 +234,73 @@ def test_pdf_real_decode_on_handmade_pdf(spark, tmp_path):
         rows = pdf_mod.pdf_to_documents(spark, str(d), decoder="auto").collect()
         assert len(rows) == 1
         assert rows[0].n_chars == len(rows[0].text) > 0
+
+
+@pytest.fixture()
+def qa_pair_files(tmp_path):
+    sets = []
+    for i, n in enumerate((3, 2)):
+        q = tmp_path / f"questions_{i}.txt"
+        a = tmp_path / f"answers_{i}.txt"
+        q.write_text("".join(f"set{i} question {j}?\n" for j in range(n)) + "trailing unmatched q\n")
+        a.write_text("".join(f"set{i} answer {j}\n" for j in range(n)))
+        sets.append((str(q), str(a)))
+    return sets
+
+
+def test_qa_python_datasource_matches_driver_parser(spark, qa_pair_files):
+    """The Spark 4 Python DataSource connector must produce exactly
+    what the driver-side parser produces, per pair — including the
+    dropped unmatched trailing line."""
+    from rag_system_vector_db_spark.sources.qa_datasource import QAFileDataSource
+    from rag_system_vector_db_spark.sources.qa_files import load_qa_pairs
+
+    spark.dataSource.register(QAFileDataSource)
+    pairs_opt = ",".join(f"{q}:{a}" for q, a in qa_pair_files)
+    df = spark.read.format("qa_files").option("pairs", pairs_opt).load()
+    got = {
+        (r.pair_id, r.qa_id, r.question, r.expected_answer) for r in df.collect()
+    }
+    want = set()
+    for pid, (q, a) in enumerate(qa_pair_files):
+        for r in load_qa_pairs(spark, q, a).collect():
+            want.add((pid, r.qa_id, r.question, r.expected_answer))
+    assert got == want
+    assert len(got) == 5  # 3 + 2, trailing question dropped
+
+
+def test_qa_python_datasource_partitions_per_pair(spark, qa_pair_files):
+    """Each file pair is its own InputPartition — the distributed-read
+    contract (a directory of eval sets scans in parallel)."""
+    from pyspark.sql import functions as F
+
+    from rag_system_vector_db_spark.sources.qa_datasource import QAFileDataSource
+
+    spark.dataSource.register(QAFileDataSource)
+    pairs_opt = ",".join(f"{q}:{a}" for q, a in qa_pair_files)
+    df = spark.read.format("qa_files").option("pairs", pairs_opt).load()
+    per_part = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.collect_set("pair_id").alias("pairs"))
+        .collect()
+    )
+    # every Spark partition holds rows of exactly one file pair
+    assert all(len(r.pairs) == 1 for r in per_part)
+    assert len(per_part) == 2
+
+
+def test_qa_python_datasource_single_pair_options(spark, qa_pair_files):
+    from rag_system_vector_db_spark.sources.qa_datasource import QAFileDataSource
+
+    spark.dataSource.register(QAFileDataSource)
+    q, a = qa_pair_files[0]
+    df = (
+        spark.read.format("qa_files")
+        .option("questions", q)
+        .option("answers", a)
+        .load()
+    )
+    rows = df.collect()
+    assert {r.qa_id for r in rows} == {0, 1, 2}
+    assert all(r.pair_id == 0 for r in rows)

@@ -671,3 +671,73 @@ def test_streaming_corpus_dedup_replay_after_partial_index_write(spark, tmp_path
 
     h = hashlib.md5(novel_text.encode()).hexdigest()
     assert hashes.filter(F.col("text_hash") == h).count() == 1
+
+
+def test_transform_with_state_dedup_parity(spark, tmp_path):
+    """The Spark 4 transformWithStateInPandas dedup must behave
+    batch-for-batch exactly like the applyInPandasWithState one:
+    same keepers, same cross-batch suppression.
+
+    The TWS state protocol speaks protobuf between the JVM and the
+    Python worker; this container ships no google.protobuf, so the
+    RUNTIME half gates on it (same posture as pdf_ingest's pypdf
+    guard). The compile-level wiring — processor resolution, output
+    schema, the TransformWithStateInPySpark operator in the plan — is
+    asserted unconditionally below."""
+    import pandas as pd
+
+    src = tmp_path / "docs_tws"
+    src.mkdir()
+
+    def write_batch(name, doc_ids, texts):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": pd.array(doc_ids, dtype="int64"),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+            }
+        )
+        pdf.to_parquet(src / name)
+
+    write_batch("b1.parquet", [1, 2], ["alpha text", "beta text"])
+    out = P.streaming_dedup_tws(P.stream_documents(spark, str(src)))
+    # compile-level: the operator is wired with the right output schema
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == ["text_hash", "keeper_id"]
+    assert "transformWithState" in out._jdf.queryExecution().logical().toString()
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf absent: TWS state protocol cannot run here")
+
+    # runtime parity (runs wherever protobuf exists)
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, P.rocksdb_state_store_conf()[conf_key])
+    try:
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_tws_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # batch 2: doc 3 duplicates doc 1's content, doc 4 is new,
+            # doc 5 duplicates WITHIN the batch (same content as 4)
+            write_batch(
+                "b2.parquet", [3, 4, 5], ["alpha text", "gamma text", "gamma text"]
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    keepers = {r.keeper_id for r in spark.sql("SELECT * FROM dedup_tws_out").collect()}
+    assert keepers == {1, 2, 4}  # 3 and 5 suppressed
