@@ -157,6 +157,7 @@ EXTRA = [
     "kmeans_refine",
     "salted_join_topn",
     "triangle_count",
+    "curation_pipeline",
 ]
 
 

@@ -5861,3 +5861,123 @@ def triangle_count_q(spark, sf_dir):
 
 
 ORACLES["triangle_count"] = _triangle_oracle()
+
+
+_DD_CANON = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+@query(
+    "curation_pipeline",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source, lang,
+             CAST(len({_DD_TOKS}) AS BIGINT) AS n,
+             CAST(length(text) - (len({_DD_TOKS}) - 1) AS DOUBLE)
+               / len({_DD_TOKS}) AS mean_wl,
+             CAST(len(list_filter({_DD_TOKS},
+                  t -> list_contains(['the','a','an','and','or','of','to','in','on','for','is','are','was','be','it','this','that','with','as','at'], t)))
+               AS DOUBLE) / len({_DD_TOKS}) AS swf,
+             CAST(len(list_distinct({_DD_TOKS})) AS DOUBLE)
+               / len({_DD_TOKS}) AS ttr,
+             md5(array_to_string(list_sort(list_distinct(
+                 string_split({_DD_CANON}, ' '))), ' ')) AS h
+      FROM documents
+    ), flagged AS (
+      SELECT *, (n >= 20 AND n <= 80 AND mean_wl >= 3.0 AND mean_wl <= 8.0
+                 AND swf >= 0.05 AND ttr >= 0.3) AS keep
+      FROM q
+    ), keepers AS (
+      SELECT *, (doc_id = min(doc_id) OVER (PARTITION BY h)) AS is_keeper
+      FROM flagged WHERE keep
+    ), base AS (
+      SELECT source, lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+      FROM flagged GROUP BY source, lang
+    ), kept AS (
+      SELECT source, lang,
+             CAST(sum(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN is_keeper THEN n ELSE 0 END) AS BIGINT)
+                 AS tokens_kept
+      FROM keepers GROUP BY source, lang
+    )
+    SELECT base.source, base.lang, n_docs, n_quality,
+           COALESCE(n_kept, 0) AS n_kept,
+           n_quality - COALESCE(n_kept, 0) AS n_dups_removed,
+           COALESCE(tokens_kept, 0) AS tokens_kept
+    FROM base LEFT JOIN kept ON base.source = kept.source AND base.lang = kept.lang
+    """,
+)
+def curation_pipeline_q(spark, sf_dir):
+    """END-TO-END curation pipeline as ONE verified plan — the
+    composition the individual operators exist for (normalize_text ->
+    quality_filters -> dedup_exact -> corpus_mix, the C4/Gopher
+    pre-tokenization recipe): canonicalize, gate on the quality rules,
+    dedup the survivors on the canonical BAG-OF-WORDS fingerprint
+    (sorted distinct tokens — order-insensitive, so shuffled-template
+    duplicates that exact hashing misses collapse too; keep-first),
+    and roll the funnel up per (source, lang) — docs in, quality
+    survivors, dedup keepers, dups removed, tokens kept.
+
+    ONE corpus scan computes every per-doc signal (tokens, quality
+    flags, canonical md5) in codegen; the only data-sized exchanges
+    are the keeper window (hash-partitioned, same shuffle dedup_exact
+    pays) and the two tiny (source, lang) rollups. The oracle replays
+    the identical funnel in SQL, so stage interactions — a quality
+    drop changing which doc becomes a hash's keeper — are
+    hash-checked, not just each stage alone. At 100 TB this is the
+    nightly corpus-refresh job shape: scan once, carry flags forward,
+    never re-read."""
+    from .functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    t = F.col("text")
+    toks = X.tokens(t)
+    n = F.size(toks)
+    mean_wl = (F.length(t) - (n - 1)) / n
+    swf = X.stopword_count(t) / n
+    ttr = F.size(F.array_distinct(toks)) / n
+    canon = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(t), "[^a-z0-9 ]", ""), " +", " ")
+    )
+    bag = F.array_join(F.array_sort(F.array_distinct(F.split(canon, " "))), " ")
+    keep = (
+        (n >= 20) & (n <= 80) & (mean_wl >= 3.0) & (mean_wl <= 8.0)
+        & (swf >= 0.05) & (ttr >= 0.3)
+    )
+    flagged = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        n.cast("long").alias("n"),
+        keep.alias("keep"),
+        F.md5(bag).alias("_h"),
+    )
+    w = Window.partitionBy("_h")
+    keepers = flagged.filter("keep").withColumn(
+        "is_keeper", F.col("doc_id") == F.min("doc_id").over(w)
+    )
+    base = flagged.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_quality"),
+    )
+    kept = keepers.groupBy("source", "lang").agg(
+        F.sum(F.col("is_keeper").cast("long")).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("is_keeper"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+    )
+    return base.join(kept, ["source", "lang"], "left").select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_quality",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_quality") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_dups_removed"),
+        F.coalesce("tokens_kept", F.lit(0)).cast("long").alias("tokens_kept"),
+    )
