@@ -5889,26 +5889,23 @@ _DD_CANON = (
       SELECT *, (n >= 20 AND n <= 80 AND mean_wl >= 3.0 AND mean_wl <= 8.0
                  AND swf >= 0.05 AND ttr >= 0.3) AS keep
       FROM q
-    ), keepers AS (
-      SELECT *, (doc_id = min(doc_id) OVER (PARTITION BY h)) AS is_keeper
-      FROM flagged WHERE keep
-    ), base AS (
-      SELECT source, lang,
-             CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
-      FROM flagged GROUP BY source, lang
-    ), kept AS (
-      SELECT source, lang,
-             CAST(sum(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-             CAST(sum(CASE WHEN is_keeper THEN n ELSE 0 END) AS BIGINT)
-                 AS tokens_kept
-      FROM keepers GROUP BY source, lang
+    ), marked AS (
+      -- null-skipping window min: the keeper among QUALITY rows only,
+      -- computed over ALL rows so one frame serves the whole funnel
+      SELECT *, (keep AND doc_id = min(CASE WHEN keep THEN doc_id END)
+                            OVER (PARTITION BY h)) AS is_keeper
+      FROM flagged
     )
-    SELECT base.source, base.lang, n_docs, n_quality,
-           COALESCE(n_kept, 0) AS n_kept,
-           n_quality - COALESCE(n_kept, 0) AS n_dups_removed,
-           COALESCE(tokens_kept, 0) AS tokens_kept
-    FROM base LEFT JOIN kept ON base.source = kept.source AND base.lang = kept.lang
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(sum(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                - sum(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dups_removed,
+           CAST(sum(CASE WHEN is_keeper THEN n ELSE 0 END) AS BIGINT)
+               AS tokens_kept
+    FROM marked GROUP BY source, lang
     """,
 )
 def curation_pipeline_q(spark, sf_dir):
@@ -5957,27 +5954,28 @@ def curation_pipeline_q(spark, sf_dir):
         F.md5(bag).alias("_h"),
     )
     w = Window.partitionBy("_h")
-    keepers = flagged.filter("keep").withColumn(
-        "is_keeper", F.col("doc_id") == F.min("doc_id").over(w)
+    # null-skipping window min: keeper among QUALITY rows, computed
+    # over ALL rows — one frame carries the entire funnel, so the plan
+    # stays a single scan + single window shuffle + single rollup
+    marked = flagged.withColumn(
+        "is_keeper",
+        F.col("keep")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("keep"), F.col("doc_id"))).over(w)
+        ),
     )
-    base = flagged.groupBy("source", "lang").agg(
+    return marked.groupBy("source", "lang").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.col("keep").cast("long")).cast("long").alias("n_quality"),
-    )
-    kept = keepers.groupBy("source", "lang").agg(
         F.sum(F.col("is_keeper").cast("long")).cast("long").alias("n_kept"),
+        (
+            F.sum(F.col("keep").cast("long"))
+            - F.sum(F.col("is_keeper").cast("long"))
+        )
+        .cast("long")
+        .alias("n_dups_removed"),
         F.sum(F.when(F.col("is_keeper"), F.col("n")).otherwise(0))
         .cast("long")
         .alias("tokens_kept"),
-    )
-    return base.join(kept, ["source", "lang"], "left").select(
-        "source",
-        "lang",
-        "n_docs",
-        "n_quality",
-        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-        (F.col("n_quality") - F.coalesce("n_kept", F.lit(0)))
-        .cast("long")
-        .alias("n_dups_removed"),
-        F.coalesce("tokens_kept", F.lit(0)).cast("long").alias("tokens_kept"),
     )

@@ -390,3 +390,16 @@ def test_kmeans_assignment_is_shuffle_free(spark, sf_dir):
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_curation_pipeline_single_scan(spark, sf_dir):
+    """The funnel must be ONE corpus scan + one window shuffle + one
+    rollup — the null-skipping window-min keeper trick keeps base and
+    kept stats on a single frame (two scans means the trick
+    regressed to a split-and-join)."""
+    df = QUERIES["curation_pipeline"](spark, sf_dir)
+    df.count()
+    plan = _plan(df)
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "EvalPython" not in plan
