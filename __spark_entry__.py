@@ -34,11 +34,15 @@ _ORACLE_SF_DIR = "/root/testdata/sf0.01"
 # chunk_diary/chunk_stats' reference-exact word_count) plus the two
 # most-reworked retrieval/dedup paths (hybrid_search_rrf's rrf_fuse
 # rework, dedup_ngram_jaccard's shingle+broadcast surgery).
-# Changed-but-unslotted entries queue at positions 51+ for r6:
-# the listed tail first, then dedup_minhash_lsh, dedup_simhash,
-# semdedup_clusters, hybrid_index_rrf, chunk_documents, dedup_cluster,
-# join_revenue_topn, split_large_chunks, extract_dates,
-# local_supplier_volume, regex_extract_meta in registration order.
+# Unslotted entries follow at positions 51+ (listed tail first, then
+# plain registration order). r6's rotation should front-load: the
+# late-r5 additions (kmeans_refine, salted_join_topn, triangle_count,
+# curation_pipeline — locally oracle-verified at sf0.001+sf0.01,
+# never driver-stamped), then the remaining changed-after-stamp
+# cohort (the tail below plus semdedup_clusters, hybrid_index_rrf,
+# chunk_documents, dedup_cluster, join_revenue_topn,
+# split_large_chunks, extract_dates, local_supplier_volume,
+# regex_extract_meta).
 _VERIFY_FIRST = [
     # (a) never driver-checked — r5 new operators
     "global_sales_opportunity",

@@ -403,3 +403,17 @@ def test_curation_pipeline_single_scan(spark, sf_dir):
     assert plan.count("FileScan") == 1
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "EvalPython" not in plan
+
+
+def test_salted_join_salts_the_key(spark, sf_dir):
+    """The join must run on (key, _salt) — a plain key join means the
+    salting was optimized away and the hot-key spread is gone."""
+    df = QUERIES["salted_join_topn"](spark, sf_dir)
+    plan = _plan(df)
+    assert "_salt" in plan
+    assert "xxhash64" in plan  # fact-side deterministic salt derivation
+
+
+def test_triangle_count_equi_joins_only(spark, sf_dir):
+    plan = _plan(QUERIES["triangle_count"](spark, sf_dir))
+    assert "CartesianProduct" not in plan

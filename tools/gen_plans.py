@@ -239,7 +239,32 @@ NOTES = {
         "equi-self-join (<=3n rows of longs); src<dst dedup is a "
         "codegen Filter — nothing pairwise ever materializes."
     ),
+    "kmeans_refine": (
+        "Each Lloyd round: the k centroid arrays collapse to a one-row "
+        "broadcast (scalar-attachment crossJoin), assignment is a "
+        "codegen array-argmin over exact integer distances — no "
+        "shuffle; only the (cid, pos) mean rollups exchange."
+    ),
+    "salted_join_topn": (
+        "Fact side derives a deterministic xxhash64 salt, dimension "
+        "replicates salt x, the join runs on (key, _salt) so a hot "
+        "key spreads over salt reducers; result provably identical "
+        "to the plain join (the oracle IS the plain join)."
+    ),
+    "triangle_count": (
+        "Canonical a<b edges materialize once (lazy localCheckpoint) "
+        "and feed the two-equi-join triangle enumeration — join "
+        "volume bounded by wedges, never n^3; degree/wedge/triangle "
+        "rollups are tiny broadcast scalars."
+    ),
+    "curation_pipeline": (
+        "ONE corpus scan computes tokens, quality flags and the bag "
+        "fingerprint in codegen; the null-skipping window-min keeper "
+        "keeps the whole funnel on a single frame — 1 scan + 1 window "
+        "shuffle + 1 (source, lang) rollup."
+    ),
 }
+
 
 
 def main() -> None:
