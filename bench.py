@@ -158,6 +158,7 @@ EXTRA = [
     "salted_join_topn",
     "triangle_count",
     "curation_pipeline",
+    "data_quality_checks",
 ]
 
 

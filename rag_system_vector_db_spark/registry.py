@@ -5979,3 +5979,117 @@ def curation_pipeline_q(spark, sf_dir):
         .cast("long")
         .alias("tokens_kept"),
     )
+
+
+@query(
+    "data_quality_checks",
+    oracle="""
+    WITH o AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cust,
+               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_orderkey,
+               CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+               CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                              OR o_orderdate >= TIMESTAMP '1999-01-01'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS bad_date
+        FROM orders
+    ), l AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN l_quantity <= 0 OR l_quantity > 60
+                             THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+               CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.5
+                             THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc
+        FROM lineitem
+    ), fk AS (
+        SELECT CAST(count(*) AS BIGINT) AS orphans
+        FROM lineitem li
+        WHERE NOT EXISTS (SELECT 1 FROM orders oo WHERE oo.o_orderkey = li.l_orderkey)
+    )
+    SELECT * FROM (
+        SELECT 'orders_custkey_not_null' AS check_name, o.n AS n_checked,
+               null_cust AS n_violations, null_cust = 0 AS pass FROM o
+        UNION ALL
+        SELECT 'orders_orderkey_unique', o.n, dup_orderkey, dup_orderkey = 0 FROM o
+        UNION ALL
+        SELECT 'orders_totalprice_positive', o.n, bad_price, bad_price = 0 FROM o
+        UNION ALL
+        SELECT 'orders_orderdate_in_range', o.n, bad_date, bad_date = 0 FROM o
+        UNION ALL
+        SELECT 'lineitem_quantity_in_range', l.n, bad_qty, bad_qty = 0 FROM l
+        UNION ALL
+        SELECT 'lineitem_discount_in_range', l.n, bad_disc, bad_disc = 0 FROM l
+        UNION ALL
+        SELECT 'lineitem_orderkey_fk', l.n, fk.orphans, fk.orphans = 0 FROM l, fk
+    )
+    """,
+)
+def data_quality_checks_q(spark, sf_dir):
+    """Deequ-style data-validation pass (the expectations gate a
+    100 TB pipeline runs BEFORE training consumes a table): one row
+    per constraint — null checks, key uniqueness, value ranges, and
+    the cross-table FK containment (lineitem.l_orderkey ⊆
+    orders.o_orderkey) — with checked/violation counts and a pass
+    verdict.
+
+    All same-table constraints for a table fold into ONE conditional
+    agg over ONE scan (seven checks, two scans total — adding a
+    constraint costs a column, not a pass); the FK check is a LEFT
+    ANTI on key-projected frames, counted map-side. The verdict
+    frame is seven rows — the cheap artifact a scheduler gates on."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).cast("long").alias("null_cust"),
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("long").alias("dup_orderkey"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).cast("long").alias("bad_price"),
+        F.sum(
+            (
+                (F.col("o_orderdate") < "1992-01-01")
+                | (F.col("o_orderdate") >= "1999-01-01")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("bad_date"),
+    )
+    l = li.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 60)).cast("long"))
+        .cast("long")
+        .alias("bad_qty"),
+        F.sum(((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)).cast("long"))
+        .cast("long")
+        .alias("bad_disc"),
+    )
+    fk = (
+        li.select("l_orderkey")
+        .join(
+            orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").cast("long").alias("orphans"))
+    )
+
+    def row(frame, name, viol_col):
+        return frame.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").alias("n_checked"),
+            F.col(viol_col).alias("n_violations"),
+            (F.col(viol_col) == 0).alias("pass"),
+        )
+
+    out = (
+        row(o, "orders_custkey_not_null", "null_cust")
+        .unionAll(row(o, "orders_orderkey_unique", "dup_orderkey"))
+        .unionAll(row(o, "orders_totalprice_positive", "bad_price"))
+        .unionAll(row(o, "orders_orderdate_in_range", "bad_date"))
+        .unionAll(row(l, "lineitem_quantity_in_range", "bad_qty"))
+        .unionAll(row(l, "lineitem_discount_in_range", "bad_disc"))
+        .unionAll(
+            row(
+                l.crossJoin(F.broadcast(fk)), "lineitem_orderkey_fk", "orphans"
+            )
+        )
+    )
+    return out
