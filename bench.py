@@ -159,6 +159,7 @@ EXTRA = [
     "triangle_count",
     "curation_pipeline",
     "data_quality_checks",
+    "mlm_mask_corpus",
 ]
 
 

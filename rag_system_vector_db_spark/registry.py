@@ -6093,3 +6093,65 @@ def data_quality_checks_q(spark, sf_dir):
         )
     )
     return out
+
+
+@query(
+    "mlm_mask_corpus",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), m AS (
+        SELECT doc_id, toks,
+               list_transform(range(len(toks)),
+                   i -> ('0x' || substr(md5('mlm:' || doc_id || ':' || i), 1, 15))::BIGINT % 100 < 15
+               ) AS mask
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(mask, x -> x)) AS BIGINT) AS n_masked,
+           round(CAST(len(list_filter(mask, x -> x)) AS DOUBLE) / len(toks), 6)
+               AS masked_frac,
+           array_to_string(list_transform(range(len(toks)),
+               i -> CASE WHEN mask[i + 1] THEN '[MASK]' ELSE toks[i + 1] END), ' ')
+               AS input_text,
+           COALESCE(array_to_string(list_filter(
+               list_transform(range(len(toks)),
+                   i -> CASE WHEN mask[i + 1] THEN toks[i + 1] END),
+               x -> x IS NOT NULL), ' '), '') AS target_text
+    FROM m
+    """,
+)
+def mlm_mask_corpus_q(spark, sf_dir):
+    """Deterministic MLM training-sample generation (BERT-style 15%
+    token masking): every (doc, position) draws from the seeded md5
+    family — the same engine/run/cluster-size-independent coin the
+    samplers use — so the corpus masks identically everywhere and the
+    oracle hash-checks the full (input_text, target_text) pair, not
+    just counts. Pure codegen HOFs over one scan (zip via index
+    range, conditional transform for the input, filtered transform
+    for the target) — zero shuffles, zero Python; at 100 TB this is a
+    map-only rewrite job whose output partitioning mirrors the
+    input's. Span (T5) masking = the same recipe with the draw keyed
+    on i div span_len."""
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    cond = (
+        "cast(conv(substring(md5(concat('mlm:', cast(doc_id as string), ':',"
+        " cast(i as string))), 1, 15), 16, 10) as bigint) % 100 < 15"
+    )
+    out = docs.selectExpr(
+        "doc_id",
+        "split(text, ' ') AS toks",
+        f"transform(sequence(0, size(split(text, ' ')) - 1), i -> {cond}) AS mask",
+    )
+    return out.selectExpr(
+        "doc_id",
+        "cast(size(toks) as long) AS n_tokens",
+        "cast(size(filter(mask, x -> x)) as long) AS n_masked",
+        "round(cast(size(filter(mask, x -> x)) as double) / size(toks), 6)"
+        " AS masked_frac",
+        "array_join(zip_with(toks, mask, (t, m) -> if(m, '[MASK]', t)), ' ')"
+        " AS input_text",
+        "array_join(filter(zip_with(toks, mask, (t, m) -> if(m, t, null)),"
+        " x -> x is not null), ' ') AS target_text",
+    )
