@@ -160,6 +160,7 @@ EXTRA = [
     "curation_pipeline",
     "data_quality_checks",
     "mlm_mask_corpus",
+    "span_corrupt_corpus",
 ]
 
 

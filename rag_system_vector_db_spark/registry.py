@@ -6155,3 +6155,83 @@ def mlm_mask_corpus_q(spark, sf_dir):
         "array_join(filter(zip_with(toks, mask, (t, m) -> if(m, t, null)),"
         " x -> x is not null), ' ') AS target_text",
     )
+
+
+@query(
+    "span_corrupt_corpus",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), sp AS (
+        SELECT doc_id, toks,
+               list_filter(
+                   list_transform(range((len(toks) + 2) // 3),
+                       s -> CASE WHEN ('0x' || substr(md5('t5:' || doc_id || ':' || s), 1, 15))::BIGINT % 100 < 15
+                                 THEN s END),
+                   x -> x IS NOT NULL) AS mspans
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(mspans) AS BIGINT) AS n_masked_spans,
+           COALESCE(array_to_string(list_filter(list_transform(range(len(toks)),
+               i -> CASE
+                      WHEN NOT list_contains(mspans, i // 3) THEN toks[i + 1]
+                      WHEN i % 3 = 0 THEN '<extra_id_' || (list_position(mspans, i // 3) - 1) || '>'
+                    END),
+               x -> x IS NOT NULL), ' '), '') AS input_text,
+           COALESCE(array_to_string(list_filter(list_transform(range(len(toks)),
+               i -> CASE
+                      WHEN list_contains(mspans, i // 3) AND i % 3 = 0
+                        THEN '<extra_id_' || (list_position(mspans, i // 3) - 1) || '> ' || toks[i + 1]
+                      WHEN list_contains(mspans, i // 3) THEN toks[i + 1]
+                    END),
+               x -> x IS NOT NULL), ' '), '') AS target_text
+    FROM sp
+    """,
+)
+def span_corrupt_corpus_q(spark, sf_dir):
+    """T5-style span corruption (Raffel JMLR'20 denoising objective),
+    the span companion to mlm_mask_corpus: tokens group into aligned
+    3-token spans, each span draws its mask coin from the seeded md5
+    family keyed on ``i div 3``, masked spans collapse to ONE ordinal
+    sentinel ``<extra_id_N>`` in the input, and the target replays
+    sentinel + span content in order (closing sentinel omitted). The
+    span ordinal is list_position over the doc's masked-span list —
+    computed once per doc, referenced from the per-token lambda, so
+    numbering is positional like the HF T5 preprocessor's. Same
+    posture as MLM: pure codegen HOFs, one scan, zero shuffles, the
+    full (input, target) pair hash-checked cross-engine."""
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    cond = (
+        "cast(conv(substring(md5(concat('t5:', cast(doc_id as string), ':',"
+        " cast(s as string))), 1, 15), 16, 10) as bigint) % 100 < 15"
+    )
+    base = docs.selectExpr(
+        "doc_id",
+        "split(text, ' ') AS toks",
+    ).selectExpr(
+        "doc_id",
+        "toks",
+        "filter(transform(sequence(0, cast((size(toks) + 2) div 3 as int) - 1),"
+        f" s -> if({cond}, s, null)), x -> x is not null) AS mspans",
+    )
+    sent = "concat('<extra_id_', array_position(mspans, i div 3) - 1, '>')"
+    return base.selectExpr(
+        "doc_id",
+        "cast(size(toks) as long) AS n_tokens",
+        "cast(size(mspans) as long) AS n_masked_spans",
+        "coalesce(array_join(filter(transform(sequence(0, size(toks) - 1),"
+        " i -> case"
+        "        when not array_contains(mspans, i div 3) then toks[i]"
+        f"       when i % 3 = 0 then {sent}"
+        "      end),"
+        " x -> x is not null), ' '), '') AS input_text",
+        "coalesce(array_join(filter(transform(sequence(0, size(toks) - 1),"
+        " i -> case"
+        f"       when array_contains(mspans, i div 3) and i % 3 = 0"
+        f"         then concat({sent}, ' ', toks[i])"
+        "        when array_contains(mspans, i div 3) then toks[i]"
+        "      end),"
+        " x -> x is not null), ' '), '') AS target_text",
+    )
