@@ -304,3 +304,10 @@ def test_qa_python_datasource_single_pair_options(spark, qa_pair_files):
     rows = df.collect()
     assert {r.qa_id for r in rows} == {0, 1, 2}
     assert all(r.pair_id == 0 for r in rows)
+
+
+def test_qa_python_datasource_requires_options(spark):
+    from rag_system_vector_db_spark.sources.qa_datasource import QAFileReader
+
+    with pytest.raises(ValueError, match="qa_files needs"):
+        QAFileReader({})
