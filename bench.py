@@ -161,6 +161,7 @@ EXTRA = [
     "data_quality_checks",
     "mlm_mask_corpus",
     "span_corrupt_corpus",
+    "rag_context_budget",
 ]
 
 

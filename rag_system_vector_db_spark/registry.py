@@ -6235,3 +6235,74 @@ def span_corrupt_corpus_q(spark, sf_dir):
         "      end),"
         " x -> x is not null), ' '), '') AS target_text",
     )
+
+
+@query(
+    "rag_context_budget",
+    oracle=f"""
+    WITH q AS (
+        SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+        SELECT e.vec_id, {_dd_cosine('e.embedding', 'q.qv')} AS score
+        FROM embeddings e, q WHERE e.vec_id <> 0
+    ), ranked AS (
+        SELECT vec_id, score,
+               row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+        FROM scored
+    ), top AS (
+        SELECT * FROM ranked WHERE rank <= 10
+    ), j AS (
+        SELECT t.rank, t.vec_id, t.score,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        FROM top t JOIN documents d ON d.doc_id = t.vec_id
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, vec_id, round(score, 6) AS score,
+           n_tokens,
+           CAST(sum(n_tokens) OVER (ORDER BY rank
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens,
+           sum(n_tokens) OVER (ORDER BY rank
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 120
+               AS included
+    FROM j
+    """,
+)
+def rag_context_budget_q(spark, sf_dir):
+    """Token-budgeted RAG context assembly — the step between
+    retrieval and the LLM call that app.py's context list glosses
+    over at scale: the top-10 cosine hits join their texts' token
+    counts and fill a 120-token context window greedily in rank order
+    (prefix-sum cutoff); every candidate row is emitted with its
+    cumulative cost and `included` verdict, so the packing decision
+    is inspectable (and the budget is a parameter, not policy).
+    The corpus pass is the usual broadcast-query scan + top-k; the
+    prefix sum windows over TEN rows — the budget logic costs nothing
+    at any scale. Rank ties break on vec_id; token counts are exact
+    integers, so the greedy cutoff is engine-identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qv"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", V.cosine(F.col("embedding"), F.col("_qv")).alias("score"))
+    )
+    top = scored.orderBy(F.col("score").desc(), "vec_id").limit(10)
+    wr = Window.orderBy(F.col("score").desc(), "vec_id")
+    ranked = top.select(
+        F.row_number().over(wr).cast("long").alias("rank"), "vec_id", "score"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("_d"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    j = ranked.join(docs, ranked.vec_id == F.col("_d"))
+    wc = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum("n_tokens").over(wc)
+    return j.select(
+        "rank",
+        "vec_id",
+        F.round("score", 6).alias("score"),
+        "n_tokens",
+        cum.cast("long").alias("cum_tokens"),
+        (cum <= 120).alias("included"),
+    )
