@@ -162,6 +162,7 @@ EXTRA = [
     "mlm_mask_corpus",
     "span_corrupt_corpus",
     "rag_context_budget",
+    "events_gap_fill",
 ]
 
 

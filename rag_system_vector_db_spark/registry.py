@@ -6306,3 +6306,68 @@ def rag_context_budget_q(spark, sf_dir):
         cum.cast("long").alias("cum_tokens"),
         (cum <= 120).alias("included"),
     )
+
+
+@query(
+    "events_gap_fill",
+    oracle="""
+    WITH hourly AS (
+        SELECT epoch_ns(ts) // 3600000000000 AS h,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS v_u
+        FROM events GROUP BY 1
+    ), bounds AS (
+        SELECT min(h) AS h0, max(h) AS h1 FROM hourly
+    ), spine AS (
+        SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds
+    ), joined AS (
+        SELECT s.h, COALESCE(hourly.n, 0) AS n_events,
+               hourly.v_u
+        FROM spine s LEFT JOIN hourly ON hourly.h = s.h
+    )
+    SELECT CAST(h AS BIGINT) AS hour_id,
+           n_events,
+           (n_events = 0) AS gap_filled,
+           round(COALESCE(v_u, last_value(v_u IGNORE NULLS) OVER (
+                   ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )) / 1000000.0, 6) AS value_locf
+    FROM joined
+    """,
+)
+def events_gap_fill_q(spark, sf_dir):
+    """Time-series gap filling (the regularization step before
+    anomaly detection / forecasting consumes an event stream): an
+    hour spine spans min..max event hour (sequence + explode — no
+    driver loop), missing hours zero-fill their counts and mark
+    `gap_filled`, and the hourly value carries forward LOCF-style
+    (last_value IGNORE NULLS over the time order). Hour sums ride
+    exact micro-unit integers so the carried values are
+    engine-identical; ONE fact shuffle (the hourly rollup) + a spine
+    that is |hours| rows — the fill itself never touches the fact
+    table again. At 100 TB you'd partition the spine window by series
+    key; the global single-series window here is |hours| rows, not
+    |events|."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.select(
+        F.expr("ts_ns div 3600000000000").alias("h"),
+        F.expr("cast(round(value * 1000000) as bigint)").alias("_vu"),
+    ).groupBy("h").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("_vu").cast("long").alias("v_u"),
+    )
+    spine = (
+        hourly.agg(F.min("h").alias("_h0"), F.max("h").alias("_h1"))
+        .select(F.explode(F.sequence("_h0", "_h1")).alias("h"))
+    )
+    joined = spine.join(hourly, "h", "left")
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        F.col("h").cast("long").alias("hour_id"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        (F.coalesce("n_events", F.lit(0)) == 0).alias("gap_filled"),
+        F.round(
+            F.coalesce(F.col("v_u"), F.last("v_u", ignorenulls=True).over(w))
+            / F.lit(1000000.0),
+            6,
+        ).alias("value_locf"),
+    )
