@@ -263,7 +263,34 @@ NOTES = {
         "keeps the whole funnel on a single frame — 1 scan + 1 window "
         "shuffle + 1 (source, lang) rollup."
     ),
+    "data_quality_checks": (
+        "All same-table constraints fold into ONE conditional agg per "
+        "scan (a constraint costs a column, not a pass); the FK check "
+        "is a key-projected LEFT ANTI counted map-side; the verdict "
+        "union is seven one-row frames."
+    ),
+    "mlm_mask_corpus": (
+        "Pure codegen HOFs over one scan — zero shuffles, zero "
+        "Python: a map-only rewrite job whose output partitioning "
+        "mirrors the input's."
+    ),
+    "span_corrupt_corpus": (
+        "Same map-only posture as mlm_mask_corpus; the masked-span "
+        "list computes once per doc and the per-token lambdas "
+        "reference it for ordinal sentinel numbering."
+    ),
+    "rag_context_budget": (
+        "Broadcast-query corpus scan + TakeOrdered top-10; the "
+        "packing prefix-sum windows over TEN rows — budget logic "
+        "costs nothing at any scale."
+    ),
+    "events_gap_fill": (
+        "ONE fact shuffle (hourly rollup); the spine is "
+        "sequence+explode over a 1-row bounds agg, and the LOCF "
+        "window runs over |hours| rows, never |events|."
+    ),
 }
+
 
 
 
