@@ -163,6 +163,7 @@ EXTRA = [
     "span_corrupt_corpus",
     "rag_context_budget",
     "events_gap_fill",
+    "events_ohlc",
 ]
 
 

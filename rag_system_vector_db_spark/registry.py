@@ -6371,3 +6371,63 @@ def events_gap_fill_q(spark, sf_dir):
             6,
         ).alias("value_locf"),
     )
+
+
+@query(
+    "events_ohlc",
+    oracle="""
+    WITH e AS (
+        SELECT epoch_ns(ts) // 3600000000000 AS h, event_id,
+               epoch_ns(ts) AS ts_ns,
+               CAST(round(value * 1000000) AS BIGINT) AS v_u
+        FROM events
+    ), ranked AS (
+        SELECT h, v_u,
+               row_number() OVER (PARTITION BY h ORDER BY ts_ns, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY h ORDER BY ts_ns DESC, event_id DESC) AS rn_z
+        FROM e
+    )
+    SELECT CAST(h AS BIGINT) AS hour_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(max(CASE WHEN rn_a = 1 THEN v_u END) / 1000000.0, 6) AS open,
+           round(max(v_u) / 1000000.0, 6) AS high,
+           round(min(v_u) / 1000000.0, 6) AS low,
+           round(max(CASE WHEN rn_z = 1 THEN v_u END) / 1000000.0, 6) AS close,
+           CAST(sum(v_u) AS BIGINT) AS volume_u
+    FROM ranked GROUP BY h
+    """,
+)
+def events_ohlc_q(spark, sf_dir):
+    """OHLC downsampling bars (the telemetry/market-data compaction
+    primitive): per hour — open/close via min_by/max_by over the
+    exact (ts_ns, event_id) total order (deterministic tie-breaks, no
+    window over the fact in the Spark plan), high/low/volume as plain
+    aggs. Values quantize to micro-unit integers BEFORE aggregation,
+    so every bar field — including the order-sensitive open/close —
+    is engine-identical; ONE map-side-combinable shuffle keyed by
+    hour. The oracle replays open/close with rank-1 windows to prove
+    the min_by/max_by selection against an independent formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.expr("ts_ns div 3600000000000").alias("h"),
+        "ts_ns",
+        "event_id",
+        F.expr("cast(round(value * 1000000) as bigint)").alias("v_u"),
+    )
+    order = F.struct("ts_ns", "event_id")
+    return e.groupBy("h").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.min_by("v_u", order) / F.lit(1000000.0), 6).alias("open"),
+        F.round(F.max("v_u") / F.lit(1000000.0), 6).alias("high"),
+        F.round(F.min("v_u") / F.lit(1000000.0), 6).alias("low"),
+        F.round(F.max_by("v_u", order) / F.lit(1000000.0), 6).alias("close"),
+        F.sum("v_u").cast("long").alias("volume_u"),
+    ).select(
+        F.col("h").cast("long").alias("hour_id"),
+        "n_events",
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume_u",
+    )
