@@ -379,3 +379,57 @@ def dsir_selection(
         ).alias("importance"),
         (F.col("logratio_micro") >= F.col("_cut")).alias("selected"),
     )
+
+
+def train_test_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_pct: int = 90,
+    valid_pct: int = 5,
+    seed: str = "split",
+) -> DataFrame:
+    """Deterministic stratified train/valid/test split audit — the
+    hash-based split every training pipeline needs to be REPRODUCIBLE:
+    a doc's split follows from its id alone (seeded md5 bucket 0..99),
+    so it is stable across runs, engines, cluster sizes, and future
+    ingests (new docs land in splits without reshuffling old ones —
+    the property rand()-based splits lack, whose stream depends on
+    partitioning).
+
+    Returns per (source, split): doc count, token count, and the
+    split's share of its source (the stratification check — each
+    stratum should mirror the global 90/5/5). One scan, one
+    map-side-combinable groupBy; at 100 TB the same bucket expression
+    IS the partition column of the split write, so downstream readers
+    prune to their split without a filter scan.
+    """
+    from ..functions import hashing as H
+
+    bucket = H.md5_long(F.col(id_col).cast("string"), seed=seed) % 100
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + valid_pct, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    n_tok = (
+        F.length(F.col(text_col))
+        - F.length(F.translate(F.col(text_col), " ", ""))
+        + 1
+    )
+    per = (
+        docs.select(F.col("source"), split.alias("split"), n_tok.alias("_t"))
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_t").cast("long").alias("n_tokens"),
+        )
+    )
+    src_tot = Window.partitionBy("source")
+    return per.select(
+        "source",
+        "split",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(src_tot), 6).alias("source_share"),
+    )

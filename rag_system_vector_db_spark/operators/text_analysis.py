@@ -390,3 +390,41 @@ def tokenizer_fertility(
         F.round(F.sum("_bpe") / F.sum("_words"), 6).alias("fertility"),
         F.round(F.sum("_chars") / F.sum("_bpe"), 6).alias("chars_per_subword"),
     )
+
+
+def lang_confusion(
+    docs: DataFrame, gold_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Language-ID evaluation confusion matrix: the stopword-ratio
+    classifier's prediction (same expression as lang_id — no join back
+    to the docs, the pred is recomputed inline so ONE scan feeds the
+    whole evaluation) against the gold label column.
+
+    Returns one row per observed (gold_lang, pred_lang) cell: count,
+    recall_share (cell / gold-row total — the diagonal cell's value IS
+    that language's recall) and precision_share (cell / pred-column
+    total — the diagonal's precision). The two shares are windows over
+    the ≤ |langs|² confusion frame, not the corpus. This is the audit
+    that decides whether the cheap classifier is good enough to gate a
+    corpus-mix decision, and per-language where it bleeds."""
+    t = F.col(text_col)
+    ratios = {lang: _ratio(t, words) for lang, words in STOPWORDS.items()}
+    best = F.greatest(*ratios.values())
+    pred = F.lit("unknown")
+    for lang in reversed(list(STOPWORDS)):
+        pred = F.when(ratios[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("unknown"))
+    cells = (
+        docs.select(F.col(gold_col).alias("gold_lang"), pred.alias("pred_lang"))
+        .groupBy("gold_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    by_gold = Window.partitionBy("gold_lang")
+    by_pred = Window.partitionBy("pred_lang")
+    return cells.select(
+        "gold_lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(by_gold), 6).alias("recall_share"),
+        F.round(F.col("n") / F.sum("n").over(by_pred), 6).alias("precision_share"),
+    )

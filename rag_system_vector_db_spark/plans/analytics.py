@@ -1314,3 +1314,41 @@ def global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("numcust"),
         F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
     )
+
+
+def lineitem_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per line-status, how many LATE lines belong to
+    critical-priority orders vs the rest — the conditional-count-by-
+    line-attribute-with-order-attribute-CASE pattern (Q12 groups by
+    l_shipmode; this schema has no shipmode/commit/receipt dates, so
+    the group key is l_linestatus and "late" is shipped ≥ 45 days
+    after the order date, the same adaptation order_priority_check and
+    suppliers_kept_waiting document).
+
+    Physical posture: the ship-year filter pushes to the lineitem
+    scan; orders crosses its shuffle as (o_orderkey, 1-bit priority
+    class) — the CASE collapses BEFORE the join so the priority string
+    never rides the exchange; both conditional counts come from ONE
+    map-side-combinable agg over a ≤2-row group key."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select("l_orderkey", "l_linestatus", "l_shipdate")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("_critical"),
+    )
+    late = li.join(
+        orders,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate + F.expr("INTERVAL 45 DAY")),
+        "inner",
+    )
+    return late.groupBy("l_linestatus").agg(
+        F.sum(F.when(F.col("_critical"), 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(F.col("_critical"), 0).otherwise(1)).cast("long").alias("low_line_count"),
+    )

@@ -6431,3 +6431,84 @@ def events_ohlc_q(spark, sf_dir):
         "close",
         "volume_u",
     )
+
+
+@query(
+    "lineitem_priority_mix",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate >= o.o_orderdate + INTERVAL 45 DAY
+    GROUP BY 1
+    """,
+)
+def lineitem_priority_mix_q(spark, sf_dir):
+    """TPC-H Q12 shape: critical vs other priority mix among late
+    lines, per line status (shipmode stand-in — the schema carries no
+    l_shipmode/commit/receipt dates). The priority CASE collapses to
+    one bit before the order side crosses its shuffle."""
+    from .plans import analytics
+
+    return analytics.lineitem_priority_mix(spark, sf_dir)
+
+
+@query(
+    "train_test_split",
+    oracle=f"""
+    WITH s AS (
+        SELECT source,
+               CASE WHEN {H.dd_md5_long("doc_id::VARCHAR", seed="split")} % 100 < 90 THEN 'train'
+                    WHEN {H.dd_md5_long("doc_id::VARCHAR", seed="split")} % 100 < 95 THEN 'valid'
+                    ELSE 'test' END AS split,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS t
+        FROM documents
+    ), per AS (
+        SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(t) AS BIGINT) AS n_tokens
+        FROM s GROUP BY 1, 2
+    )
+    SELECT source, split, n_docs, n_tokens,
+           round(n_docs / CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE), 6) AS source_share
+    FROM per
+    """,
+)
+def train_test_split_q(spark, sf_dir):
+    """Deterministic stratified 90/5/5 split audit keyed on seeded
+    md5(doc_id) — reproducible across engines/runs/cluster sizes;
+    per-(source, split) doc/token counts + stratification share."""
+    from .operators import curation
+
+    return curation.train_test_split(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "lang_confusion",
+    oracle=f"""
+    WITH r AS (
+        SELECT lang AS gold_lang,
+               {", ".join(f"{_dd_sw_ratio(lg)} AS r_{lg}" for lg in STOPWORDS)}
+        FROM documents
+    ), p AS (
+        SELECT gold_lang, {_DD_PRED} AS pred_lang FROM r
+    ), cells AS (
+        SELECT gold_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+        FROM p GROUP BY 1, 2
+    )
+    SELECT gold_lang, pred_lang, n,
+           round(n / CAST(sum(n) OVER (PARTITION BY gold_lang) AS DOUBLE), 6) AS recall_share,
+           round(n / CAST(sum(n) OVER (PARTITION BY pred_lang) AS DOUBLE), 6) AS precision_share
+    FROM cells
+    """,
+)
+def lang_confusion_q(spark, sf_dir):
+    """Language-ID confusion matrix vs the gold lang column: per
+    (gold, pred) cell count + recall/precision shares — the
+    classifier-quality audit behind corpus-mix decisions. One corpus
+    scan; shares are windows over the ≤|langs|² confusion frame."""
+    return text_analysis.lang_confusion(load_table(spark, sf_dir, "documents"))
