@@ -428,3 +428,72 @@ def lang_confusion(
         F.round(F.col("n") / F.sum("n").over(by_gold), 6).alias("recall_share"),
         F.round(F.col("n") / F.sum("n").over(by_pred), 6).alias("precision_share"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """PMI-scored bigram collocations (Church & Hanks 1990) — the
+    phrase-mining pass behind tokenizer vocab extension and
+    multi-word-entity discovery: pmi(x,y) = ln P(x,y) − ln P(x) −
+    ln P(y), estimated from corpus bigram/unigram occurrence counts.
+
+    Plan: the corpus collapses to the unigram and bigram COUNT frames
+    first (two explode + map-side-combinable groupBys — the same
+    vocabulary-sized-then-independent-of-corpus-size trick as
+    bpe_pair_counts); totals derive from those frames (no third corpus
+    scan) and ride a 1-row broadcast. The min_count floor (Dunning's
+    low-count-PMI pathology: hapax pairs score highest) cuts the
+    candidate frame before the two vocabulary joins — AQE broadcasts
+    the floored side when small. Top-k via sort-limit (TakeOrdered —
+    no global sort), rank assigned on the ≤k survivors. PMI is a
+    fixed-order sum of ln's over exact integer counts (no big
+    products, no overflow), ordered at full precision and rounded to 6
+    decimals after ranking."""
+    t = F.col(text_col)
+    uni = (
+        docs.select(F.explode(X.tokens(t)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    bi = (
+        docs.select(F.explode(X.word_shingles(t, 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+    )
+    totals = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
+        bi.agg(F.sum("c_xy").alias("n_bi"))
+    )
+    x = uni.select(F.col("term").alias("_x"), F.col("c").alias("c_x"))
+    y = uni.select(F.col("term").alias("_y"), F.col("c").alias("c_y"))
+    parts = F.split("bigram", " ")
+    cand = (
+        bi.filter(F.col("c_xy") >= min_count)
+        .withColumn("_x", parts.getItem(0))
+        .withColumn("_y", parts.getItem(1))
+        .join(x, "_x")
+        .join(y, "_y")
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = (
+        F.log("c_xy") - F.log("c_x") - F.log("c_y") - F.log("n_bi")
+        + F.lit(2.0) * F.log("n_uni")
+    )
+    top = (
+        cand.select("bigram", "c_xy", "c_x", "c_y", pmi.alias("_pmi"))
+        .orderBy(F.col("_pmi").desc(), "bigram")
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("_pmi").desc(), "bigram")
+    return top.select(
+        "bigram",
+        "c_xy",
+        "c_x",
+        "c_y",
+        F.round("_pmi", 6).alias("pmi"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

@@ -484,3 +484,67 @@ def keyword_index_merge(
     )
     _refresh_stats(spark, index_dir)
     return "merged"
+
+
+def query_expansion_prf(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    query_terms: list[str],
+    n_feedback: int = 10,
+    n_expansion: int = 10,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """RM3-style pseudo-relevance feedback (Lavrenko & Croft SIGIR'01;
+    Lucene's RM3 rerank): run the query against the MATERIALIZED BM25
+    index, take the top-``n_feedback`` docs as pseudo-relevant, and
+    mine expansion terms weighted by relevance-model mass
+    w(t) = Σ_d (tf(t,d)/dl(d)) · bm25(d) — term likelihood in the
+    feedback doc times the doc's retrieval score.
+
+    Physical posture: the first tower is the shared bucket-pruned
+    bm25_from_index scan; the feedback set is ≤ n_feedback rows and
+    BROADCASTS back onto the documents table (constant-bounded hint —
+    allowed), so only the feedback docs are ever tokenized — the
+    expansion pass costs O(n_feedback docs), not a corpus scan.
+    Per-doc contributions quantize to exact micro-unit longs (from the
+    6-decimal-rounded bm25, so the quantized input is engine-stable),
+    making the cross-doc weight sum order-free. Original query terms
+    are excluded; top expansion terms via sort-limit.
+
+    Returns (rank, term, weight, n_docs) — the expanded query a
+    second-pass retrieval would run."""
+    fb = (
+        bm25_from_index(spark, index_dir, query_terms, n_buckets)
+        .orderBy(F.col("_bm25").desc(), "doc_id")
+        .limit(n_feedback)
+        .select("doc_id", F.round("_bm25", 6).alias("_bm25"))
+    )
+    ft = docs.join(F.broadcast(fb), "doc_id").select(
+        "doc_id",
+        "_bm25",
+        F.size(X.tokens(F.col("text"))).alias("_dl"),
+        F.explode(X.tokens(F.col("text"))).alias("term"),
+    )
+    tf = (
+        ft.filter((F.col("term") != "") & ~F.col("term").isin(query_terms))
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count("*").cast("double").alias("tf"),
+            F.first("_dl").alias("dl"),
+            F.first("_bm25").alias("bm25"),
+        )
+    )
+    contrib_u = F.round(F.col("tf") / F.col("dl") * F.col("bm25") * 1e6).cast("long")
+    wt = tf.groupBy("term").agg(
+        F.sum(contrib_u).alias("_wu"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    top = wt.orderBy(F.col("_wu").desc(), "term").limit(n_expansion)
+    w = Window.orderBy(F.col("_wu").desc(), "term")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "term",
+        F.round(F.col("_wu") / 1e6, 6).alias("weight"),
+        "n_docs",
+    )

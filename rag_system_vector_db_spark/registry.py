@@ -6512,3 +6512,111 @@ def lang_confusion_q(spark, sf_dir):
     classifier-quality audit behind corpus-mix decisions. One corpus
     scan; shares are windows over the ≤|langs|² confusion frame."""
     return text_analysis.lang_confusion(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "pmi_collocations",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks
+        WHERE term <> '' GROUP BY term
+    ), g AS (
+        SELECT unnest(
+            CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+                 ELSE [array_to_string(t[i + 1 : i + 2], ' ') FOR i IN range(len(t) - 1)]
+            END) AS bigram
+        FROM (SELECT string_split(text, ' ') AS t FROM documents)
+    ), bf AS (
+        SELECT bigram, CAST(count(*) AS BIGINT) AS c_xy FROM g GROUP BY bigram
+    ), tot AS (
+        SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM tf) AS n_uni,
+               (SELECT CAST(sum(c_xy) AS DOUBLE) FROM bf) AS n_bi
+    ), cand AS (
+        SELECT b.bigram, b.c_xy, x.c AS c_x, y.c AS c_y,
+               ln(b.c_xy) - ln(x.c) - ln(y.c) - ln(t.n_bi) + 2.0 * ln(t.n_uni) AS _pmi
+        FROM bf b
+        JOIN tf x ON x.term = string_split(b.bigram, ' ')[1]
+        JOIN tf y ON y.term = string_split(b.bigram, ' ')[2]
+        CROSS JOIN tot t
+        WHERE b.c_xy >= 5
+    ), ranked AS (
+        SELECT bigram, c_xy, c_x, c_y, round(_pmi, 6) AS pmi,
+               CAST(row_number() OVER (ORDER BY _pmi DESC, bigram) AS BIGINT) AS rank
+        FROM cand
+    )
+    SELECT * FROM ranked WHERE rank <= 50
+    """,
+)
+def pmi_collocations_q(spark, sf_dir):
+    """Top-50 PMI bigram collocations with a min-count floor — corpus
+    collapses to vocab-sized count frames before any join; PMI is a
+    fixed-order ln sum over exact counts."""
+    return text_analysis.pmi_collocations(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "query_expansion_prf",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), qtoks AS (
+        SELECT * FROM toks WHERE term IN ('spark', 'join', 'fast')
+    ), tf0 AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
+        FROM qtoks GROUP BY doc_id, term
+    ), stats AS (
+        SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl FROM documents
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf0 GROUP BY term
+    ), bm25 AS (
+        SELECT tf0.doc_id,
+               sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * (tf0.tf * (1.2 + 1)) / (tf0.tf + 1.2 * (1 - 0.75 + 0.75 * tf0.dl / s.avgdl))) AS bm25
+        FROM tf0 JOIN dfreq d USING (term) CROSS JOIN stats s
+        GROUP BY tf0.doc_id
+    ), fb AS (
+        SELECT doc_id, round(bm25, 6) AS bm25
+        FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT 10
+    ), ft AS (
+        SELECT t.term, t.doc_id, t.dl, fb.bm25
+        FROM toks t JOIN fb USING (doc_id)
+        WHERE t.term <> '' AND t.term NOT IN ('spark', 'join', 'fast')
+    ), tfq AS (
+        SELECT term, doc_id, CAST(count(*) AS DOUBLE) AS tf,
+               min(dl) AS dl, min(bm25) AS bm25
+        FROM ft GROUP BY term, doc_id
+    ), wt AS (
+        SELECT term,
+               CAST(sum(CAST(round(tf / dl * bm25 * 1e6) AS BIGINT)) AS BIGINT) AS wu,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM tfq GROUP BY term
+    )
+    SELECT CAST(row_number() OVER (ORDER BY wu DESC, term) AS BIGINT) AS rank,
+           term, round(wu / 1e6, 6) AS weight, n_docs
+    FROM wt ORDER BY wu DESC, term LIMIT 10
+    """,
+)
+def query_expansion_prf_q(spark, sf_dir):
+    """RM3 pseudo-relevance feedback from the materialized BM25 index:
+    top-10 feedback docs broadcast back onto documents, so expansion
+    mining tokenizes 10 docs — never the corpus. The oracle recomputes
+    BM25 straight from documents (index-independent)."""
+    from .operators import text_index
+
+    index_dir = _os.path.join(
+        _WAREHOUSE, f"kw_index_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    if not _os.path.exists(_os.path.join(index_dir, "stats", "_SUCCESS")):
+        text_index.keyword_index_build(
+            load_table(spark, sf_dir, "documents"), index_dir
+        )
+    return text_index.query_expansion_prf(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        index_dir,
+        ["spark", "join", "fast"],
+    )
