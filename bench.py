@@ -164,6 +164,12 @@ EXTRA = [
     "rag_context_budget",
     "events_gap_fill",
     "events_ohlc",
+    # r5 third wave
+    "lineitem_priority_mix",
+    "train_test_split",
+    "lang_confusion",
+    "pmi_collocations",
+    "query_expansion_prf",
 ]
 
 

@@ -417,3 +417,41 @@ def test_salted_join_salts_the_key(spark, sf_dir):
 def test_triangle_count_equi_joins_only(spark, sf_dir):
     plan = _plan(QUERIES["triangle_count"](spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_lineitem_priority_mix_pushdown_and_narrow_order_side(spark, sf_dir):
+    """Q12 shape: the ship-year range reaches the lineitem scan, the
+    orders side crosses its exchange with the priority CASE already
+    collapsed to a boolean (no o_orderpriority string on the wire)."""
+    plan = _plan(QUERIES["lineitem_priority_mix"](spark, sf_dir))
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "_critical" in plan  # CASE projected before the join
+    assert "CartesianProduct" not in plan
+
+
+def test_train_test_split_single_scan(spark, sf_dir):
+    """Split audit: one documents scan reading only (doc_id, text,
+    source) feeds the whole stratified rollup."""
+    plan = _plan(QUERIES["train_test_split"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "doc_id" in schema and "text" in schema and "source" in schema
+    assert "lang" not in schema and "n_chars" not in schema
+
+
+def test_lang_confusion_single_scan_no_self_join(spark, sf_dir):
+    """Confusion matrix: the prediction is recomputed inline — ONE
+    corpus scan, no join of the classifier output back to the docs."""
+    plan = _plan(QUERIES["lang_confusion"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_pmi_collocations_takeordered_vocab_joins(spark, sf_dir):
+    """PMI: top-k is sort-limit (TakeOrdered), never a global sort of
+    the candidate frame; totals ride a broadcast."""
+    plan = _plan(QUERIES["pmi_collocations"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

@@ -235,3 +235,26 @@ def test_merge_crash_before_ledger_converges(spark, sf_dir, tmp_path):
     # stats reflect the full corpus
     stats = spark.read.parquet(f"{idx}/stats").collect()[0]
     assert stats.n_docs == docs.count()
+
+
+def test_prf_expansion_terms_and_pruned_first_tower(spark, sf_dir, tmp_path):
+    """RM3 PRF: expansion terms must exclude the query terms, weights
+    must decrease with rank, and the BM25 first tower must stay
+    bucket-pruned (the corpus is only touched through the ≤10-doc
+    feedback broadcast)."""
+    idx, docs = _build(spark, sf_dir, tmp_path)
+    df = text_index.query_expansion_prf(spark, docs, idx, TERMS)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the POSTINGS scan (not the docs scan) must carry the bucket prune
+    assert any(
+        "bucket" in seg[:160] for seg in plan.split("PartitionFilters")[1:]
+    )
+    assert "BroadcastExchange" in plan  # feedback set broadcast onto docs
+    rows = df.collect()
+    assert len(rows) == 10
+    assert [r.rank for r in rows] == list(range(1, 11))
+    assert all(r.term not in TERMS for r in rows)
+    weights = [r.weight for r in rows]
+    assert weights == sorted(weights, reverse=True)
+    assert all(1 <= r.n_docs <= 10 for r in rows)
