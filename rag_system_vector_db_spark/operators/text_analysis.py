@@ -454,16 +454,23 @@ def pmi_collocations(
     products, no overflow), ordered at full precision and rounded to 6
     decimals after ranking."""
     t = F.col(text_col)
+    # The unigram frame feeds three consumers (x-join, y-join, totals)
+    # and the bigram frame two (candidates, totals); a lazy
+    # localCheckpoint materializes each VOCAB-SIZED count frame once so
+    # the corpus is tokenized exactly twice — without it every consumer
+    # re-runs its own corpus explode (observed: 5 parquet scans).
     uni = (
         docs.select(F.explode(X.tokens(t)).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("term")
         .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
     bi = (
         docs.select(F.explode(X.word_shingles(t, 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").cast("long").alias("c_xy"))
+        .localCheckpoint(eager=False)
     )
     totals = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
         bi.agg(F.sum("c_xy").alias("n_bi"))
