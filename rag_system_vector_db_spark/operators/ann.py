@@ -1222,3 +1222,148 @@ def ann_ivfpq_residual_topk(
         pq_adc_dist_lut(F.col("_lut"), F.col("_codes"), len(codebooks)).alias("dist"),
     )
     return topk_per_key_agg(scored, query_id_col, id_col, k, score_col="dist", asc=True)
+
+
+# --- binary (sign-bit) index: faiss IndexBinaryFlat ----------------------
+
+
+def sign_bit_words(vec_col, dim: int = 64, word_bits: int = 32) -> list:
+    """Binarize a vector to sign-bit machine words (faiss
+    IndexBinaryFlat's layout; ITQ/sign-hash binarization): bit i of
+    word w is set iff vec[w·32 + i] > 0. Two 32-bit words cover 64
+    dims without touching the sign bit of a long. The per-bit weights
+    enter as ONE literal array (no shiftleft-by-column), so the fold
+    is exact integer arithmetic — bit-identical across engines."""
+    words = []
+    for w in range(0, dim, word_bits):
+        n = min(word_bits, dim - w)
+        weights = F.lit([1 << b for b in range(n)]).cast("array<long>")
+        sliced = F.slice(vec_col.cast("array<double>"), w + 1, n)
+        words.append(
+            F.aggregate(
+                F.zip_with(
+                    sliced,
+                    weights,
+                    lambda x, wt: F.when(x > 0, wt).otherwise(F.lit(0).cast("long")),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+        )
+    return words
+
+
+def binary_hamming_topk(
+    vectors: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hamming top-k over sign-binarized vectors (faiss
+    IndexBinaryFlat): 64 dims compress to 8 BYTES per vector (32×
+    smaller than float32), distance is two xor+popcount ops — the
+    cheapest usable ANN when vectors are roughly isotropic (random
+    hyperplane LSH with the axis-aligned planes).
+
+    Plan: binarization is a narrow codegen map; the query's two words
+    ride a 1-row broadcast; top-k via sort-limit. Every value is an
+    exact integer, so the oracle hash-checks bit-for-bit. At 100 TB
+    the words column is the thing you'd MATERIALIZE (8 B/vector) and
+    scan instead of the embeddings — the same build-once posture as
+    ann_ivf_indexed."""
+    lo, hi = sign_bit_words(F.col(vec_col))
+    words = vectors.select(
+        F.col(id_col), lo.alias("_lo"), hi.alias("_hi")
+    )
+    q = (
+        words.filter(F.col(id_col) == query_id)
+        .select(F.col("_lo").alias("_qlo"), F.col("_hi").alias("_qhi"))
+    )
+    scored = (
+        words.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            (
+                F.bit_count(F.col("_lo").bitwiseXOR(F.col("_qlo")))
+                + F.bit_count(F.col("_hi").bitwiseXOR(F.col("_qhi")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    top = scored.orderBy("hamming", id_col).limit(k)
+    w = Window.orderBy("hamming", id_col)
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"), id_col, "hamming"
+    )
+
+
+# --- uniform int8 scalar quantizer: faiss QT_8bit_uniform ----------------
+
+
+def sq8_topk(
+    vectors: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantized L2 top-k (faiss IndexScalarQuantizer,
+    QT_8bit_uniform): every component quantizes to an int in
+    [-127, 127] under ONE global scale (corpus absmax / 127), and the
+    symmetric distance Σ(Δcode)² is computed entirely in exact longs —
+    4× smaller vectors, integer-only distance kernel, and the oracle
+    hash-checks every distance bit-for-bit.
+
+    Plan: absmax is a 1-row broadcast scalar (one map-side-combinable
+    agg of per-vector maxes); encode is a narrow transform; the query
+    code rides a second 1-row broadcast; top-k via sort-limit.
+    approx_l2 = √dist · scale rescales to float space at the very end
+    (one sqrt + one multiply per emitted row). The per-dimension-scale
+    variant (QT_8bit) is quantize_int8_profile's scheme — this op
+    keeps the uniform scale so the distance stays integer."""
+    absmax = vectors.agg(
+        F.max(
+            F.array_max(
+                F.transform(F.col(vec_col).cast("array<double>"), F.abs)
+            )
+        ).alias("_absmax")
+    )
+    code = lambda vec: F.transform(  # noqa: E731
+        vec.cast("array<double>"),
+        lambda x: F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(
+                F.lit(127).cast("long"),
+                F.floor(x / (F.col("_absmax") / 127) + F.lit(0.5)),
+            ),
+        ),
+    )
+    coded = vectors.crossJoin(F.broadcast(absmax)).select(
+        F.col(id_col), code(F.col(vec_col)).alias("_codes"), "_absmax"
+    )
+    q = coded.filter(F.col(id_col) == query_id).select(
+        F.col("_codes").alias("_qcodes")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("_codes"), F.col("_qcodes"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        coded.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(id_col, dist.alias("code_dist"), "_absmax")
+    )
+    top = scored.orderBy("code_dist", id_col).limit(k)
+    w = Window.orderBy("code_dist", id_col)
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        id_col,
+        "code_dist",
+        F.round(F.sqrt(F.col("code_dist")) * (F.col("_absmax") / 127), 6).alias(
+            "approx_l2"
+        ),
+    )

@@ -990,3 +990,41 @@ def minhash_band_sweep(
             ).alias("precision"),
         )
     )
+
+
+def soft_dedup_weights(
+    universe: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Soft deduplication: REWEIGHT duplicates instead of deleting
+    them (SoftDeDup-style down-weighting; the `1/cluster_size`
+    sampling weight that makes every duplicate cluster contribute one
+    effective document to training). Hard dedup throws away paraphrase
+    diversity; the soft variant keeps every copy at weight
+    1/|cluster|, so the training distribution matches the deduped one
+    in expectation while retaining intra-cluster variation.
+
+    Plan: connected components over the near-dup pairs (shared
+    dedup_cluster iteration — the oracle's recursive CTE hash-checks
+    it), a cluster-size rollup over the (node, label) longs, then ONE
+    left join back to the id universe — docs outside every pair get
+    weight 1.0 without ever entering the iteration (at 100 TB the CC
+    loop runs on the pair-touched minority, never the corpus).
+    Returns (id, cluster_size, weight)."""
+    cc = dedup_cluster(pairs, a_col, b_col)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").cast("long").alias("_sz"))
+    labelled = cc.join(sizes, "cluster_id").select(
+        F.col("node").alias("_node"), "_sz"
+    )
+    ids = universe.select(F.col(id_col))
+    return (
+        ids.join(labelled, ids[id_col] == F.col("_node"), "left")
+        .select(
+            id_col,
+            F.coalesce("_sz", F.lit(1)).cast("long").alias("cluster_size"),
+            F.round(F.lit(1.0) / F.coalesce("_sz", F.lit(1)), 6).alias("weight"),
+        )
+    )

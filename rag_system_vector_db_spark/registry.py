@@ -6620,3 +6620,107 @@ def query_expansion_prf_q(spark, sf_dir):
         index_dir,
         ["spark", "join", "fast"],
     )
+
+
+@query(
+    "ann_binary_hamming",
+    oracle="""
+    WITH w AS (
+        SELECT vec_id,
+               CAST(list_sum([CASE WHEN embedding[i+1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END FOR i IN range(32)]) AS BIGINT) AS lo,
+               CAST(list_sum([CASE WHEN embedding[i+33] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END FOR i IN range(32)]) AS BIGINT) AS hi
+        FROM embeddings
+    ), q AS (SELECT lo AS qlo, hi AS qhi FROM w WHERE vec_id = 0),
+    s AS (
+        SELECT w.vec_id,
+               CAST(bit_count(xor(w.lo, q.qlo)) + bit_count(xor(w.hi, q.qhi)) AS BIGINT) AS hamming
+        FROM w, q WHERE w.vec_id <> 0
+    )
+    SELECT CAST(row_number() OVER (ORDER BY hamming, vec_id) AS BIGINT) AS rank,
+           vec_id, hamming
+    FROM s ORDER BY hamming, vec_id LIMIT 10
+    """,
+)
+def ann_binary_hamming(spark, sf_dir):
+    """Sign-binarized Hamming top-10 (faiss IndexBinaryFlat): 64 dims
+    → two 32-bit words (8 B/vector), xor+popcount distance — exact
+    integers end-to-end."""
+    from .operators import ann
+
+    return ann.binary_hamming_topk(load_table(spark, sf_dir, "embeddings", split=True))
+
+
+@query(
+    "ann_sq8",
+    oracle="""
+    WITH am AS (
+        SELECT max(list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))) AS absmax
+        FROM embeddings
+    ), c AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(greatest(-127, least(127, floor(x / (am.absmax / 127) + 0.5))) AS BIGINT)) AS codes,
+               am.absmax AS absmax
+        FROM embeddings, am
+    ), q AS (SELECT codes AS qcodes FROM c WHERE vec_id = 0),
+    s AS (
+        SELECT c.vec_id,
+               CAST(list_sum(list_transform(list_zip(c.codes, q.qcodes),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS code_dist,
+               c.absmax AS absmax
+        FROM c, q WHERE c.vec_id <> 0
+    )
+    SELECT CAST(row_number() OVER (ORDER BY code_dist, vec_id) AS BIGINT) AS rank,
+           vec_id, code_dist,
+           round(sqrt(code_dist) * (absmax / 127), 6) AS approx_l2
+    FROM s ORDER BY code_dist, vec_id LIMIT 10
+    """,
+)
+def ann_sq8(spark, sf_dir):
+    """Uniform int8 scalar-quantizer L2 top-10 (faiss QT_8bit_uniform):
+    one global scale, Σ(Δcode)² in exact longs, rescale to float space
+    only on the 10 emitted rows."""
+    from .operators import ann
+
+    return ann.sq8_topk(load_table(spark, sf_dir, "embeddings", split=True))
+
+
+@query(
+    "soft_dedup_weights",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
+        WHERE {_dd_cosine('a.embedding', 'b.embedding')} >= 0.3
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ), cc(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
+    ), labelled AS (
+        SELECT node, min(label) AS cluster_id FROM cc GROUP BY node
+    ), sized AS (
+        SELECT l.node, s.sz FROM labelled l
+        JOIN (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+              FROM labelled GROUP BY cluster_id) s USING (cluster_id)
+    )
+    SELECT e.vec_id,
+           CAST(coalesce(s.sz, 1) AS BIGINT) AS cluster_size,
+           round(1.0 / coalesce(s.sz, 1), 6) AS weight
+    FROM embeddings e LEFT JOIN sized s ON e.vec_id = s.node
+    WHERE e.vec_id < 200
+    """,
+)
+def soft_dedup_weights_q(spark, sf_dir):
+    """Soft dedup: 1/cluster_size training weights from the CC
+    labelling — duplicates down-weighted, not deleted; singletons
+    weight 1.0 without entering the iteration."""
+    from .operators import dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    pairs = dedup.dedup_embedding_cosine(emb, threshold=0.3, all_pairs=True)
+    return dedup.soft_dedup_weights(emb, pairs)
