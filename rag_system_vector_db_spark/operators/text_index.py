@@ -548,3 +548,49 @@ def query_expansion_prf(
         F.round(F.col("_wu") / 1e6, 6).alias("weight"),
         "n_docs",
     )
+
+
+def rerank_two_stage(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    query_terms: list[str],
+    depth: int = 20,
+    k: int = 10,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Two-stage retrieval: cheap index-served BM25 recall at
+    ``depth``, then a precise rerank of only those candidates — the
+    retrieve-then-rerank shape every production search/RAG stack runs
+    (the reranker here is a deterministic lexical scorer, token-set
+    Jaccard against the query; the documented swap point for a
+    cross-encoder Pandas-UDF, same literal-stand-in posture as the
+    hash embedder).
+
+    Physical posture: stage 1 is the bucket-pruned postings tower,
+    TakeOrdered to ``depth`` rows; the candidate set BROADCASTS onto
+    documents (constant-bounded hint), so stage 2 tokenizes ``depth``
+    docs — never the corpus. Jaccard is a ratio of exact ints;
+    ordering is (jaccard, bm25, doc_id) on engine-stable values.
+    Returns (rank, doc_id, jaccard, bm25)."""
+    first = (
+        bm25_from_index(spark, index_dir, query_terms, n_buckets)
+        .orderBy(F.col("_bm25").desc(), "doc_id")
+        .limit(depth)
+        .select("doc_id", F.round("_bm25", 6).alias("bm25"))
+    )
+    qset = sorted(set(query_terms))
+    toks = F.array_distinct(X.tokens(F.col("text")))
+    inter = F.size(F.array_intersect(toks, F.lit(qset)))
+    jac = F.round(inter / (F.size(toks) + F.lit(len(qset)) - inter), 6)
+    cand = docs.join(F.broadcast(first), "doc_id").select(
+        "doc_id", "bm25", jac.alias("jaccard")
+    )
+    top = cand.orderBy(F.col("jaccard").desc(), F.col("bm25").desc(), "doc_id").limit(k)
+    w = Window.orderBy(F.col("jaccard").desc(), F.col("bm25").desc(), "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        "jaccard",
+        "bm25",
+    )

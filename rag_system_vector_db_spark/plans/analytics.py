@@ -1352,3 +1352,42 @@ def lineitem_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("_critical"), 1).otherwise(0)).cast("long").alias("high_line_count"),
         F.sum(F.when(F.col("_critical"), 0).otherwise(1)).cast("long").alias("low_line_count"),
     )
+
+
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup of revenue by (customer nation, order year) — the
+    multi-grain OLAP summary a dashboard reads at every drill level
+    (nation×year, nation totals, year totals, grand total) from ONE
+    aggregation pass; completes the grouping-set family next to
+    rollup_pricing (ROLLUP) and order_priority_pivot (pivot).
+
+    Physical posture: Spark expands the cube via a Generate (one row
+    per grouping set) BEFORE the exchange, and the agg stays map-side
+    combinable — one shuffle serves all four grains (vs four separate
+    groupBys = four fact passes). grouping_id() disambiguates real
+    NULLs from subtotal rows, and both engines use the same
+    MSB-first bit convention (asserted by the oracle hash). Revenue
+    sums ride DECIMAL(18,2) — exact and order-independent."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (_dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 3, 2))).alias("_rev"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        j.cube("n_name", "o_year")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.sum("_rev").cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+        .select("n_name", "o_year", "gid", "revenue", "n_lines")
+    )

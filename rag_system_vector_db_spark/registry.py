@@ -6724,3 +6724,88 @@ def soft_dedup_weights_q(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     pairs = dedup.dedup_embedding_cosine(emb, threshold=0.3, all_pairs=True)
     return dedup.soft_dedup_weights(emb, pairs)
+
+
+@query(
+    "revenue_cube",
+    oracle="""
+    SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(GROUPING_ID(n.n_name, CAST(year(o.o_orderdate) AS BIGINT)) AS BIGINT) AS gid,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1.00 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY CUBE (n.n_name, CAST(year(o.o_orderdate) AS BIGINT))
+    """,
+)
+def revenue_cube_q(spark, sf_dir):
+    """CUBE over (customer nation, order year): all four drill grains
+    from one map-side-combinable aggregation pass; grouping_id
+    disambiguates subtotal rows; DECIMAL-exact revenue."""
+    from .plans import analytics
+
+    return analytics.revenue_cube(spark, sf_dir)
+
+
+@query(
+    "rerank_two_stage",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), qtoks AS (
+        SELECT * FROM toks WHERE term IN ('spark', 'join', 'fast')
+    ), tf0 AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
+        FROM qtoks GROUP BY doc_id, term
+    ), stats AS (
+        SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl FROM documents
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf0 GROUP BY term
+    ), bm25 AS (
+        SELECT tf0.doc_id,
+               sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * (tf0.tf * (1.2 + 1)) / (tf0.tf + 1.2 * (1 - 0.75 + 0.75 * tf0.dl / s.avgdl))) AS bm25
+        FROM tf0 JOIN dfreq d USING (term) CROSS JOIN stats s
+        GROUP BY tf0.doc_id
+    ), fb AS (
+        SELECT doc_id, round(bm25, 6) AS bm25
+        FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT 20
+    ), r AS (
+        SELECT d.doc_id, fb.bm25,
+               len(list_intersect(list_distinct(string_split(d.text, ' ')),
+                                  ['fast', 'join', 'spark'])) AS inter,
+               len(list_distinct(string_split(d.text, ' '))) AS nd
+        FROM documents d JOIN fb USING (doc_id)
+    )
+    SELECT CAST(row_number() OVER (ORDER BY round(inter / CAST(nd + 3 - inter AS DOUBLE), 6) DESC, bm25 DESC, doc_id) AS BIGINT) AS rank,
+           doc_id,
+           round(inter / CAST(nd + 3 - inter AS DOUBLE), 6) AS jaccard,
+           bm25
+    FROM r
+    ORDER BY jaccard DESC, bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def rerank_two_stage_q(spark, sf_dir):
+    """Retrieve-then-rerank: bucket-pruned BM25 at depth 20, lexical
+    Jaccard rerank of the broadcast candidate set (tokenizes 20 docs,
+    never the corpus); deterministic cross-encoder stand-in."""
+    from .operators import text_index
+
+    index_dir = _os.path.join(
+        _WAREHOUSE, f"kw_index_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    if not _os.path.exists(_os.path.join(index_dir, "stats", "_SUCCESS")):
+        text_index.keyword_index_build(
+            load_table(spark, sf_dir, "documents"), index_dir
+        )
+    return text_index.rerank_two_stage(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        index_dir,
+        ["spark", "join", "fast"],
+    )
