@@ -170,6 +170,12 @@ EXTRA = [
     "lang_confusion",
     "pmi_collocations",
     "query_expansion_prf",
+    "ann_binary_hamming",
+    "ann_sq8",
+    "soft_dedup_weights",
+    "revenue_cube",
+    "rerank_two_stage",
+    "events_ewma",
 ]
 
 

@@ -6809,3 +6809,76 @@ def rerank_two_stage_q(spark, sf_dir):
         index_dir,
         ["spark", "join", "fast"],
     )
+
+
+_EWMA_TAPS = 16
+_DD_EWMA_WSUM = " + ".join(
+    f"coalesce(lag(v_u, {j}) OVER w, 0) * {1 << (_EWMA_TAPS - 1 - j)}"
+    for j in range(_EWMA_TAPS)
+)
+
+
+@query(
+    "events_ewma",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+               CAST(round(value * 1000000) AS BIGINT) AS v_u
+        FROM events
+    ), hourly AS (
+        SELECT event_type, CAST(h AS BIGINT) AS h, CAST(sum(v_u) AS BIGINT) AS v_u
+        FROM e GROUP BY event_type, h
+    ), smoothed AS (
+        SELECT event_type, h, v_u,
+               CAST({_DD_EWMA_WSUM} AS BIGINT) AS wsum,
+               CAST(65536 - (1::BIGINT << (16 - least(CAST(row_number() OVER w AS INTEGER), 16))) AS BIGINT) AS avail
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    )
+    SELECT event_type, h AS hour_id, v_u,
+           round(wsum / CAST(avail AS DOUBLE) / 1000000.0, 6) AS ewma
+    FROM smoothed
+    """,
+)
+def events_ewma_q(spark, sf_dir):
+    """Exponentially-weighted smoothing of the hourly series per event
+    type — the trend/denoise pass feeding dashboards and the anomaly
+    detector's expected-value baseline. The classic EWMA recurrence is
+    inherently sequential, so it is re-expressed as its 16-tap FIR
+    truncation (weights 2^15..2^0 — the α=1/2 kernel; tap 17's weight
+    is < 0.002% of the mass): a fixed stack of lag()s over ONE
+    (event_type, hour) window — one shuffle, codegen arithmetic, and
+    every weighted sum is an exact long (values pre-quantized to
+    micro-units), so warm-up normalization (2^16 − 2^(16−m) for m
+    available taps) and the final ratio are engine-identical. The
+    infinite-memory recurrence belongs to the streaming layer
+    (stateful fold); compose with events_gap_fill first when hour
+    gaps should decay rather than skip."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("ts_ns div 3600000000000").alias("h"),
+            F.expr("cast(round(value * 1000000) as bigint)").alias("v_u"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("v_u").cast("long").alias("v_u"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    wsum = None
+    for j in range(_EWMA_TAPS):
+        term = F.coalesce(F.lag("v_u", j).over(w), F.lit(0)) * F.lit(
+            1 << (_EWMA_TAPS - 1 - j)
+        )
+        wsum = term if wsum is None else wsum + term
+    m = F.least(F.row_number().over(w), F.lit(_EWMA_TAPS))
+    # 2^(16-m) via double pow — exact for exponents ≤ 16, then long
+    avail = F.lit(65536).cast("long") - F.pow(
+        F.lit(2.0), (F.lit(_EWMA_TAPS) - m).cast("double")
+    ).cast("long")
+    return hourly.select(
+        "event_type",
+        F.col("h").cast("long").alias("hour_id"),
+        "v_u",
+        F.round(wsum.cast("long") / avail / 1e6, 6).alias("ewma"),
+    )

@@ -455,3 +455,39 @@ def test_pmi_collocations_takeordered_vocab_joins(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ann_binary_hamming_integer_kernel_and_broadcast_query(spark, sf_dir):
+    """Binary index: the query words ride a broadcast; top-k is
+    sort-limit; no Python appears anywhere in the plan."""
+    plan = _plan(QUERIES["ann_binary_hamming"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
+
+
+def test_ann_sq8_scalar_broadcasts(spark, sf_dir):
+    """SQ8: absmax scalar and query codes both ride broadcasts; top-k
+    is sort-limit."""
+    plan = _plan(QUERIES["ann_sq8"](spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
+
+
+def test_revenue_cube_single_agg_pass(spark, sf_dir):
+    """CUBE: one Expand feeds one aggregation — all four grains from a
+    single fact pass, nation broadcast."""
+    plan = _plan(QUERIES["revenue_cube"](spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 4  # lineitem, orders, customer, nation
+    assert "BroadcastExchange" in plan
+
+
+def test_events_ewma_single_window_shuffle(spark, sf_dir):
+    """EWMA FIR: the 16 lag taps share ONE window sort — exactly one
+    exchange for the hourly rollup plus the window's (same-key, AQE
+    may reuse); no per-tap shuffles."""
+    plan = _plan(QUERIES["events_ewma"](spark, sf_dir))
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2
