@@ -176,6 +176,8 @@ EXTRA = [
     "revenue_cube",
     "rerank_two_stage",
     "events_ewma",
+    "incremental_agg_maintenance",
+    "token_entropy",
 ]
 
 

@@ -504,3 +504,46 @@ def pmi_collocations(
         F.round("_pmi", 6).alias("pmi"),
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+def token_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram entropy H = ln(n) − (Σ_t tf·ln tf)/n and
+    its normalized form H/ln(n) ∈ [0,1] — the information-density
+    quality signal that separates degenerate repetition (→0) from
+    diverse text (→1), complementing text_quality's TTR (entropy sees
+    the full distribution, TTR only support size).
+
+    MAP-ONLY: per-row HOFs compute each term's in-doc frequency
+    (distinct-terms × filter scan — O(len²) per doc but zero
+    shuffles; at 100 TB this is a pure scan job). The Σ tf·ln tf
+    cross-term sum quantizes each term's contribution to micro-unit
+    longs BEFORE the fold, so summation order can't move the result —
+    the fold itself is exact integer addition."""
+    t = F.col(text_col)
+    toks = F.filter(X.tokens(t), lambda x: x != "")
+    n = F.size(toks)
+    uniq = F.array_distinct(toks)
+    e_sum = F.aggregate(
+        F.transform(
+            uniq,
+            lambda u: F.round(
+                F.size(F.filter(toks, lambda x: x == u)).cast("double")
+                * F.log(F.size(F.filter(toks, lambda x: x == u)).cast("double"))
+                * 1e6
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    h = F.log(n.cast("double")) - (e_sum / 1e6) / n
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.size(uniq).cast("long").alias("n_uniq"),
+        F.round(h, 6).alias("entropy"),
+        F.round(
+            F.when(n > 1, h / F.log(n.cast("double"))).otherwise(F.lit(0.0)), 6
+        ).alias("norm_entropy"),
+    )

@@ -6882,3 +6882,107 @@ def events_ewma_q(spark, sf_dir):
         "v_u",
         F.round(wsum.cast("long") / avail / 1e6, 6).alias("ewma"),
     )
+
+
+@query(
+    "incremental_agg_maintenance",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_ns(ts) AS ts_ns,
+               CAST(round(value * 1000000) AS BIGINT) AS v_u
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(v_u) AS BIGINT) AS sum_u,
+           CAST(min(v_u) AS BIGINT) AS min_u,
+           CAST(max(v_u) AS BIGINT) AS max_u
+    FROM e GROUP BY user_id
+    """,
+)
+def incremental_agg_maintenance_q(spark, sf_dir):
+    """Incremental materialized-view maintenance (the lakehouse
+    aggregate-table refresh: Delta/Iceberg MERGE of a nightly delta
+    into a per-key summary): per-user (count, sum, min, max) state is
+    computed as base-window state MERGED with delta-window state —
+    full-outer on the key, commutative-monoid combine (counts/sums
+    add, min/max fold) — and the oracle recomputes the aggregate from
+    ALL events directly, so the hash match PROVES merge == rebuild
+    (the algebraic property that makes incremental refresh safe;
+    avg/quantiles must be carried as (sum, count)/sketches, exactly
+    why the state schema stores the monoid, not the answer).
+
+    The time split point ((min + 4·(max−min) div 5) on ts_ns) rides a
+    broadcast scalar — no driver action. At 100 TB the base state is
+    the persisted artifact (the posture keyword_index_merge
+    demonstrates with a ledger); each refresh aggregates ONLY the
+    delta slice and rewrites merged partitions. Values quantize to
+    micro-unit longs so every merged field is engine-exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts_ns", F.expr("cast(round(value * 1000000) as bigint)").alias("v_u")
+    )
+    split = ev.agg(
+        (F.min("ts_ns") + F.expr("(max(ts_ns) - min(ts_ns)) * 4 div 5")).alias("_split")
+    )
+    tagged = ev.crossJoin(F.broadcast(split))
+    aggs = [
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("v_u").cast("long").alias("sum_u"),
+        F.min("v_u").cast("long").alias("min_u"),
+        F.max("v_u").cast("long").alias("max_u"),
+    ]
+    base = (
+        tagged.filter(F.col("ts_ns") <= F.col("_split")).groupBy("user_id").agg(*aggs)
+    )
+    delta = (
+        tagged.filter(F.col("ts_ns") > F.col("_split")).groupBy("user_id").agg(*aggs)
+    )
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(d, F.col("b.user_id") == F.col("d.user_id"), "full_outer")
+    z = F.lit(0).cast("long")
+    return merged.select(
+        F.coalesce(F.col("b.user_id"), F.col("d.user_id")).alias("user_id"),
+        (F.coalesce(F.col("b.n_events"), z) + F.coalesce(F.col("d.n_events"), z)).alias("n_events"),
+        (F.coalesce(F.col("b.sum_u"), z) + F.coalesce(F.col("d.sum_u"), z)).alias("sum_u"),
+        F.least(
+            F.coalesce(F.col("b.min_u"), F.col("d.min_u")),
+            F.coalesce(F.col("d.min_u"), F.col("b.min_u")),
+        ).alias("min_u"),
+        F.greatest(
+            F.coalesce(F.col("b.max_u"), F.col("d.max_u")),
+            F.coalesce(F.col("d.max_u"), F.col("b.max_u")),
+        ).alias("max_u"),
+    )
+
+
+@query(
+    "token_entropy",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               len(toks) AS n,
+               len(list_distinct(toks)) AS nu,
+               CAST(list_sum(list_transform(list_distinct(toks),
+                    u -> CAST(round(CAST(len(list_filter(toks, x -> x = u)) AS DOUBLE)
+                              * ln(CAST(len(list_filter(toks, x -> x = u)) AS DOUBLE))
+                              * 1e6) AS BIGINT))) AS BIGINT) AS e_sum
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(nu AS BIGINT) AS n_uniq,
+           round(ln(CAST(n AS DOUBLE)) - (e_sum / 1e6) / n, 6) AS entropy,
+           round(CASE WHEN n > 1
+                      THEN (ln(CAST(n AS DOUBLE)) - (e_sum / 1e6) / n) / ln(CAST(n AS DOUBLE))
+                      ELSE 0.0 END, 6) AS norm_entropy
+    FROM s
+    """,
+)
+def token_entropy_q(spark, sf_dir):
+    """Per-doc unigram entropy + normalized entropy — map-only HOF
+    pass, zero shuffles; cross-term sum in exact micro-unit longs."""
+    return text_analysis.token_entropy(load_table(spark, sf_dir, "documents"))

@@ -491,3 +491,19 @@ def test_events_ewma_single_window_shuffle(spark, sf_dir):
     plan = _plan(QUERIES["events_ewma"](spark, sf_dir))
     assert plan.count("Window") == 1
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_token_entropy_map_only(spark, sf_dir):
+    """Entropy is a pure scan job: no exchange anywhere in the plan."""
+    plan = _plan(QUERIES["token_entropy"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_incremental_agg_merge_single_scan_subtrees(spark, sf_dir):
+    """Merge == rebuild: base/delta aggs are map-side combinable
+    (partial_count/sum before the exchange) and the split point rides
+    a broadcast, not a driver action."""
+    plan = _plan(QUERIES["incremental_agg_maintenance"](spark, sf_dir))
+    assert "partial_count" in plan or "partial count" in plan.lower()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

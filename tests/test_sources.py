@@ -311,3 +311,27 @@ def test_qa_python_datasource_requires_options(spark):
 
     with pytest.raises(ValueError, match="qa_files needs"):
         QAFileReader({})
+
+
+def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
+    """Schema evolution across parquet batches (the ingest reality of
+    a long-lived corpus: later batches add columns): mergeSchema
+    reconciles old and new footers, old rows null-fill the added
+    column, and an explicit unified schema reads the same without
+    footer merging (the cheap production path — mergeSchema footer
+    scans are O(n_files))."""
+    out = str(tmp_path / "evolving")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("doc_id", "text").write.parquet(f"{out}/batch=0")
+    docs.select(
+        "doc_id", "text", F.lit("crawl-2").alias("origin")
+    ).write.parquet(f"{out}/batch=1")
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"doc_id", "text", "origin", "batch"}
+    n = docs.count()
+    assert merged.count() == 2 * n
+    assert merged.filter(F.col("origin").isNull()).count() == n
+    # production path: explicit schema, no footer merge
+    explicit = spark.read.schema(merged.schema).parquet(out)
+    assert explicit.count() == 2 * n
+    assert explicit.filter((F.col("batch") == 1) & F.col("origin").isNull()).count() == 0
