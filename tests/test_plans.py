@@ -494,9 +494,11 @@ def test_events_ewma_single_window_shuffle(spark, sf_dir):
 
 
 def test_token_entropy_map_only(spark, sf_dir):
-    """Entropy is a pure scan job: no exchange anywhere in the plan."""
+    """Entropy is a pure scan job: no hash exchange, no agg — the only
+    Exchange is load_table's round-robin parallelism split."""
     plan = _plan(QUERIES["token_entropy"](spark, sf_dir))
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "HashAggregate" not in plan and "Window" not in plan
     assert plan.count("FileScan parquet") == 1
 
 
