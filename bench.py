@@ -178,6 +178,9 @@ EXTRA = [
     "events_ewma",
     "incremental_agg_maintenance",
     "token_entropy",
+    "qlm_dirichlet_topk",
+    "faceted_search_counts",
+    "rfm_segments",
 ]
 
 

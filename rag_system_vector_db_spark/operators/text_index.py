@@ -77,6 +77,10 @@ def keyword_index_build(
     stats = docs.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.avg(dl_expr).alias("avgdl"),
+        # exact corpus token count — the collection-frequency
+        # denominator for LM scorers (qlm_dirichlet); kept as a long so
+        # p_c(t) = cf/total is engine-exact, unlike n_docs · avgdl
+        F.sum(dl_expr).cast("long").alias("total_tokens"),
     )
     stats.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/stats")
 
@@ -593,4 +597,54 @@ def rerank_two_stage(
         "doc_id",
         "jaccard",
         "bm25",
+    )
+
+
+def qlm_dirichlet_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query_terms: list[str],
+    k: int = 10,
+    mu: float = 100.0,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty SIGIR'01 — the LM scorer next to BM25, the other classic
+    probabilistic ranking function), served from the SAME materialized
+    index: score(d) = Σ_t ln(1 + tf_td/(μ·p_c(t))) + |q|·ln(μ/(dl_d+μ))
+    — the rank-equivalent decomposition that lets matched postings
+    alone drive the sum (unmatched docs need no rows).
+
+    p_c(t) = cf_t / total_tokens uses the EXACT corpus token count the
+    build stores (collection frequency comes from the pruned postings
+    themselves — a term's postings live wholly in its bucket, so cf
+    needs no extra dictionary). Same bucket-directory pruning as
+    keyword_index_topk. Returns (rank, doc_id, qlm)."""
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in query_terms})
+    post = spark.read.parquet(f"{index_dir}/postings").filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(query_terms)
+    )
+    stats = spark.read.parquet(f"{index_dir}/stats")
+    cf = post.groupBy("term").agg(F.sum("tf").alias("cf"))
+    contrib = F.log(
+        1.0 + F.col("tf") / (F.lit(mu) * (F.col("cf") / F.col("total_tokens")))
+    )
+    scored = (
+        post.join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(contrib)
+                + F.lit(float(len(query_terms)))
+                * F.log(F.lit(mu) / (F.first("dl") + F.lit(mu)))
+            ).alias("_qlm")
+        )
+    )
+    top = scored.orderBy(F.col("_qlm").desc(), "doc_id").limit(k)
+    w = Window.orderBy(F.col("_qlm").desc(), "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        F.round("_qlm", 6).alias("qlm"),
     )

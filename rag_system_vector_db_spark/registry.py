@@ -2702,6 +2702,29 @@ def _semdedup_oracle(sf_dir: str) -> str:
 LAZY_ORACLES["semdedup"] = _semdedup_oracle
 
 
+def _kw_index_dir(spark, sf_dir: str) -> str:
+    """Idempotent keyword-index build gate shared by every consumer.
+    Rebuilds when the index is absent OR predates the current stats
+    schema (total_tokens added for the LM scorer — a persisted index
+    from an older build is upgraded in place, the same
+    layout-versioning a production index directory needs)."""
+    from .operators import text_index
+
+    index_dir = _os.path.join(
+        _WAREHOUSE, f"kw_index_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    stale = True
+    if _os.path.exists(_os.path.join(index_dir, "stats", "_SUCCESS")):
+        stale = "total_tokens" not in (
+            spark.read.parquet(f"{index_dir}/stats").columns
+        )
+    if stale:
+        text_index.keyword_index_build(
+            load_table(spark, sf_dir, "documents"), index_dir
+        )
+    return index_dir
+
+
 @query(
     "keyword_index_topk",
     oracle="""
@@ -2738,13 +2761,7 @@ def keyword_index_topk(spark, sf_dir):
     recomputes it straight from documents — index-independent."""
     from .operators import text_index
 
-    index_dir = _os.path.join(
-        _WAREHOUSE, f"kw_index_{_os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    if not _os.path.exists(_os.path.join(index_dir, "stats", "_SUCCESS")):
-        text_index.keyword_index_build(
-            load_table(spark, sf_dir, "documents"), index_dir
-        )
+    index_dir = _kw_index_dir(spark, sf_dir)
     return text_index.keyword_index_topk(
         spark, index_dir, ["spark", "join", "fast"], k=10
     )
@@ -3051,13 +3068,7 @@ def hybrid_index_rrf(spark, sf_dir):
     Build is idempotent and shared with keyword_index_topk."""
     from .operators import text_index
 
-    index_dir = _os.path.join(
-        _WAREHOUSE, f"kw_index_{_os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    if not _os.path.exists(_os.path.join(index_dir, "stats", "_SUCCESS")):
-        text_index.keyword_index_build(
-            load_table(spark, sf_dir, "documents"), index_dir
-        )
+    index_dir = _kw_index_dir(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
     return text_index.hybrid_index_rrf(
@@ -3781,13 +3792,7 @@ def keyword_index_batch(spark, sf_dir):
     documents, index-independent."""
     from .operators import text_index
 
-    index_dir = _os.path.join(
-        _WAREHOUSE, f"kw_index_{_os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    if not _os.path.exists(_os.path.join(index_dir, "stats", "_SUCCESS")):
-        text_index.keyword_index_build(
-            load_table(spark, sf_dir, "documents"), index_dir
-        )
+    index_dir = _kw_index_dir(spark, sf_dir)
     return text_index.keyword_index_batch(spark, index_dir, _KWB_QUERIES, k=10)
 
 
@@ -3855,13 +3860,7 @@ def hybrid_index_batch(spark, sf_dir):
     every query from documents + embeddings, index-independent."""
     from .operators import text_index
 
-    index_dir = _os.path.join(
-        _WAREHOUSE, f"kw_index_{_os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    if not _os.path.exists(_os.path.join(index_dir, "stats", "_SUCCESS")):
-        text_index.keyword_index_build(
-            load_table(spark, sf_dir, "documents"), index_dir
-        )
+    index_dir = _kw_index_dir(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     query_vecs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -6607,13 +6606,7 @@ def query_expansion_prf_q(spark, sf_dir):
     BM25 straight from documents (index-independent)."""
     from .operators import text_index
 
-    index_dir = _os.path.join(
-        _WAREHOUSE, f"kw_index_{_os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    if not _os.path.exists(_os.path.join(index_dir, "stats", "_SUCCESS")):
-        text_index.keyword_index_build(
-            load_table(spark, sf_dir, "documents"), index_dir
-        )
+    index_dir = _kw_index_dir(spark, sf_dir)
     return text_index.query_expansion_prf(
         spark,
         load_table(spark, sf_dir, "documents"),
@@ -6796,13 +6789,7 @@ def rerank_two_stage_q(spark, sf_dir):
     never the corpus); deterministic cross-encoder stand-in."""
     from .operators import text_index
 
-    index_dir = _os.path.join(
-        _WAREHOUSE, f"kw_index_{_os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    if not _os.path.exists(_os.path.join(index_dir, "stats", "_SUCCESS")):
-        text_index.keyword_index_build(
-            load_table(spark, sf_dir, "documents"), index_dir
-        )
+    index_dir = _kw_index_dir(spark, sf_dir)
     return text_index.rerank_two_stage(
         spark,
         load_table(spark, sf_dir, "documents"),
@@ -6986,3 +6973,136 @@ def token_entropy_q(spark, sf_dir):
     """Per-doc unigram entropy + normalized entropy — map-only HOF
     pass, zero shuffles; cross-term sum in exact micro-unit longs."""
     return text_analysis.token_entropy(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "qlm_dirichlet_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), qtoks AS (
+        SELECT * FROM toks WHERE term IN ('spark', 'join', 'fast')
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
+        FROM qtoks GROUP BY doc_id, term
+    ), cf AS (
+        SELECT term, CAST(sum(tf) AS DOUBLE) AS cf FROM tf GROUP BY term
+    ), tot AS (
+        SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total
+        FROM documents
+    ), scored AS (
+        SELECT tf.doc_id,
+               sum(ln(1.0 + tf.tf / (100.0 * (cf.cf / t.total))))
+               + 3.0 * ln(100.0 / (min(tf.dl) + 100.0)) AS qlm
+        FROM tf JOIN cf USING (term) CROSS JOIN tot t
+        GROUP BY tf.doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY qlm DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, round(qlm, 6) AS qlm
+    FROM scored ORDER BY qlm DESC, doc_id LIMIT 10
+    """,
+)
+def qlm_dirichlet_topk_q(spark, sf_dir):
+    """Dirichlet query-likelihood top-10 from the materialized index
+    (Zhai & Lafferty SIGIR'01) — the LM scorer beside BM25, sharing
+    the same bucket-pruned postings; collection frequency comes from
+    the pruned buckets themselves, the exact total-token count from
+    the build's stats row. Oracle recomputes from documents,
+    index-independent."""
+    from .operators import text_index
+
+    index_dir = _kw_index_dir(spark, sf_dir)
+    return text_index.qlm_dirichlet_topk(spark, index_dir, ["spark", "join", "fast"])
+
+
+@query(
+    "faceted_search_counts",
+    oracle="""
+    WITH m AS (
+        SELECT lang, source FROM documents
+        WHERE len(list_intersect(string_split(text, ' '),
+                                 ['fast', 'join', 'spark'])) > 0
+    ), cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_hits
+        FROM m GROUP BY 1, 2
+    )
+    SELECT lang, source, n_hits,
+           round(n_hits / CAST(sum(n_hits) OVER () AS DOUBLE), 6) AS share
+    FROM cells
+    """,
+)
+def faceted_search_counts_q(spark, sf_dir):
+    """Facet counts for a search-results page (the aggregation strip
+    beside every commercial search UI): per (lang, source), how many
+    docs match ANY query term, plus each facet cell's share of all
+    hits. The match test is a map-side array_intersect (no explode, no
+    per-term shuffle); the share window runs over the ≤|langs×sources|
+    facet frame, never the corpus. At 100 TB this rides the SAME
+    pruned postings scan as the ranked query (join doc_ids to facet
+    columns) — here the direct form keeps the oracle index-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = F.lit(["fast", "join", "spark"])
+    from .functions import text as X
+
+    m = docs.filter(F.size(F.array_intersect(X.tokens(F.col("text")), terms)) > 0)
+    cells = m.groupBy("lang", "source").agg(F.count("*").cast("long").alias("n_hits"))
+    w = Window.partitionBy()
+    return cells.select(
+        "lang",
+        "source",
+        "n_hits",
+        F.round(F.col("n_hits") / F.sum("n_hits").over(w), 6).alias("share"),
+    )
+
+
+@query(
+    "rfm_segments",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(max(epoch_ns(ts)) AS BIGINT) AS last_ts_ns,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_u
+        FROM events GROUP BY user_id
+    ), scored AS (
+        SELECT *,
+               CAST(ntile(5) OVER (ORDER BY last_ts_ns DESC, user_id) AS BIGINT) AS r_q,
+               CAST(ntile(5) OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS f_q,
+               CAST(ntile(5) OVER (ORDER BY sum_u DESC, user_id) AS BIGINT) AS m_q
+        FROM per_user
+    )
+    SELECT user_id, last_ts_ns, n_events, sum_u, r_q, f_q, m_q,
+           r_q || '' || f_q || '' || m_q AS segment
+    FROM scored
+    """,
+)
+def rfm_segments_q(spark, sf_dir):
+    """RFM customer segmentation (recency/frequency/monetary quintile
+    scores — the classic behavioral-cohort recipe): ONE fact shuffle
+    builds the per-user profile (map-side-combinable max/count/sum in
+    exact micro-units); the three ntile windows then run over the
+    per-user frame — cardinality |users|, not |events| — with
+    deterministic (metric, user_id) total orders so quintile
+    boundaries are engine-identical. Quintile 1 = best in each
+    dimension; segment '111' is the champion cell."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts_ns").cast("long").alias("last_ts_ns"),
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.expr("cast(round(value * 1000000) as bigint)")).cast("long").alias("sum_u"),
+    )
+    r = Window.orderBy(F.col("last_ts_ns").desc(), "user_id")
+    f = Window.orderBy(F.col("n_events").desc(), "user_id")
+    m = Window.orderBy(F.col("sum_u").desc(), "user_id")
+    scored = per_user.select(
+        "*",
+        F.ntile(5).over(r).cast("long").alias("r_q"),
+        F.ntile(5).over(f).cast("long").alias("f_q"),
+        F.ntile(5).over(m).cast("long").alias("m_q"),
+    )
+    return scored.select(
+        "*",
+        F.concat_ws("", "r_q", "f_q", "m_q").alias("segment"),
+    )
