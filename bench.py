@@ -181,6 +181,8 @@ EXTRA = [
     "qlm_dirichlet_topk",
     "faceted_search_counts",
     "rfm_segments",
+    "lm_perplexity_bigram",
+    "session_paths",
 ]
 
 

@@ -547,3 +547,67 @@ def token_entropy(
             F.when(n > 1, h / F.log(n.cast("double"))).otherwise(F.lit(0.0)), 6
         ).alias("norm_entropy"),
     )
+
+
+def lm_perplexity_bigram(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc perplexity under a corpus-trained BIGRAM LM with add-1
+    smoothing — one order up from lm_perplexity's unigram model
+    (CCNet's KenLM is a 5-gram; the bigram captures the local-fluency
+    signal a unigram can't: scrambled text scores high-ppl here even
+    when its unigram mix is normal). P(y|x) = (c_xy + 1)/(c_x· + V)
+    with c_x· = x's corpus count AS A PREFIX (derived from the bigram
+    frame itself) and V = unigram vocab size.
+
+    Plan: the corpus collapses to the vocab²-bounded bigram count
+    frame once (lazy localCheckpoint — it feeds both the prefix rollup
+    and the scoring join); per-doc scoring joins (doc, bigram, tf)
+    against it on the bigram key. Each (doc, bigram) contribution
+    quantizes ln P to micro-units and multiplies by the integer tf, so
+    the per-doc sum is exact longs — order-free. V and the tercile
+    bucketing mirror lm_perplexity's conventions.
+    Returns (doc_id, n_bigrams, avg_logp, perplexity)."""
+    t = F.col(text_col)
+    bi_occ = docs.select(
+        F.col(id_col), F.explode(X.word_shingles(t, 2)).alias("bigram")
+    )
+    bi_counts = (
+        bi_occ.groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+        .localCheckpoint(eager=False)
+    )
+    prefix = F.split("bigram", " ").getItem(0)
+    px_counts = (
+        bi_counts.select(prefix.alias("_x"), "c_xy")
+        .groupBy("_x")
+        .agg(F.sum("c_xy").cast("long").alias("c_x"))
+    )
+    vocab = (
+        docs.select(F.explode(X.tokens(t)).alias("term"))
+        .filter(F.col("term") != "")
+        .agg(F.count_distinct("term").cast("long").alias("_v"))
+    )
+    doc_tf = bi_occ.groupBy(id_col, "bigram").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    term_u = F.col("tf") * F.round(
+        F.log((F.col("c_xy") + 1) / (F.col("c_x") + F.col("_v")).cast("double")) * 1e6
+    ).cast("long")
+    per_doc = (
+        doc_tf.join(bi_counts, "bigram")
+        .join(px_counts, F.split("bigram", " ").getItem(0) == F.col("_x"))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(term_u).alias("_lu"),
+        )
+    )
+    logp = (F.col("_lu") / 1e6) / F.col("n_bigrams")
+    return per_doc.select(
+        F.col(id_col),
+        "n_bigrams",
+        F.round(logp, 6).alias("avg_logp"),
+        F.round(F.exp(-logp), 6).alias("perplexity"),
+    )

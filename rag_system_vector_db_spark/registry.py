@@ -7106,3 +7106,140 @@ def rfm_segments_q(spark, sf_dir):
         "*",
         F.concat_ws("", "r_q", "f_q", "m_q").alias("segment"),
     )
+
+
+@query(
+    "lm_perplexity_bigram",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+                 ELSE [array_to_string(t[i + 1 : i + 2], ' ') FOR i IN range(len(t) - 1)]
+            END) AS bigram
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ), bf AS (
+        SELECT bigram, CAST(count(*) AS BIGINT) AS c_xy FROM g GROUP BY bigram
+    ), px AS (
+        SELECT string_split(bigram, ' ')[1] AS x, CAST(sum(c_xy) AS BIGINT) AS c_x
+        FROM bf GROUP BY 1
+    ), v AS (
+        SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        ) WHERE term <> ''
+    ), dtf AS (
+        SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS tf
+        FROM g GROUP BY doc_id, bigram
+    ), per_doc AS (
+        SELECT d.doc_id,
+               CAST(sum(d.tf) AS BIGINT) AS n_bigrams,
+               CAST(sum(d.tf * CAST(round(ln((b.c_xy + 1) / CAST(p.c_x + v.v AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS lu
+        FROM dtf d
+        JOIN bf b USING (bigram)
+        JOIN px p ON string_split(d.bigram, ' ')[1] = p.x
+        CROSS JOIN v
+        GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           round((lu / 1e6) / n_bigrams, 6) AS avg_logp,
+           round(exp(-((lu / 1e6) / n_bigrams)), 6) AS perplexity
+    FROM per_doc
+    """,
+)
+def lm_perplexity_bigram_q(spark, sf_dir):
+    """Bigram-LM perplexity with add-1 smoothing — the local-fluency
+    quality signal one order above lm_perplexity; vocab²-bounded count
+    frame checkpoints once, per-term contributions quantize to
+    micro-unit longs so the per-doc sum is order-free."""
+    return text_analysis.lm_perplexity_bigram(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "session_paths",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type
+        FROM events
+    ), flagged AS (
+        SELECT *, CASE WHEN lag(ts_ns) OVER w IS NULL
+                        OR ts_ns - lag(ts_ns) OVER w > 1800000000000
+                       THEN 1 ELSE 0 END AS new_sess
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+    ), sess AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                       ORDER BY ts_ns, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged
+    ), paths AS (
+        SELECT user_id, sess_id,
+               array_to_string(list(event_type ORDER BY ts_ns, event_id)[1:3], '>') AS path
+        FROM sess GROUP BY user_id, sess_id
+    ), counted AS (
+        SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM paths GROUP BY path
+    ), shared AS (
+        SELECT path, n_sessions,
+               round(n_sessions / CAST(sum(n_sessions) OVER () AS DOUBLE), 6) AS share
+        FROM counted
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS BIGINT) AS rank,
+           path, n_sessions, share
+    FROM shared ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+)
+def session_paths_q(spark, sf_dir):
+    """Top session-opening paths (the flow-discovery mining behind
+    funnel design: which 3-step sequences do sessions actually start
+    with): gap-based sessionization (30 min, same convention as
+    sessionize_events) via one (user, time) window, path assembly as a
+    sort_array/slice aggregation (deterministic (ts_ns, event_id)
+    order — no second window), counts + share over the ≤|types|³ path
+    frame, top-10 via sort-limit. Two fact shuffles total: the user
+    window and the session rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap = F.lit(1800000000000)
+    new_sess = F.when(
+        F.lag("ts_ns").over(w).isNull()
+        | (F.col("ts_ns") - F.lag("ts_ns").over(w) > gap),
+        1,
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id", "ts_ns", "event_id", "event_type", new_sess.alias("_new")
+    ).select(
+        "*",
+        F.sum("_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sess_id"),
+    )
+    triple = F.struct("ts_ns", "event_id", "event_type")
+    paths = (
+        sess.groupBy("user_id", "sess_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.slice(
+                    F.transform(
+                        F.sort_array(F.collect_list(triple)),
+                        lambda s: s["event_type"],
+                    ),
+                    1,
+                    3,
+                ),
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+    tot = Window.partitionBy()
+    shared = counted.select(
+        "path",
+        "n_sessions",
+        F.round(F.col("n_sessions") / F.sum("n_sessions").over(tot), 6).alias("share"),
+    )
+    top = shared.orderBy(F.col("n_sessions").desc(), "path").limit(10)
+    rw = Window.orderBy(F.col("n_sessions").desc(), "path")
+    return top.select(
+        F.row_number().over(rw).cast("long").alias("rank"),
+        "path",
+        "n_sessions",
+        "share",
+    )
