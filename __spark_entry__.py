@@ -35,14 +35,14 @@ _ORACLE_SF_DIR = "/root/testdata/sf0.01"
 # most-reworked retrieval/dedup paths (hybrid_search_rrf's rrf_fuse
 # rework, dedup_ngram_jaccard's shingle+broadcast surgery).
 # Unslotted entries follow at positions 51+ (listed tail first, then
-# plain registration order). r6's rotation should front-load: the
-# late-r5 additions (kmeans_refine, salted_join_topn, triangle_count,
-# curation_pipeline — locally oracle-verified at sf0.001+sf0.01,
-# never driver-stamped), then the remaining changed-after-stamp
-# cohort (the tail below plus semdedup_clusters, hybrid_index_rrf,
-# chunk_documents, dedup_cluster, join_revenue_topn,
-# split_large_chunks, extract_dates, local_supplier_volume,
-# regex_extract_meta).
+# plain registration order). r6's rotation should front-load the tail
+# below IN ORDER: the 28 late-r5 never-stamped operators (every one
+# locally oracle-verified at BOTH sf0.001 and sf0.01 — the driver's
+# gate scale), then the remaining changed-after-stamp cohort
+# (dedup_minhash_lsh, dedup_simhash, minhash_accuracy, knn_graph_lsh,
+# skew_profile, semdedup_clusters, hybrid_index_rrf, chunk_documents,
+# dedup_cluster, join_revenue_topn, split_large_chunks, extract_dates,
+# local_supplier_volume, regex_extract_meta).
 _VERIFY_FIRST = [
     # (a) never driver-checked — r5 new operators
     "global_sales_opportunity",
@@ -96,7 +96,38 @@ _VERIFY_FIRST = [
     "chunk_stats",
     "hybrid_search_rrf",
     "dedup_ngram_jaccard",
-    # positions 51+: next-in-line for the r6 window
+    # positions 51+: next-in-line for the r6 window — late-r5
+    # never-stamped operators first (flagships lead), then the
+    # changed-after-stamp cohort
+    "curation_pipeline",
+    "kmeans_refine",
+    "mlm_mask_corpus",
+    "span_corrupt_corpus",
+    "data_quality_checks",
+    "salted_join_topn",
+    "triangle_count",
+    "rag_context_budget",
+    "events_gap_fill",
+    "events_ohlc",
+    "query_expansion_prf",
+    "ann_sq8",
+    "ann_binary_hamming",
+    "rerank_two_stage",
+    "qlm_dirichlet_topk",
+    "revenue_cube",
+    "incremental_agg_maintenance",
+    "soft_dedup_weights",
+    "lm_perplexity_bigram",
+    "pmi_collocations",
+    "session_paths",
+    "events_ewma",
+    "lineitem_priority_mix",
+    "train_test_split",
+    "lang_confusion",
+    "token_entropy",
+    "faceted_search_counts",
+    "rfm_segments",
+    # changed-after-stamp cohort
     "dedup_minhash_lsh",
     "dedup_simhash",
     "minhash_accuracy",
