@@ -96,43 +96,25 @@ _VERIFY_FIRST = [
     "chunk_stats",
     "hybrid_search_rrf",
     "dedup_ngram_jaccard",
-    # positions 51+: next-in-line for the r6 window — late-r5
-    # never-stamped operators first (flagships lead), then the
-    # changed-after-stamp cohort
+    # positions 51-55: next-in-line if the window widens. Full r6
+    # rotation order (28 late-r5 never-stamped, flagships first):
+    # curation_pipeline, kmeans_refine, mlm_mask_corpus,
+    # span_corrupt_corpus, data_quality_checks, salted_join_topn,
+    # triangle_count, rag_context_budget, events_gap_fill, events_ohlc,
+    # query_expansion_prf, ann_sq8, ann_binary_hamming,
+    # rerank_two_stage, qlm_dirichlet_topk, revenue_cube,
+    # incremental_agg_maintenance, soft_dedup_weights,
+    # lm_perplexity_bigram, pmi_collocations, session_paths,
+    # events_ewma, lineitem_priority_mix, train_test_split,
+    # lang_confusion, token_entropy, faceted_search_counts,
+    # rfm_segments — then the changed-after-stamp cohort
+    # (dedup_minhash_lsh, dedup_simhash, minhash_accuracy,
+    # knn_graph_lsh, skew_profile, and the comment block above).
     "curation_pipeline",
     "kmeans_refine",
     "mlm_mask_corpus",
-    "span_corrupt_corpus",
-    "data_quality_checks",
-    "salted_join_topn",
-    "triangle_count",
-    "rag_context_budget",
-    "events_gap_fill",
-    "events_ohlc",
     "query_expansion_prf",
     "ann_sq8",
-    "ann_binary_hamming",
-    "rerank_two_stage",
-    "qlm_dirichlet_topk",
-    "revenue_cube",
-    "incremental_agg_maintenance",
-    "soft_dedup_weights",
-    "lm_perplexity_bigram",
-    "pmi_collocations",
-    "session_paths",
-    "events_ewma",
-    "lineitem_priority_mix",
-    "train_test_split",
-    "lang_confusion",
-    "token_entropy",
-    "faceted_search_counts",
-    "rfm_segments",
-    # changed-after-stamp cohort
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "minhash_accuracy",
-    "knn_graph_lsh",
-    "skew_profile",
 ]
 
 
