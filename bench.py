@@ -183,6 +183,8 @@ EXTRA = [
     "rfm_segments",
     "lm_perplexity_bigram",
     "session_paths",
+    "skipgram_pairs",
+    "temporal_split",
 ]
 
 

@@ -7243,3 +7243,111 @@ def session_paths_q(spark, sf_dir):
         "n_sessions",
         "share",
     )
+
+
+@query(
+    "skipgram_pairs",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(list_sum([len(list_filter(range(i - 2, i + 3),
+                    j -> j >= 0 AND j < len(toks) AND j != i))
+                FOR i IN range(len(toks))]) AS BIGINT) AS n_pairs,
+           array_to_string([toks[i + 1] || ':' ||
+                array_to_string(list_transform(
+                    list_filter(range(i - 2, i + 3),
+                        j -> j >= 0 AND j < len(toks) AND j != i),
+                    j -> toks[j + 1]), ',')
+                FOR i IN range(len(toks))], ';') AS pairs_text,
+           array_to_string([
+                CAST(('0x' || substr(md5('sg:' || doc_id || ':' || i || ':1'), 1, 15))::BIGINT % 1024 AS VARCHAR)
+                || ',' ||
+                CAST(('0x' || substr(md5('sg:' || doc_id || ':' || i || ':2'), 1, 15))::BIGINT % 1024 AS VARCHAR)
+                FOR i IN range(len(toks))], ';') AS neg_text
+    FROM t
+    """,
+)
+def skipgram_pairs_q(spark, sf_dir):
+    """Deterministic skip-gram training-pair generation (word2vec SGNS
+    — Mikolov NIPS'13), completing the sample-generation family beside
+    mlm_mask_corpus and span_corrupt_corpus: per position, the ±2
+    context window yields (center, context) pairs, and two negatives
+    per position draw from the seeded md5 family into a 1024-bucket
+    hashed vocab (documented swap point for a frequency^0.75 unigram
+    table — the hash keeps the draw engine/run/cluster-independent).
+    Pure codegen HOFs over one scan — zero shuffles, a map-only job at
+    100 TB; the full serialized (pairs, negatives) layout is
+    hash-checked, not just counts."""
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    neg = (
+        "cast(conv(substring(md5(concat('sg:', cast(doc_id as string), ':',"
+        " cast(i as string), ':{j}')), 1, 15), 16, 10) as bigint) % 1024"
+    )
+    ctx_idx = (
+        "filter(sequence(i - 2, i + 2),"
+        " j -> j >= 0 and j < size(toks) and j != i)"
+    )
+    return docs.selectExpr("doc_id", "split(text, ' ') AS toks").selectExpr(
+        "doc_id",
+        "cast(size(toks) as long) AS n_tokens",
+        f"cast(aggregate(transform(sequence(0, size(toks) - 1),"
+        f" i -> size({ctx_idx})), 0, (a, b) -> a + b) as long) AS n_pairs",
+        f"array_join(transform(sequence(0, size(toks) - 1),"
+        f" i -> concat(element_at(toks, i + 1), ':',"
+        f" array_join(transform({ctx_idx}, j -> element_at(toks, j + 1)), ','))),"
+        f" ';') AS pairs_text",
+        f"array_join(transform(sequence(0, size(toks) - 1),"
+        f" i -> concat({neg.format(j=1)}, ',', {neg.format(j=2)})), ';') AS neg_text",
+    )
+
+
+@query(
+    "temporal_split",
+    oracle="""
+    WITH b AS (
+        SELECT min(epoch_ns(ts)) + (max(epoch_ns(ts)) - min(epoch_ns(ts))) * 4 // 5 AS cut
+        FROM events
+    ), s AS (
+        SELECT CASE WHEN epoch_ns(ts) <= b.cut THEN 'train' ELSE 'test' END AS split,
+               event_type, user_id, epoch_ns(ts) AS ts_ns
+        FROM events, b
+    )
+    SELECT split, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(min(ts_ns) AS BIGINT) AS min_ts_ns,
+           CAST(max(ts_ns) AS BIGINT) AS max_ts_ns
+    FROM s GROUP BY split, event_type
+    """,
+)
+def temporal_split_q(spark, sf_dir):
+    """Temporal train/test split audit — the OTHER split every
+    forecasting/recommendation pipeline needs beside the hash split
+    (train_test_split): train = first 80% of the time range, test =
+    the future tail, so evaluation never leaks the future into
+    training. The cut point is a broadcast scalar (min + 4·span div 5
+    in exact nanos — no driver action); per-(split, event_type) the
+    audit reports counts, distinct users, and the min/max timestamps
+    whose hash-checked values PROVE the no-overlap boundary (every
+    train max < every test min). One fact shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(
+        (F.min("ts_ns") + F.expr("(max(ts_ns) - min(ts_ns)) * 4 div 5")).alias("_cut")
+    )
+    s = ev.crossJoin(F.broadcast(cut)).select(
+        F.when(F.col("ts_ns") <= F.col("_cut"), F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        "event_type",
+        "user_id",
+        "ts_ns",
+    )
+    return s.groupBy("split", "event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.min("ts_ns").cast("long").alias("min_ts_ns"),
+        F.max("ts_ns").cast("long").alias("max_ts_ns"),
+    )
