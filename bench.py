@@ -185,6 +185,8 @@ EXTRA = [
     "session_paths",
     "skipgram_pairs",
     "temporal_split",
+    "ann_ivf_sq8",
+    "dataset_card",
 ]
 
 

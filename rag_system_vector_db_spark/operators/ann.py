@@ -1367,3 +1367,78 @@ def sq8_topk(
             "approx_l2"
         ),
     )
+
+
+def ann_ivf_sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF + uniform int8 scalar quantizer (faiss
+    IndexIVFScalarQuantizer with QT_8bit_uniform): the inverted file
+    bounds WHICH vectors a query scans (nprobe cells), the scalar
+    quantizer bounds WHAT each comparison costs (4× smaller codes,
+    integer-only Σ(Δcode)² kernel) — the two compressions compose
+    orthogonally, which is the reason the faiss factory string
+    'IVF...,SQ8' exists. Symmetric code-space distance keeps every
+    compared value an exact long, so the full composite path — cell
+    assignment, probe choice, encode, distance, ranking — hash-checks
+    bit-for-bit against the oracle's replay of the same centroid and
+    scale literals.
+
+    Plan posture: one global absmax broadcast, cell assignment +
+    encode in a single narrow map over the corpus, probe fan-out on
+    the broadcast query side, candidate join on the cell key, per-query
+    top-k as a keyed agg. At 100 TB the (cell, id, codes) frame is the
+    materialized index (ann_ivfpq_indexed's layout with SQ codes)."""
+    absmax = corpus.agg(
+        F.max(
+            F.array_max(F.transform(F.col(vec_col).cast("array<double>"), F.abs))
+        ).alias("_absmax")
+    )
+    code = lambda vec: F.transform(  # noqa: E731
+        vec.cast("array<double>"),
+        lambda x: F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(
+                F.lit(127).cast("long"),
+                F.floor(x / (F.col("_absmax") / 127) + F.lit(0.5)),
+            ),
+        ),
+    )
+    coded = (
+        with_cell(corpus, vec_col, centroids)
+        .crossJoin(F.broadcast(absmax))
+        .select(F.col(id_col), F.col("_cell"), code(F.col(vec_col)).alias("_codes"))
+    )
+    probes = _probe_structs(F.col(query_vec_col), centroids)
+    qcells = (
+        queries.crossJoin(F.broadcast(absmax))
+        .select(
+            query_id_col,
+            code(F.col(query_vec_col)).alias("_qcodes"),
+            F.explode(
+                F.slice(F.array_sort(probes, _by_dist_then_cell), 1, nprobe)
+            ).alias("p"),
+        )
+        .select(query_id_col, "_qcodes", F.col("p.cell").alias("_cell"))
+    )
+    from .knn import topk_per_key_agg
+
+    dist = F.aggregate(
+        F.zip_with(F.col("_codes"), F.col("_qcodes"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = coded.join(F.broadcast(qcells), "_cell").select(
+        query_id_col, id_col, dist.alias("code_dist")
+    )
+    return topk_per_key_agg(
+        scored, query_id_col, id_col, k, score_col="code_dist", asc=True
+    )

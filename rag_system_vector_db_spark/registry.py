@@ -7351,3 +7351,98 @@ def temporal_split_q(spark, sf_dir):
         F.min("ts_ns").cast("long").alias("min_ts_ns"),
         F.max("ts_ns").cast("long").alias("max_ts_ns"),
     )
+
+
+@query("ann_ivf_sq8")  # oracle: LAZY_ORACLES["ann_ivf_sq8"] (centroid + scale literals)
+def ann_ivf_sq8_q(spark, sf_dir):
+    """IVF + uniform int8 scalar quantizer (faiss 'IVF8,SQ8'): nprobe
+    cells bound which vectors scan, int8 codes bound comparison cost;
+    symmetric integer distance keeps the whole composite path
+    hash-exact."""
+    from .operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
+    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ann.ann_ivf_sq8_topk(emb, queries, centroids, k=3, nprobe=2)
+    return out.select("query_id", "vec_id", "code_dist", F.col("rank").cast("long"))
+
+
+def _ivf_sq8_oracle(sf_dir: str) -> str:
+    from .operators import ann
+
+    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
+    sq = (
+        "CAST(greatest(-127, least(127, floor(x / (am.absmax / 127) + 0.5))) AS BIGINT)"
+    )
+    return _ivf_common(centroids, 5) + f"""
+    , am AS (
+        SELECT max(list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))) AS absmax
+        FROM embeddings
+    ), ca AS (
+        SELECT a.vec_id, a.cid,
+               list_transform(a.embedding::DOUBLE[], x -> {sq}) AS codes
+        FROM assigned a, am
+    ), cq AS (
+        SELECT p.query_id, p.cid,
+               list_transform(p.query_vec::DOUBLE[], x -> {sq}) AS qcodes
+        FROM qprobe p, am
+    ), scored AS (
+        SELECT cq.query_id, ca.vec_id,
+               CAST(list_sum(list_transform(list_zip(ca.codes, cq.qcodes),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS code_dist
+        FROM ca JOIN cq ON ca.cid = cq.cid
+    ), ranked AS (
+        SELECT query_id, vec_id, code_dist,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY code_dist, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, code_dist, rank FROM ranked WHERE rank <= 3
+    """
+
+
+LAZY_ORACLES["ann_ivf_sq8"] = _ivf_sq8_oracle
+
+
+@query(
+    "dataset_card",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_copies,
+           round((count(*) - count(DISTINCT md5(text))) / CAST(count(*) AS DOUBLE), 6) AS dup_frac,
+           round(sum(length(text) - length(replace(text, ' ', '')) + 1) / CAST(count(*) AS DOUBLE), 6) AS mean_doc_tokens
+    FROM documents
+    """,
+)
+def dataset_card_q(spark, sf_dir):
+    """Dataset-card summary row (the header block of a HF dataset card
+    / Datasheets-for-Datasets audit): doc/token/char totals, lang and
+    source cardinalities, exact-duplicate copy count + fraction — ONE
+    scan, ONE aggregate (count_distinct rides the same agg; the dup
+    count is n_docs − distinct text hashes, md5 so the oracle
+    reproduces it). The allocation-free spaces+1 token count keeps the
+    scan narrow; at 100 TB this is the cheapest whole-corpus
+    health-check that exists."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = (
+        F.length("text") - F.length(F.translate(F.col("text"), " ", "")) + 1
+    )
+    return docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("total_tokens"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        (F.count("*") - F.count_distinct(F.md5("text"))).cast("long").alias("n_dup_copies"),
+        F.round(
+            (F.count("*") - F.count_distinct(F.md5("text"))) / F.count("*"), 6
+        ).alias("dup_frac"),
+        F.round(F.sum(n_tok) / F.count("*"), 6).alias("mean_doc_tokens"),
+    )
