@@ -536,3 +536,67 @@ def streaming_dedup_tws(docs_stream: DataFrame, text_col: str = "text") -> DataF
         outputMode="Append",
         timeMode="None",
     )
+
+
+def streaming_ewma(events_stream: DataFrame) -> DataFrame:
+    """Streaming per-event-type EWMA with explicit group state — the
+    infinite-memory recurrence the batch operator (events_ewma)
+    declares to this layer: e ← (e + v) div 2 in exact micro-unit
+    longs, applied in (ts_ns, event_id) order within each batch, so
+    the fold is deterministic and BATCH-BOUNDARY INDEPENDENT (a fold
+    over a fixed order composes the same through any micro-batch
+    split — the property the parity test replays). Emits one running
+    (event_type, n_seen, ewma) row per key per batch; state per key
+    is two longs.
+
+    At scale: state is partitioned by event_type across executors and
+    bounded by key cardinality; the div-2 recurrence is the α=1/2
+    EWMA with truncation toward -∞ (exact integers, no float drift
+    across millions of updates — the reason the state carries micro
+    units, not doubles)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    typed = events_stream.select(
+        "event_type",
+        "ts_ns",
+        "event_id",
+        F.expr("cast(round(value * 1000000) as bigint)").alias("v_u"),
+    )
+
+    def ewma_fn(key, pdf_iter, state: GroupState):
+        rows = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(rows).sort_values(["ts_ns", "event_id"])
+        if state.exists:
+            ewma_u, n_seen = state.get
+        else:
+            ewma_u, n_seen = None, 0
+        for v in pdf["v_u"]:
+            v = int(v)
+            # SQL `div` truncates toward zero; python // goes toward
+            # -inf — values can be negative, so spell out the
+            # toward-zero halving in exact ints (no float division:
+            # sums can exceed 2^53).
+            s = ewma_u + v if ewma_u is not None else v + v
+            ewma_u = s // 2 if s >= 0 else -((-s) // 2)
+            n_seen += 1
+        state.update((int(ewma_u), int(n_seen)))
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "event_type": [key[0]],
+                        "n_seen": [int(n_seen)],
+                        "ewma": [ewma_u / 1e6],
+                    }
+                )
+            ]
+        )
+
+    return typed.groupBy("event_type").applyInPandasWithState(
+        ewma_fn,
+        outputStructType="event_type string, n_seen long, ewma double",
+        stateStructType="ewma_u long, n_seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

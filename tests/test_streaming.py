@@ -741,3 +741,86 @@ def test_transform_with_state_dedup_parity(spark, tmp_path):
             spark.conf.set(conf_key, prev)
     keepers = {r.keeper_id for r in spark.sql("SELECT * FROM dedup_tws_out").collect()}
     assert keepers == {1, 2, 4}  # 3 and 5 suppressed
+
+
+def test_streaming_ewma_matches_sequential_replay(spark, sf_dir, tmp_path):
+    """The stateful EWMA's final per-type state must equal a
+    single-pass driver-side replay of the same div-2 recurrence over
+    the globally time-ordered stream — proving the fold composes
+    identically through micro-batch boundaries (two batches split by
+    time here). Also exercises query progress: the stateful operator
+    must report rows and state."""
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    from rag_system_vector_db_spark.sources import load_table
+
+    evn = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts_ns", "event_id", "value"
+    )
+    cut = evn.agg(F.expr("percentile_approx(ts_ns, 0.5)")).first()[0]
+    evn.filter(F.col("ts_ns") <= cut).coalesce(1).write.parquet(str(src / "b0"))
+    first = [str(p) for p in (src / "b0").glob("*.parquet")]
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    import shutil
+
+    shutil.copy(first[0], stream_dir / "part0.parquet")
+
+    stream = spark.readStream.schema(
+        evn.withColumn("value", F.col("value").cast("double")).schema
+    ).parquet(str(stream_dir))
+    out = P.streaming_ewma(
+        stream.withColumnRenamed("value", "value")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", str(tmp_path / "ck")
+        )
+        .start()
+    )
+    q.processAllAvailable()
+    # second batch: the rest of the stream
+    evn.filter(F.col("ts_ns") > cut).coalesce(1).write.parquet(str(src / "b1"))
+    second = [str(p) for p in (src / "b1").glob("*.parquet")]
+    shutil.copy(second[0], stream_dir / "part1.parquet")
+    q.processAllAvailable()
+    prog = q.lastProgress
+    q.stop()
+
+    got = spark.sql(
+        "SELECT event_type, n_seen, ewma FROM ewma_out"
+    ).collect()
+    # last emission per key (highest n_seen) is the final state
+    final = {}
+    for r in got:
+        if r.event_type not in final or r.n_seen > final[r.event_type][0]:
+            final[r.event_type] = (r.n_seen, r.ewma)
+
+    # driver-side replay of the same recurrence over the full ordered
+    # stream, batch-boundary-free
+    rows = (
+        evn.select("event_type", "ts_ns", "event_id", "value")
+        .orderBy("ts_ns", "event_id")
+        .collect()
+    )
+    replay: dict[str, tuple[int, int]] = {}
+    for r in rows:
+        v = int(round(r.value * 1e6))
+        if r.event_type not in replay:
+            replay[r.event_type] = (v, 1)
+        else:
+            e, n = replay[r.event_type]
+            s = e + v
+            e = s // 2 if s >= 0 else -((-s) // 2)
+            replay[r.event_type] = (e, n + 1)
+    assert set(final) == set(replay)
+    for t, (n_seen, ewma) in final.items():
+        e, n = replay[t]
+        assert n_seen == n, t
+        assert abs(ewma - e / 1e6) < 1e-9, t
+    # progress reporting: the stateful operator surfaced state rows
+    assert prog is not None and prog["stateOperators"], "no state operator progress"
+    assert prog["stateOperators"][0]["numRowsTotal"] == len(replay)
