@@ -187,6 +187,7 @@ EXTRA = [
     "temporal_split",
     "ann_ivf_sq8",
     "dataset_card",
+    "quantization_recall",
 ]
 
 

@@ -1442,3 +1442,112 @@ def ann_ivf_sq8_topk(
     return topk_per_key_agg(
         scored, query_id_col, id_col, k, score_col="code_dist", asc=True
     )
+
+
+def quantization_recall(
+    vectors: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the two compressed indexes (uniform-int8 SQ and
+    sign-bit binary) against exact float L2 — the quantization-loss
+    measurement that decides how much refinement (rerank) a compressed
+    first stage needs. Per (query, method): |compressed top-k ∩ exact
+    top-k| / k.
+
+    One corpus pass per representation (float, int8 codes, sign
+    words), each with the broadcast query side and a keyed per-query
+    top-k agg; the intersections are k-row joins. Exact integer
+    kernels for both compressed towers, so the only float ranking is
+    the exact-L2 reference itself."""
+    from .knn import topk_per_key_agg
+
+    qs = vectors.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    corpus = vectors.select(id_col, vec_col)
+
+    exact = (
+        corpus.crossJoin(F.broadcast(qs))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            V.euclidean(F.col(vec_col), F.col("_qv")).alias("dist"),
+        )
+    )
+    exact_top = topk_per_key_agg(exact, "query_id", id_col, k, "dist", asc=True)
+
+    absmax = vectors.agg(
+        F.max(
+            F.array_max(F.transform(F.col(vec_col).cast("array<double>"), F.abs))
+        ).alias("_absmax")
+    )
+    code = lambda vec: F.transform(  # noqa: E731
+        vec.cast("array<double>"),
+        lambda x: F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(
+                F.lit(127).cast("long"),
+                F.floor(x / (F.col("_absmax") / 127) + F.lit(0.5)),
+            ),
+        ),
+    )
+    coded = corpus.crossJoin(F.broadcast(absmax)).select(
+        F.col(id_col), code(F.col(vec_col)).alias("_codes")
+    )
+    qcoded = qs.crossJoin(F.broadcast(absmax)).select(
+        "query_id", code(F.col("_qv")).alias("_qcodes")
+    )
+    sq_dist = F.aggregate(
+        F.zip_with(F.col("_codes"), F.col("_qcodes"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sq = (
+        coded.crossJoin(F.broadcast(qcoded))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, sq_dist.cast("double").alias("dist"))
+    )
+    sq_top = topk_per_key_agg(sq, "query_id", id_col, k, "dist", asc=True)
+
+    lo, hi = sign_bit_words(F.col(vec_col))
+    words = corpus.select(F.col(id_col), lo.alias("_lo"), hi.alias("_hi"))
+    qlo, qhi = sign_bit_words(F.col("_qv"))
+    qwords = qs.select("query_id", qlo.alias("_qlo"), qhi.alias("_qhi"))
+    ham = (
+        words.crossJoin(F.broadcast(qwords))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            (
+                F.bit_count(F.col("_lo").bitwiseXOR(F.col("_qlo")))
+                + F.bit_count(F.col("_hi").bitwiseXOR(F.col("_qhi")))
+            )
+            .cast("double")
+            .alias("dist"),
+        )
+    )
+    ham_top = topk_per_key_agg(ham, "query_id", id_col, k, "dist", asc=True)
+
+    marked = exact_top.select("query_id", F.col(id_col), F.lit(1).alias("_hit"))
+
+    def _recall(top: DataFrame, method: str) -> DataFrame:
+        # LEFT join (not semi) so a query with ZERO hits still emits
+        # its recall=0 row — the failure case is the one the harness
+        # exists to surface.
+        joined = top.join(marked, ["query_id", id_col], "left")
+        return (
+            joined.groupBy("query_id")
+            .agg(F.sum(F.coalesce("_hit", F.lit(0))).alias("_n"))
+            .select(
+                "query_id",
+                F.lit(method).alias("method"),
+                F.round(F.col("_n") / k, 6).alias("recall"),
+            )
+        )
+
+    return _recall(sq_top, "sq8").unionAll(_recall(ham_top, "binary"))

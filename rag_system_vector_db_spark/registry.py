@@ -7446,3 +7446,78 @@ def dataset_card_q(spark, sf_dir):
         ).alias("dup_frac"),
         F.round(F.sum(n_tok) / F.count("*"), 6).alias("mean_doc_tokens"),
     )
+
+
+_DD_SQ_CODE = (
+    "CAST(greatest(-127, least(127, floor(x / (am.absmax / 127) + 0.5))) AS BIGINT)"
+)
+_DD_SIGN_LO = "CAST(list_sum([CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END FOR i IN range(32)]) AS BIGINT)"
+_DD_SIGN_HI = "CAST(list_sum([CASE WHEN v[i+33] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END FOR i IN range(32)]) AS BIGINT)"
+
+
+@query(
+    "quantization_recall",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ), exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY {_dd_euclid('e.embedding', 'q.qv')}, e.vec_id) AS rn
+            FROM embeddings e, q WHERE e.vec_id <> q.query_id
+        ) WHERE rn <= 10
+    ), am AS (
+        SELECT max(list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))) AS absmax
+        FROM embeddings
+    ), codes AS (
+        SELECT vec_id, list_transform(embedding::DOUBLE[], x -> {_DD_SQ_CODE}) AS c
+        FROM embeddings, am
+    ), qcodes AS (
+        SELECT q.query_id, list_transform(q.qv::DOUBLE[], x -> {_DD_SQ_CODE}) AS c
+        FROM q, am
+    ), sq AS (
+        SELECT query_id, vec_id FROM (
+            SELECT qc.query_id, e.vec_id,
+                   row_number() OVER (PARTITION BY qc.query_id ORDER BY
+                       CAST(list_sum(list_transform(list_zip(e.c, qc.c),
+                            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT), e.vec_id) AS rn
+            FROM codes e, qcodes qc WHERE e.vec_id <> qc.query_id
+        ) WHERE rn <= 10
+    ), words AS (
+        SELECT vec_id, {_DD_SIGN_LO} AS lo, {_DD_SIGN_HI} AS hi
+        FROM (SELECT vec_id, embedding AS v FROM embeddings)
+    ), qwords AS (
+        SELECT q.query_id, {_DD_SIGN_LO} AS lo, {_DD_SIGN_HI} AS hi
+        FROM (SELECT query_id, qv AS v FROM q) q
+    ), ham AS (
+        SELECT query_id, vec_id FROM (
+            SELECT qw.query_id, w.vec_id,
+                   row_number() OVER (PARTITION BY qw.query_id ORDER BY
+                       bit_count(xor(w.lo, qw.lo)) + bit_count(xor(w.hi, qw.hi)),
+                       w.vec_id) AS rn
+            FROM words w, qwords qw WHERE w.vec_id <> qw.query_id
+        ) WHERE rn <= 10
+    ), sq_r AS (
+        SELECT s.query_id, 'sq8' AS method,
+               round(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0, 6) AS recall
+        FROM sq s LEFT JOIN exact ex
+          ON ex.query_id = s.query_id AND ex.vec_id = s.vec_id
+        GROUP BY s.query_id
+    ), ham_r AS (
+        SELECT h.query_id, 'binary' AS method,
+               round(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0, 6) AS recall
+        FROM ham h LEFT JOIN exact ex
+          ON ex.query_id = h.query_id AND ex.vec_id = h.vec_id
+        GROUP BY h.query_id
+    )
+    SELECT * FROM sq_r UNION ALL SELECT * FROM ham_r
+    """,
+)
+def quantization_recall_q(spark, sf_dir):
+    """Recall@10 of the int8-SQ and sign-binary towers vs exact float
+    L2 — the quantization-loss measurement that sizes the refinement
+    stage; zero-hit queries still emit their recall=0 row."""
+    from .operators import ann
+
+    return ann.quantization_recall(load_table(spark, sf_dir, "embeddings", split=True))
