@@ -188,6 +188,8 @@ EXTRA = [
     "ann_ivf_sq8",
     "dataset_card",
     "quantization_recall",
+    "embedding_quality_checks",
+    "bpe_train_rounds",
 ]
 
 

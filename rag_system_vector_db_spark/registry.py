@@ -7521,3 +7521,185 @@ def quantization_recall_q(spark, sf_dir):
     from .operators import ann
 
     return ann.quantization_recall(load_table(spark, sf_dir, "embeddings", split=True))
+
+
+@query(
+    "embedding_quality_checks",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding,
+               len(embedding) AS dim,
+               list_sum(list_transform(embedding::DOUBLE[],
+                   x -> CASE WHEN isnan(x) OR isinf(x) THEN 1 ELSE 0 END)) AS n_bad,
+               list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) AS sq
+        FROM embeddings
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+           CAST(sum(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+           CAST(sum(CASE WHEN sq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+           CAST(count(*) - count(DISTINCT vec_id) AS BIGINT) AS n_dup_ids,
+           (sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) = 0
+            AND sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) = 0
+            AND sum(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) = 0
+            AND sum(CASE WHEN sq = 0 THEN 1 ELSE 0 END) = 0
+            AND count(*) = count(DISTINCT vec_id)) AS all_ok
+    FROM e
+    """,
+)
+def embedding_quality_checks_q(spark, sf_dir):
+    """Vector-table expectations gate (the embeddings twin of
+    data_quality_checks — what an index build MUST verify before
+    ingesting a re-embedded corpus): null vectors, wrong
+    dimensionality, non-finite components (NaN/Inf — the classic
+    sign of an fp16 overflow upstream), zero-norm vectors (cosine is
+    undefined — they poison normalized scores silently), duplicate
+    primary keys. ONE scan, ONE aggregate — every check is a
+    conditional sum over per-row HOF signals, and the single all_ok
+    boolean is what a scheduler gates the index build on."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    dim = F.size("embedding")
+    n_bad = F.aggregate(
+        F.transform(v, lambda x: F.when(F.isnan(x) | (F.abs(x) == float("inf")), 1).otherwise(0)),
+        F.lit(0),
+        lambda a, b: a + b,
+    )
+    sq = F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda a, b: a + b
+    )
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").isNull().alias("_null"),
+        (dim != 64).alias("_wdim"),
+        (n_bad > 0).alias("_nonfin"),
+        (sq == 0).alias("_zero"),
+    )
+    agg = base.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.sum(F.when(F.col("_null"), 1).otherwise(0)).cast("long").alias("n_null"),
+        F.sum(F.when(F.col("_wdim"), 1).otherwise(0)).cast("long").alias("n_wrong_dim"),
+        F.sum(F.when(F.col("_nonfin"), 1).otherwise(0)).cast("long").alias("n_nonfinite"),
+        F.sum(F.when(F.col("_zero"), 1).otherwise(0)).cast("long").alias("n_zero_norm"),
+        (F.count("*") - F.count_distinct("vec_id")).cast("long").alias("n_dup_ids"),
+    )
+    ok = (
+        (F.col("n_null") == 0)
+        & (F.col("n_wrong_dim") == 0)
+        & (F.col("n_nonfinite") == 0)
+        & (F.col("n_zero_norm") == 0)
+        & (F.col("n_dup_ids") == 0)
+    )
+    return agg.select("*", ok.alias("all_ok"))
+
+
+_DD_SYM_BIGRAMS = """
+        unnest(CASE WHEN len(string_split(trim(s), ' ')) < 2 THEN []::VARCHAR[]
+             ELSE [array_to_string(string_split(trim(s), ' ')[i + 1 : i + 2], ' ')
+                   FOR i IN range(len(string_split(trim(s), ' ')) - 1)]
+        END) AS pair
+"""
+
+
+@query(
+    "bpe_train_rounds",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), w AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM toks
+        WHERE word <> '' GROUP BY word
+    ), s0 AS (
+        SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s, cnt FROM w
+    ), p1 AS (
+        SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_count FROM (
+            SELECT cnt, {_DD_SYM_BIGRAMS} FROM s0
+        ) GROUP BY pair
+    ), best1 AS (
+        SELECT pair FROM p1 ORDER BY pair_count DESC, pair LIMIT 1
+    ), s1 AS (
+        SELECT replace(s0.s,
+                   ' ' || b.pair || ' ',
+                   ' ' || replace(b.pair, ' ', '') || ' ') AS s, s0.cnt
+        FROM s0, best1 b
+    ), p2 AS (
+        SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_count FROM (
+            SELECT cnt, {_DD_SYM_BIGRAMS} FROM s1
+        ) GROUP BY pair
+    ), r1 AS (
+        SELECT 1 AS round, CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS BIGINT) AS rank,
+               pair, pair_count
+        FROM p1 ORDER BY pair_count DESC, pair LIMIT 5
+    ), r2 AS (
+        SELECT 2 AS round, CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS BIGINT) AS rank,
+               pair, pair_count
+        FROM p2 ORDER BY pair_count DESC, pair LIMIT 5
+    )
+    SELECT CAST(round AS BIGINT) AS round, rank, pair, pair_count
+    FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+    """,
+)
+def bpe_train_rounds_q(spark, sf_dir):
+    """TWO iterative BPE training rounds (Sennrich ACL'16 — the loop
+    bpe_pair_counts is one step of): round 1 counts symbol pairs over
+    the spaced-character vocab, the argmax pair (ties → lexicographic,
+    chosen IN-PLAN as a 1-row broadcast — no driver literal) merges
+    into every word via the sentinel-space string replace whose
+    greedy left-to-right non-overlap semantics are IDENTICAL in both
+    engines (the " a a a " → " aa a " case), and round 2 recounts on
+    the merged symbols. Top-5 pairs of each round are hash-checked,
+    so the merge application itself is verified through round 2's
+    counts — the same prove-the-iteration posture as kmeans_refine
+    and dedup_cluster.
+
+    Scale: everything after the first groupBy is VOCABULARY-sized —
+    the corpus is touched once; each round is one map (replace) + one
+    map-side-combinable count over the vocab frame. n rounds = n
+    broadcast-scalar joins, the relational form of the classic
+    single-machine BPE trainer loop."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    s0 = w.select(
+        F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")).alias("s"),
+        "cnt",
+    ).localCheckpoint(eager=False)
+
+    def pair_counts(sym: DataFrame) -> DataFrame:
+        from .functions import text as X
+
+        return (
+            sym.select(
+                "cnt",
+                F.explode(X.word_shingles(F.trim(F.col("s")), 2)).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("long").alias("pair_count"))
+        )
+
+    def top5(pc: DataFrame, rnd: int) -> DataFrame:
+        top = pc.orderBy(F.col("pair_count").desc(), "pair").limit(5)
+        rw = Window.orderBy(F.col("pair_count").desc(), "pair")
+        return top.select(
+            F.lit(rnd).cast("long").alias("round"),
+            F.row_number().over(rw).cast("long").alias("rank"),
+            "pair",
+            "pair_count",
+        )
+
+    p1 = pair_counts(s0).localCheckpoint(eager=False)
+    best1 = p1.orderBy(F.col("pair_count").desc(), "pair").limit(1).select("pair")
+    s1 = s0.crossJoin(F.broadcast(best1)).select(
+        F.replace(
+            F.col("s"),
+            F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+            F.concat(F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" ")),
+        ).alias("s"),
+        "cnt",
+    )
+    return top5(p1, 1).unionAll(top5(pair_counts(s1), 2))
