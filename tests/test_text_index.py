@@ -258,3 +258,29 @@ def test_prf_expansion_terms_and_pruned_first_tower(spark, sf_dir, tmp_path):
     weights = [r.weight for r in rows]
     assert weights == sorted(weights, reverse=True)
     assert all(1 <= r.n_docs <= 10 for r in rows)
+
+
+def test_unseen_term_queries_are_empty_not_errors(spark, sf_dir, tmp_path):
+    """A query term that appears nowhere (or hashes to an empty
+    bucket) must yield empty results — not a scan error, not a
+    div-by-zero in idf/cf. Exercises BM25, QLM and PRF on the same
+    index."""
+    idx, docs = _build(spark, sf_dir, tmp_path)
+    ghost = ["zzzghostterm"]
+    assert text_index.keyword_index_topk(spark, idx, ghost, k=5).count() == 0
+    assert text_index.qlm_dirichlet_topk(spark, idx, ghost, k=5).count() == 0
+    # PRF with no feedback docs: no expansion terms, empty frame
+    assert (
+        text_index.query_expansion_prf(spark, docs, idx, ghost).count() == 0
+    )
+
+
+def test_qlm_and_bm25_agree_on_easy_winner(spark, sf_dir, tmp_path):
+    """Sanity cross-check between the two scorers: both must retrieve
+    overlapping candidates for the same query (they rank differently,
+    but the candidate pool — docs containing query terms — is
+    identical, so top-10 sets intersect heavily on a 500-doc corpus)."""
+    idx, docs = _build(spark, sf_dir, tmp_path)
+    bm = {r.doc_id for r in text_index.keyword_index_topk(spark, idx, TERMS, k=10).collect()}
+    ql = {r.doc_id for r in text_index.qlm_dirichlet_topk(spark, idx, TERMS, k=10).collect()}
+    assert len(bm & ql) >= 3
