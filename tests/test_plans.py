@@ -509,3 +509,45 @@ def test_incremental_agg_merge_single_scan_subtrees(spark, sf_dir):
     plan = _plan(QUERIES["incremental_agg_maintenance"](spark, sf_dir))
     assert "partial_count" in plan or "partial count" in plan.lower()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_qlm_bucket_pruned(spark, sf_dir):
+    """QLM serves from the same pruned postings layout as BM25."""
+    plan = _plan(QUERIES["qlm_dirichlet_topk"](spark, sf_dir))
+    assert "PartitionFilters: [" in plan
+    assert any("bucket" in seg[:160] for seg in plan.split("PartitionFilters")[1:])
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rerank_two_stage_candidates_broadcast(spark, sf_dir):
+    """Stage-2 reranking joins the ≤depth candidate set as a broadcast
+    onto documents — the corpus is never shuffled for the rerank."""
+    plan = _plan(QUERIES["rerank_two_stage"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
+
+
+def test_skipgram_pairs_map_only(spark, sf_dir):
+    """Sample generation is a pure scan job like mlm/span: no hash
+    exchange, no aggregate, one documents scan."""
+    plan = _plan(QUERIES["skipgram_pairs"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "HashAggregate" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_session_paths_two_fact_shuffles(spark, sf_dir):
+    """Sessionize window + session rollup are the only fact-sized
+    exchanges; path ranking runs on the reduced path frame."""
+    plan = _plan(QUERIES["session_paths"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bpe_train_rounds_vocab_sized_iteration(spark, sf_dir):
+    """Only the word-count groupBy touches the corpus; both merge
+    rounds run over the checkpointed vocab frame."""
+    plan = _plan(QUERIES["bpe_train_rounds"](spark, sf_dir))
+    assert plan.count("FileScan parquet") <= 1  # corpus scanned at most once live
+    assert "BroadcastExchange" in plan  # argmax pair broadcast
