@@ -190,6 +190,7 @@ EXTRA = [
     "quantization_recall",
     "embedding_quality_checks",
     "bpe_train_rounds",
+    "label_outliers",
 ]
 
 

@@ -186,6 +186,10 @@ class VectorCollection:
             "rowCount": n,
             "dimension": self.dim,
             "metricType": self.metric,
+            # complete the describe payload (milvus_db.py:40's create
+            # fields echoed back, as collections/describe does)
+            "primaryField": self.id_col,
+            "vectorField": self.vec_col,
         }
 
     # -- search (milvus_db.py:107 search_vectors) --

@@ -7703,3 +7703,56 @@ def bpe_train_rounds_q(spark, sf_dir):
         "cnt",
     )
     return top5(p1, 1).unionAll(top5(pair_counts(s1), 2))
+
+
+@query(
+    "label_outliers",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, label, i AS pos, embedding[i + 1]::DOUBLE AS v
+        FROM embeddings, range(64) t(i)
+    ), cent AS (
+        SELECT label, pos, round(avg(v), 6) AS m FROM ex GROUP BY label, pos
+    ), d AS (
+        SELECT e.vec_id, e.label,
+               CAST(sum(CAST(round((e.v - c.m) * (e.v - c.m) * 1e12) AS BIGINT)) AS BIGINT) AS d2u
+        FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+        GROUP BY e.vec_id, e.label
+    )
+    SELECT CAST(row_number() OVER (ORDER BY d2u DESC, vec_id) AS BIGINT) AS rank,
+           vec_id, label, round(sqrt(d2u / 1e12), 6) AS dist
+    FROM d ORDER BY d2u DESC, vec_id LIMIT 20
+    """,
+)
+def label_outliers_q(spark, sf_dir):
+    """Label-outlier mining (the data-cleaning pass behind confident
+    learning / mislabel detection: vectors farthest from their own
+    class centroid are the mislabel candidates a human reviews first):
+    per-(label, dim) centroids from one posexplode shuffle (means
+    ROUNDED to 6 dp first, so the centroid representation — not the
+    unstable float mean — is what both engines measure against);
+    per-vector squared distance accumulates as micro-unit longs
+    (order-free), top-20 via sort-limit. One corpus-wide posexplode
+    shuffle; everything after is label-cardinality-sized and the
+    centroid frame broadcasts (|labels| x dim rows)."""
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    cent = ex.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("m"))
+    contrib = F.round((F.col("v") - F.col("m")) * (F.col("v") - F.col("m")) * 1e12).cast("long")
+    d = (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(contrib).alias("d2u"))
+    )
+    top = d.orderBy(F.col("d2u").desc(), "vec_id").limit(20)
+    w = Window.orderBy(F.col("d2u").desc(), "vec_id")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "vec_id",
+        "label",
+        F.round(F.sqrt(F.col("d2u") / 1e12), 6).alias("dist"),
+    )
