@@ -191,6 +191,7 @@ EXTRA = [
     "embedding_quality_checks",
     "bpe_train_rounds",
     "label_outliers",
+    "tfidf_vsm_topk",
 ]
 
 

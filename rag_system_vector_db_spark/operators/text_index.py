@@ -83,6 +83,25 @@ def keyword_index_build(
         F.sum(dl_expr).cast("long").alias("total_tokens"),
     )
     stats.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/stats")
+    # VSM norms (Lucene's per-doc norm file): ||d||² under smoothed
+    # tf-idf, stored as EXACT micro-unit longs — each term's (tf·idf)²
+    # quantizes before the per-doc sum, so the stored norm is
+    # order-free and engine-reproducible. Derived from the postings
+    # frame (df counts per term), one extra vocabulary join + doc agg
+    # at build; readers without the VSM scorer never touch it.
+    n_docs_scalar = docs.agg(F.count("*").alias("_n"))
+    dfreq_all = postings.groupBy("term").agg(F.count("*").cast("long").alias("_df"))
+    idf_all = F.log((F.col("_n") + 1) / (F.col("_df") + 1))
+    norm_contrib = F.round(
+        (F.col("tf") * idf_all) * (F.col("tf") * idf_all) * 1e6
+    ).cast("long")
+    norms = (
+        postings.join(dfreq_all, "term")
+        .crossJoin(F.broadcast(n_docs_scalar))
+        .groupBy(id_col)
+        .agg(F.sum(norm_contrib).alias("norm2_u"))
+    )
+    norms.write.mode("overwrite").parquet(f"{index_dir}/norms")
 
 
 def keyword_index_topk(
@@ -647,4 +666,69 @@ def qlm_dirichlet_topk(
         F.row_number().over(w).cast("long").alias("rank"),
         "doc_id",
         F.round("_qlm", 6).alias("qlm"),
+    )
+
+
+def tfidf_vsm_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query_terms: list[str],
+    k: int = 10,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Vector-space-model retrieval (Salton's tf-idf cosine — the
+    third classic scorer beside BM25 and Dirichlet QLM, all served
+    from the SAME materialized index): score(d) =
+    Σ_{t∈q} tf_td·idf_t² / (||d|| · ||q||) with smoothed
+    idf = ln((N+1)/(df+1)) and the query as a binary term vector
+    weighted by idf. Doc norms come from the build's norms table
+    (Lucene's norm file — stored as exact micro-unit longs, so the
+    value measured against is engine-reproducible); query-time idf
+    recomputes from the PRUNED buckets and equals the build's values
+    because a term's postings live wholly in its bucket.
+
+    The scored side is |docs matching ≥1 term| rows; AQE broadcasts it
+    against the norms table, so the norms scan streams without a
+    corpus shuffle. Returns (rank, doc_id, vsm)."""
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in query_terms})
+    post = spark.read.parquet(f"{index_dir}/postings").filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(query_terms)
+    )
+    stats = spark.read.parquet(f"{index_dir}/stats")
+    norms = spark.read.parquet(f"{index_dir}/norms")
+    dfreq = post.groupBy("term").agg(F.count("*").cast("long").alias("_df"))
+    idf = F.log((F.col("n_docs") + 1) / (F.col("_df") + 1))
+    num = (
+        post.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * idf * idf).alias("_num"),
+            F.sum(idf * idf).alias("_q2"),
+        )
+    )
+    # ||q||² over the FULL query term set (not just terms a doc
+    # matched): constant per query, computed from the pruned dfreq
+    q2 = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .agg(F.sum(idf * idf).alias("_qnorm2"))
+    )
+    scored = (
+        num.drop("_q2")
+        .join(norms, "doc_id")
+        .crossJoin(F.broadcast(q2))
+        .select(
+            "doc_id",
+            (
+                F.col("_num")
+                / (F.sqrt(F.col("norm2_u") / 1e6) * F.sqrt(F.col("_qnorm2")))
+            ).alias("_vsm"),
+        )
+    )
+    top = scored.orderBy(F.col("_vsm").desc(), "doc_id").limit(k)
+    w = Window.orderBy(F.col("_vsm").desc(), "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        F.round("_vsm", 6).alias("vsm"),
     )

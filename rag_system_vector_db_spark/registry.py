@@ -2715,9 +2715,11 @@ def _kw_index_dir(spark, sf_dir: str) -> str:
     )
     stale = True
     if _os.path.exists(_os.path.join(index_dir, "stats", "_SUCCESS")):
+        # schema/layout version gate: total_tokens (LM scorer) and the
+        # norms table (VSM scorer) arrived after the first layout
         stale = "total_tokens" not in (
             spark.read.parquet(f"{index_dir}/stats").columns
-        )
+        ) or not _os.path.exists(_os.path.join(index_dir, "norms", "_SUCCESS"))
     if stale:
         text_index.keyword_index_build(
             load_table(spark, sf_dir, "documents"), index_dir
@@ -7756,3 +7758,51 @@ def label_outliers_q(spark, sf_dir):
         "label",
         F.round(F.sqrt(F.col("d2u") / 1e12), 6).alias("dist"),
     )
+
+
+@query(
+    "tfidf_vsm_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM toks GROUP BY doc_id, term
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), norms AS (
+        SELECT tf.doc_id,
+               CAST(sum(CAST(round((tf.tf * ln((n.n + 1) / (d.df + 1)))
+                    * (tf.tf * ln((n.n + 1) / (d.df + 1))) * 1e6) AS BIGINT)) AS BIGINT) AS norm2_u
+        FROM tf JOIN dfreq d USING (term) CROSS JOIN n
+        GROUP BY tf.doc_id
+    ), q AS (
+        SELECT tf.doc_id,
+               sum(tf.tf * ln((n.n + 1) / (d.df + 1)) * ln((n.n + 1) / (d.df + 1))) AS num
+        FROM tf JOIN dfreq d USING (term) CROSS JOIN n
+        WHERE tf.term IN ('spark', 'join', 'fast')
+        GROUP BY tf.doc_id
+    ), qn AS (
+        SELECT sum(ln((n.n + 1) / (d.df + 1)) * ln((n.n + 1) / (d.df + 1))) AS qnorm2
+        FROM dfreq d CROSS JOIN n
+        WHERE d.term IN ('spark', 'join', 'fast')
+    ), scored AS (
+        SELECT q.doc_id,
+               q.num / (sqrt(nm.norm2_u / 1e6) * sqrt(qn.qnorm2)) AS vsm
+        FROM q JOIN norms nm USING (doc_id) CROSS JOIN qn
+    )
+    SELECT CAST(row_number() OVER (ORDER BY vsm DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, round(vsm, 6) AS vsm
+    FROM scored ORDER BY vsm DESC, doc_id LIMIT 10
+    """,
+)
+def tfidf_vsm_topk_q(spark, sf_dir):
+    """tf-idf cosine (VSM) top-10 from the materialized index — the
+    third classic scorer beside BM25 and QLM, reading the build's
+    norms table (exact micro-unit ||d||², Lucene's norm-file analog);
+    oracle recomputes everything from documents, index-free."""
+    from .operators import text_index
+
+    index_dir = _kw_index_dir(spark, sf_dir)
+    return text_index.tfidf_vsm_topk(spark, index_dir, ["spark", "join", "fast"])
