@@ -192,6 +192,8 @@ EXTRA = [
     "bpe_train_rounds",
     "label_outliers",
     "tfidf_vsm_topk",
+    "grouped_latency_slo",
+    "vocab_coverage",
 ]
 
 

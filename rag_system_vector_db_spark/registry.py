@@ -7806,3 +7806,117 @@ def tfidf_vsm_topk_q(spark, sf_dir):
 
     index_dir = _kw_index_dir(spark, sf_dir)
     return text_index.tfidf_vsm_topk(spark, index_dir, ["spark", "join", "fast"])
+
+
+@query(
+    "grouped_latency_slo",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v_u
+        FROM events
+    ), s AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               list_sort(list(v_u)) AS vs,
+               CAST(sum(CASE WHEN v_u < 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
+        FROM e GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(vs[CAST(n * 50 // 100 AS INTEGER) + 1] / 1e6, 6) AS p50,
+           round(vs[CAST(n * 95 // 100 AS INTEGER) + 1] / 1e6, 6) AS p95,
+           round(vs[CAST(n * 99 // 100 AS INTEGER) + 1] / 1e6, 6) AS p99,
+           round(vs[n] / 1e6, 6) AS p_max,
+           round(n_ok / CAST(n AS DOUBLE), 6) AS slo_attainment
+    FROM s
+    """,
+)
+def grouped_latency_slo_q(spark, sf_dir):
+    """Per-group tail-latency SLO report (the p50/p95/p99 +
+    attainment panel every service dashboard carries — here per
+    event_type over the value column, micro-unit exact): EXACT
+    percentiles via the same sorted-collect selection rule as
+    quantile_stats/skew_profile — deterministic in both engines where
+    approx_percentile's sketch is not — with the same documented
+    limit (buffer = per-group row count; approx_percentile is the
+    stated 100 TB swap-in) and sorted[n·p div 100] 0-based selection.
+    SLO attainment (share under the 1.0 threshold) rides the same
+    single collect agg — one fact shuffle total."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("cast(round(value * 1000000) as bigint)").alias("v_u")
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sort_array(F.collect_list("v_u")).alias("_vs"),
+        F.sum(F.when(F.col("v_u") < 1000000, 1).otherwise(0)).cast("long").alias("_ok"),
+    )
+    def pick(p):
+        return F.round(
+            F.get("_vs", F.expr(f"CAST(n * {p} div 100 AS INT)")) / 1e6, 6
+        )
+    return s.select(
+        "event_type",
+        "n",
+        pick(50).alias("p50"),
+        pick(95).alias("p95"),
+        pick(99).alias("p99"),
+        F.round(F.element_at("_vs", -1) / 1e6, 6).alias("p_max"),
+        F.round(F.col("_ok") / F.col("n"), 6).alias("slo_attainment"),
+    )
+
+
+@query(
+    "vocab_coverage",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT source, term, CAST(count(*) AS BIGINT) AS c
+        FROM toks WHERE term <> '' GROUP BY source, term
+    ), gcounts AS (
+        SELECT term, CAST(sum(c) AS BIGINT) AS g FROM tf GROUP BY term
+    ), vocab AS (
+        SELECT term FROM gcounts ORDER BY g DESC, term LIMIT 100
+    )
+    SELECT tf.source,
+           CAST(sum(tf.c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.term IS NOT NULL THEN tf.c ELSE 0 END) AS BIGINT) AS n_covered,
+           round(sum(CASE WHEN v.term IS NOT NULL THEN tf.c ELSE 0 END)
+                 / CAST(sum(tf.c) AS DOUBLE), 6) AS coverage
+    FROM tf LEFT JOIN vocab v USING (term)
+    GROUP BY tf.source
+    """,
+)
+def vocab_coverage_q(spark, sf_dir):
+    """Vocabulary coverage per source (the OOV / domain-shift audit
+    behind tokenizer sizing and corpus-mix decisions — a source whose
+    coverage under the global top-100 vocab drops is the one drifting
+    away from the training distribution): ONE corpus explode produces
+    the (source, term) count frame, the global vocab derives from it
+    (no second scan — same collapse-to-vocab trick as
+    bpe_pair_counts), top-100 cut is sort-limit, and coverage is a
+    conditional sum over the vocab-sized join."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        tf.groupBy("term")
+        .agg(F.sum("c").cast("long").alias("g"))
+        .orderBy(F.col("g").desc(), "term")
+        .limit(100)
+        .select("term", F.lit(True).alias("_v"))
+    )
+    return (
+        tf.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_v"), F.col("c")).otherwise(0)).cast("long").alias("n_covered"),
+            F.round(
+                F.sum(F.when(F.col("_v"), F.col("c")).otherwise(0)) / F.sum("c"), 6
+            ).alias("coverage"),
+        )
+    )
