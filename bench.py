@@ -194,6 +194,7 @@ EXTRA = [
     "tfidf_vsm_topk",
     "grouped_latency_slo",
     "vocab_coverage",
+    "knn_graph_2hop",
 ]
 
 

@@ -7920,3 +7920,91 @@ def vocab_coverage_q(spark, sf_dir):
             ).alias("coverage"),
         )
     )
+
+
+def _knn_graph_2hop_oracle() -> str:
+    from .operators import ann
+
+    planes = ann.hyperplanes(4, 64)
+    return f"""
+    WITH {_planes_sql(planes)},
+    dots AS (
+        SELECT e.vec_id, p.pid, {_dd_dot('e.embedding', 'p.w')} AS d
+        FROM embeddings e CROSS JOIN planes p
+    ), buckets AS (
+        SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << pid) ELSE 0 END) AS bucket
+        FROM dots GROUP BY vec_id
+    ), c AS (
+        SELECT e.vec_id, e.embedding, b.bucket
+        FROM embeddings e JOIN buckets b USING (vec_id)
+    ), scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               {_dd_cosine('a.embedding', 'b.embedding')} AS score
+        FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ), e AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rank
+            FROM scored
+        ) WHERE rank <= 3
+    ), twohop AS (
+        SELECT DISTINCT a.src, b.dst AS dst2
+        FROM e a JOIN e b ON a.dst = b.src
+        WHERE b.dst <> a.src
+    ), fresh AS (
+        SELECT t.src, t.dst2 FROM twohop t
+        LEFT JOIN e d ON d.src = t.src AND d.dst = t.dst2
+        WHERE d.src IS NULL
+    ), agg2 AS (
+        SELECT src, CAST(count(*) AS BIGINT) AS n_new FROM fresh GROUP BY src
+    ), agg1 AS (
+        SELECT src, CAST(count(*) AS BIGINT) AS n_direct FROM e GROUP BY src
+    )
+    SELECT a1.src, a1.n_direct,
+           CAST(coalesce(a2.n_new, 0) AS BIGINT) AS n_two_hop_new,
+           round(coalesce(a2.n_new, 0) / CAST(a1.n_direct AS DOUBLE), 6) AS expansion_ratio
+    FROM agg1 a1 LEFT JOIN agg2 a2 USING (src)
+    """
+
+
+@query("knn_graph_2hop")  # oracle: ORACLES set below (plane literals)
+def knn_graph_2hop_q(spark, sf_dir):
+    """NN-descent's neighborhood expansion step (Dong WWW'11: a
+    node's next candidates are its neighbors' neighbors): from the
+    shared kNN-graph edges, the 2-hop frontier per node — distinct
+    neighbors-of-neighbors that are NOT already direct neighbors nor
+    the node itself — plus the expansion ratio that predicts how fast
+    graph refinement converges. Edge self-join volume is bounded by
+    Σ deg² (degrees capped at 3 by the build), the anti-membership
+    check is a LEFT join on bare (src, dst) longs — never any
+    vector data past the edge build."""
+    edges = (
+        _knn_graph_edges(spark, sf_dir)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    a, b = edges.alias("a"), edges.alias("b")
+    twohop = (
+        a.join(b, F.col("a.dst") == F.col("b.src"))
+        .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst2"))
+        .filter(F.col("dst2") != F.col("src"))
+        .distinct()
+    )
+    direct = edges.select("src", F.col("dst").alias("dst2"))
+    fresh = twohop.join(direct, ["src", "dst2"], "left_anti")
+    agg2 = fresh.groupBy("src").agg(F.count("*").cast("long").alias("n_new"))
+    agg1 = edges.groupBy("src").agg(F.count("*").cast("long").alias("n_direct"))
+    return (
+        agg1.join(agg2, "src", "left")
+        .select(
+            "src",
+            "n_direct",
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_two_hop_new"),
+            F.round(F.coalesce("n_new", F.lit(0)) / F.col("n_direct"), 6).alias(
+                "expansion_ratio"
+            ),
+        )
+    )
+
+
+ORACLES["knn_graph_2hop"] = _knn_graph_2hop_oracle()
