@@ -195,6 +195,8 @@ EXTRA = [
     "grouped_latency_slo",
     "vocab_coverage",
     "knn_graph_2hop",
+    "multimodal_shard_plan",
+    "pre_post_analysis",
 ]
 
 

@@ -8008,3 +8008,116 @@ def knn_graph_2hop_q(spark, sf_dir):
 
 
 ORACLES["knn_graph_2hop"] = _knn_graph_2hop_oracle()
+
+
+@query(
+    "multimodal_shard_plan",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               CAST(length(text) AS BIGINT) AS nbytes
+        FROM documents
+    ), placed AS (
+        SELECT kind, media_id, nbytes,
+               CAST((sum(nbytes) OVER (PARTITION BY kind ORDER BY media_id
+                     ROWS UNBOUNDED PRECEDING) - nbytes) // 4096 AS BIGINT) AS shard
+        FROM media
+    )
+    SELECT kind, shard,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(nbytes) AS BIGINT) AS shard_bytes,
+           CAST(min(media_id) AS BIGINT) AS first_id,
+           CAST(max(media_id) AS BIGINT) AS last_id
+    FROM placed GROUP BY kind, shard
+    """,
+)
+def multimodal_shard_plan_q(spark, sf_dir):
+    """WebDataset-style shard manifest for the media corpus (the
+    tar-shard layout multimodal training loaders stream): per kind,
+    media pack greedily in id order into ~4 KB shards via the
+    bytes-before div target rule (compaction_plan's assignment applied
+    to payload bytes); output is the per-shard manifest (items, bytes,
+    id range) the loader's shuffle-by-shard consumes. Window runs per
+    kind; the two-phase shard prefix sum (sequence_packing) is the
+    stated swap-in when one kind outgrows a partition. Payload bytes
+    reduce to lengths BEFORE the window — media content never enters
+    a shuffle."""
+    from .operators import multimodal
+
+    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
+    sized = media.select(
+        "kind", "media_id", F.length("content").cast("long").alias("nbytes")
+    )
+    w = Window.partitionBy("kind").orderBy("media_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    placed = sized.select(
+        "kind",
+        "media_id",
+        "nbytes",
+        F.expr("(sum(nbytes) over (partition by kind order by media_id rows between unbounded preceding and current row) - nbytes) div 4096").alias("shard"),
+    )
+    return placed.groupBy("kind", "shard").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("nbytes").cast("long").alias("shard_bytes"),
+        F.min("media_id").cast("long").alias("first_id"),
+        F.max("media_id").cast("long").alias("last_id"),
+    )
+
+
+@query(
+    "pre_post_analysis",
+    oracle="""
+    WITH b AS (
+        SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS cut FROM events
+    ), s AS (
+        SELECT event_type,
+               epoch_ns(ts) <= b.cut AS pre,
+               CAST(round(value * 1000000) AS BIGINT) AS v_u
+        FROM events, b
+    )
+    SELECT event_type,
+           CAST(sum(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+           CAST(sum(CASE WHEN pre THEN 0 ELSE 1 END) AS BIGINT) AS n_post,
+           round(sum(CASE WHEN pre THEN v_u ELSE 0 END)
+                 / CAST(sum(CASE WHEN pre THEN 1 ELSE 0 END) AS DOUBLE) / 1e6, 6) AS mean_pre,
+           round(sum(CASE WHEN pre THEN 0 ELSE v_u END)
+                 / CAST(sum(CASE WHEN pre THEN 0 ELSE 1 END) AS DOUBLE) / 1e6, 6) AS mean_post,
+           round((sum(CASE WHEN pre THEN 0 ELSE v_u END)
+                  / CAST(sum(CASE WHEN pre THEN 0 ELSE 1 END) AS DOUBLE)
+                  - sum(CASE WHEN pre THEN v_u ELSE 0 END)
+                    / CAST(sum(CASE WHEN pre THEN 1 ELSE 0 END) AS DOUBLE)) / 1e6, 6) AS mean_diff
+    FROM s GROUP BY event_type
+    """,
+)
+def pre_post_analysis_q(spark, sf_dir):
+    """Pre/post intervention comparison per event type (the
+    before-after readout of a deploy/experiment cutover — the simplest
+    causal panel a metrics stack serves): the cut point is the exact
+    midpoint of the time range (broadcast scalar), and BOTH windows'
+    counts and micro-unit sums come from ONE conditional aggregate —
+    one fact shuffle, no second pass, the same single-agg trick as
+    promo_revenue's numerator/denominator. Means and the difference
+    derive from exact integer sums at emit time."""
+    ev = load_table(spark, sf_dir, "events")
+    # exact integer midpoint: (min+max) exceeds 2^53, so a double
+    # division here would round the cut differently than the oracle's
+    # integer `//` and could flip boundary events between windows
+    cut = ev.agg(F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("_cut"))
+    s = ev.crossJoin(F.broadcast(cut)).select(
+        "event_type",
+        (F.col("ts_ns") <= F.col("_cut")).alias("pre"),
+        F.expr("cast(round(value * 1000000) as bigint)").alias("v_u"),
+    )
+    n_pre = F.sum(F.when(F.col("pre"), 1).otherwise(0))
+    n_post = F.sum(F.when(F.col("pre"), 0).otherwise(1))
+    s_pre = F.sum(F.when(F.col("pre"), F.col("v_u")).otherwise(0))
+    s_post = F.sum(F.when(F.col("pre"), 0).otherwise(F.col("v_u")))
+    return s.groupBy("event_type").agg(
+        n_pre.cast("long").alias("n_pre"),
+        n_post.cast("long").alias("n_post"),
+        F.round(s_pre / n_pre / 1e6, 6).alias("mean_pre"),
+        F.round(s_post / n_post / 1e6, 6).alias("mean_post"),
+        F.round((s_post / n_post - s_pre / n_pre) / 1e6, 6).alias("mean_diff"),
+    )
