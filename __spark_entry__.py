@@ -107,9 +107,15 @@ _VERIFY_FIRST = [
     # lm_perplexity_bigram, pmi_collocations, session_paths,
     # events_ewma, lineitem_priority_mix, train_test_split,
     # lang_confusion, token_entropy, faceted_search_counts,
-    # rfm_segments — then the changed-after-stamp cohort
-    # (dedup_minhash_lsh, dedup_simhash, minhash_accuracy,
-    # knn_graph_lsh, skew_profile, and the comment block above).
+    # rfm_segments, skipgram_pairs, temporal_split, ann_ivf_sq8,
+    # dataset_card, quantization_recall, embedding_quality_checks,
+    # bpe_train_rounds, label_outliers, tfidf_vsm_topk,
+    # grouped_latency_slo, vocab_coverage, knn_graph_2hop,
+    # multimodal_shard_plan, pre_post_analysis — then the
+    # changed-after-stamp cohort (dedup_minhash_lsh, dedup_simhash,
+    # minhash_accuracy, knn_graph_lsh, skew_profile, and the comment
+    # block above). EVERY oracle-backed entry passed the full parity
+    # suite at sf0.01 (the driver's gate scale) this session.
     "curation_pipeline",
     "kmeans_refine",
     "mlm_mask_corpus",
