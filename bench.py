@@ -197,6 +197,7 @@ EXTRA = [
     "knn_graph_2hop",
     "multimodal_shard_plan",
     "pre_post_analysis",
+    "hybrid_combsum",
 ]
 
 

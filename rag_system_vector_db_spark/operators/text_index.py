@@ -732,3 +732,80 @@ def tfidf_vsm_topk(
         "doc_id",
         F.round("_vsm", 6).alias("vsm"),
     )
+
+
+def hybrid_combsum(
+    spark: SparkSession,
+    index_dir: str,
+    vectors: DataFrame,
+    query_terms: list[str],
+    query_vec: DataFrame,
+    k: int = 10,
+    depth: int = 20,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """CombSUM / CombMNZ score fusion (Fox & Shaw TREC'94 — the
+    score-based fusion family beside rank-based RRF): each tower's
+    top-``depth`` scores min-max normalize to [0,1] WITHIN the tower
+    (the comparable-score trick), CombSUM adds them, CombMNZ
+    multiplies by the number of towers that retrieved the doc —
+    rewarding multi-tower agreement more aggressively than RRF does.
+
+    Determinism: tower scores round to 6 dp BEFORE normalization, so
+    min/max and the normalized ratios are engine-stable; fusion is a
+    fixed-order sum of two doubles. The normalization windows run over
+    ``depth``-row frames, never the corpus; towers share the
+    bucket-pruned postings read and the broadcast-query cosine scan
+    with the RRF path. Returns (rank, doc_id, combsum, combmnz,
+    n_towers)."""
+    from ..functions import vector as V
+
+    kw = (
+        bm25_from_index(spark, index_dir, query_terms, n_buckets)
+        .orderBy(F.col("_bm25").desc(), "doc_id")
+        .limit(depth)
+        .select("doc_id", F.round("_bm25", 6).alias("_s"))
+    )
+    vec = (
+        vectors.crossJoin(F.broadcast(query_vec))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            V.cosine(F.col("embedding"), F.col("qv")).alias("_raw"),
+        )
+        .orderBy(F.col("_raw").desc(), "doc_id")
+        .limit(depth)
+        .select("doc_id", F.round("_raw", 6).alias("_s"))
+    )
+
+    def norm(df: DataFrame, out: str) -> DataFrame:
+        w = Window.partitionBy()
+        lo, hi = F.min("_s").over(w), F.max("_s").over(w)
+        return df.select(
+            "doc_id",
+            F.when(hi == lo, F.lit(1.0)).otherwise((F.col("_s") - lo) / (hi - lo)).alias(out),
+        )
+
+    kn = norm(kw, "_kn")
+    vn = norm(vec, "_vn")
+    fused = kn.join(vn, "doc_id", "full_outer").select(
+        "doc_id",
+        (F.coalesce("_kn", F.lit(0.0)) + F.coalesce("_vn", F.lit(0.0))).alias("_sum"),
+        (F.col("_kn").isNotNull().cast("int") + F.col("_vn").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_towers"),
+    )
+    scored = fused.select(
+        "doc_id",
+        "_sum",
+        (F.col("_sum") * F.col("n_towers")).alias("_mnz"),
+        "n_towers",
+    )
+    top = scored.orderBy(F.col("_mnz").desc(), "doc_id").limit(k)
+    w = Window.orderBy(F.col("_mnz").desc(), "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        F.round("_sum", 6).alias("combsum"),
+        F.round("_mnz", 6).alias("combmnz"),
+        "n_towers",
+    )

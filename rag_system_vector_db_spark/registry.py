@@ -8121,3 +8121,74 @@ def pre_post_analysis_q(spark, sf_dir):
         F.round(s_post / n_post / 1e6, 6).alias("mean_post"),
         F.round((s_post / n_post - s_pre / n_pre) / 1e6, 6).alias("mean_diff"),
     )
+
+
+@query(
+    "hybrid_combsum",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+    toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), qtoks AS (
+        SELECT * FROM toks WHERE term IN ('spark', 'join', 'fast')
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
+        FROM qtoks GROUP BY doc_id, term
+    ), stats AS (
+        SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl FROM documents
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), bm25 AS (
+        SELECT tf.doc_id,
+               sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))) AS bm25
+        FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    ), kw_top AS (
+        SELECT doc_id, round(bm25, 6) AS s
+        FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT 20
+    ), kn AS (
+        SELECT doc_id,
+               CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0
+                    ELSE (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+               END AS kn
+        FROM kw_top
+    ), vecs AS (
+        SELECT e.vec_id AS doc_id, {_dd_cosine('e.embedding', 'q.qv')} AS raw
+        FROM embeddings e, q
+    ), vec_top AS (
+        SELECT doc_id, round(raw, 6) AS s
+        FROM vecs ORDER BY raw DESC, doc_id LIMIT 20
+    ), vn AS (
+        SELECT doc_id,
+               CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0
+                    ELSE (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+               END AS vn
+        FROM vec_top
+    ), fused AS (
+        SELECT coalesce(k.doc_id, v.doc_id) AS doc_id,
+               coalesce(k.kn, 0.0) + coalesce(v.vn, 0.0) AS csum,
+               CAST((CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    + (CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_towers
+        FROM kn k FULL OUTER JOIN vn v ON k.doc_id = v.doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY csum * n_towers DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, round(csum, 6) AS combsum,
+           round(csum * n_towers, 6) AS combmnz, n_towers
+    FROM fused ORDER BY csum * n_towers DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_combsum_q(spark, sf_dir):
+    """CombSUM/CombMNZ score fusion from the materialized index —
+    the score-based fusion family beside RRF; per-tower min-max
+    normalization over depth-row frames, multi-tower agreement
+    rewarded by the MNZ multiplier."""
+    from .operators import text_index
+
+    index_dir = _kw_index_dir(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
+    return text_index.hybrid_combsum(
+        spark, index_dir, emb, ["spark", "join", "fast"], q, k=10, depth=20
+    )
