@@ -198,6 +198,7 @@ EXTRA = [
     "multimodal_shard_plan",
     "pre_post_analysis",
     "hybrid_combsum",
+    "chunk_overlap",
 ]
 
 

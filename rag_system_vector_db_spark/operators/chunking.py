@@ -296,3 +296,43 @@ def sequence_packing(
         last.cast("long").alias("last_pack"),
         (last - first + 1).cast("long").alias("n_packs"),
     )
+
+
+def chunk_overlapping(
+    docs: DataFrame,
+    window: int = 40,
+    stride: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG chunk_overlap
+    parameter (LangChain/LlamaIndex's overlap = window − stride):
+    chunks start every ``stride`` tokens and span ``window``, so
+    adjacent chunks share ``window − stride`` tokens and no sentence
+    is ever split across a retrieval boundary without a copy that
+    contains it whole. Start count = 1 + ceil(max(n − window, 0) /
+    stride) — the final start is the last one that adds new tokens.
+
+    Same codegen shape as chunk_by_tokens (transform(sequence) +
+    posexplode, no shuffle); returns (id, chunk_number, start_token,
+    chunk_text, word_count)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_starts = (
+        F.lit(1)
+        + F.ceil(F.greatest(n - F.lit(window), F.lit(0)) / F.lit(stride))
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_starts - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, window)),
+    )
+    return (
+        docs.select(F.col(id_col), F.posexplode(chunks).alias("chunk_number", "chunk_text"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_number").cast("long"),
+            (F.col("chunk_number") * stride).cast("long").alias("start_token"),
+            "chunk_text",
+            F.size(F.split(F.col("chunk_text"), " ")).cast("long").alias("word_count"),
+        )
+    )

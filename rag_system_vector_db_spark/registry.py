@@ -8192,3 +8192,33 @@ def hybrid_combsum_q(spark, sf_dir):
     return text_index.hybrid_combsum(
         spark, index_dir, emb, ["spark", "join", "fast"], q, k=10, depth=20
     )
+
+
+@query(
+    "chunk_overlap",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), n AS (
+        SELECT doc_id, toks,
+               CAST(1 + ceil(greatest(len(toks) - 40, 0) / 30.0) AS INTEGER) AS n_starts
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_number,
+           CAST(i * 30 AS BIGINT) AS start_token,
+           array_to_string(toks[i * 30 + 1 : i * 30 + 40], ' ') AS chunk_text,
+           CAST(len(toks[i * 30 + 1 : i * 30 + 40]) AS BIGINT) AS word_count
+    FROM n, unnest(range(n_starts)) u(i)
+    """,
+)
+def chunk_overlap_q(spark, sf_dir):
+    """Overlapping 40-token chunks at stride 30 (10-token overlap —
+    the RAG chunk_overlap parameter): boundary sentences always have
+    a chunk containing them whole; map-only codegen like
+    chunk_documents."""
+    from .operators import chunking
+
+    return chunking.chunk_overlapping(
+        load_table(spark, sf_dir, "documents"), window=40, stride=30
+    )
