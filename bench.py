@@ -199,6 +199,8 @@ EXTRA = [
     "pre_post_analysis",
     "hybrid_combsum",
     "chunk_overlap",
+    "dedup_containment",
+    "percolate_queries",
 ]
 
 

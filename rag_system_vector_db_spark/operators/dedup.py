@@ -1028,3 +1028,79 @@ def soft_dedup_weights(
             F.round(F.lit(1.0) / F.coalesce("_sz", F.lit(1)), 6).alias("weight"),
         )
     )
+
+
+def dedup_containment(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Shingle-set CONTAINMENT on LSH candidates (Broder'97's second
+    resemblance measure): c(A→B) = |A∩B|/|A|. Symmetric Jaccard
+    misses the excerpt/quote case — a short doc wholly contained in a
+    long one scores low Jaccard but containment ≈ 1 — which is
+    exactly the boilerplate-inclusion / quoted-reply shape a corpus
+    dedup wants to see. Emits both directions plus the excerpt flag
+    (max containment ≥ 0.8 while Jaccard < 0.5: contained but not
+    near-identical).
+
+    Same ONE-feature-frame posture as minhash_accuracy (single
+    shingle explode feeds bands and both pair sides); candidates are
+    band-bucket-bound, exact set ops run on candidates only.
+    Returns (doc_a, doc_b, jaccard, cont_a_in_b, cont_b_in_a,
+    is_excerpt)."""
+    sh = shingle_set(docs, n, id_col, text_col)
+    feats = (
+        sh.select(
+            F.col(id_col),
+            F.col("shingle"),
+            H.md5_long(F.col("shingle"), seed=0).alias("_ha"),
+            H.md5_long(F.col("shingle"), seed=1, width=14).alias("_hb"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.collect_set("shingle").alias("sset"),
+            *[
+                F.min(F.col("_ha") + r * F.col("_hb")).alias(f"h{r}")
+                for r in range(num_hashes)
+            ],
+        )
+    )
+    b = lsh_band_buckets(feats, bands, rows, id_col)
+    buckets = (
+        b.groupBy("band", "band_sig")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ex = buckets.select(F.col("ids"), F.posexplode("ids").alias("i", "doc_a"))
+    pairs = (
+        ex.select(
+            "doc_a",
+            F.explode(F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))).alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = feats.select(F.col(id_col).alias("doc_a"), F.col("sset").alias("set_a"))
+    sb = feats.select(F.col(id_col).alias("doc_b"), F.col("sset").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    na = F.size("set_a").cast("double")
+    nb = F.size("set_b").cast("double")
+    jac = inter / (na + nb - inter)
+    ca = inter / na
+    cb = inter / nb
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 6).alias("jaccard"),
+            F.round(ca, 6).alias("cont_a_in_b"),
+            F.round(cb, 6).alias("cont_b_in_a"),
+            ((F.greatest(ca, cb) >= 0.8) & (jac < 0.5)).alias("is_excerpt"),
+        )
+    )

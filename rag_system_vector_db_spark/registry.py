@@ -8222,3 +8222,124 @@ def chunk_overlap_q(spark, sf_dir):
     return chunking.chunk_overlapping(
         load_table(spark, sf_dir, "documents"), window=40, stride=30
     )
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_DD_SHINGLES}, {_DD_MINHASH_SIG}, {_DD_BANDS},
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ), sizes AS (
+        SELECT doc_id, CAST(count(*) AS DOUBLE) AS n_sh FROM shf GROUP BY doc_id
+    ), inter AS (
+        SELECT p.doc_a, p.doc_b, CAST(count(*) AS DOUBLE) AS n_int
+        FROM pairs p
+        JOIN shf x ON x.doc_id = p.doc_a
+        JOIN shf y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+        GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(coalesce(i.n_int, 0) / (na.n_sh + nb.n_sh - coalesce(i.n_int, 0)), 6) AS jaccard,
+           round(coalesce(i.n_int, 0) / na.n_sh, 6) AS cont_a_in_b,
+           round(coalesce(i.n_int, 0) / nb.n_sh, 6) AS cont_b_in_a,
+           (greatest(coalesce(i.n_int, 0) / na.n_sh, coalesce(i.n_int, 0) / nb.n_sh) >= 0.8
+            AND coalesce(i.n_int, 0) / (na.n_sh + nb.n_sh - coalesce(i.n_int, 0)) < 0.5) AS is_excerpt
+    FROM pairs p
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    JOIN sizes na ON na.doc_id = p.doc_a
+    JOIN sizes nb ON nb.doc_id = p.doc_b
+    """,
+)
+def dedup_containment_q(spark, sf_dir):
+    """Broder containment on LSH candidates — catches the
+    excerpt/quote inclusion shape symmetric Jaccard misses; exact set
+    ops on band-bounded candidates only."""
+    from .operators import dedup
+
+    return dedup.dedup_containment(load_table(spark, sf_dir, "documents"))
+
+
+_PERCOLATE_QUERIES = [
+    (0, ["spark", "join"]),
+    (1, ["vector", "data"]),
+    (2, ["window", "stream", "fast"]),
+    (3, ["zzzghostterm"]),
+]
+
+
+@query(
+    "percolate_queries",
+    oracle=f"""
+    WITH q(query_id, terms) AS (VALUES
+        {", ".join(f"({qid}, {terms!r}::VARCHAR[])".replace("'", "'") for qid, terms in _PERCOLATE_QUERIES)}
+    ), d AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+               (SELECT count(*) FROM documents) AS n_docs
+        FROM documents
+    ), m AS (
+        SELECT q.query_id, d.doc_id, d.n_docs
+        FROM q, d
+        WHERE len(list_intersect(d.toks, q.terms)) = len(q.terms)
+    ), agg AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS n_matched,
+               CAST(min(doc_id) AS BIGINT) AS first_doc,
+               round(count(*) / CAST(min(n_docs) AS DOUBLE), 6) AS match_share
+        FROM m GROUP BY query_id
+    )
+    SELECT CAST(q.query_id AS BIGINT) AS query_id,
+           CAST(coalesce(a.n_matched, 0) AS BIGINT) AS n_matched,
+           a.first_doc,
+           round(coalesce(a.match_share, 0.0), 6) AS match_share
+    FROM q LEFT JOIN agg a USING (query_id)
+    """,
+)
+def percolate_queries_q(spark, sf_dir):
+    """Percolation / reverse search (Elasticsearch's percolator — the
+    alerting direction: STORED queries run against each incoming doc):
+    a literal frame of conjunctive term queries broadcasts onto the
+    corpus, the ALL-terms match is one map-side array_intersect per
+    (doc, query) — no explode, no per-term shuffle — and per-query
+    match counts + first-match + corpus share come from one tiny agg.
+    Zero-match queries keep their row (the alert that should NOT fire
+    is half the test). At 100 TB this is the saved-search/alerting
+    scan: queries are the small side by definition, and the match
+    predicate runs where the docs already are."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [(qid, terms) for qid, terms in _PERCOLATE_QUERIES],
+        "query_id long, terms array<string>",
+    )
+    n_docs = docs.agg(F.count("*").alias("_n"))
+    toks = F.array_distinct(F.split("text", " "))
+    m = (
+        docs.select("doc_id", toks.alias("_toks"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.size(F.array_intersect("_toks", "terms")) == F.size("terms"))
+    )
+    agg = (
+        m.groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_matched"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "query_id",
+            "n_matched",
+            "first_doc",
+            F.round(F.col("n_matched") / F.col("_n"), 6).alias("match_share"),
+        )
+    )
+    return (
+        q.select("query_id")
+        .join(agg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
+            "first_doc",
+            F.round(F.coalesce("match_share", F.lit(0.0)), 6).alias("match_share"),
+        )
+    )
