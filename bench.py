@@ -201,6 +201,8 @@ EXTRA = [
     "chunk_overlap",
     "dedup_containment",
     "percolate_queries",
+    "snapshot_diff",
+    "events_twa",
 ]
 
 

@@ -8343,3 +8343,128 @@ def percolate_queries_q(spark, sf_dir):
             F.round(F.coalesce("match_share", F.lit(0.0)), 6).alias("match_share"),
         )
     )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+        SELECT doc_id, md5(text) AS h FROM documents
+    ), v2 AS (
+        -- deterministic simulated next snapshot: every 23rd doc
+        -- deleted, every 17th edited (content suffix), plus 10 new ids
+        SELECT doc_id, md5(CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END) AS h
+        FROM documents WHERE doc_id % 23 <> 0
+        UNION ALL
+        SELECT (SELECT max(doc_id) FROM documents) + 1 + i AS doc_id,
+               md5('new doc ' || CAST(i AS VARCHAR)) AS h
+        FROM range(10) t(i)
+    ), d AS (
+        SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+               CASE WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v2.doc_id IS NULL THEN 'removed'
+                    WHEN v1.h <> v2.h THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(doc_id) AS BIGINT) AS first_id,
+           CAST(max(doc_id) AS BIGINT) AS last_id
+    FROM d GROUP BY status
+    """,
+)
+def snapshot_diff_q(spark, sf_dir):
+    """Dataset snapshot reconciliation (the data-diff every lakehouse
+    version upgrade runs before swapping a table pointer: what
+    changed between v1 and v2, by primary key): FULL OUTER join on
+    the key with md5 content hashes — raw text never crosses the
+    shuffle, only 16-byte digests — classifying every key as
+    added/removed/changed/unchanged, rolled up per status. The v2
+    snapshot is deterministically simulated (every 23rd doc deleted,
+    every 17th edited, 10 appended) so the oracle replays the exact
+    diff; in production v2 is just the other table. One shuffle per
+    side on the key."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", F.md5("text").alias("h"))
+    maxid = docs.agg(F.max("doc_id").alias("_m"))
+    edited = docs.filter(F.col("doc_id") % 23 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 17 == 0, F.concat("text", F.lit(" v2"))).otherwise(
+                F.col("text")
+            )
+        ).alias("h"),
+    )
+    added = (
+        spark.range(10)
+        .crossJoin(F.broadcast(maxid))
+        .select(
+            (F.col("_m") + 1 + F.col("id")).alias("doc_id"),
+            F.md5(F.concat(F.lit("new doc "), F.col("id").cast("string"))).alias("h"),
+        )
+    )
+    v2 = edited.unionAll(added)
+    a, b = v1.alias("a"), v2.alias("b")
+    d = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer").select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.h") != F.col("b.h"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return d.groupBy("status").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("doc_id").cast("long").alias("first_id"),
+        F.max("doc_id").cast("long").alias("last_id"),
+    )
+
+
+@query(
+    "events_twa",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, epoch_ns(ts) AS ts_ns, event_id,
+               CAST(round(value * 1000000) AS BIGINT) AS v_u
+        FROM events
+    ), seg AS (
+        SELECT event_type, v_u,
+               lead(ts_ns) OVER (PARTITION BY event_type ORDER BY ts_ns, event_id)
+                 - ts_ns AS dt
+        FROM e
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(dt) AS BIGINT) AS span_ns,
+           round(sum(v_u * (dt // 1000000)) / CAST(sum(dt // 1000000) AS DOUBLE) / 1e6, 6) AS twa
+    FROM seg WHERE dt IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_twa_q(spark, sf_dir):
+    """Time-weighted average per event type (the irregular-sampling
+    mean: each observation holds until the next one, so sparse quiet
+    periods aren't drowned out by bursts — the metric plain avg gets
+    WRONG on event data, and the standard gauge rollup in tsdb-land):
+    Δt to the next observation via ONE (event_type, time) window,
+    weights and weighted sums in exact integers (Δt scaled to micros
+    so v_u·Δt stays within long range), final ratio at emit. The last
+    observation per series has no successor and drops out (standard
+    left-closed convention)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts_ns", "event_id")
+    seg = ev.select(
+        "event_type",
+        F.expr("cast(round(value * 1000000) as bigint)").alias("v_u"),
+        (F.lead("ts_ns").over(w) - F.col("ts_ns")).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    return seg.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum("dt").cast("long").alias("span_ns"),
+        F.round(
+            F.sum(F.col("v_u") * F.expr("dt div 1000000"))
+            / F.sum(F.expr("dt div 1000000"))
+            / 1e6,
+            6,
+        ).alias("twa"),
+    )
