@@ -203,6 +203,8 @@ EXTRA = [
     "percolate_queries",
     "snapshot_diff",
     "events_twa",
+    "kmv_distinct_by_group",
+    "events_anomaly_mad",
 ]
 
 

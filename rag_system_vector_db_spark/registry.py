@@ -8468,3 +8468,142 @@ def events_twa_q(spark, sf_dir):
             6,
         ).alias("twa"),
     )
+
+
+@query(
+    "kmv_distinct_by_group",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type, {H.dd_md5_long('user_id::VARCHAR')} AS h FROM events
+    ), ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h
+    ), kth AS (
+        SELECT event_type, max(h) AS h_k, CAST(count(*) AS BIGINT) AS n_kept
+        FROM ranked WHERE rn <= 32 GROUP BY event_type
+    ), exact AS (
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS ndv_exact
+        FROM events GROUP BY event_type
+    )
+    SELECT k.event_type, e.ndv_exact,
+           round(CASE WHEN k.n_kept < 32 THEN CAST(k.n_kept AS DOUBLE)
+                      ELSE 31 / (k.h_k / 1152921504606846976.0) END, 6) AS ndv_est,
+           round(abs(CASE WHEN k.n_kept < 32 THEN CAST(k.n_kept AS DOUBLE)
+                          ELSE 31 / (k.h_k / 1152921504606846976.0) END - e.ndv_exact)
+                 / e.ndv_exact, 6) AS rel_err
+    FROM kth k JOIN exact e USING (event_type)
+    """,
+)
+def kmv_distinct_by_group_q(spark, sf_dir):
+    """Per-group KMV distinct sketch (the GROUP BY form of
+    kmv_distinct — per-event-type distinct users with BOUNDED state:
+    k hashes per group, not NDV): per-(partition, group) partial top-k
+    collapses each group's contribution to ≤k hashes BEFORE any
+    cross-partition movement (the mergeability that makes KMV a
+    distributed sketch), the merge keeps the k smallest of
+    ≤ n_partitions·k candidates per group; exact counts ride along
+    for the harness only."""
+    ev = load_table(spark, sf_dir, "events")
+    k = 32
+    hashes = ev.select(
+        "event_type", H.md5_long(F.col("user_id").cast("string")).alias("h")
+    )
+    partial = (
+        hashes.withColumn("_pid", F.spark_partition_id())
+        .groupBy("event_type", "_pid")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs"))
+        .select("event_type", F.explode("hs").alias("h"))
+        .distinct()
+    )
+    merged = partial.groupBy("event_type").agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("top")
+    )
+    kth = merged.select(
+        "event_type",
+        F.element_at("top", -1).alias("h_k"),
+        F.size("top").cast("long").alias("n_kept"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("ndv_exact")
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
+        (k - 1) / (F.col("h_k") / F.lit(1152921504606846976.0))
+    )
+    return kth.join(exact, "event_type").select(
+        "event_type",
+        "ndv_exact",
+        F.round(est, 6).alias("ndv_est"),
+        F.round(F.abs(est - F.col("ndv_exact")) / F.col("ndv_exact"), 6).alias(
+            "rel_err"
+        ),
+    )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH hourly AS (
+        SELECT epoch_ns(ts) // 3600000000000 AS hour_id,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    ), st AS (
+        SELECT list_sort(list(cnt)) AS vs, CAST(count(*) AS BIGINT) AS n FROM hourly
+    ), med AS (
+        SELECT vs[CAST(n // 2 AS INTEGER) + 1] AS med FROM st
+    ), dev AS (
+        SELECT list_sort(list(abs(h.cnt - m.med))) AS ds, CAST(count(*) AS BIGINT) AS n
+        FROM hourly h, med m
+    ), mad AS (
+        SELECT ds[CAST(n // 2 AS INTEGER) + 1] AS mad FROM dev
+    )
+    SELECT h.hour_id, h.cnt,
+           CAST(m.med AS BIGINT) AS med,
+           CAST(d.mad AS BIGINT) AS mad,
+           round(0.6745 * (h.cnt - m.med) / d.mad, 6) AS modified_z,
+           abs(0.6745 * (h.cnt - m.med) / d.mad) > 3.5 AS is_anomaly
+    FROM hourly h, med m, mad d
+    """,
+)
+def events_anomaly_mad_q(spark, sf_dir):
+    """Robust (median/MAD) anomaly detection on hourly event counts —
+    the Iglewicz-Hoaglin modified z-score, the robust twin of
+    events_anomaly's trailing mean/stddev: a single 10× traffic spike
+    inflates a stddev enough to hide a second one, but cannot move the
+    median. Median and MAD use the exact sorted-selection rule
+    (upper median, sorted[n div 2] 0-based — engine-identical
+    integers); both are 1-row broadcasts over the tiny hourly frame,
+    and the only fact-sized operation is the hourly count shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(F.expr("ts_ns div 3600000000000").alias("hour_id"))
+        .groupBy("hour_id")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    st = hourly.agg(
+        F.sort_array(F.collect_list("cnt")).alias("_vs"),
+        F.count("*").cast("long").alias("_n"),
+    )
+    med = st.select(
+        F.get("_vs", F.expr("CAST(_n div 2 AS INT)")).cast("long").alias("med")
+    )
+    dev = hourly.crossJoin(F.broadcast(med)).agg(
+        F.sort_array(F.collect_list(F.abs(F.col("cnt") - F.col("med")))).alias("_ds"),
+        F.count("*").cast("long").alias("_n"),
+    )
+    mad = dev.select(
+        F.get("_ds", F.expr("CAST(_n div 2 AS INT)")).cast("long").alias("mad")
+    )
+    z = 0.6745 * (F.col("cnt") - F.col("med")) / F.col("mad")
+    return (
+        hourly.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            "hour_id",
+            "cnt",
+            "med",
+            "mad",
+            F.round(z, 6).alias("modified_z"),
+            (F.abs(z) > 3.5).alias("is_anomaly"),
+        )
+    )
