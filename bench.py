@@ -205,6 +205,9 @@ EXTRA = [
     "events_twa",
     "kmv_distinct_by_group",
     "events_anomaly_mad",
+    "vocab_drift",
+    "split_ngram_leakage",
+    "discount_elasticity",
 ]
 
 

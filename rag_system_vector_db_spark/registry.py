@@ -8607,3 +8607,195 @@ def events_anomaly_mad_q(spark, sf_dir):
             (F.abs(z) > 3.5).alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "vocab_drift",
+    oracle="""
+    WITH s AS (SELECT max(doc_id) AS m FROM documents),
+    t AS (
+        SELECT CASE WHEN d.doc_id * 2 <= s.m THEN 'a' ELSE 'b' END AS half,
+               unnest(string_split(d.text, ' ')) AS term
+        FROM documents d, s
+    ), tf AS (
+        SELECT half, term, CAST(count(*) AS BIGINT) AS c
+        FROM t WHERE term <> '' GROUP BY half, term
+    ), piv AS (
+        SELECT term,
+               max(CASE WHEN half = 'a' THEN c END) AS ca,
+               max(CASE WHEN half = 'b' THEN c END) AS cb
+        FROM tf GROUP BY term
+    )
+    SELECT CAST(sum(CASE WHEN ca IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+           CAST(sum(CASE WHEN cb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+           CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS vocab_shared,
+           round(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS jaccard,
+           round(sum(CASE WHEN ca IS NULL AND cb IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(sum(CASE WHEN cb IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE), 6) AS new_term_rate
+    FROM piv
+    """,
+)
+def vocab_drift_q(spark, sf_dir):
+    """Vocabulary drift between two corpus halves (the text twin of
+    embedding_drift — a new crawl slice whose vocabulary Jaccard
+    drops or whose new-term rate spikes is drifting away from what
+    the tokenizer/filters were tuned on): one corpus explode to the
+    (half, term) count frame, then a vocab-sized pivot and ONE
+    conditional aggregate for all five audit numbers."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs.agg(F.max("doc_id").alias("_m"))
+    t = (
+        docs.crossJoin(F.broadcast(split))
+        .select(
+            F.when(F.col("doc_id") * 2 <= F.col("_m"), "a").otherwise("b").alias("half"),
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    piv = (
+        t.groupBy("half", "term")
+        .agg(F.count("*").alias("c"))
+        .groupBy("term")
+        .agg(
+            F.max(F.when(F.col("half") == "a", F.col("c"))).alias("ca"),
+            F.max(F.when(F.col("half") == "b", F.col("c"))).alias("cb"),
+        )
+    )
+    in_a = F.col("ca").isNotNull()
+    in_b = F.col("cb").isNotNull()
+    return piv.agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).cast("long").alias("vocab_a"),
+        F.sum(F.when(in_b, 1).otherwise(0)).cast("long").alias("vocab_b"),
+        F.sum(F.when(in_a & in_b, 1).otherwise(0)).cast("long").alias("vocab_shared"),
+        F.round(F.sum(F.when(in_a & in_b, 1).otherwise(0)) / F.count("*"), 6).alias("jaccard"),
+        F.round(
+            F.sum(F.when(~in_a & in_b, 1).otherwise(0))
+            / F.sum(F.when(in_b, 1).otherwise(0)),
+            6,
+        ).alias("new_term_rate"),
+    )
+
+
+@query(
+    "split_ngram_leakage",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, text,
+               CASE WHEN {H.dd_md5_long("doc_id::VARCHAR", seed="split")} % 100 < 90
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+    ), w AS (
+        SELECT split, unnest(
+            CASE WHEN len(t) < 8 THEN []::VARCHAR[]
+                 ELSE [md5(array_to_string(t[i + 1 : i + 8], ' ')) FOR i IN range(len(t) - 7)]
+            END) AS wh
+        FROM (SELECT split, string_split(text, ' ') AS t FROM s)
+    ), train_w AS (
+        SELECT DISTINCT wh FROM w WHERE split = 'train'
+    ), test_w AS (
+        SELECT wh, CAST(count(*) AS BIGINT) AS n FROM w WHERE split = 'test' GROUP BY wh
+    )
+    SELECT CAST(sum(t.n) AS BIGINT) AS test_windows,
+           CAST(sum(CASE WHEN tr.wh IS NOT NULL THEN t.n ELSE 0 END) AS BIGINT) AS leaked_windows,
+           round(sum(CASE WHEN tr.wh IS NOT NULL THEN t.n ELSE 0 END)
+                 / CAST(sum(t.n) AS DOUBLE), 6) AS leakage_rate
+    FROM test_w t LEFT JOIN train_w tr USING (wh)
+    """,
+)
+def split_ngram_leakage_q(spark, sf_dir):
+    """Train→test n-gram leakage audit (the memorization-risk /
+    contamination check run BEFORE trusting held-out perplexity: what
+    fraction of the test split's 8-token windows literally appear in
+    the train split): the same seeded-md5 90/5/5 split as
+    train_test_split (valid counts as test here — 10% holdout), docs
+    reduce to window HASHES map-side (raw text never shuffles —
+    substring_dedup's posture), one distinct on the train side, one
+    hash-partitioned LEFT join. High leakage means the held-out loss
+    is measuring memory, not generalization."""
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    split = F.when(
+        H.md5_long(F.col("doc_id").cast("string"), seed="split") % 100 < 90, "train"
+    ).otherwise("test")
+    from .functions import text as X
+
+    w = docs.select(
+        split.alias("split"),
+        F.explode(
+            F.transform(X.word_shingles(F.col("text"), 8), lambda s: F.md5(s))
+        ).alias("wh"),
+    )
+    train_w = w.filter(F.col("split") == "train").select("wh").distinct()
+    test_w = (
+        w.filter(F.col("split") == "test")
+        .groupBy("wh")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    j = test_w.join(train_w.withColumn("_hit", F.lit(True)), "wh", "left")
+    return j.agg(
+        F.sum("n").cast("long").alias("test_windows"),
+        F.sum(F.when(F.col("_hit"), F.col("n")).otherwise(0)).cast("long").alias("leaked_windows"),
+        F.round(
+            F.sum(F.when(F.col("_hit"), F.col("n")).otherwise(0)) / F.sum("n"), 6
+        ).alias("leakage_rate"),
+    )
+
+
+@query(
+    "discount_elasticity",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(round(l_discount * 100) AS BIGINT) AS x_pct,
+               CAST(round(l_quantity) AS BIGINT) AS y_q
+        FROM lineitem
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x_pct) AS BIGINT) AS sx,
+               CAST(sum(y_q) AS BIGINT) AS sy,
+               CAST(sum(x_pct * x_pct) AS BIGINT) AS sxx,
+               CAST(sum(y_q * y_q) AS BIGINT) AS syy,
+               CAST(sum(x_pct * y_q) AS BIGINT) AS sxy
+        FROM d
+    )
+    SELECT n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS slope,
+           round((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx) / n, 6) AS intercept,
+           round(pow(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy, 2)
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def discount_elasticity_q(spark, sf_dir):
+    """Single-pass OLS (quantity on discount%): slope, intercept and
+    R² from the five sufficient statistics in ONE map-side-combinable
+    aggregate — the closed-form regression every metrics stack
+    computes without a solver. Inputs quantize to exact integer units
+    (discount → %, quantity integral by construction), so all five
+    sums are order-free longs and both engines derive identical
+    coefficients from identical integers."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("cast(round(l_discount * 100) as bigint)").alias("x"),
+        F.expr("cast(round(l_quantity) as bigint)").alias("y"),
+    )
+    s = li.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    deny = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    slope = num / den
+    return s.select(
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
+        F.round(F.pow(num, F.lit(2.0)) / (den * deny), 6).alias("r2"),
+    )
