@@ -208,6 +208,8 @@ EXTRA = [
     "vocab_drift",
     "split_ngram_leakage",
     "discount_elasticity",
+    "trimmed_mean_stats",
+    "revenue_concentration",
 ]
 
 

@@ -8799,3 +8799,146 @@ def discount_elasticity_q(spark, sf_dir):
         F.round((F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
         F.round(F.pow(num, F.lit(2.0)) / (den * deny), 6).alias("r2"),
     )
+
+
+@query(
+    "trimmed_mean_stats",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v_u
+        FROM events
+    ), s AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               list_sort(list(v_u)) AS vs, CAST(sum(v_u) AS BIGINT) AS su
+        FROM e GROUP BY event_type
+    ), t AS (
+        SELECT event_type, n, su,
+               CAST(n // 10 AS INTEGER) AS cut,
+               vs[CAST(n // 10 AS INTEGER) + 1 : CAST(n AS INTEGER) - CAST(n // 10 AS INTEGER)] AS core
+        FROM s
+    )
+    SELECT event_type, n,
+           round(su / CAST(n AS DOUBLE) / 1e6, 6) AS mean,
+           round(CAST(list_sum(core) AS BIGINT) / CAST(len(core) AS DOUBLE) / 1e6, 6) AS trimmed_mean,
+           CAST(2 * cut AS BIGINT) AS n_trimmed
+    FROM t
+    """,
+)
+def trimmed_mean_stats_q(spark, sf_dir):
+    """10% trimmed mean per event type next to the plain mean (the
+    robust-location family with events_anomaly_mad: a handful of
+    outliers move the mean but not the trimmed mean, and the GAP
+    between the two is itself the contamination signal): exact
+    sorted-selection trim (drop n div 10 from each tail), core sum in
+    exact micro-unit longs, one fact shuffle. The sorted-collect
+    buffer is per-group row count — approx trimming via quantile
+    fences is the 100 TB swap-in."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("cast(round(value * 1000000) as bigint)").alias("v_u")
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sort_array(F.collect_list("v_u")).alias("_vs"),
+        F.sum("v_u").cast("long").alias("_su"),
+    )
+    cut = F.expr("CAST(n div 10 AS INT)")
+    core = F.slice(F.col("_vs"), cut + 1, F.col("n").cast("int") - 2 * cut)
+    core_sum = F.aggregate(core, F.lit(0).cast("long"), lambda a, b: a + b)
+    return s.select(
+        "event_type",
+        "n",
+        F.round(F.col("_su") / F.col("n") / 1e6, 6).alias("mean"),
+        F.round(core_sum / F.size(core) / 1e6, 6).alias("trimmed_mean"),
+        (F.lit(2) * cut).cast("long").alias("n_trimmed"),
+    )
+
+
+@query(
+    "revenue_concentration",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS rev_c
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT rev_c,
+               row_number() OVER (ORDER BY rev_c, o_custkey) AS i,
+               row_number() OVER (ORDER BY rev_c DESC, o_custkey DESC) AS j
+        FROM per_cust
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev_c) AS BIGINT) AS s
+        FROM ranked
+    ), g AS (
+        SELECT CAST(sum(i * rev_c) AS BIGINT) AS iws FROM ranked
+    ), topq AS (
+        SELECT CAST(count(*) AS BIGINT) AS n80 FROM (
+            SELECT sum(rev_c) OVER (ORDER BY j ROWS UNBOUNDED PRECEDING) - rev_c AS cum_before
+            FROM ranked
+        ) c, tot
+        WHERE c.cum_before < 0.8 * tot.s
+    )
+    SELECT t.n AS n_customers,
+           round((2.0 * g.iws) / (CAST(t.n AS DOUBLE) * t.s) - (t.n + 1.0) / t.n, 6) AS gini,
+           q.n80 AS n_top80,
+           round(q.n80 / CAST(t.n AS DOUBLE), 6) AS top80_share
+    FROM tot t, g, topq q
+    """,
+)
+def revenue_concentration_q(spark, sf_dir):
+    """Customer revenue concentration: exact Gini coefficient (the
+    sorted-rank formula G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n on cent-exact
+    integers) plus the Pareto cut — how many top customers cover 80%
+    of revenue. The whale-dependence audit: a high Gini says revenue
+    (and the matching join skew) concentrates in few keys — the
+    business-side reading of skew_profile. One fact agg to per-customer
+    totals; ranking windows run over the |customers| frame. Ties order
+    by (rev, custkey) so both engines rank identically."""
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    wi = Window.orderBy("rev_c", "o_custkey")
+    wj = Window.orderBy(F.col("rev_c").desc(), F.col("o_custkey").desc())
+    ranked = per.select(
+        "rev_c",
+        F.row_number().over(wi).alias("i"),
+        F.row_number().over(wj).alias("j"),
+    )
+    tot = ranked.agg(
+        F.count("*").cast("long").alias("n"), F.sum("rev_c").cast("long").alias("s")
+    )
+    g = ranked.agg(F.sum(F.col("i") * F.col("rev_c")).cast("long").alias("iws"))
+    cum = ranked.select(
+        "j",
+        "rev_c",
+        (
+            F.sum("rev_c").over(
+                Window.orderBy("j").rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - F.col("rev_c")
+        ).alias("cum_before"),
+    )
+    topq = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum_before") < 0.8 * F.col("s"))
+        .agg(F.count("*").cast("long").alias("n80"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(topq))
+        .select(
+            F.col("n").alias("n_customers"),
+            F.round(
+                (2.0 * F.col("iws")) / (F.col("n").cast("double") * F.col("s"))
+                - (F.col("n") + 1.0) / F.col("n"),
+                6,
+            ).alias("gini"),
+            F.col("n80").alias("n_top80"),
+            F.round(F.col("n80") / F.col("n").cast("double"), 6).alias("top80_share"),
+        )
+    )
