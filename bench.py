@@ -210,6 +210,7 @@ EXTRA = [
     "discount_elasticity",
     "trimmed_mean_stats",
     "revenue_concentration",
+    "seasonality_profile",
 ]
 
 

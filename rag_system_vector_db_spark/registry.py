@@ -8942,3 +8942,41 @@ def revenue_concentration_q(spark, sf_dir):
             F.round(F.col("n80") / F.col("n").cast("double"), 6).alias("top80_share"),
         )
     )
+
+
+@query(
+    "seasonality_profile",
+    oracle="""
+    WITH e AS (
+        SELECT CAST((epoch_ns(ts) // 3600000000000) % 24 AS BIGINT) AS hour_of_day,
+               CAST((epoch_ns(ts) // 86400000000000 + 4) % 7 AS BIGINT) AS day_of_week,
+               CAST(round(value * 1000000) AS BIGINT) AS v_u
+        FROM events
+    )
+    SELECT hour_of_day, day_of_week,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(v_u) / CAST(count(*) AS DOUBLE) / 1e6, 6) AS mean_value
+    FROM e GROUP BY hour_of_day, day_of_week
+    """,
+)
+def seasonality_profile_q(spark, sf_dir):
+    """Hour-of-day × day-of-week seasonal profile (the heatmap behind
+    capacity planning and the seasonal baseline the anomaly detectors
+    should eventually subtract): both grid keys derive from exact
+    integer epoch arithmetic (hour mod 24; day index +4 shifts the
+    1970-01-01-was-Thursday origin so 0 = Monday, engine-identical by
+    construction rather than by locale-dependent date functions); ONE
+    map-side-combinable aggregate to a ≤168-row grid."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.expr("(ts_ns div 3600000000000) % 24").cast("long").alias("hour_of_day"),
+            F.expr("(ts_ns div 86400000000000 + 4) % 7").cast("long").alias("day_of_week"),
+            F.expr("cast(round(value * 1000000) as bigint)").alias("v_u"),
+        )
+        .groupBy("hour_of_day", "day_of_week")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("v_u") / F.count("*") / 1e6, 6).alias("mean_value"),
+        )
+    )

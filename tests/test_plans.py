@@ -551,3 +551,18 @@ def test_bpe_train_rounds_vocab_sized_iteration(spark, sf_dir):
     plan = _plan(QUERIES["bpe_train_rounds"](spark, sf_dir))
     assert plan.count("FileScan parquet") <= 1  # corpus scanned at most once live
     assert "BroadcastExchange" in plan  # argmax pair broadcast
+
+
+def test_sql_interface_parity_with_dataframe_api(spark, sf_dir):
+    """The SQL surface is first-class: the SAME ANSI text the DuckDB
+    oracle runs (Q6 shape) executes on Spark via spark.sql over the
+    registered views and returns exactly what the DataFrame-API
+    operator returns — a user can drive this engine with SQL strings
+    alone."""
+    from rag_system_vector_db_spark.registry import ORACLES
+    from rag_system_vector_db_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    sql_rows = spark.sql(ORACLES["revenue_forecast"]).collect()
+    df_rows = QUERIES["revenue_forecast"](spark, sf_dir).collect()
+    assert [tuple(r) for r in sql_rows] == [tuple(r) for r in df_rows]
