@@ -211,6 +211,9 @@ EXTRA = [
     "trimmed_mean_stats",
     "revenue_concentration",
     "seasonality_profile",
+    "conversion_latency",
+    "topk_stability",
+    "cms_heavy_hitters",
 ]
 
 

@@ -8980,3 +8980,214 @@ def seasonality_profile_q(spark, sf_dir):
             F.round(F.sum("v_u") / F.count("*") / 1e6, 6).alias("mean_value"),
         )
     )
+
+
+@query(
+    "conversion_latency",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS first_view,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS first_purchase
+        FROM events GROUP BY user_id
+    ), conv AS (
+        SELECT user_id, (first_purchase - first_view) // 1000000 AS lat_ms
+        FROM f
+        WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+          AND first_purchase >= first_view
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_converted,
+               list_sort(list(lat_ms)) AS vs
+        FROM conv
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_view_users
+        FROM f WHERE first_view IS NOT NULL
+    )
+    SELECT t.n_view_users, s.n_converted,
+           round(s.n_converted / CAST(t.n_view_users AS DOUBLE), 6) AS conversion_rate,
+           CAST(s.vs[CAST(s.n_converted // 2 AS INTEGER) + 1] AS BIGINT) AS median_latency_ms,
+           CAST(s.vs[CAST(s.n_converted * 90 // 100 AS INTEGER) + 1] AS BIGINT) AS p90_latency_ms
+    FROM s, tot t
+    """,
+)
+def conversion_latency_q(spark, sf_dir):
+    """View→purchase conversion funnel with latency percentiles (the
+    product metric pair: HOW MANY convert and HOW FAST): per-user
+    first-view/first-purchase via ONE conditional min aggregate (no
+    window, no self-join — the same one-agg trick as funnel_analysis),
+    converters = users whose first purchase follows their first view;
+    median/p90 latency via the exact sorted-selection rule over the
+    converter frame (|users|-bounded). One fact shuffle total."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_ns"))).alias("fv"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_ns"))).alias("fp"),
+    )
+    conv = f.filter(
+        F.col("fv").isNotNull() & F.col("fp").isNotNull() & (F.col("fp") >= F.col("fv"))
+    ).select(F.expr("(fp - fv) div 1000000").alias("lat_ms"))
+    s = conv.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.sort_array(F.collect_list("lat_ms")).alias("_vs"),
+    )
+    tot = f.filter(F.col("fv").isNotNull()).agg(
+        F.count("*").cast("long").alias("n_view_users")
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "n_view_users",
+            "n_converted",
+            F.round(F.col("n_converted") / F.col("n_view_users"), 6).alias("conversion_rate"),
+            F.get("_vs", F.expr("CAST(n_converted div 2 AS INT)")).cast("long").alias("median_latency_ms"),
+            F.get("_vs", F.expr("CAST(n_converted * 90 div 100 AS INT)")).cast("long").alias("p90_latency_ms"),
+        )
+    )
+
+
+@query(
+    "topk_stability",
+    oracle="""
+    WITH b AS (
+        SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS cut FROM events
+    ), halves AS (
+        SELECT CASE WHEN epoch_ns(ts) <= b.cut THEN 'a' ELSE 'b' END AS half, user_id
+        FROM events, b
+    ), counts AS (
+        SELECT half, user_id, CAST(count(*) AS BIGINT) AS n
+        FROM halves GROUP BY half, user_id
+    ), top_a AS (
+        SELECT user_id FROM counts WHERE half = 'a'
+        ORDER BY n DESC, user_id LIMIT 20
+    ), top_b AS (
+        SELECT user_id FROM counts WHERE half = 'b'
+        ORDER BY n DESC, user_id LIMIT 20
+    ), ovl AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_common
+        FROM top_a JOIN top_b USING (user_id)
+    )
+    SELECT CAST(20 AS BIGINT) AS k, n_common,
+           round(n_common / CAST(40 - n_common AS DOUBLE), 6) AS jaccard,
+           round(n_common / 20.0, 6) AS overlap_at_k
+    FROM ovl
+    """,
+)
+def topk_stability_q(spark, sf_dir):
+    """Top-k set stability between consecutive periods (the
+    leaderboard-churn metric: overlap@k and Jaccard of the two top-20
+    most-active-user sets — low stability means ranking dashboards
+    and per-key caches churn): exact midpoint time split (broadcast
+    scalar, integer nanos), per-half counts from one fact shuffle,
+    both top-20 cuts via sort-limit with deterministic (n, user_id)
+    ties, the overlap a 20-row join."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("_cut"))
+    halves = ev.crossJoin(F.broadcast(cut)).select(
+        F.when(F.col("ts_ns") <= F.col("_cut"), "a").otherwise("b").alias("half"),
+        "user_id",
+    )
+    counts = halves.groupBy("half", "user_id").agg(F.count("*").cast("long").alias("n"))
+
+    def top(h):
+        return (
+            counts.filter(F.col("half") == h)
+            .orderBy(F.col("n").desc(), "user_id")
+            .limit(20)
+            .select("user_id")
+        )
+
+    ovl = top("a").join(top("b"), "user_id").agg(
+        F.count("*").cast("long").alias("n_common")
+    )
+    return ovl.select(
+        F.lit(20).cast("long").alias("k"),
+        "n_common",
+        F.round(F.col("n_common") / (F.lit(40) - F.col("n_common")).cast("double"), 6).alias("jaccard"),
+        F.round(F.col("n_common") / 20.0, 6).alias("overlap_at_k"),
+    )
+
+
+_CMS_ROWS, _CMS_W = 4, 256
+_DD_CMS_HASH = lambda r: f"('0x' || substr(md5('cms{r}:' || term), 1, 15))::BIGINT % {_CMS_W}"  # noqa: E731
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS exact FROM toks
+        WHERE term <> '' GROUP BY term
+    ), top AS (
+        SELECT term, exact FROM tf ORDER BY exact DESC, term LIMIT 10
+    ), cells AS (
+        {" UNION ALL ".join(
+            f"SELECT {r} AS r, {_DD_CMS_HASH(r)} AS bucket, CAST(sum(exact) AS BIGINT) AS cell FROM tf GROUP BY 2"
+            for r in range(_CMS_ROWS)
+        )}
+    ), probes AS (
+        {" UNION ALL ".join(
+            f"SELECT term, exact, {r} AS r, {_DD_CMS_HASH(r)} AS bucket FROM top"
+            for r in range(_CMS_ROWS)
+        )}
+    ), est AS (
+        SELECT p.term, p.exact, CAST(min(c.cell) AS BIGINT) AS cms_est
+        FROM probes p JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
+        GROUP BY p.term, p.exact
+    )
+    SELECT term, exact, cms_est,
+           CAST(cms_est - exact AS BIGINT) AS overestimate
+    FROM est
+    """,
+)
+def cms_heavy_hitters_q(spark, sf_dir):
+    """Count-Min sketch heavy-hitter estimates (Cormode & Muthukrishnan
+    '05 — the additive-mergeable frequency sketch next to KMV's
+    distinct sketch): a 4×256 counter grid built from one
+    map-side-combinable aggregate (the grid is additive, so partial
+    grids merge associatively — the property that makes CMS a
+    distributed/streaming sketch), point estimates = min over the 4
+    row cells. All integer arithmetic; the hash-checked
+    ``overestimate`` column exhibits CMS's ONE-SIDED guarantee
+    (est ≥ exact always — also invariant-asserted). The exact counts
+    ride along for the harness; production keeps only the 1 KB grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("exact"))
+        .localCheckpoint(eager=False)
+    )
+    rows = F.array(*[F.lit(r) for r in range(_CMS_ROWS)])
+    hashed = tf.select(
+        "term", "exact", F.explode(rows).alias("r")
+    ).select(
+        "term",
+        "exact",
+        "r",
+        (
+            H.md5_long(F.concat(F.lit("cms"), F.col("r").cast("string"), F.lit(":"), F.col("term")))
+            % _CMS_W
+        ).alias("bucket"),
+    )
+    cells = hashed.groupBy("r", "bucket").agg(F.sum("exact").cast("long").alias("cell"))
+    top = tf.orderBy(F.col("exact").desc(), "term").limit(10)
+    probes = top.select("term", "exact", F.explode(rows).alias("r")).select(
+        "term",
+        "exact",
+        "r",
+        (
+            H.md5_long(F.concat(F.lit("cms"), F.col("r").cast("string"), F.lit(":"), F.col("term")))
+            % _CMS_W
+        ).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("term", "exact")
+        .agg(F.min("cell").cast("long").alias("cms_est"))
+    )
+    return est.select(
+        "term", "exact", "cms_est", (F.col("cms_est") - F.col("exact")).cast("long").alias("overestimate")
+    )

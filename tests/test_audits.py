@@ -90,3 +90,11 @@ def test_soft_dedup_weights_mass_equals_clusters(spark, sf_dir):
     sizes = Counter(r.cluster_size for r in rows)
     eff = sum(cnt / sz for sz, cnt in sizes.items())
     assert abs(total_weight - eff) < 1e-3
+
+
+def test_cms_one_sided_guarantee(spark, sf_dir):
+    rows = QUERIES["cms_heavy_hitters"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.cms_est >= r.exact  # CMS can only overestimate
+        assert r.overestimate == r.cms_est - r.exact
