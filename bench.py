@@ -214,6 +214,7 @@ EXTRA = [
     "conversion_latency",
     "topk_stability",
     "cms_heavy_hitters",
+    "exactly_once_ingest",
 ]
 
 

@@ -9191,3 +9191,55 @@ def cms_heavy_hitters_q(spark, sf_dir):
     return est.select(
         "term", "exact", "cms_est", (F.col("cms_est") - F.col("exact")).cast("long").alias("overestimate")
     )
+
+
+@query(
+    "exactly_once_ingest",
+    oracle="""
+    WITH delivered AS (
+        SELECT event_id, event_type FROM events
+        UNION ALL
+        -- deterministic at-least-once redelivery: every 50th event
+        -- arrives twice (the retry), every 200th three times
+        SELECT event_id, event_type FROM events WHERE event_id % 50 = 0
+        UNION ALL
+        SELECT event_id, event_type FROM events WHERE event_id % 200 = 0
+    ), agg AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_delivered,
+               CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique
+        FROM delivered GROUP BY event_type
+    )
+    SELECT event_type, n_delivered, n_unique,
+           CAST(n_delivered - n_unique AS BIGINT) AS n_dupes_dropped,
+           round((n_delivered - n_unique) / CAST(n_delivered AS DOUBLE), 6) AS dupe_rate
+    FROM agg
+    """,
+)
+def exactly_once_ingest_q(spark, sf_dir):
+    """Exactly-once ingestion dedup audit (the at-least-once →
+    exactly-once repair every Kafka/queue consumer pipeline runs:
+    retries redeliver, the table must converge anyway): a
+    deterministic redelivery overlay (every 50th event twice, every
+    200th three times) simulates the retry storm, keep-one-per-
+    event_id collapses it, and the per-type report (delivered vs
+    unique vs dropped) is what an ingestion dashboard watches. The
+    dedup is count(DISTINCT key) / min-by-key — one shuffle on the
+    8-byte key; the streaming twin is streaming_dedup's keyed state."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    delivered = ev.unionAll(ev.filter(F.col("event_id") % 50 == 0)).unionAll(
+        ev.filter(F.col("event_id") % 200 == 0)
+    )
+    agg = delivered.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_delivered"),
+        F.count_distinct("event_id").cast("long").alias("n_unique"),
+    )
+    return agg.select(
+        "event_type",
+        "n_delivered",
+        "n_unique",
+        (F.col("n_delivered") - F.col("n_unique")).cast("long").alias("n_dupes_dropped"),
+        F.round(
+            (F.col("n_delivered") - F.col("n_unique")) / F.col("n_delivered"), 6
+        ).alias("dupe_rate"),
+    )
