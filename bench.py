@@ -215,6 +215,8 @@ EXTRA = [
     "topk_stability",
     "cms_heavy_hitters",
     "exactly_once_ingest",
+    "slo_burn_rate",
+    "audience_overlap",
 ]
 
 

@@ -9243,3 +9243,125 @@ def exactly_once_ingest_q(spark, sf_dir):
             (F.col("n_delivered") - F.col("n_unique")) / F.col("n_delivered"), 6
         ).alias("dupe_rate"),
     )
+
+
+@query(
+    "slo_burn_rate",
+    oracle="""
+    WITH hourly AS (
+        SELECT epoch_ns(ts) // 3600000000000 AS h,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs
+        FROM events GROUP BY 1
+    ), w AS (
+        SELECT h, n, errs,
+               CAST(sum(n) OVER win6 AS BIGINT) AS n6,
+               CAST(sum(errs) OVER win6 AS BIGINT) AS errs6,
+               CAST(count(*) OVER win6 AS BIGINT) AS hrs6
+        FROM hourly
+        WINDOW win6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(h AS BIGINT) AS hour_id, n, errs,
+           round(errs / CAST(n AS DOUBLE) / 0.01, 6) AS burn_1h,
+           round(errs6 / CAST(n6 AS DOUBLE) / 0.01, 6) AS burn_6h,
+           (errs / CAST(n AS DOUBLE) / 0.01 > 14.4
+            AND errs6 / CAST(n6 AS DOUBLE) / 0.01 > 6) AS page_alert
+    FROM w WHERE hrs6 = 6
+    """,
+)
+def slo_burn_rate_q(spark, sf_dir):
+    """Error-budget burn rate with multi-window alerting (Google SRE
+    workbook's 14.4×/6× two-window rule against a 1% error SLO): the
+    fast window catches the spike, the slow window confirms it isn't
+    noise — paging only when BOTH burn. The stream collapses to one
+    row per hour before any window (events_anomaly's posture); the
+    6-hour rolling sums are exact integers over the tiny hourly
+    frame; warm-up hours (fewer than 6 in window) are excluded so the
+    slow burn is never computed on partial budget."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            F.expr("ts_ns div 3600000000000").alias("h"),
+            (F.col("event_type") == "error").cast("int").alias("_e"),
+        )
+        .groupBy("h")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("_e").cast("long").alias("errs"),
+        )
+    )
+    w6 = Window.orderBy("h").rowsBetween(-5, 0)
+    w = hourly.select(
+        "h",
+        "n",
+        "errs",
+        F.sum("n").over(w6).cast("long").alias("n6"),
+        F.sum("errs").over(w6).cast("long").alias("errs6"),
+        F.count("*").over(w6).cast("long").alias("hrs6"),
+    ).filter(F.col("hrs6") == 6)
+    b1 = F.col("errs") / F.col("n") / 0.01
+    b6 = F.col("errs6") / F.col("n6") / 0.01
+    return w.select(
+        F.col("h").cast("long").alias("hour_id"),
+        "n",
+        "errs",
+        F.round(b1, 6).alias("burn_1h"),
+        F.round(b6, 6).alias("burn_6h"),
+        ((b1 > 14.4) & (b6 > 6)).alias("page_alert"),
+    )
+
+
+@query(
+    "audience_overlap",
+    oracle="""
+    WITH tu AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), sizes AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_users FROM tu GROUP BY event_type
+    ), pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_common,
+           round(p.n_common / CAST(sa.n_users + sb.n_users - p.n_common AS DOUBLE), 6) AS jaccard,
+           round(p.n_common / CAST(least(sa.n_users, sb.n_users) AS DOUBLE), 6) AS containment
+    FROM pairs p
+    JOIN sizes sa ON sa.event_type = p.type_a
+    JOIN sizes sb ON sb.event_type = p.type_b
+    """,
+)
+def audience_overlap_q(spark, sf_dir):
+    """Audience overlap matrix (the segment-intersection analysis
+    behind campaign planning and dedup of audience counts): pairwise
+    user overlap between event types — Jaccard and
+    smaller-side containment per pair. The corpus collapses to the
+    DISTINCT (type, user) frame first (one shuffle); the pair join is
+    keyed on user_id so its volume is Σ per-user type-pair counts
+    (≤ C(|types|,2) per user), never |users|²; the ≤C(5,2)-row result
+    joins the 5-row size table twice."""
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
+    sizes = tu.groupBy("event_type").agg(F.count("*").cast("long").alias("n_users"))
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            F.round(F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6).alias("jaccard"),
+            F.round(F.col("n_common") / F.least("na", "nb"), 6).alias("containment"),
+        )
+    )
