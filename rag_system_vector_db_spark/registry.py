@@ -7648,9 +7648,13 @@ def bpe_train_rounds_q(spark, sf_dir):
     the spaced-character vocab, the argmax pair (ties → lexicographic,
     chosen IN-PLAN as a 1-row broadcast — no driver literal) merges
     into every word via the sentinel-space string replace whose
-    greedy left-to-right non-overlap semantics are IDENTICAL in both
-    engines (the " a a a " → " aa a " case), and round 2 recounts on
-    the merged symbols. Top-5 pairs of each round are hash-checked,
+    non-overlap semantics are IDENTICAL in both engines: replace
+    resumes AFTER the replacement, so the token following a merge is
+    never the next match's left member — this deviates from the
+    canonical fold only on ≥4-runs of a self-paired symbol (found by
+    hypothesis, pinned by tests/test_kernel_properties.py's replace
+    model; absent from word corpora) — and round 2 recounts on the
+    merged symbols. Top-5 pairs of each round are hash-checked,
     so the merge application itself is verified through round 2's
     counts — the same prove-the-iteration posture as kmeans_refine
     and dedup_cluster.
