@@ -217,6 +217,7 @@ EXTRA = [
     "exactly_once_ingest",
     "slo_burn_rate",
     "audience_overlap",
+    "market_basket_lift",
 ]
 
 

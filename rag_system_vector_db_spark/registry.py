@@ -9369,3 +9369,91 @@ def audience_overlap_q(spark, sf_dir):
             F.round(F.col("n_common") / F.least("na", "nb"), 6).alias("containment"),
         )
     )
+
+
+@query(
+    "market_basket_lift",
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_orders AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM b
+    ), item AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_a FROM b GROUP BY l_partkey
+    ), pair AS (
+        SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM b a JOIN b c
+          ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    ), scored AS (
+        SELECT p.part_a, p.part_b, p.n_ab, ia.n_a, ib.n_a AS n_b,
+               (p.n_ab * o.n) / CAST(ia.n_a * ib.n_a AS DOUBLE) AS lift,
+               p.n_ab / CAST(ia.n_a AS DOUBLE) AS confidence
+        FROM pair p
+        JOIN item ia ON ia.l_partkey = p.part_a
+        JOIN item ib ON ib.l_partkey = p.part_b
+        CROSS JOIN n_orders o
+    )
+    SELECT CAST(row_number() OVER (ORDER BY lift DESC, part_a, part_b) AS BIGINT) AS rank,
+           part_a, part_b, n_ab, n_a, n_b,
+           round(lift, 6) AS lift, round(confidence, 6) AS confidence
+    FROM scored ORDER BY lift DESC, part_a, part_b LIMIT 10
+    """,
+)
+def market_basket_lift_q(spark, sf_dir):
+    """Market-basket association rules over order baskets (Agrawal
+    SIGMOD'93 — support/confidence/lift, the classic co-purchase
+    miner): baskets = DISTINCT (order, part); pair support from the
+    orderkey-keyed self-join (volume = Σ C(basket,2) — bounded by
+    basket size², never |parts|²); the min-support floor (≥3) cuts
+    BEFORE the item-count joins (Apriori's pruning insight: only
+    frequent pairs proceed); lift = n_ab·N/(n_a·n_b) from exact
+    integer counts, top-10 via sort-limit with full deterministic tie
+    order."""
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_orders = b.agg(F.count_distinct("l_orderkey").cast("long").alias("_n"))
+    item = b.groupBy("l_partkey").agg(F.count("*").cast("long").alias("n_a"))
+    lhs = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    rhs = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pair = (
+        lhs.join(rhs, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_a").alias("n_b"))
+    scored = (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            ((F.col("n_ab") * F.col("_n")) / (F.col("n_a") * F.col("n_b")).cast("double")).alias("_lift"),
+            (F.col("n_ab") / F.col("n_a").cast("double")).alias("_conf"),
+        )
+    )
+    top = scored.orderBy(F.col("_lift").desc(), "part_a", "part_b").limit(10)
+    w = Window.orderBy(F.col("_lift").desc(), "part_a", "part_b")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "part_a",
+        "part_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.round("_lift", 6).alias("lift"),
+        F.round("_conf", 6).alias("confidence"),
+    )
