@@ -218,6 +218,7 @@ EXTRA = [
     "slo_burn_rate",
     "audience_overlap",
     "market_basket_lift",
+    "dau_stickiness",
 ]
 
 

@@ -9457,3 +9457,65 @@ def market_basket_lift_q(spark, sf_dir):
         F.round("_lift", 6).alias("lift"),
         F.round("_conf", 6).alias("confidence"),
     )
+
+
+@query(
+    "dau_stickiness",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id
+        FROM events
+    ), dau AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day
+    ), wau AS (
+        SELECT d.day, CAST(count(DISTINCT w.user_id) AS BIGINT) AS wau
+        FROM (SELECT DISTINCT day FROM du) d
+        JOIN du w ON w.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day
+    )
+    SELECT CAST(a.day AS BIGINT) AS day_id, a.dau, w.wau,
+           round(a.dau / CAST(w.wau AS DOUBLE), 6) AS stickiness
+    FROM dau a JOIN wau w ON a.day = w.day
+    WHERE a.day >= (SELECT min(day) FROM du) + 6
+    """,
+)
+def dau_stickiness_q(spark, sf_dir):
+    """DAU/WAU stickiness (the growth metric: what share of the weekly
+    audience shows up daily): the stream collapses to the DISTINCT
+    (day, user) frame first — everything after is |active-days ×
+    users|-bounded, never event-sized. WAU is a rolling 7-day
+    DISTINCT, which no window function computes (distinct doesn't
+    decompose over sliding frames) — the relational form is the
+    day-spine range join + count(DISTINCT) per anchor day, the same
+    pattern a tsdb materializes; warm-up days (< 7 days of history)
+    are excluded. Integer day keys from exact epoch arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.select(
+            F.expr("ts_ns div 86400000000000").alias("day"), "user_id"
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dau = du.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    days = du.select("day").distinct().select(F.col("day").alias("anchor"))
+    wau = (
+        days.join(
+            du,
+            (F.col("day") >= F.col("anchor") - 6) & (F.col("day") <= F.col("anchor")),
+        )
+        .groupBy("anchor")
+        .agg(F.count_distinct("user_id").cast("long").alias("wau"))
+    )
+    first_day = du.agg(F.min("day").alias("_d0"))
+    return (
+        dau.join(wau, dau.day == wau.anchor)
+        .crossJoin(F.broadcast(first_day))
+        .filter(F.col("day") >= F.col("_d0") + 6)
+        .select(
+            F.col("day").cast("long").alias("day_id"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias("stickiness"),
+        )
+    )
