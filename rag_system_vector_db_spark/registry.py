@@ -9519,3 +9519,544 @@ def dau_stickiness_q(spark, sf_dir):
             F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias("stickiness"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r5 closing wave 2: profiling, experimentation, sketch and mix-planning
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corr_matrix",
+    oracle="""
+    WITH s AS (
+        SELECT count(*) AS n,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS s_q,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS s_p,
+               sum(CAST(l_discount AS DECIMAL(18,2))) AS s_d,
+               sum(CAST(l_tax AS DECIMAL(18,2))) AS s_t,
+               sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS ss_q,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS ss_p,
+               sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS ss_d,
+               sum(CAST(l_tax AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS ss_t,
+               sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS x_qp,
+               sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS x_qd,
+               sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS x_qt,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS x_pd,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS x_pt,
+               sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS x_dt
+        FROM lineitem
+    ), p AS (
+        SELECT 'quantity' AS col_a, 'extendedprice' AS col_b, n,
+               CAST(x_qp AS DOUBLE) AS sxy, CAST(s_q AS DOUBLE) AS sx, CAST(s_p AS DOUBLE) AS sy,
+               CAST(ss_q AS DOUBLE) AS sxx, CAST(ss_p AS DOUBLE) AS syy FROM s
+        UNION ALL
+        SELECT 'quantity', 'discount', n, CAST(x_qd AS DOUBLE), CAST(s_q AS DOUBLE), CAST(s_d AS DOUBLE),
+               CAST(ss_q AS DOUBLE), CAST(ss_d AS DOUBLE) FROM s
+        UNION ALL
+        SELECT 'quantity', 'tax', n, CAST(x_qt AS DOUBLE), CAST(s_q AS DOUBLE), CAST(s_t AS DOUBLE),
+               CAST(ss_q AS DOUBLE), CAST(ss_t AS DOUBLE) FROM s
+        UNION ALL
+        SELECT 'extendedprice', 'discount', n, CAST(x_pd AS DOUBLE), CAST(s_p AS DOUBLE), CAST(s_d AS DOUBLE),
+               CAST(ss_p AS DOUBLE), CAST(ss_d AS DOUBLE) FROM s
+        UNION ALL
+        SELECT 'extendedprice', 'tax', n, CAST(x_pt AS DOUBLE), CAST(s_p AS DOUBLE), CAST(s_t AS DOUBLE),
+               CAST(ss_p AS DOUBLE), CAST(ss_t AS DOUBLE) FROM s
+        UNION ALL
+        SELECT 'discount', 'tax', n, CAST(x_dt AS DOUBLE), CAST(s_d AS DOUBLE), CAST(s_t AS DOUBLE),
+               CAST(ss_d AS DOUBLE), CAST(ss_t AS DOUBLE) FROM s
+    )
+    SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+    FROM p
+    """,
+)
+def corr_matrix_q(spark, sf_dir):
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    columns (the feature-profiling pass before any modeling work): ONE
+    aggregate computes all 4 sums + 4 sum-of-squares + 6 cross-products
+    as exact DECIMAL(18,2) accumulators (order-independent — the same
+    exact-moments posture as column_profile), then the 6 pairs unpivot
+    from that single row driver-free via an in-plan stack(). One scan,
+    one map-side-combinable shuffle of a single row; corr derives from
+    the exact sums in double at emit time with the textbook
+    (n·Sxy − Sx·Sy)/√((n·Sxx − Sx²)(n·Syy − Sy²)) form, identical
+    operation order on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = {"q": "l_quantity", "p": "l_extendedprice", "d": "l_discount", "t": "l_tax"}
+    dec = {k: F.col(c).cast("decimal(18,2)") for k, c in cols.items()}
+    aggs = [F.count("*").alias("n")]
+    for k in cols:
+        aggs.append(F.sum(dec[k]).alias(f"s_{k}"))
+        aggs.append(F.sum(dec[k] * dec[k]).alias(f"ss_{k}"))
+    pairs = [("q", "p"), ("q", "d"), ("q", "t"), ("p", "d"), ("p", "t"), ("d", "t")]
+    for a, b in pairs:
+        aggs.append(F.sum(dec[a] * dec[b]).alias(f"x_{a}{b}"))
+    s = li.agg(*aggs)
+    names = {"q": "quantity", "p": "extendedprice", "d": "discount", "t": "tax"}
+    stack_args = ", ".join(
+        f"'{names[a]}', '{names[b]}', cast(x_{a}{b} as double), "
+        f"cast(s_{a} as double), cast(s_{b} as double), "
+        f"cast(ss_{a} as double), cast(ss_{b} as double)"
+        for a, b in pairs
+    )
+    unp = s.select(
+        "n",
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, sxy, sx, sy, sxx, syy)"
+        ),
+    )
+    n = F.col("n").cast("double")
+    return unp.select(
+        "col_a",
+        "col_b",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("corr"),
+    )
+
+
+@query(
+    "cusum_changepoint",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, event_id, epoch_ns(ts) AS ts_ns,
+               CAST(round(value * 1000000) AS BIGINT) AS v_u,
+               row_number() OVER w AS t,
+               sum(CAST(round(value * 1000000) AS BIGINT)) OVER
+                   (PARTITION BY event_type ORDER BY epoch_ns(ts), event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx,
+               count(*) OVER (PARTITION BY event_type) AS n,
+               sum(CAST(round(value * 1000000) AS BIGINT))
+                   OVER (PARTITION BY event_type) AS total
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ns(ts), event_id)
+    ), c AS (
+        SELECT event_type, t, ts_ns, n,
+               abs(n * pfx - t * total) AS s_abs,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(n * pfx - t * total) DESC, t) AS rk
+        FROM s
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS t_star,
+           ts_ns AS ts_ns_star,
+           round(s_abs / CAST(n AS DOUBLE) / 1e6, 6) AS cusum_peak
+    FROM c WHERE rk = 1
+    """,
+)
+def cusum_changepoint_q(spark, sf_dir):
+    """CUSUM changepoint per event type (where did the level shift? —
+    the classic page-one drift detector over a metric stream): the
+    peak of |S_t| where S_t = Σ_{i≤t}(x_i − x̄). Computed EXACTLY in
+    integer micro-units via the scale-by-n identity
+    n·S_t = n·prefix_t − t·total (no float mean subtraction inside the
+    scan, so cross-engine prefix order can't drift). Both cumulative
+    and whole-partition aggregates ride the SAME event_type window
+    partitioning — one shuffle, then an in-partition argmax via
+    row_number (ties → earliest t). Bigint headroom: n·prefix ≤
+    n²·max|v_u| ≈ 1e17 at sf0.1; the 100 TB swap-in is DECIMAL(38,0)
+    accumulators, same plan shape."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts_ns", "event_id")
+    wall = Window.partitionBy("event_type")
+    s = ev.select(
+        "event_type",
+        "event_id",
+        "ts_ns",
+        F.expr("cast(round(value * 1000000) as bigint)").alias("v_u"),
+    ).select(
+        "event_type",
+        "ts_ns",
+        F.row_number().over(w).alias("t"),
+        F.sum("v_u").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("pfx"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("v_u").over(wall).alias("total"),
+    )
+    c = s.select(
+        "event_type",
+        "t",
+        "ts_ns",
+        "n",
+        F.abs(F.col("n") * F.col("pfx") - F.col("t") * F.col("total")).alias("s_abs"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.col("s_abs").desc(), "t")
+        ),
+    )
+    return c.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("t").cast("long").alias("t_star"),
+        F.col("ts_ns").alias("ts_ns_star"),
+        F.round(F.col("s_abs") / F.col("n").cast("double") / F.lit(1e6), 6).alias(
+            "cusum_peak"
+        ),
+    )
+
+
+@query(
+    "events_interarrival",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+                   (PARTITION BY event_type ORDER BY epoch_ns(ts), event_id) AS gap
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap) AS BIGINT) AS n_gaps,
+           round(CAST(sum(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) / count(gap) / 1e9, 6) AS mean_gap_s,
+           round(sqrt((CAST(sum(CAST(gap AS DECIMAL(38,0)) * CAST(gap AS DECIMAL(38,0))) AS DOUBLE)
+                       - CAST(sum(CAST(gap AS DECIMAL(38,0))) AS DOUBLE)
+                         * CAST(sum(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) / count(gap))
+                      / (count(gap) - 1)) / 1e9, 6) AS std_gap_s,
+           round(sqrt((CAST(sum(CAST(gap AS DECIMAL(38,0)) * CAST(gap AS DECIMAL(38,0))) AS DOUBLE)
+                       - CAST(sum(CAST(gap AS DECIMAL(38,0))) AS DOUBLE)
+                         * CAST(sum(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) / count(gap))
+                      / (count(gap) - 1))
+                 / (CAST(sum(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) / count(gap)), 6) AS cv
+    FROM g GROUP BY event_type
+    """,
+)
+def events_interarrival_q(spark, sf_dir):
+    """Inter-arrival burstiness profile per event type (CV≈1 ⇒
+    Poisson-like, CV≫1 ⇒ bursty — the sizing input for stream-state
+    and rate-limit budgets): lag() gaps in exact ns over one
+    event-time window shuffle, then mean/std/CV from exact
+    DECIMAL(38,0) Σg and Σg² (gap² overflows bigint at month spans —
+    decimal accumulators are the right call at any scale), doubles
+    only at emit. Sample std (n−1); first event per type contributes
+    no gap."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts_ns", "event_id")
+    g = ev.select(
+        "event_type",
+        (F.col("ts_ns") - F.lag("ts_ns").over(w)).cast("decimal(38,0)").alias("gap"),
+    )
+    agg = g.groupBy("event_type").agg(
+        F.count("gap").alias("n_gaps"),
+        F.sum("gap").alias("sg"),
+        F.sum(F.col("gap") * F.col("gap")).alias("sgg"),
+    )
+    n = F.col("n_gaps").cast("double")
+    sg = F.col("sg").cast("double")
+    sgg = F.col("sgg").cast("double")
+    var = (sgg - sg * sg / n) / (n - F.lit(1.0))
+    return agg.select(
+        "event_type",
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        F.round(sg / n / F.lit(1e9), 6).alias("mean_gap_s"),
+        F.round(F.sqrt(var) / F.lit(1e9), 6).alias("std_gap_s"),
+        F.round(F.sqrt(var) / (sg / n), 6).alias("cv"),
+    )
+
+
+@query(
+    "ab_welch_ttest",
+    oracle="""
+    WITH b AS (
+        SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS cut FROM events
+    ), s AS (
+        SELECT event_type, epoch_ns(ts) <= b.cut AS pre,
+               CAST(CAST(round(value * 1000) AS BIGINT) AS DECIMAL(18,0)) AS v_m
+        FROM events, b
+    ), a AS (
+        SELECT event_type,
+               sum(CASE WHEN pre THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN pre THEN 0 ELSE 1 END) AS n2,
+               sum(CASE WHEN pre THEN v_m ELSE 0 END) AS s1,
+               sum(CASE WHEN pre THEN 0 ELSE v_m END) AS s2,
+               sum(CASE WHEN pre THEN v_m * v_m ELSE 0 END) AS q1,
+               sum(CASE WHEN pre THEN 0 ELSE v_m * v_m END) AS q2
+        FROM s GROUP BY event_type
+    ), d AS (
+        SELECT event_type, n1, n2,
+               CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
+               ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1) / (n1 - 1)) / n1 AS se1,
+               ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2) / (n2 - 1)) / n2 AS se2
+        FROM a
+    )
+    SELECT event_type, CAST(n1 AS BIGINT) AS n_pre, CAST(n2 AS BIGINT) AS n_post,
+           round(m1 / 1e3, 6) AS mean_pre,
+           round(m2 / 1e3, 6) AS mean_post,
+           round((m2 - m1) / sqrt(se1 + se2) , 6) AS t_stat,
+           round((se1 + se2) * (se1 + se2)
+                 / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 6) AS welch_df
+    FROM d
+    """,
+)
+def ab_welch_ttest_q(spark, sf_dir):
+    """Welch two-sample t-test per event type across the exact-midpoint
+    pre/post cutover (pre_post_analysis's panel upgraded from a point
+    estimate to an inference readout — unequal variances assumed, the
+    safe default for experiment analysis): counts, Σv and Σv² for BOTH
+    windows come from ONE conditional aggregate — one fact shuffle.
+    Milli-unit DECIMAL(18,0) accumulators keep Σv² exact (micro-units
+    would square to 3e17/row and threaten bigint), doubles only at the
+    t-statistic / Welch–Satterthwaite df emit, identical operation
+    order on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("_cut"))
+    s = ev.crossJoin(F.broadcast(cut)).select(
+        "event_type",
+        (F.col("ts_ns") <= F.col("_cut")).alias("pre"),
+        F.expr("cast(cast(round(value * 1000) as bigint) as decimal(18,0))").alias(
+            "v_m"
+        ),
+    )
+    zero = F.lit(0).cast("decimal(18,0)")
+    a = s.groupBy("event_type").agg(
+        F.sum(F.when(F.col("pre"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("pre"), 0).otherwise(1)).alias("n2"),
+        F.sum(F.when(F.col("pre"), F.col("v_m")).otherwise(zero)).alias("s1"),
+        F.sum(F.when(F.col("pre"), zero).otherwise(F.col("v_m"))).alias("s2"),
+        F.sum(
+            F.when(F.col("pre"), F.col("v_m") * F.col("v_m")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("q1"),
+        F.sum(
+            F.when(F.col("pre"), F.lit(0).cast("decimal(38,0)")).otherwise(
+                F.col("v_m") * F.col("v_m")
+            )
+        ).alias("q2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    m1 = F.col("s1").cast("double") / n1
+    m2 = F.col("s2").cast("double") / n2
+    se1 = ((F.col("q1").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / n1) / (n1 - F.lit(1.0))) / n1
+    se2 = ((F.col("q2").cast("double") - F.col("s2").cast("double") * F.col("s2").cast("double") / n2) / (n2 - F.lit(1.0))) / n2
+    return a.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_pre"),
+        F.col("n2").cast("long").alias("n_post"),
+        F.round(m1 / F.lit(1e3), 6).alias("mean_pre"),
+        F.round(m2 / F.lit(1e3), 6).alias("mean_post"),
+        F.round((m2 - m1) / F.sqrt(se1 + se2), 6).alias("t_stat"),
+        F.round(
+            (se1 + se2) * (se1 + se2)
+            / (se1 * se1 / (n1 - F.lit(1.0)) + se2 * se2 / (n2 - F.lit(1.0))),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+@query(
+    "corpus_temperature_mix",
+    oracle="""
+    WITH t AS (
+        SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ), z AS (
+        SELECT sum(n_tokens) AS total,
+               sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) AS z03 FROM t
+    )
+    SELECT lang, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / total, 6) AS share,
+           round(pow(CAST(n_tokens AS DOUBLE), 0.3) / z03, 6) AS w_alpha,
+           round((pow(CAST(n_tokens AS DOUBLE), 0.3) / z03)
+                 / (CAST(n_tokens AS DOUBLE) / total), 6) AS upsample
+    FROM t, z
+    """,
+)
+def corpus_temperature_mix_q(spark, sf_dir):
+    """Temperature-scaled multilingual sampling mix (the mBERT/XLM-R
+    α-sampling recipe, α = 0.3: p_l ∝ n_l^α flattens the head so
+    low-resource languages aren't starved): per-lang token totals from
+    one map-side-combinable shuffle; the normalizers ride back as ONE
+    broadcast scalar row; w_alpha, raw share and the implied
+    upsample factor derive per row at emit. The only data-sized pass is
+    the tokenize+count scan. Whitespace tokens match token_count's
+    convention exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " ", -1))).cast("long").alias("n_tokens")
+    )
+    z = t.agg(
+        F.sum("n_tokens").alias("total"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(0.3))).alias("z03"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("total")
+    w = F.pow(F.col("n_tokens").cast("double"), F.lit(0.3)) / F.col("z03")
+    return (
+        t.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_tokens",
+            F.round(share, 6).alias("share"),
+            F.round(w, 6).alias("w_alpha"),
+            F.round(w / share, 6).alias("upsample"),
+        )
+    )
+
+
+@query(
+    "token_budget_plan",
+    oracle="""
+    WITH t AS (
+        SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), z AS (
+        SELECT sum(n_tokens) AS total FROM t
+    ), q AS (
+        SELECT source, n_tokens,
+               CAST((10000000 * n_tokens) // z.total AS BIGINT) AS base_quota,
+               (10000000 * n_tokens) % z.total AS rem_units
+        FROM t, z
+    ), r AS (
+        SELECT *, row_number() OVER (ORDER BY rem_units DESC, source) AS rk,
+               10000000 - sum(base_quota) OVER () AS leftover
+        FROM q
+    )
+    SELECT source, n_tokens, base_quota,
+           CAST(base_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS final_quota,
+           round((base_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+                 / CAST(n_tokens AS DOUBLE), 6) AS epochs
+    FROM r
+    """,
+)
+def token_budget_plan_q(spark, sf_dir):
+    """Training-token budget allocation per source by the
+    largest-remainder (Hamilton) method — the integer-exact way to
+    split a fixed 10M-token budget proportionally with Σquota == budget
+    GUARANTEED (naive rounding drifts by ±k tokens): floor quotas and
+    remainders from exact integer arithmetic (budget·n_s fits bigint up
+    to corpus sizes of ~1e12 tokens; swap DECIMAL at 100 TB), leftover
+    units distributed by remainder rank (ties → source name). Everything
+    after the one tokenize+count shuffle runs on the sources-sized tiny
+    frame (window over a handful of rows). Epochs-per-source is the
+    over/undersampling readout a data-mix plan needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    budget = F.lit(10_000_000).cast("long")
+    t = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ", -1))).cast("long").alias("n_tokens")
+    )
+    z = t.agg(F.sum("n_tokens").alias("total"))
+    q = t.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        F.expr("(10000000 * n_tokens) div total").alias("base_quota"),
+        (budget * F.col("n_tokens") % F.col("total")).alias("rem_units"),
+    )
+    wrk = Window.orderBy(F.col("rem_units").desc(), "source")
+    r = q.select(
+        "*",
+        F.row_number().over(wrk).alias("rk"),
+        (budget - F.sum("base_quota").over(Window.partitionBy())).alias("leftover"),
+    )
+    final = F.col("base_quota") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+    return r.select(
+        "source",
+        "n_tokens",
+        "base_quota",
+        final.cast("long").alias("final_quota"),
+        F.round(final / F.col("n_tokens").cast("double"), 6).alias("epochs"),
+    )
+
+
+@query(
+    "hll_distinct",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT {H.dd_md5_long('user_id::VARCHAR')} AS h FROM events
+    ), b AS (
+        SELECT h >> 52 AS idx, h & 4503599627370495 AS w FROM h
+    ), f1 AS (SELECT idx, w | (w >> 1) AS w FROM b),
+    f2 AS (SELECT idx, w | (w >> 2) AS w FROM f1),
+    f3 AS (SELECT idx, w | (w >> 4) AS w FROM f2),
+    f4 AS (SELECT idx, w | (w >> 8) AS w FROM f3),
+    f5 AS (SELECT idx, w | (w >> 16) AS w FROM f4),
+    f6 AS (SELECT idx, w | (w >> 32) AS w FROM f5),
+    regs AS (
+        SELECT idx, max(53 - bit_count(w)) AS m_j FROM f6 GROUP BY idx
+    ), agg AS (
+        SELECT count(*) AS n_present,
+               sum(1::BIGINT << (53 - m_j)) AS sum_scaled
+        FROM regs
+    ), est AS (
+        SELECT 256 - n_present AS n_zero,
+               (0.7213 / (1 + 1.079 / 256)) * 65536.0 * 9007199254740992.0
+                   / (sum_scaled + (256 - n_present) * 9007199254740992) AS e_raw
+        FROM agg
+    ), exact AS (
+        SELECT count(DISTINCT user_id) AS ndv_exact FROM events
+    )
+    SELECT CAST(256 AS BIGINT) AS m,
+           ndv_exact,
+           CAST(n_zero AS BIGINT) AS n_zero_registers,
+           round(CASE WHEN e_raw <= 640.0 AND n_zero > 0
+                      THEN 256.0 * ln(256.0 / n_zero) ELSE e_raw END, 6) AS ndv_est,
+           round(abs(CASE WHEN e_raw <= 640.0 AND n_zero > 0
+                          THEN 256.0 * ln(256.0 / n_zero) ELSE e_raw END - ndv_exact)
+                 / ndv_exact, 6) AS rel_err
+    FROM est, exact
+    """,
+)
+def hll_distinct_q(spark, sf_dir):
+    """HyperLogLog distinct-count sketch (Flajolet AofA'07) on
+    events.user_id vs the exact count — the register-based sibling of
+    kmv_distinct, m = 256 registers (p = 8) over the portable 60-bit
+    md5 hash: register = top 8 bits, rho = leading-zero rank of the
+    remaining 52. rho is EXACT integer bit math on both engines — the
+    shift-or fill cascade + bit_count (never floor(log2()), whose
+    float rounding can misrank exact powers of two). The harmonic-mean
+    denominator stays exact too: Σ2^(−M_j) scaled by 2^53 is an
+    integer sum (≤ 2^60 for 256 registers), so engines agree
+    bit-for-bit before the one double division. Linear-counting
+    small-range correction (E ≤ 2.5m, V > 0) included. Per-register
+    state is 256 bytes total — the sketch a 100 TB pipeline keeps per
+    partition and merges by max(), exactly as this plan's partial
+    aggregation already does."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(H.md5_long(F.col("user_id").cast("string")).alias("h")).distinct()
+    b = h.select(
+        F.expr("shiftright(h, 52)").alias("idx"),
+        F.expr("h & 4503599627370495").alias("w"),
+    )
+    for k in (1, 2, 4, 8, 16, 32):
+        b = b.withColumn("w", F.expr(f"w | shiftright(w, {k})"))
+    regs = b.groupBy("idx").agg(F.expr("max(53 - bit_count(w))").alias("m_j"))
+    agg = regs.agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(53 - m_j as int))")).alias(
+            "sum_scaled"
+        ),
+    )
+    est = agg.select(
+        (F.lit(256) - F.col("n_present")).alias("n_zero"),
+        (
+            F.lit(0.7213 / (1 + 1.079 / 256))
+            * F.lit(65536.0)
+            * F.lit(9007199254740992.0)
+            / (
+                F.col("sum_scaled")
+                + (F.lit(256) - F.col("n_present")) * F.lit(9007199254740992)
+            )
+        ).alias("e_raw"),
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("ndv_exact"))
+    e_fix = F.when(
+        (F.col("e_raw") <= F.lit(640.0)) & (F.col("n_zero") > 0),
+        F.lit(256.0) * F.log(F.lit(256.0) / F.col("n_zero")),
+    ).otherwise(F.col("e_raw"))
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(256).cast("long").alias("m"),
+            "ndv_exact",
+            F.col("n_zero").cast("long").alias("n_zero_registers"),
+            F.round(e_fix, 6).alias("ndv_est"),
+            F.round(F.abs(e_fix - F.col("ndv_exact")) / F.col("ndv_exact"), 6).alias(
+                "rel_err"
+            ),
+        )
+    )
