@@ -10060,3 +10060,283 @@ def hll_distinct_q(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "retrieval_mmr",
+    oracle=f"""
+    WITH RECURSIVE q AS (
+        SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), cand AS (
+        SELECT e.vec_id, {_dd_cosine('e.embedding', 'q.qv')} AS qsim
+        FROM embeddings e, q WHERE e.vec_id <> 0
+        ORDER BY qsim DESC, e.vec_id LIMIT 20
+    ), pairs AS (
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               {_dd_cosine('ea.embedding', 'eb.embedding')} AS sim
+        FROM cand a
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN cand b ON b.vec_id <> a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ), state AS (
+        SELECT 1 AS step,
+               [(SELECT vec_id FROM cand ORDER BY qsim DESC, vec_id LIMIT 1)] AS ids
+        UNION ALL
+        SELECT step + 1, list_append(ids, (
+            SELECT c.vec_id FROM cand c
+            WHERE NOT list_contains(s.ids, c.vec_id)
+            ORDER BY 0.7 * c.qsim - 0.3 * (SELECT max(p.sim) FROM pairs p
+                                           WHERE p.a = c.vec_id
+                                             AND list_contains(s.ids, p.b)) DESC,
+                     c.vec_id
+            LIMIT 1))
+        FROM state s WHERE step < 10
+    ), sel AS (
+        SELECT unnest(ids) AS vec_id,
+               generate_subscripts(ids, 1) AS rank
+        FROM state WHERE step = 10
+    )
+    SELECT CAST(sel.rank AS BIGINT) AS rank, sel.vec_id,
+           round(cand.qsim, 6) AS qsim
+    FROM sel JOIN cand ON cand.vec_id = sel.vec_id
+    """,
+)
+def retrieval_mmr_q(spark, sf_dir):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    SIGIR'98) — diversity-aware top-k, the de-duplicating step between
+    retrieval and a RAG context window: greedy-select k=10 from the
+    brute-force top-20 shortlist maximizing
+    0.7·sim(q,d) − 0.3·max_{s∈S} sim(d,s).
+
+    Architecture mirrors faiss-style two-stage serving: the
+    DISTRIBUTED work — corpus top-k shortlist and the 20×20 candidate
+    similarity matrix — runs in-plan (TakeOrdered + bounded pair
+    join); the inherently SEQUENTIAL greedy runs driver-side over the
+    k²-bounded matrix (same bounded-fit posture as the IVF/k-means
+    centroid training) and re-enters the plan as a literal
+    (rank, vec_id) map joined back to the shortlist. Cross-engine
+    determinism: both engines' cosine folds are bit-identical (house
+    sequential-sum convention), so the greedy's double comparisons
+    agree exactly; ties break to the lower vec_id. The oracle replays
+    the greedy as a recursive CTE — the selection loop itself is
+    hash-checked, not just the shortlist."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    shortlist = knn.topk(emb.filter(F.col("vec_id") != 0), list(qv), k=20)
+    cand = [(r["vec_id"], r["score"]) for r in shortlist.orderBy(F.col("score").desc(), "vec_id").collect()]
+    ids = [c[0] for c in cand]
+    sub = emb.filter(F.col("vec_id").isin(ids))
+    pair_rows = knn.similarity_matrix(sub).filter(F.col("id_a") != F.col("id_b")).collect()
+    sim = {(r["id_a"], r["id_b"]): r["score"] for r in pair_rows}
+    qsim = dict(cand)
+    selected = [min(ids, key=lambda i: (-qsim[i], i))]
+    while len(selected) < 10:
+        best = min(
+            (i for i in ids if i not in selected),
+            key=lambda i: (
+                -(0.7 * qsim[i] - 0.3 * max(sim[(i, s)] for s in selected)),
+                i,
+            ),
+        )
+        selected.append(best)
+    ranks = spark.createDataFrame(
+        [(r + 1, v) for r, v in enumerate(selected)], "rank long, vec_id long"
+    )
+    return (
+        shortlist.join(F.broadcast(ranks), "vec_id")
+        .select("rank", "vec_id", F.round("score", 6).alias("qsim"))
+    )
+
+
+def _classifier_calibration_oracle() -> str:
+    from .operators.curation import classifier_weights
+
+    w = classifier_weights(64)
+    return f"""
+    WITH {_qcls_weights_sql(w)},
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), f AS (
+        SELECT doc_id, {H.dd_md5_long('tok')} % 64 AS b
+        FROM toks WHERE tok <> ''
+    ), per AS (
+        SELECT f.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(qw.wt) AS BIGINT) AS sum_micro
+        FROM f JOIN qw ON qw.i = f.b
+        GROUP BY f.doc_id
+    ), probs AS (
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-((sum_micro::DOUBLE) / (n_tokens * 1000000.0)))), 6) AS prob
+        FROM per
+    ), labels AS (
+        SELECT doc_id,
+               (len({_DD_TOKS}) >= 20 AND len({_DD_TOKS}) <= 80
+                AND CAST(length(text) - (len({_DD_TOKS}) - 1) AS DOUBLE) / len({_DD_TOKS}) >= 3.0
+                AND CAST(length(text) - (len({_DD_TOKS}) - 1) AS DOUBLE) / len({_DD_TOKS}) <= 8.0
+                AND CAST(len(list_filter({_DD_TOKS},
+                     t -> list_contains(['the','a','an','and','or','of','to','in','on','for','is','are','was','be','it','this','that','with','as','at'], t)))
+                    AS DOUBLE) / len({_DD_TOKS}) >= 0.05
+                AND CAST(len(list_distinct({_DD_TOKS})) AS DOUBLE) / len({_DD_TOKS}) >= 0.3) AS label
+        FROM documents
+    ), binned AS (
+        SELECT least(CAST(floor(p.prob * 10) AS BIGINT), 9) AS bin,
+               CAST(round(p.prob * 1000000) AS BIGINT) AS prob_u,
+               CASE WHEN l.label THEN 1 ELSE 0 END AS pos
+        FROM probs p JOIN labels l ON l.doc_id = p.doc_id
+    ), g AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(prob_u) AS BIGINT) AS sum_prob_u
+        FROM binned GROUP BY bin
+    )
+    SELECT bin, n, n_pos,
+           round(sum_prob_u / (n * 1000000.0), 6) AS mean_prob,
+           round(n_pos / CAST(n AS DOUBLE), 6) AS frac_pos,
+           round(abs(sum_prob_u / (n * 1000000.0) - n_pos / CAST(n AS DOUBLE)), 6) AS gap,
+           round(n / CAST(sum(n) OVER () AS DOUBLE)
+                 * abs(sum_prob_u / (n * 1000000.0) - n_pos / CAST(n AS DOUBLE)), 6) AS ece_contrib
+    FROM g
+    """
+
+
+@query("classifier_calibration", oracle=None)
+def classifier_calibration_q(spark, sf_dir):
+    """Reliability diagram + ECE for the learned quality scorer against
+    an INDEPENDENT signal (the quality_filters hard-gate conjunction —
+    calibrating a classifier against its own threshold would be
+    circular): per-decile-bin mean predicted prob vs empirical positive
+    rate, the |gap|, and the corpus-weighted ECE contribution (Σ = the
+    scalar ECE). One classifier pass + one zero-shuffle gate pass share
+    the doc_id join key; mean probs come from exact micro-unit integer
+    sums (the 6-dp-rounded prob × 1e6 is integral, so engines sum
+    identical longs); everything past the join is a ≤10-row frame.
+    The window total rides that tiny frame — no extra action."""
+    from .operators import curation
+
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    probs = curation.quality_classifier(docs).select("doc_id", "prob")
+    labels = curation.quality_filters(docs).select("doc_id", F.col("keep").alias("label"))
+    binned = probs.join(labels, "doc_id").select(
+        F.least(F.floor(F.col("prob") * 10).cast("long"), F.lit(9).cast("long")).alias("bin"),
+        F.expr("cast(round(prob * 1000000) as bigint)").alias("prob_u"),
+        F.when(F.col("label"), 1).otherwise(0).alias("pos"),
+    )
+    g = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("prob_u").cast("long").alias("sum_prob_u"),
+    )
+    mean_prob = F.col("sum_prob_u") / (F.col("n") * F.lit(1000000.0))
+    frac_pos = F.col("n_pos") / F.col("n").cast("double")
+    total = F.sum("n").over(Window.partitionBy())
+    return g.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(mean_prob, 6).alias("mean_prob"),
+        F.round(frac_pos, 6).alias("frac_pos"),
+        F.round(F.abs(mean_prob - frac_pos), 6).alias("gap"),
+        F.round(
+            F.col("n") / total.cast("double") * F.abs(mean_prob - frac_pos), 6
+        ).alias("ece_contrib"),
+    )
+
+
+ORACLES["classifier_calibration"] = _classifier_calibration_oracle()
+
+
+@query(
+    "events_histogram_equidepth",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 1000000) AS BIGINT) AS v_u,
+               ntile(10) OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS decile
+        FROM events
+    )
+    SELECT event_type, CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(v_u) / 1e6, 6) AS lo,
+           round(max(v_u) / 1e6, 6) AS hi,
+           round(sum(v_u) / count(*) / 1e6, 6) AS mean_v
+    FROM r GROUP BY event_type, decile
+    """,
+)
+def events_histogram_equidepth_q(spark, sf_dir):
+    """Equi-depth (equal-count) histogram per event type — the
+    optimizer's-eye value profile (equal-WIDTH bins hide skew; deciles
+    expose it, and the per-bin [lo, hi] spread IS the skew readout):
+    ntile(10) rides ONE event_type window shuffle with a fully
+    deterministic (value, event_id) order, then per-bin stats come
+    from exact micro-unit integer sums on the same partitioning. At
+    100 TB the swap-in is approx_percentile bin edges (one pass, no
+    full sort) — same output contract."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = ev.select(
+        "event_type",
+        F.expr("cast(round(value * 1000000) as bigint)").alias("v_u"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return r.groupBy("event_type", F.col("decile").cast("long").alias("decile")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.min("v_u") / F.lit(1e6), 6).alias("lo"),
+        F.round(F.max("v_u") / F.lit(1e6), 6).alias("hi"),
+        F.round(F.sum("v_u") / F.count("*") / F.lit(1e6), 6).alias("mean_v"),
+    )
+
+
+@query(
+    "describe_collection",
+    oracle="""
+    SELECT table_name AS collection,
+           column_name AS field_name,
+           CAST(ordinal_position AS BIGINT) AS ordinal,
+           data_type AS field_type,
+           column_name IN ('doc_id', 'vec_id') AS is_primary
+    FROM information_schema.columns
+    WHERE table_name IN ('documents', 'embeddings')
+    """,
+)
+def describe_collection_q(spark, sf_dir):
+    """Collection DESCRIBE surface (milvus_db.py:75 — the describe
+    endpoint get_collection_stats wraps; list/describe is the one
+    metadata shape the REST client exposes beyond stats): one row per
+    field with ordinal, portable type name and the primary-key flag
+    (the reference's auto-id primary key). Built from the ENGINE'S OWN
+    resolved parquet schema (spark.read's StructType — so a schema
+    drift in the lake surfaces as a parity failure against the
+    oracle's information_schema), mapped to ANSI-ish type names.
+    Driver-side metadata only; no executor work at any scale."""
+    from pyspark.sql import types as T
+
+    def type_name(dt) -> str:
+        if isinstance(dt, T.LongType):
+            return "BIGINT"
+        if isinstance(dt, T.IntegerType):
+            return "INTEGER"
+        if isinstance(dt, T.StringType):
+            return "VARCHAR"
+        if isinstance(dt, T.DoubleType):
+            return "DOUBLE"
+        if isinstance(dt, T.FloatType):
+            return "FLOAT"
+        if isinstance(dt, T.TimestampType | T.TimestampNTZType):
+            return "TIMESTAMP"
+        if isinstance(dt, T.ArrayType):
+            return f"{type_name(dt.elementType)}[]"
+        return dt.simpleString().upper()
+
+    rows = []
+    for tbl in ("documents", "embeddings"):
+        schema = spark.read.parquet(f"{sf_dir}/{tbl}.parquet").schema
+        for i, f in enumerate(schema.fields, start=1):
+            rows.append(
+                (tbl, f.name, i, type_name(f.dataType), f.name in ("doc_id", "vec_id"))
+            )
+    return spark.createDataFrame(
+        rows,
+        "collection string, field_name string, ordinal long, field_type string, is_primary boolean",
+    )
