@@ -219,6 +219,23 @@ EXTRA = [
     "audience_overlap",
     "market_basket_lift",
     "dau_stickiness",
+    "corr_matrix",
+    "cusum_changepoint",
+    "events_interarrival",
+    "ab_welch_ttest",
+    "corpus_temperature_mix",
+    "token_budget_plan",
+    "hll_distinct",
+    "retrieval_mmr",
+    "classifier_calibration",
+    "events_histogram_equidepth",
+    "describe_collection",
+    # r5 continuation: statistical testing + layout advisor
+    "chi_square_independence",
+    "layout_skipping_compare",
+    "events_decayed_topk",
+    "grouped_ols_slopes",
+    "mann_whitney_u",
 ]
 
 

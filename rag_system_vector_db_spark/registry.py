@@ -10340,3 +10340,460 @@ def describe_collection_q(spark, sf_dir):
         rows,
         "collection string, field_name string, ordinal long, field_type string, is_primary boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# r5 continuation wave: statistical testing + lakehouse layout advisor
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "chi_square_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS observed
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ), tot AS (
+        SELECT l_returnflag, l_linestatus, observed,
+               CAST(sum(observed) OVER (PARTITION BY l_returnflag) AS BIGINT) AS row_tot,
+               CAST(sum(observed) OVER (PARTITION BY l_linestatus) AS BIGINT) AS col_tot,
+               CAST(sum(observed) OVER () AS BIGINT) AS n
+        FROM cells
+    ), dims AS (
+        SELECT CAST(count(DISTINCT l_returnflag) AS BIGINT) AS nr,
+               CAST(count(DISTINCT l_linestatus) AS BIGINT) AS nc
+        FROM cells
+    ), c AS (
+        SELECT l_returnflag, l_linestatus, observed,
+               round(CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / n, 6) AS expected,
+               round(pow(CAST(observed AS DOUBLE) * CAST(n AS DOUBLE)
+                         - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE), 2)
+                     / (CAST(n AS DOUBLE) * CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)), 6)
+                   AS contribution,
+               (nr - 1) * (nc - 1) AS dof
+        FROM tot CROSS JOIN dims
+    )
+    SELECT l_returnflag, l_linestatus, observed, expected, contribution,
+           round(CAST(sum(CAST(round(contribution * 1000000) AS BIGINT)) OVER () AS DOUBLE)
+                 / 1000000, 6) AS chi2,
+           dof
+    FROM c
+    """,
+)
+def chi_square_independence_q(spark, sf_dir):
+    """Chi-square test of independence over the returnflag x linestatus
+    contingency table (the categorical-drift check a data-quality stack
+    runs per ingest batch): ONE map-side-combinable count shuffle
+    builds the cells; row/column/grand totals ride window sums over the
+    BOUNDED cell frame (|flags| x |statuses| rows, never data-sized);
+    the distinct-level dims attach via the broadcast-scalar idiom.
+    Per-cell expected counts and chi2 contributions derive from exact
+    BIGINT counts with identical double expression shape on both
+    engines; the chi2 total sums the 6dp-rounded contributions as
+    exact micro-unit integers, so the statistic is order-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("long").alias("observed")
+    )
+    dims = cells.agg(
+        F.count_distinct("l_returnflag").cast("long").alias("nr"),
+        F.count_distinct("l_linestatus").cast("long").alias("nc"),
+    )
+    tot = cells.select(
+        "l_returnflag",
+        "l_linestatus",
+        "observed",
+        F.sum("observed").over(Window.partitionBy("l_returnflag")).alias("row_tot"),
+        F.sum("observed").over(Window.partitionBy("l_linestatus")).alias("col_tot"),
+        F.sum("observed").over(Window.partitionBy()).alias("n"),
+    ).crossJoin(F.broadcast(dims))
+    od, nd = F.col("observed").cast("double"), F.col("n").cast("double")
+    rd, cd = F.col("row_tot").cast("double"), F.col("col_tot").cast("double")
+    c = tot.select(
+        "l_returnflag",
+        "l_linestatus",
+        "observed",
+        F.round(rd * cd / F.col("n"), 6).alias("expected"),
+        F.round(F.pow(od * nd - rd * cd, F.lit(2.0)) / (nd * rd * cd), 6).alias(
+            "contribution"
+        ),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
+    )
+    return c.select(
+        "l_returnflag",
+        "l_linestatus",
+        "observed",
+        "expected",
+        "contribution",
+        F.round(
+            F.sum(
+                F.expr("cast(round(contribution * 1000000) as bigint)")
+            ).over(Window.partitionBy()).cast("double")
+            / F.lit(1000000),
+            6,
+        ).alias("chi2"),
+        "dof",
+    )
+
+
+@query(
+    "layout_skipping_compare",
+    oracle="""
+    WITH tagged AS (
+        SELECT l_orderkey // 2048 AS file_natural,
+               (year(l_shipdate) - 1995) * 12 + month(l_shipdate) - 1 AS file_clustered,
+               CASE WHEN l_shipdate >= TIMESTAMP '1996-03-01'
+                     AND l_shipdate < TIMESTAMP '1996-06-01' THEN 1 ELSE 0 END AS hit,
+               datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS day_id
+        FROM lineitem
+    ), files AS (
+        SELECT 'natural' AS layout, file_natural AS file_id,
+               CAST(count(*) AS BIGINT) AS rows_in_file,
+               CAST(sum(hit) AS BIGINT) AS rows_matched,
+               CAST(min(day_id) AS BIGINT) AS min_day, CAST(max(day_id) AS BIGINT) AS max_day
+        FROM tagged GROUP BY file_natural
+        UNION ALL
+        SELECT 'clustered', file_clustered,
+               CAST(count(*) AS BIGINT), CAST(sum(hit) AS BIGINT),
+               CAST(min(day_id) AS BIGINT), CAST(max(day_id) AS BIGINT)
+        FROM tagged GROUP BY file_clustered
+    ), scanned AS (
+        SELECT layout, file_id, rows_in_file, rows_matched,
+               CASE WHEN min_day <= datediff('day', DATE '1995-01-01', DATE '1996-05-31')
+                     AND max_day >= datediff('day', DATE '1995-01-01', DATE '1996-03-01')
+                    THEN 1 ELSE 0 END AS file_hit
+        FROM files
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(file_hit) AS BIGINT) AS files_scanned,
+           CAST(sum(rows_in_file) AS BIGINT) AS total_rows,
+           CAST(sum(file_hit * rows_in_file) AS BIGINT) AS rows_scanned,
+           CAST(sum(rows_matched) AS BIGINT) AS rows_matched,
+           round(1.0 - CAST(sum(file_hit) AS DOUBLE) / count(*), 6) AS skip_ratio,
+           round(CAST(sum(file_hit * rows_in_file) AS DOUBLE)
+                 / CAST(sum(rows_matched) AS DOUBLE), 6) AS read_amplification
+    FROM scanned GROUP BY layout
+    """,
+)
+def layout_skipping_compare_q(spark, sf_dir):
+    """Zone-map file-skipping advisor: simulates per-file min/max
+    statistics (parquet row-group / Delta file stats) under TWO
+    layouts — `natural` (insertion order: orderkey div 2048 per file)
+    vs `clustered` (ship-month partitioning) — and scores a ship-date
+    range predicate against each. Per layout: files scanned after
+    min/max pruning, rows scanned vs rows matched (read
+    amplification), and the skip ratio — the number that justifies a
+    re-clustering job at 100 TB (this IS the OPTIMIZE/Z-ORDER
+    cost-benefit readout; zorder_layout builds the layout, this one
+    measures what it buys). One scan, two bounded map-side-combinable
+    aggregations; all stats exact BIGINT, two final divisions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    tagged = li.select(
+        F.expr("l_orderkey div 2048").alias("file_natural"),
+        ((F.year("l_shipdate") - 1995) * 12 + F.month("l_shipdate") - 1).alias(
+            "file_clustered"
+        ),
+        F.when(
+            (F.col("l_shipdate") >= "1996-03-01")
+            & (F.col("l_shipdate") < "1996-06-01"),
+            1,
+        )
+        .otherwise(0)
+        .alias("hit"),
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1995-01-01")).alias(
+            "day_id"
+        ),
+    )
+
+    def per_layout(name: str, col: str):
+        return tagged.groupBy(F.col(col).alias("file_id")).agg(
+            F.count("*").cast("long").alias("rows_in_file"),
+            F.sum("hit").cast("long").alias("rows_matched"),
+            F.min("day_id").cast("long").alias("min_day"),
+            F.max("day_id").cast("long").alias("max_day"),
+        ).select(F.lit(name).alias("layout"), "*")
+
+    files = per_layout("natural", "file_natural").unionByName(
+        per_layout("clustered", "file_clustered")
+    )
+    lo = F.datediff(F.lit("1996-03-01").cast("date"), F.lit("1995-01-01").cast("date"))
+    hi = F.datediff(F.lit("1996-05-31").cast("date"), F.lit("1995-01-01").cast("date"))
+    scanned = files.withColumn(
+        "file_hit",
+        F.when((F.col("min_day") <= hi) & (F.col("max_day") >= lo), 1).otherwise(0),
+    )
+    return scanned.groupBy("layout").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("file_hit").cast("long").alias("files_scanned"),
+        F.sum("rows_in_file").cast("long").alias("total_rows"),
+        F.sum(F.col("file_hit") * F.col("rows_in_file")).cast("long").alias(
+            "rows_scanned"
+        ),
+        F.sum("rows_matched").cast("long").alias("rows_matched"),
+        F.round(
+            F.lit(1.0) - F.sum("file_hit").cast("double") / F.count("*"), 6
+        ).alias("skip_ratio"),
+        F.round(
+            F.sum(F.col("file_hit") * F.col("rows_in_file")).cast("double")
+            / F.sum("rows_matched").cast("double"),
+            6,
+        ).alias("read_amplification"),
+    )
+
+
+@query(
+    "events_decayed_topk",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY event_type, epoch_ns(ts) // 86400000000000
+    ), a AS (
+        SELECT event_type, cnt,
+               least((CAST(max(day) OVER () AS BIGINT) - day) // 7, 40) AS k
+        FROM d
+    ), s AS (
+        SELECT event_type,
+               CAST(sum(cnt) AS BIGINT) AS n_events,
+               CAST(sum(cnt * CAST(round(pow(2.0, -k) * 1000000) AS BIGINT)) AS BIGINT)
+                   AS decayed_u
+        FROM a GROUP BY event_type
+    )
+    SELECT event_type, n_events,
+           round(CAST(decayed_u AS DOUBLE) / 1000000, 6) AS decayed_count,
+           CAST(rank() OVER (ORDER BY decayed_u DESC, event_type) AS BIGINT) AS rnk
+    FROM s
+    """,
+)
+def events_decayed_topk_q(spark, sf_dir):
+    """Exponentially time-decayed event counts (7-day half-life) — the
+    trending/top-k ranking a feed or alerting stack keeps instead of a
+    raw count, where last week counts double vs the week before. The
+    decay is EXACT by construction: ages quantize to week buckets, the
+    half-life weight 2^-k is an exact power-of-two double, and its
+    6dp micro-unit quantization is an exact integer both engines agree
+    on — so the decayed sum is an order-free BIGINT dot product, not a
+    float accumulation. Corpus collapses to (type, day) counts in ONE
+    map-side-combinable shuffle (the frame a 100 TB event stream's
+    daily rollup already materializes); the max-day anchor rides a
+    window over that bounded frame."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.expr("ts_ns div 86400000000000").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    a = d.select(
+        "event_type",
+        "cnt",
+        F.least(
+            F.expr("(max(day) over () - day) div 7").cast("long"), F.lit(40).cast("long")
+        ).alias("k"),
+    )
+    s = a.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.sum(
+            F.col("cnt")
+            * F.expr("cast(round(pow(2.0, -k) * 1000000) as bigint)")
+        )
+        .cast("long")
+        .alias("decayed_u"),
+    )
+    return s.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("decayed_u").cast("double") / F.lit(1000000), 6).alias(
+            "decayed_count"
+        ),
+        F.rank()
+        .over(Window.orderBy(F.col("decayed_u").desc(), "event_type"))
+        .cast("long")
+        .alias("rnk"),
+    )
+
+
+@query(
+    "grouped_ols_slopes",
+    oracle="""
+    WITH d AS (
+        SELECT n.n_name,
+               CAST(round(l.l_discount * 100) AS BIGINT) AS x,
+               CAST(round(l.l_quantity) AS BIGINT) AS y
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ), s AS (
+        SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM d GROUP BY n_name
+    )
+    SELECT n_name, n,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+           END AS slope,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE round((CAST(sy AS DOUBLE)
+                            - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                              / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx)
+                           / n, 6)
+           END AS intercept,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL
+                ELSE round(pow(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy, 2)
+                           / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                              * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+           END AS r2
+    FROM s
+    """,
+)
+def grouped_ols_slopes_q(spark, sf_dir):
+    """Per-nation OLS of quantity on discount%% — the grouped
+    regression sweep (one model per segment) a metrics stack fits
+    without a solver, extending discount_elasticity's closed form to
+    GROUP BY. The fact joins shuffle on their keys, nation broadcasts;
+    the five sufficient statistics per group are exact order-free
+    BIGINTs from ONE map-side-combinable aggregate, and degenerate
+    groups (zero x- or y-variance) emit NULL through the identical
+    CASE guard on both engines. At 100 TB this is a thin rollup over
+    the same join the revenue queries already run — no per-group
+    iteration, no driver loop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    d = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.expr("cast(round(l_discount * 100) as bigint)").alias("x"),
+            F.expr("cast(round(l_quantity) as bigint)").alias("y"),
+        )
+    )
+    s = d.groupBy("n_name").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    deny = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    den0 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny0 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / den
+    return s.select(
+        "n_name",
+        "n",
+        F.when(den0 == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(slope, 6))
+        .alias("slope"),
+        F.when(den0 == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"), 6
+            )
+        )
+        .alias("intercept"),
+        F.when(den0 * deny0 == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.pow(num, F.lit(2.0)) / (den * deny), 6))
+        .alias("r2"),
+    )
+
+
+@query(
+    "mann_whitney_u",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_u
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), g AS (
+        SELECT v_u,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM e GROUP BY v_u
+    ), r AS (
+        SELECT c1, c2, c1 + c2 AS t,
+               2 * COALESCE(sum(c1 + c2) OVER (ORDER BY v_u
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (c1 + c2) + 1 AS rank2
+        FROM g
+    ), s AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+               CAST(sum(c1 * rank2) AS BIGINT) AS r1_2,
+               CAST(sum(t * t * t - t) AS BIGINT) AS ties
+        FROM r
+    )
+    SELECT n1, n2,
+           (CAST(r1_2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2 AS u1,
+           round(((CAST(r1_2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2
+                  - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2)
+                 / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12
+                        * ((CAST(n1 + n2 AS DOUBLE) + 1)
+                           - CAST(ties AS DOUBLE)
+                             / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1)))),
+                 6) AS z_value
+    FROM s
+    """,
+)
+def mann_whitney_u_q(spark, sf_dir):
+    """Mann-Whitney U rank-sum test (click vs purchase event values) —
+    the nonparametric two-sample test an experimentation stack runs
+    when values are skewed and the t-test's normality story fails
+    (pairs with ab_welch_ttest). Scale shape: the corpus collapses to
+    per-DISTINCT-VALUE counts first (one map-side-combinable shuffle,
+    cardinality bounded by the value domain, not the row count), then
+    average ranks come from a cumulative window over that bounded
+    frame in doubled-integer units — so rank sums, U, and the tie
+    correction are all exact order-free BIGINTs; z is one identical
+    double expression at emit."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = ev.select(
+        "event_type", F.expr("cast(round(value * 100) as bigint)").alias("v_u")
+    ).groupBy("v_u").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    w = Window.orderBy("v_u").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("t"),
+        (
+            2 * F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w), F.lit(0))
+            + (F.col("c1") + F.col("c2"))
+            + 1
+        ).alias("rank2"),
+    )
+    s = r.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("c1") * F.col("rank2")).cast("long").alias("r1_2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("ties"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    u1 = (F.col("r1_2").cast("double") - n1d * (F.col("n1") + 1)) / F.lit(2)
+    var = n1d * n2d / F.lit(12) * (
+        (nd + 1) - F.col("ties").cast("double") / (nd * (nd - 1))
+    )
+    return s.select(
+        "n1",
+        "n2",
+        u1.alias("u1"),
+        F.round((u1 - n1d * n2d / F.lit(2)) / F.sqrt(var), 6).alias("z_value"),
+    )
