@@ -236,6 +236,11 @@ EXTRA = [
     "events_decayed_topk",
     "grouped_ols_slopes",
     "mann_whitney_u",
+    "knn_classifier_eval",
+    "survival_km",
+    "silhouette_simplified",
+    "zipf_fit",
+    "jackknife_variance",
 ]
 
 

@@ -10797,3 +10797,512 @@ def mann_whitney_u_q(spark, sf_dir):
         u1.alias("u1"),
         F.round((u1 - n1d * n2d / F.lit(2)) / F.sqrt(var), 6).alias("z_value"),
     )
+
+
+@query(
+    "knn_classifier_eval",
+    oracle=f"""
+    WITH train AS (
+        SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 10 <> 0
+    ), test AS (
+        SELECT vec_id AS query_id, embedding AS query_vec, label AS true_label
+        FROM embeddings WHERE vec_id % 10 = 0
+    ), scored AS (
+        SELECT t.query_id, e.vec_id, e.label,
+               {_dd_cosine('e.embedding', 't.query_vec')} AS score
+        FROM train e, test t
+    ), nn AS (
+        SELECT query_id, label FROM (
+            SELECT query_id, label,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, vec_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= 5
+    ), votes AS (
+        SELECT query_id, label, CAST(count(*) AS BIGINT) AS c
+        FROM nn GROUP BY query_id, label
+    ), pred AS (
+        SELECT query_id, label AS pred_label FROM (
+            SELECT query_id, label,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY c DESC, label) AS v
+            FROM votes
+        ) WHERE v = 1
+    ), conf AS (
+        SELECT t.true_label, p.pred_label, CAST(count(*) AS BIGINT) AS n
+        FROM test t JOIN pred p ON t.query_id = p.query_id
+        GROUP BY t.true_label, p.pred_label
+    )
+    SELECT CAST(true_label AS BIGINT) AS true_label,
+           CAST(pred_label AS BIGINT) AS pred_label, n,
+           round(CAST(sum(CASE WHEN true_label = pred_label THEN n ELSE 0 END) OVER ()
+                      AS DOUBLE) / sum(n) OVER (), 6) AS accuracy
+    FROM conf
+    """,
+)
+def knn_classifier_eval_q(spark, sf_dir):
+    """kNN label classifier evaluated on a held-out split (the
+    label-propagation / weak-supervision QA check a curation pipeline
+    runs before trusting pseudo-labels): hash-style modulo split (10%%
+    test), k=5 cosine neighbors from the TRAIN side only via the same
+    broadcast-query partial-top-k plan as knn_batch, majority vote
+    with deterministic ties (count desc, then smaller label), and the
+    confusion matrix + overall accuracy as the readout. Scale: the
+    eval set is bounded by design (the broadcast side); train-side
+    work is one scan + per-partition top-k heaps, votes/confusion are
+    |test|-sized frames."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 10 != 0)
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("true_label"),
+    )
+    nn = knn.topk_batch(train, test.select("query_id", "query_vec"), k=5)
+    votes = (
+        nn.join(train.select("vec_id", "label"), "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    pred = (
+        votes.withColumn(
+            "v",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("c").desc(), "label")
+            ),
+        )
+        .filter(F.col("v") == 1)
+        .select("query_id", F.col("label").alias("pred_label"))
+    )
+    conf = (
+        test.join(pred, "query_id")
+        .groupBy("true_label", "pred_label")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy()
+    return conf.select(
+        F.col("true_label").cast("long"),
+        F.col("pred_label").cast("long"),
+        "n",
+        F.round(
+            F.sum(
+                F.when(F.col("true_label") == F.col("pred_label"), F.col("n")).otherwise(0)
+            )
+            .over(w)
+            .cast("double")
+            / F.sum("n").over(w),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+@query(
+    "survival_km",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS fv,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS fp
+        FROM events GROUP BY user_id
+    ), endt AS (SELECT max(epoch_ns(ts)) AS end_ns FROM events),
+    coh AS (
+        SELECT CASE WHEN fp IS NOT NULL AND fp >= fv
+                    THEN (fp - fv) // 86400000000000
+                    ELSE (end_ns - fv) // 86400000000000 END AS t,
+               CASE WHEN fp IS NOT NULL AND fp >= fv THEN 1 ELSE 0 END AS is_event
+        FROM f, endt WHERE fv IS NOT NULL
+    ), g AS (
+        SELECT CAST(t AS BIGINT) AS t_day,
+               CAST(sum(is_event) AS BIGINT) AS d,
+               CAST(sum(1 - is_event) AS BIGINT) AS c
+        FROM coh GROUP BY t
+    ), r AS (
+        SELECT t_day, d, c,
+               CAST(sum(d + c) OVER () AS BIGINT)
+               - CAST(COALESCE(sum(d + c) OVER (ORDER BY t_day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS at_risk
+        FROM g
+    ), k AS (
+        SELECT t_day, at_risk, d, c,
+               list(CAST(at_risk - d AS DOUBLE) / at_risk)
+                   OVER (ORDER BY t_day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rl
+        FROM r
+    )
+    SELECT t_day, at_risk AS n_at_risk, d AS n_events, c AS n_censored,
+           round(CAST(d AS DOUBLE) / at_risk, 6) AS hazard,
+           round(list_reduce(rl, (a, b) -> a * b), 6) AS survival
+    FROM k
+    """,
+)
+def survival_km_q(spark, sf_dir):
+    """Kaplan-Meier time-to-convert curve (first view -> first
+    purchase, non-converters RIGHT-CENSORED at observation end) — the
+    censoring-aware partner to conversion_latency: dropping
+    non-converters overstates conversion speed; KM keeps them in the
+    risk set until their censor time. Per-user endpoints from ONE
+    conditional-min aggregate; the lifetable collapses to per-DAY
+    (d, c) counts, so the at-risk ladder and the survival product run
+    on a duration-domain-bounded frame. S(t) is the ascending-ordered
+    sequential product of exact-integer ratios — both engines fold the
+    SAME ordered list left-to-right, so the float product is
+    bit-identical, not an order-free approximation."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_ns"))).alias("fv"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_ns"))).alias("fp"),
+    )
+    end = ev.agg(F.max("ts_ns").alias("end_ns"))
+    conv = F.col("fp").isNotNull() & (F.col("fp") >= F.col("fv"))
+    coh = (
+        f.filter(F.col("fv").isNotNull())
+        .crossJoin(F.broadcast(end))
+        .select(
+            F.when(conv, F.expr("(fp - fv) div 86400000000000"))
+            .otherwise(F.expr("(end_ns - fv) div 86400000000000"))
+            .alias("t"),
+            F.when(conv, 1).otherwise(0).alias("is_event"),
+        )
+    )
+    g = coh.groupBy(F.col("t").cast("long").alias("t_day")).agg(
+        F.sum("is_event").cast("long").alias("d"),
+        F.sum(1 - F.col("is_event")).cast("long").alias("c"),
+    )
+    wp = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "t_day",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(Window.partitionBy())
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wp), F.lit(0))
+        )
+        .cast("long")
+        .alias("at_risk"),
+    )
+    wc = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, 0)
+    k = r.select(
+        "t_day",
+        "at_risk",
+        "d",
+        "c",
+        F.collect_list(
+            (F.col("at_risk") - F.col("d")).cast("double") / F.col("at_risk")
+        )
+        .over(wc)
+        .alias("rl"),
+    )
+    return k.select(
+        "t_day",
+        F.col("at_risk").alias("n_at_risk"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.round(F.col("d").cast("double") / F.col("at_risk"), 6).alias("hazard"),
+        F.round(
+            F.aggregate(F.col("rl"), F.lit(1.0), lambda acc, x: acc * x), 6
+        ).alias("survival"),
+    )
+
+
+@query(
+    "silhouette_simplified",
+    oracle="""
+    WITH cd AS (
+        SELECT label, pos, round(avg(v), 6) AS cv
+        FROM (
+            SELECT label, unnest(embedding) AS v,
+                   unnest(range(len(embedding))) AS pos
+            FROM embeddings
+        ) GROUP BY label, pos
+    ), cent AS (
+        SELECT label AS clabel, list(cv ORDER BY pos) AS cvec FROM cd GROUP BY label
+    ), dist AS (
+        SELECT e.vec_id, e.label, c.clabel,
+               sqrt(list_sum(list_transform(
+                   list_zip(e.embedding::DOUBLE[], c.cvec),
+                   x -> (x[1] - x[2]) * (x[1] - x[2])))) AS dst
+        FROM embeddings e, cent c
+    ), ab AS (
+        SELECT vec_id, label,
+               min(CASE WHEN label = clabel THEN dst END) AS a,
+               min(CASE WHEN label <> clabel THEN dst END) AS b
+        FROM dist GROUP BY vec_id, label
+    ), s AS (
+        SELECT label,
+               CAST(round((b - a) / greatest(a, b) * 1000000) AS BIGINT) AS s_u
+        FROM ab
+    ), lab AS (
+        SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(s_u) AS BIGINT) AS su
+        FROM s GROUP BY label
+    )
+    SELECT label, n,
+           round(CAST(su AS DOUBLE) / n / 1000000, 6) AS mean_silhouette,
+           round(CAST(sum(su) OVER () AS DOUBLE) / sum(n) OVER () / 1000000, 6)
+               AS overall_silhouette
+    FROM lab
+    """,
+)
+def silhouette_simplified_q(spark, sf_dir):
+    """Simplified (centroid-based) silhouette per label — the cluster
+    cohesion/separation score at O(n·k) instead of classic
+    silhouette's O(n²) pairwise distances (the standard large-scale
+    substitution): a = distance to own centroid, b = nearest OTHER
+    centroid, s = (b-a)/max(a,b). Centroids come from the same
+    posexplode rollup label_centroids materializes, quantized to 6dp
+    so both engines agree on their bits, and broadcast (k x dim
+    literals-worth of data) against one corpus scan. Per-point s
+    quantizes to micro-units, so per-label and overall means are exact
+    order-free integer sums."""
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    cd = (
+        emb.select("label", F.posexplode(V._as_double(F.col("embedding"))))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("col"), 6).alias("cv"))
+    )
+    cent = cd.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "cv"))), lambda s: s.cv
+        ).alias("cvec")
+    )
+    dist = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        V.euclidean(F.col("embedding"), F.col("cvec")).alias("dst"),
+    )
+    ab = dist.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("label") == F.col("clabel"), F.col("dst"))).alias("a"),
+        F.min(F.when(F.col("label") != F.col("clabel"), F.col("dst"))).alias("b"),
+    )
+    s = ab.select(
+        "label",
+        F.expr(
+            "cast(round((b - a) / greatest(a, b) * 1000000) as bigint)"
+        ).alias("s_u"),
+    )
+    lab = s.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count("*").cast("long").alias("n"), F.sum("s_u").cast("long").alias("su")
+    )
+    w = Window.partitionBy()
+    return lab.select(
+        "label",
+        "n",
+        F.round(F.col("su").cast("double") / F.col("n") / F.lit(1000000), 6).alias(
+            "mean_silhouette"
+        ),
+        F.round(
+            F.sum("su").over(w).cast("double") / F.sum("n").over(w) / F.lit(1000000), 6
+        ).alias("overall_silhouette"),
+    )
+
+
+@query(
+    "zipf_fit",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ), tc AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks WHERE term <> '' GROUP BY term
+    ), ranked AS (
+        SELECT cnt, CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rnk
+        FROM tc
+    ), top AS (
+        SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS x_u,
+               CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS y_u
+        FROM ranked WHERE rnk <= 100
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x_u) AS BIGINT) AS sx, CAST(sum(y_u) AS BIGINT) AS sy,
+               CAST(sum(x_u * x_u) AS BIGINT) AS sxx,
+               CAST(sum(y_u * y_u) AS BIGINT) AS syy,
+               CAST(sum(x_u * y_u) AS BIGINT) AS sxy
+        FROM top
+    )
+    SELECT n AS n_terms,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS zipf_slope,
+           round((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx)
+                 / n / 1000000, 6) AS ln_c_intercept,
+           round(pow(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy, 2)
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def zipf_fit_q(spark, sf_dir):
+    """Zipf's-law fit over the corpus vocabulary (the rank-frequency
+    log-log slope ~ -1 healthy text shows; a flat or broken slope
+    flags boilerplate or synthetic spam — a standard corpus-health
+    probe next to token_entropy): term counts collapse map-side, the
+    top-100 ranking runs on the vocab-sized frame, and the log-log OLS
+    uses micro-unit-quantized ln values so all five moments are exact
+    order-free BIGINTs (both engines agree on ln's 6dp rounding; the
+    slope is scale-invariant under the shared quantization). Output is
+    one row: slope (the Zipf exponent), intercept, fit R²."""
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    tc = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    ranked = tc.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "term"))
+        .cast("long")
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= 100)
+    top = ranked.select(
+        F.expr("cast(round(ln(cast(rnk as double)) * 1000000) as bigint)").alias("x_u"),
+        F.expr("cast(round(ln(cast(cnt as double)) * 1000000) as bigint)").alias("y_u"),
+    )
+    s = top.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x_u").cast("long").alias("sx"),
+        F.sum("y_u").cast("long").alias("sy"),
+        F.sum(F.col("x_u") * F.col("x_u")).cast("long").alias("sxx"),
+        F.sum(F.col("y_u") * F.col("y_u")).cast("long").alias("syy"),
+        F.sum(F.col("x_u") * F.col("y_u")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    deny = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(num / den, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy").cast("double") - num / den * F.col("sx"))
+            / F.col("n")
+            / F.lit(1000000),
+            6,
+        ).alias("ln_c_intercept"),
+        F.round(F.pow(num, F.lit(2.0)) / (den * deny), 6).alias("r2"),
+    )
+
+
+@query(
+    "jackknife_variance",
+    oracle="""
+    WITH j AS (
+        SELECT n.n_name,
+               CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s_g
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ), w AS (
+        SELECT n_g, s_g,
+               CAST(sum(n_g) OVER () AS BIGINT) AS nn,
+               CAST(sum(s_g) OVER () AS BIGINT) AS ss,
+               CAST(count(*) OVER () AS BIGINT) AS g
+        FROM j
+    ), t AS (
+        SELECT g, nn, ss,
+               CAST(round(CAST(ss - s_g AS DOUBLE) / (nn - n_g) / 100 * 1000000)
+                    AS BIGINT) AS t_u
+        FROM w
+    ), m AS (
+        SELECT g, nn, ss, t_u,
+               CAST(sum(t_u) OVER () AS BIGINT) AS st_u
+        FROM t
+    ), d AS (
+        SELECT g, nn, ss, st_u,
+               CAST(round(pow(CAST(t_u AS DOUBLE) / 1000000
+                              - CAST(st_u AS DOUBLE) / g / 1000000, 2) * 1000000)
+                    AS BIGINT) AS dev_u
+        FROM m
+    )
+    SELECT CAST(g AS BIGINT) AS n_groups,
+           round(CAST(ss AS DOUBLE) / nn / 100, 6) AS theta_hat,
+           round(CAST(st_u AS DOUBLE) / g / 1000000, 6) AS theta_bar,
+           round(sqrt((CAST(g AS DOUBLE) - 1) / g
+                      * (CAST(sum(dev_u) AS DOUBLE) / 1000000)), 6) AS jack_se,
+           round((CAST(g AS DOUBLE) - 1)
+                 * (CAST(st_u AS DOUBLE) / g / 1000000
+                    - CAST(ss AS DOUBLE) / nn / 100), 6) AS bias_est
+    FROM d GROUP BY g, nn, ss, st_u
+    """,
+)
+def jackknife_variance_q(spark, sf_dir):
+    """Delete-one-GROUP jackknife for the mean order value — the
+    resampling-free standard error a pipeline can afford at 100 TB
+    (delete-one-ROW is n passes; delete-one-group is ONE rollup): the
+    25 nation-level (n_g, Σprice) sufficient statistics are exact
+    cent-unit BIGINTs from one aggregate; every leave-one-out estimate
+    θ_(i) = (S-s_i)/(N-n_i) derives from those integers, quantizes to
+    micro-units, and the jackknife variance/bias then run as exact
+    integer sums over the 25-row frame. The statistic, its SE and the
+    bias estimate emit in one row."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_g"),
+            F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+            .cast("long")
+            .alias("s_g"),
+        )
+    )
+    wa = Window.partitionBy()
+    w = j.select(
+        "n_g",
+        "s_g",
+        F.sum("n_g").over(wa).cast("long").alias("nn"),
+        F.sum("s_g").over(wa).cast("long").alias("ss"),
+        F.count("*").over(wa).cast("long").alias("g"),
+    )
+    t = w.select(
+        "g",
+        "nn",
+        "ss",
+        F.expr(
+            "cast(round(cast(ss - s_g as double) / (nn - n_g) / 100 * 1000000) as bigint)"
+        ).alias("t_u"),
+    )
+    m = t.select("g", "nn", "ss", "t_u", F.sum("t_u").over(wa).cast("long").alias("st_u"))
+    d = m.select(
+        "g",
+        "nn",
+        "ss",
+        "st_u",
+        F.expr(
+            "cast(round(pow(cast(t_u as double) / 1000000"
+            " - cast(st_u as double) / g / 1000000, 2) * 1000000) as bigint)"
+        ).alias("dev_u"),
+    )
+    gd = F.col("g").cast("double")
+    return d.groupBy("g", "nn", "ss", "st_u").agg(
+        F.round(F.col("ss").cast("double") / F.col("nn") / F.lit(100), 6).alias("_th"),
+        F.round(F.col("st_u").cast("double") / F.col("g") / F.lit(1000000), 6).alias("_tb"),
+        F.round(
+            F.sqrt(
+                (gd - 1) / gd * (F.sum("dev_u").cast("double") / F.lit(1000000))
+            ),
+            6,
+        ).alias("_se"),
+        F.round(
+            (gd - 1)
+            * (
+                F.col("st_u").cast("double") / F.col("g") / F.lit(1000000)
+                - F.col("ss").cast("double") / F.col("nn") / F.lit(100)
+            ),
+            6,
+        ).alias("_bias"),
+    ).select(
+        F.col("g").cast("long").alias("n_groups"),
+        F.col("_th").alias("theta_hat"),
+        F.col("_tb").alias("theta_bar"),
+        F.col("_se").alias("jack_se"),
+        F.col("_bias").alias("bias_est"),
+    )
