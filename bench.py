@@ -241,6 +241,12 @@ EXTRA = [
     "silhouette_simplified",
     "zipf_fit",
     "jackknife_variance",
+    "bootstrap_ci",
+    "partition_plan_sim",
+    "postings_compression_stats",
+    "source_distinctive_terms",
+    "psi_drift",
+    "knn_graph_assortativity",
 ]
 
 

@@ -11306,3 +11306,543 @@ def jackknife_variance_q(spark, sf_dir):
         F.col("_se").alias("jack_se"),
         F.col("_bias").alias("bias_est"),
     )
+
+
+# Poisson(1) inverse-CDF thresholds on the unit interval, shared as
+# literals by the Spark plan and the oracle (cumulative e^-1 * 1/k!).
+_POISSON1_CUM = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def _poisson1_case(u: str) -> str:
+    """SQL CASE mapping a uniform [0,1) value to a Poisson(1) draw."""
+    branches = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POISSON1_CUM)
+    )
+    return f"(CASE {branches} ELSE 6 END)"
+
+
+_BOOT_U = H.dd_md5_long("(e.event_id::VARCHAR || ':' || r::VARCHAR)") + " / 1152921504606846976.0"
+
+
+@query(
+    "bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+        SELECT r, CAST(round(e.value * 1000000) AS BIGINT) AS v_u,
+               {_poisson1_case(_BOOT_U)} AS w
+        FROM events e CROSS JOIN (SELECT unnest(range(50)) AS r)
+    ), m AS (
+        SELECT r, CAST(sum(w) AS BIGINT) AS n_w, CAST(sum(w * v_u) AS BIGINT) AS s_w
+        FROM reps GROUP BY r
+    ), mm AS (
+        SELECT CAST(s_w AS DOUBLE) / n_w / 1000000 AS mean_r,
+               CAST(round(CAST(s_w AS DOUBLE) / n_w) AS BIGINT) AS mean_u
+        FROM m
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_reps,
+               list_sort(list(mean_r)) AS vs,
+               CAST(sum(mean_u) AS BIGINT) AS sm,
+               CAST(sum(mean_u * mean_u) AS BIGINT) AS smm
+        FROM mm
+    ), pt AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sv
+        FROM events
+    )
+    SELECT pt.n AS n_rows, s.n_reps,
+           round(CAST(pt.sv AS DOUBLE) / pt.n / 1000000, 6) AS point_mean,
+           round(s.vs[2], 6) AS ci_lo,
+           round(s.vs[49], 6) AS ci_hi,
+           round(sqrt((CAST(s.smm AS DOUBLE) - CAST(s.sm AS DOUBLE) * s.sm / s.n_reps)
+                      / (s.n_reps - 1)) / 1000000, 6) AS boot_se
+    FROM s, pt
+    """,
+)
+def bootstrap_ci_q(spark, sf_dir):
+    """Poisson bootstrap CI for the mean event value (Chamandy/Google's
+    'Estimating Uncertainty for Massive Data Streams': per-row
+    independent Poisson(1) replicate weights make the bootstrap a
+    SINGLE distributed pass — no resampling shuffle, no driver RNG):
+    50 replicates explode map-side, each row's weight derives from the
+    shared md5 hash through literal inverse-CDF thresholds, so both
+    engines draw the SAME resamples. Replicate means come from exact
+    integer (Σw, Σw·v) pairs; the 2.5%%/97.5%% CI uses the exact
+    sorted-selection rule over the 50-row replicate frame and the
+    bootstrap SE uses micro-unit integer moments. At 100 TB: one scan,
+    50x map-side rows, a 50-row agg — the canonical error-bar plan."""
+    ev = load_table(spark, sf_dir, "events")
+    # Spark-side expression built from the same md5-long primitive
+    u_col = H.md5_long(
+        F.concat(F.col("event_id").cast("string"), F.lit(":"), F.col("r").cast("string"))
+    ) / F.lit(1152921504606846976.0)
+    w_col = F.lit(6)
+    for k in range(len(_POISSON1_CUM) - 1, -1, -1):
+        w_col = F.when(u_col < F.lit(_POISSON1_CUM[k]), F.lit(k)).otherwise(w_col)
+    reps = ev.select(
+        "event_id",
+        F.expr("cast(round(value * 1000000) as bigint)").alias("v_u"),
+        F.explode(F.sequence(F.lit(0), F.lit(49))).alias("r"),
+    ).select("r", "v_u", w_col.alias("w"))
+    m = reps.groupBy("r").agg(
+        F.sum("w").cast("long").alias("n_w"),
+        F.sum(F.col("w") * F.col("v_u")).cast("long").alias("s_w"),
+    )
+    mm = m.select(
+        (F.col("s_w").cast("double") / F.col("n_w") / F.lit(1000000)).alias("mean_r"),
+        F.expr("cast(round(cast(s_w as double) / n_w) as bigint)").alias("mean_u"),
+    )
+    s = mm.agg(
+        F.count("*").cast("long").alias("n_reps"),
+        F.sort_array(F.collect_list("mean_r")).alias("vs"),
+        F.sum("mean_u").cast("long").alias("sm"),
+        F.sum(F.col("mean_u") * F.col("mean_u")).cast("long").alias("smm"),
+    )
+    pt = ev.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr("cast(round(value * 1000000) as bigint)")).cast("long").alias("sv"),
+    )
+    nr = F.col("n_reps").cast("double")
+    return s.crossJoin(F.broadcast(pt)).select(
+        F.col("n").alias("n_rows"),
+        "n_reps",
+        F.round(F.col("sv").cast("double") / F.col("n") / F.lit(1000000), 6).alias(
+            "point_mean"
+        ),
+        F.round(F.get("vs", F.lit(1)), 6).alias("ci_lo"),
+        F.round(F.get("vs", F.lit(48)), 6).alias("ci_hi"),
+        F.round(
+            F.sqrt(
+                (
+                    F.col("smm").cast("double")
+                    - F.col("sm").cast("double") * F.col("sm") / nr
+                )
+                / (nr - 1)
+            )
+            / F.lit(1000000),
+            6,
+        ).alias("boot_se"),
+    )
+
+
+@query(
+    "partition_plan_sim",
+    oracle=f"""
+    WITH plans AS (SELECT unnest([8, 16, 64]) AS p),
+    keyed AS (
+        SELECT p, {H.dd_md5_long('user_id::VARCHAR')} %% p AS bucket,
+               CAST(count(*) AS BIGINT) AS rows_in_bucket
+        FROM events CROSS JOIN plans
+        GROUP BY p, bucket
+    )
+    SELECT CAST(p AS BIGINT) AS plan_partitions,
+           CAST(count(*) AS BIGINT) AS buckets_used,
+           CAST(sum(rows_in_bucket) AS BIGINT) AS total_rows,
+           CAST(max(rows_in_bucket) AS BIGINT) AS max_bucket_rows,
+           round(CAST(sum(rows_in_bucket) AS DOUBLE) / p, 6) AS mean_bucket_rows,
+           round(CAST(max(rows_in_bucket) AS DOUBLE)
+                 / (CAST(sum(rows_in_bucket) AS DOUBLE) / p), 6) AS skew_ratio
+    FROM keyed GROUP BY p
+    """.replace("%%", "%"),
+)
+def partition_plan_sim_q(spark, sf_dir):
+    """Shuffle-partition plan simulator: for candidate partition
+    counts (8/16/64), hash events.user_id with the engine-portable
+    md5 hash and measure the resulting bucket histogram — max bucket
+    vs mean (the straggler ratio AQE's skew-join would react to).
+    This is the planning readout behind `spark.sql.shuffle.partitions`
+    and repartition(): at 100 TB you run it on the 0.1%% hash sample
+    and read the skew_ratio BEFORE committing a shuffle. One scan
+    with a 3x map-side plan explode into a (plan, bucket)-bounded
+    aggregate; all counts exact."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = (
+        ev.select(
+            H.md5_long(F.col("user_id").cast("string")).alias("h"),
+            F.explode(F.array(F.lit(8), F.lit(16), F.lit(64))).alias("p"),
+        )
+        .groupBy("p", (F.col("h") % F.col("p")).alias("bucket"))
+        .agg(F.count("*").cast("long").alias("rows_in_bucket"))
+    )
+    return keyed.groupBy(F.col("p").cast("long").alias("plan_partitions")).agg(
+        F.count("*").cast("long").alias("buckets_used"),
+        F.sum("rows_in_bucket").cast("long").alias("total_rows"),
+        F.max("rows_in_bucket").cast("long").alias("max_bucket_rows"),
+        F.round(
+            F.sum("rows_in_bucket").cast("double") / F.col("plan_partitions"), 6
+        ).alias("mean_bucket_rows"),
+        F.round(
+            F.max("rows_in_bucket").cast("double")
+            / (F.sum("rows_in_bucket").cast("double") / F.col("plan_partitions")),
+            6,
+        ).alias("skew_ratio"),
+    )
+
+
+@query(
+    "postings_compression_stats",
+    oracle="""
+    WITH post AS (
+        SELECT DISTINCT term, doc_id FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ) WHERE term <> ''
+    ), df AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term
+    ), gaps AS (
+        SELECT p.term,
+               COALESCE(p.doc_id - lag(p.doc_id) OVER (PARTITION BY p.term ORDER BY p.doc_id),
+                        p.doc_id + 1) AS gap
+        FROM post p
+    ), byt AS (
+        SELECT term,
+               CAST(sum(CASE WHEN gap < 128 THEN 1
+                             WHEN gap < 16384 THEN 2
+                             WHEN gap < 2097152 THEN 3
+                             WHEN gap < 268435456 THEN 4
+                             ELSE 5 END) AS BIGINT) AS vbytes,
+               CAST(count(*) AS BIGINT) AS n_post
+        FROM gaps GROUP BY term
+    )
+    SELECT CAST(length(bin(df.df)) AS BIGINT) AS df_bucket,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(b.n_post) AS BIGINT) AS n_postings,
+           CAST(sum(b.n_post) * 8 AS BIGINT) AS raw_bytes,
+           CAST(sum(b.vbytes) AS BIGINT) AS varint_bytes,
+           round(CAST(sum(b.n_post) * 8 AS DOUBLE) / sum(b.vbytes), 6)
+               AS compression_ratio
+    FROM byt b JOIN df ON b.term = df.term
+    GROUP BY length(bin(df.df))
+    """,
+)
+def postings_compression_stats_q(spark, sf_dir):
+    """Inverted-index size planning (the delta-gap + varint estimate
+    every IR engine runs before choosing a postings codec — Lucene's
+    VByte model): postings collapse to DISTINCT (term, doc_id), gaps
+    come from one lag() window on the term partitioning (the posting
+    lists' own sort order — at scale this IS the index build's
+    existing shuffle, reused), and varint byte counts are exact CASE
+    thresholds — no float log. Rolled up by document-frequency
+    magnitude bucket (length of df's binary representation — exact on
+    both engines), the readout is raw 8-byte postings vs
+    delta-varint bytes: the compression ratio that decides codec and
+    shard sizing for the keyword_index_* family's artifacts."""
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    post = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    df = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    wg = Window.partitionBy("term").orderBy("doc_id")
+    gaps = post.select(
+        "term",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(wg), F.col("doc_id") + 1
+        ).alias("gap"),
+    )
+    byt = gaps.groupBy("term").agg(
+        F.sum(
+            F.when(F.col("gap") < 128, 1)
+            .when(F.col("gap") < 16384, 2)
+            .when(F.col("gap") < 2097152, 3)
+            .when(F.col("gap") < 268435456, 4)
+            .otherwise(5)
+        )
+        .cast("long")
+        .alias("vbytes"),
+        F.count("*").cast("long").alias("n_post"),
+    )
+    return (
+        byt.join(df, "term")
+        .groupBy(F.length(F.bin("df")).cast("long").alias("df_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("n_post").cast("long").alias("n_postings"),
+            (F.sum("n_post") * 8).cast("long").alias("raw_bytes"),
+            F.sum("vbytes").cast("long").alias("varint_bytes"),
+            F.round(
+                (F.sum("n_post") * 8).cast("double") / F.sum("vbytes"), 6
+            ).alias("compression_ratio"),
+        )
+    )
+
+
+@query(
+    "source_distinctive_terms",
+    oracle="""
+    WITH tc AS (
+        SELECT source, term, CAST(count(*) AS BIGINT) AS y FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+        ) WHERE term <> '' GROUP BY source, term
+    ), st AS (
+        SELECT source, CAST(sum(y) AS BIGINT) AS n_s FROM tc GROUP BY source
+    ), tt AS (
+        SELECT term, CAST(sum(y) AS BIGINT) AS y_t FROM tc GROUP BY term
+    ), tot AS (
+        SELECT CAST(sum(y) AS BIGINT) AS nn FROM tc
+    ), sc AS (
+        SELECT tc.source, tc.term, tc.y,
+               ln((tc.y + 0.5) / (st.n_s - tc.y + 0.5))
+               - ln((tt.y_t - tc.y + 0.5) / (tot.nn - st.n_s - tt.y_t + tc.y + 0.5))
+                   AS delta,
+               sqrt(1.0 / (tc.y + 0.5) + 1.0 / (tt.y_t - tc.y + 0.5)) AS sigma
+        FROM tc JOIN st USING (source) JOIN tt USING (term) CROSS JOIN tot
+        WHERE tc.y >= 5
+    )
+    SELECT source, term, y AS term_count, round(z, 6) AS z_score, rnk FROM (
+        SELECT source, term, y, delta / sigma AS z,
+               CAST(row_number() OVER (PARTITION BY source
+                                       ORDER BY delta / sigma DESC, term) AS BIGINT)
+                   AS rnk
+        FROM sc
+    ) WHERE rnk <= 5
+    """,
+)
+def source_distinctive_terms_q(spark, sf_dir):
+    """Distinctive vocabulary per source via log-odds with Dirichlet
+    smoothing and a z-score (Monroe/Colaresi/Quinn '08 'Fightin'
+    Words' — the corpus-comparison method that beats raw TF-IDF for
+    'what makes this slice different', used to audit source mix in
+    training data): (source, term) counts collapse map-side; source
+    and term marginals are two bounded rollups joined back (term
+    marginal shuffles on the vocab key, never the corpus); the
+    log-odds delta and its variance are single double expressions
+    over exact integers, ranked per source with deterministic ties.
+    Top-5 terms per source."""
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    tc = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    st = tc.groupBy("source").agg(F.sum("y").cast("long").alias("n_s"))
+    tt = tc.groupBy("term").agg(F.sum("y").cast("long").alias("y_t"))
+    tot = tc.agg(F.sum("y").cast("long").alias("nn"))
+    sc = (
+        tc.join(F.broadcast(st), "source")
+        .join(tt, "term")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("y") >= 5)
+        .select(
+            "source",
+            "term",
+            "y",
+            (
+                F.log((F.col("y") + 0.5) / (F.col("n_s") - F.col("y") + 0.5))
+                - F.log(
+                    (F.col("y_t") - F.col("y") + 0.5)
+                    / (F.col("nn") - F.col("n_s") - F.col("y_t") + F.col("y") + 0.5)
+                )
+            ).alias("delta"),
+            F.sqrt(
+                1.0 / (F.col("y") + 0.5) + 1.0 / (F.col("y_t") - F.col("y") + 0.5)
+            ).alias("sigma"),
+        )
+    )
+    ranked = sc.select(
+        "source",
+        "term",
+        "y",
+        (F.col("delta") / F.col("sigma")).alias("z"),
+    ).withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(F.col("z").desc(), "term"))
+        .cast("long"),
+    )
+    return ranked.filter(F.col("rnk") <= 5).select(
+        "source",
+        "term",
+        F.col("y").alias("term_count"),
+        F.round("z", 6).alias("z_score"),
+        "rnk",
+    )
+
+
+@query(
+    "psi_drift",
+    oracle="""
+    WITH b AS (
+        SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS cut,
+               min(CAST(round(value * 1000000) AS BIGINT)) AS lo,
+               max(CAST(round(value * 1000000) AS BIGINT)) AS hi
+        FROM events
+    ), s AS (
+        SELECT event_type,
+               least(CAST((CAST(round(value * 1000000) AS BIGINT) - b.lo) * 10
+                          // (b.hi - b.lo + 1) AS BIGINT), 9) AS bin,
+               CASE WHEN epoch_ns(ts) <= b.cut THEN 1 ELSE 0 END AS pre
+        FROM events, b
+    ), g AS (
+        SELECT event_type, bin,
+               CAST(sum(pre) AS BIGINT) AS c_a,
+               CAST(sum(1 - pre) AS BIGINT) AS c_b
+        FROM s GROUP BY event_type, bin
+    ), t AS (
+        SELECT event_type, bin, c_a, c_b,
+               CAST(sum(c_a) OVER (PARTITION BY event_type) AS BIGINT) AS n_a,
+               CAST(sum(c_b) OVER (PARTITION BY event_type) AS BIGINT) AS n_b
+        FROM g
+    ), c AS (
+        SELECT event_type, bin, c_a, c_b,
+               round((CAST(c_a + 1 AS DOUBLE) / (n_a + 10)
+                      - CAST(c_b + 1 AS DOUBLE) / (n_b + 10))
+                     * ln((CAST(c_a + 1 AS DOUBLE) / (n_a + 10))
+                          / (CAST(c_b + 1 AS DOUBLE) / (n_b + 10))), 6) AS contrib
+        FROM t
+    )
+    SELECT event_type, CAST(bin AS BIGINT) AS bin, c_a AS n_pre, c_b AS n_post,
+           contrib,
+           round(CAST(sum(CAST(round(contrib * 1000000) AS BIGINT))
+                      OVER (PARTITION BY event_type) AS DOUBLE) / 1000000, 6) AS psi
+    FROM c
+    """,
+)
+def psi_drift_q(spark, sf_dir):
+    """Population Stability Index between the first and second half of
+    the event stream, per event type (the model-monitoring drift
+    gauge: PSI < 0.1 stable, > 0.25 retrain — the VALUE-distribution
+    drift partner to embedding_drift/vocab_drift): global cut/lo/hi
+    ride one broadcast scalar row; rows bin by exact integer
+    arithmetic into 10 fixed-width buckets; Laplace-smoothed shares
+    keep ln finite with identical smoothing on both engines; each
+    bin's contribution rounds to 6dp and the per-type PSI sums those
+    micro-unit integers — order-free. One fact shuffle to the
+    (type, bin) frame."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("cut"),
+        F.min(F.expr("cast(round(value * 1000000) as bigint)")).alias("lo"),
+        F.max(F.expr("cast(round(value * 1000000) as bigint)")).alias("hi"),
+    )
+    s = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.least(
+            F.expr(
+                "(cast(round(value * 1000000) as bigint) - lo) * 10 div (hi - lo + 1)"
+            ).cast("long"),
+            F.lit(9).cast("long"),
+        ).alias("bin"),
+        F.when(F.col("ts_ns") <= F.col("cut"), 1).otherwise(0).alias("pre"),
+    )
+    g = s.groupBy("event_type", "bin").agg(
+        F.sum("pre").cast("long").alias("c_a"),
+        F.sum(1 - F.col("pre")).cast("long").alias("c_b"),
+    )
+    wt = Window.partitionBy("event_type")
+    t = g.select(
+        "event_type",
+        "bin",
+        "c_a",
+        "c_b",
+        F.sum("c_a").over(wt).cast("long").alias("n_a"),
+        F.sum("c_b").over(wt).cast("long").alias("n_b"),
+    )
+    pa = (F.col("c_a") + 1).cast("double") / (F.col("n_a") + 10)
+    pb = (F.col("c_b") + 1).cast("double") / (F.col("n_b") + 10)
+    c = t.select(
+        "event_type",
+        "bin",
+        "c_a",
+        "c_b",
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("contrib"),
+    )
+    return c.select(
+        "event_type",
+        F.col("bin").cast("long"),
+        F.col("c_a").alias("n_pre"),
+        F.col("c_b").alias("n_post"),
+        "contrib",
+        F.round(
+            F.sum(F.expr("cast(round(contrib * 1000000) as bigint)"))
+            .over(wt)
+            .cast("double")
+            / F.lit(1000000),
+            6,
+        ).alias("psi"),
+    )
+
+
+def _assortativity_oracle() -> str:
+    base = _knn_graph_oracle().rsplit("SELECT src, dst", 1)[0]
+    return (
+        base
+        + """
+    , edges AS (SELECT src, dst FROM ranked WHERE rank <= 3),
+    od AS (SELECT src, CAST(count(*) AS BIGINT) AS outd FROM edges GROUP BY src),
+    idg AS (SELECT dst, CAST(count(*) AS BIGINT) AS ind FROM edges GROUP BY dst),
+    dd AS (
+        SELECT od.outd AS x, idg.ind AS y
+        FROM edges e JOIN od ON e.src = od.src JOIN idg ON e.dst = idg.dst
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM dd
+    )
+    SELECT n AS n_edges,
+           round(CAST(sx AS DOUBLE) / n, 6) AS mean_src_outdeg,
+           round(CAST(sy AS DOUBLE) / n, 6) AS mean_dst_indeg,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL
+                ELSE round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                           / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                                  * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+           END AS assortativity
+    FROM s
+    """
+    )
+
+
+@query("knn_graph_assortativity")  # oracle attached below (plane literals)
+def knn_graph_assortativity_q(spark, sf_dir):
+    """Degree assortativity of the kNN graph (Newman '02: do
+    well-connected vectors point at other well-connected vectors?) —
+    the hub-structure diagnostic for graph-ANN builds: strongly
+    DISassortative kNN graphs concentrate traffic through hub nodes
+    (the in-degree hubs knn_graph_degree_stats counts), which is
+    exactly where HNSW level assignment and NN-descent sampling need
+    care. Reuses the shared LSH-bounded edge build; out/in degree
+    rollups join back onto the edge list (all (src,dst)-long frames),
+    and the Pearson correlation of (outdeg(src), indeg(dst)) across
+    edges comes from exact BIGINT moments in one aggregate."""
+    edges = _knn_graph_edges(spark, sf_dir).select("src", "dst")
+    od = edges.groupBy("src").agg(F.count("*").cast("long").alias("outd"))
+    idg = edges.groupBy("dst").agg(F.count("*").cast("long").alias("ind"))
+    dd = (
+        edges.join(od, "src")
+        .join(idg, "dst")
+        .select(F.col("outd").alias("x"), F.col("ind").alias("y"))
+    )
+    s = dd.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    deny = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    den0 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny0 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("n").alias("n_edges"),
+        F.round(F.col("sx").cast("double") / F.col("n"), 6).alias("mean_src_outdeg"),
+        F.round(F.col("sy").cast("double") / F.col("n"), 6).alias("mean_dst_indeg"),
+        F.when(den0 * deny0 == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(num / F.sqrt(den * deny), 6))
+        .alias("assortativity"),
+    )
+
+
+ORACLES["knn_graph_assortativity"] = _assortativity_oracle()
