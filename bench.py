@@ -247,6 +247,12 @@ EXTRA = [
     "source_distinctive_terms",
     "psi_drift",
     "knn_graph_assortativity",
+    "bm25_tuning_grid",
+    "snippet_extraction",
+    "cross_source_duplication",
+    "holt_forecast",
+    "kendall_tau_ranks",
+    "ab_power_analysis",
 ]
 
 

@@ -11846,3 +11846,551 @@ def knn_graph_assortativity_q(spark, sf_dir):
 
 
 ORACLES["knn_graph_assortativity"] = _assortativity_oracle()
+
+
+@query(
+    "bm25_tuning_grid",
+    oracle="""
+    WITH grid AS (
+        SELECT unnest([1.2, 1.2, 0.6, 2.0]) AS k1,
+               unnest([0.75, 0.25, 0.75, 0.75]) AS b
+    ), toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), qtoks AS (
+        SELECT * FROM toks WHERE term IN ('spark', 'join', 'fast')
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
+        FROM qtoks GROUP BY doc_id, term
+    ), stats AS (
+        SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl FROM documents
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), bm25 AS (
+        SELECT g.k1, g.b, tf.doc_id,
+               sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * (tf.tf * (g.k1 + 1))
+                   / (tf.tf + g.k1 * (1 - g.b + g.b * tf.dl / s.avgdl))) AS score
+        FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s CROSS JOIN grid g
+        GROUP BY g.k1, g.b, tf.doc_id
+    )
+    SELECT k1, b, CAST(rnk AS BIGINT) AS rnk, doc_id, round(score, 6) AS bm25 FROM (
+        SELECT k1, b, doc_id, score,
+               row_number() OVER (PARTITION BY k1, b ORDER BY score DESC, doc_id) AS rnk
+        FROM bm25
+    ) WHERE rnk <= 5
+    """,
+)
+def bm25_tuning_grid_q(spark, sf_dir):
+    """BM25 (k1, b) hyper-parameter grid in ONE plan (the relevance
+    tuning sweep an IR team runs before freezing index params —
+    ann_probe_sweep's keyword-side sibling): the expensive work
+    (tokenize, tf, df, corpus stats) happens ONCE; the 4-combo grid
+    is a broadcast literal frame joined at the SCORING step, so each
+    extra combo costs one more agg row per (doc, combo), not another
+    corpus scan. Per-combo top-5 with deterministic ties."""
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    grid = spark.createDataFrame(
+        [(1.2, 0.75), (1.2, 0.25), (0.6, 0.75), (2.0, 0.75)], "k1 double, b double"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    qtoks = toks.filter(F.col("term").isin("spark", "join", "fast"))
+    tf = qtoks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf"), F.min("dl").alias("dl")
+    )
+    stats = docs.agg(
+        F.count("*").alias("n"), F.avg(F.size(F.split("text", " "))).alias("avgdl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(grid))
+        .groupBy("k1", "b", "doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (F.col("k1") + 1))
+                / (
+                    F.col("tf")
+                    + F.col("k1")
+                    * (1 - F.col("b") + F.col("b") * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("score")
+        )
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.partitionBy("k1", "b").orderBy(F.col("score").desc(), "doc_id"))
+        .cast("long"),
+    )
+    return ranked.filter(F.col("rnk") <= 5).select(
+        "k1", "b", "rnk", "doc_id", F.round("score", 6).alias("bm25")
+    )
+
+
+@query(
+    "snippet_extraction",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, text,
+               unnest(string_split(text, ' ')) AS term,
+               CAST(unnest(range(len(string_split(text, ' ')))) AS BIGINT) AS pos
+        FROM documents
+    ), hits AS (
+        SELECT doc_id, pos FROM toks WHERE term IN ('spark', 'join', 'fast')
+    ), win AS (
+        SELECT a.doc_id, a.pos AS start_pos, CAST(count(*) AS BIGINT) AS n_hits
+        FROM hits a JOIN hits b
+          ON a.doc_id = b.doc_id AND b.pos >= a.pos AND b.pos < a.pos + 20
+        GROUP BY a.doc_id, a.pos
+    ), best AS (
+        SELECT doc_id, start_pos, n_hits FROM (
+            SELECT doc_id, start_pos, n_hits,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY n_hits DESC, start_pos) AS r
+            FROM win
+        ) WHERE r = 1
+    ), top AS (
+        SELECT b.doc_id, b.start_pos, b.n_hits,
+               array_to_string(string_split(d.text, ' ')
+                   [CAST(b.start_pos + 1 AS INTEGER)
+                    : CAST(b.start_pos + 20 AS INTEGER)], ' ') AS snippet,
+               row_number() OVER (ORDER BY b.n_hits DESC, b.doc_id) AS rnk
+        FROM best b JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, start_pos, n_hits, snippet, CAST(rnk AS BIGINT) AS rnk
+    FROM top WHERE rnk <= 10
+    """,
+)
+def snippet_extraction_q(spark, sf_dir):
+    """Extractive snippet/highlighting (the result-page feature next
+    to keyword search: the densest 20-token window of query-term
+    hits per document): term positions from one posexplode; candidate
+    windows anchor at hit positions only, so the per-doc range
+    self-join is hits²-bounded (never dl²); best window per doc by
+    deterministic (density, position) order; top-10 docs re-join
+    documents ONLY for the 10 winners to slice the snippet text —
+    at 100 TB the text column is fetched for k docs, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    )
+    hits = toks.filter(F.col("term").isin("spark", "join", "fast")).select(
+        "doc_id", F.col("pos").cast("long").alias("pos")
+    )
+    a, bb = hits.alias("a"), hits.alias("b")
+    win = (
+        a.join(
+            bb,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") >= F.col("a.pos"))
+            & (F.col("b.pos") < F.col("a.pos") + 20),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"), F.col("a.pos").alias("start_pos"))
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    best = (
+        win.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("n_hits").desc(), "start_pos"
+                )
+            ),
+        )
+        .filter(F.col("r") == 1)
+        .drop("r")
+    )
+    top = best.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_hits").desc(), "doc_id"))
+        .cast("long"),
+    ).filter(F.col("rnk") <= 10)
+    return (
+        top.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "start_pos",
+            "n_hits",
+            F.array_join(
+                F.slice(
+                    F.split("text", " "),
+                    (F.col("start_pos") + 1).cast("int"),
+                    20,
+                ),
+                " ",
+            ).alias("snippet"),
+            "rnk",
+        )
+    )
+
+
+@query(
+    "cross_source_duplication",
+    oracle=f"""
+    WITH {_DD_SHINGLES}, {_DD_MINHASH_SIG}, {_DD_BANDS},
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                    AND a.doc_id < b.doc_id
+    ), sp AS (
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs p
+        JOIN documents da ON p.doc_a = da.doc_id
+        JOIN documents db ON p.doc_b = db.doc_id
+        GROUP BY least(da.source, db.source), greatest(da.source, db.source)
+    ), dim AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    )
+    SELECT sp.source_a, sp.source_b, sp.n_pairs,
+           CAST(CASE WHEN sp.source_a = sp.source_b
+                     THEN a.n_docs * (a.n_docs - 1) / 2
+                     ELSE a.n_docs * b.n_docs END AS BIGINT) AS possible_pairs,
+           round(CAST(sp.n_pairs AS DOUBLE)
+                 / (CASE WHEN sp.source_a = sp.source_b
+                         THEN a.n_docs * (a.n_docs - 1) / 2
+                         ELSE a.n_docs * b.n_docs END), 6) AS dup_rate
+    FROM sp
+    JOIN dim a ON sp.source_a = a.source
+    JOIN dim b ON sp.source_b = b.source
+    """,
+)
+def cross_source_duplication_q(spark, sf_dir):
+    """Cross-SOURCE near-duplication matrix (which feeds copy from
+    each other — the provenance audit run before setting per-source
+    sampling weights, since duplicated sources double-count in the
+    mix): MinHash-LSH candidate pairs from the shared banding build
+    (bucket-bound, never n²) roll up to an ordered (source, source)
+    matrix; the tiny per-source dims broadcast back to normalize into
+    duplication rates against possible-pair counts. The matrix is
+    |sources|²-bounded — the readout corpus_mix and
+    corpus_temperature_mix consume."""
+    from .operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.dedup_minhash_lsh(docs).select("doc_a", "doc_b").distinct()
+    src = docs.select("doc_id", "source")
+    sp = (
+        pairs.join(src.withColumnRenamed("source", "_sa"), pairs.doc_a == src.doc_id)
+        .drop("doc_id")
+        .join(
+            src.withColumnRenamed("source", "_sb").withColumnRenamed("doc_id", "_id2"),
+            F.col("doc_b") == F.col("_id2"),
+        )
+        .groupBy(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+    dim = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    possible = F.when(
+        F.col("source_a") == F.col("source_b"),
+        F.col("_na") * (F.col("_na") - 1) / 2,
+    ).otherwise(F.col("_na") * F.col("_nb"))
+    return (
+        sp.join(
+            F.broadcast(dim.select(F.col("source").alias("source_a"), F.col("n_docs").alias("_na"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(dim.select(F.col("source").alias("source_b"), F.col("n_docs").alias("_nb"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            possible.cast("long").alias("possible_pairs"),
+            F.round(F.col("n_pairs").cast("double") / possible, 6).alias("dup_rate"),
+        )
+    )
+
+
+@query(
+    "holt_forecast",
+    oracle="""
+    WITH m AS (
+        SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS month_id,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        FROM orders GROUP BY month_id
+    ), ser AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_months,
+               list(CAST(rev_c AS DOUBLE) / 100 ORDER BY month_id) AS ys
+        FROM m
+    ), fit AS (
+        SELECT n_months,
+               list_reduce(
+                   list_transform(ys, y -> [y, 0.0, 0.0]),
+                   (acc, x) -> [0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+                                0.3 * (0.5 * x[1] + 0.5 * (acc[1] + acc[2]) - acc[1])
+                                + 0.7 * acc[2],
+                                1.0]) AS st
+        FROM ser
+    )
+    SELECT CAST(h AS BIGINT) AS horizon, n_months,
+           round(st[1], 6) AS level_end,
+           round(st[2], 6) AS trend_end,
+           round(st[1] + h * st[2], 6) AS forecast
+    FROM fit CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
+    """,
+)
+def holt_forecast_q(spark, sf_dir):
+    """Holt double-exponential smoothing over monthly revenue with a
+    3-month forecast (the trend-aware upgrade to revenue_forecast's
+    OLS line — level + trend adapt to recent months instead of
+    weighting all history equally; alpha=0.5, beta=0.3): the fact
+    table collapses to exact cent-unit MONTH totals first, and the
+    inherently sequential recursion runs as an ordered left fold over
+    that ~80-element series — survival_km's bit-identical
+    ordered-fold posture, with [level, trend] as the fold state. The
+    first element seeds level (trend 0); both engines then apply the
+    identical recurrence left-to-right."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1).alias(
+            "month_id"
+        )
+    ).agg(
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    ser = m.agg(
+        F.count("*").cast("long").alias("n_months"),
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("month_id", (F.col("rev_c").cast("double") / 100).alias("y"))
+                )
+            ),
+            lambda s: s.y,
+        ).alias("ys"),
+    )
+    def step(acc, y):
+        new_l = 0.5 * y + 0.5 * (acc[0] + acc[1])
+        new_b = 0.3 * (0.5 * y + 0.5 * (acc[0] + acc[1]) - acc[0]) + 0.7 * acc[1]
+        return F.when(
+            acc[2] == 0.0, F.array(y, F.lit(0.0), F.lit(1.0))
+        ).otherwise(F.array(new_l, new_b, F.lit(1.0)))
+
+    fit = ser.select(
+        "n_months",
+        F.aggregate(
+            F.col("ys"),
+            F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0)),
+            step,
+        ).alias("st"),
+    )
+    h = spark.range(1, 4).select(F.col("id").alias("horizon"))
+    return fit.crossJoin(F.broadcast(h)).select(
+        "horizon",
+        "n_months",
+        F.round(F.col("st")[0], 6).alias("level_end"),
+        F.round(F.col("st")[1], 6).alias("trend_end"),
+        F.round(F.col("st")[0] + F.col("horizon") * F.col("st")[1], 6).alias("forecast"),
+    )
+
+
+@query(
+    "kendall_tau_ranks",
+    oracle="""
+    WITH g AS (
+        SELECT n.n_name,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ), p AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN (a.rev_c - b.rev_c) * (a.n_orders - b.n_orders) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+               CAST(sum(CASE WHEN (a.rev_c - b.rev_c) * (a.n_orders - b.n_orders) < 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+               CAST(sum(CASE WHEN a.rev_c = b.rev_c THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+               CAST(sum(CASE WHEN a.n_orders = b.n_orders THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
+        FROM g a JOIN g b ON a.n_name < b.n_name
+    )
+    SELECT n_pairs, concordant, discordant,
+           round((CAST(concordant AS DOUBLE) - discordant)
+                 / sqrt(CAST(n_pairs - ties_x AS DOUBLE) * (n_pairs - ties_y)), 6)
+               AS tau_b
+    FROM p
+    """,
+)
+def kendall_tau_ranks_q(spark, sf_dir):
+    """Kendall tau-b agreement between two per-nation rankings
+    (revenue rank vs order-count rank — the rank-stability check
+    behind 'does the cheap metric order segments like the expensive
+    one?', pairing with topk_stability's overlap view): the fact
+    joins collapse to a 25-row (nation, revenue, orders) frame, and
+    concordant/discordant/tie counts come from the exact-integer
+    pairwise self-join over that BOUNDED frame (|groups|², never
+    data-sized). tau-b's tie correction uses the same exact counts;
+    one double expression at emit."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+            .cast("long")
+            .alias("rev_c"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+    a, b = g.alias("a"), g.alias("b")
+    p = (
+        a.join(b, F.col("a.n_name") < F.col("b.n_name"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(
+                F.when(
+                    (F.col("a.rev_c") - F.col("b.rev_c"))
+                    * (F.col("a.n_orders") - F.col("b.n_orders"))
+                    > 0,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("concordant"),
+            F.sum(
+                F.when(
+                    (F.col("a.rev_c") - F.col("b.rev_c"))
+                    * (F.col("a.n_orders") - F.col("b.n_orders"))
+                    < 0,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("discordant"),
+            F.sum(F.when(F.col("a.rev_c") == F.col("b.rev_c"), 1).otherwise(0))
+            .cast("long")
+            .alias("ties_x"),
+            F.sum(F.when(F.col("a.n_orders") == F.col("b.n_orders"), 1).otherwise(0))
+            .cast("long")
+            .alias("ties_y"),
+        )
+    )
+    return p.select(
+        "n_pairs",
+        "concordant",
+        "discordant",
+        F.round(
+            (F.col("concordant").cast("double") - F.col("discordant"))
+            / F.sqrt(
+                (F.col("n_pairs") - F.col("ties_x")).cast("double")
+                * (F.col("n_pairs") - F.col("ties_y"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+@query(
+    "ab_power_analysis",
+    oracle="""
+    WITH b AS (
+        SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS cut FROM events
+    ), s AS (
+        SELECT event_type, epoch_ns(ts) <= b.cut AS pre,
+               CAST(round(value * 1000) AS BIGINT) AS v_m
+        FROM events, b
+    ), a AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN pre THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN pre THEN v_m ELSE 0 END) AS BIGINT) AS s1,
+               CAST(sum(CASE WHEN pre THEN 0 ELSE v_m END) AS BIGINT) AS s2,
+               CAST(sum(CASE WHEN pre THEN v_m * v_m ELSE 0 END) AS BIGINT) AS q1,
+               CAST(sum(CASE WHEN pre THEN 0 ELSE v_m * v_m END) AS BIGINT) AS q2
+        FROM s GROUP BY event_type
+    ), d AS (
+        SELECT event_type, n1, n2,
+               (CAST(s2 AS DOUBLE) / n2 - CAST(s1 AS DOUBLE) / n1) / 1000 AS delta,
+               ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / 1000000 AS var1,
+               ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1)) / 1000000 AS var2
+        FROM a
+    )
+    SELECT event_type, n1 AS n_pre, n2 AS n_post,
+           round(delta, 6) AS observed_delta,
+           CAST(ceil(pow(1.959964 + 0.841621, 2) * (var1 + var2)
+                     / (delta * delta)) AS BIGINT) AS n_required_per_arm,
+           least(n1, n2) >= ceil(pow(1.959964 + 0.841621, 2) * (var1 + var2)
+                                 / (delta * delta)) AS adequately_powered
+    FROM d
+    """,
+)
+def ab_power_analysis_q(spark, sf_dir):
+    """Two-sample power analysis per event type (the 'is this A/B test
+    big enough?' calculator — 80%% power at alpha=0.05 via the
+    standard (z_a/2 + z_b)^2 (s1^2+s2^2)/delta^2 rule, z constants as
+    shared literals): reuses ab_welch_ttest's exact milli-unit
+    conditional moments (one scan, one agg), so the observed effect,
+    both variances and the required-n all derive from identical
+    integers on both engines. The adequately_powered flag is the
+    go/no-go readout an experimentation stack surfaces next to the
+    t-stat."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("cut"))
+    s = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        (F.col("ts_ns") <= F.col("cut")).alias("pre"),
+        F.expr("cast(round(value * 1000) as bigint)").alias("v_m"),
+    )
+    a = s.groupBy("event_type").agg(
+        F.sum(F.when(F.col("pre"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("pre"), 0).otherwise(1)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("pre"), F.col("v_m")).otherwise(0)).cast("long").alias("s1"),
+        F.sum(F.when(F.col("pre"), 0).otherwise(F.col("v_m"))).cast("long").alias("s2"),
+        F.sum(F.when(F.col("pre"), F.col("v_m") * F.col("v_m")).otherwise(0))
+        .cast("long")
+        .alias("q1"),
+        F.sum(F.when(F.col("pre"), 0).otherwise(F.col("v_m") * F.col("v_m")))
+        .cast("long")
+        .alias("q2"),
+    )
+    delta = (
+        F.col("s2").cast("double") / F.col("n2")
+        - F.col("s1").cast("double") / F.col("n1")
+    ) / F.lit(1000)
+    var1 = (
+        (F.col("q1").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n1"))
+        / (F.col("n1") - 1)
+    ) / F.lit(1000000)
+    var2 = (
+        (F.col("q2").cast("double") - F.col("s2").cast("double") * F.col("s2") / F.col("n2"))
+        / (F.col("n2") - 1)
+    ) / F.lit(1000000)
+    req = F.ceil(
+        F.pow(F.lit(1.959964) + F.lit(0.841621), F.lit(2.0))
+        * (var1 + var2)
+        / (delta * delta)
+    )
+    return a.select(
+        "event_type",
+        F.col("n1").alias("n_pre"),
+        F.col("n2").alias("n_post"),
+        F.round(delta, 6).alias("observed_delta"),
+        req.cast("long").alias("n_required_per_arm"),
+        (F.least("n1", "n2") >= req).alias("adequately_powered"),
+    )
