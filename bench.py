@@ -253,6 +253,10 @@ EXTRA = [
     "holt_forecast",
     "kendall_tau_ranks",
     "ab_power_analysis",
+    "classifier_pr_curve",
+    "brier_decomposition",
+    "join_cardinality_estimate",
+    "filter_selectivity_estimate",
 ]
 
 

@@ -12394,3 +12394,457 @@ def ab_power_analysis_q(spark, sf_dir):
         req.cast("long").alias("n_required_per_arm"),
         (F.least("n1", "n2") >= req).alias("adequately_powered"),
     )
+
+
+def _classifier_pr_curve_oracle() -> str:
+    base = _classifier_calibration_oracle().rsplit(", binned AS", 1)[0]
+    return (
+        base
+        + """
+    , thr AS (
+        SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS tau
+    ), j AS (
+        SELECT t.tau,
+               CAST(sum(CASE WHEN p.prob >= t.tau AND l.label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN p.prob >= t.tau AND NOT l.label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN p.prob < t.tau AND l.label THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM probs p JOIN labels l ON l.doc_id = p.doc_id CROSS JOIN thr t
+        GROUP BY t.tau
+    )
+    SELECT tau, tp, fp, fn,
+           CASE WHEN tp + fp = 0 THEN NULL
+                ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precis,
+           CASE WHEN tp + fn = 0 THEN NULL
+                ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+           CASE WHEN tp = 0 THEN NULL
+                ELSE round(2.0 * tp / (2.0 * tp + fp + fn), 6) END AS f1
+    FROM j
+    """
+    )
+
+
+@query("classifier_pr_curve", oracle=None)  # oracle attached below (weight literals)
+def classifier_pr_curve_q(spark, sf_dir):
+    """Precision/recall/F1 curve for the learned quality scorer over a
+    9-point threshold grid (the operating-point selection step after
+    classifier_calibration says the probabilities are honest — a data
+    team picks tau off THIS table): one classifier pass + one gate
+    pass share the doc_id join (same frames as calibration); the
+    threshold grid is a broadcast literal crossed at the COUNTING agg,
+    so 9 operating points cost one grouped aggregate over exact
+    integer confusion counts, not 9 corpus passes. Zero-denominator
+    points emit NULL through identical CASE guards."""
+    from .operators import curation
+
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    probs = curation.quality_classifier(docs).select("doc_id", "prob")
+    labels = curation.quality_filters(docs).select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    thr = spark.createDataFrame(
+        [(t / 10.0,) for t in range(1, 10)], "tau double"
+    )
+    j = (
+        probs.join(labels, "doc_id")
+        .crossJoin(F.broadcast(thr))
+        .groupBy("tau")
+        .agg(
+            F.sum(F.when((F.col("prob") >= F.col("tau")) & F.col("label"), 1).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(
+                F.when((F.col("prob") >= F.col("tau")) & ~F.col("label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("fp"),
+            F.sum(F.when((F.col("prob") < F.col("tau")) & F.col("label"), 1).otherwise(0))
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    return j.select(
+        "tau",
+        "tp",
+        "fp",
+        "fn",
+        F.when(F.col("tp") + F.col("fp") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6))
+        .alias("precis"),
+        F.when(F.col("tp") + F.col("fn") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6))
+        .alias("recall"),
+        F.when(F.col("tp") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + F.col("fn")), 6)
+        )
+        .alias("f1"),
+    )
+
+
+ORACLES["classifier_pr_curve"] = _classifier_pr_curve_oracle()
+
+
+def _brier_decomposition_oracle() -> str:
+    base = _classifier_calibration_oracle().rsplit(", binned AS", 1)[0]
+    return (
+        base
+        + """
+    , binned AS (
+        SELECT least(CAST(floor(p.prob * 10) AS BIGINT), 9) AS bin,
+               CAST(round(p.prob * 1000000) AS BIGINT) AS prob_u,
+               CASE WHEN l.label THEN 1 ELSE 0 END AS pos
+        FROM probs p JOIN labels l ON l.doc_id = p.doc_id
+    ), direct AS (
+        SELECT CAST(count(*) AS BIGINT) AS nn,
+               CAST(sum(pos) AS BIGINT) AS npos,
+               CAST(sum((prob_u - pos * 1000000) * (prob_u - pos * 1000000)) AS BIGINT)
+                   AS sq_u
+        FROM binned
+    ), g AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(prob_u) AS BIGINT) AS sum_prob_u
+        FROM binned GROUP BY bin
+    ), terms AS (
+        SELECT CAST(sum(CAST(round(n * pow(sum_prob_u / (n * 1000000.0)
+                                           - CAST(n_pos AS DOUBLE) / n, 2) * 1000000)
+                             AS BIGINT)) AS BIGINT) AS rel_u,
+               CAST(sum(CAST(round(n * pow(CAST(n_pos AS DOUBLE) / n
+                                           - CAST(d.npos AS DOUBLE) / d.nn, 2) * 1000000)
+                             AS BIGINT)) AS BIGINT) AS res_u
+        FROM g CROSS JOIN direct d
+        GROUP BY d.nn
+    )
+    SELECT d.nn AS n_docs,
+           round(CAST(d.sq_u AS DOUBLE) / d.nn / 1e12, 6) AS brier,
+           round(CAST(d.npos AS DOUBLE) / d.nn
+                 * (1 - CAST(d.npos AS DOUBLE) / d.nn), 6) AS uncertainty,
+           round(CAST(t.rel_u AS DOUBLE) / d.nn / 1e6, 6) AS reliability,
+           round(CAST(t.res_u AS DOUBLE) / d.nn / 1e6, 6) AS resolution
+    FROM direct d CROSS JOIN terms t
+    """
+    )
+
+
+@query("brier_decomposition", oracle=None)  # oracle attached below (weight literals)
+def brier_decomposition_q(spark, sf_dir):
+    """Murphy decomposition of the quality scorer's Brier score
+    (brier = reliability - resolution + uncertainty): uncertainty is
+    the base rate's variance (can the data be predicted at all),
+    resolution how much the scorer's bins separate outcomes,
+    reliability the calibration penalty classifier_calibration plots.
+    The direct Brier term is an EXACT integer sum of squared
+    micro-unit residuals (prob_u and the 0/1 label share the 1e6
+    scale); the bin terms quantize per-bin doubles to micro-units so
+    the decile-frame sums stay order-free. One classifier + one gate
+    pass, then everything runs on the 10-row bin frame."""
+    from .operators import curation
+
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    probs = curation.quality_classifier(docs).select("doc_id", "prob")
+    labels = curation.quality_filters(docs).select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    binned = probs.join(labels, "doc_id").select(
+        F.least(F.floor(F.col("prob") * 10).cast("long"), F.lit(9).cast("long")).alias(
+            "bin"
+        ),
+        F.expr("cast(round(prob * 1000000) as bigint)").alias("prob_u"),
+        F.when(F.col("label"), 1).otherwise(0).alias("pos"),
+    )
+    direct = binned.agg(
+        F.count("*").cast("long").alias("nn"),
+        F.sum("pos").cast("long").alias("npos"),
+        F.sum(
+            (F.col("prob_u") - F.col("pos") * 1000000)
+            * (F.col("prob_u") - F.col("pos") * 1000000)
+        )
+        .cast("long")
+        .alias("sq_u"),
+    )
+    g = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("prob_u").cast("long").alias("sum_prob_u"),
+    )
+    terms = (
+        g.crossJoin(F.broadcast(direct))
+        .groupBy("nn")
+        .agg(
+            F.sum(
+                F.expr(
+                    "cast(round(n * pow(sum_prob_u / (n * 1000000.0)"
+                    " - cast(n_pos as double) / n, 2) * 1000000) as bigint)"
+                )
+            )
+            .cast("long")
+            .alias("rel_u"),
+            F.sum(
+                F.expr(
+                    "cast(round(n * pow(cast(n_pos as double) / n"
+                    " - cast(npos as double) / nn, 2) * 1000000) as bigint)"
+                )
+            )
+            .cast("long")
+            .alias("res_u"),
+        )
+        .drop("nn")
+    )
+    return direct.crossJoin(F.broadcast(terms)).select(
+        F.col("nn").alias("n_docs"),
+        F.round(F.col("sq_u").cast("double") / F.col("nn") / F.lit(1e12), 6).alias(
+            "brier"
+        ),
+        F.round(
+            F.col("npos").cast("double")
+            / F.col("nn")
+            * (1 - F.col("npos").cast("double") / F.col("nn")),
+            6,
+        ).alias("uncertainty"),
+        F.round(F.col("rel_u").cast("double") / F.col("nn") / F.lit(1e6), 6).alias(
+            "reliability"
+        ),
+        F.round(F.col("res_u").cast("double") / F.col("nn") / F.lit(1e6), 6).alias(
+            "resolution"
+        ),
+    )
+
+
+ORACLES["brier_decomposition"] = _brier_decomposition_oracle()
+
+
+@query(
+    "join_cardinality_estimate",
+    oracle="""
+    WITH jo AS (
+        SELECT 'orders x customer' AS join_name,
+               (SELECT count(*) FROM orders) AS rows_a,
+               (SELECT count(*) FROM customer) AS rows_b,
+               (SELECT count(DISTINCT o_custkey) FROM orders) AS ndv_a,
+               (SELECT count(DISTINCT c_custkey) FROM customer) AS ndv_b,
+               (SELECT count(*) FROM orders o JOIN customer c
+                 ON o.o_custkey = c.c_custkey) AS actual_rows
+        UNION ALL
+        SELECT 'lineitem x orders',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM orders),
+               (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+               (SELECT count(DISTINCT o_orderkey) FROM orders),
+               (SELECT count(*) FROM lineitem l JOIN orders o
+                 ON l.l_orderkey = o.o_orderkey)
+        UNION ALL
+        SELECT 'lineitem x part',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM part),
+               (SELECT count(DISTINCT l_partkey) FROM lineitem),
+               (SELECT count(DISTINCT p_partkey) FROM part),
+               (SELECT count(*) FROM lineitem l JOIN part p
+                 ON l.l_partkey = p.p_partkey)
+    )
+    SELECT join_name,
+           CAST(rows_a AS BIGINT) AS rows_a, CAST(rows_b AS BIGINT) AS rows_b,
+           CAST(ndv_a AS BIGINT) AS ndv_a, CAST(ndv_b AS BIGINT) AS ndv_b,
+           CAST(rows_a * rows_b // greatest(ndv_a, ndv_b) AS BIGINT) AS est_rows,
+           CAST(actual_rows AS BIGINT) AS actual_rows,
+           round(greatest(
+               CAST(rows_a * rows_b // greatest(ndv_a, ndv_b) AS DOUBLE) / actual_rows,
+               CAST(actual_rows AS DOUBLE)
+               / (rows_a * rows_b // greatest(ndv_a, ndv_b))), 6) AS q_error
+    FROM jo
+    """,
+)
+def join_cardinality_estimate_q(spark, sf_dir):
+    """Join cardinality estimation audit — the textbook CBO formula
+    |A|·|B| / max(ndv(a), ndv(b)) (what Catalyst's cost-based
+    optimizer and every System-R descendant uses to order joins)
+    scored against the TRUE join sizes, with the q-error metric from
+    the 'How Good Are Query Optimizers, Really?' benchmark (Leis
+    VLDB'15). Three equi-joins on the TPC-H graph: per-join inputs are
+    two counts + two exact NDVs + one real join count; the estimate is
+    exact integer div arithmetic. At 100 TB the NDVs swap to the HLL
+    sketch (hll_distinct) — same formula, same output contract; this
+    exact version IS the oracle for that swap."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+
+    def one(name, a, b, ka, kb):
+        sa = a.agg(
+            F.count("*").cast("long").alias("rows_a"),
+            F.count_distinct(F.col(ka)).cast("long").alias("ndv_a"),
+        )
+        sb = b.agg(
+            F.count("*").cast("long").alias("rows_b"),
+            F.count_distinct(F.col(kb)).cast("long").alias("ndv_b"),
+        )
+        ac = a.join(b, F.col(ka) == F.col(kb)).agg(
+            F.count("*").cast("long").alias("actual_rows")
+        )
+        return (
+            sa.crossJoin(F.broadcast(sb))
+            .crossJoin(F.broadcast(ac))
+            .select(
+                F.lit(name).alias("join_name"),
+                "rows_a",
+                "rows_b",
+                "ndv_a",
+                "ndv_b",
+                "actual_rows",
+            )
+        )
+
+    jo = (
+        one("orders x customer", o, c, "o_custkey", "c_custkey")
+        .unionByName(one("lineitem x orders", li, o, "l_orderkey", "o_orderkey"))
+        .unionByName(one("lineitem x part", li, p, "l_partkey", "p_partkey"))
+    )
+    est = F.expr("rows_a * rows_b div greatest(ndv_a, ndv_b)")
+    return jo.select(
+        "join_name",
+        "rows_a",
+        "rows_b",
+        "ndv_a",
+        "ndv_b",
+        est.cast("long").alias("est_rows"),
+        "actual_rows",
+        F.round(
+            F.greatest(
+                est.cast("double") / F.col("actual_rows"),
+                F.col("actual_rows").cast("double") / est,
+            ),
+            6,
+        ).alias("q_error"),
+    )
+
+
+@query(
+    "filter_selectivity_estimate",
+    oracle="""
+    WITH b AS (
+        SELECT min(CAST(round(o_totalprice * 100) AS BIGINT)) AS lo,
+               max(CAST(round(o_totalprice * 100) AS BIGINT)) AS hi,
+               CAST(count(*) AS BIGINT) AS nn
+        FROM orders
+    ), hist AS (
+        SELECT least((CAST(round(o_totalprice * 100) AS BIGINT) - b.lo) * 10
+                     // (b.hi - b.lo + 1), 9) AS bkt,
+               CAST(count(*) AS BIGINT) AS n_k
+        FROM orders, b GROUP BY 1
+    ), preds AS (
+        SELECT * FROM (VALUES
+            ('price < 50k', 0::BIGINT, 5000000::BIGINT),
+            ('50k..150k', 5000000::BIGINT, 15000000::BIGINT),
+            ('price >= 250k', 25000000::BIGINT, 100000000::BIGINT))
+            AS t(pred_name, p_lo, p_hi)
+    ), est AS (
+        SELECT p.pred_name, p.p_lo, p.p_hi, b.nn,
+               CAST(round(sum(h.n_k * greatest(least(
+                   (least(p.p_hi, b.lo + (h.bkt + 1) * (b.hi - b.lo + 1) // 10)
+                    - greatest(p.p_lo, b.lo + h.bkt * (b.hi - b.lo + 1) // 10))
+                   / CAST((b.hi - b.lo + 1) // 10 AS DOUBLE), 1.0), 0.0)))
+                   AS BIGINT) AS est_rows
+        FROM hist h CROSS JOIN b CROSS JOIN preds p
+        GROUP BY p.pred_name, p.p_lo, p.p_hi, b.nn
+    ), act AS (
+        SELECT p.pred_name, CAST(count(*) AS BIGINT) AS actual_rows
+        FROM orders o CROSS JOIN b
+        JOIN preds p ON CAST(round(o.o_totalprice * 100) AS BIGINT) >= p.p_lo
+                    AND CAST(round(o.o_totalprice * 100) AS BIGINT) < p.p_hi
+        GROUP BY p.pred_name
+    )
+    SELECT e.pred_name, e.est_rows, a.actual_rows,
+           round(CAST(e.est_rows AS DOUBLE) / e.nn, 6) AS sel_est,
+           round(CAST(a.actual_rows AS DOUBLE) / e.nn, 6) AS sel_actual,
+           round(greatest(CAST(e.est_rows AS DOUBLE) / a.actual_rows,
+                          CAST(a.actual_rows AS DOUBLE) / e.est_rows), 6) AS q_error
+    FROM est e JOIN act a USING (pred_name)
+    """,
+)
+def filter_selectivity_estimate_q(spark, sf_dir):
+    """Range-predicate selectivity estimation audit — the equi-width
+    histogram + uniform-within-bucket interpolation every cost-based
+    optimizer runs for `WHERE price BETWEEN a AND b`, scored against
+    true counts with q-error: the 10-bucket histogram builds in one
+    exact-integer aggregate (cent units; identical integer bucket
+    edges on both engines); each predicate's estimate is the
+    histogram dot product with clamped overlap fractions — all on the
+    10-row frame; actuals come from one shared filtered count pass.
+    The q-error column is the reading: equi-width's known failure on
+    skew is visible next to events_histogram_equidepth's fix."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias("lo"),
+        F.max(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias("hi"),
+        F.count("*").cast("long").alias("nn"),
+    )
+    hist = (
+        o.crossJoin(F.broadcast(b))
+        .groupBy(
+            F.least(
+                F.expr(
+                    "(cast(round(o_totalprice * 100) as bigint) - lo) * 10"
+                    " div (hi - lo + 1)"
+                ),
+                F.lit(9).cast("long"),
+            ).alias("bkt")
+        )
+        .agg(F.count("*").cast("long").alias("n_k"))
+    )
+    preds = spark.createDataFrame(
+        [
+            ("price < 50k", 0, 5000000),
+            ("50k..150k", 5000000, 15000000),
+            ("price >= 250k", 25000000, 100000000),
+        ],
+        "pred_name string, p_lo long, p_hi long",
+    )
+    width = F.expr("(hi - lo + 1) div 10")
+    lb = F.col("lo") + F.col("bkt") * F.expr("(hi - lo + 1) div 10")
+    ub = F.col("lo") + (F.col("bkt") + 1) * F.expr("(hi - lo + 1) div 10")
+    frac = F.greatest(
+        F.least(
+            (F.least(F.col("p_hi"), ub) - F.greatest(F.col("p_lo"), lb))
+            / width.cast("double"),
+            F.lit(1.0),
+        ),
+        F.lit(0.0),
+    )
+    est = (
+        hist.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(preds))
+        .groupBy("pred_name", "p_lo", "p_hi", "nn")
+        .agg(
+            F.expr(
+                "cast(round(sum(n_k * greatest(least("
+                "(least(p_hi, lo + (bkt + 1) * ((hi - lo + 1) div 10))"
+                " - greatest(p_lo, lo + bkt * ((hi - lo + 1) div 10)))"
+                " / cast((hi - lo + 1) div 10 as double), 1.0d), 0.0d))) as bigint)"
+            ).alias("est_rows")
+        )
+    )
+    act = (
+        o.crossJoin(F.broadcast(preds))
+        .filter(
+            (F.expr("cast(round(o_totalprice * 100) as bigint)") >= F.col("p_lo"))
+            & (F.expr("cast(round(o_totalprice * 100) as bigint)") < F.col("p_hi"))
+        )
+        .groupBy("pred_name")
+        .agg(F.count("*").cast("long").alias("actual_rows"))
+    )
+    return est.join(act, "pred_name").select(
+        "pred_name",
+        "est_rows",
+        "actual_rows",
+        F.round(F.col("est_rows").cast("double") / F.col("nn"), 6).alias("sel_est"),
+        F.round(F.col("actual_rows").cast("double") / F.col("nn"), 6).alias(
+            "sel_actual"
+        ),
+        F.round(
+            F.greatest(
+                F.col("est_rows").cast("double") / F.col("actual_rows"),
+                F.col("actual_rows").cast("double") / F.col("est_rows"),
+            ),
+            6,
+        ).alias("q_error"),
+    )
