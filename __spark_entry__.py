@@ -96,7 +96,20 @@ _VERIFY_FIRST = [
     "chunk_stats",
     "hybrid_search_rrf",
     "dedup_ngram_jaccard",
-    # positions 51-55: next-in-line if the window widens. Full r6
+    # positions 51-55: next-in-line if the window widens. The r5
+    # CONTINUATION session added 26 more never-stamped oracle-backed
+    # operators (rows 230-255: chi_square_independence,
+    # layout_skipping_compare, events_decayed_topk, grouped_ols_slopes,
+    # mann_whitney_u, knn_classifier_eval, survival_km,
+    # silhouette_simplified, zipf_fit, jackknife_variance,
+    # bootstrap_ci, partition_plan_sim, postings_compression_stats,
+    # source_distinctive_terms, psi_drift, knn_graph_assortativity,
+    # bm25_tuning_grid, snippet_extraction, cross_source_duplication,
+    # holt_forecast, kendall_tau_ranks, ab_power_analysis,
+    # classifier_pr_curve, brier_decomposition,
+    # join_cardinality_estimate, filter_selectivity_estimate) — all
+    # parity-verified at sf0.001 AND sf0.01 this session; fold them
+    # into the r6 rotation after the list below. Full r6
     # rotation order (28 late-r5 never-stamped, flagships first):
     # curation_pipeline, kmeans_refine, mlm_mask_corpus,
     # span_corrupt_corpus, data_quality_checks, salted_join_topn,

@@ -98,3 +98,118 @@ def test_cms_one_sided_guarantee(spark, sf_dir):
     for r in rows:
         assert r.cms_est >= r.exact  # CMS can only overestimate
         assert r.overestimate == r.cms_est - r.exact
+
+
+def test_survival_km_invariants(spark, sf_dir):
+    """KM curve: survival is non-increasing in t, each step multiplies
+    by (at_risk - d)/at_risk, and the at-risk ladder conserves the
+    cohort (sum of d + c over all times == initial at-risk)."""
+    from rag_system_vector_db_spark.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["survival_km"](spark, sf_dir).collect(), key=lambda r: r.t_day
+    )
+    assert rows, "empty lifetable"
+    assert rows[0].n_at_risk == sum(r.n_events + r.n_censored for r in rows)
+    s = 1.0
+    prev = 1.0 + 1e-12
+    for r in rows:
+        s *= (r.n_at_risk - r.n_events) / r.n_at_risk
+        assert abs(r.survival - round(s, 6)) < 1e-9, (r.t_day, r.survival, s)
+        assert r.survival <= prev + 1e-9
+        prev = r.survival
+
+
+def test_holt_forecast_matches_python_recursion(spark, sf_dir):
+    """The ordered-fold Holt fit must equal the sequential pure-Python
+    recursion on the same monthly revenue series."""
+    import duckdb
+
+    from rag_system_vector_db_spark.registry import QUERIES
+
+    con = duckdb.connect()
+    ys = [
+        r[0]
+        for r in con.sql(
+            f"""
+        SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS y
+        FROM read_parquet('{sf_dir}/orders.parquet')
+        GROUP BY (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+        ORDER BY (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+        """
+        ).fetchall()
+    ]
+    con.close()
+    lvl, tr = ys[0], 0.0
+    for y in ys[1:]:
+        nl = 0.5 * y + 0.5 * (lvl + tr)
+        tr = 0.3 * (nl - lvl) + 0.7 * tr
+        lvl = nl
+    out = {r.horizon: r for r in QUERIES["holt_forecast"](spark, sf_dir).collect()}
+    assert out[1].n_months == len(ys)
+    for h in (1, 2, 3):
+        assert abs(out[h].forecast - round(lvl + h * tr, 6)) < 1e-9
+        assert out[h].level_end == round(lvl, 6)
+        assert out[h].trend_end == round(tr, 6)
+
+
+def test_bootstrap_ci_brackets_point_mean(spark, sf_dir):
+    """Poisson bootstrap: the CI must bracket the point estimate and
+    the bootstrap SE must be positive and small relative to the mean."""
+    from rag_system_vector_db_spark.registry import QUERIES
+
+    r = QUERIES["bootstrap_ci"](spark, sf_dir).first()
+    assert r.ci_lo <= r.point_mean <= r.ci_hi
+    assert 0 < r.boot_se < r.point_mean
+
+
+def test_partition_plan_total_conserved(spark, sf_dir):
+    """Every candidate partition plan must account for every row, and
+    skew ratio is >= 1 by construction."""
+    from rag_system_vector_db_spark.registry import QUERIES
+
+    rows = QUERIES["partition_plan_sim"](spark, sf_dir).collect()
+    totals = {r.total_rows for r in rows}
+    assert len(totals) == 1
+    for r in rows:
+        assert r.buckets_used <= r.plan_partitions
+        assert r.skew_ratio >= 1.0
+        assert r.max_bucket_rows <= r.total_rows
+
+
+def test_chi_square_contrib_sums_to_chi2(spark, sf_dir):
+    from rag_system_vector_db_spark.registry import QUERIES
+
+    rows = QUERIES["chi_square_independence"](spark, sf_dir).collect()
+    chi2 = {r.chi2 for r in rows}
+    assert len(chi2) == 1
+    assert abs(sum(r.contribution for r in rows) - chi2.pop()) < 1e-3
+    # observed totals equal n via expected: sum(expected) ~ n
+    n = sum(r.observed for r in rows)
+    assert abs(sum(r.expected for r in rows) - n) < 0.01
+
+
+def test_brier_decomposition_identity(spark, sf_dir):
+    """Murphy identity: brier ~= reliability - resolution + uncertainty
+    (within binning/rounding tolerance)."""
+    from rag_system_vector_db_spark.registry import QUERIES
+
+    r = QUERIES["brier_decomposition"](spark, sf_dir).first()
+    assert r.brier >= 0
+    lhs = r.brier
+    rhs = r.reliability - r.resolution + r.uncertainty
+    # within-bin variance of p makes this approximate; tolerance is
+    # the standard decomposition slack for 10 bins
+    assert abs(lhs - rhs) < 0.02
+    assert 0 <= r.uncertainty <= 0.25
+
+
+def test_pr_curve_monotone_recall(spark, sf_dir):
+    """Recall must be non-increasing as the threshold rises."""
+    from rag_system_vector_db_spark.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["classifier_pr_curve"](spark, sf_dir).collect(), key=lambda r: r.tau
+    )
+    recalls = [r.recall for r in rows if r.recall is not None]
+    assert all(a >= b - 1e-9 for a, b in zip(recalls, recalls[1:]))
