@@ -10851,16 +10851,30 @@ def knn_classifier_eval_q(spark, sf_dir):
     eval set is bounded by design (the broadcast side); train-side
     work is one scan + per-partition top-k heaps, votes/confusion are
     |test|-sized frames."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    train = emb.filter(F.col("vec_id") % 10 != 0)
-    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+    # The heavy side (train corpus x 10% query fan-out) is CPU-bound
+    # per-pair vector math — split the scan across cores (embeddings
+    # arrive as one split at test scale; split=True is the documented
+    # opt-in for heavy map-side vector work). The broadcast query side
+    # loads unsplit so its tiny build skips the exchange.
+    train = load_table(spark, sf_dir, "embeddings", split=True).filter(
+        F.col("vec_id") % 10 != 0
+    )
+    test = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 10 == 0
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
         F.col("label").alias("true_label"),
     )
     nn = knn.topk_batch(train, test.select("query_id", "query_vec"), k=5)
+    # Label lookup re-reads the narrow (vec_id, label) projection from
+    # the unsplit scan — joining back to the split `train` would rerun
+    # its repartition exchange for a 2-column dimension fetch.
+    labels = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 10 != 0
+    ).select("vec_id", "label")
     votes = (
-        nn.join(train.select("vec_id", "label"), "vec_id")
+        nn.join(labels, "vec_id")
         .groupBy("query_id", "label")
         .agg(F.count("*").cast("long").alias("c"))
     )
