@@ -257,6 +257,10 @@ EXTRA = [
     "brier_decomposition",
     "join_cardinality_estimate",
     "filter_selectivity_estimate",
+    "embedding_dedup_recall",
+    "order_backlog_timeseries",
+    "rollup_grain_advisor",
+    "seasonal_decompose",
 ]
 
 

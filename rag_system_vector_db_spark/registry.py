@@ -12862,3 +12862,326 @@ def filter_selectivity_estimate_q(spark, sf_dir):
             6,
         ).alias("q_error"),
     )
+
+
+def _embedding_dedup_recall_oracle() -> str:
+    from .operators import ann
+
+    planes = ann.hyperplanes(6, 64)
+    gate = f"{H.dd_md5_long('vec_id::VARCHAR')} / 1152921504606846976.0 < 0.3"
+    return f"""
+    WITH {_planes_sql(planes)},
+    sub AS (
+        SELECT vec_id, embedding FROM embeddings WHERE {gate}
+    ), dots AS (
+        SELECT e.vec_id, p.pid, {_dd_dot('e.embedding', 'p.w')} AS d
+        FROM sub e CROSS JOIN planes p
+    ), buckets AS (
+        SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << pid) ELSE 0 END) AS bucket
+        FROM dots GROUP BY vec_id
+    ), v AS (
+        SELECT s.vec_id, s.embedding, b.bucket FROM sub s JOIN buckets b USING (vec_id)
+    ), pairs AS (
+        SELECT CASE WHEN a.bucket = b.bucket THEN 1 ELSE 0 END AS cand,
+               CASE WHEN {_dd_cosine('a.embedding', 'b.embedding')} >= 0.3
+                    THEN 1 ELSE 0 END AS truth
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(truth) AS BIGINT) AS n_true,
+           CAST(sum(cand) AS BIGINT) AS n_candidates,
+           CAST(sum(cand * truth) AS BIGINT) AS n_hit,
+           round(CAST(sum(cand * truth) AS DOUBLE) / sum(truth), 6) AS recall,
+           round(CAST(sum(cand * truth) AS DOUBLE) / sum(cand), 6) AS precis
+    FROM pairs
+    """
+
+
+@query("embedding_dedup_recall")  # oracle attached below (plane literals)
+def embedding_dedup_recall_q(spark, sf_dir):
+    """Candidate-generation QA for embedding near-dup (the dedup-side
+    twin of ann_recall_at_k: what fraction of TRUE near-dup pairs do
+    the 6-plane LSH buckets actually surface, and how much candidate
+    volume buys it): ground truth is exact all-pairs cosine >= 0.3
+    over a 30%% hash-keyed SAMPLE (the estimator a 100 TB pipeline
+    can afford — |S|² bounded, never corpus²), candidates are
+    same-bucket pairs on the identical sample, and ONE self-join
+    computes both flags per pair so recall and precision come from
+    one exact-integer aggregate."""
+    from .operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    planes = ann.hyperplanes(6, 64)
+    sub = emb.filter(
+        H.md5_long(F.col("vec_id").cast("string")) / F.lit(1152921504606846976.0)
+        < 0.3
+    ).select(
+        "vec_id", "embedding", ann.lsh_bucket(F.col("embedding"), planes).alias("_b")
+    )
+    a, b = sub.alias("a"), sub.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.when(F.col("a._b") == F.col("b._b"), 1).otherwise(0).alias("cand"),
+        F.when(
+            V.cosine(F.col("a.embedding"), F.col("b.embedding")) >= 0.3, 1
+        )
+        .otherwise(0)
+        .alias("truth"),
+    )
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("truth").cast("long").alias("n_true"),
+        F.sum("cand").cast("long").alias("n_candidates"),
+        F.sum(F.col("cand") * F.col("truth")).cast("long").alias("n_hit"),
+        F.round(
+            F.sum(F.col("cand") * F.col("truth")).cast("double") / F.sum("truth"), 6
+        ).alias("recall"),
+        F.round(
+            F.sum(F.col("cand") * F.col("truth")).cast("double") / F.sum("cand"), 6
+        ).alias("precis"),
+    )
+
+
+ORACLES["embedding_dedup_recall"] = _embedding_dedup_recall_oracle()
+
+
+@query(
+    "order_backlog_timeseries",
+    oracle="""
+    WITH opened AS (
+        SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS month_id,
+               CAST(count(*) AS BIGINT) AS n_opened
+        FROM orders GROUP BY month_id
+    ), shipped AS (
+        SELECT (year(last_ship) - 1995) * 12 + month(last_ship) - 1 AS month_id,
+               CAST(count(*) AS BIGINT) AS n_fulfilled
+        FROM (
+            SELECT l_orderkey, max(l_shipdate) AS last_ship
+            FROM lineitem GROUP BY l_orderkey
+        ) GROUP BY month_id
+    ), m AS (
+        SELECT COALESCE(o.month_id, s.month_id) AS month_id,
+               COALESCE(o.n_opened, 0) AS n_opened,
+               COALESCE(s.n_fulfilled, 0) AS n_fulfilled
+        FROM opened o FULL OUTER JOIN shipped s ON o.month_id = s.month_id
+    )
+    SELECT CAST(month_id AS BIGINT) AS month_id, n_opened, n_fulfilled,
+           CAST(sum(n_opened - n_fulfilled) OVER (ORDER BY month_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS backlog_end
+    FROM m
+    """,
+)
+def order_backlog_timeseries_q(spark, sf_dir):
+    """Open-order backlog over time (the operations WIP gauge: orders
+    placed minus orders fully shipped, cumulatively — rising backlog
+    is the capacity alarm): both fact tables collapse to MONTH counts
+    map-side (an order is 'fulfilled' at its LAST line's ship date —
+    one groupBy, no window over lineitem), the month frames full-outer
+    merge, and the running backlog is an exact-integer cumulative sum
+    over the calendar-bounded frame. Two fact shuffles total, both to
+    month-sized frames."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    opened = o.groupBy(
+        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1).alias(
+            "month_id"
+        )
+    ).agg(F.count("*").cast("long").alias("n_opened"))
+    shipped = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .groupBy(
+            ((F.year("last_ship") - 1995) * 12 + F.month("last_ship") - 1).alias(
+                "month_id"
+            )
+        )
+        .agg(F.count("*").cast("long").alias("n_fulfilled"))
+    )
+    m = (
+        opened.join(shipped, "month_id", "full_outer")
+        .select(
+            F.col("month_id").cast("long"),
+            F.coalesce("n_opened", F.lit(0)).alias("n_opened"),
+            F.coalesce("n_fulfilled", F.lit(0)).alias("n_fulfilled"),
+        )
+    )
+    w = Window.orderBy("month_id").rowsBetween(Window.unboundedPreceding, 0)
+    return m.select(
+        "month_id",
+        "n_opened",
+        "n_fulfilled",
+        F.sum(F.col("n_opened") - F.col("n_fulfilled"))
+        .over(w)
+        .cast("long")
+        .alias("backlog_end"),
+    )
+
+
+@query(
+    "rollup_grain_advisor",
+    oracle="""
+    WITH f AS (
+        SELECT n.n_name, year(o.o_orderdate) AS yr, month(o.o_orderdate) AS mo,
+               o.o_custkey
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS fact_rows FROM f),
+    g AS (
+        SELECT 'nation' AS grain,
+               CAST(count(DISTINCT n_name) AS BIGINT) AS n_groups FROM f
+        UNION ALL
+        SELECT 'nation_year',
+               CAST(count(DISTINCT (n_name, yr)) AS BIGINT) FROM f
+        UNION ALL
+        SELECT 'nation_year_month',
+               CAST(count(DISTINCT (n_name, yr, mo)) AS BIGINT) FROM f
+        UNION ALL
+        SELECT 'customer',
+               CAST(count(DISTINCT o_custkey) AS BIGINT) FROM f
+    )
+    SELECT g.grain, g.n_groups,
+           CAST(g.n_groups * 64 AS BIGINT) AS est_bytes,
+           t.fact_rows,
+           round(CAST(t.fact_rows AS DOUBLE) / g.n_groups, 6) AS reduction_ratio,
+           g.n_groups * 64 <= 65536 AS fits_budget
+    FROM g CROSS JOIN tot t
+    """,
+)
+def rollup_grain_advisor_q(spark, sf_dir):
+    """Materialized-rollup grain advisor (the cube-planning question:
+    which pre-aggregation grains fit the storage budget and how much
+    scan reduction each buys): candidate grains' group cardinalities
+    from count-distinct rollups over ONE shared join frame (narrow
+    keys only past the join), a 64-byte/row size model, and the
+    reduction ratio = fact rows per materialized row — the number
+    that justifies incremental_agg_maintenance keeping that rollup
+    live. At 100 TB each count-distinct swaps to the HLL sketch
+    (hll_distinct — same contract)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    f = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            "o_custkey",
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = f.agg(F.count("*").cast("long").alias("fact_rows"))
+
+    def grain(name, *cols):
+        return f.agg(
+            F.count_distinct(*[F.col(x) for x in cols]).cast("long").alias("n_groups")
+        ).select(F.lit(name).alias("grain"), "n_groups")
+
+    g = (
+        grain("nation", "n_name")
+        .unionByName(grain("nation_year", "n_name", "yr"))
+        .unionByName(grain("nation_year_month", "n_name", "yr", "mo"))
+        .unionByName(grain("customer", "o_custkey"))
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "grain",
+        "n_groups",
+        (F.col("n_groups") * 64).cast("long").alias("est_bytes"),
+        "fact_rows",
+        F.round(F.col("fact_rows").cast("double") / F.col("n_groups"), 6).alias(
+            "reduction_ratio"
+        ),
+        (F.col("n_groups") * 64 <= 65536).alias("fits_budget"),
+    )
+
+
+@query(
+    "seasonal_decompose",
+    oracle="""
+    WITH m AS (
+        SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS month_id,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        FROM orders GROUP BY month_id
+    ), tr AS (
+        SELECT month_id, rev_c,
+               CAST(sum(rev_c) OVER w AS BIGINT) AS win_sum,
+               CAST(count(*) OVER w AS BIGINT) AS win_n
+        FROM m
+        WINDOW w AS (ORDER BY month_id ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+    ), dt AS (
+        SELECT month_id, rev_c,
+               CAST(win_sum AS DOUBLE) / 13 / 100 AS trend,
+               CAST(rev_c AS DOUBLE) / 100 - CAST(win_sum AS DOUBLE) / 13 / 100
+                   AS detrended
+        FROM tr WHERE win_n = 13
+    ), si AS (
+        SELECT month_id % 12 AS moy,
+               CAST(sum(CAST(round(detrended * 1000000) AS BIGINT)) AS BIGINT) AS s_u,
+               CAST(count(*) AS BIGINT) AS n
+        FROM dt GROUP BY month_id % 12
+    )
+    SELECT CAST(d.month_id AS BIGINT) AS month_id,
+           round(CAST(d.rev_c AS DOUBLE) / 100, 6) AS revenue,
+           round(d.trend, 6) AS trend,
+           round(CAST(s.s_u AS DOUBLE) / s.n / 1000000, 6) AS seasonal,
+           round(d.detrended
+                 - round(CAST(s.s_u AS DOUBLE) / s.n / 1000000, 6), 6) AS residual
+    FROM dt d JOIN si s ON d.month_id % 12 = s.moy
+    """,
+)
+def seasonal_decompose_q(spark, sf_dir):
+    """Classical seasonal decomposition of monthly revenue (trend via
+    symmetric 13-month moving average, additive month-of-year seasonal
+    indices, residual — the series sanity pass before any forecast;
+    holt_forecast's diagnostic partner): the fact table collapses to
+    exact cent-unit month totals, the centered MA is an exact integer
+    window sum over the calendar-bounded frame (only full 13-month
+    windows emit), seasonal indices are micro-unit integer means per
+    month-of-year, and the residual subtracts the ROUNDED seasonal so
+    both engines share the final arithmetic. Everything past the one
+    fact shuffle runs on <=84 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1).alias(
+            "month_id"
+        )
+    ).agg(
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    w = Window.orderBy("month_id").rowsBetween(-6, 6)
+    tr = m.select(
+        "month_id",
+        "rev_c",
+        F.sum("rev_c").over(w).cast("long").alias("win_sum"),
+        F.count("*").over(w).cast("long").alias("win_n"),
+    )
+    dt = tr.filter(F.col("win_n") == 13).select(
+        "month_id",
+        "rev_c",
+        (F.col("win_sum").cast("double") / 13 / 100).alias("trend"),
+        (
+            F.col("rev_c").cast("double") / 100
+            - F.col("win_sum").cast("double") / 13 / 100
+        ).alias("detrended"),
+    )
+    si = dt.groupBy((F.col("month_id") % 12).alias("moy")).agg(
+        F.sum(F.expr("cast(round(detrended * 1000000) as bigint)"))
+        .cast("long")
+        .alias("s_u"),
+        F.count("*").cast("long").alias("n"),
+    )
+    seas = F.round(F.col("s_u").cast("double") / F.col("n") / F.lit(1000000), 6)
+    return (
+        dt.join(F.broadcast(si), F.col("month_id") % 12 == F.col("moy"))
+        .select(
+            F.col("month_id").cast("long"),
+            F.round(F.col("rev_c").cast("double") / 100, 6).alias("revenue"),
+            F.round("trend", 6).alias("trend"),
+            seas.alias("seasonal"),
+            F.round(F.col("detrended") - seas, 6).alias("residual"),
+        )
+    )
