@@ -261,6 +261,11 @@ EXTRA = [
     "order_backlog_timeseries",
     "rollup_grain_advisor",
     "seasonal_decompose",
+    "dedup_keep_best",
+    "quantile_confidence_bands",
+    "intraclass_correlation",
+    "dedup_threshold_sweep",
+    "embedding_dim_profile",
 ]
 
 

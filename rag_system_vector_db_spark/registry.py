@@ -13185,3 +13185,391 @@ def seasonal_decompose_q(spark, sf_dir):
             F.round(F.col("detrended") - seas, 6).alias("residual"),
         )
     )
+
+
+def _dedup_keep_best_oracle() -> str:
+    probs_base = _classifier_calibration_oracle().rsplit(", labels AS", 1)[0]
+    return (
+        probs_base
+        + f""",
+    {_DD_SHINGLES}, {_DD_MINHASH_SIG}, {_DD_BANDS},
+    cpairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                    AND a.doc_id < b.doc_id
+    ), drops AS (
+        SELECT DISTINCT CASE WHEN (pa.prob, -p.doc_a) < (pb.prob, -p.doc_b)
+                             THEN p.doc_a ELSE p.doc_b END AS doc_id
+        FROM cpairs p
+        JOIN probs pa ON pa.doc_id = p.doc_a
+        JOIN probs pb ON pb.doc_id = p.doc_b
+    ), agg AS (
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped
+        FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.doc_id
+        GROUP BY d.source
+    )
+    SELECT source, n_docs, n_dropped,
+           CAST(n_docs - n_dropped AS BIGINT) AS n_kept,
+           round(CAST(n_dropped AS DOUBLE) / n_docs, 6) AS drop_rate
+    FROM agg
+    """
+    )
+
+
+@query("dedup_keep_best")  # oracle attached below (weight literals)
+def dedup_keep_best_q(spark, sf_dir):
+    """Quality-aware near-dup drop policy (the CCNet/RefinedWeb move:
+    for every near-dup candidate PAIR, drop the lower-quality side —
+    pairwise greedy, no transitive closure, which is exactly what
+    web-scale dedup runs ship because full clustering is a luxury):
+    MinHash-LSH candidate pairs from the shared banding build join the
+    quality scorer's probs on both sides; the loser set is a DISTINCT
+    of per-pair argmins (ties break on doc_id so both engines drop the
+    SAME doc); per-source keep/drop rates are the curation readout
+    feeding corpus_mix. Everything past banding moves (doc_id, prob)
+    pairs only."""
+    from .operators import curation, dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.dedup_minhash_lsh(docs).select("doc_a", "doc_b").distinct()
+    probs = curation.quality_classifier(docs).select("doc_id", "prob")
+    pa = probs.select(F.col("doc_id").alias("doc_a"), F.col("prob").alias("_pa"))
+    pb = probs.select(F.col("doc_id").alias("doc_b"), F.col("prob").alias("_pb"))
+    drops = (
+        pairs.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            F.when(
+                (F.col("_pa") < F.col("_pb"))
+                | ((F.col("_pa") == F.col("_pb")) & (F.col("doc_a") > F.col("doc_b"))),
+                F.col("doc_a"),
+            )
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    agg = (
+        docs.select("doc_id", "source")
+        .join(drops, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.coalesce("_dropped", F.lit(0))).cast("long").alias("n_dropped"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_dropped",
+        (F.col("n_docs") - F.col("n_dropped")).cast("long").alias("n_kept"),
+        F.round(F.col("n_dropped").cast("double") / F.col("n_docs"), 6).alias(
+            "drop_rate"
+        ),
+    )
+
+
+ORACLES["dedup_keep_best"] = _dedup_keep_best_oracle()
+
+
+@query(
+    "quantile_confidence_bands",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               list_sort(list(CAST(round(value * 1000000) AS BIGINT))) AS vs
+        FROM events GROUP BY event_type
+    ), q AS (SELECT unnest([0.5, 0.9, 0.99]) AS qq)
+    SELECT event_type, qq AS quantile, n,
+           round(vs[CAST(greatest(1, CAST(floor(n * qq
+                 - 1.959964 * sqrt(n * qq * (1 - qq))) AS BIGINT) + 1) AS INTEGER)]
+                 / 1e6, 6) AS ci_lo,
+           round(vs[CAST(CAST(floor(n * qq) AS BIGINT) + 1 AS INTEGER)] / 1e6, 6)
+               AS estimate,
+           round(vs[CAST(least(n, CAST(ceil(n * qq
+                 + 1.959964 * sqrt(n * qq * (1 - qq))) AS BIGINT) + 1) AS INTEGER)]
+                 / 1e6, 6) AS ci_hi
+    FROM g CROSS JOIN q
+    """,
+)
+def quantile_confidence_bands_q(spark, sf_dir):
+    """Order-statistic confidence bands for p50/p90/p99 per event type
+    (the distribution-free binomial CI — the honest error bar for
+    latency/value percentiles, no normality assumed): per-type sorted
+    micro-unit lists (the same exact sorted-selection frame
+    trimmed_mean_stats uses, |type|-bounded; approx_percentile is the
+    documented 100 TB swap-in), rank bounds n·q ± z·√(n·q(1−q))
+    computed with identical floor/ceil/clamp arithmetic on both
+    engines, then three exact list selections per type."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sort_array(
+            F.collect_list(F.expr("cast(round(value * 1000000) as bigint)"))
+        ).alias("vs"),
+    )
+    q = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "qq double")
+    nd = F.col("n").cast("double")
+    spread = F.lit(1.959964) * F.sqrt(nd * F.col("qq") * (1 - F.col("qq")))
+    r_lo = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(nd * F.col("qq") - spread).cast("long") + 1,
+    )
+    r_est = F.floor(nd * F.col("qq")).cast("long") + 1
+    r_hi = F.least(
+        F.col("n"), F.ceil(nd * F.col("qq") + spread).cast("long") + 1
+    )
+    return g.crossJoin(F.broadcast(q)).select(
+        "event_type",
+        F.col("qq").alias("quantile"),
+        "n",
+        F.round(F.element_at("vs", r_lo.cast("int")) / F.lit(1e6), 6).alias("ci_lo"),
+        F.round(F.element_at("vs", r_est.cast("int")) / F.lit(1e6), 6).alias(
+            "estimate"
+        ),
+        F.round(F.element_at("vs", r_hi.cast("int")) / F.lit(1e6), 6).alias("ci_hi"),
+    )
+
+
+@query(
+    "intraclass_correlation",
+    oracle="""
+    WITH cl AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_i,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s_i,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+                        * CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS q_i
+        FROM orders GROUP BY o_custkey
+    ), t AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n_i) AS BIGINT) AS nn,
+               CAST(sum(s_i) AS BIGINT) AS ss,
+               CAST(sum(n_i * n_i) AS BIGINT) AS sn2,
+               CAST(sum(CAST(round((CAST(q_i AS DOUBLE)
+                    - CAST(s_i AS DOUBLE) * s_i / n_i) / 10000) AS BIGINT)) AS BIGINT)
+                   AS ssw_u,
+               CAST(sum(CAST(round((CAST(s_i AS DOUBLE) * s_i / n_i) / 10000)
+                    AS BIGINT)) AS BIGINT) AS sb_u
+        FROM cl
+    ), d AS (
+        SELECT k, nn,
+               (CAST(sb_u AS DOUBLE) - CAST(round((CAST(ss AS DOUBLE) * ss / nn)
+                    / 10000) AS BIGINT)) / (k - 1) AS msb,
+               CAST(ssw_u AS DOUBLE) / (nn - k) AS msw,
+               (CAST(nn AS DOUBLE) - CAST(sn2 AS DOUBLE) / nn) / (k - 1) AS n0
+        FROM t
+    )
+    SELECT k AS n_clusters, nn AS n_rows,
+           round(msb, 6) AS ms_between, round(msw, 6) AS ms_within,
+           round((msb - msw) / (msb + (n0 - 1) * msw), 6) AS icc,
+           round(1 + (CAST(nn AS DOUBLE) / k - 1)
+                 * ((msb - msw) / (msb + (n0 - 1) * msw)), 6) AS design_effect
+    FROM d
+    """,
+)
+def intraclass_correlation_q(spark, sf_dir):
+    """Intraclass correlation + design effect for order values
+    clustered by customer (the survey-sampling question behind every
+    cluster-sampled estimate: how much does sampling whole customers
+    instead of random orders inflate variance? DEFF = 1+(m̄−1)·ICC —
+    this calibrates hash_sample vs group_reservoir_sample): one-way
+    ANOVA from per-cluster exact cent-unit (n, Σx, Σx²) — ONE fact
+    rollup; per-cluster within/between terms quantize to unit-cents²
+    so the cluster-frame sums stay order-free; Fisher's ICC from the
+    mean squares in identical double arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr("cast(round(o_totalprice * 100) as bigint)")
+    cl = o.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_i"),
+        F.sum(cents).cast("long").alias("s_i"),
+        F.sum(cents * cents).cast("long").alias("q_i"),
+    )
+    t = cl.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_i").cast("long").alias("nn"),
+        F.sum("s_i").cast("long").alias("ss"),
+        F.sum(F.col("n_i") * F.col("n_i")).cast("long").alias("sn2"),
+        F.sum(
+            F.expr(
+                "cast(round((cast(q_i as double) - cast(s_i as double) * s_i / n_i)"
+                " / 10000) as bigint)"
+            )
+        )
+        .cast("long")
+        .alias("ssw_u"),
+        F.sum(
+            F.expr("cast(round((cast(s_i as double) * s_i / n_i) / 10000) as bigint)")
+        )
+        .cast("long")
+        .alias("sb_u"),
+    )
+    msb = (
+        F.col("sb_u").cast("double")
+        - F.expr("cast(round((cast(ss as double) * ss / nn) / 10000) as bigint)")
+    ) / (F.col("k") - 1)
+    msw = F.col("ssw_u").cast("double") / (F.col("nn") - F.col("k"))
+    n0 = (F.col("nn").cast("double") - F.col("sn2").cast("double") / F.col("nn")) / (
+        F.col("k") - 1
+    )
+    icc = (msb - msw) / (msb + (n0 - 1) * msw)
+    return t.select(
+        F.col("k").alias("n_clusters"),
+        F.col("nn").alias("n_rows"),
+        F.round(msb, 6).alias("ms_between"),
+        F.round(msw, 6).alias("ms_within"),
+        F.round(icc, 6).alias("icc"),
+        F.round(1 + (F.col("nn").cast("double") / F.col("k") - 1) * icc, 6).alias(
+            "design_effect"
+        ),
+    )
+
+
+def _dedup_threshold_sweep_oracle() -> str:
+    from .operators import ann
+
+    planes = ann.hyperplanes(6, 64)
+    return f"""
+    WITH {_planes_sql(planes)},
+    dots AS (
+        SELECT e.vec_id, p.pid, {_dd_dot('e.embedding', 'p.w')} AS d
+        FROM embeddings e CROSS JOIN planes p
+    ), buckets AS (
+        SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << pid) ELSE 0 END) AS bucket
+        FROM dots GROUP BY vec_id
+    ), v AS (
+        SELECT e.vec_id, e.embedding, b.bucket
+        FROM embeddings e JOIN buckets b USING (vec_id)
+    ), scored AS (
+        SELECT {_dd_cosine('a.embedding', 'b.embedding')} AS score
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM embeddings),
+    thr AS (SELECT unnest([0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8]) AS tau)
+    SELECT t.tau, nv.n_vectors,
+           CAST((SELECT count(*) FROM scored) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN s.score >= t.tau THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_pairs,
+           round(CAST(sum(CASE WHEN s.score >= t.tau THEN 1 ELSE 0 END) AS DOUBLE)
+                 / nv.n_vectors, 6) AS pairs_per_doc
+    FROM scored s CROSS JOIN thr t CROSS JOIN nv
+    GROUP BY t.tau, nv.n_vectors
+    """
+
+
+@query("dedup_threshold_sweep")  # oracle attached below (plane literals)
+def dedup_threshold_sweep_q(spark, sf_dir):
+    """Near-dup threshold policy sweep (how aggressive should semantic
+    dedup be? — the tuning table a curation team reads before fixing
+    dedup_embedding_lsh's tau): same-bucket candidate pairs score
+    ONCE; all 7 thresholds are conditional sums over that single
+    scored pass (one more threshold = one more counter, not another
+    pair join). The pairs-per-doc column is the de-dup pressure
+    readout per tau; candidate volume stays bucket-bounded."""
+    from .operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    planes = ann.hyperplanes(6, 64)
+    v = emb.select(
+        "vec_id", "embedding", ann.lsh_bucket(F.col("embedding"), planes).alias("_b")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    scored = a.join(
+        b, (F.col("a._b") == F.col("b._b")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(V.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("score"))
+    nv = load_table(spark, sf_dir, "embeddings").agg(
+        F.count("*").cast("long").alias("n_vectors")
+    )
+    thr = spark.createDataFrame(
+        [(0.2,), (0.3,), (0.4,), (0.5,), (0.6,), (0.7,), (0.8,)], "tau double"
+    )
+    nc = scored.agg(F.count("*").cast("long").alias("n_candidates"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy("tau")
+        .agg(
+            F.sum(F.when(F.col("score") >= F.col("tau"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_pairs")
+        )
+        .crossJoin(F.broadcast(nv))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "tau",
+            "n_vectors",
+            "n_candidates",
+            "n_dup_pairs",
+            F.round(
+                F.col("n_dup_pairs").cast("double") / F.col("n_vectors"), 6
+            ).alias("pairs_per_doc"),
+        )
+    )
+
+
+ORACLES["dedup_threshold_sweep"] = _dedup_threshold_sweep_oracle()
+
+
+@query(
+    "embedding_dim_profile",
+    oracle="""
+    WITH d AS (
+        SELECT unnest(range(len(embedding))) AS pos,
+               CAST(round(unnest(embedding::DOUBLE[]) * 1000000) AS BIGINT) AS v_u
+        FROM embeddings
+    ), g AS (
+        SELECT CAST(pos AS BIGINT) AS pos, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v_u) AS BIGINT) AS s,
+               sum(CAST(v_u AS DECIMAL(18,0)) * CAST(v_u AS DECIMAL(18,0))) AS q,
+               CAST(min(v_u) AS BIGINT) AS mn, CAST(max(v_u) AS BIGINT) AS mx
+        FROM d GROUP BY pos
+    )
+    SELECT pos, n,
+           round(CAST(s AS DOUBLE) / n / 1e6, 6) AS mean_v,
+           round((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1) / 1e12, 6)
+               AS variance,
+           round(mn / 1e6, 6) AS min_v,
+           round(mx / 1e6, 6) AS max_v,
+           (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1) / 1e12 < 0.0001
+               AS near_zero_var
+    FROM g
+    """,
+)
+def embedding_dim_profile_q(spark, sf_dir):
+    """Per-DIMENSION embedding profile (the feature-screening pass
+    before PCA/quantization: dead dimensions waste PQ codebook bits
+    and mislead matryoshka truncation — embedding_quality_checks'
+    per-vector QA, transposed): posexplode to (pos, value) primitives,
+    one map-side-combinable rollup to 64 rows; micro-unit sums are
+    exact BIGINTs with DECIMAL accumulation for the squares (overflows
+    long at corpus scale), variance/min/max/near-zero flags derive
+    from identical arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    d = emb.select(F.posexplode(V._as_double(F.col("embedding")))).select(
+        F.col("pos").cast("long").alias("pos"),
+        F.expr("cast(round(col * 1000000) as bigint)").alias("v_u"),
+    )
+    g = d.groupBy("pos").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v_u").cast("long").alias("s"),
+        F.sum(F.col("v_u").cast("decimal(18,0)") * F.col("v_u").cast("decimal(18,0)"))
+        .alias("q"),
+        F.min("v_u").cast("long").alias("mn"),
+        F.max("v_u").cast("long").alias("mx"),
+    )
+    var = (
+        (F.col("q").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+        / F.lit(1e12)
+    )
+    return g.select(
+        "pos",
+        "n",
+        F.round(F.col("s").cast("double") / F.col("n") / F.lit(1e6), 6).alias("mean_v"),
+        F.round(var, 6).alias("variance"),
+        F.round(F.col("mn") / F.lit(1e6), 6).alias("min_v"),
+        F.round(F.col("mx") / F.lit(1e6), 6).alias("max_v"),
+        (var < 0.0001).alias("near_zero_var"),
+    )
