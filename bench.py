@@ -266,6 +266,10 @@ EXTRA = [
     "intraclass_correlation",
     "dedup_threshold_sweep",
     "embedding_dim_profile",
+    "eb_rate_shrinkage",
+    "simpson_paradox_check",
+    "bloom_filter_sizing",
+    "recall_at_k_sweep",
 ]
 
 

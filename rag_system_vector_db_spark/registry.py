@@ -13573,3 +13573,360 @@ def embedding_dim_profile_q(spark, sf_dir):
         F.round(F.col("mx") / F.lit(1e6), 6).alias("max_v"),
         (var < 0.0001).alias("near_zero_var"),
     )
+
+
+@query(
+    "eb_rate_shrinkage",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS v,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c
+        FROM events GROUP BY user_id
+    ), r AS (
+        SELECT user_id, v, c,
+               CAST(round(CAST(c AS DOUBLE) / v * 1000000) AS BIGINT) AS r_u
+        FROM u WHERE v >= 1
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS uu,
+               CAST(sum(r_u) AS BIGINT) AS sr,
+               CAST(sum(r_u * r_u) AS BIGINT) AS srr
+        FROM r
+    ), ab AS (
+        SELECT uu,
+               CAST(sr AS DOUBLE) / uu / 1000000 AS mean_r,
+               (CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * sr / uu)
+                   / (uu - 1) / 1e12 AS var_r
+        FROM m
+    ), k AS (
+        SELECT uu, mean_r, var_r,
+               CASE WHEN var_r > 0 AND mean_r * (1 - mean_r) / var_r - 1 > 0
+                    THEN mean_r * (1 - mean_r) / var_r - 1 ELSE 1.0 END AS kappa
+        FROM ab
+    )
+    SELECT user_id, v AS n_views, c AS n_conversions,
+           round(CAST(c AS DOUBLE) / v, 6) AS raw_rate,
+           round((CAST(c AS DOUBLE) + k.mean_r * k.kappa)
+                 / (CAST(v AS DOUBLE) + k.kappa), 6) AS shrunk_rate,
+           round(k.mean_r * k.kappa, 6) AS alpha,
+           round((1 - k.mean_r) * k.kappa, 6) AS beta,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT r.*, row_number() OVER (ORDER BY v DESC, user_id) AS rnk FROM r
+    ) r CROSS JOIN k
+    WHERE rnk <= 20
+    """,
+)
+def eb_rate_shrinkage_q(spark, sf_dir):
+    """Empirical-Bayes (Beta-Binomial) shrinkage of per-user
+    view->purchase rates (the classic fix for 1/1 = 100%% small-sample
+    rates that pollute any leaderboard or CTR model): method-of-
+    moments alpha/beta from the POPULATION of per-user rates — the
+    user rollup is the only fact shuffle; rate moments are exact
+    micro-unit integer sums over that frame, and the prior returns as
+    one broadcast scalar row. Shrunk rate (c+alpha)/(v+alpha+beta) per
+    user; top-20 by volume as the readout. Degenerate variance falls
+    back to kappa=1 through the identical CASE on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("v"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    r = u.filter(F.col("v") >= 1).select(
+        "user_id",
+        "v",
+        "c",
+        F.expr("cast(round(cast(c as double) / v * 1000000) as bigint)").alias("r_u"),
+    )
+    m = r.agg(
+        F.count("*").cast("long").alias("uu"),
+        F.sum("r_u").cast("long").alias("sr"),
+        F.sum(F.col("r_u") * F.col("r_u")).cast("long").alias("srr"),
+    )
+    mean_r = F.col("sr").cast("double") / F.col("uu") / F.lit(1000000)
+    var_r = (
+        (F.col("srr").cast("double") - F.col("sr").cast("double") * F.col("sr") / F.col("uu"))
+        / (F.col("uu") - 1)
+        / F.lit(1e12)
+    )
+    k = m.select(
+        mean_r.alias("mean_r"),
+        F.when(
+            (var_r > 0) & (mean_r * (1 - mean_r) / var_r - 1 > 0),
+            mean_r * (1 - mean_r) / var_r - 1,
+        )
+        .otherwise(F.lit(1.0))
+        .alias("kappa"),
+    )
+    ranked = r.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.col("v").desc(), "user_id"))
+        .cast("long"),
+    ).filter(F.col("rnk") <= 20)
+    return ranked.crossJoin(F.broadcast(k)).select(
+        "user_id",
+        F.col("v").alias("n_views"),
+        F.col("c").alias("n_conversions"),
+        F.round(F.col("c").cast("double") / F.col("v"), 6).alias("raw_rate"),
+        F.round(
+            (F.col("c").cast("double") + F.col("mean_r") * F.col("kappa"))
+            / (F.col("v").cast("double") + F.col("kappa")),
+            6,
+        ).alias("shrunk_rate"),
+        F.round(F.col("mean_r") * F.col("kappa"), 6).alias("alpha"),
+        F.round((1 - F.col("mean_r")) * F.col("kappa"), 6).alias("beta"),
+        "rnk",
+    )
+
+
+@query(
+    "simpson_paradox_check",
+    oracle="""
+    WITH d AS (
+        SELECT n.n_name,
+               CAST(round(l.l_discount * 100) AS BIGINT) AS x,
+               CAST(round(l.l_quantity) AS BIGINT) AS y
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ), s AS (
+        SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM d GROUP BY n_name
+    ), w AS (
+        SELECT n_name, n, sx, sy, sxx, sxy,
+               CAST(sum(n) OVER () AS BIGINT) AS tn,
+               CAST(sum(sx) OVER () AS BIGINT) AS tsx,
+               CAST(sum(sy) OVER () AS BIGINT) AS tsy,
+               CAST(sum(sxx) OVER () AS BIGINT) AS tsxx,
+               CAST(sum(sxy) OVER () AS BIGINT) AS tsxy
+        FROM s
+    )
+    SELECT n_name, n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS slope,
+           round((CAST(tn AS DOUBLE) * tsxy - CAST(tsx AS DOUBLE) * tsy)
+                 / (CAST(tn AS DOUBLE) * tsxx - CAST(tsx AS DOUBLE) * tsx), 6)
+               AS pooled_slope,
+           ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) *
+            (CAST(tn AS DOUBLE) * tsxy - CAST(tsx AS DOUBLE) * tsy)) < 0 AS sign_flip
+    FROM w
+    """,
+)
+def simpson_paradox_check_q(spark, sf_dir):
+    """Simpson's-paradox screen for the discount->quantity relationship
+    (does any nation's within-segment slope run OPPOSITE to the pooled
+    slope? the aggregation trap every metrics review must rule out
+    before acting on a pooled trend): per-nation OLS moments from ONE
+    rollup (grouped_ols_slopes' frame), the POOLED moments derived by
+    window-summing that same 25-row frame — no second fact scan; the
+    sign_flip flag compares the two slope numerators under identical
+    arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    d = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.expr("cast(round(l_discount * 100) as bigint)").alias("x"),
+            F.expr("cast(round(l_quantity) as bigint)").alias("y"),
+        )
+    )
+    s = d.groupBy("n_name").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    wa = Window.partitionBy()
+    w = s.select(
+        "*",
+        F.sum("n").over(wa).cast("long").alias("tn"),
+        F.sum("sx").over(wa).cast("long").alias("tsx"),
+        F.sum("sy").over(wa).cast("long").alias("tsy"),
+        F.sum("sxx").over(wa).cast("long").alias("tsxx"),
+        F.sum("sxy").over(wa).cast("long").alias("tsxy"),
+    )
+    nd = F.col("n").cast("double")
+    gnum = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    gden = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    td = F.col("tn").cast("double")
+    pnum = td * F.col("tsxy") - F.col("tsx").cast("double") * F.col("tsy")
+    pden = td * F.col("tsxx") - F.col("tsx").cast("double") * F.col("tsx")
+    return w.select(
+        "n_name",
+        "n",
+        F.round(gnum / gden, 6).alias("slope"),
+        F.round(pnum / pden, 6).alias("pooled_slope"),
+        ((gnum * pnum) < 0).alias("sign_flip"),
+    )
+
+
+@query(
+    "bloom_filter_sizing",
+    oracle="""
+    WITH n AS (
+        SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_keys FROM documents
+    ), t AS (SELECT unnest([0.01, 0.001, 0.0001]) AS target_fpr)
+    SELECT t.target_fpr, n.n_keys,
+           CAST(ceil(-CAST(n.n_keys AS DOUBLE) * ln(t.target_fpr)
+                     / pow(ln(2.0), 2)) AS BIGINT) AS m_bits,
+           round(ceil(-CAST(n.n_keys AS DOUBLE) * ln(t.target_fpr)
+                      / pow(ln(2.0), 2)) / 8388608, 6) AS mib,
+           CAST(greatest(1, CAST(round(ceil(-CAST(n.n_keys AS DOUBLE) * ln(t.target_fpr)
+                / pow(ln(2.0), 2)) / n.n_keys * ln(2.0)) AS BIGINT)) AS BIGINT)
+               AS k_hashes,
+           round(pow(1 - exp(-greatest(1, CAST(round(ceil(-CAST(n.n_keys AS DOUBLE)
+                     * ln(t.target_fpr) / pow(ln(2.0), 2)) / n.n_keys * ln(2.0))
+                     AS BIGINT)) * CAST(n.n_keys AS DOUBLE)
+                     / ceil(-CAST(n.n_keys AS DOUBLE) * ln(t.target_fpr)
+                            / pow(ln(2.0), 2))),
+               greatest(1, CAST(round(ceil(-CAST(n.n_keys AS DOUBLE) * ln(t.target_fpr)
+                     / pow(ln(2.0), 2)) / n.n_keys * ln(2.0)) AS BIGINT))), 6)
+               AS actual_fpr
+    FROM n CROSS JOIN t
+    """,
+)
+def bloom_filter_sizing_q(spark, sf_dir):
+    """Bloom filter capacity planning for the dedup-at-the-door path
+    (bloom_dedup_probe MEASURES a filter; this SIZES one): optimal
+    m = -n·ln(p)/ln²2 bits and k = (m/n)·ln2 hashes for target FPRs,
+    plus the realized FPR (1-e^(-kn/m))^k — the incremental_dedup /
+    streaming_corpus_dedup front-door budget. The key count is one
+    distinct-hash aggregate (HLL-swappable at 100 TB); the sizing
+    table is pure literal math over that scalar, identical on both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count_distinct(F.md5("text")).cast("long").alias("n_keys"))
+    t = spark.createDataFrame([(0.01,), (0.001,), (0.0001,)], "target_fpr double")
+    nd = F.col("n_keys").cast("double")
+    ln2 = F.log(F.lit(2.0))
+    m_bits = F.ceil(-nd * F.log(F.col("target_fpr")) / F.pow(ln2, F.lit(2.0)))
+    k_hashes = F.greatest(
+        F.lit(1).cast("long"), F.round(m_bits / F.col("n_keys") * ln2, 0).cast("long")
+    )
+    actual = F.pow(
+        1 - F.exp(-k_hashes.cast("double") * nd / m_bits), k_hashes.cast("double")
+    )
+    return n.crossJoin(F.broadcast(t)).select(
+        "target_fpr",
+        "n_keys",
+        m_bits.cast("long").alias("m_bits"),
+        F.round(m_bits / F.lit(8388608), 6).alias("mib"),
+        k_hashes.alias("k_hashes"),
+        F.round(actual, 6).alias("actual_fpr"),
+    )
+
+
+def _recall_sweep_oracle() -> str:
+    from .operators import ann
+
+    planes = ann.hyperplanes(4, 64)
+    return f"""
+    WITH {_planes_sql(planes)},
+    dots AS (
+        SELECT e.vec_id, p.pid, {_dd_dot('e.embedding', 'p.w')} AS d
+        FROM embeddings e CROSS JOIN planes p
+    ), buckets AS (
+        SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << pid) ELSE 0 END) AS bucket
+        FROM dots GROUP BY vec_id
+    ), q AS (
+        SELECT e.vec_id AS query_id, e.embedding AS query_vec, b.bucket
+        FROM embeddings e JOIN buckets b USING (vec_id) WHERE e.vec_id < 20
+    ), c AS (
+        SELECT e.vec_id, e.embedding, b.bucket
+        FROM embeddings e JOIN buckets b USING (vec_id)
+    ), annr AS (
+        SELECT query_id, vec_id, rnk FROM (
+            SELECT q.query_id, c.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY {_dd_cosine('c.embedding', 'q.query_vec')} DESC,
+                                c.vec_id) AS rnk
+            FROM c JOIN q ON c.bucket = q.bucket
+        ) WHERE rnk <= 20
+    ), bfr AS (
+        SELECT query_id, vec_id, rnk FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY {_dd_cosine('e.embedding', 'q.query_vec')} DESC,
+                                e.vec_id) AS rnk
+            FROM embeddings e CROSS JOIN q
+        ) WHERE rnk <= 20
+    ), j AS (
+        SELECT a.query_id, a.rnk AS r_ann, b.rnk AS r_bf
+        FROM annr a JOIN bfr b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+    ), nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries FROM q),
+    ks AS (SELECT unnest([1, 5, 10, 20]) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS k, nq.n_queries,
+           CAST(sum(CASE WHEN j.r_ann <= ks.k AND j.r_bf <= ks.k
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           round(CAST(sum(CASE WHEN j.r_ann <= ks.k AND j.r_bf <= ks.k
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (nq.n_queries * ks.k), 6) AS mean_recall
+    FROM j CROSS JOIN ks CROSS JOIN nq
+    GROUP BY ks.k, nq.n_queries
+    """
+
+
+@query("recall_at_k_sweep")  # oracle attached below (plane literals)
+def recall_at_k_sweep_q(spark, sf_dir):
+    """Recall@k across a k-grid for single-probe LSH vs exact top-20
+    (ann_recall_at_k fixes k=10; the CUTOFF-sensitivity view shows
+    whether the probe budget holds as the serving k grows — the table
+    that decides k before rerank_two_stage's depth): the ANN and
+    brute-force rankings compute ONCE to depth 20; the rank-pair join
+    is (queries x <=20)-bounded and every k in the grid is a
+    conditional sum over that joined frame — 4 cutoffs, zero extra
+    retrieval passes."""
+    from .operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    planes = ann.hyperplanes(4, 64)
+    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    annr = ann.ann_lsh_topk(emb, queries, planes, k=20).select(
+        "query_id", "vec_id", F.col("rank").alias("r_ann")
+    )
+    bfr = knn.topk_batch(load_table(spark, sf_dir, "embeddings"), queries, k=20).select(
+        "query_id", "vec_id", F.col("rank").alias("r_bf")
+    )
+    j = annr.join(bfr, ["query_id", "vec_id"])
+    nq = queries.agg(F.count_distinct("query_id").cast("long").alias("n_queries"))
+    ks = spark.createDataFrame([(1,), (5,), (10,), (20,)], "k long")
+    return (
+        j.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when((F.col("r_ann") <= F.col("k")) & (F.col("r_bf") <= F.col("k")), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_hits")
+        )
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "k",
+            "n_queries",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / (F.col("n_queries") * F.col("k")), 6
+            ).alias("mean_recall"),
+        )
+    )
+
+
+ORACLES["recall_at_k_sweep"] = _recall_sweep_oracle()
