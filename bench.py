@@ -270,6 +270,9 @@ EXTRA = [
     "simpson_paradox_check",
     "bloom_filter_sizing",
     "recall_at_k_sweep",
+    "uncertainty_sampling",
+    "source_ngram_similarity",
+    "seasonal_residual_anomaly",
 ]
 
 

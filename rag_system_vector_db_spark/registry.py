@@ -13930,3 +13930,242 @@ def recall_at_k_sweep_q(spark, sf_dir):
 
 
 ORACLES["recall_at_k_sweep"] = _recall_sweep_oracle()
+
+
+def _uncertainty_sampling_oracle() -> str:
+    base = _classifier_calibration_oracle().rsplit(", labels AS", 1)[0]
+    return (
+        base
+        + """
+    SELECT p.doc_id, d.source, round(p.prob, 6) AS prob,
+           round(abs(p.prob - 0.5), 6) AS margin,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT doc_id, prob,
+               row_number() OVER (ORDER BY abs(prob - 0.5), doc_id) AS rnk
+        FROM probs
+    ) p JOIN documents d USING (doc_id)
+    WHERE rnk <= 20
+    """
+    )
+
+
+@query("uncertainty_sampling", oracle=None)  # oracle attached below
+def uncertainty_sampling_q(spark, sf_dir):
+    """Active-learning batch selection: the 20 documents the quality
+    scorer is LEAST sure about (|prob - 0.5| margin, deterministic
+    ties) — the annotation queue that improves the classifier fastest
+    per label (uncertainty sampling, Lewis & Gale '94). One classifier
+    pass; the margin ranking is a TakeOrdered-shaped top-k, and source
+    metadata joins back for the 20 winners only — the same
+    winners-only fetch posture as snippet_extraction."""
+    from .operators import curation
+
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    probs = curation.quality_classifier(docs).select("doc_id", "prob")
+    ranked = probs.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.abs(F.col("prob") - 0.5), "doc_id"))
+        .cast("long"),
+    ).filter(F.col("rnk") <= 20)
+    return ranked.join(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id"
+    ).select(
+        "doc_id",
+        "source",
+        F.round("prob", 6).alias("prob"),
+        F.round(F.abs(F.col("prob") - 0.5), 6).alias("margin"),
+        "rnk",
+    )
+
+
+ORACLES["uncertainty_sampling"] = _uncertainty_sampling_oracle()
+
+
+@query(
+    "source_ngram_similarity",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ), grams AS (
+        SELECT source, substr(term, 1, 3) AS g, CAST(count(*) AS BIGINT) AS c
+        FROM toks WHERE term <> '' GROUP BY source, substr(term, 1, 3)
+    ), norms AS (
+        SELECT source, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nrm FROM grams GROUP BY source
+    ), pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT p.source_a, p.source_b,
+           round(CAST(p.dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine_sim
+    FROM pairs p
+    JOIN norms na ON p.source_a = na.source
+    JOIN norms nb ON p.source_b = nb.source
+    """,
+)
+def source_ngram_similarity_q(spark, sf_dir):
+    """Character-trigram-prefix profile similarity between sources
+    (the stylometric 'are these feeds the same kind of text?' matrix —
+    lang_id classifies rows, THIS compares whole slices;
+    cross_source_duplication finds copies, this finds stylistic kin):
+    per-source gram counts collapse map-side to a |sources|x|grams|
+    frame; the pairwise dot joins on the gram key (bounded by gram
+    vocabulary, never data volume) and norms come from exact integer
+    sum-of-squares. Cosine from exact BIGINTs at emit."""
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    grams = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("source", F.substring("term", 1, 3).alias("g"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    norms = grams.groupBy("source").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("nrm")
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("source").alias("source_a"), F.col("nrm").alias("_na"))
+    nb = norms.select(F.col("source").alias("source_b"), F.col("nrm").alias("_nb"))
+    return (
+        pairs.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(F.col("dot").cast("double") / (F.col("_na") * F.col("_nb")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+
+
+@query(
+    "seasonal_residual_anomaly",
+    oracle="""
+    WITH m AS (
+        SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS month_id,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        FROM orders GROUP BY month_id
+    ), tr AS (
+        SELECT month_id, rev_c,
+               CAST(sum(rev_c) OVER w AS BIGINT) AS win_sum,
+               CAST(count(*) OVER w AS BIGINT) AS win_n
+        FROM m
+        WINDOW w AS (ORDER BY month_id ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+    ), dt AS (
+        SELECT month_id, rev_c,
+               CAST(rev_c AS DOUBLE) / 100 - CAST(win_sum AS DOUBLE) / 13 / 100
+                   AS detrended
+        FROM tr WHERE win_n = 13
+    ), si AS (
+        SELECT month_id % 12 AS moy,
+               CAST(sum(CAST(round(detrended * 1000000) AS BIGINT)) AS BIGINT) AS s_u,
+               CAST(count(*) AS BIGINT) AS n
+        FROM dt GROUP BY month_id % 12
+    ), res AS (
+        SELECT d.month_id,
+               CAST(round(d.detrended * 1000000) AS BIGINT)
+               - CAST(round(CAST(s.s_u AS DOUBLE) / s.n) AS BIGINT) AS r_u
+        FROM dt d JOIN si s ON d.month_id % 12 = s.moy
+    ), med AS (
+        SELECT list_sort(list(r_u)) AS vs, CAST(count(*) AS BIGINT) AS n FROM res
+    ), m0 AS (
+        SELECT vs[CAST(n // 2 AS INTEGER) + 1] AS med_u FROM med
+    ), mad AS (
+        SELECT list_sort(list(abs(r.r_u - m0.med_u))) AS avs,
+               CAST(count(*) AS BIGINT) AS n
+        FROM res r CROSS JOIN m0 GROUP BY ALL
+    ), mad0 AS (
+        SELECT avs[CAST(n // 2 AS INTEGER) + 1] AS mad_u FROM mad
+    )
+    SELECT CAST(r.month_id AS BIGINT) AS month_id,
+           round(r.r_u / 1e6, 6) AS residual,
+           round(m0.med_u / 1e6, 6) AS res_median,
+           round(mad0.mad_u / 1e6, 6) AS res_mad,
+           abs(r.r_u - m0.med_u) > 3 * mad0.mad_u AS is_anomaly
+    FROM res r CROSS JOIN m0 CROSS JOIN mad0
+    """,
+)
+def seasonal_residual_anomaly_q(spark, sf_dir):
+    """Anomaly detection on the SEASONALLY-ADJUSTED series (the
+    decompose->detect loop closed: a raw-value detector fires every
+    December; flagging |residual − median| > 3·MAD only fires when a
+    month breaks its OWN seasonal pattern — events_anomaly_mad's
+    robust rule applied to seasonal_decompose's residuals): residuals
+    in exact micro-units, median and MAD by exact sorted selection
+    over the month-bounded frame, the threshold compare entirely in
+    integers."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1).alias(
+            "month_id"
+        )
+    ).agg(
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    w = Window.orderBy("month_id").rowsBetween(-6, 6)
+    tr = m.select(
+        "month_id",
+        "rev_c",
+        F.sum("rev_c").over(w).cast("long").alias("win_sum"),
+        F.count("*").over(w).cast("long").alias("win_n"),
+    )
+    dt = tr.filter(F.col("win_n") == 13).select(
+        "month_id",
+        (
+            F.col("rev_c").cast("double") / 100
+            - F.col("win_sum").cast("double") / 13 / 100
+        ).alias("detrended"),
+    )
+    si = dt.groupBy((F.col("month_id") % 12).alias("moy")).agg(
+        F.sum(F.expr("cast(round(detrended * 1000000) as bigint)"))
+        .cast("long")
+        .alias("s_u"),
+        F.count("*").cast("long").alias("n"),
+    )
+    res = (
+        dt.join(F.broadcast(si), F.col("month_id") % 12 == F.col("moy"))
+        .select(
+            "month_id",
+            (
+                F.expr("cast(round(detrended * 1000000) as bigint)")
+                - F.expr("cast(round(cast(s_u as double) / n) as bigint)")
+            ).alias("r_u"),
+        )
+    )
+    med = res.agg(
+        F.sort_array(F.collect_list("r_u")).alias("vs"),
+        F.count("*").cast("long").alias("n"),
+    ).select(
+        F.element_at("vs", (F.expr("n div 2") + 1).cast("int")).alias("med_u")
+    )
+    wm = res.crossJoin(F.broadcast(med))
+    mad = wm.agg(
+        F.sort_array(F.collect_list(F.abs(F.col("r_u") - F.col("med_u")))).alias("avs"),
+        F.count("*").cast("long").alias("n"),
+    ).select(
+        F.element_at("avs", (F.expr("n div 2") + 1).cast("int")).alias("mad_u")
+    )
+    return (
+        wm.crossJoin(F.broadcast(mad))
+        .select(
+            F.col("month_id").cast("long"),
+            F.round(F.col("r_u") / F.lit(1e6), 6).alias("residual"),
+            F.round(F.col("med_u") / F.lit(1e6), 6).alias("res_median"),
+            F.round(F.col("mad_u") / F.lit(1e6), 6).alias("res_mad"),
+            (F.abs(F.col("r_u") - F.col("med_u")) > 3 * F.col("mad_u")).alias(
+                "is_anomaly"
+            ),
+        )
+    )
