@@ -107,9 +107,16 @@ _VERIFY_FIRST = [
     # bm25_tuning_grid, snippet_extraction, cross_source_duplication,
     # holt_forecast, kendall_tau_ranks, ab_power_analysis,
     # classifier_pr_curve, brier_decomposition,
-    # join_cardinality_estimate, filter_selectivity_estimate) — all
-    # parity-verified at sf0.001 AND sf0.01 this session; fold them
-    # into the r6 rotation after the list below. Full r6
+    # join_cardinality_estimate, filter_selectivity_estimate, plus the
+    # later waves: embedding_dedup_recall, order_backlog_timeseries,
+    # rollup_grain_advisor, seasonal_decompose, dedup_keep_best,
+    # quantile_confidence_bands, intraclass_correlation,
+    # dedup_threshold_sweep, embedding_dim_profile, eb_rate_shrinkage,
+    # simpson_paradox_check, bloom_filter_sizing, recall_at_k_sweep,
+    # uncertainty_sampling, source_ngram_similarity,
+    # seasonal_residual_anomaly — 42 in total) — all parity-verified
+    # at sf0.001 AND sf0.01 this session; fold them into the r6
+    # rotation after the list below. Full r6
     # rotation order (28 late-r5 never-stamped, flagships first):
     # curation_pipeline, kmeans_refine, mlm_mask_corpus,
     # span_corrupt_corpus, data_quality_checks, salted_join_topn,
