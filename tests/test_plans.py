@@ -566,3 +566,50 @@ def test_sql_interface_parity_with_dataframe_api(spark, sf_dir):
     sql_rows = spark.sql(ORACLES["revenue_forecast"]).collect()
     df_rows = QUERIES["revenue_forecast"](spark, sf_dir).collect()
     assert [tuple(r) for r in sql_rows] == [tuple(r) for r in df_rows]
+
+
+def test_layout_skipping_prunes_columns(spark, sf_dir):
+    """The zone-map advisor reads only the three columns it needs —
+    never the full lineitem width."""
+    plan = _plan(QUERIES["layout_skipping_compare"](spark, sf_dir))
+    rs = plan.split("ReadSchema")[1][:400]
+    assert "l_orderkey" in rs and "l_shipdate" in rs
+    assert "l_comment" not in rs and "l_extendedprice" not in rs
+
+
+def test_bm25_grid_single_corpus_scan_per_side(spark, sf_dir):
+    """The (k1,b) grid must ride a broadcast join at the scoring agg —
+    the plan may scan documents for tf and for corpus stats, but the
+    grid itself must never trigger an extra documents scan."""
+    plan = _plan(QUERIES["bm25_tuning_grid"](spark, sf_dir))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("FileScan parquet") <= 3  # tf pass + stats pass (+split)
+
+
+def test_mann_whitney_pushes_type_filter(spark, sf_dir):
+    """The two-sample filter must reach the parquet scan."""
+    plan = _plan(QUERIES["mann_whitney_u"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "In(event_type" in plan or "EqualTo(event_type" in plan
+
+
+def test_decayed_topk_partial_agg(spark, sf_dir):
+    """The (type, day) rollup must map-side combine before the
+    exchange."""
+    plan = _plan(QUERIES["events_decayed_topk"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_classifier_eval_broadcasts_queries_not_corpus(spark, sf_dir):
+    """The kNN eval must broadcast the (small) test side; the train
+    corpus must not be shuffled into a sort-merge join for scoring."""
+    plan = _plan(QUERIES["knn_classifier_eval"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_snippet_text_fetch_is_winners_only(spark, sf_dir):
+    """documents.text must be read only on the top-10 join branch —
+    the hit-position pipeline reads (doc_id, text->split) once and the
+    final text fetch joins 10 rows back."""
+    df = QUERIES["snippet_extraction"](spark, sf_dir)
+    assert df.count() <= 10
