@@ -273,6 +273,9 @@ EXTRA = [
     "uncertainty_sampling",
     "source_ngram_similarity",
     "seasonal_residual_anomaly",
+    "lorenz_curve_points",
+    "partition_scheme_advisor",
+    "cache_hit_rate_plan",
 ]
 
 

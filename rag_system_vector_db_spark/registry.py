@@ -14169,3 +14169,206 @@ def seasonal_residual_anomaly_q(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "lorenz_curve_points",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_c
+        FROM orders GROUP BY o_custkey
+    ), r AS (
+        SELECT spend_c,
+               ntile(10) OVER (ORDER BY spend_c, o_custkey) AS decile
+        FROM c
+    ), g AS (
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(spend_c) AS BIGINT) AS spend_dec
+        FROM r GROUP BY decile
+    )
+    SELECT decile, n_customers,
+           round(CAST(spend_dec AS DOUBLE) / 100, 6) AS decile_spend,
+           round(CAST(sum(spend_dec) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / sum(spend_dec) OVER (), 6) AS cum_share
+    FROM g
+    """,
+)
+def lorenz_curve_points_q(spark, sf_dir):
+    """Lorenz curve deciles of customer spend (the plot behind
+    revenue_concentration's Gini — 'the bottom 50%% of customers hold
+    X%% of revenue'): one fact rollup to per-customer exact cents,
+    ntile(10) on a fully deterministic (spend, custkey) order, then
+    cumulative shares from exact integer sums over the 10-row frame.
+    The decile ranking is the only customer-frame window; everything
+    after is bounded."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+        .cast("long")
+        .alias("spend_c")
+    )
+    r = c.select(
+        "spend_c",
+        F.ntile(10).over(Window.orderBy("spend_c", "o_custkey")).alias("decile"),
+    )
+    g = r.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("spend_c").cast("long").alias("spend_dec"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return g.select(
+        "decile",
+        "n_customers",
+        F.round(F.col("spend_dec").cast("double") / 100, 6).alias("decile_spend"),
+        F.round(
+            F.sum("spend_dec").over(wc).cast("double")
+            / F.sum("spend_dec").over(Window.partitionBy()),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+@query(
+    "partition_scheme_advisor",
+    oracle="""
+    WITH d AS (
+        SELECT epoch_ns(ts) // 86400000000000 AS day, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY day
+    ), schemes AS (
+        SELECT 'daily' AS scheme, day AS part_id, n FROM d
+        UNION ALL
+        SELECT 'weekly', day // 7, n FROM d
+        UNION ALL
+        SELECT 'monthly', day // 30, n FROM d
+    ), p AS (
+        SELECT scheme, part_id, CAST(sum(n) AS BIGINT) AS rows_in_part
+        FROM schemes GROUP BY scheme, part_id
+    )
+    SELECT scheme,
+           CAST(count(*) AS BIGINT) AS n_partitions,
+           CAST(min(rows_in_part) AS BIGINT) AS min_rows,
+           CAST(max(rows_in_part) AS BIGINT) AS max_rows,
+           round(CAST(sum(rows_in_part) AS DOUBLE) / count(*), 6) AS mean_rows,
+           CAST(sum(CASE WHEN rows_in_part < 1000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_undersized,
+           round(CAST(sum(CASE WHEN rows_in_part < 1000 THEN rows_in_part ELSE 0 END)
+                 AS DOUBLE) / sum(rows_in_part), 6) AS undersized_row_frac
+    FROM p GROUP BY scheme
+    """,
+)
+def partition_scheme_advisor_q(spark, sf_dir):
+    """Time-partition granularity advisor (daily vs weekly vs monthly
+    event partitions — the small-files question every lakehouse table
+    answers at creation; partition_plan_sim sizes HASH buckets, this
+    sizes TIME partitions): the stream collapses to day counts once,
+    all three schemes are rollups of that bounded frame, and the
+    undersized-partition count/row-fraction (here <1000 rows standing
+    in for <128 MB files) is the compaction-pressure readout
+    compaction_plan would then act on."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.expr("ts_ns div 86400000000000").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    schemes = (
+        d.select(F.lit("daily").alias("scheme"), F.col("day").alias("part_id"), "n")
+        .unionByName(
+            d.select(
+                F.lit("weekly").alias("scheme"),
+                F.expr("day div 7").alias("part_id"),
+                "n",
+            )
+        )
+        .unionByName(
+            d.select(
+                F.lit("monthly").alias("scheme"),
+                F.expr("day div 30").alias("part_id"),
+                "n",
+            )
+        )
+    )
+    p = schemes.groupBy("scheme", "part_id").agg(
+        F.sum("n").cast("long").alias("rows_in_part")
+    )
+    return p.groupBy("scheme").agg(
+        F.count("*").cast("long").alias("n_partitions"),
+        F.min("rows_in_part").cast("long").alias("min_rows"),
+        F.max("rows_in_part").cast("long").alias("max_rows"),
+        F.round(F.sum("rows_in_part").cast("double") / F.count("*"), 6).alias(
+            "mean_rows"
+        ),
+        F.sum(F.when(F.col("rows_in_part") < 1000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_undersized"),
+        F.round(
+            F.sum(
+                F.when(F.col("rows_in_part") < 1000, F.col("rows_in_part")).otherwise(0)
+            ).cast("double")
+            / F.sum("rows_in_part"),
+            6,
+        ).alias("undersized_row_frac"),
+    )
+
+
+@query(
+    "cache_hit_rate_plan",
+    oracle="""
+    WITH k AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
+    ), r AS (
+        SELECT n, CAST(row_number() OVER (ORDER BY n DESC, user_id) AS BIGINT) AS rnk
+        FROM k
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_keys
+        FROM k
+    ), sizes AS (SELECT unnest([10, 50, 100, 500]) AS cache_size)
+    SELECT CAST(s.cache_size AS BIGINT) AS cache_size, t.n_keys,
+           CAST(sum(CASE WHEN r.rnk <= s.cache_size THEN r.n ELSE 0 END) AS BIGINT)
+               AS hits,
+           round(CAST(sum(CASE WHEN r.rnk <= s.cache_size THEN r.n ELSE 0 END)
+                 AS DOUBLE) / t.total, 6) AS hit_rate
+    FROM r CROSS JOIN sizes s CROSS JOIN tot t
+    GROUP BY s.cache_size, t.n_keys, t.total
+    """,
+)
+def cache_hit_rate_plan_q(spark, sf_dir):
+    """Hot-key cache sizing (what hit rate does a k-entry cache of the
+    hottest users buy? — the memoization-layer planning readout next
+    to skew_profile's diagnosis): per-key counts in one rollup,
+    frequency ranking on the key frame with deterministic ties, and
+    each candidate cache size is a conditional sum over that ranked
+    frame — the whole size grid costs one aggregate. A perfect-LFU
+    upper bound by construction (docstring'd as such: real LRU serves
+    less)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("n"))
+    r = k.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), "user_id"))
+        .cast("long")
+        .alias("rnk"),
+    )
+    tot = k.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+    sizes = spark.createDataFrame([(10,), (50,), (100,), (500,)], "cache_size long")
+    return (
+        r.crossJoin(F.broadcast(sizes))
+        .groupBy("cache_size")
+        .agg(
+            F.sum(F.when(F.col("rnk") <= F.col("cache_size"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("hits")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cache_size",
+            "n_keys",
+            "hits",
+            F.round(F.col("hits").cast("double") / F.col("total"), 6).alias("hit_rate"),
+        )
+    )
