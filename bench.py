@@ -276,6 +276,9 @@ EXTRA = [
     "lorenz_curve_points",
     "partition_scheme_advisor",
     "cache_hit_rate_plan",
+    "paired_ttest_users",
+    "benford_first_digit",
+    "heaps_law_fit",
 ]
 
 

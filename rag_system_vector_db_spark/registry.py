@@ -14372,3 +14372,264 @@ def cache_hit_rate_plan_q(spark, sf_dir):
             F.round(F.col("hits").cast("double") / F.col("total"), 6).alias("hit_rate"),
         )
     )
+
+
+@query(
+    "paired_ttest_users",
+    oracle="""
+    WITH b AS (
+        SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS cut FROM events
+    ), u AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut
+                             THEN CAST(round(value * 1000000) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS s1,
+               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut THEN 0
+                             ELSE CAST(round(value * 1000000) AS BIGINT) END) AS BIGINT) AS s2
+        FROM events, b GROUP BY user_id
+    ), d AS (
+        SELECT CAST(round(CAST(s2 AS DOUBLE) / n2 - CAST(s1 AS DOUBLE) / n1)
+                    AS BIGINT) AS d_u
+        FROM u WHERE n1 > 0 AND n2 > 0
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(d_u) AS BIGINT) AS sd,
+               CAST(sum(d_u * d_u) AS BIGINT) AS sdd
+        FROM d
+    )
+    SELECT n AS n_pairs,
+           round(CAST(sd AS DOUBLE) / n / 1000000, 6) AS mean_diff,
+           round((CAST(sd AS DOUBLE) / n)
+                 / sqrt(((CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd / n) / (n - 1))
+                        / n), 6) AS t_stat
+    FROM s
+    """,
+)
+def paired_ttest_users_q(spark, sf_dir):
+    """PAIRED t-test on per-user mean event values across the midpoint
+    cutover (each user is their own control — pairing removes
+    between-user variance, which is why this detects shifts
+    ab_welch_ttest's unpaired test washes out): one conditional
+    aggregate builds each user's pre/post exact micro-unit sums; only
+    users active in BOTH windows pair; per-user differences quantize
+    to micro-units so the t-statistic derives from exact integer
+    moments over the user frame."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("cut"))
+    v_u = "cast(round(value * 1000000) as bigint)"
+    u = ev.crossJoin(F.broadcast(b)).groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts_ns") <= F.col("cut"), 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("ts_ns") <= F.col("cut"), 0).otherwise(1))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("ts_ns") <= F.col("cut"), F.expr(v_u)).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("ts_ns") <= F.col("cut"), 0).otherwise(F.expr(v_u)))
+        .cast("long")
+        .alias("s2"),
+    )
+    d = u.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        F.expr(
+            "cast(round(cast(s2 as double) / n2 - cast(s1 as double) / n1) as bigint)"
+        ).alias("d_u")
+    )
+    s = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d_u").cast("long").alias("sd"),
+        F.sum(F.col("d_u") * F.col("d_u")).cast("long").alias("sdd"),
+    )
+    nd = F.col("n").cast("double")
+    mean_d = F.col("sd").cast("double") / F.col("n")
+    var_d = (F.col("sdd").cast("double") - F.col("sd").cast("double") * F.col("sd") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return s.select(
+        F.col("n").alias("n_pairs"),
+        F.round(mean_d / F.lit(1000000), 6).alias("mean_diff"),
+        F.round(mean_d / F.sqrt(var_d / nd), 6).alias("t_stat"),
+    )
+
+
+@query(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                    1, 1) AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ), g AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS observed FROM d GROUP BY digit
+    ), e AS (
+        SELECT g.digit, g.observed,
+               CAST(sum(g.observed) OVER () AS BIGINT) AS n,
+               ln(1.0 + 1.0 / g.digit) / ln(10.0) AS p_benford
+        FROM g
+    )
+    SELECT digit, observed,
+           round(p_benford, 6) AS expected_share,
+           round(CAST(observed AS DOUBLE) / n, 6) AS observed_share,
+           round(pow(CAST(observed AS DOUBLE) - n * p_benford, 2) / (n * p_benford), 6)
+               AS chi2_contrib
+    FROM e
+    """,
+)
+def benford_first_digit_q(spark, sf_dir):
+    """Benford's-law first-digit screen on order totals (the classic
+    fabricated-numbers / broken-ETL detector: natural multi-scale
+    amounts follow P(d)=log10(1+1/d); a flat or spiked digit profile
+    flags synthetic or truncated data): the first digit comes from
+    EXACT integer cents via string head — no float log10, no
+    power-of-ten boundary risk; the 9-row digit frame carries totals
+    by window sum and each digit's chi-square contribution is one
+    identical double expression over exact counts."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.filter(F.col("o_totalprice") > 0).select(
+        F.expr(
+            "cast(substr(cast(cast(round(o_totalprice * 100) as bigint) as string),"
+            " 1, 1) as bigint)"
+        ).alias("digit")
+    )
+    g = d.groupBy("digit").agg(F.count("*").cast("long").alias("observed"))
+    e = g.select(
+        "digit",
+        "observed",
+        F.sum("observed").over(Window.partitionBy()).cast("long").alias("n"),
+        (F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))).alias("p_benford"),
+    )
+    return e.select(
+        "digit",
+        "observed",
+        F.round("p_benford", 6).alias("expected_share"),
+        F.round(F.col("observed").cast("double") / F.col("n"), 6).alias(
+            "observed_share"
+        ),
+        F.round(
+            F.pow(
+                F.col("observed").cast("double") - F.col("n") * F.col("p_benford"),
+                F.lit(2.0),
+            )
+            / (F.col("n") * F.col("p_benford")),
+            6,
+        ).alias("chi2_contrib"),
+    )
+
+
+@query(
+    "heaps_law_fit",
+    oracle="""
+    WITH mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS mx FROM documents),
+    toks AS (
+        SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS term
+        FROM documents d
+    ), tf AS (
+        SELECT term, CAST(min(doc_id) AS BIGINT) AS first_doc
+        FROM toks WHERE term <> '' GROUP BY term
+    ), tok_n AS (
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks
+        FROM toks t WHERE t.term <> '' GROUP BY t.doc_id
+    ), pts AS (
+        SELECT p.frac,
+               CAST(sum(CASE WHEN n.doc_id <= CAST(m.mx * p.frac AS BIGINT)
+                             THEN n.n_toks ELSE 0 END) AS BIGINT) AS n_tokens,
+               (SELECT CAST(count(*) AS BIGINT) FROM tf, mx
+                WHERE tf.first_doc <= CAST(mx.mx * p.frac AS BIGINT)) AS vocab
+        FROM tok_n n CROSS JOIN mx m
+        CROSS JOIN (SELECT unnest([0.2, 0.4, 0.6, 0.8, 1.0]) AS frac) p
+        GROUP BY p.frac, m.mx
+    ), lg AS (
+        SELECT CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS x_u,
+               CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000) AS BIGINT) AS y_u
+        FROM pts WHERE n_tokens > 0 AND vocab > 0
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x_u) AS BIGINT) AS sx, CAST(sum(y_u) AS BIGINT) AS sy,
+               CAST(sum(x_u * x_u) AS BIGINT) AS sxx, CAST(sum(x_u * y_u) AS BIGINT) AS sxy
+        FROM lg
+    )
+    SELECT n AS n_points,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS beta,
+           round(exp(((CAST(sy AS DOUBLE)
+                 - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx) / n)
+                 / 1000000), 6) AS k_coef
+    FROM s
+    """,
+)
+def heaps_law_fit_q(spark, sf_dir):
+    """Heaps'-law fit V = K·N^beta — vocabulary growth against corpus
+    size (zipf_fit's companion corpus-health probe: natural text grows
+    vocabulary at beta~0.5; beta near 0 means the corpus is repeating
+    itself, near 1 means token soup): growth points come from doc-id
+    prefixes at 5 fractions — vocabulary-at-prefix is a conditional
+    count over each term's FIRST document (one vocab-frame pass, no
+    per-prefix re-tokenization), token counts likewise conditional
+    sums over the per-doc rollup. The log-log OLS runs on 5
+    micro-unit-quantized points."""
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    mx = docs.agg(F.max("doc_id").cast("long").alias("mx"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("term").agg(F.min("doc_id").cast("long").alias("first_doc"))
+    tok_n = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_toks"))
+    fr = spark.createDataFrame([(0.2,), (0.4,), (0.6,), (0.8,), (1.0,)], "frac double")
+    cut = F.expr("cast(mx * frac as bigint)")
+    tok_pts = (
+        tok_n.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(fr))
+        .groupBy("frac")
+        .agg(
+            F.sum(F.when(F.col("doc_id") <= cut, F.col("n_toks")).otherwise(0))
+            .cast("long")
+            .alias("n_tokens")
+        )
+    )
+    voc_pts = (
+        tf.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(fr))
+        .groupBy("frac")
+        .agg(
+            F.sum(F.when(F.col("first_doc") <= cut, 1).otherwise(0))
+            .cast("long")
+            .alias("vocab")
+        )
+    )
+    lg = (
+        tok_pts.join(voc_pts, "frac")
+        .filter((F.col("n_tokens") > 0) & (F.col("vocab") > 0))
+        .select(
+            F.expr("cast(round(ln(cast(n_tokens as double)) * 1000000) as bigint)").alias(
+                "x_u"
+            ),
+            F.expr("cast(round(ln(cast(vocab as double)) * 1000000) as bigint)").alias(
+                "y_u"
+            ),
+        )
+    )
+    s = lg.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x_u").cast("long").alias("sx"),
+        F.sum("y_u").cast("long").alias("sy"),
+        F.sum(F.col("x_u") * F.col("x_u")).cast("long").alias("sxx"),
+        F.sum(F.col("x_u") * F.col("y_u")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.round(num / den, 6).alias("beta"),
+        F.round(
+            F.exp(
+                ((F.col("sy").cast("double") - num / den * F.col("sx")) / F.col("n"))
+                / F.lit(1000000)
+            ),
+            6,
+        ).alias("k_coef"),
+    )
