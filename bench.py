@@ -279,6 +279,8 @@ EXTRA = [
     "paired_ttest_users",
     "benford_first_digit",
     "heaps_law_fit",
+    "ks_two_sample",
+    "session_gap_sweep",
 ]
 
 

@@ -14633,3 +14633,146 @@ def heaps_law_fit_q(spark, sf_dir):
             6,
         ).alias("k_coef"),
     )
+
+
+@query(
+    "ks_two_sample",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_u
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), g AS (
+        SELECT v_u,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM e GROUP BY v_u
+    ), cum AS (
+        SELECT sum(c1) OVER (ORDER BY v_u ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS f1,
+               sum(c2) OVER (ORDER BY v_u ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS f2,
+               CAST(sum(c1) OVER () AS BIGINT) AS n1,
+               CAST(sum(c2) OVER () AS BIGINT) AS n2
+        FROM g
+    ), d AS (
+        SELECT n1, n2, CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS d_num
+        FROM cum GROUP BY n1, n2
+    )
+    SELECT n1, n2,
+           round(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) AS ks_d,
+           round(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+                 * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 6) AS ks_stat
+    FROM d
+    """,
+)
+def ks_two_sample_q(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov test (click vs purchase values —
+    the whole-DISTRIBUTION divergence check completing the two-sample
+    family: Welch compares means, Mann-Whitney ranks, KS the entire
+    CDF): the corpus collapses to per-distinct-value counts, both
+    empirical CDFs ride ONE cumulative window over that bounded frame,
+    and the supremum gap is EXACT — max |F1·n2 − F2·n1| in integers,
+    divided once at emit. The scaled statistic √(n1n2/(n1+n2))·D is
+    the usual asymptotic test input."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = ev.select(
+        "event_type", F.expr("cast(round(value * 100) as bigint)").alias("v_u")
+    ).groupBy("v_u").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    wc = Window.orderBy("v_u").rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.partitionBy()
+    cum = g.select(
+        F.sum("c1").over(wc).alias("f1"),
+        F.sum("c2").over(wc).alias("f2"),
+        F.sum("c1").over(wa).cast("long").alias("n1"),
+        F.sum("c2").over(wa).cast("long").alias("n2"),
+    )
+    d = cum.groupBy("n1", "n2").agg(
+        F.max(F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")))
+        .cast("long")
+        .alias("d_num")
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    ks_d = F.col("d_num").cast("double") / (n1d * n2d)
+    return d.select(
+        "n1",
+        "n2",
+        F.round(ks_d, 6).alias("ks_d"),
+        F.round(ks_d * F.sqrt(n1d * n2d / (n1d + n2d)), 6).alias("ks_stat"),
+    )
+
+
+@query(
+    "session_gap_sweep",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, epoch_ns(ts) AS t,
+               lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_t
+        FROM events
+    ), gaps AS (
+        SELECT CASE WHEN prev_t IS NULL THEN NULL ELSE t - prev_t END AS gap_ns
+        FROM o
+    ), u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+    e AS (SELECT CAST(count(*) AS BIGINT) AS n_events FROM events),
+    thr AS (SELECT unnest([600, 1800, 3600]) AS gap_s)
+    SELECT CAST(t.gap_s AS BIGINT) AS gap_seconds,
+           CAST(u.n_users + sum(CASE WHEN g.gap_ns > CAST(t.gap_s AS BIGINT) * 1000000000
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           round(CAST(e.n_events AS DOUBLE)
+                 / (u.n_users + sum(CASE WHEN g.gap_ns > CAST(t.gap_s AS BIGINT) * 1000000000
+                                         THEN 1 ELSE 0 END)), 6)
+               AS mean_session_events
+    FROM gaps g CROSS JOIN thr t CROSS JOIN u CROSS JOIN e
+    WHERE g.gap_ns IS NOT NULL
+    GROUP BY t.gap_s, u.n_users, e.n_events
+    """,
+)
+def session_gap_sweep_q(spark, sf_dir):
+    """Session-timeout sensitivity (how does the session count move as
+    the inactivity gap goes 10m -> 30m -> 60m? — the tuning table
+    behind sessionize_events' fixed threshold; get it wrong and every
+    engagement metric shifts): per-user gaps from ONE lag() window
+    (the shuffle sessionization already pays), then every candidate
+    timeout is a conditional count over the gap frame —
+    sessions(tau) = users + gaps>tau, an identity that makes the
+    whole sweep one aggregate. Mean events/session per tau is the
+    readout."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        (F.col("ts_ns") - F.lag("ts_ns").over(w)).alias("gap_ns")
+    ).filter(F.col("gap_ns").isNotNull())
+    u = ev.agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    e = ev.agg(F.count("*").cast("long").alias("n_events"))
+    thr = spark.createDataFrame([(600,), (1800,), (3600,)], "gap_s long")
+    return (
+        gaps.crossJoin(F.broadcast(thr))
+        .groupBy("gap_s")
+        .agg(
+            F.sum(
+                F.when(F.col("gap_ns") > F.col("gap_s") * 1000000000, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_breaks")
+        )
+        .crossJoin(F.broadcast(u))
+        .crossJoin(F.broadcast(e))
+        .select(
+            F.col("gap_s").alias("gap_seconds"),
+            (F.col("n_users") + F.col("n_breaks")).cast("long").alias("n_sessions"),
+            F.round(
+                F.col("n_events").cast("double")
+                / (F.col("n_users") + F.col("n_breaks")),
+                6,
+            ).alias("mean_session_events"),
+        )
+    )
