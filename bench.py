@@ -281,6 +281,9 @@ EXTRA = [
     "heaps_law_fit",
     "ks_two_sample",
     "session_gap_sweep",
+    "srm_check",
+    "did_estimator",
+    "cuped_adjustment",
 ]
 
 

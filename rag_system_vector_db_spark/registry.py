@@ -14776,3 +14776,236 @@ def session_gap_sweep_q(spark, sf_dir):
             ).alias("mean_session_events"),
         )
     )
+
+
+@query(
+    "srm_check",
+    oracle=f"""
+    WITH u AS (
+        SELECT DISTINCT user_id, {H.dd_md5_long('user_id::VARCHAR')} % 2 AS arm
+        FROM events
+    ), c AS (
+        SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM u
+    )
+    SELECT n_a, n_b,
+           round(pow(CAST(n_a - n_b AS DOUBLE), 2) / (n_a + n_b), 6) AS chi2,
+           pow(CAST(n_a - n_b AS DOUBLE), 2) / (n_a + n_b) > 9.0 AS srm_detected
+    FROM c
+    """,
+)
+def srm_check_q(spark, sf_dir):
+    """Sample Ratio Mismatch check (the first gate every A/B platform
+    runs before reading ANY metric: if the 50/50 hash split didn't
+    land 50/50, the assignment path is broken and all downstream
+    stats are garbage): users dedupe then hash into arms with the
+    shared md5 primitive — the SAME function a real assignment
+    service would use, so this op doubles as its audit; the 1-dof
+    chi-square (n_a-n_b)²/N from exact counts, flagged at the
+    |z|>3 equivalent threshold the LinkedIn/Microsoft SRM papers
+    recommend."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct().select(
+        (H.md5_long(F.col("user_id").cast("string")) % 2).alias("arm")
+    )
+    c = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    chi2 = F.pow((F.col("n_a") - F.col("n_b")).cast("double"), F.lit(2.0)) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    return c.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 9.0).alias("srm_detected"),
+    )
+
+
+@query(
+    "did_estimator",
+    oracle=f"""
+    WITH b AS (
+        SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS cut FROM events
+    ), s AS (
+        SELECT {H.dd_md5_long('user_id::VARCHAR')} % 2 AS grp,
+               CASE WHEN epoch_ns(ts) <= b.cut THEN 0 ELSE 1 END AS period,
+               CAST(round(value * 1000000) AS BIGINT) AS v_u
+        FROM events, b
+    ), cells AS (
+        SELECT grp, period, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v_u) AS BIGINT) AS sv,
+               sum(CAST(v_u AS DECIMAL(18,0)) * CAST(v_u AS DECIMAL(18,0))) AS qv
+        FROM s GROUP BY grp, period
+    ), m AS (
+        SELECT CAST(grp AS BIGINT) AS grp, CAST(period AS BIGINT) AS period, n,
+               CAST(sv AS DOUBLE) / n / 1000000 AS mean_v,
+               ((CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n) / (n - 1))
+                   / 1e12 / n AS var_of_mean
+        FROM cells
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_events,
+           round(max(CASE WHEN grp = 0 AND period = 0 THEN mean_v END), 6) AS mean_a_pre,
+           round(max(CASE WHEN grp = 0 AND period = 1 THEN mean_v END), 6) AS mean_a_post,
+           round(max(CASE WHEN grp = 1 AND period = 0 THEN mean_v END), 6) AS mean_b_pre,
+           round(max(CASE WHEN grp = 1 AND period = 1 THEN mean_v END), 6) AS mean_b_post,
+           round((max(CASE WHEN grp = 1 AND period = 1 THEN mean_v END)
+                  - max(CASE WHEN grp = 1 AND period = 0 THEN mean_v END))
+                 - (max(CASE WHEN grp = 0 AND period = 1 THEN mean_v END)
+                    - max(CASE WHEN grp = 0 AND period = 0 THEN mean_v END)), 6)
+               AS did_effect,
+           round(sqrt(sum(var_of_mean)), 6) AS did_se
+    FROM m
+    """,
+)
+def did_estimator_q(spark, sf_dir):
+    """Difference-in-differences estimator (the parallel-trends causal
+    design: treatment-group change minus control-group change cancels
+    shared time shocks — what pre_post_analysis reads as one group's
+    shift, DiD reads NET of the control): users hash into two arms
+    with the shared md5 split, periods cut at the exact midpoint; the
+    four (group, period) cells' exact micro-unit moments come from ONE
+    conditional aggregate (DECIMAL squares — v_u² overflows bigint at
+    event volumes); effect and its pooled SE pivot off the 4-row cell
+    frame."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("cut"))
+    s = ev.crossJoin(F.broadcast(b)).select(
+        (H.md5_long(F.col("user_id").cast("string")) % 2).alias("grp"),
+        F.when(F.col("ts_ns") <= F.col("cut"), 0).otherwise(1).alias("period"),
+        F.expr("cast(round(value * 1000000) as bigint)").alias("v_u"),
+    )
+    cells = s.groupBy("grp", "period").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v_u").cast("long").alias("sv"),
+        F.sum(
+            F.col("v_u").cast("decimal(18,0)") * F.col("v_u").cast("decimal(18,0)")
+        ).alias("qv"),
+    )
+    mean_v = F.col("sv").cast("double") / F.col("n") / F.lit(1000000)
+    vom = (
+        (F.col("qv").cast("double") - F.col("sv").cast("double") * F.col("sv") / F.col("n"))
+        / (F.col("n") - 1)
+    ) / F.lit(1e12) / F.col("n")
+    m = cells.select(
+        F.col("grp").cast("long").alias("grp"),
+        F.col("period").cast("long").alias("period"),
+        "n",
+        mean_v.alias("mean_v"),
+        vom.alias("var_of_mean"),
+    )
+
+    def cell(g, p):
+        return F.max(
+            F.when((F.col("grp") == g) & (F.col("period") == p), F.col("mean_v"))
+        )
+
+    return m.agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.round(cell(0, 0), 6).alias("mean_a_pre"),
+        F.round(cell(0, 1), 6).alias("mean_a_post"),
+        F.round(cell(1, 0), 6).alias("mean_b_pre"),
+        F.round(cell(1, 1), 6).alias("mean_b_post"),
+        F.round((cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0)), 6).alias(
+            "did_effect"
+        ),
+        F.round(F.sqrt(F.sum("var_of_mean")), 6).alias("did_se"),
+    )
+
+
+@query(
+    "cuped_adjustment",
+    oracle="""
+    WITH b AS (
+        SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS cut FROM events
+    ), u AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut
+                             THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS s1,
+               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut THEN 0
+                             ELSE CAST(round(value * 1000000) AS BIGINT) END)
+                    AS BIGINT) AS s2
+        FROM events, b GROUP BY user_id
+    ), xy AS (
+        SELECT CAST(round(CAST(s1 AS DOUBLE) / n1) AS BIGINT) AS x_u,
+               CAST(round(CAST(s2 AS DOUBLE) / n2) AS BIGINT) AS y_u
+        FROM u WHERE n1 > 0 AND n2 > 0
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x_u) AS BIGINT) AS sx, CAST(sum(y_u) AS BIGINT) AS sy,
+               sum(CAST(x_u AS DECIMAL(18,0)) * CAST(x_u AS DECIMAL(18,0))) AS sxx,
+               sum(CAST(y_u AS DECIMAL(18,0)) * CAST(y_u AS DECIMAL(18,0))) AS syy,
+               sum(CAST(x_u AS DECIMAL(18,0)) * CAST(y_u AS DECIMAL(18,0))) AS sxy
+        FROM xy
+    )
+    SELECT n AS n_users,
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                 / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n), 6) AS theta,
+           round(pow(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n, 2)
+                 / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                    * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)), 6)
+               AS rho_sq,
+           round((1 - pow(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n, 2)
+                      / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                         * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n))) * 100,
+                 6) AS remaining_var_pct
+    FROM s
+    """,
+)
+def cuped_adjustment_q(spark, sf_dir):
+    """CUPED variance reduction (Deng et al. WSDM'13 — the industry
+    standard: regress each user's experiment-period metric on their
+    PRE-period metric, subtract theta·X, and the metric's variance
+    drops by rho² — experiments read significance days sooner): the
+    per-user pre/post means come from ONE conditional aggregate
+    (paired_ttest_users' frame reused), theta and rho² from exact
+    micro-unit moments with DECIMAL cross-products over the user
+    frame. remaining_var_pct is the headline: how much metric variance
+    survives adjustment."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("cut"))
+    v_u = "cast(round(value * 1000000) as bigint)"
+    u = ev.crossJoin(F.broadcast(b)).groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts_ns") <= F.col("cut"), 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("ts_ns") <= F.col("cut"), 0).otherwise(1))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("ts_ns") <= F.col("cut"), F.expr(v_u)).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("ts_ns") <= F.col("cut"), 0).otherwise(F.expr(v_u)))
+        .cast("long")
+        .alias("s2"),
+    )
+    xy = u.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        F.expr("cast(round(cast(s1 as double) / n1) as bigint)").alias("x_u"),
+        F.expr("cast(round(cast(s2 as double) / n2) as bigint)").alias("y_u"),
+    )
+    s = xy.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x_u").cast("long").alias("sx"),
+        F.sum("y_u").cast("long").alias("sy"),
+        F.sum(F.col("x_u").cast("decimal(18,0)") * F.col("x_u").cast("decimal(18,0)"))
+        .alias("sxx"),
+        F.sum(F.col("y_u").cast("decimal(18,0)") * F.col("y_u").cast("decimal(18,0)"))
+        .alias("syy"),
+        F.sum(F.col("x_u").cast("decimal(18,0)") * F.col("y_u").cast("decimal(18,0)"))
+        .alias("sxy"),
+    )
+    cxy = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+    cxx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    cyy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+    rho_sq = F.pow(cxy, F.lit(2.0)) / (cxx * cyy)
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.round(cxy / cxx, 6).alias("theta"),
+        F.round(rho_sq, 6).alias("rho_sq"),
+        F.round((1 - rho_sq) * 100, 6).alias("remaining_var_pct"),
+    )
