@@ -284,6 +284,9 @@ EXTRA = [
     "srm_check",
     "did_estimator",
     "cuped_adjustment",
+    "link_prediction_jaccard",
+    "conformal_interval",
+    "dp_noise_calibration",
 ]
 
 

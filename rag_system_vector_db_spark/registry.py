@@ -15009,3 +15009,273 @@ def cuped_adjustment_q(spark, sf_dir):
         F.round(rho_sq, 6).alias("rho_sq"),
         F.round((1 - rho_sq) * 100, 6).alias("remaining_var_pct"),
     )
+
+
+def _link_prediction_oracle() -> str:
+    base = _knn_graph_oracle().rsplit("SELECT src, dst", 1)[0]
+    return (
+        base
+        + """
+    , edges AS (SELECT src, dst FROM ranked WHERE rank <= 3),
+    und AS (
+        SELECT src AS a, dst AS b FROM edges
+        UNION
+        SELECT dst, src FROM edges
+    ), cand AS (
+        SELECT e1.a AS u, e2.b AS v
+        FROM und e1 JOIN und e2 ON e1.b = e2.a AND e1.a < e2.b
+        EXCEPT
+        SELECT a, b FROM und
+    ), cn AS (
+        SELECT c.u, c.v, CAST(count(*) AS BIGINT) AS common
+        FROM cand c
+        JOIN und x ON x.a = c.u
+        JOIN und y ON y.a = c.v AND y.b = x.b
+        GROUP BY c.u, c.v
+    ), deg AS (
+        SELECT a, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY a
+    )
+    SELECT u, v, common,
+           round(CAST(common AS DOUBLE) / (da.d + dv.d - common), 6) AS jaccard,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT cn.u, cn.v, cn.common,
+               CAST(cn.common AS DOUBLE) / (da.d + dv.d - cn.common) AS j,
+               row_number() OVER (ORDER BY CAST(cn.common AS DOUBLE)
+                   / (da.d + dv.d - cn.common) DESC, cn.u, cn.v) AS rnk,
+               da.d AS dad, dv.d AS dvd
+        FROM cn JOIN deg da ON cn.u = da.a JOIN deg dv ON cn.v = dv.a
+    ) t(u, v, common, j, rnk, dad, dvd)
+    JOIN deg da ON t.u = da.a JOIN deg dv ON t.v = dv.a
+    WHERE rnk <= 20
+    """
+    )
+
+
+@query("link_prediction_jaccard")  # oracle attached below (plane literals)
+def link_prediction_jaccard_q(spark, sf_dir):
+    """Link prediction on the kNN graph via neighbor-set Jaccard
+    (Liben-Nowell & Kleinberg '03 — the 'which vectors SHOULD be
+    neighbors but the index missed' signal that NN-descent uses to
+    densify a graph index): the graph is symmetrized, candidates are
+    non-adjacent 2-hop pairs (volume Σdeg², never n²), common-neighbor
+    counts come from one wedge join on (node, node) longs, and the
+    Jaccard score |N(u)∩N(v)| / |N(u)∪N(v)| ranks top-20 with
+    deterministic ties. No vector data moves past the shared edge
+    build."""
+    edges = _knn_graph_edges(spark, sf_dir).select("src", "dst")
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+    e1, e2 = und.alias("e1"), und.alias("e2")
+    two_hop = (
+        e1.join(e2, (F.col("e1.b") == F.col("e2.a")) & (F.col("e1.a") < F.col("e2.b")))
+        .select(F.col("e1.a").alias("u"), F.col("e2.b").alias("v"))
+        .distinct()
+    )
+    cand = two_hop.join(
+        und.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    x, y = und.alias("x"), und.alias("y")
+    cn = (
+        cand.join(x, F.col("x.a") == F.col("u"))
+        .join(y, (F.col("y.a") == F.col("v")) & (F.col("y.b") == F.col("x.b")))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    deg = und.groupBy("a").agg(F.count("*").cast("long").alias("d"))
+    scored = (
+        cn.join(deg.select(F.col("a").alias("u"), F.col("d").alias("_du")), "u")
+        .join(deg.select(F.col("a").alias("v"), F.col("d").alias("_dv")), "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            (
+                F.col("common").cast("double")
+                / (F.col("_du") + F.col("_dv") - F.col("common"))
+            ).alias("j"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.col("j").desc(), "u", "v"))
+        .cast("long"),
+    ).filter(F.col("rnk") <= 20)
+    return ranked.select("u", "v", "common", F.round("j", 6).alias("jaccard"), "rnk")
+
+
+ORACLES["link_prediction_jaccard"] = _link_prediction_oracle()
+
+
+@query(
+    "conformal_interval",
+    oracle="""
+    WITH b AS (
+        SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS cut FROM events
+    ), pred AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut
+                             THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS s_cal,
+               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_cal
+        FROM events, b GROUP BY event_type
+    ), resid AS (
+        SELECT e.event_type,
+               abs(CAST(round(e.value * 1000000) AS BIGINT)
+                   - CAST(round(CAST(p.s_cal AS DOUBLE) / p.n_cal) AS BIGINT)) AS r_u
+        FROM events e JOIN pred p USING (event_type) CROSS JOIN b
+        WHERE epoch_ns(e.ts) <= b.cut
+    ), q AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal,
+               list_sort(list(r_u)) AS rs
+        FROM resid GROUP BY event_type
+    ), qhat AS (
+        SELECT event_type, n_cal,
+               rs[CAST(least(n_cal, CAST(ceil((n_cal + 1) * 0.9) AS BIGINT))
+                   AS INTEGER)] AS q_u
+        FROM q
+    ), cov AS (
+        SELECT e.event_type,
+               CAST(count(*) AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN abs(CAST(round(e.value * 1000000) AS BIGINT)
+                    - CAST(round(CAST(p.s_cal AS DOUBLE) / p.n_cal) AS BIGINT))
+                    <= h.q_u THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+        FROM events e
+        JOIN pred p USING (event_type)
+        JOIN qhat h USING (event_type)
+        CROSS JOIN b
+        WHERE epoch_ns(e.ts) > b.cut
+        GROUP BY e.event_type
+    )
+    SELECT c.event_type, h.n_cal, c.n_test,
+           round(h.q_u / 1e6, 6) AS interval_halfwidth,
+           round(CAST(c.n_covered AS DOUBLE) / c.n_test, 6) AS coverage
+    FROM cov c JOIN qhat h USING (event_type)
+    """,
+)
+def conformal_interval_q(spark, sf_dir):
+    """Split-conformal prediction intervals (the distribution-free
+    coverage guarantee: calibrate the ceil((n+1)·0.9)-th absolute
+    residual on the PRE half, and the post-half interval
+    pred ± q̂ covers >=90%% regardless of the value distribution —
+    the honest uncertainty wrapper for any per-segment predictor):
+    the predictor is the per-type calibration mean (exact micro
+    units); residual quantiles use the exact sorted-selection rule
+    per type; coverage on the held-out half is an exact conditional
+    count. Three passes over the fact, all map-side-combinable."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("cut"))
+    evb = ev.crossJoin(F.broadcast(b))
+    pred = evb.groupBy("event_type").agg(
+        F.sum(
+            F.when(
+                F.col("ts_ns") <= F.col("cut"),
+                F.expr("cast(round(value * 1000000) as bigint)"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("s_cal"),
+        F.sum(F.when(F.col("ts_ns") <= F.col("cut"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cal"),
+    )
+    mu = F.expr("cast(round(cast(s_cal as double) / n_cal) as bigint)")
+    resid = (
+        evb.filter(F.col("ts_ns") <= F.col("cut"))
+        .join(F.broadcast(pred), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.expr("cast(round(value * 1000000) as bigint)") - mu).alias("r_u"),
+        )
+    )
+    q = resid.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_cal"),
+        F.sort_array(F.collect_list("r_u")).alias("rs"),
+    )
+    qhat = q.select(
+        "event_type",
+        "n_cal",
+        F.element_at(
+            "rs",
+            F.least(
+                F.col("n_cal"), F.ceil((F.col("n_cal") + 1) * 0.9).cast("long")
+            ).cast("int"),
+        ).alias("q_u"),
+    )
+    cov = (
+        evb.filter(F.col("ts_ns") > F.col("cut"))
+        .join(F.broadcast(pred), "event_type")
+        .join(F.broadcast(qhat.select("event_type", "q_u")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.expr("cast(round(value * 1000000) as bigint)") - mu)
+                    <= F.col("q_u"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return cov.join(F.broadcast(qhat), "event_type").select(
+        "event_type",
+        "n_cal",
+        "n_test",
+        F.round(F.col("q_u") / F.lit(1e6), 6).alias("interval_halfwidth"),
+        F.round(F.col("n_covered").cast("double") / F.col("n_test"), 6).alias(
+            "coverage"
+        ),
+    )
+
+
+@query(
+    "dp_noise_calibration",
+    oracle="""
+    WITH t AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS true_count FROM documents
+        GROUP BY source
+    ), eps AS (SELECT unnest([0.1, 1.0, 10.0]) AS epsilon)
+    SELECT t.source, e.epsilon, t.true_count,
+           round(1.0 / e.epsilon, 6) AS laplace_scale,
+           round(ln(10.0) / e.epsilon, 6) AS p90_abs_error,
+           round(ln(10.0) / e.epsilon / t.true_count * 100, 6) AS p90_rel_error_pct,
+           ln(10.0) / e.epsilon / t.true_count <= 0.01 AS releasable_at_1pct
+    FROM t CROSS JOIN eps e
+    """,
+)
+def dp_noise_calibration_q(spark, sf_dir):
+    """Differential-privacy noise budget table for per-source count
+    releases (Dwork's Laplace mechanism, sensitivity 1: scale = 1/eps,
+    P(|noise| > ln(10)/eps) = 10%%): for each epsilon the p90 absolute
+    and RELATIVE error against the true counts — the go/no-go readout
+    for publishing per-slice statistics of a private corpus (small
+    slices drown in noise; the releasable flag says which survive a
+    1%% error budget). One count rollup; the grid is literal math,
+    bloom_filter_sizing's posture."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(F.count("*").cast("long").alias("true_count"))
+    eps = spark.createDataFrame([(0.1,), (1.0,), (10.0,)], "epsilon double")
+    ln10 = F.log(F.lit(10.0))
+    return t.crossJoin(F.broadcast(eps)).select(
+        "source",
+        "epsilon",
+        "true_count",
+        F.round(1.0 / F.col("epsilon"), 6).alias("laplace_scale"),
+        F.round(ln10 / F.col("epsilon"), 6).alias("p90_abs_error"),
+        F.round(ln10 / F.col("epsilon") / F.col("true_count") * 100, 6).alias(
+            "p90_rel_error_pct"
+        ),
+        (ln10 / F.col("epsilon") / F.col("true_count") <= 0.01).alias(
+            "releasable_at_1pct"
+        ),
+    )
