@@ -287,6 +287,9 @@ EXTRA = [
     "link_prediction_jaccard",
     "conformal_interval",
     "dp_noise_calibration",
+    "oneway_anova_f",
+    "hill_tail_index",
+    "daily_autocorrelation",
 ]
 
 

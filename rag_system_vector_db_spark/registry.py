@@ -15279,3 +15279,220 @@ def dp_noise_calibration_q(spark, sf_dir):
             "releasable_at_1pct"
         ),
     )
+
+
+@query(
+    "oneway_anova_f",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_i,
+               CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS s_i,
+               CAST(sum(CAST(round(value * 1000) AS BIGINT)
+                        * CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS q_i
+        FROM events GROUP BY event_type
+    ), t AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n_i) AS BIGINT) AS nn,
+               CAST(sum(s_i) AS BIGINT) AS ss,
+               CAST(sum(CAST(round((CAST(q_i AS DOUBLE)
+                    - CAST(s_i AS DOUBLE) * s_i / n_i)) AS BIGINT)) AS BIGINT) AS ssw_u,
+               CAST(sum(CAST(round((CAST(s_i AS DOUBLE) * s_i / n_i)) AS BIGINT))
+                    AS BIGINT) AS sb_u
+        FROM g
+    )
+    SELECT k AS n_groups, nn AS n_rows,
+           round((CAST(sb_u AS DOUBLE)
+                  - CAST(round(CAST(ss AS DOUBLE) * ss / nn) AS BIGINT))
+                 / (k - 1) / 1e6, 6) AS ms_between,
+           round(CAST(ssw_u AS DOUBLE) / (nn - k) / 1e6, 6) AS ms_within,
+           round(((CAST(sb_u AS DOUBLE)
+                   - CAST(round(CAST(ss AS DOUBLE) * ss / nn) AS BIGINT)) / (k - 1))
+                 / (CAST(ssw_u AS DOUBLE) / (nn - k)), 6) AS f_stat
+    FROM t
+    """,
+)
+def oneway_anova_f_q(spark, sf_dir):
+    """One-way ANOVA F-test across ALL event types at once (the
+    k-group omnibus test: run THIS before pairwise Welch/Mann-Whitney
+    comparisons — if F can't reject, the pairwise hunt is p-hacking):
+    per-group exact milli-unit (n, Σx, Σx²) from one rollup, within/
+    between sums-of-squares quantized to unit-milli² so the group-frame
+    totals stay order-free (intraclass_correlation's decomposition,
+    pointed at groups instead of clusters), F from the mean squares in
+    identical double arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    v_m = F.expr("cast(round(value * 1000) as bigint)")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_i"),
+        F.sum(v_m).cast("long").alias("s_i"),
+        F.sum(v_m * v_m).cast("long").alias("q_i"),
+    )
+    t = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_i").cast("long").alias("nn"),
+        F.sum("s_i").cast("long").alias("ss"),
+        F.sum(
+            F.expr(
+                "cast(round((cast(q_i as double) - cast(s_i as double) * s_i / n_i)) as bigint)"
+            )
+        )
+        .cast("long")
+        .alias("ssw_u"),
+        F.sum(F.expr("cast(round((cast(s_i as double) * s_i / n_i)) as bigint)"))
+        .cast("long")
+        .alias("sb_u"),
+    )
+    ssb = F.col("sb_u").cast("double") - F.expr(
+        "cast(round(cast(ss as double) * ss / nn) as bigint)"
+    )
+    msb = ssb / (F.col("k") - 1)
+    msw = F.col("ssw_u").cast("double") / (F.col("nn") - F.col("k"))
+    return t.select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").alias("n_rows"),
+        F.round(msb / F.lit(1e6), 6).alias("ms_between"),
+        F.round(msw / F.lit(1e6), 6).alias("ms_within"),
+        F.round(msb / msw, 6).alias("f_stat"),
+    )
+
+
+@query(
+    "hill_tail_index",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v_c FROM orders
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               list_sort(list(v_c), 'DESC') AS vs
+        FROM v
+    ), ks AS (SELECT unnest([50, 100, 500]) AS k),
+    h AS (
+        SELECT ks.k, s.n,
+               list_sum(list_transform(s.vs[1:ks.k],
+                   x -> CAST(round(ln(CAST(x AS DOUBLE)
+                        / s.vs[CAST(ks.k + 1 AS INTEGER)]) * 1000000) AS BIGINT)))
+                   AS sum_u
+        FROM s CROSS JOIN ks
+    )
+    SELECT CAST(k AS BIGINT) AS k, n,
+           round(CAST(sum_u AS DOUBLE) / k / 1000000, 6) AS hill_gamma,
+           round(CAST(k AS DOUBLE) * 1000000 / sum_u, 6) AS tail_alpha
+    FROM h
+    """,
+)
+def hill_tail_index_q(spark, sf_dir):
+    """Hill estimator of the heavy-tail index on order values (Hill
+    '75: gamma = mean ln(x_(i)/x_(k+1)) over the top-k order
+    statistics; alpha = 1/gamma < 2 means INFINITE variance — the
+    number that says whether skew_profile's hot keys are an anomaly
+    or the distribution's nature, and whether mean-based SLAs are
+    even well-defined): top-k selection by exact sorted list
+    (TakeOrdered at scale), per-order-statistic log ratios quantized
+    to micro-units so the k-sums are exact integers; three k values
+    probe estimator stability."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(F.expr("cast(round(o_totalprice * 100) as bigint)").alias("v_c"))
+    s = v.agg(
+        F.count("*").cast("long").alias("n"),
+        F.reverse(F.sort_array(F.collect_list("v_c"))).alias("vs"),
+    )
+    ks = spark.createDataFrame([(50,), (100,), (500,)], "k long")
+    h = s.crossJoin(F.broadcast(ks)).select(
+        "k",
+        "n",
+        F.aggregate(
+            F.transform(
+                F.slice("vs", 1, F.col("k").cast("int")),
+                lambda x: F.round(
+                    F.log(
+                        x.cast("double")
+                        / F.element_at(F.col("vs"), (F.col("k") + 1).cast("int"))
+                    )
+                    * 1000000
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + y,
+        ).alias("sum_u"),
+    )
+    return h.select(
+        "k",
+        "n",
+        F.round(F.col("sum_u").cast("double") / F.col("k") / F.lit(1000000), 6).alias(
+            "hill_gamma"
+        ),
+        F.round(
+            F.col("k").cast("double") * 1000000 / F.col("sum_u"), 6
+        ).alias("tail_alpha"),
+    )
+
+
+@query(
+    "daily_autocorrelation",
+    oracle="""
+    WITH d AS (
+        SELECT epoch_ns(ts) // 86400000000000 AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY day
+    ), lags AS (SELECT unnest([1, 2, 7]) AS lag_d),
+    p AS (
+        SELECT l.lag_d, a.n AS x, b.n AS y
+        FROM d a JOIN lags l ON TRUE
+        JOIN d b ON b.day = a.day + l.lag_d
+    ), s AS (
+        SELECT lag_d, CAST(count(*) AS BIGINT) AS np,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM p GROUP BY lag_d
+    )
+    SELECT CAST(lag_d AS BIGINT) AS lag_days, np AS n_pairs,
+           CASE WHEN (np * sxx - sx * sx) * (np * syy - sy * sy) = 0 THEN NULL
+                ELSE round((CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                           / sqrt((CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                                  * (CAST(np AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                           6)
+           END AS autocorr
+    FROM s
+    """,
+)
+def daily_autocorrelation_q(spark, sf_dir):
+    """Autocorrelation of daily event volume at lags 1/2/7 (the
+    seasonality detector that DECIDES whether seasonal_decompose's
+    period assumption holds — a strong lag-7 spike means weekly
+    cycling): the stream collapses to day counts once; each lag is a
+    self-join on the DAY frame (calendar-bounded, never event-sized),
+    and the lag-correlation derives from exact integer moments with
+    the shared degenerate-variance NULL guard."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.expr("ts_ns div 86400000000000").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    lags = spark.createDataFrame([(1,), (2,), (7,)], "lag_d long")
+    a = d.crossJoin(F.broadcast(lags)).select(
+        "lag_d", (F.col("day") + F.col("lag_d")).alias("jday"), F.col("n").alias("x")
+    )
+    b = d.select(F.col("day").alias("jday"), F.col("n").alias("y"))
+    p = a.join(b, "jday")
+    s = p.groupBy("lag_d").agg(
+        F.count("*").cast("long").alias("np"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nd = F.col("np").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    deny = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    den0 = (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return s.select(
+        F.col("lag_d").alias("lag_days"),
+        F.col("np").alias("n_pairs"),
+        F.when(den0 == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(num / F.sqrt(den * deny), 6))
+        .alias("autocorr"),
+    )
