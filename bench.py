@@ -290,6 +290,8 @@ EXTRA = [
     "oneway_anova_f",
     "hill_tail_index",
     "daily_autocorrelation",
+    "count_overdispersion",
+    "churn_auc_baseline",
 ]
 
 

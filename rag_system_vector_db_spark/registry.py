@@ -15496,3 +15496,149 @@ def daily_autocorrelation_q(spark, sf_dir):
         .otherwise(F.round(num / F.sqrt(den * deny), 6))
         .alias("autocorr"),
     )
+
+
+@query(
+    "count_overdispersion",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY user_id
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS sc,
+               CAST(sum(c * c) AS BIGINT) AS scc
+        FROM u
+    )
+    SELECT n AS n_users,
+           round(CAST(sc AS DOUBLE) / n, 6) AS mean_count,
+           round((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * sc / n) / (n - 1), 6)
+               AS var_count,
+           round(((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * sc / n) / (n - 1))
+                 / (CAST(sc AS DOUBLE) / n), 6) AS dispersion_index,
+           CASE WHEN (CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * sc / n) / (n - 1)
+                     <= CAST(sc AS DOUBLE) / n THEN NULL
+                ELSE round(pow(CAST(sc AS DOUBLE) / n, 2)
+                     / ((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * sc / n) / (n - 1)
+                        - CAST(sc AS DOUBLE) / n), 6)
+           END AS nb_size
+    FROM s
+    """,
+)
+def count_overdispersion_q(spark, sf_dir):
+    """Per-user event-count overdispersion (Poisson says var=mean;
+    real user activity is negative-binomial — the dispersion index
+    decides whether rate alerts should use Poisson or NB thresholds,
+    and the NB size parameter k = mu²/(var−mu) by method of moments
+    feeds them; events_interarrival profiles TIME burstiness, this
+    profiles COUNT burstiness): one user rollup, exact integer
+    moments, NULL when the data is actually under-dispersed (the
+    identical CASE on both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("c"))
+    s = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("scc"),
+    )
+    mean_c = F.col("sc").cast("double") / F.col("n")
+    var_c = (
+        F.col("scc").cast("double") - F.col("sc").cast("double") * F.col("sc") / F.col("n")
+    ) / (F.col("n") - 1)
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.round(mean_c, 6).alias("mean_count"),
+        F.round(var_c, 6).alias("var_count"),
+        F.round(var_c / mean_c, 6).alias("dispersion_index"),
+        F.when(var_c <= mean_c, F.lit(None).cast("double"))
+        .otherwise(F.round(F.pow(mean_c, F.lit(2.0)) / (var_c - mean_c), 6))
+        .alias("nb_size"),
+    )
+
+
+@query(
+    "churn_auc_baseline",
+    oracle="""
+    WITH b AS (
+        SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS cut FROM events
+    ), u AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut THEN 1 ELSE 0 END) AS BIGINT)
+                   AS score,
+               CAST(max(CASE WHEN epoch_ns(ts) > b.cut THEN 1 ELSE 0 END) AS BIGINT)
+                   AS active_later
+        FROM events, b GROUP BY user_id
+    ), pre AS (
+        SELECT score, active_later FROM u WHERE score > 0
+    ), g AS (
+        SELECT score,
+               CAST(sum(active_later) AS BIGINT) AS pos,
+               CAST(sum(1 - active_later) AS BIGINT) AS neg
+        FROM pre GROUP BY score
+    ), r AS (
+        SELECT pos, neg,
+               COALESCE(sum(neg) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below,
+               CAST(sum(pos) OVER () AS BIGINT) AS n_pos,
+               CAST(sum(neg) OVER () AS BIGINT) AS n_neg
+        FROM g
+    ), s AS (
+        SELECT n_pos, n_neg,
+               CAST(sum(2 * pos * neg_below + pos * neg) AS BIGINT) AS u2
+        FROM r GROUP BY n_pos, n_neg
+    )
+    SELECT n_pos AS n_retained, n_neg AS n_churned,
+           CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                ELSE round(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) END AS auc
+    FROM s
+    """,
+)
+def churn_auc_baseline_q(spark, sf_dir):
+    """Exact AUC of the simplest churn predictor — 'first-half
+    activity count predicts second-half activity' (the baseline every
+    churn model must beat, with AUC computed EXACTLY via the
+    Mann-Whitney identity AUC = U/(n+ n−) rather than a sampled ROC):
+    per-user score and label from one conditional aggregate; the
+    distinct-SCORE frame carries tie-aware rank math in doubled
+    integer units (mann_whitney_u's machinery re-aimed at
+    classification), so the AUC is a ratio of exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("cut"))
+    u = ev.crossJoin(F.broadcast(b)).groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts_ns") <= F.col("cut"), 1).otherwise(0))
+        .cast("long")
+        .alias("score"),
+        F.max(F.when(F.col("ts_ns") > F.col("cut"), 1).otherwise(0))
+        .cast("long")
+        .alias("active_later"),
+    )
+    g = u.filter(F.col("score") > 0).groupBy("score").agg(
+        F.sum("active_later").cast("long").alias("pos"),
+        F.sum(1 - F.col("active_later")).cast("long").alias("neg"),
+    )
+    wc = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    wa = Window.partitionBy()
+    r = g.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(wc), F.lit(0)).alias("neg_below"),
+        F.sum("pos").over(wa).cast("long").alias("n_pos"),
+        F.sum("neg").over(wa).cast("long").alias("n_neg"),
+    )
+    s = r.groupBy("n_pos", "n_neg").agg(
+        F.sum(2 * F.col("pos") * F.col("neg_below") + F.col("pos") * F.col("neg"))
+        .cast("long")
+        .alias("u2")
+    )
+    return s.select(
+        F.col("n_pos").alias("n_retained"),
+        F.col("n_neg").alias("n_churned"),
+        F.when(
+            (F.col("n_pos") == 0) | (F.col("n_neg") == 0), F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(
+                F.col("u2").cast("double") / (2.0 * F.col("n_pos") * F.col("n_neg")), 6
+            )
+        )
+        .alias("auc"),
+    )
