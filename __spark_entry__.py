@@ -114,7 +114,14 @@ _VERIFY_FIRST = [
     # dedup_threshold_sweep, embedding_dim_profile, eb_rate_shrinkage,
     # simpson_paradox_check, bloom_filter_sizing, recall_at_k_sweep,
     # uncertainty_sampling, source_ngram_similarity,
-    # seasonal_residual_anomaly — 42 in total) — all parity-verified
+    # seasonal_residual_anomaly, lorenz_curve_points,
+    # partition_scheme_advisor, cache_hit_rate_plan,
+    # paired_ttest_users, benford_first_digit, heaps_law_fit,
+    # ks_two_sample, session_gap_sweep, srm_check, did_estimator,
+    # cuped_adjustment, link_prediction_jaccard, conformal_interval,
+    # dp_noise_calibration, oneway_anova_f, hill_tail_index,
+    # daily_autocorrelation, count_overdispersion,
+    # churn_auc_baseline — 61 in total) — all parity-verified
     # at sf0.001 AND sf0.01 this session; fold them into the r6
     # rotation after the list below. Full r6
     # rotation order (28 late-r5 never-stamped, flagships first):
