@@ -292,6 +292,9 @@ EXTRA = [
     "daily_autocorrelation",
     "count_overdispersion",
     "churn_auc_baseline",
+    "cohort_ltv_curve",
+    "term_burstiness",
+    "ratio_metric_delta",
 ]
 
 

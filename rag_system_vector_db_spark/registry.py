@@ -15642,3 +15642,246 @@ def churn_auc_baseline_q(spark, sf_dir):
         )
         .alias("auc"),
     )
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, min(epoch_ns(ts)) // 86400000000000 // 7 AS cohort_week
+        FROM events GROUP BY user_id
+    ), cs AS (
+        SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users FROM f
+        GROUP BY cohort_week
+    ), r AS (
+        SELECT f.cohort_week,
+               epoch_ns(e.ts) // 86400000000000 // 7 - f.cohort_week AS age_week,
+               CAST(sum(CASE WHEN e.event_type = 'purchase'
+                             THEN CAST(round(e.value * 1000000) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS rev_u
+        FROM events e JOIN f ON e.user_id = f.user_id
+        GROUP BY f.cohort_week, age_week
+    )
+    SELECT CAST(r.cohort_week AS BIGINT) AS cohort_week,
+           CAST(r.age_week AS BIGINT) AS age_week,
+           c.n_users,
+           round(r.rev_u / 1e6, 6) AS revenue,
+           round(CAST(sum(r.rev_u) OVER (PARTITION BY r.cohort_week ORDER BY r.age_week
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / c.n_users / 1e6, 6) AS cum_ltv_per_user
+    FROM r JOIN cs c USING (cohort_week)
+    """,
+)
+def cohort_ltv_curve_q(spark, sf_dir):
+    """Cumulative LTV curve per signup cohort (cohort_retention counts
+    who COMES BACK; this sums what they SPEND — the payback-period
+    readout marketing reads against acquisition cost): first-touch
+    week from one conditional rollup, purchase revenue lands in
+    (cohort, age) cells via the user-keyed join (the only fact
+    shuffle), and the running LTV-per-user is an exact integer
+    cumulative window over the cohort x age frame (calendar-bounded).
+    Exact micro-unit revenue throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.expr("min(ts_ns) div 86400000000000 div 7").alias("cohort_week")
+    )
+    cs = f.groupBy("cohort_week").agg(F.count("*").cast("long").alias("n_users"))
+    r = (
+        ev.join(f, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.expr("ts_ns div 86400000000000 div 7") - F.col("cohort_week")).alias(
+                "age_week"
+            ),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.expr("cast(round(value * 1000000) as bigint)"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("rev_u")
+        )
+    )
+    wc = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        r.join(F.broadcast(cs), "cohort_week")
+        .select(
+            F.col("cohort_week").cast("long"),
+            F.col("age_week").cast("long"),
+            "n_users",
+            F.round(F.col("rev_u") / F.lit(1e6), 6).alias("revenue"),
+            F.round(
+                F.sum("rev_u").over(wc).cast("double") / F.col("n_users") / F.lit(1e6),
+                6,
+            ).alias("cum_ltv_per_user"),
+        )
+    )
+
+
+@query(
+    "term_burstiness",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tc AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS n_t,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS df_t
+        FROM toks WHERE term <> '' GROUP BY term
+    ), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    sc AS (
+        SELECT t.term, t.n_t, t.df_t,
+               CAST(t.n_t AS DOUBLE) / t.df_t AS obs_per_doc,
+               (CAST(t.n_t AS DOUBLE) / d.n_docs)
+               / (1 - exp(-CAST(t.n_t AS DOUBLE) / d.n_docs)) AS poisson_per_doc
+        FROM tc t CROSS JOIN nd d WHERE t.n_t >= 20
+    )
+    SELECT term, n_t AS n_occurrences, df_t AS doc_freq,
+           round(obs_per_doc, 6) AS obs_per_doc,
+           round(obs_per_doc / poisson_per_doc, 6) AS burstiness,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY obs_per_doc / poisson_per_doc DESC,
+                                     term) AS rnk
+        FROM sc
+    ) WHERE rnk <= 20
+    """,
+)
+def term_burstiness_q(spark, sf_dir):
+    """Church-Gale term burstiness (CompLing '95: content words CLUMP —
+    once a term appears in a doc it repeats far beyond Poisson; the
+    top-bursty list is topical vocabulary, and a corpus whose
+    burstiness is flat is shuffled word soup — a corpus-health probe
+    alongside zipf_fit/heaps_law_fit): per-term (occurrences, doc
+    freq) from one vocab rollup, the zero-truncated-Poisson expected
+    repeats lambda/(1-e^-lambda) as one identical double expression,
+    top-20 ratio with deterministic ties."""
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    tc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("n_t"),
+            F.count_distinct("doc_id").cast("long").alias("df_t"),
+        )
+    )
+    nd = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    obs = F.col("n_t").cast("double") / F.col("df_t")
+    lam = F.col("n_t").cast("double") / F.col("n_docs")
+    poisson = lam / (1 - F.exp(-lam))
+    sc = (
+        tc.crossJoin(F.broadcast(nd))
+        .filter(F.col("n_t") >= 20)
+        .select(
+            "term",
+            "n_t",
+            "df_t",
+            obs.alias("obs_per_doc"),
+            (obs / poisson).alias("b"),
+        )
+    )
+    ranked = sc.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("b").desc(), "term")).cast("long"),
+    ).filter(F.col("rnk") <= 20)
+    return ranked.select(
+        "term",
+        F.col("n_t").alias("n_occurrences"),
+        F.col("df_t").alias("doc_freq"),
+        F.round("obs_per_doc", 6).alias("obs_per_doc"),
+        F.round("b", 6).alias("burstiness"),
+        "rnk",
+    )
+
+
+@query(
+    "ratio_metric_delta",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 1000) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x_u,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x_u) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x_u * x_u) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x_u * y) AS BIGINT) AS sxy
+        FROM u
+    ), d AS (
+        SELECT n,
+               CAST(sx AS DOUBLE) / sy AS r,
+               CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+               (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1) AS vx,
+               (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS vy,
+               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1) AS cxy
+        FROM s
+    )
+    SELECT n AS n_users,
+           round(r / 1e3, 6) AS ratio,
+           round(sqrt((vx - 2 * r * cxy + r * r * vy) / n) / my / 1e3, 6) AS delta_se,
+           round((r - 1.959964 * sqrt((vx - 2 * r * cxy + r * r * vy) / n) / my)
+                 / 1e3, 6) AS ci_lo,
+           round((r + 1.959964 * sqrt((vx - 2 * r * cxy + r * r * vy) / n) / my)
+                 / 1e3, 6) AS ci_hi
+    FROM d
+    """,
+)
+def ratio_metric_delta_q(spark, sf_dir):
+    """Delta-method CI for a RATIO metric — revenue per event
+    (Σx/Σy over users): naive per-row variance is WRONG for ratio
+    metrics because the denominator is random too; the delta method
+    (the standard experimentation-platform fix, cf. Deng KDD'18)
+    expands var(X̄/Ȳ) ≈ (σx² − 2Rσxy + R²σy²)/(n·μy²). One user
+    rollup, exact milli-unit moments (milli keeps x² inside BIGINT at
+    100x user spend), CI from shared z literals. Pairs with cuped_adjustment and
+    ab_power_analysis to complete the metric-engineering toolkit."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("cast(round(value * 1000) as bigint)"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("x_u"),
+        F.count("*").cast("long").alias("y"),
+    )
+    s = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x_u").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x_u") * F.col("x_u")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x_u") * F.col("y")).cast("long").alias("sxy"),
+    )
+    r = F.col("sx").cast("double") / F.col("sy")
+    my = F.col("sy").cast("double") / F.col("n")
+    vx = (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    vy = (F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    cxy = (F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    se = F.sqrt((vx - 2 * r * cxy + r * r * vy) / F.col("n")) / my
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.round(r / F.lit(1e3), 6).alias("ratio"),
+        F.round(se / F.lit(1e3), 6).alias("delta_se"),
+        F.round((r - F.lit(1.959964) * se) / F.lit(1e3), 6).alias("ci_lo"),
+        F.round((r + F.lit(1.959964) * se) / F.lit(1e3), 6).alias("ci_hi"),
+    )
