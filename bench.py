@@ -295,6 +295,8 @@ EXTRA = [
     "cohort_ltv_curve",
     "term_burstiness",
     "ratio_metric_delta",
+    "embedding_isotropy",
+    "boosting_stump_round",
 ]
 
 

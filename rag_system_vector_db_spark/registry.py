@@ -15885,3 +15885,262 @@ def ratio_metric_delta_q(spark, sf_dir):
         F.round((r - F.lit(1.959964) * se) / F.lit(1e3), 6).alias("ci_lo"),
         F.round((r + F.lit(1.959964) * se) / F.lit(1e3), 6).alias("ci_hi"),
     )
+
+
+@query(
+    "embedding_isotropy",
+    oracle=f"""
+    WITH cd AS (
+        SELECT pos, round(avg(v), 6) AS mv
+        FROM (
+            SELECT unnest(embedding::DOUBLE[]) AS v,
+                   unnest(range(len(embedding))) AS pos
+            FROM embeddings
+        ) GROUP BY pos
+    ), mu AS (
+        SELECT list(mv ORDER BY pos) AS mvec FROM cd
+    ), c AS (
+        SELECT e.vec_id,
+               list_transform(list_zip(e.embedding::DOUBLE[], m.mvec),
+                              x -> x[1] - x[2]) AS cv,
+               e.embedding::DOUBLE[] AS ev
+        FROM embeddings e CROSS JOIN mu m
+    ), pairs AS (
+        SELECT {_dd_cosine('a.ev', 'b.ev')} AS raw_cos,
+               {_dd_cosine('a.cv', 'b.cv')} AS cen_cos
+        FROM c a JOIN c b ON a.vec_id < b.vec_id
+        WHERE {H.dd_md5_long("(a.vec_id::VARCHAR || ':' || b.vec_id::VARCHAR)")}
+              / 1152921504606846976.0 < 0.02
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(CAST(round(raw_cos * 1000000) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1e6, 6) AS mean_cos,
+           round(CAST(sum(CAST(round(cen_cos * 1000000) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1e6, 6) AS mean_cos_centered
+    FROM pairs
+    """,
+)
+def embedding_isotropy_q(spark, sf_dir):
+    """Embedding-space isotropy audit (Ethayarajh '19 / Mu '18
+    representation degeneration: if random pairs average HIGH cosine,
+    vectors live in a narrow cone and cosine similarity loses
+    discriminative power — mean-centering should collapse the average
+    toward 0; a large gap between raw and centered means the space
+    needs centering before ANN): the mean vector is the
+    label_centroids rollup (6dp-quantized so both engines share its
+    bits), centering is an in-plan zip, and random pairs come from the
+    engine-portable md5 gate at 2%% — pair volume is rate-bounded, the
+    estimator posture of embedding_dedup_recall. Micro-unit cosine
+    sums keep both means order-free."""
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    cd = (
+        emb.select(F.posexplode(V._as_double(F.col("embedding"))))
+        .groupBy("pos")
+        .agg(F.round(F.avg("col"), 6).alias("mv"))
+    )
+    mu = cd.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "mv"))), lambda s: s.mv
+        ).alias("mvec")
+    )
+    c = emb.crossJoin(F.broadcast(mu)).select(
+        "vec_id",
+        V._as_double(F.col("embedding")).alias("ev"),
+        F.zip_with(
+            V._as_double(F.col("embedding")), F.col("mvec"), lambda x, m: x - m
+        ).alias("cv"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    gate = (
+        H.md5_long(
+            F.concat(
+                F.col("a.vec_id").cast("string"),
+                F.lit(":"),
+                F.col("b.vec_id").cast("string"),
+            )
+        )
+        / F.lit(1152921504606846976.0)
+        < 0.02
+    )
+    pairs = a.join(b, (F.col("a.vec_id") < F.col("b.vec_id")) & gate).select(
+        V.cosine(F.col("a.ev"), F.col("b.ev")).alias("raw_cos"),
+        V.cosine(F.col("a.cv"), F.col("b.cv")).alias("cen_cos"),
+    )
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(F.expr("cast(round(raw_cos * 1000000) as bigint)")).cast("double")
+            / F.count("*")
+            / F.lit(1e6),
+            6,
+        ).alias("mean_cos"),
+        F.round(
+            F.sum(F.expr("cast(round(cen_cos * 1000000) as bigint)")).cast("double")
+            / F.count("*")
+            / F.lit(1e6),
+            6,
+        ).alias("mean_cos_centered"),
+    )
+
+
+_DD_QF_STOP = (
+    "['the','a','an','and','or','of','to','in','on','for','is','are',"
+    "'was','be','it','this','that','with','as','at']"
+)
+
+
+@query(
+    "boosting_stump_round",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id,
+               CAST(len({_DD_TOKS}) AS BIGINT) AS f_ntok,
+               CAST(round(round(CAST(len(list_filter({_DD_TOKS},
+                    t -> list_contains({_DD_QF_STOP}, t))) AS DOUBLE)
+                    / len({_DD_TOKS}), 6) * 1000000) AS BIGINT) AS f_stop,
+               CAST(round(round(CAST(len(list_distinct({_DD_TOKS})) AS DOUBLE)
+                    / len({_DD_TOKS}), 6) * 1000000) AS BIGINT) AS f_ttr,
+               (len({_DD_TOKS}) >= 20 AND len({_DD_TOKS}) <= 80
+                AND CAST(length(text) - (len({_DD_TOKS}) - 1) AS DOUBLE)
+                    / len({_DD_TOKS}) >= 3.0
+                AND CAST(length(text) - (len({_DD_TOKS}) - 1) AS DOUBLE)
+                    / len({_DD_TOKS}) <= 8.0
+                AND CAST(len(list_filter({_DD_TOKS},
+                    t -> list_contains({_DD_QF_STOP}, t))) AS DOUBLE)
+                    / len({_DD_TOKS}) >= 0.05
+                AND CAST(len(list_distinct({_DD_TOKS})) AS DOUBLE)
+                    / len({_DD_TOKS}) >= 0.3) AS label
+        FROM documents
+    ), lf AS (
+        SELECT 'n_tokens' AS feature, f_ntok AS v, label FROM feat
+        UNION ALL
+        SELECT 'stopword_frac', f_stop, label FROM feat
+        UNION ALL
+        SELECT 'ttr', f_ttr, label FROM feat
+    ), th AS (
+        SELECT DISTINCT feature, thr FROM (
+            SELECT feature,
+                   vs[CAST(n * k // 10 + 1 AS INTEGER)] AS thr
+            FROM (
+                SELECT feature, CAST(count(*) AS BIGINT) AS n,
+                       list_sort(list(v)) AS vs
+                FROM lf GROUP BY feature
+            ) CROSS JOIN (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS k)
+        )
+    ), ev AS (
+        SELECT l.feature, t.thr,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN l.v <= t.thr AND NOT l.label THEN 1 ELSE 0 END)
+                    + sum(CASE WHEN l.v > t.thr AND l.label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS mis_plus
+        FROM lf l JOIN th t USING (feature)
+        GROUP BY l.feature, t.thr
+    ), sc AS (
+        SELECT feature, thr, n,
+               least(mis_plus, n - mis_plus) AS mis,
+               CASE WHEN mis_plus <= n - mis_plus
+                    THEN 'keep_if_le' ELSE 'keep_if_gt' END AS polarity
+        FROM ev
+    ), best AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (ORDER BY mis, feature, thr) AS r FROM sc
+        ) WHERE r = 1
+    )
+    SELECT feature, CAST(thr AS BIGINT) AS threshold, polarity, n,
+           mis AS n_misclassified,
+           round(CAST(mis AS DOUBLE) / n, 6) AS error,
+           round(0.5 * ln((1 - greatest(least(CAST(mis AS DOUBLE) / n,
+                                              1 - 0.5 / n), 0.5 / n))
+                          / greatest(least(CAST(mis AS DOUBLE) / n,
+                                           1 - 0.5 / n), 0.5 / n)), 6) AS alpha
+    FROM best
+    """,
+)
+def boosting_stump_round_q(spark, sf_dir):
+    """One AdaBoost round fitting a decision stump IN THE ENGINE
+    (Freund-Schapire with uniform initial weights — demonstrating that
+    a weak-learner training step is just a grouped aggregate, the way
+    the quality classifier's documented swap point expects trained
+    weights to be produced): features are quality_filters' own
+    columns (token count, stopword fraction, TTR — micro-quantized so
+    thresholds are exact integers), candidate thresholds are the 9
+    exact decile selections per feature, and ALL 27 stumps evaluate in
+    ONE conditional aggregate over the melted feature frame (a stump
+    more costs a counter, not a pass). Best stump by exact integer
+    misclassification count with deterministic ties; alpha from the
+    clamped-error formula."""
+    from .operators import curation
+
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    qf = curation.quality_filters(docs).select(
+        "doc_id",
+        F.col("n_tokens").alias("f_ntok"),
+        F.expr("cast(round(stopword_frac * 1000000) as bigint)").alias("f_stop"),
+        F.expr("cast(round(ttr * 1000000) as bigint)").alias("f_ttr"),
+        F.col("keep").alias("label"),
+    )
+    lf = (
+        qf.select(F.lit("n_tokens").alias("feature"), F.col("f_ntok").alias("v"), "label")
+        .unionByName(
+            qf.select(
+                F.lit("stopword_frac").alias("feature"), F.col("f_stop").alias("v"), "label"
+            )
+        )
+        .unionByName(
+            qf.select(F.lit("ttr").alias("feature"), F.col("f_ttr").alias("v"), "label")
+        )
+    )
+    ks = spark.createDataFrame([(k,) for k in range(1, 10)], "k long")
+    th = (
+        lf.groupBy("feature")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sort_array(F.collect_list("v")).alias("vs"),
+        )
+        .crossJoin(F.broadcast(ks))
+        .select(
+            "feature",
+            F.element_at("vs", (F.expr("n * k div 10") + 1).cast("int")).alias("thr"),
+        )
+        .distinct()
+    )
+    ev = (
+        lf.join(F.broadcast(th), "feature")
+        .groupBy("feature", "thr")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (
+                F.sum(F.when((F.col("v") <= F.col("thr")) & ~F.col("label"), 1).otherwise(0))
+                + F.sum(F.when((F.col("v") > F.col("thr")) & F.col("label"), 1).otherwise(0))
+            )
+            .cast("long")
+            .alias("mis_plus"),
+        )
+    )
+    sc = ev.select(
+        "feature",
+        "thr",
+        "n",
+        F.least(F.col("mis_plus"), F.col("n") - F.col("mis_plus")).alias("mis"),
+        F.when(F.col("mis_plus") <= F.col("n") - F.col("mis_plus"), "keep_if_le")
+        .otherwise("keep_if_gt")
+        .alias("polarity"),
+    )
+    best = (
+        sc.withColumn(
+            "r", F.row_number().over(Window.orderBy("mis", "feature", "thr"))
+        )
+        .filter(F.col("r") == 1)
+        .drop("r")
+    )
+    e = F.col("mis").cast("double") / F.col("n")
+    e_c = F.greatest(F.least(e, 1 - 0.5 / F.col("n")), 0.5 / F.col("n"))
+    return best.select(
+        "feature",
+        F.col("thr").cast("long").alias("threshold"),
+        "polarity",
+        "n",
+        F.col("mis").alias("n_misclassified"),
+        F.round(e, 6).alias("error"),
+        F.round(0.5 * F.log((1 - e_c) / e_c), 6).alias("alpha"),
+    )
