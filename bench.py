@@ -297,6 +297,9 @@ EXTRA = [
     "ratio_metric_delta",
     "embedding_isotropy",
     "boosting_stump_round",
+    "neyman_allocation",
+    "horvitz_thompson_total",
+    "quadratic_trend_fit",
 ]
 
 

@@ -16144,3 +16144,285 @@ def boosting_stump_round_q(spark, sf_dir):
         F.round(e, 6).alias("error"),
         F.round(0.5 * F.log((1 - e_c) / e_c), 6).alias("alpha"),
     )
+
+
+@query(
+    "neyman_allocation",
+    oracle="""
+    WITH g AS (
+        SELECT n.n_name,
+               CAST(count(*) AS BIGINT) AS n_h,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s_h,
+               sum(CAST(CAST(round(o.o_totalprice * 100) AS BIGINT) AS DECIMAL(18,0))
+                   * CAST(round(o.o_totalprice * 100) AS BIGINT)) AS q_h
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ), w AS (
+        SELECT n_name, n_h,
+               CAST(round(n_h * sqrt((CAST(q_h AS DOUBLE)
+                    - CAST(s_h AS DOUBLE) * s_h / n_h) / (n_h - 1)) / 100)
+                    AS BIGINT) AS w_u
+        FROM g
+    ), t AS (
+        SELECT n_name, n_h, w_u,
+               CAST(sum(w_u) OVER () AS BIGINT) AS tw
+        FROM w
+    ), fl AS (
+        SELECT n_name, n_h, w_u, tw,
+               CAST(1000 * w_u // tw AS BIGINT) AS base,
+               1000 * w_u % tw AS rem
+        FROM t
+    )
+    SELECT n_name, n_h AS stratum_rows,
+           round(CAST(w_u AS DOUBLE) / tw, 6) AS neyman_share,
+           CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, n_name)
+                            <= 1000 - sum(base) OVER () THEN 1 ELSE 0 END AS BIGINT)
+               AS allocated_n
+    FROM fl
+    """,
+)
+def neyman_allocation_q(spark, sf_dir):
+    """Neyman optimal allocation of a 1000-row sampling budget across
+    nation strata (n_h ∝ N_h·σ_h — minimum-variance stratified
+    sampling; the principled upgrade to stratified_sample's
+    proportional split, and intraclass_correlation's design-effect
+    lesson applied): per-stratum std from ONE exact rollup (DECIMAL
+    squares), N·σ weights quantized to exact cent units, and the
+    integer budget splits by largest-remainder (token_budget_plan's
+    Hamilton method) so Σ allocated_n == 1000 EXACTLY on both
+    engines."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.expr("cast(round(o_totalprice * 100) as bigint)")
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_h"),
+            F.sum(cents).cast("long").alias("s_h"),
+            F.sum(cents.cast("decimal(18,0)") * cents).alias("q_h"),
+        )
+    )
+    w = g.select(
+        "n_name",
+        "n_h",
+        F.expr(
+            "cast(round(n_h * sqrt((cast(q_h as double)"
+            " - cast(s_h as double) * s_h / n_h) / (n_h - 1)) / 100) as bigint)"
+        ).alias("w_u"),
+    )
+    wa = Window.partitionBy()
+    t = w.select("n_name", "n_h", "w_u", F.sum("w_u").over(wa).cast("long").alias("tw"))
+    fl = t.select(
+        "n_name",
+        "n_h",
+        "w_u",
+        "tw",
+        F.expr("1000 * w_u div tw").cast("long").alias("base"),
+        F.expr("1000 * w_u % tw").alias("rem"),
+    )
+    return fl.select(
+        "n_name",
+        F.col("n_h").alias("stratum_rows"),
+        F.round(F.col("w_u").cast("double") / F.col("tw"), 6).alias("neyman_share"),
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(Window.orderBy(F.col("rem").desc(), "n_name"))
+                <= 1000 - F.sum("base").over(wa),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("allocated_n"),
+    )
+
+
+@query(
+    "horvitz_thompson_total",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(count(*) AS BIGINT) AS nn,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS true_c
+        FROM orders
+    ), p AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS v_c,
+               least(1.0, 2000 * CAST(round(o_totalprice * 100) AS BIGINT)
+                          / CAST(b.true_c AS DOUBLE)) AS pi,
+               {H.dd_md5_long('o_orderkey::VARCHAR')} / 1152921504606846976.0 AS u
+        FROM orders, b
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+               CAST(sum(CAST(round(v_c / pi) AS BIGINT)) AS BIGINT) AS ht_c
+        FROM p WHERE u < pi
+    )
+    SELECT b.nn AS n_rows, s.n_sampled,
+           round(CAST(b.true_c AS DOUBLE) / 100, 6) AS true_total,
+           round(CAST(s.ht_c AS DOUBLE) / 100, 6) AS ht_estimate,
+           round(abs(CAST(s.ht_c AS DOUBLE) - b.true_c) / b.true_c * 100, 6)
+               AS abs_err_pct
+    FROM s, b
+    """,
+)
+def horvitz_thompson_total_q(spark, sf_dir):
+    """Probability-proportional-to-size sampling + Horvitz-Thompson
+    total (the unequal-probability estimator behind every 'sample the
+    big accounts more' audit design: pi_i ∝ value, estimate
+    Σ y_i/pi_i is unbiased): inclusion probabilities from one exact
+    scalar pass (clamped at 1 for takeall units), the sample selected
+    by the engine-portable md5 uniform — so both engines draw the
+    SAME sample and the HT estimate matches to the cent; the
+    abs-error column demonstrates the estimator against the true
+    total it can see at test scale."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.count("*").cast("long").alias("nn"),
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+        .cast("long")
+        .alias("true_c"),
+    )
+    p = o.crossJoin(F.broadcast(b)).select(
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("v_c"),
+        F.least(
+            F.lit(1.0),
+            2000
+            * F.expr("cast(round(o_totalprice * 100) as bigint)")
+            / F.col("true_c").cast("double"),
+        ).alias("pi"),
+        (
+            H.md5_long(F.col("o_orderkey").cast("string"))
+            / F.lit(1152921504606846976.0)
+        ).alias("u"),
+        "nn",
+        "true_c",
+    )
+    s = p.filter(F.col("u") < F.col("pi")).agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.sum(F.expr("cast(round(v_c / pi) as bigint)")).cast("long").alias("ht_c"),
+        F.max("nn").alias("nn"),
+        F.max("true_c").alias("true_c"),
+    )
+    return s.select(
+        F.col("nn").alias("n_rows"),
+        "n_sampled",
+        F.round(F.col("true_c").cast("double") / 100, 6).alias("true_total"),
+        F.round(F.col("ht_c").cast("double") / 100, 6).alias("ht_estimate"),
+        F.round(
+            F.abs(F.col("ht_c").cast("double") - F.col("true_c"))
+            / F.col("true_c")
+            * 100,
+            6,
+        ).alias("abs_err_pct"),
+    )
+
+
+@query(
+    "quadratic_trend_fit",
+    oracle="""
+    WITH m AS (
+        SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS x,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y_c
+        FROM orders GROUP BY x
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s1, CAST(sum(x * x) AS BIGINT) AS s2,
+               CAST(sum(x * x * x) AS BIGINT) AS s3,
+               CAST(sum(x * x * x * x) AS BIGINT) AS s4,
+               CAST(sum(y_c) AS BIGINT) AS sy,
+               CAST(sum(x * y_c) AS BIGINT) AS sxy,
+               CAST(sum(x * x * y_c) AS BIGINT) AS sx2y
+        FROM m
+    ), d AS (
+        SELECT n, sy, sxy, sx2y,
+               CAST(n AS DOUBLE) * (CAST(s2 AS DOUBLE) * s4 - CAST(s3 AS DOUBLE) * s3)
+               - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s4 - CAST(s3 AS DOUBLE) * s2)
+               + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s3 - CAST(s2 AS DOUBLE) * s2)
+                   AS det,
+               CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+               CAST(s3 AS DOUBLE) AS d3, CAST(s4 AS DOUBLE) AS d4
+        FROM s
+    )
+    SELECT n AS n_months,
+           round((CAST(sy AS DOUBLE) * (d2 * d4 - d3 * d3)
+                  - d1 * (CAST(sxy AS DOUBLE) * d4 - d3 * CAST(sx2y AS DOUBLE))
+                  + d2 * (CAST(sxy AS DOUBLE) * d3 - d2 * CAST(sx2y AS DOUBLE)))
+                 / det / 100, 6) AS c0,
+           round((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) * d4
+                      - d3 * CAST(sx2y AS DOUBLE))
+                  - CAST(sy AS DOUBLE) * (d1 * d4 - d3 * d2)
+                  + d2 * (d1 * CAST(sx2y AS DOUBLE) - CAST(sxy AS DOUBLE) * d2))
+                 / det / 100, 6) AS c1,
+           round((CAST(n AS DOUBLE) * (d2 * CAST(sx2y AS DOUBLE)
+                      - CAST(sxy AS DOUBLE) * d3)
+                  - d1 * (d1 * CAST(sx2y AS DOUBLE) - CAST(sxy AS DOUBLE) * d2)
+                  + CAST(sy AS DOUBLE) * (d1 * d3 - d2 * d2))
+                 / det / 100, 6) AS c2
+    FROM d
+    """,
+)
+def quadratic_trend_fit_q(spark, sf_dir):
+    """Quadratic trend fit of monthly revenue, y = c0 + c1·x + c2·x²
+    (revenue_forecast's linear trend can't see acceleration — c2's
+    sign IS the 'growth is speeding up / rolling over' readout): the
+    classic closed-form normal equations via Cramer's rule on the
+    3×3 moment matrix — ALL seven moments (Σx..Σx⁴, Σy, Σxy, Σx²y)
+    are exact integers from the month-frame rollup (x ≤ 84 keeps x⁴
+    well inside BIGINT), and the three determinant expansions are
+    written in the identical expansion order on both engines. No
+    solver, no iteration: polynomial regression as one aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1).alias("x")
+    ).agg(
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+        .cast("long")
+        .alias("y_c")
+    )
+    x = F.col("x")
+    s = m.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast("long").alias("s1"),
+        F.sum(x * x).cast("long").alias("s2"),
+        F.sum(x * x * x).cast("long").alias("s3"),
+        F.sum(x * x * x * x).cast("long").alias("s4"),
+        F.sum("y_c").cast("long").alias("sy"),
+        F.sum(x * F.col("y_c")).cast("long").alias("sxy"),
+        F.sum(x * x * F.col("y_c")).cast("long").alias("sx2y"),
+    )
+    nd = F.col("n").cast("double")
+    d1, d2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    d3, d4 = F.col("s3").cast("double"), F.col("s4").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sx2yd = F.col("sx2y").cast("double")
+    det = (
+        nd * (d2 * d4 - d3 * d3)
+        - d1 * (d1 * d4 - d3 * d2)
+        + d2 * (d1 * d3 - d2 * d2)
+    )
+    c0 = (
+        syd * (d2 * d4 - d3 * d3)
+        - d1 * (sxyd * d4 - d3 * sx2yd)
+        + d2 * (sxyd * d3 - d2 * sx2yd)
+    ) / det
+    c1 = (
+        nd * (sxyd * d4 - d3 * sx2yd)
+        - syd * (d1 * d4 - d3 * d2)
+        + d2 * (d1 * sx2yd - sxyd * d2)
+    ) / det
+    c2 = (
+        nd * (d2 * sx2yd - sxyd * d3)
+        - d1 * (d1 * sx2yd - sxyd * d2)
+        + syd * (d1 * d3 - d2 * d2)
+    ) / det
+    return s.select(
+        F.col("n").alias("n_months"),
+        F.round(c0 / 100, 6).alias("c0"),
+        F.round(c1 / 100, 6).alias("c1"),
+        F.round(c2 / 100, 6).alias("c2"),
+    )
