@@ -300,6 +300,8 @@ EXTRA = [
     "neyman_allocation",
     "horvitz_thompson_total",
     "quadratic_trend_fit",
+    "mix_shift_decomposition",
+    "cost_optimal_threshold",
 ]
 
 

@@ -16426,3 +16426,183 @@ def quadratic_trend_fit_q(spark, sf_dir):
         F.round(c1 / 100, 6).alias("c1"),
         F.round(c2 / 100, 6).alias("c2"),
     )
+
+
+@query(
+    "mix_shift_decomposition",
+    oracle="""
+    WITH b AS (
+        SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS cut FROM events
+    ), g AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut
+                             THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS s1,
+               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut THEN 0
+                             ELSE CAST(round(value * 1000000) AS BIGINT) END)
+                    AS BIGINT) AS s2
+        FROM events, b GROUP BY event_type
+    ), t AS (
+        SELECT event_type, n1, n2, s1, s2,
+               CAST(sum(n1) OVER () AS BIGINT) AS t1,
+               CAST(sum(n2) OVER () AS BIGINT) AS t2
+        FROM g
+    ), c AS (
+        SELECT event_type,
+               CAST(n1 AS DOUBLE) / t1 AS share1, CAST(n2 AS DOUBLE) / t2 AS share2,
+               CAST(s1 AS DOUBLE) / n1 / 1e6 AS rate1,
+               CAST(s2 AS DOUBLE) / n2 / 1e6 AS rate2
+        FROM t WHERE n1 > 0 AND n2 > 0
+    )
+    SELECT event_type,
+           round(share1, 6) AS share_pre, round(share2, 6) AS share_post,
+           round(rate1, 6) AS rate_pre, round(rate2, 6) AS rate_post,
+           round((share2 - share1) * rate1, 6) AS mix_effect,
+           round(share2 * (rate2 - rate1), 6) AS rate_effect,
+           round(CAST(sum(CAST(round(((share2 - share1) * rate1
+                 + share2 * (rate2 - rate1)) * 1000000) AS BIGINT)) OVER ()
+                 AS DOUBLE) / 1e6, 6) AS total_delta
+    FROM c
+    """,
+)
+def mix_shift_decomposition_q(spark, sf_dir):
+    """Mix-vs-rate decomposition of the mean event value's change
+    across the cutover (the 'why did the average move' analysis every
+    metrics review runs: did segment RATES change, or did the MIX of
+    segments shift? — Oaxaca-Blinder's accounting identity
+    Δ = Σ(Δshare·rate_pre + share_post·Δrate)): one conditional
+    rollup builds all per-type cells, totals ride window sums on the
+    types frame, each effect is an identical double expression over
+    exact integers, and the reconciliation total sums 6dp micro-unit
+    contributions so Δ decomposes EXACTLY on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("cut"))
+    v_u = "cast(round(value * 1000000) as bigint)"
+    g = ev.crossJoin(F.broadcast(b)).groupBy("event_type").agg(
+        F.sum(F.when(F.col("ts_ns") <= F.col("cut"), 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("ts_ns") <= F.col("cut"), 0).otherwise(1))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("ts_ns") <= F.col("cut"), F.expr(v_u)).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("ts_ns") <= F.col("cut"), 0).otherwise(F.expr(v_u)))
+        .cast("long")
+        .alias("s2"),
+    )
+    wa = Window.partitionBy()
+    t = g.select(
+        "*",
+        F.sum("n1").over(wa).cast("long").alias("t1"),
+        F.sum("n2").over(wa).cast("long").alias("t2"),
+    ).filter((F.col("n1") > 0) & (F.col("n2") > 0))
+    share1 = F.col("n1").cast("double") / F.col("t1")
+    share2 = F.col("n2").cast("double") / F.col("t2")
+    rate1 = F.col("s1").cast("double") / F.col("n1") / F.lit(1e6)
+    rate2 = F.col("s2").cast("double") / F.col("n2") / F.lit(1e6)
+    c = t.select(
+        "event_type",
+        F.round(share1, 6).alias("share_pre"),
+        F.round(share2, 6).alias("share_post"),
+        F.round(rate1, 6).alias("rate_pre"),
+        F.round(rate2, 6).alias("rate_post"),
+        F.round((share2 - share1) * rate1, 6).alias("mix_effect"),
+        F.round(share2 * (rate2 - rate1), 6).alias("rate_effect"),
+        (
+            (share2 - share1) * rate1 + share2 * (rate2 - rate1)
+        ).alias("_contrib"),
+    )
+    return c.select(
+        "event_type",
+        "share_pre",
+        "share_post",
+        "rate_pre",
+        "rate_post",
+        "mix_effect",
+        "rate_effect",
+        F.round(
+            F.sum(F.expr("cast(round(_contrib * 1000000) as bigint)"))
+            .over(wa)
+            .cast("double")
+            / F.lit(1e6),
+            6,
+        ).alias("total_delta"),
+    )
+
+
+def _cost_optimal_threshold_oracle() -> str:
+    base = _classifier_calibration_oracle().rsplit(", binned AS", 1)[0]
+    return (
+        base
+        + """
+    , thr AS (
+        SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS tau
+    ), j AS (
+        SELECT t.tau,
+               CAST(sum(CASE WHEN p.prob >= t.tau AND NOT l.label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN p.prob < t.tau AND l.label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fn
+        FROM probs p JOIN labels l ON l.doc_id = p.doc_id CROSS JOIN thr t
+        GROUP BY t.tau
+    ), costed AS (
+        SELECT tau, fp, fn, fp * 1 + fn * 5 AS cost
+        FROM j
+    )
+    SELECT tau, fp, fn, CAST(cost AS BIGINT) AS cost,
+           CAST(cost AS BIGINT) = CAST(min(cost) OVER () AS BIGINT) AS is_optimal
+    FROM costed
+    """
+    )
+
+
+@query("cost_optimal_threshold", oracle=None)  # oracle attached below
+def cost_optimal_threshold_q(spark, sf_dir):
+    """Cost-sensitive operating point for the quality classifier (the
+    decision-theory step after classifier_pr_curve: with a false
+    negative 5x as expensive as a false positive — dropping good
+    training data costs more than keeping some junk — which tau
+    minimizes expected cost?): the same single counting aggregate as
+    the PR curve, an exact integer cost per threshold, and the
+    argmin flagged via a window over the 9-row grid. Change the cost
+    literals and the whole policy re-derives in one pass."""
+    from .operators import curation
+
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    probs = curation.quality_classifier(docs).select("doc_id", "prob")
+    labels = curation.quality_filters(docs).select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    thr = spark.createDataFrame([(t / 10.0,) for t in range(1, 10)], "tau double")
+    j = (
+        probs.join(labels, "doc_id")
+        .crossJoin(F.broadcast(thr))
+        .groupBy("tau")
+        .agg(
+            F.sum(
+                F.when((F.col("prob") >= F.col("tau")) & ~F.col("label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("fp"),
+            F.sum(F.when((F.col("prob") < F.col("tau")) & F.col("label"), 1).otherwise(0))
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    costed = j.select(
+        "tau", "fp", "fn", (F.col("fp") * 1 + F.col("fn") * 5).cast("long").alias("cost")
+    )
+    return costed.select(
+        "tau",
+        "fp",
+        "fn",
+        "cost",
+        (F.col("cost") == F.min("cost").over(Window.partitionBy())).alias("is_optimal"),
+    )
+
+
+ORACLES["cost_optimal_threshold"] = _cost_optimal_threshold_oracle()
