@@ -120,10 +120,15 @@ _VERIFY_FIRST = [
     # ks_two_sample, session_gap_sweep, srm_check, did_estimator,
     # cuped_adjustment, link_prediction_jaccard, conformal_interval,
     # dp_noise_calibration, oneway_anova_f, hill_tail_index,
-    # daily_autocorrelation, count_overdispersion,
-    # churn_auc_baseline — 61 in total) — all parity-verified
-    # at sf0.001 AND sf0.01 this session; fold them into the r6
-    # rotation after the list below. Full r6
+    # daily_autocorrelation, count_overdispersion, churn_auc_baseline,
+    # cohort_ltv_curve, term_burstiness, ratio_metric_delta,
+    # embedding_isotropy, boosting_stump_round, neyman_allocation,
+    # horvitz_thompson_total, quadratic_trend_fit,
+    # mix_shift_decomposition, cost_optimal_threshold — 71 in
+    # total) — all parity-verified at sf0.001 AND sf0.01 this
+    # session (the final full sf0.01 gate run covered every one:
+    # 283/283 MATCH); fold them into the r6 rotation after the list
+    # below. Full r6
     # rotation order (28 late-r5 never-stamped, flagships first):
     # curation_pipeline, kmeans_refine, mlm_mask_corpus,
     # span_corrupt_corpus, data_quality_checks, salted_join_topn,
