@@ -302,6 +302,9 @@ EXTRA = [
     "quadratic_trend_fit",
     "mix_shift_decomposition",
     "cost_optimal_threshold",
+    "winsorized_mean_stats",
+    "revenue_max_drawdown",
+    "mix_entropy_trend",
 ]
 
 

@@ -16606,3 +16606,231 @@ def cost_optimal_threshold_q(spark, sf_dir):
 
 
 ORACLES["cost_optimal_threshold"] = _cost_optimal_threshold_oracle()
+
+
+@query(
+    "winsorized_mean_stats",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v_u
+        FROM events
+    ), s AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               list_sort(list(v_u)) AS vs
+        FROM e GROUP BY event_type
+    ), b AS (
+        SELECT event_type, n,
+               vs[CAST(n // 10 + 1 AS INTEGER)] AS lo,
+               vs[CAST(n - n // 10 AS INTEGER)] AS hi
+        FROM s
+    )
+    SELECT e.event_type, b.n,
+           round(b.lo / 1e6, 6) AS clamp_lo,
+           round(b.hi / 1e6, 6) AS clamp_hi,
+           round(CAST(sum(least(greatest(e.v_u, b.lo), b.hi)) AS DOUBLE)
+                 / b.n / 1e6, 6) AS winsorized_mean,
+           round(CAST(sum(e.v_u) AS DOUBLE) / b.n / 1e6, 6) AS raw_mean
+    FROM e JOIN b USING (event_type)
+    GROUP BY e.event_type, b.n, b.lo, b.hi
+    """,
+)
+def winsorized_mean_stats_q(spark, sf_dir):
+    """10%%-winsorized mean per event type (trimmed_mean_stats DROPS
+    the tails — winsorizing CLAMPS them, keeping n constant, which is
+    what a metrics pipeline wants when downstream joins assume every
+    row survives): clamp bounds by exact sorted selection (the
+    documented approx_percentile swap at 100 TB), then ONE more pass
+    clamps and sums exact integers — the winsorized mean is
+    order-free, shown against the raw mean as the outlier-impact
+    readout."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", F.expr("cast(round(value * 1000000) as bigint)").alias("v_u")
+    )
+    s = e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sort_array(F.collect_list("v_u")).alias("vs"),
+    )
+    b = s.select(
+        "event_type",
+        "n",
+        F.element_at("vs", (F.expr("n div 10") + 1).cast("int")).alias("lo"),
+        F.element_at("vs", (F.col("n") - F.expr("n div 10")).cast("int")).alias("hi"),
+    )
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .groupBy("event_type", "n", "lo", "hi")
+        .agg(
+            F.sum(F.least(F.greatest(F.col("v_u"), F.col("lo")), F.col("hi")))
+            .cast("long")
+            .alias("_ws"),
+            F.sum("v_u").cast("long").alias("_rs"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("lo") / F.lit(1e6), 6).alias("clamp_lo"),
+            F.round(F.col("hi") / F.lit(1e6), 6).alias("clamp_hi"),
+            F.round(F.col("_ws").cast("double") / F.col("n") / F.lit(1e6), 6).alias(
+                "winsorized_mean"
+            ),
+            F.round(F.col("_rs").cast("double") / F.col("n") / F.lit(1e6), 6).alias(
+                "raw_mean"
+            ),
+        )
+    )
+
+
+@query(
+    "revenue_max_drawdown",
+    oracle="""
+    WITH m AS (
+        SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS month_id,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        FROM orders GROUP BY month_id
+    ), anom AS (
+        SELECT month_id, rev_c,
+               CAST(count(*) OVER () AS BIGINT) AS nm,
+               CAST(count(*) OVER () AS BIGINT) * rev_c
+               - CAST(sum(rev_c) OVER () AS BIGINT) AS dev_u
+        FROM m
+    ), c AS (
+        SELECT month_id, nm,
+               CAST(sum(dev_u) OVER (ORDER BY month_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_u
+        FROM anom
+    ), dd AS (
+        SELECT month_id, nm, cum_u,
+               CAST(max(cum_u) OVER (ORDER BY month_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS peak_u
+        FROM c
+    )
+    SELECT CAST(month_id AS BIGINT) AS month_id,
+           round(CAST(cum_u AS DOUBLE) / nm / 100, 6) AS cum_deviation,
+           round(CAST(peak_u AS DOUBLE) / nm / 100, 6) AS running_peak,
+           round(CAST(peak_u - cum_u AS DOUBLE) / nm / 100, 6) AS drawdown,
+           CAST(peak_u - cum_u AS BIGINT)
+               = CAST(max(peak_u - cum_u) OVER () AS BIGINT) AS is_max_drawdown
+    FROM dd
+    """,
+)
+def revenue_max_drawdown_q(spark, sf_dir):
+    """Maximum drawdown of cumulative revenue DEVIATION from its mean
+    month (the risk lens on the revenue series: the deepest sustained
+    under-performance stretch vs trend — where cusum_changepoint finds
+    WHERE the level shifted, drawdown says HOW BAD the worst run was):
+    month rollup → mean-deviation cumulative sum → running peak →
+    drawdown, all EXACT integers via the scale-by-n identity
+    n·rev − total (cusum_changepoint's trick — no float mean enters
+    the scan) on calendar-bounded window frames; the max-drawdown
+    month is flagged by exact integer comparison."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1).alias(
+            "month_id"
+        )
+    ).agg(
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    wa = Window.partitionBy()
+    anom = m.select(
+        "month_id",
+        F.count("*").over(wa).cast("long").alias("nm"),
+        (
+            F.count("*").over(wa).cast("long") * F.col("rev_c")
+            - F.sum("rev_c").over(wa).cast("long")
+        ).alias("dev_u"),
+    )
+    wc = Window.orderBy("month_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = anom.select(
+        "month_id", "nm", F.sum("dev_u").over(wc).cast("long").alias("cum_u")
+    )
+    dd = c.select(
+        "month_id", "nm", "cum_u", F.max("cum_u").over(wc).cast("long").alias("peak_u")
+    )
+    return dd.select(
+        F.col("month_id").cast("long"),
+        F.round(F.col("cum_u").cast("double") / F.col("nm") / F.lit(100), 6).alias(
+            "cum_deviation"
+        ),
+        F.round(F.col("peak_u").cast("double") / F.col("nm") / F.lit(100), 6).alias(
+            "running_peak"
+        ),
+        F.round(
+            (F.col("peak_u") - F.col("cum_u")).cast("double") / F.col("nm") / F.lit(100),
+            6,
+        ).alias("drawdown"),
+        (
+            (F.col("peak_u") - F.col("cum_u"))
+            == F.max(F.col("peak_u") - F.col("cum_u")).over(wa).cast("long")
+        ).alias("is_max_drawdown"),
+    )
+
+
+@query(
+    "mix_entropy_trend",
+    oracle="""
+    WITH w AS (
+        SELECT epoch_ns(ts) // 86400000000000 // 7 AS week_id, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY week_id, event_type
+    ), t AS (
+        SELECT week_id, event_type, n,
+               CAST(sum(n) OVER (PARTITION BY week_id) AS BIGINT) AS tw
+        FROM w
+    ), h AS (
+        SELECT week_id, CAST(max(tw) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(-(CAST(n AS DOUBLE) / tw)
+                    * ln(CAST(n AS DOUBLE) / tw) * 1000000) AS BIGINT)) AS BIGINT)
+                   AS h_u,
+               CAST(count(*) AS BIGINT) AS n_types
+        FROM t GROUP BY week_id
+    )
+    SELECT CAST(week_id AS BIGINT) AS week_id, n_events, n_types,
+           round(h_u / 1e6, 6) AS mix_entropy,
+           round(h_u / 1e6 / ln(CAST(n_types AS DOUBLE)), 6) AS normalized_entropy
+    FROM h WHERE n_types > 1
+    """,
+)
+def mix_entropy_trend_q(spark, sf_dir):
+    """Traffic-mix diversity over time — weekly Shannon entropy of the
+    event-type distribution (a collapsing entropy means one event type
+    is taking over: bot storms, a broken emitter, or a product shift;
+    corpus_mix snapshots the mix, THIS trends its diversity): the
+    stream collapses to (week, type) counts, shares ride one
+    week-partitioned window, per-cell -p·ln(p) terms quantize to
+    micro-units so each week's entropy is an order-free integer sum;
+    normalized by ln(k) to a 0-1 scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.groupBy(
+        F.expr("ts_ns div 86400000000000 div 7").alias("week_id"), "event_type"
+    ).agg(F.count("*").cast("long").alias("n"))
+    t = w.select(
+        "week_id",
+        "n",
+        F.sum("n").over(Window.partitionBy("week_id")).cast("long").alias("tw"),
+    )
+    p = F.col("n").cast("double") / F.col("tw")
+    h = t.groupBy("week_id").agg(
+        F.max("tw").cast("long").alias("n_events"),
+        F.sum(F.expr(
+            "cast(round(-(cast(n as double) / tw) * ln(cast(n as double) / tw)"
+            " * 1000000) as bigint)"
+        ))
+        .cast("long")
+        .alias("h_u"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    return h.filter(F.col("n_types") > 1).select(
+        F.col("week_id").cast("long"),
+        "n_events",
+        "n_types",
+        F.round(F.col("h_u") / F.lit(1e6), 6).alias("mix_entropy"),
+        F.round(
+            F.col("h_u") / F.lit(1e6) / F.log(F.col("n_types").cast("double")), 6
+        ).alias("normalized_entropy"),
+    )
