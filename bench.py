@@ -305,6 +305,8 @@ EXTRA = [
     "winsorized_mean_stats",
     "revenue_max_drawdown",
     "mix_entropy_trend",
+    "gate_agreement_kappa",
+    "sampling_weights_ess",
 ]
 
 

@@ -16834,3 +16834,156 @@ def mix_entropy_trend_q(spark, sf_dir):
             F.col("h_u") / F.lit(1e6) / F.log(F.col("n_types").cast("double")), 6
         ).alias("normalized_entropy"),
     )
+
+
+def _gate_agreement_oracle() -> str:
+    base = _classifier_calibration_oracle().rsplit(", binned AS", 1)[0]
+    return (
+        base
+        + """
+    , cells AS (
+        SELECT CAST(sum(CASE WHEN p.prob >= 0.5 AND l.label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(sum(CASE WHEN p.prob >= 0.5 AND NOT l.label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+               CAST(sum(CASE WHEN p.prob < 0.5 AND l.label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c,
+               CAST(sum(CASE WHEN p.prob < 0.5 AND NOT l.label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d
+        FROM probs p JOIN labels l ON l.doc_id = p.doc_id
+    )
+    SELECT a + b + c + d AS n,
+           round(CAST(a + d AS DOUBLE) / (a + b + c + d), 6) AS observed_agreement,
+           round((CAST(a + b AS DOUBLE) * (a + c) + CAST(c + d AS DOUBLE) * (b + d))
+                 / pow(CAST(a + b + c + d AS DOUBLE), 2), 6) AS chance_agreement,
+           round((CAST(a + d AS DOUBLE) / (a + b + c + d)
+                  - (CAST(a + b AS DOUBLE) * (a + c) + CAST(c + d AS DOUBLE) * (b + d))
+                    / pow(CAST(a + b + c + d AS DOUBLE), 2))
+                 / (1 - (CAST(a + b AS DOUBLE) * (a + c)
+                         + CAST(c + d AS DOUBLE) * (b + d))
+                       / pow(CAST(a + b + c + d AS DOUBLE), 2)), 6) AS cohen_kappa
+    FROM cells
+    """
+    )
+
+
+@query("gate_agreement_kappa", oracle=None)  # oracle attached below
+def gate_agreement_kappa_q(spark, sf_dir):
+    """Cohen's kappa between the two independent quality signals — the
+    learned scorer at tau=0.5 vs the hand-set filter gates (accuracy
+    says how often they agree; kappa says how much BEYOND CHANCE,
+    which is the honest number when classes are imbalanced — the
+    rater-agreement check before trusting either gate as ground
+    truth): one 2x2 contingency from a single conditional aggregate
+    over the shared doc_id join; observed/chance/kappa in identical
+    double arithmetic over four exact counts."""
+    from .operators import curation
+
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    probs = curation.quality_classifier(docs).select("doc_id", "prob")
+    labels = curation.quality_filters(docs).select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    cells = probs.join(labels, "doc_id").agg(
+        F.sum(F.when((F.col("prob") >= 0.5) & F.col("label"), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when((F.col("prob") >= 0.5) & ~F.col("label"), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("prob") < 0.5) & F.col("label"), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when((F.col("prob") < 0.5) & ~F.col("label"), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    po = (F.col("a") + F.col("d")).cast("double") / n
+    pe = (
+        (F.col("a") + F.col("b")).cast("double") * (F.col("a") + F.col("c"))
+        + (F.col("c") + F.col("d")).cast("double") * (F.col("b") + F.col("d"))
+    ) / F.pow(n, F.lit(2.0))
+    return cells.select(
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("long").alias("n"),
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("chance_agreement"),
+        F.round((po - pe) / (1 - pe), 6).alias("cohen_kappa"),
+    )
+
+
+ORACLES["gate_agreement_kappa"] = _gate_agreement_oracle()
+
+
+@query(
+    "sampling_weights_ess",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS true_c
+        FROM orders
+    ), p AS (
+        SELECT o_orderkey,
+               least(1.0, 2000 * CAST(round(o_totalprice * 100) AS BIGINT)
+                          / CAST(b.true_c AS DOUBLE)) AS pi,
+               {H.dd_md5_long('o_orderkey::VARCHAR')} / 1152921504606846976.0 AS u
+        FROM orders, b
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+               CAST(sum(CAST(round(1.0 / pi * 1000) AS BIGINT)) AS BIGINT) AS sw_m,
+               CAST(sum(CAST(round(1.0 / pi * 1000) AS BIGINT)
+                        * CAST(round(1.0 / pi * 1000) AS BIGINT)) AS BIGINT) AS sww
+        FROM p WHERE u < pi
+    )
+    SELECT n_sampled,
+           round(CAST(sw_m AS DOUBLE) * sw_m / sww / 1, 6) AS effective_n,
+           round(CAST(sw_m AS DOUBLE) * sw_m / sww / n_sampled, 6) AS ess_ratio,
+           round(CAST(sww AS DOUBLE) * n_sampled / (CAST(sw_m AS DOUBLE) * sw_m), 6)
+               AS kish_deff
+    FROM s
+    """,
+)
+def sampling_weights_ess_q(spark, sf_dir):
+    """Kish effective sample size of the PPS design weights (the
+    weights-health check that must accompany ANY weighted estimate —
+    horvitz_thompson_total's n_sampled overstates information when
+    weights vary; ESS = (Σw)²/Σw² is what the estimate is really
+    worth, and Kish's deff = n·Σw²/(Σw)² is the variance inflation):
+    the same md5-drawn PPS sample, weights 1/pi quantized to
+    milli-units so both sums are exact integers; ESS, ESS ratio and
+    deff from identical arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+        .cast("long")
+        .alias("true_c")
+    )
+    p = o.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.lit(1.0),
+            2000
+            * F.expr("cast(round(o_totalprice * 100) as bigint)")
+            / F.col("true_c").cast("double"),
+        ).alias("pi"),
+        (
+            H.md5_long(F.col("o_orderkey").cast("string"))
+            / F.lit(1152921504606846976.0)
+        ).alias("u"),
+    )
+    w_m = F.expr("cast(round(1.0 / pi * 1000) as bigint)")
+    s = p.filter(F.col("u") < F.col("pi")).agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.sum(w_m).cast("long").alias("sw_m"),
+        F.sum(w_m * w_m).cast("long").alias("sww"),
+    )
+    ess = F.col("sw_m").cast("double") * F.col("sw_m") / F.col("sww")
+    return s.select(
+        "n_sampled",
+        F.round(ess / F.lit(1), 6).alias("effective_n"),
+        F.round(ess / F.col("n_sampled"), 6).alias("ess_ratio"),
+        F.round(
+            F.col("sww").cast("double")
+            * F.col("n_sampled")
+            / (F.col("sw_m").cast("double") * F.col("sw_m")),
+            6,
+        ).alias("kish_deff"),
+    )
