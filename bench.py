@@ -307,6 +307,15 @@ EXTRA = [
     "mix_entropy_trend",
     "gate_agreement_kappa",
     "sampling_weights_ess",
+    "knn_range_search",
+    "post_filter_recall",
+    "hnsw_layer_plan",
+    "fim_transform",
+    "k_anonymity_audit",
+    "filter_bias_audit",
+    "trigram_fuzzy_match",
+    "kmv_set_ops",
+    "forecast_backtest",
 ]
 
 

@@ -16987,3 +16987,766 @@ def sampling_weights_ess_q(spark, sf_dir):
             6,
         ).alias("kish_deff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vector search completion wave (r5 cont.): range search, filter-order
+# recall, HNSW capacity planning
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "knn_range_search",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS query_vec
+        FROM embeddings WHERE vec_id < 5
+    )
+    SELECT q.query_id, e.vec_id,
+           round({_dd_cosine('e.embedding', 'q.query_vec')}, 6) AS score
+    FROM embeddings e, q
+    WHERE {_dd_cosine('e.embedding', 'q.query_vec')} >= 0.25
+      AND e.vec_id <> q.query_id
+    """,
+)
+def knn_range_search_q(spark, sf_dir):
+    """Range (radius) search — ALL neighbors with cosine >= tau per
+    query, no k (the Milvus range-search / faiss range_search verb
+    beside search_vectors' top-k, milvus_db.py:107): broadcast query
+    side, ONE corpus pass, and the tau predicate is a plain filter on
+    the scored rows — zero shuffles, a pure map job at 100 TB (top-k
+    needs a reduction; range search does not). The raw-double
+    threshold compares identically in both engines because the cosine
+    arithmetic tree is bit-identical (norms factored once per side,
+    same as topk_batch)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        V.l2_norm(F.col("embedding")).alias("_qnorm"),
+    )
+    c = emb.select(
+        "vec_id", "embedding", V.l2_norm(F.col("embedding")).alias("_cnorm")
+    )
+    scored = c.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        (
+            V.dot(F.col("embedding"), F.col("query_vec"))
+            / (F.col("_cnorm") * F.col("_qnorm"))
+        ).alias("score"),
+    )
+    return (
+        scored.filter(
+            (F.col("score") >= 0.25) & (F.col("vec_id") != F.col("query_id"))
+        )
+        .select("query_id", "vec_id", F.round("score", 6).alias("score"))
+    )
+
+
+@query(
+    "post_filter_recall",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS query_vec
+        FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+        SELECT q.query_id, e.vec_id, e.label,
+               {_dd_cosine('e.embedding', 'q.query_vec')} AS score
+        FROM embeddings e, q
+    ), ranked AS (
+        SELECT query_id, vec_id, label, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id) AS rank_full,
+               CASE WHEN label = 3 THEN
+                   row_number() OVER (PARTITION BY query_id, (label = 3)
+                                      ORDER BY score DESC, vec_id)
+               END AS rank_filt
+        FROM scored
+    ), truth AS (
+        SELECT query_id, count(*) AS truth_n, list(vec_id) AS tids
+        FROM ranked WHERE rank_filt <= 10 GROUP BY query_id
+    ), post AS (
+        SELECT query_id, count(*) AS post_kept, list(vec_id) AS pids
+        FROM ranked WHERE rank_full <= 10 AND label = 3 GROUP BY query_id
+    )
+    SELECT t.query_id,
+           CAST(t.truth_n AS BIGINT) AS truth_n,
+           CAST(coalesce(p.post_kept, 0) AS BIGINT) AS post_kept,
+           CAST(coalesce(len(list_intersect(t.tids, p.pids)), 0) AS BIGINT) AS hits,
+           round(CAST(coalesce(len(list_intersect(t.tids, p.pids)), 0) AS DOUBLE)
+                 / t.truth_n, 6) AS recall
+    FROM truth t LEFT JOIN post p USING (query_id)
+    """,
+)
+def post_filter_recall_q(spark, sf_dir):
+    """Pre-filter vs post-filter recall@10 for filtered vector search —
+    the measurement behind knn_filtered's pre-filter posture (Milvus
+    filtered search design: filtering AFTER top-k loses every hit the
+    filter would have admitted below rank k): the corpus is scored
+    ONCE per query (norm-factored cosine), a map-side partial prune
+    keeps BOTH candidate sets per partition (top-10 overall carrying
+    labels, top-10 among label matches), and one final agg per query
+    merges both and computes the intersection — no second corpus
+    pass, no join between the two rankings. Truth = filter-then-rank;
+    post = rank-then-filter; recall = |post ∩ truth| / |truth|."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        V.l2_norm(F.col("embedding")).alias("_qnorm"),
+    )
+    c = emb.select(
+        "vec_id", "label", "embedding", V.l2_norm(F.col("embedding")).alias("_cnorm")
+    )
+    scored = c.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        "label",
+        (
+            V.dot(F.col("embedding"), F.col("query_vec"))
+            / (F.col("_cnorm") * F.col("_qnorm"))
+        ).alias("score"),
+    )
+    pair = F.struct(
+        (-F.col("score")).alias("_o"), F.col("vec_id"), F.col("label").alias("_l")
+    )
+    # map-side partial: both k-sets per (partition, query) in one agg
+    part = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid", "query_id")
+        .agg(
+            F.slice(F.sort_array(F.collect_list(pair)), 1, 10).alias("full"),
+            F.slice(
+                F.sort_array(F.collect_list(F.when(F.col("label") == 3, pair))), 1, 10
+            ).alias("filt"),
+        )
+    )
+    # final merge: flatten partials, re-sort, cut to 10, then set math
+    merged = part.groupBy("query_id").agg(
+        F.slice(F.sort_array(F.flatten(F.collect_list("full"))), 1, 10).alias("full"),
+        F.slice(F.sort_array(F.flatten(F.collect_list("filt"))), 1, 10).alias("filt"),
+    )
+    truth_ids = F.expr("transform(filt, x -> x.vec_id)")
+    post_ids = F.expr("transform(filter(full, x -> x._l = 3), x -> x.vec_id)")
+    hits = F.size(F.array_intersect(post_ids, truth_ids))
+    return merged.select(
+        "query_id",
+        F.size(truth_ids).cast("long").alias("truth_n"),
+        F.size(post_ids).cast("long").alias("post_kept"),
+        hits.cast("long").alias("hits"),
+        F.round(hits.cast("double") / F.size(truth_ids), 6).alias("recall"),
+    )
+
+
+@query(
+    "hnsw_layer_plan",
+    oracle=f"""
+    WITH h AS (
+        SELECT vec_id, {H.dd_md5_long('vec_id::VARCHAR', 'hnsw')} AS hv
+        FROM embeddings
+    ), lv AS (
+        SELECT vec_id,
+               least(length(regexp_extract(bin(hv), '(0*)$', 1)) // 2, 6) AS level
+        FROM h
+    ), per AS (
+        SELECT CAST(level AS BIGINT) AS level, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM lv GROUP BY level
+    )
+    SELECT level, n_nodes,
+           CAST(sum(n_nodes) OVER (ORDER BY level DESC) AS BIGINT) AS layer_size,
+           CAST(sum(n_nodes) OVER (ORDER BY level DESC)
+                * (CASE WHEN level = 0 THEN 32 ELSE 16 END) AS BIGINT) AS layer_edges,
+           round(CAST(n_nodes AS DOUBLE)
+                 / (SELECT sum(n_nodes) FROM per), 6) AS node_share
+    FROM per
+    """,
+)
+def hnsw_layer_plan_q(spark, sf_dir):
+    """HNSW capacity planning — the layer-occupancy table an HNSW
+    build (Malkov & Yashunin TPAMI'18) materializes before allocating
+    neighbor lists: each node's max level is geometric(p=1/4), drawn
+    here EXACTLY as trailing-zero bit PAIRS of the node's md5 (two
+    zero bits per level — integer arithmetic both engines agree on,
+    where the canonical floor(-ln(u)*mL) puts a libm ln at a floor
+    boundary). Per level: nodes whose max level is exactly l, the
+    cumulative layer size (every node of level >= l participates in
+    layer l's graph — the sum the index sizes its M=16 / M0=32
+    neighbor arrays by), edge budget, and node share. One narrow scan
+    + one map-side-combinable groupBy; windows run over the <=7-row
+    level frame."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    hv = H.md5_long(F.col("vec_id").cast("string"), "hnsw")
+    tz = F.length(F.regexp_extract(F.bin(hv), r"(0*)$", 1))
+    lv = emb.select(F.least(tz.cast("long") / F.lit(2), F.lit(6)).cast("long").alias("level"))
+    per = lv.groupBy("level").agg(F.count("*").cast("long").alias("n_nodes"))
+    w = Window.orderBy(F.col("level").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wa = Window.partitionBy()
+    return per.select(
+        "level",
+        "n_nodes",
+        F.sum("n_nodes").over(w).cast("long").alias("layer_size"),
+        (
+            F.sum("n_nodes").over(w)
+            * F.when(F.col("level") == 0, 32).otherwise(16)
+        )
+        .cast("long")
+        .alias("layer_edges"),
+        F.round(
+            F.col("n_nodes").cast("double") / F.sum("n_nodes").over(wa), 6
+        ).alias("node_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-sample + governance wave (r5 cont.): FIM transform,
+# k-anonymity audit, filter bias audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fim_transform",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), cuts AS (
+        SELECT doc_id, t, len(t) AS n,
+               {H.dd_md5_long("doc_id::VARCHAR || '|a'", 'fim')} % (len(t) + 1) AS h1,
+               {H.dd_md5_long("doc_id::VARCHAR || '|b'", 'fim')} % (len(t) + 1) AS h2
+        FROM d
+    ), spans AS (
+        SELECT doc_id, t, n,
+               least(h1, h2) AS lo, greatest(h1, h2) AS hi
+        FROM cuts
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(lo AS BIGINT) AS cut_lo,
+           CAST(hi AS BIGINT) AS cut_hi,
+           '<PRE> ' || coalesce(array_to_string(t[1 : CAST(lo AS INTEGER)], ' '), '')
+               || ' <SUF> ' || coalesce(array_to_string(t[CAST(hi + 1 AS INTEGER) : CAST(n AS INTEGER)], ' '), '')
+               || ' <MID>' AS input_text,
+           coalesce(array_to_string(t[CAST(lo + 1 AS INTEGER) : CAST(hi AS INTEGER)], ' '), '')
+               AS target_text
+    FROM spans
+    """,
+)
+def fim_transform_q(spark, sf_dir):
+    """Fill-in-the-middle training transform (Bavarian et al. 2022 —
+    the FIM objective code models train with): two deterministic cut
+    points from the seeded md5 family split each doc's token stream
+    into prefix/middle/suffix, serialized in PSM order
+    (`<PRE> prefix <SUF> suffix <MID>` -> middle) so the model learns
+    to infill. Completes the sample-generation family beside
+    mlm_mask_corpus / span_corrupt_corpus / skipgram_pairs. Pure
+    codegen HOFs over ONE scan, zero shuffles — a map-only rewrite job
+    at 100 TB; the FULL (input, target) pair is hash-checked, and the
+    same md5 draw makes the corpus split identically across engines,
+    runs, and cluster sizes."""
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    t = F.split(F.col("text"), " ")
+    d = docs.select("doc_id", t.alias("t"), F.size(t).alias("n"))
+    h1 = H.md5_long(F.concat(F.col("doc_id").cast("string"), F.lit("|a")), "fim") % (
+        F.col("n") + 1
+    )
+    h2 = H.md5_long(F.concat(F.col("doc_id").cast("string"), F.lit("|b")), "fim") % (
+        F.col("n") + 1
+    )
+    s = d.select(
+        "doc_id",
+        "t",
+        "n",
+        F.least(h1, h2).alias("lo"),
+        F.greatest(h1, h2).alias("hi"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("lo").cast("long").alias("cut_lo"),
+        F.col("hi").cast("long").alias("cut_hi"),
+        F.concat(
+            F.lit("<PRE> "),
+            F.array_join(F.slice(F.col("t"), 1, F.col("lo").cast("int")), " "),
+            F.lit(" <SUF> "),
+            F.array_join(
+                F.slice(
+                    F.col("t"),
+                    (F.col("hi") + 1).cast("int"),
+                    (F.col("n") - F.col("hi")).cast("int"),
+                ),
+                " ",
+            ),
+            F.lit(" <MID>"),
+        ).alias("input_text"),
+        F.array_join(
+            F.slice(
+                F.col("t"),
+                (F.col("lo") + 1).cast("int"),
+                (F.col("hi") - F.col("lo")).cast("int"),
+            ),
+            " ",
+        ).alias("target_text"),
+    )
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT) // 100000)
+                    AS BIGINT) AS l
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(min(k) AS BIGINT) AS min_k,
+               CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS violating_groups,
+               CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+                   AS rows_at_risk,
+               list_sort(list(k)) AS ks,
+               CAST(min(l) AS BIGINT) AS min_l,
+               CAST(sum(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS groups_low_diversity
+        FROM g
+    )
+    SELECT n_groups, min_k, violating_groups, rows_at_risk,
+           CAST(ks[CAST((n_groups + 1) // 2 AS INTEGER)] AS BIGINT) AS median_k,
+           min_l, groups_low_diversity
+    FROM s
+    """,
+)
+def k_anonymity_audit_q(spark, sf_dir):
+    """k-anonymity / l-diversity audit (Sweeney '02 / Machanavajjhala
+    '07 — the privacy gate before releasing a table keyed on
+    quasi-identifiers): equivalence classes over the QI pair
+    (nation, market segment), per-class size k and sensitive-value
+    diversity l (account-balance bands in exact integer cents — no
+    float floor boundary), then one rollup: classes below k=5, rows
+    at re-identification risk, median class size by exact sorted
+    selection, and low-diversity class count. One map-side-combinable
+    groupBy + one aggregate over the QI-cardinality-bounded frame."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("long").alias("k"),
+        F.countDistinct(
+            F.expr("cast(round(c_acctbal * 100) as bigint) div 100000")
+        )
+        .cast("long")
+        .alias("l"),
+    )
+    s = g.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.min("k").cast("long").alias("min_k"),
+        F.sum(F.when(F.col("k") < 5, 1).otherwise(0)).cast("long").alias(
+            "violating_groups"
+        ),
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.sort_array(F.collect_list("k")).alias("ks"),
+        F.min("l").cast("long").alias("min_l"),
+        F.sum(F.when(F.col("l") < 2, 1).otherwise(0))
+        .cast("long")
+        .alias("groups_low_diversity"),
+    )
+    return s.select(
+        "n_groups",
+        "min_k",
+        "violating_groups",
+        "rows_at_risk",
+        F.element_at("ks", F.expr("cast((n_groups + 1) div 2 as int)"))
+        .cast("long")
+        .alias("median_k"),
+        "min_l",
+        "groups_low_diversity",
+    )
+
+
+@query(
+    "filter_bias_audit",
+    oracle=f"""
+    WITH q AS (
+      SELECT lang,
+             CAST(len({_DD_TOKS}) AS BIGINT) AS n,
+             CAST(length(text) - (len({_DD_TOKS}) - 1) AS DOUBLE)
+               / len({_DD_TOKS}) AS mean_wl,
+             CAST(len(list_filter({_DD_TOKS},
+                  t -> list_contains(['the','a','an','and','or','of','to','in','on','for','is','are','was','be','it','this','that','with','as','at'], t)))
+               AS DOUBLE) / len({_DD_TOKS}) AS swf,
+             CAST(len(list_distinct({_DD_TOKS})) AS DOUBLE)
+               / len({_DD_TOKS}) AS ttr
+      FROM documents
+    ), per AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN n >= 20 AND n <= 80 AND mean_wl >= 3.0
+                            AND mean_wl <= 8.0 AND swf >= 0.05 AND ttr >= 0.3
+                           THEN 1 ELSE 0 END) AS BIGINT) AS kept
+      FROM q GROUP BY lang
+    )
+    SELECT lang, n_docs, kept,
+           round(CAST(kept AS DOUBLE) / n_docs, 6) AS keep_rate,
+           round((CAST(kept AS DOUBLE) / n_docs)
+                 / max(CAST(kept AS DOUBLE) / n_docs) OVER (), 6) AS di_ratio,
+           ((CAST(kept AS DOUBLE) / n_docs)
+            / max(CAST(kept AS DOUBLE) / n_docs) OVER ()) < 0.8 AS flagged
+    FROM per
+    """,
+)
+def filter_bias_audit_q(spark, sf_dir):
+    """Disparate-impact audit of the quality filter gates per language
+    (the fairness check a multilingual curation pipeline runs before
+    shipping a filter config — C4's blocklist famously over-filtered
+    minority dialects; the four-fifths rule flags any language whose
+    keep rate falls below 0.8x the best-treated language): the same
+    quality_filters signals computed inline so ONE corpus scan feeds
+    per-lang keep counts, then the disparate-impact ratio via a
+    window over the languages-sized frame. Exact integer counts;
+    the 0.8 comparison runs on identical doubles in both engines."""
+    from .functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    t = F.col("text")
+    toks = X.tokens(t)
+    n = F.size(toks)
+    mean_wl = (F.length(t) - (n - 1)) / n
+    swf = X.stopword_count(t) / n
+    ttr = F.size(F.array_distinct(toks)) / n
+    keep = (
+        (n >= 20)
+        & (n <= 80)
+        & (mean_wl >= 3.0)
+        & (mean_wl <= 8.0)
+        & (swf >= 0.05)
+        & (ttr >= 0.3)
+    )
+    per = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(keep.cast("int")).cast("long").alias("kept"),
+    )
+    wa = Window.partitionBy()
+    rate = F.col("kept").cast("double") / F.col("n_docs")
+    di = rate / F.max(rate).over(wa)
+    return per.select(
+        "lang",
+        "n_docs",
+        "kept",
+        F.round(rate, 6).alias("keep_rate"),
+        F.round(di, 6).alias("di_ratio"),
+        (di < 0.8).alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy matching + sketch algebra + forecast evaluation wave (r5 cont.)
+# ---------------------------------------------------------------------------
+
+_FUZZY_QUERY_TERMS = ["bacth", "cusomer", "windoow", "sparc", "filtter"]
+
+
+@query(
+    "trigram_fuzzy_match",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS term FROM documents
+    ), v AS (
+        SELECT term,
+               list_distinct([substr('  ' || term || ' ', i, 3)
+                              FOR i IN range(1, length(term) + 2)]) AS tgs
+        FROM vocab WHERE term <> ''
+    ), q AS (
+        SELECT qterm,
+               list_distinct([substr('  ' || qterm || ' ', i, 3)
+                              FOR i IN range(1, length(qterm) + 2)]) AS tgs
+        FROM (VALUES {", ".join(f"('{t}')" for t in _FUZZY_QUERY_TERMS)}) AS t(qterm)
+    ), pairs AS (
+        SELECT q.qterm, v.term,
+               CAST(len(list_intersect(q.tgs, v.tgs)) AS BIGINT) AS shared,
+               CAST(len(list_intersect(q.tgs, v.tgs)) AS DOUBLE)
+                 / (len(q.tgs) + len(v.tgs) - len(list_intersect(q.tgs, v.tgs)))
+                 AS sim
+        FROM q, v
+        WHERE len(list_intersect(q.tgs, v.tgs)) > 0
+    ), ranked AS (
+        SELECT qterm, term, shared, sim,
+               row_number() OVER (PARTITION BY qterm
+                                  ORDER BY sim DESC, term) AS rank
+        FROM pairs
+    )
+    SELECT qterm, term, shared, round(sim, 6) AS sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def trigram_fuzzy_match_q(spark, sf_dir):
+    """Trigram fuzzy term matching (pg_trgm / Elasticsearch fuzzy — the
+    typo-tolerant did-you-mean layer in front of keyword search):
+    padded character trigrams ('  t', ' te', ...) per vocab term,
+    similarity = trigram-set Jaccard, top-3 corrections per misspelled
+    query term. The corpus collapses to its DISTINCT vocabulary first
+    (the bpe_pair_counts trick — everything downstream is
+    vocabulary-sized, independent of corpus size), candidates come
+    from the trigram-keyed equi-join (a query term only meets vocab
+    terms SHARING a trigram — never all of vocab), and per-query
+    top-3 reduces via the agg-based top-k (rank on full-precision
+    sim with term tie-break, round at emit)."""
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+
+    # trigram set builder as a SQL expr (1-based substr, both engines;
+    # padded length is len+3, last trigram start = len+1)
+    def tg_expr(name):
+        return F.expr(
+            f"array_distinct(transform(sequence(1, length({name}) + 1), "
+            f"i -> substr(concat('  ', {name}, ' '), i, 3)))"
+        )
+
+    v = vocab.select("term", tg_expr("term").alias("tgs"), F.size(tg_expr("term")).alias("nv"))
+    q = spark.createDataFrame(
+        [(t,) for t in _FUZZY_QUERY_TERMS], "qterm string"
+    ).select("qterm", tg_expr("qterm").alias("qtgs"), F.size(tg_expr("qterm")).alias("nq"))
+    vx = v.select("term", "nv", F.explode("tgs").alias("tg"))
+    qx = q.select("qterm", "nq", F.explode("qtgs").alias("tg"))
+    pairs = (
+        vx.join(F.broadcast(qx), "tg")
+        .groupBy("qterm", "term", "nq", "nv")
+        .agg(F.count("*").cast("long").alias("shared"))
+        .select(
+            "qterm",
+            "term",
+            "shared",
+            (
+                F.col("shared").cast("double")
+                / (F.col("nq") + F.col("nv") - F.col("shared"))
+            ).alias("sim"),
+        )
+    )
+    cand = F.struct(
+        (-F.col("sim")).alias("_o"), F.col("term"), F.col("shared"), F.col("sim").alias("_s")
+    )
+    top = (
+        pairs.groupBy("qterm")
+        .agg(F.slice(F.sort_array(F.collect_list(cand)), 1, 3).alias("top"))
+        .select("qterm", F.posexplode("top").alias("pos", "p"))
+    )
+    return top.select(
+        "qterm",
+        F.col("p.term").alias("term"),
+        F.col("p.shared").alias("shared"),
+        F.round(F.col("p._s"), 6).alias("sim"),
+        (F.col("pos") + 1).cast("long").alias("rank"),
+    )
+
+
+@query(
+    "kmv_set_ops",
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT event_type, user_id FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ), h AS (
+        SELECT event_type, {H.dd_md5_long('user_id::VARCHAR')} AS h FROM du
+    ), per AS (
+        SELECT event_type, (list_sort(list(h)))[1:32] AS sk
+        FROM h GROUP BY event_type
+    ), row_ AS (
+        SELECT max(CASE WHEN event_type = 'click' THEN sk END) AS ska,
+               max(CASE WHEN event_type = 'purchase' THEN sk END) AS skb
+        FROM per
+    ), u AS (
+        SELECT ska, skb,
+               (list_sort(list_distinct(ska || skb)))[1:32] AS sku
+        FROM row_
+    ), ex AS (
+        SELECT CAST(count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS BIGINT) AS exact_a,
+               CAST(count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT) AS exact_b,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_union
+        FROM du
+    ), exi AS (
+        SELECT CAST(count(*) AS BIGINT) AS exact_inter FROM (
+            SELECT user_id FROM du GROUP BY user_id HAVING count(DISTINCT event_type) = 2)
+    ), est AS (
+        SELECT
+            CASE WHEN len(ska) < 32 THEN CAST(len(ska) AS DOUBLE)
+                 ELSE 31 / (ska[len(ska)] / 1152921504606846976.0) END AS est_a,
+            CASE WHEN len(skb) < 32 THEN CAST(len(skb) AS DOUBLE)
+                 ELSE 31 / (skb[len(skb)] / 1152921504606846976.0) END AS est_b,
+            CASE WHEN len(sku) < 32 THEN CAST(len(sku) AS DOUBLE)
+                 ELSE 31 / (sku[len(sku)] / 1152921504606846976.0) END AS est_union,
+            CAST(len(list_intersect(list_intersect(sku, ska), skb)) AS DOUBLE)
+                / len(sku) AS rho
+        FROM u
+    )
+    SELECT CAST(32 AS BIGINT) AS k, exact_a, exact_b, exact_union, exact_inter,
+           round(est_a, 6) AS est_a, round(est_b, 6) AS est_b,
+           round(est_union, 6) AS est_union,
+           round(rho * est_union, 6) AS est_inter,
+           round(rho, 6) AS jaccard_est
+    FROM est, ex, exi
+    """,
+)
+def kmv_set_ops_q(spark, sf_dir):
+    """KMV sketch SET ALGEBRA (Beyer SIGMOD'07 §5 — the property that
+    makes KMV more than a distinct counter: k-min sketches compose
+    under union, and membership of the union sketch in both input
+    sketches is EXACT, so intersection/Jaccard estimates need no
+    second pass over the data): click-user and purchase-user sketches
+    merge into the union sketch by re-taking the k smallest; every
+    audience-overlap number (union NDV, intersection NDV, Jaccard)
+    then derives from three k-bounded integer arrays. The
+    at-the-sketch-level answer to audience_overlap's exact join —
+    at 100 TB you ship 32 longs per segment, not user lists.
+    Small-range correction (sketch not full -> exact count) matches
+    kmv_distinct's convention."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    h = du.select("event_type", H.md5_long(F.col("user_id").cast("string")).alias("h"))
+    per = h.groupBy("event_type").agg(
+        F.slice(F.sort_array(F.collect_list("h")), 1, 32).alias("sk")
+    )
+    row = per.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("sk"))).alias("ska"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("sk"))).alias("skb"),
+    )
+    u = row.select(
+        "ska",
+        "skb",
+        F.slice(F.array_sort(F.array_distinct(F.concat("ska", "skb"))), 1, 32).alias(
+            "sku"
+        ),
+    )
+    ex = du.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("exact_a"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("exact_b"),
+        F.countDistinct("user_id").alias("exact_union"),
+    )
+    exi = (
+        du.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("nt"))
+        .filter(F.col("nt") == 2)
+        .agg(F.count("*").cast("long").alias("exact_inter"))
+    )
+
+    def est(sk):
+        return F.when(F.size(sk) < 32, F.size(sk).cast("double")).otherwise(
+            F.lit(31) / (F.element_at(sk, F.size(sk)) / F.lit(1152921504606846976.0))
+        )
+
+    rho = (
+        F.size(F.array_intersect(F.array_intersect("sku", "ska"), F.col("skb"))).cast(
+            "double"
+        )
+        / F.size("sku")
+    )
+    out = u.crossJoin(F.broadcast(ex)).crossJoin(F.broadcast(exi))
+    return out.select(
+        F.lit(32).cast("long").alias("k"),
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_inter",
+        F.round(est(F.col("ska")), 6).alias("est_a"),
+        F.round(est(F.col("skb")), 6).alias("est_b"),
+        F.round(est(F.col("sku")), 6).alias("est_union"),
+        F.round(rho * est(F.col("sku")), 6).alias("est_inter"),
+        F.round(rho, 6).alias("jaccard_est"),
+    )
+
+
+@query(
+    "forecast_backtest",
+    oracle="""
+    WITH m AS (
+        SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS month_id,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        FROM orders GROUP BY month_id
+    ), w AS (
+        SELECT month_id, rev_c,
+               row_number() OVER (ORDER BY month_id) AS rn,
+               count(*) OVER () AS nm,
+               lag(rev_c, 1) OVER (ORDER BY month_id) AS prev_c,
+               lag(rev_c, 12) OVER (ORDER BY month_id) AS seas_c,
+               first_value(rev_c) OVER (ORDER BY month_id) AS first_c
+        FROM m
+    ), folds AS (
+        SELECT * FROM w WHERE rn > nm - 3
+    ), preds AS (
+        SELECT month_id, rev_c, method,
+               CASE method
+                   WHEN 'naive' THEN CAST(prev_c AS DOUBLE)
+                   WHEN 'drift' THEN prev_c + CAST(prev_c - first_c AS DOUBLE) / (rn - 2)
+                   WHEN 'seasonal_naive' THEN CAST(coalesce(seas_c, prev_c) AS DOUBLE)
+               END AS pred_c
+        FROM folds, (VALUES ('naive'), ('drift'), ('seasonal_naive')) AS t(method)
+    )
+    SELECT CAST(month_id AS BIGINT) AS month_id, method,
+           round(pred_c / 100, 6) AS predicted,
+           round(CAST(rev_c AS DOUBLE) / 100, 6) AS actual,
+           round(abs(pred_c - rev_c) / rev_c, 6) AS ape
+    FROM preds
+    """,
+)
+def forecast_backtest_q(spark, sf_dir):
+    """Rolling-origin forecast backtest (the evaluation loop behind
+    trusting holt_forecast's point forecasts — each of the last 3
+    months becomes a 1-step-ahead test fold with train = strictly
+    earlier months): naive (last value), drift (last + mean
+    historical increment — the random-walk-with-drift closed form
+    (last-first)/(n-1)), and seasonal-naive (lag 12) baselines, each
+    fold's prediction derived from CUMULATIVE window state so all
+    folds come out of ONE pass over the month-bounded frame (no
+    per-fold re-fit, no self-joins). Cent-exact integers everywhere;
+    the drift division is the single double op, identical order both
+    engines; APE per (fold, method) is the model-selection readout."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1).alias(
+            "month_id"
+        )
+    ).agg(
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    wo = Window.orderBy("month_id")
+    wa = Window.partitionBy()
+    w = m.select(
+        "month_id",
+        "rev_c",
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(wa).alias("nm"),
+        F.lag("rev_c", 1).over(wo).alias("prev_c"),
+        F.lag("rev_c", 12).over(wo).alias("seas_c"),
+        F.first("rev_c").over(wo).alias("first_c"),
+    )
+    folds = w.filter(F.col("rn") > F.col("nm") - 3)
+    methods = F.explode(F.array(F.lit("naive"), F.lit("drift"), F.lit("seasonal_naive")))
+    p = folds.select("month_id", "rev_c", "rn", "prev_c", "seas_c", "first_c", methods.alias("method"))
+    pred = (
+        F.when(F.col("method") == "naive", F.col("prev_c").cast("double"))
+        .when(
+            F.col("method") == "drift",
+            F.col("prev_c")
+            + (F.col("prev_c") - F.col("first_c")).cast("double") / (F.col("rn") - 2),
+        )
+        .otherwise(F.coalesce(F.col("seas_c"), F.col("prev_c")).cast("double"))
+    )
+    return p.select(
+        F.col("month_id").cast("long").alias("month_id"),
+        "method",
+        F.round(pred / 100, 6).alias("predicted"),
+        F.round(F.col("rev_c").cast("double") / 100, 6).alias("actual"),
+        F.round(F.abs(pred - F.col("rev_c")) / F.col("rev_c"), 6).alias("ape"),
+    )
