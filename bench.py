@@ -316,6 +316,11 @@ EXTRA = [
     "trigram_fuzzy_match",
     "kmv_set_ops",
     "forecast_backtest",
+    "list_collections",
+    "rag_groundedness",
+    "window_funnel",
+    "position_bias_coec",
+    "multitouch_attribution",
 ]
 
 

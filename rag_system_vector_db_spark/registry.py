@@ -17750,3 +17750,538 @@ def forecast_backtest_q(spark, sf_dir):
         F.round(F.col("rev_c").cast("double") / 100, 6).alias("actual"),
         F.round(F.abs(pred - F.col("rev_c")) / F.col("rev_c"), 6).alias("ape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reference-surface completion + RAG evaluation wave (r5 cont.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "list_collections",
+    oracle="""
+    WITH counts AS (
+        SELECT 'region' AS collection, count(*) AS row_count FROM region
+        UNION ALL SELECT 'nation', count(*) FROM nation
+        UNION ALL SELECT 'customer', count(*) FROM customer
+        UNION ALL SELECT 'supplier', count(*) FROM supplier
+        UNION ALL SELECT 'part', count(*) FROM part
+        UNION ALL SELECT 'orders', count(*) FROM orders
+        UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        UNION ALL SELECT 'events', count(*) FROM events
+        UNION ALL SELECT 'documents', count(*) FROM documents
+        UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+    ), cols AS (
+        SELECT table_name AS collection, CAST(count(*) AS BIGINT) AS n_fields
+        FROM information_schema.columns
+        WHERE table_name IN ('region','nation','customer','supplier','part',
+                             'orders','lineitem','events','documents','embeddings')
+        GROUP BY table_name
+    )
+    SELECT c.collection, CAST(c.row_count AS BIGINT) AS row_count, l.n_fields
+    FROM counts c JOIN cols l USING (collection)
+    """,
+)
+def list_collections_q(spark, sf_dir):
+    """Collection listing surface (milvus_db.py:36 list_collections —
+    the one REST verb not yet mirrored 1:1; completes the client
+    surface beside describe_collection and get_collection_stats): one
+    row per registered collection with row count and field count, the
+    field count read from the ENGINE'S OWN resolved parquet schema so
+    lake drift surfaces as a parity failure against the oracle's
+    information_schema. Ten narrow count aggs unioned in one plan —
+    each a metadata-cheap scan of one column at any scale."""
+    from functools import reduce
+
+    from .sources import TABLES
+
+    parts = []
+    for tbl in TABLES:
+        df = load_table(spark, sf_dir, tbl)
+        # field count from the RAW parquet footer, not the loaded frame
+        # (load_table normalizes events' dual ts layout by adding a
+        # derived column; the catalog surface reports storage schema)
+        n_fields = len(spark.read.parquet(f"{sf_dir}/{tbl}.parquet").schema.fields)
+        parts.append(
+            df.agg(F.count("*").cast("long").alias("row_count")).select(
+                F.lit(tbl).alias("collection"),
+                "row_count",
+                F.lit(n_fields).cast("long").alias("n_fields"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@query(
+    "rag_groundedness",
+    oracle=f"""
+    WITH tot AS (SELECT count(*) AS t FROM embeddings),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qv,
+               (vec_id * 7 + 3) % (SELECT t FROM tot) AS expected_id
+        FROM embeddings WHERE vec_id < 20
+    ), scored AS (
+        SELECT q.query_id, q.expected_id, e.vec_id,
+               {_dd_cosine('e.embedding', 'q.qv')} AS score
+        FROM embeddings e, q
+    ), ctx AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, vec_id) AS rk
+            FROM scored) WHERE rk <= 3
+    ), dt AS (
+        SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    ), ctx_bi AS (
+        SELECT DISTINCT query_id, unnest((CASE WHEN len(string_split(text, ' ')) < 2 THEN []::VARCHAR[] ELSE [array_to_string((string_split(text, ' '))[i + 1 : i + 2], ' ') FOR i IN range(len(string_split(text, ' ')) - 2 + 1)] END)) AS bg
+        FROM ctx JOIN dt ON dt.doc_id = ctx.vec_id
+    ), ans AS (
+        SELECT query_id, expected_id,
+               array_to_string(t[1:20], ' ') AS head
+        FROM q JOIN dt ON dt.doc_id = q.expected_id
+    ), ans_bi AS (
+        SELECT query_id, expected_id,
+               unnest(list_distinct((CASE WHEN len(string_split(head, ' ')) < 2 THEN []::VARCHAR[] ELSE [array_to_string((string_split(head, ' '))[i + 1 : i + 2], ' ') FOR i IN range(len(string_split(head, ' ')) - 2 + 1)] END))) AS bg
+        FROM ans
+    ), j AS (
+        SELECT a.query_id, a.expected_id,
+               (c.bg IS NOT NULL) AS hit
+        FROM ans_bi a LEFT JOIN ctx_bi c
+          ON a.query_id = c.query_id AND a.bg = c.bg
+    )
+    SELECT query_id, CAST(expected_id AS BIGINT) AS expected_id,
+           CAST(count(*) AS BIGINT) AS n_answer_bigrams,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS supported,
+           round(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS groundedness
+    FROM j GROUP BY query_id, expected_id
+    """,
+)
+def rag_groundedness_q(spark, sf_dir):
+    """Groundedness / context-support audit for the RAG pipeline (the
+    RAGAS context-recall shape: is the REFERENCE answer actually
+    supported by what retrieval brought back? — the metric that
+    catches a retriever whose top-k misses the evidence even when
+    rag_eval_retrieval's hit-rank looks fine): per query, the
+    expected doc's first-20-token answer stub decomposes into word
+    bigrams, the top-3 retrieved docs' bigram sets form the support
+    set, groundedness = supported / total answer bigrams. Retrieval
+    reuses topk_batch's broadcast-query partial-top-k plan; bigram
+    matching joins on (query_id, bigram) — k-bounded context, never
+    corpus-wide text movement."""
+    from .functions import text as X
+    from .operators import knn as knn_ops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    total_df = emb.select(F.count("*").alias("_t"))
+    queries = (
+        emb.filter(F.col("vec_id") < 20)
+        .crossJoin(F.broadcast(total_df))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            ((F.col("vec_id") * 7 + 3) % F.col("_t")).alias("expected_id"),
+        )
+    )
+    ctx = knn_ops.topk_batch(emb, queries, k=3).select("query_id", "vec_id")
+    dt = docs.select("doc_id", "text")
+    ctx_bi = (
+        ctx.join(dt, ctx.vec_id == dt.doc_id)
+        .select(
+            "query_id", F.explode(X.word_shingles(F.col("text"), 2)).alias("bg")
+        )
+        .distinct()
+    )
+    ans = (
+        queries.select("query_id", "expected_id")
+        .join(dt, F.col("expected_id") == dt.doc_id)
+        .select(
+            "query_id",
+            "expected_id",
+            F.array_join(F.slice(X.tokens(F.col("text")), 1, 20), " ").alias("head"),
+        )
+    )
+    ans_bi = ans.select(
+        "query_id",
+        "expected_id",
+        F.explode(F.array_distinct(X.word_shingles(F.col("head"), 2))).alias("bg"),
+    )
+    j = ans_bi.join(
+        ctx_bi.withColumn("_hit", F.lit(1)),
+        ["query_id", "bg"],
+        "left",
+    )
+    return j.groupBy("query_id", "expected_id").agg(
+        F.count("*").cast("long").alias("n_answer_bigrams"),
+        F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("supported"),
+        F.round(
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("groundedness"),
+    ).select(
+        "query_id",
+        F.col("expected_id").cast("long").alias("expected_id"),
+        "n_answer_bigrams",
+        "supported",
+        "groundedness",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product-analytics depth wave (r5 cont.): time-window funnel, position
+# bias, multi-touch attribution
+# ---------------------------------------------------------------------------
+
+_HOUR_NS = 3_600_000_000_000
+_WEEK_NS = 604_800_000_000_000
+
+
+@query(
+    "window_funnel",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, epoch_ns(ts) AS tn FROM events
+    ), v AS (SELECT * FROM ev WHERE event_type = 'view'),
+    c1 AS (
+        SELECT v.event_id AS aid, v.user_id, v.tn AS atn,
+               c.tn AS ctn, c.event_id AS cid,
+               row_number() OVER (PARTITION BY v.event_id
+                                  ORDER BY c.tn, c.event_id) AS rk
+        FROM v LEFT JOIN ev c
+          ON c.user_id = v.user_id AND c.event_type = 'click'
+         AND (c.tn > v.tn OR (c.tn = v.tn AND c.event_id > v.event_id))
+    ), c2 AS (SELECT * FROM c1 WHERE rk = 1),
+    p1 AS (
+        SELECT c2.aid, c2.user_id, c2.atn, c2.ctn, p.tn AS ptn,
+               row_number() OVER (PARTITION BY c2.aid
+                                  ORDER BY p.tn, p.event_id) AS rk2
+        FROM c2 LEFT JOIN ev p
+          ON c2.ctn IS NOT NULL AND p.user_id = c2.user_id
+         AND p.event_type = 'purchase'
+         AND (p.tn > c2.ctn OR (p.tn = c2.ctn AND p.event_id > c2.cid))
+    ), p2 AS (SELECT * FROM p1 WHERE rk2 = 1),
+    da AS (
+        SELECT user_id,
+               CASE WHEN ctn IS NOT NULL AND ctn <= atn + {_HOUR_NS}
+                    THEN CASE WHEN ptn IS NOT NULL AND ptn <= atn + {_HOUR_NS}
+                              THEN 3 ELSE 2 END
+                    ELSE 1 END AS depth
+        FROM p2
+    ), pu AS (SELECT user_id, max(depth) AS depth FROM da GROUP BY user_id),
+    allu AS (SELECT DISTINCT user_id FROM ev),
+    f AS (
+        SELECT coalesce(pu.depth, 0) AS depth
+        FROM allu LEFT JOIN pu USING (user_id)
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 6) AS share
+    FROM f GROUP BY depth
+    """,
+)
+def window_funnel_q(spark, sf_dir):
+    """Time-window funnel (ClickHouse windowFunnel, strict order):
+    deepest view -> click -> purchase chain per user where every later
+    step lands within 1 HOUR of the anchor view (funnel_analysis
+    orders first occurrences globally; this demands the chain inside
+    a sliding window — the conversion-latency-aware funnel). Greedy
+    chain choice (earliest next step) is optimal for an
+    anchor-fixed window, and both next-step lookups come from ONE
+    descending window pass per user (running min of future
+    click/purchase (ts, id) structs — the union-tag as-of trick), so
+    the only exchanges are the user-keyed window shuffle and one
+    (user, ts, id) equi-join to fetch the chosen click's own next
+    purchase. The oracle replays with naive theta joins, proving the
+    window recurrence equivalent."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts_ns"
+    )
+    w_future = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_ns").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    st = F.struct("ts_ns", "event_id")
+    e2 = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_ns",
+        F.min(F.when(F.col("event_type") == "click", st)).over(w_future).alias("nc"),
+        F.min(F.when(F.col("event_type") == "purchase", st)).over(w_future).alias("np"),
+    )
+    anchors = e2.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts_ns").alias("atn"), "nc"
+    )
+    clicks = e2.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("ts_ns").alias("ctn"),
+        F.col("event_id").alias("cid"),
+        F.col("np").alias("cnp"),
+    )
+    j = anchors.join(
+        clicks,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("nc.ts_ns") == F.col("ctn"))
+        & (F.col("nc.event_id") == F.col("cid")),
+        "left",
+    )
+    depth = (
+        F.when(
+            F.col("ctn").isNull() | (F.col("ctn") > F.col("atn") + _HOUR_NS), 1
+        )
+        .when(
+            F.col("cnp").isNull()
+            | (F.col("cnp.ts_ns") > F.col("atn") + _HOUR_NS),
+            2,
+        )
+        .otherwise(3)
+    )
+    pu = j.select("user_id", depth.alias("depth")).groupBy("user_id").agg(
+        F.max("depth").alias("depth")
+    )
+    allu = ev.select("user_id").distinct()
+    f = allu.join(pu, "user_id", "left").select(
+        F.coalesce(F.col("depth"), F.lit(0)).alias("depth")
+    )
+    out = f.groupBy("depth").agg(F.count("*").cast("long").alias("n_users"))
+    wa = Window.partitionBy()
+    return out.select(
+        F.col("depth").cast("long").alias("depth"),
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double") / F.sum("n_users").over(wa), 6
+        ).alias("share"),
+    )
+
+
+@query(
+    "position_bias_coec",
+    oracle="""
+    WITH imp AS (
+        SELECT user_id % 40 AS item,
+               json_extract_string(props, '$.k')::BIGINT % 10 AS pos,
+               (value >= 50.0) AS clicked
+        FROM events WHERE event_type = 'view'
+    ), ps AS (
+        SELECT pos, CAST(count(*) AS BIGINT) AS n_p,
+               CAST(sum(CASE WHEN clicked THEN 1 ELSE 0 END) AS BIGINT) AS c_p
+        FROM imp GROUP BY pos
+    ), cells AS (
+        SELECT item, pos, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CASE WHEN clicked THEN 1 ELSE 0 END) AS BIGINT) AS clk
+        FROM imp GROUP BY item, pos
+    ), j AS (
+        SELECT item, cnt, clk,
+               CAST(round(cnt * c_p * 1000000.0 / n_p) AS BIGINT) AS exp_u
+        FROM cells JOIN ps USING (pos)
+    )
+    SELECT CAST(item AS BIGINT) AS item,
+           CAST(sum(cnt) AS BIGINT) AS impressions,
+           CAST(sum(clk) AS BIGINT) AS clicks,
+           round(CAST(sum(exp_u) AS DOUBLE) / 1e6, 6) AS expected_clicks,
+           CASE WHEN sum(exp_u) = 0 THEN NULL
+                ELSE round(CAST(sum(clk) AS DOUBLE) * 1e6 / sum(exp_u), 6)
+           END AS coec
+    FROM j GROUP BY item
+    """,
+)
+def position_bias_coec_q(spark, sf_dir):
+    """Position-bias-corrected CTR via COEC (clicks over expected
+    clicks — the examination-model correction every ranking team
+    applies before reading item CTRs: rank-1 slots get clicked more
+    for REASONS OF POSITION, so raw CTR overrates whatever is already
+    ranked high): the impression log (view events; slot = props.k mod
+    10, item = user mod 40, click = value threshold) yields per-slot
+    baseline CTRs, each item's expected clicks = sum of its
+    impressions' slot baselines, COEC = actual/expected (1.0 = as
+    expected for its slots). Expected-click terms quantize to exact
+    micro-units per (item, slot) CELL before summing, so the
+    data-proportional aggregation is order-free integer math; the
+    per-slot frame is 10 rows, broadcast back. Two
+    map-side-combinable groupBys over one scan."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    imp = ev.select(
+        (F.col("user_id") % 40).alias("item"),
+        (F.get_json_object("props", "$.k").cast("long") % 10).alias("pos"),
+        (F.col("value") >= 50.0).alias("clicked"),
+    )
+    ps = imp.groupBy("pos").agg(
+        F.count("*").cast("long").alias("n_p"),
+        F.sum(F.col("clicked").cast("int")).cast("long").alias("c_p"),
+    )
+    cells = imp.groupBy("item", "pos").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum(F.col("clicked").cast("int")).cast("long").alias("clk"),
+    )
+    j = cells.join(F.broadcast(ps), "pos").select(
+        "item",
+        "cnt",
+        "clk",
+        F.expr("cast(round(cnt * c_p * 1000000.0 / n_p) as bigint)").alias("exp_u"),
+    )
+    return j.groupBy("item").agg(
+        F.sum("cnt").cast("long").alias("impressions"),
+        F.sum("clk").cast("long").alias("clicks"),
+        F.round(F.sum("exp_u").cast("double") / F.lit(1e6), 6).alias(
+            "expected_clicks"
+        ),
+        F.when(F.sum("exp_u") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.sum("clk").cast("double") * 1e6 / F.sum("exp_u"), 6))
+        .alias("coec"),
+    ).select(
+        F.col("item").cast("long").alias("item"),
+        "impressions",
+        "clicks",
+        "expected_clicks",
+        "coec",
+    )
+
+
+@query(
+    "multitouch_attribution",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, epoch_ns(ts) AS tn FROM events
+    ), t0 AS (SELECT * FROM ev WHERE event_type <> 'purchase'),
+    n1 AS (
+        SELECT t0.event_id, t0.user_id, t0.event_type, t0.tn,
+               p.event_id AS conv_id, p.tn AS ptn,
+               row_number() OVER (PARTITION BY t0.event_id
+                                  ORDER BY p.tn, p.event_id) AS rk
+        FROM t0 JOIN ev p
+          ON p.user_id = t0.user_id AND p.event_type = 'purchase'
+         AND (p.tn > t0.tn OR (p.tn = t0.tn AND p.event_id > t0.event_id))
+    ), touches AS (
+        SELECT event_id, user_id, event_type, tn, conv_id
+        FROM n1 WHERE rk = 1 AND ptn - tn <= {_WEEK_NS}
+    ), per_conv AS (
+        SELECT conv_id, CAST(count(*) AS BIGINT) AS n
+        FROM touches GROUP BY conv_id
+    ), fl AS (
+        SELECT conv_id,
+               min(ROW(tn, event_id, event_type)) AS frow,
+               max(ROW(tn, event_id, event_type)) AS lrow
+        FROM touches GROUP BY conv_id
+    ), firsts AS (
+        SELECT frow[3] AS touch_type, CAST(count(*) AS BIGINT) AS c FROM fl
+        GROUP BY frow[3]
+    ), lasts AS (
+        SELECT lrow[3] AS touch_type, CAST(count(*) AS BIGINT) AS c FROM fl
+        GROUP BY lrow[3]
+    ), lin AS (
+        SELECT t.event_type AS touch_type,
+               CAST(sum(CAST(round(1000000.0 * cnt / n) AS BIGINT)) AS BIGINT) AS lin_u
+        FROM (SELECT conv_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+              FROM touches GROUP BY conv_id, event_type) t
+        JOIN per_conv USING (conv_id)
+        GROUP BY t.event_type
+    ), direct AS (
+        SELECT CAST(count(*) AS BIGINT) AS c FROM ev
+        WHERE event_type = 'purchase'
+          AND event_id NOT IN (SELECT conv_id FROM per_conv)
+    ), typed AS (
+        SELECT coalesce(f.touch_type, l.touch_type, n.touch_type) AS touch_type,
+               coalesce(f.c, 0) AS first_touch,
+               coalesce(l.c, 0) AS last_touch,
+               round(coalesce(n.lin_u, 0) / 1e6, 6) AS linear
+        FROM firsts f
+        FULL OUTER JOIN lasts l USING (touch_type)
+        FULL OUTER JOIN lin n USING (touch_type)
+    )
+    SELECT * FROM typed
+    UNION ALL
+    SELECT 'direct', c, c, round(CAST(c AS DOUBLE), 6) FROM direct
+    """,
+)
+def multitouch_attribution_q(spark, sf_dir):
+    """Multi-touch conversion attribution (first-touch / last-touch /
+    linear — the marketing-analytics credit models): every
+    non-purchase event attributes to the user's NEXT purchase within
+    7 days (one descending window pass computes each event's next
+    purchase — the same as-of recurrence as window_funnel, no
+    touch x purchase join), then per-conversion first/last structs
+    and per-(conversion, type) counts reduce on the SAME conv_id
+    partitioning. Linear credit 1/n quantizes to micro-units per
+    (conversion, type) cell before the cross-conversion sum, so the
+    only float is at emit; purchases with no attributed touch get
+    the 'direct' row (LEFT ANTI on bare ids). The oracle replays
+    next-purchase choice with a naive theta join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts_ns"
+    )
+    w_future = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_ns").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    st = F.struct("ts_ns", "event_id")
+    e2 = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_ns",
+        F.min(F.when(F.col("event_type") == "purchase", st)).over(w_future).alias("np"),
+    )
+    touches = e2.filter(
+        (F.col("event_type") != "purchase")
+        & F.col("np").isNotNull()
+        & (F.col("np.ts_ns") - F.col("ts_ns") <= _WEEK_NS)
+    ).select(
+        F.col("np.event_id").alias("conv_id"),
+        "event_type",
+        "ts_ns",
+        "event_id",
+    )
+    per_conv = touches.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min(F.struct("ts_ns", "event_id", "event_type")).alias("frow"),
+        F.max(F.struct("ts_ns", "event_id", "event_type")).alias("lrow"),
+    )
+    firsts = per_conv.groupBy(F.col("frow.event_type").alias("touch_type")).agg(
+        F.count("*").cast("long").alias("first_touch")
+    )
+    lasts = per_conv.groupBy(F.col("lrow.event_type").alias("touch_type")).agg(
+        F.count("*").cast("long").alias("last_touch")
+    )
+    lin = (
+        touches.groupBy("conv_id", "event_type")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .join(per_conv.select("conv_id", "n"), "conv_id")
+        .groupBy(F.col("event_type").alias("touch_type"))
+        .agg(
+            F.sum(F.expr("cast(round(1000000.0 * cnt / n) as bigint)"))
+            .cast("long")
+            .alias("lin_u")
+        )
+    )
+    typed = (
+        firsts.join(lasts, "touch_type", "full_outer")
+        .join(lin, "touch_type", "full_outer")
+        .select(
+            "touch_type",
+            F.coalesce("first_touch", F.lit(0)).cast("long").alias("first_touch"),
+            F.coalesce("last_touch", F.lit(0)).cast("long").alias("last_touch"),
+            F.round(F.coalesce("lin_u", F.lit(0)) / F.lit(1e6), 6).alias("linear"),
+        )
+    )
+    direct = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(
+            per_conv.select(F.col("conv_id").alias("event_id")),
+            "event_id",
+            "left_anti",
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+        .select(
+            F.lit("direct").alias("touch_type"),
+            F.col("c").alias("first_touch"),
+            F.col("c").alias("last_touch"),
+            F.round(F.col("c").cast("double"), 6).alias("linear"),
+        )
+    )
+    return typed.unionByName(direct)
