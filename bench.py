@@ -321,6 +321,9 @@ EXTRA = [
     "window_funnel",
     "position_bias_coec",
     "multitouch_attribution",
+    "pit_feature_join",
+    "histogram_quantile_sketch",
+    "broadcast_size_advisor",
 ]
 
 

@@ -18285,3 +18285,326 @@ def multitouch_attribution_q(spark, sf_dir):
         )
     )
     return typed.unionByName(direct)
+
+
+# ---------------------------------------------------------------------------
+# Feature-store + sketch + join-planning wave (r5 cont.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pit_feature_join",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+        FROM events WHERE event_type = 'purchase'
+    ), chg AS (
+        SELECT *, lag(value) OVER (
+            PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        FROM u
+    ), c AS (
+        SELECT user_id, ts_us, event_id, value FROM chg
+        WHERE prev IS NULL OR value <> prev
+    ), v AS (
+        SELECT user_id, value, ts_us AS valid_from_us,
+               lead(ts_us) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id) AS version
+        FROM c
+    ), clicks AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT k.event_id, k.user_id, k.ts_us,
+           CAST(v.version AS BIGINT) AS dim_version,
+           round(v.value, 6) AS dim_value
+    FROM clicks k LEFT JOIN v
+      ON v.user_id = k.user_id
+     AND k.ts_us >= v.valid_from_us
+     AND (v.valid_to_us IS NULL OR k.ts_us < v.valid_to_us)
+    """,
+)
+def pit_feature_join_q(spark, sf_dir):
+    """Point-in-time feature join (the feature-store / training-set
+    join that prevents feature leakage: each observation must see the
+    dimension version valid AT ITS OWN timestamp, never a later one
+    — Feast/Tecton's point-in-time correctness, Kimball's type-2
+    lookup): clicks join the SCD2 dimension scd2_intervals builds
+    (per-user purchase-value versions). NOT executed as an interval
+    join — change rows and observation rows UNION-TAG into one
+    (user, ts, tag, id) ordering and a running last(ignorenulls)
+    carries the in-effect version onto every observation: ONE window
+    pass, zero interval predicates (the as-of recurrence of
+    events_asof_attribution applied to dimension versioning; change
+    rows sort before same-instant observations so valid_from is
+    inclusive, matching the oracle's [from, to) theta join)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    wl = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    c = (
+        u.withColumn("prev", F.lag("value").over(wl))
+        .filter(F.col("prev").isNull() | (F.col("value") != F.col("prev")))
+        .select(
+            "user_id",
+            "ts_us",
+            "event_id",
+            "value",
+            F.row_number().over(wl).alias("version"),
+        )
+    )
+    changes = c.select(
+        "user_id",
+        "ts_us",
+        F.lit(0).alias("tag"),
+        "event_id",
+        F.col("version").cast("long").alias("dim_version"),
+        F.col("value").alias("dim_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        F.lit(1).alias("tag"),
+        "event_id",
+        F.lit(None).cast("long").alias("dim_version"),
+        F.lit(None).cast("double").alias("dim_value"),
+    )
+    wa = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = changes.unionByName(clicks).select(
+        "user_id",
+        "ts_us",
+        "tag",
+        "event_id",
+        F.last(F.when(F.col("tag") == 0, F.col("dim_version")), ignorenulls=True)
+        .over(wa)
+        .alias("cur_version"),
+        F.last(F.when(F.col("tag") == 0, F.col("dim_value")), ignorenulls=True)
+        .over(wa)
+        .alias("cur_value"),
+    )
+    return tagged.filter(F.col("tag") == 1).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("cur_version").alias("dim_version"),
+        F.round("cur_value", 6).alias("dim_value"),
+    )
+
+
+@query(
+    "histogram_quantile_sketch",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v_u
+        FROM events
+    ), st AS (
+        SELECT event_type, min(v_u) AS mn, max(v_u) AS mx,
+               CAST(count(*) AS BIGINT) AS n,
+               list_sort(list(v_u)) AS vs
+        FROM e GROUP BY event_type
+    ), wd AS (
+        SELECT event_type, mn, n, vs, (mx - mn) // 64 + 1 AS width
+        FROM st
+    ), hist AS (
+        SELECT e.event_type, (e.v_u - w.mn) // w.width AS bin,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM e JOIN wd w USING (event_type)
+        GROUP BY e.event_type, bin
+    ), cum AS (
+        SELECT event_type, bin, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+               CAST(coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        FROM hist
+    ), qs AS (
+        SELECT c.event_type, q.q, c.bin, c.cnt, c.cum_before, w.mn, w.width, w.n, w.vs,
+               (q.q * w.n + 99) // 100 AS target
+        FROM cum c
+        JOIN wd w USING (event_type)
+        CROSS JOIN (VALUES (50), (95), (99)) AS q(q)
+        WHERE (q.q * w.n + 99) // 100 <= c.cum
+          AND (q.q * w.n + 99) // 100 > c.cum_before
+    )
+    SELECT event_type, CAST(q AS BIGINT) AS q,
+           round((mn + bin * width + ((target - cum_before) * width) // cnt)
+                 / 1e6, 6) AS approx,
+           round(vs[CAST(target AS INTEGER)] / 1e6, 6) AS exact,
+           round(abs(mn + bin * width + ((target - cum_before) * width) // cnt
+                     - vs[CAST(target AS INTEGER)]) / 1e6, 6) AS abs_err
+    FROM qs
+    """,
+)
+def histogram_quantile_sketch_q(spark, sf_dir):
+    """Mergeable equi-width histogram quantile sketch per event type —
+    the quantile member of the sketch family (CMS = counts, KMV/HLL =
+    distinct, this = quantiles): 64 integer-edged bins per type whose
+    counts are ADDITIVE state (partial histograms merge by summing —
+    the per-partition/streaming property), p50/p95/p99 read off the
+    cumulative histogram with EXACT-INTEGER interpolation (bin lo +
+    (rank remainder x width) div count — no float until the display
+    division), graded against the exact sorted-selection quantile.
+    The whole sketch path is one map-side-combinable groupBy over a
+    5x64-bounded frame; the exact tower is the test-scale yardstick
+    (approx IS the 100 TB path)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", F.expr("cast(round(value * 1000000) as bigint)").alias("v_u")
+    )
+    st = e.groupBy("event_type").agg(
+        F.min("v_u").alias("mn"),
+        F.max("v_u").alias("mx"),
+        F.count("*").cast("long").alias("n"),
+        F.sort_array(F.collect_list("v_u")).alias("vs"),
+    )
+    wd = st.select(
+        "event_type", "mn", "n", "vs", F.expr("(mx - mn) div 64 + 1").alias("width")
+    )
+    hist = (
+        e.join(F.broadcast(wd.select("event_type", "mn", "width")), "event_type")
+        .groupBy("event_type", F.expr("(v_u - mn) div width").alias("bin"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    wcum = Window.partitionBy("event_type").orderBy("bin")
+    cum = hist.select(
+        "event_type",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wcum.rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("cum"),
+        F.coalesce(
+            F.sum("cnt").over(wcum.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("cum_before"),
+    )
+    qlit = spark.createDataFrame([(50,), (95,), (99,)], "q int")
+    qs = (
+        cum.join(F.broadcast(wd), "event_type")
+        .crossJoin(F.broadcast(qlit))
+        .withColumn("target", F.expr("(q * n + 99) div 100"))
+        .filter(
+            (F.col("target") <= F.col("cum")) & (F.col("target") > F.col("cum_before"))
+        )
+    )
+    approx = F.expr("mn + bin * width + ((target - cum_before) * width) div cnt")
+    exact = F.element_at("vs", F.col("target").cast("int"))
+    return qs.select(
+        "event_type",
+        F.col("q").cast("long").alias("q"),
+        F.round(approx / F.lit(1e6), 6).alias("approx"),
+        F.round(exact / F.lit(1e6), 6).alias("exact"),
+        F.round(F.abs(approx - exact) / F.lit(1e6), 6).alias("abs_err"),
+    )
+
+
+@query(
+    "broadcast_size_advisor",
+    oracle="""
+    WITH sizes AS (
+        SELECT 'region' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(4 * count(*) + sum(length(r_name) + 4) AS BIGINT) AS est_bytes
+        FROM region
+        UNION ALL SELECT 'nation', count(*),
+               CAST(8 * count(*) + sum(length(n_name) + 4) AS BIGINT) FROM nation
+        UNION ALL SELECT 'customer', count(*),
+               CAST(20 * count(*) + sum(length(c_name) + 4 + length(c_mktsegment) + 4) AS BIGINT)
+        FROM customer
+        UNION ALL SELECT 'supplier', count(*),
+               CAST(20 * count(*) + sum(length(s_name) + 4) AS BIGINT) FROM supplier
+        UNION ALL SELECT 'part', count(*),
+               CAST(20 * count(*) + sum(length(p_name) + 4 + length(p_brand) + 4
+                                        + length(p_type) + 4) AS BIGINT) FROM part
+        UNION ALL SELECT 'orders', count(*),
+               CAST(32 * count(*) + sum(length(o_orderstatus) + 4
+                                        + length(o_orderpriority) + 4) AS BIGINT)
+        FROM orders
+        UNION ALL SELECT 'lineitem', count(*),
+               CAST(68 * count(*) + sum(length(l_returnflag) + 4
+                                        + length(l_linestatus) + 4) AS BIGINT)
+        FROM lineitem
+        UNION ALL SELECT 'events', count(*),
+               CAST(32 * count(*) + sum(length(event_type) + 4
+                                        + length(props) + 4) AS BIGINT) FROM events
+        UNION ALL SELECT 'documents', count(*),
+               CAST(16 * count(*) + sum(length(text) + 4 + length(lang) + 4
+                                        + length(source) + 4) AS BIGINT)
+        FROM documents
+        UNION ALL SELECT 'embeddings', count(*),
+               CAST(12 * count(*) + sum(4 * len(embedding) + 4) AS BIGINT)
+        FROM embeddings
+    )
+    SELECT tbl AS collection, n_rows, est_bytes,
+           round(CAST(est_bytes AS DOUBLE) / 1048576, 6) AS est_mb,
+           est_bytes < 10485760 AS broadcastable
+    FROM sizes
+    """,
+)
+def broadcast_size_advisor_q(spark, sf_dir):
+    """Broadcast-join planning advisor: per-table IN-MEMORY size
+    estimate (the number Catalyst compares against
+    autoBroadcastJoinThreshold, which sizes COMPRESSED parquet wrong
+    by 3-10x — string-heavy tables blow past the threshold after
+    decompression): fixed widths from the resolved schema (8/4 per
+    numeric/timestamp, 4-byte overhead per string/array) plus EXACT
+    integer sums of variable lengths, one narrow agg per table
+    unioned in one plan. The verdict column is the < 10 MiB default
+    threshold; at 100 TB this runs on table stats or a hash sample
+    and decides which dimension joins get the hint (see §6's
+    no-data-proportional-hint rule — this advisor is how the list of
+    'fixed-size dims' stays honest as tables grow)."""
+    from functools import reduce
+
+    from pyspark.sql import types as T
+
+    from .sources import TABLES
+
+    parts = []
+    for tbl in TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
+        fixed = 0
+        var_terms = []
+        for f in df.schema.fields:
+            dt = f.dataType
+            if isinstance(dt, T.IntegerType):
+                fixed += 4
+            elif isinstance(dt, (T.LongType, T.DoubleType, T.TimestampType, T.TimestampNTZType)):
+                fixed += 8
+            elif isinstance(dt, T.StringType):
+                var_terms.append(F.length(F.col(f.name)) + 4)
+            elif isinstance(dt, T.ArrayType):
+                var_terms.append(F.size(F.col(f.name)) * 4 + 4)
+            else:
+                raise TypeError(f"unhandled type in {tbl}: {dt}")
+        var_sum = (
+            F.sum(sum(var_terms[1:], start=var_terms[0]).cast("long"))
+            if var_terms
+            else F.lit(0)
+        )
+        parts.append(
+            df.agg(
+                F.count("*").cast("long").alias("n_rows"),
+                var_sum.cast("long").alias("_var"),
+            ).select(
+                F.lit(tbl).alias("collection"),
+                "n_rows",
+                (F.lit(fixed) * F.col("n_rows") + F.coalesce("_var", F.lit(0)))
+                .cast("long")
+                .alias("est_bytes"),
+            )
+        )
+    out = reduce(lambda a, b: a.unionByName(b), parts)
+    return out.select(
+        "collection",
+        "n_rows",
+        "est_bytes",
+        F.round(F.col("est_bytes").cast("double") / F.lit(1048576), 6).alias("est_mb"),
+        (F.col("est_bytes") < 10485760).alias("broadcastable"),
+    )
