@@ -18005,43 +18005,40 @@ def window_funnel_q(spark, sf_dir):
         .orderBy(F.col("ts_ns").desc(), F.col("event_id").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    st = F.struct("ts_ns", "event_id")
-    e2 = ev.select(
-        "event_id",
-        "user_id",
-        "event_type",
-        "ts_ns",
-        F.min(F.when(F.col("event_type") == "click", st)).over(w_future).alias("nc"),
-        F.min(F.when(F.col("event_type") == "purchase", st)).over(w_future).alias("np"),
+    # Two STACKED windows on the identical spec (one exchange, no
+    # join): pass 1 gives every row its next purchase; pass 2 takes
+    # the first future click CARRYING that click's own next-purchase
+    # struct as payload — so an anchor reads the whole chain from one
+    # column and the click fetch-back join disappears.
+    e1 = ev.withColumn(
+        "np",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.struct("ts_ns", "event_id"))
+        ).over(w_future),
+    )
+    e2 = e1.withColumn(
+        "nc",
+        F.min(
+            F.when(
+                F.col("event_type") == "click", F.struct("ts_ns", "event_id", "np")
+            )
+        ).over(w_future),
     )
     anchors = e2.filter(F.col("event_type") == "view").select(
         "user_id", F.col("ts_ns").alias("atn"), "nc"
     )
-    clicks = e2.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("cu"),
-        F.col("ts_ns").alias("ctn"),
-        F.col("event_id").alias("cid"),
-        F.col("np").alias("cnp"),
-    )
-    j = anchors.join(
-        clicks,
-        (F.col("user_id") == F.col("cu"))
-        & (F.col("nc.ts_ns") == F.col("ctn"))
-        & (F.col("nc.event_id") == F.col("cid")),
-        "left",
-    )
     depth = (
         F.when(
-            F.col("ctn").isNull() | (F.col("ctn") > F.col("atn") + _HOUR_NS), 1
+            F.col("nc").isNull() | (F.col("nc.ts_ns") > F.col("atn") + _HOUR_NS), 1
         )
         .when(
-            F.col("cnp").isNull()
-            | (F.col("cnp.ts_ns") > F.col("atn") + _HOUR_NS),
+            F.col("nc.np").isNull()
+            | (F.col("nc.np.ts_ns") > F.col("atn") + _HOUR_NS),
             2,
         )
         .otherwise(3)
     )
-    pu = j.select("user_id", depth.alias("depth")).groupBy("user_id").agg(
+    pu = anchors.select("user_id", depth.alias("depth")).groupBy("user_id").agg(
         F.max("depth").alias("depth")
     )
     allu = ev.select("user_id").distinct()
@@ -18227,21 +18224,28 @@ def multitouch_attribution_q(spark, sf_dir):
         "ts_ns",
         F.min(F.when(F.col("event_type") == "purchase", st)).over(w_future).alias("np"),
     )
-    touches = e2.filter(
-        (F.col("event_type") != "purchase")
-        & F.col("np").isNotNull()
-        & (F.col("np.ts_ns") - F.col("ts_ns") <= _WEEK_NS)
-    ).select(
-        F.col("np.event_id").alias("conv_id"),
-        "event_type",
-        "ts_ns",
-        "event_id",
+    touches = (
+        e2.filter(
+            (F.col("event_type") != "purchase")
+            & F.col("np").isNotNull()
+            & (F.col("np.ts_ns") - F.col("ts_ns") <= _WEEK_NS)
+        )
+        .select(
+            F.col("np.event_id").alias("conv_id"),
+            "event_type",
+            "ts_ns",
+            "event_id",
+        )
+        # touches feeds two aggregation subtrees (per-conv rollup and
+        # per-(conv, type) linear cells) — checkpoint so the window
+        # pass over events runs ONCE, not once per consumer
+        .localCheckpoint(eager=False)
     )
     per_conv = touches.groupBy("conv_id").agg(
         F.count("*").cast("long").alias("n"),
         F.min(F.struct("ts_ns", "event_id", "event_type")).alias("frow"),
         F.max(F.struct("ts_ns", "event_id", "event_type")).alias("lrow"),
-    )
+    ).localCheckpoint(eager=False)
     firsts = per_conv.groupBy(F.col("frow.event_type").alias("touch_type")).agg(
         F.count("*").cast("long").alias("first_touch")
     )

@@ -213,3 +213,111 @@ def test_pr_curve_monotone_recall(spark, sf_dir):
     )
     recalls = [r.recall for r in rows if r.recall is not None]
     assert all(a >= b - 1e-9 for a, b in zip(recalls, recalls[1:]))
+
+
+# --- r5 continuation waves: invariants ---
+
+
+def test_fim_transform_reconstructs(spark, sf_dir):
+    """PSM serialization is lossless: prefix + middle + suffix
+    re-concatenate to the original token stream."""
+    from rag_system_vector_db_spark.registry import QUERIES
+    from rag_system_vector_db_spark.sources import load_table
+
+    rows = QUERIES["fim_transform"](spark, sf_dir).limit(50).collect()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").limit(2000).collect()
+    }
+    import re
+
+    for r in rows:
+        if r["doc_id"] not in texts:
+            continue
+        m = re.fullmatch(r"<PRE> (.*) <SUF> (.*) <MID>", r["input_text"], re.S)
+        assert m, r["input_text"][:80]
+        prefix, suffix = m.group(1), m.group(2)
+        middle = r["target_text"]
+        toks = [t for part in (prefix, middle, suffix) for t in part.split(" ") if t != ""]
+        assert toks == texts[r["doc_id"]].split(" ")
+
+
+def test_trigram_fuzzy_finds_intended_corrections(spark, sf_dir):
+    """The planted typos rank their intended vocab term first."""
+    from rag_system_vector_db_spark.registry import QUERIES
+
+    rows = QUERIES["trigram_fuzzy_match"](spark, sf_dir).collect()
+    top1 = {r["qterm"]: r["term"] for r in rows if r["rank"] == 1}
+    assert top1["bacth"] == "batch"
+    assert top1["cusomer"] == "customer"
+    assert top1["windoow"] == "window"
+    assert top1["sparc"] == "spark"
+    assert top1["filtter"] == "filter"
+
+
+def test_window_funnel_conserves_users(spark, sf_dir):
+    from rag_system_vector_db_spark.registry import QUERIES
+    from rag_system_vector_db_spark.sources import load_table
+
+    rows = QUERIES["window_funnel"](spark, sf_dir).collect()
+    total = sum(r["n_users"] for r in rows)
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert total == n_users
+    assert all(0 <= r["depth"] <= 3 for r in rows)
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_attribution_credit_conservation(spark, sf_dir):
+    """First-touch and last-touch credits both sum to the number of
+    conversions (each conversion hands out exactly one credit per
+    scheme); linear credit mass matches within quantization."""
+    from rag_system_vector_db_spark.registry import QUERIES
+
+    rows = QUERIES["multitouch_attribution"](spark, sf_dir).collect()
+    tf = sum(r["first_touch"] for r in rows)
+    tl = sum(r["last_touch"] for r in rows)
+    lin = sum(r["linear"] for r in rows)
+    assert tf == tl
+    assert abs(lin - tf) < 0.01 * max(tf, 1)
+
+
+def test_quantile_sketch_error_bound(spark, sf_dir):
+    """Equi-width histogram interpolation can never miss by more than
+    one bin width — the sketch's deterministic error guarantee."""
+    from rag_system_vector_db_spark.registry import QUERIES
+    from rag_system_vector_db_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["histogram_quantile_sketch"](spark, sf_dir).collect()
+    spans = {
+        r["event_type"]: (r["mx"] - r["mn"]) / 64.0 / 1e6 + 1e-6
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("min(cast(round(value * 1000000) as bigint))").alias("mn"),
+            F.expr("max(cast(round(value * 1000000) as bigint))").alias("mx"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert r["abs_err"] <= spans[r["event_type"]] + 1e-6, r
+
+
+def test_kmv_set_ops_bounds(spark, sf_dir):
+    from rag_system_vector_db_spark.registry import QUERIES
+
+    r = QUERIES["kmv_set_ops"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r["jaccard_est"] <= 1.0
+    assert r["est_inter"] <= r["est_union"] + 1e-6
+    assert r["exact_inter"] <= min(r["exact_a"], r["exact_b"])
+
+
+def test_broadcast_advisor_orders_sizes(spark, sf_dir):
+    from rag_system_vector_db_spark.registry import QUERIES
+
+    rows = {r["collection"]: r for r in QUERIES["broadcast_size_advisor"](spark, sf_dir).collect()}
+    assert rows["region"]["broadcastable"] and rows["nation"]["broadcastable"]
+    assert rows["lineitem"]["est_bytes"] > rows["customer"]["est_bytes"]
+    assert all(r["est_bytes"] > 0 for r in rows.values())

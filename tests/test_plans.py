@@ -613,3 +613,82 @@ def test_snippet_text_fetch_is_winners_only(spark, sf_dir):
     final text fetch joins 10 rows back."""
     df = QUERIES["snippet_extraction"](spark, sf_dir)
     assert df.count() <= 10
+
+
+# --- r5 continuation waves: vector-search completion, product
+# analytics, feature-store / sketch / planning ---
+
+
+def test_range_search_is_map_only(spark, sf_dir):
+    """Range search has no reduction at all: broadcast query side, one
+    corpus pass, a plain filter — no exchange, no aggregate."""
+    plan = _plan(QUERIES["knn_range_search"](spark, sf_dir))
+    assert "Broadcast" in plan
+    assert "hashpartitioning" not in plan
+    assert "HashAggregate" not in plan and "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_post_filter_recall_single_corpus_pass(spark, sf_dir):
+    """Both k-sets come from ONE scored pass: the map-side partial
+    prune keys on spark_partition_id, and the corpus parquet is
+    scanned at most twice (query side + corpus side), never once per
+    ranking."""
+    df = QUERIES["post_filter_recall"](spark, sf_dir)
+    plan = _plan(df)
+    assert "SPARK_PARTITION_ID" in plan.upper()
+    assert plan.count("Scan parquet") <= 2
+    assert "EvalPython" not in plan
+
+
+def test_fim_transform_zero_shuffle(spark, sf_dir):
+    """Map-only sample generation: no aggregate, no window, no hash
+    exchange (the gated small-file round-robin split is the only
+    allowed exchange), JVM-only."""
+    plan = _plan(QUERIES["fim_transform"](spark, sf_dir))
+    assert "hashpartitioning" not in plan
+    assert "HashAggregate" not in plan and "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_pit_feature_join_has_no_join(spark, sf_dir):
+    """The point-in-time lookup is union-tag + ONE running window —
+    no interval join operator anywhere in the plan."""
+    plan = _plan(QUERIES["pit_feature_join"](spark, sf_dir))
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_window_funnel_single_window_pass(spark, sf_dir):
+    """Both next-step lookups are STACKED windows on one spec (one
+    exchange, no click fetch-back join): exactly the two user-keyed
+    Window ops plus the 4-row share window, and the only join left is
+    the all-users LEFT JOIN on bare ids."""
+    plan = _plan(QUERIES["window_funnel"](spark, sf_dir))
+    assert plan.count("Window [") == 3
+    assert plan.count("windowspecdefinition(user_id") == 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_position_bias_broadcasts_slot_baselines(spark, sf_dir):
+    plan = _plan(QUERIES["position_bias_coec"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_quantile_sketch_broadcast_stats(spark, sf_dir):
+    """The 5-row per-type stats frame broadcasts back onto the scan;
+    the histogram groupBy is map-side combinable (partial agg)."""
+    plan = _plan(QUERIES["histogram_quantile_sketch"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "partial" in plan.lower()
+    assert "EvalPython" not in plan
+
+
+def test_trigram_fuzzy_broadcasts_query_terms(spark, sf_dir):
+    plan = _plan(QUERIES["trigram_fuzzy_match"](spark, sf_dir))
+    assert "Broadcast" in plan
+    assert "EvalPython" not in plan
