@@ -324,6 +324,7 @@ EXTRA = [
     "pit_feature_join",
     "histogram_quantile_sketch",
     "broadcast_size_advisor",
+    "markov_attribution",
 ]
 
 

@@ -18612,3 +18612,231 @@ def broadcast_size_advisor_q(spark, sf_dir):
         F.round(F.col("est_bytes").cast("double") / F.lit(1048576), 6).alias("est_mb"),
         (F.col("est_bytes") < 10485760).alias("broadcastable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (r5 cont.)
+# ---------------------------------------------------------------------------
+
+_MARKOV_CHANNELS = ("view", "click", "signup", "error")
+_MARKOV_K = 24
+
+
+def _markov_oracle() -> str:
+    """Generate the recursive-CTE oracle: 5 scenarios (full + one
+    removal per channel) x 5 states iterate 24 absorption steps in
+    exact micro-unit integers, so the whole fixed point hash-checks."""
+    states = ("start",) + _MARKOV_CHANNELS
+    scen = {"f": None}
+    for ch in _MARKOV_CHANNELS:
+        scen["r" + ch[0]] = ch  # rv, rc, rs, re
+    cols = [f"{p}_{s}" for p in scen for s in states]
+    zero = ", ".join(f"CAST(0 AS BIGINT) AS {c}" for c in cols)
+
+    def step(p: str, removed: str | None, s: str) -> str:
+        if removed is not None and s == removed:
+            return f"CAST(0 AS BIGINT) AS {p}_{s}"
+        branches = ["WHEN 'conv' THEN 1000000", "WHEN 'null' THEN 0"]
+        for ch in _MARKOV_CHANNELS:
+            if removed is not None and ch == removed:
+                branches.append(f"WHEN '{ch}' THEN 0")
+            else:
+                branches.append(f"WHEN '{ch}' THEN it.{p}_{ch}")
+        case = "CASE t " + " ".join(branches) + " ELSE 0 END"
+        return (
+            f"(SELECT coalesce(sum(pu * ({case})), 0) FROM tp WHERE s = '{s}')"
+            f" // 1000000 AS {p}_{s}"
+        )
+
+    steps = ",\n        ".join(
+        step(p, rm, s) for p, rm in scen.items() for s in states
+    )
+    chan_rows = ", ".join(
+        f"('{ch}', r{ch[0]}_start)" for ch in _MARKOV_CHANNELS
+    )
+    return f"""
+    WITH RECURSIVE
+    ev AS (
+        SELECT user_id, epoch_ns(ts) AS tn, event_id,
+               CASE WHEN event_type = 'purchase' THEN 'conv'
+                    ELSE event_type END AS state,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isc
+        FROM events
+    ), je AS (
+        SELECT *, coalesce(sum(isc) OVER (
+            PARTITION BY user_id ORDER BY tn, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+        FROM ev
+    ), pairs AS (
+        SELECT coalesce(lag(state) OVER (
+                   PARTITION BY user_id, jid ORDER BY tn, event_id),
+               'start') AS s,
+               state AS t
+        FROM je
+    ), tails AS (
+        SELECT lr[3] AS s, 'null' AS t FROM (
+            SELECT user_id, jid, max(ROW(tn, event_id, state)) AS lr,
+                   max(isc) AS hasc
+            FROM je GROUP BY user_id, jid)
+        WHERE hasc = 0
+    ), trans AS (
+        SELECT s, t, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT * FROM pairs UNION ALL SELECT * FROM tails)
+        GROUP BY s, t
+    ), tp AS (
+        SELECT s, t, (2000000 * c + ns) // (2 * ns) AS pu
+        FROM (SELECT s, t, c, sum(c) OVER (PARTITION BY s) AS ns FROM trans)
+    ), it AS (
+        SELECT 0 AS k, {zero}
+        UNION ALL
+        SELECT k + 1,
+        {steps}
+        FROM it WHERE k < {_MARKOV_K}
+    ), fin AS (SELECT * FROM it WHERE k = {_MARKOV_K}),
+    chans AS (
+        SELECT c.channel, fin.f_start AS pf_u, c.pr_u
+        FROM fin, (SELECT * FROM (VALUES {chan_rows}) AS t(channel, _dummy)) c0,
+        LATERAL (SELECT c0.channel AS channel,
+                        CASE c0.channel {" ".join(f"WHEN '{ch}' THEN fin.r{ch[0]}_start" for ch in _MARKOV_CHANNELS)} END AS pr_u) c
+    ), eff AS (
+        SELECT channel,
+               round(pf_u / 1e6, 6) AS p_full,
+               round(pr_u / 1e6, 6) AS p_removed,
+               CASE WHEN pf_u = 0 THEN NULL
+                    ELSE CAST(pf_u - pr_u AS DOUBLE) / pf_u END AS re_raw
+        FROM chans
+    )
+    SELECT channel, p_full, p_removed, round(re_raw, 6) AS removal_effect,
+           CASE WHEN sum(re_raw) OVER () = 0 OR sum(re_raw) OVER () IS NULL
+                THEN NULL
+                ELSE round(re_raw / sum(re_raw) OVER (), 6) END AS attribution_share
+    FROM eff
+    """
+
+
+@query("markov_attribution", oracle=None)  # oracle attached below
+def markov_attribution_q(spark, sf_dir):
+    """Markov removal-effect attribution (Anderl et al. 2014 — the
+    data-driven credit model beside multitouch_attribution's
+    heuristics: channel credit = how much absorption probability the
+    chain LOSES if the channel's node is deleted): user journeys
+    split at conversions into (user, journey) chains, transition
+    counts come from one lag pass + per-journey tail rows (two
+    windows sharing the user partitioning), and the absorbing-chain
+    fixed point runs 24 synchronous steps ENTIRELY IN EXACT
+    MICRO-UNIT INTEGERS (transition probs as floor-rounded
+    micro-probs, each step an integer dot product div 1e6) — so the
+    iteration is order-free and the DuckDB recursive CTE replays it
+    bit-for-bit (the prove-the-iteration posture of kmeans_refine /
+    knn_graph_pagerank applied to absorption probabilities). The
+    state space is bounded by the channel taxonomy, so the fixed
+    point itself runs on a ≤49-row matrix collected driver-side
+    (bounded-fit posture, like retrieval_mmr's greedy) while every
+    data-proportional step stays distributed."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts_ns",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", "conv")
+        .otherwise(F.col("event_type"))
+        .alias("state"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("isc"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    je = ev.withColumn(
+        "jid",
+        F.coalesce(
+            F.sum("isc").over(wu.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    wj = Window.partitionBy("user_id", "jid").orderBy("ts_ns", "event_id")
+    pairs = je.select(
+        F.coalesce(F.lag("state").over(wj), F.lit("start")).alias("s"),
+        F.col("state").alias("t"),
+    )
+    tails = (
+        je.groupBy("user_id", "jid")
+        .agg(
+            F.max(F.struct("ts_ns", "event_id", "state")).alias("lr"),
+            F.max("isc").alias("hasc"),
+        )
+        .filter(F.col("hasc") == 0)
+        .select(F.col("lr.state").alias("s"), F.lit("null").alias("t"))
+    )
+    trans = (
+        pairs.unionByName(tails)
+        .groupBy("s", "t")
+        .agg(F.count("*").cast("long").alias("c"))
+        .collect()
+    )
+    # bounded driver-side fixed point in exact integers
+    ns: dict[str, int] = {}
+    for r in trans:
+        ns[r["s"]] = ns.get(r["s"], 0) + r["c"]
+    pu = {(r["s"], r["t"]): (2_000_000 * r["c"] + ns[r["s"]]) // (2 * ns[r["s"]]) for r in trans}
+    states = ("start",) + _MARKOV_CHANNELS
+
+    def absorb(removed: str | None) -> int:
+        p = {s: 0 for s in states}
+        for _ in range(_MARKOV_K):
+            newp = {}
+            for s in states:
+                if removed is not None and s == removed:
+                    newp[s] = 0
+                    continue
+                tot = 0
+                for (ss, t), w in pu.items():
+                    if ss != s:
+                        continue
+                    if t == "conv":
+                        pt = 1_000_000
+                    elif t == "null" or t == removed:
+                        pt = 0
+                    else:
+                        pt = p.get(t, 0)
+                    tot += w * pt
+                newp[s] = tot // 1_000_000
+            p = newp
+        return p["start"]
+
+    pf = absorb(None)
+    rows = []
+    effs = {}
+    for ch in _MARKOV_CHANNELS:
+        pr = absorb(ch)
+        effs[ch] = None if pf == 0 else (pf - pr) / pf
+        rows.append((ch, pf, pr))
+    tot_eff = (
+        sum(v for v in effs.values() if v is not None)
+        if any(v is not None for v in effs.values())
+        else None
+    )
+    def _r6(x: float | None) -> float | None:
+        # DuckDB round() is half-away-from-zero; Python round() is
+        # banker's. Values here are non-negative, so half-up matches.
+        return None if x is None else _math.floor(x * 1e6 + 0.5) / 1e6
+
+    out = []
+    for ch, pfv, prv in rows:
+        re_raw = effs[ch]
+        share = (
+            None if re_raw is None or not tot_eff else _r6(re_raw / tot_eff)
+        )
+        out.append(
+            (
+                ch,
+                pfv / 1e6,  # exact micro-units: ≤6 decimals already
+                prv / 1e6,
+                _r6(re_raw),
+                share,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "channel string, p_full double, p_removed double, "
+        "removal_effect double, attribution_share double",
+    )
+
+
+ORACLES["markov_attribution"] = _markov_oracle()

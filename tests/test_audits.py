@@ -321,3 +321,18 @@ def test_broadcast_advisor_orders_sizes(spark, sf_dir):
     assert rows["region"]["broadcastable"] and rows["nation"]["broadcastable"]
     assert rows["lineitem"]["est_bytes"] > rows["customer"]["est_bytes"]
     assert all(r["est_bytes"] > 0 for r in rows.values())
+
+
+def test_markov_attribution_monotone(spark, sf_dir):
+    """Removing a channel can never raise absorption probability, and
+    normalized removal effects sum to 1."""
+    from rag_system_vector_db_spark.registry import QUERIES
+
+    rows = QUERIES["markov_attribution"](spark, sf_dir).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["p_removed"] <= r["p_full"] + 1e-9
+        assert r["removal_effect"] is None or 0.0 <= r["removal_effect"] <= 1.0
+    shares = [r["attribution_share"] for r in rows]
+    if all(s is not None for s in shares):
+        assert abs(sum(shares) - 1.0) < 1e-4
