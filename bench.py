@@ -325,6 +325,8 @@ EXTRA = [
     "histogram_quantile_sketch",
     "broadcast_size_advisor",
     "markov_attribution",
+    "wand_pruning_sim",
+    "padding_waste_audit",
 ]
 
 

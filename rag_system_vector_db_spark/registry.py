@@ -18840,3 +18840,227 @@ def markov_attribution_q(spark, sf_dir):
 
 
 ORACLES["markov_attribution"] = _markov_oracle()
+
+
+# ---------------------------------------------------------------------------
+# IR pruning + packing efficiency wave (r5 cont.)
+# ---------------------------------------------------------------------------
+
+_WAND_TERMS = ("spark", "join", "fast", "batch", "scan")
+
+
+@query(
+    "wand_pruning_sim",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), qtoks AS (
+        SELECT * FROM toks
+        WHERE term IN ({", ".join(f"'{t}'" for t in _WAND_TERMS)})
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
+        FROM qtoks GROUP BY doc_id, term
+    ), stats AS (
+        SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl
+        FROM documents
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), contrib AS (
+        SELECT tf.doc_id, tf.term,
+               ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                 * (tf.tf * (1.2 + 1))
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS w
+        FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+    ), ub AS (
+        SELECT term, max(w) AS ub FROM contrib GROUP BY term
+    ), full_score AS (
+        SELECT doc_id, sum(w) AS score FROM contrib GROUP BY doc_id
+    ), theta AS (
+        SELECT min(score) AS theta FROM (
+            SELECT score FROM full_score
+            ORDER BY score DESC, doc_id LIMIT 10)
+    ), per_doc AS (
+        SELECT c.doc_id, sum(u.ub) AS ub_sum, sum(c.w) AS score
+        FROM contrib c JOIN ub u USING (term)
+        GROUP BY c.doc_id
+    ), verdict AS (
+        SELECT d.doc_id, d.ub_sum < t.theta AS skippable,
+               d.score >= t.theta AS in_topk
+        FROM per_doc d CROSS JOIN theta t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN skippable THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_skippable,
+           round(CAST(sum(CASE WHEN skippable THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS skip_fraction,
+           round((SELECT theta FROM theta), 6) AS theta,
+           CAST(sum(CASE WHEN skippable AND in_topk THEN 1 ELSE 0 END) AS BIGINT)
+               = 0 AS safe
+    FROM verdict
+    """,
+)
+def wand_pruning_sim_q(spark, sf_dir):
+    """WAND dynamic-pruning audit (Broder CIKM'03 — the upper-bound
+    skipping that makes exhaustive BM25 top-k affordable: a doc whose
+    sum of per-term score CEILINGS can't reach the current k-th score
+    is never fully scored): per-term max contributions form the
+    upper-bound table (terms-sized, broadcast), theta = exact 10th
+    best full score, and the verdict counts candidates WAND would
+    skip plus the safety proof (no skipped doc is in the true
+    top-k — the certificate the pruning's correctness rests on).
+    One tokenize pass feeds tf/df/contributions; everything after is
+    term- or candidate-bounded. The skip_fraction is the number that
+    justifies (or kills) maintaining per-term max-score metadata in
+    keyword_index_* layouts at 100 TB."""
+    from .functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    toks = docs.select(
+        "doc_id",
+        F.size(X.tokens(F.col("text"))).alias("dl"),
+        F.explode(X.tokens(F.col("text"))).alias("term"),
+    )
+    qtoks = toks.filter(F.col("term").isin(*_WAND_TERMS))
+    tf = qtoks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf"), F.min("dl").alias("dl")
+    )
+    stats = docs.agg(
+        F.count("*").alias("n"),
+        F.avg(F.size(X.tokens(F.col("text")))).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * (1.2 + 1))
+                / (
+                    F.col("tf")
+                    + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ub = contrib.groupBy("term").agg(F.max("w").alias("ub"))
+    full_score = contrib.groupBy("doc_id").agg(F.sum("w").alias("score"))
+    theta = (
+        full_score.orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+        .agg(F.min("score").alias("theta"))
+    )
+    per_doc = (
+        contrib.join(F.broadcast(ub), "term")
+        .groupBy("doc_id")
+        .agg(F.sum("ub").alias("ub_sum"), F.sum("w").alias("score"))
+    )
+    verdict = per_doc.crossJoin(F.broadcast(theta)).select(
+        (F.col("ub_sum") < F.col("theta")).alias("skippable"),
+        (F.col("score") >= F.col("theta")).alias("in_topk"),
+        "theta",
+    )
+    return verdict.agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.sum(F.when(F.col("skippable"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_skippable"),
+        F.round(
+            F.sum(F.when(F.col("skippable"), 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("skip_fraction"),
+        F.round(F.first("theta"), 6).alias("theta"),
+        (
+            F.sum(F.when(F.col("skippable") & F.col("in_topk"), 1).otherwise(0)) == 0
+        ).alias("safe"),
+    )
+
+
+@query(
+    "padding_waste_audit",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM d
+    ), grid AS (
+        SELECT L FROM (VALUES (32), (64), (128)) AS t(L)
+    ), per AS (
+        SELECT g.L,
+               CAST(sum(((d.n + g.L - 1) // g.L) * g.L - d.n) AS BIGINT)
+                   AS doc_pad_tokens
+        FROM d CROSS JOIN grid g GROUP BY g.L
+    )
+    SELECT CAST(p.L AS BIGINT) AS seq_len,
+           t.n_docs, t.total_tokens,
+           p.doc_pad_tokens,
+           round(CAST(p.doc_pad_tokens AS DOUBLE)
+                 / (t.total_tokens + p.doc_pad_tokens), 6) AS doc_pad_fraction,
+           CAST(CASE WHEN t.total_tokens % p.L = 0 THEN 0
+                     ELSE p.L - t.total_tokens % p.L END AS BIGINT)
+               AS concat_pad_tokens,
+           round(CAST(CASE WHEN t.total_tokens % p.L = 0 THEN 0
+                           ELSE p.L - t.total_tokens % p.L END AS DOUBLE)
+                 / (t.total_tokens
+                    + CASE WHEN t.total_tokens % p.L = 0 THEN 0
+                           ELSE p.L - t.total_tokens % p.L END), 6)
+               AS concat_pad_fraction
+    FROM per p CROSS JOIN tot t
+    """,
+)
+def padding_waste_audit_q(spark, sf_dir):
+    """Padding-waste audit across a sequence-length grid (the sizing
+    table behind sequence_packing: pad-per-document wastes
+    ceil(n/L)·L − n tokens PER DOC, concat-then-chunk packing wastes
+    only the stream tail — this measures exactly how much compute the
+    packing layout buys at each candidate training length): per-doc
+    token counts reduce map-side, the 3-point grid joins as a
+    broadcast literal at the aggregation (3 rows cost one grouped
+    agg, the bm25_tuning_grid trick), every waste number an exact
+    integer. At 100 TB the doc_pad_fraction column is the GPU-hours
+    argument for running sequence_packing at all."""
+    from .functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    d = docs.select(F.size(X.tokens(F.col("text"))).cast("long").alias("n"))
+    grid = spark.createDataFrame([(32,), (64,), (128,)], "L int")
+    per = (
+        d.crossJoin(F.broadcast(grid))
+        .groupBy("L")
+        .agg(
+            F.sum(F.expr("((n + L - 1) div L) * L - n"))
+            .cast("long")
+            .alias("doc_pad_tokens")
+        )
+    )
+    tot = d.agg(
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    concat_pad = F.when(
+        F.col("total_tokens") % F.col("L") == 0, F.lit(0)
+    ).otherwise(F.col("L") - F.col("total_tokens") % F.col("L"))
+    return j.select(
+        F.col("L").cast("long").alias("seq_len"),
+        "n_docs",
+        "total_tokens",
+        "doc_pad_tokens",
+        F.round(
+            F.col("doc_pad_tokens").cast("double")
+            / (F.col("total_tokens") + F.col("doc_pad_tokens")),
+            6,
+        ).alias("doc_pad_fraction"),
+        concat_pad.cast("long").alias("concat_pad_tokens"),
+        F.round(
+            concat_pad.cast("double") / (F.col("total_tokens") + concat_pad), 6
+        ).alias("concat_pad_fraction"),
+    )
