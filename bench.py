@@ -327,6 +327,8 @@ EXTRA = [
     "markov_attribution",
     "wand_pruning_sim",
     "padding_waste_audit",
+    "cascade_retrieval_sim",
+    "merge_into_apply",
 ]
 
 

@@ -19064,3 +19064,243 @@ def padding_waste_audit_q(spark, sf_dir):
             concat_pad.cast("double") / (F.col("total_tokens") + concat_pad), 6
         ).alias("concat_pad_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cascade retrieval + lakehouse MERGE wave (r5 cont.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cascade_retrieval_sim",
+    oracle=f"""
+    WITH w AS (
+        SELECT vec_id, embedding,
+               CAST(list_sum([CASE WHEN embedding[i+1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END FOR i IN range(32)]) AS BIGINT) AS lo,
+               CAST(list_sum([CASE WHEN embedding[i+33] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END FOR i IN range(32)]) AS BIGINT) AS hi
+        FROM embeddings
+    ), q AS (SELECT lo AS qlo, hi AS qhi, embedding AS qv FROM w WHERE vec_id = 0),
+    s1 AS (
+        SELECT w.vec_id, w.embedding
+        FROM w, q WHERE w.vec_id <> 0
+        ORDER BY bit_count(xor(w.lo, q.qlo)) + bit_count(xor(w.hi, q.qhi)), w.vec_id
+        LIMIT 50
+    ), am AS (
+        SELECT max(list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))) AS absmax
+        FROM embeddings
+    ), qc AS (
+        SELECT list_transform(e.embedding::DOUBLE[],
+                   x -> CAST(greatest(-127, least(127, floor(x / (am.absmax / 127) + 0.5))) AS BIGINT)) AS qcodes
+        FROM embeddings e, am WHERE e.vec_id = 0
+    ), s2 AS (
+        SELECT s1.vec_id, s1.embedding
+        FROM s1, am, qc
+        ORDER BY list_sum(list_transform(list_zip(
+                   list_transform(s1.embedding::DOUBLE[],
+                       x -> CAST(greatest(-127, least(127, floor(x / (am.absmax / 127) + 0.5))) AS BIGINT)),
+                   qc.qcodes), p -> (p[1] - p[2]) * (p[1] - p[2]))), s1.vec_id
+        LIMIT 20
+    ), s3 AS (
+        SELECT s2.vec_id, {_dd_euclid('s2.embedding', 'q.qv')} AS l2
+        FROM s2, q
+        ORDER BY l2, s2.vec_id LIMIT 10
+    ), truth AS (
+        SELECT w.vec_id FROM w, q WHERE w.vec_id <> 0
+        ORDER BY {_dd_euclid('w.embedding', 'q.qv')}, w.vec_id LIMIT 10
+    )
+    SELECT CAST(row_number() OVER (ORDER BY s3.l2, s3.vec_id) AS BIGINT) AS rank,
+           s3.vec_id, round(s3.l2, 6) AS exact_l2,
+           t.vec_id IS NOT NULL AS in_exact_topk
+    FROM s3 LEFT JOIN truth t ON s3.vec_id = t.vec_id
+    """,
+)
+def cascade_retrieval_sim_q(spark, sf_dir):
+    """Multi-stage cascade retrieval (the production serving shape
+    that makes billion-scale ANN affordable: a dirt-cheap stage
+    over-recalls, each later stage re-ranks a shrinking shortlist
+    with a more faithful distance): sign-bit Hamming (8 B/vector,
+    xor+popcount) recalls 50 → uniform-SQ8 integer distance re-ranks
+    to 20 → exact float L2 scores the survivors, graded against the
+    exact top-10 with a per-row membership flag. Stage budgets bound
+    every later stage's work (candidate fetches are broadcast-id
+    semi-joins, never corpus passes); the full corpus is touched only
+    by the 8-byte word scan, the absmax scalar agg, and the truth
+    tower (which exists only to grade — production runs stages 1-3).
+    Composes the ann_binary_hamming and ann_sq8 kernels bit-exactly,
+    so the whole cascade hash-checks."""
+    from .operators.ann import sign_bit_words
+
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    lo, hi = sign_bit_words(F.col("embedding"))
+    words = emb.select("vec_id", "embedding", lo.alias("_lo"), hi.alias("_hi"))
+    q = words.filter(F.col("vec_id") == 0).select(
+        F.col("_lo").alias("_qlo"),
+        F.col("_hi").alias("_qhi"),
+        F.col("embedding").alias("_qv"),
+    )
+    s1 = (
+        words.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q.select("_qlo", "_qhi")))
+        .select(
+            "vec_id",
+            "embedding",
+            (
+                F.bit_count(F.col("_lo").bitwiseXOR(F.col("_qlo")))
+                + F.bit_count(F.col("_hi").bitwiseXOR(F.col("_qhi")))
+            ).alias("_ham"),
+        )
+        .orderBy("_ham", "vec_id")
+        .limit(50)
+        .select("vec_id", "embedding")
+    )
+    absmax = emb.agg(
+        F.max(
+            F.array_max(F.transform(F.col("embedding").cast("array<double>"), F.abs))
+        ).alias("_absmax")
+    )
+
+    def codes(vec):
+        return F.transform(
+            vec.cast("array<double>"),
+            lambda x: F.greatest(
+                F.lit(-127).cast("long"),
+                F.least(
+                    F.lit(127).cast("long"),
+                    F.floor(x / (F.col("_absmax") / 127) + F.lit(0.5)),
+                ),
+            ),
+        )
+
+    qc = (
+        emb.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(absmax))
+        .select(codes(F.col("embedding")).alias("_qcodes"))
+    )
+    s2 = (
+        s1.crossJoin(F.broadcast(absmax))
+        .crossJoin(F.broadcast(qc))
+        .select(
+            "vec_id",
+            "embedding",
+            F.aggregate(
+                F.zip_with(
+                    codes(F.col("embedding")),
+                    F.col("_qcodes"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("_cd"),
+        )
+        .orderBy("_cd", "vec_id")
+        .limit(20)
+        .select("vec_id", "embedding")
+    )
+    s3 = (
+        s2.crossJoin(F.broadcast(q.select("_qv")))
+        .select("vec_id", V.euclidean(F.col("embedding"), F.col("_qv")).alias("l2"))
+        .orderBy("l2", "vec_id")
+        .limit(10)
+    )
+    truth = (
+        words.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q.select("_qv")))
+        .select("vec_id", V.euclidean(F.col("embedding"), F.col("_qv")).alias("tl2"))
+        .orderBy("tl2", "vec_id")
+        .limit(10)
+        .select(F.col("vec_id").alias("tid"))
+    )
+    wr = Window.orderBy("l2", "vec_id")
+    return (
+        s3.join(F.broadcast(truth), s3.vec_id == truth.tid, "left")
+        .select(
+            F.row_number().over(wr).cast("long").alias("rank"),
+            "vec_id",
+            F.round("l2", 6).alias("exact_l2"),
+            F.col("tid").isNotNull().alias("in_exact_topk"),
+        )
+    )
+
+
+@query(
+    "merge_into_apply",
+    oracle="""
+    WITH t AS (
+        SELECT c_custkey AS key,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        FROM customer
+    ), mx AS (SELECT max(key) AS mk FROM t),
+    src AS (
+        SELECT key, 'U' AS op, bal_c * 11 // 10 AS new_bal
+        FROM t WHERE key % 7 = 0 AND key % 13 <> 0
+        UNION ALL
+        SELECT key, 'D', NULL FROM t WHERE key % 13 = 0
+        UNION ALL
+        SELECT mx.mk + i + 1, 'I', CAST((i + 1) * 1000 + 50 AS BIGINT)
+        FROM range(50) AS r(i), mx
+    ), m AS (
+        SELECT coalesce(t.key, s.key) AS key,
+               CASE WHEN s.op IS NULL THEN 'unchanged'
+                    WHEN s.op = 'U' THEN 'updated'
+                    WHEN s.op = 'D' THEN 'deleted'
+                    ELSE 'inserted' END AS status,
+               CASE WHEN s.op = 'U' THEN s.new_bal
+                    WHEN s.op = 'I' THEN s.new_bal
+                    ELSE t.bal_c END AS bal_c
+        FROM t FULL OUTER JOIN src s ON t.key = s.key
+    )
+    SELECT CAST(key AS BIGINT) AS c_custkey, CAST(bal_c AS BIGINT) AS balance_c,
+           status
+    FROM m WHERE status <> 'deleted'
+    """,
+)
+def merge_into_apply_q(spark, sf_dir):
+    """Lakehouse MERGE INTO (Delta/Iceberg's upsert verb — the
+    three-branch fold cdc_apply's last-write-wins is a special case
+    of): WHEN MATCHED AND cond THEN DELETE (every 13th key), WHEN
+    MATCHED THEN UPDATE (every 7th key, +10% balance in EXACT integer
+    cents — bal·11 div 10, no float money math), WHEN NOT MATCHED
+    THEN INSERT (50 new keys above the current max, which rides a
+    1-row broadcast). One FULL OUTER join on bare keys resolves every
+    branch; the emitted frame is the complete post-MERGE table state
+    with per-row status, so the oracle hash-checks the entire merge
+    result, not just counts. Delete-wins precedence for keys matching
+    both conditions is by source construction (a key contributes one
+    source row)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.expr("cast(round(c_acctbal * 100) as bigint)").alias("bal_c"),
+    )
+    mx = c.agg(F.max("key").alias("mk"))
+    upd = c.filter((F.col("key") % 7 == 0) & (F.col("key") % 13 != 0)).select(
+        "key", F.lit("U").alias("op"), F.expr("bal_c * 11 div 10").alias("new_bal")
+    )
+    dele = c.filter(F.col("key") % 13 == 0).select(
+        "key", F.lit("D").alias("op"), F.lit(None).cast("long").alias("new_bal")
+    )
+    ins = (
+        spark.range(50)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("mk") + F.col("id") + 1).alias("key"),
+            F.lit("I").alias("op"),
+            ((F.col("id") + 1) * 1000 + 50).cast("long").alias("new_bal"),
+        )
+    )
+    src = upd.unionByName(dele).unionByName(ins)
+    m = c.join(src, "key", "full_outer").select(
+        "key",
+        F.when(F.col("op").isNull(), "unchanged")
+        .when(F.col("op") == "U", "updated")
+        .when(F.col("op") == "D", "deleted")
+        .otherwise("inserted")
+        .alias("status"),
+        F.when(F.col("op").isin("U", "I"), F.col("new_bal"))
+        .otherwise(F.col("bal_c"))
+        .alias("bal_c"),
+    )
+    return m.filter(F.col("status") != "deleted").select(
+        F.col("key").cast("long").alias("c_custkey"),
+        F.col("bal_c").cast("long").alias("balance_c"),
+        "status",
+    )
