@@ -329,6 +329,8 @@ EXTRA = [
     "padding_waste_audit",
     "cascade_retrieval_sim",
     "merge_into_apply",
+    "seeding_quality_eval",
+    "graph_random_walks",
 ]
 
 

@@ -19304,3 +19304,222 @@ def merge_into_apply_q(spark, sf_dir):
         F.col("bal_c").cast("long").alias("balance_c"),
         "status",
     )
+
+
+# ---------------------------------------------------------------------------
+# Seeding quality + graph walk sampling wave (r5 cont.)
+# ---------------------------------------------------------------------------
+
+
+def _seeding_sets(sf_dir: str, k: int = 8, sample_limit: int = 4096):
+    """Two deterministic seedings over the bounded sample: naive
+    first-k (kmeans_fit's init) vs Gonzalez farthest-point (the
+    deterministic k-means++ shape: next seed = point maximizing its
+    min distance to the chosen set, ties to lowest index)."""
+    import duckdb
+    import numpy as np
+
+    rel = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY vec_id LIMIT {sample_limit}"
+    )
+    x = np.array([list(r[1]) for r in rel.fetchall()], dtype=np.float64)
+    firstk = [[float(v) for v in row] for row in x[:k]]
+    chosen = [0]
+    d2 = ((x - x[0]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        nxt = int(d2.argmax())  # argmax ties -> lowest index
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((x - x[nxt]) ** 2).sum(axis=1))
+    far = [[float(v) for v in x[i]] for i in chosen]
+    return firstk, far
+
+
+def _min_d2_sql(vec: str, cents: list[list[float]]) -> str:
+    terms = []
+    for c in cents:
+        lit = "[" + ", ".join(repr(v) for v in c) + "]"
+        terms.append(
+            f"list_sum(list_transform(list_zip(({vec})::DOUBLE[], {lit}::DOUBLE[]),"
+            f" x -> (x[1]-x[2])*(x[1]-x[2])))"
+        )
+    return "least(" + ", ".join(terms) + ")"
+
+
+def _seeding_oracle(sf_dir: str) -> str:
+    firstk, far = _seeding_sets(sf_dir)
+    return f"""
+    WITH costs AS (
+        SELECT CAST(round(1000000 * {_min_d2_sql('embedding', firstk)}) AS BIGINT) AS c_first,
+               CAST(round(1000000 * {_min_d2_sql('embedding', far)}) AS BIGINT) AS c_far
+        FROM embeddings
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c_first) AS BIGINT) AS t_first,
+               CAST(sum(c_far) AS BIGINT) AS t_far
+        FROM costs
+    ), u AS (
+        SELECT 'first_k' AS seeding, n, t_first AS total_u FROM s
+        UNION ALL
+        SELECT 'farthest_point', n, t_far FROM s
+    )
+    SELECT seeding, n,
+           round(total_u / 1e6, 6) AS total_cost,
+           round(CAST(total_u AS DOUBLE) / n / 1e6, 6) AS mean_cost,
+           round(CAST(total_u AS DOUBLE) / min(total_u) OVER (), 6) AS vs_best
+    FROM u
+    """
+
+
+@query("seeding_quality_eval")  # oracle: LAZY_ORACLES (per-sf seed literals)
+def seeding_quality_eval_q(spark, sf_dir):
+    """Quantizer seeding quality (the init step kmeans_refine /
+    kmeans_fit take as given — k-means++-style spread seeding vs the
+    naive first-k init, measured as k-means assignment cost BEFORE
+    any Lloyd round): both seed sets fit driver-side on the bounded
+    deterministic sample (Gonzalez '85 farthest-point as the
+    deterministic k-means++ shape), then ONE corpus pass scores both
+    (per-vector min squared L2 to each literal set, micro-quantized
+    before the order-free integer sum). The vs_best column is the
+    init-quality gap a bad seeding hands to every later Lloyd
+    iteration. Same literal-inlining oracle posture as IVF centroids
+    / PCA basis."""
+    firstk, far = _seeding_sets(sf_dir)
+
+    def min_d2(vec, cents):
+        exprs = []
+        for c in cents:
+            lit = F.array(*[F.lit(float(v)) for v in c])
+            exprs.append(
+                F.aggregate(
+                    F.zip_with(
+                        vec.cast("array<double>"), lit, lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+        return F.least(*exprs)
+
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    costs = emb.select(
+        F.round(1_000_000 * min_d2(F.col("embedding"), firstk))
+        .cast("long")
+        .alias("c_first"),
+        F.round(1_000_000 * min_d2(F.col("embedding"), far))
+        .cast("long")
+        .alias("c_far"),
+    )
+    s = costs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c_first").cast("long").alias("t_first"),
+        F.sum("c_far").cast("long").alias("t_far"),
+    )
+    u = s.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("first_k").alias("seeding"), F.col("t_first").alias("total_u")),
+                F.struct(F.lit("farthest_point").alias("seeding"), F.col("t_far").alias("total_u")),
+            )
+        ).alias("r"),
+        "n",
+    ).select(F.col("r.seeding").alias("seeding"), "n", F.col("r.total_u").alias("total_u"))
+    wa = Window.partitionBy()
+    return u.select(
+        "seeding",
+        "n",
+        F.round(F.col("total_u") / F.lit(1e6), 6).alias("total_cost"),
+        F.round(F.col("total_u").cast("double") / F.col("n") / F.lit(1e6), 6).alias(
+            "mean_cost"
+        ),
+        F.round(
+            F.col("total_u").cast("double") / F.min("total_u").over(wa), 6
+        ).alias("vs_best"),
+    )
+
+
+LAZY_ORACLES["seeding_quality_eval"] = _seeding_oracle
+
+
+def _walks_oracle() -> str:
+    base = _knn_graph_oracle().rsplit("SELECT src, dst", 1)[0]
+    steps_sql = ""
+    prev = "w0"
+    selects = ["SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM w0"]
+    for i in (1, 2, 3):
+        steps_sql += f"""
+    , s{i} AS (
+        SELECT {prev}.walk_id, e.dst AS node
+        FROM {prev}
+        JOIN dg d ON d.src = {prev}.node
+        JOIN edges e ON e.src = {prev}.node
+         AND e.rank = {H.dd_md5_long(f"({prev}.walk_id)::VARCHAR || '|{i}'", 'walk')} % d.deg + 1
+    )"""
+        selects.append(f"SELECT walk_id, {i}, node FROM s{i}")
+        prev = f"s{i}"
+    return (
+        base
+        + """, e3 AS (SELECT src, dst, rank FROM ranked WHERE rank <= 3),
+    dg AS (SELECT src, CAST(max(rank) AS BIGINT) AS deg FROM e3 GROUP BY src),
+    w0 AS (SELECT vec_id AS walk_id, vec_id AS node FROM embeddings)
+    """
+        + steps_sql.replace("JOIN edges e", "JOIN e3 e")
+        + "\n    "
+        + " UNION ALL ".join(selects)
+    )
+
+
+@query("graph_random_walks")  # oracle attached below (plane literals)
+def graph_random_walks_q(spark, sf_dir):
+    """Deterministic random-walk sampling over the corpus kNN graph
+    (DeepWalk/node2vec's sequence-generation step — walks feed the
+    same skip-gram machinery skipgram_pairs builds for text): one
+    walk of length 4 starts at every node, and step i moves to
+    neighbor index md5(walk_id|i) mod degree — the seeded-md5 family
+    again, so the walk corpus is identical across engines, runs, and
+    cluster sizes (rand() could never be). Edges come from the shared
+    LSH-bounded kNN build (degree ≤ 3); each step is one equi-join of
+    the frontier against the ranked edge list on (node, chosen rank)
+    — 3 bounded joins, no iteration state. Isolated nodes emit only
+    their start row (the walk terminates, as in DeepWalk)."""
+    edges = _knn_graph_edges(spark, sf_dir).select("src", "dst", "rank")
+    edges = edges.localCheckpoint(eager=False)
+    dg = edges.groupBy("src").agg(F.max("rank").cast("long").alias("deg"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    frontier = emb.select(
+        F.col("vec_id").alias("walk_id"), F.col("vec_id").alias("node")
+    )
+    outs = [
+        frontier.select(
+            "walk_id", F.lit(0).cast("long").alias("step"), "node"
+        )
+    ]
+    for i in (1, 2, 3):
+        chosen = (
+            H.md5_long(
+                F.concat(F.col("walk_id").cast("string"), F.lit(f"|{i}")), "walk"
+            )
+            % F.col("deg")
+            + 1
+        )
+        frontier = (
+            frontier.join(dg, dg.src == frontier.node)
+            .join(
+                edges.select(
+                    F.col("src").alias("_es"),
+                    F.col("dst").alias("_ed"),
+                    F.col("rank").alias("_er"),
+                ),
+                (F.col("_es") == F.col("node")) & (F.col("_er") == chosen),
+            )
+            .select("walk_id", F.col("_ed").alias("node"))
+        )
+        outs.append(
+            frontier.select("walk_id", F.lit(i).cast("long").alias("step"), "node")
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+ORACLES["graph_random_walks"] = _walks_oracle()
