@@ -331,6 +331,9 @@ EXTRA = [
     "merge_into_apply",
     "seeding_quality_eval",
     "graph_random_walks",
+    "ood_mahalanobis",
+    "retention_halflife_fit",
+    "hll_merge_rollup",
 ]
 
 

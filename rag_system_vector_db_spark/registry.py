@@ -19523,3 +19523,342 @@ def graph_random_walks_q(spark, sf_dir):
 
 
 ORACLES["graph_random_walks"] = _walks_oracle()
+
+
+# ---------------------------------------------------------------------------
+# OOD mining + retention decay + sketch-merge proof wave (r5 cont.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ood_mahalanobis",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, label, i AS pos, embedding[i + 1]::DOUBLE AS v
+        FROM embeddings, range(64) t(i)
+    ), st AS (
+        SELECT label, pos, round(avg(v), 6) AS m,
+               round(avg(v * v) - avg(v) * avg(v), 6) AS s2
+        FROM ex GROUP BY label, pos
+    ), d AS (
+        SELECT e.vec_id, e.label,
+               CAST(sum(CAST(round((e.v - st.m) * (e.v - st.m)
+                    / (st.s2 + 0.000001) * 1e9) AS BIGINT)) AS BIGINT) AS mdu
+        FROM ex e JOIN st ON e.label = st.label AND e.pos = st.pos
+        GROUP BY e.vec_id, e.label
+    )
+    SELECT CAST(row_number() OVER (ORDER BY mdu DESC, vec_id) AS BIGINT) AS rank,
+           vec_id, label, round(sqrt(mdu / 1e9), 6) AS mahalanobis
+    FROM d ORDER BY mdu DESC, vec_id LIMIT 20
+    """,
+)
+def ood_mahalanobis_q(spark, sf_dir):
+    """Out-of-distribution mining via diagonal-covariance Mahalanobis
+    distance (Lee NeurIPS'18's OOD score; the statistically-honest
+    upgrade of label_outliers' euclidean — a dimension with natural
+    spread shouldn't scream outlier): per-(label, dim) mean AND
+    variance from the same single posexplode shuffle, both ROUNDED to
+    6 dp so the reference representation is engine-stable; per-dim
+    contributions (x−μ)²/(σ²+ε) quantize to nano-units before the
+    order-free integer sum; top-20 via sort-limit. The |labels|×dim
+    stats frame broadcasts — nothing pairwise anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    st = ex.groupBy("label", "pos").agg(
+        F.round(F.avg("v"), 6).alias("m"),
+        F.round(F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v"), 6).alias(
+            "s2"
+        ),
+    )
+    contrib = F.round(
+        (F.col("v") - F.col("m"))
+        * (F.col("v") - F.col("m"))
+        / (F.col("s2") + 0.000001)
+        * 1e9
+    ).cast("long")
+    d = (
+        ex.join(F.broadcast(st), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(contrib).alias("mdu"))
+    )
+    w = Window.orderBy(F.col("mdu").desc(), "vec_id")
+    return (
+        d.orderBy(F.col("mdu").desc(), "vec_id")
+        .limit(20)
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "vec_id",
+            "label",
+            F.round(F.sqrt(F.col("mdu") / 1e9), 6).alias("mahalanobis"),
+        )
+    )
+
+
+@query(
+    "retention_halflife_fit",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_ns(ts) // 86400000000000 AS wk FROM events
+    ), fw AS (
+        SELECT user_id, min(wk) AS first_wk FROM e GROUP BY user_id
+    ), mx AS (SELECT max(wk) AS maxw FROM e),
+    act AS (
+        SELECT DISTINCT e.user_id, e.wk - f.first_wk AS off
+        FROM e JOIN fw f USING (user_id)
+    ), num AS (
+        SELECT off, CAST(count(*) AS BIGINT) AS active
+        FROM act WHERE off >= 1 AND off <= 14 GROUP BY off
+    ), den AS (
+        SELECT o.off, CAST(count(*) AS BIGINT) AS eligible
+        FROM fw, mx, (SELECT unnest(range(1, 15)) AS off) o
+        WHERE fw.first_wk + o.off <= mx.maxw
+        GROUP BY o.off
+    ), pts AS (
+        SELECT n.off AS x,
+               ln(CAST(n.active AS DOUBLE) / d.eligible) AS y
+        FROM num n JOIN den d USING (off)
+        WHERE n.active > 0 AND d.eligible > 0
+    ), q AS (
+        SELECT CAST(x AS BIGINT) AS xi,
+               CAST(round(y * 1000000) AS BIGINT) AS yu
+        FROM pts
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xi) AS BIGINT) AS sx,
+               CAST(sum(xi * xi) AS BIGINT) AS sxx,
+               CAST(sum(yu) AS BIGINT) AS sy,
+               CAST(sum(xi * yu) AS BIGINT) AS sxy,
+               CAST(sum(yu * yu) AS BIGINT) AS syy
+        FROM q
+    )
+    SELECT n AS n_points,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE round(-(CAST(n * sxy - sx * sy AS DOUBLE)
+                             / (n * sxx - sx * sx)) / 1e6, 6) END AS lambda,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * sxy - sx * sy >= 0 THEN NULL
+                ELSE round(0.6931471805599453
+                           / ((CAST(n * sxy - sx * sy AS DOUBLE)
+                               / (n * sxx - sx * sx)) / -1e6), 6) END
+               AS half_life_days,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+                ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) * (n * sxy - sx * sy)
+                           / ((CAST(n * sxx - sx * sx AS DOUBLE))
+                              * (CAST(n * syy - sy * sy AS DOUBLE))), 6) END AS r2
+    FROM m
+    """,
+)
+def retention_halflife_fit_q(spark, sf_dir):
+    """Retention half-life fit (the engagement-decay constant a
+    growth model plugs into LTV math: retention ≈ e^(−λ·age) ⇒
+    half-life = ln2/λ): pooled daily retention rates at offsets 1-14
+    with censoring-aware denominators (only users whose first week
+    leaves room for the offset count as eligible), then log-linear
+    OLS via the exact-moment closed form — ln(rate) micro-quantizes
+    so all five moments are order-free BIGINTs (zipf_fit's recipe
+    pointed at the retention curve). One (user, week) distinct +
+    week-bounded frames after."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", F.expr("ts_ns div 86400000000000").alias("wk"))
+    fw = e.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    mx = e.agg(F.max("wk").alias("maxw"))
+    act = (
+        e.join(fw, "user_id")
+        .select("user_id", (F.col("wk") - F.col("first_wk")).alias("off"))
+        .distinct()
+    )
+    num = (
+        act.filter((F.col("off") >= 1) & (F.col("off") <= 14))
+        .groupBy("off")
+        .agg(F.count("*").cast("long").alias("active"))
+    )
+    offs = spark.range(1, 15).select(F.col("id").alias("off"))
+    den = (
+        fw.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(offs))
+        .filter(F.col("first_wk") + F.col("off") <= F.col("maxw"))
+        .groupBy("off")
+        .agg(F.count("*").cast("long").alias("eligible"))
+    )
+    pts = (
+        num.join(den, "off")
+        .filter((F.col("active") > 0) & (F.col("eligible") > 0))
+        .select(
+            F.col("off").cast("long").alias("xi"),
+            F.expr(
+                "cast(round(ln(cast(active as double) / eligible) * 1000000) as bigint)"
+            ).alias("yu"),
+        )
+    )
+    m = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xi").cast("long").alias("sx"),
+        F.sum(F.col("xi") * F.col("xi")).cast("long").alias("sxx"),
+        F.sum("yu").cast("long").alias("sy"),
+        F.sum(F.col("xi") * F.col("yu")).cast("long").alias("sxy"),
+        F.sum(F.col("yu") * F.col("yu")).cast("long").alias("syy"),
+    )
+    sxx_d = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    sxy_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    syy_d = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = sxy_n.cast("double") / sxx_d
+    return m.select(
+        F.col("n").alias("n_points"),
+        F.when(sxx_d == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(-slope / 1e6, 6))
+        .alias("lambda"),
+        F.when((sxx_d == 0) | (sxy_n >= 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.lit(0.6931471805599453) / (slope / F.lit(-1e6)), 6)
+        )
+        .alias("half_life_days"),
+        F.when((sxx_d == 0) | (syy_d == 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                sxy_n.cast("double") * sxy_n / (sxx_d.cast("double") * syy_d.cast("double")),
+                6,
+            )
+        )
+        .alias("r2"),
+    )
+
+
+@query("hll_merge_rollup", oracle=None)  # oracle attached below
+def hll_merge_rollup_q(spark, sf_dir):
+    """HLL register-merge proof (the property that makes HLL the
+    distributed distinct counter: per-slice sketches merge by
+    register-wise max, and merging per-type sketches yields EXACTLY
+    the registers a direct whole-corpus sketch builds — so the merged
+    estimate equals the rebuild estimate bit-for-bit, hash-proven
+    here by the 'merged' and 'direct' rows agreeing): per-event-type
+    register tables from one (type, idx) groupBy over the shift-or
+    rho cascade, the merged sketch one register-wise max over the
+    5×256-bounded frame, the direct sketch recomputed from scratch
+    from the raw hashes. Per scope: set registers, HLL estimate
+    (small-range corrected), exact NDV. 256 bytes of state per
+    slice is what crosses the wire at 100 TB — not user lists."""
+    ev = load_table(spark, sf_dir, "events")
+    SCALE = 9007199254740992  # 2^53
+
+    def regs_for(frame, scope_col):
+        h = frame.select(
+            scope_col.alias("scope"),
+            H.md5_long(F.col("user_id").cast("string")).alias("h"),
+        ).distinct()
+        b = h.select(
+            "scope",
+            F.expr("shiftright(h, 52)").alias("idx"),
+            F.expr("h & 4503599627370495").alias("w"),
+        )
+        for k in (1, 2, 4, 8, 16, 32):
+            b = b.withColumn("w", F.expr(f"w | shiftright(w, {k})"))
+        return b.groupBy("scope", "idx").agg(
+            F.expr("max(53 - bit_count(w))").alias("m_j")
+        )
+
+    per_type = regs_for(ev, F.col("event_type")).localCheckpoint(eager=False)
+    merged = per_type.groupBy("idx").agg(F.max("m_j").alias("m_j")).select(
+        F.lit("merged").alias("scope"), "idx", "m_j"
+    )
+    direct = regs_for(ev, F.lit("direct"))
+    regs = per_type.unionByName(merged).unionByName(direct)
+    agg = regs.groupBy("scope").agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(53 - m_j as int))")).alias(
+            "sum_scaled"
+        ),
+    )
+    est = agg.select(
+        "scope",
+        (F.lit(256) - F.col("n_present")).alias("n_zero"),
+        (
+            F.lit(0.7213 / (1 + 1.079 / 256))
+            * F.lit(65536.0)
+            * F.lit(float(SCALE))
+            / (F.col("sum_scaled") + (F.lit(256) - F.col("n_present")) * F.lit(SCALE))
+        ).alias("e_raw"),
+    )
+    ex_t = ev.groupBy(F.col("event_type").alias("scope")).agg(
+        F.count_distinct("user_id").alias("ndv_exact")
+    )
+    ex_all = ev.agg(F.count_distinct("user_id").alias("ndv"))
+    ex_md = ex_all.select(
+        F.explode(F.array(F.lit("merged"), F.lit("direct"))).alias("scope"),
+        F.col("ndv").alias("ndv_exact"),
+    )
+    exact = ex_t.unionByName(ex_md)
+    e_fix = F.when(
+        (F.col("e_raw") <= F.lit(640.0)) & (F.col("n_zero") > 0),
+        F.lit(256.0) * F.log(F.lit(256.0) / F.col("n_zero")),
+    ).otherwise(F.col("e_raw"))
+    return est.join(exact, "scope").select(
+        "scope",
+        F.col("n_zero").cast("long").alias("n_zero_registers"),
+        F.round(e_fix, 6).alias("ndv_est"),
+        F.col("ndv_exact").cast("long").alias("ndv_exact"),
+    )
+
+
+def _hll_merge_oracle() -> str:
+    def cascade(src_sql: str) -> str:
+        return f"""
+        SELECT scope, idx, max(53 - bit_count(
+            w | (w >> 1) | (w >> 2) | (w >> 4) | (w >> 8) | (w >> 16) | (w >> 32)
+        )) AS m_j
+        FROM (
+            SELECT scope, h >> 52 AS idx, h & 4503599627370495 AS w FROM ({src_sql})
+        ) GROUP BY scope, idx
+        """
+
+    # NOTE: the fill cascade above is equivalent to the sequential
+    # shift-or chain: OR-ing all shifted copies of the already-filled
+    # word saturates every bit below the highest set bit.
+    per_type_src = (
+        "SELECT DISTINCT event_type AS scope, "
+        + H.dd_md5_long("user_id::VARCHAR")
+        + " AS h FROM events"
+    )
+    direct_src = (
+        "SELECT DISTINCT 'direct' AS scope, "
+        + H.dd_md5_long("user_id::VARCHAR")
+        + " AS h FROM events"
+    )
+    return f"""
+    WITH per_type AS ({cascade(per_type_src)}),
+    merged AS (
+        SELECT 'merged' AS scope, idx, max(m_j) AS m_j FROM per_type GROUP BY idx
+    ),
+    direct AS ({cascade(direct_src)}),
+    regs AS (
+        SELECT * FROM per_type UNION ALL SELECT * FROM merged
+        UNION ALL SELECT * FROM direct
+    ), agg AS (
+        SELECT scope, count(*) AS n_present,
+               sum(1::BIGINT << (53 - m_j)) AS sum_scaled
+        FROM regs GROUP BY scope
+    ), est AS (
+        SELECT scope, 256 - n_present AS n_zero,
+               (0.7213 / (1 + 1.079 / 256)) * 65536.0 * 9007199254740992.0
+                   / (sum_scaled + (256 - n_present) * 9007199254740992) AS e_raw
+        FROM agg
+    ), ex AS (
+        SELECT event_type AS scope, count(DISTINCT user_id) AS ndv_exact
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'merged', count(DISTINCT user_id) FROM events
+        UNION ALL
+        SELECT 'direct', count(DISTINCT user_id) FROM events
+    )
+    SELECT est.scope,
+           CAST(n_zero AS BIGINT) AS n_zero_registers,
+           round(CASE WHEN e_raw <= 640.0 AND n_zero > 0
+                      THEN 256.0 * ln(256.0 / n_zero) ELSE e_raw END, 6) AS ndv_est,
+           CAST(ndv_exact AS BIGINT) AS ndv_exact
+    FROM est JOIN ex ON est.scope = ex.scope
+    """
+
+
+ORACLES["hll_merge_rollup"] = _hll_merge_oracle()
