@@ -334,6 +334,9 @@ EXTRA = [
     "ood_mahalanobis",
     "retention_halflife_fit",
     "hll_merge_rollup",
+    "growth_accounting",
+    "ltr_pair_gen",
+    "prefix_autocomplete",
 ]
 
 

@@ -19862,3 +19862,248 @@ def _hll_merge_oracle() -> str:
 
 
 ORACLES["hll_merge_rollup"] = _hll_merge_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting + LTR pairs + autocomplete wave (r5 cont.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "growth_accounting",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+        FROM events
+    ), mx AS (SELECT max(day) AS maxd FROM ud),
+    w AS (
+        SELECT user_id, day,
+               lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+               lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+        FROM ud
+    ), status AS (
+        SELECT day,
+               CASE WHEN prev IS NULL THEN 'new'
+                    WHEN prev = day - 1 THEN 'retained'
+                    ELSE 'resurrected' END AS st
+        FROM w
+    ), per AS (
+        SELECT day,
+               CAST(count(*) AS BIGINT) AS dau,
+               CAST(sum(CASE WHEN st = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+               CAST(sum(CASE WHEN st = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+               CAST(sum(CASE WHEN st = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+        FROM status GROUP BY day
+    ), churn AS (
+        SELECT day + 1 AS day, CAST(count(*) AS BIGINT) AS churned
+        FROM w, mx
+        WHERE (nxt IS NULL OR nxt > day + 1) AND day + 1 <= mx.maxd
+        GROUP BY day + 1
+    )
+    SELECT CAST(p.day AS BIGINT) AS day, p.dau, p.new_users, p.retained,
+           p.resurrected, CAST(coalesce(c.churned, 0) AS BIGINT) AS churned
+    FROM per p LEFT JOIN churn c ON p.day = c.day
+    """,
+)
+def growth_accounting_q(spark, sf_dir):
+    """Growth accounting (the DAU decomposition identity every growth
+    team reports: DAU(t) = new + retained + resurrected, and net
+    growth = new + resurrected − churned — which of the three is
+    moving is the difference between a launch working and a leaky
+    bucket): one DISTINCT (user, day) pass, then lag/lead on the SAME
+    user window classify every active day (first-ever / consecutive /
+    gap-return) and locate each churn event at its day+1; two
+    map-side-combinable day rollups merge on integer day keys. The
+    conservation identity is hash-checked by construction and
+    invariant-tested."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.expr("ts_ns div 86400000000000").alias("day")
+    ).distinct()
+    mx = ud.agg(F.max("day").alias("maxd"))
+    wu = Window.partitionBy("user_id").orderBy("day")
+    w = ud.select(
+        "user_id",
+        "day",
+        F.lag("day").over(wu).alias("prev"),
+        F.lead("day").over(wu).alias("nxt"),
+    )
+    st = F.when(F.col("prev").isNull(), "new").when(
+        F.col("prev") == F.col("day") - 1, "retained"
+    ).otherwise("resurrected")
+    per = w.groupBy("day").agg(
+        F.count("*").cast("long").alias("dau"),
+        F.sum((st == "new").cast("int")).cast("long").alias("new_users"),
+        F.sum((st == "retained").cast("int")).cast("long").alias("retained"),
+        F.sum((st == "resurrected").cast("int")).cast("long").alias("resurrected"),
+    )
+    churn = (
+        w.crossJoin(F.broadcast(mx))
+        .filter(
+            (F.col("nxt").isNull() | (F.col("nxt") > F.col("day") + 1))
+            & (F.col("day") + 1 <= F.col("maxd"))
+        )
+        .groupBy((F.col("day") + 1).alias("day"))
+        .agg(F.count("*").cast("long").alias("churned"))
+    )
+    return per.join(churn, "day", "left").select(
+        F.col("day").cast("long").alias("day"),
+        "dau",
+        "new_users",
+        "retained",
+        "resurrected",
+        F.coalesce("churned", F.lit(0)).cast("long").alias("churned"),
+    )
+
+
+@query(
+    "ltr_pair_gen",
+    oracle=f"""
+    WITH tot AS (SELECT count(*) AS t FROM embeddings),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qv,
+               (vec_id * 7 + 3) % (SELECT t FROM tot) AS expected_id
+        FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+        SELECT q.query_id, q.expected_id, e.vec_id,
+               {_dd_cosine('e.embedding', 'q.qv')} AS score
+        FROM embeddings e, q
+    ), ranked AS (
+        SELECT query_id, expected_id, vec_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id) AS rank
+        FROM scored
+    ), top AS (SELECT * FROM ranked WHERE rank <= 10),
+    pos AS (
+        SELECT query_id, vec_id AS pos_id, rank AS pos_rank, score AS pos_score
+        FROM top WHERE vec_id = expected_id
+    )
+    SELECT p.query_id, p.pos_id,
+           t.vec_id AS neg_id,
+           CAST(p.pos_rank AS BIGINT) AS pos_rank,
+           CAST(t.rank AS BIGINT) AS neg_rank,
+           round(p.pos_score - t.score, 6) AS score_margin
+    FROM pos p JOIN top t
+      ON t.query_id = p.query_id AND t.rank < p.pos_rank
+    """,
+)
+def ltr_pair_gen_q(spark, sf_dir):
+    """Learning-to-rank pair extraction (Joachims KDD'02 skip-above:
+    when the relevant doc sits at rank r, every doc ranked ABOVE it
+    was seen and skipped — each (skipped, relevant) pair is a
+    preference judgment, the training data behind rerank_two_stage's
+    swap point): batch retrieval reuses topk_batch's broadcast-query
+    partial-top-k plan, the positive is the expected doc when it
+    lands in the top-10, negatives are exactly the docs out-ranking
+    it, score_margin the regression target. Pair volume is
+    k-bounded per query (≤ k−1 pairs), never corpus-shaped."""
+    from .operators import knn as knn_ops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    total_df = emb.select(F.count("*").alias("_t"))
+    queries = (
+        emb.filter(F.col("vec_id") < 10)
+        .crossJoin(F.broadcast(total_df))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            ((F.col("vec_id") * 7 + 3) % F.col("_t")).alias("expected_id"),
+        )
+    )
+    top = knn_ops.topk_batch(emb, queries, k=10).join(
+        F.broadcast(queries.select("query_id", "expected_id")), "query_id"
+    )
+    pos = top.filter(F.col("vec_id") == F.col("expected_id")).select(
+        "query_id",
+        F.col("vec_id").alias("pos_id"),
+        F.col("rank").alias("pos_rank"),
+        F.col("score").alias("pos_score"),
+    )
+    return (
+        top.join(F.broadcast(pos), "query_id")
+        .filter(F.col("rank") < F.col("pos_rank"))
+        .select(
+            "query_id",
+            "pos_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("pos_rank").cast("long").alias("pos_rank"),
+            F.col("rank").cast("long").alias("neg_rank"),
+            F.round(F.col("pos_score") - F.col("score"), 6).alias("score_margin"),
+        )
+    )
+
+
+_AUTOCOMPLETE_PREFIXES = ("sp", "ba", "fi", "wi", "s")
+
+
+@query(
+    "prefix_autocomplete",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ), freq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS freq
+        FROM tok WHERE term <> '' GROUP BY term
+    ), edge AS (
+        SELECT term, freq, substr(term, 1, i) AS prefix
+        FROM freq, range(1, 5) t(i)
+        WHERE length(term) >= i
+    ), q AS (
+        SELECT prefix FROM (VALUES {", ".join(f"('{p}')" for p in _AUTOCOMPLETE_PREFIXES)}) AS t(prefix)
+    ), ranked AS (
+        SELECT q.prefix, e.term, e.freq,
+               row_number() OVER (PARTITION BY q.prefix
+                                  ORDER BY e.freq DESC, e.term) AS rank
+        FROM q JOIN edge e ON e.prefix = q.prefix
+    )
+    SELECT prefix, CAST(rank AS BIGINT) AS rank, term, freq
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def prefix_autocomplete_q(spark, sf_dir):
+    """Prefix autocomplete via edge n-grams (Elasticsearch's
+    edge_ngram / search-as-you-type index): the corpus collapses to
+    its frequency-weighted VOCABULARY first (everything downstream
+    vocabulary-sized), terms explode into 1-4 char edge prefixes (the
+    materialization an autocomplete index stores), live-typed
+    prefixes join by exact key, completions rank by corpus frequency
+    with term tie-break via the agg-based top-k. At 100 TB the edge
+    table is the build artifact — query cost is a point lookup per
+    keystroke, independent of corpus size."""
+    from .functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    freq = (
+        docs.select(F.explode(X.tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    edge = freq.select(
+        "term",
+        "freq",
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(1, 4), i -> substr(term, 1, i)), "
+                "p -> length(term) >= length(p))"
+            )
+        ).alias("prefix"),
+    )
+    q = spark.createDataFrame(
+        [(p,) for p in _AUTOCOMPLETE_PREFIXES], "prefix string"
+    )
+    pairs = edge.join(F.broadcast(q), "prefix")
+    cand = F.struct(
+        (-F.col("freq")).alias("_o"), F.col("term"), F.col("freq").alias("_f")
+    )
+    top = (
+        pairs.groupBy("prefix")
+        .agg(F.slice(F.sort_array(F.collect_list(cand)), 1, 5).alias("top"))
+        .select("prefix", F.posexplode("top").alias("pos", "p"))
+    )
+    return top.select(
+        "prefix",
+        (F.col("pos") + 1).cast("long").alias("rank"),
+        F.col("p.term").alias("term"),
+        F.col("p._f").alias("freq"),
+    )

@@ -336,3 +336,16 @@ def test_markov_attribution_monotone(spark, sf_dir):
     shares = [r["attribution_share"] for r in rows]
     if all(s is not None for s in shares):
         assert abs(sum(shares) - 1.0) < 1e-4
+
+
+def test_growth_accounting_conservation(spark, sf_dir):
+    """DAU(t) == new + retained + resurrected on every day, and total
+    new-user mass equals the distinct user count."""
+    from rag_system_vector_db_spark.registry import QUERIES
+    from rag_system_vector_db_spark.sources import load_table
+
+    rows = QUERIES["growth_accounting"](spark, sf_dir).collect()
+    for r in rows:
+        assert r["dau"] == r["new_users"] + r["retained"] + r["resurrected"], r
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(r["new_users"] for r in rows) == n_users
