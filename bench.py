@@ -337,6 +337,8 @@ EXTRA = [
     "growth_accounting",
     "ltr_pair_gen",
     "prefix_autocomplete",
+    "ucb_bandit_replay",
+    "propensity_matching_att",
 ]
 
 

@@ -20107,3 +20107,328 @@ def prefix_autocomplete_q(spark, sf_dir):
         F.col("p.term").alias("term"),
         F.col("p._f").alias("freq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision-systems wave (r5 cont.): UCB bandit replay, propensity matching
+# ---------------------------------------------------------------------------
+
+_UCB_ARMS = ("click", "error", "purchase", "signup", "view")  # alpha order
+_UCB_ROUNDS = 30
+
+
+def _ucb_oracle() -> str:
+    arms = _UCB_ARMS
+    short = {a: a[0] + ("2" if a == "signup" else "") for a in arms}
+    zero = ", ".join(
+        f"CAST(0 AS BIGINT) AS n_{short[a]}, CAST(0 AS BIGINT) AS s_{short[a]}"
+        for a in arms
+    )
+    ucb = {
+        a: (
+            f"(CAST(it.s_{short[a]} AS DOUBLE) / it.n_{short[a]} / 1e6"
+            f" + sqrt(2 * ln(CAST(it.t AS DOUBLE)) / it.n_{short[a]}))"
+        )
+        for a in arms
+    }
+    maxu = "greatest(" + ", ".join(ucb[a] for a in arms) + ")"
+    pick_ucb = "CASE " + " ".join(
+        f"WHEN {ucb[a]} = {maxu} THEN '{a}'" for a in arms
+    ) + " END"
+    init_pick = "CASE it.t + 1 " + " ".join(
+        f"WHEN {i + 1} THEN '{a}'" for i, a in enumerate(arms)
+    ) + " END"
+    choice = f"CASE WHEN it.t + 1 <= {len(arms)} THEN {init_pick} ELSE {pick_ucb} END"
+    arm_arr = "CASE ch.arm " + " ".join(
+        f"WHEN '{a}' THEN rrow.rs_{short[a]}" for a in arms
+    ) + " END"
+    best_arr = "CASE best.arm " + " ".join(
+        f"WHEN '{a}' THEN rrow.rs_{short[a]}" for a in arms
+    ) + " END"
+    upd = ", ".join(
+        f"it.n_{short[a]} + CASE WHEN ch.arm = '{a}' THEN 1 ELSE 0 END AS n_{short[a]}, "
+        f"it.s_{short[a]} + CASE WHEN ch.arm = '{a}' THEN ch.r_u ELSE 0 END AS s_{short[a]}"
+        for a in arms
+    )
+    rrow_cols = ", ".join(
+        f"max(CASE WHEN arm = '{a}' THEN rs END) AS rs_{short[a]}" for a in arms
+    )
+    return f"""
+    WITH RECURSIVE rt AS (
+        SELECT event_type AS arm, epoch_ns(ts) // 86400000000000
+               - (SELECT min(epoch_ns(ts) // 86400000000000) FROM events) AS day,
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                 // CAST(count(*) AS BIGINT) AS r_u
+        FROM events GROUP BY 1, 2
+    ), spine AS (
+        SELECT a.arm, d.day
+        FROM (SELECT unnest({list(arms)!r}) AS arm) a, range({_UCB_ROUNDS}) d(day)
+    ), filled AS (
+        SELECT s.arm, s.day, coalesce(rt.r_u, 0) AS r_u
+        FROM spine s LEFT JOIN rt ON rt.arm = s.arm AND rt.day = s.day
+    ), rarr AS (
+        SELECT arm, list(r_u ORDER BY day) AS rs FROM filled GROUP BY arm
+    ), rrow AS (SELECT {rrow_cols} FROM rarr),
+    it AS (
+        SELECT 0 AS t, NULL::VARCHAR AS chosen, CAST(0 AS BIGINT) AS reward_u, {zero}
+        UNION ALL
+        SELECT it.t + 1, ch.arm, ({arm_arr})[it.t + 1], {upd}
+        FROM it, rrow, LATERAL (
+            SELECT {choice} AS arm,
+                   ({arm_arr.replace('ch.arm', choice)})[it.t + 1] AS r_u
+        ) ch
+        WHERE it.t < {_UCB_ROUNDS}
+    ), best AS (
+        SELECT arm FROM (
+            SELECT arm, CAST(list_sum(rs) AS BIGINT) AS tot FROM rarr
+        ) ORDER BY tot DESC, arm LIMIT 1
+    )
+    SELECT CAST(it.t AS BIGINT) AS round, it.chosen AS arm,
+           round(it.reward_u / 1e6, 6) AS reward,
+           round(CAST(sum(({best_arr})[it.t] - it.reward_u)
+                      OVER (ORDER BY it.t) AS DOUBLE) / 1e6, 6) AS cum_regret
+    FROM it, best, rrow
+    WHERE it.t >= 1
+    """
+
+
+@query("ucb_bandit_replay", oracle=None)  # oracle attached below
+def ucb_bandit_replay_q(spark, sf_dir):
+    """UCB1 bandit offline replay (Auer '02 — the
+    explore/exploit policy an adaptive experimentation platform runs
+    where a fixed A/B split would keep sending traffic to a losing
+    arm): arms = event types, rounds = the 30 days, reward(arm, day)
+    = that cell's EXACT integer micro-unit mean value (sum div n —
+    no float mean), each arm played once then UCB_i = mean_i +
+    √(2·ln t / n_i) with alphabetical tie-break. The replay is
+    inherently sequential, so it runs driver-side over the
+    150-row (arm × day) reward table (bounded-fit posture) and the
+    DuckDB RECURSIVE CTE replays all 30 decisions — state updates
+    are exact integers, the UCB comparison the single double
+    expression, so every pull, reward and the regret-vs-best-fixed-
+    arm ladder hash-check. The arm×day rollup is the only
+    data-proportional work."""
+    ev = load_table(spark, sf_dir, "events")
+    mind = ev.agg(F.min(F.expr("ts_ns div 86400000000000")).alias("d0"))
+    rt_rows = (
+        ev.crossJoin(F.broadcast(mind))
+        .groupBy(
+            F.col("event_type").alias("arm"),
+            (F.expr("ts_ns div 86400000000000") - F.col("d0")).alias("day"),
+        )
+        .agg(
+            (
+                F.sum(F.expr("cast(round(value * 1000000) as bigint)"))
+                .cast("long")
+                / F.count("*").cast("long")
+            )
+            .cast("long")
+            .alias("r_u")
+        )
+        .collect()
+    )
+    rt = {(r["arm"], r["day"]): r["r_u"] for r in rt_rows}
+    n = {a: 0 for a in _UCB_ARMS}
+    s = {a: 0 for a in _UCB_ARMS}
+    steps = []
+    for t in range(1, _UCB_ROUNDS + 1):
+        if t <= len(_UCB_ARMS):
+            arm = _UCB_ARMS[t - 1]
+        else:
+            tprev = t - 1
+            best_u, arm = None, None
+            us = {
+                a: s[a] / n[a] / 1e6 + _math.sqrt(2 * _math.log(float(tprev)) / n[a])
+                for a in _UCB_ARMS
+            }
+            mx = max(us.values())
+            arm = next(a for a in _UCB_ARMS if us[a] == mx)
+        r = rt.get((arm, t - 1), 0)
+        n[arm] += 1
+        s[arm] += r
+        steps.append((t, arm, r))
+    totals = {
+        a: sum(rt.get((a, d), 0) for d in range(_UCB_ROUNDS)) for a in _UCB_ARMS
+    }
+    best_arm = sorted(_UCB_ARMS, key=lambda a: (-totals[a], a))[0]
+    out, cum = [], 0
+    for t, arm, r in steps:
+        cum += rt.get((best_arm, t - 1), 0) - r
+        out.append((t, arm, r / 1e6, cum / 1e6))
+    return spark.createDataFrame(
+        out, "round long, arm string, reward double, cum_regret double"
+    )
+
+
+ORACLES["ucb_bandit_replay"] = _ucb_oracle()
+
+
+@query(
+    "propensity_matching_att",
+    oracle="""
+    WITH u0 AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_ev,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 1000000) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y_u
+        FROM events GROUP BY user_id
+    ), med AS (
+        SELECT ns[CAST((n + 1) // 2 AS INTEGER)] AS med FROM (
+            SELECT list_sort(list(n_ev)) AS ns, count(*) AS n FROM u0)
+    ), u AS (
+        SELECT u0.*, CASE WHEN u0.n_ev > med.med THEN 1 ELSE 0 END AS treated
+        FROM u0, med
+    ), ps AS (
+        SELECT user_id, treated, y_u,
+               1.0 / (1.0 + exp(-(-1.0 + 0.3 * ln(1.0 + n_ev)
+                                  + 0.8 * (CAST(n_click AS DOUBLE) / n_ev)))) AS p
+        FROM u
+    ), tagged AS (
+        SELECT user_id, treated, y_u, p,
+               last_value(CASE WHEN treated = 0 THEN user_id END IGNORE NULLS)
+                   OVER (ORDER BY p, treated, user_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_user,
+               last_value(CASE WHEN treated = 0 THEN y_u END IGNORE NULLS)
+                   OVER (ORDER BY p, treated, user_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_y,
+               last_value(CASE WHEN treated = 0 THEN p END IGNORE NULLS)
+                   OVER (ORDER BY p, treated, user_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_p
+        FROM ps
+    ), matched AS (
+        SELECT * FROM tagged WHERE treated = 1 AND m_user IS NOT NULL
+    ), agg AS (
+        SELECT CAST((SELECT count(*) FROM ps WHERE treated = 1) AS BIGINT) AS n_treated,
+               CAST(count(*) AS BIGINT) AS n_matched,
+               CAST(sum(y_u - m_y) AS BIGINT) AS att_num_u,
+               CAST(sum(CAST(round(abs(p - m_p) * 1000000) AS BIGINT)) AS BIGINT) AS gap_u
+        FROM matched
+    ), naive AS (
+        SELECT CAST(sum(CASE WHEN treated = 1 THEN y_u ELSE 0 END) AS BIGINT) AS yt,
+               CAST(sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+               CAST(sum(CASE WHEN treated = 0 THEN y_u ELSE 0 END) AS BIGINT) AS yc,
+               CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc
+        FROM ps
+    )
+    SELECT a.n_treated, a.n_matched,
+           round(CAST(a.att_num_u AS DOUBLE) / a.n_matched / 1e6, 6) AS att,
+           round(CAST(n.yt AS DOUBLE) / n.nt / 1e6
+                 - CAST(n.yc AS DOUBLE) / n.nc / 1e6, 6) AS naive_diff,
+           round(CAST(a.gap_u AS DOUBLE) / a.n_matched / 1e6, 6) AS mean_ps_gap
+    FROM agg a, naive n
+    """,
+)
+def propensity_matching_att_q(spark, sf_dir):
+    """Propensity-score matching ATT (Rosenbaum & Rubin '83 — the
+    observational-causal estimate when you can't randomize: compare
+    each treated user to a control with a similar propensity to be
+    treated, not to the control average): treatment = signed-up
+    users, outcome = purchase spend in exact micro-units, propensity
+    from a literal-weight logistic over activity features (documented
+    swap point for a trained model — the quality_classifier posture).
+    Matching is NOT a pairwise search: controls and treated UNION-TAG
+    onto one propensity ordering and a running last(control) window
+    hands every treated user its nearest preceding control in ONE
+    pass (greedy with replacement, deterministic ties) — the as-of
+    recurrence on the propensity axis instead of time. ATT and the
+    balance readout (mean propensity gap) come from exact integer
+    sums; naive_diff shows the selection bias matching removed."""
+    ev = load_table(spark, sf_dir, "events")
+    u0 = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_ev"),
+        F.sum((F.col("event_type") == "click").cast("int"))
+        .cast("long")
+        .alias("n_click"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("cast(round(value * 1000000) as bigint)"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y_u"),
+    )
+    # treatment = above-median activity (exact sorted-selection median
+    # as a broadcast scalar; approx_percentile is the 100 TB swap-in)
+    med = u0.agg(
+        F.element_at(
+            F.sort_array(F.collect_list("n_ev")),
+            F.expr("cast((count(*) + 1) div 2 as int)"),
+        ).alias("med")
+    )
+    u = u0.crossJoin(F.broadcast(med)).select(
+        "user_id",
+        "n_ev",
+        "n_click",
+        "y_u",
+        (F.col("n_ev") > F.col("med")).cast("long").alias("treated"),
+    )
+    p = 1.0 / (
+        1.0
+        + F.exp(
+            -(
+                -1.0
+                + 0.3 * F.log(1.0 + F.col("n_ev"))
+                + 0.8 * (F.col("n_click").cast("double") / F.col("n_ev"))
+            )
+        )
+    )
+    ps = u.select("user_id", "treated", "y_u", p.alias("p"))
+    wm = Window.orderBy("p", "treated", "user_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tagged = ps.select(
+        "user_id",
+        "treated",
+        "y_u",
+        "p",
+        F.last(F.when(F.col("treated") == 0, F.col("user_id")), ignorenulls=True)
+        .over(wm)
+        .alias("m_user"),
+        F.last(F.when(F.col("treated") == 0, F.col("y_u")), ignorenulls=True)
+        .over(wm)
+        .alias("m_y"),
+        F.last(F.when(F.col("treated") == 0, F.col("p")), ignorenulls=True)
+        .over(wm)
+        .alias("m_p"),
+    )
+    matched = tagged.filter((F.col("treated") == 1) & F.col("m_user").isNotNull())
+    nt_df = ps.agg(
+        F.sum(F.when(F.col("treated") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_treated"),
+        F.sum(F.when(F.col("treated") == 1, F.col("y_u")).otherwise(0))
+        .cast("long")
+        .alias("yt"),
+        F.sum(F.when(F.col("treated") == 1, 1).otherwise(0)).cast("long").alias("nt"),
+        F.sum(F.when(F.col("treated") == 0, F.col("y_u")).otherwise(0))
+        .cast("long")
+        .alias("yc"),
+        F.sum(F.when(F.col("treated") == 0, 1).otherwise(0)).cast("long").alias("nc"),
+    )
+    agg = matched.agg(
+        F.count("*").cast("long").alias("n_matched"),
+        F.sum(F.col("y_u") - F.col("m_y")).cast("long").alias("att_num_u"),
+        F.sum(
+            F.expr("cast(round(abs(p - m_p) * 1000000) as bigint)")
+        )
+        .cast("long")
+        .alias("gap_u"),
+    )
+    return agg.crossJoin(F.broadcast(nt_df)).select(
+        "n_treated",
+        "n_matched",
+        F.round(F.col("att_num_u").cast("double") / F.col("n_matched") / 1e6, 6).alias(
+            "att"
+        ),
+        F.round(
+            F.col("yt").cast("double") / F.col("nt") / 1e6
+            - F.col("yc").cast("double") / F.col("nc") / 1e6,
+            6,
+        ).alias("naive_diff"),
+        F.round(F.col("gap_u").cast("double") / F.col("n_matched") / 1e6, 6).alias(
+            "mean_ps_gap"
+        ),
+    )
