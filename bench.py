@@ -339,6 +339,9 @@ EXTRA = [
     "prefix_autocomplete",
     "ucb_bandit_replay",
     "propensity_matching_att",
+    "gmm_em_round",
+    "mediation_analysis",
+    "graph_modularity",
 ]
 
 

@@ -20432,3 +20432,313 @@ def propensity_matching_att_q(spark, sf_dir):
             "mean_ps_gap"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# In-engine learning + causal + graph-quality wave (r5 cont.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "gmm_em_round",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(round(value * 1000000) AS BIGINT) AS v_u FROM events
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               list_sort(list(v_u)) AS vs,
+               CAST(sum(CAST(v_u AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sv,
+               CAST(sum(CAST(v_u AS DECIMAL(38,0)) * v_u) AS DECIMAL(38,0)) AS svv
+        FROM e
+    ), init AS (
+        SELECT n,
+               vs[CAST((n + 3) // 4 AS INTEGER)] AS mu1,
+               vs[CAST((3 * n + 3) // 4 AS INTEGER)] AS mu2,
+               (CAST(svv AS DOUBLE) / n)
+                 - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n) AS sig2
+        FROM s
+    ), r AS (
+        SELECT e.v_u, i.mu1, i.mu2, i.sig2, i.n,
+               CAST(round(1000000.0 / (1.0 + exp(
+                   (CAST(e.v_u - i.mu1 AS DOUBLE) * (e.v_u - i.mu1)
+                    - CAST(e.v_u - i.mu2 AS DOUBLE) * (e.v_u - i.mu2))
+                   / (2.0 * i.sig2)))) AS BIGINT) AS r_u
+        FROM e, init i
+    ), m AS (
+        SELECT any_value(mu1) AS mu1, any_value(mu2) AS mu2,
+               any_value(sig2) AS sig2, any_value(n) AS n,
+               CAST(sum(CAST(r_u AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sr,
+               CAST(sum(CAST(r_u AS DECIMAL(38,0)) * v_u) AS DECIMAL(38,0)) AS srv,
+               CAST(sum(CAST(1000000 - r_u AS DECIMAL(38,0)) * v_u) AS DECIMAL(38,0)) AS scv,
+               CAST(sum(CAST(1000000 - r_u AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sc
+        FROM r
+    )
+    SELECT round(mu1 / 1e6, 6) AS mu1_init,
+           round(mu2 / 1e6, 6) AS mu2_init,
+           round(sig2 / 1e12, 6) AS sigma2_init,
+           round(CAST(srv AS DOUBLE) / CAST(sr AS DOUBLE) / 1e6, 6) AS mu1_next,
+           round(CAST(scv AS DOUBLE) / CAST(sc AS DOUBLE) / 1e6, 6) AS mu2_next,
+           round(CAST(sr AS DOUBLE) / n / 1e6, 6) AS pi1_next
+    FROM m
+    """,
+)
+def gmm_em_round_q(spark, sf_dir):
+    """One EM round of a 2-component 1-D Gaussian mixture on event
+    values (in-engine learning beside boosting_stump_round — the
+    bimodality probe behind 'is this metric one population or two?'):
+    deterministic init (μ = exact-selection quartiles, shared σ² from
+    exact DECIMAL moments, π = ½), E-step responsibilities collapse
+    to ONE sigmoid per row under the shared-σ identity
+    r = 1/(1+exp((d₁²−d₂²)/2σ²)) and quantize to micro-units, M-step
+    means/weights from DECIMAL-exact weighted sums — so the whole
+    round is order-free and hash-checks. One scan + one aggregate
+    per step; further rounds repeat the same shape (the
+    prove-the-iteration posture, one round deep here)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(F.expr("cast(round(value * 1000000) as bigint)").alias("v_u"))
+    s = e.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sort_array(F.collect_list("v_u")).alias("vs"),
+        F.sum(F.col("v_u").cast("decimal(38,0)")).alias("sv"),
+        F.sum(F.col("v_u").cast("decimal(38,0)") * F.col("v_u")).alias("svv"),
+    )
+    init = s.select(
+        "n",
+        F.element_at("vs", F.expr("cast((n + 3) div 4 as int)")).alias("mu1"),
+        F.element_at("vs", F.expr("cast((3 * n + 3) div 4 as int)")).alias("mu2"),
+        (
+            F.col("svv").cast("double") / F.col("n")
+            - (F.col("sv").cast("double") / F.col("n"))
+            * (F.col("sv").cast("double") / F.col("n"))
+        ).alias("sig2"),
+    )
+    r = e.crossJoin(F.broadcast(init)).select(
+        "v_u",
+        "mu1",
+        "mu2",
+        "sig2",
+        "n",
+        F.round(
+            1000000.0
+            / (
+                1.0
+                + F.exp(
+                    (
+                        (F.col("v_u") - F.col("mu1")).cast("double")
+                        * (F.col("v_u") - F.col("mu1"))
+                        - (F.col("v_u") - F.col("mu2")).cast("double")
+                        * (F.col("v_u") - F.col("mu2"))
+                    )
+                    / (2.0 * F.col("sig2"))
+                )
+            )
+        )
+        .cast("long")
+        .alias("r_u"),
+    )
+    m = r.agg(
+        F.first("mu1").alias("mu1"),
+        F.first("mu2").alias("mu2"),
+        F.first("sig2").alias("sig2"),
+        F.first("n").alias("n"),
+        F.sum(F.col("r_u").cast("decimal(38,0)")).alias("sr"),
+        F.sum(F.col("r_u").cast("decimal(38,0)") * F.col("v_u")).alias("srv"),
+        F.sum((F.lit(1000000) - F.col("r_u")).cast("decimal(38,0)") * F.col("v_u")).alias(
+            "scv"
+        ),
+        F.sum((F.lit(1000000) - F.col("r_u")).cast("decimal(38,0)")).alias("sc"),
+    )
+    return m.select(
+        F.round(F.col("mu1") / 1e6, 6).alias("mu1_init"),
+        F.round(F.col("mu2") / 1e6, 6).alias("mu2_init"),
+        F.round(F.col("sig2") / 1e12, 6).alias("sigma2_init"),
+        F.round(
+            F.col("srv").cast("double") / F.col("sr").cast("double") / 1e6, 6
+        ).alias("mu1_next"),
+        F.round(
+            F.col("scv").cast("double") / F.col("sc").cast("double") / 1e6, 6
+        ).alias("mu2_next"),
+        F.round(F.col("sr").cast("double") / F.col("n") / 1e6, 6).alias("pi1_next"),
+    )
+
+
+@query(
+    "mediation_analysis",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(round(l_discount * 100) AS BIGINT) AS x,
+               CAST(round(l_quantity) AS BIGINT) AS md,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS y
+        FROM lineitem
+    ), mo AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+               CAST(sum(CAST(md AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sm,
+               CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+               CAST(sum(CAST(md AS DECIMAL(38,0)) * md) AS DECIMAL(38,0)) AS smm,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * md) AS DECIMAL(38,0)) AS sxm,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+               CAST(sum(CAST(md AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS smy
+        FROM d
+    ), c AS (
+        SELECT n,
+               CAST(n * sxx - sx * sx AS DOUBLE) AS cxx,
+               CAST(n * smm - sm * sm AS DOUBLE) AS cmm,
+               CAST(n * sxm - sx * sm AS DOUBLE) AS cxm,
+               CAST(n * sxy - sx * sy AS DOUBLE) AS cxy,
+               CAST(n * smy - sm * sy AS DOUBLE) AS cmy
+        FROM mo
+    )
+    SELECT n,
+           round(cxy / cxx / 100, 6) AS c_total,
+           round(cxm / cxx, 6) AS a_path,
+           round((cxx * cmy - cxm * cxy) / (cxx * cmm - cxm * cxm) / 100, 6) AS b_path,
+           round((cmm * cxy - cxm * cmy) / (cxx * cmm - cxm * cxm) / 100, 6) AS c_direct,
+           round((cxm / cxx) * ((cxx * cmy - cxm * cxy) / (cxx * cmm - cxm * cxm)) / 100, 6)
+               AS indirect,
+           round((cxm / cxx) * ((cxx * cmy - cxm * cxy) / (cxx * cmm - cxm * cxm))
+                 / (cxy / cxx), 6) AS prop_mediated
+    FROM c
+    """,
+)
+def mediation_analysis_q(spark, sf_dir):
+    """Baron-Kenny mediation decomposition (does discount move revenue
+    DIRECTLY or through quantity? — the causal-pathway accounting
+    behind pricing decisions): three OLS fits (y~x, m~x, y~x+m) all
+    derived from ONE aggregate's nine DECIMAL-exact moments — the
+    two-predictor fit via Cramer's rule on the centered 2×2 system
+    (quadratic_trend_fit's recipe), so no solver and no second scan;
+    total = direct + indirect reconciles by construction. Units:
+    discount in integer percent, revenue in cents, coefficients
+    emitted per-percent in currency units."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.expr("cast(round(l_discount * 100) as bigint)").alias("x"),
+        F.expr("cast(round(l_quantity) as bigint)").alias("md"),
+        F.expr(
+            "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"
+        ).alias("y"),
+    )
+    mo = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("md").cast("decimal(38,0)")).alias("sm"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("md").cast("decimal(38,0)") * F.col("md")).alias("smm"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("md")).alias("sxm"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("md").cast("decimal(38,0)") * F.col("y")).alias("smy"),
+    )
+    c = mo.select(
+        "n",
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double").alias("cxx"),
+        (F.col("n") * F.col("smm") - F.col("sm") * F.col("sm")).cast("double").alias("cmm"),
+        (F.col("n") * F.col("sxm") - F.col("sx") * F.col("sm")).cast("double").alias("cxm"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double").alias("cxy"),
+        (F.col("n") * F.col("smy") - F.col("sm") * F.col("sy")).cast("double").alias("cmy"),
+    )
+    det = F.col("cxx") * F.col("cmm") - F.col("cxm") * F.col("cxm")
+    b_path = (F.col("cxx") * F.col("cmy") - F.col("cxm") * F.col("cxy")) / det
+    return c.select(
+        "n",
+        F.round(F.col("cxy") / F.col("cxx") / 100, 6).alias("c_total"),
+        F.round(F.col("cxm") / F.col("cxx"), 6).alias("a_path"),
+        F.round(b_path / 100, 6).alias("b_path"),
+        F.round(
+            (F.col("cmm") * F.col("cxy") - F.col("cxm") * F.col("cmy")) / det / 100, 6
+        ).alias("c_direct"),
+        F.round((F.col("cxm") / F.col("cxx")) * b_path / 100, 6).alias("indirect"),
+        F.round(
+            (F.col("cxm") / F.col("cxx")) * b_path / (F.col("cxy") / F.col("cxx")), 6
+        ).alias("prop_mediated"),
+    )
+
+
+@query("graph_modularity", oracle=None)  # oracle attached below
+def graph_modularity_q(spark, sf_dir):
+    """Directed modularity of the LABEL partition on the kNN graph
+    (Newman '04 — does the graph 'see' the labels? high Q means
+    neighborhoods respect class structure, the go signal for
+    graph-propagated pseudo-labels and cluster-scoped dedup; Q≈0
+    means the labels are invisible to the geometry): edges from the
+    shared LSH-bounded build join id-keyed label lookups on both
+    endpoints, the mixing matrix is |labels|²-bounded, and
+    Q = Σ_c (e_cc·m − out_c·in_c) / m² keeps the whole numerator an
+    EXACT integer (one double division at emit). Companion number to
+    knn_graph_assortativity's degree correlation."""
+    edges = _knn_graph_edges(spark, sf_dir).select("src", "dst")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    lab = (
+        edges.join(
+            emb.select(F.col("vec_id").alias("src"), F.col("label").alias("sl")),
+            "src",
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("dst"), F.col("label").alias("dl")),
+            "dst",
+        )
+    )
+    mix = lab.groupBy("sl", "dl").agg(F.count("*").cast("long").alias("c"))
+    per = mix.groupBy("sl").agg(
+        F.sum("c").cast("long").alias("out_c"),
+        F.sum(F.when(F.col("sl") == F.col("dl"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("e_cc"),
+    )
+    incoming = mix.groupBy(F.col("dl").alias("sl")).agg(
+        F.sum("c").cast("long").alias("in_c")
+    )
+    j = per.join(incoming, "sl", "full_outer").select(
+        F.coalesce("e_cc", F.lit(0)).alias("e_cc"),
+        F.coalesce("out_c", F.lit(0)).alias("out_c"),
+        F.coalesce("in_c", F.lit(0)).alias("in_c"),
+    )
+    tot = mix.agg(F.sum("c").cast("long").alias("m"))
+    agg = j.agg(
+        F.count("*").cast("long").alias("n_labels"),
+        F.sum("e_cc").cast("long").alias("sum_ecc"),
+        F.sum(F.col("out_c") * F.col("in_c")).cast("long").alias("sum_oi"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("m").alias("m_edges"),
+        "n_labels",
+        F.round(
+            (F.col("sum_ecc") * F.col("m") - F.col("sum_oi")).cast("double")
+            / (F.col("m").cast("double") * F.col("m")),
+            6,
+        ).alias("modularity"),
+    )
+
+
+def _modularity_oracle() -> str:
+    base = _knn_graph_oracle().rsplit("SELECT src, dst", 1)[0]
+    return base + """, e AS (
+        SELECT src, dst FROM ranked WHERE rank <= 3
+    ), lab AS (
+        SELECT a.label AS sl, b.label AS dl, CAST(count(*) AS BIGINT) AS c
+        FROM e JOIN embeddings a ON a.vec_id = e.src
+               JOIN embeddings b ON b.vec_id = e.dst
+        GROUP BY 1, 2
+    ), per AS (
+        SELECT sl, CAST(sum(c) AS BIGINT) AS out_c,
+               CAST(sum(CASE WHEN sl = dl THEN c ELSE 0 END) AS BIGINT) AS e_cc
+        FROM lab GROUP BY sl
+    ), inc AS (
+        SELECT dl AS sl, CAST(sum(c) AS BIGINT) AS in_c FROM lab GROUP BY dl
+    ), j AS (
+        SELECT coalesce(p.e_cc, 0) AS e_cc, coalesce(p.out_c, 0) AS out_c,
+               coalesce(i.in_c, 0) AS in_c
+        FROM per p FULL OUTER JOIN inc i USING (sl)
+    ), tot AS (SELECT CAST(sum(c) AS BIGINT) AS m FROM lab)
+    SELECT tot.m AS m_edges,
+           CAST((SELECT count(*) FROM j) AS BIGINT) AS n_labels,
+           round(CAST((SELECT sum(e_cc) FROM j) * tot.m
+                      - (SELECT sum(out_c * in_c) FROM j) AS DOUBLE)
+                 / (CAST(tot.m AS DOUBLE) * tot.m), 6) AS modularity
+    FROM tot
+    """
+
+
+ORACLES["graph_modularity"] = _modularity_oracle()
