@@ -342,6 +342,8 @@ EXTRA = [
     "gmm_em_round",
     "mediation_analysis",
     "graph_modularity",
+    "rank_biased_overlap",
+    "sliding_window_hll",
 ]
 
 

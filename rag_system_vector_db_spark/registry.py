@@ -20742,3 +20742,267 @@ def _modularity_oracle() -> str:
 
 
 ORACLES["graph_modularity"] = _modularity_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Ranking agreement + sliding sketch wave (r5 cont.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rank_biased_overlap",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+    toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), qtoks AS (
+        SELECT * FROM toks WHERE term IN ('spark', 'join', 'fast')
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
+        FROM qtoks GROUP BY doc_id, term
+    ), stats AS (
+        SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl FROM documents
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), bm25 AS (
+        SELECT tf.doc_id,
+               sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))) AS bm25
+        FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    ), kw AS (
+        SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS ra
+        FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT 20
+    ), vec AS (
+        SELECT e.vec_id AS doc_id,
+               row_number() OVER (ORDER BY {_dd_cosine('e.embedding', 'q.qv')} DESC, e.vec_id) AS rb
+        FROM embeddings e, q
+        ORDER BY {_dd_cosine('e.embedding', 'q.qv')} DESC, e.vec_id LIMIT 20
+    ), shared AS (
+        SELECT kw.ra, vec.rb FROM kw JOIN vec USING (doc_id)
+    ), depths AS (SELECT unnest(range(1, 21)) AS d),
+    terms AS (
+        SELECT d.d,
+               CAST((SELECT count(*) FROM shared s WHERE s.ra <= d.d AND s.rb <= d.d)
+                    AS BIGINT) AS x_d
+        FROM depths d
+    ), contrib AS (
+        SELECT d, x_d,
+               CAST(round((1 - 0.9) * pow(0.9, d - 1) * x_d / d * 1000000000)
+                    AS BIGINT) AS c_u
+        FROM terms
+    )
+    SELECT CAST(20 AS BIGINT) AS depth, 0.9 AS p,
+           CAST((SELECT x_d FROM terms WHERE d = 20) AS BIGINT) AS overlap_at_depth,
+           round(CAST(sum(c_u) AS BIGINT) / 1e9, 6) AS rbo
+    FROM contrib
+    """,
+)
+def rank_biased_overlap_q(spark, sf_dir):
+    """Rank-biased overlap between the keyword and vector towers
+    (Webber TOIS'10 — the TOP-WEIGHTED ranking agreement measure:
+    kendall_tau_ranks weights every swap equally, RBO geometrically
+    discounts depth, which is what serving cares about when two
+    ranker versions disagree only in the tail): both depth-20
+    rankings reuse hybrid_search_rrf's towers, the per-depth overlap
+    X_d comes from one ≤20-row join crossed with the 20-row depth
+    spine (conditional counts on exact integer ranks), and the
+    truncated RBO sum quantizes each (1−p)p^(d−1)·X_d/d term to
+    nano-units so the 20-term sum is order-free. Everything after
+    the two top-k cuts is constant-bounded."""
+    from .operators.hybrid import bm25_scores
+    from .operators.knn import topk_per_key_agg
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
+    kw_sc = bm25_scores(docs, ["spark", "join", "fast"]).select(
+        F.col("doc_id").alias("_id"), F.col("bm25").alias("score")
+    )
+    kw = topk_per_key_agg(kw_sc.withColumn("_q", F.lit(0)), "_q", "_id", 20).select(
+        F.col("_id").alias("doc_id"), F.col("rank").alias("ra")
+    )
+    vec_sc = emb.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("_id"),
+        V.cosine(F.col("embedding"), F.col("qv")).alias("score"),
+    )
+    vec = topk_per_key_agg(vec_sc.withColumn("_q", F.lit(0)), "_q", "_id", 20).select(
+        F.col("_id").alias("doc_id"), F.col("rank").alias("rb")
+    )
+    shared = kw.join(vec, "doc_id").select("ra", "rb")
+    depths = spark.range(1, 21).select(F.col("id").alias("d"))
+    terms = (
+        shared.crossJoin(F.broadcast(depths))
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.when((F.col("ra") <= F.col("d")) & (F.col("rb") <= F.col("d")), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("x_d")
+        )
+        # depths with zero overlap drop out of the groupBy — restore
+        .join(depths, "d", "right")
+        .select("d", F.coalesce("x_d", F.lit(0)).alias("x_d"))
+    )
+    contrib = terms.select(
+        "d",
+        "x_d",
+        F.round(
+            (1 - 0.9)
+            * F.pow(F.lit(0.9), F.col("d") - 1)
+            * F.col("x_d")
+            / F.col("d")
+            * 1e9
+        )
+        .cast("long")
+        .alias("c_u"),
+    )
+    x20 = terms.filter(F.col("d") == 20).select(F.col("x_d").alias("overlap_at_depth"))
+    return (
+        contrib.agg(F.sum("c_u").cast("long").alias("s_u"))
+        .crossJoin(F.broadcast(x20))
+        .select(
+            F.lit(20).cast("long").alias("depth"),
+            F.lit(0.9).alias("p"),
+            F.col("overlap_at_depth").cast("long").alias("overlap_at_depth"),
+            F.round(F.col("s_u") / F.lit(1e9), 6).alias("rbo"),
+        )
+    )
+
+
+@query(
+    "sliding_window_hll",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               epoch_ns(ts) // 86400000000000
+               - (SELECT min(epoch_ns(ts) // 86400000000000) FROM events) AS day
+        FROM events
+    ), h AS (
+        SELECT DISTINCT day, {H.dd_md5_long('user_id::VARCHAR')} AS h FROM ud
+    ), regs AS (
+        SELECT day, h >> 52 AS idx,
+               max(53 - bit_count(
+                   (h & 4503599627370495)
+                   | ((h & 4503599627370495) >> 1) | ((h & 4503599627370495) >> 2)
+                   | ((h & 4503599627370495) >> 4) | ((h & 4503599627370495) >> 8)
+                   | ((h & 4503599627370495) >> 16) | ((h & 4503599627370495) >> 32)
+               )) AS m_j
+        FROM h GROUP BY day, idx
+    ), days AS (SELECT DISTINCT day FROM ud),
+    anchors AS (SELECT day AS anchor FROM days WHERE day >= 6),
+    win AS (
+        SELECT a.anchor, r.idx, max(r.m_j) AS m_j
+        FROM anchors a JOIN regs r
+          ON r.day BETWEEN a.anchor - 6 AND a.anchor
+        GROUP BY a.anchor, r.idx
+    ), agg AS (
+        SELECT anchor, count(*) AS n_present,
+               sum(1::BIGINT << (53 - m_j)) AS sum_scaled
+        FROM win GROUP BY anchor
+    ), est AS (
+        SELECT anchor, 256 - n_present AS n_zero,
+               (0.7213 / (1 + 1.079 / 256)) * 65536.0 * 9007199254740992.0
+                   / (sum_scaled + (256 - n_present) * 9007199254740992) AS e_raw
+        FROM agg
+    ), exact AS (
+        SELECT a.anchor, CAST(count(DISTINCT u.user_id) AS BIGINT) AS ndv_exact
+        FROM anchors a JOIN ud u ON u.day BETWEEN a.anchor - 6 AND a.anchor
+        GROUP BY a.anchor
+    )
+    SELECT CAST(e.anchor AS BIGINT) AS day, x.ndv_exact,
+           round(CASE WHEN e_raw <= 640.0 AND n_zero > 0
+                      THEN 256.0 * ln(256.0 / n_zero) ELSE e_raw END, 6) AS ndv_est,
+           round(abs(CASE WHEN e_raw <= 640.0 AND n_zero > 0
+                          THEN 256.0 * ln(256.0 / n_zero) ELSE e_raw END
+                     - x.ndv_exact) / x.ndv_exact, 6) AS rel_err
+    FROM est e JOIN exact x ON e.anchor = x.anchor
+    """,
+)
+def sliding_window_hll_q(spark, sf_dir):
+    """Rolling 7-day distinct users via HLL register merge (the
+    sketch answer to dau_stickiness' day-spine COUNT(DISTINCT):
+    sliding distinct does NOT decompose over window frames, but HLL
+    registers DO — per-day 256-byte register tables merge by max
+    over any window, so a year of rolling uniques costs one bounded
+    register join instead of 365 distinct recounts): per-day
+    registers from one grouped rho cascade, anchors join a 7-day
+    register range (days × 256-bounded), estimates carry the
+    standard small-range correction and are graded against the exact
+    rolling distinct. THIS is why the 100 TB pipeline stores per-day
+    sketches next to per-day rollups."""
+    ev = load_table(spark, sf_dir, "events")
+    mind = ev.agg(F.min(F.expr("ts_ns div 86400000000000")).alias("d0"))
+    ud = (
+        ev.crossJoin(F.broadcast(mind))
+        .select(
+            "user_id",
+            (F.expr("ts_ns div 86400000000000") - F.col("d0")).alias("day"),
+        )
+        .distinct()
+    )
+    h = ud.select(
+        "day", H.md5_long(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    b = h.select(
+        "day",
+        F.expr("shiftright(h, 52)").alias("idx"),
+        F.expr("h & 4503599627370495").alias("w"),
+    )
+    for k in (1, 2, 4, 8, 16, 32):
+        b = b.withColumn("w", F.expr(f"w | shiftright(w, {k})"))
+    regs = b.groupBy("day", "idx").agg(
+        F.expr("max(53 - bit_count(w))").alias("m_j")
+    ).localCheckpoint(eager=False)
+    anchors = ud.select("day").distinct().filter(F.col("day") >= 6).select(
+        F.col("day").alias("anchor")
+    )
+    win = (
+        anchors.join(
+            regs,
+            (F.col("day") >= F.col("anchor") - 6) & (F.col("day") <= F.col("anchor")),
+        )
+        .groupBy("anchor", "idx")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    agg = win.groupBy("anchor").agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(53 - m_j as int))")).alias(
+            "sum_scaled"
+        ),
+    )
+    SCALE = 9007199254740992
+    est = agg.select(
+        "anchor",
+        (F.lit(256) - F.col("n_present")).alias("n_zero"),
+        (
+            F.lit(0.7213 / (1 + 1.079 / 256))
+            * F.lit(65536.0)
+            * F.lit(float(SCALE))
+            / (F.col("sum_scaled") + (F.lit(256) - F.col("n_present")) * F.lit(SCALE))
+        ).alias("e_raw"),
+    )
+    exact = (
+        anchors.join(
+            ud,
+            (F.col("day") >= F.col("anchor") - 6) & (F.col("day") <= F.col("anchor")),
+        )
+        .groupBy("anchor")
+        .agg(F.count_distinct("user_id").cast("long").alias("ndv_exact"))
+    )
+    e_fix = F.when(
+        (F.col("e_raw") <= F.lit(640.0)) & (F.col("n_zero") > 0),
+        F.lit(256.0) * F.log(F.lit(256.0) / F.col("n_zero")),
+    ).otherwise(F.col("e_raw"))
+    return est.join(exact, "anchor").select(
+        F.col("anchor").cast("long").alias("day"),
+        "ndv_exact",
+        F.round(e_fix, 6).alias("ndv_est"),
+        F.round(F.abs(e_fix - F.col("ndv_exact")) / F.col("ndv_exact"), 6).alias(
+            "rel_err"
+        ),
+    )
