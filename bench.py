@@ -344,6 +344,8 @@ EXTRA = [
     "graph_modularity",
     "rank_biased_overlap",
     "sliding_window_hll",
+    "cdc_chunking",
+    "backfill_plan",
 ]
 
 

@@ -21006,3 +21006,173 @@ def sliding_window_hll_q(spark, sf_dir):
             "rel_err"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking + backfill planning wave (r5 cont.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_chunking",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ), cuts AS (
+        SELECT doc_id, t, n,
+               [0] || [j FOR j IN range(4, CAST(n AS BIGINT))
+                       IF {H.dd_md5_long("array_to_string(t[j - 3 : j], ' ')", 'cdc')} % 32 = 0]
+                   || [CAST(n AS BIGINT)] AS c
+        FROM d
+    ), chunks AS (
+        SELECT doc_id, n, len(c) - 1 AS n_chunks,
+               [md5(array_to_string(t[CAST(c[i] + 1 AS INTEGER) : CAST(c[i + 1] AS INTEGER)], ' '))
+                FOR i IN range(1, len(c))] AS hs,
+               [c[i + 1] - c[i] FOR i IN range(1, len(c))] AS lens
+        FROM cuts
+    ), ex AS (
+        SELECT doc_id, unnest(hs) AS ch FROM chunks
+    ), freq AS (
+        SELECT ch, CAST(count(*) AS BIGINT) AS cnt FROM ex GROUP BY ch
+    ), dup AS (
+        SELECT e.doc_id,
+               CAST(sum(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks
+        FROM ex e JOIN freq f USING (ch) GROUP BY e.doc_id
+    )
+    SELECT c.doc_id,
+           CAST(c.n_chunks AS BIGINT) AS n_chunks,
+           CAST(list_max(c.lens) AS BIGINT) AS max_chunk_tokens,
+           round(CAST(c.n AS DOUBLE) / c.n_chunks, 6) AS mean_chunk_tokens,
+           d.dup_chunks
+    FROM chunks c JOIN dup d USING (doc_id)
+    """,
+)
+def cdc_chunking_q(spark, sf_dir):
+    """Content-defined chunking (FastCDC / LBFS rolling-hash cut
+    points — the dedup-friendly chunking under restic/borg/rsync and
+    chunk-level corpus dedup: boundaries depend on CONTENT, so a
+    shared passage yields the same chunks regardless of where it
+    sits in the doc, where fixed-size chunking shifts every boundary
+    after one insertion): a cut lands after token j iff the 4-gram
+    ending at j hashes to 0 mod 32 (seeded-md5 family — expected
+    chunk ~32 tokens), chunk hashes and lengths come from pure
+    codegen HOFs over one scan, and one (chunk-hash) count shuffle
+    grades the payoff: dup_chunks counts this doc's chunks that
+    recur ANYWHERE in the corpus. Raw text never crosses the
+    shuffle — 16-byte digests do (substring_dedup's posture at
+    chunk granularity)."""
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    d = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    bound_cond = (
+        "conv(substring(md5(concat('cdc:', array_join(slice(t, j - 3, 4), ' '))), 1, 15), 16, 10) % 32 = 0"
+    )
+    cuts = d.select(
+        "doc_id",
+        "t",
+        "n",
+        F.expr(
+            f"concat(array(0L), CASE WHEN n >= 5 THEN "
+            f"transform(filter(sequence(4, n - 1), j -> {bound_cond}), j -> cast(j as long)) "
+            f"ELSE array() END, array(cast(n as long)))"
+        ).alias("c"),
+    )
+    chunks = cuts.select(
+        "doc_id",
+        "n",
+        (F.size("c") - 1).alias("n_chunks"),
+        F.expr(
+            "transform(sequence(1, size(c) - 1), "
+            "i -> md5(array_join(slice(t, cast(element_at(c, i) + 1 as int), "
+            "cast(element_at(c, i + 1) - element_at(c, i) as int)), ' ')))"
+        ).alias("hs"),
+        F.expr(
+            "transform(sequence(1, size(c) - 1), "
+            "i -> element_at(c, i + 1) - element_at(c, i))"
+        ).alias("lens"),
+    ).localCheckpoint(eager=False)
+    ex = chunks.select("doc_id", F.explode("hs").alias("ch"))
+    freq = ex.groupBy("ch").agg(F.count("*").cast("long").alias("cnt"))
+    dup = (
+        ex.join(freq, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_chunks")
+        )
+    )
+    return chunks.join(dup, "doc_id").select(
+        "doc_id",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.array_max("lens").cast("long").alias("max_chunk_tokens"),
+        F.round(F.col("n").cast("double") / F.col("n_chunks"), 6).alias(
+            "mean_chunk_tokens"
+        ),
+        "dup_chunks",
+    )
+
+
+@query(
+    "backfill_plan",
+    oracle="""
+    WITH b AS (
+        SELECT epoch_ns(ts) // 3600000000000
+               - (SELECT min(epoch_ns(ts) // 3600000000000) FROM events) AS hour_id,
+               event_type
+        FROM events
+    ), mx AS (SELECT max(hour_id) AS maxh FROM b),
+    spine AS (
+        SELECT t.event_type, h.hour_id
+        FROM (SELECT DISTINCT event_type FROM b) t,
+             (SELECT unnest(range((SELECT maxh + 1 FROM mx))) AS hour_id) h
+    ), present AS (
+        SELECT DISTINCT event_type, hour_id FROM b
+    ), missing AS (
+        SELECT s.event_type, s.hour_id
+        FROM spine s LEFT JOIN present p
+          ON s.event_type = p.event_type AND s.hour_id = p.hour_id
+        WHERE p.event_type IS NULL
+    )
+    SELECT event_type, CAST(hour_id AS BIGINT) AS hour_id,
+           CAST((row_number() OVER (ORDER BY event_type, hour_id) - 1) // 10
+                AS BIGINT) AS batch_id
+    FROM missing
+    """,
+)
+def backfill_plan_q(spark, sf_dir):
+    """Backfill planner (the orchestration pass a scheduler runs
+    after an outage: which (partition, hour) cells are MISSING from
+    the lake, batched into bounded-size runs so the backfill doesn't
+    starve the live pipeline): the expected spine is types × hours
+    (generated in-plan, no driver loop), present cells come from one
+    DISTINCT pass, missing = spine LEFT ANTI present on bare integer
+    keys, and batch ids assign by deterministic (type, hour) order
+    div batch-size — the compaction_plan trick for work scheduling.
+    The spine is |types|·|hours|-bounded; only the DISTINCT pass
+    touches the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    minh = ev.agg(F.min(F.expr("ts_ns div 3600000000000")).alias("h0"))
+    b = ev.crossJoin(F.broadcast(minh)).select(
+        (F.expr("ts_ns div 3600000000000") - F.col("h0")).alias("hour_id"),
+        "event_type",
+    )
+    mx = b.agg(F.max("hour_id").alias("maxh"))
+    types = b.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(mx))
+        .select("event_type", F.explode(F.sequence(F.lit(0), F.col("maxh"))).alias("hour_id"))
+    )
+    present = b.distinct()
+    missing = spine.join(present, ["event_type", "hour_id"], "left_anti")
+    w = Window.orderBy("event_type", "hour_id")
+    return missing.select(
+        "event_type",
+        F.col("hour_id").cast("long").alias("hour_id"),
+        ((F.row_number().over(w) - 1) / 10).cast("long").alias("batch_id"),
+    )
