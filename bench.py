@@ -346,6 +346,8 @@ EXTRA = [
     "sliding_window_hll",
     "cdc_chunking",
     "backfill_plan",
+    "als_rank1_round",
+    "weighted_jaccard_pairs",
 ]
 
 

@@ -21176,3 +21176,169 @@ def backfill_plan_q(spark, sf_dir):
         F.col("hour_id").cast("long").alias("hour_id"),
         ((F.row_number().over(w) - 1) / 10).cast("long").alias("batch_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recommender + weighted dedup wave (r5 cont.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "als_rank1_round",
+    oracle="""
+    WITH r AS (
+        SELECT o.o_custkey AS c, l.l_partkey AS p, CAST(count(*) AS BIGINT) AS r
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ), u AS (
+        SELECT c, (1000000 * CAST(sum(r) AS BIGINT)) // CAST(count(*) AS BIGINT) AS u_u
+        FROM r GROUP BY c
+    ), v AS (
+        SELECT r.p,
+               CAST(count(*) AS BIGINT) AS n_raters,
+               CAST(sum(r.r * u.u_u) AS BIGINT) AS num_u,
+               CAST(sum(u.u_u * u.u_u) AS BIGINT) AS den_u
+        FROM r JOIN u USING (c) GROUP BY r.p
+    ), ranked AS (
+        SELECT p, n_raters,
+               CAST(num_u AS DOUBLE) * 1000000 / den_u AS v_next,
+               row_number() OVER (
+                   ORDER BY CAST(num_u AS DOUBLE) * 1000000 / den_u DESC, p) AS rank
+        FROM v
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, CAST(p AS BIGINT) AS partkey,
+           n_raters, round(v_next, 6) AS item_factor
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def als_rank1_round_q(spark, sf_dir):
+    """One alternation of rank-1 implicit-feedback ALS on the real
+    (customer × part) interaction matrix (matrix factorization's
+    inner loop as two grouped aggregates — at rank 1 each
+    least-squares solve is a closed-form ratio, no linear algebra):
+    interactions from the orders ⋈ lineitem purchase counts, item
+    factors init 1 ⇒ user step u_i = Σr/n_i in exact micro-units
+    (integer div), item step v_j = Σ r·u / Σ u² from exact integer
+    products — the whole round order-free, one double division per
+    item at emit. Top-20 item factors = the first popularity-cum-
+    quality ranking a recommender bootstrap produces. Higher rank =
+    the same two keyed aggregates with k-vector state (documented
+    swap); interactions shuffle on their natural keys, nothing
+    user×item-shaped materializes."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    r = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .agg(F.count("*").cast("long").alias("r"))
+    )
+    u = r.groupBy("c").agg(
+        F.expr("(1000000 * cast(sum(r) as bigint)) div cast(count(*) as bigint)").alias(
+            "u_u"
+        )
+    )
+    v = (
+        r.join(u, "c")
+        .groupBy("p")
+        .agg(
+            F.count("*").cast("long").alias("n_raters"),
+            F.sum(F.col("r") * F.col("u_u")).cast("long").alias("num_u"),
+            F.sum(F.col("u_u") * F.col("u_u")).cast("long").alias("den_u"),
+        )
+    )
+    v_next = F.col("num_u").cast("double") * 1000000 / F.col("den_u")
+    w = Window.orderBy(v_next.desc(), "p")
+    return (
+        v.select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            F.col("p").cast("long").alias("partkey"),
+            "n_raters",
+            F.round(v_next, 6).alias("item_factor"),
+        )
+        .filter(F.col("rank") <= 20)
+    )
+
+
+@query(
+    "weighted_jaccard_pairs",
+    oracle=f"""
+    WITH {_DD_SHINGLES}, {_DD_MINHASH_SIG}, {_DD_BANDS},
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                    AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY doc_id, term
+    ), dl AS (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    ), smin AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(sum(least(ta.tf, tb.tf)) AS BIGINT) AS sum_min
+        FROM cand c
+        JOIN tf ta ON ta.doc_id = c.doc_a
+        JOIN tf tb ON tb.doc_id = c.doc_b AND tb.term = ta.term
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT s.doc_a, s.doc_b, s.sum_min,
+           round(CAST(s.sum_min AS DOUBLE)
+                 / (da.dl + db.dl - s.sum_min), 6) AS weighted_jaccard
+    FROM smin s
+    JOIN dl da ON da.doc_id = s.doc_a
+    JOIN dl db ON db.doc_id = s.doc_b
+    """,
+)
+def weighted_jaccard_pairs_q(spark, sf_dir):
+    """Weighted (multiset) Jaccard on the MinHash-LSH candidates —
+    the near-dup score SET Jaccard gets wrong when token COUNTS
+    differ (a doc that repeats a template 5× has set-Jaccard ≈ 1
+    against one copy; weighted Jaccard Σmin/Σmax sees the
+    difference): candidates come from the same banding build as
+    dedup_minhash_lsh (bucket-bound, never all-pairs), Σmin from the
+    (doc, term) tf join keyed on candidate ids + term, and
+    Σmax = dl_a + dl_b − Σmin by the max+min identity so only ONE
+    per-pair aggregation runs. Exact integer counts, one double
+    division per emitted pair."""
+    from .operators import dedup
+    from .functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    cand = dedup.dedup_minhash_lsh(docs).select("doc_a", "doc_b")
+    tf = (
+        docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    ta = tf.select(
+        F.col("doc_id").alias("doc_a"), F.col("term"), F.col("tf").alias("tfa")
+    )
+    tb = tf.select(
+        F.col("doc_id").alias("doc_b"), F.col("term"), F.col("tf").alias("tfb")
+    )
+    smin = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("tfa", "tfb")).cast("long").alias("sum_min"))
+    )
+    da = dl.select(F.col("doc_id").alias("doc_a"), F.col("dl").alias("dla"))
+    db = dl.select(F.col("doc_id").alias("doc_b"), F.col("dl").alias("dlb"))
+    return (
+        smin.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "sum_min",
+            F.round(
+                F.col("sum_min").cast("double")
+                / (F.col("dla") + F.col("dlb") - F.col("sum_min")),
+                6,
+            ).alias("weighted_jaccard"),
+        )
+    )
