@@ -153,6 +153,27 @@ _VERIFY_FIRST = [
     "mlm_mask_corpus",
     "query_expansion_prf",
     "ann_sq8",
+    # The FINAL r5 continuation session added 41 more never-stamped
+    # oracle-backed operators (§2 rows 306-346): knn_range_search,
+    # post_filter_recall, hnsw_layer_plan, fim_transform,
+    # k_anonymity_audit, filter_bias_audit, trigram_fuzzy_match,
+    # kmv_set_ops, forecast_backtest, list_collections,
+    # rag_groundedness, window_funnel, position_bias_coec,
+    # multitouch_attribution, pit_feature_join,
+    # histogram_quantile_sketch, broadcast_size_advisor,
+    # markov_attribution, wand_pruning_sim, padding_waste_audit,
+    # cascade_retrieval_sim, merge_into_apply, seeding_quality_eval,
+    # graph_random_walks, ood_mahalanobis, retention_halflife_fit,
+    # hll_merge_rollup, growth_accounting, ltr_pair_gen,
+    # prefix_autocomplete, ucb_bandit_replay, propensity_matching_att,
+    # gmm_em_round, mediation_analysis, graph_modularity,
+    # rank_biased_overlap, sliding_window_hll, cdc_chunking,
+    # backfill_plan, als_rank1_round, weighted_jaccard_pairs — every
+    # one parity-verified at BOTH sf0.001 and sf0.01 (the driver's
+    # gate scale) in-session; fold them into the r6 rotation ahead of
+    # the earlier-listed cohorts (flagships first: markov_attribution,
+    # cascade_retrieval_sim, ucb_bandit_replay, pit_feature_join,
+    # merge_into_apply, hll_merge_rollup, window_funnel).
 ]
 
 

@@ -348,6 +348,9 @@ EXTRA = [
     "backfill_plan",
     "als_rank1_round",
     "weighted_jaccard_pairs",
+    "jl_projection_audit",
+    "pca_explained_variance",
+    "textrank_keywords",
 ]
 
 

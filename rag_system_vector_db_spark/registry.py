@@ -21342,3 +21342,377 @@ def weighted_jaccard_pairs_q(spark, sf_dir):
             ).alias("weighted_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dimensionality + graph-text wave (r5 cont.)
+# ---------------------------------------------------------------------------
+
+
+def _jl_matrix(k: int = 16, dim: int = 64) -> list[list[float]]:
+    """Deterministic ±1/√k Johnson-Lindenstrauss matrix from the
+    md5 family (same static-literal posture as LSH hyperplanes)."""
+    import hashlib
+
+    rows = []
+    for i in range(k):
+        row = []
+        for j in range(dim):
+            h = hashlib.md5(f"jl:{i}|{j}".encode()).hexdigest()
+            row.append((1.0 if int(h[:2], 16) % 2 == 0 else -1.0) / (k ** 0.5))
+        rows.append(row)
+    return rows
+
+
+@query("jl_projection_audit")  # oracle: LAZY (static matrix literals)
+def jl_projection_audit_q(spark, sf_dir):
+    """Johnson-Lindenstrauss distance-preservation audit (the theorem
+    random projection indexes lean on: a ±1/√k matrix into k=16 dims
+    preserves pairwise L2 up to 1±ε — this measures the actual ε on
+    real pairs before anyone trusts a 4× cheaper distance): each
+    vector projects ONCE through the md5-derived literal matrix
+    (deterministic — the same matrix on every engine/run), then the
+    bounded 40-vector sample pairs up (780 pairs) and the
+    distortion ratio d_proj/d_orig rolls up with micro-quantized
+    means and a ±30%% containment share. Projection is narrow
+    codegen; nothing pairwise ever touches the full corpus."""
+    R = _jl_matrix()
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+
+    def proj(vec):
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        vec.cast("array<double>"),
+                        F.array(*[F.lit(v) for v in row]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for row in R
+            ]
+        )
+
+    p = emb.select("vec_id", "embedding", proj(F.col("embedding")).alias("pv"))
+    a = p.select(
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("ea"),
+        F.col("pv").alias("pa"),
+    )
+    b = p.select(
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("eb"),
+        F.col("pv").alias("pb"),
+    )
+    pairs = a.join(b, F.col("ida") < F.col("idb")).select(
+        (
+            V.euclidean(F.col("pa"), F.col("pb"))
+            / V.euclidean(F.col("ea"), F.col("eb"))
+        ).alias("ratio")
+    )
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(F.expr("cast(round(ratio * 1000000) as bigint)")).cast("double")
+            / F.count("*")
+            / 1e6,
+            6,
+        ).alias("mean_ratio"),
+        F.round(F.min("ratio"), 6).alias("min_ratio"),
+        F.round(F.max("ratio"), 6).alias("max_ratio"),
+        F.round(
+            F.sum(
+                F.when((F.col("ratio") >= 0.7) & (F.col("ratio") <= 1.3), 1).otherwise(
+                    0
+                )
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("within_30pct"),
+    )
+
+
+def _jl_oracle(sf_dir: str) -> str:
+    R = _jl_matrix()
+
+    def proj_sql(vec: str) -> str:
+        comps = []
+        for row in R:
+            lit = "[" + ", ".join(repr(v) for v in row) + "]"
+            comps.append(
+                f"list_sum(list_transform(list_zip(({vec})::DOUBLE[], {lit}::DOUBLE[]),"
+                f" x -> x[1]*x[2]))"
+            )
+        return "[" + ", ".join(comps) + "]"
+
+    return f"""
+    WITH p AS (
+        SELECT vec_id, embedding, {proj_sql('embedding')} AS pv
+        FROM embeddings WHERE vec_id < 40
+    ), pairs AS (
+        SELECT {_dd_euclid('a.pv', 'b.pv')} / {_dd_euclid('a.embedding', 'b.embedding')} AS ratio
+        FROM p a JOIN p b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(CAST(round(ratio * 1000000) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1e6, 6) AS mean_ratio,
+           round(min(ratio), 6) AS min_ratio,
+           round(max(ratio), 6) AS max_ratio,
+           round(CAST(sum(CASE WHEN ratio >= 0.7 AND ratio <= 1.3 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS within_30pct
+    FROM pairs
+    """
+
+
+LAZY_ORACLES["jl_projection_audit"] = _jl_oracle
+
+
+def _pca_spectrum(sf_dir: str, k: int = 8, sample_limit: int = 4096):
+    """Sample-fit PCA basis WITH eigenvalue shares (extends
+    embedding.pca_fit_sample's posture)."""
+    import duckdb
+    import numpy as np
+
+    rel = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY vec_id LIMIT {sample_limit}"
+    )
+    x = np.array([list(r[1]) for r in rel.fetchall()], dtype=np.float64)
+    mu = x.mean(axis=0)
+    xc = x - mu
+    vals, vecs = np.linalg.eigh(xc.T @ xc)
+    tot = float(vals.sum())
+    comps, shares = [], []
+    for i in range(1, k + 1):
+        v = vecs[:, -i]
+        jmax = int(np.abs(v).argmax())
+        if v[jmax] < 0:
+            v = -v
+        comps.append([float(t) for t in v])
+        shares.append(float(vals[-i]) / tot)
+    return [float(t) for t in mu], comps, shares
+
+
+@query("pca_explained_variance")  # oracle: LAZY (basis literals)
+def pca_explained_variance_q(spark, sf_dir):
+    """PCA spectrum audit (the sizing table behind pca_project and
+    matryoshka truncation: how many directions actually carry
+    variance, and does the SAMPLE-fit spectrum hold corpus-wide?):
+    the bounded-sample eigendecomposition contributes eigenvalue
+    shares as literals, then ONE corpus pass measures the realized
+    variance along each of the 8 components (projections
+    micro-quantized, DECIMAL-exact moment sums — order-free), with
+    cumulative explained share per rank. A sample share that
+    disagrees with the measured column is the drift alarm for
+    refitting the basis."""
+    mu, comps, shares = _pca_spectrum(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings", split=True)
+    mu_lit = F.array(*[F.lit(v) for v in mu])
+    centered = F.zip_with(
+        F.col("embedding").cast("array<double>"), mu_lit, lambda a, b: a - b
+    )
+    projs = [
+        F.aggregate(
+            F.zip_with(centered, F.array(*[F.lit(v) for v in c]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in comps
+    ]
+    row = emb.select(
+        *[p.alias(f"_raw{i}") for i, p in enumerate(projs)]
+    ).select(
+        *[
+            F.expr(f"cast(round(_raw{i} * 1000000) as bigint)").alias(f"p{i}")
+            for i in range(len(projs))
+        ]
+    )
+    agg = row.agg(
+        F.count("*").cast("long").alias("n"),
+        *[
+            F.sum(F.col(f"p{i}").cast("decimal(38,0)")).alias(f"s{i}")
+            for i in range(len(projs))
+        ],
+        *[
+            F.sum(F.col(f"p{i}").cast("decimal(38,0)") * F.col(f"p{i}")).alias(
+                f"q{i}"
+            )
+            for i in range(len(projs))
+        ],
+    )
+    rows_expr = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("long").alias("component"),
+                F.lit(round(shares[i], 6)).alias("sample_share"),
+                F.lit(round(sum(shares[: i + 1]), 6)).alias("sample_cum_share"),
+                F.round(
+                    (
+                        F.col(f"q{i}").cast("double") / F.col("n")
+                        - (F.col(f"s{i}").cast("double") / F.col("n"))
+                        * (F.col(f"s{i}").cast("double") / F.col("n"))
+                    )
+                    / 1e12,
+                    6,
+                ).alias("measured_var"),
+            )
+            for i in range(len(projs))
+        ]
+    )
+    return agg.select(F.explode(rows_expr).alias("r")).select(
+        F.col("r.component").alias("component"),
+        F.col("r.sample_share").alias("sample_share"),
+        F.col("r.sample_cum_share").alias("sample_cum_share"),
+        F.col("r.measured_var").alias("measured_var"),
+    )
+
+
+def _pca_var_oracle(sf_dir: str) -> str:
+    mu, comps, shares = _pca_spectrum(sf_dir)
+    mu_lit = "[" + ", ".join(repr(v) for v in mu) + "]"
+    sel = []
+    for i, c in enumerate(comps):
+        lit = "[" + ", ".join(repr(v) for v in c) + "]"
+        sel.append(
+            f"CAST(round(list_sum(list_transform(list_zip("
+            f"list_transform(list_zip(embedding::DOUBLE[], {mu_lit}::DOUBLE[]), x -> x[1]-x[2]),"
+            f" {lit}::DOUBLE[]), x -> x[1]*x[2])) * 1000000) AS BIGINT) AS p{i}"
+        )
+    rows = []
+    for i in range(len(comps)):
+        rows.append(
+            f"SELECT CAST({i + 1} AS BIGINT) AS component,"
+            f" {round(shares[i], 6)!r} AS sample_share,"
+            f" {round(sum(shares[: i + 1]), 6)!r} AS sample_cum_share,"
+            f" round((CAST(q{i} AS DOUBLE) / n"
+            f" - (CAST(s{i} AS DOUBLE) / n) * (CAST(s{i} AS DOUBLE) / n)) / 1e12, 6)"
+            f" AS measured_var FROM agg"
+        )
+    return f"""
+    WITH proj AS (
+        SELECT {", ".join(sel)} FROM embeddings
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               {", ".join(f"CAST(sum(CAST(p{i} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s{i}, CAST(sum(CAST(p{i} AS DECIMAL(38,0)) * p{i}) AS DECIMAL(38,0)) AS q{i}" for i in range(len(comps)))}
+        FROM proj
+    )
+    {" UNION ALL ".join(rows)}
+    """
+
+
+LAZY_ORACLES["pca_explained_variance"] = _pca_var_oracle
+
+
+def _textrank_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+        SELECT n.term,
+               150000 + CAST(coalesce((
+                   SELECT sum((p.p_u * e.w * 850000) // (wt.wtot * 1000000))
+                   FROM edges e
+                   JOIN {prev} p ON p.term = e.a
+                   JOIN wtot wt ON wt.term = e.a
+                   WHERE e.b = n.term), 0) AS BIGINT) AS p_u
+        FROM nodes n
+    )"""
+
+
+@query("textrank_keywords", oracle=None)  # oracle attached below
+def textrank_keywords_q(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau EMNLP'04 —
+    PageRank on the word co-occurrence graph; the unsupervised
+    keyword ranker that beats raw frequency by rewarding words that
+    CONNECT the vocabulary): the corpus collapses to the
+    vocabulary-sized ±2-window co-occurrence edge list first (the
+    bpe_pair_counts trick — iteration cost is independent of corpus
+    size), then 3 damped power-iteration rounds run as unrolled
+    join-aggregates in a DEFINED exact-integer arithmetic
+    (contributions (p·w·0.85e6) div (W·1e6), base 0.15 in
+    micro-units) so both engines iterate bit-for-bit — the
+    prove-the-iteration posture of knn_graph_pagerank generalized to
+    arbitrary degree distributions via per-edge integer division.
+    Top-10 words by final score."""
+    from .functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    toks = docs.select(F.split("text", " ").alias("t"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(t)), i -> "
+                "filter(transform(sequence(1, 2), o -> "
+                "CASE WHEN i + o <= size(t) AND element_at(t, i) != element_at(t, i + o) "
+                "THEN struct(element_at(t, i) AS a, element_at(t, i + o) AS b) END), "
+                "x -> x IS NOT NULL)))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    # symmetric edges
+    edges = (
+        pairs.unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    wtot = edges.groupBy("a").agg(F.sum("w").cast("long").alias("wtot"))
+    nodes = edges.select(F.col("a").alias("term")).distinct()
+    p = nodes.select("term", F.lit(1_000_000).cast("long").alias("p_u"))
+    for _ in range(3):
+        contrib = (
+            edges.join(p.select(F.col("term").alias("a"), "p_u"), "a")
+            .join(wtot.select(F.col("a"), F.col("wtot")), "a")
+            .groupBy(F.col("b").alias("term"))
+            .agg(
+                F.sum(
+                    F.expr("(p_u * w * 850000) div (wtot * 1000000)")
+                )
+                .cast("long")
+                .alias("inflow")
+            )
+        )
+        p = nodes.join(contrib, "term", "left").select(
+            "term",
+            (F.lit(150_000) + F.coalesce("inflow", F.lit(0))).cast("long").alias("p_u"),
+        )
+    w10 = Window.orderBy(F.col("p_u").desc(), "term")
+    return (
+        p.orderBy(F.col("p_u").desc(), "term")
+        .limit(10)
+        .select(
+            F.row_number().over(w10).cast("long").alias("rank"),
+            "term",
+            F.round(F.col("p_u") / 1e6, 6).alias("score"),
+        )
+    )
+
+
+def _textrank_oracle() -> str:
+    its = ",".join(
+        _textrank_iter_sql(f"p{i}", f"p{i + 1}") for i in range(3)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+    ), pairs0 AS (
+        SELECT t[i] AS a, t[i + o] AS b
+        FROM toks, range(1, 3) oo(o), LATERAL (
+            SELECT unnest(range(1, len(t) + 1)) AS i)
+        WHERE i + o <= len(t) AND t[i] <> t[i + o]
+    ), pairs AS (
+        SELECT a, b FROM pairs0 UNION ALL SELECT b, a FROM pairs0
+    ), edges AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS w FROM pairs GROUP BY a, b
+    ), wtot AS (
+        SELECT a AS term, CAST(sum(w) AS BIGINT) AS wtot FROM edges GROUP BY a
+    ), nodes AS (SELECT DISTINCT a AS term FROM edges),
+    p0 AS (SELECT term, CAST(1000000 AS BIGINT) AS p_u FROM nodes),
+    {its}
+    SELECT CAST(row_number() OVER (ORDER BY p_u DESC, term) AS BIGINT) AS rank,
+           term, round(p_u / 1e6, 6) AS score
+    FROM p3 ORDER BY p_u DESC, term LIMIT 10
+    """
+
+
+ORACLES["textrank_keywords"] = _textrank_oracle()
