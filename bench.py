@@ -351,6 +351,8 @@ EXTRA = [
     "jl_projection_audit",
     "pca_explained_variance",
     "textrank_keywords",
+    "count_sketch_estimate",
+    "itemcf_topk",
 ]
 
 

@@ -21716,3 +21716,193 @@ def _textrank_oracle() -> str:
 
 
 ORACLES["textrank_keywords"] = _textrank_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Signed sketch + collaborative filtering wave (r5 cont.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "count_sketch_estimate",
+    oracle=f"""
+    WITH ev AS (SELECT user_id::VARCHAR AS k FROM events),
+    grid AS (
+        SELECT r, {H.dd_md5_long("k", None)} AS _h,
+               {H.dd_md5_long("('csb' || r || ':' || k)", None)} % 256 AS b,
+               CASE WHEN {H.dd_md5_long("('css' || r || ':' || k)", None)} % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM ev, range(4) t(r)
+    ), counters AS (
+        SELECT r, b, CAST(sum(s) AS BIGINT) AS c FROM grid GROUP BY r, b
+    ), exact AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS f
+        FROM ev GROUP BY k ORDER BY f DESC, k LIMIT 10
+    ), est AS (
+        SELECT e.k, e.f, t.r,
+               (CASE WHEN {H.dd_md5_long("('css' || t.r || ':' || e.k)", None)} % 2 = 0
+                     THEN 1 ELSE -1 END) * c.c AS g
+        FROM exact e, range(4) t(r)
+        JOIN counters c
+          ON c.r = t.r
+         AND c.b = {H.dd_md5_long("('csb' || t.r || ':' || e.k)", None)} % 256
+    ), med AS (
+        SELECT k, f, list_sort(list(g)) AS gs FROM est GROUP BY k, f
+    )
+    SELECT CAST(k AS BIGINT) AS user_id, f AS exact_count,
+           CAST((gs[2] + gs[3]) // 2 AS BIGINT) AS estimate,
+           CAST((gs[2] + gs[3]) // 2 - f AS BIGINT) AS signed_err
+    FROM med
+    """,
+)
+def count_sketch_estimate_q(spark, sf_dir):
+    """CountSketch frequency estimation (Charikar ICALP'02 — the
+    UNBIASED signed sibling of cms_heavy_hitters: CMS only
+    over-counts, CountSketch's random signs cancel collisions in
+    expectation, which is what downstream inner-product estimates
+    need): 4×256 signed integer counters from one
+    map-side-combinable grouped aggregate (the additive-mergeable
+    state again), per-key estimate = exact-selection median of the
+    four signed reads (integer floor-average of the middle pair),
+    graded with SIGNED error against the true top-10 counts — the
+    two-sided error profile CMS cannot produce. Hash family =
+    seeded md5, engine-identical."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    r4 = spark.range(4).select(F.col("id").cast("int").alias("r"))
+    grid = ev.crossJoin(F.broadcast(r4)).select(
+        "r",
+        (
+            H.md5_long(F.concat(F.lit("csb"), F.col("r"), F.lit(":"), F.col("k")))
+            % 256
+        ).alias("b"),
+        F.when(
+            H.md5_long(F.concat(F.lit("css"), F.col("r"), F.lit(":"), F.col("k"))) % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("s"),
+    )
+    counters = grid.groupBy("r", "b").agg(F.sum("s").cast("long").alias("c"))
+    exact = (
+        ev.groupBy("k")
+        .agg(F.count("*").cast("long").alias("f"))
+        .orderBy(F.col("f").desc(), "k")
+        .limit(10)
+    )
+    est = (
+        exact.crossJoin(F.broadcast(r4))
+        .withColumn(
+            "b",
+            H.md5_long(F.concat(F.lit("csb"), F.col("r"), F.lit(":"), F.col("k")))
+            % 256,
+        )
+        .withColumn(
+            "s",
+            F.when(
+                H.md5_long(F.concat(F.lit("css"), F.col("r"), F.lit(":"), F.col("k")))
+                % 2
+                == 0,
+                1,
+            ).otherwise(-1),
+        )
+        .join(F.broadcast(counters), ["r", "b"])
+        .select("k", "f", (F.col("s") * F.col("c")).alias("g"))
+    )
+    med = est.groupBy("k", "f").agg(F.sort_array(F.collect_list("g")).alias("gs"))
+    e = F.expr("(element_at(gs, 2) + element_at(gs, 3)) div 2")
+    return med.select(
+        F.col("k").cast("long").alias("user_id"),
+        F.col("f").alias("exact_count"),
+        e.cast("long").alias("estimate"),
+        (e - F.col("f")).cast("long").alias("signed_err"),
+    )
+
+
+@query(
+    "itemcf_topk",
+    oracle="""
+    WITH ui AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), buyers AS (
+        SELECT p, CAST(count(*) AS BIGINT) AS nb FROM ui GROUP BY p
+    ), co AS (
+        SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS co
+        FROM ui a JOIN ui b ON a.c = b.c AND a.p <> b.p
+        GROUP BY a.p, b.p
+    ), scored AS (
+        SELECT co.pa, co.pb, co.co,
+               CAST(co.co AS DOUBLE) / (ba.nb + bb.nb - co.co) AS jac
+        FROM co JOIN buyers ba ON ba.p = co.pa
+                JOIN buyers bb ON bb.p = co.pb
+        WHERE co.pa < 20
+    ), ranked AS (
+        SELECT pa, pb, co, jac,
+               row_number() OVER (PARTITION BY pa ORDER BY jac DESC, pb) AS rank
+        FROM scored
+    )
+    SELECT CAST(pa AS BIGINT) AS partkey, CAST(rank AS BIGINT) AS rank,
+           CAST(pb AS BIGINT) AS neighbor, co AS common_buyers,
+           round(jac, 6) AS jaccard
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def itemcf_topk_q(spark, sf_dir):
+    """Item-item collaborative filtering neighbors (Sarwar WWW'01 —
+    the 'customers who bought X also bought' list, THE production
+    recommender baseline): distinct (customer, part) ownership from
+    the fact join, co-ownership pairs via the CUSTOMER-keyed
+    self-join (volume = Σ C(items-per-customer, 2) — the
+    basket-bounded candidate rule, never |parts|²), buyer-set
+    Jaccard from exact integer counts, per-anchor top-3 with
+    deterministic ties. market_basket_lift mines RULES from
+    co-baskets; this builds the per-item NEIGHBOR LIST a recommender
+    serves. Anchors bounded to partkey < 20 for the emitted frame;
+    the pair computation is the same at any anchor set."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ui = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    buyers = ui.groupBy("p").agg(F.count("*").cast("long").alias("nb"))
+    a = ui.select(F.col("c"), F.col("p").alias("pa"))
+    b = ui.select(F.col("c"), F.col("p").alias("pb"))
+    co = (
+        a.join(b, "c")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("long").alias("co"))
+        .filter(F.col("pa") < 20)
+    )
+    scored = (
+        co.join(buyers.select(F.col("p").alias("pa"), F.col("nb").alias("ba")), "pa")
+        .join(buyers.select(F.col("p").alias("pb"), F.col("nb").alias("bb")), "pb")
+        .select(
+            "pa",
+            "pb",
+            "co",
+            (
+                F.col("co").cast("double")
+                / (F.col("ba") + F.col("bb") - F.col("co"))
+            ).alias("jac"),
+        )
+    )
+    cand = F.struct((-F.col("jac")).alias("_o"), F.col("pb"), F.col("co"), F.col("jac").alias("_j"))
+    top = (
+        scored.groupBy("pa")
+        .agg(F.slice(F.sort_array(F.collect_list(cand)), 1, 3).alias("top"))
+        .select("pa", F.posexplode("top").alias("pos", "t"))
+    )
+    return top.select(
+        F.col("pa").cast("long").alias("partkey"),
+        (F.col("pos") + 1).cast("long").alias("rank"),
+        F.col("t.pb").cast("long").alias("neighbor"),
+        F.col("t.co").alias("common_buyers"),
+        F.round(F.col("t._j"), 6).alias("jaccard"),
+    )
