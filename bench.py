@@ -353,6 +353,8 @@ EXTRA = [
     "textrank_keywords",
     "count_sketch_estimate",
     "itemcf_topk",
+    "kneser_ney_bigram_ppl",
+    "moe_router_balance",
 ]
 
 

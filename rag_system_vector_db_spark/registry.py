@@ -21906,3 +21906,203 @@ def itemcf_topk_q(spark, sf_dir):
         F.col("t.co").alias("common_buyers"),
         F.round(F.col("t._j"), 6).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney LM + MoE routing wave (r5 cont.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kneser_ney_bigram_ppl",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] AS b, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+    ), cb AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2
+    ), cpre AS (
+        SELECT w1, CAST(sum(c) AS BIGINT) AS cp,
+               CAST(count(*) AS BIGINT) AS n1p_fwd
+        FROM cb GROUP BY w1
+    ), ccont AS (
+        SELECT w2, CAST(count(*) AS BIGINT) AS n1p_bwd FROM cb GROUP BY w2
+    ), nbi AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM cb),
+    pkn AS (
+        SELECT cb.w1, cb.w2,
+               (CAST(4 * cb.c - 3 AS DOUBLE) / (4 * p.cp))
+               + (0.75 * p.n1p_fwd / p.cp)
+                 * (CAST(cc.n1p_bwd AS DOUBLE) / nbi.nb) AS p
+        FROM cb JOIN cpre p USING (w1)
+                JOIN ccont cc USING (w2)
+                CROSS JOIN nbi
+    ), scored AS (
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(CAST(round(ln(pkn.p) * 1000000) AS BIGINT)) AS BIGINT) AS lnp_u
+        FROM bg g JOIN pkn ON pkn.w1 = g.w1 AND pkn.w2 = g.w2
+        GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           round(exp(-(CAST(lnp_u AS DOUBLE) / n_bigrams / 1e6)), 6) AS ppl
+    FROM scored
+    """,
+)
+def kneser_ney_bigram_ppl_q(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram perplexity (Kneser & Ney '95 —
+    THE n-gram smoothing: the backoff weight of a word is how many
+    DISTINCT contexts it continues, not how often it occurs, which
+    is why 'Francisco' stops getting high unigram backoff outside
+    'San'): absolute discount D=¾ keeps max(c−D,0)/c_prefix an exact
+    rational ((4c−3)/4c_prefix for c≥1 — no float discounting), the
+    continuation distribution N1+(·w)/|bigram types| comes from the
+    SAME vocab²-bounded count frame, and per-doc scores quantize
+    ln p to micro-units × counts (order-free) before the one exp at
+    emit. Completes the LM ladder: unigram mix (lm_perplexity),
+    add-1 bigram (lm_perplexity_bigram), KN bigram — all from one
+    tokenize pass + vocab-bounded joins."""
+    from .functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    cb = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c")).localCheckpoint(
+        eager=False
+    )
+    cpre = cb.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("cp"),
+        F.count("*").cast("long").alias("n1p_fwd"),
+    )
+    ccont = cb.groupBy("w2").agg(F.count("*").cast("long").alias("n1p_bwd"))
+    nbi = cb.agg(F.count("*").cast("long").alias("nb"))
+    pkn = (
+        cb.join(cpre, "w1")
+        .join(ccont, "w2")
+        .crossJoin(F.broadcast(nbi))
+        .select(
+            "w1",
+            "w2",
+            (
+                (4 * F.col("c") - 3).cast("double") / (4 * F.col("cp"))
+                + (0.75 * F.col("n1p_fwd") / F.col("cp"))
+                * (F.col("n1p_bwd").cast("double") / F.col("nb"))
+            ).alias("p"),
+        )
+    )
+    scored = (
+        bg.join(pkn, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.expr("cast(round(ln(p) * 1000000) as bigint)"))
+            .cast("long")
+            .alias("lnp_u"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            F.exp(-(F.col("lnp_u").cast("double") / F.col("n_bigrams") / 1e6)), 6
+        ).alias("ppl"),
+    )
+
+
+@query(
+    "moe_router_balance",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, i AS pos
+        FROM (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+             LATERAL (SELECT unnest(range(1, n + 1)) AS i)
+    ), logits AS (
+        SELECT doc_id, pos, e,
+               {H.dd_md5_long("(doc_id || '|' || pos || '|' || e)", 'moe')} AS h
+        FROM toks, range(8) t(e)
+    ), z AS (
+        SELECT doc_id, pos, e, h, h / 1152921504606846976.0 AS x FROM logits
+    ), sm AS (
+        SELECT doc_id, pos, e, h,
+               exp(x) / sum(exp(x)) OVER (PARTITION BY doc_id, pos) AS p,
+               h = max(h) OVER (PARTITION BY doc_id, pos) AS routed
+        FROM z
+    ), per AS (
+        SELECT e, CAST(sum(CASE WHEN routed THEN 1 ELSE 0 END) AS BIGINT) AS n_routed,
+               CAST(sum(CAST(round(p * 1000000) AS BIGINT)) AS BIGINT) AS p_u,
+               CAST(count(*) AS BIGINT) AS n_tok
+        FROM sm GROUP BY e
+    )
+    SELECT CAST(e AS BIGINT) AS expert, n_routed,
+           round(CAST(n_routed AS DOUBLE) / (n_tok / 8) / 8, 6) AS load_share,
+           round(CAST(p_u AS DOUBLE) / n_tok / 1e6, 6) AS mean_prob,
+           round(8 * sum(CAST(n_routed AS DOUBLE) / (n_tok / 8)
+                         * (CAST(p_u AS DOUBLE) / n_tok / 1e6)) OVER () / 8, 6)
+               AS aux_loss
+    FROM per
+    """,
+)
+def moe_router_balance_q(spark, sf_dir):
+    """Mixture-of-Experts router load-balance audit (the Switch
+    Transformer auxiliary loss, Fedus '21 — a router that funnels
+    tokens to two favorite experts wastes 6/8 of the FLOPs you paid
+    for; this is the number that says so BEFORE training diverges):
+    every corpus token draws 8 deterministic md5 logits, routing is
+    the EXACT-INTEGER hash argmax (no float compare), router probs
+    are the softmax over the derived uniforms with per-token
+    micro-quantization before the cross-token sums, and
+    aux = N·Σ f_e·P_e (load fraction × mean prob) — ≈1 balanced,
+    →8 collapsed. One token explode + one 8-way fan-out, all
+    map-side-combinable; per-expert frame is 8 rows."""
+    from .functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size(X.tokens(F.col("text"))))).alias("pos"),
+    )
+    e8 = spark.range(8).select(F.col("id").cast("int").alias("e"))
+    logits = toks.crossJoin(F.broadcast(e8)).select(
+        "doc_id",
+        "pos",
+        "e",
+        H.md5_long(
+            F.concat(
+                F.col("doc_id"), F.lit("|"), F.col("pos"), F.lit("|"), F.col("e")
+            ),
+            "moe",
+        ).alias("h"),
+    )
+    wt = Window.partitionBy("doc_id", "pos")
+    sm = logits.select(
+        "e",
+        (
+            F.exp(F.col("h") / F.lit(1152921504606846976.0))
+            / F.sum(F.exp(F.col("h") / F.lit(1152921504606846976.0))).over(wt)
+        ).alias("p"),
+        (F.col("h") == F.max("h").over(wt)).alias("routed"),
+    )
+    per = sm.groupBy("e").agg(
+        F.sum(F.when(F.col("routed"), 1).otherwise(0)).cast("long").alias("n_routed"),
+        F.sum(F.expr("cast(round(p * 1000000) as bigint)")).cast("long").alias("p_u"),
+        F.count("*").cast("long").alias("n_tok"),
+    )
+    wa = Window.partitionBy()
+    f_e = F.col("n_routed").cast("double") / (F.col("n_tok") / 8) / 8
+    p_e = F.col("p_u").cast("double") / F.col("n_tok") / 1e6
+    return per.select(
+        F.col("e").cast("long").alias("expert"),
+        "n_routed",
+        F.round(f_e, 6).alias("load_share"),
+        F.round(p_e, 6).alias("mean_prob"),
+        F.round(F.lit(8) * F.sum(f_e * 8 * p_e).over(wa) / 8, 6).alias("aux_loss"),
+    )
