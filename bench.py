@@ -355,6 +355,7 @@ EXTRA = [
     "itemcf_topk",
     "kneser_ney_bigram_ppl",
     "moe_router_balance",
+    "topic_coherence_npmi",
 ]
 
 

@@ -22106,3 +22106,129 @@ def moe_router_balance_q(spark, sf_dir):
         F.round(p_e, 6).alias("mean_prob"),
         F.round(F.lit(8) * F.sum(f_e * 8 * p_e).over(wa) / 8, 6).alias("aux_loss"),
     )
+
+
+@query(
+    "topic_coherence_npmi",
+    oracle="""
+    WITH pres AS (
+        SELECT DISTINCT doc_id, source, term FROM (
+            SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+        WHERE term <> ''
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    sfreq AS (
+        SELECT source, term, CAST(count(*) AS BIGINT) AS c
+        FROM pres GROUP BY source, term
+    ), topic AS (
+        SELECT source, term FROM (
+            SELECT source, term,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY c DESC, term) AS rk
+            FROM sfreq) WHERE rk <= 3
+    ), dfreq AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM pres
+        GROUP BY term
+    ), tpairs AS (
+        SELECT a.source, a.term AS ta, b.term AS tb
+        FROM topic a JOIN topic b
+          ON a.source = b.source AND a.term < b.term
+    ), copres AS (
+        SELECT tp.source, tp.ta, tp.tb,
+               CAST(count(DISTINCT pa.doc_id) AS BIGINT) AS cab
+        FROM tpairs tp
+        JOIN pres pa ON pa.term = tp.ta
+        JOIN pres pb ON pb.term = tp.tb AND pb.doc_id = pa.doc_id
+        GROUP BY tp.source, tp.ta, tp.tb
+    ), scored AS (
+        SELECT c.source,
+               CAST(round(
+                   ln((CAST(c.cab AS DOUBLE) * n.n) / (da.df * CAST(db.df AS DOUBLE)))
+                   / -ln(CAST(c.cab AS DOUBLE) / n.n) * 1000000) AS BIGINT) AS npmi_u
+        FROM copres c
+        JOIN dfreq da ON da.term = c.ta
+        JOIN dfreq db ON db.term = c.tb
+        CROSS JOIN n
+        WHERE c.cab > 0
+    ), tl AS (
+        SELECT source, string_agg(term, ',' ORDER BY term) AS topic_terms
+        FROM topic GROUP BY source
+    )
+    SELECT s.source, tl.topic_terms,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(npmi_u) AS DOUBLE) / count(*) / 1e6, 6) AS mean_npmi
+    FROM scored s JOIN tl USING (source)
+    GROUP BY s.source, tl.topic_terms
+    """,
+)
+def topic_coherence_npmi_q(spark, sf_dir):
+    """Topic coherence via NPMI (Bouma '09 / the standard topic-model
+    eval — do a topic's words actually CO-OCCUR, or did the model
+    stitch frequent-but-unrelated terms?): each source's top-3
+    presence terms play the topic, pairwise NPMI comes from
+    document-level co-occurrence counts (NPMI = PMI normalized by
+    −ln p(a,b): +1 perfect co-occurrence, 0 independence, −1 never
+    together), per-pair scores micro-quantize before the per-topic
+    mean. Presence/co-occurrence joins are keyed by the 15-row topic
+    term set — the corpus contributes one DISTINCT (doc, term) pass
+    and everything after is topic-bounded."""
+    from .functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents", split=True)
+    pres = (
+        docs.select(
+            "doc_id", "source", F.explode(X.tokens(F.col("text"))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = docs.agg(F.count("*").cast("long").alias("n"))
+    sfreq = pres.groupBy("source", "term").agg(F.count("*").cast("long").alias("c"))
+    wt = Window.partitionBy("source").orderBy(F.col("c").desc(), "term")
+    topic = (
+        sfreq.select("source", "term", F.row_number().over(wt).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .drop("rk")
+    )
+    dfreq = pres.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    ta = topic.select("source", F.col("term").alias("ta"))
+    tb = topic.select("source", F.col("term").alias("tb"))
+    tpairs = ta.join(tb, "source").filter(F.col("ta") < F.col("tb"))
+    pa = pres.select(F.col("term").alias("ta"), F.col("doc_id"))
+    pb = pres.select(F.col("term").alias("tb"), F.col("doc_id"))
+    copres = (
+        tpairs.join(pa, "ta")
+        .join(pb, ["tb", "doc_id"])
+        .groupBy("source", "ta", "tb")
+        .agg(F.countDistinct("doc_id").cast("long").alias("cab"))
+    )
+    scored = (
+        copres.join(dfreq.select(F.col("term").alias("ta"), F.col("df").alias("dfa")), "ta")
+        .join(dfreq.select(F.col("term").alias("tb"), F.col("df").alias("dfb")), "tb")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("cab") > 0)
+        .select(
+            "source",
+            F.expr(
+                "cast(round(ln((cast(cab as double) * n) / (dfa * cast(dfb as double)))"
+                " / -ln(cast(cab as double) / n) * 1000000) as bigint)"
+            ).alias("npmi_u"),
+        )
+    )
+    tl = topic.groupBy("source").agg(
+        F.array_join(F.sort_array(F.collect_list("term")), ",").alias("topic_terms")
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.sum("npmi_u").cast("double") / F.count("*") / 1e6, 6).alias(
+                "mean_npmi"
+            ),
+        )
+        .join(tl, "source")
+        .select("source", "topic_terms", "n_pairs", "mean_npmi")
+    )

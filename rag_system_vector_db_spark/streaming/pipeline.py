@@ -600,3 +600,60 @@ def streaming_ewma(events_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def day_hll_registers(events_df: DataFrame) -> DataFrame:
+    """Per-day HLL register table (256 registers, p=8) over user_id —
+    the mergeable distinct-count state sliding_window_hll reads:
+    register-wise max over ANY slice of rows yields the union
+    sketch."""
+    from ..functions import hashing as H
+
+    h = events_df.select(
+        F.expr("unix_micros(cast(ts as timestamp)) * 1000 div 86400000000000").alias(
+            "day"
+        ),
+        H.md5_long(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    b = h.select(
+        "day",
+        F.expr("shiftright(h, 52)").alias("idx"),
+        F.expr("h & 4503599627370495").alias("w"),
+    )
+    for k in (1, 2, 4, 8, 16, 32):
+        b = b.withColumn("w", F.expr(f"w | shiftright(w, {k})"))
+    return b.groupBy("day", "idx").agg(F.expr("max(53 - bit_count(w))").alias("m_j"))
+
+
+def start_streaming_hll_maintenance(
+    events_stream: DataFrame, reg_dir: str, checkpoint_dir: str
+):
+    """Streaming maintenance of the per-day HLL register table: each
+    micro-batch APPENDS its batch-local registers; the resolved view
+    takes max per (day, idx). Because register merge is idempotent
+    AND commutative (max), a replayed batch appends rows that cannot
+    change the resolved state — exactly-once repair comes free from
+    the sketch algebra, with no batch stamps and no compaction needed
+    for correctness (compact by rewriting max-merged rows whenever
+    file count grows). This is the streaming half of
+    sliding_window_hll: the lake keeps 256 longs per day, and any
+    rolling-window distinct estimate is a bounded register read."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        day_hll_registers(batch_df).write.mode("append").parquet(reg_dir)
+
+    return (
+        events_stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_hll_registers(spark: SparkSession, reg_dir: str) -> DataFrame:
+    """Resolved register table: max per (day, idx) over all appended
+    micro-batch rows."""
+    return (
+        spark.read.parquet(reg_dir)
+        .groupBy("day", "idx")
+        .agg(F.max("m_j").alias("m_j"))
+    )

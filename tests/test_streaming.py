@@ -824,3 +824,64 @@ def test_streaming_ewma_matches_sequential_replay(spark, sf_dir, tmp_path):
     # progress reporting: the stateful operator surfaced state rows
     assert prog is not None and prog["stateOperators"], "no state operator progress"
     assert prog["stateOperators"][0]["numRowsTotal"] == len(replay)
+
+
+def test_streaming_hll_register_maintenance(spark, tmp_path):
+    """Streamed per-day HLL registers converge to the batch-computed
+    registers (merge == rebuild across micro-batch boundaries), and a
+    REPLAYED batch cannot change the resolved state — idempotence
+    from the max-merge algebra, not from dedup bookkeeping."""
+    import pandas as pd
+
+    from rag_system_vector_db_spark.streaming import pipeline as P
+
+    src = tmp_path / "src"
+    regs = str(tmp_path / "regs")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    full = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .orderBy("event_id")
+        .toPandas()
+    )
+    if str(full["ts"].dtype).startswith("datetime64"):
+        # pandas defaults to nanos; Spark's parquet reader rejects
+        # TIMESTAMP(NANOS) — write micros like the testdata layout
+        full["ts"] = full["ts"].astype("datetime64[us]")
+    half = len(full) // 2
+    full.iloc[:half].to_parquet(src / "b1.parquet")
+    q = P.start_streaming_hll_maintenance(
+        P.stream_events(spark, str(src)), regs, ckpt
+    )
+    try:
+        q.processAllAvailable()
+        full.iloc[half:].to_parquet(src / "b2.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    from rag_system_vector_db_spark.sources import load_table
+
+    want = {
+        (r["day"], r["idx"]): r["m_j"]
+        for r in P.day_hll_registers(
+            load_table(spark, "/root/testdata/sf0.001", "events")
+        ).collect()
+    }
+    got = {
+        (r["day"], r["idx"]): r["m_j"]
+        for r in P.read_hll_registers(spark, regs).collect()
+    }
+    assert got == want
+
+    # replay: append batch 1's registers again out-of-band; resolved
+    # state must be unchanged (max is idempotent)
+    P.day_hll_registers(
+        spark.createDataFrame(full.iloc[:half])
+    ).write.mode("append").parquet(regs)
+    got2 = {
+        (r["day"], r["idx"]): r["m_j"]
+        for r in P.read_hll_registers(spark, regs).collect()
+    }
+    assert got2 == want
