@@ -692,3 +692,42 @@ def test_trigram_fuzzy_broadcasts_query_terms(spark, sf_dir):
     plan = _plan(QUERIES["trigram_fuzzy_match"](spark, sf_dir))
     assert "Broadcast" in plan
     assert "EvalPython" not in plan
+
+
+def test_cascade_bounded_corpus_passes(spark, sf_dir):
+    """The cascade's corpus-shaped work is exactly the word scan, the
+    absmax scalar agg and the (grading-only) truth tower; the other
+    file scans are vec_id=0 query-row fetches whose pushdown makes
+    them point reads. Stage-2/3 candidate work must not add corpus
+    rescans: total file scans stay bounded and none are Python."""
+    plan = _plan(QUERIES["cascade_retrieval_sim"](spark, sf_dir))
+    assert plan.count("Scan parquet") <= 8
+    # the query-side fetches keep their vec_id pushdown
+    assert "EqualTo(vec_id,0)" in plan
+    assert "EvalPython" not in plan
+
+
+def test_sliding_hll_register_join_bounded(spark, sf_dir):
+    """The 7-day merge joins ANCHORS against the day-bounded register
+    frame — the fact table appears only under the two distinct
+    passes, and no Python touches the path."""
+    plan = _plan(QUERIES["sliding_window_hll"](spark, sf_dir))
+    assert "EvalPython" not in plan
+
+
+def test_moe_router_map_side(spark, sf_dir):
+    plan = _plan(QUERIES["moe_router_balance"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "partial" in plan.lower()  # map-side combine on the expert rollup
+
+
+def test_textrank_vocab_sized_iteration(spark, sf_dir):
+    """All three power-iteration joins run on the checkpointed
+    vocabulary-sized edge frame — the corpus tokenize appears once,
+    not once per round."""
+    df = QUERIES["textrank_keywords"](spark, sf_dir)
+    plan = _plan(df)
+    # the corpus scan feeds the single checkpointed edge build; the
+    # iteration rounds must reference the checkpoint, not re-scan
+    assert plan.count("Scan parquet") <= 1
+    assert "EvalPython" not in plan
