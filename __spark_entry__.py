@@ -168,7 +168,10 @@ _VERIFY_FIRST = [
     # prefix_autocomplete, ucb_bandit_replay, propensity_matching_att,
     # gmm_em_round, mediation_analysis, graph_modularity,
     # rank_biased_overlap, sliding_window_hll, cdc_chunking,
-    # backfill_plan, als_rank1_round, weighted_jaccard_pairs — every
+    # backfill_plan, als_rank1_round, weighted_jaccard_pairs,
+    # jl_projection_audit, pca_explained_variance, textrank_keywords,
+    # count_sketch_estimate, itemcf_topk, kneser_ney_bigram_ppl,
+    # moe_router_balance, topic_coherence_npmi — every
     # one parity-verified at BOTH sf0.001 and sf0.01 (the driver's
     # gate scale) in-session; fold them into the r6 rotation ahead of
     # the earlier-listed cohorts (flagships first: markov_attribution,

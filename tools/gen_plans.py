@@ -289,6 +289,63 @@ NOTES = {
         "sequence+explode over a 1-row bounds agg, and the LOCF "
         "window runs over |hours| rows, never |events|."
     ),
+    "knn_range_search": (
+        "Radius search is a pure MAP job: broadcast query side, one "
+        "corpus pass, plain filter on bit-identical scores — no "
+        "exchange, no aggregate, no sort anywhere in the plan."
+    ),
+    "post_filter_recall": (
+        "Corpus scored ONCE; the spark_partition_id partial prune "
+        "keeps BOTH k-sets (overall + filtered) per partition, one "
+        "final agg merges and intersects — no second scoring pass, "
+        "no ranking join."
+    ),
+    "pit_feature_join": (
+        "Point-in-time lookup with NO join operator: dimension "
+        "changes and observations union-tag onto one (user, ts, tag, "
+        "id) window; running last(ignorenulls) carries the in-effect "
+        "version. Plan-asserted join-free."
+    ),
+    "window_funnel": (
+        "Two STACKED windows on the identical spec (one exchange): "
+        "pass 1 gives every row its next purchase, pass 2 takes the "
+        "first future click CARRYING that struct as payload — the "
+        "click fetch-back join disappears."
+    ),
+    "markov_attribution": (
+        "Transitions from one lag pass + per-journey tails (two "
+        "windows sharing the user partitioning); the <=49-row matrix "
+        "solves driver-side in exact micro-unit integers and the "
+        "recursive-CTE oracle replays all 24 steps."
+    ),
+    "cascade_retrieval_sim": (
+        "Corpus-shaped work = 8-byte word scan + absmax scalar + "
+        "(grading-only) truth tower; stage-2/3 candidates are "
+        "broadcast-id fetches with vec_id pushdown, never corpus "
+        "rescans."
+    ),
+    "hll_merge_rollup": (
+        "Per-type registers from one grouped rho cascade; merge is a "
+        "register-wise max over the 5x256-bounded frame; the direct "
+        "sketch rebuilds from raw hashes — the hash-check proves "
+        "merge == rebuild."
+    ),
+    "wand_pruning_sim": (
+        "One tokenize pass feeds tf/df/contributions "
+        "(localCheckpoint); upper bounds are a terms-sized broadcast, "
+        "theta a 1-row broadcast — the skip verdict never rescans "
+        "text."
+    ),
+    "merge_into_apply": (
+        "ONE full-outer join on bare keys resolves all three MERGE "
+        "branches; the 50-row insert source and the max-key scalar "
+        "ride broadcasts."
+    ),
+    "sliding_window_hll": (
+        "Per-day registers once (localCheckpoint), anchors join a "
+        "7-day register RANGE on the day-bounded frame — rolling "
+        "distinct without touching the fact table per anchor."
+    ),
 }
 
 
