@@ -356,6 +356,7 @@ EXTRA = [
     "kneser_ney_bigram_ppl",
     "moe_router_balance",
     "topic_coherence_npmi",
+    "holt_winters_forecast",
 ]
 
 

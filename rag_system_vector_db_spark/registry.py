@@ -17609,8 +17609,17 @@ def kmv_set_ops_q(spark, sf_dir):
     )
     du = ev.select("event_type", "user_id").distinct()
     h = du.select("event_type", H.md5_long(F.col("user_id").cast("string")).alias("h"))
-    per = h.groupBy("event_type").agg(
-        F.slice(F.sort_array(F.collect_list("h")), 1, 32).alias("sk")
+    # two-phase k-min (sketch.kmv_distinct's scale path): each input
+    # partition collapses its hashes to <=k per type BEFORE the
+    # exchange, so no NDV-sized array ever sits in one agg buffer
+    partial = (
+        h.withColumn("_pid", F.spark_partition_id())
+        .groupBy("event_type", "_pid")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, 32).alias("hs"))
+        .select("event_type", F.explode("hs").alias("h"))
+    )
+    per = partial.groupBy("event_type").agg(
+        F.slice(F.sort_array(F.collect_set("h")), 1, 32).alias("sk")
     )
     row = per.agg(
         F.max(F.when(F.col("event_type") == "click", F.col("sk"))).alias("ska"),
@@ -22231,4 +22240,131 @@ def topic_coherence_npmi_q(spark, sf_dir):
         )
         .join(tl, "source")
         .select("source", "topic_terms", "n_pairs", "mean_npmi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters seasonal forecast (r5 cont. — completes the forecasting
+# ladder: OLS line -> Holt level+trend -> HW level+trend+season)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "holt_winters_forecast",
+    oracle="""
+    WITH m AS (
+        SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS month_id,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        FROM orders GROUP BY month_id
+    ), ser AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_months,
+               list(CAST(rev_c AS DOUBLE) / 100 ORDER BY month_id) AS ys
+        FROM m
+    ), init AS (
+        SELECT n_months, ys,
+               list_sum(ys[1:12]) / 12 AS l0
+        FROM ser
+    ), fit AS (
+        SELECT n_months,
+               list_reduce(
+                   [[l0, 0.0] || list_transform(ys[1:12], y -> y - l0)]
+                   || list_transform(ys[13:CAST(n_months AS INTEGER)],
+                                     y -> [y] || [0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+                                                  0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+                   (acc, x) ->
+                       [0.5 * (x[1] - acc[3]) + 0.5 * (acc[1] + acc[2]),
+                        0.5 * ((0.5 * (x[1] - acc[3]) + 0.5 * (acc[1] + acc[2])) - acc[1])
+                          + 0.5 * acc[2]]
+                       || acc[4:14]
+                       || [0.5 * (x[1] - (0.5 * (x[1] - acc[3])
+                                          + 0.5 * (acc[1] + acc[2])))
+                           + 0.5 * acc[3]]
+               ) AS st
+        FROM init
+    )
+    SELECT CAST(h AS BIGINT) AS horizon, n_months,
+           round(st[1], 6) AS level_end,
+           round(st[2], 6) AS trend_end,
+           round(st[1] + h * st[2] + st[2 + h], 6) AS forecast
+    FROM fit CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
+    """,
+)
+def holt_winters_forecast_q(spark, sf_dir):
+    """Holt-Winters additive triple smoothing + 3-month seasonal
+    forecast (the seasonality-aware member of the forecasting ladder:
+    revenue_forecast's OLS line -> holt_forecast's level+trend -> HW
+    level+trend+12 seasonal states; alpha=beta=gamma=0.5): the
+    inherently sequential recursion runs as the bit-identical ordered
+    fold (survival_km's contract) with a 14-element state vector —
+    and the seasonal array is a ROTATING QUEUE (head = current
+    month's seasonal; each step consumes the head and appends the
+    updated value), so the fold needs NO computed list indices: pure
+    concat/slice lambdas both engines evaluate identically. Init:
+    level = first-year mean, seasonals = first-year deviations.
+    Forecast h steps out reads the queue h positions in. The fact
+    table collapses to ~80 cent-exact month totals before any of
+    this; the fold runs on one row."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1).alias(
+            "month_id"
+        )
+    ).agg(
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    ser = m.agg(
+        F.count("*").cast("long").alias("n_months"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(month_id, rev_c))), "
+            "s -> cast(s.rev_c as double) / 100)"
+        ).alias("ys"),
+    )
+    init = ser.select(
+        "n_months",
+        "ys",
+        F.expr(
+            "aggregate(slice(ys, 1, 12), cast(0.0 as double), (a, y) -> a + y) / 12"
+        ).alias("l0"),
+    )
+    fit = init.select(
+        "n_months",
+        F.expr(
+            """
+            aggregate(
+                transform(slice(ys, 13, cast(n_months as int) - 12),
+                          y -> concat(array(y), array_repeat(cast(0.0 as double), 13))),
+                concat(array(l0, cast(0.0 as double)),
+                       transform(slice(ys, 1, 12), y -> y - l0)),
+                (acc, x) ->
+                    concat(
+                        array(
+                            0.5 * (element_at(x, 1) - element_at(acc, 3))
+                              + 0.5 * (element_at(acc, 1) + element_at(acc, 2)),
+                            0.5 * ((0.5 * (element_at(x, 1) - element_at(acc, 3))
+                                    + 0.5 * (element_at(acc, 1) + element_at(acc, 2)))
+                                   - element_at(acc, 1))
+                              + 0.5 * element_at(acc, 2)),
+                        slice(acc, 4, 11),
+                        array(
+                            0.5 * (element_at(x, 1)
+                                   - (0.5 * (element_at(x, 1) - element_at(acc, 3))
+                                      + 0.5 * (element_at(acc, 1) + element_at(acc, 2))))
+                              + 0.5 * element_at(acc, 3))))
+            """
+        ).alias("st"),
+    )
+    hs = spark.createDataFrame([(1,), (2,), (3,)], "h int")
+    return fit.crossJoin(F.broadcast(hs)).select(
+        F.col("h").cast("long").alias("horizon"),
+        "n_months",
+        F.round(F.element_at("st", 1), 6).alias("level_end"),
+        F.round(F.element_at("st", 2), 6).alias("trend_end"),
+        F.round(
+            F.element_at("st", 1)
+            + F.col("h") * F.element_at("st", 2)
+            + F.element_at("st", F.lit(2) + F.col("h")),
+            6,
+        ).alias("forecast"),
     )
