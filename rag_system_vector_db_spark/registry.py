@@ -21643,7 +21643,6 @@ def textrank_keywords_q(spark, sf_dir):
     prove-the-iteration posture of knn_graph_pagerank generalized to
     arbitrary degree distributions via per-edge integer division.
     Top-10 words by final score."""
-    from .functions import text as X
 
     docs = load_table(spark, sf_dir, "documents", split=True)
     toks = docs.select(F.split("text", " ").alias("t"))
@@ -21972,7 +21971,6 @@ def kneser_ney_bigram_ppl_q(spark, sf_dir):
     emit. Completes the LM ladder: unigram mix (lm_perplexity),
     add-1 bigram (lm_perplexity_bigram), KN bigram — all from one
     tokenize pass + vocab-bounded joins."""
-    from .functions import text as X
 
     docs = load_table(spark, sf_dir, "documents", split=True)
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
