@@ -27,156 +27,75 @@ from rag_system_vector_db_spark.registry import (  # noqa: E402
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 # The driver's correctness run checks the FIRST 50 dict entries only.
-# r5-final rotation: (a) every entry that has NEVER had a driver stamp
-# (the 45 r5-new operators) verifies first; (b) the remaining 5 slots
-# go to the changed-after-stamp entries whose r4/r5 edits changed
-# BEHAVIOR, not just the plan (sequence_packing's integer-div fix,
-# chunk_diary/chunk_stats' reference-exact word_count) plus the two
-# most-reworked retrieval/dedup paths (hybrid_search_rrf's rrf_fuse
-# rework, dedup_ngram_jaccard's shingle+broadcast surgery).
-# Unslotted entries follow at positions 51+ (listed tail first, then
-# plain registration order). r6's rotation should front-load the tail
-# below IN ORDER: the 28 late-r5 never-stamped operators (every one
-# locally oracle-verified at BOTH sf0.001 and sf0.01 — the driver's
-# gate scale), then the remaining changed-after-stamp cohort
-# (dedup_minhash_lsh, dedup_simhash, minhash_accuracy, knn_graph_lsh,
-# skew_profile, semdedup_clusters, hybrid_index_rrf, chunk_documents,
-# dedup_cluster, join_revenue_topn, split_large_chunks, extract_dates,
-# local_supplier_volume, regex_extract_meta).
+# r6 rotation (per VERDICT r5 "Next round #1", operator growth frozen):
+# (a) the 14 changed-after-stamp entries FIRST — their r3/r4 stamps
+# predate the current code, so the stale-stamp risk outranks the
+# never-stamped cohort; the ONLY r6 code change near any of them is
+# the mechanical registry split (module move, no behavior edit).
+# (b) the quantile family whose exact/approx parameterization landed
+# this round (quantile_stats had a pass-r4 stamp; the others were
+# never stamped).
+# (c) never-stamped flagships: curation/sample-gen, the sketch family
+# (HLL/KMV/CMS/CountSketch/histogram), lakehouse merge + feature-store
+# joins, and the judge-named retrieval/attribution flagships.
+# Unslotted entries follow at positions 51+ in registration order;
+# 151 oracle-backed entries remain never-stamped after this window —
+# r7 should continue the rotation (next up: the remaining r5-cont.
+# statistical-testing wave, then the closing waves in §2 order).
 _VERIFY_FIRST = [
-    # (a) never driver-checked — r5 new operators
-    "global_sales_opportunity",
-    "group_reservoir_sample",
-    "priority_sample",
-    "compaction_plan",
-    "zorder_layout",
-    "bpe_pair_counts",
-    "event_transitions",
-    "knn_graph_pagerank",
-    "mutual_knn",
-    "ivf_probe_sweep",
-    "eval_results_artifact",
-    "quality_classifier",
-    "hard_negative_mining",
-    "cluster_purity",
-    "keyword_index_batch",
-    "hybrid_index_batch",
-    "multimodal_dedup",
-    "volume_shipping",
-    "promo_revenue",
-    "discounted_revenue",
-    "ann_ivfpq",
-    "ann_ivfpq_indexed",
-    "substring_dedup",
-    "order_priority_check",
-    "customer_order_distribution",
-    "small_quantity_revenue",
-    "large_volume_customers",
-    "scd2_intervals",
-    "bloom_dedup_probe",
-    "keyword_index_phrase",
-    "top_supplier_revenue",
-    "suppliers_kept_waiting",
-    "tokenizer_fertility",
-    "dsir_selection",
-    "shipping_priority",
-    "revenue_forecast",
-    "returned_items",
-    "market_share",
-    "keyword_index_merge",
-    "cdc_apply",
-    "ann_ivfpq_residual",
-    "dedup_cluster_stats",
-    "minhash_band_sweep",
-    "retrieval_ndcg",
-    "knn_graph_degree_stats",
-    # (b) code changed after last green stamp — behavior edits first
-    "sequence_packing",
-    "chunk_diary",
-    "chunk_stats",
-    "hybrid_search_rrf",
-    "dedup_ngram_jaccard",
-    # positions 51-55: next-in-line if the window widens. The r5
-    # CONTINUATION session added 26 more never-stamped oracle-backed
-    # operators (rows 230-255: chi_square_independence,
-    # layout_skipping_compare, events_decayed_topk, grouped_ols_slopes,
-    # mann_whitney_u, knn_classifier_eval, survival_km,
-    # silhouette_simplified, zipf_fit, jackknife_variance,
-    # bootstrap_ci, partition_plan_sim, postings_compression_stats,
-    # source_distinctive_terms, psi_drift, knn_graph_assortativity,
-    # bm25_tuning_grid, snippet_extraction, cross_source_duplication,
-    # holt_forecast, kendall_tau_ranks, ab_power_analysis,
-    # classifier_pr_curve, brier_decomposition,
-    # join_cardinality_estimate, filter_selectivity_estimate, plus the
-    # later waves: embedding_dedup_recall, order_backlog_timeseries,
-    # rollup_grain_advisor, seasonal_decompose, dedup_keep_best,
-    # quantile_confidence_bands, intraclass_correlation,
-    # dedup_threshold_sweep, embedding_dim_profile, eb_rate_shrinkage,
-    # simpson_paradox_check, bloom_filter_sizing, recall_at_k_sweep,
-    # uncertainty_sampling, source_ngram_similarity,
-    # seasonal_residual_anomaly, lorenz_curve_points,
-    # partition_scheme_advisor, cache_hit_rate_plan,
-    # paired_ttest_users, benford_first_digit, heaps_law_fit,
-    # ks_two_sample, session_gap_sweep, srm_check, did_estimator,
-    # cuped_adjustment, link_prediction_jaccard, conformal_interval,
-    # dp_noise_calibration, oneway_anova_f, hill_tail_index,
-    # daily_autocorrelation, count_overdispersion, churn_auc_baseline,
-    # cohort_ltv_curve, term_burstiness, ratio_metric_delta,
-    # embedding_isotropy, boosting_stump_round, neyman_allocation,
-    # horvitz_thompson_total, quadratic_trend_fit,
-    # mix_shift_decomposition, cost_optimal_threshold — 71 in
-    # total) — all parity-verified at sf0.001 AND sf0.01 this
-    # session (the final full sf0.01 gate run covered every one:
-    # 283/283 MATCH); fold them into the r6 rotation after the list
-    # below. Full r6
-    # rotation order (28 late-r5 never-stamped, flagships first):
-    # curation_pipeline, kmeans_refine, mlm_mask_corpus,
-    # span_corrupt_corpus, data_quality_checks, salted_join_topn,
-    # triangle_count, rag_context_budget, events_gap_fill, events_ohlc,
-    # query_expansion_prf, ann_sq8, ann_binary_hamming,
-    # rerank_two_stage, qlm_dirichlet_topk, revenue_cube,
-    # incremental_agg_maintenance, soft_dedup_weights,
-    # lm_perplexity_bigram, pmi_collocations, session_paths,
-    # events_ewma, lineitem_priority_mix, train_test_split,
-    # lang_confusion, token_entropy, faceted_search_counts,
-    # rfm_segments, skipgram_pairs, temporal_split, ann_ivf_sq8,
-    # dataset_card, quantization_recall, embedding_quality_checks,
-    # bpe_train_rounds, label_outliers, tfidf_vsm_topk,
-    # grouped_latency_slo, vocab_coverage, knn_graph_2hop,
-    # multimodal_shard_plan, pre_post_analysis — then the
-    # changed-after-stamp cohort (dedup_minhash_lsh, dedup_simhash,
-    # minhash_accuracy, knn_graph_lsh, skew_profile, and the comment
-    # block above). EVERY oracle-backed entry passed the full parity
-    # suite at sf0.01 (the driver's gate scale) this session.
+    # (a) stale stamps — code changed after last driver-green stamp
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "minhash_accuracy",
+    "knn_graph_lsh",
+    "skew_profile",
+    "semdedup_clusters",
+    "hybrid_index_rrf",
+    "chunk_documents",
+    "dedup_cluster",
+    "join_revenue_topn",
+    "split_large_chunks",
+    "extract_dates",
+    "local_supplier_volume",
+    "regex_extract_meta",
+    # (b) exact-quantile family parameterized this round
+    "quantile_stats",
+    "conversion_latency",
+    "grouped_latency_slo",
+    "trimmed_mean_stats",
+    "events_histogram_equidepth",
+    "quantile_confidence_bands",
+    # (c) never-stamped flagships
     "curation_pipeline",
     "kmeans_refine",
+    "salted_join_topn",
+    "triangle_count",
+    "data_quality_checks",
     "mlm_mask_corpus",
+    "span_corrupt_corpus",
+    "fim_transform",
+    "merge_into_apply",
+    "pit_feature_join",
+    "window_funnel",
+    "cascade_retrieval_sim",
+    "hll_distinct",
+    "hll_merge_rollup",
+    "sliding_window_hll",
+    "kmv_distinct_by_group",
+    "kmv_set_ops",
+    "cms_heavy_hitters",
+    "count_sketch_estimate",
+    "histogram_quantile_sketch",
+    "markov_attribution",
+    "ucb_bandit_replay",
+    "graph_random_walks",
+    "seeding_quality_eval",
+    "wand_pruning_sim",
+    "soft_dedup_weights",
+    "rag_context_budget",
     "query_expansion_prf",
-    "ann_sq8",
-    # The FINAL r5 continuation session added 41 more never-stamped
-    # oracle-backed operators (§2 rows 306-346): knn_range_search,
-    # post_filter_recall, hnsw_layer_plan, fim_transform,
-    # k_anonymity_audit, filter_bias_audit, trigram_fuzzy_match,
-    # kmv_set_ops, forecast_backtest, list_collections,
-    # rag_groundedness, window_funnel, position_bias_coec,
-    # multitouch_attribution, pit_feature_join,
-    # histogram_quantile_sketch, broadcast_size_advisor,
-    # markov_attribution, wand_pruning_sim, padding_waste_audit,
-    # cascade_retrieval_sim, merge_into_apply, seeding_quality_eval,
-    # graph_random_walks, ood_mahalanobis, retention_halflife_fit,
-    # hll_merge_rollup, growth_accounting, ltr_pair_gen,
-    # prefix_autocomplete, ucb_bandit_replay, propensity_matching_att,
-    # gmm_em_round, mediation_analysis, graph_modularity,
-    # rank_biased_overlap, sliding_window_hll, cdc_chunking,
-    # backfill_plan, als_rank1_round, weighted_jaccard_pairs,
-    # jl_projection_audit, pca_explained_variance, textrank_keywords,
-    # count_sketch_estimate, itemcf_topk, kneser_ney_bigram_ppl,
-    # moe_router_balance, topic_coherence_npmi — every
-    # one parity-verified at BOTH sf0.001 and sf0.01 (the driver's
-    # gate scale) in-session; fold them into the r6 rotation ahead of
-    # the earlier-listed cohorts (flagships first: markov_attribution,
-    # cascade_retrieval_sim, ucb_bandit_replay, pit_feature_join,
-    # merge_into_apply, hll_merge_rollup, window_funnel).
+    "rerank_two_stage",
+    "qlm_dirichlet_topk",
 ]
 
 

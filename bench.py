@@ -13,6 +13,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from rag_system_vector_db_spark.registry import QUERIES  # noqa: E402
 from rag_system_vector_db_spark.session import get_spark  # noqa: E402
 
@@ -360,6 +362,36 @@ EXTRA = [
 ]
 
 
+# Host-calibration reference: best-of-3 for the fixed scan+agg below AT
+# SF0.1 (the driver's bench scale) on THIS instance class, measured on
+# a quiet box (load_avg 0.6, r6: 0.35-0.46 across two best-of-3 runs).
+# The compact record reports both raw and calibration-normalized totals
+# so round-over-round comparisons are self-evident even when the host
+# is loaded (the r5 record was taken at load_avg 8 and read 1.95x
+# slow). The ratio is only meaningful when sf matches the reference
+# scale — at other sf the raw calibration_sec is still recorded.
+CAL_REF_SEC = 0.40
+
+
+def calibration_run(spark, sf_dir: str) -> float:
+    """Fixed parquet scan+agg microbenchmark (code never changes round
+    to round): full lineitem scan, groupBy(returnflag,linestatus) with
+    4 aggregates. Pure JVM codegen path — measures host/JVM throughput,
+    not query-plan quality."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity"),
+            F.sum("l_extendedprice"),
+            F.avg("l_discount"),
+            F.count("*"),
+        ).count()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -369,6 +401,8 @@ def main() -> None:
     spark = get_spark("bench")
     # warm the JVM + parquet footers once
     spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    calibration_sec = calibration_run(spark, sf_dir)
     # Untimed warmup pass: compiles + caches each query's whole-stage
     # codegen classes so the timed runs measure steady-state engine
     # throughput rather than one-off JIT compilation.
@@ -421,6 +455,7 @@ def main() -> None:
             fn(spark, sf_dir).count()  # warm
     extra = best_of(EXTRA)
     total = round(sum(timings.values()), 4)
+    load_after = os.getloadavg()
     result = {
         "metric": "headline_queries_total",
         "value": total,
@@ -428,6 +463,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "timed_passes": 2,
+        # Fixed scan+agg microbenchmark (calibration_run above):
+        # measures host/JVM throughput this run vs the quiet-box
+        # reference, so a loaded host reads off the record itself
+        # instead of costing an adjudication (r5 lesson).
+        "calibration_sec": calibration_sec,
+        "calibration_ref_sec": CAL_REF_SEC,
+        "value_calibrated": round(total * CAL_REF_SEC / calibration_sec, 4),
         # queries that got the one extra anti-outlier pass this run
         # (their value is best-of-3; empty on a clean run)
         "outlier_retimed": retimed,
@@ -438,16 +480,15 @@ def main() -> None:
         # (observed swing 20-40%) — re-run before reading a
         # regression off this record.
         "load_avg_before": [round(x, 2) for x in load_before],
-        "load_avg_after": [round(x, 2) for x in os.getloadavg()],
+        "load_avg_after": [round(x, 2) for x in load_after],
     }
-    # Compact separators: the driver keeps only a bounded tail of the
-    # output, and the r4 record lost the first headliners to that
-    # window — every byte of the line counts. Print FIRST (the channel
-    # the driver consumes), then write the durable file copy
-    # best-effort: a full disk must not cost the primary record.
-    line = json.dumps(result, separators=(",", ":"))
-    print(line)
-    sys.stdout.flush()
+    # The driver records only the LAST 2000 stdout chars. The full
+    # record (282 extras) is ~8 KB, so it goes to the durable file +
+    # an early stdout line; the FINAL stdout line is a compact summary
+    # (headline total + 36-query headline dict + calibration, ~1.3 KB)
+    # that fits the tail window whole. r4 and r5 both lost the driver
+    # record to tail truncation — the compact-last-line contract is
+    # what BENCH_r06 parses.
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_result.json")
     try:
         with open(out_path, "w") as f:
@@ -455,7 +496,31 @@ def main() -> None:
             f.write("\n")
     except OSError as e:
         print(f"warning: could not write {out_path}: {e}", file=sys.stderr)
+    print(json.dumps(result, separators=(",", ":")))
+    sys.stdout.flush()
     spark.stop()
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": timings,
+        "calibration_sec": calibration_sec,
+        "calibration_ref_sec": CAL_REF_SEC,
+        "value_calibrated": result["value_calibrated"],
+        "timed_passes": 2,
+        "extras": "BENCH_result.json",
+        "load_avg_before": result["load_avg_before"],
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    # Hard guarantee: the summary line must fit the driver's 2000-char
+    # tail whole. If the headline dict ever outgrows it, drop to the
+    # totals-only form rather than ship an unparseable record.
+    if len(line) > 1900:
+        compact.pop("queries")
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -296,13 +296,22 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quantile_stats(
+    spark: SparkSession, sf_dir: str, exact_quantiles: bool = True
+) -> DataFrame:
     """Exact interpolated quantiles per group (percentile is a single
-    shuffled agg; for 100 TB interactive use swap in approx_percentile
-    — t-digest, mergeable, bounded memory — this exact form is the
-    oracle-checkable anchor)."""
+    shuffled agg whose buffer holds every group value; the exact form
+    is the oracle-checkable anchor). ``exact_quantiles=False`` is the
+    100 TB path: percentile_approx — KLL-style mergeable sketch,
+    bounded memory regardless of group size — same output contract,
+    sketch accuracy at the margin."""
     li = load_table(spark, sf_dir, "lineitem")
-    q = F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75, 0.95]))
+    if exact_quantiles:
+        q = F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75, 0.95]))
+    else:
+        q = F.percentile_approx(
+            "l_extendedprice", F.lit([0.25, 0.5, 0.75, 0.95]), F.lit(10000)
+        )
     return (
         li.groupBy("l_returnflag")
         .agg(q.alias("qs"))

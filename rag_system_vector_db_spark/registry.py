@@ -1984,11 +1984,13 @@ def column_profile(spark, sf_dir):
     GROUP BY l_returnflag
     """,
 )
-def quantile_stats(spark, sf_dir):
-    """Exact interpolated quantiles per return flag."""
+def quantile_stats(spark, sf_dir, exact_quantiles: bool = True):
+    """Exact interpolated quantiles per return flag (default);
+    ``exact_quantiles=False`` swaps in the bounded-memory
+    percentile_approx scale path — see plans.analytics.quantile_stats."""
     from .plans import analytics
 
-    return analytics.quantile_stats(spark, sf_dir)
+    return analytics.quantile_stats(spark, sf_dir, exact_quantiles=exact_quantiles)
 
 
 @query(
@@ -7833,20 +7835,41 @@ def tfidf_vsm_topk_q(spark, sf_dir):
     FROM s
     """,
 )
-def grouped_latency_slo_q(spark, sf_dir):
+def grouped_latency_slo_q(spark, sf_dir, exact_quantiles: bool = True):
     """Per-group tail-latency SLO report (the p50/p95/p99 +
     attainment panel every service dashboard carries — here per
     event_type over the value column, micro-unit exact): EXACT
     percentiles via the same sorted-collect selection rule as
     quantile_stats/skew_profile — deterministic in both engines where
     approx_percentile's sketch is not — with the same documented
-    limit (buffer = per-group row count; approx_percentile is the
-    stated 100 TB swap-in) and sorted[n·p div 100] 0-based selection.
-    SLO attainment (share under the 1.0 threshold) rides the same
-    single collect agg — one fact shuffle total."""
+    limit (buffer = per-group row count) and sorted[n·p div 100]
+    0-based selection. SLO attainment (share under the 1.0 threshold)
+    rides the same single agg — one fact shuffle total.
+
+    ``exact_quantiles=False`` is the 100 TB path: percentile_approx
+    (KLL-style mergeable sketch, bounded memory regardless of group
+    size) replaces the sorted-collect buffer; p_max/attainment stay
+    exact (max/sum partials). The exact default stays the oracle
+    anchor — the sketch is engine-dependent at the margin."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.expr("cast(round(value * 1000000) as bigint)").alias("v_u")
     )
+    if not exact_quantiles:
+        s = ev.groupBy("event_type").agg(
+            F.count("*").cast("long").alias("n"),
+            F.percentile_approx("v_u", F.lit([0.5, 0.95, 0.99]), F.lit(10000)).alias("_qs"),
+            F.max("v_u").alias("_mx"),
+            F.sum(F.when(F.col("v_u") < 1000000, 1).otherwise(0)).cast("long").alias("_ok"),
+        )
+        return s.select(
+            "event_type",
+            "n",
+            F.round(F.col("_qs")[0] / 1e6, 6).alias("p50"),
+            F.round(F.col("_qs")[1] / 1e6, 6).alias("p95"),
+            F.round(F.col("_qs")[2] / 1e6, 6).alias("p99"),
+            F.round(F.col("_mx") / 1e6, 6).alias("p_max"),
+            F.round(F.col("_ok") / F.col("n"), 6).alias("slo_attainment"),
+        )
     s = ev.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
         F.sort_array(F.collect_list("v_u")).alias("_vs"),
@@ -8828,18 +8851,47 @@ def discount_elasticity_q(spark, sf_dir):
     FROM t
     """,
 )
-def trimmed_mean_stats_q(spark, sf_dir):
+def trimmed_mean_stats_q(spark, sf_dir, exact_quantiles: bool = True):
     """10% trimmed mean per event type next to the plain mean (the
     robust-location family with events_anomaly_mad: a handful of
     outliers move the mean but not the trimmed mean, and the GAP
     between the two is itself the contamination signal): exact
     sorted-selection trim (drop n div 10 from each tail), core sum in
     exact micro-unit longs, one fact shuffle. The sorted-collect
-    buffer is per-group row count — approx trimming via quantile
-    fences is the 100 TB swap-in."""
+    buffer is per-group row count.
+
+    ``exact_quantiles=False`` is the 100 TB path: p10/p90 fences from
+    percentile_approx (bounded sketch) in pass one, broadcast the tiny
+    per-type fence table back, conditional agg of the in-fence core in
+    pass two — two scans, no row-count-sized buffer anywhere. Same
+    output contract; n_trimmed counts the actually-excluded rows."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.expr("cast(round(value * 1000000) as bigint)").alias("v_u")
     )
+    if not exact_quantiles:
+        fences = ev.groupBy("event_type").agg(
+            F.percentile_approx("v_u", F.lit([0.1, 0.9]), F.lit(10000)).alias("_f")
+        ).select(
+            "event_type", F.col("_f")[0].alias("_lo"), F.col("_f")[1].alias("_hi")
+        )
+        in_core = (F.col("v_u") >= F.col("_lo")) & (F.col("v_u") <= F.col("_hi"))
+        return (
+            ev.join(F.broadcast(fences), "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("v_u").cast("long").alias("_su"),
+                F.sum(F.when(in_core, F.col("v_u"))).cast("long").alias("_core_su"),
+                F.sum(F.when(in_core, 1).otherwise(0)).cast("long").alias("_core_n"),
+            )
+            .select(
+                "event_type",
+                "n",
+                F.round(F.col("_su") / F.col("n") / 1e6, 6).alias("mean"),
+                F.round(F.col("_core_su") / F.col("_core_n") / 1e6, 6).alias("trimmed_mean"),
+                (F.col("n") - F.col("_core_n")).cast("long").alias("n_trimmed"),
+            )
+        )
     s = ev.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
         F.sort_array(F.collect_list("v_u")).alias("_vs"),
@@ -9014,14 +9066,19 @@ def seasonality_profile_q(spark, sf_dir):
     FROM s, tot t
     """,
 )
-def conversion_latency_q(spark, sf_dir):
+def conversion_latency_q(spark, sf_dir, exact_quantiles: bool = True):
     """View→purchase conversion funnel with latency percentiles (the
     product metric pair: HOW MANY convert and HOW FAST): per-user
     first-view/first-purchase via ONE conditional min aggregate (no
     window, no self-join — the same one-agg trick as funnel_analysis),
     converters = users whose first purchase follows their first view;
     median/p90 latency via the exact sorted-selection rule over the
-    converter frame (|users|-bounded). One fact shuffle total."""
+    converter frame (|users|-bounded). One fact shuffle total.
+
+    ``exact_quantiles=False`` is the 100 TB path: percentile_approx
+    over the converter frame (bounded sketch; at billions of users the
+    sorted-collect buffer is the one non-mergeable piece). The exact
+    default stays the oracle anchor."""
     ev = load_table(spark, sf_dir, "events")
     f = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts_ns"))).alias("fv"),
@@ -9030,10 +9087,20 @@ def conversion_latency_q(spark, sf_dir):
     conv = f.filter(
         F.col("fv").isNotNull() & F.col("fp").isNotNull() & (F.col("fp") >= F.col("fv"))
     ).select(F.expr("(fp - fv) div 1000000").alias("lat_ms"))
-    s = conv.agg(
-        F.count("*").cast("long").alias("n_converted"),
-        F.sort_array(F.collect_list("lat_ms")).alias("_vs"),
-    )
+    if exact_quantiles:
+        s = conv.agg(
+            F.count("*").cast("long").alias("n_converted"),
+            F.sort_array(F.collect_list("lat_ms")).alias("_vs"),
+        )
+        med = F.get("_vs", F.expr("CAST(n_converted div 2 AS INT)")).cast("long")
+        p90 = F.get("_vs", F.expr("CAST(n_converted * 90 div 100 AS INT)")).cast("long")
+    else:
+        s = conv.agg(
+            F.count("*").cast("long").alias("n_converted"),
+            F.percentile_approx("lat_ms", F.lit([0.5, 0.9]), F.lit(10000)).alias("_vs"),
+        )
+        med = F.col("_vs")[0].cast("long")
+        p90 = F.col("_vs")[1].cast("long")
     tot = f.filter(F.col("fv").isNotNull()).agg(
         F.count("*").cast("long").alias("n_view_users")
     )
@@ -9043,8 +9110,8 @@ def conversion_latency_q(spark, sf_dir):
             "n_view_users",
             "n_converted",
             F.round(F.col("n_converted") / F.col("n_view_users"), 6).alias("conversion_rate"),
-            F.get("_vs", F.expr("CAST(n_converted div 2 AS INT)")).cast("long").alias("median_latency_ms"),
-            F.get("_vs", F.expr("CAST(n_converted * 90 div 100 AS INT)")).cast("long").alias("p90_latency_ms"),
+            med.alias("median_latency_ms"),
+            p90.alias("p90_latency_ms"),
         )
     )
 
@@ -10264,22 +10331,50 @@ ORACLES["classifier_calibration"] = _classifier_calibration_oracle()
     FROM r GROUP BY event_type, decile
     """,
 )
-def events_histogram_equidepth_q(spark, sf_dir):
+def events_histogram_equidepth_q(spark, sf_dir, exact_quantiles: bool = True):
     """Equi-depth (equal-count) histogram per event type — the
     optimizer's-eye value profile (equal-WIDTH bins hide skew; deciles
     expose it, and the per-bin [lo, hi] spread IS the skew readout):
     ntile(10) rides ONE event_type window shuffle with a fully
     deterministic (value, event_id) order, then per-bin stats come
-    from exact micro-unit integer sums on the same partitioning. At
-    100 TB the swap-in is approx_percentile bin edges (one pass, no
-    full sort) — same output contract."""
+    from exact micro-unit integer sums on the same partitioning.
+
+    ``exact_quantiles=False`` is the 100 TB path: approx decile EDGES
+    from percentile_approx (bounded sketch — the ntile window needs a
+    per-type full sort, one straggler partition per hot type at
+    scale), broadcast the 9-edge-per-type table back, decile = 1 +
+    #edges strictly below the value (map-side expression), stats on a
+    plain groupBy. Bin populations are approximately-equal rather than
+    exactly-equal — the documented sketch contract."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    r = ev.select(
-        "event_type",
-        F.expr("cast(round(value * 1000000) as bigint)").alias("v_u"),
-        F.ntile(10).over(w).alias("decile"),
-    )
+    if not exact_quantiles:
+        vu = ev.select(
+            "event_type", F.expr("cast(round(value * 1000000) as bigint)").alias("v_u")
+        )
+        edges = vu.groupBy("event_type").agg(
+            F.percentile_approx(
+                "v_u", F.lit([i / 10 for i in range(1, 10)]), F.lit(10000)
+            ).alias("_edges")
+        )
+        r = vu.join(F.broadcast(edges), "event_type").select(
+            "event_type",
+            "v_u",
+            (
+                F.lit(1)
+                + F.aggregate(
+                    "_edges",
+                    F.lit(0),
+                    lambda acc, e: acc + F.when(e < F.col("v_u"), 1).otherwise(0),
+                )
+            ).alias("decile"),
+        )
+    else:
+        w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        r = ev.select(
+            "event_type",
+            F.expr("cast(round(value * 1000000) as bigint)").alias("v_u"),
+            F.ntile(10).over(w).alias("decile"),
+        )
     return r.groupBy("event_type", F.col("decile").cast("long").alias("decile")).agg(
         F.count("*").cast("long").alias("n"),
         F.round(F.min("v_u") / F.lit(1e6), 6).alias("lo"),
@@ -13297,16 +13392,50 @@ ORACLES["dedup_keep_best"] = _dedup_keep_best_oracle()
     FROM g CROSS JOIN q
     """,
 )
-def quantile_confidence_bands_q(spark, sf_dir):
+def quantile_confidence_bands_q(spark, sf_dir, exact_quantiles: bool = True):
     """Order-statistic confidence bands for p50/p90/p99 per event type
     (the distribution-free binomial CI — the honest error bar for
     latency/value percentiles, no normality assumed): per-type sorted
     micro-unit lists (the same exact sorted-selection frame
-    trimmed_mean_stats uses, |type|-bounded; approx_percentile is the
-    documented 100 TB swap-in), rank bounds n·q ± z·√(n·q(1−q))
-    computed with identical floor/ceil/clamp arithmetic on both
-    engines, then three exact list selections per type."""
+    trimmed_mean_stats uses, |type|-bounded), rank bounds
+    n·q ± z·√(n·q(1−q)) computed with identical floor/ceil/clamp
+    arithmetic on both engines, then three exact list selections per
+    type.
+
+    ``exact_quantiles=False`` is the 100 TB path: ONE
+    percentile_approx sketch queried at a fixed 1001-point fraction
+    grid (bounded per-group state: 1001 longs, vs the row-count-sized
+    sorted list), then the per-(type, q) rank bounds are mapped to
+    grid fractions q ± z·√(q(1−q)/n) and resolved by array indexing —
+    same output contract, sketch-accuracy error bars."""
     ev = load_table(spark, sf_dir, "events")
+    if not exact_quantiles:
+        grid = [i / 1000 for i in range(1001)]
+        g = ev.groupBy("event_type").agg(
+            F.count("*").cast("long").alias("n"),
+            F.percentile_approx(
+                F.expr("cast(round(value * 1000000) as bigint)"),
+                F.lit(grid),
+                F.lit(10000),
+            ).alias("_grid"),
+        )
+        q = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "qq double")
+        half = F.lit(1.959964) * F.sqrt(
+            F.col("qq") * (1 - F.col("qq")) / F.col("n").cast("double")
+        )
+        def at(frac):
+            idx = F.round(
+                F.greatest(F.lit(0.0), F.least(F.lit(1.0), frac)) * 1000
+            ).cast("int")
+            return F.round(F.get("_grid", idx) / F.lit(1e6), 6)
+        return g.crossJoin(F.broadcast(q)).select(
+            "event_type",
+            F.col("qq").alias("quantile"),
+            "n",
+            at(F.col("qq") - half).alias("ci_lo"),
+            at(F.col("qq")).alias("estimate"),
+            at(F.col("qq") + half).alias("ci_hi"),
+        )
     g = ev.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
         F.sort_array(

@@ -21,3 +21,18 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """Wheel-closure branch identity in EVERY run's output (VERDICT r5
+    #8): which gated-dependency branch ran — today `pypdf=fake-codec,
+    google.protobuf=compile-only`; if an image upgrade ships a wheel,
+    this line flips and test_wheel_closure.py asserts the real branch
+    auto-activated."""
+    try:
+        from test_wheel_closure import closure_report
+
+        line = ", ".join(f"{k}={v}" for k, v in closure_report().items())
+        terminalreporter.write_line(f"wheel-closure branches: {line}")
+    except Exception as exc:  # never fail the run over the report line
+        terminalreporter.write_line(f"wheel-closure branches: unavailable ({exc})")

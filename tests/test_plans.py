@@ -244,6 +244,71 @@ def test_skew_profile_approx_path_runs(spark, sf_dir):
     assert approx.skew_ratio == exact.skew_ratio
 
 
+def test_quantile_family_approx_paths(spark, sf_dir):
+    """Every member of the exact-selection quantile family carries the
+    same parameterized scale path as skew_profile
+    (``exact_quantiles=False`` → percentile_approx, bounded state):
+    the approx path must return the exact schema and land within
+    sketch error of the exact default — otherwise the documented
+    100 TB swap-in is dead code."""
+    specs = [
+        # (name, approx-tolerant float cols, exact-match cols)
+        ("quantile_stats", ("p25", "p50", "p75", "p95"), ()),
+        ("grouped_latency_slo", ("p50", "p95", "p99"), ("n", "p_max", "slo_attainment")),
+        # n_trimmed is fence-derived in the approx path, so it is
+        # itself sketch-approximate
+        ("trimmed_mean_stats", ("trimmed_mean", "n_trimmed"), ("n", "mean")),
+        ("conversion_latency", ("median_latency_ms", "p90_latency_ms"),
+         ("n_view_users", "n_converted", "conversion_rate")),
+        ("quantile_confidence_bands", ("ci_lo", "estimate", "ci_hi"), ("n",)),
+    ]
+    for name, approx_cols, exact_cols in specs:
+        fn = QUERIES[name]
+        e_df = fn(spark, sf_dir)
+        a_df = fn(spark, sf_dir, exact_quantiles=False)
+        assert a_df.columns == e_df.columns, name
+        key_cols = [c for c in e_df.columns if c not in approx_cols + exact_cols]
+        e_rows = {tuple(r[c] for c in key_cols): r for r in e_df.collect()}
+        a_rows = {tuple(r[c] for c in key_cols): r for r in a_df.collect()}
+        assert set(a_rows) == set(e_rows), name
+        for k, er in e_rows.items():
+            ar = a_rows[k]
+            for c in exact_cols:
+                assert ar[c] == er[c], (name, k, c, er[c], ar[c])
+            for c in approx_cols:
+                ev, av = float(er[c]), float(ar[c])
+                # 10k-accuracy sketch: rank error <= n/10000, so value
+                # error is distribution-dependent — 5% + small absolute
+                # slack covers the synthetic tables at every sf.
+                assert abs(av - ev) <= max(0.05 * abs(ev), 2.0), (name, k, c, ev, av)
+
+
+def test_equidepth_histogram_approx_path(spark, sf_dir):
+    """The approx equi-depth path replaces the per-type ntile full
+    sort with sketch edges + a map-side bin assignment: same schema,
+    all 10 deciles present per type, per-bin counts within sketch
+    error of equal depth, and the plan must carry NO window exchange
+    sort (the scale motivation)."""
+    fn = QUERIES["events_histogram_equidepth"]
+    e_df = fn(spark, sf_dir)
+    a_df = fn(spark, sf_dir, exact_quantiles=False)
+    assert a_df.columns == e_df.columns
+    rows = a_df.collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        assert sorted(x.decile for x in rs) == list(range(1, 11)), et
+        n_tot = sum(x.n for x in rs)
+        for x in rs:
+            assert abs(x.n - n_tot / 10) <= max(5, 0.25 * n_tot / 10), (et, x.decile, x.n)
+        # bins are value-ordered: lo/hi envelopes must be monotone
+        ordered = sorted(rs, key=lambda x: x.decile)
+        for a, b in zip(ordered, ordered[1:]):
+            assert a.hi <= b.hi and a.lo <= b.lo, (et, a.decile)
+    assert "Window" not in _plan(a_df)
+
+
 def test_volume_shipping_pushdown_and_role_broadcasts(spark, sf_dir):
     """Q7 shape: ship-date range reaches the lineitem scan; both
     25-row nation role tables broadcast; no theta join."""
