@@ -4,22494 +4,20 @@
 ANSI SQL DuckDB runs on the same parquet views. Column names/aliases
 match exactly; float columns are rounded to 6 decimals on both sides
 AFTER any ordering/ranking on full precision, so value-hashes agree.
+
+r6: mechanically split by SURVEY §2 family into
+``registry_parts/partNN_*`` (statements unedited — see
+tools/split_registry.py); importing this module imports every part in
+the original order, so registration order and the driver's 50-entry
+window are byte-identical to the monolith.
 """
 
 from __future__ import annotations
 
-import math as _math
-import os as _os
-
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
-
-from .functions import hashing as H
-from .functions import vector as V
-from .operators import chunking, knn, text_analysis
-from .operators.text_analysis import STOPWORDS
-from .sources import load_table
-
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
-# Oracles whose SQL depends on the data directory (e.g. IVF centroids
-# trained on the sf's sample) — resolved to strings by
-# __spark_entry__.oracle_sql() for the driver's fixed sf0.01 run, and by
-# tests for whatever sf they exercise.
-LAZY_ORACLES: dict[str, Callable[[str], str]] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
-
-
-# DuckDB snippets for dot/norm with sequential double accumulation
-# (matches functions.vector exactly — see its module docstring).
-def _dd_dot(a: str, b: str) -> str:
-    return f"list_sum(list_transform(list_zip(({a})::DOUBLE[], ({b})::DOUBLE[]), x -> x[1]*x[2]))"
-
-
-def _dd_norm(a: str) -> str:
-    return f"sqrt(list_sum(list_transform(({a})::DOUBLE[], x -> x*x)))"
-
-
-def _dd_cosine(a: str, b: str) -> str:
-    return f"({_dd_dot(a, b)} / ({_dd_norm(a)} * {_dd_norm(b)}))"
-
-
-def _dd_euclid(a: str, b: str) -> str:
-    # matches functions.vector.euclidean: zip-diff, sequential sum of squares
-    return (
-        f"sqrt(list_sum(list_transform(list_zip(({a})::DOUBLE[], ({b})::DOUBLE[]),"
-        f" x -> (x[1]-x[2])*(x[1]-x[2]))))"
-    )
-
-
-# ---------------------------------------------------------------------------
-# Vector store / RAG core (reference parity: scripts/milvus_db.py)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "collection_stats",
-    oracle="""
-    SELECT source,
-           count(*) AS n_rows,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           round(avg(n_chars), 6) AS avg_chars,
-           min(doc_id) AS min_id,
-           max(doc_id) AS max_id
-    FROM documents
-    GROUP BY source
-    """,
-)
-def collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collection describe/stats (milvus_db.py:70 get_collection_stats)."""
-    return (
-        load_table(spark, sf_dir, "documents")
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.sum("n_chars").alias("total_chars"),
-            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
-            F.min("doc_id").alias("min_id"),
-            F.max("doc_id").alias("max_id"),
-        )
-    )
-
-
-@query(
-    "query_entities_filter",
-    oracle="""
-    SELECT doc_id, lang, source, n_chars
-    FROM documents
-    WHERE lang = 'en' AND n_chars > 300
-    ORDER BY doc_id
-    LIMIT 50
-    """,
-)
-def query_entities_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filtered entity query with projection + limit (milvus_db.py:51
-    query_entities). Filter + projection push down to the parquet scan."""
-    return (
-        load_table(spark, sf_dir, "documents")
-        .filter((F.col("lang") == "en") & (F.col("n_chars") > 300))
-        .select("doc_id", "lang", "source", "n_chars")
-        .orderBy("doc_id")
-        .limit(50)
-    )
-
-
-@query(
-    "scan_paginated",
-    oracle="""
-    SELECT doc_id, source,
-           CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 100) AS BIGINT) AS page
-    FROM documents
-    """,
-)
-def scan_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stable-order paginated full scan (milvus_db.py:77 get_all_entities).
-    Page = batch index at batch_size=100."""
-    w = Window.orderBy("doc_id")
-    return (
-        load_table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            "source",
-            F.floor((F.row_number().over(w) - 1) / 100).cast("long").alias("page"),
-        )
-    )
-
-
-@query(
-    "get_entities_by_ids",
-    oracle="""
-    SELECT doc_id, text, n_chars
-    FROM documents
-    WHERE doc_id IN (3, 7, 11, 101, 263, 499)
-    """,
-)
-def get_entities_by_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point lookup by id list (milvus_db.py:99 get_entities_by_ids)."""
-    ids = [3, 7, 11, 101, 263, 499]
-    return (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id").isin(ids))
-        .select("doc_id", "text", "n_chars")
-    )
-
-
-@query(
-    "insert_upsert",
-    oracle="""
-    WITH existing AS (
-        SELECT vec_id, label, 0 AS batch FROM embeddings WHERE vec_id < 100
-    ), incoming AS (
-        SELECT vec_id, label + 1000 AS label, 1 AS batch
-        FROM embeddings WHERE vec_id >= 50 AND vec_id < 150
-    ), unioned AS (
-        SELECT * FROM existing UNION ALL SELECT * FROM incoming
-    )
-    SELECT vec_id, label, batch FROM (
-        SELECT *, row_number() OVER (ORDER BY batch DESC, vec_id) AS _rn,
-               row_number() OVER (PARTITION BY vec_id ORDER BY batch DESC) AS rn
-        FROM unioned
-    ) WHERE rn = 1
-    """,
-)
-def insert_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Insert with last-write-wins upsert by primary key (milvus_db.py:61
-    insert_vectors). Window dedup, newest batch wins."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    existing = emb.filter(F.col("vec_id") < 100).select(
-        "vec_id", "label", F.lit(0).alias("batch")
-    )
-    incoming = emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 150)).select(
-        "vec_id", (F.col("label") + 1000).alias("label"), F.lit(1).alias("batch")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("batch").desc())
-    return (
-        existing.unionAll(incoming)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "batch")
-    )
-
-
-@query(
-    "vector_norms",
-    oracle=f"""
-    SELECT vec_id, round({_dd_norm('embedding')}, 6) AS norm
-    FROM embeddings
-    WHERE vec_id < 100
-    """,
-)
-def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 norms (reference normalize_embeddings=True check,
-    prepare_data.py:54 / tests/model_test.py)."""
-    return (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 100)
-        .select("vec_id", F.round(V.l2_norm(F.col("embedding")), 6).alias("norm"))
-    )
-
-
-@query(
-    "knn_topk_cosine",
-    oracle=f"""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT vec_id, round(score, 6) AS score FROM (
-        SELECT e.vec_id, {_dd_cosine('e.embedding', 'q.qv')} AS score
-        FROM embeddings e, q
-        WHERE e.vec_id <> 0
-        ORDER BY score DESC, e.vec_id
-        LIMIT 10
-    )
-    """,
-)
-def knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-query brute-force cosine top-k (milvus_db.py:107
-    search_vectors). Plan: narrow projection + TakeOrderedAndProject
-    (per-partition k-heap, no full sort)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    out = knn.topk(emb.filter(F.col("vec_id") != 0), list(qv), k=10)
-    return out.withColumn("score", F.round("score", 6))
-
-
-@query(
-    "knn_batch",
-    oracle=f"""
-    WITH q AS (
-        SELECT vec_id AS query_id, embedding AS query_vec
-        FROM embeddings WHERE vec_id < 5
-    ), scored AS (
-        SELECT q.query_id, e.vec_id,
-               {_dd_cosine('e.embedding', 'q.query_vec')} AS score
-        FROM embeddings e, q
-    ), ranked AS (
-        SELECT query_id, vec_id, score,
-               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
-        FROM scored
-    )
-    SELECT query_id, vec_id, round(score, 6) AS score, rank
-    FROM ranked WHERE rank <= 10
-    """,
-)
-def knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch retrieval: per-query top-k (eval.py:80 retrieval loop,
-    vectorized). Broadcast query side; two-phase partial top-k prune."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    out = knn.topk_batch(emb, queries, k=10)
-    return out.select(
-        "query_id", "vec_id", F.round("score", 6).alias("score"), F.col("rank").cast("long")
-    )
-
-
-@query("knn_batch_np")  # rows-only: BLAS matmul sums differ in last-ulp
-def knn_batch_np(spark, sf_dir):
-    """Arrow+BLAS batch kNN — raw-throughput twin of knn_batch; exact
-    ranks (unit-tested against the HOF path), float scores off by ulps."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    out = knn.topk_batch_np(emb, queries, k=10)
-    return out.select(
-        "query_id", "vec_id", F.round("score", 6).alias("score"), F.col("rank").cast("long")
-    )
-
-
-@query(
-    "similarity_matrix",
-    oracle=f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_dd_cosine('a.embedding', 'b.embedding')}, 6) AS score
-    FROM embeddings a, embeddings b
-    WHERE a.vec_id < 20 AND b.vec_id < 20
-    """,
-)
-def similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise cosine matrix on a bounded subset (prepare_data.py:101
-    test_similarity)."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
-    out = knn.similarity_matrix(emb)
-    return out.withColumn("score", F.round("score", 6))
-
-
-# ---------------------------------------------------------------------------
-# Chunking / ingestion (reference parity: src/chunking_strategy.py)
-# ---------------------------------------------------------------------------
-
-# Shared DuckDB CTE: diary-shaped line stream synthesized from documents
-# (must match operators.chunking.diary_lines exactly).
-_DD_DIARY_LINES = """
-    toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 50
-    ), linesarr AS (
-        SELECT doc_id,
-               [CAST(doc_id % 28 + 1 AS VARCHAR) || ' Day of March 1887 - Entry ' || CAST(doc_id AS VARCHAR)]
-               || [array_to_string(t[i*5+1 : i*5+5], ' ') FOR i IN range(CAST(ceil(len(t)/5.0) AS BIGINT))] AS ls
-        FROM toks
-    ), lines AS (
-        SELECT doc_id,
-               CAST(generate_subscripts(ls, 1) - 1 AS BIGINT) AS line_no,
-               unnest(ls) AS line
-        FROM linesarr
-    )
-"""
-
-_DD_DIARY_CHUNKS = _DD_DIARY_LINES + """
-    , stripped AS (
-        SELECT doc_id, line_no, trim(line) AS line
-        FROM lines WHERE trim(line) <> ''
-    ), lined AS (
-        SELECT doc_id, line_no, line,
-               regexp_matches(line, '^\\d{1,2}(st|nd|rd|th)? Day of [A-Za-z]+ 18\\d{2} - .+$') AS is_date,
-               CAST(sum(CASE WHEN regexp_matches(line, '^\\d{1,2}(st|nd|rd|th)? Day of [A-Za-z]+ 18\\d{2} - .+$') THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY doc_id ORDER BY line_no) AS BIGINT) AS day_id
-        FROM stripped
-    ), days AS (
-        SELECT doc_id, day_id, regexp_extract(line, ' - (.+)$', 1) AS title
-        FROM lined WHERE is_date
-    ), date_chunks AS (
-        SELECT doc_id, day_id, CAST(-1 AS BIGINT) AS chunk_id, true AS is_date_chunk,
-               line AS chunk_text, CAST(1 AS BIGINT) AS line_count,
-               CAST(len(regexp_split_to_array(line, '\\s+')) AS BIGINT) AS word_count
-        FROM lined WHERE is_date
-    ), content AS (
-        SELECT doc_id, day_id, line_no, line,
-               row_number() OVER (PARTITION BY doc_id, day_id ORDER BY line_no) AS rn
-        FROM lined WHERE NOT is_date AND day_id >= 1
-    ), content_chunks AS (
-        SELECT doc_id, day_id, CAST(floor((rn - 1) / 3) AS BIGINT) AS chunk_id,
-               false AS is_date_chunk,
-               string_agg(line, chr(10) ORDER BY line_no) AS chunk_text,
-               CAST(count(*) AS BIGINT) AS line_count,
-               CAST(sum(len(regexp_split_to_array(line, '\\s+'))) AS BIGINT) AS word_count
-        FROM content
-        GROUP BY doc_id, day_id, CAST(floor((rn - 1) / 3) AS BIGINT)
-    ), chunks AS (
-        SELECT c.*, d.title
-        FROM (SELECT * FROM date_chunks UNION ALL SELECT * FROM content_chunks) c
-        JOIN days d USING (doc_id, day_id)
-    )
-"""
-
-
-@query(
-    "chunk_documents",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM documents
-    ), chunked AS (
-        SELECT doc_id,
-               [array_to_string(t[i*40+1 : i*40+40], ' ') FOR i IN range(CAST(ceil(len(t)/40.0) AS BIGINT))] AS chunks
-        FROM toks
-    )
-    SELECT doc_id,
-           CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS chunk_number,
-           unnest(chunks) AS chunk_text,
-           CAST(len(string_split(unnest(chunks), ' ')) AS BIGINT) AS word_count,
-           CAST(length(unnest(chunks)) AS BIGINT) AS n_chars
-    FROM chunked
-    """,
-)
-def chunk_documents(spark, sf_dir):
-    """Fixed token-window chunking with per-chunk metadata
-    (chunking_strategy.py:19 analog on the flat corpus)."""
-    return chunking.chunk_by_tokens(load_table(spark, sf_dir, "documents"), window=40)
-
-
-@query("chunk_diary", oracle="WITH " + _DD_DIARY_CHUNKS + """
-    SELECT doc_id, day_id, chunk_id, is_date_chunk, chunk_text,
-           line_count, word_count, title
-    FROM chunks
-    """)
-def chunk_diary(spark, sf_dir):
-    """Diary chunker: date-regex day detection + chunk-per-3-lines +
-    day metadata (chunking_strategy.py:19 process_diary_chunks)."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    lines = chunking.diary_lines(docs)
-    return chunking.chunk_diary(lines)
-
-
-@query("chunk_stats", oracle="WITH " + _DD_DIARY_CHUNKS + """
-    SELECT doc_id,
-           CAST(count(DISTINCT day_id) AS BIGINT) AS total_days,
-           CAST(count(*) AS BIGINT) AS total_chunks,
-           round(count(*) / count(DISTINCT day_id), 6) AS avg_chunks_per_day
-    FROM chunks GROUP BY doc_id
-    """)
-def chunk_stats(spark, sf_dir):
-    """Corpus chunk metadata rollup (chunking_strategy.py:115)."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    return chunking.diary_stats(chunking.chunk_diary(chunking.diary_lines(docs)))
-
-
-@query(
-    "split_large_chunks",
-    # The greedy per-chunk split loop is sequential in Spark (Arrow
-    # mapInPandas kernel) but still SQL-expressible: a recursive CTE
-    # carries (rest, part_no) and replays the same rfind('.')-then-
-    # rfind(' ')-then-hard-cut decision per step, so even the Python
-    # kernel is hash-checked (same pattern as dedup_cluster's oracle).
-    oracle="""
-    WITH RECURSIVE split AS (
-        SELECT doc_id, text AS chunk_text, text AS rest,
-               CAST(-1 AS BIGINT) AS part_no, CAST(NULL AS VARCHAR) AS part_text
-        FROM documents
-        UNION ALL
-        SELECT doc_id, chunk_text,
-               CASE WHEN len(rest) > 200 THEN trim(substr(rest, cut + 2)) ELSE '' END AS rest,
-               part_no + 1,
-               CASE WHEN len(rest) > 200 THEN trim(substr(rest, 1, cut + 1)) ELSE rest END AS part_text
-        FROM (
-            SELECT doc_id, chunk_text, rest, part_no,
-                   CASE
-                     WHEN position('.' IN reverse(substr(rest, 1, 200))) > 0
-                       THEN 200 - position('.' IN reverse(substr(rest, 1, 200)))
-                     WHEN position(' ' IN reverse(substr(rest, 1, 200))) > 0
-                       THEN 200 - position(' ' IN reverse(substr(rest, 1, 200)))
-                     ELSE 200
-                   END AS cut
-            FROM split WHERE rest <> ''
-        )
-    )
-    SELECT doc_id, chunk_text, part_no, part_text
-    FROM split WHERE part_no >= 0
-    """,
-)
-def split_large_chunks(spark, sf_dir):
-    """Max-size sentence/space-boundary splitting
-    (archive/chunking_strategy.py:4 split_large_chunk)."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").alias("chunk_text")
-    )
-    return chunking.split_large_chunks(docs, max_size=200)
-
-
-@query(
-    "extract_dates",
-    oracle="WITH " + _DD_DIARY_LINES + """
-    SELECT doc_id, line_no,
-           CAST(regexp_extract(line, '^(\\d{1,2})', 1) AS BIGINT) AS day_num,
-           regexp_extract(line, '^\\d{1,2}(st|nd|rd|th)? Day of ([A-Za-z]+)', 2) AS month,
-           CAST(regexp_extract(line, ' (18\\d{2}) - ', 1) AS BIGINT) AS year,
-           regexp_extract(line, ' - (.+)$', 1) AS title,
-           CAST(len(regexp_extract_all(line, '\\b[A-Z]\\w*\\b')) AS BIGINT) AS n_caps,
-           array_to_string(list_sort(regexp_extract_all(line, '\\b[A-Z]\\w*\\b')), ',') AS caps_csv
-    FROM lines
-    WHERE regexp_matches(line, '^\\d{1,2}(st|nd|rd|th)? Day of [A-Za-z]+ 18\\d{2} - .+$')
-    """,
-)
-def extract_dates(spark, sf_dir):
-    """Date-regex day extraction + title metadata
-    (chunking_strategy.py:46 extract_date_parts), plus the capitalized-
-    word metadata of archive/chunking_strategy_v3.py:62
-    (palavras_maiusculas) as a sorted CSV."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    lines = chunking.diary_lines(docs)
-    caps = F.regexp_extract_all("line", F.lit(r"\b[A-Z]\w*\b"), 0)
-    return lines.filter(F.col("line").rlike(chunking.DATE_PATTERN)).select(
-        "doc_id",
-        "line_no",
-        F.regexp_extract("line", r"^(\d{1,2})", 1).cast("long").alias("day_num"),
-        F.regexp_extract("line", r"^\d{1,2}(st|nd|rd|th)? Day of ([A-Za-z]+)", 2).alias("month"),
-        F.regexp_extract("line", r" (18\d{2}) - ", 1).cast("long").alias("year"),
-        F.regexp_extract("line", chunking.TITLE_PATTERN, 1).alias("title"),
-        F.size(caps).cast("long").alias("n_caps"),
-        F.concat_ws(",", F.array_sort(caps)).alias("caps_csv"),
-    )
-
-
-@query(
-    "regex_extract_meta",
-    oracle="""
-    SELECT doc_id,
-           regexp_extract(text, '(spark|hash|join)', 1) AS first_kw,
-           CAST(len(regexp_extract_all(text, '(spark|hash|join)')) AS BIGINT) AS kw_count
-    FROM documents
-    """,
-)
-def regex_extract_meta(spark, sf_dir):
-    """Regex metadata extraction (the date-pattern machinery of
-    chunking_strategy.py:46, generalized to keyword patterns)."""
-    return load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.regexp_extract("text", r"(spark|hash|join)", 1).alias("first_kw"),
-        F.size(F.regexp_extract_all("text", F.lit(r"(spark|hash|join)"), F.lit(1)))
-        .cast("long")
-        .alias("kw_count"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Text analysis (training-data pipeline)
-# ---------------------------------------------------------------------------
-
-
-def _dd_sw_count(lang: str) -> str:
-    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-    return f"len(list_filter(string_split(text, ' '), t -> list_contains([{words}], t)))"
-
-
-def _dd_sw_ratio(lang: str) -> str:
-    return f"({_dd_sw_count(lang)} / CAST(len(string_split(text, ' ')) AS DOUBLE))"
-
-
-_DD_BEST = "greatest(" + ", ".join(f"r_{lg}" for lg in STOPWORDS) + ")"
-_DD_PRED = "CASE WHEN " + _DD_BEST + " = 0 THEN 'unknown' " + " ".join(
-    f"WHEN r_{lg} = {_DD_BEST} THEN '{lg}'" for lg in STOPWORDS
-) + " ELSE 'unknown' END"
-
-
-@query(
-    "lang_id",
-    oracle=f"""
-    WITH r AS (
-        SELECT doc_id,
-               {", ".join(f"{_dd_sw_ratio(lg)} AS r_{lg}" for lg in STOPWORDS)}
-        FROM documents
-    )
-    SELECT doc_id, {_DD_PRED} AS pred_lang, round({_DD_BEST}, 6) AS stopword_ratio
-    FROM r
-    """,
-)
-def lang_id(spark, sf_dir):
-    """Stopword-ratio language ID heuristic."""
-    return text_analysis.lang_id(load_table(spark, sf_dir, "documents"))
-
-
-@query(
-    "text_quality",
-    oracle="""
-    WITH t AS (
-        SELECT doc_id, length(text) AS nc,
-               len(string_split(text, ' ')) AS n,
-               len(list_distinct(string_split(text, ' '))) AS nu
-        FROM documents
-    )
-    SELECT doc_id,
-           CAST(n AS BIGINT) AS n_tokens,
-           CAST(nu AS BIGINT) AS n_uniq_tokens,
-           round(nu / CAST(n AS DOUBLE), 6) AS ttr,
-           round((nc - (n - 1)) / CAST(n AS DOUBLE), 6) AS mean_word_len,
-           round((nu / CAST(n AS DOUBLE)) * 0.5 + least(n / 100.0, 1.0) * 0.5, 6) AS quality_score
-    FROM t
-    """,
-)
-def text_quality(spark, sf_dir):
-    """Length/diversity quality scoring."""
-    return text_analysis.text_quality(load_table(spark, sf_dir, "documents"))
-
-
-@query(
-    "token_count",
-    oracle="""
-    SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
-           CAST(length(text) AS BIGINT) AS n_chars_computed
-    FROM documents
-    """,
-)
-def token_count(spark, sf_dir):
-    """Token counting."""
-    return text_analysis.token_counts(load_table(spark, sf_dir, "documents"))
-
-
-@query(
-    "bpe_token_count",
-    oracle=r"""
-    WITH t AS (
-        SELECT doc_id, length(text) AS nc,
-               regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
-        FROM documents
-    )
-    SELECT doc_id,
-           CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
-           CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_bpe_tokens,
-           round(nc / CAST(len(toks) AS DOUBLE), 6) AS chars_per_token
-    FROM t
-    """,
-)
-def bpe_token_count(spark, sf_dir):
-    """BPE-ish regex pre-tokenization counting (GPT-2 pre-tokenizer
-    shape): letter runs / digit runs / punctuation marks."""
-    return text_analysis.bpe_token_count(load_table(spark, sf_dir, "documents"))
-
-
-def _dd_gram_score(grams: tuple[str, ...]) -> str:
-    s = " + ".join(
-        f"((length(text) - length(replace(text, '{g}', ''))) / {len(g)})" for g in grams
-    )
-    return f"round((0.0 + {s}) / length(text) * 100, 6)"
-
-
-_DD_NG_BEST = "greatest(" + ", ".join(f"g_{lg}" for lg in text_analysis.NGRAM_PROFILES) + ")"
-_DD_NG_PRED = (
-    "CASE WHEN " + _DD_NG_BEST + " = 0 THEN 'unknown' "
-    + " ".join(
-        f"WHEN g_{lg} = {_DD_NG_BEST} THEN '{lg}'"
-        for lg in text_analysis.NGRAM_PROFILES
-    )
-    + " ELSE 'unknown' END"
-)
-
-
-@query(
-    "lang_id_ngram",
-    oracle=f"""
-    WITH g AS (
-        SELECT doc_id,
-               {", ".join(f"{_dd_gram_score(grams)} AS g_{lg}" for lg, grams in text_analysis.NGRAM_PROFILES.items())}
-        FROM documents
-    )
-    SELECT doc_id, {_DD_NG_PRED} AS pred_lang, {_DD_NG_BEST} AS ngram_score
-    FROM g
-    """,
-)
-def lang_id_ngram(spark, sf_dir):
-    """Char-trigram-profile language ID (n-gram heuristic counterpart
-    of the stopword-ratio lang_id)."""
-    return text_analysis.lang_id_ngram(load_table(spark, sf_dir, "documents"))
-
-
-@query(
-    "tfidf_top_terms",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-    ), toksf AS (SELECT * FROM toks WHERE term <> ''),
-    tf AS (
-        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        FROM toksf GROUP BY doc_id, term
-    ),
-    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-    n AS (SELECT count(*) AS _n FROM documents),
-    scored AS (
-        SELECT tf.doc_id, tf.term, tf.tf, df.df,
-               tf.tf * ln((n._n + 1) / CAST(df.df + 1 AS DOUBLE)) AS tfidf
-        FROM tf JOIN df USING (term) CROSS JOIN n
-    )
-    SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf, rank FROM (
-        SELECT *, CAST(row_number() OVER (
-            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank
-        FROM scored
-    ) WHERE rank <= 3
-    """,
-)
-def tfidf_top_terms(spark, sf_dir):
-    """Top-3 TF-IDF terms per document (smoothed idf)."""
-    return text_analysis.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
-
-
-@query(
-    "doc_fingerprint",
-    oracle="""
-    WITH sh AS (
-        SELECT DISTINCT doc_id, md5(unnest(sub)) AS fp_hash
-        FROM (
-            SELECT doc_id,
-                   CASE WHEN length(text) < 8 THEN [text]
-                        ELSE [substr(text, i + 1, 8) FOR i IN range(length(text) - 7)] END AS sub
-            FROM documents
-        )
-    )
-    SELECT doc_id, fp_rank, fp_hash FROM (
-        SELECT doc_id, fp_hash,
-               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY fp_hash) AS BIGINT) AS fp_rank
-        FROM sh
-    ) WHERE fp_rank <= 4
-    """,
-)
-def doc_fingerprint(spark, sf_dir):
-    """k-min-hash document fingerprint over char shingles."""
-    return text_analysis.doc_fingerprint(load_table(spark, sf_dir, "documents"))
-
-
-# ---------------------------------------------------------------------------
-# Dedup suite (training-data pipeline)
-# ---------------------------------------------------------------------------
-
-_DD_SHINGLES = """
-    sh AS (
-        SELECT DISTINCT doc_id, unnest(
-            CASE WHEN len(t) < 3 THEN []::VARCHAR[]
-                 ELSE [array_to_string(t[i + 1 : i + 3], ' ') FOR i IN range(len(t) - 2)]
-            END) AS shingle
-        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-    ), shf AS (SELECT * FROM sh WHERE shingle <> '')
-"""
-
-
-@query(
-    "dedup_exact",
-    oracle="""
-    SELECT doc_id, md5(text) AS text_hash,
-           min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
-           doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
-    FROM documents
-    """,
-)
-def dedup_exact(spark, sf_dir):
-    """Exact content-hash dedup, keep-first."""
-    from .operators import dedup
-
-    return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
-
-
-# Two-point family mirror of operators.dedup.minhash_signatures:
-# a = 60-bit md5 (seed 0), b = 56-bit md5 (seed 1), h_r = min(a + r*b).
-_DD_MINHASH_SIG = (
-    "mh AS (SELECT doc_id, "
-    "('0x' || substr(md5('0:' || shingle), 1, 15))::BIGINT AS ha, "
-    "('0x' || substr(md5('1:' || shingle), 1, 14))::BIGINT AS hb FROM shf), "
-    "sig AS (SELECT doc_id, "
-    + ", ".join(f"min(ha + {r} * hb) AS h{r}" for r in range(8))
-    + " FROM mh GROUP BY doc_id)"
-)
-
-_DD_BANDS = (
-    "bands AS ("
-    + " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, "
-        f"md5(CAST(h{2*b} AS VARCHAR) || '|' || CAST(h{2*b+1} AS VARCHAR)) AS band_sig FROM sig"
-        for b in range(4)
-    )
-    + ")"
-)
-
-
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH {_DD_SHINGLES}, {_DD_MINHASH_SIG}, {_DD_BANDS}
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(count(*) AS BIGINT) AS n_shared_bands
-    FROM bands a
-    JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-    GROUP BY doc_a, doc_b
-    """,
-)
-def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash (8 perms) + LSH (4 bands × 2 rows) candidate pairs."""
-    from .operators import dedup
-
-    return dedup.dedup_minhash_lsh(load_table(spark, sf_dir, "documents"))
-
-
-@query(
-    "dedup_ngram_jaccard",
-    # Ground-truth formulation: FULL inverted-index join (no prefix
-    # filter) over the same 60-bit shingle hashes — independently
-    # validates that Spark's prefix-filtered plan is exact.
-    oracle=f"""
-    WITH {_DD_SHINGLES},
-    hs AS (
-        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM shf
-    ),
-    sizes AS (SELECT doc_id, count(*) AS sz FROM hs GROUP BY doc_id),
-    inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
-        FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
-        GROUP BY doc_a, doc_b
-    )
-    SELECT doc_a, doc_b, inter,
-           round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8
-    """,
-)
-def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard ≥ 0.8 pairs via prefix-filtered
-    inverted-index join (oracle runs the unfiltered full join)."""
-    from .operators import dedup
-
-    return dedup.dedup_ngram_jaccard(load_table(spark, sf_dir, "documents"))
-
-
-_DD_SIMHASH_SUMS = (
-    "sums AS (SELECT doc_id, "
-    + ", ".join(f"sum(((hv >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(32))
-    + " FROM hv GROUP BY doc_id)"
-)
-
-_DD_SIMHASH_VAL = (
-    "sim AS (SELECT doc_id, CAST("
-    + " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
-    + " AS BIGINT) AS simhash FROM sums)"
-)
-
-
-@query(
-    "dedup_simhash",
-    oracle=f"""
-    WITH toks AS (
-        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-    ), hv AS (
-        SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks
-    ), {_DD_SIMHASH_SUMS}, {_DD_SIMHASH_VAL},
-    bands AS (
-        SELECT doc_id, simhash, band, (simhash >> (8 * band)) & 255 AS band_val
-        FROM sim, (VALUES (0), (1), (2), (3)) b(band)
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-    FROM bands a
-    JOIN bands b ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-    """,
-)
-def dedup_simhash(spark, sf_dir):
-    """32-bit SimHash near-dup pairs (hamming ≤ 3, exact via 4×8-bit
-    byte-banding — pigeonhole guarantees every such pair shares a band)."""
-    from .operators import dedup
-
-    return dedup.dedup_simhash(load_table(spark, sf_dir, "documents"))
-
-
-@query("dedup_embedding_lsh")  # oracle attached after _planes_sql below
-def dedup_embedding_lsh(spark, sf_dir):
-    """Embedding near-dup at scale: 6-plane LSH buckets generate
-    candidates, exact cosine ≥ 0.3 on same-bucket pairs only."""
-    from .operators import ann, dedup
-
-    # split=True: the per-row hyperplane dot products (map-side LSH
-    # bucketing) are the hot path — measured 2x faster parallelized.
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    return dedup.dedup_embedding_lsh(emb, ann.hyperplanes(6, 64), threshold=0.3)
-
-
-@query("dedup_embedding_cosine")  # oracle attached after _bucketed_pairs_oracle below
-def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (≥ 0.3) — the NAMED operator runs
-    the scale path over the FULL table: 4-plane LSH candidates (higher
-    recall than the 6-plane entry), exact cosine rescoring of
-    same-bucket pairs only. The O(n²) all-pairs form survives only as
-    dedup.dedup_embedding_cosine(all_pairs=True), the explicit
-    bounded-slice escape hatch (see dedup_cluster's pair seed)."""
-    from .operators import ann, dedup
-
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    return dedup.dedup_embedding_cosine(
-        emb, threshold=0.3, planes=ann.hyperplanes(4, 64, seed=7)
-    )
-
-
-# ---------------------------------------------------------------------------
-# RAG pipeline + eval (reference parity: app.py, scripts/eval.py)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "rag_retrieve",
-    oracle=f"""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
-    scored AS (
-        SELECT e.vec_id, {_dd_cosine('e.embedding', 'q.qv')} AS score
-        FROM embeddings e, q
-    ), ranked AS (
-        SELECT vec_id, score,
-               row_number() OVER (ORDER BY score DESC, vec_id) AS rank
-        FROM scored
-    )
-    SELECT r.rank, d.doc_id, round(r.score, 6) AS score, d.source,
-           substr(d.text, 1, 80) AS snippet
-    FROM ranked r JOIN documents d ON d.doc_id = r.vec_id
-    WHERE r.rank <= 5
-    """,
-)
-def rag_retrieve(spark, sf_dir):
-    """Retrieval path of app.py:59 process_query: top-k search + fetch
-    entity text as LLM context (LLM call itself is external)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    docs = load_table(spark, sf_dir, "documents")
-    qv = emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
-    hits = knn.topk(emb, list(qv), k=5)
-    w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
-    ranked = hits.withColumn("rank", F.row_number().over(w).cast("long"))
-    return (
-        ranked.join(docs, ranked.vec_id == docs.doc_id)
-        .select(
-            "rank",
-            "doc_id",
-            F.round("score", 6).alias("score"),
-            "source",
-            F.substring("text", 1, 80).alias("snippet"),
-        )
-    )
-
-
-@query(
-    "rag_eval_retrieval",
-    oracle=f"""
-    WITH total AS (SELECT count(*) AS n FROM embeddings),
-    q AS (
-        SELECT vec_id AS query_id, embedding AS query_vec,
-               (vec_id * 7 + 3) % (SELECT n FROM total) AS expected_id
-        FROM embeddings WHERE vec_id < 20
-    ), scored AS (
-        SELECT q.query_id, e.vec_id,
-               {_dd_cosine('e.embedding', 'q.query_vec')} AS score
-        FROM embeddings e, q
-    ), ranked AS (
-        SELECT query_id, vec_id, score,
-               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
-        FROM scored
-    ), hits AS (
-        SELECT r.query_id, r.rank AS hit_rank
-        FROM ranked r JOIN q ON q.query_id = r.query_id AND r.vec_id = q.expected_id
-        WHERE r.rank <= 10
-    )
-    SELECT q.query_id, q.expected_id, h.hit_rank,
-           round(CASE WHEN h.hit_rank IS NULL THEN 0.0 ELSE 1.0 / h.hit_rank END, 6) AS grade
-    FROM q LEFT JOIN hits h ON h.query_id = q.query_id
-    """,
-)
-def rag_eval_retrieval(spark, sf_dir):
-    """Batch QA eval harness (eval.py:58): per-query rank of the
-    expected doc in top-10 + reciprocal-rank grade (LLM-judge stub)."""
-    from .operators import rag
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    # Corpus size enters the plan as a broadcast scalar instead of a
-    # separate .count() action — one job, no extra scan.
-    total_df = emb.select(F.count("*").alias("_t"))
-    queries = (
-        emb.filter(F.col("vec_id") < 20)
-        .crossJoin(F.broadcast(total_df))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("query_vec"),
-            ((F.col("vec_id") * 7 + 3) % F.col("_t")).alias("expected_id"),
-        )
-    )
-    return rag.eval_retrieval(emb, queries, k=10)
-
-
-@query(
-    "hybrid_search_rrf",
-    oracle=f"""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
-    toks AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS dl, unnest(string_split(text, ' ')) AS term
-        FROM documents
-    ), qtoks AS (
-        SELECT * FROM toks WHERE term IN ('spark', 'join', 'fast')
-    ), tf AS (
-        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
-        FROM qtoks GROUP BY doc_id, term
-    ), stats AS (
-        SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl FROM documents
-    ), dfreq AS (
-        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
-    ), bm25 AS (
-        SELECT tf.doc_id,
-               sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
-                   * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))) AS bm25
-        FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
-        GROUP BY tf.doc_id
-    ), kw_top AS (
-        SELECT doc_id AS _id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
-        FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT 20
-    ), vec AS (
-        SELECT e.vec_id AS _id, {_dd_cosine('e.embedding', 'q.qv')} AS score
-        FROM embeddings e, q
-    ), vec_top AS (
-        SELECT _id, row_number() OVER (ORDER BY score DESC, _id) AS vec_rank
-        FROM vec ORDER BY score DESC, _id LIMIT 20
-    ), fused AS (
-        SELECT coalesce(k._id, v._id) AS _id, k.bm25_rank, v.vec_rank,
-               round(coalesce(1.0 / (60 + k.bm25_rank), 0.0)
-                     + coalesce(1.0 / (60 + v.vec_rank), 0.0), 6) AS fused
-        FROM kw_top k FULL OUTER JOIN vec_top v ON k._id = v._id
-    )
-    SELECT _id AS doc_id, bm25_rank, vec_rank, fused,
-           row_number() OVER (ORDER BY fused DESC, _id) AS rank
-    FROM fused ORDER BY fused DESC, _id LIMIT 10
-    """,
-)
-def hybrid_search_rrf(spark, sf_dir):
-    """Hybrid retrieval: BM25 keyword tower + cosine vector tower fused
-    by reciprocal-rank fusion (Cormack SIGIR'09) — the production RAG
-    serving pattern, fully declarative so the oracle reproduces it."""
-    from .operators import hybrid
-
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
-    # query vector rides the plan as a broadcast row — no driver fetch
-    q = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
-    return hybrid.hybrid_search_rrf(
-        docs, emb, ["spark", "join", "fast"], q, k=10, depth=20
-    )
-
-
-@query("rag_pipeline_e2e")  # rows-only: uses the Python hash embedder
-def rag_pipeline_e2e(spark, sf_dir):
-    """Full app.py pipeline on raw text: embed corpus (pandas_udf) +
-    embed question → retrieve → context rows. Deterministic but not
-    SQL-expressible (Python embedder)."""
-    from .operators import embedding, knn as _knn
-
-    docs = load_table(spark, sf_dir, "documents")
-    indexed = embedding.embed_documents(docs).select("doc_id", "text", "embedding")
-    qv = embedding.embed_text_py("spark join performance tuning")
-    hits = _knn.topk(indexed, [float(x) for x in qv], k=5, id_col="doc_id")
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    ranked = hits.withColumn("rank", F.row_number().over(w).cast("long"))
-    return ranked.join(docs, "doc_id").select(
-        "rank", "doc_id", F.round("score", 6).alias("score"),
-        F.substring("text", 1, 60).alias("snippet"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# ANN scale paths
-# ---------------------------------------------------------------------------
-
-
-def _planes_sql(planes) -> str:
-    rows = ", ".join(
-        f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])" for i, p in enumerate(planes)
-    )
-    return f"planes(pid, w) AS (VALUES {rows})"
-
-
-@query("ann_lsh_cosine")
-def ann_lsh_cosine(spark, sf_dir):
-    """Random-hyperplane LSH search: 4 planes → 16 buckets, score only
-    same-bucket candidates, top-3 per query."""
-    from .operators import ann
-
-    # Corpus side split (heavy map-side plane dots); the broadcast
-    # query side stays an unsplit scan so no exchange sits under it.
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    planes = ann.hyperplanes(4, 64)
-    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    out = ann.ann_lsh_topk(emb, queries, planes, k=3)
-    return out.select(
-        "query_id", "vec_id", F.round("score", 6).alias("score"), F.col("rank").cast("long")
-    )
-
-
-def _ann_lsh_oracle() -> str:
-    from .operators import ann
-
-    planes = ann.hyperplanes(4, 64)
-    return f"""
-    WITH {_planes_sql(planes)},
-    dots AS (
-        SELECT e.vec_id, p.pid, {_dd_dot('e.embedding', 'p.w')} AS d
-        FROM embeddings e CROSS JOIN planes p
-    ), buckets AS (
-        SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << pid) ELSE 0 END) AS bucket
-        FROM dots GROUP BY vec_id
-    ), q AS (
-        SELECT e.vec_id AS query_id, e.embedding AS query_vec, b.bucket
-        FROM embeddings e JOIN buckets b USING (vec_id) WHERE e.vec_id < 5
-    ), c AS (
-        SELECT e.vec_id, e.embedding, b.bucket
-        FROM embeddings e JOIN buckets b USING (vec_id)
-    ), scored AS (
-        SELECT q.query_id, c.vec_id,
-               {_dd_cosine('c.embedding', 'q.query_vec')} AS score
-        FROM c JOIN q ON c.bucket = q.bucket
-    ), ranked AS (
-        SELECT query_id, vec_id, score,
-               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
-        FROM scored
-    )
-    SELECT query_id, vec_id, round(score, 6) AS score, rank
-    FROM ranked WHERE rank <= 3
-    """
-
-
-ORACLES["ann_lsh_cosine"] = _ann_lsh_oracle()
-
-
-def _bucketed_pairs_oracle(planes, threshold: float) -> str:
-    """Bucketed near-dup pair oracle: same-bucket pairs, exact cosine."""
-    return f"""
-    WITH {_planes_sql(planes)},
-    dots AS (
-        SELECT e.vec_id, p.pid, {_dd_dot('e.embedding', 'p.w')} AS d
-        FROM embeddings e CROSS JOIN planes p
-    ), buckets AS (
-        SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << pid) ELSE 0 END) AS bucket
-        FROM dots GROUP BY vec_id
-    ), v AS (
-        SELECT e.vec_id, e.embedding, b.bucket
-        FROM embeddings e JOIN buckets b USING (vec_id)
-    )
-    SELECT id_a, id_b, round(score, 6) AS score FROM (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               {_dd_cosine('a.embedding', 'b.embedding')} AS score
-        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    ) WHERE score >= {threshold}
-    """
-
-
-def _attach_bucketed_pair_oracles():
-    from .operators import ann
-
-    ORACLES["dedup_embedding_lsh"] = _bucketed_pairs_oracle(
-        ann.hyperplanes(6, 64), 0.3
-    )
-    ORACLES["dedup_embedding_cosine"] = _bucketed_pairs_oracle(
-        ann.hyperplanes(4, 64, seed=7), 0.3
-    )
-
-
-_attach_bucketed_pair_oracles()
-
-
-@query("ann_ivf")  # oracle: LAZY_ORACLES["ann_ivf"] (centroids are per-sf literals)
-def ann_ivf(spark, sf_dir):
-    """IVF: coarse quantizer trained on a bounded deterministic sample
-    (faiss posture — kmeans_fit_sample) + 2-probe search, top-3 per
-    query. The fitted centroids are driver-held literals, so the same
-    centroids inline into the DuckDB oracle and the whole path is
-    hash-checked."""
-    from .operators import ann
-
-    # corpus side split: cell assignment is CPU-heavy per-row work
-    # (K 64-dim distances in interpreted HOFs); query side stays an
-    # unsplit scan so no exchange sits under the broadcast.
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
-    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    out = ann.ann_ivf_topk(emb, queries, centroids, k=3, nprobe=2)
-    return out.select(
-        "query_id", "vec_id", F.round("score", 6).alias("score"), F.col("rank").cast("long")
-    )
-
-
-def _cents_sql(centroids) -> str:
-    rows = ", ".join(
-        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
-        for i, c in enumerate(centroids)
-    )
-    return f"cents(cid, w) AS (VALUES {rows})"
-
-
-def _ivf_common(centroids, n_queries: int) -> str:
-    """Shared CTEs: exact-argmin cell assignment (ties -> lowest cid,
-    like _nearest_centroid's strict <) and 2-probe query cell choice."""
-    return f"""
-    WITH {_cents_sql(centroids)},
-    assigned AS (
-        SELECT vec_id, embedding, cid FROM (
-            SELECT e.vec_id, e.embedding, c.cid,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY {_dd_euclid('e.embedding', 'c.w')}, c.cid
-                   ) AS rn
-            FROM embeddings e CROSS JOIN cents c
-        ) WHERE rn = 1
-    ), q AS (
-        SELECT vec_id AS query_id, embedding AS query_vec
-        FROM embeddings WHERE vec_id < {n_queries}
-    ), qprobe AS (
-        SELECT query_id, query_vec, cid FROM (
-            SELECT q.query_id, q.query_vec, c.cid,
-                   row_number() OVER (
-                       PARTITION BY q.query_id
-                       ORDER BY {_dd_euclid('q.query_vec', 'c.w')}, c.cid
-                   ) AS rn
-            FROM q CROSS JOIN cents c
-        ) WHERE rn <= 2
-    )
-    """
-
-
-def _ivf_oracle(sf_dir: str) -> str:
-    from .operators import ann
-
-    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
-    return _ivf_common(centroids, 5) + f"""
-    , scored AS (
-        SELECT p.query_id, s.vec_id,
-               {_dd_cosine('s.embedding', 'p.query_vec')} AS score
-        FROM assigned s JOIN qprobe p ON s.cid = p.cid
-    ), ranked AS (
-        SELECT query_id, vec_id, score,
-               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
-        FROM scored
-    )
-    SELECT query_id, vec_id, round(score, 6) AS score, rank
-    FROM ranked WHERE rank <= 3
-    """
-
-
-LAZY_ORACLES["ann_ivf"] = _ivf_oracle
-
-
-@query("ann_lsh_multiprobe")  # oracle attached after _multiprobe_oracle below
-def ann_lsh_multiprobe(spark, sf_dir):
-    """Multi-probe LSH (Lv VLDB'07): each query also probes the
-    n_planes buckets one flipped bit away — one index, 1+n_planes
-    probes' recall."""
-    from .operators import ann
-
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    planes = ann.hyperplanes(4, 64)
-    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    out = ann.ann_lsh_multiprobe_topk(emb, queries, planes, k=3)
-    return out.select(
-        "query_id", "vec_id", F.round("score", 6).alias("score"), F.col("rank").cast("long")
-    )
-
-
-def _multiprobe_oracle() -> str:
-    from .operators import ann
-
-    planes = ann.hyperplanes(4, 64)
-    return f"""
-    WITH {_planes_sql(planes)},
-    dots AS (
-        SELECT e.vec_id, p.pid, {_dd_dot('e.embedding', 'p.w')} AS d
-        FROM embeddings e CROSS JOIN planes p
-    ), buckets AS (
-        SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << pid) ELSE 0 END) AS bucket
-        FROM dots GROUP BY vec_id
-    ), q AS (
-        SELECT e.vec_id AS query_id, e.embedding AS query_vec, b.bucket
-        FROM embeddings e JOIN buckets b USING (vec_id) WHERE e.vec_id < 5
-    ), probes AS (
-        SELECT query_id, query_vec, bucket AS pb FROM q
-        UNION ALL
-        SELECT query_id, query_vec, xor(bucket, (1::BIGINT << t.i)) AS pb
-        FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) t
-    ), c AS (
-        SELECT e.vec_id, e.embedding, b.bucket
-        FROM embeddings e JOIN buckets b USING (vec_id)
-    ), scored AS (
-        SELECT p.query_id, c.vec_id,
-               {_dd_cosine('c.embedding', 'p.query_vec')} AS score
-        FROM c JOIN probes p ON c.bucket = p.pb
-    ), ranked AS (
-        SELECT query_id, vec_id, score,
-               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
-        FROM scored
-    )
-    SELECT query_id, vec_id, round(score, 6) AS score, rank
-    FROM ranked WHERE rank <= 3
-    """
-
-
-ORACLES["ann_lsh_multiprobe"] = _multiprobe_oracle()
-
-
-@query("ann_ivf_rerank")  # oracle: LAZY_ORACLES["ann_ivf_rerank"]
-def ann_ivf_rerank(spark, sf_dir):
-    """IVF + exact re-rank: probed cells scored on quantized vectors
-    (PQ-code stand-in) build a 10-deep shortlist; exact cosine re-ranks
-    only shortlist rows. Sample-trained quantizer → centroid literals →
-    fully hash-checked."""
-    from .operators import ann
-
-    # split/unsplit sides chosen as in ann_ivf (heavy map work vs
-    # broadcast query scan)
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
-    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    out = ann.ann_ivf_rerank_topk(emb, queries, centroids, k=3, nprobe=2, shortlist=10)
-    return out.select(
-        "query_id", "vec_id", F.round("score", 6).alias("score"), F.col("rank").cast("long")
-    )
-
-
-def _ivf_rerank_oracle(sf_dir: str) -> str:
-    from .operators import ann
-
-    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
-    quant = "list_transform((s.embedding)::DOUBLE[], x -> round(x, 1))"
-    return _ivf_common(centroids, 5) + f"""
-    , qscored AS (
-        SELECT p.query_id, s.vec_id,
-               {_dd_cosine(quant, 'p.query_vec')} AS approx
-        FROM assigned s JOIN qprobe p ON s.cid = p.cid
-    ), short AS (
-        SELECT query_id, vec_id FROM (
-            SELECT query_id, vec_id,
-                   row_number() OVER (PARTITION BY query_id ORDER BY approx DESC, vec_id) AS rn
-            FROM qscored
-        ) WHERE rn <= 10
-    ), exact AS (
-        SELECT s.query_id, s.vec_id,
-               {_dd_cosine('e.embedding', 'q.query_vec')} AS score
-        FROM short s
-        JOIN embeddings e ON e.vec_id = s.vec_id
-        JOIN q ON q.query_id = s.query_id
-    ), ranked AS (
-        SELECT query_id, vec_id, score,
-               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
-        FROM exact
-    )
-    SELECT query_id, vec_id, round(score, 6) AS score, rank
-    FROM ranked WHERE rank <= 3
-    """
-
-
-LAZY_ORACLES["ann_ivf_rerank"] = _ivf_rerank_oracle
-
-
-@query("ann_probe_sweep")  # oracle attached below (_probe_sweep_oracle)
-def ann_probe_sweep(spark, sf_dir):
-    """Probe-budget sweep: mean recall@10 and mean scored candidates
-    per query for 1..5 probes — the curve that sizes a multi-probe
-    index's budget. Single plan: the budget is an exploded column over
-    one bucket join (no driver-side per-budget loop)."""
-    from .operators import ann
-
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    planes = ann.hyperplanes(4, 64)
-    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    bf = knn.topk_batch(load_table(spark, sf_dir, "embeddings"), queries, k=10)
-    return ann.probe_sweep(emb, queries, planes, bf, k=10)
-
-
-def _probe_sweep_oracle() -> str:
-    from .operators import ann
-
-    planes = ann.hyperplanes(4, 64)
-    return f"""
-    WITH {_planes_sql(planes)},
-    dots AS (
-        SELECT e.vec_id, p.pid, {_dd_dot('e.embedding', 'p.w')} AS d
-        FROM embeddings e CROSS JOIN planes p
-    ), buckets AS (
-        SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << pid) ELSE 0 END) AS bucket
-        FROM dots GROUP BY vec_id
-    ), q AS (
-        SELECT e.vec_id AS query_id, e.embedding AS query_vec, b.bucket
-        FROM embeddings e JOIN buckets b USING (vec_id) WHERE e.vec_id < 10
-    ), c AS (
-        SELECT e.vec_id, e.embedding, b.bucket
-        FROM embeddings e JOIN buckets b USING (vec_id)
-    ), probes AS (
-        SELECT query_id, query_vec, bucket AS pb, 0 AS m_min FROM q
-        UNION ALL
-        SELECT query_id, query_vec, xor(bucket, (1::BIGINT << t.i)) AS pb, t.i + 1 AS m_min
-        FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) t
-    ), cand AS (
-        SELECT p.query_id, c.vec_id, p.m_min,
-               {_dd_cosine('c.embedding', 'p.query_vec')} AS score
-        FROM c JOIN probes p ON c.bucket = p.pb
-    ), budgets AS (
-        SELECT unnest([0, 1, 2, 3, 4]) AS m
-    ), pb AS (
-        SELECT b.m, cand.query_id, cand.vec_id, cand.score
-        FROM cand JOIN budgets b ON b.m >= cand.m_min
-    ), topk AS (
-        SELECT m, query_id, vec_id FROM (
-            SELECT m, query_id, vec_id,
-                   row_number() OVER (PARTITION BY m, query_id ORDER BY score DESC, vec_id) AS rn
-            FROM pb
-        ) WHERE rn <= 10
-    ), bf AS (
-        SELECT query_id, vec_id FROM (
-            SELECT q.query_id, e.vec_id,
-                   row_number() OVER (
-                       PARTITION BY q.query_id
-                       ORDER BY {_dd_cosine('e.embedding', 'q.query_vec')} DESC, e.vec_id
-                   ) AS rank
-            FROM embeddings e CROSS JOIN q
-        ) WHERE rank <= 10
-    ), hitc AS (
-        SELECT t.m, t.query_id, count(*) AS n_hit
-        FROM topk t JOIN bf ON bf.query_id = t.query_id AND bf.vec_id = t.vec_id
-        GROUP BY t.m, t.query_id
-    ), nex AS (
-        SELECT query_id, count(*) AS n_exact FROM bf GROUP BY query_id
-    ), grid AS (
-        SELECT b.m, n.query_id, n.n_exact FROM budgets b CROSS JOIN nex n
-    ), rec AS (
-        SELECT g.m, avg(coalesce(h.n_hit, 0) / g.n_exact) AS mean_recall
-        FROM grid g LEFT JOIN hitc h ON h.m = g.m AND h.query_id = g.query_id
-        GROUP BY g.m
-    ), candn AS (
-        SELECT m, count(*) AS n_cand FROM pb GROUP BY m
-    ), nq AS (
-        SELECT count(DISTINCT query_id) AS n_q FROM q
-    )
-    SELECT CAST(r.m + 1 AS BIGINT) AS n_probes,
-           round(r.mean_recall, 6) AS mean_recall,
-           round(c.n_cand / nq.n_q, 6) AS mean_candidates
-    FROM rec r JOIN candn c ON c.m = r.m CROSS JOIN nq
-    """
-
-
-ORACLES["ann_probe_sweep"] = _probe_sweep_oracle()
-
-
-@query("ann_recall_at_k")  # oracle attached after _recall_oracle below
-def ann_recall_at_k(spark, sf_dir):
-    """Recall@10 harness: single-probe vs multi-probe LSH against the
-    exact brute-force top-10, per query — the evaluation loop that
-    justifies an ANN index's probe budget."""
-    from .operators import ann
-
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    planes = ann.hyperplanes(4, 64)
-    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    bf = knn.topk_batch(load_table(spark, sf_dir, "embeddings"), queries, k=10)
-    single = ann.ann_lsh_topk(emb, queries, planes, k=10)
-    multi = ann.ann_lsh_multiprobe_topk(emb, queries, planes, k=10)
-    r1 = ann.recall_at_k(single, bf).select(
-        "query_id", F.col("recall").alias("recall_single")
-    )
-    r2 = ann.recall_at_k(multi, bf).select(
-        "query_id", F.col("recall").alias("recall_multi")
-    )
-    return r1.join(r2, "query_id")
-
-
-def _recall_oracle() -> str:
-    from .operators import ann
-
-    planes = ann.hyperplanes(4, 64)
-    return f"""
-    WITH {_planes_sql(planes)},
-    dots AS (
-        SELECT e.vec_id, p.pid, {_dd_dot('e.embedding', 'p.w')} AS d
-        FROM embeddings e CROSS JOIN planes p
-    ), buckets AS (
-        SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << pid) ELSE 0 END) AS bucket
-        FROM dots GROUP BY vec_id
-    ), q AS (
-        SELECT e.vec_id AS query_id, e.embedding AS query_vec, b.bucket
-        FROM embeddings e JOIN buckets b USING (vec_id) WHERE e.vec_id < 20
-    ), c AS (
-        SELECT e.vec_id, e.embedding, b.bucket
-        FROM embeddings e JOIN buckets b USING (vec_id)
-    ), bf AS (
-        SELECT query_id, vec_id FROM (
-            SELECT q.query_id, e.vec_id,
-                   row_number() OVER (
-                       PARTITION BY q.query_id
-                       ORDER BY {_dd_cosine('e.embedding', 'q.query_vec')} DESC, e.vec_id
-                   ) AS rank
-            FROM embeddings e CROSS JOIN q
-        ) WHERE rank <= 10
-    ), single AS (
-        SELECT query_id, vec_id FROM (
-            SELECT p.query_id, c.vec_id,
-                   row_number() OVER (
-                       PARTITION BY p.query_id
-                       ORDER BY {_dd_cosine('c.embedding', 'p.query_vec')} DESC, c.vec_id
-                   ) AS rank
-            FROM c JOIN q p ON c.bucket = p.bucket
-        ) WHERE rank <= 10
-    ), probes AS (
-        SELECT query_id, query_vec, bucket AS pb FROM q
-        UNION ALL
-        SELECT query_id, query_vec, xor(bucket, (1::BIGINT << t.i)) AS pb
-        FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) t
-    ), multi AS (
-        SELECT query_id, vec_id FROM (
-            SELECT p.query_id, c.vec_id,
-                   row_number() OVER (
-                       PARTITION BY p.query_id
-                       ORDER BY {_dd_cosine('c.embedding', 'p.query_vec')} DESC, c.vec_id
-                   ) AS rank
-            FROM c JOIN probes p ON c.bucket = p.pb
-        ) WHERE rank <= 10
-    )
-    SELECT q.query_id,
-           round(coalesce(s.n, 0) / 10.0, 6) AS recall_single,
-           round(coalesce(m.n, 0) / 10.0, 6) AS recall_multi
-    FROM (SELECT DISTINCT query_id FROM q) q
-    LEFT JOIN (
-        SELECT bf.query_id, count(*) AS n FROM bf
-        JOIN single s ON s.query_id = bf.query_id AND s.vec_id = bf.vec_id
-        GROUP BY bf.query_id
-    ) s ON s.query_id = q.query_id
-    LEFT JOIN (
-        SELECT bf.query_id, count(*) AS n FROM bf
-        JOIN multi m ON m.query_id = bf.query_id AND m.vec_id = bf.vec_id
-        GROUP BY bf.query_id
-    ) m ON m.query_id = q.query_id
-    """
-
-
-ORACLES["ann_recall_at_k"] = _recall_oracle()
-
-
-# ---------------------------------------------------------------------------
-# Analytics engine generality (bench headliners)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "agg_pricing_summary",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           sum(l_quantity) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
-           round(avg(l_quantity), 6) AS avg_qty,
-           round(avg(l_discount), 6) AS avg_disc,
-           count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-)
-def agg_pricing_summary(spark, sf_dir):
-    """TPC-H Q1-style pricing summary (decimal-exact money sums)."""
-    from .plans import analytics
-
-    return analytics.pricing_summary(spark, sf_dir)
-
-
-@query(
-    "join_revenue_topn",
-    oracle="""
-    WITH per_cust AS (
-        SELECT o.o_custkey,
-               sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS revenue_d
-        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        GROUP BY o.o_custkey
-    )
-    SELECT c.c_custkey, c.c_name, n.n_name,
-           CAST(p.revenue_d AS DOUBLE) AS revenue
-    FROM per_cust p
-    JOIN customer c ON p.o_custkey = c.c_custkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    ORDER BY p.revenue_d DESC, c.c_custkey
-    LIMIT 10
-    """,
-)
-def join_revenue_topn(spark, sf_dir):
-    """Multi-way join + top-N revenue per customer."""
-    from .plans import analytics
-
-    return analytics.revenue_topn(spark, sf_dir)
-
-
-@query(
-    "local_supplier_volume",
-    oracle="""
-    SELECT n.n_name,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
-    FROM lineitem l
-    JOIN orders o ON l.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
-    JOIN nation n ON s.s_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    WHERE r.r_name = 'ASIA'
-      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-    GROUP BY n.n_name
-    """,
-)
-def local_supplier_volume(spark, sf_dir):
-    """TPC-H Q5 shape: same-nation supplier/customer revenue per nation
-    of one region and order year."""
-    from .plans import analytics
-
-    return analytics.local_supplier_volume(spark, sf_dir)
-
-
-@query(
-    "rollup_pricing",
-    oracle="""
-    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-           coalesce(l_linestatus, 'ALL') AS linestatus,
-           count(*) AS n_rows,
-           sum(l_quantity) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
-def rollup_pricing(spark, sf_dir):
-    """ROLLUP: leaf groups + per-flag subtotals + grand total, one pass."""
-    from .plans import analytics
-
-    return analytics.rollup_pricing(spark, sf_dir)
-
-
-@query(
-    "order_priority_pivot",
-    oracle="""
-    SELECT o_orderpriority,
-           count(*) AS n_orders,
-           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
-           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
-           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
-           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total_f,
-           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total_o
-    FROM orders
-    GROUP BY o_orderpriority
-    """,
-)
-def order_priority_pivot(spark, sf_dir):
-    """Conditional aggregation (pivot shape) over order status."""
-    from .plans import analytics
-
-    return analytics.order_priority_pivot(spark, sf_dir)
-
-
-@query(
-    "multimodal_stats",
-    oracle="""
-    SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-           count(*) AS n_media,
-           CAST(sum(length(text)) AS BIGINT) AS total_bytes,
-           count(DISTINCT md5(text)) AS n_distinct_payloads,
-           min(doc_id % 640 + 16) AS min_width,
-           max(doc_id % 90000 + 1000) AS max_duration_ms
-    FROM documents
-    GROUP BY 1
-    """,
-)
-def multimodal_stats(spark, sf_dir):
-    """Binary-column corpus stats per media kind (payload bytes, md5
-    cardinality, typed-metadata ranges). The payload is the synthetic
-    utf-8 media (operators.multimodal.synthesize_media), so the oracle
-    reproduces every value from the documents table."""
-    from .operators import multimodal
-
-    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
-    return media.groupBy("kind").agg(
-        F.count("*").alias("n_media"),
-        F.sum(F.length("content")).alias("total_bytes"),
-        F.countDistinct(F.md5("content")).alias("n_distinct_payloads"),
-        F.min("meta.width").cast("long").alias("min_width"),
-        F.max("meta.duration_ms").cast("long").alias("max_duration_ms"),
-    )
-
-
-@query(
-    "multimodal_frames",
-    oracle="""
-    WITH media AS (
-        SELECT doc_id AS media_id, text
-        FROM documents WHERE doc_id % 3 = 2
-    ), frames AS (
-        SELECT media_id, t.i AS frame_no,
-               substr(text, t.i * 64 + 1, 64) AS frame
-        FROM media CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS i) t
-        WHERE t.i * 64 < length(text)
-    )
-    SELECT media_id, frame_no, md5(frame) AS frame_md5
-    FROM frames
-    """,
-)
-def multimodal_frames(spark, sf_dir):
-    """Deterministic frame sampling over video payloads (mapInPandas
-    byte windows standing in for ffmpeg keyframes) — the Python batch
-    kernel is hash-checked against the oracle's substring md5s."""
-    from .operators import multimodal
-
-    media = multimodal.synthesize_media(
-        load_table(spark, sf_dir, "documents", split=True)
-    )
-    return multimodal.frame_sample(media, every_n_bytes=64, max_frames=5)
-
-
-@query(
-    "multimodal_pipeline",
-    # The mapInPandas feature kernel is a deterministic fake (md5-byte
-    # features), so even the Python path is hash-checked: the oracle
-    # recomputes each feature from the md5 hex digits. The feature
-    # vector is serialized to a fixed %.6f CSV string on BOTH sides —
-    # the driver's pandas canonicalizer cannot sort array-typed
-    # columns, so oracle-backed results must be scalar-only (enforced
-    # by tests/oracle.py). %.6f agrees across engines here even though
-    # Java's Formatter rounds the double's shortest decimal repr
-    # HALF_UP while C's printf rounds the exact binary expansion:
-    # the two can only disagree within ~1 ulp of a x.xxxxxx5 tie
-    # boundary, and k/255 doubles are never closer than ~2e-9 to a
-    # 1e-7 grid midpoint, so both schemes land on the same 6th digit.
-    oracle="""
-    SELECT doc_id AS media_id,
-           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-           CAST(length(text) AS BIGINT) AS n_bytes,
-           md5(text) AS content_md5,
-           array_to_string(
-               [printf('%.6f',
-                       (16 * (strpos('0123456789abcdef', substr(md5(text), i*2+1, 1)) - 1)
-                        + strpos('0123456789abcdef', substr(md5(text), i*2+2, 1)) - 1) / 255.0)
-                FOR i IN range(8)], ',') AS features_csv
-    FROM documents
-    """,
-)
-def multimodal_pipeline(spark, sf_dir):
-    """Full multimodal ingest pipeline: binary column + typed metadata
-    (synthesize_media) → Arrow mapInPandas feature extraction
-    (operators/multimodal.py extract_features; the deterministic
-    md5-byte fake stands in for a CNN/audio head with the same
-    schema/batch contract)."""
-    from .operators import multimodal
-
-    media = multimodal.synthesize_media(
-        load_table(spark, sf_dir, "documents", split=True)
-    )
-    out = multimodal.extract_features(media, n_features=8)
-    return out.select(
-        "media_id",
-        "kind",
-        "n_bytes",
-        "content_md5",
-        F.array_join(
-            F.transform("features", lambda x: F.format_string("%.6f", x)), ","
-        ).alias("features_csv"),
-    )
-
-
-@query(
-    "ngram_counts",
-    oracle="""
-    WITH g AS (
-        SELECT doc_id, unnest(
-            CASE WHEN len(t) < 2 THEN []::VARCHAR[]
-                 ELSE [array_to_string(t[i + 1 : i + 2], ' ') FOR i IN range(len(t) - 1)]
-            END) AS gram
-        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-    ), gf AS (SELECT * FROM g WHERE gram <> '')
-    SELECT gram,
-           count(DISTINCT doc_id) AS n_docs,
-           count(*) AS n_occurrences
-    FROM gf
-    GROUP BY gram
-    ORDER BY n_occurrences DESC, gram
-    LIMIT 20
-    """,
-)
-def ngram_counts_q(spark, sf_dir):
-    """Corpus top-20 word bigrams (collocation mining): count shuffle +
-    TakeOrdered, no global sort."""
-    return text_analysis.ngram_counts(load_table(spark, sf_dir, "documents"), n=2, k=20)
-
-
-@query(
-    "dedup_cluster",
-    oracle=f"""
-    WITH RECURSIVE pairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM embeddings a JOIN embeddings b
-          ON a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
-        WHERE {_dd_cosine('a.embedding', 'b.embedding')} >= 0.3
-    ), edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION
-        SELECT id_b AS src, id_a AS dst FROM pairs
-    ), cc(node, label) AS (
-        SELECT DISTINCT src, src FROM edges
-        UNION
-        SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
-    )
-    SELECT node, min(label) AS cluster_id,
-           (node = min(label)) AS is_keeper
-    FROM cc GROUP BY node
-    """,
-)
-def dedup_cluster_q(spark, sf_dir):
-    """Connected components over near-dup pairs → canonical keeper
-    (min-label propagation; the oracle is a DuckDB recursive CTE over
-    the same pair set, so even the iterative step is hash-checked)."""
-    from .operators import dedup
-
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    pairs = dedup.dedup_embedding_cosine(emb, threshold=0.3, all_pairs=True)
-    return dedup.dedup_cluster(pairs, "id_a", "id_b")
-
-
-@query(
-    "stratified_sample",
-    oracle=f"""
-    SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-    FROM documents
-    WHERE {H.dd_md5_long('doc_id::VARCHAR')} / 1152921504606846976.0 <
-          CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 0.1 WHEN 'fr' THEN 0.05 ELSE 0.0 END
-    GROUP BY lang
-    """,
-)
-def stratified_sample_q(spark, sf_dir):
-    """Per-language deterministic sampling rates (rebalancing a
-    multilingual corpus); strata without a rate drop out."""
-    from .operators import sketch
-
-    s = sketch.stratified_sample(
-        load_table(spark, sf_dir, "documents"),
-        "lang",
-        "doc_id",
-        {"en": 0.3, "de": 0.1, "fr": 0.05},
-    )
-    return s.groupBy("lang").agg(
-        F.count("*").alias("n_sampled"), F.sum("n_chars").alias("sum_chars")
-    )
-
-
-@query(
-    "label_centroids",
-    oracle="""
-    SELECT label, pos, count(*) AS n, round(avg(v), 6) AS mean_val
-    FROM (
-        SELECT label, unnest(embedding) AS v,
-               unnest(range(len(embedding))) AS pos
-        FROM embeddings
-    )
-    GROUP BY label, pos
-    """,
-)
-def label_centroids_q(spark, sf_dir):
-    """Per-label centroid rows (class prototypes): posexplode +
-    groupBy(label, dim) — one map-side-combinable shuffle of primitive
-    doubles."""
-    from .operators import embedding
-
-    out = embedding.label_centroids(
-        load_table(spark, sf_dir, "embeddings", split=True)
-    )
-    return out.select("label", F.col("pos").cast("long"), "n", "mean_val")
-
-
-@query(
-    "redact_pii",
-    oracle=r"""
-    SELECT doc_id,
-           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-           len(regexp_extract_all(text, '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')) AS n_phone,
-           len(regexp_extract_all(text, '\b(customer|query)\b')) AS n_leak,
-           length(regexp_replace(regexp_replace(regexp_replace(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-               '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '[PHONE]', 'g'),
-               '\b(customer|query)\b', '[LEAK]', 'g')) AS n_chars_redacted,
-           md5(regexp_replace(regexp_replace(regexp_replace(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-               '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '[PHONE]', 'g'),
-               '\b(customer|query)\b', '[LEAK]', 'g')) AS redacted_hash
-    FROM documents
-    """,
-)
-def redact_pii(spark, sf_dir):
-    """PII + contaminant scrubbing: email/phone regexes (PII shapes)
-    plus a blocklist (eval-set decontamination), counts + redacted
-    hash."""
-    pats = dict(text_analysis.PII_PATTERNS)
-    pats["leak"] = r"\b(customer|query)\b"
-    return text_analysis.redact_terms(
-        load_table(spark, sf_dir, "documents"), patterns=pats
-    )
-
-
-@query(
-    "normalize_text",
-    oracle="""
-    SELECT doc_id,
-           length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS n_chars_norm,
-           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
-    FROM documents
-    """,
-)
-def normalize_text(spark, sf_dir):
-    """Canonicalization before hashing/dedup (lower, strip, collapse)."""
-    return text_analysis.normalize_text(load_table(spark, sf_dir, "documents"))
-
-
-@query(
-    "kmv_distinct",
-    oracle=f"""
-    WITH h AS (
-        SELECT DISTINCT {H.dd_md5_long('user_id::VARCHAR')} AS h FROM events
-    ), kth AS (
-        SELECT max(h) AS h_k, count(*) AS n_kept
-        FROM (SELECT h FROM h ORDER BY h LIMIT 32)
-    ), exact AS (
-        SELECT count(DISTINCT user_id) AS ndv_exact FROM events
-    )
-    SELECT CAST(32 AS BIGINT) AS k,
-           ndv_exact,
-           round(CASE WHEN n_kept < 32 THEN CAST(n_kept AS DOUBLE)
-                      ELSE 31 / (h_k / 1152921504606846976.0) END, 6) AS ndv_est,
-           round(abs(CASE WHEN n_kept < 32 THEN CAST(n_kept AS DOUBLE)
-                          ELSE 31 / (h_k / 1152921504606846976.0) END - ndv_exact) / ndv_exact, 6) AS rel_err
-    FROM kth, exact
-    """,
-)
-def kmv_distinct_q(spark, sf_dir):
-    """KMV distinct-count sketch (Beyer SIGMOD'07) on events.user_id vs
-    the exact count."""
-    from .operators import sketch
-
-    return sketch.kmv_distinct(load_table(spark, sf_dir, "events"), "user_id", k=32)
-
-
-@query(
-    "hash_sample",
-    oracle=f"""
-    SELECT source, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-    FROM documents
-    WHERE {H.dd_md5_long('doc_id::VARCHAR')} / 1152921504606846976.0 < 0.1
-    GROUP BY source
-    """,
-)
-def hash_sample_q(spark, sf_dir):
-    """Deterministic hash sampling at 10% keyed on doc_id — stable
-    across engines/retries, per-source rollup of the sample."""
-    from .operators import sketch
-
-    s = sketch.hash_sample(load_table(spark, sf_dir, "documents"), "doc_id", 0.1)
-    return s.groupBy("source").agg(
-        F.count("*").alias("n_sampled"), F.sum("n_chars").alias("sum_chars")
-    )
-
-
-@query(
-    "column_profile",
-    oracle="""
-    WITH a AS (
-        SELECT count(*) AS n,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_p,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sumsq_p,
-               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_q,
-               sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sumsq_q,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sum_pq,
-               min(l_extendedprice) AS min_p,
-               max(l_extendedprice) AS max_p
-        FROM lineitem
-    )
-    SELECT CAST(n AS BIGINT) AS n,
-           round(CAST(sum_p AS DOUBLE) / n, 6) AS mean_price,
-           round(sqrt((CAST(sumsq_p AS DOUBLE) - CAST(sum_p AS DOUBLE) * CAST(sum_p AS DOUBLE) / n) / (n - 1)), 6) AS std_price,
-           round(min_p, 6) AS min_price,
-           round(max_p, 6) AS max_price,
-           round(((CAST(sum_pq AS DOUBLE) - CAST(sum_p AS DOUBLE) * CAST(sum_q AS DOUBLE) / n) / (n - 1))
-                 / sqrt(((CAST(sumsq_p AS DOUBLE) - CAST(sum_p AS DOUBLE) * CAST(sum_p AS DOUBLE) / n) / (n - 1))
-                      * ((CAST(sumsq_q AS DOUBLE) - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE) / n) / (n - 1))), 6) AS corr_price_qty
-    FROM a
-    """,
-)
-def column_profile(spark, sf_dir):
-    """describe-style profile with order-independent moments (decimal
-    sums of x, x², x·y; doubles only in the final scalar formulas)."""
-    from .plans import analytics
-
-    return analytics.column_profile(spark, sf_dir)
-
-
-@query(
-    "quantile_stats",
-    oracle="""
-    SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
-           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
-           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
-           round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-)
-def quantile_stats(spark, sf_dir, exact_quantiles: bool = True):
-    """Exact interpolated quantiles per return flag (default);
-    ``exact_quantiles=False`` swaps in the bounded-memory
-    percentile_approx scale path — see plans.analytics.quantile_stats."""
-    from .plans import analytics
-
-    return analytics.quantile_stats(spark, sf_dir, exact_quantiles=exact_quantiles)
-
-
-@query(
-    "dormant_customers",
-    oracle="""
-    SELECT c.c_mktsegment, count(*) AS n_custs,
-           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
-    FROM customer c
-    LEFT JOIN (
-        SELECT DISTINCT o_custkey FROM orders
-        WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
-    ) o ON o.o_custkey = c.c_custkey
-    WHERE c.c_acctbal > 0 AND o.o_custkey IS NULL
-    GROUP BY c.c_mktsegment
-    """,
-)
-def dormant_customers(spark, sf_dir):
-    """TPC-H Q22 flavor: anti-join (no recent order) + segment rollup."""
-    from .plans import analytics
-
-    return analytics.dormant_customers(spark, sf_dir)
-
-
-@query(
-    "window_events",
-    oracle="""
-    SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
-           count(*) AS n_events,
-           round(sum(value), 6) AS sum_value,
-           count(DISTINCT user_id) AS n_users
-    FROM events
-    GROUP BY epoch_ns(ts) // 3600000000000, event_type
-    """,
-)
-def window_events(spark, sf_dir):
-    """Tumbling 1-hour windowed aggregation over events."""
-    from .plans import analytics
-
-    return analytics.window_events(spark, sf_dir)
-
-
-@query(
-    "sliding_window_events",
-    oracle="""
-    SELECT t.win_start_hour, event_type,
-           count(*) AS n_events,
-           round(sum(value), 6) AS sum_value
-    FROM (
-        SELECT event_type, value,
-               unnest([epoch_ns(ts) // 3600000000000,
-                       epoch_ns(ts) // 3600000000000 - 1]) AS win_start_hour
-        FROM events
-    ) t
-    GROUP BY t.win_start_hour, event_type
-    """,
-)
-def sliding_window_events(spark, sf_dir):
-    """Sliding 2h/1h windows (native F.window, integer-hour keys)."""
-    from .plans import analytics
-
-    return analytics.sliding_window_events(spark, sf_dir)
-
-
-@query(
-    "events_json_extract",
-    oracle="""
-    SELECT event_type, count(*) AS n,
-           CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
-           min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
-           max(json_extract_string(props, '$.k')::BIGINT) AS max_k
-    FROM events
-    GROUP BY event_type
-    """,
-)
-def events_json_extract(spark, sf_dir):
-    """Semi-structured JSON extraction + aggregation."""
-    from .plans import analytics
-
-    return analytics.events_json_extract(spark, sf_dir)
-
-
-@query(
-    "topk_per_group",
-    oracle="""
-    SELECT p_brand, rank, p_partkey, p_name, p_retailprice FROM (
-        SELECT p_brand, p_partkey, p_name, p_retailprice,
-               row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rank
-        FROM part
-    ) WHERE rank <= 3
-    """,
-)
-def topk_per_group(spark, sf_dir):
-    """Window top-k per group (3 priciest parts per brand)."""
-    from .plans import analytics
-
-    return analytics.topk_per_group(spark, sf_dir)
-
-
-@query(
-    "sessionize_events",
-    oracle="""
-    WITH t AS (
-        SELECT user_id, event_id, value,
-               epoch_ns(ts) // 1000000000 AS ts_s,
-               lag(epoch_ns(ts) // 1000000000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
-        FROM events
-    ), s AS (
-        SELECT user_id, event_id, value,
-               CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS new_sess
-        FROM t
-    ), sess AS (
-        SELECT user_id, event_id, value,
-               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS session_no
-        FROM s
-    )
-    SELECT user_id, session_no, count(*) AS n_events, round(sum(value), 6) AS sum_value
-    FROM sess GROUP BY user_id, session_no
-    """,
-)
-def sessionize_events(spark, sf_dir):
-    """Gap-based sessionization (lag + cumsum) per user."""
-    from .plans import analytics
-
-    return analytics.sessionize_events(spark, sf_dir)
-
-
-# --- training-data curation suite (r2): repetition, filter gates,
-# contamination, mix, length profile, PCA map ---
-
-
-_DD_TOKS = "string_split(text, ' ')"
-
-
-@query(
-    "repetition_stats",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, unnest({_DD_TOKS}) AS g FROM documents),
-    tc AS (SELECT doc_id, g, count(*) AS c FROM toks WHERE g <> '' GROUP BY 1, 2),
-    t1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-                  CAST(count(*) AS BIGINT) AS n_uniq_tokens,
-                  max(c) AS top_c,
-                  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c
-           FROM tc GROUP BY 1),
-    g2 AS (SELECT doc_id,
-                  unnest(CASE WHEN len({_DD_TOKS}) < 2 THEN []::VARCHAR[] ELSE
-                         [array_to_string(({_DD_TOKS})[i + 1 : i + 2], ' ')
-                          FOR i IN range(len({_DD_TOKS}) - 1)] END) AS g
-           FROM documents),
-    gc AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
-    t2 AS (SELECT doc_id, sum(c) AS n2, max(c) AS top2_c,
-                  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup2_c
-           FROM gc GROUP BY 1)
-    SELECT t1.doc_id, n_tokens, n_uniq_tokens,
-           round(CAST(dup_c AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
-           round(CAST(top_c AS DOUBLE) / n_tokens, 6) AS top_token_frac,
-           round(coalesce(CAST(top2_c AS DOUBLE) / n2, 0.0), 6) AS top_2gram_frac,
-           round(coalesce(CAST(dup2_c AS DOUBLE) / n2, 0.0), 6) AS dup_2gram_frac
-    FROM t1 LEFT JOIN t2 ON t1.doc_id = t2.doc_id
-    """,
-)
-def repetition_stats(spark, sf_dir):
-    """Gopher-style repetition signals (dup-token / top-token /
-    2-gram shares) per document."""
-    from .operators import curation
-
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    return curation.repetition_stats(docs)
-
-
-@query(
-    "quality_filters",
-    oracle=f"""
-    WITH q AS (
-      SELECT doc_id,
-             CAST(len({_DD_TOKS}) AS BIGINT) AS n,
-             CAST(length(text) - (len({_DD_TOKS}) - 1) AS DOUBLE)
-               / len({_DD_TOKS}) AS mean_wl,
-             CAST(len(list_filter({_DD_TOKS},
-                  t -> list_contains(['the','a','an','and','or','of','to','in','on','for','is','are','was','be','it','this','that','with','as','at'], t)))
-               AS DOUBLE) / len({_DD_TOKS}) AS swf,
-             CAST(len(list_distinct({_DD_TOKS})) AS DOUBLE)
-               / len({_DD_TOKS}) AS ttr
-      FROM documents)
-    SELECT doc_id, n AS n_tokens,
-           round(mean_wl, 6) AS mean_word_len,
-           round(swf, 6) AS stopword_frac,
-           round(ttr, 6) AS ttr,
-           (n >= 20 AND n <= 80) AS ok_len,
-           (mean_wl >= 3.0 AND mean_wl <= 8.0) AS ok_word_len,
-           swf >= 0.05 AS ok_stopwords,
-           ttr >= 0.3 AS ok_ttr,
-           (n >= 20 AND n <= 80 AND mean_wl >= 3.0 AND mean_wl <= 8.0
-            AND swf >= 0.05 AND ttr >= 0.3) AS keep
-    FROM q
-    """,
-)
-def quality_filters(spark, sf_dir):
-    """C4/Gopher-style hard filter gates: per-rule booleans + `keep`
-    conjunction, thresholds compared at full double precision."""
-    from .operators import curation
-
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    return curation.quality_filters(docs)
-
-
-@query(
-    "benchmark_contamination",
-    oracle=f"""
-    WITH gr AS (
-      SELECT doc_id, g FROM (
-        SELECT doc_id,
-               unnest(list_distinct(CASE WHEN len({_DD_TOKS}) < 4 THEN []::VARCHAR[] ELSE
-                      [array_to_string(({_DD_TOKS})[i + 1 : i + 4], ' ')
-                       FOR i IN range(len({_DD_TOKS}) - 3)] END)) AS g
-        FROM documents)
-      WHERE g <> ''),
-    bench AS (SELECT doc_id AS bench_id, g FROM gr WHERE doc_id % 53 = 0),
-    hits AS (SELECT gr.doc_id, gr.g, b.bench_id
-             FROM gr JOIN bench b ON gr.g = b.g AND gr.doc_id <> b.bench_id)
-    SELECT doc_id,
-           CAST(count(DISTINCT g) AS BIGINT) AS n_shared_grams,
-           CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
-    FROM hits GROUP BY doc_id
-    """,
-)
-def benchmark_contamination(spark, sf_dir):
-    """Eval-set n-gram contamination scan (benchmark = doc_id % 53
-    subset, word 4-grams, benchmark grams broadcast)."""
-    from .operators import curation
-
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    return curation.benchmark_contamination(docs)
-
-
-@query(
-    "corpus_mix",
-    oracle=f"""
-    WITH agg AS (
-      SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(len({_DD_TOKS})) AS BIGINT) AS total_tokens,
-             CAST(sum(length(text)) AS BIGINT) AS total_chars
-      FROM documents GROUP BY 1, 2)
-    SELECT source, lang, n_docs, total_tokens, total_chars,
-           round(CAST(total_tokens AS DOUBLE) / sum(total_tokens) OVER (), 6)
-             AS token_share
-    FROM agg
-    """,
-)
-def corpus_mix(spark, sf_dir):
-    """Training-mix table per (source, lang) with corpus token shares."""
-    from .operators import curation
-
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    return curation.corpus_mix(docs)
-
-
-@query(
-    "length_histogram",
-    oracle=f"""
-    WITH b AS (
-      SELECT lang, CAST(len({_DD_TOKS}) AS BIGINT) AS n FROM documents)
-    SELECT lang, n - (n % 16) AS bin_lo,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n) AS BIGINT) AS total_tokens,
-           CAST(min(n) AS BIGINT) AS min_tokens,
-           CAST(max(n) AS BIGINT) AS max_tokens
-    FROM b GROUP BY 1, 2
-    """,
-)
-def length_histogram(spark, sf_dir):
-    """Token-length histogram per (lang, 16-wide bin), integer-exact
-    bin edges."""
-    from .operators import curation
-
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    return curation.length_histogram(docs)
-
-
-@query("pca_project")  # oracle: LAZY_ORACLES["pca_project"] (per-sf basis literals)
-def pca_project(spark, sf_dir):
-    """PCA corpus map: sample-fit basis (driver-side numpy, bounded
-    deterministic sample) applied to every embedding as broadcast
-    literals — dot-product HOFs, no shuffle."""
-    from .operators import embedding
-
-    mean, comps = embedding.pca_fit_sample(sf_dir, n_components=2)
-    vecs = load_table(spark, sf_dir, "embeddings", split=True)
-    return embedding.pca_project(vecs, mean, comps)
-
-
-def _pca_oracle(sf_dir: str) -> str:
-    from .operators import embedding
-
-    mean, comps = embedding.pca_fit_sample(sf_dir, n_components=2)
-    cols = []
-    for i, comp in enumerate(comps, start=1):
-        lit = f"[{', '.join(repr(x) for x in comp)}]::DOUBLE[]"
-        off = 0.0
-        for m, c in zip(mean, comp):
-            off += m * c
-        cols.append(f"round({_dd_dot('embedding', lit)} - {off!r}, 6) AS pc{i}")
-    return f"SELECT vec_id, {', '.join(cols)} FROM embeddings"
-
-
-LAZY_ORACLES["pca_project"] = _pca_oracle
-
-
-# ---------------------------------------------------------------------------
-# PQ / quantization / materialized index (vector-index build suite)
-# ---------------------------------------------------------------------------
-
-
-def _dd_euclid2(a: str, b: str) -> str:
-    # squared euclidean — matches operators.ann._euclid2's sequential sum
-    return (
-        f"list_sum(list_transform(list_zip(({a})::DOUBLE[], ({b})::DOUBLE[]),"
-        f" x -> (x[1]-x[2])*(x[1]-x[2])))"
-    )
-
-
-def _books_sql(books) -> str:
-    rows = ", ".join(
-        f"({mi}, {ki}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
-        for mi, book in enumerate(books)
-        for ki, c in enumerate(book)
-    )
-    return f"books(m, k, w) AS (VALUES {rows})"
-
-
-def _pq_codes_cte(books) -> str:
-    """Shared CTE: per-(vector, subspace) nearest-code assignment by
-    squared euclidean, ties -> lowest code (operators.ann.pq_code_expr's
-    argmin semantics)."""
-    dsub = len(books[0][0])
-    sub = f"list_slice((e.embedding)::DOUBLE[], b.m*{dsub} + 1, b.m*{dsub} + {dsub})"
-    return f"""
-    WITH {_books_sql(books)},
-    codes AS (
-        SELECT vec_id, m, code FROM (
-            SELECT e.vec_id, b.m, b.k AS code,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id, b.m
-                       ORDER BY {_dd_euclid2(sub, 'b.w')}, b.k
-                   ) AS rn
-            FROM embeddings e CROSS JOIN books b
-        ) WHERE rn = 1
-    )
-    """
-
-
-@query("ann_pq_adc")  # oracle: LAZY_ORACLES["ann_pq_adc"] (codebook literals)
-def ann_pq_adc(spark, sf_dir):
-    """PQ-compressed exhaustive search (faiss IndexPQ shape): 4x16
-    codebooks sample-trained driver-side (Jégou PAMI'11), corpus
-    encoded to 4 codes/vector, queries scan all codes with asymmetric
-    distance. The fitted codebooks inline into the DuckDB oracle as
-    literals, so encode + ADC + ranking are all hash-checked."""
-    from .operators import ann
-
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    books = ann.pq_fit_sample(sf_dir, m=4, k=16, n_iter=3)
-    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    out = ann.ann_pq_adc_topk(emb, queries, books, k=3)
-    return out.select(
-        "query_id", "vec_id", F.round("dist", 6).alias("dist"), F.col("rank").cast("long")
-    )
-
-
-def _pq_adc_oracle(sf_dir: str) -> str:
-    from .operators import ann
-
-    books = ann.pq_fit_sample(sf_dir, m=4, k=16, n_iter=3)
-    dsub = len(books[0][0])
-
-    def qsub(mi: int) -> str:
-        return f"list_slice((q.query_vec)::DOUBLE[], {mi * dsub + 1}, {(mi + 1) * dsub})"
-
-    legs = " + ".join(
-        _dd_euclid2(qsub(mi), f"c{mi}.w") for mi in range(len(books))
-    )  # SQL + is left-associative, matching pq_adc_dist's python loop
-    joins = "\n        ".join(
-        f"JOIN cw c{mi} ON c{mi}.vec_id = c0.vec_id AND c{mi}.m = {mi}"
-        for mi in range(1, len(books))
-    )
-    return _pq_codes_cte(books) + f"""
-    , cw AS (
-        SELECT c.vec_id, c.m, b.w
-        FROM codes c JOIN books b ON b.m = c.m AND b.k = c.code
-    ), q AS (
-        SELECT vec_id AS query_id, embedding AS query_vec
-        FROM embeddings WHERE vec_id < 5
-    ), scored AS (
-        SELECT q.query_id, c0.vec_id, sqrt({legs}) AS dist
-        FROM cw c0
-        {joins}
-        CROSS JOIN q
-        WHERE c0.m = 0
-    ), ranked AS (
-        SELECT query_id, vec_id, dist,
-               row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
-        FROM scored
-    )
-    SELECT query_id, vec_id, round(dist, 6) AS dist, rank
-    FROM ranked WHERE rank <= 3
-    """
-
-
-LAZY_ORACLES["ann_pq_adc"] = _pq_adc_oracle
-
-
-@query("pq_reconstruction_error")  # oracle: LAZY_ORACLES["pq_reconstruction_error"]
-def pq_reconstruction_error_q(spark, sf_dir):
-    """Per-subspace mean squared PQ quantization error over the whole
-    corpus — the metric that sizes m/k for a target recall. One narrow
-    projection + one map-side-combinable groupBy."""
-    from .operators import ann
-
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    books = ann.pq_fit_sample(sf_dir, m=4, k=16, n_iter=3)
-    return ann.pq_reconstruction_error(emb, books)
-
-
-def _pq_recon_oracle(sf_dir: str) -> str:
-    from .operators import ann
-
-    books = ann.pq_fit_sample(sf_dir, m=4, k=16, n_iter=3)
-    dsub = len(books[0][0])
-    sub = f"list_slice((e.embedding)::DOUBLE[], b.m*{dsub} + 1, b.m*{dsub} + {dsub})"
-    return f"""
-    WITH {_books_sql(books)},
-    best AS (
-        SELECT e.vec_id, b.m, min({_dd_euclid2(sub, 'b.w')}) AS e2
-        FROM embeddings e CROSS JOIN books b
-        GROUP BY e.vec_id, b.m
-    )
-    SELECT CAST(m AS BIGINT) AS subspace, CAST(count(*) AS BIGINT) AS n,
-           round(avg(e2), 6) AS mse
-    FROM best GROUP BY m
-    """
-
-
-LAZY_ORACLES["pq_reconstruction_error"] = _pq_recon_oracle
-
-
-@query(
-    "embedding_quantize_int8",
-    oracle="""
-    WITH ex AS (
-        SELECT unnest((embedding)::DOUBLE[]) AS v,
-               unnest(range(len(embedding))) AS pos
-        FROM embeddings
-    ), s AS (
-        SELECT pos, max(abs(v)) AS absmax FROM ex GROUP BY pos
-    ), e AS (
-        SELECT ex.pos, s.absmax, s.absmax / 127 AS scale,
-               CASE WHEN s.absmax / 127 = 0 THEN 0.0
-                    ELSE abs(ex.v - greatest(-127.0, least(127.0,
-                         floor(ex.v / (s.absmax / 127) + 0.5))) * (s.absmax / 127))
-               END AS aerr
-        FROM ex JOIN s ON ex.pos = s.pos
-    )
-    SELECT CAST(pos AS BIGINT) AS pos, round(absmax, 6) AS absmax,
-           round(scale, 6) AS scale,
-           round(avg(aerr), 6) AS mean_abs_err,
-           round(max(aerr), 6) AS max_abs_err
-    FROM e GROUP BY pos, absmax, scale
-    """,
-)
-def embedding_quantize_int8(spark, sf_dir):
-    """Symmetric int8 scalar-quantization profile per dimension:
-    absmax, scale, and reconstruction-error stats (the 4-bytes->1-byte
-    compression check serving stacks run before enabling int8)."""
-    from .operators import embedding
-
-    return embedding.quantize_int8_profile(
-        load_table(spark, sf_dir, "embeddings", split=True)
-    )
-
-
-_WAREHOUSE = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "spark-warehouse"
-)
-
-
-@query("ann_ivf_indexed")  # oracle: LAZY_ORACLES["ann_ivf_indexed"] (= ann_ivf's)
-def ann_ivf_indexed(spark, sf_dir):
-    """IVF over a MATERIALIZED cell-partitioned parquet index (the
-    batch index build north star): build once (idempotent — skipped if
-    the layout exists), then probe by joining on the PARTITION column
-    so pruning skips non-probed cells' directories before I/O. Result
-    contract identical to ann_ivf, so the same centroid-literal oracle
-    hash-checks the whole build+search path."""
-    from .operators import ann
-
-    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
-    index_dir = _os.path.join(
-        _WAREHOUSE, f"ivf_index_{_os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    if not _os.path.exists(_os.path.join(index_dir, "_SUCCESS")):
-        ann.ivf_index_build(
-            load_table(spark, sf_dir, "embeddings", split=True), centroids, index_dir
-        )
-    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    out = ann.ann_ivf_indexed_topk(spark, index_dir, queries, centroids, k=3, nprobe=2)
-    return out.select(
-        "query_id", "vec_id", F.round("score", 6).alias("score"), F.col("rank").cast("long")
-    )
-
-
-LAZY_ORACLES["ann_ivf_indexed"] = _ivf_oracle
-
-
-# ---------------------------------------------------------------------------
-# Time-series joins the DataFrame API has no native verb for
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "events_asof_attribution",
-    oracle="""
-    WITH u AS (
-        SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
-               CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
-        FROM events WHERE event_type IN ('click', 'purchase')
-    ), w AS (
-        SELECT user_id, ts_us, event_id, value, side,
-               last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
-                   OVER (PARTITION BY user_id ORDER BY ts_us, side, event_id
-                         ROWS UNBOUNDED PRECEDING) AS click_id,
-               last_value(CASE WHEN side = 0 THEN ts_us END IGNORE NULLS)
-                   OVER (PARTITION BY user_id ORDER BY ts_us, side, event_id
-                         ROWS UNBOUNDED PRECEDING) AS click_ts_us
-        FROM u
-    )
-    SELECT event_id AS purchase_id, user_id, ts_us, round(value, 6) AS value,
-           click_id, click_ts_us,
-           (ts_us - click_ts_us) // 1000000 AS lag_s
-    FROM w WHERE side = 1
-    """,
-)
-def events_asof_attribution(spark, sf_dir):
-    """As-of join (purchase -> latest at-or-before click, per user):
-    union-tag + one windowed last(ignorenulls) pass — ONE shuffle, no
-    join (DuckDB's ASOF JOIN verb, re-expressed for Spark)."""
-    from .plans import analytics
-
-    return analytics.asof_attribution(spark, sf_dir)
-
-
-@query(
-    "events_range_join",
-    oracle="""
-    SELECT a.event_id, a.user_id, epoch_us(a.ts) AS ts_us,
-           CAST(count(b.event_id) AS BIGINT) AS n_neighbors
-    FROM events a LEFT JOIN events b
-      ON b.user_id = a.user_id AND b.event_id <> a.event_id
-     AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 300000000
-    GROUP BY a.event_id, a.user_id, epoch_us(a.ts)
-    """,
-)
-def events_range_join_q(spark, sf_dir):
-    """Band (range) self-join via time-bucket fan-out: |Δt| ≤ 5 min
-    neighbor counts per event without an O(n²)-per-user theta join.
-    The oracle runs the naive theta join to prove the bucketed
-    candidate generation is exactly equivalent."""
-    from .plans import analytics
-
-    return analytics.events_range_join(spark, sf_dir)
-
-
-# ---------------------------------------------------------------------------
-# r4: operational diagnostics + cohort analytics
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "skew_profile",
-    oracle="""
-    WITH per_key AS (
-        SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY l_suppkey
-    ), s AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_keys,
-               CAST(sum(cnt) AS BIGINT) AS n_rows,
-               CAST(max(cnt) AS BIGINT) AS max_cnt,
-               list_sort(list(cnt)) AS sorted_cnts
-        FROM per_key
-    ), hot AS (
-        SELECT string_agg(key || ':' || cnt, ',' ORDER BY cnt DESC, key) AS top_keys_csv
-        FROM (SELECT key, cnt FROM per_key ORDER BY cnt DESC, key LIMIT 5)
-    )
-    SELECT n_keys, n_rows, max_cnt,
-           round(n_rows / CAST(n_keys AS DOUBLE), 6) AS mean_cnt,
-           CAST(sorted_cnts[CAST(n_keys * 50 // 100 AS INT) + 1] AS BIGINT) AS p50_cnt,
-           CAST(sorted_cnts[CAST(n_keys * 90 // 100 AS INT) + 1] AS BIGINT) AS p90_cnt,
-           CAST(sorted_cnts[CAST(n_keys * 99 // 100 AS INT) + 1] AS BIGINT) AS p99_cnt,
-           round(max_cnt * n_keys / CAST(n_rows AS DOUBLE), 6) AS skew_ratio,
-           hot.top_keys_csv
-    FROM s, hot
-    """,
-)
-def skew_profile(spark, sf_dir):
-    """Join-key skew diagnostics (rows-per-key distribution + heavy
-    hitters) — the measurement that decides between plain shuffle,
-    broadcast, and plans/scale.py salted_join."""
-    from .plans import analytics
-
-    return analytics.skew_profile(spark, sf_dir)
-
-
-@query(
-    "cohort_retention",
-    oracle="""
-    WITH ev AS (
-        SELECT user_id, epoch_ns(ts) // 604800000000000 AS week FROM events
-    ), first AS (
-        SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
-    ), base AS (
-        SELECT cohort_week, count(DISTINCT user_id) AS cohort_size
-        FROM first GROUP BY cohort_week
-    ), ret AS (
-        SELECT f.cohort_week, e.week - f.cohort_week AS weeks_since,
-               count(DISTINCT e.user_id) AS n_active
-        FROM ev e JOIN first f USING (user_id)
-        GROUP BY f.cohort_week, e.week - f.cohort_week
-    )
-    SELECT r.cohort_week, r.weeks_since,
-           CAST(r.n_active AS BIGINT) AS n_active,
-           CAST(b.cohort_size AS BIGINT) AS cohort_size,
-           round(r.n_active / CAST(b.cohort_size AS DOUBLE), 6) AS retention
-    FROM ret r JOIN base b USING (cohort_week)
-    """,
-)
-def cohort_retention(spark, sf_dir):
-    """Weekly cohort retention over events (first-seen-week cohorts,
-    distinct-active per week offset) — the standard product-analytics
-    rollup, integer epoch-week keys for cross-engine stability."""
-    from .plans import analytics
-
-    return analytics.cohort_retention(spark, sf_dir)
-
-
-@query(
-    "dedup_fuzzy_edit",
-    oracle="""
-    WITH d AS (
-        SELECT doc_id, substr(lower(text), 1, 32) AS p
-        FROM documents WHERE length(text) >= 32
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist
-    FROM d a JOIN d b ON a.doc_id < b.doc_id
-    WHERE levenshtein(a.p, b.p) <= 2
-    """,
-)
-def dedup_fuzzy_edit(spark, sf_dir):
-    """Fuzzy (edit-distance) near-dup pairs via PassJoin segment
-    blocking — candidates from an equi-join on shifted segments, exact
-    levenshtein verify; the oracle's naive theta join proves candidate
-    recall is exact."""
-    from .operators import dedup
-
-    return dedup.dedup_fuzzy_edit(load_table(spark, sf_dir, "documents"))
-
-
-@query("semdedup")  # oracle: LAZY_ORACLES["semdedup"] (centroid literals)
-def semdedup_q(spark, sf_dir):
-    """SemDeDup (Abbas et al. 2023): embedding near-dup drop list
-    scoped to k-means cells — the cluster-then-dedup curation pass for
-    web-scale corpora. Same fitted-centroid literals as ann_ivf, so
-    the whole path (assignment + within-cell pairs + keep-first
-    keeper) is hash-checked."""
-    from .operators import ann, dedup
-
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
-    return dedup.semdedup(emb, centroids, threshold=0.3)
-
-
-def _semdedup_oracle(sf_dir: str) -> str:
-    from .operators import ann
-
-    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
-    return f"""
-    WITH {_cents_sql(centroids)},
-    assigned AS (
-        SELECT vec_id, embedding, cid FROM (
-            SELECT e.vec_id, e.embedding, c.cid,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY {_dd_euclid('e.embedding', 'c.w')}, c.cid
-                   ) AS rn
-            FROM embeddings e CROSS JOIN cents c
-        ) WHERE rn = 1
-    ), pairs AS (
-        SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
-               {_dd_cosine('a.embedding', 'b.embedding')} AS score
-        FROM assigned a
-        JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
-    )
-    SELECT cid, id_b AS vec_id, min(id_a) AS keeper_id,
-           round(min_by(score, id_a), 6) AS score
-    FROM pairs WHERE score >= 0.3
-    GROUP BY cid, id_b
-    """
-
-
-LAZY_ORACLES["semdedup"] = _semdedup_oracle
-
-
-def _kw_index_dir(spark, sf_dir: str) -> str:
-    """Idempotent keyword-index build gate shared by every consumer.
-    Rebuilds when the index is absent OR predates the current stats
-    schema (total_tokens added for the LM scorer — a persisted index
-    from an older build is upgraded in place, the same
-    layout-versioning a production index directory needs)."""
-    from .operators import text_index
-
-    index_dir = _os.path.join(
-        _WAREHOUSE, f"kw_index_{_os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    stale = True
-    if _os.path.exists(_os.path.join(index_dir, "stats", "_SUCCESS")):
-        # schema/layout version gate: total_tokens (LM scorer) and the
-        # norms table (VSM scorer) arrived after the first layout
-        stale = "total_tokens" not in (
-            spark.read.parquet(f"{index_dir}/stats").columns
-        ) or not _os.path.exists(_os.path.join(index_dir, "norms", "_SUCCESS"))
-    if stale:
-        text_index.keyword_index_build(
-            load_table(spark, sf_dir, "documents"), index_dir
-        )
-    return index_dir
-
-
-@query(
-    "keyword_index_topk",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS dl,
-               unnest(string_split(text, ' ')) AS term
-        FROM documents
-    ), qtoks AS (
-        SELECT * FROM toks WHERE term IN ('spark', 'join', 'fast')
-    ), tf AS (
-        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
-        FROM qtoks GROUP BY doc_id, term
-    ), stats AS (
-        SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl FROM documents
-    ), dfreq AS (
-        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
-    ), bm25 AS (
-        SELECT tf.doc_id,
-               sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
-                   * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))) AS bm25
-        FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
-        GROUP BY tf.doc_id
-    )
-    SELECT row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank,
-           doc_id, round(bm25, 6) AS bm25
-    FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT 10
-    """,
-)
-def keyword_index_topk(spark, sf_dir):
-    """BM25 top-10 served from the MATERIALIZED bucket-partitioned
-    inverted index (build idempotent, like ann_ivf_indexed): query
-    terms prune to their hash buckets at the directory level before
-    any I/O. Result contract = hybrid's keyword tower, so the oracle
-    recomputes it straight from documents — index-independent."""
-    from .operators import text_index
-
-    index_dir = _kw_index_dir(spark, sf_dir)
-    return text_index.keyword_index_topk(
-        spark, index_dir, ["spark", "join", "fast"], k=10
-    )
-
-
-_DD_MH_EST = " + ".join(
-    f"(CASE WHEN sa.h{r} = sb.h{r} THEN 1 ELSE 0 END)" for r in range(8)
-)
-
-
-@query(
-    "minhash_accuracy",
-    oracle=f"""
-    WITH {_DD_SHINGLES}, {_DD_MINHASH_SIG}, {_DD_BANDS},
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a
-        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-    ), sizes AS (
-        SELECT doc_id, CAST(count(*) AS DOUBLE) AS n_sh FROM shf GROUP BY doc_id
-    ), inter AS (
-        SELECT p.doc_a, p.doc_b, CAST(count(*) AS DOUBLE) AS n_int
-        FROM pairs p
-        JOIN shf x ON x.doc_id = p.doc_a
-        JOIN shf y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
-        GROUP BY p.doc_a, p.doc_b
-    ), est AS (
-        SELECT p.doc_a, p.doc_b, ({_DD_MH_EST}) / 8.0 AS est_j
-        FROM pairs p
-        JOIN sig sa ON sa.doc_id = p.doc_a
-        JOIN sig sb ON sb.doc_id = p.doc_b
-    )
-    SELECT e.doc_a, e.doc_b, round(e.est_j, 6) AS est_jaccard,
-           round(coalesce(i.n_int, 0) / (na.n_sh + nb.n_sh - coalesce(i.n_int, 0)), 6) AS exact_jaccard,
-           round(abs(e.est_j - coalesce(i.n_int, 0) / (na.n_sh + nb.n_sh - coalesce(i.n_int, 0))), 6) AS abs_err
-    FROM est e
-    LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
-    JOIN sizes na ON na.doc_id = e.doc_a
-    JOIN sizes nb ON nb.doc_id = e.doc_b
-    """,
-)
-def minhash_accuracy(spark, sf_dir):
-    """MinHash estimator-quality harness: signature-agreement Jaccard
-    estimate vs exact shingle-set Jaccard on every LSH candidate pair
-    — the num_hashes/bands sizing measurement, exact only on
-    candidates (never all pairs)."""
-    from .operators import dedup
-
-    return dedup.minhash_accuracy(load_table(spark, sf_dir, "documents"))
-
-
-@query(
-    "lm_perplexity",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-    ), tf AS (
-        SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
-        GROUP BY doc_id, term
-    ), scored AS (
-        SELECT doc_id, tf,
-               CAST(sum(tf) OVER (PARTITION BY term) AS DOUBLE) AS cnt
-        FROM tf
-    ), d AS (
-        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-               sum(tf * ln(cnt)) / sum(tf) AS a
-        FROM scored GROUP BY doc_id
-    ), t AS (
-        -- same decomposition as the Spark plan: logp = a - ln(total)
-        SELECT doc_id, n_tokens,
-               a - ln(CAST(sum(n_tokens) OVER () AS DOUBLE)) AS logp,
-               ntile(3) OVER (ORDER BY a DESC, doc_id) AS b
-        FROM d
-    )
-    SELECT doc_id, n_tokens, round(logp, 6) AS avg_logp,
-           round(exp(-logp), 6) AS perplexity,
-           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
-           END AS ppl_bucket
-    FROM t
-    """,
-)
-def lm_perplexity(spark, sf_dir):
-    """CCNet-style perplexity quality signal under a corpus-trained
-    unigram LM (deterministic KenLM stand-in), head/middle/tail
-    tercile buckets."""
-    from .operators import text_analysis
-
-    return text_analysis.lm_perplexity(load_table(spark, sf_dir, "documents"))
-
-
-@query(
-    "sequence_packing",
-    oracle="""
-    WITH d AS (
-        SELECT lang, doc_id,
-               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
-        FROM documents
-    ), pre AS (
-        SELECT lang, doc_id, n_tokens,
-               CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
-        FROM d
-    )
-    SELECT lang, doc_id, n_tokens, start_offset,
-           start_offset // 512 AS first_pack,
-           (start_offset + n_tokens - 1) // 512 AS last_pack,
-           (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1 AS n_packs
-    FROM pre
-    """,
-)
-def sequence_packing(spark, sf_dir):
-    """GPT-style pack layout for LLM training sequences: per-language
-    concat-then-chunk offsets via the two-phase (shard-local window +
-    tiny shard-offset frame) prefix sum — bit-identical to the
-    oracle's naive full-stream cumsum, but the only full-data sort is
-    per-shard."""
-    from .operators import chunking
-
-    return chunking.sequence_packing(load_table(spark, sf_dir, "documents"))
-
-
-@query(
-    "incremental_dedup",
-    oracle=f"""
-    WITH {_DD_SHINGLES}, {_DD_MINHASH_SIG}, {_DD_BANDS},
-    s AS (SELECT (max(doc_id) * 4) // 5 AS split FROM documents),
-    newd AS (SELECT d.doc_id, d.text FROM documents d, s WHERE d.doc_id > s.split),
-    bh AS (
-        SELECT DISTINCT md5(d.text) AS h FROM documents d, s WHERE d.doc_id <= s.split
-    ), ex AS (
-        SELECT n.doc_id, (bh.h IS NOT NULL) AS is_exact_dup
-        FROM newd n LEFT JOIN bh ON md5(n.text) = bh.h
-    ), cand AS (
-        SELECT DISTINCT nb.doc_id AS new_id, bb.doc_id AS base_id
-        FROM bands nb
-        JOIN bands bb ON nb.band = bb.band AND nb.band_sig = bb.band_sig
-        CROSS JOIN s
-        WHERE nb.doc_id > s.split AND bb.doc_id <= s.split
-    ), c AS (
-        SELECT new_id, CAST(count(*) AS BIGINT) AS n FROM cand GROUP BY new_id
-    )
-    SELECT e.doc_id, e.is_exact_dup,
-           CAST(coalesce(c.n, 0) AS BIGINT) AS n_base_candidates
-    FROM ex e LEFT JOIN c ON c.new_id = e.doc_id
-    """,
-)
-def incremental_dedup(spark, sf_dir):
-    """New-batch vs base-corpus dedup (nightly ingest posture): exact
-    content-hash probe + minhash/LSH band collisions of the new slice
-    against the base only; split point is a broadcast scalar."""
-    from .operators import dedup
-
-    return dedup.incremental_dedup(load_table(spark, sf_dir, "documents"))
-
-
-@query(
-    "funnel_analysis",
-    oracle="""
-    WITH ev AS (
-        SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
-    ), per_user AS (
-        SELECT user_id,
-               min(CASE WHEN event_type = 'view' THEN (ts_us, event_id) END) AS v,
-               min(CASE WHEN event_type = 'click' THEN (ts_us, event_id) END) AS c,
-               min(CASE WHEN event_type = 'purchase' THEN (ts_us, event_id) END) AS p
-        FROM ev GROUP BY user_id
-    ), flags AS (
-        SELECT (v IS NOT NULL) AS f1,
-               (v IS NOT NULL AND c IS NOT NULL AND c >= v) AS f2,
-               (v IS NOT NULL AND c IS NOT NULL AND c >= v
-                AND p IS NOT NULL AND p >= c) AS f3
-        FROM per_user
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_users,
-           CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
-           CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
-           CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase,
-           round(sum(CASE WHEN f3 THEN 1 ELSE 0 END)
-                 / CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS DOUBLE), 6) AS conversion
-    FROM flags
-    """,
-)
-def funnel_analysis(spark, sf_dir):
-    """Ordered view->click->purchase funnel: conditional-min first
-    occurrences per user in ONE map-side-combinable groupBy, funnel
-    conjunctions on the tiny per-user frame."""
-    from .plans import analytics
-
-    return analytics.funnel_analysis(spark, sf_dir)
-
-
-@query(
-    "matryoshka_recall",
-    oracle=f"""
-    WITH dims(dim) AS (VALUES (16), (32), (64)),
-    q AS (
-        SELECT vec_id AS query_id, embedding AS query_vec
-        FROM embeddings WHERE vec_id < 5
-    ), scored AS (
-        SELECT d.dim, q.query_id, e.vec_id,
-               {_dd_cosine('e.embedding[1:d.dim]', 'q.query_vec[1:d.dim]')} AS score
-        FROM embeddings e CROSS JOIN q CROSS JOIN dims d
-    ), ranked AS (
-        SELECT dim, query_id, vec_id,
-               row_number() OVER (PARTITION BY dim, query_id
-                                  ORDER BY score DESC, vec_id) AS rn
-        FROM scored
-    ), tops AS (SELECT dim, query_id, vec_id FROM ranked WHERE rn <= 10),
-    base AS (SELECT query_id, vec_id FROM tops WHERE dim = 64),
-    hits AS (
-        SELECT t.dim, t.query_id, CAST(count(*) AS BIGINT) AS n_hits
-        FROM tops t JOIN base b ON b.query_id = t.query_id AND b.vec_id = t.vec_id
-        GROUP BY t.dim, t.query_id
-    ), keys AS (SELECT DISTINCT dim, query_id FROM tops)
-    SELECT CAST(k.dim AS BIGINT) AS dim, k.query_id,
-           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-           round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall
-    FROM keys k LEFT JOIN hits h ON h.dim = k.dim AND h.query_id = k.query_id
-    """,
-)
-def matryoshka_recall(spark, sf_dir):
-    """Matryoshka (prefix-truncation) dimensionality sweep: exact
-    cosine top-10 on 16/32/64-dim prefixes graded as recall@10 vs the
-    full 64-dim top-10 — one plan, corpus scanned once, dim exploded
-    on the broadcast query side."""
-    from .operators import ann
-
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    queries = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") < 5
-    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
-    return ann.matryoshka_recall(emb, queries, dims=[16, 32, 64], k=10)
-
-
-@query("ivf_cell_stats")  # oracle: LAZY_ORACLES["ivf_cell_stats"] (centroid literals)
-def ivf_cell_stats(spark, sf_dir):
-    """IVF index balance diagnostics — the vector-side companion of
-    skew_profile: per-cell occupancy and mean/max distance to the
-    centroid, plus each cell's share of the corpus. A skewed cell list
-    means probe cost varies wildly per query (hot cells dominate);
-    this is the measurement that sizes k or triggers re-training.
-    One narrow assignment pass (broadcast centroid literals) + one
-    map-side-combinable groupBy(cell)."""
-    from .operators import ann
-
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
-    assigned = ann.with_cell(emb, "embedding", centroids, out_col="cid")
-    dists = ann._centroid_dists(F.col("embedding"), centroids)
-    d = assigned.withColumn("_d", F.get(dists, F.col("cid")))
-    total = d.select(F.count("*").alias("_t"))
-    return (
-        d.groupBy("cid")
-        .agg(
-            F.count("*").cast("long").alias("n_vecs"),
-            F.round(F.avg("_d"), 6).alias("mean_dist"),
-            F.round(F.max("_d"), 6).alias("max_dist"),
-        )
-        .crossJoin(F.broadcast(total))
-        .select(
-            "cid",
-            "n_vecs",
-            "mean_dist",
-            "max_dist",
-            F.round(F.col("n_vecs") / F.col("_t"), 6).alias("share"),
-        )
-    )
-
-
-def _ivf_cell_stats_oracle(sf_dir: str) -> str:
-    from .operators import ann
-
-    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
-    return f"""
-    WITH {_cents_sql(centroids)},
-    assigned AS (
-        SELECT vec_id, cid, d FROM (
-            SELECT e.vec_id, c.cid, {_dd_euclid('e.embedding', 'c.w')} AS d,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY {_dd_euclid('e.embedding', 'c.w')}, c.cid
-                   ) AS rn
-            FROM embeddings e CROSS JOIN cents c
-        ) WHERE rn = 1
-    ), tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM assigned)
-    SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
-           round(avg(d), 6) AS mean_dist,
-           round(max(d), 6) AS max_dist,
-           round(count(*) / (SELECT t FROM tot), 6) AS share
-    FROM assigned GROUP BY cid
-    """
-
-
-LAZY_ORACLES["ivf_cell_stats"] = _ivf_cell_stats_oracle
-
-
-# Identical result contract to hybrid_search_rrf, so the same oracle
-# hash-checks the index-served path end to end.
-@query("hybrid_index_rrf", oracle=ORACLES["hybrid_search_rrf"])
-def hybrid_index_rrf(spark, sf_dir):
-    """Hybrid RRF retrieval SERVED FROM THE MATERIALIZED inverted
-    index (keyword tower reads pruned postings buckets only — no
-    per-query corpus tokenize); vector tower + fusion unchanged.
-    Build is idempotent and shared with keyword_index_topk."""
-    from .operators import text_index
-
-    index_dir = _kw_index_dir(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
-    return text_index.hybrid_index_rrf(
-        spark, index_dir, emb, ["spark", "join", "fast"], q, k=10, depth=20
-    )
-
-
-@query(
-    "embedding_drift",
-    oracle="""
-    WITH s AS (SELECT max(vec_id) AS m FROM embeddings),
-    ex AS (
-        SELECT e.label,
-               CASE WHEN e.vec_id * 2 <= s.m THEN 'a' ELSE 'b' END AS half,
-               unnest(range(len(e.embedding))) AS pos,
-               unnest(e.embedding) AS v
-        FROM embeddings e CROSS JOIN s
-    ), per AS (
-        SELECT label, half, pos, CAST(count(*) AS BIGINT) AS n,
-               round(avg(v), 6) AS m
-        FROM ex GROUP BY label, half, pos
-    ), j AS (
-        SELECT a.label, a.pos, a.n AS n_a, b.n AS n_b, a.m AS ma, b.m AS mb
-        FROM per a JOIN per b
-          ON a.label = b.label AND a.pos = b.pos
-         AND a.half = 'a' AND b.half = 'b'
-    )
-    SELECT label, max(n_a) AS n_a, max(n_b) AS n_b,
-           round(sqrt(sum((ma - mb) * (ma - mb))), 6) AS drift,
-           round(max(abs(ma - mb)), 6) AS max_dim_shift
-    FROM j GROUP BY label
-    """,
-)
-def embedding_drift(spark, sf_dir):
-    """Per-label centroid drift between two id-split corpus halves —
-    the embedding-space monitoring alarm (re-embedded batch or
-    distribution shift moves class centroids). Per-dim means rounded
-    before the distance so the arithmetic is cross-engine
-    deterministic."""
-    from .operators import embedding
-
-    return embedding.embedding_drift(
-        load_table(spark, sf_dir, "embeddings", split=True)
-    )
-
-
-@query("semdedup_clusters")  # oracle: LAZY_ORACLES["semdedup_clusters"]
-def semdedup_clusters(spark, sf_dir):
-    """Full transitive SemDeDup groups: connected components over the
-    (keeper_id, vec_id) drop edges → canonical cluster id + keeper per
-    vector (min-label propagation; the recursive-CTE oracle
-    hash-checks even the iteration)."""
-    from .operators import ann, dedup
-
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
-    sem = dedup.semdedup(emb, centroids, threshold=0.3)
-    pairs = sem.select(F.col("keeper_id").alias("doc_a"), F.col("vec_id").alias("doc_b"))
-    return dedup.dedup_cluster(pairs, "doc_a", "doc_b")
-
-
-def _semdedup_clusters_oracle(sf_dir: str) -> str:
-    from .operators import ann
-
-    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
-    return f"""
-    WITH RECURSIVE {_cents_sql(centroids)},
-    assigned AS (
-        SELECT vec_id, embedding, cid FROM (
-            SELECT e.vec_id, e.embedding, c.cid,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY {_dd_euclid('e.embedding', 'c.w')}, c.cid
-                   ) AS rn
-            FROM embeddings e CROSS JOIN cents c
-        ) WHERE rn = 1
-    ), sempairs AS (
-        SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
-               {_dd_cosine('a.embedding', 'b.embedding')} AS score
-        FROM assigned a
-        JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
-    ), sem AS (
-        SELECT min(id_a) AS keeper_id, id_b AS vec_id
-        FROM sempairs WHERE score >= 0.3 GROUP BY cid, id_b
-    ), edges AS (
-        SELECT keeper_id AS src, vec_id AS dst FROM sem
-        UNION
-        SELECT vec_id AS src, keeper_id AS dst FROM sem
-    ), cc(node, label) AS (
-        SELECT DISTINCT src, src FROM edges
-        UNION
-        SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
-    )
-    SELECT node, min(label) AS cluster_id,
-           (node = min(label)) AS is_keeper
-    FROM cc GROUP BY node
-    """
-
-
-LAZY_ORACLES["semdedup_clusters"] = _semdedup_clusters_oracle
-
-
-@query(
-    "knn_filtered",
-    oracle=f"""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
-    allowed AS (
-        SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200
-    ), scored AS (
-        SELECT e.vec_id, {_dd_cosine('e.embedding', 'q.qv')} AS score
-        FROM embeddings e JOIN allowed a ON a.doc_id = e.vec_id, q
-    )
-    SELECT vec_id, round(score, 6) AS score,
-           row_number() OVER (ORDER BY score DESC, vec_id) AS rank
-    FROM scored ORDER BY score DESC, vec_id LIMIT 5
-    """,
-)
-def knn_filtered(spark, sf_dir):
-    """Filtered vector search (Milvus search+filter surface,
-    milvus_db.py:51 query_entities' expr filter composed with
-    milvus_db.py:107 search_vectors): metadata predicate first, cosine
-    top-k over survivors only. The predicate pushes to the documents
-    scan and the semi-join keeps only allowed ids — at scale the
-    filter prunes BEFORE any distance work, the pre-filter posture
-    (exact; contrast with post-filtering an unfiltered ANN list, which
-    loses recall under selective predicates)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    docs = load_table(spark, sf_dir, "documents")
-    allowed = docs.filter(
-        (F.col("lang") == "en") & (F.col("n_chars") >= 200)
-    ).select(F.col("doc_id").alias("vec_id"))
-    qv = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
-    scored = (
-        emb.join(allowed, "vec_id", "left_semi")
-        .crossJoin(F.broadcast(qv))
-        .select("vec_id", V.cosine(F.col("embedding"), F.col("qv")).alias("score"))
-    )
-    top = scored.orderBy(F.col("score").desc(), "vec_id").limit(5)
-    w = Window.orderBy(F.col("score").desc(), "vec_id")
-    return top.select(
-        "vec_id",
-        F.round("score", 6).alias("score"),
-        F.row_number().over(w).cast("long").alias("rank"),
-    )
-
-
-@query(
-    "maxsim_group_retrieval",
-    oracle=f"""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
-    scored AS (
-        SELECT e.label, e.vec_id, {_dd_cosine('e.embedding', 'q.qv')} AS score
-        FROM embeddings e, q
-    ), per_label AS (
-        SELECT label, max(score) AS maxsim FROM scored GROUP BY label
-    ), best AS (
-        SELECT s.label, min(s.vec_id) AS best_vec
-        FROM scored s JOIN per_label p ON p.label = s.label AND s.score = p.maxsim
-        GROUP BY s.label
-    )
-    SELECT p.label, b.best_vec, round(p.maxsim, 6) AS maxsim,
-           row_number() OVER (ORDER BY p.maxsim DESC, p.label) AS rank
-    FROM per_label p JOIN best b ON b.label = p.label
-    ORDER BY p.maxsim DESC, p.label LIMIT 3
-    """,
-)
-def maxsim_group_retrieval(spark, sf_dir):
-    """Multi-vector (parent-document / late-interaction lite)
-    retrieval: each label is a parent with many vectors; a parent's
-    score is the MAX cosine over its members (ColBERT's maxsim
-    collapsed to one query vector), returning top-3 parents with
-    their best-matching member. One narrow scoring pass + one
-    map-side-combinable max_by groupBy — member count per parent never
-    multiplies the shuffle."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
-    scored = emb.crossJoin(F.broadcast(qv)).select(
-        "label",
-        "vec_id",
-        V.cosine(F.col("embedding"), F.col("qv")).alias("score"),
-    )
-    # max_by with (score, -vec_id) struct: ties on score pick the
-    # SMALLEST vec_id, matching the oracle's min(vec_id) over argmax
-    per = scored.groupBy("label").agg(
-        F.max("score").alias("maxsim"),
-        F.max_by(
-            "vec_id", F.struct(F.col("score"), (-F.col("vec_id")).alias("_nid"))
-        ).alias("best_vec"),
-    )
-    top = per.orderBy(F.col("maxsim").desc(), "label").limit(3)
-    w = Window.orderBy(F.col("maxsim").desc(), "label")
-    return top.select(
-        "label",
-        "best_vec",
-        F.round("maxsim", 6).alias("maxsim"),
-        F.row_number().over(w).cast("long").alias("rank"),
-    )
-
-
-def _knn_graph_edges(spark, sf_dir):
-    """Shared kNN-graph edge build for knn_graph_lsh and its degree
-    diagnostics: per-vector top-3 cosine neighbors among LSH-bucket
-    candidates (4 planes -> 16 buckets), agg-based per-source prune."""
-    from .operators import ann
-    from .operators.knn import topk_per_key_agg
-
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    planes = ann.hyperplanes(4, 64)
-    b = emb.select(
-        "vec_id", "embedding", ann.lsh_bucket(F.col("embedding"), planes).alias("_b")
-    )
-    lhs, rhs = b.alias("a"), b.alias("b")
-    scored = (
-        lhs.join(
-            rhs,
-            (F.col("a._b") == F.col("b._b"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("src"),
-            F.col("b.vec_id").alias("dst"),
-            V.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("score"),
-        )
-    )
-    return topk_per_key_agg(scored, "src", "dst", 3)
-
-
-@query("knn_graph_lsh")  # oracle attached below (plane literals)
-def knn_graph_lsh(spark, sf_dir):
-    """Corpus kNN-graph build (the neighborhood-graph step behind
-    HNSW/NN-descent index construction and graph-based dedup): every
-    vector's top-3 cosine neighbors among its LSH bucket's candidates
-    (4 planes -> 16 buckets). The bucket equi-self-join bounds
-    candidate volume by bucket occupancy (never n²); per-source top-k
-    is the agg-based prune. Vectors alone in their bucket have no
-    rows — at scale raise recall with multiprobe, not bigger
-    buckets."""
-    out = _knn_graph_edges(spark, sf_dir)
-    return out.select(
-        "src", "dst", F.round("score", 6).alias("score"), F.col("rank").cast("long")
-    )
-
-
-def _knn_graph_oracle() -> str:
-    from .operators import ann
-
-    planes = ann.hyperplanes(4, 64)
-    return f"""
-    WITH {_planes_sql(planes)},
-    dots AS (
-        SELECT e.vec_id, p.pid, {_dd_dot('e.embedding', 'p.w')} AS d
-        FROM embeddings e CROSS JOIN planes p
-    ), buckets AS (
-        SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << pid) ELSE 0 END) AS bucket
-        FROM dots GROUP BY vec_id
-    ), c AS (
-        SELECT e.vec_id, e.embedding, b.bucket
-        FROM embeddings e JOIN buckets b USING (vec_id)
-    ), scored AS (
-        SELECT a.vec_id AS src, b.vec_id AS dst,
-               {_dd_cosine('a.embedding', 'b.embedding')} AS score
-        FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-    ), ranked AS (
-        SELECT src, dst, score,
-               row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rank
-        FROM scored
-    )
-    SELECT src, dst, round(score, 6) AS score, rank
-    FROM ranked WHERE rank <= 3
-    """
-
-
-ORACLES["knn_graph_lsh"] = _knn_graph_oracle()
-
-
-@query(
-    "events_anomaly",
-    oracle="""
-    WITH hourly AS (
-        SELECT epoch_ns(ts) // 3600000000000 AS hour_id,
-               CAST(count(*) AS BIGINT) AS cnt
-        FROM events GROUP BY 1
-    ), scored AS (
-        SELECT hour_id, cnt,
-               CAST(count(cnt) OVER w AS BIGINT) AS n_hist,
-               sum(cnt) OVER w / CAST(count(cnt) OVER w AS DOUBLE) AS m,
-               sum(cnt * cnt) OVER w / CAST(count(cnt) OVER w AS DOUBLE)
-                 - (sum(cnt) OVER w / CAST(count(cnt) OVER w AS DOUBLE))
-                   * (sum(cnt) OVER w / CAST(count(cnt) OVER w AS DOUBLE)) AS v
-        FROM hourly
-        WINDOW w AS (ORDER BY hour_id ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
-    )
-    SELECT hour_id, cnt, round(m, 6) AS trailing_mean,
-           round(CASE WHEN v > 0 THEN (cnt - m) / sqrt(v) END, 6) AS zscore,
-           CASE WHEN v > 0 THEN abs((cnt - m) / sqrt(v)) > 2 ELSE FALSE END AS is_anomaly
-    FROM scored WHERE n_hist >= 6
-    """,
-)
-def events_anomaly(spark, sf_dir):
-    """Trailing-window z-score spike/drop detector on hourly event
-    counts: the stream collapses to one row per hour before any
-    window; variance via exact integer sums (E[x²]-E[x]²) so engines
-    agree bit-for-bit pre-round."""
-    from .plans import analytics
-
-    return analytics.events_anomaly(spark, sf_dir)
-
-
-@query(
-    "retrieval_metrics",
-    oracle=f"""
-    WITH total AS (SELECT count(*) AS n FROM embeddings),
-    q AS (
-        SELECT vec_id AS query_id, embedding AS query_vec,
-               CASE WHEN vec_id % 2 = 0 THEN vec_id
-                    ELSE (vec_id * 7 + 3) % (SELECT n FROM total) END AS expected_id
-        FROM embeddings WHERE vec_id < 20
-    ), scored AS (
-        SELECT q.query_id, e.vec_id,
-               {_dd_cosine('e.embedding', 'q.query_vec')} AS score
-        FROM embeddings e, q
-    ), ranked AS (
-        SELECT query_id, vec_id, score,
-               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
-        FROM scored
-    ), hits AS (
-        SELECT r.query_id, r.rank AS hit_rank
-        FROM ranked r JOIN q ON q.query_id = r.query_id AND r.vec_id = q.expected_id
-        WHERE r.rank <= 10
-    ), per AS (
-        SELECT q.query_id, h.hit_rank FROM q LEFT JOIN hits h ON h.query_id = q.query_id
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_queries,
-           CAST(sum(CASE WHEN hit_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-           round(avg(CASE WHEN hit_rank IS NULL THEN 0.0 ELSE 1.0 / hit_rank END), 6) AS mrr,
-           round(avg(CASE WHEN hit_rank = 1 THEN 1.0 ELSE 0.0 END), 6) AS hit_at_1,
-           round(avg(CASE WHEN hit_rank <= 5 THEN 1.0 ELSE 0.0 END), 6) AS hit_at_5,
-           round(avg(CASE WHEN hit_rank <= 10 THEN 1.0 ELSE 0.0 END), 6) AS hit_at_10
-    FROM per
-    """,
-)
-def retrieval_metrics(spark, sf_dir):
-    """Corpus-level retrieval quality rollup (the aggregate half of
-    eval.py's harness): MRR and hit@{{1,5,10}} over the same batch
-    eval rag_eval_retrieval runs per query — one extra
-    map-side-combinable agg on the tiny per-query frame."""
-    from .operators import rag
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    total_df = emb.select(F.count("*").alias("_t"))
-    queries = (
-        emb.filter(F.col("vec_id") < 20)
-        .crossJoin(F.broadcast(total_df))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("query_vec"),
-            F.when(F.col("vec_id") % 2 == 0, F.col("vec_id"))
-            .otherwise((F.col("vec_id") * 7 + 3) % F.col("_t"))
-            .alias("expected_id"),
-        )
-    )
-    per = rag.eval_retrieval(emb, queries, k=10)
-    hit = F.col("hit_rank").isNotNull()
-    return per.agg(
-        F.count("*").cast("long").alias("n_queries"),
-        F.sum(hit.cast("long")).cast("long").alias("n_hits"),
-        F.round(F.avg(F.when(hit, 1.0 / F.col("hit_rank")).otherwise(0.0)), 6).alias("mrr"),
-        F.round(F.avg(F.when(F.col("hit_rank") == 1, 1.0).otherwise(0.0)), 6).alias("hit_at_1"),
-        F.round(F.avg(F.when(F.col("hit_rank") <= 5, 1.0).otherwise(0.0)), 6).alias("hit_at_5"),
-        F.round(F.avg(F.when(F.col("hit_rank") <= 10, 1.0).otherwise(0.0)), 6).alias("hit_at_10"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# r5: IVF nprobe sweep (the IVF analog of ann_probe_sweep)
-# ---------------------------------------------------------------------------
-
-
-@query("ivf_probe_sweep")  # oracle: LAZY_ORACLES["ivf_probe_sweep"] (centroid literals)
-def ivf_probe_sweep(spark, sf_dir):
-    """IVF nprobe recall/latency sweep: mean recall@10 and mean scored
-    candidates per query for nprobe = 1..4 over the 8-cell quantizer —
-    the curve that sizes an IVF index's probe budget (faiss nprobe).
-    ONE plan: the budget is an exploded column over a single cell join
-    (no driver-side per-nprobe loop), same centroid literals as
-    ann_ivf so the whole sweep is hash-checked."""
-    from .operators import ann
-
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
-    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    bf = knn.topk_batch(load_table(spark, sf_dir, "embeddings"), queries, k=10)
-    return ann.ivf_probe_sweep(emb, queries, centroids, bf, max_nprobe=4, k=10)
-
-
-def _ivf_probe_sweep_oracle(sf_dir: str) -> str:
-    from .operators import ann
-
-    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
-    return f"""
-    WITH {_cents_sql(centroids)},
-    assigned AS (
-        SELECT vec_id, embedding, cid FROM (
-            SELECT e.vec_id, e.embedding, c.cid,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY {_dd_euclid('e.embedding', 'c.w')}, c.cid
-                   ) AS rn
-            FROM embeddings e CROSS JOIN cents c
-        ) WHERE rn = 1
-    ), q AS (
-        SELECT vec_id AS query_id, embedding AS query_vec
-        FROM embeddings WHERE vec_id < 10
-    ), qprobe AS (
-        SELECT query_id, query_vec, cid, rn AS m_min FROM (
-            SELECT q.query_id, q.query_vec, c.cid,
-                   row_number() OVER (
-                       PARTITION BY q.query_id
-                       ORDER BY {_dd_euclid('q.query_vec', 'c.w')}, c.cid
-                   ) AS rn
-            FROM q CROSS JOIN cents c
-        ) WHERE rn <= 4
-    ), cand AS (
-        SELECT p.query_id, s.vec_id, p.m_min,
-               {_dd_cosine('s.embedding', 'p.query_vec')} AS score
-        FROM assigned s JOIN qprobe p ON s.cid = p.cid
-    ), budgets AS (
-        SELECT unnest([1, 2, 3, 4]) AS m
-    ), pb AS (
-        SELECT b.m, cand.query_id, cand.vec_id, cand.score
-        FROM cand JOIN budgets b ON b.m >= cand.m_min
-    ), topk AS (
-        SELECT m, query_id, vec_id FROM (
-            SELECT m, query_id, vec_id,
-                   row_number() OVER (PARTITION BY m, query_id ORDER BY score DESC, vec_id) AS rn
-            FROM pb
-        ) WHERE rn <= 10
-    ), bf AS (
-        SELECT query_id, vec_id FROM (
-            SELECT q.query_id, e.vec_id,
-                   row_number() OVER (
-                       PARTITION BY q.query_id
-                       ORDER BY {_dd_cosine('e.embedding', 'q.query_vec')} DESC, e.vec_id
-                   ) AS rank
-            FROM embeddings e CROSS JOIN q
-        ) WHERE rank <= 10
-    ), hitc AS (
-        SELECT t.m, t.query_id, count(*) AS n_hit
-        FROM topk t JOIN bf ON bf.query_id = t.query_id AND bf.vec_id = t.vec_id
-        GROUP BY t.m, t.query_id
-    ), nex AS (
-        SELECT query_id, count(*) AS n_exact FROM bf GROUP BY query_id
-    ), grid AS (
-        SELECT b.m, n.query_id, n.n_exact FROM budgets b CROSS JOIN nex n
-    ), rec AS (
-        SELECT g.m, avg(coalesce(h.n_hit, 0) / g.n_exact) AS mean_recall
-        FROM grid g LEFT JOIN hitc h ON h.m = g.m AND h.query_id = g.query_id
-        GROUP BY g.m
-    ), candn AS (
-        SELECT m, count(*) AS n_cand FROM pb GROUP BY m
-    ), nq AS (
-        SELECT count(DISTINCT query_id) AS n_q FROM q
-    )
-    SELECT CAST(r.m AS BIGINT) AS n_probes,
-           round(r.mean_recall, 6) AS mean_recall,
-           round(c.n_cand / nq.n_q, 6) AS mean_candidates
-    FROM rec r JOIN candn c ON c.m = r.m CROSS JOIN nq
-    """
-
-
-LAZY_ORACLES["ivf_probe_sweep"] = _ivf_probe_sweep_oracle
-
-
-@query("eval_results_artifact")  # rows-only: Python hash-embedder path (like rag_pipeline_e2e)
-def eval_results_artifact(spark, sf_dir):
-    """The reference eval.py's data/evaluation_results.json record
-    shape (question / expected_answer / predicted_answer /
-    groq_evaluation per QA pair), produced end to end from line-paired
-    QA text files synthesized deterministically from the corpus: the
-    first 5 documents' texts are the questions (self-retrieval), so
-    ranks and grades are stable. Rows-only by the same declaration as
-    rag_pipeline_e2e — the question embedder is the Python Arrow
-    kernel; the record assembly itself is round-trip tested in
-    tests/test_rag.py."""
-    from .operators import rag
-
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
-    texts = [
-        r.text.replace("\n", " ")
-        for r in docs.select("doc_id", "text").orderBy("doc_id").limit(5).collect()
-    ]
-    # fixed per-sf path (like the kw_index reuse): repeated bench/driver
-    # invocations overwrite the same two small files instead of leaking
-    # a fresh mkdtemp per call
-    d = _os.path.join(_WAREHOUSE, f"qa_eval_{_os.path.basename(sf_dir.rstrip('/'))}")
-    _os.makedirs(d, exist_ok=True)
-    qf, af = f"{d}/questions.txt", f"{d}/answers.txt"
-    with open(qf, "w") as f:
-        f.write("\n".join(texts) + "\n")
-    with open(af, "w") as f:
-        f.write("\n".join(f"expected answer {i}" for i in range(len(texts))) + "\n")
-    return rag.evaluation_results(spark, docs, qf, af, k=5)
-
-
-# ---------------------------------------------------------------------------
-# r5: learned quality scoring + contrastive mining + cell purity
-# ---------------------------------------------------------------------------
-
-
-def _qcls_weights_sql(w: list[float]) -> str:
-    rows = ", ".join(
-        f"({i}, {int(round(x * 1_000_000))}::BIGINT)" for i, x in enumerate(w)
-    )
-    return f"qw(i, wt) AS (VALUES {rows})"
-
-
-def _quality_classifier_oracle() -> str:
-    from .operators.curation import classifier_weights
-
-    w = classifier_weights(64)
-    return f"""
-    WITH {_qcls_weights_sql(w)},
-    toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-    ), f AS (
-        SELECT doc_id, {H.dd_md5_long('tok')} % 64 AS b
-        FROM toks WHERE tok <> ''
-    ), per AS (
-        SELECT f.doc_id,
-               CAST(count(*) AS BIGINT) AS n_tokens,
-               CAST(sum(qw.wt) AS BIGINT) AS sum_micro
-        FROM f JOIN qw ON qw.i = f.b
-        GROUP BY f.doc_id
-    )
-    SELECT doc_id, n_tokens, sum_micro,
-           round(1.0 / (1.0 + exp(-((sum_micro::DOUBLE) / (n_tokens * 1000000.0)))), 6) AS prob,
-           sum_micro >= 0 AS keep
-    FROM per
-    """
-
-
-@query("quality_classifier", oracle=None)
-def quality_classifier(spark, sf_dir):
-    """fasttext-style learned quality scorer (the CCNet/GPT-3 model
-    filter next to quality_filters' hand-set gates): hashed token
-    buckets x broadcast literal weights, mean-weight raw score,
-    sigmoid prob, keep gate. Weights are the documented swap point for
-    a trained model. One explode + one map-side-combinable groupBy;
-    exact decimal sums make the score order-independent."""
-    from .operators import curation
-
-    return curation.quality_classifier(load_table(spark, sf_dir, "documents"))
-
-
-ORACLES["quality_classifier"] = _quality_classifier_oracle()
-
-
-@query("hard_negative_mining")  # oracle attached below (_hard_negative_oracle)
-def hard_negative_mining(spark, sf_dir):
-    """Contrastive hard-negative mining for embedding training: per
-    anchor, the most-similar DIFFERENT-label vector among its
-    LSH-bucket candidates (highest cosine, ties to lowest id).
-    Bucket-bound candidate volume — the same 6-plane index
-    dedup_embedding_lsh uses."""
-    from .operators import ann
-
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    planes = ann.hyperplanes(6, 64)
-    out = ann.hard_negative_mining(emb, planes)
-    return out.select(
-        "vec_id",
-        F.col("label").cast("long").alias("label"),
-        "neg_id",
-        F.col("neg_label").cast("long").alias("neg_label"),
-        "score",
-    )
-
-
-def _hard_negative_oracle() -> str:
-    from .operators import ann
-
-    planes = ann.hyperplanes(6, 64)
-    return f"""
-    WITH {_planes_sql(planes)},
-    dots AS (
-        SELECT e.vec_id, p.pid, {_dd_dot('e.embedding', 'p.w')} AS d
-        FROM embeddings e CROSS JOIN planes p
-    ), buckets AS (
-        SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << pid) ELSE 0 END) AS bucket
-        FROM dots GROUP BY vec_id
-    ), v AS (
-        SELECT e.vec_id, e.embedding, e.label, b.bucket
-        FROM embeddings e JOIN buckets b USING (vec_id)
-    ), pairs AS (
-        SELECT a.vec_id, a.label, n.vec_id AS neg_id, n.label AS neg_label,
-               {_dd_cosine('a.embedding', 'n.embedding')} AS score
-        FROM v a JOIN v n ON a.bucket = n.bucket AND a.label <> n.label
-    ), ranked AS (
-        SELECT *, row_number() OVER (
-            PARTITION BY vec_id ORDER BY score DESC, neg_id
-        ) AS rn FROM pairs
-    )
-    SELECT vec_id, CAST(label AS BIGINT) AS label, neg_id,
-           CAST(neg_label AS BIGINT) AS neg_label, round(score, 6) AS score
-    FROM ranked WHERE rn = 1
-    """
-
-
-ORACLES["hard_negative_mining"] = _hard_negative_oracle()
-
-
-@query("cluster_purity")  # oracle: LAZY_ORACLES["cluster_purity"] (centroid literals)
-def cluster_purity(spark, sf_dir):
-    """IVF cell label purity (the alignment diagnostic next to
-    ivf_cell_stats' occupancy balance): per cell, occupancy, distinct
-    labels, majority label + share. Same fitted centroid literals as
-    ann_ivf; one assignment pass + two map-side-combinable groupBys."""
-    from .operators import ann
-
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
-    return ann.cluster_purity(emb, centroids).select(
-        "cell",
-        "n",
-        "n_labels",
-        F.col("top_label").cast("long").alias("top_label"),
-        "top_share",
-    )
-
-
-def _cluster_purity_oracle(sf_dir: str) -> str:
-    from .operators import ann
-
-    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
-    return f"""
-    WITH {_cents_sql(centroids)},
-    assigned AS (
-        SELECT vec_id, label, cid FROM (
-            SELECT e.vec_id, e.label, c.cid,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY {_dd_euclid('e.embedding', 'c.w')}, c.cid
-                   ) AS rn
-            FROM embeddings e CROSS JOIN cents c
-        ) WHERE rn = 1
-    ), per_label AS (
-        SELECT cid, label, count(*) AS c FROM assigned GROUP BY cid, label
-    ), ranked AS (
-        SELECT cid, label, c,
-               row_number() OVER (PARTITION BY cid ORDER BY c DESC, label) AS rn,
-               CAST(sum(c) OVER (PARTITION BY cid) AS BIGINT) AS n,
-               CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n_labels
-        FROM per_label
-    )
-    SELECT CAST(cid AS BIGINT) AS cell, n, n_labels,
-           CAST(label AS BIGINT) AS top_label,
-           round(c / n, 6) AS top_share
-    FROM ranked WHERE rn = 1
-    """
-
-
-LAZY_ORACLES["cluster_purity"] = _cluster_purity_oracle
-
-
-_KWB_QUERIES = [
-    (0, ["spark", "join", "fast"]),
-    (1, ["vector", "data", "scan"]),
-    (2, ["window", "group", "stream"]),
-    (3, ["hash", "merge", "slow"]),
-    (4, ["filter", "column"]),
-]
-
-
-def _kwb_qt_sql() -> str:
-    rows = ", ".join(
-        f"({qid}, '{t}')" for qid, ts in _KWB_QUERIES for t in ts
-    )
-    return f"qt(query_id, term) AS (VALUES {rows})"
-
-
-@query(
-    "keyword_index_batch",
-    oracle=f"""
-    WITH {_kwb_qt_sql()},
-    toks AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS dl,
-               unnest(string_split(text, ' ')) AS term
-        FROM documents
-    ), qtoks AS (
-        SELECT * FROM toks WHERE term IN (SELECT DISTINCT term FROM qt)
-    ), tf AS (
-        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
-        FROM qtoks GROUP BY doc_id, term
-    ), stats AS (
-        SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl FROM documents
-    ), dfreq AS (
-        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
-    ), bm25 AS (
-        SELECT qt.query_id, tf.doc_id,
-               sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
-                   * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))) AS bm25
-        FROM tf JOIN qt USING (term) JOIN dfreq d USING (term) CROSS JOIN stats s
-        GROUP BY qt.query_id, tf.doc_id
-    ), ranked AS (
-        SELECT query_id, doc_id, bm25,
-               row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
-        FROM bm25
-    )
-    SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(bm25, 6) AS bm25
-    FROM ranked WHERE rank <= 10
-    """,
-)
-def keyword_index_batch(spark, sf_dir):
-    """Batch BM25 from the materialized bucket-pruned inverted index:
-    5 keyword queries in ONE plan — shared postings read (union of the
-    queries' term buckets), shared df/idf, per-query agg top-k. The
-    offline-eval / rerank serving shape next to keyword_index_topk's
-    single-query shape; oracle recomputes every query straight from
-    documents, index-independent."""
-    from .operators import text_index
-
-    index_dir = _kw_index_dir(spark, sf_dir)
-    return text_index.keyword_index_batch(spark, index_dir, _KWB_QUERIES, k=10)
-
-
-@query(
-    "hybrid_index_batch",
-    oracle=f"""
-    WITH {_kwb_qt_sql()},
-    qv AS (
-        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
-    ), toks AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS dl,
-               unnest(string_split(text, ' ')) AS term
-        FROM documents
-    ), qtoks AS (
-        SELECT * FROM toks WHERE term IN (SELECT DISTINCT term FROM qt)
-    ), tf AS (
-        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
-        FROM qtoks GROUP BY doc_id, term
-    ), stats AS (
-        SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl FROM documents
-    ), dfreq AS (
-        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
-    ), bm25 AS (
-        SELECT qt.query_id, tf.doc_id,
-               sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
-                   * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))) AS bm25
-        FROM tf JOIN qt USING (term) JOIN dfreq d USING (term) CROSS JOIN stats s
-        GROUP BY qt.query_id, tf.doc_id
-    ), kw_top AS (
-        SELECT query_id, doc_id AS _id,
-               row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS bm25_rank
-        FROM bm25 QUALIFY bm25_rank <= 20
-    ), vec AS (
-        SELECT q.query_id, e.vec_id AS _id, {_dd_cosine('e.embedding', 'q.qv')} AS score
-        FROM embeddings e CROSS JOIN qv q
-    ), vec_top AS (
-        SELECT query_id, _id,
-               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, _id) AS vec_rank
-        FROM vec QUALIFY vec_rank <= 20
-    ), fused AS (
-        SELECT coalesce(k.query_id, v.query_id) AS query_id,
-               coalesce(k._id, v._id) AS _id, k.bm25_rank, v.vec_rank,
-               round(coalesce(1.0 / (60 + k.bm25_rank), 0.0)
-                     + coalesce(1.0 / (60 + v.vec_rank), 0.0), 6) AS fused
-        FROM kw_top k FULL OUTER JOIN vec_top v
-          ON k.query_id = v.query_id AND k._id = v._id
-    ), ranked AS (
-        SELECT query_id, _id, bm25_rank, vec_rank, fused,
-               row_number() OVER (PARTITION BY query_id ORDER BY fused DESC, _id) AS rank
-        FROM fused
-    )
-    SELECT CAST(query_id AS BIGINT) AS query_id, _id AS doc_id,
-           CAST(bm25_rank AS BIGINT) AS bm25_rank,
-           CAST(vec_rank AS BIGINT) AS vec_rank, fused,
-           CAST(rank AS BIGINT) AS rank
-    FROM ranked WHERE rank <= 10
-    """,
-)
-def hybrid_index_batch(spark, sf_dir):
-    """Batch hybrid RRF from the materialized index: 5 (terms, vector)
-    queries fused in ONE plan — shared pruned postings read for the
-    keyword tower, one broadcast batch-kNN corpus pass for the vector
-    tower, keyed RRF fusion. The built-once / served-many completion
-    of hybrid_index_rrf's single-query shape; the oracle recomputes
-    every query from documents + embeddings, index-independent."""
-    from .operators import text_index
-
-    index_dir = _kw_index_dir(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
-    query_vecs = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    return text_index.hybrid_index_batch(
-        spark, index_dir, emb, _KWB_QUERIES, query_vecs, k=10, depth=20
-    )
-
-
-@query(
-    "multimodal_dedup",
-    oracle="""
-    WITH m AS (
-        SELECT d.doc_id AS media_id,
-               CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-               md5(p.text) AS content_md5
-        FROM documents d JOIN documents p ON p.doc_id = d.doc_id // 3
-    ), k AS (
-        SELECT content_md5, min(media_id) AS keeper_id,
-               CAST(count(*) AS BIGINT) AS n_copies
-        FROM m GROUP BY content_md5
-    )
-    SELECT m.content_md5, m.media_id, m.kind, k.keeper_id, k.n_copies
-    FROM m JOIN k USING (content_md5)
-    WHERE m.media_id <> k.keeper_id
-    """,
-)
-def multimodal_dedup(spark, sf_dir):
-    """Binary-payload exact dedup over a re-crawled media table (the
-    content-hash image/audio dedup step of a multimodal pretraining
-    pipeline — a crawl fetches the same bytes under many URLs):
-    keep-first per payload md5, drop list with keeper + copy count.
-    The corpus has no exact-dup texts, so the media table simulates
-    the re-crawl deterministically: media row i carries the payload of
-    doc i div 3 (each payload appears under ~3 media ids). Payload
-    bytes reduce to digests before the shuffle; the oracle reproduces
-    every hash from the documents self-join."""
-    from .operators import multimodal
-
-    docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select(F.col("doc_id").alias("_pid"), F.col("text").alias("_ptext"))
-    media = (
-        docs.select(
-            F.col("doc_id").alias("media_id"),
-            F.expr("doc_id div 3").alias("_pid"),
-        )
-        .join(payloads, "_pid")
-        .select(
-            "media_id",
-            F.element_at(
-                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-                (F.col("media_id") % 3 + 1).cast("int"),
-            ).alias("kind"),
-            F.encode(F.col("_ptext"), "utf-8").alias("content"),
-        )
-    )
-    return multimodal.dedup_media(media)
-
-
-@query(
-    "volume_shipping",
-    oracle="""
-    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
-    FROM lineitem l
-    JOIN orders o ON l.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey
-    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
-    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
-    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
-      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-      AND ((sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
-        OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18'))
-    GROUP BY 1, 2, 3
-    """,
-)
-def volume_shipping(spark, sf_dir):
-    """TPC-H Q7 shape: cross-nation shipping revenue per
-    (supp_nation, cust_nation, ship year) — the two-role-joins-of-one-
-    dimension pattern (nation joins twice under different roles)."""
-    from .plans import analytics
-
-    return analytics.volume_shipping(spark, sf_dir)
-
-
-@query(
-    "promo_revenue",
-    oracle="""
-    SELECT CAST(EXTRACT(year FROM l.l_shipdate) * 100 + EXTRACT(month FROM l.l_shipdate) AS BIGINT) AS ship_month,
-           CAST(count(*) AS BIGINT) AS n_items,
-           CAST(sum(CASE WHEN p.p_type = 'PROMO'
-                    THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
-                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS total_revenue,
-           round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
-                    THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
-                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-                 / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE), 6) AS promo_pct
-    FROM lineitem l
-    JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-    GROUP BY 1
-    """,
-)
-def promo_revenue(spark, sf_dir):
-    """TPC-H Q14 shape: promotion revenue share per ship month — the
-    first headliner to exercise the part dimension (lineitem join on
-    partkey, conditional decimal sums, one map-side-combinable agg)."""
-    from .plans import analytics
-
-    return analytics.promo_revenue(spark, sf_dir)
-
-
-@query(
-    "discounted_revenue",
-    oracle="""
-    SELECT CAST(count(*) AS BIGINT) AS n_items,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
-    FROM lineitem l
-    JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE (p.p_brand = 'Brand#4'  AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
-       OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
-       OR (p.p_brand = 'Brand#16' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
-    """,
-)
-def discounted_revenue(spark, sf_dir):
-    """TPC-H Q19 shape: disjunction of conjunctive (brand, size,
-    quantity) clauses across lineitem ⋈ part, with the per-side
-    pushdown hulls stated explicitly (the OR spans both sides, so
-    Catalyst cannot derive them)."""
-    from .plans import analytics
-
-    return analytics.discounted_revenue(spark, sf_dir)
-
-
-@query("ann_ivfpq")  # oracle: LAZY_ORACLES["ann_ivfpq"] (centroid+codebook literals)
-def ann_ivfpq(spark, sf_dir):
-    """IVF-PQ composite search (faiss IndexIVFPQ): corpus encoded once
-    into (cell, 4 PQ codes), queries ADC-scan only their 2 probed
-    cells — the inverted-file + compressed-code serving shape that
-    bounds a 100 TB scan to nprobe/K of 64×-compressed codes. Both the
-    coarse quantizer and the codebooks are sample-fitted driver-side
-    and inline into the DuckDB oracle as literals, so cell assignment,
-    PQ encode, probe choice, ADC and ranking are all hash-checked."""
-    from .operators import ann
-
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
-    books = ann.pq_fit_sample(sf_dir, m=4, k=16, n_iter=3)
-    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    out = ann.ann_ivfpq_topk(emb, queries, centroids, books, k=3, nprobe=2)
-    return out.select(
-        "query_id", "vec_id", F.round("dist", 6).alias("dist"), F.col("rank").cast("long")
-    )
-
-
-@query("ann_ivfpq_indexed")  # oracle: LAZY_ORACLES (= ann_ivfpq's — same contract)
-def ann_ivfpq_indexed(spark, sf_dir):
-    """IVF-PQ over a MATERIALIZED code-only cell-partitioned layout
-    (faiss's on-disk IndexIVFPQ): build once (idempotent), ~64×
-    smaller than the corpus because only PQ codes are stored; probes
-    join on the PARTITION column so pruning skips non-probed cells'
-    directories before I/O. Result contract identical to ann_ivfpq, so
-    the same centroid+codebook-literal oracle hash-checks the whole
-    build+ADC path."""
-    from .operators import ann
-
-    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
-    books = ann.pq_fit_sample(sf_dir, m=4, k=16, n_iter=3)
-    index_dir = _os.path.join(
-        _WAREHOUSE, f"ivfpq_index_{_os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    if not _os.path.exists(_os.path.join(index_dir, "_SUCCESS")):
-        ann.ivfpq_index_build(
-            load_table(spark, sf_dir, "embeddings", split=True),
-            centroids,
-            books,
-            index_dir,
-        )
-    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    out = ann.ann_ivfpq_indexed_topk(
-        spark, index_dir, queries, centroids, books, k=3, nprobe=2
-    )
-    return out.select(
-        "query_id", "vec_id", F.round("dist", 6).alias("dist"), F.col("rank").cast("long")
-    )
-
-
-def _ivfpq_oracle(sf_dir: str) -> str:
-    from .operators import ann
-
-    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
-    books = ann.pq_fit_sample(sf_dir, m=4, k=16, n_iter=3)
-    dsub = len(books[0][0])
-    sub = f"list_slice((e.embedding)::DOUBLE[], b.m*{dsub} + 1, b.m*{dsub} + {dsub})"
-
-    def qsub(mi: int) -> str:
-        return f"list_slice((p.query_vec)::DOUBLE[], {mi * dsub + 1}, {(mi + 1) * dsub})"
-
-    legs = " + ".join(
-        _dd_euclid2(qsub(mi), f"c{mi}.w") for mi in range(len(books))
-    )  # SQL + is left-associative, matching pq_adc_dist's python loop
-    joins = "\n        ".join(
-        f"JOIN cw c{mi} ON c{mi}.vec_id = c0.vec_id AND c{mi}.m = {mi}"
-        for mi in range(1, len(books))
-    )
-    # _ivf_common: cents + per-vector cell (assigned) + queries (q) +
-    # 2-probe cells (qprobe); then the PQ half: books + per-(vec,
-    # subspace) code + the code's centroid (cw); ADC only on rows whose
-    # assigned cell is probed.
-    return _ivf_common(centroids, 5) + f"""
-    , {_books_sql(books)}, codes AS (
-        SELECT vec_id, m, code FROM (
-            SELECT e.vec_id, b.m, b.k AS code,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id, b.m
-                       ORDER BY {_dd_euclid2(sub, 'b.w')}, b.k
-                   ) AS rn
-            FROM embeddings e CROSS JOIN books b
-        ) WHERE rn = 1
-    ), cw AS (
-        SELECT c.vec_id, c.m, b.w
-        FROM codes c JOIN books b ON b.m = c.m AND b.k = c.code
-    ), scored AS (
-        SELECT p.query_id, c0.vec_id, sqrt({legs}) AS dist
-        FROM cw c0
-        {joins}
-        JOIN assigned a ON a.vec_id = c0.vec_id
-        JOIN qprobe p ON a.cid = p.cid
-        WHERE c0.m = 0
-    ), ranked AS (
-        SELECT query_id, vec_id, dist,
-               row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
-        FROM scored
-    )
-    SELECT query_id, vec_id, round(dist, 6) AS dist, rank
-    FROM ranked WHERE rank <= 3
-    """
-
-
-LAZY_ORACLES["ann_ivfpq"] = _ivfpq_oracle
-LAZY_ORACLES["ann_ivfpq_indexed"] = _ivfpq_oracle
-
-
-@query(
-    "substring_dedup",
-    oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM documents
-    ), w AS (
-        SELECT doc_id, unnest(
-            CASE WHEN len(t) < 8 THEN []::BIGINT[]
-                 ELSE [{H.dd_md5_long("array_to_string(t[i + 1 : i + 8], ' ')")}
-                       FOR i IN range(len(t) - 7)]
-            END) AS wh
-        FROM toks
-    ), c AS (
-        SELECT wh, count(*) AS cnt FROM w GROUP BY wh
-    ), perdoc AS (
-        SELECT w.doc_id,
-               count(*) AS n_windows,
-               sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS n_dup
-        FROM w JOIN c USING (wh)
-        GROUP BY w.doc_id
-    )
-    SELECT d.doc_id,
-           CAST(COALESCE(p.n_windows, 0) AS BIGINT) AS n_windows,
-           CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_windows,
-           round(CASE WHEN COALESCE(p.n_windows, 0) = 0 THEN 0.0
-                      ELSE p.n_dup * 1.0 / p.n_windows END, 6) AS dup_fraction
-    FROM documents d LEFT JOIN perdoc p USING (doc_id)
-    """,
-)
-def substring_dedup_q(spark, sf_dir):
-    """Exact substring duplication (Lee et al. 2021 ExactSubstr
-    criterion, relational form): per-doc fraction of 8-token windows
-    whose hash occurs ≥ 2 times corpus-wide. Docs reduce to window
-    hashes map-side; one count shuffle + one hash-partitioned join
-    back — the paper's suffix array re-expressed as a plan that
-    survives 100 TB."""
-    from .operators import dedup
-
-    return dedup.substring_dedup(
-        load_table(spark, sf_dir, "documents", split=True), w=8
-    )
-
-
-@query(
-    "order_priority_check",
-    oracle="""
-    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
-    FROM orders o
-    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
-      AND EXISTS (SELECT 1 FROM lineitem l
-                  WHERE l.l_orderkey = o.o_orderkey
-                    AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY)
-    GROUP BY 1
-    """,
-)
-def order_priority_check_q(spark, sf_dir):
-    """TPC-H Q4 shape: per-priority count of one quarter's orders with
-    ≥ 1 late-shipped lineitem — the EXISTS-as-LEFT-SEMI pattern (no
-    duplicate orders, no distinct; cross-side date predicate rides the
-    join condition)."""
-    from .plans import analytics
-
-    return analytics.order_priority_check(spark, sf_dir)
-
-
-@query(
-    "customer_order_distribution",
-    oracle="""
-    WITH c_orders AS (
-        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
-        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-        GROUP BY c.c_custkey
-    )
-    SELECT CAST(c_count AS BIGINT) AS c_count,
-           CAST(count(*) AS BIGINT) AS custdist
-    FROM c_orders GROUP BY c_count
-    """,
-)
-def customer_order_distribution_q(spark, sf_dir):
-    """TPC-H Q13 shape: customers-per-order-count distribution
-    including zero-order customers (the LEFT OUTER reason). Orders
-    aggregate per custkey BEFORE the customer join, so wide customer
-    rows never cross the fact shuffle."""
-    from .plans import analytics
-
-    return analytics.customer_order_distribution(spark, sf_dir)
-
-
-@query(
-    "small_quantity_revenue",
-    oracle="""
-    WITH bp AS (
-        SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'
-    ), li AS (
-        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
-        FROM lineitem l JOIN bp ON l.l_partkey = bp.p_partkey
-    ), pa AS (
-        SELECT l_partkey, avg(l_quantity) AS avg_qty FROM li GROUP BY l_partkey
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_items,
-           round(CAST(COALESCE(sum(CAST(li.l_extendedprice AS DECIMAL(18,2))),
-                               CAST(0 AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6)
-               AS avg_yearly
-    FROM li JOIN pa USING (l_partkey)
-    WHERE li.l_quantity < 0.2 * pa.avg_qty
-    """,
-)
-def small_quantity_revenue_q(spark, sf_dir):
-    """TPC-H Q17 shape: revenue share of one brand's small-quantity
-    items (quantity < 20% of the part's average) — the
-    correlated-average pattern: brand semi-join cuts lineitem once,
-    per-part avg + detail re-join both reuse that frame's partkey
-    partitioning. Integer-valued quantities make the avg exact in
-    both engines."""
-    from .plans import analytics
-
-    return analytics.small_quantity_revenue(spark, sf_dir)
-
-
-@query(
-    "large_volume_customers",
-    oracle="""
-    WITH oq AS (
-        SELECT l_orderkey, sum(l_quantity) AS sum_qty
-        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
-    )
-    SELECT c.c_custkey, c.c_name, o.o_orderkey,
-           CAST(epoch(o.o_orderdate) AS BIGINT) AS order_epoch,
-           round(o.o_totalprice, 6) AS o_totalprice,
-           CAST(oq.sum_qty AS BIGINT) AS sum_qty
-    FROM orders o
-    JOIN oq ON o.o_orderkey = oq.l_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    ORDER BY o_totalprice DESC, o.o_orderkey
-    LIMIT 100
-    """,
-)
-def large_volume_customers_q(spark, sf_dir):
-    """TPC-H Q18 shape: customers whose single orders total > 300
-    units — HAVING on the fact agg collapses to a handful of hot
-    orders; AQE broadcasts the survivors through the orders/customer
-    joins. Top-100 via TakeOrdered with an orderkey tie-break."""
-    from .plans import analytics
-
-    return analytics.large_volume_customers(spark, sf_dir)
-
-
-@query(
-    "scd2_intervals",
-    oracle="""
-    WITH u AS (
-        SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
-        FROM events WHERE event_type = 'purchase'
-    ), chg AS (
-        SELECT *, lag(value) OVER (
-            PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
-        FROM u
-    ), c AS (
-        SELECT user_id, ts_us, event_id, value FROM chg
-        WHERE prev IS NULL OR value <> prev
-    ), v AS (
-        SELECT user_id, value, ts_us AS valid_from_us,
-               lead(ts_us) OVER (
-                   PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us,
-               row_number() OVER (
-                   PARTITION BY user_id ORDER BY ts_us, event_id) AS version
-        FROM c
-    )
-    SELECT user_id, CAST(version AS BIGINT) AS version,
-           round(value, 6) AS value, valid_from_us, valid_to_us,
-           valid_to_us IS NULL AS is_current
-    FROM v
-    """,
-)
-def scd2_intervals_q(spark, sf_dir):
-    """SCD2 history build (Kimball type-2 dimension merge): change
-    events → validity intervals with open current rows; lag change
-    detection and lead/row_number interval build share ONE (user_id)
-    shuffle and sort. Micros precision end-to-end."""
-    from .plans import analytics
-
-    return analytics.scd2_intervals(spark, sf_dir)
-
-
-@query(
-    "bloom_dedup_probe",
-    oracle=f"""
-    WITH c AS (
-        SELECT doc_id, md5(text) AS ch, doc_id % 2 = 0 AS in_base FROM documents
-    ), bits AS (
-        SELECT DISTINCT b FROM (
-            SELECT {H.dd_md5_long('ch', 0)} % 1024 AS b FROM c WHERE in_base
-            UNION ALL
-            SELECT {H.dd_md5_long('ch', 1)} % 1024 AS b FROM c WHERE in_base
-        )
-    ), probe AS (
-        SELECT doc_id, in_base, ch, {H.dd_md5_long('ch', 0)} % 1024 AS b FROM c
-        UNION ALL
-        SELECT doc_id, in_base, ch, {H.dd_md5_long('ch', 1)} % 1024 AS b FROM c
-    ), hits AS (
-        SELECT p.doc_id, p.in_base, p.ch,
-               sum(CASE WHEN bits.b IS NOT NULL THEN 1 ELSE 0 END) = 2 AS bloom_hit
-        FROM probe p LEFT JOIN bits ON p.b = bits.b
-        GROUP BY 1, 2, 3
-    ), bh AS (
-        SELECT DISTINCT ch FROM c WHERE in_base
-    )
-    SELECT h.doc_id, h.in_base, h.bloom_hit,
-           bh.ch IS NOT NULL AS exact_dup,
-           h.bloom_hit AND bh.ch IS NULL AS false_positive
-    FROM hits h LEFT JOIN bh ON h.ch = bh.ch
-    """,
-)
-def bloom_dedup_probe_q(spark, sf_dir):
-    """Bloom-filter dedup pre-screen (Bloom CACM'70): the even-id half
-    of the corpus builds a 1024-bit / 2-hash filter from content
-    digests, every doc probes it — base docs can never miss (the
-    no-false-negative property, hash-checked row-for-row) and non-base
-    hits are the measured false-positive rate. The filter is the
-    distinct set-bit table, bounded by the CONSTANT m — the one
-    broadcast the no-data-proportional-hint rule explicitly allows."""
-    from .operators import sketch
-
-    return sketch.bloom_dedup_probe(
-        load_table(spark, sf_dir, "documents"), m=1024, k_hashes=2
-    )
-
-
-@query(
-    "keyword_index_phrase",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS term,
-               unnest(range(len(string_split(text, ' ')))) AS pos
-        FROM documents
-    ), p0 AS (
-        SELECT doc_id, pos FROM toks WHERE term = 'part'
-    ), p1 AS (
-        SELECT doc_id, pos FROM toks WHERE term = 'filter'
-    ), m AS (
-        SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_phrase
-        FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
-        GROUP BY 1
-    )
-    SELECT row_number() OVER (ORDER BY n_phrase DESC, doc_id) AS rank,
-           doc_id, n_phrase
-    FROM m ORDER BY n_phrase DESC, doc_id LIMIT 10
-    """,
-)
-def keyword_index_phrase(spark, sf_dir):
-    """Exact phrase query ("part filter") served from the MATERIALIZED
-    positional index (the phrase extension of keyword_index_topk's
-    layout): term i's positions shift left by i, the intersection of
-    the shifted arrays is the phrase-start set — bucket-partition
-    pruning before I/O, per-doc array ops at query time, no positional
-    explode. The oracle recomputes adjacency straight from documents,
-    index-independent."""
-    from .operators import text_index
-
-    index_dir = _os.path.join(
-        _WAREHOUSE, f"kwpos_index_{_os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    if not _os.path.exists(_os.path.join(index_dir, "postings_pos", "_SUCCESS")):
-        text_index.positional_index_build(
-            load_table(spark, sf_dir, "documents"), index_dir
-        )
-    return text_index.phrase_topk(spark, index_dir, ["part", "filter"], k=10)
-
-
-@query(
-    "top_supplier_revenue",
-    oracle="""
-    WITH r AS (
-        SELECT l_suppkey,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS rev
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
-        GROUP BY l_suppkey
-    )
-    SELECT s.s_suppkey, s.s_name, CAST(r.rev AS DOUBLE) AS total_revenue
-    FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
-    WHERE r.rev = (SELECT max(rev) FROM r)
-    """,
-)
-def top_supplier_revenue_q(spark, sf_dir):
-    """TPC-H Q15 shape: the quarter's maximum-revenue supplier(s) —
-    agg-then-max-scalar (the reference's view + scalar subquery): one
-    fact agg, 1-row broadcast max, exact DECIMAL equality so ties
-    survive in both engines."""
-    from .plans import analytics
-
-    return analytics.top_supplier_revenue(spark, sf_dir)
-
-
-@query(
-    "suppliers_kept_waiting",
-    oracle="""
-    WITH ls AS (
-        SELECT l.l_orderkey, l.l_suppkey,
-               max(CASE WHEN l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
-                        THEN 1 ELSE 0 END) AS late
-        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        GROUP BY 1, 2
-    ), po AS (
-        SELECT l_orderkey, count(*) AS n_supps, sum(late) AS n_late
-        FROM ls GROUP BY 1
-    )
-    SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
-    FROM ls JOIN po USING (l_orderkey)
-    JOIN supplier s ON ls.l_suppkey = s.s_suppkey
-    WHERE ls.late = 1 AND po.n_supps >= 2 AND po.n_late = 1
-    GROUP BY 1, 2
-    ORDER BY numwait DESC, s.s_suppkey
-    LIMIT 10
-    """,
-)
-def suppliers_kept_waiting_q(spark, sf_dir):
-    """TPC-H Q21 shape: suppliers who were the only late shipper on a
-    multi-supplier order — the EXISTS + NOT-EXISTS pair re-expressed
-    as two stacked aggs sharing the orderkey partitioning (no
-    correlated re-scans). Top-10 by wait count, TakeOrdered."""
-    from .plans import analytics
-
-    return analytics.suppliers_kept_waiting(spark, sf_dir)
-
-
-@query(
-    "tokenizer_fertility",
-    oracle=r"""
-    WITH t AS (
-        SELECT lang, length(text) AS nc,
-               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS nbpe,
-               len(string_split(text, ' ')) AS nw
-        FROM documents
-    )
-    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(nbpe) AS BIGINT) AS n_subword_tokens,
-           CAST(sum(nw) AS BIGINT) AS n_words,
-           CAST(sum(nc) AS BIGINT) AS n_chars,
-           round(sum(nbpe) * 1.0 / sum(nw), 6) AS fertility,
-           round(sum(nc) * 1.0 / sum(nbpe), 6) AS chars_per_subword
-    FROM t GROUP BY lang
-    """,
-)
-def tokenizer_fertility_q(spark, sf_dir):
-    """Tokenizer fertility per language (subword tokens per whitespace
-    word — the multilingual tokenizer-efficiency metric that weighs
-    vocab sizing and corpus-mix decisions), plus chars-per-subword.
-    One narrow projection + one map-side-combinable groupBy(lang)."""
-    return text_analysis.tokenizer_fertility(
-        load_table(spark, sf_dir, "documents")
-    )
-
-
-def _dsir_oracle() -> str:
-    from .operators.curation import dsir_lambdas
-
-    lam = dsir_lambdas(64)
-    return f"""
-    WITH {_qcls_weights_sql(lam)},
-    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    uni AS (SELECT doc_id, unnest(t) AS f FROM toks),
-    bi AS (
-        SELECT doc_id, unnest(
-            CASE WHEN len(t) < 2 THEN []::VARCHAR[]
-                 ELSE [array_to_string(t[i + 1 : i + 2], ' ') FOR i IN range(len(t) - 1)]
-            END) AS f
-        FROM toks
-    ), feats AS (
-        SELECT doc_id, f FROM uni WHERE f <> ''
-        UNION ALL
-        SELECT doc_id, f FROM bi WHERE f <> ''
-    ), per AS (
-        SELECT feats.doc_id,
-               CAST(count(*) AS BIGINT) AS n_feats,
-               CAST(sum(qw.wt) AS BIGINT) AS logratio_micro
-        FROM feats JOIN qw ON qw.i = {H.dd_md5_long('f')} % 64
-        GROUP BY feats.doc_id
-    ), cut AS (
-        SELECT quantile_cont(logratio_micro, 0.75) AS c FROM per
-    )
-    SELECT doc_id, n_feats, logratio_micro,
-           round(exp((logratio_micro::DOUBLE) / (n_feats * 1000000.0)), 6) AS importance,
-           logratio_micro >= cut.c AS selected
-    FROM per, cut
-    """
-
-
-@query("dsir_selection", oracle=None)
-def dsir_selection_q(spark, sf_dir):
-    """DSIR data selection (Xie et al. NeurIPS'23): per-doc importance
-    log-ratio under hashed unigram+bigram features (λ table = the
-    documented swap point for the two fitted n-gram models), top-25%
-    corpus-quantile keep cut — the deterministic analog of the
-    resampling step. Integer micro-unit sums keep the score
-    order-free; the quantile cut rides a 1-row broadcast."""
-    from .operators import curation
-
-    return curation.dsir_selection(load_table(spark, sf_dir, "documents"))
-
-
-ORACLES["dsir_selection"] = _dsir_oracle()
-
-
-@query(
-    "shipping_priority",
-    oracle="""
-    SELECT l.l_orderkey,
-           CAST(EXTRACT(year FROM o.o_orderdate) * 10000
-              + EXTRACT(month FROM o.o_orderdate) * 100
-              + EXTRACT(day FROM o.o_orderdate) AS BIGINT) AS o_orderdate_key,
-           o.o_orderpriority,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
-    FROM lineitem l
-    JOIN orders o ON l.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    WHERE c.c_mktsegment = 'BUILDING'
-      AND o.o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
-      AND l.l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
-    GROUP BY 1, 2, 3
-    ORDER BY revenue DESC, o_orderdate_key, l_orderkey
-    LIMIT 10
-    """,
-)
-def shipping_priority(spark, sf_dir):
-    """TPC-H Q3 shape: top-10 unshipped-order revenue for one market
-    segment — both date filters and the segment filter reach their
-    scans' PushedFilters; top-N via TakeOrdered, no global sort."""
-    from .plans import analytics
-
-    return analytics.shipping_priority(spark, sf_dir)
-
-
-@query(
-    "revenue_forecast",
-    oracle="""
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
-           CAST(count(*) AS BIGINT) AS n_items
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-      AND l_discount >= 0.05 AND l_discount <= 0.07
-      AND l_quantity < 24
-    """,
-)
-def revenue_forecast(spark, sf_dir):
-    """TPC-H Q6 shape: one scan + one map-side-combinable agg with
-    every predicate pushed to the parquet reader — the canonical
-    pushdown showcase (date range prunes partitions in a partitioned
-    layout; residual filters evaluate before any row surfaces)."""
-    from .plans import analytics
-
-    return analytics.revenue_forecast(spark, sf_dir)
-
-
-@query(
-    "returned_items",
-    oracle="""
-    SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
-    FROM lineitem l
-    JOIN orders o ON l.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE l.l_returnflag = 'R'
-      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
-    GROUP BY 1, 2, 3, 4
-    ORDER BY revenue DESC, c_custkey
-    LIMIT 20
-    """,
-)
-def returned_items(spark, sf_dir):
-    """TPC-H Q10 shape: top customers by returned-item revenue in one
-    quarter — quarter filter pushed to orders, returnflag to lineitem,
-    25-row nation broadcast, customer hint-free (AQE)."""
-    from .plans import analytics
-
-    return analytics.returned_items(spark, sf_dir)
-
-
-@query(
-    "market_share",
-    oracle="""
-    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-           CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
-                    THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
-                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS national_revenue,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS total_revenue,
-           round(CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
-                    THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
-                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-                 / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE), 6) AS mkt_share
-    FROM lineitem l
-    JOIN part p ON l.l_partkey = p.p_partkey
-    JOIN orders o ON l.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
-    JOIN region r ON cn.n_regionkey = r.r_regionkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey
-    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
-    WHERE p.p_type = 'ECONOMY'
-      AND r.r_name = 'EUROPE'
-      AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
-      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-    GROUP BY 1
-    """,
-)
-def market_share(spark, sf_dir):
-    """TPC-H Q8 shape: one nation's revenue share for one part type
-    among one region's customers, per order year — the widest
-    headliner join tree (7 relations, nation twice under different
-    roles); share = conditional-sum ratio in ONE agg."""
-    from .plans import analytics
-
-    return analytics.market_share(spark, sf_dir)
-
-
-@query(
-    "keyword_index_merge",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS dl,
-               unnest(string_split(text, ' ')) AS term
-        FROM documents
-    ), qtoks AS (
-        SELECT * FROM toks WHERE term IN ('table', 'scan', 'window')
-    ), tf AS (
-        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
-        FROM qtoks GROUP BY doc_id, term
-    ), stats AS (
-        SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl FROM documents
-    ), dfreq AS (
-        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
-    ), bm25 AS (
-        SELECT tf.doc_id,
-               sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
-                   * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))) AS bm25
-        FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
-        GROUP BY tf.doc_id
-    )
-    SELECT row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank,
-           doc_id, round(bm25, 6) AS bm25
-    FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT 10
-    """,
-)
-def keyword_index_merge_q(spark, sf_dir):
-    """Incremental inverted-index maintenance (the nightly-ingest shape
-    of the BM25 layout): the even-id half bulk-builds the MERGEABLE
-    index (postings partitioned by (batch, bucket) + commit ledger),
-    the odd-id half merges in as batch 1 — only the new slice is
-    tokenized, replays overwrite their own batch partitions
-    (idempotent), and a crash at any boundary converges on re-run.
-    Serving reads the merged directory with the usual bucket pruning;
-    the oracle recomputes BM25 from the FULL corpus, proving
-    merge == rebuild."""
-    from .operators import text_index
-
-    index_dir = _os.path.join(
-        _WAREHOUSE, f"kw_index_m_{_os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    docs = load_table(spark, sf_dir, "documents")
-    committed: set[int] = set()
-    if _os.path.exists(_os.path.join(index_dir, "ledger", "_SUCCESS")):
-        committed = {
-            r["batch"]
-            for r in spark.read.parquet(f"{index_dir}/ledger").select("batch").collect()
-        }
-    if not {0, 1} <= committed:
-        text_index.mergeable_index_build(
-            docs.filter(F.col("doc_id") % 2 == 0), index_dir
-        )
-        text_index.keyword_index_merge(
-            spark, docs.filter(F.col("doc_id") % 2 == 1), index_dir, batch_id=1
-        )
-    return text_index.keyword_index_topk(
-        spark, index_dir, ["table", "scan", "window"], k=10
-    )
-
-
-@query(
-    "cdc_apply",
-    oracle="""
-    WITH log AS (
-        SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
-               value
-        FROM events
-    ), ranked AS (
-        SELECT *, row_number() OVER (
-                   PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
-               ) AS rn,
-               count(*) OVER (PARTITION BY user_id) AS n_ops
-        FROM log
-    )
-    SELECT user_id, value, ts_us AS updated_at_us, CAST(n_ops AS BIGINT) AS n_ops
-    FROM ranked WHERE rn = 1 AND op = 'U'
-    """,
-)
-def cdc_apply_q(spark, sf_dir):
-    """CDC changelog apply (lakehouse MERGE / Debezium compaction):
-    fold a keyed change log to current state — last-write-wins per
-    key, tombstones drop the key. ONE map-side-combinable groupBy
-    (max_by over the (ts, event_id) total order), no window over the
-    raw log; the oracle replays the fold with a window."""
-    from .plans import analytics
-
-    return analytics.cdc_apply(spark, sf_dir)
-
-
-@query("ann_ivfpq_residual")  # oracle: LAZY_ORACLES (centroid + residual-codebook literals)
-def ann_ivfpq_residual(spark, sf_dir):
-    """IVF-PQ with RESIDUAL encoding (faiss IndexIVFPQ's default,
-    by_residual=True): codebooks train on x − c(x) so the code budget
-    quantizes the within-cell spread; ADC LUTs become per-(query,
-    probed cell) on the exploded broadcast side. Completes the PQ
-    family next to ann_ivfpq's by_residual=False. Coarse centroids AND
-    residual codebooks inline into the DuckDB oracle, so assignment,
-    residual encode, probe choice, per-cell LUT ADC and ranking are
-    all hash-checked."""
-    from .operators import ann
-
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
-    books = ann.pq_fit_residual_sample(sf_dir, centroids, m=4, k=16, n_iter=3)
-    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    out = ann.ann_ivfpq_residual_topk(emb, queries, centroids, books, k=3, nprobe=2)
-    return out.select(
-        "query_id", "vec_id", F.round("dist", 6).alias("dist"), F.col("rank").cast("long")
-    )
-
-
-def _ivfpq_residual_oracle(sf_dir: str) -> str:
-    from .operators import ann
-
-    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
-    books = ann.pq_fit_residual_sample(sf_dir, centroids, m=4, k=16, n_iter=3)
-    dsub = len(books[0][0])
-    rsub = f"list_slice(res.r, b.m*{dsub} + 1, b.m*{dsub} + {dsub})"
-
-    def qrsub(mi: int) -> str:
-        return f"list_slice(qr.qr, {mi * dsub + 1}, {(mi + 1) * dsub})"
-
-    legs = " + ".join(
-        _dd_euclid2(qrsub(mi), f"c{mi}.w") for mi in range(len(books))
-    )  # SQL + is left-associative, matching pq_adc_dist_lut's loop
-    joins = "\n        ".join(
-        f"JOIN cw c{mi} ON c{mi}.vec_id = c0.vec_id AND c{mi}.m = {mi}"
-        for mi in range(1, len(books))
-    )
-    # residuals (corpus AND query side) are elementwise x − c against
-    # the SAME cell the row assigned/probed — list_zip subtraction
-    # computes the identical float sequence as Spark's zip_with
-    return _ivf_common(centroids, 5) + f"""
-    , {_books_sql(books)}, res AS (
-        SELECT a.vec_id, a.cid,
-               list_transform(list_zip((a.embedding)::DOUBLE[], c.w),
-                              x -> x[1] - x[2]) AS r
-        FROM assigned a JOIN cents c ON c.cid = a.cid
-    ), codes AS (
-        SELECT vec_id, cid, m, code FROM (
-            SELECT res.vec_id, res.cid, b.m, b.k AS code,
-                   row_number() OVER (
-                       PARTITION BY res.vec_id, b.m
-                       ORDER BY {_dd_euclid2(rsub, 'b.w')}, b.k
-                   ) AS rn
-            FROM res CROSS JOIN books b
-        ) WHERE rn = 1
-    ), cw AS (
-        SELECT c.vec_id, c.cid, c.m, b.w
-        FROM codes c JOIN books b ON b.m = c.m AND b.k = c.code
-    ), qres AS (
-        SELECT p.query_id, p.cid,
-               list_transform(list_zip((p.query_vec)::DOUBLE[], c.w),
-                              x -> x[1] - x[2]) AS qr
-        FROM qprobe p JOIN cents c ON c.cid = p.cid
-    ), scored AS (
-        SELECT qr.query_id, c0.vec_id, sqrt({legs}) AS dist
-        FROM cw c0
-        {joins}
-        JOIN qres qr ON c0.cid = qr.cid
-        WHERE c0.m = 0
-    ), ranked AS (
-        SELECT query_id, vec_id, dist,
-               row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
-        FROM scored
-    )
-    SELECT query_id, vec_id, round(dist, 6) AS dist, rank
-    FROM ranked WHERE rank <= 3
-    """
-
-
-LAZY_ORACLES["ann_ivfpq_residual"] = _ivfpq_residual_oracle
-
-
-@query(
-    "dedup_cluster_stats",
-    oracle=f"""
-    WITH RECURSIVE pairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM embeddings a JOIN embeddings b
-          ON a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
-        WHERE {_dd_cosine('a.embedding', 'b.embedding')} >= 0.3
-    ), edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION
-        SELECT id_b AS src, id_a AS dst FROM pairs
-    ), cc(node, label) AS (
-        SELECT DISTINCT src, src FROM edges
-        UNION
-        SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
-    ), labelled AS (
-        SELECT node, min(label) AS cluster_id FROM cc GROUP BY node
-    ), per_cluster AS (
-        SELECT cluster_id, count(*) AS sz FROM labelled GROUP BY cluster_id
-    )
-    SELECT sz AS cluster_size,
-           CAST(count(*) AS BIGINT) AS n_clusters,
-           CAST(sum(sz) AS BIGINT) AS n_docs,
-           CAST(sum(sz - 1) AS BIGINT) AS n_removable
-    FROM per_cluster GROUP BY sz
-    """,
-)
-def dedup_cluster_stats_q(spark, sf_dir):
-    """Duplicate-cluster size histogram + removable-doc counts over
-    the connected-components labelling — the payoff/skew measurement
-    a dedup run reads before deleting anything. Same pair set and
-    components as dedup_cluster, so the recursive-CTE oracle
-    hash-checks the iteration AND the rollup."""
-    from .operators import dedup
-
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    pairs = dedup.dedup_embedding_cosine(emb, threshold=0.3, all_pairs=True)
-    cc = dedup.dedup_cluster(pairs, "id_a", "id_b")
-    return dedup.cluster_stats(cc)
-
-
-def _band_sweep_oracle() -> str:
-    def cand(b: int, r: int) -> str:
-        bands_sql = " OR ".join(
-            "("
-            + " AND ".join(f"a{band * r + row} = b{band * r + row}" for row in range(r))
-            + ")"
-            for band in range(b)
-        )
-        return bands_sql
-
-    legs = "\n    UNION ALL\n    ".join(
-        f"""SELECT CAST({b} AS BIGINT) AS bands, CAST({r} AS BIGINT) AS rows_per_band,
-               CAST(count(*) AS BIGINT) AS n_pairs,
-               CAST(sum(CASE WHEN j >= 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
-               CAST(sum(CASE WHEN {cand(b, r)} THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
-               CAST(sum(CASE WHEN ({cand(b, r)}) AND j >= 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
-        FROM scored"""
-        for b, r in ((8, 1), (4, 2), (2, 4), (1, 8))
-    )
-    ab = ", ".join(f"sa.h{i} AS a{i}, sb.h{i} AS b{i}" for i in range(8))
-    return f"""
-    WITH dsub AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
-    sh AS (
-        SELECT DISTINCT doc_id, unnest(
-            CASE WHEN len(t) < 3 THEN []::VARCHAR[]
-                 ELSE [array_to_string(t[i + 1 : i + 3], ' ') FOR i IN range(len(t) - 2)]
-            END) AS shingle
-        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM dsub)
-    ), shf AS (SELECT * FROM sh WHERE shingle <> ''),
-    mh AS (SELECT doc_id,
-        ('0x' || substr(md5('0:' || shingle), 1, 15))::BIGINT AS ha,
-        ('0x' || substr(md5('1:' || shingle), 1, 14))::BIGINT AS hb FROM shf),
-    sig AS (SELECT doc_id, {", ".join(f"min(ha + {i} * hb) AS h{i}" for i in range(8))}
-        FROM mh GROUP BY doc_id),
-    sizes AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS n FROM shf GROUP BY doc_id),
-    inter AS (
-        SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS DOUBLE) AS ni
-        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ),
-    scored AS (
-        SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, {ab},
-               coalesce(i.ni, 0) / (x.n + y.n - coalesce(i.ni, 0)) AS j
-        FROM sig sa
-        JOIN sig sb ON sa.doc_id < sb.doc_id
-        JOIN sizes x ON x.doc_id = sa.doc_id
-        JOIN sizes y ON y.doc_id = sb.doc_id
-        LEFT JOIN inter i ON i.da = sa.doc_id AND i.db = sb.doc_id
-    ), agged AS (
-    {legs}
-    )
-    SELECT bands, rows_per_band AS rows, n_pairs, n_true, n_candidates, n_hits,
-           CASE WHEN n_true > 0 THEN round(n_hits::DOUBLE / n_true, 6) END AS recall,
-           CASE WHEN n_candidates > 0 THEN round(n_hits::DOUBLE / n_candidates, 6) END AS precision
-    FROM agged
-    """
-
-
-@query("minhash_band_sweep", oracle=None)
-def minhash_band_sweep_q(spark, sf_dir):
-    """Banding-scheme sweep: candidate volume + recall/precision vs
-    exact Jaccard ≥ τ for every (bands, rows) split of one 8-component
-    signature — the empirical S-curve that sizes MinHash-LSH banding.
-    Exact truth runs on an explicitly bounded id-prefix subset (the
-    similarity_matrix posture); one signature frame, one pair pass,
-    configs exploded per pair."""
-    from .operators import dedup
-
-    return dedup.minhash_band_sweep(load_table(spark, sf_dir, "documents"))
-
-
-ORACLES["minhash_band_sweep"] = _band_sweep_oracle()
-
-
-# 1-based DCG rank discounts 1/log2(rank+1), inlined as literals on
-# BOTH engines so no log evaluates at query time (libm log drift is
-# the classic cross-engine hash killer)
-_NDCG_DISC = [1.0 / _math.log2(r + 1) for r in range(1, 11)]
-_NDCG_DISC_SQL = "[" + ", ".join(repr(d) for d in _NDCG_DISC) + "]::DOUBLE[]"
-
-
-@query(
-    "retrieval_ndcg",
-    oracle=f"""
-    WITH total AS (SELECT count(*) AS n FROM embeddings),
-    q AS (
-        SELECT vec_id AS query_id, embedding AS query_vec,
-               vec_id AS e1,
-               (vec_id * 7 + 3) % (SELECT n FROM total) AS e2,
-               (vec_id * 13 + 5) % (SELECT n FROM total) AS e3
-        FROM embeddings WHERE vec_id < 10
-    ), rel0 AS (
-        SELECT query_id, e1 AS doc_id, 3 AS g FROM q
-        UNION ALL SELECT query_id, e2, 2 FROM q
-        UNION ALL SELECT query_id, e3, 1 FROM q
-    ), rels AS (
-        SELECT query_id, doc_id, max(g) AS g FROM rel0 GROUP BY 1, 2
-    ), scored AS (
-        SELECT q.query_id, e.vec_id,
-               {_dd_cosine("e.embedding", "q.query_vec")} AS score
-        FROM embeddings e, q
-    ), ranked AS (
-        SELECT query_id, vec_id, row_number() OVER (
-                   PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
-        FROM scored
-    ), hits AS (
-        SELECT r.query_id, r.rank, (pow(2, rel.g) - 1) * ({_NDCG_DISC_SQL})[r.rank] AS term
-        FROM ranked r JOIN rels rel ON rel.query_id = r.query_id AND rel.doc_id = r.vec_id
-        WHERE r.rank <= 10
-    ), dcg AS (
-        SELECT query_id, list_sum(list(term ORDER BY rank)) AS dcg FROM hits GROUP BY query_id
-    ), idcg AS (
-        SELECT query_id, CAST(len(gs) AS BIGINT) AS n_rel,
-               list_sum([(pow(2, gs[i + 1]) - 1) * ({_NDCG_DISC_SQL})[i + 1]
-                         FOR i IN range(len(gs))]) AS idcg
-        FROM (SELECT query_id, list(g ORDER BY g DESC) AS gs FROM rels GROUP BY query_id)
-        GROUP BY query_id, gs
-    )
-    SELECT i.query_id, i.n_rel,
-           round(coalesce(d.dcg, 0.0), 6) AS dcg,
-           round(i.idcg, 6) AS idcg,
-           round(coalesce(d.dcg, 0.0) / i.idcg, 6) AS ndcg
-    FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id
-    """,
-)
-def retrieval_ndcg(spark, sf_dir):
-    """NDCG@10 with graded relevance (the ranking-quality completion
-    of retrieval_metrics' binary MRR/hit@k): each query carries a
-    deterministic 3/2/1-graded relevant-doc trio (self + two pseudo-
-    random ids, grade collisions resolved by max); DCG sums
-    (2^grade−1)·disc[rank] over the exact top-10 in rank order, IDCG
-    over the grades sorted descending — the rank discounts are
-    PRECOMPUTED literals on both engines, and both sums run
-    sequentially in sorted order, so the floats match bit-for-bit.
-    One corpus scan (broadcast batch kNN) + two tiny aggs."""
-    from .operators import knn
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    total_df = emb.select(F.count("*").alias("_t"))
-    q = (
-        emb.filter(F.col("vec_id") < 10)
-        .crossJoin(F.broadcast(total_df))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("query_vec"),
-            F.col("vec_id").alias("e1"),
-            ((F.col("vec_id") * 7 + 3) % F.col("_t")).alias("e2"),
-            ((F.col("vec_id") * 13 + 5) % F.col("_t")).alias("e3"),
-        )
-    )
-    rels = (
-        q.select(
-            "query_id",
-            F.explode(
-                F.array(
-                    F.struct(F.col("e1").alias("doc"), F.lit(3).alias("g")),
-                    F.struct(F.col("e2").alias("doc"), F.lit(2).alias("g")),
-                    F.struct(F.col("e3").alias("doc"), F.lit(1).alias("g")),
-                )
-            ).alias("x"),
-        )
-        .groupBy("query_id", F.col("x.doc").alias("doc_id"))
-        .agg(F.max("x.g").alias("g"))
-    )
-    top = knn.topk_batch(emb, q.select("query_id", "query_vec"), k=10)
-    disc = F.lit(_NDCG_DISC)
-    term = (F.pow(F.lit(2), F.col("g")) - 1) * F.element_at(disc, F.col("rank").cast("int"))
-    dcg = (
-        top.join(
-            rels,
-            (top.query_id == rels.query_id) & (top.vec_id == rels.doc_id),
-        )
-        .select(top.query_id.alias("query_id"), F.col("rank"), term.alias("_term"))
-        .groupBy("query_id")
-        .agg(
-            F.aggregate(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct(F.col("rank"), F.col("_term")))
-                    ),
-                    lambda s: s["_term"],
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("_dcg")
-        )
-    )
-    idcg = rels.groupBy("query_id").agg(
-        F.count("*").cast("long").alias("n_rel"),
-        F.reverse(F.array_sort(F.collect_list("g"))).alias("_gs"),
-    ).select(
-        "query_id",
-        "n_rel",
-        F.aggregate(
-            F.zip_with(
-                F.col("_gs"),
-                F.slice(disc, 1, F.size("_gs")),
-                lambda gg, d: (F.pow(F.lit(2), gg) - 1) * d,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ).alias("_idcg"),
-    )
-    return idcg.join(dcg, "query_id", "left").select(
-        "query_id",
-        "n_rel",
-        F.round(F.coalesce(F.col("_dcg"), F.lit(0.0)), 6).alias("dcg"),
-        F.round("_idcg", 6).alias("idcg"),
-        F.round(F.coalesce(F.col("_dcg"), F.lit(0.0)) / F.col("_idcg"), 6).alias("ndcg"),
-    )
-
-
-def _knn_graph_degree_oracle() -> str:
-    base = _knn_graph_oracle().rsplit("SELECT src, dst", 1)[0]
-    return base + """
-    , edges AS (SELECT src, dst FROM ranked WHERE rank <= 3),
-    n AS (SELECT count(*) AS n_nodes FROM embeddings),
-    outd AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
-    ind AS (SELECT dst, count(*) AS id_ FROM edges GROUP BY dst),
-    recip AS (
-        SELECT count(*) AS n_recip
-        FROM edges e JOIN edges r ON r.src = e.dst AND r.dst = e.src
-    )
-    SELECT CAST(n.n_nodes AS BIGINT) AS n_nodes,
-           CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
-           CAST(n.n_nodes - (SELECT count(*) FROM outd) AS BIGINT) AS n_isolated,
-           round((SELECT count(*) FROM edges)::DOUBLE / n.n_nodes, 6) AS mean_out_degree,
-           CAST((SELECT max(id_) FROM ind) AS BIGINT) AS max_in_degree,
-           CAST((SELECT count(*) FROM ind WHERE id_ >= 6) AS BIGINT) AS n_hubs,
-           round((SELECT n_recip FROM recip)::DOUBLE
-                 / (SELECT count(*) FROM edges), 6) AS reciprocity
-    FROM n
-    """
-
-
-@query("knn_graph_degree_stats", oracle=None)
-def knn_graph_degree_stats(spark, sf_dir):
-    """kNN-graph quality diagnostics (the NN-descent / HNSW
-    pre-flight): isolated-node count (bucket singletons that got no
-    neighbors — the recall hole multiprobe would fix), in-degree hub
-    count (nodes ≥ 2k inbound — the skew that makes graph-build
-    reducers hot), mean out-degree and edge reciprocity (symmetric
-    neighborhoods predict NN-descent convergence). One edge build
-    (shared with knn_graph_lsh) + three tiny aggs over (src, dst)
-    longs; the corpus count rides as a broadcast scalar."""
-    edges = _knn_graph_edges(spark, sf_dir).select("src", "dst")
-    emb = load_table(spark, sf_dir, "embeddings")
-    n_df = emb.select(F.count("*").cast("long").alias("n_nodes"))
-    outd = edges.groupBy("src").agg(F.count("*").alias("_od"))
-    ind = edges.groupBy("dst").agg(F.count("*").alias("_id"))
-    e2 = edges.select(F.col("src").alias("_rs"), F.col("dst").alias("_rd"))
-    recip = edges.join(
-        e2, (F.col("_rs") == F.col("dst")) & (F.col("_rd") == F.col("src"))
-    ).select(F.count("*").cast("long").alias("n_recip"))
-    stats = edges.agg(F.count("*").cast("long").alias("n_edges")).crossJoin(
-        F.broadcast(n_df)
-    ).crossJoin(
-        F.broadcast(outd.agg(F.count("*").cast("long").alias("_n_src")))
-    ).crossJoin(
-        F.broadcast(
-            ind.agg(
-                F.max("_id").cast("long").alias("max_in_degree"),
-                F.sum(F.when(F.col("_id") >= 6, 1).otherwise(0))
-                .cast("long")
-                .alias("n_hubs"),
-            )
-        )
-    ).crossJoin(F.broadcast(recip))
-    return stats.select(
-        "n_nodes",
-        "n_edges",
-        (F.col("n_nodes") - F.col("_n_src")).cast("long").alias("n_isolated"),
-        F.round(F.col("n_edges").cast("double") / F.col("n_nodes"), 6).alias(
-            "mean_out_degree"
-        ),
-        "max_in_degree",
-        "n_hubs",
-        F.round(F.col("n_recip").cast("double") / F.col("n_edges"), 6).alias(
-            "reciprocity"
-        ),
-    )
-
-
-ORACLES["knn_graph_degree_stats"] = _knn_graph_degree_oracle()
-
-
-@query(
-    "global_sales_opportunity",
-    oracle="""
-    WITH inc AS (
-        SELECT c_custkey, c_nationkey, c_acctbal
-        FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
-    ), pos AS (
-        SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s,
-               CAST(count(*) AS BIGINT) AS n
-        FROM inc WHERE c_acctbal > 0
-    )
-    SELECT c_nationkey,
-           CAST(count(*) AS BIGINT) AS numcust,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
-    FROM inc, pos
-    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = inc.c_custkey)
-    GROUP BY c_nationkey
-    """,
-)
-def global_sales_opportunity_q(spark, sf_dir):
-    """TPC-H Q22 shape: wealthy zero-order customers per nation —
-    scalar-average threshold (exact DECIMAL cross-multiply, never a
-    float division) + LEFT ANTI against key-projected orders."""
-    from .plans import analytics
-
-    return analytics.global_sales_opportunity(spark, sf_dir)
-
-
-@query(
-    "group_reservoir_sample",
-    oracle=f"""
-    WITH ranked AS (
-        SELECT source, doc_id, n_chars,
-               row_number() OVER (
-                   PARTITION BY source
-                   ORDER BY {H.dd_md5_long('CAST(doc_id AS VARCHAR)', 'rsv')}, doc_id
-               ) AS rank
-        FROM documents
-    )
-    SELECT source, doc_id, n_chars, CAST(rank AS BIGINT) AS rank
-    FROM ranked WHERE rank <= 5
-    """,
-)
-def group_reservoir_sample_q(spark, sf_dir):
-    """Per-group fixed-size uniform sample (the distributed reservoir:
-    eval-set carving, per-source spot-check extraction). Priority =
-    seeded md5 of the id — a uniform 60-bit draw that is reproducible
-    across engines, runs AND cluster sizes, unlike rand(seed) whose
-    stream depends on partitioning. Smallest-k-per-group via the
-    sort_array/slice agg (one map-side-combinable shuffle, no window
-    sort stage); adding a doc never evicts more than one survivor —
-    the reservoir property — so incremental re-runs are stable."""
-    docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "source",
-        "doc_id",
-        "n_chars",
-        H.md5_long(F.col("doc_id").cast("string"), "rsv").alias("_pri"),
-    )
-    top = knn.topk_per_key_agg(scored, "source", "doc_id", 5, score_col="_pri", asc=True)
-    meta = docs.select(F.col("doc_id").alias("_d"), F.col("n_chars").alias("_nc"))
-    return (
-        top.join(meta, top.doc_id == F.col("_d"))
-        .select("source", "doc_id", F.col("_nc").alias("n_chars"), F.col("rank").cast("long"))
-    )
-
-
-@query(
-    "priority_sample",
-    oracle=f"""
-    WITH pri AS (
-        SELECT source, doc_id, n_chars,
-               CAST(n_chars AS DOUBLE)
-                   / (({H.dd_md5_long('CAST(doc_id AS VARCHAR)', 'pps')} + 1)
-                      / 1152921504606846976.0) AS priority
-        FROM documents
-    ), ranked AS (
-        SELECT source, doc_id, n_chars, priority,
-               row_number() OVER (
-                   PARTITION BY source ORDER BY priority DESC, doc_id
-               ) AS rank
-        FROM pri
-    )
-    SELECT source, doc_id, n_chars, round(priority, 4) AS priority,
-           CAST(rank AS BIGINT) AS rank
-    FROM ranked WHERE rank <= 5
-    """,
-)
-def priority_sample_q(spark, sf_dir):
-    """Weighted sampling without replacement (Rosén/Duffield priority
-    sampling, the PPS workhorse for budget-capped corpus selection):
-    each doc draws u ∈ (0,1] from a seeded md5 and competes with
-    priority = weight / u; the per-group top-k is a PPSWOR sample with
-    inclusion probability ∝ weight (n_chars here — byte-budgeted
-    selection). Per-row arithmetic only (two IEEE ops in a fixed
-    order, bit-identical in both engines); ranking happens on full
-    precision, rounding only on output. Same agg-based top-k as the
-    uniform reservoir — no window, no global sort."""
-    docs = load_table(spark, sf_dir, "documents")
-    u = (H.md5_long(F.col("doc_id").cast("string"), "pps") + F.lit(1)) / F.lit(
-        1152921504606846976.0
-    )
-    scored = docs.select(
-        "source",
-        "doc_id",
-        "n_chars",
-        (F.col("n_chars").cast("double") / u).alias("_pri"),
-    )
-    top = knn.topk_per_key_agg(scored, "source", "doc_id", 5, score_col="_pri", asc=False)
-    meta = docs.select(F.col("doc_id").alias("_d"), F.col("n_chars").alias("_nc"))
-    return (
-        top.join(meta, top.doc_id == F.col("_d"))
-        .select(
-            "source",
-            "doc_id",
-            F.col("_nc").alias("n_chars"),
-            F.round("_pri", 4).alias("priority"),
-            F.col("rank").cast("long"),
-        )
-    )
-
-
-@query(
-    "compaction_plan",
-    oracle="""
-    WITH sized AS (
-        SELECT source, doc_id, n_chars,
-               COALESCE(sum(n_chars) OVER (
-                   PARTITION BY source ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ), 0) AS before
-        FROM documents
-    ), binned AS (
-        SELECT source, before // 4096 AS bin, n_chars FROM sized
-    )
-    SELECT source, CAST(bin AS BIGINT) AS bin,
-           CAST(count(*) AS BIGINT) AS n_files,
-           CAST(sum(n_chars) AS BIGINT) AS bin_chars
-    FROM binned GROUP BY source, bin
-    """,
-)
-def compaction_plan_q(spark, sf_dir):
-    """Small-file compaction planner (the nightly table-maintenance
-    pass every 100 TB lake runs: bin-pack many small files into
-    ~target-size rewrite groups). Files = document rows, size =
-    n_chars, target = 4096: each source's files are packed in id
-    order by running-size-before ``div`` target — greedy first-fit in
-    arrival order, the same assignment Delta/Iceberg OPTIMIZE
-    computes. One window per source (prefix sum of a long) + one
-    map-side-combinable rollup of (source, bin). At real scale the
-    prefix sum runs per table-partition — bounded rows per window
-    partition; for a single giant partition switch to the two-phase
-    shard prefix sum sequence_packing uses (chunking.py:209)."""
-    docs = load_table(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    sized = docs.select(
-        "source",
-        "n_chars",
-        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("_before"),
-    )
-    return (
-        sized.select("source", "n_chars", F.expr("_before div 4096").alias("bin"))
-        .groupBy("source", "bin")
-        .agg(
-            F.count("*").cast("long").alias("n_files"),
-            F.sum("n_chars").cast("long").alias("bin_chars"),
-        )
-    )
-
-
-def _z_interleave_spark(x, y, bits: int = 10):
-    """Morton/Z-order interleave of two non-negative ints (bit i of x
-    -> bit 2i, bit i of y -> bit 2i+1), as portable div/mod arithmetic
-    identical in Spark and DuckDB."""
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        z = (
-            z
-            + (F.shiftright(x, i).bitwiseAND(F.lit(1))) * F.lit(1 << (2 * i))
-            + (F.shiftright(y, i).bitwiseAND(F.lit(1))) * F.lit(1 << (2 * i + 1))
-        )
-    return z
-
-
-def _z_interleave_dd(x: str, y: str, bits: int = 10) -> str:
-    terms = []
-    for i in range(bits):
-        terms.append(f"((({x}) >> {i}) & 1) * {1 << (2 * i)}")
-        terms.append(f"((({y}) >> {i}) & 1) * {1 << (2 * i + 1)}")
-    return "(" + " + ".join(terms) + ")"
-
-
-@query(
-    "zorder_layout",
-    oracle=f"""
-    WITH keyed AS (
-        SELECT user_id & 1023 AS x,
-               (epoch_ns(ts) // 3600000000000) & 1023 AS y
-        FROM events
-    ), z AS (
-        SELECT x, y, {_z_interleave_dd('x', 'y')} // 1024 AS block FROM keyed
-    )
-    SELECT CAST(block AS BIGINT) AS block,
-           CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
-           CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y,
-           CAST(max(x) - min(x) AS BIGINT) AS x_span,
-           CAST(max(y) - min(y) AS BIGINT) AS y_span
-    FROM z GROUP BY block
-    """,
-)
-def zorder_layout_q(spark, sf_dir):
-    """Z-order (Morton-curve) data layout for multi-column pruning —
-    the Delta/Iceberg OPTIMIZE ZORDER BY primitive: interleaving the
-    bits of two cluster keys gives ONE sort key under which any
-    fixed-size run of rows stays tight in BOTH dimensions, so min/max
-    file stats prune selective predicates on either column. Keys here:
-    user_id and epoch-hour (both masked to 10 bits); blocks = zvalue
-    div 1024 model the file boundary, and the emitted per-block
-    x/y spans ARE the pruning quality measurement (a z-ordered block
-    covers ~sqrt(block_rows) of each key range instead of the full
-    span a single-key sort leaves on the second column). The
-    interleave is 40 shift-mask-add codegen ops per row, no shuffle
-    until the per-block rollup; at 100 TB the same zvalue is the
-    repartitionByRange + sortWithinPartitions key for the rewrite."""
-    ev = load_table(spark, sf_dir, "events")
-    keyed = ev.select(
-        F.col("user_id").bitwiseAND(F.lit(1023)).alias("x"),
-        F.expr("ts_ns div 3600000000000").bitwiseAND(F.lit(1023)).alias("y"),
-    )
-    z = keyed.select(
-        "x",
-        "y",
-        F.shiftright(_z_interleave_spark(F.col("x"), F.col("y")), 10).alias("block"),
-    )
-    return z.groupBy("block").agg(
-        F.count("*").cast("long").alias("n_rows"),
-        F.min("x").cast("long").alias("min_x"),
-        F.max("x").cast("long").alias("max_x"),
-        F.min("y").cast("long").alias("min_y"),
-        F.max("y").cast("long").alias("max_y"),
-        (F.max("x") - F.min("x")).cast("long").alias("x_span"),
-        (F.max("y") - F.min("y")).cast("long").alias("y_span"),
-    )
-
-
-@query(
-    "bpe_pair_counts",
-    oracle="""
-    WITH words AS (
-        SELECT unnest(string_split(text, ' ')) AS w FROM documents
-    ), vocab AS (
-        SELECT w, count(*) AS n FROM words WHERE len(w) >= 2 GROUP BY w
-    ), pairs AS (
-        SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair,
-               n
-        FROM vocab
-    ), counts AS (
-        SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences
-        FROM pairs GROUP BY pair
-    ), ranked AS (
-        SELECT pair, n_occurrences,
-               row_number() OVER (ORDER BY n_occurrences DESC, pair) AS rank
-        FROM counts
-    )
-    SELECT pair, n_occurrences, CAST(rank AS BIGINT) AS rank
-    FROM ranked WHERE rank <= 20
-    """,
-)
-def bpe_pair_counts_q(spark, sf_dir):
-    """One BPE training round (Sennrich ACL'16): the top adjacent
-    symbol pairs whose merge the next vocab entry would be. The
-    classic scale trick: corpus text collapses to the (word, count)
-    VOCAB first — one map-side-combinable shuffle over the raw text —
-    and pair explosion + pair counting then run over the vocab table
-    only, so per-round cost is vocabulary-sized, independent of corpus
-    size (this is why real BPE trainers iterate in minutes over TBs).
-    Adjacent pairs via a transform/sequence HOF (no Python), global
-    top-20 via TakeOrdered + a 20-row window for the rank column."""
-    docs = load_table(spark, sf_dir, "documents")
-    vocab = (
-        docs.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.length("w") >= 2)
-        .groupBy("w")
-        .agg(F.count("*").alias("n"))
-    )
-    counts = (
-        vocab.select(
-            "n",
-            F.explode(
-                F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
-            ).alias("pair"),
-        )
-        .groupBy("pair")
-        .agg(F.sum("n").cast("long").alias("n_occurrences"))
-    )
-    top = counts.orderBy(F.col("n_occurrences").desc(), "pair").limit(20)
-    w = Window.orderBy(F.col("n_occurrences").desc(), "pair")
-    return top.select(
-        "pair", "n_occurrences", F.row_number().over(w).cast("long").alias("rank")
-    )
-
-
-@query(
-    "event_transitions",
-    oracle="""
-    WITH seq AS (
-        SELECT user_id, event_type,
-               lag(event_type) OVER (
-                   PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
-               ) AS from_type
-        FROM events
-    ), counts AS (
-        SELECT from_type, event_type AS to_type,
-               CAST(count(*) AS BIGINT) AS n
-        FROM seq WHERE from_type IS NOT NULL
-        GROUP BY from_type, event_type
-    )
-    SELECT from_type, to_type, n,
-           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p
-    FROM counts
-    """,
-)
-def event_transitions_q(spark, sf_dir):
-    """First-order Markov transition table over per-user event
-    streams (the session-flow / funnel-discovery primitive): lag
-    within (user_id) order gives consecutive-event bigrams, one
-    map-side-combinable count per (from, to), row-probabilities
-    normalized by a window over the ≤|types|² result frame (never the
-    raw log). ONE shuffle keyed by user_id does all the sequencing —
-    the same partitioning sessionize_events and scd2_intervals ride;
-    ts_ns integer ordering with event_id tie-break makes the sequence
-    (hence every count) deterministic in both engines."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    seq = ev.select(
-        F.lag("event_type").over(w).alias("from_type"),
-        F.col("event_type").alias("to_type"),
-    ).filter(F.col("from_type").isNotNull())
-    counts = seq.groupBy("from_type", "to_type").agg(
-        F.count("*").cast("long").alias("n")
-    )
-    wf = Window.partitionBy("from_type")
-    return counts.select(
-        "from_type",
-        "to_type",
-        "n",
-        F.round(F.col("n").cast("double") / F.sum("n").over(wf), 6).alias("p"),
-    )
-
-
-def _pagerank_oracle() -> str:
-    base = _knn_graph_oracle().rsplit("SELECT src, dst", 1)[0]
-    rounds = []
-    D = 1
-    prev = "p0"
-    for k in (1, 2, 3):
-        rounds.append(
-            f"""
-    c{k} AS (
-        SELECT ew.dst, sum({prev}.a * ew.w6) AS s
-        FROM ew JOIN {prev} ON {prev}.vec_id = ew.src GROUP BY ew.dst
-    ), p{k} AS (
-        SELECT e.vec_id,
-               CAST(18 * {D} + 17 * COALESCE(c{k}.s, 0) AS BIGINT) AS a
-        FROM embeddings e LEFT JOIN c{k} ON c{k}.dst = e.vec_id
-    )"""
-        )
-        D *= 120
-        prev = f"p{k}"
-    return (
-        base
-        + """
-    , edges AS (SELECT src, dst FROM ranked WHERE rank <= 3),
-    od AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
-    ew AS (SELECT e.src, e.dst, 6 // od.od AS w6 FROM edges e JOIN od USING (src)),
-    p0 AS (SELECT vec_id, CAST(1 AS BIGINT) AS a FROM embeddings),"""
-        + ",".join(rounds)
-        + f"""
-    SELECT vec_id, round(a / {D}.0, 6) AS pagerank FROM p3
-    """
-    )
-
-
-@query("knn_graph_pagerank")  # oracle attached below (plane literals)
-def knn_graph_pagerank_q(spark, sf_dir):
-    """PageRank over the corpus kNN graph (3 power iterations, d =
-    0.85) — the graph-centrality signal retrieval stacks use for
-    authority-weighted dedup keeps and crawl-frontier ordering. The
-    iteration is EXACT INTEGER arithmetic: pr is carried as a
-    numerator over the common denominator 120^k (0.85 = 17/20 and
-    out-degrees ∈ {{1,2,3}} divide 6, so pr' = (18·D + 17·Σ a·(6/od))
-    / 120D stays integral) — summed longs are order-independent, so
-    three join-agg rounds hash-match the oracle's unrolled CTEs
-    bit-for-bit, with ONE float division at output. Edges build once
-    (lazy localCheckpoint) and feed all rounds; per round only
-    (node, numerator) longs shuffle. Dangling-node mass is dropped,
-    the standard simplified-PageRank convention."""
-    edges = _knn_graph_edges(spark, sf_dir).select("src", "dst").localCheckpoint(eager=False)
-    od = edges.groupBy("src").agg(F.count("*").alias("od"))
-    ew = edges.join(od, "src").select("src", "dst", F.expr("6 div od").alias("w6"))
-    ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
-    pr = ids.select("vec_id", F.lit(1).cast("long").alias("a"))
-    D = 1
-    for _ in range(3):
-        contrib = (
-            ew.join(pr, ew.src == pr.vec_id)
-            .groupBy("dst")
-            .agg(F.sum(F.col("a") * F.col("w6")).alias("_s"))
-        )
-        pr = ids.join(contrib, ids.vec_id == contrib.dst, "left").select(
-            ids.vec_id,
-            (F.lit(18 * D) + F.lit(17) * F.coalesce("_s", F.lit(0)))
-            .cast("long")
-            .alias("a"),
-        )
-        D *= 120
-    return pr.select(
-        "vec_id", F.round(F.col("a").cast("double") / F.lit(float(D)), 6).alias("pagerank")
-    )
-
-
-ORACLES["knn_graph_pagerank"] = _pagerank_oracle()
-
-
-def _mutual_knn_oracle() -> str:
-    base = _knn_graph_oracle().rsplit("SELECT src, dst", 1)[0]
-    return base + """
-    , edges AS (SELECT src, dst, score FROM ranked WHERE rank <= 3)
-    SELECT e.src AS id_a, e.dst AS id_b, round(e.score, 6) AS score
-    FROM edges e JOIN edges r ON r.src = e.dst AND r.dst = e.src
-    WHERE e.src < e.dst
-    """
-
-
-@query("mutual_knn")  # oracle attached below (plane literals)
-def mutual_knn_q(spark, sf_dir):
-    """Reciprocal nearest neighbors: pairs where EACH vector sits in
-    the other's top-3 — the high-precision pair filter under
-    RNN-clustering and two-stage dedup (mutuality kills the hub
-    false-positives a one-directional kNN graph keeps: a hub in many
-    top-3 lists reciprocates only its own 3). One edge build feeds
-    both sides of the (dst, src)=(src, dst) equi-self-join — edge
-    volume is ≤ 3n rows of longs, so the join shuffles a frame ~the
-    size of the node set, nothing pairwise. Score is the cosine from
-    the src<dst direction (the element-wise product and sequential
-    sum are symmetric, so both directions carry the identical
-    double)."""
-    edges = _knn_graph_edges(spark, sf_dir).select("src", "dst", "score")
-    rev = edges.select(F.col("src").alias("_rs"), F.col("dst").alias("_rd"))
-    return (
-        edges.join(rev, (F.col("_rs") == F.col("dst")) & (F.col("_rd") == F.col("src")))
-        .filter(F.col("src") < F.col("dst"))
-        .select(
-            F.col("src").alias("id_a"),
-            F.col("dst").alias("id_b"),
-            F.round("score", 6).alias("score"),
-        )
-    )
-
-
-ORACLES["mutual_knn"] = _mutual_knn_oracle()
-
-
-def _kmeans_oracle() -> str:
-    """Two unrolled Lloyd rounds in the same fixed-point arithmetic as
-    the Spark plan (see kmeans_refine)."""
-    dist = "list_sum(list_transform(list_zip(q.vq, c.cq), p -> (p[1]-p[2])*(p[1]-p[2])))"
-
-    def assign(cents: str, out: str) -> str:
-        return f"""
-    {out} AS (
-        SELECT vec_id, vq, cid FROM (
-            SELECT q.vec_id, q.vq, c.cid,
-                   row_number() OVER (
-                       PARTITION BY q.vec_id ORDER BY {dist}, c.cid
-                   ) AS rn
-            FROM q CROSS JOIN {cents} c
-        ) WHERE rn = 1
-    )"""
-
-    def means(a: str, out: str) -> str:
-        return f"""
-    {out} AS (
-        SELECT cid, pos,
-               CAST(CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS mq,
-               CAST(count(*) AS BIGINT) AS n_vecs
-        FROM (
-            SELECT cid, unnest(vq) AS v, unnest(range(len(vq))) AS pos FROM {a}
-        )
-        GROUP BY cid, pos
-    )"""
-
-    return f"""
-    WITH q AS (
-        SELECT vec_id,
-               list_transform(embedding::DOUBLE[],
-                              v -> CAST(round(v * 1000000.0) AS BIGINT) + 1000000) AS vq
-        FROM embeddings
-    ), c0 AS (
-        SELECT CAST(vec_id AS INT) AS cid, vq AS cq FROM q WHERE vec_id < 8
-    ),{assign('c0', 'a1')},{means('a1', 'm1')},
-    c1 AS (
-        SELECT cid, list(mq ORDER BY pos) AS cq FROM m1 GROUP BY cid
-    ),{assign('c1', 'a2')},{means('a2', 'm2')}
-    SELECT cid, CAST(pos AS BIGINT) AS pos,
-           round((mq - 1000000) / 1000000.0, 6) AS c,
-           n_vecs
-    FROM m2
-    """
-
-
-@query("kmeans_refine", oracle=_kmeans_oracle())
-def kmeans_refine_q(spark, sf_dir):
-    """Distributed Lloyd's k-means refinement (the batch clustering
-    pass behind IVF coarse quantizers, SemDeDup cells and corpus-map
-    topic fits) — k=8 seeds (lowest vec_ids), TWO full
-    assign-recompute rounds over the whole corpus, reporting the
-    refined centroids in long format plus cell sizes.
-
-    The iteration runs in EXACT FIXED-POINT arithmetic so it is
-    hash-checkable across engines (the same trick as
-    knn_graph_pagerank's integer numerators): components quantize
-    ONCE to offset micro-units (round(v·1e6) + 1e6 ≥ 0 — the offset
-    makes the mean's integer division floor-consistent everywhere and
-    cancels in every distance), squared-L2 distances are then exact
-    longs with cid tie-break, and new centroids are sum div n — no
-    float accumulates across rows anywhere, so two rounds compound
-    zero drift. One FLOAT division per output cell at the end.
-
-    Physical posture: per round, the k centroid arrays collapse to a
-    ONE-ROW collect_list frame that rides a broadcast crossJoin (the
-    scalar-attachment idiom) — assignment is a per-row array-argmin
-    inside codegen, NO shuffle; the only exchanges are the two
-    (cid, pos) mean rollups (map-side combinable, ≤ k·dims rows out).
-    At 100 TB each round is one corpus scan + one tiny agg — the
-    textbook Lloyd-on-MapReduce layout, with the corpus quantization
-    subtree shared by both rounds."""
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    q = emb.select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, v -> cast(round(cast(v as double) * 1000000.0)"
-            " as bigint) + 1000000)"
-        ).alias("vq"),
-    )
-    cents = q.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").cast("int").alias("cid"), F.col("vq").alias("cq")
-    )
-    dist = (
-        "aggregate(zip_with(vq, c.cq, (a, b) -> (a - b) * (a - b)),"
-        " cast(0 as bigint), (acc, x) -> acc + x)"
-    )
-    argmin = F.expr(
-        f"array_sort(transform(_cs, c -> struct({dist} AS d, c.cid AS cid)))[0].cid"
-    )
-    means = None
-    for _ in range(2):
-        one_row = cents.agg(F.collect_list(F.struct("cid", "cq")).alias("_cs"))
-        assigned = q.crossJoin(F.broadcast(one_row)).select(
-            "vec_id", "vq", argmin.alias("cid")
-        )
-        means = (
-            assigned.select("cid", F.posexplode("vq").alias("pos", "v"))
-            .groupBy("cid", "pos")
-            .agg(
-                F.expr("sum(v) div count(*)").cast("long").alias("mq"),
-                F.count("*").cast("long").alias("n_vecs"),
-            )
-        )
-        cents = means.groupBy("cid").agg(
-            F.expr("transform(array_sort(collect_list(struct(pos, mq))), s -> s.mq)").alias(
-                "cq"
-            )
-        )
-    return means.select(
-        "cid",
-        F.col("pos").cast("long"),
-        F.round((F.col("mq") - F.lit(1000000)) / F.lit(1000000.0), 6).alias("c"),
-        "n_vecs",
-    )
-
-
-@query(
-    "salted_join_topn",
-    oracle="""
-    WITH rev AS (
-        SELECT c.c_custkey, c.c_name,
-               CAST(count(*) AS BIGINT) AS n_orders,
-               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        GROUP BY c.c_custkey, c.c_name
-    ), ranked AS (
-        SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rank
-        FROM rev
-    )
-    SELECT c_custkey, c_name, n_orders, revenue, CAST(rank AS BIGINT) AS rank
-    FROM ranked WHERE rank <= 10
-    """,
-)
-def salted_join_topn_q(spark, sf_dir):
-    """The skew-salting remedy as a first-class verified operator:
-    top-10 customers by order revenue computed THROUGH
-    plans/scale.salted_join — the fact side carries a deterministic
-    whole-row salt, the dimension side replicates `salt`× so one hot
-    custkey lands on `salt` reducers instead of one. The oracle is the
-    PLAIN join: salting must be invisible in the result (correctness
-    never depends on salt placement), which is exactly the property
-    that makes it safe to flip on for a skewed 100 TB fact table when
-    AQE's skew split isn't enough (extreme single-key skew, or a
-    non-AQE engine). Money sums ride DECIMAL so reducer order can't
-    drift them; top-10 via TakeOrdered."""
-    from .plans.scale import salted_join
-
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
-    )
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    joined = salted_join(orders, cust, "c_custkey", salt=8)
-    rev = joined.groupBy("c_custkey", "c_name").agg(
-        F.count("*").cast("long").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
-    )
-    top = rev.orderBy(F.col("revenue").desc(), "c_custkey").limit(10)
-    w = Window.orderBy(F.col("revenue").desc(), "c_custkey")
-    return top.select(
-        "c_custkey",
-        "c_name",
-        "n_orders",
-        "revenue",
-        F.row_number().over(w).cast("long").alias("rank"),
-    )
-
-
-def _triangle_oracle() -> str:
-    base = _knn_graph_oracle().rsplit("SELECT src, dst", 1)[0]
-    return base + """
-    , und AS (
-        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        FROM ranked WHERE rank <= 3
-    ), deg AS (
-        SELECT v, count(*) AS d FROM (
-            SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
-        ) GROUP BY v
-    ), tri AS (
-        SELECT count(*) AS n_triangles
-        FROM und e1
-        JOIN und e2 ON e2.a = e1.b
-        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
-    ), wedges AS (
-        SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg
-    )
-    SELECT CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
-           CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
-           CAST(tri.n_triangles AS BIGINT) AS n_triangles,
-           wedges.n_wedges,
-           round(CASE WHEN wedges.n_wedges = 0 THEN 0.0
-                      ELSE 3.0 * tri.n_triangles / wedges.n_wedges END, 6)
-               AS clustering_coefficient
-    FROM tri, wedges
-    """
-
-
-@query("triangle_count")  # oracle attached below (plane literals)
-def triangle_count_q(spark, sf_dir):
-    """Triangle count + global clustering coefficient over the
-    undirected kNN graph — the graph-cohesion diagnostic (high
-    transitivity predicts tight dup clusters and good NN-descent
-    convergence; near-zero means the LSH buckets are slicing real
-    neighborhoods apart). Canonical a<b edge orientation makes each
-    triangle count EXACTLY once via the standard two-equi-join
-    enumeration (e1=(a,b), e2=(b,c), closing edge (a,c)) — join
-    volume is bounded by wedge count, never n³; wedges = Σ C(d,2)
-    from one degree agg. All-integer counts, one float division."""
-    edges = _knn_graph_edges(spark, sf_dir).select("src", "dst")
-    und = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    deg = (
-        und.select(F.col("a").alias("v"))
-        .unionAll(und.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count("*").alias("d"))
-    )
-    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
-        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
-        .select(F.count("*").cast("long").alias("n_triangles"))
-    )
-    wedges = deg.select(
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
-    )
-    counts = und.agg(F.count("*").cast("long").alias("n_edges")).crossJoin(
-        F.broadcast(deg.agg(F.count("*").cast("long").alias("n_nodes")))
-    ).crossJoin(F.broadcast(tri)).crossJoin(F.broadcast(wedges))
-    return counts.select(
-        "n_edges",
-        "n_nodes",
-        "n_triangles",
-        "n_wedges",
-        F.round(
-            F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
-                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")
-            ),
-            6,
-        ).alias("clustering_coefficient"),
-    )
-
-
-ORACLES["triangle_count"] = _triangle_oracle()
-
-
-_DD_CANON = (
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
-    " ' +', ' ', 'g'))"
-)
-
-
-@query(
-    "curation_pipeline",
-    oracle=f"""
-    WITH q AS (
-      SELECT doc_id, source, lang,
-             CAST(len({_DD_TOKS}) AS BIGINT) AS n,
-             CAST(length(text) - (len({_DD_TOKS}) - 1) AS DOUBLE)
-               / len({_DD_TOKS}) AS mean_wl,
-             CAST(len(list_filter({_DD_TOKS},
-                  t -> list_contains(['the','a','an','and','or','of','to','in','on','for','is','are','was','be','it','this','that','with','as','at'], t)))
-               AS DOUBLE) / len({_DD_TOKS}) AS swf,
-             CAST(len(list_distinct({_DD_TOKS})) AS DOUBLE)
-               / len({_DD_TOKS}) AS ttr,
-             md5(array_to_string(list_sort(list_distinct(
-                 string_split({_DD_CANON}, ' '))), ' ')) AS h
-      FROM documents
-    ), flagged AS (
-      SELECT *, (n >= 20 AND n <= 80 AND mean_wl >= 3.0 AND mean_wl <= 8.0
-                 AND swf >= 0.05 AND ttr >= 0.3) AS keep
-      FROM q
-    ), marked AS (
-      -- null-skipping window min: the keeper among QUALITY rows only,
-      -- computed over ALL rows so one frame serves the whole funnel
-      SELECT *, (keep AND doc_id = min(CASE WHEN keep THEN doc_id END)
-                            OVER (PARTITION BY h)) AS is_keeper
-      FROM flagged
-    )
-    SELECT source, lang,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
-           CAST(sum(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END)
-                - sum(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_dups_removed,
-           CAST(sum(CASE WHEN is_keeper THEN n ELSE 0 END) AS BIGINT)
-               AS tokens_kept
-    FROM marked GROUP BY source, lang
-    """,
-)
-def curation_pipeline_q(spark, sf_dir):
-    """END-TO-END curation pipeline as ONE verified plan — the
-    composition the individual operators exist for (normalize_text ->
-    quality_filters -> dedup_exact -> corpus_mix, the C4/Gopher
-    pre-tokenization recipe): canonicalize, gate on the quality rules,
-    dedup the survivors on the canonical BAG-OF-WORDS fingerprint
-    (sorted distinct tokens — order-insensitive, so shuffled-template
-    duplicates that exact hashing misses collapse too; keep-first),
-    and roll the funnel up per (source, lang) — docs in, quality
-    survivors, dedup keepers, dups removed, tokens kept.
-
-    ONE corpus scan computes every per-doc signal (tokens, quality
-    flags, canonical md5) in codegen; the only data-sized exchanges
-    are the keeper window (hash-partitioned, same shuffle dedup_exact
-    pays) and the two tiny (source, lang) rollups. The oracle replays
-    the identical funnel in SQL, so stage interactions — a quality
-    drop changing which doc becomes a hash's keeper — are
-    hash-checked, not just each stage alone. At 100 TB this is the
-    nightly corpus-refresh job shape: scan once, carry flags forward,
-    never re-read."""
-    from .functions import text as X
-
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    t = F.col("text")
-    toks = X.tokens(t)
-    n = F.size(toks)
-    mean_wl = (F.length(t) - (n - 1)) / n
-    swf = X.stopword_count(t) / n
-    ttr = F.size(F.array_distinct(toks)) / n
-    canon = F.trim(
-        F.regexp_replace(F.regexp_replace(F.lower(t), "[^a-z0-9 ]", ""), " +", " ")
-    )
-    bag = F.array_join(F.array_sort(F.array_distinct(F.split(canon, " "))), " ")
-    keep = (
-        (n >= 20) & (n <= 80) & (mean_wl >= 3.0) & (mean_wl <= 8.0)
-        & (swf >= 0.05) & (ttr >= 0.3)
-    )
-    flagged = docs.select(
-        "doc_id",
-        "source",
-        "lang",
-        n.cast("long").alias("n"),
-        keep.alias("keep"),
-        F.md5(bag).alias("_h"),
-    )
-    w = Window.partitionBy("_h")
-    # null-skipping window min: keeper among QUALITY rows, computed
-    # over ALL rows — one frame carries the entire funnel, so the plan
-    # stays a single scan + single window shuffle + single rollup
-    marked = flagged.withColumn(
-        "is_keeper",
-        F.col("keep")
-        & (
-            F.col("doc_id")
-            == F.min(F.when(F.col("keep"), F.col("doc_id"))).over(w)
-        ),
-    )
-    return marked.groupBy("source", "lang").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum(F.col("keep").cast("long")).cast("long").alias("n_quality"),
-        F.sum(F.col("is_keeper").cast("long")).cast("long").alias("n_kept"),
-        (
-            F.sum(F.col("keep").cast("long"))
-            - F.sum(F.col("is_keeper").cast("long"))
-        )
-        .cast("long")
-        .alias("n_dups_removed"),
-        F.sum(F.when(F.col("is_keeper"), F.col("n")).otherwise(0))
-        .cast("long")
-        .alias("tokens_kept"),
-    )
-
-
-@query(
-    "data_quality_checks",
-    oracle="""
-    WITH o AS (
-        SELECT CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cust,
-               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_orderkey,
-               CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
-               CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
-                              OR o_orderdate >= TIMESTAMP '1999-01-01'
-                             THEN 1 ELSE 0 END) AS BIGINT) AS bad_date
-        FROM orders
-    ), l AS (
-        SELECT CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CASE WHEN l_quantity <= 0 OR l_quantity > 60
-                             THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
-               CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.5
-                             THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc
-        FROM lineitem
-    ), fk AS (
-        SELECT CAST(count(*) AS BIGINT) AS orphans
-        FROM lineitem li
-        WHERE NOT EXISTS (SELECT 1 FROM orders oo WHERE oo.o_orderkey = li.l_orderkey)
-    )
-    SELECT * FROM (
-        SELECT 'orders_custkey_not_null' AS check_name, o.n AS n_checked,
-               null_cust AS n_violations, null_cust = 0 AS pass FROM o
-        UNION ALL
-        SELECT 'orders_orderkey_unique', o.n, dup_orderkey, dup_orderkey = 0 FROM o
-        UNION ALL
-        SELECT 'orders_totalprice_positive', o.n, bad_price, bad_price = 0 FROM o
-        UNION ALL
-        SELECT 'orders_orderdate_in_range', o.n, bad_date, bad_date = 0 FROM o
-        UNION ALL
-        SELECT 'lineitem_quantity_in_range', l.n, bad_qty, bad_qty = 0 FROM l
-        UNION ALL
-        SELECT 'lineitem_discount_in_range', l.n, bad_disc, bad_disc = 0 FROM l
-        UNION ALL
-        SELECT 'lineitem_orderkey_fk', l.n, fk.orphans, fk.orphans = 0 FROM l, fk
-    )
-    """,
-)
-def data_quality_checks_q(spark, sf_dir):
-    """Deequ-style data-validation pass (the expectations gate a
-    100 TB pipeline runs BEFORE training consumes a table): one row
-    per constraint — null checks, key uniqueness, value ranges, and
-    the cross-table FK containment (lineitem.l_orderkey ⊆
-    orders.o_orderkey) — with checked/violation counts and a pass
-    verdict.
-
-    All same-table constraints for a table fold into ONE conditional
-    agg over ONE scan (seven checks, two scans total — adding a
-    constraint costs a column, not a pass); the FK check is a LEFT
-    ANTI on key-projected frames, counted map-side. The verdict
-    frame is seven rows — the cheap artifact a scheduler gates on."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    o = orders.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(F.col("o_custkey").isNull().cast("long")).cast("long").alias("null_cust"),
-        (F.count("*") - F.countDistinct("o_orderkey")).cast("long").alias("dup_orderkey"),
-        F.sum((F.col("o_totalprice") <= 0).cast("long")).cast("long").alias("bad_price"),
-        F.sum(
-            (
-                (F.col("o_orderdate") < "1992-01-01")
-                | (F.col("o_orderdate") >= "1999-01-01")
-            ).cast("long")
-        )
-        .cast("long")
-        .alias("bad_date"),
-    )
-    l = li.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 60)).cast("long"))
-        .cast("long")
-        .alias("bad_qty"),
-        F.sum(((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)).cast("long"))
-        .cast("long")
-        .alias("bad_disc"),
-    )
-    fk = (
-        li.select("l_orderkey")
-        .join(
-            orders.select("o_orderkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-            "left_anti",
-        )
-        .agg(F.count("*").cast("long").alias("orphans"))
-    )
-
-    def row(frame, name, viol_col):
-        return frame.select(
-            F.lit(name).alias("check_name"),
-            F.col("n").alias("n_checked"),
-            F.col(viol_col).alias("n_violations"),
-            (F.col(viol_col) == 0).alias("pass"),
-        )
-
-    out = (
-        row(o, "orders_custkey_not_null", "null_cust")
-        .unionAll(row(o, "orders_orderkey_unique", "dup_orderkey"))
-        .unionAll(row(o, "orders_totalprice_positive", "bad_price"))
-        .unionAll(row(o, "orders_orderdate_in_range", "bad_date"))
-        .unionAll(row(l, "lineitem_quantity_in_range", "bad_qty"))
-        .unionAll(row(l, "lineitem_discount_in_range", "bad_disc"))
-        .unionAll(
-            row(
-                l.crossJoin(F.broadcast(fk)), "lineitem_orderkey_fk", "orphans"
-            )
-        )
-    )
-    return out
-
-
-@query(
-    "mlm_mask_corpus",
-    oracle="""
-    WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-    ), m AS (
-        SELECT doc_id, toks,
-               list_transform(range(len(toks)),
-                   i -> ('0x' || substr(md5('mlm:' || doc_id || ':' || i), 1, 15))::BIGINT % 100 < 15
-               ) AS mask
-        FROM t
-    )
-    SELECT doc_id,
-           CAST(len(toks) AS BIGINT) AS n_tokens,
-           CAST(len(list_filter(mask, x -> x)) AS BIGINT) AS n_masked,
-           round(CAST(len(list_filter(mask, x -> x)) AS DOUBLE) / len(toks), 6)
-               AS masked_frac,
-           array_to_string(list_transform(range(len(toks)),
-               i -> CASE WHEN mask[i + 1] THEN '[MASK]' ELSE toks[i + 1] END), ' ')
-               AS input_text,
-           COALESCE(array_to_string(list_filter(
-               list_transform(range(len(toks)),
-                   i -> CASE WHEN mask[i + 1] THEN toks[i + 1] END),
-               x -> x IS NOT NULL), ' '), '') AS target_text
-    FROM m
-    """,
-)
-def mlm_mask_corpus_q(spark, sf_dir):
-    """Deterministic MLM training-sample generation (BERT-style 15%
-    token masking): every (doc, position) draws from the seeded md5
-    family — the same engine/run/cluster-size-independent coin the
-    samplers use — so the corpus masks identically everywhere and the
-    oracle hash-checks the full (input_text, target_text) pair, not
-    just counts. Pure codegen HOFs over one scan (zip via index
-    range, conditional transform for the input, filtered transform
-    for the target) — zero shuffles, zero Python; at 100 TB this is a
-    map-only rewrite job whose output partitioning mirrors the
-    input's. Span (T5) masking = the same recipe with the draw keyed
-    on i div span_len."""
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    cond = (
-        "cast(conv(substring(md5(concat('mlm:', cast(doc_id as string), ':',"
-        " cast(i as string))), 1, 15), 16, 10) as bigint) % 100 < 15"
-    )
-    out = docs.selectExpr(
-        "doc_id",
-        "split(text, ' ') AS toks",
-        f"transform(sequence(0, size(split(text, ' ')) - 1), i -> {cond}) AS mask",
-    )
-    return out.selectExpr(
-        "doc_id",
-        "cast(size(toks) as long) AS n_tokens",
-        "cast(size(filter(mask, x -> x)) as long) AS n_masked",
-        "round(cast(size(filter(mask, x -> x)) as double) / size(toks), 6)"
-        " AS masked_frac",
-        "array_join(zip_with(toks, mask, (t, m) -> if(m, '[MASK]', t)), ' ')"
-        " AS input_text",
-        "array_join(filter(zip_with(toks, mask, (t, m) -> if(m, t, null)),"
-        " x -> x is not null), ' ') AS target_text",
-    )
-
-
-@query(
-    "span_corrupt_corpus",
-    oracle="""
-    WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-    ), sp AS (
-        SELECT doc_id, toks,
-               list_filter(
-                   list_transform(range((len(toks) + 2) // 3),
-                       s -> CASE WHEN ('0x' || substr(md5('t5:' || doc_id || ':' || s), 1, 15))::BIGINT % 100 < 15
-                                 THEN s END),
-                   x -> x IS NOT NULL) AS mspans
-        FROM t
-    )
-    SELECT doc_id,
-           CAST(len(toks) AS BIGINT) AS n_tokens,
-           CAST(len(mspans) AS BIGINT) AS n_masked_spans,
-           COALESCE(array_to_string(list_filter(list_transform(range(len(toks)),
-               i -> CASE
-                      WHEN NOT list_contains(mspans, i // 3) THEN toks[i + 1]
-                      WHEN i % 3 = 0 THEN '<extra_id_' || (list_position(mspans, i // 3) - 1) || '>'
-                    END),
-               x -> x IS NOT NULL), ' '), '') AS input_text,
-           COALESCE(array_to_string(list_filter(list_transform(range(len(toks)),
-               i -> CASE
-                      WHEN list_contains(mspans, i // 3) AND i % 3 = 0
-                        THEN '<extra_id_' || (list_position(mspans, i // 3) - 1) || '> ' || toks[i + 1]
-                      WHEN list_contains(mspans, i // 3) THEN toks[i + 1]
-                    END),
-               x -> x IS NOT NULL), ' '), '') AS target_text
-    FROM sp
-    """,
-)
-def span_corrupt_corpus_q(spark, sf_dir):
-    """T5-style span corruption (Raffel JMLR'20 denoising objective),
-    the span companion to mlm_mask_corpus: tokens group into aligned
-    3-token spans, each span draws its mask coin from the seeded md5
-    family keyed on ``i div 3``, masked spans collapse to ONE ordinal
-    sentinel ``<extra_id_N>`` in the input, and the target replays
-    sentinel + span content in order (closing sentinel omitted). The
-    span ordinal is list_position over the doc's masked-span list —
-    computed once per doc, referenced from the per-token lambda, so
-    numbering is positional like the HF T5 preprocessor's. Same
-    posture as MLM: pure codegen HOFs, one scan, zero shuffles, the
-    full (input, target) pair hash-checked cross-engine."""
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    cond = (
-        "cast(conv(substring(md5(concat('t5:', cast(doc_id as string), ':',"
-        " cast(s as string))), 1, 15), 16, 10) as bigint) % 100 < 15"
-    )
-    base = docs.selectExpr(
-        "doc_id",
-        "split(text, ' ') AS toks",
-    ).selectExpr(
-        "doc_id",
-        "toks",
-        "filter(transform(sequence(0, cast((size(toks) + 2) div 3 as int) - 1),"
-        f" s -> if({cond}, s, null)), x -> x is not null) AS mspans",
-    )
-    sent = "concat('<extra_id_', array_position(mspans, i div 3) - 1, '>')"
-    return base.selectExpr(
-        "doc_id",
-        "cast(size(toks) as long) AS n_tokens",
-        "cast(size(mspans) as long) AS n_masked_spans",
-        "coalesce(array_join(filter(transform(sequence(0, size(toks) - 1),"
-        " i -> case"
-        "        when not array_contains(mspans, i div 3) then toks[i]"
-        f"       when i % 3 = 0 then {sent}"
-        "      end),"
-        " x -> x is not null), ' '), '') AS input_text",
-        "coalesce(array_join(filter(transform(sequence(0, size(toks) - 1),"
-        " i -> case"
-        f"       when array_contains(mspans, i div 3) and i % 3 = 0"
-        f"         then concat({sent}, ' ', toks[i])"
-        "        when array_contains(mspans, i div 3) then toks[i]"
-        "      end),"
-        " x -> x is not null), ' '), '') AS target_text",
-    )
-
-
-@query(
-    "rag_context_budget",
-    oracle=f"""
-    WITH q AS (
-        SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
-    ), scored AS (
-        SELECT e.vec_id, {_dd_cosine('e.embedding', 'q.qv')} AS score
-        FROM embeddings e, q WHERE e.vec_id <> 0
-    ), ranked AS (
-        SELECT vec_id, score,
-               row_number() OVER (ORDER BY score DESC, vec_id) AS rank
-        FROM scored
-    ), top AS (
-        SELECT * FROM ranked WHERE rank <= 10
-    ), j AS (
-        SELECT t.rank, t.vec_id, t.score,
-               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
-        FROM top t JOIN documents d ON d.doc_id = t.vec_id
-    )
-    SELECT CAST(rank AS BIGINT) AS rank, vec_id, round(score, 6) AS score,
-           n_tokens,
-           CAST(sum(n_tokens) OVER (ORDER BY rank
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               AS cum_tokens,
-           sum(n_tokens) OVER (ORDER BY rank
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 120
-               AS included
-    FROM j
-    """,
-)
-def rag_context_budget_q(spark, sf_dir):
-    """Token-budgeted RAG context assembly — the step between
-    retrieval and the LLM call that app.py's context list glosses
-    over at scale: the top-10 cosine hits join their texts' token
-    counts and fill a 120-token context window greedily in rank order
-    (prefix-sum cutoff); every candidate row is emitted with its
-    cumulative cost and `included` verdict, so the packing decision
-    is inspectable (and the budget is a parameter, not policy).
-    The corpus pass is the usual broadcast-query scan + top-k; the
-    prefix sum windows over TEN rows — the budget logic costs nothing
-    at any scale. Rank ties break on vec_id; token counts are exact
-    integers, so the greedy cutoff is engine-identical."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qv"))
-    scored = (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .select("vec_id", V.cosine(F.col("embedding"), F.col("_qv")).alias("score"))
-    )
-    top = scored.orderBy(F.col("score").desc(), "vec_id").limit(10)
-    wr = Window.orderBy(F.col("score").desc(), "vec_id")
-    ranked = top.select(
-        F.row_number().over(wr).cast("long").alias("rank"), "vec_id", "score"
-    )
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("_d"),
-        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-    )
-    j = ranked.join(docs, ranked.vec_id == F.col("_d"))
-    wc = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
-    cum = F.sum("n_tokens").over(wc)
-    return j.select(
-        "rank",
-        "vec_id",
-        F.round("score", 6).alias("score"),
-        "n_tokens",
-        cum.cast("long").alias("cum_tokens"),
-        (cum <= 120).alias("included"),
-    )
-
-
-@query(
-    "events_gap_fill",
-    oracle="""
-    WITH hourly AS (
-        SELECT epoch_ns(ts) // 3600000000000 AS h,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS v_u
-        FROM events GROUP BY 1
-    ), bounds AS (
-        SELECT min(h) AS h0, max(h) AS h1 FROM hourly
-    ), spine AS (
-        SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds
-    ), joined AS (
-        SELECT s.h, COALESCE(hourly.n, 0) AS n_events,
-               hourly.v_u
-        FROM spine s LEFT JOIN hourly ON hourly.h = s.h
-    )
-    SELECT CAST(h AS BIGINT) AS hour_id,
-           n_events,
-           (n_events = 0) AS gap_filled,
-           round(COALESCE(v_u, last_value(v_u IGNORE NULLS) OVER (
-                   ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               )) / 1000000.0, 6) AS value_locf
-    FROM joined
-    """,
-)
-def events_gap_fill_q(spark, sf_dir):
-    """Time-series gap filling (the regularization step before
-    anomaly detection / forecasting consumes an event stream): an
-    hour spine spans min..max event hour (sequence + explode — no
-    driver loop), missing hours zero-fill their counts and mark
-    `gap_filled`, and the hourly value carries forward LOCF-style
-    (last_value IGNORE NULLS over the time order). Hour sums ride
-    exact micro-unit integers so the carried values are
-    engine-identical; ONE fact shuffle (the hourly rollup) + a spine
-    that is |hours| rows — the fill itself never touches the fact
-    table again. At 100 TB you'd partition the spine window by series
-    key; the global single-series window here is |hours| rows, not
-    |events|."""
-    ev = load_table(spark, sf_dir, "events")
-    hourly = ev.select(
-        F.expr("ts_ns div 3600000000000").alias("h"),
-        F.expr("cast(round(value * 1000000) as bigint)").alias("_vu"),
-    ).groupBy("h").agg(
-        F.count("*").cast("long").alias("n_events"),
-        F.sum("_vu").cast("long").alias("v_u"),
-    )
-    spine = (
-        hourly.agg(F.min("h").alias("_h0"), F.max("h").alias("_h1"))
-        .select(F.explode(F.sequence("_h0", "_h1")).alias("h"))
-    )
-    joined = spine.join(hourly, "h", "left")
-    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
-    return joined.select(
-        F.col("h").cast("long").alias("hour_id"),
-        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
-        (F.coalesce("n_events", F.lit(0)) == 0).alias("gap_filled"),
-        F.round(
-            F.coalesce(F.col("v_u"), F.last("v_u", ignorenulls=True).over(w))
-            / F.lit(1000000.0),
-            6,
-        ).alias("value_locf"),
-    )
-
-
-@query(
-    "events_ohlc",
-    oracle="""
-    WITH e AS (
-        SELECT epoch_ns(ts) // 3600000000000 AS h, event_id,
-               epoch_ns(ts) AS ts_ns,
-               CAST(round(value * 1000000) AS BIGINT) AS v_u
-        FROM events
-    ), ranked AS (
-        SELECT h, v_u,
-               row_number() OVER (PARTITION BY h ORDER BY ts_ns, event_id) AS rn_a,
-               row_number() OVER (PARTITION BY h ORDER BY ts_ns DESC, event_id DESC) AS rn_z
-        FROM e
-    )
-    SELECT CAST(h AS BIGINT) AS hour_id,
-           CAST(count(*) AS BIGINT) AS n_events,
-           round(max(CASE WHEN rn_a = 1 THEN v_u END) / 1000000.0, 6) AS open,
-           round(max(v_u) / 1000000.0, 6) AS high,
-           round(min(v_u) / 1000000.0, 6) AS low,
-           round(max(CASE WHEN rn_z = 1 THEN v_u END) / 1000000.0, 6) AS close,
-           CAST(sum(v_u) AS BIGINT) AS volume_u
-    FROM ranked GROUP BY h
-    """,
-)
-def events_ohlc_q(spark, sf_dir):
-    """OHLC downsampling bars (the telemetry/market-data compaction
-    primitive): per hour — open/close via min_by/max_by over the
-    exact (ts_ns, event_id) total order (deterministic tie-breaks, no
-    window over the fact in the Spark plan), high/low/volume as plain
-    aggs. Values quantize to micro-unit integers BEFORE aggregation,
-    so every bar field — including the order-sensitive open/close —
-    is engine-identical; ONE map-side-combinable shuffle keyed by
-    hour. The oracle replays open/close with rank-1 windows to prove
-    the min_by/max_by selection against an independent formulation."""
-    ev = load_table(spark, sf_dir, "events")
-    e = ev.select(
-        F.expr("ts_ns div 3600000000000").alias("h"),
-        "ts_ns",
-        "event_id",
-        F.expr("cast(round(value * 1000000) as bigint)").alias("v_u"),
-    )
-    order = F.struct("ts_ns", "event_id")
-    return e.groupBy("h").agg(
-        F.count("*").cast("long").alias("n_events"),
-        F.round(F.min_by("v_u", order) / F.lit(1000000.0), 6).alias("open"),
-        F.round(F.max("v_u") / F.lit(1000000.0), 6).alias("high"),
-        F.round(F.min("v_u") / F.lit(1000000.0), 6).alias("low"),
-        F.round(F.max_by("v_u", order) / F.lit(1000000.0), 6).alias("close"),
-        F.sum("v_u").cast("long").alias("volume_u"),
-    ).select(
-        F.col("h").cast("long").alias("hour_id"),
-        "n_events",
-        "open",
-        "high",
-        "low",
-        "close",
-        "volume_u",
-    )
-
-
-@query(
-    "lineitem_priority_mix",
-    oracle="""
-    SELECT l.l_linestatus,
-           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-      AND l.l_shipdate >= o.o_orderdate + INTERVAL 45 DAY
-    GROUP BY 1
-    """,
-)
-def lineitem_priority_mix_q(spark, sf_dir):
-    """TPC-H Q12 shape: critical vs other priority mix among late
-    lines, per line status (shipmode stand-in — the schema carries no
-    l_shipmode/commit/receipt dates). The priority CASE collapses to
-    one bit before the order side crosses its shuffle."""
-    from .plans import analytics
-
-    return analytics.lineitem_priority_mix(spark, sf_dir)
-
-
-@query(
-    "train_test_split",
-    oracle=f"""
-    WITH s AS (
-        SELECT source,
-               CASE WHEN {H.dd_md5_long("doc_id::VARCHAR", seed="split")} % 100 < 90 THEN 'train'
-                    WHEN {H.dd_md5_long("doc_id::VARCHAR", seed="split")} % 100 < 95 THEN 'valid'
-                    ELSE 'test' END AS split,
-               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS t
-        FROM documents
-    ), per AS (
-        SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(t) AS BIGINT) AS n_tokens
-        FROM s GROUP BY 1, 2
-    )
-    SELECT source, split, n_docs, n_tokens,
-           round(n_docs / CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE), 6) AS source_share
-    FROM per
-    """,
-)
-def train_test_split_q(spark, sf_dir):
-    """Deterministic stratified 90/5/5 split audit keyed on seeded
-    md5(doc_id) — reproducible across engines/runs/cluster sizes;
-    per-(source, split) doc/token counts + stratification share."""
-    from .operators import curation
-
-    return curation.train_test_split(load_table(spark, sf_dir, "documents"))
-
-
-@query(
-    "lang_confusion",
-    oracle=f"""
-    WITH r AS (
-        SELECT lang AS gold_lang,
-               {", ".join(f"{_dd_sw_ratio(lg)} AS r_{lg}" for lg in STOPWORDS)}
-        FROM documents
-    ), p AS (
-        SELECT gold_lang, {_DD_PRED} AS pred_lang FROM r
-    ), cells AS (
-        SELECT gold_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
-        FROM p GROUP BY 1, 2
-    )
-    SELECT gold_lang, pred_lang, n,
-           round(n / CAST(sum(n) OVER (PARTITION BY gold_lang) AS DOUBLE), 6) AS recall_share,
-           round(n / CAST(sum(n) OVER (PARTITION BY pred_lang) AS DOUBLE), 6) AS precision_share
-    FROM cells
-    """,
-)
-def lang_confusion_q(spark, sf_dir):
-    """Language-ID confusion matrix vs the gold lang column: per
-    (gold, pred) cell count + recall/precision shares — the
-    classifier-quality audit behind corpus-mix decisions. One corpus
-    scan; shares are windows over the ≤|langs|² confusion frame."""
-    return text_analysis.lang_confusion(load_table(spark, sf_dir, "documents"))
-
-
-@query(
-    "pmi_collocations",
-    oracle="""
-    WITH toks AS (
-        SELECT unnest(string_split(text, ' ')) AS term FROM documents
-    ), tf AS (
-        SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks
-        WHERE term <> '' GROUP BY term
-    ), g AS (
-        SELECT unnest(
-            CASE WHEN len(t) < 2 THEN []::VARCHAR[]
-                 ELSE [array_to_string(t[i + 1 : i + 2], ' ') FOR i IN range(len(t) - 1)]
-            END) AS bigram
-        FROM (SELECT string_split(text, ' ') AS t FROM documents)
-    ), bf AS (
-        SELECT bigram, CAST(count(*) AS BIGINT) AS c_xy FROM g GROUP BY bigram
-    ), tot AS (
-        SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM tf) AS n_uni,
-               (SELECT CAST(sum(c_xy) AS DOUBLE) FROM bf) AS n_bi
-    ), cand AS (
-        SELECT b.bigram, b.c_xy, x.c AS c_x, y.c AS c_y,
-               ln(b.c_xy) - ln(x.c) - ln(y.c) - ln(t.n_bi) + 2.0 * ln(t.n_uni) AS _pmi
-        FROM bf b
-        JOIN tf x ON x.term = string_split(b.bigram, ' ')[1]
-        JOIN tf y ON y.term = string_split(b.bigram, ' ')[2]
-        CROSS JOIN tot t
-        WHERE b.c_xy >= 5
-    ), ranked AS (
-        SELECT bigram, c_xy, c_x, c_y, round(_pmi, 6) AS pmi,
-               CAST(row_number() OVER (ORDER BY _pmi DESC, bigram) AS BIGINT) AS rank
-        FROM cand
-    )
-    SELECT * FROM ranked WHERE rank <= 50
-    """,
-)
-def pmi_collocations_q(spark, sf_dir):
-    """Top-50 PMI bigram collocations with a min-count floor — corpus
-    collapses to vocab-sized count frames before any join; PMI is a
-    fixed-order ln sum over exact counts."""
-    return text_analysis.pmi_collocations(load_table(spark, sf_dir, "documents"))
-
-
-@query(
-    "query_expansion_prf",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS dl,
-               unnest(string_split(text, ' ')) AS term
-        FROM documents
-    ), qtoks AS (
-        SELECT * FROM toks WHERE term IN ('spark', 'join', 'fast')
-    ), tf0 AS (
-        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
-        FROM qtoks GROUP BY doc_id, term
-    ), stats AS (
-        SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl FROM documents
-    ), dfreq AS (
-        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf0 GROUP BY term
-    ), bm25 AS (
-        SELECT tf0.doc_id,
-               sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
-                   * (tf0.tf * (1.2 + 1)) / (tf0.tf + 1.2 * (1 - 0.75 + 0.75 * tf0.dl / s.avgdl))) AS bm25
-        FROM tf0 JOIN dfreq d USING (term) CROSS JOIN stats s
-        GROUP BY tf0.doc_id
-    ), fb AS (
-        SELECT doc_id, round(bm25, 6) AS bm25
-        FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT 10
-    ), ft AS (
-        SELECT t.term, t.doc_id, t.dl, fb.bm25
-        FROM toks t JOIN fb USING (doc_id)
-        WHERE t.term <> '' AND t.term NOT IN ('spark', 'join', 'fast')
-    ), tfq AS (
-        SELECT term, doc_id, CAST(count(*) AS DOUBLE) AS tf,
-               min(dl) AS dl, min(bm25) AS bm25
-        FROM ft GROUP BY term, doc_id
-    ), wt AS (
-        SELECT term,
-               CAST(sum(CAST(round(tf / dl * bm25 * 1e6) AS BIGINT)) AS BIGINT) AS wu,
-               CAST(count(*) AS BIGINT) AS n_docs
-        FROM tfq GROUP BY term
-    )
-    SELECT CAST(row_number() OVER (ORDER BY wu DESC, term) AS BIGINT) AS rank,
-           term, round(wu / 1e6, 6) AS weight, n_docs
-    FROM wt ORDER BY wu DESC, term LIMIT 10
-    """,
-)
-def query_expansion_prf_q(spark, sf_dir):
-    """RM3 pseudo-relevance feedback from the materialized BM25 index:
-    top-10 feedback docs broadcast back onto documents, so expansion
-    mining tokenizes 10 docs — never the corpus. The oracle recomputes
-    BM25 straight from documents (index-independent)."""
-    from .operators import text_index
-
-    index_dir = _kw_index_dir(spark, sf_dir)
-    return text_index.query_expansion_prf(
-        spark,
-        load_table(spark, sf_dir, "documents"),
-        index_dir,
-        ["spark", "join", "fast"],
-    )
-
-
-@query(
-    "ann_binary_hamming",
-    oracle="""
-    WITH w AS (
-        SELECT vec_id,
-               CAST(list_sum([CASE WHEN embedding[i+1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END FOR i IN range(32)]) AS BIGINT) AS lo,
-               CAST(list_sum([CASE WHEN embedding[i+33] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END FOR i IN range(32)]) AS BIGINT) AS hi
-        FROM embeddings
-    ), q AS (SELECT lo AS qlo, hi AS qhi FROM w WHERE vec_id = 0),
-    s AS (
-        SELECT w.vec_id,
-               CAST(bit_count(xor(w.lo, q.qlo)) + bit_count(xor(w.hi, q.qhi)) AS BIGINT) AS hamming
-        FROM w, q WHERE w.vec_id <> 0
-    )
-    SELECT CAST(row_number() OVER (ORDER BY hamming, vec_id) AS BIGINT) AS rank,
-           vec_id, hamming
-    FROM s ORDER BY hamming, vec_id LIMIT 10
-    """,
-)
-def ann_binary_hamming(spark, sf_dir):
-    """Sign-binarized Hamming top-10 (faiss IndexBinaryFlat): 64 dims
-    → two 32-bit words (8 B/vector), xor+popcount distance — exact
-    integers end-to-end."""
-    from .operators import ann
-
-    return ann.binary_hamming_topk(load_table(spark, sf_dir, "embeddings", split=True))
-
-
-@query(
-    "ann_sq8",
-    oracle="""
-    WITH am AS (
-        SELECT max(list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))) AS absmax
-        FROM embeddings
-    ), c AS (
-        SELECT vec_id,
-               list_transform(embedding::DOUBLE[],
-                   x -> CAST(greatest(-127, least(127, floor(x / (am.absmax / 127) + 0.5))) AS BIGINT)) AS codes,
-               am.absmax AS absmax
-        FROM embeddings, am
-    ), q AS (SELECT codes AS qcodes FROM c WHERE vec_id = 0),
-    s AS (
-        SELECT c.vec_id,
-               CAST(list_sum(list_transform(list_zip(c.codes, q.qcodes),
-                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS code_dist,
-               c.absmax AS absmax
-        FROM c, q WHERE c.vec_id <> 0
-    )
-    SELECT CAST(row_number() OVER (ORDER BY code_dist, vec_id) AS BIGINT) AS rank,
-           vec_id, code_dist,
-           round(sqrt(code_dist) * (absmax / 127), 6) AS approx_l2
-    FROM s ORDER BY code_dist, vec_id LIMIT 10
-    """,
-)
-def ann_sq8(spark, sf_dir):
-    """Uniform int8 scalar-quantizer L2 top-10 (faiss QT_8bit_uniform):
-    one global scale, Σ(Δcode)² in exact longs, rescale to float space
-    only on the 10 emitted rows."""
-    from .operators import ann
-
-    return ann.sq8_topk(load_table(spark, sf_dir, "embeddings", split=True))
-
-
-@query(
-    "soft_dedup_weights",
-    oracle=f"""
-    WITH RECURSIVE pairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM embeddings a JOIN embeddings b
-          ON a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
-        WHERE {_dd_cosine('a.embedding', 'b.embedding')} >= 0.3
-    ), edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION
-        SELECT id_b AS src, id_a AS dst FROM pairs
-    ), cc(node, label) AS (
-        SELECT DISTINCT src, src FROM edges
-        UNION
-        SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
-    ), labelled AS (
-        SELECT node, min(label) AS cluster_id FROM cc GROUP BY node
-    ), sized AS (
-        SELECT l.node, s.sz FROM labelled l
-        JOIN (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
-              FROM labelled GROUP BY cluster_id) s USING (cluster_id)
-    )
-    SELECT e.vec_id,
-           CAST(coalesce(s.sz, 1) AS BIGINT) AS cluster_size,
-           round(1.0 / coalesce(s.sz, 1), 6) AS weight
-    FROM embeddings e LEFT JOIN sized s ON e.vec_id = s.node
-    WHERE e.vec_id < 200
-    """,
-)
-def soft_dedup_weights_q(spark, sf_dir):
-    """Soft dedup: 1/cluster_size training weights from the CC
-    labelling — duplicates down-weighted, not deleted; singletons
-    weight 1.0 without entering the iteration."""
-    from .operators import dedup
-
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    pairs = dedup.dedup_embedding_cosine(emb, threshold=0.3, all_pairs=True)
-    return dedup.soft_dedup_weights(emb, pairs)
-
-
-@query(
-    "revenue_cube",
-    oracle="""
-    SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-           CAST(GROUPING_ID(n.n_name, CAST(year(o.o_orderdate) AS BIGINT)) AS BIGINT) AS gid,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                    * (1.00 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
-           CAST(count(*) AS BIGINT) AS n_lines
-    FROM lineitem l
-    JOIN orders o ON l.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    GROUP BY CUBE (n.n_name, CAST(year(o.o_orderdate) AS BIGINT))
-    """,
-)
-def revenue_cube_q(spark, sf_dir):
-    """CUBE over (customer nation, order year): all four drill grains
-    from one map-side-combinable aggregation pass; grouping_id
-    disambiguates subtotal rows; DECIMAL-exact revenue."""
-    from .plans import analytics
-
-    return analytics.revenue_cube(spark, sf_dir)
-
-
-@query(
-    "rerank_two_stage",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS dl,
-               unnest(string_split(text, ' ')) AS term
-        FROM documents
-    ), qtoks AS (
-        SELECT * FROM toks WHERE term IN ('spark', 'join', 'fast')
-    ), tf0 AS (
-        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
-        FROM qtoks GROUP BY doc_id, term
-    ), stats AS (
-        SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl FROM documents
-    ), dfreq AS (
-        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf0 GROUP BY term
-    ), bm25 AS (
-        SELECT tf0.doc_id,
-               sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
-                   * (tf0.tf * (1.2 + 1)) / (tf0.tf + 1.2 * (1 - 0.75 + 0.75 * tf0.dl / s.avgdl))) AS bm25
-        FROM tf0 JOIN dfreq d USING (term) CROSS JOIN stats s
-        GROUP BY tf0.doc_id
-    ), fb AS (
-        SELECT doc_id, round(bm25, 6) AS bm25
-        FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT 20
-    ), r AS (
-        SELECT d.doc_id, fb.bm25,
-               len(list_intersect(list_distinct(string_split(d.text, ' ')),
-                                  ['fast', 'join', 'spark'])) AS inter,
-               len(list_distinct(string_split(d.text, ' '))) AS nd
-        FROM documents d JOIN fb USING (doc_id)
-    )
-    SELECT CAST(row_number() OVER (ORDER BY round(inter / CAST(nd + 3 - inter AS DOUBLE), 6) DESC, bm25 DESC, doc_id) AS BIGINT) AS rank,
-           doc_id,
-           round(inter / CAST(nd + 3 - inter AS DOUBLE), 6) AS jaccard,
-           bm25
-    FROM r
-    ORDER BY jaccard DESC, bm25 DESC, doc_id LIMIT 10
-    """,
-)
-def rerank_two_stage_q(spark, sf_dir):
-    """Retrieve-then-rerank: bucket-pruned BM25 at depth 20, lexical
-    Jaccard rerank of the broadcast candidate set (tokenizes 20 docs,
-    never the corpus); deterministic cross-encoder stand-in."""
-    from .operators import text_index
-
-    index_dir = _kw_index_dir(spark, sf_dir)
-    return text_index.rerank_two_stage(
-        spark,
-        load_table(spark, sf_dir, "documents"),
-        index_dir,
-        ["spark", "join", "fast"],
-    )
-
-
-_EWMA_TAPS = 16
-_DD_EWMA_WSUM = " + ".join(
-    f"coalesce(lag(v_u, {j}) OVER w, 0) * {1 << (_EWMA_TAPS - 1 - j)}"
-    for j in range(_EWMA_TAPS)
-)
-
-
-@query(
-    "events_ewma",
-    oracle=f"""
-    WITH e AS (
-        SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
-               CAST(round(value * 1000000) AS BIGINT) AS v_u
-        FROM events
-    ), hourly AS (
-        SELECT event_type, CAST(h AS BIGINT) AS h, CAST(sum(v_u) AS BIGINT) AS v_u
-        FROM e GROUP BY event_type, h
-    ), smoothed AS (
-        SELECT event_type, h, v_u,
-               CAST({_DD_EWMA_WSUM} AS BIGINT) AS wsum,
-               CAST(65536 - (1::BIGINT << (16 - least(CAST(row_number() OVER w AS INTEGER), 16))) AS BIGINT) AS avail
-        FROM hourly
-        WINDOW w AS (PARTITION BY event_type ORDER BY h)
-    )
-    SELECT event_type, h AS hour_id, v_u,
-           round(wsum / CAST(avail AS DOUBLE) / 1000000.0, 6) AS ewma
-    FROM smoothed
-    """,
-)
-def events_ewma_q(spark, sf_dir):
-    """Exponentially-weighted smoothing of the hourly series per event
-    type — the trend/denoise pass feeding dashboards and the anomaly
-    detector's expected-value baseline. The classic EWMA recurrence is
-    inherently sequential, so it is re-expressed as its 16-tap FIR
-    truncation (weights 2^15..2^0 — the α=1/2 kernel; tap 17's weight
-    is < 0.002% of the mass): a fixed stack of lag()s over ONE
-    (event_type, hour) window — one shuffle, codegen arithmetic, and
-    every weighted sum is an exact long (values pre-quantized to
-    micro-units), so warm-up normalization (2^16 − 2^(16−m) for m
-    available taps) and the final ratio are engine-identical. The
-    infinite-memory recurrence belongs to the streaming layer
-    (stateful fold); compose with events_gap_fill first when hour
-    gaps should decay rather than skip."""
-    ev = load_table(spark, sf_dir, "events")
-    hourly = (
-        ev.select(
-            "event_type",
-            F.expr("ts_ns div 3600000000000").alias("h"),
-            F.expr("cast(round(value * 1000000) as bigint)").alias("v_u"),
-        )
-        .groupBy("event_type", "h")
-        .agg(F.sum("v_u").cast("long").alias("v_u"))
-    )
-    w = Window.partitionBy("event_type").orderBy("h")
-    wsum = None
-    for j in range(_EWMA_TAPS):
-        term = F.coalesce(F.lag("v_u", j).over(w), F.lit(0)) * F.lit(
-            1 << (_EWMA_TAPS - 1 - j)
-        )
-        wsum = term if wsum is None else wsum + term
-    m = F.least(F.row_number().over(w), F.lit(_EWMA_TAPS))
-    # 2^(16-m) via double pow — exact for exponents ≤ 16, then long
-    avail = F.lit(65536).cast("long") - F.pow(
-        F.lit(2.0), (F.lit(_EWMA_TAPS) - m).cast("double")
-    ).cast("long")
-    return hourly.select(
-        "event_type",
-        F.col("h").cast("long").alias("hour_id"),
-        "v_u",
-        F.round(wsum.cast("long") / avail / 1e6, 6).alias("ewma"),
-    )
-
-
-@query(
-    "incremental_agg_maintenance",
-    oracle="""
-    WITH e AS (
-        SELECT user_id, epoch_ns(ts) AS ts_ns,
-               CAST(round(value * 1000000) AS BIGINT) AS v_u
-        FROM events
-    )
-    SELECT user_id,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(v_u) AS BIGINT) AS sum_u,
-           CAST(min(v_u) AS BIGINT) AS min_u,
-           CAST(max(v_u) AS BIGINT) AS max_u
-    FROM e GROUP BY user_id
-    """,
-)
-def incremental_agg_maintenance_q(spark, sf_dir):
-    """Incremental materialized-view maintenance (the lakehouse
-    aggregate-table refresh: Delta/Iceberg MERGE of a nightly delta
-    into a per-key summary): per-user (count, sum, min, max) state is
-    computed as base-window state MERGED with delta-window state —
-    full-outer on the key, commutative-monoid combine (counts/sums
-    add, min/max fold) — and the oracle recomputes the aggregate from
-    ALL events directly, so the hash match PROVES merge == rebuild
-    (the algebraic property that makes incremental refresh safe;
-    avg/quantiles must be carried as (sum, count)/sketches, exactly
-    why the state schema stores the monoid, not the answer).
-
-    The time split point ((min + 4·(max−min) div 5) on ts_ns) rides a
-    broadcast scalar — no driver action. At 100 TB the base state is
-    the persisted artifact (the posture keyword_index_merge
-    demonstrates with a ledger); each refresh aggregates ONLY the
-    delta slice and rewrites merged partitions. Values quantize to
-    micro-unit longs so every merged field is engine-exact."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts_ns", F.expr("cast(round(value * 1000000) as bigint)").alias("v_u")
-    )
-    split = ev.agg(
-        (F.min("ts_ns") + F.expr("(max(ts_ns) - min(ts_ns)) * 4 div 5")).alias("_split")
-    )
-    tagged = ev.crossJoin(F.broadcast(split))
-    aggs = [
-        F.count("*").cast("long").alias("n_events"),
-        F.sum("v_u").cast("long").alias("sum_u"),
-        F.min("v_u").cast("long").alias("min_u"),
-        F.max("v_u").cast("long").alias("max_u"),
-    ]
-    base = (
-        tagged.filter(F.col("ts_ns") <= F.col("_split")).groupBy("user_id").agg(*aggs)
-    )
-    delta = (
-        tagged.filter(F.col("ts_ns") > F.col("_split")).groupBy("user_id").agg(*aggs)
-    )
-    b, d = base.alias("b"), delta.alias("d")
-    merged = b.join(d, F.col("b.user_id") == F.col("d.user_id"), "full_outer")
-    z = F.lit(0).cast("long")
-    return merged.select(
-        F.coalesce(F.col("b.user_id"), F.col("d.user_id")).alias("user_id"),
-        (F.coalesce(F.col("b.n_events"), z) + F.coalesce(F.col("d.n_events"), z)).alias("n_events"),
-        (F.coalesce(F.col("b.sum_u"), z) + F.coalesce(F.col("d.sum_u"), z)).alias("sum_u"),
-        F.least(
-            F.coalesce(F.col("b.min_u"), F.col("d.min_u")),
-            F.coalesce(F.col("d.min_u"), F.col("b.min_u")),
-        ).alias("min_u"),
-        F.greatest(
-            F.coalesce(F.col("b.max_u"), F.col("d.max_u")),
-            F.coalesce(F.col("d.max_u"), F.col("b.max_u")),
-        ).alias("max_u"),
-    )
-
-
-@query(
-    "token_entropy",
-    oracle="""
-    WITH t AS (
-        SELECT doc_id,
-               list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        FROM documents
-    ), s AS (
-        SELECT doc_id,
-               len(toks) AS n,
-               len(list_distinct(toks)) AS nu,
-               CAST(list_sum(list_transform(list_distinct(toks),
-                    u -> CAST(round(CAST(len(list_filter(toks, x -> x = u)) AS DOUBLE)
-                              * ln(CAST(len(list_filter(toks, x -> x = u)) AS DOUBLE))
-                              * 1e6) AS BIGINT))) AS BIGINT) AS e_sum
-        FROM t
-    )
-    SELECT doc_id,
-           CAST(n AS BIGINT) AS n_tokens,
-           CAST(nu AS BIGINT) AS n_uniq,
-           round(ln(CAST(n AS DOUBLE)) - (e_sum / 1e6) / n, 6) AS entropy,
-           round(CASE WHEN n > 1
-                      THEN (ln(CAST(n AS DOUBLE)) - (e_sum / 1e6) / n) / ln(CAST(n AS DOUBLE))
-                      ELSE 0.0 END, 6) AS norm_entropy
-    FROM s
-    """,
-)
-def token_entropy_q(spark, sf_dir):
-    """Per-doc unigram entropy + normalized entropy — map-only HOF
-    pass, zero shuffles; cross-term sum in exact micro-unit longs."""
-    return text_analysis.token_entropy(load_table(spark, sf_dir, "documents"))
-
-
-@query(
-    "qlm_dirichlet_topk",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS dl,
-               unnest(string_split(text, ' ')) AS term
-        FROM documents
-    ), qtoks AS (
-        SELECT * FROM toks WHERE term IN ('spark', 'join', 'fast')
-    ), tf AS (
-        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
-        FROM qtoks GROUP BY doc_id, term
-    ), cf AS (
-        SELECT term, CAST(sum(tf) AS DOUBLE) AS cf FROM tf GROUP BY term
-    ), tot AS (
-        SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total
-        FROM documents
-    ), scored AS (
-        SELECT tf.doc_id,
-               sum(ln(1.0 + tf.tf / (100.0 * (cf.cf / t.total))))
-               + 3.0 * ln(100.0 / (min(tf.dl) + 100.0)) AS qlm
-        FROM tf JOIN cf USING (term) CROSS JOIN tot t
-        GROUP BY tf.doc_id
-    )
-    SELECT CAST(row_number() OVER (ORDER BY qlm DESC, doc_id) AS BIGINT) AS rank,
-           doc_id, round(qlm, 6) AS qlm
-    FROM scored ORDER BY qlm DESC, doc_id LIMIT 10
-    """,
-)
-def qlm_dirichlet_topk_q(spark, sf_dir):
-    """Dirichlet query-likelihood top-10 from the materialized index
-    (Zhai & Lafferty SIGIR'01) — the LM scorer beside BM25, sharing
-    the same bucket-pruned postings; collection frequency comes from
-    the pruned buckets themselves, the exact total-token count from
-    the build's stats row. Oracle recomputes from documents,
-    index-independent."""
-    from .operators import text_index
-
-    index_dir = _kw_index_dir(spark, sf_dir)
-    return text_index.qlm_dirichlet_topk(spark, index_dir, ["spark", "join", "fast"])
-
-
-@query(
-    "faceted_search_counts",
-    oracle="""
-    WITH m AS (
-        SELECT lang, source FROM documents
-        WHERE len(list_intersect(string_split(text, ' '),
-                                 ['fast', 'join', 'spark'])) > 0
-    ), cells AS (
-        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_hits
-        FROM m GROUP BY 1, 2
-    )
-    SELECT lang, source, n_hits,
-           round(n_hits / CAST(sum(n_hits) OVER () AS DOUBLE), 6) AS share
-    FROM cells
-    """,
-)
-def faceted_search_counts_q(spark, sf_dir):
-    """Facet counts for a search-results page (the aggregation strip
-    beside every commercial search UI): per (lang, source), how many
-    docs match ANY query term, plus each facet cell's share of all
-    hits. The match test is a map-side array_intersect (no explode, no
-    per-term shuffle); the share window runs over the ≤|langs×sources|
-    facet frame, never the corpus. At 100 TB this rides the SAME
-    pruned postings scan as the ranked query (join doc_ids to facet
-    columns) — here the direct form keeps the oracle index-free."""
-    docs = load_table(spark, sf_dir, "documents")
-    terms = F.lit(["fast", "join", "spark"])
-    from .functions import text as X
-
-    m = docs.filter(F.size(F.array_intersect(X.tokens(F.col("text")), terms)) > 0)
-    cells = m.groupBy("lang", "source").agg(F.count("*").cast("long").alias("n_hits"))
-    w = Window.partitionBy()
-    return cells.select(
-        "lang",
-        "source",
-        "n_hits",
-        F.round(F.col("n_hits") / F.sum("n_hits").over(w), 6).alias("share"),
-    )
-
-
-@query(
-    "rfm_segments",
-    oracle="""
-    WITH per_user AS (
-        SELECT user_id,
-               CAST(max(epoch_ns(ts)) AS BIGINT) AS last_ts_ns,
-               CAST(count(*) AS BIGINT) AS n_events,
-               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_u
-        FROM events GROUP BY user_id
-    ), scored AS (
-        SELECT *,
-               CAST(ntile(5) OVER (ORDER BY last_ts_ns DESC, user_id) AS BIGINT) AS r_q,
-               CAST(ntile(5) OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS f_q,
-               CAST(ntile(5) OVER (ORDER BY sum_u DESC, user_id) AS BIGINT) AS m_q
-        FROM per_user
-    )
-    SELECT user_id, last_ts_ns, n_events, sum_u, r_q, f_q, m_q,
-           r_q || '' || f_q || '' || m_q AS segment
-    FROM scored
-    """,
-)
-def rfm_segments_q(spark, sf_dir):
-    """RFM customer segmentation (recency/frequency/monetary quintile
-    scores — the classic behavioral-cohort recipe): ONE fact shuffle
-    builds the per-user profile (map-side-combinable max/count/sum in
-    exact micro-units); the three ntile windows then run over the
-    per-user frame — cardinality |users|, not |events| — with
-    deterministic (metric, user_id) total orders so quintile
-    boundaries are engine-identical. Quintile 1 = best in each
-    dimension; segment '111' is the champion cell."""
-    ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.max("ts_ns").cast("long").alias("last_ts_ns"),
-        F.count("*").cast("long").alias("n_events"),
-        F.sum(F.expr("cast(round(value * 1000000) as bigint)")).cast("long").alias("sum_u"),
-    )
-    r = Window.orderBy(F.col("last_ts_ns").desc(), "user_id")
-    f = Window.orderBy(F.col("n_events").desc(), "user_id")
-    m = Window.orderBy(F.col("sum_u").desc(), "user_id")
-    scored = per_user.select(
-        "*",
-        F.ntile(5).over(r).cast("long").alias("r_q"),
-        F.ntile(5).over(f).cast("long").alias("f_q"),
-        F.ntile(5).over(m).cast("long").alias("m_q"),
-    )
-    return scored.select(
-        "*",
-        F.concat_ws("", "r_q", "f_q", "m_q").alias("segment"),
-    )
-
-
-@query(
-    "lm_perplexity_bigram",
-    oracle="""
-    WITH g AS (
-        SELECT doc_id, unnest(
-            CASE WHEN len(t) < 2 THEN []::VARCHAR[]
-                 ELSE [array_to_string(t[i + 1 : i + 2], ' ') FOR i IN range(len(t) - 1)]
-            END) AS bigram
-        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-    ), bf AS (
-        SELECT bigram, CAST(count(*) AS BIGINT) AS c_xy FROM g GROUP BY bigram
-    ), px AS (
-        SELECT string_split(bigram, ' ')[1] AS x, CAST(sum(c_xy) AS BIGINT) AS c_x
-        FROM bf GROUP BY 1
-    ), v AS (
-        SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM (
-            SELECT unnest(string_split(text, ' ')) AS term FROM documents
-        ) WHERE term <> ''
-    ), dtf AS (
-        SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS tf
-        FROM g GROUP BY doc_id, bigram
-    ), per_doc AS (
-        SELECT d.doc_id,
-               CAST(sum(d.tf) AS BIGINT) AS n_bigrams,
-               CAST(sum(d.tf * CAST(round(ln((b.c_xy + 1) / CAST(p.c_x + v.v AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS lu
-        FROM dtf d
-        JOIN bf b USING (bigram)
-        JOIN px p ON string_split(d.bigram, ' ')[1] = p.x
-        CROSS JOIN v
-        GROUP BY d.doc_id
-    )
-    SELECT doc_id, n_bigrams,
-           round((lu / 1e6) / n_bigrams, 6) AS avg_logp,
-           round(exp(-((lu / 1e6) / n_bigrams)), 6) AS perplexity
-    FROM per_doc
-    """,
-)
-def lm_perplexity_bigram_q(spark, sf_dir):
-    """Bigram-LM perplexity with add-1 smoothing — the local-fluency
-    quality signal one order above lm_perplexity; vocab²-bounded count
-    frame checkpoints once, per-term contributions quantize to
-    micro-unit longs so the per-doc sum is order-free."""
-    return text_analysis.lm_perplexity_bigram(load_table(spark, sf_dir, "documents"))
-
-
-@query(
-    "session_paths",
-    oracle="""
-    WITH e AS (
-        SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type
-        FROM events
-    ), flagged AS (
-        SELECT *, CASE WHEN lag(ts_ns) OVER w IS NULL
-                        OR ts_ns - lag(ts_ns) OVER w > 1800000000000
-                       THEN 1 ELSE 0 END AS new_sess
-        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
-    ), sess AS (
-        SELECT *, sum(new_sess) OVER (PARTITION BY user_id
-                       ORDER BY ts_ns, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
-        FROM flagged
-    ), paths AS (
-        SELECT user_id, sess_id,
-               array_to_string(list(event_type ORDER BY ts_ns, event_id)[1:3], '>') AS path
-        FROM sess GROUP BY user_id, sess_id
-    ), counted AS (
-        SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM paths GROUP BY path
-    ), shared AS (
-        SELECT path, n_sessions,
-               round(n_sessions / CAST(sum(n_sessions) OVER () AS DOUBLE), 6) AS share
-        FROM counted
-    )
-    SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS BIGINT) AS rank,
-           path, n_sessions, share
-    FROM shared ORDER BY n_sessions DESC, path LIMIT 10
-    """,
-)
-def session_paths_q(spark, sf_dir):
-    """Top session-opening paths (the flow-discovery mining behind
-    funnel design: which 3-step sequences do sessions actually start
-    with): gap-based sessionization (30 min, same convention as
-    sessionize_events) via one (user, time) window, path assembly as a
-    sort_array/slice aggregation (deterministic (ts_ns, event_id)
-    order — no second window), counts + share over the ≤|types|³ path
-    frame, top-10 via sort-limit. Two fact shuffles total: the user
-    window and the session rollup."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    gap = F.lit(1800000000000)
-    new_sess = F.when(
-        F.lag("ts_ns").over(w).isNull()
-        | (F.col("ts_ns") - F.lag("ts_ns").over(w) > gap),
-        1,
-    ).otherwise(0)
-    sess = ev.select(
-        "user_id", "ts_ns", "event_id", "event_type", new_sess.alias("_new")
-    ).select(
-        "*",
-        F.sum("_new")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("sess_id"),
-    )
-    triple = F.struct("ts_ns", "event_id", "event_type")
-    paths = (
-        sess.groupBy("user_id", "sess_id")
-        .agg(
-            F.concat_ws(
-                ">",
-                F.slice(
-                    F.transform(
-                        F.sort_array(F.collect_list(triple)),
-                        lambda s: s["event_type"],
-                    ),
-                    1,
-                    3,
-                ),
-            ).alias("path")
-        )
-    )
-    counted = paths.groupBy("path").agg(
-        F.count("*").cast("long").alias("n_sessions")
-    )
-    tot = Window.partitionBy()
-    shared = counted.select(
-        "path",
-        "n_sessions",
-        F.round(F.col("n_sessions") / F.sum("n_sessions").over(tot), 6).alias("share"),
-    )
-    top = shared.orderBy(F.col("n_sessions").desc(), "path").limit(10)
-    rw = Window.orderBy(F.col("n_sessions").desc(), "path")
-    return top.select(
-        F.row_number().over(rw).cast("long").alias("rank"),
-        "path",
-        "n_sessions",
-        "share",
-    )
-
-
-@query(
-    "skipgram_pairs",
-    oracle="""
-    WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-    )
-    SELECT doc_id,
-           CAST(len(toks) AS BIGINT) AS n_tokens,
-           CAST(list_sum([len(list_filter(range(i - 2, i + 3),
-                    j -> j >= 0 AND j < len(toks) AND j != i))
-                FOR i IN range(len(toks))]) AS BIGINT) AS n_pairs,
-           array_to_string([toks[i + 1] || ':' ||
-                array_to_string(list_transform(
-                    list_filter(range(i - 2, i + 3),
-                        j -> j >= 0 AND j < len(toks) AND j != i),
-                    j -> toks[j + 1]), ',')
-                FOR i IN range(len(toks))], ';') AS pairs_text,
-           array_to_string([
-                CAST(('0x' || substr(md5('sg:' || doc_id || ':' || i || ':1'), 1, 15))::BIGINT % 1024 AS VARCHAR)
-                || ',' ||
-                CAST(('0x' || substr(md5('sg:' || doc_id || ':' || i || ':2'), 1, 15))::BIGINT % 1024 AS VARCHAR)
-                FOR i IN range(len(toks))], ';') AS neg_text
-    FROM t
-    """,
-)
-def skipgram_pairs_q(spark, sf_dir):
-    """Deterministic skip-gram training-pair generation (word2vec SGNS
-    — Mikolov NIPS'13), completing the sample-generation family beside
-    mlm_mask_corpus and span_corrupt_corpus: per position, the ±2
-    context window yields (center, context) pairs, and two negatives
-    per position draw from the seeded md5 family into a 1024-bucket
-    hashed vocab (documented swap point for a frequency^0.75 unigram
-    table — the hash keeps the draw engine/run/cluster-independent).
-    Pure codegen HOFs over one scan — zero shuffles, a map-only job at
-    100 TB; the full serialized (pairs, negatives) layout is
-    hash-checked, not just counts."""
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    neg = (
-        "cast(conv(substring(md5(concat('sg:', cast(doc_id as string), ':',"
-        " cast(i as string), ':{j}')), 1, 15), 16, 10) as bigint) % 1024"
-    )
-    ctx_idx = (
-        "filter(sequence(i - 2, i + 2),"
-        " j -> j >= 0 and j < size(toks) and j != i)"
-    )
-    return docs.selectExpr("doc_id", "split(text, ' ') AS toks").selectExpr(
-        "doc_id",
-        "cast(size(toks) as long) AS n_tokens",
-        f"cast(aggregate(transform(sequence(0, size(toks) - 1),"
-        f" i -> size({ctx_idx})), 0, (a, b) -> a + b) as long) AS n_pairs",
-        f"array_join(transform(sequence(0, size(toks) - 1),"
-        f" i -> concat(element_at(toks, i + 1), ':',"
-        f" array_join(transform({ctx_idx}, j -> element_at(toks, j + 1)), ','))),"
-        f" ';') AS pairs_text",
-        f"array_join(transform(sequence(0, size(toks) - 1),"
-        f" i -> concat({neg.format(j=1)}, ',', {neg.format(j=2)})), ';') AS neg_text",
-    )
-
-
-@query(
-    "temporal_split",
-    oracle="""
-    WITH b AS (
-        SELECT min(epoch_ns(ts)) + (max(epoch_ns(ts)) - min(epoch_ns(ts))) * 4 // 5 AS cut
-        FROM events
-    ), s AS (
-        SELECT CASE WHEN epoch_ns(ts) <= b.cut THEN 'train' ELSE 'test' END AS split,
-               event_type, user_id, epoch_ns(ts) AS ts_ns
-        FROM events, b
-    )
-    SELECT split, event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-           CAST(min(ts_ns) AS BIGINT) AS min_ts_ns,
-           CAST(max(ts_ns) AS BIGINT) AS max_ts_ns
-    FROM s GROUP BY split, event_type
-    """,
-)
-def temporal_split_q(spark, sf_dir):
-    """Temporal train/test split audit — the OTHER split every
-    forecasting/recommendation pipeline needs beside the hash split
-    (train_test_split): train = first 80% of the time range, test =
-    the future tail, so evaluation never leaks the future into
-    training. The cut point is a broadcast scalar (min + 4·span div 5
-    in exact nanos — no driver action); per-(split, event_type) the
-    audit reports counts, distinct users, and the min/max timestamps
-    whose hash-checked values PROVE the no-overlap boundary (every
-    train max < every test min). One fact shuffle."""
-    ev = load_table(spark, sf_dir, "events")
-    cut = ev.agg(
-        (F.min("ts_ns") + F.expr("(max(ts_ns) - min(ts_ns)) * 4 div 5")).alias("_cut")
-    )
-    s = ev.crossJoin(F.broadcast(cut)).select(
-        F.when(F.col("ts_ns") <= F.col("_cut"), F.lit("train"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
-        "event_type",
-        "user_id",
-        "ts_ns",
-    )
-    return s.groupBy("split", "event_type").agg(
-        F.count("*").cast("long").alias("n_events"),
-        F.count_distinct("user_id").cast("long").alias("n_users"),
-        F.min("ts_ns").cast("long").alias("min_ts_ns"),
-        F.max("ts_ns").cast("long").alias("max_ts_ns"),
-    )
-
-
-@query("ann_ivf_sq8")  # oracle: LAZY_ORACLES["ann_ivf_sq8"] (centroid + scale literals)
-def ann_ivf_sq8_q(spark, sf_dir):
-    """IVF + uniform int8 scalar quantizer (faiss 'IVF8,SQ8'): nprobe
-    cells bound which vectors scan, int8 codes bound comparison cost;
-    symmetric integer distance keeps the whole composite path
-    hash-exact."""
-    from .operators import ann
-
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
-    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    out = ann.ann_ivf_sq8_topk(emb, queries, centroids, k=3, nprobe=2)
-    return out.select("query_id", "vec_id", "code_dist", F.col("rank").cast("long"))
-
-
-def _ivf_sq8_oracle(sf_dir: str) -> str:
-    from .operators import ann
-
-    centroids = ann.kmeans_fit_sample(sf_dir, k=8, n_iter=3)
-    sq = (
-        "CAST(greatest(-127, least(127, floor(x / (am.absmax / 127) + 0.5))) AS BIGINT)"
-    )
-    return _ivf_common(centroids, 5) + f"""
-    , am AS (
-        SELECT max(list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))) AS absmax
-        FROM embeddings
-    ), ca AS (
-        SELECT a.vec_id, a.cid,
-               list_transform(a.embedding::DOUBLE[], x -> {sq}) AS codes
-        FROM assigned a, am
-    ), cq AS (
-        SELECT p.query_id, p.cid,
-               list_transform(p.query_vec::DOUBLE[], x -> {sq}) AS qcodes
-        FROM qprobe p, am
-    ), scored AS (
-        SELECT cq.query_id, ca.vec_id,
-               CAST(list_sum(list_transform(list_zip(ca.codes, cq.qcodes),
-                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS code_dist
-        FROM ca JOIN cq ON ca.cid = cq.cid
-    ), ranked AS (
-        SELECT query_id, vec_id, code_dist,
-               row_number() OVER (PARTITION BY query_id
-                   ORDER BY code_dist, vec_id) AS rank
-        FROM scored
-    )
-    SELECT query_id, vec_id, code_dist, rank FROM ranked WHERE rank <= 3
-    """
-
-
-LAZY_ORACLES["ann_ivf_sq8"] = _ivf_sq8_oracle
-
-
-@query(
-    "dataset_card",
-    oracle="""
-    SELECT CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens,
-           CAST(sum(length(text)) AS BIGINT) AS total_chars,
-           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_copies,
-           round((count(*) - count(DISTINCT md5(text))) / CAST(count(*) AS DOUBLE), 6) AS dup_frac,
-           round(sum(length(text) - length(replace(text, ' ', '')) + 1) / CAST(count(*) AS DOUBLE), 6) AS mean_doc_tokens
-    FROM documents
-    """,
-)
-def dataset_card_q(spark, sf_dir):
-    """Dataset-card summary row (the header block of a HF dataset card
-    / Datasheets-for-Datasets audit): doc/token/char totals, lang and
-    source cardinalities, exact-duplicate copy count + fraction — ONE
-    scan, ONE aggregate (count_distinct rides the same agg; the dup
-    count is n_docs − distinct text hashes, md5 so the oracle
-    reproduces it). The allocation-free spaces+1 token count keeps the
-    scan narrow; at 100 TB this is the cheapest whole-corpus
-    health-check that exists."""
-    docs = load_table(spark, sf_dir, "documents")
-    n_tok = (
-        F.length("text") - F.length(F.translate(F.col("text"), " ", "")) + 1
-    )
-    return docs.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum(n_tok).cast("long").alias("total_tokens"),
-        F.sum(F.length("text")).cast("long").alias("total_chars"),
-        F.count_distinct("lang").cast("long").alias("n_langs"),
-        F.count_distinct("source").cast("long").alias("n_sources"),
-        (F.count("*") - F.count_distinct(F.md5("text"))).cast("long").alias("n_dup_copies"),
-        F.round(
-            (F.count("*") - F.count_distinct(F.md5("text"))) / F.count("*"), 6
-        ).alias("dup_frac"),
-        F.round(F.sum(n_tok) / F.count("*"), 6).alias("mean_doc_tokens"),
-    )
-
-
-_DD_SQ_CODE = (
-    "CAST(greatest(-127, least(127, floor(x / (am.absmax / 127) + 0.5))) AS BIGINT)"
-)
-_DD_SIGN_LO = "CAST(list_sum([CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END FOR i IN range(32)]) AS BIGINT)"
-_DD_SIGN_HI = "CAST(list_sum([CASE WHEN v[i+33] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END FOR i IN range(32)]) AS BIGINT)"
-
-
-@query(
-    "quantization_recall",
-    oracle=f"""
-    WITH q AS (
-        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
-    ), exact AS (
-        SELECT query_id, vec_id FROM (
-            SELECT q.query_id, e.vec_id,
-                   row_number() OVER (PARTITION BY q.query_id
-                       ORDER BY {_dd_euclid('e.embedding', 'q.qv')}, e.vec_id) AS rn
-            FROM embeddings e, q WHERE e.vec_id <> q.query_id
-        ) WHERE rn <= 10
-    ), am AS (
-        SELECT max(list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))) AS absmax
-        FROM embeddings
-    ), codes AS (
-        SELECT vec_id, list_transform(embedding::DOUBLE[], x -> {_DD_SQ_CODE}) AS c
-        FROM embeddings, am
-    ), qcodes AS (
-        SELECT q.query_id, list_transform(q.qv::DOUBLE[], x -> {_DD_SQ_CODE}) AS c
-        FROM q, am
-    ), sq AS (
-        SELECT query_id, vec_id FROM (
-            SELECT qc.query_id, e.vec_id,
-                   row_number() OVER (PARTITION BY qc.query_id ORDER BY
-                       CAST(list_sum(list_transform(list_zip(e.c, qc.c),
-                            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT), e.vec_id) AS rn
-            FROM codes e, qcodes qc WHERE e.vec_id <> qc.query_id
-        ) WHERE rn <= 10
-    ), words AS (
-        SELECT vec_id, {_DD_SIGN_LO} AS lo, {_DD_SIGN_HI} AS hi
-        FROM (SELECT vec_id, embedding AS v FROM embeddings)
-    ), qwords AS (
-        SELECT q.query_id, {_DD_SIGN_LO} AS lo, {_DD_SIGN_HI} AS hi
-        FROM (SELECT query_id, qv AS v FROM q) q
-    ), ham AS (
-        SELECT query_id, vec_id FROM (
-            SELECT qw.query_id, w.vec_id,
-                   row_number() OVER (PARTITION BY qw.query_id ORDER BY
-                       bit_count(xor(w.lo, qw.lo)) + bit_count(xor(w.hi, qw.hi)),
-                       w.vec_id) AS rn
-            FROM words w, qwords qw WHERE w.vec_id <> qw.query_id
-        ) WHERE rn <= 10
-    ), sq_r AS (
-        SELECT s.query_id, 'sq8' AS method,
-               round(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0, 6) AS recall
-        FROM sq s LEFT JOIN exact ex
-          ON ex.query_id = s.query_id AND ex.vec_id = s.vec_id
-        GROUP BY s.query_id
-    ), ham_r AS (
-        SELECT h.query_id, 'binary' AS method,
-               round(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0, 6) AS recall
-        FROM ham h LEFT JOIN exact ex
-          ON ex.query_id = h.query_id AND ex.vec_id = h.vec_id
-        GROUP BY h.query_id
-    )
-    SELECT * FROM sq_r UNION ALL SELECT * FROM ham_r
-    """,
-)
-def quantization_recall_q(spark, sf_dir):
-    """Recall@10 of the int8-SQ and sign-binary towers vs exact float
-    L2 — the quantization-loss measurement that sizes the refinement
-    stage; zero-hit queries still emit their recall=0 row."""
-    from .operators import ann
-
-    return ann.quantization_recall(load_table(spark, sf_dir, "embeddings", split=True))
-
-
-@query(
-    "embedding_quality_checks",
-    oracle="""
-    WITH e AS (
-        SELECT vec_id, embedding,
-               len(embedding) AS dim,
-               list_sum(list_transform(embedding::DOUBLE[],
-                   x -> CASE WHEN isnan(x) OR isinf(x) THEN 1 ELSE 0 END)) AS n_bad,
-               list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) AS sq
-        FROM embeddings
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
-           CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-           CAST(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
-           CAST(sum(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
-           CAST(sum(CASE WHEN sq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
-           CAST(count(*) - count(DISTINCT vec_id) AS BIGINT) AS n_dup_ids,
-           (sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) = 0
-            AND sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) = 0
-            AND sum(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) = 0
-            AND sum(CASE WHEN sq = 0 THEN 1 ELSE 0 END) = 0
-            AND count(*) = count(DISTINCT vec_id)) AS all_ok
-    FROM e
-    """,
-)
-def embedding_quality_checks_q(spark, sf_dir):
-    """Vector-table expectations gate (the embeddings twin of
-    data_quality_checks — what an index build MUST verify before
-    ingesting a re-embedded corpus): null vectors, wrong
-    dimensionality, non-finite components (NaN/Inf — the classic
-    sign of an fp16 overflow upstream), zero-norm vectors (cosine is
-    undefined — they poison normalized scores silently), duplicate
-    primary keys. ONE scan, ONE aggregate — every check is a
-    conditional sum over per-row HOF signals, and the single all_ok
-    boolean is what a scheduler gates the index build on."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    dim = F.size("embedding")
-    n_bad = F.aggregate(
-        F.transform(v, lambda x: F.when(F.isnan(x) | (F.abs(x) == float("inf")), 1).otherwise(0)),
-        F.lit(0),
-        lambda a, b: a + b,
-    )
-    sq = F.aggregate(
-        F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda a, b: a + b
-    )
-    base = emb.select(
-        "vec_id",
-        F.col("embedding").isNull().alias("_null"),
-        (dim != 64).alias("_wdim"),
-        (n_bad > 0).alias("_nonfin"),
-        (sq == 0).alias("_zero"),
-    )
-    agg = base.agg(
-        F.count("*").cast("long").alias("n_vectors"),
-        F.sum(F.when(F.col("_null"), 1).otherwise(0)).cast("long").alias("n_null"),
-        F.sum(F.when(F.col("_wdim"), 1).otherwise(0)).cast("long").alias("n_wrong_dim"),
-        F.sum(F.when(F.col("_nonfin"), 1).otherwise(0)).cast("long").alias("n_nonfinite"),
-        F.sum(F.when(F.col("_zero"), 1).otherwise(0)).cast("long").alias("n_zero_norm"),
-        (F.count("*") - F.count_distinct("vec_id")).cast("long").alias("n_dup_ids"),
-    )
-    ok = (
-        (F.col("n_null") == 0)
-        & (F.col("n_wrong_dim") == 0)
-        & (F.col("n_nonfinite") == 0)
-        & (F.col("n_zero_norm") == 0)
-        & (F.col("n_dup_ids") == 0)
-    )
-    return agg.select("*", ok.alias("all_ok"))
-
-
-_DD_SYM_BIGRAMS = """
-        unnest(CASE WHEN len(string_split(trim(s), ' ')) < 2 THEN []::VARCHAR[]
-             ELSE [array_to_string(string_split(trim(s), ' ')[i + 1 : i + 2], ' ')
-                   FOR i IN range(len(string_split(trim(s), ' ')) - 1)]
-        END) AS pair
-"""
-
-
-@query(
-    "bpe_train_rounds",
-    oracle=f"""
-    WITH toks AS (
-        SELECT unnest(string_split(text, ' ')) AS word FROM documents
-    ), w AS (
-        SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM toks
-        WHERE word <> '' GROUP BY word
-    ), s0 AS (
-        SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s, cnt FROM w
-    ), p1 AS (
-        SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_count FROM (
-            SELECT cnt, {_DD_SYM_BIGRAMS} FROM s0
-        ) GROUP BY pair
-    ), best1 AS (
-        SELECT pair FROM p1 ORDER BY pair_count DESC, pair LIMIT 1
-    ), s1 AS (
-        SELECT replace(s0.s,
-                   ' ' || b.pair || ' ',
-                   ' ' || replace(b.pair, ' ', '') || ' ') AS s, s0.cnt
-        FROM s0, best1 b
-    ), p2 AS (
-        SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_count FROM (
-            SELECT cnt, {_DD_SYM_BIGRAMS} FROM s1
-        ) GROUP BY pair
-    ), r1 AS (
-        SELECT 1 AS round, CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS BIGINT) AS rank,
-               pair, pair_count
-        FROM p1 ORDER BY pair_count DESC, pair LIMIT 5
-    ), r2 AS (
-        SELECT 2 AS round, CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS BIGINT) AS rank,
-               pair, pair_count
-        FROM p2 ORDER BY pair_count DESC, pair LIMIT 5
-    )
-    SELECT CAST(round AS BIGINT) AS round, rank, pair, pair_count
-    FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
-    """,
-)
-def bpe_train_rounds_q(spark, sf_dir):
-    """TWO iterative BPE training rounds (Sennrich ACL'16 — the loop
-    bpe_pair_counts is one step of): round 1 counts symbol pairs over
-    the spaced-character vocab, the argmax pair (ties → lexicographic,
-    chosen IN-PLAN as a 1-row broadcast — no driver literal) merges
-    into every word via the sentinel-space string replace whose
-    non-overlap semantics are IDENTICAL in both engines: replace
-    resumes AFTER the replacement, so the token following a merge is
-    never the next match's left member — this deviates from the
-    canonical fold only on ≥4-runs of a self-paired symbol (found by
-    hypothesis, pinned by tests/test_kernel_properties.py's replace
-    model; absent from word corpora) — and round 2 recounts on the
-    merged symbols. Top-5 pairs of each round are hash-checked,
-    so the merge application itself is verified through round 2's
-    counts — the same prove-the-iteration posture as kmeans_refine
-    and dedup_cluster.
-
-    Scale: everything after the first groupBy is VOCABULARY-sized —
-    the corpus is touched once; each round is one map (replace) + one
-    map-side-combinable count over the vocab frame. n rounds = n
-    broadcast-scalar joins, the relational form of the classic
-    single-machine BPE trainer loop."""
-    docs = load_table(spark, sf_dir, "documents")
-    w = (
-        docs.select(F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
-    s0 = w.select(
-        F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")).alias("s"),
-        "cnt",
-    ).localCheckpoint(eager=False)
-
-    def pair_counts(sym: DataFrame) -> DataFrame:
-        from .functions import text as X
-
-        return (
-            sym.select(
-                "cnt",
-                F.explode(X.word_shingles(F.trim(F.col("s")), 2)).alias("pair"),
-            )
-            .groupBy("pair")
-            .agg(F.sum("cnt").cast("long").alias("pair_count"))
-        )
-
-    def top5(pc: DataFrame, rnd: int) -> DataFrame:
-        top = pc.orderBy(F.col("pair_count").desc(), "pair").limit(5)
-        rw = Window.orderBy(F.col("pair_count").desc(), "pair")
-        return top.select(
-            F.lit(rnd).cast("long").alias("round"),
-            F.row_number().over(rw).cast("long").alias("rank"),
-            "pair",
-            "pair_count",
-        )
-
-    p1 = pair_counts(s0).localCheckpoint(eager=False)
-    best1 = p1.orderBy(F.col("pair_count").desc(), "pair").limit(1).select("pair")
-    s1 = s0.crossJoin(F.broadcast(best1)).select(
-        F.replace(
-            F.col("s"),
-            F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
-            F.concat(F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" ")),
-        ).alias("s"),
-        "cnt",
-    )
-    return top5(p1, 1).unionAll(top5(pair_counts(s1), 2))
-
-
-@query(
-    "label_outliers",
-    oracle="""
-    WITH ex AS (
-        SELECT vec_id, label, i AS pos, embedding[i + 1]::DOUBLE AS v
-        FROM embeddings, range(64) t(i)
-    ), cent AS (
-        SELECT label, pos, round(avg(v), 6) AS m FROM ex GROUP BY label, pos
-    ), d AS (
-        SELECT e.vec_id, e.label,
-               CAST(sum(CAST(round((e.v - c.m) * (e.v - c.m) * 1e12) AS BIGINT)) AS BIGINT) AS d2u
-        FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
-        GROUP BY e.vec_id, e.label
-    )
-    SELECT CAST(row_number() OVER (ORDER BY d2u DESC, vec_id) AS BIGINT) AS rank,
-           vec_id, label, round(sqrt(d2u / 1e12), 6) AS dist
-    FROM d ORDER BY d2u DESC, vec_id LIMIT 20
-    """,
-)
-def label_outliers_q(spark, sf_dir):
-    """Label-outlier mining (the data-cleaning pass behind confident
-    learning / mislabel detection: vectors farthest from their own
-    class centroid are the mislabel candidates a human reviews first):
-    per-(label, dim) centroids from one posexplode shuffle (means
-    ROUNDED to 6 dp first, so the centroid representation — not the
-    unstable float mean — is what both engines measure against);
-    per-vector squared distance accumulates as micro-unit longs
-    (order-free), top-20 via sort-limit. One corpus-wide posexplode
-    shuffle; everything after is label-cardinality-sized and the
-    centroid frame broadcasts (|labels| x dim rows)."""
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    ex = emb.select(
-        "vec_id",
-        "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
-    )
-    cent = ex.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("m"))
-    contrib = F.round((F.col("v") - F.col("m")) * (F.col("v") - F.col("m")) * 1e12).cast("long")
-    d = (
-        ex.join(F.broadcast(cent), ["label", "pos"])
-        .groupBy("vec_id", "label")
-        .agg(F.sum(contrib).alias("d2u"))
-    )
-    top = d.orderBy(F.col("d2u").desc(), "vec_id").limit(20)
-    w = Window.orderBy(F.col("d2u").desc(), "vec_id")
-    return top.select(
-        F.row_number().over(w).cast("long").alias("rank"),
-        "vec_id",
-        "label",
-        F.round(F.sqrt(F.col("d2u") / 1e12), 6).alias("dist"),
-    )
-
-
-@query(
-    "tfidf_vsm_topk",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-    ), tf AS (
-        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
-        FROM toks GROUP BY doc_id, term
-    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-    dfreq AS (
-        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
-    ), norms AS (
-        SELECT tf.doc_id,
-               CAST(sum(CAST(round((tf.tf * ln((n.n + 1) / (d.df + 1)))
-                    * (tf.tf * ln((n.n + 1) / (d.df + 1))) * 1e6) AS BIGINT)) AS BIGINT) AS norm2_u
-        FROM tf JOIN dfreq d USING (term) CROSS JOIN n
-        GROUP BY tf.doc_id
-    ), q AS (
-        SELECT tf.doc_id,
-               sum(tf.tf * ln((n.n + 1) / (d.df + 1)) * ln((n.n + 1) / (d.df + 1))) AS num
-        FROM tf JOIN dfreq d USING (term) CROSS JOIN n
-        WHERE tf.term IN ('spark', 'join', 'fast')
-        GROUP BY tf.doc_id
-    ), qn AS (
-        SELECT sum(ln((n.n + 1) / (d.df + 1)) * ln((n.n + 1) / (d.df + 1))) AS qnorm2
-        FROM dfreq d CROSS JOIN n
-        WHERE d.term IN ('spark', 'join', 'fast')
-    ), scored AS (
-        SELECT q.doc_id,
-               q.num / (sqrt(nm.norm2_u / 1e6) * sqrt(qn.qnorm2)) AS vsm
-        FROM q JOIN norms nm USING (doc_id) CROSS JOIN qn
-    )
-    SELECT CAST(row_number() OVER (ORDER BY vsm DESC, doc_id) AS BIGINT) AS rank,
-           doc_id, round(vsm, 6) AS vsm
-    FROM scored ORDER BY vsm DESC, doc_id LIMIT 10
-    """,
-)
-def tfidf_vsm_topk_q(spark, sf_dir):
-    """tf-idf cosine (VSM) top-10 from the materialized index — the
-    third classic scorer beside BM25 and QLM, reading the build's
-    norms table (exact micro-unit ||d||², Lucene's norm-file analog);
-    oracle recomputes everything from documents, index-free."""
-    from .operators import text_index
-
-    index_dir = _kw_index_dir(spark, sf_dir)
-    return text_index.tfidf_vsm_topk(spark, index_dir, ["spark", "join", "fast"])
-
-
-@query(
-    "grouped_latency_slo",
-    oracle="""
-    WITH e AS (
-        SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v_u
-        FROM events
-    ), s AS (
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-               list_sort(list(v_u)) AS vs,
-               CAST(sum(CASE WHEN v_u < 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
-        FROM e GROUP BY event_type
-    )
-    SELECT event_type, n,
-           round(vs[CAST(n * 50 // 100 AS INTEGER) + 1] / 1e6, 6) AS p50,
-           round(vs[CAST(n * 95 // 100 AS INTEGER) + 1] / 1e6, 6) AS p95,
-           round(vs[CAST(n * 99 // 100 AS INTEGER) + 1] / 1e6, 6) AS p99,
-           round(vs[n] / 1e6, 6) AS p_max,
-           round(n_ok / CAST(n AS DOUBLE), 6) AS slo_attainment
-    FROM s
-    """,
-)
-def grouped_latency_slo_q(spark, sf_dir, exact_quantiles: bool = True):
-    """Per-group tail-latency SLO report (the p50/p95/p99 +
-    attainment panel every service dashboard carries — here per
-    event_type over the value column, micro-unit exact): EXACT
-    percentiles via the same sorted-collect selection rule as
-    quantile_stats/skew_profile — deterministic in both engines where
-    approx_percentile's sketch is not — with the same documented
-    limit (buffer = per-group row count) and sorted[n·p div 100]
-    0-based selection. SLO attainment (share under the 1.0 threshold)
-    rides the same single agg — one fact shuffle total.
-
-    ``exact_quantiles=False`` is the 100 TB path: percentile_approx
-    (KLL-style mergeable sketch, bounded memory regardless of group
-    size) replaces the sorted-collect buffer; p_max/attainment stay
-    exact (max/sum partials). The exact default stays the oracle
-    anchor — the sketch is engine-dependent at the margin."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.expr("cast(round(value * 1000000) as bigint)").alias("v_u")
-    )
-    if not exact_quantiles:
-        s = ev.groupBy("event_type").agg(
-            F.count("*").cast("long").alias("n"),
-            F.percentile_approx("v_u", F.lit([0.5, 0.95, 0.99]), F.lit(10000)).alias("_qs"),
-            F.max("v_u").alias("_mx"),
-            F.sum(F.when(F.col("v_u") < 1000000, 1).otherwise(0)).cast("long").alias("_ok"),
-        )
-        return s.select(
-            "event_type",
-            "n",
-            F.round(F.col("_qs")[0] / 1e6, 6).alias("p50"),
-            F.round(F.col("_qs")[1] / 1e6, 6).alias("p95"),
-            F.round(F.col("_qs")[2] / 1e6, 6).alias("p99"),
-            F.round(F.col("_mx") / 1e6, 6).alias("p_max"),
-            F.round(F.col("_ok") / F.col("n"), 6).alias("slo_attainment"),
-        )
-    s = ev.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sort_array(F.collect_list("v_u")).alias("_vs"),
-        F.sum(F.when(F.col("v_u") < 1000000, 1).otherwise(0)).cast("long").alias("_ok"),
-    )
-    def pick(p):
-        return F.round(
-            F.get("_vs", F.expr(f"CAST(n * {p} div 100 AS INT)")) / 1e6, 6
-        )
-    return s.select(
-        "event_type",
-        "n",
-        pick(50).alias("p50"),
-        pick(95).alias("p95"),
-        pick(99).alias("p99"),
-        F.round(F.element_at("_vs", -1) / 1e6, 6).alias("p_max"),
-        F.round(F.col("_ok") / F.col("n"), 6).alias("slo_attainment"),
-    )
-
-
-@query(
-    "vocab_coverage",
-    oracle="""
-    WITH toks AS (
-        SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
-    ), tf AS (
-        SELECT source, term, CAST(count(*) AS BIGINT) AS c
-        FROM toks WHERE term <> '' GROUP BY source, term
-    ), gcounts AS (
-        SELECT term, CAST(sum(c) AS BIGINT) AS g FROM tf GROUP BY term
-    ), vocab AS (
-        SELECT term FROM gcounts ORDER BY g DESC, term LIMIT 100
-    )
-    SELECT tf.source,
-           CAST(sum(tf.c) AS BIGINT) AS n_tokens,
-           CAST(sum(CASE WHEN v.term IS NOT NULL THEN tf.c ELSE 0 END) AS BIGINT) AS n_covered,
-           round(sum(CASE WHEN v.term IS NOT NULL THEN tf.c ELSE 0 END)
-                 / CAST(sum(tf.c) AS DOUBLE), 6) AS coverage
-    FROM tf LEFT JOIN vocab v USING (term)
-    GROUP BY tf.source
-    """,
-)
-def vocab_coverage_q(spark, sf_dir):
-    """Vocabulary coverage per source (the OOV / domain-shift audit
-    behind tokenizer sizing and corpus-mix decisions — a source whose
-    coverage under the global top-100 vocab drops is the one drifting
-    away from the training distribution): ONE corpus explode produces
-    the (source, term) count frame, the global vocab derives from it
-    (no second scan — same collapse-to-vocab trick as
-    bpe_pair_counts), top-100 cut is sort-limit, and coverage is a
-    conditional sum over the vocab-sized join."""
-    docs = load_table(spark, sf_dir, "documents")
-    tf = (
-        docs.select("source", F.explode(F.split("text", " ")).alias("term"))
-        .filter(F.col("term") != "")
-        .groupBy("source", "term")
-        .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint(eager=False)
-    )
-    vocab = (
-        tf.groupBy("term")
-        .agg(F.sum("c").cast("long").alias("g"))
-        .orderBy(F.col("g").desc(), "term")
-        .limit(100)
-        .select("term", F.lit(True).alias("_v"))
-    )
-    return (
-        tf.join(F.broadcast(vocab), "term", "left")
-        .groupBy("source")
-        .agg(
-            F.sum("c").cast("long").alias("n_tokens"),
-            F.sum(F.when(F.col("_v"), F.col("c")).otherwise(0)).cast("long").alias("n_covered"),
-            F.round(
-                F.sum(F.when(F.col("_v"), F.col("c")).otherwise(0)) / F.sum("c"), 6
-            ).alias("coverage"),
-        )
-    )
-
-
-def _knn_graph_2hop_oracle() -> str:
-    from .operators import ann
-
-    planes = ann.hyperplanes(4, 64)
-    return f"""
-    WITH {_planes_sql(planes)},
-    dots AS (
-        SELECT e.vec_id, p.pid, {_dd_dot('e.embedding', 'p.w')} AS d
-        FROM embeddings e CROSS JOIN planes p
-    ), buckets AS (
-        SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << pid) ELSE 0 END) AS bucket
-        FROM dots GROUP BY vec_id
-    ), c AS (
-        SELECT e.vec_id, e.embedding, b.bucket
-        FROM embeddings e JOIN buckets b USING (vec_id)
-    ), scored AS (
-        SELECT a.vec_id AS src, b.vec_id AS dst,
-               {_dd_cosine('a.embedding', 'b.embedding')} AS score
-        FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-    ), e AS (
-        SELECT src, dst FROM (
-            SELECT src, dst,
-                   row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rank
-            FROM scored
-        ) WHERE rank <= 3
-    ), twohop AS (
-        SELECT DISTINCT a.src, b.dst AS dst2
-        FROM e a JOIN e b ON a.dst = b.src
-        WHERE b.dst <> a.src
-    ), fresh AS (
-        SELECT t.src, t.dst2 FROM twohop t
-        LEFT JOIN e d ON d.src = t.src AND d.dst = t.dst2
-        WHERE d.src IS NULL
-    ), agg2 AS (
-        SELECT src, CAST(count(*) AS BIGINT) AS n_new FROM fresh GROUP BY src
-    ), agg1 AS (
-        SELECT src, CAST(count(*) AS BIGINT) AS n_direct FROM e GROUP BY src
-    )
-    SELECT a1.src, a1.n_direct,
-           CAST(coalesce(a2.n_new, 0) AS BIGINT) AS n_two_hop_new,
-           round(coalesce(a2.n_new, 0) / CAST(a1.n_direct AS DOUBLE), 6) AS expansion_ratio
-    FROM agg1 a1 LEFT JOIN agg2 a2 USING (src)
-    """
-
-
-@query("knn_graph_2hop")  # oracle: ORACLES set below (plane literals)
-def knn_graph_2hop_q(spark, sf_dir):
-    """NN-descent's neighborhood expansion step (Dong WWW'11: a
-    node's next candidates are its neighbors' neighbors): from the
-    shared kNN-graph edges, the 2-hop frontier per node — distinct
-    neighbors-of-neighbors that are NOT already direct neighbors nor
-    the node itself — plus the expansion ratio that predicts how fast
-    graph refinement converges. Edge self-join volume is bounded by
-    Σ deg² (degrees capped at 3 by the build), the anti-membership
-    check is a LEFT join on bare (src, dst) longs — never any
-    vector data past the edge build."""
-    edges = (
-        _knn_graph_edges(spark, sf_dir)
-        .select("src", "dst")
-        .localCheckpoint(eager=False)
-    )
-    a, b = edges.alias("a"), edges.alias("b")
-    twohop = (
-        a.join(b, F.col("a.dst") == F.col("b.src"))
-        .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst2"))
-        .filter(F.col("dst2") != F.col("src"))
-        .distinct()
-    )
-    direct = edges.select("src", F.col("dst").alias("dst2"))
-    fresh = twohop.join(direct, ["src", "dst2"], "left_anti")
-    agg2 = fresh.groupBy("src").agg(F.count("*").cast("long").alias("n_new"))
-    agg1 = edges.groupBy("src").agg(F.count("*").cast("long").alias("n_direct"))
-    return (
-        agg1.join(agg2, "src", "left")
-        .select(
-            "src",
-            "n_direct",
-            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_two_hop_new"),
-            F.round(F.coalesce("n_new", F.lit(0)) / F.col("n_direct"), 6).alias(
-                "expansion_ratio"
-            ),
-        )
-    )
-
-
-ORACLES["knn_graph_2hop"] = _knn_graph_2hop_oracle()
-
-
-@query(
-    "multimodal_shard_plan",
-    oracle="""
-    WITH media AS (
-        SELECT doc_id AS media_id,
-               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-               CAST(length(text) AS BIGINT) AS nbytes
-        FROM documents
-    ), placed AS (
-        SELECT kind, media_id, nbytes,
-               CAST((sum(nbytes) OVER (PARTITION BY kind ORDER BY media_id
-                     ROWS UNBOUNDED PRECEDING) - nbytes) // 4096 AS BIGINT) AS shard
-        FROM media
-    )
-    SELECT kind, shard,
-           CAST(count(*) AS BIGINT) AS n_items,
-           CAST(sum(nbytes) AS BIGINT) AS shard_bytes,
-           CAST(min(media_id) AS BIGINT) AS first_id,
-           CAST(max(media_id) AS BIGINT) AS last_id
-    FROM placed GROUP BY kind, shard
-    """,
-)
-def multimodal_shard_plan_q(spark, sf_dir):
-    """WebDataset-style shard manifest for the media corpus (the
-    tar-shard layout multimodal training loaders stream): per kind,
-    media pack greedily in id order into ~4 KB shards via the
-    bytes-before div target rule (compaction_plan's assignment applied
-    to payload bytes); output is the per-shard manifest (items, bytes,
-    id range) the loader's shuffle-by-shard consumes. Window runs per
-    kind; the two-phase shard prefix sum (sequence_packing) is the
-    stated swap-in when one kind outgrows a partition. Payload bytes
-    reduce to lengths BEFORE the window — media content never enters
-    a shuffle."""
-    from .operators import multimodal
-
-    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
-    sized = media.select(
-        "kind", "media_id", F.length("content").cast("long").alias("nbytes")
-    )
-    w = Window.partitionBy("kind").orderBy("media_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    placed = sized.select(
-        "kind",
-        "media_id",
-        "nbytes",
-        F.expr("(sum(nbytes) over (partition by kind order by media_id rows between unbounded preceding and current row) - nbytes) div 4096").alias("shard"),
-    )
-    return placed.groupBy("kind", "shard").agg(
-        F.count("*").cast("long").alias("n_items"),
-        F.sum("nbytes").cast("long").alias("shard_bytes"),
-        F.min("media_id").cast("long").alias("first_id"),
-        F.max("media_id").cast("long").alias("last_id"),
-    )
-
-
-@query(
-    "pre_post_analysis",
-    oracle="""
-    WITH b AS (
-        SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS cut FROM events
-    ), s AS (
-        SELECT event_type,
-               epoch_ns(ts) <= b.cut AS pre,
-               CAST(round(value * 1000000) AS BIGINT) AS v_u
-        FROM events, b
-    )
-    SELECT event_type,
-           CAST(sum(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
-           CAST(sum(CASE WHEN pre THEN 0 ELSE 1 END) AS BIGINT) AS n_post,
-           round(sum(CASE WHEN pre THEN v_u ELSE 0 END)
-                 / CAST(sum(CASE WHEN pre THEN 1 ELSE 0 END) AS DOUBLE) / 1e6, 6) AS mean_pre,
-           round(sum(CASE WHEN pre THEN 0 ELSE v_u END)
-                 / CAST(sum(CASE WHEN pre THEN 0 ELSE 1 END) AS DOUBLE) / 1e6, 6) AS mean_post,
-           round((sum(CASE WHEN pre THEN 0 ELSE v_u END)
-                  / CAST(sum(CASE WHEN pre THEN 0 ELSE 1 END) AS DOUBLE)
-                  - sum(CASE WHEN pre THEN v_u ELSE 0 END)
-                    / CAST(sum(CASE WHEN pre THEN 1 ELSE 0 END) AS DOUBLE)) / 1e6, 6) AS mean_diff
-    FROM s GROUP BY event_type
-    """,
-)
-def pre_post_analysis_q(spark, sf_dir):
-    """Pre/post intervention comparison per event type (the
-    before-after readout of a deploy/experiment cutover — the simplest
-    causal panel a metrics stack serves): the cut point is the exact
-    midpoint of the time range (broadcast scalar), and BOTH windows'
-    counts and micro-unit sums come from ONE conditional aggregate —
-    one fact shuffle, no second pass, the same single-agg trick as
-    promo_revenue's numerator/denominator. Means and the difference
-    derive from exact integer sums at emit time."""
-    ev = load_table(spark, sf_dir, "events")
-    # exact integer midpoint: (min+max) exceeds 2^53, so a double
-    # division here would round the cut differently than the oracle's
-    # integer `//` and could flip boundary events between windows
-    cut = ev.agg(F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("_cut"))
-    s = ev.crossJoin(F.broadcast(cut)).select(
-        "event_type",
-        (F.col("ts_ns") <= F.col("_cut")).alias("pre"),
-        F.expr("cast(round(value * 1000000) as bigint)").alias("v_u"),
-    )
-    n_pre = F.sum(F.when(F.col("pre"), 1).otherwise(0))
-    n_post = F.sum(F.when(F.col("pre"), 0).otherwise(1))
-    s_pre = F.sum(F.when(F.col("pre"), F.col("v_u")).otherwise(0))
-    s_post = F.sum(F.when(F.col("pre"), 0).otherwise(F.col("v_u")))
-    return s.groupBy("event_type").agg(
-        n_pre.cast("long").alias("n_pre"),
-        n_post.cast("long").alias("n_post"),
-        F.round(s_pre / n_pre / 1e6, 6).alias("mean_pre"),
-        F.round(s_post / n_post / 1e6, 6).alias("mean_post"),
-        F.round((s_post / n_post - s_pre / n_pre) / 1e6, 6).alias("mean_diff"),
-    )
-
-
-@query(
-    "hybrid_combsum",
-    oracle=f"""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
-    toks AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS dl, unnest(string_split(text, ' ')) AS term
-        FROM documents
-    ), qtoks AS (
-        SELECT * FROM toks WHERE term IN ('spark', 'join', 'fast')
-    ), tf AS (
-        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
-        FROM qtoks GROUP BY doc_id, term
-    ), stats AS (
-        SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl FROM documents
-    ), dfreq AS (
-        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
-    ), bm25 AS (
-        SELECT tf.doc_id,
-               sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
-                   * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))) AS bm25
-        FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
-        GROUP BY tf.doc_id
-    ), kw_top AS (
-        SELECT doc_id, round(bm25, 6) AS s
-        FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT 20
-    ), kn AS (
-        SELECT doc_id,
-               CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0
-                    ELSE (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
-               END AS kn
-        FROM kw_top
-    ), vecs AS (
-        SELECT e.vec_id AS doc_id, {_dd_cosine('e.embedding', 'q.qv')} AS raw
-        FROM embeddings e, q
-    ), vec_top AS (
-        SELECT doc_id, round(raw, 6) AS s
-        FROM vecs ORDER BY raw DESC, doc_id LIMIT 20
-    ), vn AS (
-        SELECT doc_id,
-               CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0
-                    ELSE (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
-               END AS vn
-        FROM vec_top
-    ), fused AS (
-        SELECT coalesce(k.doc_id, v.doc_id) AS doc_id,
-               coalesce(k.kn, 0.0) + coalesce(v.vn, 0.0) AS csum,
-               CAST((CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-                    + (CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_towers
-        FROM kn k FULL OUTER JOIN vn v ON k.doc_id = v.doc_id
-    )
-    SELECT CAST(row_number() OVER (ORDER BY csum * n_towers DESC, doc_id) AS BIGINT) AS rank,
-           doc_id, round(csum, 6) AS combsum,
-           round(csum * n_towers, 6) AS combmnz, n_towers
-    FROM fused ORDER BY csum * n_towers DESC, doc_id LIMIT 10
-    """,
-)
-def hybrid_combsum_q(spark, sf_dir):
-    """CombSUM/CombMNZ score fusion from the materialized index —
-    the score-based fusion family beside RRF; per-tower min-max
-    normalization over depth-row frames, multi-tower agreement
-    rewarded by the MNZ multiplier."""
-    from .operators import text_index
-
-    index_dir = _kw_index_dir(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
-    return text_index.hybrid_combsum(
-        spark, index_dir, emb, ["spark", "join", "fast"], q, k=10, depth=20
-    )
-
-
-@query(
-    "chunk_overlap",
-    oracle="""
-    WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-    ), n AS (
-        SELECT doc_id, toks,
-               CAST(1 + ceil(greatest(len(toks) - 40, 0) / 30.0) AS INTEGER) AS n_starts
-        FROM t
-    )
-    SELECT doc_id,
-           CAST(i AS BIGINT) AS chunk_number,
-           CAST(i * 30 AS BIGINT) AS start_token,
-           array_to_string(toks[i * 30 + 1 : i * 30 + 40], ' ') AS chunk_text,
-           CAST(len(toks[i * 30 + 1 : i * 30 + 40]) AS BIGINT) AS word_count
-    FROM n, unnest(range(n_starts)) u(i)
-    """,
-)
-def chunk_overlap_q(spark, sf_dir):
-    """Overlapping 40-token chunks at stride 30 (10-token overlap —
-    the RAG chunk_overlap parameter): boundary sentences always have
-    a chunk containing them whole; map-only codegen like
-    chunk_documents."""
-    from .operators import chunking
-
-    return chunking.chunk_overlapping(
-        load_table(spark, sf_dir, "documents"), window=40, stride=30
-    )
-
-
-@query(
-    "dedup_containment",
-    oracle=f"""
-    WITH {_DD_SHINGLES}, {_DD_MINHASH_SIG}, {_DD_BANDS},
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a
-        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-    ), sizes AS (
-        SELECT doc_id, CAST(count(*) AS DOUBLE) AS n_sh FROM shf GROUP BY doc_id
-    ), inter AS (
-        SELECT p.doc_a, p.doc_b, CAST(count(*) AS DOUBLE) AS n_int
-        FROM pairs p
-        JOIN shf x ON x.doc_id = p.doc_a
-        JOIN shf y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
-        GROUP BY p.doc_a, p.doc_b
-    )
-    SELECT p.doc_a, p.doc_b,
-           round(coalesce(i.n_int, 0) / (na.n_sh + nb.n_sh - coalesce(i.n_int, 0)), 6) AS jaccard,
-           round(coalesce(i.n_int, 0) / na.n_sh, 6) AS cont_a_in_b,
-           round(coalesce(i.n_int, 0) / nb.n_sh, 6) AS cont_b_in_a,
-           (greatest(coalesce(i.n_int, 0) / na.n_sh, coalesce(i.n_int, 0) / nb.n_sh) >= 0.8
-            AND coalesce(i.n_int, 0) / (na.n_sh + nb.n_sh - coalesce(i.n_int, 0)) < 0.5) AS is_excerpt
-    FROM pairs p
-    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-    JOIN sizes na ON na.doc_id = p.doc_a
-    JOIN sizes nb ON nb.doc_id = p.doc_b
-    """,
-)
-def dedup_containment_q(spark, sf_dir):
-    """Broder containment on LSH candidates — catches the
-    excerpt/quote inclusion shape symmetric Jaccard misses; exact set
-    ops on band-bounded candidates only."""
-    from .operators import dedup
-
-    return dedup.dedup_containment(load_table(spark, sf_dir, "documents"))
-
-
-_PERCOLATE_QUERIES = [
-    (0, ["spark", "join"]),
-    (1, ["vector", "data"]),
-    (2, ["window", "stream", "fast"]),
-    (3, ["zzzghostterm"]),
-]
-
-
-@query(
-    "percolate_queries",
-    oracle=f"""
-    WITH q(query_id, terms) AS (VALUES
-        {", ".join(f"({qid}, {terms!r}::VARCHAR[])".replace("'", "'") for qid, terms in _PERCOLATE_QUERIES)}
-    ), d AS (
-        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
-               (SELECT count(*) FROM documents) AS n_docs
-        FROM documents
-    ), m AS (
-        SELECT q.query_id, d.doc_id, d.n_docs
-        FROM q, d
-        WHERE len(list_intersect(d.toks, q.terms)) = len(q.terms)
-    ), agg AS (
-        SELECT query_id, CAST(count(*) AS BIGINT) AS n_matched,
-               CAST(min(doc_id) AS BIGINT) AS first_doc,
-               round(count(*) / CAST(min(n_docs) AS DOUBLE), 6) AS match_share
-        FROM m GROUP BY query_id
-    )
-    SELECT CAST(q.query_id AS BIGINT) AS query_id,
-           CAST(coalesce(a.n_matched, 0) AS BIGINT) AS n_matched,
-           a.first_doc,
-           round(coalesce(a.match_share, 0.0), 6) AS match_share
-    FROM q LEFT JOIN agg a USING (query_id)
-    """,
-)
-def percolate_queries_q(spark, sf_dir):
-    """Percolation / reverse search (Elasticsearch's percolator — the
-    alerting direction: STORED queries run against each incoming doc):
-    a literal frame of conjunctive term queries broadcasts onto the
-    corpus, the ALL-terms match is one map-side array_intersect per
-    (doc, query) — no explode, no per-term shuffle — and per-query
-    match counts + first-match + corpus share come from one tiny agg.
-    Zero-match queries keep their row (the alert that should NOT fire
-    is half the test). At 100 TB this is the saved-search/alerting
-    scan: queries are the small side by definition, and the match
-    predicate runs where the docs already are."""
-    docs = load_table(spark, sf_dir, "documents")
-    q = spark.createDataFrame(
-        [(qid, terms) for qid, terms in _PERCOLATE_QUERIES],
-        "query_id long, terms array<string>",
-    )
-    n_docs = docs.agg(F.count("*").alias("_n"))
-    toks = F.array_distinct(F.split("text", " "))
-    m = (
-        docs.select("doc_id", toks.alias("_toks"))
-        .crossJoin(F.broadcast(q))
-        .filter(F.size(F.array_intersect("_toks", "terms")) == F.size("terms"))
-    )
-    agg = (
-        m.groupBy("query_id")
-        .agg(
-            F.count("*").cast("long").alias("n_matched"),
-            F.min("doc_id").cast("long").alias("first_doc"),
-        )
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "query_id",
-            "n_matched",
-            "first_doc",
-            F.round(F.col("n_matched") / F.col("_n"), 6).alias("match_share"),
-        )
-    )
-    return (
-        q.select("query_id")
-        .join(agg, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
-            "first_doc",
-            F.round(F.coalesce("match_share", F.lit(0.0)), 6).alias("match_share"),
-        )
-    )
-
-
-@query(
-    "snapshot_diff",
-    oracle="""
-    WITH v1 AS (
-        SELECT doc_id, md5(text) AS h FROM documents
-    ), v2 AS (
-        -- deterministic simulated next snapshot: every 23rd doc
-        -- deleted, every 17th edited (content suffix), plus 10 new ids
-        SELECT doc_id, md5(CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END) AS h
-        FROM documents WHERE doc_id % 23 <> 0
-        UNION ALL
-        SELECT (SELECT max(doc_id) FROM documents) + 1 + i AS doc_id,
-               md5('new doc ' || CAST(i AS VARCHAR)) AS h
-        FROM range(10) t(i)
-    ), d AS (
-        SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
-               CASE WHEN v1.doc_id IS NULL THEN 'added'
-                    WHEN v2.doc_id IS NULL THEN 'removed'
-                    WHEN v1.h <> v2.h THEN 'changed'
-                    ELSE 'unchanged' END AS status
-        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
-    )
-    SELECT status, CAST(count(*) AS BIGINT) AS n,
-           CAST(min(doc_id) AS BIGINT) AS first_id,
-           CAST(max(doc_id) AS BIGINT) AS last_id
-    FROM d GROUP BY status
-    """,
-)
-def snapshot_diff_q(spark, sf_dir):
-    """Dataset snapshot reconciliation (the data-diff every lakehouse
-    version upgrade runs before swapping a table pointer: what
-    changed between v1 and v2, by primary key): FULL OUTER join on
-    the key with md5 content hashes — raw text never crosses the
-    shuffle, only 16-byte digests — classifying every key as
-    added/removed/changed/unchanged, rolled up per status. The v2
-    snapshot is deterministically simulated (every 23rd doc deleted,
-    every 17th edited, 10 appended) so the oracle replays the exact
-    diff; in production v2 is just the other table. One shuffle per
-    side on the key."""
-    docs = load_table(spark, sf_dir, "documents")
-    v1 = docs.select("doc_id", F.md5("text").alias("h"))
-    maxid = docs.agg(F.max("doc_id").alias("_m"))
-    edited = docs.filter(F.col("doc_id") % 23 != 0).select(
-        "doc_id",
-        F.md5(
-            F.when(F.col("doc_id") % 17 == 0, F.concat("text", F.lit(" v2"))).otherwise(
-                F.col("text")
-            )
-        ).alias("h"),
-    )
-    added = (
-        spark.range(10)
-        .crossJoin(F.broadcast(maxid))
-        .select(
-            (F.col("_m") + 1 + F.col("id")).alias("doc_id"),
-            F.md5(F.concat(F.lit("new doc "), F.col("id").cast("string"))).alias("h"),
-        )
-    )
-    v2 = edited.unionAll(added)
-    a, b = v1.alias("a"), v2.alias("b")
-    d = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer").select(
-        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
-        F.when(F.col("a.doc_id").isNull(), "added")
-        .when(F.col("b.doc_id").isNull(), "removed")
-        .when(F.col("a.h") != F.col("b.h"), "changed")
-        .otherwise("unchanged")
-        .alias("status"),
-    )
-    return d.groupBy("status").agg(
-        F.count("*").cast("long").alias("n"),
-        F.min("doc_id").cast("long").alias("first_id"),
-        F.max("doc_id").cast("long").alias("last_id"),
-    )
-
-
-@query(
-    "events_twa",
-    oracle="""
-    WITH e AS (
-        SELECT event_type, epoch_ns(ts) AS ts_ns, event_id,
-               CAST(round(value * 1000000) AS BIGINT) AS v_u
-        FROM events
-    ), seg AS (
-        SELECT event_type, v_u,
-               lead(ts_ns) OVER (PARTITION BY event_type ORDER BY ts_ns, event_id)
-                 - ts_ns AS dt
-        FROM e
-    )
-    SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n_segments,
-           CAST(sum(dt) AS BIGINT) AS span_ns,
-           round(sum(v_u * (dt // 1000000)) / CAST(sum(dt // 1000000) AS DOUBLE) / 1e6, 6) AS twa
-    FROM seg WHERE dt IS NOT NULL
-    GROUP BY event_type
-    """,
-)
-def events_twa_q(spark, sf_dir):
-    """Time-weighted average per event type (the irregular-sampling
-    mean: each observation holds until the next one, so sparse quiet
-    periods aren't drowned out by bursts — the metric plain avg gets
-    WRONG on event data, and the standard gauge rollup in tsdb-land):
-    Δt to the next observation via ONE (event_type, time) window,
-    weights and weighted sums in exact integers (Δt scaled to micros
-    so v_u·Δt stays within long range), final ratio at emit. The last
-    observation per series has no successor and drops out (standard
-    left-closed convention)."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts_ns", "event_id")
-    seg = ev.select(
-        "event_type",
-        F.expr("cast(round(value * 1000000) as bigint)").alias("v_u"),
-        (F.lead("ts_ns").over(w) - F.col("ts_ns")).alias("dt"),
-    ).filter(F.col("dt").isNotNull())
-    return seg.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n_segments"),
-        F.sum("dt").cast("long").alias("span_ns"),
-        F.round(
-            F.sum(F.col("v_u") * F.expr("dt div 1000000"))
-            / F.sum(F.expr("dt div 1000000"))
-            / 1e6,
-            6,
-        ).alias("twa"),
-    )
-
-
-@query(
-    "kmv_distinct_by_group",
-    oracle=f"""
-    WITH h AS (
-        SELECT DISTINCT event_type, {H.dd_md5_long('user_id::VARCHAR')} AS h FROM events
-    ), ranked AS (
-        SELECT event_type, h,
-               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
-        FROM h
-    ), kth AS (
-        SELECT event_type, max(h) AS h_k, CAST(count(*) AS BIGINT) AS n_kept
-        FROM ranked WHERE rn <= 32 GROUP BY event_type
-    ), exact AS (
-        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS ndv_exact
-        FROM events GROUP BY event_type
-    )
-    SELECT k.event_type, e.ndv_exact,
-           round(CASE WHEN k.n_kept < 32 THEN CAST(k.n_kept AS DOUBLE)
-                      ELSE 31 / (k.h_k / 1152921504606846976.0) END, 6) AS ndv_est,
-           round(abs(CASE WHEN k.n_kept < 32 THEN CAST(k.n_kept AS DOUBLE)
-                          ELSE 31 / (k.h_k / 1152921504606846976.0) END - e.ndv_exact)
-                 / e.ndv_exact, 6) AS rel_err
-    FROM kth k JOIN exact e USING (event_type)
-    """,
-)
-def kmv_distinct_by_group_q(spark, sf_dir):
-    """Per-group KMV distinct sketch (the GROUP BY form of
-    kmv_distinct — per-event-type distinct users with BOUNDED state:
-    k hashes per group, not NDV): per-(partition, group) partial top-k
-    collapses each group's contribution to ≤k hashes BEFORE any
-    cross-partition movement (the mergeability that makes KMV a
-    distributed sketch), the merge keeps the k smallest of
-    ≤ n_partitions·k candidates per group; exact counts ride along
-    for the harness only."""
-    ev = load_table(spark, sf_dir, "events")
-    k = 32
-    hashes = ev.select(
-        "event_type", H.md5_long(F.col("user_id").cast("string")).alias("h")
-    )
-    partial = (
-        hashes.withColumn("_pid", F.spark_partition_id())
-        .groupBy("event_type", "_pid")
-        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs"))
-        .select("event_type", F.explode("hs").alias("h"))
-        .distinct()
-    )
-    merged = partial.groupBy("event_type").agg(
-        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("top")
-    )
-    kth = merged.select(
-        "event_type",
-        F.element_at("top", -1).alias("h_k"),
-        F.size("top").cast("long").alias("n_kept"),
-    )
-    exact = ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").cast("long").alias("ndv_exact")
-    )
-    est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
-        (k - 1) / (F.col("h_k") / F.lit(1152921504606846976.0))
-    )
-    return kth.join(exact, "event_type").select(
-        "event_type",
-        "ndv_exact",
-        F.round(est, 6).alias("ndv_est"),
-        F.round(F.abs(est - F.col("ndv_exact")) / F.col("ndv_exact"), 6).alias(
-            "rel_err"
-        ),
-    )
-
-
-@query(
-    "events_anomaly_mad",
-    oracle="""
-    WITH hourly AS (
-        SELECT epoch_ns(ts) // 3600000000000 AS hour_id,
-               CAST(count(*) AS BIGINT) AS cnt
-        FROM events GROUP BY 1
-    ), st AS (
-        SELECT list_sort(list(cnt)) AS vs, CAST(count(*) AS BIGINT) AS n FROM hourly
-    ), med AS (
-        SELECT vs[CAST(n // 2 AS INTEGER) + 1] AS med FROM st
-    ), dev AS (
-        SELECT list_sort(list(abs(h.cnt - m.med))) AS ds, CAST(count(*) AS BIGINT) AS n
-        FROM hourly h, med m
-    ), mad AS (
-        SELECT ds[CAST(n // 2 AS INTEGER) + 1] AS mad FROM dev
-    )
-    SELECT h.hour_id, h.cnt,
-           CAST(m.med AS BIGINT) AS med,
-           CAST(d.mad AS BIGINT) AS mad,
-           round(0.6745 * (h.cnt - m.med) / d.mad, 6) AS modified_z,
-           abs(0.6745 * (h.cnt - m.med) / d.mad) > 3.5 AS is_anomaly
-    FROM hourly h, med m, mad d
-    """,
-)
-def events_anomaly_mad_q(spark, sf_dir):
-    """Robust (median/MAD) anomaly detection on hourly event counts —
-    the Iglewicz-Hoaglin modified z-score, the robust twin of
-    events_anomaly's trailing mean/stddev: a single 10× traffic spike
-    inflates a stddev enough to hide a second one, but cannot move the
-    median. Median and MAD use the exact sorted-selection rule
-    (upper median, sorted[n div 2] 0-based — engine-identical
-    integers); both are 1-row broadcasts over the tiny hourly frame,
-    and the only fact-sized operation is the hourly count shuffle."""
-    ev = load_table(spark, sf_dir, "events")
-    hourly = (
-        ev.select(F.expr("ts_ns div 3600000000000").alias("hour_id"))
-        .groupBy("hour_id")
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
-    st = hourly.agg(
-        F.sort_array(F.collect_list("cnt")).alias("_vs"),
-        F.count("*").cast("long").alias("_n"),
-    )
-    med = st.select(
-        F.get("_vs", F.expr("CAST(_n div 2 AS INT)")).cast("long").alias("med")
-    )
-    dev = hourly.crossJoin(F.broadcast(med)).agg(
-        F.sort_array(F.collect_list(F.abs(F.col("cnt") - F.col("med")))).alias("_ds"),
-        F.count("*").cast("long").alias("_n"),
-    )
-    mad = dev.select(
-        F.get("_ds", F.expr("CAST(_n div 2 AS INT)")).cast("long").alias("mad")
-    )
-    z = 0.6745 * (F.col("cnt") - F.col("med")) / F.col("mad")
-    return (
-        hourly.crossJoin(F.broadcast(med))
-        .crossJoin(F.broadcast(mad))
-        .select(
-            "hour_id",
-            "cnt",
-            "med",
-            "mad",
-            F.round(z, 6).alias("modified_z"),
-            (F.abs(z) > 3.5).alias("is_anomaly"),
-        )
-    )
-
-
-@query(
-    "vocab_drift",
-    oracle="""
-    WITH s AS (SELECT max(doc_id) AS m FROM documents),
-    t AS (
-        SELECT CASE WHEN d.doc_id * 2 <= s.m THEN 'a' ELSE 'b' END AS half,
-               unnest(string_split(d.text, ' ')) AS term
-        FROM documents d, s
-    ), tf AS (
-        SELECT half, term, CAST(count(*) AS BIGINT) AS c
-        FROM t WHERE term <> '' GROUP BY half, term
-    ), piv AS (
-        SELECT term,
-               max(CASE WHEN half = 'a' THEN c END) AS ca,
-               max(CASE WHEN half = 'b' THEN c END) AS cb
-        FROM tf GROUP BY term
-    )
-    SELECT CAST(sum(CASE WHEN ca IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
-           CAST(sum(CASE WHEN cb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
-           CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS vocab_shared,
-           round(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN 1 ELSE 0 END)
-                 / CAST(count(*) AS DOUBLE), 6) AS jaccard,
-           round(sum(CASE WHEN ca IS NULL AND cb IS NOT NULL THEN 1 ELSE 0 END)
-                 / CAST(sum(CASE WHEN cb IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE), 6) AS new_term_rate
-    FROM piv
-    """,
-)
-def vocab_drift_q(spark, sf_dir):
-    """Vocabulary drift between two corpus halves (the text twin of
-    embedding_drift — a new crawl slice whose vocabulary Jaccard
-    drops or whose new-term rate spikes is drifting away from what
-    the tokenizer/filters were tuned on): one corpus explode to the
-    (half, term) count frame, then a vocab-sized pivot and ONE
-    conditional aggregate for all five audit numbers."""
-    docs = load_table(spark, sf_dir, "documents")
-    split = docs.agg(F.max("doc_id").alias("_m"))
-    t = (
-        docs.crossJoin(F.broadcast(split))
-        .select(
-            F.when(F.col("doc_id") * 2 <= F.col("_m"), "a").otherwise("b").alias("half"),
-            F.explode(F.split("text", " ")).alias("term"),
-        )
-        .filter(F.col("term") != "")
-    )
-    piv = (
-        t.groupBy("half", "term")
-        .agg(F.count("*").alias("c"))
-        .groupBy("term")
-        .agg(
-            F.max(F.when(F.col("half") == "a", F.col("c"))).alias("ca"),
-            F.max(F.when(F.col("half") == "b", F.col("c"))).alias("cb"),
-        )
-    )
-    in_a = F.col("ca").isNotNull()
-    in_b = F.col("cb").isNotNull()
-    return piv.agg(
-        F.sum(F.when(in_a, 1).otherwise(0)).cast("long").alias("vocab_a"),
-        F.sum(F.when(in_b, 1).otherwise(0)).cast("long").alias("vocab_b"),
-        F.sum(F.when(in_a & in_b, 1).otherwise(0)).cast("long").alias("vocab_shared"),
-        F.round(F.sum(F.when(in_a & in_b, 1).otherwise(0)) / F.count("*"), 6).alias("jaccard"),
-        F.round(
-            F.sum(F.when(~in_a & in_b, 1).otherwise(0))
-            / F.sum(F.when(in_b, 1).otherwise(0)),
-            6,
-        ).alias("new_term_rate"),
-    )
-
-
-@query(
-    "split_ngram_leakage",
-    oracle=f"""
-    WITH s AS (
-        SELECT doc_id, text,
-               CASE WHEN {H.dd_md5_long("doc_id::VARCHAR", seed="split")} % 100 < 90
-                    THEN 'train' ELSE 'test' END AS split
-        FROM documents
-    ), w AS (
-        SELECT split, unnest(
-            CASE WHEN len(t) < 8 THEN []::VARCHAR[]
-                 ELSE [md5(array_to_string(t[i + 1 : i + 8], ' ')) FOR i IN range(len(t) - 7)]
-            END) AS wh
-        FROM (SELECT split, string_split(text, ' ') AS t FROM s)
-    ), train_w AS (
-        SELECT DISTINCT wh FROM w WHERE split = 'train'
-    ), test_w AS (
-        SELECT wh, CAST(count(*) AS BIGINT) AS n FROM w WHERE split = 'test' GROUP BY wh
-    )
-    SELECT CAST(sum(t.n) AS BIGINT) AS test_windows,
-           CAST(sum(CASE WHEN tr.wh IS NOT NULL THEN t.n ELSE 0 END) AS BIGINT) AS leaked_windows,
-           round(sum(CASE WHEN tr.wh IS NOT NULL THEN t.n ELSE 0 END)
-                 / CAST(sum(t.n) AS DOUBLE), 6) AS leakage_rate
-    FROM test_w t LEFT JOIN train_w tr USING (wh)
-    """,
-)
-def split_ngram_leakage_q(spark, sf_dir):
-    """Train→test n-gram leakage audit (the memorization-risk /
-    contamination check run BEFORE trusting held-out perplexity: what
-    fraction of the test split's 8-token windows literally appear in
-    the train split): the same seeded-md5 90/5/5 split as
-    train_test_split (valid counts as test here — 10% holdout), docs
-    reduce to window HASHES map-side (raw text never shuffles —
-    substring_dedup's posture), one distinct on the train side, one
-    hash-partitioned LEFT join. High leakage means the held-out loss
-    is measuring memory, not generalization."""
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    split = F.when(
-        H.md5_long(F.col("doc_id").cast("string"), seed="split") % 100 < 90, "train"
-    ).otherwise("test")
-    from .functions import text as X
-
-    w = docs.select(
-        split.alias("split"),
-        F.explode(
-            F.transform(X.word_shingles(F.col("text"), 8), lambda s: F.md5(s))
-        ).alias("wh"),
-    )
-    train_w = w.filter(F.col("split") == "train").select("wh").distinct()
-    test_w = (
-        w.filter(F.col("split") == "test")
-        .groupBy("wh")
-        .agg(F.count("*").cast("long").alias("n"))
-    )
-    j = test_w.join(train_w.withColumn("_hit", F.lit(True)), "wh", "left")
-    return j.agg(
-        F.sum("n").cast("long").alias("test_windows"),
-        F.sum(F.when(F.col("_hit"), F.col("n")).otherwise(0)).cast("long").alias("leaked_windows"),
-        F.round(
-            F.sum(F.when(F.col("_hit"), F.col("n")).otherwise(0)) / F.sum("n"), 6
-        ).alias("leakage_rate"),
-    )
-
-
-@query(
-    "discount_elasticity",
-    oracle="""
-    WITH d AS (
-        SELECT CAST(round(l_discount * 100) AS BIGINT) AS x_pct,
-               CAST(round(l_quantity) AS BIGINT) AS y_q
-        FROM lineitem
-    ), s AS (
-        SELECT CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(x_pct) AS BIGINT) AS sx,
-               CAST(sum(y_q) AS BIGINT) AS sy,
-               CAST(sum(x_pct * x_pct) AS BIGINT) AS sxx,
-               CAST(sum(y_q * y_q) AS BIGINT) AS syy,
-               CAST(sum(x_pct * y_q) AS BIGINT) AS sxy
-        FROM d
-    )
-    SELECT n,
-           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS slope,
-           round((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx) / n, 6) AS intercept,
-           round(pow(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy, 2)
-                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r2
-    FROM s
-    """,
-)
-def discount_elasticity_q(spark, sf_dir):
-    """Single-pass OLS (quantity on discount%): slope, intercept and
-    R² from the five sufficient statistics in ONE map-side-combinable
-    aggregate — the closed-form regression every metrics stack
-    computes without a solver. Inputs quantize to exact integer units
-    (discount → %, quantity integral by construction), so all five
-    sums are order-free longs and both engines derive identical
-    coefficients from identical integers."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.expr("cast(round(l_discount * 100) as bigint)").alias("x"),
-        F.expr("cast(round(l_quantity) as bigint)").alias("y"),
-    )
-    s = li.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-    )
-    nd = F.col("n").cast("double")
-    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
-    den = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
-    deny = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
-    slope = num / den
-    return s.select(
-        "n",
-        F.round(slope, 6).alias("slope"),
-        F.round((F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
-        F.round(F.pow(num, F.lit(2.0)) / (den * deny), 6).alias("r2"),
-    )
-
-
-@query(
-    "trimmed_mean_stats",
-    oracle="""
-    WITH e AS (
-        SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v_u
-        FROM events
-    ), s AS (
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-               list_sort(list(v_u)) AS vs, CAST(sum(v_u) AS BIGINT) AS su
-        FROM e GROUP BY event_type
-    ), t AS (
-        SELECT event_type, n, su,
-               CAST(n // 10 AS INTEGER) AS cut,
-               vs[CAST(n // 10 AS INTEGER) + 1 : CAST(n AS INTEGER) - CAST(n // 10 AS INTEGER)] AS core
-        FROM s
-    )
-    SELECT event_type, n,
-           round(su / CAST(n AS DOUBLE) / 1e6, 6) AS mean,
-           round(CAST(list_sum(core) AS BIGINT) / CAST(len(core) AS DOUBLE) / 1e6, 6) AS trimmed_mean,
-           CAST(2 * cut AS BIGINT) AS n_trimmed
-    FROM t
-    """,
-)
-def trimmed_mean_stats_q(spark, sf_dir, exact_quantiles: bool = True):
-    """10% trimmed mean per event type next to the plain mean (the
-    robust-location family with events_anomaly_mad: a handful of
-    outliers move the mean but not the trimmed mean, and the GAP
-    between the two is itself the contamination signal): exact
-    sorted-selection trim (drop n div 10 from each tail), core sum in
-    exact micro-unit longs, one fact shuffle. The sorted-collect
-    buffer is per-group row count.
-
-    ``exact_quantiles=False`` is the 100 TB path: p10/p90 fences from
-    percentile_approx (bounded sketch) in pass one, broadcast the tiny
-    per-type fence table back, conditional agg of the in-fence core in
-    pass two — two scans, no row-count-sized buffer anywhere. Same
-    output contract; n_trimmed counts the actually-excluded rows."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.expr("cast(round(value * 1000000) as bigint)").alias("v_u")
-    )
-    if not exact_quantiles:
-        fences = ev.groupBy("event_type").agg(
-            F.percentile_approx("v_u", F.lit([0.1, 0.9]), F.lit(10000)).alias("_f")
-        ).select(
-            "event_type", F.col("_f")[0].alias("_lo"), F.col("_f")[1].alias("_hi")
-        )
-        in_core = (F.col("v_u") >= F.col("_lo")) & (F.col("v_u") <= F.col("_hi"))
-        return (
-            ev.join(F.broadcast(fences), "event_type")
-            .groupBy("event_type")
-            .agg(
-                F.count("*").cast("long").alias("n"),
-                F.sum("v_u").cast("long").alias("_su"),
-                F.sum(F.when(in_core, F.col("v_u"))).cast("long").alias("_core_su"),
-                F.sum(F.when(in_core, 1).otherwise(0)).cast("long").alias("_core_n"),
-            )
-            .select(
-                "event_type",
-                "n",
-                F.round(F.col("_su") / F.col("n") / 1e6, 6).alias("mean"),
-                F.round(F.col("_core_su") / F.col("_core_n") / 1e6, 6).alias("trimmed_mean"),
-                (F.col("n") - F.col("_core_n")).cast("long").alias("n_trimmed"),
-            )
-        )
-    s = ev.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sort_array(F.collect_list("v_u")).alias("_vs"),
-        F.sum("v_u").cast("long").alias("_su"),
-    )
-    cut = F.expr("CAST(n div 10 AS INT)")
-    core = F.slice(F.col("_vs"), cut + 1, F.col("n").cast("int") - 2 * cut)
-    core_sum = F.aggregate(core, F.lit(0).cast("long"), lambda a, b: a + b)
-    return s.select(
-        "event_type",
-        "n",
-        F.round(F.col("_su") / F.col("n") / 1e6, 6).alias("mean"),
-        F.round(core_sum / F.size(core) / 1e6, 6).alias("trimmed_mean"),
-        (F.lit(2) * cut).cast("long").alias("n_trimmed"),
-    )
-
-
-@query(
-    "revenue_concentration",
-    oracle="""
-    WITH per_cust AS (
-        SELECT o_custkey,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS rev_c
-        FROM orders GROUP BY o_custkey
-    ), ranked AS (
-        SELECT rev_c,
-               row_number() OVER (ORDER BY rev_c, o_custkey) AS i,
-               row_number() OVER (ORDER BY rev_c DESC, o_custkey DESC) AS j
-        FROM per_cust
-    ), tot AS (
-        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev_c) AS BIGINT) AS s
-        FROM ranked
-    ), g AS (
-        SELECT CAST(sum(i * rev_c) AS BIGINT) AS iws FROM ranked
-    ), topq AS (
-        SELECT CAST(count(*) AS BIGINT) AS n80 FROM (
-            SELECT sum(rev_c) OVER (ORDER BY j ROWS UNBOUNDED PRECEDING) - rev_c AS cum_before
-            FROM ranked
-        ) c, tot
-        WHERE c.cum_before < 0.8 * tot.s
-    )
-    SELECT t.n AS n_customers,
-           round((2.0 * g.iws) / (CAST(t.n AS DOUBLE) * t.s) - (t.n + 1.0) / t.n, 6) AS gini,
-           q.n80 AS n_top80,
-           round(q.n80 / CAST(t.n AS DOUBLE), 6) AS top80_share
-    FROM tot t, g, topq q
-    """,
-)
-def revenue_concentration_q(spark, sf_dir):
-    """Customer revenue concentration: exact Gini coefficient (the
-    sorted-rank formula G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n on cent-exact
-    integers) plus the Pareto cut — how many top customers cover 80%
-    of revenue. The whale-dependence audit: a high Gini says revenue
-    (and the matching join skew) concentrates in few keys — the
-    business-side reading of skew_profile. One fact agg to per-customer
-    totals; ranking windows run over the |customers| frame. Ties order
-    by (rev, custkey) so both engines rank identically."""
-    per = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_custkey")
-        .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
-            .cast("long")
-            .alias("rev_c")
-        )
-    )
-    wi = Window.orderBy("rev_c", "o_custkey")
-    wj = Window.orderBy(F.col("rev_c").desc(), F.col("o_custkey").desc())
-    ranked = per.select(
-        "rev_c",
-        F.row_number().over(wi).alias("i"),
-        F.row_number().over(wj).alias("j"),
-    )
-    tot = ranked.agg(
-        F.count("*").cast("long").alias("n"), F.sum("rev_c").cast("long").alias("s")
-    )
-    g = ranked.agg(F.sum(F.col("i") * F.col("rev_c")).cast("long").alias("iws"))
-    cum = ranked.select(
-        "j",
-        "rev_c",
-        (
-            F.sum("rev_c").over(
-                Window.orderBy("j").rowsBetween(Window.unboundedPreceding, 0)
-            )
-            - F.col("rev_c")
-        ).alias("cum_before"),
-    )
-    topq = (
-        cum.crossJoin(F.broadcast(tot))
-        .filter(F.col("cum_before") < 0.8 * F.col("s"))
-        .agg(F.count("*").cast("long").alias("n80"))
-    )
-    return (
-        tot.crossJoin(F.broadcast(g))
-        .crossJoin(F.broadcast(topq))
-        .select(
-            F.col("n").alias("n_customers"),
-            F.round(
-                (2.0 * F.col("iws")) / (F.col("n").cast("double") * F.col("s"))
-                - (F.col("n") + 1.0) / F.col("n"),
-                6,
-            ).alias("gini"),
-            F.col("n80").alias("n_top80"),
-            F.round(F.col("n80") / F.col("n").cast("double"), 6).alias("top80_share"),
-        )
-    )
-
-
-@query(
-    "seasonality_profile",
-    oracle="""
-    WITH e AS (
-        SELECT CAST((epoch_ns(ts) // 3600000000000) % 24 AS BIGINT) AS hour_of_day,
-               CAST((epoch_ns(ts) // 86400000000000 + 4) % 7 AS BIGINT) AS day_of_week,
-               CAST(round(value * 1000000) AS BIGINT) AS v_u
-        FROM events
-    )
-    SELECT hour_of_day, day_of_week,
-           CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(v_u) / CAST(count(*) AS DOUBLE) / 1e6, 6) AS mean_value
-    FROM e GROUP BY hour_of_day, day_of_week
-    """,
-)
-def seasonality_profile_q(spark, sf_dir):
-    """Hour-of-day × day-of-week seasonal profile (the heatmap behind
-    capacity planning and the seasonal baseline the anomaly detectors
-    should eventually subtract): both grid keys derive from exact
-    integer epoch arithmetic (hour mod 24; day index +4 shifts the
-    1970-01-01-was-Thursday origin so 0 = Monday, engine-identical by
-    construction rather than by locale-dependent date functions); ONE
-    map-side-combinable aggregate to a ≤168-row grid."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.select(
-            F.expr("(ts_ns div 3600000000000) % 24").cast("long").alias("hour_of_day"),
-            F.expr("(ts_ns div 86400000000000 + 4) % 7").cast("long").alias("day_of_week"),
-            F.expr("cast(round(value * 1000000) as bigint)").alias("v_u"),
-        )
-        .groupBy("hour_of_day", "day_of_week")
-        .agg(
-            F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("v_u") / F.count("*") / 1e6, 6).alias("mean_value"),
-        )
-    )
-
-
-@query(
-    "conversion_latency",
-    oracle="""
-    WITH f AS (
-        SELECT user_id,
-               min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS first_view,
-               min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS first_purchase
-        FROM events GROUP BY user_id
-    ), conv AS (
-        SELECT user_id, (first_purchase - first_view) // 1000000 AS lat_ms
-        FROM f
-        WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
-          AND first_purchase >= first_view
-    ), s AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_converted,
-               list_sort(list(lat_ms)) AS vs
-        FROM conv
-    ), tot AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_view_users
-        FROM f WHERE first_view IS NOT NULL
-    )
-    SELECT t.n_view_users, s.n_converted,
-           round(s.n_converted / CAST(t.n_view_users AS DOUBLE), 6) AS conversion_rate,
-           CAST(s.vs[CAST(s.n_converted // 2 AS INTEGER) + 1] AS BIGINT) AS median_latency_ms,
-           CAST(s.vs[CAST(s.n_converted * 90 // 100 AS INTEGER) + 1] AS BIGINT) AS p90_latency_ms
-    FROM s, tot t
-    """,
-)
-def conversion_latency_q(spark, sf_dir, exact_quantiles: bool = True):
-    """View→purchase conversion funnel with latency percentiles (the
-    product metric pair: HOW MANY convert and HOW FAST): per-user
-    first-view/first-purchase via ONE conditional min aggregate (no
-    window, no self-join — the same one-agg trick as funnel_analysis),
-    converters = users whose first purchase follows their first view;
-    median/p90 latency via the exact sorted-selection rule over the
-    converter frame (|users|-bounded). One fact shuffle total.
-
-    ``exact_quantiles=False`` is the 100 TB path: percentile_approx
-    over the converter frame (bounded sketch; at billions of users the
-    sorted-collect buffer is the one non-mergeable piece). The exact
-    default stays the oracle anchor."""
-    ev = load_table(spark, sf_dir, "events")
-    f = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts_ns"))).alias("fv"),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_ns"))).alias("fp"),
-    )
-    conv = f.filter(
-        F.col("fv").isNotNull() & F.col("fp").isNotNull() & (F.col("fp") >= F.col("fv"))
-    ).select(F.expr("(fp - fv) div 1000000").alias("lat_ms"))
-    if exact_quantiles:
-        s = conv.agg(
-            F.count("*").cast("long").alias("n_converted"),
-            F.sort_array(F.collect_list("lat_ms")).alias("_vs"),
-        )
-        med = F.get("_vs", F.expr("CAST(n_converted div 2 AS INT)")).cast("long")
-        p90 = F.get("_vs", F.expr("CAST(n_converted * 90 div 100 AS INT)")).cast("long")
-    else:
-        s = conv.agg(
-            F.count("*").cast("long").alias("n_converted"),
-            F.percentile_approx("lat_ms", F.lit([0.5, 0.9]), F.lit(10000)).alias("_vs"),
-        )
-        med = F.col("_vs")[0].cast("long")
-        p90 = F.col("_vs")[1].cast("long")
-    tot = f.filter(F.col("fv").isNotNull()).agg(
-        F.count("*").cast("long").alias("n_view_users")
-    )
-    return (
-        s.crossJoin(F.broadcast(tot))
-        .select(
-            "n_view_users",
-            "n_converted",
-            F.round(F.col("n_converted") / F.col("n_view_users"), 6).alias("conversion_rate"),
-            med.alias("median_latency_ms"),
-            p90.alias("p90_latency_ms"),
-        )
-    )
-
-
-@query(
-    "topk_stability",
-    oracle="""
-    WITH b AS (
-        SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS cut FROM events
-    ), halves AS (
-        SELECT CASE WHEN epoch_ns(ts) <= b.cut THEN 'a' ELSE 'b' END AS half, user_id
-        FROM events, b
-    ), counts AS (
-        SELECT half, user_id, CAST(count(*) AS BIGINT) AS n
-        FROM halves GROUP BY half, user_id
-    ), top_a AS (
-        SELECT user_id FROM counts WHERE half = 'a'
-        ORDER BY n DESC, user_id LIMIT 20
-    ), top_b AS (
-        SELECT user_id FROM counts WHERE half = 'b'
-        ORDER BY n DESC, user_id LIMIT 20
-    ), ovl AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_common
-        FROM top_a JOIN top_b USING (user_id)
-    )
-    SELECT CAST(20 AS BIGINT) AS k, n_common,
-           round(n_common / CAST(40 - n_common AS DOUBLE), 6) AS jaccard,
-           round(n_common / 20.0, 6) AS overlap_at_k
-    FROM ovl
-    """,
-)
-def topk_stability_q(spark, sf_dir):
-    """Top-k set stability between consecutive periods (the
-    leaderboard-churn metric: overlap@k and Jaccard of the two top-20
-    most-active-user sets — low stability means ranking dashboards
-    and per-key caches churn): exact midpoint time split (broadcast
-    scalar, integer nanos), per-half counts from one fact shuffle,
-    both top-20 cuts via sort-limit with deterministic (n, user_id)
-    ties, the overlap a 20-row join."""
-    ev = load_table(spark, sf_dir, "events")
-    cut = ev.agg(F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("_cut"))
-    halves = ev.crossJoin(F.broadcast(cut)).select(
-        F.when(F.col("ts_ns") <= F.col("_cut"), "a").otherwise("b").alias("half"),
-        "user_id",
-    )
-    counts = halves.groupBy("half", "user_id").agg(F.count("*").cast("long").alias("n"))
-
-    def top(h):
-        return (
-            counts.filter(F.col("half") == h)
-            .orderBy(F.col("n").desc(), "user_id")
-            .limit(20)
-            .select("user_id")
-        )
-
-    ovl = top("a").join(top("b"), "user_id").agg(
-        F.count("*").cast("long").alias("n_common")
-    )
-    return ovl.select(
-        F.lit(20).cast("long").alias("k"),
-        "n_common",
-        F.round(F.col("n_common") / (F.lit(40) - F.col("n_common")).cast("double"), 6).alias("jaccard"),
-        F.round(F.col("n_common") / 20.0, 6).alias("overlap_at_k"),
-    )
-
-
-_CMS_ROWS, _CMS_W = 4, 256
-_DD_CMS_HASH = lambda r: f"('0x' || substr(md5('cms{r}:' || term), 1, 15))::BIGINT % {_CMS_W}"  # noqa: E731
-
-
-@query(
-    "cms_heavy_hitters",
-    oracle=f"""
-    WITH toks AS (
-        SELECT unnest(string_split(text, ' ')) AS term FROM documents
-    ), tf AS (
-        SELECT term, CAST(count(*) AS BIGINT) AS exact FROM toks
-        WHERE term <> '' GROUP BY term
-    ), top AS (
-        SELECT term, exact FROM tf ORDER BY exact DESC, term LIMIT 10
-    ), cells AS (
-        {" UNION ALL ".join(
-            f"SELECT {r} AS r, {_DD_CMS_HASH(r)} AS bucket, CAST(sum(exact) AS BIGINT) AS cell FROM tf GROUP BY 2"
-            for r in range(_CMS_ROWS)
-        )}
-    ), probes AS (
-        {" UNION ALL ".join(
-            f"SELECT term, exact, {r} AS r, {_DD_CMS_HASH(r)} AS bucket FROM top"
-            for r in range(_CMS_ROWS)
-        )}
-    ), est AS (
-        SELECT p.term, p.exact, CAST(min(c.cell) AS BIGINT) AS cms_est
-        FROM probes p JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
-        GROUP BY p.term, p.exact
-    )
-    SELECT term, exact, cms_est,
-           CAST(cms_est - exact AS BIGINT) AS overestimate
-    FROM est
-    """,
-)
-def cms_heavy_hitters_q(spark, sf_dir):
-    """Count-Min sketch heavy-hitter estimates (Cormode & Muthukrishnan
-    '05 — the additive-mergeable frequency sketch next to KMV's
-    distinct sketch): a 4×256 counter grid built from one
-    map-side-combinable aggregate (the grid is additive, so partial
-    grids merge associatively — the property that makes CMS a
-    distributed/streaming sketch), point estimates = min over the 4
-    row cells. All integer arithmetic; the hash-checked
-    ``overestimate`` column exhibits CMS's ONE-SIDED guarantee
-    (est ≥ exact always — also invariant-asserted). The exact counts
-    ride along for the harness; production keeps only the 1 KB grid."""
-    docs = load_table(spark, sf_dir, "documents")
-    tf = (
-        docs.select(F.explode(F.split("text", " ")).alias("term"))
-        .filter(F.col("term") != "")
-        .groupBy("term")
-        .agg(F.count("*").cast("long").alias("exact"))
-        .localCheckpoint(eager=False)
-    )
-    rows = F.array(*[F.lit(r) for r in range(_CMS_ROWS)])
-    hashed = tf.select(
-        "term", "exact", F.explode(rows).alias("r")
-    ).select(
-        "term",
-        "exact",
-        "r",
-        (
-            H.md5_long(F.concat(F.lit("cms"), F.col("r").cast("string"), F.lit(":"), F.col("term")))
-            % _CMS_W
-        ).alias("bucket"),
-    )
-    cells = hashed.groupBy("r", "bucket").agg(F.sum("exact").cast("long").alias("cell"))
-    top = tf.orderBy(F.col("exact").desc(), "term").limit(10)
-    probes = top.select("term", "exact", F.explode(rows).alias("r")).select(
-        "term",
-        "exact",
-        "r",
-        (
-            H.md5_long(F.concat(F.lit("cms"), F.col("r").cast("string"), F.lit(":"), F.col("term")))
-            % _CMS_W
-        ).alias("bucket"),
-    )
-    est = (
-        probes.join(F.broadcast(cells), ["r", "bucket"])
-        .groupBy("term", "exact")
-        .agg(F.min("cell").cast("long").alias("cms_est"))
-    )
-    return est.select(
-        "term", "exact", "cms_est", (F.col("cms_est") - F.col("exact")).cast("long").alias("overestimate")
-    )
-
-
-@query(
-    "exactly_once_ingest",
-    oracle="""
-    WITH delivered AS (
-        SELECT event_id, event_type FROM events
-        UNION ALL
-        -- deterministic at-least-once redelivery: every 50th event
-        -- arrives twice (the retry), every 200th three times
-        SELECT event_id, event_type FROM events WHERE event_id % 50 = 0
-        UNION ALL
-        SELECT event_id, event_type FROM events WHERE event_id % 200 = 0
-    ), agg AS (
-        SELECT event_type,
-               CAST(count(*) AS BIGINT) AS n_delivered,
-               CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique
-        FROM delivered GROUP BY event_type
-    )
-    SELECT event_type, n_delivered, n_unique,
-           CAST(n_delivered - n_unique AS BIGINT) AS n_dupes_dropped,
-           round((n_delivered - n_unique) / CAST(n_delivered AS DOUBLE), 6) AS dupe_rate
-    FROM agg
-    """,
-)
-def exactly_once_ingest_q(spark, sf_dir):
-    """Exactly-once ingestion dedup audit (the at-least-once →
-    exactly-once repair every Kafka/queue consumer pipeline runs:
-    retries redeliver, the table must converge anyway): a
-    deterministic redelivery overlay (every 50th event twice, every
-    200th three times) simulates the retry storm, keep-one-per-
-    event_id collapses it, and the per-type report (delivered vs
-    unique vs dropped) is what an ingestion dashboard watches. The
-    dedup is count(DISTINCT key) / min-by-key — one shuffle on the
-    8-byte key; the streaming twin is streaming_dedup's keyed state."""
-    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
-    delivered = ev.unionAll(ev.filter(F.col("event_id") % 50 == 0)).unionAll(
-        ev.filter(F.col("event_id") % 200 == 0)
-    )
-    agg = delivered.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n_delivered"),
-        F.count_distinct("event_id").cast("long").alias("n_unique"),
-    )
-    return agg.select(
-        "event_type",
-        "n_delivered",
-        "n_unique",
-        (F.col("n_delivered") - F.col("n_unique")).cast("long").alias("n_dupes_dropped"),
-        F.round(
-            (F.col("n_delivered") - F.col("n_unique")) / F.col("n_delivered"), 6
-        ).alias("dupe_rate"),
-    )
-
-
-@query(
-    "slo_burn_rate",
-    oracle="""
-    WITH hourly AS (
-        SELECT epoch_ns(ts) // 3600000000000 AS h,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs
-        FROM events GROUP BY 1
-    ), w AS (
-        SELECT h, n, errs,
-               CAST(sum(n) OVER win6 AS BIGINT) AS n6,
-               CAST(sum(errs) OVER win6 AS BIGINT) AS errs6,
-               CAST(count(*) OVER win6 AS BIGINT) AS hrs6
-        FROM hourly
-        WINDOW win6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
-    )
-    SELECT CAST(h AS BIGINT) AS hour_id, n, errs,
-           round(errs / CAST(n AS DOUBLE) / 0.01, 6) AS burn_1h,
-           round(errs6 / CAST(n6 AS DOUBLE) / 0.01, 6) AS burn_6h,
-           (errs / CAST(n AS DOUBLE) / 0.01 > 14.4
-            AND errs6 / CAST(n6 AS DOUBLE) / 0.01 > 6) AS page_alert
-    FROM w WHERE hrs6 = 6
-    """,
-)
-def slo_burn_rate_q(spark, sf_dir):
-    """Error-budget burn rate with multi-window alerting (Google SRE
-    workbook's 14.4×/6× two-window rule against a 1% error SLO): the
-    fast window catches the spike, the slow window confirms it isn't
-    noise — paging only when BOTH burn. The stream collapses to one
-    row per hour before any window (events_anomaly's posture); the
-    6-hour rolling sums are exact integers over the tiny hourly
-    frame; warm-up hours (fewer than 6 in window) are excluded so the
-    slow burn is never computed on partial budget."""
-    ev = load_table(spark, sf_dir, "events")
-    hourly = (
-        ev.select(
-            F.expr("ts_ns div 3600000000000").alias("h"),
-            (F.col("event_type") == "error").cast("int").alias("_e"),
-        )
-        .groupBy("h")
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.sum("_e").cast("long").alias("errs"),
-        )
-    )
-    w6 = Window.orderBy("h").rowsBetween(-5, 0)
-    w = hourly.select(
-        "h",
-        "n",
-        "errs",
-        F.sum("n").over(w6).cast("long").alias("n6"),
-        F.sum("errs").over(w6).cast("long").alias("errs6"),
-        F.count("*").over(w6).cast("long").alias("hrs6"),
-    ).filter(F.col("hrs6") == 6)
-    b1 = F.col("errs") / F.col("n") / 0.01
-    b6 = F.col("errs6") / F.col("n6") / 0.01
-    return w.select(
-        F.col("h").cast("long").alias("hour_id"),
-        "n",
-        "errs",
-        F.round(b1, 6).alias("burn_1h"),
-        F.round(b6, 6).alias("burn_6h"),
-        ((b1 > 14.4) & (b6 > 6)).alias("page_alert"),
-    )
-
-
-@query(
-    "audience_overlap",
-    oracle="""
-    WITH tu AS (
-        SELECT DISTINCT event_type, user_id FROM events
-    ), sizes AS (
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n_users FROM tu GROUP BY event_type
-    ), pairs AS (
-        SELECT a.event_type AS type_a, b.event_type AS type_b,
-               CAST(count(*) AS BIGINT) AS n_common
-        FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
-        GROUP BY 1, 2
-    )
-    SELECT p.type_a, p.type_b, p.n_common,
-           round(p.n_common / CAST(sa.n_users + sb.n_users - p.n_common AS DOUBLE), 6) AS jaccard,
-           round(p.n_common / CAST(least(sa.n_users, sb.n_users) AS DOUBLE), 6) AS containment
-    FROM pairs p
-    JOIN sizes sa ON sa.event_type = p.type_a
-    JOIN sizes sb ON sb.event_type = p.type_b
-    """,
-)
-def audience_overlap_q(spark, sf_dir):
-    """Audience overlap matrix (the segment-intersection analysis
-    behind campaign planning and dedup of audience counts): pairwise
-    user overlap between event types — Jaccard and
-    smaller-side containment per pair. The corpus collapses to the
-    DISTINCT (type, user) frame first (one shuffle); the pair join is
-    keyed on user_id so its volume is Σ per-user type-pair counts
-    (≤ C(|types|,2) per user), never |users|²; the ≤C(5,2)-row result
-    joins the 5-row size table twice."""
-    ev = load_table(spark, sf_dir, "events")
-    tu = ev.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
-    sizes = tu.groupBy("event_type").agg(F.count("*").cast("long").alias("n_users"))
-    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
-    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
-    pairs = (
-        a.join(b, "user_id")
-        .filter(F.col("type_a") < F.col("type_b"))
-        .groupBy("type_a", "type_b")
-        .agg(F.count("*").cast("long").alias("n_common"))
-    )
-    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("na"))
-    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("nb"))
-    return (
-        pairs.join(F.broadcast(sa), "type_a")
-        .join(F.broadcast(sb), "type_b")
-        .select(
-            "type_a",
-            "type_b",
-            "n_common",
-            F.round(F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6).alias("jaccard"),
-            F.round(F.col("n_common") / F.least("na", "nb"), 6).alias("containment"),
-        )
-    )
-
-
-@query(
-    "market_basket_lift",
-    oracle="""
-    WITH b AS (
-        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ), n_orders AS (
-        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM b
-    ), item AS (
-        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_a FROM b GROUP BY l_partkey
-    ), pair AS (
-        SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
-               CAST(count(*) AS BIGINT) AS n_ab
-        FROM b a JOIN b c
-          ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
-        GROUP BY 1, 2
-        HAVING count(*) >= 3
-    ), scored AS (
-        SELECT p.part_a, p.part_b, p.n_ab, ia.n_a, ib.n_a AS n_b,
-               (p.n_ab * o.n) / CAST(ia.n_a * ib.n_a AS DOUBLE) AS lift,
-               p.n_ab / CAST(ia.n_a AS DOUBLE) AS confidence
-        FROM pair p
-        JOIN item ia ON ia.l_partkey = p.part_a
-        JOIN item ib ON ib.l_partkey = p.part_b
-        CROSS JOIN n_orders o
-    )
-    SELECT CAST(row_number() OVER (ORDER BY lift DESC, part_a, part_b) AS BIGINT) AS rank,
-           part_a, part_b, n_ab, n_a, n_b,
-           round(lift, 6) AS lift, round(confidence, 6) AS confidence
-    FROM scored ORDER BY lift DESC, part_a, part_b LIMIT 10
-    """,
-)
-def market_basket_lift_q(spark, sf_dir):
-    """Market-basket association rules over order baskets (Agrawal
-    SIGMOD'93 — support/confidence/lift, the classic co-purchase
-    miner): baskets = DISTINCT (order, part); pair support from the
-    orderkey-keyed self-join (volume = Σ C(basket,2) — bounded by
-    basket size², never |parts|²); the min-support floor (≥3) cuts
-    BEFORE the item-count joins (Apriori's pruning insight: only
-    frequent pairs proceed); lift = n_ab·N/(n_a·n_b) from exact
-    integer counts, top-10 via sort-limit with full deterministic tie
-    order."""
-    b = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    n_orders = b.agg(F.count_distinct("l_orderkey").cast("long").alias("_n"))
-    item = b.groupBy("l_partkey").agg(F.count("*").cast("long").alias("n_a"))
-    lhs = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
-    rhs = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
-    pair = (
-        lhs.join(rhs, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").cast("long").alias("n_ab"))
-        .filter(F.col("n_ab") >= 3)
-    )
-    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_a"))
-    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_a").alias("n_b"))
-    scored = (
-        pair.join(ia, "part_a")
-        .join(ib, "part_b")
-        .crossJoin(F.broadcast(n_orders))
-        .select(
-            "part_a",
-            "part_b",
-            "n_ab",
-            "n_a",
-            "n_b",
-            ((F.col("n_ab") * F.col("_n")) / (F.col("n_a") * F.col("n_b")).cast("double")).alias("_lift"),
-            (F.col("n_ab") / F.col("n_a").cast("double")).alias("_conf"),
-        )
-    )
-    top = scored.orderBy(F.col("_lift").desc(), "part_a", "part_b").limit(10)
-    w = Window.orderBy(F.col("_lift").desc(), "part_a", "part_b")
-    return top.select(
-        F.row_number().over(w).cast("long").alias("rank"),
-        "part_a",
-        "part_b",
-        "n_ab",
-        "n_a",
-        "n_b",
-        F.round("_lift", 6).alias("lift"),
-        F.round("_conf", 6).alias("confidence"),
-    )
-
-
-@query(
-    "dau_stickiness",
-    oracle="""
-    WITH du AS (
-        SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id
-        FROM events
-    ), dau AS (
-        SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day
-    ), wau AS (
-        SELECT d.day, CAST(count(DISTINCT w.user_id) AS BIGINT) AS wau
-        FROM (SELECT DISTINCT day FROM du) d
-        JOIN du w ON w.day BETWEEN d.day - 6 AND d.day
-        GROUP BY d.day
-    )
-    SELECT CAST(a.day AS BIGINT) AS day_id, a.dau, w.wau,
-           round(a.dau / CAST(w.wau AS DOUBLE), 6) AS stickiness
-    FROM dau a JOIN wau w ON a.day = w.day
-    WHERE a.day >= (SELECT min(day) FROM du) + 6
-    """,
-)
-def dau_stickiness_q(spark, sf_dir):
-    """DAU/WAU stickiness (the growth metric: what share of the weekly
-    audience shows up daily): the stream collapses to the DISTINCT
-    (day, user) frame first — everything after is |active-days ×
-    users|-bounded, never event-sized. WAU is a rolling 7-day
-    DISTINCT, which no window function computes (distinct doesn't
-    decompose over sliding frames) — the relational form is the
-    day-spine range join + count(DISTINCT) per anchor day, the same
-    pattern a tsdb materializes; warm-up days (< 7 days of history)
-    are excluded. Integer day keys from exact epoch arithmetic."""
-    ev = load_table(spark, sf_dir, "events")
-    du = (
-        ev.select(
-            F.expr("ts_ns div 86400000000000").alias("day"), "user_id"
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    dau = du.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
-    days = du.select("day").distinct().select(F.col("day").alias("anchor"))
-    wau = (
-        days.join(
-            du,
-            (F.col("day") >= F.col("anchor") - 6) & (F.col("day") <= F.col("anchor")),
-        )
-        .groupBy("anchor")
-        .agg(F.count_distinct("user_id").cast("long").alias("wau"))
-    )
-    first_day = du.agg(F.min("day").alias("_d0"))
-    return (
-        dau.join(wau, dau.day == wau.anchor)
-        .crossJoin(F.broadcast(first_day))
-        .filter(F.col("day") >= F.col("_d0") + 6)
-        .select(
-            F.col("day").cast("long").alias("day_id"),
-            "dau",
-            "wau",
-            F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias("stickiness"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# r5 closing wave 2: profiling, experimentation, sketch and mix-planning
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "corr_matrix",
-    oracle="""
-    WITH s AS (
-        SELECT count(*) AS n,
-               sum(CAST(l_quantity AS DECIMAL(18,2))) AS s_q,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS s_p,
-               sum(CAST(l_discount AS DECIMAL(18,2))) AS s_d,
-               sum(CAST(l_tax AS DECIMAL(18,2))) AS s_t,
-               sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS ss_q,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS ss_p,
-               sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS ss_d,
-               sum(CAST(l_tax AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS ss_t,
-               sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS x_qp,
-               sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS x_qd,
-               sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS x_qt,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS x_pd,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS x_pt,
-               sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS x_dt
-        FROM lineitem
-    ), p AS (
-        SELECT 'quantity' AS col_a, 'extendedprice' AS col_b, n,
-               CAST(x_qp AS DOUBLE) AS sxy, CAST(s_q AS DOUBLE) AS sx, CAST(s_p AS DOUBLE) AS sy,
-               CAST(ss_q AS DOUBLE) AS sxx, CAST(ss_p AS DOUBLE) AS syy FROM s
-        UNION ALL
-        SELECT 'quantity', 'discount', n, CAST(x_qd AS DOUBLE), CAST(s_q AS DOUBLE), CAST(s_d AS DOUBLE),
-               CAST(ss_q AS DOUBLE), CAST(ss_d AS DOUBLE) FROM s
-        UNION ALL
-        SELECT 'quantity', 'tax', n, CAST(x_qt AS DOUBLE), CAST(s_q AS DOUBLE), CAST(s_t AS DOUBLE),
-               CAST(ss_q AS DOUBLE), CAST(ss_t AS DOUBLE) FROM s
-        UNION ALL
-        SELECT 'extendedprice', 'discount', n, CAST(x_pd AS DOUBLE), CAST(s_p AS DOUBLE), CAST(s_d AS DOUBLE),
-               CAST(ss_p AS DOUBLE), CAST(ss_d AS DOUBLE) FROM s
-        UNION ALL
-        SELECT 'extendedprice', 'tax', n, CAST(x_pt AS DOUBLE), CAST(s_p AS DOUBLE), CAST(s_t AS DOUBLE),
-               CAST(ss_p AS DOUBLE), CAST(ss_t AS DOUBLE) FROM s
-        UNION ALL
-        SELECT 'discount', 'tax', n, CAST(x_dt AS DOUBLE), CAST(s_d AS DOUBLE), CAST(s_t AS DOUBLE),
-               CAST(ss_d AS DOUBLE), CAST(ss_t AS DOUBLE) FROM s
-    )
-    SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
-           round((n * sxy - sx * sy)
-                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
-    FROM p
-    """,
-)
-def corr_matrix_q(spark, sf_dir):
-    """Pairwise Pearson correlation matrix over lineitem's numeric
-    columns (the feature-profiling pass before any modeling work): ONE
-    aggregate computes all 4 sums + 4 sum-of-squares + 6 cross-products
-    as exact DECIMAL(18,2) accumulators (order-independent — the same
-    exact-moments posture as column_profile), then the 6 pairs unpivot
-    from that single row driver-free via an in-plan stack(). One scan,
-    one map-side-combinable shuffle of a single row; corr derives from
-    the exact sums in double at emit time with the textbook
-    (n·Sxy − Sx·Sy)/√((n·Sxx − Sx²)(n·Syy − Sy²)) form, identical
-    operation order on both engines."""
-    li = load_table(spark, sf_dir, "lineitem")
-    cols = {"q": "l_quantity", "p": "l_extendedprice", "d": "l_discount", "t": "l_tax"}
-    dec = {k: F.col(c).cast("decimal(18,2)") for k, c in cols.items()}
-    aggs = [F.count("*").alias("n")]
-    for k in cols:
-        aggs.append(F.sum(dec[k]).alias(f"s_{k}"))
-        aggs.append(F.sum(dec[k] * dec[k]).alias(f"ss_{k}"))
-    pairs = [("q", "p"), ("q", "d"), ("q", "t"), ("p", "d"), ("p", "t"), ("d", "t")]
-    for a, b in pairs:
-        aggs.append(F.sum(dec[a] * dec[b]).alias(f"x_{a}{b}"))
-    s = li.agg(*aggs)
-    names = {"q": "quantity", "p": "extendedprice", "d": "discount", "t": "tax"}
-    stack_args = ", ".join(
-        f"'{names[a]}', '{names[b]}', cast(x_{a}{b} as double), "
-        f"cast(s_{a} as double), cast(s_{b} as double), "
-        f"cast(ss_{a} as double), cast(ss_{b} as double)"
-        for a, b in pairs
-    )
-    unp = s.select(
-        "n",
-        F.expr(
-            f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, sxy, sx, sy, sxx, syy)"
-        ),
-    )
-    n = F.col("n").cast("double")
-    return unp.select(
-        "col_a",
-        "col_b",
-        F.col("n").cast("long").alias("n"),
-        F.round(
-            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / F.sqrt(
-                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
-                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
-            ),
-            6,
-        ).alias("corr"),
-    )
-
-
-@query(
-    "cusum_changepoint",
-    oracle="""
-    WITH s AS (
-        SELECT event_type, event_id, epoch_ns(ts) AS ts_ns,
-               CAST(round(value * 1000000) AS BIGINT) AS v_u,
-               row_number() OVER w AS t,
-               sum(CAST(round(value * 1000000) AS BIGINT)) OVER
-                   (PARTITION BY event_type ORDER BY epoch_ns(ts), event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx,
-               count(*) OVER (PARTITION BY event_type) AS n,
-               sum(CAST(round(value * 1000000) AS BIGINT))
-                   OVER (PARTITION BY event_type) AS total
-        FROM events
-        WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ns(ts), event_id)
-    ), c AS (
-        SELECT event_type, t, ts_ns, n,
-               abs(n * pfx - t * total) AS s_abs,
-               row_number() OVER (PARTITION BY event_type
-                                  ORDER BY abs(n * pfx - t * total) DESC, t) AS rk
-        FROM s
-    )
-    SELECT event_type, CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS t_star,
-           ts_ns AS ts_ns_star,
-           round(s_abs / CAST(n AS DOUBLE) / 1e6, 6) AS cusum_peak
-    FROM c WHERE rk = 1
-    """,
-)
-def cusum_changepoint_q(spark, sf_dir):
-    """CUSUM changepoint per event type (where did the level shift? —
-    the classic page-one drift detector over a metric stream): the
-    peak of |S_t| where S_t = Σ_{i≤t}(x_i − x̄). Computed EXACTLY in
-    integer micro-units via the scale-by-n identity
-    n·S_t = n·prefix_t − t·total (no float mean subtraction inside the
-    scan, so cross-engine prefix order can't drift). Both cumulative
-    and whole-partition aggregates ride the SAME event_type window
-    partitioning — one shuffle, then an in-partition argmax via
-    row_number (ties → earliest t). Bigint headroom: n·prefix ≤
-    n²·max|v_u| ≈ 1e17 at sf0.1; the 100 TB swap-in is DECIMAL(38,0)
-    accumulators, same plan shape."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts_ns", "event_id")
-    wall = Window.partitionBy("event_type")
-    s = ev.select(
-        "event_type",
-        "event_id",
-        "ts_ns",
-        F.expr("cast(round(value * 1000000) as bigint)").alias("v_u"),
-    ).select(
-        "event_type",
-        "ts_ns",
-        F.row_number().over(w).alias("t"),
-        F.sum("v_u").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("pfx"),
-        F.count("*").over(wall).alias("n"),
-        F.sum("v_u").over(wall).alias("total"),
-    )
-    c = s.select(
-        "event_type",
-        "t",
-        "ts_ns",
-        "n",
-        F.abs(F.col("n") * F.col("pfx") - F.col("t") * F.col("total")).alias("s_abs"),
-    ).withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy("event_type").orderBy(F.col("s_abs").desc(), "t")
-        ),
-    )
-    return c.filter(F.col("rk") == 1).select(
-        "event_type",
-        F.col("n").cast("long").alias("n"),
-        F.col("t").cast("long").alias("t_star"),
-        F.col("ts_ns").alias("ts_ns_star"),
-        F.round(F.col("s_abs") / F.col("n").cast("double") / F.lit(1e6), 6).alias(
-            "cusum_peak"
-        ),
-    )
-
-
-@query(
-    "events_interarrival",
-    oracle="""
-    WITH g AS (
-        SELECT event_type,
-               epoch_ns(ts) - lag(epoch_ns(ts)) OVER
-                   (PARTITION BY event_type ORDER BY epoch_ns(ts), event_id) AS gap
-        FROM events
-    )
-    SELECT event_type,
-           CAST(count(gap) AS BIGINT) AS n_gaps,
-           round(CAST(sum(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) / count(gap) / 1e9, 6) AS mean_gap_s,
-           round(sqrt((CAST(sum(CAST(gap AS DECIMAL(38,0)) * CAST(gap AS DECIMAL(38,0))) AS DOUBLE)
-                       - CAST(sum(CAST(gap AS DECIMAL(38,0))) AS DOUBLE)
-                         * CAST(sum(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) / count(gap))
-                      / (count(gap) - 1)) / 1e9, 6) AS std_gap_s,
-           round(sqrt((CAST(sum(CAST(gap AS DECIMAL(38,0)) * CAST(gap AS DECIMAL(38,0))) AS DOUBLE)
-                       - CAST(sum(CAST(gap AS DECIMAL(38,0))) AS DOUBLE)
-                         * CAST(sum(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) / count(gap))
-                      / (count(gap) - 1))
-                 / (CAST(sum(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) / count(gap)), 6) AS cv
-    FROM g GROUP BY event_type
-    """,
-)
-def events_interarrival_q(spark, sf_dir):
-    """Inter-arrival burstiness profile per event type (CV≈1 ⇒
-    Poisson-like, CV≫1 ⇒ bursty — the sizing input for stream-state
-    and rate-limit budgets): lag() gaps in exact ns over one
-    event-time window shuffle, then mean/std/CV from exact
-    DECIMAL(38,0) Σg and Σg² (gap² overflows bigint at month spans —
-    decimal accumulators are the right call at any scale), doubles
-    only at emit. Sample std (n−1); first event per type contributes
-    no gap."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts_ns", "event_id")
-    g = ev.select(
-        "event_type",
-        (F.col("ts_ns") - F.lag("ts_ns").over(w)).cast("decimal(38,0)").alias("gap"),
-    )
-    agg = g.groupBy("event_type").agg(
-        F.count("gap").alias("n_gaps"),
-        F.sum("gap").alias("sg"),
-        F.sum(F.col("gap") * F.col("gap")).alias("sgg"),
-    )
-    n = F.col("n_gaps").cast("double")
-    sg = F.col("sg").cast("double")
-    sgg = F.col("sgg").cast("double")
-    var = (sgg - sg * sg / n) / (n - F.lit(1.0))
-    return agg.select(
-        "event_type",
-        F.col("n_gaps").cast("long").alias("n_gaps"),
-        F.round(sg / n / F.lit(1e9), 6).alias("mean_gap_s"),
-        F.round(F.sqrt(var) / F.lit(1e9), 6).alias("std_gap_s"),
-        F.round(F.sqrt(var) / (sg / n), 6).alias("cv"),
-    )
-
-
-@query(
-    "ab_welch_ttest",
-    oracle="""
-    WITH b AS (
-        SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS cut FROM events
-    ), s AS (
-        SELECT event_type, epoch_ns(ts) <= b.cut AS pre,
-               CAST(CAST(round(value * 1000) AS BIGINT) AS DECIMAL(18,0)) AS v_m
-        FROM events, b
-    ), a AS (
-        SELECT event_type,
-               sum(CASE WHEN pre THEN 1 ELSE 0 END) AS n1,
-               sum(CASE WHEN pre THEN 0 ELSE 1 END) AS n2,
-               sum(CASE WHEN pre THEN v_m ELSE 0 END) AS s1,
-               sum(CASE WHEN pre THEN 0 ELSE v_m END) AS s2,
-               sum(CASE WHEN pre THEN v_m * v_m ELSE 0 END) AS q1,
-               sum(CASE WHEN pre THEN 0 ELSE v_m * v_m END) AS q2
-        FROM s GROUP BY event_type
-    ), d AS (
-        SELECT event_type, n1, n2,
-               CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
-               ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1) / (n1 - 1)) / n1 AS se1,
-               ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2) / (n2 - 1)) / n2 AS se2
-        FROM a
-    )
-    SELECT event_type, CAST(n1 AS BIGINT) AS n_pre, CAST(n2 AS BIGINT) AS n_post,
-           round(m1 / 1e3, 6) AS mean_pre,
-           round(m2 / 1e3, 6) AS mean_post,
-           round((m2 - m1) / sqrt(se1 + se2) , 6) AS t_stat,
-           round((se1 + se2) * (se1 + se2)
-                 / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 6) AS welch_df
-    FROM d
-    """,
-)
-def ab_welch_ttest_q(spark, sf_dir):
-    """Welch two-sample t-test per event type across the exact-midpoint
-    pre/post cutover (pre_post_analysis's panel upgraded from a point
-    estimate to an inference readout — unequal variances assumed, the
-    safe default for experiment analysis): counts, Σv and Σv² for BOTH
-    windows come from ONE conditional aggregate — one fact shuffle.
-    Milli-unit DECIMAL(18,0) accumulators keep Σv² exact (micro-units
-    would square to 3e17/row and threaten bigint), doubles only at the
-    t-statistic / Welch–Satterthwaite df emit, identical operation
-    order on both engines."""
-    ev = load_table(spark, sf_dir, "events")
-    cut = ev.agg(F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("_cut"))
-    s = ev.crossJoin(F.broadcast(cut)).select(
-        "event_type",
-        (F.col("ts_ns") <= F.col("_cut")).alias("pre"),
-        F.expr("cast(cast(round(value * 1000) as bigint) as decimal(18,0))").alias(
-            "v_m"
-        ),
-    )
-    zero = F.lit(0).cast("decimal(18,0)")
-    a = s.groupBy("event_type").agg(
-        F.sum(F.when(F.col("pre"), 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(F.col("pre"), 0).otherwise(1)).alias("n2"),
-        F.sum(F.when(F.col("pre"), F.col("v_m")).otherwise(zero)).alias("s1"),
-        F.sum(F.when(F.col("pre"), zero).otherwise(F.col("v_m"))).alias("s2"),
-        F.sum(
-            F.when(F.col("pre"), F.col("v_m") * F.col("v_m")).otherwise(
-                F.lit(0).cast("decimal(38,0)")
-            )
-        ).alias("q1"),
-        F.sum(
-            F.when(F.col("pre"), F.lit(0).cast("decimal(38,0)")).otherwise(
-                F.col("v_m") * F.col("v_m")
-            )
-        ).alias("q2"),
-    )
-    n1 = F.col("n1").cast("double")
-    n2 = F.col("n2").cast("double")
-    m1 = F.col("s1").cast("double") / n1
-    m2 = F.col("s2").cast("double") / n2
-    se1 = ((F.col("q1").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / n1) / (n1 - F.lit(1.0))) / n1
-    se2 = ((F.col("q2").cast("double") - F.col("s2").cast("double") * F.col("s2").cast("double") / n2) / (n2 - F.lit(1.0))) / n2
-    return a.select(
-        "event_type",
-        F.col("n1").cast("long").alias("n_pre"),
-        F.col("n2").cast("long").alias("n_post"),
-        F.round(m1 / F.lit(1e3), 6).alias("mean_pre"),
-        F.round(m2 / F.lit(1e3), 6).alias("mean_post"),
-        F.round((m2 - m1) / F.sqrt(se1 + se2), 6).alias("t_stat"),
-        F.round(
-            (se1 + se2) * (se1 + se2)
-            / (se1 * se1 / (n1 - F.lit(1.0)) + se2 * se2 / (n2 - F.lit(1.0))),
-            6,
-        ).alias("welch_df"),
-    )
-
-
-@query(
-    "corpus_temperature_mix",
-    oracle="""
-    WITH t AS (
-        SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-        FROM documents GROUP BY lang
-    ), z AS (
-        SELECT sum(n_tokens) AS total,
-               sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) AS z03 FROM t
-    )
-    SELECT lang, n_tokens,
-           round(CAST(n_tokens AS DOUBLE) / total, 6) AS share,
-           round(pow(CAST(n_tokens AS DOUBLE), 0.3) / z03, 6) AS w_alpha,
-           round((pow(CAST(n_tokens AS DOUBLE), 0.3) / z03)
-                 / (CAST(n_tokens AS DOUBLE) / total), 6) AS upsample
-    FROM t, z
-    """,
-)
-def corpus_temperature_mix_q(spark, sf_dir):
-    """Temperature-scaled multilingual sampling mix (the mBERT/XLM-R
-    α-sampling recipe, α = 0.3: p_l ∝ n_l^α flattens the head so
-    low-resource languages aren't starved): per-lang token totals from
-    one map-side-combinable shuffle; the normalizers ride back as ONE
-    broadcast scalar row; w_alpha, raw share and the implied
-    upsample factor derive per row at emit. The only data-sized pass is
-    the tokenize+count scan. Whitespace tokens match token_count's
-    convention exactly."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.groupBy("lang").agg(
-        F.sum(F.size(F.split(F.col("text"), " ", -1))).cast("long").alias("n_tokens")
-    )
-    z = t.agg(
-        F.sum("n_tokens").alias("total"),
-        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(0.3))).alias("z03"),
-    )
-    share = F.col("n_tokens").cast("double") / F.col("total")
-    w = F.pow(F.col("n_tokens").cast("double"), F.lit(0.3)) / F.col("z03")
-    return (
-        t.crossJoin(F.broadcast(z))
-        .select(
-            "lang",
-            "n_tokens",
-            F.round(share, 6).alias("share"),
-            F.round(w, 6).alias("w_alpha"),
-            F.round(w / share, 6).alias("upsample"),
-        )
-    )
-
-
-@query(
-    "token_budget_plan",
-    oracle="""
-    WITH t AS (
-        SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-        FROM documents GROUP BY source
-    ), z AS (
-        SELECT sum(n_tokens) AS total FROM t
-    ), q AS (
-        SELECT source, n_tokens,
-               CAST((10000000 * n_tokens) // z.total AS BIGINT) AS base_quota,
-               (10000000 * n_tokens) % z.total AS rem_units
-        FROM t, z
-    ), r AS (
-        SELECT *, row_number() OVER (ORDER BY rem_units DESC, source) AS rk,
-               10000000 - sum(base_quota) OVER () AS leftover
-        FROM q
-    )
-    SELECT source, n_tokens, base_quota,
-           CAST(base_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS final_quota,
-           round((base_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
-                 / CAST(n_tokens AS DOUBLE), 6) AS epochs
-    FROM r
-    """,
-)
-def token_budget_plan_q(spark, sf_dir):
-    """Training-token budget allocation per source by the
-    largest-remainder (Hamilton) method — the integer-exact way to
-    split a fixed 10M-token budget proportionally with Σquota == budget
-    GUARANTEED (naive rounding drifts by ±k tokens): floor quotas and
-    remainders from exact integer arithmetic (budget·n_s fits bigint up
-    to corpus sizes of ~1e12 tokens; swap DECIMAL at 100 TB), leftover
-    units distributed by remainder rank (ties → source name). Everything
-    after the one tokenize+count shuffle runs on the sources-sized tiny
-    frame (window over a handful of rows). Epochs-per-source is the
-    over/undersampling readout a data-mix plan needs."""
-    docs = load_table(spark, sf_dir, "documents")
-    budget = F.lit(10_000_000).cast("long")
-    t = docs.groupBy("source").agg(
-        F.sum(F.size(F.split(F.col("text"), " ", -1))).cast("long").alias("n_tokens")
-    )
-    z = t.agg(F.sum("n_tokens").alias("total"))
-    q = t.crossJoin(F.broadcast(z)).select(
-        "source",
-        "n_tokens",
-        F.expr("(10000000 * n_tokens) div total").alias("base_quota"),
-        (budget * F.col("n_tokens") % F.col("total")).alias("rem_units"),
-    )
-    wrk = Window.orderBy(F.col("rem_units").desc(), "source")
-    r = q.select(
-        "*",
-        F.row_number().over(wrk).alias("rk"),
-        (budget - F.sum("base_quota").over(Window.partitionBy())).alias("leftover"),
-    )
-    final = F.col("base_quota") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
-    return r.select(
-        "source",
-        "n_tokens",
-        "base_quota",
-        final.cast("long").alias("final_quota"),
-        F.round(final / F.col("n_tokens").cast("double"), 6).alias("epochs"),
-    )
-
-
-@query(
-    "hll_distinct",
-    oracle=f"""
-    WITH h AS (
-        SELECT DISTINCT {H.dd_md5_long('user_id::VARCHAR')} AS h FROM events
-    ), b AS (
-        SELECT h >> 52 AS idx, h & 4503599627370495 AS w FROM h
-    ), f1 AS (SELECT idx, w | (w >> 1) AS w FROM b),
-    f2 AS (SELECT idx, w | (w >> 2) AS w FROM f1),
-    f3 AS (SELECT idx, w | (w >> 4) AS w FROM f2),
-    f4 AS (SELECT idx, w | (w >> 8) AS w FROM f3),
-    f5 AS (SELECT idx, w | (w >> 16) AS w FROM f4),
-    f6 AS (SELECT idx, w | (w >> 32) AS w FROM f5),
-    regs AS (
-        SELECT idx, max(53 - bit_count(w)) AS m_j FROM f6 GROUP BY idx
-    ), agg AS (
-        SELECT count(*) AS n_present,
-               sum(1::BIGINT << (53 - m_j)) AS sum_scaled
-        FROM regs
-    ), est AS (
-        SELECT 256 - n_present AS n_zero,
-               (0.7213 / (1 + 1.079 / 256)) * 65536.0 * 9007199254740992.0
-                   / (sum_scaled + (256 - n_present) * 9007199254740992) AS e_raw
-        FROM agg
-    ), exact AS (
-        SELECT count(DISTINCT user_id) AS ndv_exact FROM events
-    )
-    SELECT CAST(256 AS BIGINT) AS m,
-           ndv_exact,
-           CAST(n_zero AS BIGINT) AS n_zero_registers,
-           round(CASE WHEN e_raw <= 640.0 AND n_zero > 0
-                      THEN 256.0 * ln(256.0 / n_zero) ELSE e_raw END, 6) AS ndv_est,
-           round(abs(CASE WHEN e_raw <= 640.0 AND n_zero > 0
-                          THEN 256.0 * ln(256.0 / n_zero) ELSE e_raw END - ndv_exact)
-                 / ndv_exact, 6) AS rel_err
-    FROM est, exact
-    """,
-)
-def hll_distinct_q(spark, sf_dir):
-    """HyperLogLog distinct-count sketch (Flajolet AofA'07) on
-    events.user_id vs the exact count — the register-based sibling of
-    kmv_distinct, m = 256 registers (p = 8) over the portable 60-bit
-    md5 hash: register = top 8 bits, rho = leading-zero rank of the
-    remaining 52. rho is EXACT integer bit math on both engines — the
-    shift-or fill cascade + bit_count (never floor(log2()), whose
-    float rounding can misrank exact powers of two). The harmonic-mean
-    denominator stays exact too: Σ2^(−M_j) scaled by 2^53 is an
-    integer sum (≤ 2^60 for 256 registers), so engines agree
-    bit-for-bit before the one double division. Linear-counting
-    small-range correction (E ≤ 2.5m, V > 0) included. Per-register
-    state is 256 bytes total — the sketch a 100 TB pipeline keeps per
-    partition and merges by max(), exactly as this plan's partial
-    aggregation already does."""
-    ev = load_table(spark, sf_dir, "events")
-    h = ev.select(H.md5_long(F.col("user_id").cast("string")).alias("h")).distinct()
-    b = h.select(
-        F.expr("shiftright(h, 52)").alias("idx"),
-        F.expr("h & 4503599627370495").alias("w"),
-    )
-    for k in (1, 2, 4, 8, 16, 32):
-        b = b.withColumn("w", F.expr(f"w | shiftright(w, {k})"))
-    regs = b.groupBy("idx").agg(F.expr("max(53 - bit_count(w))").alias("m_j"))
-    agg = regs.agg(
-        F.count("*").alias("n_present"),
-        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(53 - m_j as int))")).alias(
-            "sum_scaled"
-        ),
-    )
-    est = agg.select(
-        (F.lit(256) - F.col("n_present")).alias("n_zero"),
-        (
-            F.lit(0.7213 / (1 + 1.079 / 256))
-            * F.lit(65536.0)
-            * F.lit(9007199254740992.0)
-            / (
-                F.col("sum_scaled")
-                + (F.lit(256) - F.col("n_present")) * F.lit(9007199254740992)
-            )
-        ).alias("e_raw"),
-    )
-    exact = ev.agg(F.count_distinct("user_id").alias("ndv_exact"))
-    e_fix = F.when(
-        (F.col("e_raw") <= F.lit(640.0)) & (F.col("n_zero") > 0),
-        F.lit(256.0) * F.log(F.lit(256.0) / F.col("n_zero")),
-    ).otherwise(F.col("e_raw"))
-    return (
-        est.crossJoin(F.broadcast(exact))
-        .select(
-            F.lit(256).cast("long").alias("m"),
-            "ndv_exact",
-            F.col("n_zero").cast("long").alias("n_zero_registers"),
-            F.round(e_fix, 6).alias("ndv_est"),
-            F.round(F.abs(e_fix - F.col("ndv_exact")) / F.col("ndv_exact"), 6).alias(
-                "rel_err"
-            ),
-        )
-    )
-
-
-@query(
-    "retrieval_mmr",
-    oracle=f"""
-    WITH RECURSIVE q AS (
-        SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
-    ), cand AS (
-        SELECT e.vec_id, {_dd_cosine('e.embedding', 'q.qv')} AS qsim
-        FROM embeddings e, q WHERE e.vec_id <> 0
-        ORDER BY qsim DESC, e.vec_id LIMIT 20
-    ), pairs AS (
-        SELECT a.vec_id AS a, b.vec_id AS b,
-               {_dd_cosine('ea.embedding', 'eb.embedding')} AS sim
-        FROM cand a
-        JOIN embeddings ea ON ea.vec_id = a.vec_id
-        JOIN cand b ON b.vec_id <> a.vec_id
-        JOIN embeddings eb ON eb.vec_id = b.vec_id
-    ), state AS (
-        SELECT 1 AS step,
-               [(SELECT vec_id FROM cand ORDER BY qsim DESC, vec_id LIMIT 1)] AS ids
-        UNION ALL
-        SELECT step + 1, list_append(ids, (
-            SELECT c.vec_id FROM cand c
-            WHERE NOT list_contains(s.ids, c.vec_id)
-            ORDER BY 0.7 * c.qsim - 0.3 * (SELECT max(p.sim) FROM pairs p
-                                           WHERE p.a = c.vec_id
-                                             AND list_contains(s.ids, p.b)) DESC,
-                     c.vec_id
-            LIMIT 1))
-        FROM state s WHERE step < 10
-    ), sel AS (
-        SELECT unnest(ids) AS vec_id,
-               generate_subscripts(ids, 1) AS rank
-        FROM state WHERE step = 10
-    )
-    SELECT CAST(sel.rank AS BIGINT) AS rank, sel.vec_id,
-           round(cand.qsim, 6) AS qsim
-    FROM sel JOIN cand ON cand.vec_id = sel.vec_id
-    """,
-)
-def retrieval_mmr_q(spark, sf_dir):
-    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
-    SIGIR'98) — diversity-aware top-k, the de-duplicating step between
-    retrieval and a RAG context window: greedy-select k=10 from the
-    brute-force top-20 shortlist maximizing
-    0.7·sim(q,d) − 0.3·max_{s∈S} sim(d,s).
-
-    Architecture mirrors faiss-style two-stage serving: the
-    DISTRIBUTED work — corpus top-k shortlist and the 20×20 candidate
-    similarity matrix — runs in-plan (TakeOrdered + bounded pair
-    join); the inherently SEQUENTIAL greedy runs driver-side over the
-    k²-bounded matrix (same bounded-fit posture as the IVF/k-means
-    centroid training) and re-enters the plan as a literal
-    (rank, vec_id) map joined back to the shortlist. Cross-engine
-    determinism: both engines' cosine folds are bit-identical (house
-    sequential-sum convention), so the greedy's double comparisons
-    agree exactly; ties break to the lower vec_id. The oracle replays
-    the greedy as a recursive CTE — the selection loop itself is
-    hash-checked, not just the shortlist."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    shortlist = knn.topk(emb.filter(F.col("vec_id") != 0), list(qv), k=20)
-    cand = [(r["vec_id"], r["score"]) for r in shortlist.orderBy(F.col("score").desc(), "vec_id").collect()]
-    ids = [c[0] for c in cand]
-    sub = emb.filter(F.col("vec_id").isin(ids))
-    pair_rows = knn.similarity_matrix(sub).filter(F.col("id_a") != F.col("id_b")).collect()
-    sim = {(r["id_a"], r["id_b"]): r["score"] for r in pair_rows}
-    qsim = dict(cand)
-    selected = [min(ids, key=lambda i: (-qsim[i], i))]
-    while len(selected) < 10:
-        best = min(
-            (i for i in ids if i not in selected),
-            key=lambda i: (
-                -(0.7 * qsim[i] - 0.3 * max(sim[(i, s)] for s in selected)),
-                i,
-            ),
-        )
-        selected.append(best)
-    ranks = spark.createDataFrame(
-        [(r + 1, v) for r, v in enumerate(selected)], "rank long, vec_id long"
-    )
-    return (
-        shortlist.join(F.broadcast(ranks), "vec_id")
-        .select("rank", "vec_id", F.round("score", 6).alias("qsim"))
-    )
-
-
-def _classifier_calibration_oracle() -> str:
-    from .operators.curation import classifier_weights
-
-    w = classifier_weights(64)
-    return f"""
-    WITH {_qcls_weights_sql(w)},
-    toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-    ), f AS (
-        SELECT doc_id, {H.dd_md5_long('tok')} % 64 AS b
-        FROM toks WHERE tok <> ''
-    ), per AS (
-        SELECT f.doc_id,
-               CAST(count(*) AS BIGINT) AS n_tokens,
-               CAST(sum(qw.wt) AS BIGINT) AS sum_micro
-        FROM f JOIN qw ON qw.i = f.b
-        GROUP BY f.doc_id
-    ), probs AS (
-        SELECT doc_id,
-               round(1.0 / (1.0 + exp(-((sum_micro::DOUBLE) / (n_tokens * 1000000.0)))), 6) AS prob
-        FROM per
-    ), labels AS (
-        SELECT doc_id,
-               (len({_DD_TOKS}) >= 20 AND len({_DD_TOKS}) <= 80
-                AND CAST(length(text) - (len({_DD_TOKS}) - 1) AS DOUBLE) / len({_DD_TOKS}) >= 3.0
-                AND CAST(length(text) - (len({_DD_TOKS}) - 1) AS DOUBLE) / len({_DD_TOKS}) <= 8.0
-                AND CAST(len(list_filter({_DD_TOKS},
-                     t -> list_contains(['the','a','an','and','or','of','to','in','on','for','is','are','was','be','it','this','that','with','as','at'], t)))
-                    AS DOUBLE) / len({_DD_TOKS}) >= 0.05
-                AND CAST(len(list_distinct({_DD_TOKS})) AS DOUBLE) / len({_DD_TOKS}) >= 0.3) AS label
-        FROM documents
-    ), binned AS (
-        SELECT least(CAST(floor(p.prob * 10) AS BIGINT), 9) AS bin,
-               CAST(round(p.prob * 1000000) AS BIGINT) AS prob_u,
-               CASE WHEN l.label THEN 1 ELSE 0 END AS pos
-        FROM probs p JOIN labels l ON l.doc_id = p.doc_id
-    ), g AS (
-        SELECT bin, CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(pos) AS BIGINT) AS n_pos,
-               CAST(sum(prob_u) AS BIGINT) AS sum_prob_u
-        FROM binned GROUP BY bin
-    )
-    SELECT bin, n, n_pos,
-           round(sum_prob_u / (n * 1000000.0), 6) AS mean_prob,
-           round(n_pos / CAST(n AS DOUBLE), 6) AS frac_pos,
-           round(abs(sum_prob_u / (n * 1000000.0) - n_pos / CAST(n AS DOUBLE)), 6) AS gap,
-           round(n / CAST(sum(n) OVER () AS DOUBLE)
-                 * abs(sum_prob_u / (n * 1000000.0) - n_pos / CAST(n AS DOUBLE)), 6) AS ece_contrib
-    FROM g
-    """
-
-
-@query("classifier_calibration", oracle=None)
-def classifier_calibration_q(spark, sf_dir):
-    """Reliability diagram + ECE for the learned quality scorer against
-    an INDEPENDENT signal (the quality_filters hard-gate conjunction —
-    calibrating a classifier against its own threshold would be
-    circular): per-decile-bin mean predicted prob vs empirical positive
-    rate, the |gap|, and the corpus-weighted ECE contribution (Σ = the
-    scalar ECE). One classifier pass + one zero-shuffle gate pass share
-    the doc_id join key; mean probs come from exact micro-unit integer
-    sums (the 6-dp-rounded prob × 1e6 is integral, so engines sum
-    identical longs); everything past the join is a ≤10-row frame.
-    The window total rides that tiny frame — no extra action."""
-    from .operators import curation
-
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    probs = curation.quality_classifier(docs).select("doc_id", "prob")
-    labels = curation.quality_filters(docs).select("doc_id", F.col("keep").alias("label"))
-    binned = probs.join(labels, "doc_id").select(
-        F.least(F.floor(F.col("prob") * 10).cast("long"), F.lit(9).cast("long")).alias("bin"),
-        F.expr("cast(round(prob * 1000000) as bigint)").alias("prob_u"),
-        F.when(F.col("label"), 1).otherwise(0).alias("pos"),
-    )
-    g = binned.groupBy("bin").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("pos").cast("long").alias("n_pos"),
-        F.sum("prob_u").cast("long").alias("sum_prob_u"),
-    )
-    mean_prob = F.col("sum_prob_u") / (F.col("n") * F.lit(1000000.0))
-    frac_pos = F.col("n_pos") / F.col("n").cast("double")
-    total = F.sum("n").over(Window.partitionBy())
-    return g.select(
-        "bin",
-        "n",
-        "n_pos",
-        F.round(mean_prob, 6).alias("mean_prob"),
-        F.round(frac_pos, 6).alias("frac_pos"),
-        F.round(F.abs(mean_prob - frac_pos), 6).alias("gap"),
-        F.round(
-            F.col("n") / total.cast("double") * F.abs(mean_prob - frac_pos), 6
-        ).alias("ece_contrib"),
-    )
-
-
-ORACLES["classifier_calibration"] = _classifier_calibration_oracle()
-
-
-@query(
-    "events_histogram_equidepth",
-    oracle="""
-    WITH r AS (
-        SELECT event_type, event_id,
-               CAST(round(value * 1000000) AS BIGINT) AS v_u,
-               ntile(10) OVER (PARTITION BY event_type
-                               ORDER BY value, event_id) AS decile
-        FROM events
-    )
-    SELECT event_type, CAST(decile AS BIGINT) AS decile,
-           CAST(count(*) AS BIGINT) AS n,
-           round(min(v_u) / 1e6, 6) AS lo,
-           round(max(v_u) / 1e6, 6) AS hi,
-           round(sum(v_u) / count(*) / 1e6, 6) AS mean_v
-    FROM r GROUP BY event_type, decile
-    """,
-)
-def events_histogram_equidepth_q(spark, sf_dir, exact_quantiles: bool = True):
-    """Equi-depth (equal-count) histogram per event type — the
-    optimizer's-eye value profile (equal-WIDTH bins hide skew; deciles
-    expose it, and the per-bin [lo, hi] spread IS the skew readout):
-    ntile(10) rides ONE event_type window shuffle with a fully
-    deterministic (value, event_id) order, then per-bin stats come
-    from exact micro-unit integer sums on the same partitioning.
-
-    ``exact_quantiles=False`` is the 100 TB path: approx decile EDGES
-    from percentile_approx (bounded sketch — the ntile window needs a
-    per-type full sort, one straggler partition per hot type at
-    scale), broadcast the 9-edge-per-type table back, decile = 1 +
-    #edges strictly below the value (map-side expression), stats on a
-    plain groupBy. Bin populations are approximately-equal rather than
-    exactly-equal — the documented sketch contract."""
-    ev = load_table(spark, sf_dir, "events")
-    if not exact_quantiles:
-        vu = ev.select(
-            "event_type", F.expr("cast(round(value * 1000000) as bigint)").alias("v_u")
-        )
-        edges = vu.groupBy("event_type").agg(
-            F.percentile_approx(
-                "v_u", F.lit([i / 10 for i in range(1, 10)]), F.lit(10000)
-            ).alias("_edges")
-        )
-        r = vu.join(F.broadcast(edges), "event_type").select(
-            "event_type",
-            "v_u",
-            (
-                F.lit(1)
-                + F.aggregate(
-                    "_edges",
-                    F.lit(0),
-                    lambda acc, e: acc + F.when(e < F.col("v_u"), 1).otherwise(0),
-                )
-            ).alias("decile"),
-        )
-    else:
-        w = Window.partitionBy("event_type").orderBy("value", "event_id")
-        r = ev.select(
-            "event_type",
-            F.expr("cast(round(value * 1000000) as bigint)").alias("v_u"),
-            F.ntile(10).over(w).alias("decile"),
-        )
-    return r.groupBy("event_type", F.col("decile").cast("long").alias("decile")).agg(
-        F.count("*").cast("long").alias("n"),
-        F.round(F.min("v_u") / F.lit(1e6), 6).alias("lo"),
-        F.round(F.max("v_u") / F.lit(1e6), 6).alias("hi"),
-        F.round(F.sum("v_u") / F.count("*") / F.lit(1e6), 6).alias("mean_v"),
-    )
-
-
-@query(
-    "describe_collection",
-    oracle="""
-    SELECT table_name AS collection,
-           column_name AS field_name,
-           CAST(ordinal_position AS BIGINT) AS ordinal,
-           data_type AS field_type,
-           column_name IN ('doc_id', 'vec_id') AS is_primary
-    FROM information_schema.columns
-    WHERE table_name IN ('documents', 'embeddings')
-    """,
-)
-def describe_collection_q(spark, sf_dir):
-    """Collection DESCRIBE surface (milvus_db.py:75 — the describe
-    endpoint get_collection_stats wraps; list/describe is the one
-    metadata shape the REST client exposes beyond stats): one row per
-    field with ordinal, portable type name and the primary-key flag
-    (the reference's auto-id primary key). Built from the ENGINE'S OWN
-    resolved parquet schema (spark.read's StructType — so a schema
-    drift in the lake surfaces as a parity failure against the
-    oracle's information_schema), mapped to ANSI-ish type names.
-    Driver-side metadata only; no executor work at any scale."""
-    from pyspark.sql import types as T
-
-    def type_name(dt) -> str:
-        if isinstance(dt, T.LongType):
-            return "BIGINT"
-        if isinstance(dt, T.IntegerType):
-            return "INTEGER"
-        if isinstance(dt, T.StringType):
-            return "VARCHAR"
-        if isinstance(dt, T.DoubleType):
-            return "DOUBLE"
-        if isinstance(dt, T.FloatType):
-            return "FLOAT"
-        if isinstance(dt, T.TimestampType | T.TimestampNTZType):
-            return "TIMESTAMP"
-        if isinstance(dt, T.ArrayType):
-            return f"{type_name(dt.elementType)}[]"
-        return dt.simpleString().upper()
-
-    rows = []
-    for tbl in ("documents", "embeddings"):
-        schema = spark.read.parquet(f"{sf_dir}/{tbl}.parquet").schema
-        for i, f in enumerate(schema.fields, start=1):
-            rows.append(
-                (tbl, f.name, i, type_name(f.dataType), f.name in ("doc_id", "vec_id"))
-            )
-    return spark.createDataFrame(
-        rows,
-        "collection string, field_name string, ordinal long, field_type string, is_primary boolean",
-    )
-
-
-# ---------------------------------------------------------------------------
-# r5 continuation wave: statistical testing + lakehouse layout advisor
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "chi_square_independence",
-    oracle="""
-    WITH cells AS (
-        SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS observed
-        FROM lineitem GROUP BY l_returnflag, l_linestatus
-    ), tot AS (
-        SELECT l_returnflag, l_linestatus, observed,
-               CAST(sum(observed) OVER (PARTITION BY l_returnflag) AS BIGINT) AS row_tot,
-               CAST(sum(observed) OVER (PARTITION BY l_linestatus) AS BIGINT) AS col_tot,
-               CAST(sum(observed) OVER () AS BIGINT) AS n
-        FROM cells
-    ), dims AS (
-        SELECT CAST(count(DISTINCT l_returnflag) AS BIGINT) AS nr,
-               CAST(count(DISTINCT l_linestatus) AS BIGINT) AS nc
-        FROM cells
-    ), c AS (
-        SELECT l_returnflag, l_linestatus, observed,
-               round(CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / n, 6) AS expected,
-               round(pow(CAST(observed AS DOUBLE) * CAST(n AS DOUBLE)
-                         - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE), 2)
-                     / (CAST(n AS DOUBLE) * CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)), 6)
-                   AS contribution,
-               (nr - 1) * (nc - 1) AS dof
-        FROM tot CROSS JOIN dims
-    )
-    SELECT l_returnflag, l_linestatus, observed, expected, contribution,
-           round(CAST(sum(CAST(round(contribution * 1000000) AS BIGINT)) OVER () AS DOUBLE)
-                 / 1000000, 6) AS chi2,
-           dof
-    FROM c
-    """,
-)
-def chi_square_independence_q(spark, sf_dir):
-    """Chi-square test of independence over the returnflag x linestatus
-    contingency table (the categorical-drift check a data-quality stack
-    runs per ingest batch): ONE map-side-combinable count shuffle
-    builds the cells; row/column/grand totals ride window sums over the
-    BOUNDED cell frame (|flags| x |statuses| rows, never data-sized);
-    the distinct-level dims attach via the broadcast-scalar idiom.
-    Per-cell expected counts and chi2 contributions derive from exact
-    BIGINT counts with identical double expression shape on both
-    engines; the chi2 total sums the 6dp-rounded contributions as
-    exact micro-unit integers, so the statistic is order-free."""
-    li = load_table(spark, sf_dir, "lineitem")
-    cells = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.count("*").cast("long").alias("observed")
-    )
-    dims = cells.agg(
-        F.count_distinct("l_returnflag").cast("long").alias("nr"),
-        F.count_distinct("l_linestatus").cast("long").alias("nc"),
-    )
-    tot = cells.select(
-        "l_returnflag",
-        "l_linestatus",
-        "observed",
-        F.sum("observed").over(Window.partitionBy("l_returnflag")).alias("row_tot"),
-        F.sum("observed").over(Window.partitionBy("l_linestatus")).alias("col_tot"),
-        F.sum("observed").over(Window.partitionBy()).alias("n"),
-    ).crossJoin(F.broadcast(dims))
-    od, nd = F.col("observed").cast("double"), F.col("n").cast("double")
-    rd, cd = F.col("row_tot").cast("double"), F.col("col_tot").cast("double")
-    c = tot.select(
-        "l_returnflag",
-        "l_linestatus",
-        "observed",
-        F.round(rd * cd / F.col("n"), 6).alias("expected"),
-        F.round(F.pow(od * nd - rd * cd, F.lit(2.0)) / (nd * rd * cd), 6).alias(
-            "contribution"
-        ),
-        ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
-    )
-    return c.select(
-        "l_returnflag",
-        "l_linestatus",
-        "observed",
-        "expected",
-        "contribution",
-        F.round(
-            F.sum(
-                F.expr("cast(round(contribution * 1000000) as bigint)")
-            ).over(Window.partitionBy()).cast("double")
-            / F.lit(1000000),
-            6,
-        ).alias("chi2"),
-        "dof",
-    )
-
-
-@query(
-    "layout_skipping_compare",
-    oracle="""
-    WITH tagged AS (
-        SELECT l_orderkey // 2048 AS file_natural,
-               (year(l_shipdate) - 1995) * 12 + month(l_shipdate) - 1 AS file_clustered,
-               CASE WHEN l_shipdate >= TIMESTAMP '1996-03-01'
-                     AND l_shipdate < TIMESTAMP '1996-06-01' THEN 1 ELSE 0 END AS hit,
-               datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS day_id
-        FROM lineitem
-    ), files AS (
-        SELECT 'natural' AS layout, file_natural AS file_id,
-               CAST(count(*) AS BIGINT) AS rows_in_file,
-               CAST(sum(hit) AS BIGINT) AS rows_matched,
-               CAST(min(day_id) AS BIGINT) AS min_day, CAST(max(day_id) AS BIGINT) AS max_day
-        FROM tagged GROUP BY file_natural
-        UNION ALL
-        SELECT 'clustered', file_clustered,
-               CAST(count(*) AS BIGINT), CAST(sum(hit) AS BIGINT),
-               CAST(min(day_id) AS BIGINT), CAST(max(day_id) AS BIGINT)
-        FROM tagged GROUP BY file_clustered
-    ), scanned AS (
-        SELECT layout, file_id, rows_in_file, rows_matched,
-               CASE WHEN min_day <= datediff('day', DATE '1995-01-01', DATE '1996-05-31')
-                     AND max_day >= datediff('day', DATE '1995-01-01', DATE '1996-03-01')
-                    THEN 1 ELSE 0 END AS file_hit
-        FROM files
-    )
-    SELECT layout,
-           CAST(count(*) AS BIGINT) AS n_files,
-           CAST(sum(file_hit) AS BIGINT) AS files_scanned,
-           CAST(sum(rows_in_file) AS BIGINT) AS total_rows,
-           CAST(sum(file_hit * rows_in_file) AS BIGINT) AS rows_scanned,
-           CAST(sum(rows_matched) AS BIGINT) AS rows_matched,
-           round(1.0 - CAST(sum(file_hit) AS DOUBLE) / count(*), 6) AS skip_ratio,
-           round(CAST(sum(file_hit * rows_in_file) AS DOUBLE)
-                 / CAST(sum(rows_matched) AS DOUBLE), 6) AS read_amplification
-    FROM scanned GROUP BY layout
-    """,
-)
-def layout_skipping_compare_q(spark, sf_dir):
-    """Zone-map file-skipping advisor: simulates per-file min/max
-    statistics (parquet row-group / Delta file stats) under TWO
-    layouts — `natural` (insertion order: orderkey div 2048 per file)
-    vs `clustered` (ship-month partitioning) — and scores a ship-date
-    range predicate against each. Per layout: files scanned after
-    min/max pruning, rows scanned vs rows matched (read
-    amplification), and the skip ratio — the number that justifies a
-    re-clustering job at 100 TB (this IS the OPTIMIZE/Z-ORDER
-    cost-benefit readout; zorder_layout builds the layout, this one
-    measures what it buys). One scan, two bounded map-side-combinable
-    aggregations; all stats exact BIGINT, two final divisions."""
-    li = load_table(spark, sf_dir, "lineitem")
-    tagged = li.select(
-        F.expr("l_orderkey div 2048").alias("file_natural"),
-        ((F.year("l_shipdate") - 1995) * 12 + F.month("l_shipdate") - 1).alias(
-            "file_clustered"
-        ),
-        F.when(
-            (F.col("l_shipdate") >= "1996-03-01")
-            & (F.col("l_shipdate") < "1996-06-01"),
-            1,
-        )
-        .otherwise(0)
-        .alias("hit"),
-        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1995-01-01")).alias(
-            "day_id"
-        ),
-    )
-
-    def per_layout(name: str, col: str):
-        return tagged.groupBy(F.col(col).alias("file_id")).agg(
-            F.count("*").cast("long").alias("rows_in_file"),
-            F.sum("hit").cast("long").alias("rows_matched"),
-            F.min("day_id").cast("long").alias("min_day"),
-            F.max("day_id").cast("long").alias("max_day"),
-        ).select(F.lit(name).alias("layout"), "*")
-
-    files = per_layout("natural", "file_natural").unionByName(
-        per_layout("clustered", "file_clustered")
-    )
-    lo = F.datediff(F.lit("1996-03-01").cast("date"), F.lit("1995-01-01").cast("date"))
-    hi = F.datediff(F.lit("1996-05-31").cast("date"), F.lit("1995-01-01").cast("date"))
-    scanned = files.withColumn(
-        "file_hit",
-        F.when((F.col("min_day") <= hi) & (F.col("max_day") >= lo), 1).otherwise(0),
-    )
-    return scanned.groupBy("layout").agg(
-        F.count("*").cast("long").alias("n_files"),
-        F.sum("file_hit").cast("long").alias("files_scanned"),
-        F.sum("rows_in_file").cast("long").alias("total_rows"),
-        F.sum(F.col("file_hit") * F.col("rows_in_file")).cast("long").alias(
-            "rows_scanned"
-        ),
-        F.sum("rows_matched").cast("long").alias("rows_matched"),
-        F.round(
-            F.lit(1.0) - F.sum("file_hit").cast("double") / F.count("*"), 6
-        ).alias("skip_ratio"),
-        F.round(
-            F.sum(F.col("file_hit") * F.col("rows_in_file")).cast("double")
-            / F.sum("rows_matched").cast("double"),
-            6,
-        ).alias("read_amplification"),
-    )
-
-
-@query(
-    "events_decayed_topk",
-    oracle="""
-    WITH d AS (
-        SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
-               CAST(count(*) AS BIGINT) AS cnt
-        FROM events GROUP BY event_type, epoch_ns(ts) // 86400000000000
-    ), a AS (
-        SELECT event_type, cnt,
-               least((CAST(max(day) OVER () AS BIGINT) - day) // 7, 40) AS k
-        FROM d
-    ), s AS (
-        SELECT event_type,
-               CAST(sum(cnt) AS BIGINT) AS n_events,
-               CAST(sum(cnt * CAST(round(pow(2.0, -k) * 1000000) AS BIGINT)) AS BIGINT)
-                   AS decayed_u
-        FROM a GROUP BY event_type
-    )
-    SELECT event_type, n_events,
-           round(CAST(decayed_u AS DOUBLE) / 1000000, 6) AS decayed_count,
-           CAST(rank() OVER (ORDER BY decayed_u DESC, event_type) AS BIGINT) AS rnk
-    FROM s
-    """,
-)
-def events_decayed_topk_q(spark, sf_dir):
-    """Exponentially time-decayed event counts (7-day half-life) — the
-    trending/top-k ranking a feed or alerting stack keeps instead of a
-    raw count, where last week counts double vs the week before. The
-    decay is EXACT by construction: ages quantize to week buckets, the
-    half-life weight 2^-k is an exact power-of-two double, and its
-    6dp micro-unit quantization is an exact integer both engines agree
-    on — so the decayed sum is an order-free BIGINT dot product, not a
-    float accumulation. Corpus collapses to (type, day) counts in ONE
-    map-side-combinable shuffle (the frame a 100 TB event stream's
-    daily rollup already materializes); the max-day anchor rides a
-    window over that bounded frame."""
-    ev = load_table(spark, sf_dir, "events")
-    d = ev.groupBy(
-        "event_type", F.expr("ts_ns div 86400000000000").alias("day")
-    ).agg(F.count("*").cast("long").alias("cnt"))
-    a = d.select(
-        "event_type",
-        "cnt",
-        F.least(
-            F.expr("(max(day) over () - day) div 7").cast("long"), F.lit(40).cast("long")
-        ).alias("k"),
-    )
-    s = a.groupBy("event_type").agg(
-        F.sum("cnt").cast("long").alias("n_events"),
-        F.sum(
-            F.col("cnt")
-            * F.expr("cast(round(pow(2.0, -k) * 1000000) as bigint)")
-        )
-        .cast("long")
-        .alias("decayed_u"),
-    )
-    return s.select(
-        "event_type",
-        "n_events",
-        F.round(F.col("decayed_u").cast("double") / F.lit(1000000), 6).alias(
-            "decayed_count"
-        ),
-        F.rank()
-        .over(Window.orderBy(F.col("decayed_u").desc(), "event_type"))
-        .cast("long")
-        .alias("rnk"),
-    )
-
-
-@query(
-    "grouped_ols_slopes",
-    oracle="""
-    WITH d AS (
-        SELECT n.n_name,
-               CAST(round(l.l_discount * 100) AS BIGINT) AS x,
-               CAST(round(l.l_quantity) AS BIGINT) AS y
-        FROM lineitem l
-        JOIN orders o ON l.l_orderkey = o.o_orderkey
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        JOIN nation n ON c.c_nationkey = n.n_nationkey
-    ), s AS (
-        SELECT n_name, CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-               CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
-               CAST(sum(x * y) AS BIGINT) AS sxy
-        FROM d GROUP BY n_name
-    )
-    SELECT n_name, n,
-           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-                ELSE round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
-           END AS slope,
-           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-                ELSE round((CAST(sy AS DOUBLE)
-                            - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                              / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx)
-                           / n, 6)
-           END AS intercept,
-           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL
-                ELSE round(pow(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy, 2)
-                           / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                              * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
-           END AS r2
-    FROM s
-    """,
-)
-def grouped_ols_slopes_q(spark, sf_dir):
-    """Per-nation OLS of quantity on discount%% — the grouped
-    regression sweep (one model per segment) a metrics stack fits
-    without a solver, extending discount_elasticity's closed form to
-    GROUP BY. The fact joins shuffle on their keys, nation broadcasts;
-    the five sufficient statistics per group are exact order-free
-    BIGINTs from ONE map-side-combinable aggregate, and degenerate
-    groups (zero x- or y-variance) emit NULL through the identical
-    CASE guard on both engines. At 100 TB this is a thin rollup over
-    the same join the revenue queries already run — no per-group
-    iteration, no driver loop."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    d = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .select(
-            "n_name",
-            F.expr("cast(round(l_discount * 100) as bigint)").alias("x"),
-            F.expr("cast(round(l_quantity) as bigint)").alias("y"),
-        )
-    )
-    s = d.groupBy("n_name").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-    )
-    nd = F.col("n").cast("double")
-    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
-    den = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
-    deny = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
-    den0 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    deny0 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    slope = num / den
-    return s.select(
-        "n_name",
-        "n",
-        F.when(den0 == 0, F.lit(None).cast("double"))
-        .otherwise(F.round(slope, 6))
-        .alias("slope"),
-        F.when(den0 == 0, F.lit(None).cast("double"))
-        .otherwise(
-            F.round(
-                (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"), 6
-            )
-        )
-        .alias("intercept"),
-        F.when(den0 * deny0 == 0, F.lit(None).cast("double"))
-        .otherwise(F.round(F.pow(num, F.lit(2.0)) / (den * deny), 6))
-        .alias("r2"),
-    )
-
-
-@query(
-    "mann_whitney_u",
-    oracle="""
-    WITH e AS (
-        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_u
-        FROM events WHERE event_type IN ('click', 'purchase')
-    ), g AS (
-        SELECT v_u,
-               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
-               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
-        FROM e GROUP BY v_u
-    ), r AS (
-        SELECT c1, c2, c1 + c2 AS t,
-               2 * COALESCE(sum(c1 + c2) OVER (ORDER BY v_u
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               + (c1 + c2) + 1 AS rank2
-        FROM g
-    ), s AS (
-        SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
-               CAST(sum(c1 * rank2) AS BIGINT) AS r1_2,
-               CAST(sum(t * t * t - t) AS BIGINT) AS ties
-        FROM r
-    )
-    SELECT n1, n2,
-           (CAST(r1_2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2 AS u1,
-           round(((CAST(r1_2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2
-                  - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2)
-                 / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12
-                        * ((CAST(n1 + n2 AS DOUBLE) + 1)
-                           - CAST(ties AS DOUBLE)
-                             / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1)))),
-                 6) AS z_value
-    FROM s
-    """,
-)
-def mann_whitney_u_q(spark, sf_dir):
-    """Mann-Whitney U rank-sum test (click vs purchase event values) —
-    the nonparametric two-sample test an experimentation stack runs
-    when values are skewed and the t-test's normality story fails
-    (pairs with ab_welch_ttest). Scale shape: the corpus collapses to
-    per-DISTINCT-VALUE counts first (one map-side-combinable shuffle,
-    cardinality bounded by the value domain, not the row count), then
-    average ranks come from a cumulative window over that bounded
-    frame in doubled-integer units — so rank sums, U, and the tie
-    correction are all exact order-free BIGINTs; z is one identical
-    double expression at emit."""
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "purchase")
-    )
-    g = ev.select(
-        "event_type", F.expr("cast(round(value * 100) as bigint)").alias("v_u")
-    ).groupBy("v_u").agg(
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
-        .cast("long")
-        .alias("c1"),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
-        .cast("long")
-        .alias("c2"),
-    )
-    w = Window.orderBy("v_u").rowsBetween(Window.unboundedPreceding, -1)
-    r = g.select(
-        "c1",
-        "c2",
-        (F.col("c1") + F.col("c2")).alias("t"),
-        (
-            2 * F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w), F.lit(0))
-            + (F.col("c1") + F.col("c2"))
-            + 1
-        ).alias("rank2"),
-    )
-    s = r.agg(
-        F.sum("c1").cast("long").alias("n1"),
-        F.sum("c2").cast("long").alias("n2"),
-        F.sum(F.col("c1") * F.col("rank2")).cast("long").alias("r1_2"),
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
-        .cast("long")
-        .alias("ties"),
-    )
-    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
-    nd = (F.col("n1") + F.col("n2")).cast("double")
-    u1 = (F.col("r1_2").cast("double") - n1d * (F.col("n1") + 1)) / F.lit(2)
-    var = n1d * n2d / F.lit(12) * (
-        (nd + 1) - F.col("ties").cast("double") / (nd * (nd - 1))
-    )
-    return s.select(
-        "n1",
-        "n2",
-        u1.alias("u1"),
-        F.round((u1 - n1d * n2d / F.lit(2)) / F.sqrt(var), 6).alias("z_value"),
-    )
-
-
-@query(
-    "knn_classifier_eval",
-    oracle=f"""
-    WITH train AS (
-        SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 10 <> 0
-    ), test AS (
-        SELECT vec_id AS query_id, embedding AS query_vec, label AS true_label
-        FROM embeddings WHERE vec_id % 10 = 0
-    ), scored AS (
-        SELECT t.query_id, e.vec_id, e.label,
-               {_dd_cosine('e.embedding', 't.query_vec')} AS score
-        FROM train e, test t
-    ), nn AS (
-        SELECT query_id, label FROM (
-            SELECT query_id, label,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY score DESC, vec_id) AS rnk
-            FROM scored
-        ) WHERE rnk <= 5
-    ), votes AS (
-        SELECT query_id, label, CAST(count(*) AS BIGINT) AS c
-        FROM nn GROUP BY query_id, label
-    ), pred AS (
-        SELECT query_id, label AS pred_label FROM (
-            SELECT query_id, label,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY c DESC, label) AS v
-            FROM votes
-        ) WHERE v = 1
-    ), conf AS (
-        SELECT t.true_label, p.pred_label, CAST(count(*) AS BIGINT) AS n
-        FROM test t JOIN pred p ON t.query_id = p.query_id
-        GROUP BY t.true_label, p.pred_label
-    )
-    SELECT CAST(true_label AS BIGINT) AS true_label,
-           CAST(pred_label AS BIGINT) AS pred_label, n,
-           round(CAST(sum(CASE WHEN true_label = pred_label THEN n ELSE 0 END) OVER ()
-                      AS DOUBLE) / sum(n) OVER (), 6) AS accuracy
-    FROM conf
-    """,
-)
-def knn_classifier_eval_q(spark, sf_dir):
-    """kNN label classifier evaluated on a held-out split (the
-    label-propagation / weak-supervision QA check a curation pipeline
-    runs before trusting pseudo-labels): hash-style modulo split (10%%
-    test), k=5 cosine neighbors from the TRAIN side only via the same
-    broadcast-query partial-top-k plan as knn_batch, majority vote
-    with deterministic ties (count desc, then smaller label), and the
-    confusion matrix + overall accuracy as the readout. Scale: the
-    eval set is bounded by design (the broadcast side); train-side
-    work is one scan + per-partition top-k heaps, votes/confusion are
-    |test|-sized frames."""
-    # The heavy side (train corpus x 10% query fan-out) is CPU-bound
-    # per-pair vector math — split the scan across cores (embeddings
-    # arrive as one split at test scale; split=True is the documented
-    # opt-in for heavy map-side vector work). The broadcast query side
-    # loads unsplit so its tiny build skips the exchange.
-    train = load_table(spark, sf_dir, "embeddings", split=True).filter(
-        F.col("vec_id") % 10 != 0
-    )
-    test = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") % 10 == 0
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"),
-        F.col("label").alias("true_label"),
-    )
-    nn = knn.topk_batch(train, test.select("query_id", "query_vec"), k=5)
-    # Label lookup re-reads the narrow (vec_id, label) projection from
-    # the unsplit scan — joining back to the split `train` would rerun
-    # its repartition exchange for a 2-column dimension fetch.
-    labels = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") % 10 != 0
-    ).select("vec_id", "label")
-    votes = (
-        nn.join(labels, "vec_id")
-        .groupBy("query_id", "label")
-        .agg(F.count("*").cast("long").alias("c"))
-    )
-    pred = (
-        votes.withColumn(
-            "v",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.col("c").desc(), "label")
-            ),
-        )
-        .filter(F.col("v") == 1)
-        .select("query_id", F.col("label").alias("pred_label"))
-    )
-    conf = (
-        test.join(pred, "query_id")
-        .groupBy("true_label", "pred_label")
-        .agg(F.count("*").cast("long").alias("n"))
-    )
-    w = Window.partitionBy()
-    return conf.select(
-        F.col("true_label").cast("long"),
-        F.col("pred_label").cast("long"),
-        "n",
-        F.round(
-            F.sum(
-                F.when(F.col("true_label") == F.col("pred_label"), F.col("n")).otherwise(0)
-            )
-            .over(w)
-            .cast("double")
-            / F.sum("n").over(w),
-            6,
-        ).alias("accuracy"),
-    )
-
-
-@query(
-    "survival_km",
-    oracle="""
-    WITH f AS (
-        SELECT user_id,
-               min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS fv,
-               min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS fp
-        FROM events GROUP BY user_id
-    ), endt AS (SELECT max(epoch_ns(ts)) AS end_ns FROM events),
-    coh AS (
-        SELECT CASE WHEN fp IS NOT NULL AND fp >= fv
-                    THEN (fp - fv) // 86400000000000
-                    ELSE (end_ns - fv) // 86400000000000 END AS t,
-               CASE WHEN fp IS NOT NULL AND fp >= fv THEN 1 ELSE 0 END AS is_event
-        FROM f, endt WHERE fv IS NOT NULL
-    ), g AS (
-        SELECT CAST(t AS BIGINT) AS t_day,
-               CAST(sum(is_event) AS BIGINT) AS d,
-               CAST(sum(1 - is_event) AS BIGINT) AS c
-        FROM coh GROUP BY t
-    ), r AS (
-        SELECT t_day, d, c,
-               CAST(sum(d + c) OVER () AS BIGINT)
-               - CAST(COALESCE(sum(d + c) OVER (ORDER BY t_day
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-                   AS at_risk
-        FROM g
-    ), k AS (
-        SELECT t_day, at_risk, d, c,
-               list(CAST(at_risk - d AS DOUBLE) / at_risk)
-                   OVER (ORDER BY t_day
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rl
-        FROM r
-    )
-    SELECT t_day, at_risk AS n_at_risk, d AS n_events, c AS n_censored,
-           round(CAST(d AS DOUBLE) / at_risk, 6) AS hazard,
-           round(list_reduce(rl, (a, b) -> a * b), 6) AS survival
-    FROM k
-    """,
-)
-def survival_km_q(spark, sf_dir):
-    """Kaplan-Meier time-to-convert curve (first view -> first
-    purchase, non-converters RIGHT-CENSORED at observation end) — the
-    censoring-aware partner to conversion_latency: dropping
-    non-converters overstates conversion speed; KM keeps them in the
-    risk set until their censor time. Per-user endpoints from ONE
-    conditional-min aggregate; the lifetable collapses to per-DAY
-    (d, c) counts, so the at-risk ladder and the survival product run
-    on a duration-domain-bounded frame. S(t) is the ascending-ordered
-    sequential product of exact-integer ratios — both engines fold the
-    SAME ordered list left-to-right, so the float product is
-    bit-identical, not an order-free approximation."""
-    ev = load_table(spark, sf_dir, "events")
-    f = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts_ns"))).alias("fv"),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_ns"))).alias("fp"),
-    )
-    end = ev.agg(F.max("ts_ns").alias("end_ns"))
-    conv = F.col("fp").isNotNull() & (F.col("fp") >= F.col("fv"))
-    coh = (
-        f.filter(F.col("fv").isNotNull())
-        .crossJoin(F.broadcast(end))
-        .select(
-            F.when(conv, F.expr("(fp - fv) div 86400000000000"))
-            .otherwise(F.expr("(end_ns - fv) div 86400000000000"))
-            .alias("t"),
-            F.when(conv, 1).otherwise(0).alias("is_event"),
-        )
-    )
-    g = coh.groupBy(F.col("t").cast("long").alias("t_day")).agg(
-        F.sum("is_event").cast("long").alias("d"),
-        F.sum(1 - F.col("is_event")).cast("long").alias("c"),
-    )
-    wp = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, -1)
-    r = g.select(
-        "t_day",
-        "d",
-        "c",
-        (
-            F.sum(F.col("d") + F.col("c")).over(Window.partitionBy())
-            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wp), F.lit(0))
-        )
-        .cast("long")
-        .alias("at_risk"),
-    )
-    wc = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, 0)
-    k = r.select(
-        "t_day",
-        "at_risk",
-        "d",
-        "c",
-        F.collect_list(
-            (F.col("at_risk") - F.col("d")).cast("double") / F.col("at_risk")
-        )
-        .over(wc)
-        .alias("rl"),
-    )
-    return k.select(
-        "t_day",
-        F.col("at_risk").alias("n_at_risk"),
-        F.col("d").alias("n_events"),
-        F.col("c").alias("n_censored"),
-        F.round(F.col("d").cast("double") / F.col("at_risk"), 6).alias("hazard"),
-        F.round(
-            F.aggregate(F.col("rl"), F.lit(1.0), lambda acc, x: acc * x), 6
-        ).alias("survival"),
-    )
-
-
-@query(
-    "silhouette_simplified",
-    oracle="""
-    WITH cd AS (
-        SELECT label, pos, round(avg(v), 6) AS cv
-        FROM (
-            SELECT label, unnest(embedding) AS v,
-                   unnest(range(len(embedding))) AS pos
-            FROM embeddings
-        ) GROUP BY label, pos
-    ), cent AS (
-        SELECT label AS clabel, list(cv ORDER BY pos) AS cvec FROM cd GROUP BY label
-    ), dist AS (
-        SELECT e.vec_id, e.label, c.clabel,
-               sqrt(list_sum(list_transform(
-                   list_zip(e.embedding::DOUBLE[], c.cvec),
-                   x -> (x[1] - x[2]) * (x[1] - x[2])))) AS dst
-        FROM embeddings e, cent c
-    ), ab AS (
-        SELECT vec_id, label,
-               min(CASE WHEN label = clabel THEN dst END) AS a,
-               min(CASE WHEN label <> clabel THEN dst END) AS b
-        FROM dist GROUP BY vec_id, label
-    ), s AS (
-        SELECT label,
-               CAST(round((b - a) / greatest(a, b) * 1000000) AS BIGINT) AS s_u
-        FROM ab
-    ), lab AS (
-        SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(s_u) AS BIGINT) AS su
-        FROM s GROUP BY label
-    )
-    SELECT label, n,
-           round(CAST(su AS DOUBLE) / n / 1000000, 6) AS mean_silhouette,
-           round(CAST(sum(su) OVER () AS DOUBLE) / sum(n) OVER () / 1000000, 6)
-               AS overall_silhouette
-    FROM lab
-    """,
-)
-def silhouette_simplified_q(spark, sf_dir):
-    """Simplified (centroid-based) silhouette per label — the cluster
-    cohesion/separation score at O(n·k) instead of classic
-    silhouette's O(n²) pairwise distances (the standard large-scale
-    substitution): a = distance to own centroid, b = nearest OTHER
-    centroid, s = (b-a)/max(a,b). Centroids come from the same
-    posexplode rollup label_centroids materializes, quantized to 6dp
-    so both engines agree on their bits, and broadcast (k x dim
-    literals-worth of data) against one corpus scan. Per-point s
-    quantizes to micro-units, so per-label and overall means are exact
-    order-free integer sums."""
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    cd = (
-        emb.select("label", F.posexplode(V._as_double(F.col("embedding"))))
-        .groupBy("label", "pos")
-        .agg(F.round(F.avg("col"), 6).alias("cv"))
-    )
-    cent = cd.groupBy(F.col("label").alias("clabel")).agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("pos", "cv"))), lambda s: s.cv
-        ).alias("cvec")
-    )
-    dist = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "label",
-        "clabel",
-        V.euclidean(F.col("embedding"), F.col("cvec")).alias("dst"),
-    )
-    ab = dist.groupBy("vec_id", "label").agg(
-        F.min(F.when(F.col("label") == F.col("clabel"), F.col("dst"))).alias("a"),
-        F.min(F.when(F.col("label") != F.col("clabel"), F.col("dst"))).alias("b"),
-    )
-    s = ab.select(
-        "label",
-        F.expr(
-            "cast(round((b - a) / greatest(a, b) * 1000000) as bigint)"
-        ).alias("s_u"),
-    )
-    lab = s.groupBy(F.col("label").cast("long").alias("label")).agg(
-        F.count("*").cast("long").alias("n"), F.sum("s_u").cast("long").alias("su")
-    )
-    w = Window.partitionBy()
-    return lab.select(
-        "label",
-        "n",
-        F.round(F.col("su").cast("double") / F.col("n") / F.lit(1000000), 6).alias(
-            "mean_silhouette"
-        ),
-        F.round(
-            F.sum("su").over(w).cast("double") / F.sum("n").over(w) / F.lit(1000000), 6
-        ).alias("overall_silhouette"),
-    )
-
-
-@query(
-    "zipf_fit",
-    oracle="""
-    WITH toks AS (
-        SELECT unnest(string_split(text, ' ')) AS term FROM documents
-    ), tc AS (
-        SELECT term, CAST(count(*) AS BIGINT) AS cnt
-        FROM toks WHERE term <> '' GROUP BY term
-    ), ranked AS (
-        SELECT cnt, CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rnk
-        FROM tc
-    ), top AS (
-        SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS x_u,
-               CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS y_u
-        FROM ranked WHERE rnk <= 100
-    ), s AS (
-        SELECT CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(x_u) AS BIGINT) AS sx, CAST(sum(y_u) AS BIGINT) AS sy,
-               CAST(sum(x_u * x_u) AS BIGINT) AS sxx,
-               CAST(sum(y_u * y_u) AS BIGINT) AS syy,
-               CAST(sum(x_u * y_u) AS BIGINT) AS sxy
-        FROM top
-    )
-    SELECT n AS n_terms,
-           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS zipf_slope,
-           round((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx)
-                 / n / 1000000, 6) AS ln_c_intercept,
-           round(pow(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy, 2)
-                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r2
-    FROM s
-    """,
-)
-def zipf_fit_q(spark, sf_dir):
-    """Zipf's-law fit over the corpus vocabulary (the rank-frequency
-    log-log slope ~ -1 healthy text shows; a flat or broken slope
-    flags boilerplate or synthetic spam — a standard corpus-health
-    probe next to token_entropy): term counts collapse map-side, the
-    top-100 ranking runs on the vocab-sized frame, and the log-log OLS
-    uses micro-unit-quantized ln values so all five moments are exact
-    order-free BIGINTs (both engines agree on ln's 6dp rounding; the
-    slope is scale-invariant under the shared quantization). Output is
-    one row: slope (the Zipf exponent), intercept, fit R²."""
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    tc = (
-        docs.select(F.explode(F.split("text", " ")).alias("term"))
-        .filter(F.col("term") != "")
-        .groupBy("term")
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
-    ranked = tc.select(
-        "cnt",
-        F.row_number()
-        .over(Window.orderBy(F.col("cnt").desc(), "term"))
-        .cast("long")
-        .alias("rnk"),
-    ).filter(F.col("rnk") <= 100)
-    top = ranked.select(
-        F.expr("cast(round(ln(cast(rnk as double)) * 1000000) as bigint)").alias("x_u"),
-        F.expr("cast(round(ln(cast(cnt as double)) * 1000000) as bigint)").alias("y_u"),
-    )
-    s = top.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("x_u").cast("long").alias("sx"),
-        F.sum("y_u").cast("long").alias("sy"),
-        F.sum(F.col("x_u") * F.col("x_u")).cast("long").alias("sxx"),
-        F.sum(F.col("y_u") * F.col("y_u")).cast("long").alias("syy"),
-        F.sum(F.col("x_u") * F.col("y_u")).cast("long").alias("sxy"),
-    )
-    nd = F.col("n").cast("double")
-    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
-    den = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
-    deny = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
-    return s.select(
-        F.col("n").alias("n_terms"),
-        F.round(num / den, 6).alias("zipf_slope"),
-        F.round(
-            (F.col("sy").cast("double") - num / den * F.col("sx"))
-            / F.col("n")
-            / F.lit(1000000),
-            6,
-        ).alias("ln_c_intercept"),
-        F.round(F.pow(num, F.lit(2.0)) / (den * deny), 6).alias("r2"),
-    )
-
-
-@query(
-    "jackknife_variance",
-    oracle="""
-    WITH j AS (
-        SELECT n.n_name,
-               CAST(count(*) AS BIGINT) AS n_g,
-               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s_g
-        FROM orders o
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        JOIN nation n ON c.c_nationkey = n.n_nationkey
-        GROUP BY n.n_name
-    ), w AS (
-        SELECT n_g, s_g,
-               CAST(sum(n_g) OVER () AS BIGINT) AS nn,
-               CAST(sum(s_g) OVER () AS BIGINT) AS ss,
-               CAST(count(*) OVER () AS BIGINT) AS g
-        FROM j
-    ), t AS (
-        SELECT g, nn, ss,
-               CAST(round(CAST(ss - s_g AS DOUBLE) / (nn - n_g) / 100 * 1000000)
-                    AS BIGINT) AS t_u
-        FROM w
-    ), m AS (
-        SELECT g, nn, ss, t_u,
-               CAST(sum(t_u) OVER () AS BIGINT) AS st_u
-        FROM t
-    ), d AS (
-        SELECT g, nn, ss, st_u,
-               CAST(round(pow(CAST(t_u AS DOUBLE) / 1000000
-                              - CAST(st_u AS DOUBLE) / g / 1000000, 2) * 1000000)
-                    AS BIGINT) AS dev_u
-        FROM m
-    )
-    SELECT CAST(g AS BIGINT) AS n_groups,
-           round(CAST(ss AS DOUBLE) / nn / 100, 6) AS theta_hat,
-           round(CAST(st_u AS DOUBLE) / g / 1000000, 6) AS theta_bar,
-           round(sqrt((CAST(g AS DOUBLE) - 1) / g
-                      * (CAST(sum(dev_u) AS DOUBLE) / 1000000)), 6) AS jack_se,
-           round((CAST(g AS DOUBLE) - 1)
-                 * (CAST(st_u AS DOUBLE) / g / 1000000
-                    - CAST(ss AS DOUBLE) / nn / 100), 6) AS bias_est
-    FROM d GROUP BY g, nn, ss, st_u
-    """,
-)
-def jackknife_variance_q(spark, sf_dir):
-    """Delete-one-GROUP jackknife for the mean order value — the
-    resampling-free standard error a pipeline can afford at 100 TB
-    (delete-one-ROW is n passes; delete-one-group is ONE rollup): the
-    25 nation-level (n_g, Σprice) sufficient statistics are exact
-    cent-unit BIGINTs from one aggregate; every leave-one-out estimate
-    θ_(i) = (S-s_i)/(N-n_i) derives from those integers, quantizes to
-    micro-units, and the jackknife variance/bias then run as exact
-    integer sums over the 25-row frame. The statistic, its SE and the
-    bias estimate emit in one row."""
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    j = (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            F.count("*").cast("long").alias("n_g"),
-            F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
-            .cast("long")
-            .alias("s_g"),
-        )
-    )
-    wa = Window.partitionBy()
-    w = j.select(
-        "n_g",
-        "s_g",
-        F.sum("n_g").over(wa).cast("long").alias("nn"),
-        F.sum("s_g").over(wa).cast("long").alias("ss"),
-        F.count("*").over(wa).cast("long").alias("g"),
-    )
-    t = w.select(
-        "g",
-        "nn",
-        "ss",
-        F.expr(
-            "cast(round(cast(ss - s_g as double) / (nn - n_g) / 100 * 1000000) as bigint)"
-        ).alias("t_u"),
-    )
-    m = t.select("g", "nn", "ss", "t_u", F.sum("t_u").over(wa).cast("long").alias("st_u"))
-    d = m.select(
-        "g",
-        "nn",
-        "ss",
-        "st_u",
-        F.expr(
-            "cast(round(pow(cast(t_u as double) / 1000000"
-            " - cast(st_u as double) / g / 1000000, 2) * 1000000) as bigint)"
-        ).alias("dev_u"),
-    )
-    gd = F.col("g").cast("double")
-    return d.groupBy("g", "nn", "ss", "st_u").agg(
-        F.round(F.col("ss").cast("double") / F.col("nn") / F.lit(100), 6).alias("_th"),
-        F.round(F.col("st_u").cast("double") / F.col("g") / F.lit(1000000), 6).alias("_tb"),
-        F.round(
-            F.sqrt(
-                (gd - 1) / gd * (F.sum("dev_u").cast("double") / F.lit(1000000))
-            ),
-            6,
-        ).alias("_se"),
-        F.round(
-            (gd - 1)
-            * (
-                F.col("st_u").cast("double") / F.col("g") / F.lit(1000000)
-                - F.col("ss").cast("double") / F.col("nn") / F.lit(100)
-            ),
-            6,
-        ).alias("_bias"),
-    ).select(
-        F.col("g").cast("long").alias("n_groups"),
-        F.col("_th").alias("theta_hat"),
-        F.col("_tb").alias("theta_bar"),
-        F.col("_se").alias("jack_se"),
-        F.col("_bias").alias("bias_est"),
-    )
-
-
-# Poisson(1) inverse-CDF thresholds on the unit interval, shared as
-# literals by the Spark plan and the oracle (cumulative e^-1 * 1/k!).
-_POISSON1_CUM = (
-    0.36787944117144233,
-    0.7357588823428847,
-    0.9196986029286058,
-    0.9810118431238462,
-    0.9963401531726563,
-    0.9994058151824183,
-)
-
-
-def _poisson1_case(u: str) -> str:
-    """SQL CASE mapping a uniform [0,1) value to a Poisson(1) draw."""
-    branches = " ".join(
-        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POISSON1_CUM)
-    )
-    return f"(CASE {branches} ELSE 6 END)"
-
-
-_BOOT_U = H.dd_md5_long("(e.event_id::VARCHAR || ':' || r::VARCHAR)") + " / 1152921504606846976.0"
-
-
-@query(
-    "bootstrap_ci",
-    oracle=f"""
-    WITH reps AS (
-        SELECT r, CAST(round(e.value * 1000000) AS BIGINT) AS v_u,
-               {_poisson1_case(_BOOT_U)} AS w
-        FROM events e CROSS JOIN (SELECT unnest(range(50)) AS r)
-    ), m AS (
-        SELECT r, CAST(sum(w) AS BIGINT) AS n_w, CAST(sum(w * v_u) AS BIGINT) AS s_w
-        FROM reps GROUP BY r
-    ), mm AS (
-        SELECT CAST(s_w AS DOUBLE) / n_w / 1000000 AS mean_r,
-               CAST(round(CAST(s_w AS DOUBLE) / n_w) AS BIGINT) AS mean_u
-        FROM m
-    ), s AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_reps,
-               list_sort(list(mean_r)) AS vs,
-               CAST(sum(mean_u) AS BIGINT) AS sm,
-               CAST(sum(mean_u * mean_u) AS BIGINT) AS smm
-        FROM mm
-    ), pt AS (
-        SELECT CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sv
-        FROM events
-    )
-    SELECT pt.n AS n_rows, s.n_reps,
-           round(CAST(pt.sv AS DOUBLE) / pt.n / 1000000, 6) AS point_mean,
-           round(s.vs[2], 6) AS ci_lo,
-           round(s.vs[49], 6) AS ci_hi,
-           round(sqrt((CAST(s.smm AS DOUBLE) - CAST(s.sm AS DOUBLE) * s.sm / s.n_reps)
-                      / (s.n_reps - 1)) / 1000000, 6) AS boot_se
-    FROM s, pt
-    """,
-)
-def bootstrap_ci_q(spark, sf_dir):
-    """Poisson bootstrap CI for the mean event value (Chamandy/Google's
-    'Estimating Uncertainty for Massive Data Streams': per-row
-    independent Poisson(1) replicate weights make the bootstrap a
-    SINGLE distributed pass — no resampling shuffle, no driver RNG):
-    50 replicates explode map-side, each row's weight derives from the
-    shared md5 hash through literal inverse-CDF thresholds, so both
-    engines draw the SAME resamples. Replicate means come from exact
-    integer (Σw, Σw·v) pairs; the 2.5%%/97.5%% CI uses the exact
-    sorted-selection rule over the 50-row replicate frame and the
-    bootstrap SE uses micro-unit integer moments. At 100 TB: one scan,
-    50x map-side rows, a 50-row agg — the canonical error-bar plan."""
-    ev = load_table(spark, sf_dir, "events")
-    # Spark-side expression built from the same md5-long primitive
-    u_col = H.md5_long(
-        F.concat(F.col("event_id").cast("string"), F.lit(":"), F.col("r").cast("string"))
-    ) / F.lit(1152921504606846976.0)
-    w_col = F.lit(6)
-    for k in range(len(_POISSON1_CUM) - 1, -1, -1):
-        w_col = F.when(u_col < F.lit(_POISSON1_CUM[k]), F.lit(k)).otherwise(w_col)
-    reps = ev.select(
-        "event_id",
-        F.expr("cast(round(value * 1000000) as bigint)").alias("v_u"),
-        F.explode(F.sequence(F.lit(0), F.lit(49))).alias("r"),
-    ).select("r", "v_u", w_col.alias("w"))
-    m = reps.groupBy("r").agg(
-        F.sum("w").cast("long").alias("n_w"),
-        F.sum(F.col("w") * F.col("v_u")).cast("long").alias("s_w"),
-    )
-    mm = m.select(
-        (F.col("s_w").cast("double") / F.col("n_w") / F.lit(1000000)).alias("mean_r"),
-        F.expr("cast(round(cast(s_w as double) / n_w) as bigint)").alias("mean_u"),
-    )
-    s = mm.agg(
-        F.count("*").cast("long").alias("n_reps"),
-        F.sort_array(F.collect_list("mean_r")).alias("vs"),
-        F.sum("mean_u").cast("long").alias("sm"),
-        F.sum(F.col("mean_u") * F.col("mean_u")).cast("long").alias("smm"),
-    )
-    pt = ev.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(F.expr("cast(round(value * 1000000) as bigint)")).cast("long").alias("sv"),
-    )
-    nr = F.col("n_reps").cast("double")
-    return s.crossJoin(F.broadcast(pt)).select(
-        F.col("n").alias("n_rows"),
-        "n_reps",
-        F.round(F.col("sv").cast("double") / F.col("n") / F.lit(1000000), 6).alias(
-            "point_mean"
-        ),
-        F.round(F.get("vs", F.lit(1)), 6).alias("ci_lo"),
-        F.round(F.get("vs", F.lit(48)), 6).alias("ci_hi"),
-        F.round(
-            F.sqrt(
-                (
-                    F.col("smm").cast("double")
-                    - F.col("sm").cast("double") * F.col("sm") / nr
-                )
-                / (nr - 1)
-            )
-            / F.lit(1000000),
-            6,
-        ).alias("boot_se"),
-    )
-
-
-@query(
-    "partition_plan_sim",
-    oracle=f"""
-    WITH plans AS (SELECT unnest([8, 16, 64]) AS p),
-    keyed AS (
-        SELECT p, {H.dd_md5_long('user_id::VARCHAR')} %% p AS bucket,
-               CAST(count(*) AS BIGINT) AS rows_in_bucket
-        FROM events CROSS JOIN plans
-        GROUP BY p, bucket
-    )
-    SELECT CAST(p AS BIGINT) AS plan_partitions,
-           CAST(count(*) AS BIGINT) AS buckets_used,
-           CAST(sum(rows_in_bucket) AS BIGINT) AS total_rows,
-           CAST(max(rows_in_bucket) AS BIGINT) AS max_bucket_rows,
-           round(CAST(sum(rows_in_bucket) AS DOUBLE) / p, 6) AS mean_bucket_rows,
-           round(CAST(max(rows_in_bucket) AS DOUBLE)
-                 / (CAST(sum(rows_in_bucket) AS DOUBLE) / p), 6) AS skew_ratio
-    FROM keyed GROUP BY p
-    """.replace("%%", "%"),
-)
-def partition_plan_sim_q(spark, sf_dir):
-    """Shuffle-partition plan simulator: for candidate partition
-    counts (8/16/64), hash events.user_id with the engine-portable
-    md5 hash and measure the resulting bucket histogram — max bucket
-    vs mean (the straggler ratio AQE's skew-join would react to).
-    This is the planning readout behind `spark.sql.shuffle.partitions`
-    and repartition(): at 100 TB you run it on the 0.1%% hash sample
-    and read the skew_ratio BEFORE committing a shuffle. One scan
-    with a 3x map-side plan explode into a (plan, bucket)-bounded
-    aggregate; all counts exact."""
-    ev = load_table(spark, sf_dir, "events")
-    keyed = (
-        ev.select(
-            H.md5_long(F.col("user_id").cast("string")).alias("h"),
-            F.explode(F.array(F.lit(8), F.lit(16), F.lit(64))).alias("p"),
-        )
-        .groupBy("p", (F.col("h") % F.col("p")).alias("bucket"))
-        .agg(F.count("*").cast("long").alias("rows_in_bucket"))
-    )
-    return keyed.groupBy(F.col("p").cast("long").alias("plan_partitions")).agg(
-        F.count("*").cast("long").alias("buckets_used"),
-        F.sum("rows_in_bucket").cast("long").alias("total_rows"),
-        F.max("rows_in_bucket").cast("long").alias("max_bucket_rows"),
-        F.round(
-            F.sum("rows_in_bucket").cast("double") / F.col("plan_partitions"), 6
-        ).alias("mean_bucket_rows"),
-        F.round(
-            F.max("rows_in_bucket").cast("double")
-            / (F.sum("rows_in_bucket").cast("double") / F.col("plan_partitions")),
-            6,
-        ).alias("skew_ratio"),
-    )
-
-
-@query(
-    "postings_compression_stats",
-    oracle="""
-    WITH post AS (
-        SELECT DISTINCT term, doc_id FROM (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-        ) WHERE term <> ''
-    ), df AS (
-        SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term
-    ), gaps AS (
-        SELECT p.term,
-               COALESCE(p.doc_id - lag(p.doc_id) OVER (PARTITION BY p.term ORDER BY p.doc_id),
-                        p.doc_id + 1) AS gap
-        FROM post p
-    ), byt AS (
-        SELECT term,
-               CAST(sum(CASE WHEN gap < 128 THEN 1
-                             WHEN gap < 16384 THEN 2
-                             WHEN gap < 2097152 THEN 3
-                             WHEN gap < 268435456 THEN 4
-                             ELSE 5 END) AS BIGINT) AS vbytes,
-               CAST(count(*) AS BIGINT) AS n_post
-        FROM gaps GROUP BY term
-    )
-    SELECT CAST(length(bin(df.df)) AS BIGINT) AS df_bucket,
-           CAST(count(*) AS BIGINT) AS n_terms,
-           CAST(sum(b.n_post) AS BIGINT) AS n_postings,
-           CAST(sum(b.n_post) * 8 AS BIGINT) AS raw_bytes,
-           CAST(sum(b.vbytes) AS BIGINT) AS varint_bytes,
-           round(CAST(sum(b.n_post) * 8 AS DOUBLE) / sum(b.vbytes), 6)
-               AS compression_ratio
-    FROM byt b JOIN df ON b.term = df.term
-    GROUP BY length(bin(df.df))
-    """,
-)
-def postings_compression_stats_q(spark, sf_dir):
-    """Inverted-index size planning (the delta-gap + varint estimate
-    every IR engine runs before choosing a postings codec — Lucene's
-    VByte model): postings collapse to DISTINCT (term, doc_id), gaps
-    come from one lag() window on the term partitioning (the posting
-    lists' own sort order — at scale this IS the index build's
-    existing shuffle, reused), and varint byte counts are exact CASE
-    thresholds — no float log. Rolled up by document-frequency
-    magnitude bucket (length of df's binary representation — exact on
-    both engines), the readout is raw 8-byte postings vs
-    delta-varint bytes: the compression ratio that decides codec and
-    shard sizing for the keyword_index_* family's artifacts."""
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    post = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-        .filter(F.col("term") != "")
-        .distinct()
-    )
-    df = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    wg = Window.partitionBy("term").orderBy("doc_id")
-    gaps = post.select(
-        "term",
-        F.coalesce(
-            F.col("doc_id") - F.lag("doc_id").over(wg), F.col("doc_id") + 1
-        ).alias("gap"),
-    )
-    byt = gaps.groupBy("term").agg(
-        F.sum(
-            F.when(F.col("gap") < 128, 1)
-            .when(F.col("gap") < 16384, 2)
-            .when(F.col("gap") < 2097152, 3)
-            .when(F.col("gap") < 268435456, 4)
-            .otherwise(5)
-        )
-        .cast("long")
-        .alias("vbytes"),
-        F.count("*").cast("long").alias("n_post"),
-    )
-    return (
-        byt.join(df, "term")
-        .groupBy(F.length(F.bin("df")).cast("long").alias("df_bucket"))
-        .agg(
-            F.count("*").cast("long").alias("n_terms"),
-            F.sum("n_post").cast("long").alias("n_postings"),
-            (F.sum("n_post") * 8).cast("long").alias("raw_bytes"),
-            F.sum("vbytes").cast("long").alias("varint_bytes"),
-            F.round(
-                (F.sum("n_post") * 8).cast("double") / F.sum("vbytes"), 6
-            ).alias("compression_ratio"),
-        )
-    )
-
-
-@query(
-    "source_distinctive_terms",
-    oracle="""
-    WITH tc AS (
-        SELECT source, term, CAST(count(*) AS BIGINT) AS y FROM (
-            SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
-        ) WHERE term <> '' GROUP BY source, term
-    ), st AS (
-        SELECT source, CAST(sum(y) AS BIGINT) AS n_s FROM tc GROUP BY source
-    ), tt AS (
-        SELECT term, CAST(sum(y) AS BIGINT) AS y_t FROM tc GROUP BY term
-    ), tot AS (
-        SELECT CAST(sum(y) AS BIGINT) AS nn FROM tc
-    ), sc AS (
-        SELECT tc.source, tc.term, tc.y,
-               ln((tc.y + 0.5) / (st.n_s - tc.y + 0.5))
-               - ln((tt.y_t - tc.y + 0.5) / (tot.nn - st.n_s - tt.y_t + tc.y + 0.5))
-                   AS delta,
-               sqrt(1.0 / (tc.y + 0.5) + 1.0 / (tt.y_t - tc.y + 0.5)) AS sigma
-        FROM tc JOIN st USING (source) JOIN tt USING (term) CROSS JOIN tot
-        WHERE tc.y >= 5
-    )
-    SELECT source, term, y AS term_count, round(z, 6) AS z_score, rnk FROM (
-        SELECT source, term, y, delta / sigma AS z,
-               CAST(row_number() OVER (PARTITION BY source
-                                       ORDER BY delta / sigma DESC, term) AS BIGINT)
-                   AS rnk
-        FROM sc
-    ) WHERE rnk <= 5
-    """,
-)
-def source_distinctive_terms_q(spark, sf_dir):
-    """Distinctive vocabulary per source via log-odds with Dirichlet
-    smoothing and a z-score (Monroe/Colaresi/Quinn '08 'Fightin'
-    Words' — the corpus-comparison method that beats raw TF-IDF for
-    'what makes this slice different', used to audit source mix in
-    training data): (source, term) counts collapse map-side; source
-    and term marginals are two bounded rollups joined back (term
-    marginal shuffles on the vocab key, never the corpus); the
-    log-odds delta and its variance are single double expressions
-    over exact integers, ranked per source with deterministic ties.
-    Top-5 terms per source."""
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    tc = (
-        docs.select("source", F.explode(F.split("text", " ")).alias("term"))
-        .filter(F.col("term") != "")
-        .groupBy("source", "term")
-        .agg(F.count("*").cast("long").alias("y"))
-    )
-    st = tc.groupBy("source").agg(F.sum("y").cast("long").alias("n_s"))
-    tt = tc.groupBy("term").agg(F.sum("y").cast("long").alias("y_t"))
-    tot = tc.agg(F.sum("y").cast("long").alias("nn"))
-    sc = (
-        tc.join(F.broadcast(st), "source")
-        .join(tt, "term")
-        .crossJoin(F.broadcast(tot))
-        .filter(F.col("y") >= 5)
-        .select(
-            "source",
-            "term",
-            "y",
-            (
-                F.log((F.col("y") + 0.5) / (F.col("n_s") - F.col("y") + 0.5))
-                - F.log(
-                    (F.col("y_t") - F.col("y") + 0.5)
-                    / (F.col("nn") - F.col("n_s") - F.col("y_t") + F.col("y") + 0.5)
-                )
-            ).alias("delta"),
-            F.sqrt(
-                1.0 / (F.col("y") + 0.5) + 1.0 / (F.col("y_t") - F.col("y") + 0.5)
-            ).alias("sigma"),
-        )
-    )
-    ranked = sc.select(
-        "source",
-        "term",
-        "y",
-        (F.col("delta") / F.col("sigma")).alias("z"),
-    ).withColumn(
-        "rnk",
-        F.row_number()
-        .over(Window.partitionBy("source").orderBy(F.col("z").desc(), "term"))
-        .cast("long"),
-    )
-    return ranked.filter(F.col("rnk") <= 5).select(
-        "source",
-        "term",
-        F.col("y").alias("term_count"),
-        F.round("z", 6).alias("z_score"),
-        "rnk",
-    )
-
-
-@query(
-    "psi_drift",
-    oracle="""
-    WITH b AS (
-        SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS cut,
-               min(CAST(round(value * 1000000) AS BIGINT)) AS lo,
-               max(CAST(round(value * 1000000) AS BIGINT)) AS hi
-        FROM events
-    ), s AS (
-        SELECT event_type,
-               least(CAST((CAST(round(value * 1000000) AS BIGINT) - b.lo) * 10
-                          // (b.hi - b.lo + 1) AS BIGINT), 9) AS bin,
-               CASE WHEN epoch_ns(ts) <= b.cut THEN 1 ELSE 0 END AS pre
-        FROM events, b
-    ), g AS (
-        SELECT event_type, bin,
-               CAST(sum(pre) AS BIGINT) AS c_a,
-               CAST(sum(1 - pre) AS BIGINT) AS c_b
-        FROM s GROUP BY event_type, bin
-    ), t AS (
-        SELECT event_type, bin, c_a, c_b,
-               CAST(sum(c_a) OVER (PARTITION BY event_type) AS BIGINT) AS n_a,
-               CAST(sum(c_b) OVER (PARTITION BY event_type) AS BIGINT) AS n_b
-        FROM g
-    ), c AS (
-        SELECT event_type, bin, c_a, c_b,
-               round((CAST(c_a + 1 AS DOUBLE) / (n_a + 10)
-                      - CAST(c_b + 1 AS DOUBLE) / (n_b + 10))
-                     * ln((CAST(c_a + 1 AS DOUBLE) / (n_a + 10))
-                          / (CAST(c_b + 1 AS DOUBLE) / (n_b + 10))), 6) AS contrib
-        FROM t
-    )
-    SELECT event_type, CAST(bin AS BIGINT) AS bin, c_a AS n_pre, c_b AS n_post,
-           contrib,
-           round(CAST(sum(CAST(round(contrib * 1000000) AS BIGINT))
-                      OVER (PARTITION BY event_type) AS DOUBLE) / 1000000, 6) AS psi
-    FROM c
-    """,
-)
-def psi_drift_q(spark, sf_dir):
-    """Population Stability Index between the first and second half of
-    the event stream, per event type (the model-monitoring drift
-    gauge: PSI < 0.1 stable, > 0.25 retrain — the VALUE-distribution
-    drift partner to embedding_drift/vocab_drift): global cut/lo/hi
-    ride one broadcast scalar row; rows bin by exact integer
-    arithmetic into 10 fixed-width buckets; Laplace-smoothed shares
-    keep ln finite with identical smoothing on both engines; each
-    bin's contribution rounds to 6dp and the per-type PSI sums those
-    micro-unit integers — order-free. One fact shuffle to the
-    (type, bin) frame."""
-    ev = load_table(spark, sf_dir, "events")
-    b = ev.agg(
-        F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("cut"),
-        F.min(F.expr("cast(round(value * 1000000) as bigint)")).alias("lo"),
-        F.max(F.expr("cast(round(value * 1000000) as bigint)")).alias("hi"),
-    )
-    s = ev.crossJoin(F.broadcast(b)).select(
-        "event_type",
-        F.least(
-            F.expr(
-                "(cast(round(value * 1000000) as bigint) - lo) * 10 div (hi - lo + 1)"
-            ).cast("long"),
-            F.lit(9).cast("long"),
-        ).alias("bin"),
-        F.when(F.col("ts_ns") <= F.col("cut"), 1).otherwise(0).alias("pre"),
-    )
-    g = s.groupBy("event_type", "bin").agg(
-        F.sum("pre").cast("long").alias("c_a"),
-        F.sum(1 - F.col("pre")).cast("long").alias("c_b"),
-    )
-    wt = Window.partitionBy("event_type")
-    t = g.select(
-        "event_type",
-        "bin",
-        "c_a",
-        "c_b",
-        F.sum("c_a").over(wt).cast("long").alias("n_a"),
-        F.sum("c_b").over(wt).cast("long").alias("n_b"),
-    )
-    pa = (F.col("c_a") + 1).cast("double") / (F.col("n_a") + 10)
-    pb = (F.col("c_b") + 1).cast("double") / (F.col("n_b") + 10)
-    c = t.select(
-        "event_type",
-        "bin",
-        "c_a",
-        "c_b",
-        F.round((pa - pb) * F.log(pa / pb), 6).alias("contrib"),
-    )
-    return c.select(
-        "event_type",
-        F.col("bin").cast("long"),
-        F.col("c_a").alias("n_pre"),
-        F.col("c_b").alias("n_post"),
-        "contrib",
-        F.round(
-            F.sum(F.expr("cast(round(contrib * 1000000) as bigint)"))
-            .over(wt)
-            .cast("double")
-            / F.lit(1000000),
-            6,
-        ).alias("psi"),
-    )
-
-
-def _assortativity_oracle() -> str:
-    base = _knn_graph_oracle().rsplit("SELECT src, dst", 1)[0]
-    return (
-        base
-        + """
-    , edges AS (SELECT src, dst FROM ranked WHERE rank <= 3),
-    od AS (SELECT src, CAST(count(*) AS BIGINT) AS outd FROM edges GROUP BY src),
-    idg AS (SELECT dst, CAST(count(*) AS BIGINT) AS ind FROM edges GROUP BY dst),
-    dd AS (
-        SELECT od.outd AS x, idg.ind AS y
-        FROM edges e JOIN od ON e.src = od.src JOIN idg ON e.dst = idg.dst
-    ), s AS (
-        SELECT CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-               CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
-               CAST(sum(x * y) AS BIGINT) AS sxy
-        FROM dd
-    )
-    SELECT n AS n_edges,
-           round(CAST(sx AS DOUBLE) / n, 6) AS mean_src_outdeg,
-           round(CAST(sy AS DOUBLE) / n, 6) AS mean_dst_indeg,
-           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL
-                ELSE round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                           / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                                  * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
-           END AS assortativity
-    FROM s
-    """
-    )
-
-
-@query("knn_graph_assortativity")  # oracle attached below (plane literals)
-def knn_graph_assortativity_q(spark, sf_dir):
-    """Degree assortativity of the kNN graph (Newman '02: do
-    well-connected vectors point at other well-connected vectors?) —
-    the hub-structure diagnostic for graph-ANN builds: strongly
-    DISassortative kNN graphs concentrate traffic through hub nodes
-    (the in-degree hubs knn_graph_degree_stats counts), which is
-    exactly where HNSW level assignment and NN-descent sampling need
-    care. Reuses the shared LSH-bounded edge build; out/in degree
-    rollups join back onto the edge list (all (src,dst)-long frames),
-    and the Pearson correlation of (outdeg(src), indeg(dst)) across
-    edges comes from exact BIGINT moments in one aggregate."""
-    edges = _knn_graph_edges(spark, sf_dir).select("src", "dst")
-    od = edges.groupBy("src").agg(F.count("*").cast("long").alias("outd"))
-    idg = edges.groupBy("dst").agg(F.count("*").cast("long").alias("ind"))
-    dd = (
-        edges.join(od, "src")
-        .join(idg, "dst")
-        .select(F.col("outd").alias("x"), F.col("ind").alias("y"))
-    )
-    s = dd.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-    )
-    nd = F.col("n").cast("double")
-    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
-    den = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
-    deny = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
-    den0 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    deny0 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    return s.select(
-        F.col("n").alias("n_edges"),
-        F.round(F.col("sx").cast("double") / F.col("n"), 6).alias("mean_src_outdeg"),
-        F.round(F.col("sy").cast("double") / F.col("n"), 6).alias("mean_dst_indeg"),
-        F.when(den0 * deny0 == 0, F.lit(None).cast("double"))
-        .otherwise(F.round(num / F.sqrt(den * deny), 6))
-        .alias("assortativity"),
-    )
-
-
-ORACLES["knn_graph_assortativity"] = _assortativity_oracle()
-
-
-@query(
-    "bm25_tuning_grid",
-    oracle="""
-    WITH grid AS (
-        SELECT unnest([1.2, 1.2, 0.6, 2.0]) AS k1,
-               unnest([0.75, 0.25, 0.75, 0.75]) AS b
-    ), toks AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS dl,
-               unnest(string_split(text, ' ')) AS term
-        FROM documents
-    ), qtoks AS (
-        SELECT * FROM toks WHERE term IN ('spark', 'join', 'fast')
-    ), tf AS (
-        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
-        FROM qtoks GROUP BY doc_id, term
-    ), stats AS (
-        SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl FROM documents
-    ), dfreq AS (
-        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
-    ), bm25 AS (
-        SELECT g.k1, g.b, tf.doc_id,
-               sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
-                   * (tf.tf * (g.k1 + 1))
-                   / (tf.tf + g.k1 * (1 - g.b + g.b * tf.dl / s.avgdl))) AS score
-        FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s CROSS JOIN grid g
-        GROUP BY g.k1, g.b, tf.doc_id
-    )
-    SELECT k1, b, CAST(rnk AS BIGINT) AS rnk, doc_id, round(score, 6) AS bm25 FROM (
-        SELECT k1, b, doc_id, score,
-               row_number() OVER (PARTITION BY k1, b ORDER BY score DESC, doc_id) AS rnk
-        FROM bm25
-    ) WHERE rnk <= 5
-    """,
-)
-def bm25_tuning_grid_q(spark, sf_dir):
-    """BM25 (k1, b) hyper-parameter grid in ONE plan (the relevance
-    tuning sweep an IR team runs before freezing index params —
-    ann_probe_sweep's keyword-side sibling): the expensive work
-    (tokenize, tf, df, corpus stats) happens ONCE; the 4-combo grid
-    is a broadcast literal frame joined at the SCORING step, so each
-    extra combo costs one more agg row per (doc, combo), not another
-    corpus scan. Per-combo top-5 with deterministic ties."""
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    grid = spark.createDataFrame(
-        [(1.2, 0.75), (1.2, 0.25), (0.6, 0.75), (2.0, 0.75)], "k1 double, b double"
-    )
-    toks = docs.select(
-        "doc_id",
-        F.size(F.split("text", " ")).alias("dl"),
-        F.explode(F.split("text", " ")).alias("term"),
-    )
-    qtoks = toks.filter(F.col("term").isin("spark", "join", "fast"))
-    tf = qtoks.groupBy("doc_id", "term").agg(
-        F.count("*").cast("double").alias("tf"), F.min("dl").alias("dl")
-    )
-    stats = docs.agg(
-        F.count("*").alias("n"), F.avg(F.size(F.split("text", " "))).alias("avgdl")
-    )
-    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .crossJoin(F.broadcast(grid))
-        .groupBy("k1", "b", "doc_id")
-        .agg(
-            F.sum(
-                F.log(
-                    1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                )
-                * (F.col("tf") * (F.col("k1") + 1))
-                / (
-                    F.col("tf")
-                    + F.col("k1")
-                    * (1 - F.col("b") + F.col("b") * F.col("dl") / F.col("avgdl"))
-                )
-            ).alias("score")
-        )
-    )
-    ranked = scored.withColumn(
-        "rnk",
-        F.row_number()
-        .over(Window.partitionBy("k1", "b").orderBy(F.col("score").desc(), "doc_id"))
-        .cast("long"),
-    )
-    return ranked.filter(F.col("rnk") <= 5).select(
-        "k1", "b", "rnk", "doc_id", F.round("score", 6).alias("bm25")
-    )
-
-
-@query(
-    "snippet_extraction",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, text,
-               unnest(string_split(text, ' ')) AS term,
-               CAST(unnest(range(len(string_split(text, ' ')))) AS BIGINT) AS pos
-        FROM documents
-    ), hits AS (
-        SELECT doc_id, pos FROM toks WHERE term IN ('spark', 'join', 'fast')
-    ), win AS (
-        SELECT a.doc_id, a.pos AS start_pos, CAST(count(*) AS BIGINT) AS n_hits
-        FROM hits a JOIN hits b
-          ON a.doc_id = b.doc_id AND b.pos >= a.pos AND b.pos < a.pos + 20
-        GROUP BY a.doc_id, a.pos
-    ), best AS (
-        SELECT doc_id, start_pos, n_hits FROM (
-            SELECT doc_id, start_pos, n_hits,
-                   row_number() OVER (PARTITION BY doc_id
-                                      ORDER BY n_hits DESC, start_pos) AS r
-            FROM win
-        ) WHERE r = 1
-    ), top AS (
-        SELECT b.doc_id, b.start_pos, b.n_hits,
-               array_to_string(string_split(d.text, ' ')
-                   [CAST(b.start_pos + 1 AS INTEGER)
-                    : CAST(b.start_pos + 20 AS INTEGER)], ' ') AS snippet,
-               row_number() OVER (ORDER BY b.n_hits DESC, b.doc_id) AS rnk
-        FROM best b JOIN documents d USING (doc_id)
-    )
-    SELECT doc_id, start_pos, n_hits, snippet, CAST(rnk AS BIGINT) AS rnk
-    FROM top WHERE rnk <= 10
-    """,
-)
-def snippet_extraction_q(spark, sf_dir):
-    """Extractive snippet/highlighting (the result-page feature next
-    to keyword search: the densest 20-token window of query-term
-    hits per document): term positions from one posexplode; candidate
-    windows anchor at hit positions only, so the per-doc range
-    self-join is hits²-bounded (never dl²); best window per doc by
-    deterministic (density, position) order; top-10 docs re-join
-    documents ONLY for the 10 winners to slice the snippet text —
-    at 100 TB the text column is fetched for k docs, not the corpus."""
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
-    )
-    hits = toks.filter(F.col("term").isin("spark", "join", "fast")).select(
-        "doc_id", F.col("pos").cast("long").alias("pos")
-    )
-    a, bb = hits.alias("a"), hits.alias("b")
-    win = (
-        a.join(
-            bb,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("b.pos") >= F.col("a.pos"))
-            & (F.col("b.pos") < F.col("a.pos") + 20),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_id"), F.col("a.pos").alias("start_pos"))
-        .agg(F.count("*").cast("long").alias("n_hits"))
-    )
-    best = (
-        win.withColumn(
-            "r",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy(
-                    F.col("n_hits").desc(), "start_pos"
-                )
-            ),
-        )
-        .filter(F.col("r") == 1)
-        .drop("r")
-    )
-    top = best.withColumn(
-        "rnk",
-        F.row_number()
-        .over(Window.orderBy(F.col("n_hits").desc(), "doc_id"))
-        .cast("long"),
-    ).filter(F.col("rnk") <= 10)
-    return (
-        top.join(docs.select("doc_id", "text"), "doc_id")
-        .select(
-            "doc_id",
-            "start_pos",
-            "n_hits",
-            F.array_join(
-                F.slice(
-                    F.split("text", " "),
-                    (F.col("start_pos") + 1).cast("int"),
-                    20,
-                ),
-                " ",
-            ).alias("snippet"),
-            "rnk",
-        )
-    )
-
-
-@query(
-    "cross_source_duplication",
-    oracle=f"""
-    WITH {_DD_SHINGLES}, {_DD_MINHASH_SIG}, {_DD_BANDS},
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a
-        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
-                    AND a.doc_id < b.doc_id
-    ), sp AS (
-        SELECT least(da.source, db.source) AS source_a,
-               greatest(da.source, db.source) AS source_b,
-               CAST(count(*) AS BIGINT) AS n_pairs
-        FROM pairs p
-        JOIN documents da ON p.doc_a = da.doc_id
-        JOIN documents db ON p.doc_b = db.doc_id
-        GROUP BY least(da.source, db.source), greatest(da.source, db.source)
-    ), dim AS (
-        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
-        FROM documents GROUP BY source
-    )
-    SELECT sp.source_a, sp.source_b, sp.n_pairs,
-           CAST(CASE WHEN sp.source_a = sp.source_b
-                     THEN a.n_docs * (a.n_docs - 1) / 2
-                     ELSE a.n_docs * b.n_docs END AS BIGINT) AS possible_pairs,
-           round(CAST(sp.n_pairs AS DOUBLE)
-                 / (CASE WHEN sp.source_a = sp.source_b
-                         THEN a.n_docs * (a.n_docs - 1) / 2
-                         ELSE a.n_docs * b.n_docs END), 6) AS dup_rate
-    FROM sp
-    JOIN dim a ON sp.source_a = a.source
-    JOIN dim b ON sp.source_b = b.source
-    """,
-)
-def cross_source_duplication_q(spark, sf_dir):
-    """Cross-SOURCE near-duplication matrix (which feeds copy from
-    each other — the provenance audit run before setting per-source
-    sampling weights, since duplicated sources double-count in the
-    mix): MinHash-LSH candidate pairs from the shared banding build
-    (bucket-bound, never n²) roll up to an ordered (source, source)
-    matrix; the tiny per-source dims broadcast back to normalize into
-    duplication rates against possible-pair counts. The matrix is
-    |sources|²-bounded — the readout corpus_mix and
-    corpus_temperature_mix consume."""
-    from .operators import dedup
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.dedup_minhash_lsh(docs).select("doc_a", "doc_b").distinct()
-    src = docs.select("doc_id", "source")
-    sp = (
-        pairs.join(src.withColumnRenamed("source", "_sa"), pairs.doc_a == src.doc_id)
-        .drop("doc_id")
-        .join(
-            src.withColumnRenamed("source", "_sb").withColumnRenamed("doc_id", "_id2"),
-            F.col("doc_b") == F.col("_id2"),
-        )
-        .groupBy(
-            F.least("_sa", "_sb").alias("source_a"),
-            F.greatest("_sa", "_sb").alias("source_b"),
-        )
-        .agg(F.count("*").cast("long").alias("n_pairs"))
-    )
-    dim = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
-    possible = F.when(
-        F.col("source_a") == F.col("source_b"),
-        F.col("_na") * (F.col("_na") - 1) / 2,
-    ).otherwise(F.col("_na") * F.col("_nb"))
-    return (
-        sp.join(
-            F.broadcast(dim.select(F.col("source").alias("source_a"), F.col("n_docs").alias("_na"))),
-            "source_a",
-        )
-        .join(
-            F.broadcast(dim.select(F.col("source").alias("source_b"), F.col("n_docs").alias("_nb"))),
-            "source_b",
-        )
-        .select(
-            "source_a",
-            "source_b",
-            "n_pairs",
-            possible.cast("long").alias("possible_pairs"),
-            F.round(F.col("n_pairs").cast("double") / possible, 6).alias("dup_rate"),
-        )
-    )
-
-
-@query(
-    "holt_forecast",
-    oracle="""
-    WITH m AS (
-        SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS month_id,
-               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
-        FROM orders GROUP BY month_id
-    ), ser AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_months,
-               list(CAST(rev_c AS DOUBLE) / 100 ORDER BY month_id) AS ys
-        FROM m
-    ), fit AS (
-        SELECT n_months,
-               list_reduce(
-                   list_transform(ys, y -> [y, 0.0, 0.0]),
-                   (acc, x) -> [0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
-                                0.3 * (0.5 * x[1] + 0.5 * (acc[1] + acc[2]) - acc[1])
-                                + 0.7 * acc[2],
-                                1.0]) AS st
-        FROM ser
-    )
-    SELECT CAST(h AS BIGINT) AS horizon, n_months,
-           round(st[1], 6) AS level_end,
-           round(st[2], 6) AS trend_end,
-           round(st[1] + h * st[2], 6) AS forecast
-    FROM fit CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
-    """,
-)
-def holt_forecast_q(spark, sf_dir):
-    """Holt double-exponential smoothing over monthly revenue with a
-    3-month forecast (the trend-aware upgrade to revenue_forecast's
-    OLS line — level + trend adapt to recent months instead of
-    weighting all history equally; alpha=0.5, beta=0.3): the fact
-    table collapses to exact cent-unit MONTH totals first, and the
-    inherently sequential recursion runs as an ordered left fold over
-    that ~80-element series — survival_km's bit-identical
-    ordered-fold posture, with [level, trend] as the fold state. The
-    first element seeds level (trend 0); both engines then apply the
-    identical recurrence left-to-right."""
-    o = load_table(spark, sf_dir, "orders")
-    m = o.groupBy(
-        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1).alias(
-            "month_id"
-        )
-    ).agg(
-        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
-        .cast("long")
-        .alias("rev_c")
-    )
-    ser = m.agg(
-        F.count("*").cast("long").alias("n_months"),
-        F.transform(
-            F.sort_array(
-                F.collect_list(
-                    F.struct("month_id", (F.col("rev_c").cast("double") / 100).alias("y"))
-                )
-            ),
-            lambda s: s.y,
-        ).alias("ys"),
-    )
-    def step(acc, y):
-        new_l = 0.5 * y + 0.5 * (acc[0] + acc[1])
-        new_b = 0.3 * (0.5 * y + 0.5 * (acc[0] + acc[1]) - acc[0]) + 0.7 * acc[1]
-        return F.when(
-            acc[2] == 0.0, F.array(y, F.lit(0.0), F.lit(1.0))
-        ).otherwise(F.array(new_l, new_b, F.lit(1.0)))
-
-    fit = ser.select(
-        "n_months",
-        F.aggregate(
-            F.col("ys"),
-            F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0)),
-            step,
-        ).alias("st"),
-    )
-    h = spark.range(1, 4).select(F.col("id").alias("horizon"))
-    return fit.crossJoin(F.broadcast(h)).select(
-        "horizon",
-        "n_months",
-        F.round(F.col("st")[0], 6).alias("level_end"),
-        F.round(F.col("st")[1], 6).alias("trend_end"),
-        F.round(F.col("st")[0] + F.col("horizon") * F.col("st")[1], 6).alias("forecast"),
-    )
-
-
-@query(
-    "kendall_tau_ranks",
-    oracle="""
-    WITH g AS (
-        SELECT n.n_name,
-               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c,
-               CAST(count(*) AS BIGINT) AS n_orders
-        FROM orders o
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        JOIN nation n ON c.c_nationkey = n.n_nationkey
-        GROUP BY n.n_name
-    ), p AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-               CAST(sum(CASE WHEN (a.rev_c - b.rev_c) * (a.n_orders - b.n_orders) > 0
-                             THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
-               CAST(sum(CASE WHEN (a.rev_c - b.rev_c) * (a.n_orders - b.n_orders) < 0
-                             THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
-               CAST(sum(CASE WHEN a.rev_c = b.rev_c THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
-               CAST(sum(CASE WHEN a.n_orders = b.n_orders THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
-        FROM g a JOIN g b ON a.n_name < b.n_name
-    )
-    SELECT n_pairs, concordant, discordant,
-           round((CAST(concordant AS DOUBLE) - discordant)
-                 / sqrt(CAST(n_pairs - ties_x AS DOUBLE) * (n_pairs - ties_y)), 6)
-               AS tau_b
-    FROM p
-    """,
-)
-def kendall_tau_ranks_q(spark, sf_dir):
-    """Kendall tau-b agreement between two per-nation rankings
-    (revenue rank vs order-count rank — the rank-stability check
-    behind 'does the cheap metric order segments like the expensive
-    one?', pairing with topk_stability's overlap view): the fact
-    joins collapse to a 25-row (nation, revenue, orders) frame, and
-    concordant/discordant/tie counts come from the exact-integer
-    pairwise self-join over that BOUNDED frame (|groups|², never
-    data-sized). tau-b's tie correction uses the same exact counts;
-    one double expression at emit."""
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    g = (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
-            .cast("long")
-            .alias("rev_c"),
-            F.count("*").cast("long").alias("n_orders"),
-        )
-    )
-    a, b = g.alias("a"), g.alias("b")
-    p = (
-        a.join(b, F.col("a.n_name") < F.col("b.n_name"))
-        .agg(
-            F.count("*").cast("long").alias("n_pairs"),
-            F.sum(
-                F.when(
-                    (F.col("a.rev_c") - F.col("b.rev_c"))
-                    * (F.col("a.n_orders") - F.col("b.n_orders"))
-                    > 0,
-                    1,
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("concordant"),
-            F.sum(
-                F.when(
-                    (F.col("a.rev_c") - F.col("b.rev_c"))
-                    * (F.col("a.n_orders") - F.col("b.n_orders"))
-                    < 0,
-                    1,
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("discordant"),
-            F.sum(F.when(F.col("a.rev_c") == F.col("b.rev_c"), 1).otherwise(0))
-            .cast("long")
-            .alias("ties_x"),
-            F.sum(F.when(F.col("a.n_orders") == F.col("b.n_orders"), 1).otherwise(0))
-            .cast("long")
-            .alias("ties_y"),
-        )
-    )
-    return p.select(
-        "n_pairs",
-        "concordant",
-        "discordant",
-        F.round(
-            (F.col("concordant").cast("double") - F.col("discordant"))
-            / F.sqrt(
-                (F.col("n_pairs") - F.col("ties_x")).cast("double")
-                * (F.col("n_pairs") - F.col("ties_y"))
-            ),
-            6,
-        ).alias("tau_b"),
-    )
-
-
-@query(
-    "ab_power_analysis",
-    oracle="""
-    WITH b AS (
-        SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS cut FROM events
-    ), s AS (
-        SELECT event_type, epoch_ns(ts) <= b.cut AS pre,
-               CAST(round(value * 1000) AS BIGINT) AS v_m
-        FROM events, b
-    ), a AS (
-        SELECT event_type,
-               CAST(sum(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-               CAST(sum(CASE WHEN pre THEN 0 ELSE 1 END) AS BIGINT) AS n2,
-               CAST(sum(CASE WHEN pre THEN v_m ELSE 0 END) AS BIGINT) AS s1,
-               CAST(sum(CASE WHEN pre THEN 0 ELSE v_m END) AS BIGINT) AS s2,
-               CAST(sum(CASE WHEN pre THEN v_m * v_m ELSE 0 END) AS BIGINT) AS q1,
-               CAST(sum(CASE WHEN pre THEN 0 ELSE v_m * v_m END) AS BIGINT) AS q2
-        FROM s GROUP BY event_type
-    ), d AS (
-        SELECT event_type, n1, n2,
-               (CAST(s2 AS DOUBLE) / n2 - CAST(s1 AS DOUBLE) / n1) / 1000 AS delta,
-               ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / 1000000 AS var1,
-               ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1)) / 1000000 AS var2
-        FROM a
-    )
-    SELECT event_type, n1 AS n_pre, n2 AS n_post,
-           round(delta, 6) AS observed_delta,
-           CAST(ceil(pow(1.959964 + 0.841621, 2) * (var1 + var2)
-                     / (delta * delta)) AS BIGINT) AS n_required_per_arm,
-           least(n1, n2) >= ceil(pow(1.959964 + 0.841621, 2) * (var1 + var2)
-                                 / (delta * delta)) AS adequately_powered
-    FROM d
-    """,
-)
-def ab_power_analysis_q(spark, sf_dir):
-    """Two-sample power analysis per event type (the 'is this A/B test
-    big enough?' calculator — 80%% power at alpha=0.05 via the
-    standard (z_a/2 + z_b)^2 (s1^2+s2^2)/delta^2 rule, z constants as
-    shared literals): reuses ab_welch_ttest's exact milli-unit
-    conditional moments (one scan, one agg), so the observed effect,
-    both variances and the required-n all derive from identical
-    integers on both engines. The adequately_powered flag is the
-    go/no-go readout an experimentation stack surfaces next to the
-    t-stat."""
-    ev = load_table(spark, sf_dir, "events")
-    b = ev.agg(F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("cut"))
-    s = ev.crossJoin(F.broadcast(b)).select(
-        "event_type",
-        (F.col("ts_ns") <= F.col("cut")).alias("pre"),
-        F.expr("cast(round(value * 1000) as bigint)").alias("v_m"),
-    )
-    a = s.groupBy("event_type").agg(
-        F.sum(F.when(F.col("pre"), 1).otherwise(0)).cast("long").alias("n1"),
-        F.sum(F.when(F.col("pre"), 0).otherwise(1)).cast("long").alias("n2"),
-        F.sum(F.when(F.col("pre"), F.col("v_m")).otherwise(0)).cast("long").alias("s1"),
-        F.sum(F.when(F.col("pre"), 0).otherwise(F.col("v_m"))).cast("long").alias("s2"),
-        F.sum(F.when(F.col("pre"), F.col("v_m") * F.col("v_m")).otherwise(0))
-        .cast("long")
-        .alias("q1"),
-        F.sum(F.when(F.col("pre"), 0).otherwise(F.col("v_m") * F.col("v_m")))
-        .cast("long")
-        .alias("q2"),
-    )
-    delta = (
-        F.col("s2").cast("double") / F.col("n2")
-        - F.col("s1").cast("double") / F.col("n1")
-    ) / F.lit(1000)
-    var1 = (
-        (F.col("q1").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n1"))
-        / (F.col("n1") - 1)
-    ) / F.lit(1000000)
-    var2 = (
-        (F.col("q2").cast("double") - F.col("s2").cast("double") * F.col("s2") / F.col("n2"))
-        / (F.col("n2") - 1)
-    ) / F.lit(1000000)
-    req = F.ceil(
-        F.pow(F.lit(1.959964) + F.lit(0.841621), F.lit(2.0))
-        * (var1 + var2)
-        / (delta * delta)
-    )
-    return a.select(
-        "event_type",
-        F.col("n1").alias("n_pre"),
-        F.col("n2").alias("n_post"),
-        F.round(delta, 6).alias("observed_delta"),
-        req.cast("long").alias("n_required_per_arm"),
-        (F.least("n1", "n2") >= req).alias("adequately_powered"),
-    )
-
-
-def _classifier_pr_curve_oracle() -> str:
-    base = _classifier_calibration_oracle().rsplit(", binned AS", 1)[0]
-    return (
-        base
-        + """
-    , thr AS (
-        SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS tau
-    ), j AS (
-        SELECT t.tau,
-               CAST(sum(CASE WHEN p.prob >= t.tau AND l.label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-               CAST(sum(CASE WHEN p.prob >= t.tau AND NOT l.label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-               CAST(sum(CASE WHEN p.prob < t.tau AND l.label THEN 1 ELSE 0 END) AS BIGINT) AS fn
-        FROM probs p JOIN labels l ON l.doc_id = p.doc_id CROSS JOIN thr t
-        GROUP BY t.tau
-    )
-    SELECT tau, tp, fp, fn,
-           CASE WHEN tp + fp = 0 THEN NULL
-                ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precis,
-           CASE WHEN tp + fn = 0 THEN NULL
-                ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
-           CASE WHEN tp = 0 THEN NULL
-                ELSE round(2.0 * tp / (2.0 * tp + fp + fn), 6) END AS f1
-    FROM j
-    """
-    )
-
-
-@query("classifier_pr_curve", oracle=None)  # oracle attached below (weight literals)
-def classifier_pr_curve_q(spark, sf_dir):
-    """Precision/recall/F1 curve for the learned quality scorer over a
-    9-point threshold grid (the operating-point selection step after
-    classifier_calibration says the probabilities are honest — a data
-    team picks tau off THIS table): one classifier pass + one gate
-    pass share the doc_id join (same frames as calibration); the
-    threshold grid is a broadcast literal crossed at the COUNTING agg,
-    so 9 operating points cost one grouped aggregate over exact
-    integer confusion counts, not 9 corpus passes. Zero-denominator
-    points emit NULL through identical CASE guards."""
-    from .operators import curation
-
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    probs = curation.quality_classifier(docs).select("doc_id", "prob")
-    labels = curation.quality_filters(docs).select(
-        "doc_id", F.col("keep").alias("label")
-    )
-    thr = spark.createDataFrame(
-        [(t / 10.0,) for t in range(1, 10)], "tau double"
-    )
-    j = (
-        probs.join(labels, "doc_id")
-        .crossJoin(F.broadcast(thr))
-        .groupBy("tau")
-        .agg(
-            F.sum(F.when((F.col("prob") >= F.col("tau")) & F.col("label"), 1).otherwise(0))
-            .cast("long")
-            .alias("tp"),
-            F.sum(
-                F.when((F.col("prob") >= F.col("tau")) & ~F.col("label"), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("fp"),
-            F.sum(F.when((F.col("prob") < F.col("tau")) & F.col("label"), 1).otherwise(0))
-            .cast("long")
-            .alias("fn"),
-        )
-    )
-    return j.select(
-        "tau",
-        "tp",
-        "fp",
-        "fn",
-        F.when(F.col("tp") + F.col("fp") == 0, F.lit(None).cast("double"))
-        .otherwise(F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6))
-        .alias("precis"),
-        F.when(F.col("tp") + F.col("fn") == 0, F.lit(None).cast("double"))
-        .otherwise(F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6))
-        .alias("recall"),
-        F.when(F.col("tp") == 0, F.lit(None).cast("double"))
-        .otherwise(
-            F.round(2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + F.col("fn")), 6)
-        )
-        .alias("f1"),
-    )
-
-
-ORACLES["classifier_pr_curve"] = _classifier_pr_curve_oracle()
-
-
-def _brier_decomposition_oracle() -> str:
-    base = _classifier_calibration_oracle().rsplit(", binned AS", 1)[0]
-    return (
-        base
-        + """
-    , binned AS (
-        SELECT least(CAST(floor(p.prob * 10) AS BIGINT), 9) AS bin,
-               CAST(round(p.prob * 1000000) AS BIGINT) AS prob_u,
-               CASE WHEN l.label THEN 1 ELSE 0 END AS pos
-        FROM probs p JOIN labels l ON l.doc_id = p.doc_id
-    ), direct AS (
-        SELECT CAST(count(*) AS BIGINT) AS nn,
-               CAST(sum(pos) AS BIGINT) AS npos,
-               CAST(sum((prob_u - pos * 1000000) * (prob_u - pos * 1000000)) AS BIGINT)
-                   AS sq_u
-        FROM binned
-    ), g AS (
-        SELECT bin, CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(pos) AS BIGINT) AS n_pos,
-               CAST(sum(prob_u) AS BIGINT) AS sum_prob_u
-        FROM binned GROUP BY bin
-    ), terms AS (
-        SELECT CAST(sum(CAST(round(n * pow(sum_prob_u / (n * 1000000.0)
-                                           - CAST(n_pos AS DOUBLE) / n, 2) * 1000000)
-                             AS BIGINT)) AS BIGINT) AS rel_u,
-               CAST(sum(CAST(round(n * pow(CAST(n_pos AS DOUBLE) / n
-                                           - CAST(d.npos AS DOUBLE) / d.nn, 2) * 1000000)
-                             AS BIGINT)) AS BIGINT) AS res_u
-        FROM g CROSS JOIN direct d
-        GROUP BY d.nn
-    )
-    SELECT d.nn AS n_docs,
-           round(CAST(d.sq_u AS DOUBLE) / d.nn / 1e12, 6) AS brier,
-           round(CAST(d.npos AS DOUBLE) / d.nn
-                 * (1 - CAST(d.npos AS DOUBLE) / d.nn), 6) AS uncertainty,
-           round(CAST(t.rel_u AS DOUBLE) / d.nn / 1e6, 6) AS reliability,
-           round(CAST(t.res_u AS DOUBLE) / d.nn / 1e6, 6) AS resolution
-    FROM direct d CROSS JOIN terms t
-    """
-    )
-
-
-@query("brier_decomposition", oracle=None)  # oracle attached below (weight literals)
-def brier_decomposition_q(spark, sf_dir):
-    """Murphy decomposition of the quality scorer's Brier score
-    (brier = reliability - resolution + uncertainty): uncertainty is
-    the base rate's variance (can the data be predicted at all),
-    resolution how much the scorer's bins separate outcomes,
-    reliability the calibration penalty classifier_calibration plots.
-    The direct Brier term is an EXACT integer sum of squared
-    micro-unit residuals (prob_u and the 0/1 label share the 1e6
-    scale); the bin terms quantize per-bin doubles to micro-units so
-    the decile-frame sums stay order-free. One classifier + one gate
-    pass, then everything runs on the 10-row bin frame."""
-    from .operators import curation
-
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    probs = curation.quality_classifier(docs).select("doc_id", "prob")
-    labels = curation.quality_filters(docs).select(
-        "doc_id", F.col("keep").alias("label")
-    )
-    binned = probs.join(labels, "doc_id").select(
-        F.least(F.floor(F.col("prob") * 10).cast("long"), F.lit(9).cast("long")).alias(
-            "bin"
-        ),
-        F.expr("cast(round(prob * 1000000) as bigint)").alias("prob_u"),
-        F.when(F.col("label"), 1).otherwise(0).alias("pos"),
-    )
-    direct = binned.agg(
-        F.count("*").cast("long").alias("nn"),
-        F.sum("pos").cast("long").alias("npos"),
-        F.sum(
-            (F.col("prob_u") - F.col("pos") * 1000000)
-            * (F.col("prob_u") - F.col("pos") * 1000000)
-        )
-        .cast("long")
-        .alias("sq_u"),
-    )
-    g = binned.groupBy("bin").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("pos").cast("long").alias("n_pos"),
-        F.sum("prob_u").cast("long").alias("sum_prob_u"),
-    )
-    terms = (
-        g.crossJoin(F.broadcast(direct))
-        .groupBy("nn")
-        .agg(
-            F.sum(
-                F.expr(
-                    "cast(round(n * pow(sum_prob_u / (n * 1000000.0)"
-                    " - cast(n_pos as double) / n, 2) * 1000000) as bigint)"
-                )
-            )
-            .cast("long")
-            .alias("rel_u"),
-            F.sum(
-                F.expr(
-                    "cast(round(n * pow(cast(n_pos as double) / n"
-                    " - cast(npos as double) / nn, 2) * 1000000) as bigint)"
-                )
-            )
-            .cast("long")
-            .alias("res_u"),
-        )
-        .drop("nn")
-    )
-    return direct.crossJoin(F.broadcast(terms)).select(
-        F.col("nn").alias("n_docs"),
-        F.round(F.col("sq_u").cast("double") / F.col("nn") / F.lit(1e12), 6).alias(
-            "brier"
-        ),
-        F.round(
-            F.col("npos").cast("double")
-            / F.col("nn")
-            * (1 - F.col("npos").cast("double") / F.col("nn")),
-            6,
-        ).alias("uncertainty"),
-        F.round(F.col("rel_u").cast("double") / F.col("nn") / F.lit(1e6), 6).alias(
-            "reliability"
-        ),
-        F.round(F.col("res_u").cast("double") / F.col("nn") / F.lit(1e6), 6).alias(
-            "resolution"
-        ),
-    )
-
-
-ORACLES["brier_decomposition"] = _brier_decomposition_oracle()
-
-
-@query(
-    "join_cardinality_estimate",
-    oracle="""
-    WITH jo AS (
-        SELECT 'orders x customer' AS join_name,
-               (SELECT count(*) FROM orders) AS rows_a,
-               (SELECT count(*) FROM customer) AS rows_b,
-               (SELECT count(DISTINCT o_custkey) FROM orders) AS ndv_a,
-               (SELECT count(DISTINCT c_custkey) FROM customer) AS ndv_b,
-               (SELECT count(*) FROM orders o JOIN customer c
-                 ON o.o_custkey = c.c_custkey) AS actual_rows
-        UNION ALL
-        SELECT 'lineitem x orders',
-               (SELECT count(*) FROM lineitem),
-               (SELECT count(*) FROM orders),
-               (SELECT count(DISTINCT l_orderkey) FROM lineitem),
-               (SELECT count(DISTINCT o_orderkey) FROM orders),
-               (SELECT count(*) FROM lineitem l JOIN orders o
-                 ON l.l_orderkey = o.o_orderkey)
-        UNION ALL
-        SELECT 'lineitem x part',
-               (SELECT count(*) FROM lineitem),
-               (SELECT count(*) FROM part),
-               (SELECT count(DISTINCT l_partkey) FROM lineitem),
-               (SELECT count(DISTINCT p_partkey) FROM part),
-               (SELECT count(*) FROM lineitem l JOIN part p
-                 ON l.l_partkey = p.p_partkey)
-    )
-    SELECT join_name,
-           CAST(rows_a AS BIGINT) AS rows_a, CAST(rows_b AS BIGINT) AS rows_b,
-           CAST(ndv_a AS BIGINT) AS ndv_a, CAST(ndv_b AS BIGINT) AS ndv_b,
-           CAST(rows_a * rows_b // greatest(ndv_a, ndv_b) AS BIGINT) AS est_rows,
-           CAST(actual_rows AS BIGINT) AS actual_rows,
-           round(greatest(
-               CAST(rows_a * rows_b // greatest(ndv_a, ndv_b) AS DOUBLE) / actual_rows,
-               CAST(actual_rows AS DOUBLE)
-               / (rows_a * rows_b // greatest(ndv_a, ndv_b))), 6) AS q_error
-    FROM jo
-    """,
-)
-def join_cardinality_estimate_q(spark, sf_dir):
-    """Join cardinality estimation audit — the textbook CBO formula
-    |A|·|B| / max(ndv(a), ndv(b)) (what Catalyst's cost-based
-    optimizer and every System-R descendant uses to order joins)
-    scored against the TRUE join sizes, with the q-error metric from
-    the 'How Good Are Query Optimizers, Really?' benchmark (Leis
-    VLDB'15). Three equi-joins on the TPC-H graph: per-join inputs are
-    two counts + two exact NDVs + one real join count; the estimate is
-    exact integer div arithmetic. At 100 TB the NDVs swap to the HLL
-    sketch (hll_distinct) — same formula, same output contract; this
-    exact version IS the oracle for that swap."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    p = load_table(spark, sf_dir, "part")
-
-    def one(name, a, b, ka, kb):
-        sa = a.agg(
-            F.count("*").cast("long").alias("rows_a"),
-            F.count_distinct(F.col(ka)).cast("long").alias("ndv_a"),
-        )
-        sb = b.agg(
-            F.count("*").cast("long").alias("rows_b"),
-            F.count_distinct(F.col(kb)).cast("long").alias("ndv_b"),
-        )
-        ac = a.join(b, F.col(ka) == F.col(kb)).agg(
-            F.count("*").cast("long").alias("actual_rows")
-        )
-        return (
-            sa.crossJoin(F.broadcast(sb))
-            .crossJoin(F.broadcast(ac))
-            .select(
-                F.lit(name).alias("join_name"),
-                "rows_a",
-                "rows_b",
-                "ndv_a",
-                "ndv_b",
-                "actual_rows",
-            )
-        )
-
-    jo = (
-        one("orders x customer", o, c, "o_custkey", "c_custkey")
-        .unionByName(one("lineitem x orders", li, o, "l_orderkey", "o_orderkey"))
-        .unionByName(one("lineitem x part", li, p, "l_partkey", "p_partkey"))
-    )
-    est = F.expr("rows_a * rows_b div greatest(ndv_a, ndv_b)")
-    return jo.select(
-        "join_name",
-        "rows_a",
-        "rows_b",
-        "ndv_a",
-        "ndv_b",
-        est.cast("long").alias("est_rows"),
-        "actual_rows",
-        F.round(
-            F.greatest(
-                est.cast("double") / F.col("actual_rows"),
-                F.col("actual_rows").cast("double") / est,
-            ),
-            6,
-        ).alias("q_error"),
-    )
-
-
-@query(
-    "filter_selectivity_estimate",
-    oracle="""
-    WITH b AS (
-        SELECT min(CAST(round(o_totalprice * 100) AS BIGINT)) AS lo,
-               max(CAST(round(o_totalprice * 100) AS BIGINT)) AS hi,
-               CAST(count(*) AS BIGINT) AS nn
-        FROM orders
-    ), hist AS (
-        SELECT least((CAST(round(o_totalprice * 100) AS BIGINT) - b.lo) * 10
-                     // (b.hi - b.lo + 1), 9) AS bkt,
-               CAST(count(*) AS BIGINT) AS n_k
-        FROM orders, b GROUP BY 1
-    ), preds AS (
-        SELECT * FROM (VALUES
-            ('price < 50k', 0::BIGINT, 5000000::BIGINT),
-            ('50k..150k', 5000000::BIGINT, 15000000::BIGINT),
-            ('price >= 250k', 25000000::BIGINT, 100000000::BIGINT))
-            AS t(pred_name, p_lo, p_hi)
-    ), est AS (
-        SELECT p.pred_name, p.p_lo, p.p_hi, b.nn,
-               CAST(round(sum(h.n_k * greatest(least(
-                   (least(p.p_hi, b.lo + (h.bkt + 1) * (b.hi - b.lo + 1) // 10)
-                    - greatest(p.p_lo, b.lo + h.bkt * (b.hi - b.lo + 1) // 10))
-                   / CAST((b.hi - b.lo + 1) // 10 AS DOUBLE), 1.0), 0.0)))
-                   AS BIGINT) AS est_rows
-        FROM hist h CROSS JOIN b CROSS JOIN preds p
-        GROUP BY p.pred_name, p.p_lo, p.p_hi, b.nn
-    ), act AS (
-        SELECT p.pred_name, CAST(count(*) AS BIGINT) AS actual_rows
-        FROM orders o CROSS JOIN b
-        JOIN preds p ON CAST(round(o.o_totalprice * 100) AS BIGINT) >= p.p_lo
-                    AND CAST(round(o.o_totalprice * 100) AS BIGINT) < p.p_hi
-        GROUP BY p.pred_name
-    )
-    SELECT e.pred_name, e.est_rows, a.actual_rows,
-           round(CAST(e.est_rows AS DOUBLE) / e.nn, 6) AS sel_est,
-           round(CAST(a.actual_rows AS DOUBLE) / e.nn, 6) AS sel_actual,
-           round(greatest(CAST(e.est_rows AS DOUBLE) / a.actual_rows,
-                          CAST(a.actual_rows AS DOUBLE) / e.est_rows), 6) AS q_error
-    FROM est e JOIN act a USING (pred_name)
-    """,
-)
-def filter_selectivity_estimate_q(spark, sf_dir):
-    """Range-predicate selectivity estimation audit — the equi-width
-    histogram + uniform-within-bucket interpolation every cost-based
-    optimizer runs for `WHERE price BETWEEN a AND b`, scored against
-    true counts with q-error: the 10-bucket histogram builds in one
-    exact-integer aggregate (cent units; identical integer bucket
-    edges on both engines); each predicate's estimate is the
-    histogram dot product with clamped overlap fractions — all on the
-    10-row frame; actuals come from one shared filtered count pass.
-    The q-error column is the reading: equi-width's known failure on
-    skew is visible next to events_histogram_equidepth's fix."""
-    o = load_table(spark, sf_dir, "orders")
-    b = o.agg(
-        F.min(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias("lo"),
-        F.max(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias("hi"),
-        F.count("*").cast("long").alias("nn"),
-    )
-    hist = (
-        o.crossJoin(F.broadcast(b))
-        .groupBy(
-            F.least(
-                F.expr(
-                    "(cast(round(o_totalprice * 100) as bigint) - lo) * 10"
-                    " div (hi - lo + 1)"
-                ),
-                F.lit(9).cast("long"),
-            ).alias("bkt")
-        )
-        .agg(F.count("*").cast("long").alias("n_k"))
-    )
-    preds = spark.createDataFrame(
-        [
-            ("price < 50k", 0, 5000000),
-            ("50k..150k", 5000000, 15000000),
-            ("price >= 250k", 25000000, 100000000),
-        ],
-        "pred_name string, p_lo long, p_hi long",
-    )
-    width = F.expr("(hi - lo + 1) div 10")
-    lb = F.col("lo") + F.col("bkt") * F.expr("(hi - lo + 1) div 10")
-    ub = F.col("lo") + (F.col("bkt") + 1) * F.expr("(hi - lo + 1) div 10")
-    frac = F.greatest(
-        F.least(
-            (F.least(F.col("p_hi"), ub) - F.greatest(F.col("p_lo"), lb))
-            / width.cast("double"),
-            F.lit(1.0),
-        ),
-        F.lit(0.0),
-    )
-    est = (
-        hist.crossJoin(F.broadcast(b))
-        .crossJoin(F.broadcast(preds))
-        .groupBy("pred_name", "p_lo", "p_hi", "nn")
-        .agg(
-            F.expr(
-                "cast(round(sum(n_k * greatest(least("
-                "(least(p_hi, lo + (bkt + 1) * ((hi - lo + 1) div 10))"
-                " - greatest(p_lo, lo + bkt * ((hi - lo + 1) div 10)))"
-                " / cast((hi - lo + 1) div 10 as double), 1.0d), 0.0d))) as bigint)"
-            ).alias("est_rows")
-        )
-    )
-    act = (
-        o.crossJoin(F.broadcast(preds))
-        .filter(
-            (F.expr("cast(round(o_totalprice * 100) as bigint)") >= F.col("p_lo"))
-            & (F.expr("cast(round(o_totalprice * 100) as bigint)") < F.col("p_hi"))
-        )
-        .groupBy("pred_name")
-        .agg(F.count("*").cast("long").alias("actual_rows"))
-    )
-    return est.join(act, "pred_name").select(
-        "pred_name",
-        "est_rows",
-        "actual_rows",
-        F.round(F.col("est_rows").cast("double") / F.col("nn"), 6).alias("sel_est"),
-        F.round(F.col("actual_rows").cast("double") / F.col("nn"), 6).alias(
-            "sel_actual"
-        ),
-        F.round(
-            F.greatest(
-                F.col("est_rows").cast("double") / F.col("actual_rows"),
-                F.col("actual_rows").cast("double") / F.col("est_rows"),
-            ),
-            6,
-        ).alias("q_error"),
-    )
-
-
-def _embedding_dedup_recall_oracle() -> str:
-    from .operators import ann
-
-    planes = ann.hyperplanes(6, 64)
-    gate = f"{H.dd_md5_long('vec_id::VARCHAR')} / 1152921504606846976.0 < 0.3"
-    return f"""
-    WITH {_planes_sql(planes)},
-    sub AS (
-        SELECT vec_id, embedding FROM embeddings WHERE {gate}
-    ), dots AS (
-        SELECT e.vec_id, p.pid, {_dd_dot('e.embedding', 'p.w')} AS d
-        FROM sub e CROSS JOIN planes p
-    ), buckets AS (
-        SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << pid) ELSE 0 END) AS bucket
-        FROM dots GROUP BY vec_id
-    ), v AS (
-        SELECT s.vec_id, s.embedding, b.bucket FROM sub s JOIN buckets b USING (vec_id)
-    ), pairs AS (
-        SELECT CASE WHEN a.bucket = b.bucket THEN 1 ELSE 0 END AS cand,
-               CASE WHEN {_dd_cosine('a.embedding', 'b.embedding')} >= 0.3
-                    THEN 1 ELSE 0 END AS truth
-        FROM v a JOIN v b ON a.vec_id < b.vec_id
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(sum(truth) AS BIGINT) AS n_true,
-           CAST(sum(cand) AS BIGINT) AS n_candidates,
-           CAST(sum(cand * truth) AS BIGINT) AS n_hit,
-           round(CAST(sum(cand * truth) AS DOUBLE) / sum(truth), 6) AS recall,
-           round(CAST(sum(cand * truth) AS DOUBLE) / sum(cand), 6) AS precis
-    FROM pairs
-    """
-
-
-@query("embedding_dedup_recall")  # oracle attached below (plane literals)
-def embedding_dedup_recall_q(spark, sf_dir):
-    """Candidate-generation QA for embedding near-dup (the dedup-side
-    twin of ann_recall_at_k: what fraction of TRUE near-dup pairs do
-    the 6-plane LSH buckets actually surface, and how much candidate
-    volume buys it): ground truth is exact all-pairs cosine >= 0.3
-    over a 30%% hash-keyed SAMPLE (the estimator a 100 TB pipeline
-    can afford — |S|² bounded, never corpus²), candidates are
-    same-bucket pairs on the identical sample, and ONE self-join
-    computes both flags per pair so recall and precision come from
-    one exact-integer aggregate."""
-    from .operators import ann
-
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    planes = ann.hyperplanes(6, 64)
-    sub = emb.filter(
-        H.md5_long(F.col("vec_id").cast("string")) / F.lit(1152921504606846976.0)
-        < 0.3
-    ).select(
-        "vec_id", "embedding", ann.lsh_bucket(F.col("embedding"), planes).alias("_b")
-    )
-    a, b = sub.alias("a"), sub.alias("b")
-    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
-        F.when(F.col("a._b") == F.col("b._b"), 1).otherwise(0).alias("cand"),
-        F.when(
-            V.cosine(F.col("a.embedding"), F.col("b.embedding")) >= 0.3, 1
-        )
-        .otherwise(0)
-        .alias("truth"),
-    )
-    return pairs.agg(
-        F.count("*").cast("long").alias("n_pairs"),
-        F.sum("truth").cast("long").alias("n_true"),
-        F.sum("cand").cast("long").alias("n_candidates"),
-        F.sum(F.col("cand") * F.col("truth")).cast("long").alias("n_hit"),
-        F.round(
-            F.sum(F.col("cand") * F.col("truth")).cast("double") / F.sum("truth"), 6
-        ).alias("recall"),
-        F.round(
-            F.sum(F.col("cand") * F.col("truth")).cast("double") / F.sum("cand"), 6
-        ).alias("precis"),
-    )
-
-
-ORACLES["embedding_dedup_recall"] = _embedding_dedup_recall_oracle()
-
-
-@query(
-    "order_backlog_timeseries",
-    oracle="""
-    WITH opened AS (
-        SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS month_id,
-               CAST(count(*) AS BIGINT) AS n_opened
-        FROM orders GROUP BY month_id
-    ), shipped AS (
-        SELECT (year(last_ship) - 1995) * 12 + month(last_ship) - 1 AS month_id,
-               CAST(count(*) AS BIGINT) AS n_fulfilled
-        FROM (
-            SELECT l_orderkey, max(l_shipdate) AS last_ship
-            FROM lineitem GROUP BY l_orderkey
-        ) GROUP BY month_id
-    ), m AS (
-        SELECT COALESCE(o.month_id, s.month_id) AS month_id,
-               COALESCE(o.n_opened, 0) AS n_opened,
-               COALESCE(s.n_fulfilled, 0) AS n_fulfilled
-        FROM opened o FULL OUTER JOIN shipped s ON o.month_id = s.month_id
-    )
-    SELECT CAST(month_id AS BIGINT) AS month_id, n_opened, n_fulfilled,
-           CAST(sum(n_opened - n_fulfilled) OVER (ORDER BY month_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               AS backlog_end
-    FROM m
-    """,
-)
-def order_backlog_timeseries_q(spark, sf_dir):
-    """Open-order backlog over time (the operations WIP gauge: orders
-    placed minus orders fully shipped, cumulatively — rising backlog
-    is the capacity alarm): both fact tables collapse to MONTH counts
-    map-side (an order is 'fulfilled' at its LAST line's ship date —
-    one groupBy, no window over lineitem), the month frames full-outer
-    merge, and the running backlog is an exact-integer cumulative sum
-    over the calendar-bounded frame. Two fact shuffles total, both to
-    month-sized frames."""
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    opened = o.groupBy(
-        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1).alias(
-            "month_id"
-        )
-    ).agg(F.count("*").cast("long").alias("n_opened"))
-    shipped = (
-        li.groupBy("l_orderkey")
-        .agg(F.max("l_shipdate").alias("last_ship"))
-        .groupBy(
-            ((F.year("last_ship") - 1995) * 12 + F.month("last_ship") - 1).alias(
-                "month_id"
-            )
-        )
-        .agg(F.count("*").cast("long").alias("n_fulfilled"))
-    )
-    m = (
-        opened.join(shipped, "month_id", "full_outer")
-        .select(
-            F.col("month_id").cast("long"),
-            F.coalesce("n_opened", F.lit(0)).alias("n_opened"),
-            F.coalesce("n_fulfilled", F.lit(0)).alias("n_fulfilled"),
-        )
-    )
-    w = Window.orderBy("month_id").rowsBetween(Window.unboundedPreceding, 0)
-    return m.select(
-        "month_id",
-        "n_opened",
-        "n_fulfilled",
-        F.sum(F.col("n_opened") - F.col("n_fulfilled"))
-        .over(w)
-        .cast("long")
-        .alias("backlog_end"),
-    )
-
-
-@query(
-    "rollup_grain_advisor",
-    oracle="""
-    WITH f AS (
-        SELECT n.n_name, year(o.o_orderdate) AS yr, month(o.o_orderdate) AS mo,
-               o.o_custkey
-        FROM orders o
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        JOIN nation n ON c.c_nationkey = n.n_nationkey
-    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS fact_rows FROM f),
-    g AS (
-        SELECT 'nation' AS grain,
-               CAST(count(DISTINCT n_name) AS BIGINT) AS n_groups FROM f
-        UNION ALL
-        SELECT 'nation_year',
-               CAST(count(DISTINCT (n_name, yr)) AS BIGINT) FROM f
-        UNION ALL
-        SELECT 'nation_year_month',
-               CAST(count(DISTINCT (n_name, yr, mo)) AS BIGINT) FROM f
-        UNION ALL
-        SELECT 'customer',
-               CAST(count(DISTINCT o_custkey) AS BIGINT) FROM f
-    )
-    SELECT g.grain, g.n_groups,
-           CAST(g.n_groups * 64 AS BIGINT) AS est_bytes,
-           t.fact_rows,
-           round(CAST(t.fact_rows AS DOUBLE) / g.n_groups, 6) AS reduction_ratio,
-           g.n_groups * 64 <= 65536 AS fits_budget
-    FROM g CROSS JOIN tot t
-    """,
-)
-def rollup_grain_advisor_q(spark, sf_dir):
-    """Materialized-rollup grain advisor (the cube-planning question:
-    which pre-aggregation grains fit the storage budget and how much
-    scan reduction each buys): candidate grains' group cardinalities
-    from count-distinct rollups over ONE shared join frame (narrow
-    keys only past the join), a 64-byte/row size model, and the
-    reduction ratio = fact rows per materialized row — the number
-    that justifies incremental_agg_maintenance keeping that rollup
-    live. At 100 TB each count-distinct swaps to the HLL sketch
-    (hll_distinct — same contract)."""
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    f = (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .select(
-            "n_name",
-            F.year("o_orderdate").alias("yr"),
-            F.month("o_orderdate").alias("mo"),
-            "o_custkey",
-        )
-        .localCheckpoint(eager=False)
-    )
-    tot = f.agg(F.count("*").cast("long").alias("fact_rows"))
-
-    def grain(name, *cols):
-        return f.agg(
-            F.count_distinct(*[F.col(x) for x in cols]).cast("long").alias("n_groups")
-        ).select(F.lit(name).alias("grain"), "n_groups")
-
-    g = (
-        grain("nation", "n_name")
-        .unionByName(grain("nation_year", "n_name", "yr"))
-        .unionByName(grain("nation_year_month", "n_name", "yr", "mo"))
-        .unionByName(grain("customer", "o_custkey"))
-    )
-    return g.crossJoin(F.broadcast(tot)).select(
-        "grain",
-        "n_groups",
-        (F.col("n_groups") * 64).cast("long").alias("est_bytes"),
-        "fact_rows",
-        F.round(F.col("fact_rows").cast("double") / F.col("n_groups"), 6).alias(
-            "reduction_ratio"
-        ),
-        (F.col("n_groups") * 64 <= 65536).alias("fits_budget"),
-    )
-
-
-@query(
-    "seasonal_decompose",
-    oracle="""
-    WITH m AS (
-        SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS month_id,
-               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
-        FROM orders GROUP BY month_id
-    ), tr AS (
-        SELECT month_id, rev_c,
-               CAST(sum(rev_c) OVER w AS BIGINT) AS win_sum,
-               CAST(count(*) OVER w AS BIGINT) AS win_n
-        FROM m
-        WINDOW w AS (ORDER BY month_id ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
-    ), dt AS (
-        SELECT month_id, rev_c,
-               CAST(win_sum AS DOUBLE) / 13 / 100 AS trend,
-               CAST(rev_c AS DOUBLE) / 100 - CAST(win_sum AS DOUBLE) / 13 / 100
-                   AS detrended
-        FROM tr WHERE win_n = 13
-    ), si AS (
-        SELECT month_id % 12 AS moy,
-               CAST(sum(CAST(round(detrended * 1000000) AS BIGINT)) AS BIGINT) AS s_u,
-               CAST(count(*) AS BIGINT) AS n
-        FROM dt GROUP BY month_id % 12
-    )
-    SELECT CAST(d.month_id AS BIGINT) AS month_id,
-           round(CAST(d.rev_c AS DOUBLE) / 100, 6) AS revenue,
-           round(d.trend, 6) AS trend,
-           round(CAST(s.s_u AS DOUBLE) / s.n / 1000000, 6) AS seasonal,
-           round(d.detrended
-                 - round(CAST(s.s_u AS DOUBLE) / s.n / 1000000, 6), 6) AS residual
-    FROM dt d JOIN si s ON d.month_id % 12 = s.moy
-    """,
-)
-def seasonal_decompose_q(spark, sf_dir):
-    """Classical seasonal decomposition of monthly revenue (trend via
-    symmetric 13-month moving average, additive month-of-year seasonal
-    indices, residual — the series sanity pass before any forecast;
-    holt_forecast's diagnostic partner): the fact table collapses to
-    exact cent-unit month totals, the centered MA is an exact integer
-    window sum over the calendar-bounded frame (only full 13-month
-    windows emit), seasonal indices are micro-unit integer means per
-    month-of-year, and the residual subtracts the ROUNDED seasonal so
-    both engines share the final arithmetic. Everything past the one
-    fact shuffle runs on <=84 rows."""
-    o = load_table(spark, sf_dir, "orders")
-    m = o.groupBy(
-        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1).alias(
-            "month_id"
-        )
-    ).agg(
-        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
-        .cast("long")
-        .alias("rev_c")
-    )
-    w = Window.orderBy("month_id").rowsBetween(-6, 6)
-    tr = m.select(
-        "month_id",
-        "rev_c",
-        F.sum("rev_c").over(w).cast("long").alias("win_sum"),
-        F.count("*").over(w).cast("long").alias("win_n"),
-    )
-    dt = tr.filter(F.col("win_n") == 13).select(
-        "month_id",
-        "rev_c",
-        (F.col("win_sum").cast("double") / 13 / 100).alias("trend"),
-        (
-            F.col("rev_c").cast("double") / 100
-            - F.col("win_sum").cast("double") / 13 / 100
-        ).alias("detrended"),
-    )
-    si = dt.groupBy((F.col("month_id") % 12).alias("moy")).agg(
-        F.sum(F.expr("cast(round(detrended * 1000000) as bigint)"))
-        .cast("long")
-        .alias("s_u"),
-        F.count("*").cast("long").alias("n"),
-    )
-    seas = F.round(F.col("s_u").cast("double") / F.col("n") / F.lit(1000000), 6)
-    return (
-        dt.join(F.broadcast(si), F.col("month_id") % 12 == F.col("moy"))
-        .select(
-            F.col("month_id").cast("long"),
-            F.round(F.col("rev_c").cast("double") / 100, 6).alias("revenue"),
-            F.round("trend", 6).alias("trend"),
-            seas.alias("seasonal"),
-            F.round(F.col("detrended") - seas, 6).alias("residual"),
-        )
-    )
-
-
-def _dedup_keep_best_oracle() -> str:
-    probs_base = _classifier_calibration_oracle().rsplit(", labels AS", 1)[0]
-    return (
-        probs_base
-        + f""",
-    {_DD_SHINGLES}, {_DD_MINHASH_SIG}, {_DD_BANDS},
-    cpairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a
-        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
-                    AND a.doc_id < b.doc_id
-    ), drops AS (
-        SELECT DISTINCT CASE WHEN (pa.prob, -p.doc_a) < (pb.prob, -p.doc_b)
-                             THEN p.doc_a ELSE p.doc_b END AS doc_id
-        FROM cpairs p
-        JOIN probs pa ON pa.doc_id = p.doc_a
-        JOIN probs pb ON pb.doc_id = p.doc_b
-    ), agg AS (
-        SELECT d.source,
-               CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_dropped
-        FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.doc_id
-        GROUP BY d.source
-    )
-    SELECT source, n_docs, n_dropped,
-           CAST(n_docs - n_dropped AS BIGINT) AS n_kept,
-           round(CAST(n_dropped AS DOUBLE) / n_docs, 6) AS drop_rate
-    FROM agg
-    """
-    )
-
-
-@query("dedup_keep_best")  # oracle attached below (weight literals)
-def dedup_keep_best_q(spark, sf_dir):
-    """Quality-aware near-dup drop policy (the CCNet/RefinedWeb move:
-    for every near-dup candidate PAIR, drop the lower-quality side —
-    pairwise greedy, no transitive closure, which is exactly what
-    web-scale dedup runs ship because full clustering is a luxury):
-    MinHash-LSH candidate pairs from the shared banding build join the
-    quality scorer's probs on both sides; the loser set is a DISTINCT
-    of per-pair argmins (ties break on doc_id so both engines drop the
-    SAME doc); per-source keep/drop rates are the curation readout
-    feeding corpus_mix. Everything past banding moves (doc_id, prob)
-    pairs only."""
-    from .operators import curation, dedup
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.dedup_minhash_lsh(docs).select("doc_a", "doc_b").distinct()
-    probs = curation.quality_classifier(docs).select("doc_id", "prob")
-    pa = probs.select(F.col("doc_id").alias("doc_a"), F.col("prob").alias("_pa"))
-    pb = probs.select(F.col("doc_id").alias("doc_b"), F.col("prob").alias("_pb"))
-    drops = (
-        pairs.join(pa, "doc_a")
-        .join(pb, "doc_b")
-        .select(
-            F.when(
-                (F.col("_pa") < F.col("_pb"))
-                | ((F.col("_pa") == F.col("_pb")) & (F.col("doc_a") > F.col("doc_b"))),
-                F.col("doc_a"),
-            )
-            .otherwise(F.col("doc_b"))
-            .alias("doc_id")
-        )
-        .distinct()
-        .withColumn("_dropped", F.lit(1))
-    )
-    agg = (
-        docs.select("doc_id", "source")
-        .join(drops, "doc_id", "left")
-        .groupBy("source")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum(F.coalesce("_dropped", F.lit(0))).cast("long").alias("n_dropped"),
-        )
-    )
-    return agg.select(
-        "source",
-        "n_docs",
-        "n_dropped",
-        (F.col("n_docs") - F.col("n_dropped")).cast("long").alias("n_kept"),
-        F.round(F.col("n_dropped").cast("double") / F.col("n_docs"), 6).alias(
-            "drop_rate"
-        ),
-    )
-
-
-ORACLES["dedup_keep_best"] = _dedup_keep_best_oracle()
-
-
-@query(
-    "quantile_confidence_bands",
-    oracle="""
-    WITH g AS (
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-               list_sort(list(CAST(round(value * 1000000) AS BIGINT))) AS vs
-        FROM events GROUP BY event_type
-    ), q AS (SELECT unnest([0.5, 0.9, 0.99]) AS qq)
-    SELECT event_type, qq AS quantile, n,
-           round(vs[CAST(greatest(1, CAST(floor(n * qq
-                 - 1.959964 * sqrt(n * qq * (1 - qq))) AS BIGINT) + 1) AS INTEGER)]
-                 / 1e6, 6) AS ci_lo,
-           round(vs[CAST(CAST(floor(n * qq) AS BIGINT) + 1 AS INTEGER)] / 1e6, 6)
-               AS estimate,
-           round(vs[CAST(least(n, CAST(ceil(n * qq
-                 + 1.959964 * sqrt(n * qq * (1 - qq))) AS BIGINT) + 1) AS INTEGER)]
-                 / 1e6, 6) AS ci_hi
-    FROM g CROSS JOIN q
-    """,
-)
-def quantile_confidence_bands_q(spark, sf_dir, exact_quantiles: bool = True):
-    """Order-statistic confidence bands for p50/p90/p99 per event type
-    (the distribution-free binomial CI — the honest error bar for
-    latency/value percentiles, no normality assumed): per-type sorted
-    micro-unit lists (the same exact sorted-selection frame
-    trimmed_mean_stats uses, |type|-bounded), rank bounds
-    n·q ± z·√(n·q(1−q)) computed with identical floor/ceil/clamp
-    arithmetic on both engines, then three exact list selections per
-    type.
-
-    ``exact_quantiles=False`` is the 100 TB path: ONE
-    percentile_approx sketch queried at a fixed 1001-point fraction
-    grid (bounded per-group state: 1001 longs, vs the row-count-sized
-    sorted list), then the per-(type, q) rank bounds are mapped to
-    grid fractions q ± z·√(q(1−q)/n) and resolved by array indexing —
-    same output contract, sketch-accuracy error bars."""
-    ev = load_table(spark, sf_dir, "events")
-    if not exact_quantiles:
-        grid = [i / 1000 for i in range(1001)]
-        g = ev.groupBy("event_type").agg(
-            F.count("*").cast("long").alias("n"),
-            F.percentile_approx(
-                F.expr("cast(round(value * 1000000) as bigint)"),
-                F.lit(grid),
-                F.lit(10000),
-            ).alias("_grid"),
-        )
-        q = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "qq double")
-        half = F.lit(1.959964) * F.sqrt(
-            F.col("qq") * (1 - F.col("qq")) / F.col("n").cast("double")
-        )
-        def at(frac):
-            idx = F.round(
-                F.greatest(F.lit(0.0), F.least(F.lit(1.0), frac)) * 1000
-            ).cast("int")
-            return F.round(F.get("_grid", idx) / F.lit(1e6), 6)
-        return g.crossJoin(F.broadcast(q)).select(
-            "event_type",
-            F.col("qq").alias("quantile"),
-            "n",
-            at(F.col("qq") - half).alias("ci_lo"),
-            at(F.col("qq")).alias("estimate"),
-            at(F.col("qq") + half).alias("ci_hi"),
-        )
-    g = ev.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sort_array(
-            F.collect_list(F.expr("cast(round(value * 1000000) as bigint)"))
-        ).alias("vs"),
-    )
-    q = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "qq double")
-    nd = F.col("n").cast("double")
-    spread = F.lit(1.959964) * F.sqrt(nd * F.col("qq") * (1 - F.col("qq")))
-    r_lo = F.greatest(
-        F.lit(1).cast("long"),
-        F.floor(nd * F.col("qq") - spread).cast("long") + 1,
-    )
-    r_est = F.floor(nd * F.col("qq")).cast("long") + 1
-    r_hi = F.least(
-        F.col("n"), F.ceil(nd * F.col("qq") + spread).cast("long") + 1
-    )
-    return g.crossJoin(F.broadcast(q)).select(
-        "event_type",
-        F.col("qq").alias("quantile"),
-        "n",
-        F.round(F.element_at("vs", r_lo.cast("int")) / F.lit(1e6), 6).alias("ci_lo"),
-        F.round(F.element_at("vs", r_est.cast("int")) / F.lit(1e6), 6).alias(
-            "estimate"
-        ),
-        F.round(F.element_at("vs", r_hi.cast("int")) / F.lit(1e6), 6).alias("ci_hi"),
-    )
-
-
-@query(
-    "intraclass_correlation",
-    oracle="""
-    WITH cl AS (
-        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_i,
-               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s_i,
-               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
-                        * CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS q_i
-        FROM orders GROUP BY o_custkey
-    ), t AS (
-        SELECT CAST(count(*) AS BIGINT) AS k,
-               CAST(sum(n_i) AS BIGINT) AS nn,
-               CAST(sum(s_i) AS BIGINT) AS ss,
-               CAST(sum(n_i * n_i) AS BIGINT) AS sn2,
-               CAST(sum(CAST(round((CAST(q_i AS DOUBLE)
-                    - CAST(s_i AS DOUBLE) * s_i / n_i) / 10000) AS BIGINT)) AS BIGINT)
-                   AS ssw_u,
-               CAST(sum(CAST(round((CAST(s_i AS DOUBLE) * s_i / n_i) / 10000)
-                    AS BIGINT)) AS BIGINT) AS sb_u
-        FROM cl
-    ), d AS (
-        SELECT k, nn,
-               (CAST(sb_u AS DOUBLE) - CAST(round((CAST(ss AS DOUBLE) * ss / nn)
-                    / 10000) AS BIGINT)) / (k - 1) AS msb,
-               CAST(ssw_u AS DOUBLE) / (nn - k) AS msw,
-               (CAST(nn AS DOUBLE) - CAST(sn2 AS DOUBLE) / nn) / (k - 1) AS n0
-        FROM t
-    )
-    SELECT k AS n_clusters, nn AS n_rows,
-           round(msb, 6) AS ms_between, round(msw, 6) AS ms_within,
-           round((msb - msw) / (msb + (n0 - 1) * msw), 6) AS icc,
-           round(1 + (CAST(nn AS DOUBLE) / k - 1)
-                 * ((msb - msw) / (msb + (n0 - 1) * msw)), 6) AS design_effect
-    FROM d
-    """,
-)
-def intraclass_correlation_q(spark, sf_dir):
-    """Intraclass correlation + design effect for order values
-    clustered by customer (the survey-sampling question behind every
-    cluster-sampled estimate: how much does sampling whole customers
-    instead of random orders inflate variance? DEFF = 1+(m̄−1)·ICC —
-    this calibrates hash_sample vs group_reservoir_sample): one-way
-    ANOVA from per-cluster exact cent-unit (n, Σx, Σx²) — ONE fact
-    rollup; per-cluster within/between terms quantize to unit-cents²
-    so the cluster-frame sums stay order-free; Fisher's ICC from the
-    mean squares in identical double arithmetic."""
-    o = load_table(spark, sf_dir, "orders")
-    cents = F.expr("cast(round(o_totalprice * 100) as bigint)")
-    cl = o.groupBy("o_custkey").agg(
-        F.count("*").cast("long").alias("n_i"),
-        F.sum(cents).cast("long").alias("s_i"),
-        F.sum(cents * cents).cast("long").alias("q_i"),
-    )
-    t = cl.agg(
-        F.count("*").cast("long").alias("k"),
-        F.sum("n_i").cast("long").alias("nn"),
-        F.sum("s_i").cast("long").alias("ss"),
-        F.sum(F.col("n_i") * F.col("n_i")).cast("long").alias("sn2"),
-        F.sum(
-            F.expr(
-                "cast(round((cast(q_i as double) - cast(s_i as double) * s_i / n_i)"
-                " / 10000) as bigint)"
-            )
-        )
-        .cast("long")
-        .alias("ssw_u"),
-        F.sum(
-            F.expr("cast(round((cast(s_i as double) * s_i / n_i) / 10000) as bigint)")
-        )
-        .cast("long")
-        .alias("sb_u"),
-    )
-    msb = (
-        F.col("sb_u").cast("double")
-        - F.expr("cast(round((cast(ss as double) * ss / nn) / 10000) as bigint)")
-    ) / (F.col("k") - 1)
-    msw = F.col("ssw_u").cast("double") / (F.col("nn") - F.col("k"))
-    n0 = (F.col("nn").cast("double") - F.col("sn2").cast("double") / F.col("nn")) / (
-        F.col("k") - 1
-    )
-    icc = (msb - msw) / (msb + (n0 - 1) * msw)
-    return t.select(
-        F.col("k").alias("n_clusters"),
-        F.col("nn").alias("n_rows"),
-        F.round(msb, 6).alias("ms_between"),
-        F.round(msw, 6).alias("ms_within"),
-        F.round(icc, 6).alias("icc"),
-        F.round(1 + (F.col("nn").cast("double") / F.col("k") - 1) * icc, 6).alias(
-            "design_effect"
-        ),
-    )
-
-
-def _dedup_threshold_sweep_oracle() -> str:
-    from .operators import ann
-
-    planes = ann.hyperplanes(6, 64)
-    return f"""
-    WITH {_planes_sql(planes)},
-    dots AS (
-        SELECT e.vec_id, p.pid, {_dd_dot('e.embedding', 'p.w')} AS d
-        FROM embeddings e CROSS JOIN planes p
-    ), buckets AS (
-        SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << pid) ELSE 0 END) AS bucket
-        FROM dots GROUP BY vec_id
-    ), v AS (
-        SELECT e.vec_id, e.embedding, b.bucket
-        FROM embeddings e JOIN buckets b USING (vec_id)
-    ), scored AS (
-        SELECT {_dd_cosine('a.embedding', 'b.embedding')} AS score
-        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    ), nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM embeddings),
-    thr AS (SELECT unnest([0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8]) AS tau)
-    SELECT t.tau, nv.n_vectors,
-           CAST((SELECT count(*) FROM scored) AS BIGINT) AS n_candidates,
-           CAST(sum(CASE WHEN s.score >= t.tau THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_dup_pairs,
-           round(CAST(sum(CASE WHEN s.score >= t.tau THEN 1 ELSE 0 END) AS DOUBLE)
-                 / nv.n_vectors, 6) AS pairs_per_doc
-    FROM scored s CROSS JOIN thr t CROSS JOIN nv
-    GROUP BY t.tau, nv.n_vectors
-    """
-
-
-@query("dedup_threshold_sweep")  # oracle attached below (plane literals)
-def dedup_threshold_sweep_q(spark, sf_dir):
-    """Near-dup threshold policy sweep (how aggressive should semantic
-    dedup be? — the tuning table a curation team reads before fixing
-    dedup_embedding_lsh's tau): same-bucket candidate pairs score
-    ONCE; all 7 thresholds are conditional sums over that single
-    scored pass (one more threshold = one more counter, not another
-    pair join). The pairs-per-doc column is the de-dup pressure
-    readout per tau; candidate volume stays bucket-bounded."""
-    from .operators import ann
-
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    planes = ann.hyperplanes(6, 64)
-    v = emb.select(
-        "vec_id", "embedding", ann.lsh_bucket(F.col("embedding"), planes).alias("_b")
-    )
-    a, b = v.alias("a"), v.alias("b")
-    scored = a.join(
-        b, (F.col("a._b") == F.col("b._b")) & (F.col("a.vec_id") < F.col("b.vec_id"))
-    ).select(V.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("score"))
-    nv = load_table(spark, sf_dir, "embeddings").agg(
-        F.count("*").cast("long").alias("n_vectors")
-    )
-    thr = spark.createDataFrame(
-        [(0.2,), (0.3,), (0.4,), (0.5,), (0.6,), (0.7,), (0.8,)], "tau double"
-    )
-    nc = scored.agg(F.count("*").cast("long").alias("n_candidates"))
-    return (
-        scored.crossJoin(F.broadcast(thr))
-        .groupBy("tau")
-        .agg(
-            F.sum(F.when(F.col("score") >= F.col("tau"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_dup_pairs")
-        )
-        .crossJoin(F.broadcast(nv))
-        .crossJoin(F.broadcast(nc))
-        .select(
-            "tau",
-            "n_vectors",
-            "n_candidates",
-            "n_dup_pairs",
-            F.round(
-                F.col("n_dup_pairs").cast("double") / F.col("n_vectors"), 6
-            ).alias("pairs_per_doc"),
-        )
-    )
-
-
-ORACLES["dedup_threshold_sweep"] = _dedup_threshold_sweep_oracle()
-
-
-@query(
-    "embedding_dim_profile",
-    oracle="""
-    WITH d AS (
-        SELECT unnest(range(len(embedding))) AS pos,
-               CAST(round(unnest(embedding::DOUBLE[]) * 1000000) AS BIGINT) AS v_u
-        FROM embeddings
-    ), g AS (
-        SELECT CAST(pos AS BIGINT) AS pos, CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(v_u) AS BIGINT) AS s,
-               sum(CAST(v_u AS DECIMAL(18,0)) * CAST(v_u AS DECIMAL(18,0))) AS q,
-               CAST(min(v_u) AS BIGINT) AS mn, CAST(max(v_u) AS BIGINT) AS mx
-        FROM d GROUP BY pos
-    )
-    SELECT pos, n,
-           round(CAST(s AS DOUBLE) / n / 1e6, 6) AS mean_v,
-           round((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1) / 1e12, 6)
-               AS variance,
-           round(mn / 1e6, 6) AS min_v,
-           round(mx / 1e6, 6) AS max_v,
-           (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1) / 1e12 < 0.0001
-               AS near_zero_var
-    FROM g
-    """,
-)
-def embedding_dim_profile_q(spark, sf_dir):
-    """Per-DIMENSION embedding profile (the feature-screening pass
-    before PCA/quantization: dead dimensions waste PQ codebook bits
-    and mislead matryoshka truncation — embedding_quality_checks'
-    per-vector QA, transposed): posexplode to (pos, value) primitives,
-    one map-side-combinable rollup to 64 rows; micro-unit sums are
-    exact BIGINTs with DECIMAL accumulation for the squares (overflows
-    long at corpus scale), variance/min/max/near-zero flags derive
-    from identical arithmetic."""
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    d = emb.select(F.posexplode(V._as_double(F.col("embedding")))).select(
-        F.col("pos").cast("long").alias("pos"),
-        F.expr("cast(round(col * 1000000) as bigint)").alias("v_u"),
-    )
-    g = d.groupBy("pos").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("v_u").cast("long").alias("s"),
-        F.sum(F.col("v_u").cast("decimal(18,0)") * F.col("v_u").cast("decimal(18,0)"))
-        .alias("q"),
-        F.min("v_u").cast("long").alias("mn"),
-        F.max("v_u").cast("long").alias("mx"),
-    )
-    var = (
-        (F.col("q").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
-        / (F.col("n") - 1)
-        / F.lit(1e12)
-    )
-    return g.select(
-        "pos",
-        "n",
-        F.round(F.col("s").cast("double") / F.col("n") / F.lit(1e6), 6).alias("mean_v"),
-        F.round(var, 6).alias("variance"),
-        F.round(F.col("mn") / F.lit(1e6), 6).alias("min_v"),
-        F.round(F.col("mx") / F.lit(1e6), 6).alias("max_v"),
-        (var < 0.0001).alias("near_zero_var"),
-    )
-
-
-@query(
-    "eb_rate_shrinkage",
-    oracle="""
-    WITH u AS (
-        SELECT user_id,
-               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS v,
-               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c
-        FROM events GROUP BY user_id
-    ), r AS (
-        SELECT user_id, v, c,
-               CAST(round(CAST(c AS DOUBLE) / v * 1000000) AS BIGINT) AS r_u
-        FROM u WHERE v >= 1
-    ), m AS (
-        SELECT CAST(count(*) AS BIGINT) AS uu,
-               CAST(sum(r_u) AS BIGINT) AS sr,
-               CAST(sum(r_u * r_u) AS BIGINT) AS srr
-        FROM r
-    ), ab AS (
-        SELECT uu,
-               CAST(sr AS DOUBLE) / uu / 1000000 AS mean_r,
-               (CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * sr / uu)
-                   / (uu - 1) / 1e12 AS var_r
-        FROM m
-    ), k AS (
-        SELECT uu, mean_r, var_r,
-               CASE WHEN var_r > 0 AND mean_r * (1 - mean_r) / var_r - 1 > 0
-                    THEN mean_r * (1 - mean_r) / var_r - 1 ELSE 1.0 END AS kappa
-        FROM ab
-    )
-    SELECT user_id, v AS n_views, c AS n_conversions,
-           round(CAST(c AS DOUBLE) / v, 6) AS raw_rate,
-           round((CAST(c AS DOUBLE) + k.mean_r * k.kappa)
-                 / (CAST(v AS DOUBLE) + k.kappa), 6) AS shrunk_rate,
-           round(k.mean_r * k.kappa, 6) AS alpha,
-           round((1 - k.mean_r) * k.kappa, 6) AS beta,
-           CAST(rnk AS BIGINT) AS rnk
-    FROM (
-        SELECT r.*, row_number() OVER (ORDER BY v DESC, user_id) AS rnk FROM r
-    ) r CROSS JOIN k
-    WHERE rnk <= 20
-    """,
-)
-def eb_rate_shrinkage_q(spark, sf_dir):
-    """Empirical-Bayes (Beta-Binomial) shrinkage of per-user
-    view->purchase rates (the classic fix for 1/1 = 100%% small-sample
-    rates that pollute any leaderboard or CTR model): method-of-
-    moments alpha/beta from the POPULATION of per-user rates — the
-    user rollup is the only fact shuffle; rate moments are exact
-    micro-unit integer sums over that frame, and the prior returns as
-    one broadcast scalar row. Shrunk rate (c+alpha)/(v+alpha+beta) per
-    user; top-20 by volume as the readout. Degenerate variance falls
-    back to kappa=1 through the identical CASE on both engines."""
-    ev = load_table(spark, sf_dir, "events")
-    u = ev.groupBy("user_id").agg(
-        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
-        .cast("long")
-        .alias("v"),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
-        .cast("long")
-        .alias("c"),
-    )
-    r = u.filter(F.col("v") >= 1).select(
-        "user_id",
-        "v",
-        "c",
-        F.expr("cast(round(cast(c as double) / v * 1000000) as bigint)").alias("r_u"),
-    )
-    m = r.agg(
-        F.count("*").cast("long").alias("uu"),
-        F.sum("r_u").cast("long").alias("sr"),
-        F.sum(F.col("r_u") * F.col("r_u")).cast("long").alias("srr"),
-    )
-    mean_r = F.col("sr").cast("double") / F.col("uu") / F.lit(1000000)
-    var_r = (
-        (F.col("srr").cast("double") - F.col("sr").cast("double") * F.col("sr") / F.col("uu"))
-        / (F.col("uu") - 1)
-        / F.lit(1e12)
-    )
-    k = m.select(
-        mean_r.alias("mean_r"),
-        F.when(
-            (var_r > 0) & (mean_r * (1 - mean_r) / var_r - 1 > 0),
-            mean_r * (1 - mean_r) / var_r - 1,
-        )
-        .otherwise(F.lit(1.0))
-        .alias("kappa"),
-    )
-    ranked = r.withColumn(
-        "rnk",
-        F.row_number()
-        .over(Window.orderBy(F.col("v").desc(), "user_id"))
-        .cast("long"),
-    ).filter(F.col("rnk") <= 20)
-    return ranked.crossJoin(F.broadcast(k)).select(
-        "user_id",
-        F.col("v").alias("n_views"),
-        F.col("c").alias("n_conversions"),
-        F.round(F.col("c").cast("double") / F.col("v"), 6).alias("raw_rate"),
-        F.round(
-            (F.col("c").cast("double") + F.col("mean_r") * F.col("kappa"))
-            / (F.col("v").cast("double") + F.col("kappa")),
-            6,
-        ).alias("shrunk_rate"),
-        F.round(F.col("mean_r") * F.col("kappa"), 6).alias("alpha"),
-        F.round((1 - F.col("mean_r")) * F.col("kappa"), 6).alias("beta"),
-        "rnk",
-    )
-
-
-@query(
-    "simpson_paradox_check",
-    oracle="""
-    WITH d AS (
-        SELECT n.n_name,
-               CAST(round(l.l_discount * 100) AS BIGINT) AS x,
-               CAST(round(l.l_quantity) AS BIGINT) AS y
-        FROM lineitem l
-        JOIN orders o ON l.l_orderkey = o.o_orderkey
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        JOIN nation n ON c.c_nationkey = n.n_nationkey
-    ), s AS (
-        SELECT n_name, CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-               CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
-        FROM d GROUP BY n_name
-    ), w AS (
-        SELECT n_name, n, sx, sy, sxx, sxy,
-               CAST(sum(n) OVER () AS BIGINT) AS tn,
-               CAST(sum(sx) OVER () AS BIGINT) AS tsx,
-               CAST(sum(sy) OVER () AS BIGINT) AS tsy,
-               CAST(sum(sxx) OVER () AS BIGINT) AS tsxx,
-               CAST(sum(sxy) OVER () AS BIGINT) AS tsxy
-        FROM s
-    )
-    SELECT n_name, n,
-           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS slope,
-           round((CAST(tn AS DOUBLE) * tsxy - CAST(tsx AS DOUBLE) * tsy)
-                 / (CAST(tn AS DOUBLE) * tsxx - CAST(tsx AS DOUBLE) * tsx), 6)
-               AS pooled_slope,
-           ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) *
-            (CAST(tn AS DOUBLE) * tsxy - CAST(tsx AS DOUBLE) * tsy)) < 0 AS sign_flip
-    FROM w
-    """,
-)
-def simpson_paradox_check_q(spark, sf_dir):
-    """Simpson's-paradox screen for the discount->quantity relationship
-    (does any nation's within-segment slope run OPPOSITE to the pooled
-    slope? the aggregation trap every metrics review must rule out
-    before acting on a pooled trend): per-nation OLS moments from ONE
-    rollup (grouped_ols_slopes' frame), the POOLED moments derived by
-    window-summing that same 25-row frame — no second fact scan; the
-    sign_flip flag compares the two slope numerators under identical
-    arithmetic."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    d = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .select(
-            "n_name",
-            F.expr("cast(round(l_discount * 100) as bigint)").alias("x"),
-            F.expr("cast(round(l_quantity) as bigint)").alias("y"),
-        )
-    )
-    s = d.groupBy("n_name").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-    )
-    wa = Window.partitionBy()
-    w = s.select(
-        "*",
-        F.sum("n").over(wa).cast("long").alias("tn"),
-        F.sum("sx").over(wa).cast("long").alias("tsx"),
-        F.sum("sy").over(wa).cast("long").alias("tsy"),
-        F.sum("sxx").over(wa).cast("long").alias("tsxx"),
-        F.sum("sxy").over(wa).cast("long").alias("tsxy"),
-    )
-    nd = F.col("n").cast("double")
-    gnum = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
-    gden = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
-    td = F.col("tn").cast("double")
-    pnum = td * F.col("tsxy") - F.col("tsx").cast("double") * F.col("tsy")
-    pden = td * F.col("tsxx") - F.col("tsx").cast("double") * F.col("tsx")
-    return w.select(
-        "n_name",
-        "n",
-        F.round(gnum / gden, 6).alias("slope"),
-        F.round(pnum / pden, 6).alias("pooled_slope"),
-        ((gnum * pnum) < 0).alias("sign_flip"),
-    )
-
-
-@query(
-    "bloom_filter_sizing",
-    oracle="""
-    WITH n AS (
-        SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_keys FROM documents
-    ), t AS (SELECT unnest([0.01, 0.001, 0.0001]) AS target_fpr)
-    SELECT t.target_fpr, n.n_keys,
-           CAST(ceil(-CAST(n.n_keys AS DOUBLE) * ln(t.target_fpr)
-                     / pow(ln(2.0), 2)) AS BIGINT) AS m_bits,
-           round(ceil(-CAST(n.n_keys AS DOUBLE) * ln(t.target_fpr)
-                      / pow(ln(2.0), 2)) / 8388608, 6) AS mib,
-           CAST(greatest(1, CAST(round(ceil(-CAST(n.n_keys AS DOUBLE) * ln(t.target_fpr)
-                / pow(ln(2.0), 2)) / n.n_keys * ln(2.0)) AS BIGINT)) AS BIGINT)
-               AS k_hashes,
-           round(pow(1 - exp(-greatest(1, CAST(round(ceil(-CAST(n.n_keys AS DOUBLE)
-                     * ln(t.target_fpr) / pow(ln(2.0), 2)) / n.n_keys * ln(2.0))
-                     AS BIGINT)) * CAST(n.n_keys AS DOUBLE)
-                     / ceil(-CAST(n.n_keys AS DOUBLE) * ln(t.target_fpr)
-                            / pow(ln(2.0), 2))),
-               greatest(1, CAST(round(ceil(-CAST(n.n_keys AS DOUBLE) * ln(t.target_fpr)
-                     / pow(ln(2.0), 2)) / n.n_keys * ln(2.0)) AS BIGINT))), 6)
-               AS actual_fpr
-    FROM n CROSS JOIN t
-    """,
-)
-def bloom_filter_sizing_q(spark, sf_dir):
-    """Bloom filter capacity planning for the dedup-at-the-door path
-    (bloom_dedup_probe MEASURES a filter; this SIZES one): optimal
-    m = -n·ln(p)/ln²2 bits and k = (m/n)·ln2 hashes for target FPRs,
-    plus the realized FPR (1-e^(-kn/m))^k — the incremental_dedup /
-    streaming_corpus_dedup front-door budget. The key count is one
-    distinct-hash aggregate (HLL-swappable at 100 TB); the sizing
-    table is pure literal math over that scalar, identical on both
-    engines."""
-    docs = load_table(spark, sf_dir, "documents")
-    n = docs.agg(F.count_distinct(F.md5("text")).cast("long").alias("n_keys"))
-    t = spark.createDataFrame([(0.01,), (0.001,), (0.0001,)], "target_fpr double")
-    nd = F.col("n_keys").cast("double")
-    ln2 = F.log(F.lit(2.0))
-    m_bits = F.ceil(-nd * F.log(F.col("target_fpr")) / F.pow(ln2, F.lit(2.0)))
-    k_hashes = F.greatest(
-        F.lit(1).cast("long"), F.round(m_bits / F.col("n_keys") * ln2, 0).cast("long")
-    )
-    actual = F.pow(
-        1 - F.exp(-k_hashes.cast("double") * nd / m_bits), k_hashes.cast("double")
-    )
-    return n.crossJoin(F.broadcast(t)).select(
-        "target_fpr",
-        "n_keys",
-        m_bits.cast("long").alias("m_bits"),
-        F.round(m_bits / F.lit(8388608), 6).alias("mib"),
-        k_hashes.alias("k_hashes"),
-        F.round(actual, 6).alias("actual_fpr"),
-    )
-
-
-def _recall_sweep_oracle() -> str:
-    from .operators import ann
-
-    planes = ann.hyperplanes(4, 64)
-    return f"""
-    WITH {_planes_sql(planes)},
-    dots AS (
-        SELECT e.vec_id, p.pid, {_dd_dot('e.embedding', 'p.w')} AS d
-        FROM embeddings e CROSS JOIN planes p
-    ), buckets AS (
-        SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << pid) ELSE 0 END) AS bucket
-        FROM dots GROUP BY vec_id
-    ), q AS (
-        SELECT e.vec_id AS query_id, e.embedding AS query_vec, b.bucket
-        FROM embeddings e JOIN buckets b USING (vec_id) WHERE e.vec_id < 20
-    ), c AS (
-        SELECT e.vec_id, e.embedding, b.bucket
-        FROM embeddings e JOIN buckets b USING (vec_id)
-    ), annr AS (
-        SELECT query_id, vec_id, rnk FROM (
-            SELECT q.query_id, c.vec_id,
-                   row_number() OVER (PARTITION BY q.query_id
-                       ORDER BY {_dd_cosine('c.embedding', 'q.query_vec')} DESC,
-                                c.vec_id) AS rnk
-            FROM c JOIN q ON c.bucket = q.bucket
-        ) WHERE rnk <= 20
-    ), bfr AS (
-        SELECT query_id, vec_id, rnk FROM (
-            SELECT q.query_id, e.vec_id,
-                   row_number() OVER (PARTITION BY q.query_id
-                       ORDER BY {_dd_cosine('e.embedding', 'q.query_vec')} DESC,
-                                e.vec_id) AS rnk
-            FROM embeddings e CROSS JOIN q
-        ) WHERE rnk <= 20
-    ), j AS (
-        SELECT a.query_id, a.rnk AS r_ann, b.rnk AS r_bf
-        FROM annr a JOIN bfr b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
-    ), nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries FROM q),
-    ks AS (SELECT unnest([1, 5, 10, 20]) AS k)
-    SELECT CAST(ks.k AS BIGINT) AS k, nq.n_queries,
-           CAST(sum(CASE WHEN j.r_ann <= ks.k AND j.r_bf <= ks.k
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-           round(CAST(sum(CASE WHEN j.r_ann <= ks.k AND j.r_bf <= ks.k
-                               THEN 1 ELSE 0 END) AS DOUBLE)
-                 / (nq.n_queries * ks.k), 6) AS mean_recall
-    FROM j CROSS JOIN ks CROSS JOIN nq
-    GROUP BY ks.k, nq.n_queries
-    """
-
-
-@query("recall_at_k_sweep")  # oracle attached below (plane literals)
-def recall_at_k_sweep_q(spark, sf_dir):
-    """Recall@k across a k-grid for single-probe LSH vs exact top-20
-    (ann_recall_at_k fixes k=10; the CUTOFF-sensitivity view shows
-    whether the probe budget holds as the serving k grows — the table
-    that decides k before rerank_two_stage's depth): the ANN and
-    brute-force rankings compute ONCE to depth 20; the rank-pair join
-    is (queries x <=20)-bounded and every k in the grid is a
-    conditional sum over that joined frame — 4 cutoffs, zero extra
-    retrieval passes."""
-    from .operators import ann
-
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    planes = ann.hyperplanes(4, 64)
-    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    annr = ann.ann_lsh_topk(emb, queries, planes, k=20).select(
-        "query_id", "vec_id", F.col("rank").alias("r_ann")
-    )
-    bfr = knn.topk_batch(load_table(spark, sf_dir, "embeddings"), queries, k=20).select(
-        "query_id", "vec_id", F.col("rank").alias("r_bf")
-    )
-    j = annr.join(bfr, ["query_id", "vec_id"])
-    nq = queries.agg(F.count_distinct("query_id").cast("long").alias("n_queries"))
-    ks = spark.createDataFrame([(1,), (5,), (10,), (20,)], "k long")
-    return (
-        j.crossJoin(F.broadcast(ks))
-        .groupBy("k")
-        .agg(
-            F.sum(
-                F.when((F.col("r_ann") <= F.col("k")) & (F.col("r_bf") <= F.col("k")), 1)
-                .otherwise(0)
-            )
-            .cast("long")
-            .alias("n_hits")
-        )
-        .crossJoin(F.broadcast(nq))
-        .select(
-            "k",
-            "n_queries",
-            "n_hits",
-            F.round(
-                F.col("n_hits").cast("double") / (F.col("n_queries") * F.col("k")), 6
-            ).alias("mean_recall"),
-        )
-    )
-
-
-ORACLES["recall_at_k_sweep"] = _recall_sweep_oracle()
-
-
-def _uncertainty_sampling_oracle() -> str:
-    base = _classifier_calibration_oracle().rsplit(", labels AS", 1)[0]
-    return (
-        base
-        + """
-    SELECT p.doc_id, d.source, round(p.prob, 6) AS prob,
-           round(abs(p.prob - 0.5), 6) AS margin,
-           CAST(rnk AS BIGINT) AS rnk
-    FROM (
-        SELECT doc_id, prob,
-               row_number() OVER (ORDER BY abs(prob - 0.5), doc_id) AS rnk
-        FROM probs
-    ) p JOIN documents d USING (doc_id)
-    WHERE rnk <= 20
-    """
-    )
-
-
-@query("uncertainty_sampling", oracle=None)  # oracle attached below
-def uncertainty_sampling_q(spark, sf_dir):
-    """Active-learning batch selection: the 20 documents the quality
-    scorer is LEAST sure about (|prob - 0.5| margin, deterministic
-    ties) — the annotation queue that improves the classifier fastest
-    per label (uncertainty sampling, Lewis & Gale '94). One classifier
-    pass; the margin ranking is a TakeOrdered-shaped top-k, and source
-    metadata joins back for the 20 winners only — the same
-    winners-only fetch posture as snippet_extraction."""
-    from .operators import curation
-
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    probs = curation.quality_classifier(docs).select("doc_id", "prob")
-    ranked = probs.withColumn(
-        "rnk",
-        F.row_number()
-        .over(Window.orderBy(F.abs(F.col("prob") - 0.5), "doc_id"))
-        .cast("long"),
-    ).filter(F.col("rnk") <= 20)
-    return ranked.join(
-        load_table(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id"
-    ).select(
-        "doc_id",
-        "source",
-        F.round("prob", 6).alias("prob"),
-        F.round(F.abs(F.col("prob") - 0.5), 6).alias("margin"),
-        "rnk",
-    )
-
-
-ORACLES["uncertainty_sampling"] = _uncertainty_sampling_oracle()
-
-
-@query(
-    "source_ngram_similarity",
-    oracle="""
-    WITH toks AS (
-        SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
-    ), grams AS (
-        SELECT source, substr(term, 1, 3) AS g, CAST(count(*) AS BIGINT) AS c
-        FROM toks WHERE term <> '' GROUP BY source, substr(term, 1, 3)
-    ), norms AS (
-        SELECT source, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nrm FROM grams GROUP BY source
-    ), pairs AS (
-        SELECT a.source AS source_a, b.source AS source_b,
-               CAST(sum(a.c * b.c) AS BIGINT) AS dot
-        FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
-        GROUP BY a.source, b.source
-    )
-    SELECT p.source_a, p.source_b,
-           round(CAST(p.dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine_sim
-    FROM pairs p
-    JOIN norms na ON p.source_a = na.source
-    JOIN norms nb ON p.source_b = nb.source
-    """,
-)
-def source_ngram_similarity_q(spark, sf_dir):
-    """Character-trigram-prefix profile similarity between sources
-    (the stylometric 'are these feeds the same kind of text?' matrix —
-    lang_id classifies rows, THIS compares whole slices;
-    cross_source_duplication finds copies, this finds stylistic kin):
-    per-source gram counts collapse map-side to a |sources|x|grams|
-    frame; the pairwise dot joins on the gram key (bounded by gram
-    vocabulary, never data volume) and norms come from exact integer
-    sum-of-squares. Cosine from exact BIGINTs at emit."""
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    grams = (
-        docs.select("source", F.explode(F.split("text", " ")).alias("term"))
-        .filter(F.col("term") != "")
-        .groupBy("source", F.substring("term", 1, 3).alias("g"))
-        .agg(F.count("*").cast("long").alias("c"))
-    )
-    norms = grams.groupBy("source").agg(
-        F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("nrm")
-    )
-    a, b = grams.alias("a"), grams.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")))
-        .groupBy(
-            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
-        )
-        .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("long").alias("dot"))
-    )
-    na = norms.select(F.col("source").alias("source_a"), F.col("nrm").alias("_na"))
-    nb = norms.select(F.col("source").alias("source_b"), F.col("nrm").alias("_nb"))
-    return (
-        pairs.join(F.broadcast(na), "source_a")
-        .join(F.broadcast(nb), "source_b")
-        .select(
-            "source_a",
-            "source_b",
-            F.round(F.col("dot").cast("double") / (F.col("_na") * F.col("_nb")), 6).alias(
-                "cosine_sim"
-            ),
-        )
-    )
-
-
-@query(
-    "seasonal_residual_anomaly",
-    oracle="""
-    WITH m AS (
-        SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS month_id,
-               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
-        FROM orders GROUP BY month_id
-    ), tr AS (
-        SELECT month_id, rev_c,
-               CAST(sum(rev_c) OVER w AS BIGINT) AS win_sum,
-               CAST(count(*) OVER w AS BIGINT) AS win_n
-        FROM m
-        WINDOW w AS (ORDER BY month_id ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
-    ), dt AS (
-        SELECT month_id, rev_c,
-               CAST(rev_c AS DOUBLE) / 100 - CAST(win_sum AS DOUBLE) / 13 / 100
-                   AS detrended
-        FROM tr WHERE win_n = 13
-    ), si AS (
-        SELECT month_id % 12 AS moy,
-               CAST(sum(CAST(round(detrended * 1000000) AS BIGINT)) AS BIGINT) AS s_u,
-               CAST(count(*) AS BIGINT) AS n
-        FROM dt GROUP BY month_id % 12
-    ), res AS (
-        SELECT d.month_id,
-               CAST(round(d.detrended * 1000000) AS BIGINT)
-               - CAST(round(CAST(s.s_u AS DOUBLE) / s.n) AS BIGINT) AS r_u
-        FROM dt d JOIN si s ON d.month_id % 12 = s.moy
-    ), med AS (
-        SELECT list_sort(list(r_u)) AS vs, CAST(count(*) AS BIGINT) AS n FROM res
-    ), m0 AS (
-        SELECT vs[CAST(n // 2 AS INTEGER) + 1] AS med_u FROM med
-    ), mad AS (
-        SELECT list_sort(list(abs(r.r_u - m0.med_u))) AS avs,
-               CAST(count(*) AS BIGINT) AS n
-        FROM res r CROSS JOIN m0 GROUP BY ALL
-    ), mad0 AS (
-        SELECT avs[CAST(n // 2 AS INTEGER) + 1] AS mad_u FROM mad
-    )
-    SELECT CAST(r.month_id AS BIGINT) AS month_id,
-           round(r.r_u / 1e6, 6) AS residual,
-           round(m0.med_u / 1e6, 6) AS res_median,
-           round(mad0.mad_u / 1e6, 6) AS res_mad,
-           abs(r.r_u - m0.med_u) > 3 * mad0.mad_u AS is_anomaly
-    FROM res r CROSS JOIN m0 CROSS JOIN mad0
-    """,
-)
-def seasonal_residual_anomaly_q(spark, sf_dir):
-    """Anomaly detection on the SEASONALLY-ADJUSTED series (the
-    decompose->detect loop closed: a raw-value detector fires every
-    December; flagging |residual − median| > 3·MAD only fires when a
-    month breaks its OWN seasonal pattern — events_anomaly_mad's
-    robust rule applied to seasonal_decompose's residuals): residuals
-    in exact micro-units, median and MAD by exact sorted selection
-    over the month-bounded frame, the threshold compare entirely in
-    integers."""
-    o = load_table(spark, sf_dir, "orders")
-    m = o.groupBy(
-        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1).alias(
-            "month_id"
-        )
-    ).agg(
-        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
-        .cast("long")
-        .alias("rev_c")
-    )
-    w = Window.orderBy("month_id").rowsBetween(-6, 6)
-    tr = m.select(
-        "month_id",
-        "rev_c",
-        F.sum("rev_c").over(w).cast("long").alias("win_sum"),
-        F.count("*").over(w).cast("long").alias("win_n"),
-    )
-    dt = tr.filter(F.col("win_n") == 13).select(
-        "month_id",
-        (
-            F.col("rev_c").cast("double") / 100
-            - F.col("win_sum").cast("double") / 13 / 100
-        ).alias("detrended"),
-    )
-    si = dt.groupBy((F.col("month_id") % 12).alias("moy")).agg(
-        F.sum(F.expr("cast(round(detrended * 1000000) as bigint)"))
-        .cast("long")
-        .alias("s_u"),
-        F.count("*").cast("long").alias("n"),
-    )
-    res = (
-        dt.join(F.broadcast(si), F.col("month_id") % 12 == F.col("moy"))
-        .select(
-            "month_id",
-            (
-                F.expr("cast(round(detrended * 1000000) as bigint)")
-                - F.expr("cast(round(cast(s_u as double) / n) as bigint)")
-            ).alias("r_u"),
-        )
-    )
-    med = res.agg(
-        F.sort_array(F.collect_list("r_u")).alias("vs"),
-        F.count("*").cast("long").alias("n"),
-    ).select(
-        F.element_at("vs", (F.expr("n div 2") + 1).cast("int")).alias("med_u")
-    )
-    wm = res.crossJoin(F.broadcast(med))
-    mad = wm.agg(
-        F.sort_array(F.collect_list(F.abs(F.col("r_u") - F.col("med_u")))).alias("avs"),
-        F.count("*").cast("long").alias("n"),
-    ).select(
-        F.element_at("avs", (F.expr("n div 2") + 1).cast("int")).alias("mad_u")
-    )
-    return (
-        wm.crossJoin(F.broadcast(mad))
-        .select(
-            F.col("month_id").cast("long"),
-            F.round(F.col("r_u") / F.lit(1e6), 6).alias("residual"),
-            F.round(F.col("med_u") / F.lit(1e6), 6).alias("res_median"),
-            F.round(F.col("mad_u") / F.lit(1e6), 6).alias("res_mad"),
-            (F.abs(F.col("r_u") - F.col("med_u")) > 3 * F.col("mad_u")).alias(
-                "is_anomaly"
-            ),
-        )
-    )
-
-
-@query(
-    "lorenz_curve_points",
-    oracle="""
-    WITH c AS (
-        SELECT o_custkey,
-               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_c
-        FROM orders GROUP BY o_custkey
-    ), r AS (
-        SELECT spend_c,
-               ntile(10) OVER (ORDER BY spend_c, o_custkey) AS decile
-        FROM c
-    ), g AS (
-        SELECT CAST(decile AS BIGINT) AS decile,
-               CAST(count(*) AS BIGINT) AS n_customers,
-               CAST(sum(spend_c) AS BIGINT) AS spend_dec
-        FROM r GROUP BY decile
-    )
-    SELECT decile, n_customers,
-           round(CAST(spend_dec AS DOUBLE) / 100, 6) AS decile_spend,
-           round(CAST(sum(spend_dec) OVER (ORDER BY decile
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-                 / sum(spend_dec) OVER (), 6) AS cum_share
-    FROM g
-    """,
-)
-def lorenz_curve_points_q(spark, sf_dir):
-    """Lorenz curve deciles of customer spend (the plot behind
-    revenue_concentration's Gini — 'the bottom 50%% of customers hold
-    X%% of revenue'): one fact rollup to per-customer exact cents,
-    ntile(10) on a fully deterministic (spend, custkey) order, then
-    cumulative shares from exact integer sums over the 10-row frame.
-    The decile ranking is the only customer-frame window; everything
-    after is bounded."""
-    o = load_table(spark, sf_dir, "orders")
-    c = o.groupBy("o_custkey").agg(
-        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
-        .cast("long")
-        .alias("spend_c")
-    )
-    r = c.select(
-        "spend_c",
-        F.ntile(10).over(Window.orderBy("spend_c", "o_custkey")).alias("decile"),
-    )
-    g = r.groupBy(F.col("decile").cast("long").alias("decile")).agg(
-        F.count("*").cast("long").alias("n_customers"),
-        F.sum("spend_c").cast("long").alias("spend_dec"),
-    )
-    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
-    return g.select(
-        "decile",
-        "n_customers",
-        F.round(F.col("spend_dec").cast("double") / 100, 6).alias("decile_spend"),
-        F.round(
-            F.sum("spend_dec").over(wc).cast("double")
-            / F.sum("spend_dec").over(Window.partitionBy()),
-            6,
-        ).alias("cum_share"),
-    )
-
-
-@query(
-    "partition_scheme_advisor",
-    oracle="""
-    WITH d AS (
-        SELECT epoch_ns(ts) // 86400000000000 AS day, CAST(count(*) AS BIGINT) AS n
-        FROM events GROUP BY day
-    ), schemes AS (
-        SELECT 'daily' AS scheme, day AS part_id, n FROM d
-        UNION ALL
-        SELECT 'weekly', day // 7, n FROM d
-        UNION ALL
-        SELECT 'monthly', day // 30, n FROM d
-    ), p AS (
-        SELECT scheme, part_id, CAST(sum(n) AS BIGINT) AS rows_in_part
-        FROM schemes GROUP BY scheme, part_id
-    )
-    SELECT scheme,
-           CAST(count(*) AS BIGINT) AS n_partitions,
-           CAST(min(rows_in_part) AS BIGINT) AS min_rows,
-           CAST(max(rows_in_part) AS BIGINT) AS max_rows,
-           round(CAST(sum(rows_in_part) AS DOUBLE) / count(*), 6) AS mean_rows,
-           CAST(sum(CASE WHEN rows_in_part < 1000 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_undersized,
-           round(CAST(sum(CASE WHEN rows_in_part < 1000 THEN rows_in_part ELSE 0 END)
-                 AS DOUBLE) / sum(rows_in_part), 6) AS undersized_row_frac
-    FROM p GROUP BY scheme
-    """,
-)
-def partition_scheme_advisor_q(spark, sf_dir):
-    """Time-partition granularity advisor (daily vs weekly vs monthly
-    event partitions — the small-files question every lakehouse table
-    answers at creation; partition_plan_sim sizes HASH buckets, this
-    sizes TIME partitions): the stream collapses to day counts once,
-    all three schemes are rollups of that bounded frame, and the
-    undersized-partition count/row-fraction (here <1000 rows standing
-    in for <128 MB files) is the compaction-pressure readout
-    compaction_plan would then act on."""
-    ev = load_table(spark, sf_dir, "events")
-    d = ev.groupBy(F.expr("ts_ns div 86400000000000").alias("day")).agg(
-        F.count("*").cast("long").alias("n")
-    )
-    schemes = (
-        d.select(F.lit("daily").alias("scheme"), F.col("day").alias("part_id"), "n")
-        .unionByName(
-            d.select(
-                F.lit("weekly").alias("scheme"),
-                F.expr("day div 7").alias("part_id"),
-                "n",
-            )
-        )
-        .unionByName(
-            d.select(
-                F.lit("monthly").alias("scheme"),
-                F.expr("day div 30").alias("part_id"),
-                "n",
-            )
-        )
-    )
-    p = schemes.groupBy("scheme", "part_id").agg(
-        F.sum("n").cast("long").alias("rows_in_part")
-    )
-    return p.groupBy("scheme").agg(
-        F.count("*").cast("long").alias("n_partitions"),
-        F.min("rows_in_part").cast("long").alias("min_rows"),
-        F.max("rows_in_part").cast("long").alias("max_rows"),
-        F.round(F.sum("rows_in_part").cast("double") / F.count("*"), 6).alias(
-            "mean_rows"
-        ),
-        F.sum(F.when(F.col("rows_in_part") < 1000, 1).otherwise(0))
-        .cast("long")
-        .alias("n_undersized"),
-        F.round(
-            F.sum(
-                F.when(F.col("rows_in_part") < 1000, F.col("rows_in_part")).otherwise(0)
-            ).cast("double")
-            / F.sum("rows_in_part"),
-            6,
-        ).alias("undersized_row_frac"),
-    )
-
-
-@query(
-    "cache_hit_rate_plan",
-    oracle="""
-    WITH k AS (
-        SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
-    ), r AS (
-        SELECT n, CAST(row_number() OVER (ORDER BY n DESC, user_id) AS BIGINT) AS rnk
-        FROM k
-    ), tot AS (
-        SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_keys
-        FROM k
-    ), sizes AS (SELECT unnest([10, 50, 100, 500]) AS cache_size)
-    SELECT CAST(s.cache_size AS BIGINT) AS cache_size, t.n_keys,
-           CAST(sum(CASE WHEN r.rnk <= s.cache_size THEN r.n ELSE 0 END) AS BIGINT)
-               AS hits,
-           round(CAST(sum(CASE WHEN r.rnk <= s.cache_size THEN r.n ELSE 0 END)
-                 AS DOUBLE) / t.total, 6) AS hit_rate
-    FROM r CROSS JOIN sizes s CROSS JOIN tot t
-    GROUP BY s.cache_size, t.n_keys, t.total
-    """,
-)
-def cache_hit_rate_plan_q(spark, sf_dir):
-    """Hot-key cache sizing (what hit rate does a k-entry cache of the
-    hottest users buy? — the memoization-layer planning readout next
-    to skew_profile's diagnosis): per-key counts in one rollup,
-    frequency ranking on the key frame with deterministic ties, and
-    each candidate cache size is a conditional sum over that ranked
-    frame — the whole size grid costs one aggregate. A perfect-LFU
-    upper bound by construction (docstring'd as such: real LRU serves
-    less)."""
-    ev = load_table(spark, sf_dir, "events")
-    k = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("n"))
-    r = k.select(
-        "n",
-        F.row_number()
-        .over(Window.orderBy(F.col("n").desc(), "user_id"))
-        .cast("long")
-        .alias("rnk"),
-    )
-    tot = k.agg(
-        F.sum("n").cast("long").alias("total"),
-        F.count("*").cast("long").alias("n_keys"),
-    )
-    sizes = spark.createDataFrame([(10,), (50,), (100,), (500,)], "cache_size long")
-    return (
-        r.crossJoin(F.broadcast(sizes))
-        .groupBy("cache_size")
-        .agg(
-            F.sum(F.when(F.col("rnk") <= F.col("cache_size"), F.col("n")).otherwise(0))
-            .cast("long")
-            .alias("hits")
-        )
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "cache_size",
-            "n_keys",
-            "hits",
-            F.round(F.col("hits").cast("double") / F.col("total"), 6).alias("hit_rate"),
-        )
-    )
-
-
-@query(
-    "paired_ttest_users",
-    oracle="""
-    WITH b AS (
-        SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS cut FROM events
-    ), u AS (
-        SELECT user_id,
-               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut THEN 0 ELSE 1 END) AS BIGINT) AS n2,
-               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut
-                             THEN CAST(round(value * 1000000) AS BIGINT)
-                             ELSE 0 END) AS BIGINT) AS s1,
-               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut THEN 0
-                             ELSE CAST(round(value * 1000000) AS BIGINT) END) AS BIGINT) AS s2
-        FROM events, b GROUP BY user_id
-    ), d AS (
-        SELECT CAST(round(CAST(s2 AS DOUBLE) / n2 - CAST(s1 AS DOUBLE) / n1)
-                    AS BIGINT) AS d_u
-        FROM u WHERE n1 > 0 AND n2 > 0
-    ), s AS (
-        SELECT CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(d_u) AS BIGINT) AS sd,
-               CAST(sum(d_u * d_u) AS BIGINT) AS sdd
-        FROM d
-    )
-    SELECT n AS n_pairs,
-           round(CAST(sd AS DOUBLE) / n / 1000000, 6) AS mean_diff,
-           round((CAST(sd AS DOUBLE) / n)
-                 / sqrt(((CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd / n) / (n - 1))
-                        / n), 6) AS t_stat
-    FROM s
-    """,
-)
-def paired_ttest_users_q(spark, sf_dir):
-    """PAIRED t-test on per-user mean event values across the midpoint
-    cutover (each user is their own control — pairing removes
-    between-user variance, which is why this detects shifts
-    ab_welch_ttest's unpaired test washes out): one conditional
-    aggregate builds each user's pre/post exact micro-unit sums; only
-    users active in BOTH windows pair; per-user differences quantize
-    to micro-units so the t-statistic derives from exact integer
-    moments over the user frame."""
-    ev = load_table(spark, sf_dir, "events")
-    b = ev.agg(F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("cut"))
-    v_u = "cast(round(value * 1000000) as bigint)"
-    u = ev.crossJoin(F.broadcast(b)).groupBy("user_id").agg(
-        F.sum(F.when(F.col("ts_ns") <= F.col("cut"), 1).otherwise(0))
-        .cast("long")
-        .alias("n1"),
-        F.sum(F.when(F.col("ts_ns") <= F.col("cut"), 0).otherwise(1))
-        .cast("long")
-        .alias("n2"),
-        F.sum(F.when(F.col("ts_ns") <= F.col("cut"), F.expr(v_u)).otherwise(0))
-        .cast("long")
-        .alias("s1"),
-        F.sum(F.when(F.col("ts_ns") <= F.col("cut"), 0).otherwise(F.expr(v_u)))
-        .cast("long")
-        .alias("s2"),
-    )
-    d = u.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
-        F.expr(
-            "cast(round(cast(s2 as double) / n2 - cast(s1 as double) / n1) as bigint)"
-        ).alias("d_u")
-    )
-    s = d.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("d_u").cast("long").alias("sd"),
-        F.sum(F.col("d_u") * F.col("d_u")).cast("long").alias("sdd"),
-    )
-    nd = F.col("n").cast("double")
-    mean_d = F.col("sd").cast("double") / F.col("n")
-    var_d = (F.col("sdd").cast("double") - F.col("sd").cast("double") * F.col("sd") / F.col("n")) / (
-        F.col("n") - 1
-    )
-    return s.select(
-        F.col("n").alias("n_pairs"),
-        F.round(mean_d / F.lit(1000000), 6).alias("mean_diff"),
-        F.round(mean_d / F.sqrt(var_d / nd), 6).alias("t_stat"),
-    )
-
-
-@query(
-    "benford_first_digit",
-    oracle="""
-    WITH d AS (
-        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
-                    1, 1) AS BIGINT) AS digit
-        FROM orders WHERE o_totalprice > 0
-    ), g AS (
-        SELECT digit, CAST(count(*) AS BIGINT) AS observed FROM d GROUP BY digit
-    ), e AS (
-        SELECT g.digit, g.observed,
-               CAST(sum(g.observed) OVER () AS BIGINT) AS n,
-               ln(1.0 + 1.0 / g.digit) / ln(10.0) AS p_benford
-        FROM g
-    )
-    SELECT digit, observed,
-           round(p_benford, 6) AS expected_share,
-           round(CAST(observed AS DOUBLE) / n, 6) AS observed_share,
-           round(pow(CAST(observed AS DOUBLE) - n * p_benford, 2) / (n * p_benford), 6)
-               AS chi2_contrib
-    FROM e
-    """,
-)
-def benford_first_digit_q(spark, sf_dir):
-    """Benford's-law first-digit screen on order totals (the classic
-    fabricated-numbers / broken-ETL detector: natural multi-scale
-    amounts follow P(d)=log10(1+1/d); a flat or spiked digit profile
-    flags synthetic or truncated data): the first digit comes from
-    EXACT integer cents via string head — no float log10, no
-    power-of-ten boundary risk; the 9-row digit frame carries totals
-    by window sum and each digit's chi-square contribution is one
-    identical double expression over exact counts."""
-    o = load_table(spark, sf_dir, "orders")
-    d = o.filter(F.col("o_totalprice") > 0).select(
-        F.expr(
-            "cast(substr(cast(cast(round(o_totalprice * 100) as bigint) as string),"
-            " 1, 1) as bigint)"
-        ).alias("digit")
-    )
-    g = d.groupBy("digit").agg(F.count("*").cast("long").alias("observed"))
-    e = g.select(
-        "digit",
-        "observed",
-        F.sum("observed").over(Window.partitionBy()).cast("long").alias("n"),
-        (F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))).alias("p_benford"),
-    )
-    return e.select(
-        "digit",
-        "observed",
-        F.round("p_benford", 6).alias("expected_share"),
-        F.round(F.col("observed").cast("double") / F.col("n"), 6).alias(
-            "observed_share"
-        ),
-        F.round(
-            F.pow(
-                F.col("observed").cast("double") - F.col("n") * F.col("p_benford"),
-                F.lit(2.0),
-            )
-            / (F.col("n") * F.col("p_benford")),
-            6,
-        ).alias("chi2_contrib"),
-    )
-
-
-@query(
-    "heaps_law_fit",
-    oracle="""
-    WITH mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS mx FROM documents),
-    toks AS (
-        SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS term
-        FROM documents d
-    ), tf AS (
-        SELECT term, CAST(min(doc_id) AS BIGINT) AS first_doc
-        FROM toks WHERE term <> '' GROUP BY term
-    ), tok_n AS (
-        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks
-        FROM toks t WHERE t.term <> '' GROUP BY t.doc_id
-    ), pts AS (
-        SELECT p.frac,
-               CAST(sum(CASE WHEN n.doc_id <= CAST(m.mx * p.frac AS BIGINT)
-                             THEN n.n_toks ELSE 0 END) AS BIGINT) AS n_tokens,
-               (SELECT CAST(count(*) AS BIGINT) FROM tf, mx
-                WHERE tf.first_doc <= CAST(mx.mx * p.frac AS BIGINT)) AS vocab
-        FROM tok_n n CROSS JOIN mx m
-        CROSS JOIN (SELECT unnest([0.2, 0.4, 0.6, 0.8, 1.0]) AS frac) p
-        GROUP BY p.frac, m.mx
-    ), lg AS (
-        SELECT CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS x_u,
-               CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000) AS BIGINT) AS y_u
-        FROM pts WHERE n_tokens > 0 AND vocab > 0
-    ), s AS (
-        SELECT CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(x_u) AS BIGINT) AS sx, CAST(sum(y_u) AS BIGINT) AS sy,
-               CAST(sum(x_u * x_u) AS BIGINT) AS sxx, CAST(sum(x_u * y_u) AS BIGINT) AS sxy
-        FROM lg
-    )
-    SELECT n AS n_points,
-           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS beta,
-           round(exp(((CAST(sy AS DOUBLE)
-                 - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                   / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx) / n)
-                 / 1000000), 6) AS k_coef
-    FROM s
-    """,
-)
-def heaps_law_fit_q(spark, sf_dir):
-    """Heaps'-law fit V = K·N^beta — vocabulary growth against corpus
-    size (zipf_fit's companion corpus-health probe: natural text grows
-    vocabulary at beta~0.5; beta near 0 means the corpus is repeating
-    itself, near 1 means token soup): growth points come from doc-id
-    prefixes at 5 fractions — vocabulary-at-prefix is a conditional
-    count over each term's FIRST document (one vocab-frame pass, no
-    per-prefix re-tokenization), token counts likewise conditional
-    sums over the per-doc rollup. The log-log OLS runs on 5
-    micro-unit-quantized points."""
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    mx = docs.agg(F.max("doc_id").cast("long").alias("mx"))
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
-    ).filter(F.col("term") != "")
-    tf = toks.groupBy("term").agg(F.min("doc_id").cast("long").alias("first_doc"))
-    tok_n = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_toks"))
-    fr = spark.createDataFrame([(0.2,), (0.4,), (0.6,), (0.8,), (1.0,)], "frac double")
-    cut = F.expr("cast(mx * frac as bigint)")
-    tok_pts = (
-        tok_n.crossJoin(F.broadcast(mx))
-        .crossJoin(F.broadcast(fr))
-        .groupBy("frac")
-        .agg(
-            F.sum(F.when(F.col("doc_id") <= cut, F.col("n_toks")).otherwise(0))
-            .cast("long")
-            .alias("n_tokens")
-        )
-    )
-    voc_pts = (
-        tf.crossJoin(F.broadcast(mx))
-        .crossJoin(F.broadcast(fr))
-        .groupBy("frac")
-        .agg(
-            F.sum(F.when(F.col("first_doc") <= cut, 1).otherwise(0))
-            .cast("long")
-            .alias("vocab")
-        )
-    )
-    lg = (
-        tok_pts.join(voc_pts, "frac")
-        .filter((F.col("n_tokens") > 0) & (F.col("vocab") > 0))
-        .select(
-            F.expr("cast(round(ln(cast(n_tokens as double)) * 1000000) as bigint)").alias(
-                "x_u"
-            ),
-            F.expr("cast(round(ln(cast(vocab as double)) * 1000000) as bigint)").alias(
-                "y_u"
-            ),
-        )
-    )
-    s = lg.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("x_u").cast("long").alias("sx"),
-        F.sum("y_u").cast("long").alias("sy"),
-        F.sum(F.col("x_u") * F.col("x_u")).cast("long").alias("sxx"),
-        F.sum(F.col("x_u") * F.col("y_u")).cast("long").alias("sxy"),
-    )
-    nd = F.col("n").cast("double")
-    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
-    den = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
-    return s.select(
-        F.col("n").alias("n_points"),
-        F.round(num / den, 6).alias("beta"),
-        F.round(
-            F.exp(
-                ((F.col("sy").cast("double") - num / den * F.col("sx")) / F.col("n"))
-                / F.lit(1000000)
-            ),
-            6,
-        ).alias("k_coef"),
-    )
-
-
-@query(
-    "ks_two_sample",
-    oracle="""
-    WITH e AS (
-        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_u
-        FROM events WHERE event_type IN ('click', 'purchase')
-    ), g AS (
-        SELECT v_u,
-               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
-               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
-        FROM e GROUP BY v_u
-    ), cum AS (
-        SELECT sum(c1) OVER (ORDER BY v_u ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND CURRENT ROW) AS f1,
-               sum(c2) OVER (ORDER BY v_u ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND CURRENT ROW) AS f2,
-               CAST(sum(c1) OVER () AS BIGINT) AS n1,
-               CAST(sum(c2) OVER () AS BIGINT) AS n2
-        FROM g
-    ), d AS (
-        SELECT n1, n2, CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS d_num
-        FROM cum GROUP BY n1, n2
-    )
-    SELECT n1, n2,
-           round(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) AS ks_d,
-           round(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
-                 * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 6) AS ks_stat
-    FROM d
-    """,
-)
-def ks_two_sample_q(spark, sf_dir):
-    """Two-sample Kolmogorov-Smirnov test (click vs purchase values —
-    the whole-DISTRIBUTION divergence check completing the two-sample
-    family: Welch compares means, Mann-Whitney ranks, KS the entire
-    CDF): the corpus collapses to per-distinct-value counts, both
-    empirical CDFs ride ONE cumulative window over that bounded frame,
-    and the supremum gap is EXACT — max |F1·n2 − F2·n1| in integers,
-    divided once at emit. The scaled statistic √(n1n2/(n1+n2))·D is
-    the usual asymptotic test input."""
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "purchase")
-    )
-    g = ev.select(
-        "event_type", F.expr("cast(round(value * 100) as bigint)").alias("v_u")
-    ).groupBy("v_u").agg(
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
-        .cast("long")
-        .alias("c1"),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
-        .cast("long")
-        .alias("c2"),
-    )
-    wc = Window.orderBy("v_u").rowsBetween(Window.unboundedPreceding, 0)
-    wa = Window.partitionBy()
-    cum = g.select(
-        F.sum("c1").over(wc).alias("f1"),
-        F.sum("c2").over(wc).alias("f2"),
-        F.sum("c1").over(wa).cast("long").alias("n1"),
-        F.sum("c2").over(wa).cast("long").alias("n2"),
-    )
-    d = cum.groupBy("n1", "n2").agg(
-        F.max(F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")))
-        .cast("long")
-        .alias("d_num")
-    )
-    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
-    ks_d = F.col("d_num").cast("double") / (n1d * n2d)
-    return d.select(
-        "n1",
-        "n2",
-        F.round(ks_d, 6).alias("ks_d"),
-        F.round(ks_d * F.sqrt(n1d * n2d / (n1d + n2d)), 6).alias("ks_stat"),
-    )
-
-
-@query(
-    "session_gap_sweep",
-    oracle="""
-    WITH o AS (
-        SELECT user_id, epoch_ns(ts) AS t,
-               lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   AS prev_t
-        FROM events
-    ), gaps AS (
-        SELECT CASE WHEN prev_t IS NULL THEN NULL ELSE t - prev_t END AS gap_ns
-        FROM o
-    ), u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
-    e AS (SELECT CAST(count(*) AS BIGINT) AS n_events FROM events),
-    thr AS (SELECT unnest([600, 1800, 3600]) AS gap_s)
-    SELECT CAST(t.gap_s AS BIGINT) AS gap_seconds,
-           CAST(u.n_users + sum(CASE WHEN g.gap_ns > CAST(t.gap_s AS BIGINT) * 1000000000
-                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
-           round(CAST(e.n_events AS DOUBLE)
-                 / (u.n_users + sum(CASE WHEN g.gap_ns > CAST(t.gap_s AS BIGINT) * 1000000000
-                                         THEN 1 ELSE 0 END)), 6)
-               AS mean_session_events
-    FROM gaps g CROSS JOIN thr t CROSS JOIN u CROSS JOIN e
-    WHERE g.gap_ns IS NOT NULL
-    GROUP BY t.gap_s, u.n_users, e.n_events
-    """,
-)
-def session_gap_sweep_q(spark, sf_dir):
-    """Session-timeout sensitivity (how does the session count move as
-    the inactivity gap goes 10m -> 30m -> 60m? — the tuning table
-    behind sessionize_events' fixed threshold; get it wrong and every
-    engagement metric shifts): per-user gaps from ONE lag() window
-    (the shuffle sessionization already pays), then every candidate
-    timeout is a conditional count over the gap frame —
-    sessions(tau) = users + gaps>tau, an identity that makes the
-    whole sweep one aggregate. Mean events/session per tau is the
-    readout."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = ev.select(
-        (F.col("ts_ns") - F.lag("ts_ns").over(w)).alias("gap_ns")
-    ).filter(F.col("gap_ns").isNotNull())
-    u = ev.agg(F.count_distinct("user_id").cast("long").alias("n_users"))
-    e = ev.agg(F.count("*").cast("long").alias("n_events"))
-    thr = spark.createDataFrame([(600,), (1800,), (3600,)], "gap_s long")
-    return (
-        gaps.crossJoin(F.broadcast(thr))
-        .groupBy("gap_s")
-        .agg(
-            F.sum(
-                F.when(F.col("gap_ns") > F.col("gap_s") * 1000000000, 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_breaks")
-        )
-        .crossJoin(F.broadcast(u))
-        .crossJoin(F.broadcast(e))
-        .select(
-            F.col("gap_s").alias("gap_seconds"),
-            (F.col("n_users") + F.col("n_breaks")).cast("long").alias("n_sessions"),
-            F.round(
-                F.col("n_events").cast("double")
-                / (F.col("n_users") + F.col("n_breaks")),
-                6,
-            ).alias("mean_session_events"),
-        )
-    )
-
-
-@query(
-    "srm_check",
-    oracle=f"""
-    WITH u AS (
-        SELECT DISTINCT user_id, {H.dd_md5_long('user_id::VARCHAR')} % 2 AS arm
-        FROM events
-    ), c AS (
-        SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
-        FROM u
-    )
-    SELECT n_a, n_b,
-           round(pow(CAST(n_a - n_b AS DOUBLE), 2) / (n_a + n_b), 6) AS chi2,
-           pow(CAST(n_a - n_b AS DOUBLE), 2) / (n_a + n_b) > 9.0 AS srm_detected
-    FROM c
-    """,
-)
-def srm_check_q(spark, sf_dir):
-    """Sample Ratio Mismatch check (the first gate every A/B platform
-    runs before reading ANY metric: if the 50/50 hash split didn't
-    land 50/50, the assignment path is broken and all downstream
-    stats are garbage): users dedupe then hash into arms with the
-    shared md5 primitive — the SAME function a real assignment
-    service would use, so this op doubles as its audit; the 1-dof
-    chi-square (n_a-n_b)²/N from exact counts, flagged at the
-    |z|>3 equivalent threshold the LinkedIn/Microsoft SRM papers
-    recommend."""
-    ev = load_table(spark, sf_dir, "events")
-    u = ev.select("user_id").distinct().select(
-        (H.md5_long(F.col("user_id").cast("string")) % 2).alias("arm")
-    )
-    c = u.agg(
-        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
-        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
-    )
-    chi2 = F.pow((F.col("n_a") - F.col("n_b")).cast("double"), F.lit(2.0)) / (
-        F.col("n_a") + F.col("n_b")
-    )
-    return c.select(
-        "n_a",
-        "n_b",
-        F.round(chi2, 6).alias("chi2"),
-        (chi2 > 9.0).alias("srm_detected"),
-    )
-
-
-@query(
-    "did_estimator",
-    oracle=f"""
-    WITH b AS (
-        SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS cut FROM events
-    ), s AS (
-        SELECT {H.dd_md5_long('user_id::VARCHAR')} % 2 AS grp,
-               CASE WHEN epoch_ns(ts) <= b.cut THEN 0 ELSE 1 END AS period,
-               CAST(round(value * 1000000) AS BIGINT) AS v_u
-        FROM events, b
-    ), cells AS (
-        SELECT grp, period, CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(v_u) AS BIGINT) AS sv,
-               sum(CAST(v_u AS DECIMAL(18,0)) * CAST(v_u AS DECIMAL(18,0))) AS qv
-        FROM s GROUP BY grp, period
-    ), m AS (
-        SELECT CAST(grp AS BIGINT) AS grp, CAST(period AS BIGINT) AS period, n,
-               CAST(sv AS DOUBLE) / n / 1000000 AS mean_v,
-               ((CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n) / (n - 1))
-                   / 1e12 / n AS var_of_mean
-        FROM cells
-    )
-    SELECT CAST(sum(n) AS BIGINT) AS n_events,
-           round(max(CASE WHEN grp = 0 AND period = 0 THEN mean_v END), 6) AS mean_a_pre,
-           round(max(CASE WHEN grp = 0 AND period = 1 THEN mean_v END), 6) AS mean_a_post,
-           round(max(CASE WHEN grp = 1 AND period = 0 THEN mean_v END), 6) AS mean_b_pre,
-           round(max(CASE WHEN grp = 1 AND period = 1 THEN mean_v END), 6) AS mean_b_post,
-           round((max(CASE WHEN grp = 1 AND period = 1 THEN mean_v END)
-                  - max(CASE WHEN grp = 1 AND period = 0 THEN mean_v END))
-                 - (max(CASE WHEN grp = 0 AND period = 1 THEN mean_v END)
-                    - max(CASE WHEN grp = 0 AND period = 0 THEN mean_v END)), 6)
-               AS did_effect,
-           round(sqrt(sum(var_of_mean)), 6) AS did_se
-    FROM m
-    """,
-)
-def did_estimator_q(spark, sf_dir):
-    """Difference-in-differences estimator (the parallel-trends causal
-    design: treatment-group change minus control-group change cancels
-    shared time shocks — what pre_post_analysis reads as one group's
-    shift, DiD reads NET of the control): users hash into two arms
-    with the shared md5 split, periods cut at the exact midpoint; the
-    four (group, period) cells' exact micro-unit moments come from ONE
-    conditional aggregate (DECIMAL squares — v_u² overflows bigint at
-    event volumes); effect and its pooled SE pivot off the 4-row cell
-    frame."""
-    ev = load_table(spark, sf_dir, "events")
-    b = ev.agg(F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("cut"))
-    s = ev.crossJoin(F.broadcast(b)).select(
-        (H.md5_long(F.col("user_id").cast("string")) % 2).alias("grp"),
-        F.when(F.col("ts_ns") <= F.col("cut"), 0).otherwise(1).alias("period"),
-        F.expr("cast(round(value * 1000000) as bigint)").alias("v_u"),
-    )
-    cells = s.groupBy("grp", "period").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("v_u").cast("long").alias("sv"),
-        F.sum(
-            F.col("v_u").cast("decimal(18,0)") * F.col("v_u").cast("decimal(18,0)")
-        ).alias("qv"),
-    )
-    mean_v = F.col("sv").cast("double") / F.col("n") / F.lit(1000000)
-    vom = (
-        (F.col("qv").cast("double") - F.col("sv").cast("double") * F.col("sv") / F.col("n"))
-        / (F.col("n") - 1)
-    ) / F.lit(1e12) / F.col("n")
-    m = cells.select(
-        F.col("grp").cast("long").alias("grp"),
-        F.col("period").cast("long").alias("period"),
-        "n",
-        mean_v.alias("mean_v"),
-        vom.alias("var_of_mean"),
-    )
-
-    def cell(g, p):
-        return F.max(
-            F.when((F.col("grp") == g) & (F.col("period") == p), F.col("mean_v"))
-        )
-
-    return m.agg(
-        F.sum("n").cast("long").alias("n_events"),
-        F.round(cell(0, 0), 6).alias("mean_a_pre"),
-        F.round(cell(0, 1), 6).alias("mean_a_post"),
-        F.round(cell(1, 0), 6).alias("mean_b_pre"),
-        F.round(cell(1, 1), 6).alias("mean_b_post"),
-        F.round((cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0)), 6).alias(
-            "did_effect"
-        ),
-        F.round(F.sqrt(F.sum("var_of_mean")), 6).alias("did_se"),
-    )
-
-
-@query(
-    "cuped_adjustment",
-    oracle="""
-    WITH b AS (
-        SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS cut FROM events
-    ), u AS (
-        SELECT user_id,
-               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut THEN 0 ELSE 1 END) AS BIGINT) AS n2,
-               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut
-                             THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END)
-                    AS BIGINT) AS s1,
-               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut THEN 0
-                             ELSE CAST(round(value * 1000000) AS BIGINT) END)
-                    AS BIGINT) AS s2
-        FROM events, b GROUP BY user_id
-    ), xy AS (
-        SELECT CAST(round(CAST(s1 AS DOUBLE) / n1) AS BIGINT) AS x_u,
-               CAST(round(CAST(s2 AS DOUBLE) / n2) AS BIGINT) AS y_u
-        FROM u WHERE n1 > 0 AND n2 > 0
-    ), s AS (
-        SELECT CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(x_u) AS BIGINT) AS sx, CAST(sum(y_u) AS BIGINT) AS sy,
-               sum(CAST(x_u AS DECIMAL(18,0)) * CAST(x_u AS DECIMAL(18,0))) AS sxx,
-               sum(CAST(y_u AS DECIMAL(18,0)) * CAST(y_u AS DECIMAL(18,0))) AS syy,
-               sum(CAST(x_u AS DECIMAL(18,0)) * CAST(y_u AS DECIMAL(18,0))) AS sxy
-        FROM xy
-    )
-    SELECT n AS n_users,
-           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
-                 / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n), 6) AS theta,
-           round(pow(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n, 2)
-                 / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
-                    * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)), 6)
-               AS rho_sq,
-           round((1 - pow(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n, 2)
-                      / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
-                         * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n))) * 100,
-                 6) AS remaining_var_pct
-    FROM s
-    """,
-)
-def cuped_adjustment_q(spark, sf_dir):
-    """CUPED variance reduction (Deng et al. WSDM'13 — the industry
-    standard: regress each user's experiment-period metric on their
-    PRE-period metric, subtract theta·X, and the metric's variance
-    drops by rho² — experiments read significance days sooner): the
-    per-user pre/post means come from ONE conditional aggregate
-    (paired_ttest_users' frame reused), theta and rho² from exact
-    micro-unit moments with DECIMAL cross-products over the user
-    frame. remaining_var_pct is the headline: how much metric variance
-    survives adjustment."""
-    ev = load_table(spark, sf_dir, "events")
-    b = ev.agg(F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("cut"))
-    v_u = "cast(round(value * 1000000) as bigint)"
-    u = ev.crossJoin(F.broadcast(b)).groupBy("user_id").agg(
-        F.sum(F.when(F.col("ts_ns") <= F.col("cut"), 1).otherwise(0))
-        .cast("long")
-        .alias("n1"),
-        F.sum(F.when(F.col("ts_ns") <= F.col("cut"), 0).otherwise(1))
-        .cast("long")
-        .alias("n2"),
-        F.sum(F.when(F.col("ts_ns") <= F.col("cut"), F.expr(v_u)).otherwise(0))
-        .cast("long")
-        .alias("s1"),
-        F.sum(F.when(F.col("ts_ns") <= F.col("cut"), 0).otherwise(F.expr(v_u)))
-        .cast("long")
-        .alias("s2"),
-    )
-    xy = u.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
-        F.expr("cast(round(cast(s1 as double) / n1) as bigint)").alias("x_u"),
-        F.expr("cast(round(cast(s2 as double) / n2) as bigint)").alias("y_u"),
-    )
-    s = xy.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("x_u").cast("long").alias("sx"),
-        F.sum("y_u").cast("long").alias("sy"),
-        F.sum(F.col("x_u").cast("decimal(18,0)") * F.col("x_u").cast("decimal(18,0)"))
-        .alias("sxx"),
-        F.sum(F.col("y_u").cast("decimal(18,0)") * F.col("y_u").cast("decimal(18,0)"))
-        .alias("syy"),
-        F.sum(F.col("x_u").cast("decimal(18,0)") * F.col("y_u").cast("decimal(18,0)"))
-        .alias("sxy"),
-    )
-    cxy = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("n")
-    cxx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n")
-    cyy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / F.col("n")
-    rho_sq = F.pow(cxy, F.lit(2.0)) / (cxx * cyy)
-    return s.select(
-        F.col("n").alias("n_users"),
-        F.round(cxy / cxx, 6).alias("theta"),
-        F.round(rho_sq, 6).alias("rho_sq"),
-        F.round((1 - rho_sq) * 100, 6).alias("remaining_var_pct"),
-    )
-
-
-def _link_prediction_oracle() -> str:
-    base = _knn_graph_oracle().rsplit("SELECT src, dst", 1)[0]
-    return (
-        base
-        + """
-    , edges AS (SELECT src, dst FROM ranked WHERE rank <= 3),
-    und AS (
-        SELECT src AS a, dst AS b FROM edges
-        UNION
-        SELECT dst, src FROM edges
-    ), cand AS (
-        SELECT e1.a AS u, e2.b AS v
-        FROM und e1 JOIN und e2 ON e1.b = e2.a AND e1.a < e2.b
-        EXCEPT
-        SELECT a, b FROM und
-    ), cn AS (
-        SELECT c.u, c.v, CAST(count(*) AS BIGINT) AS common
-        FROM cand c
-        JOIN und x ON x.a = c.u
-        JOIN und y ON y.a = c.v AND y.b = x.b
-        GROUP BY c.u, c.v
-    ), deg AS (
-        SELECT a, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY a
-    )
-    SELECT u, v, common,
-           round(CAST(common AS DOUBLE) / (da.d + dv.d - common), 6) AS jaccard,
-           CAST(rnk AS BIGINT) AS rnk
-    FROM (
-        SELECT cn.u, cn.v, cn.common,
-               CAST(cn.common AS DOUBLE) / (da.d + dv.d - cn.common) AS j,
-               row_number() OVER (ORDER BY CAST(cn.common AS DOUBLE)
-                   / (da.d + dv.d - cn.common) DESC, cn.u, cn.v) AS rnk,
-               da.d AS dad, dv.d AS dvd
-        FROM cn JOIN deg da ON cn.u = da.a JOIN deg dv ON cn.v = dv.a
-    ) t(u, v, common, j, rnk, dad, dvd)
-    JOIN deg da ON t.u = da.a JOIN deg dv ON t.v = dv.a
-    WHERE rnk <= 20
-    """
-    )
-
-
-@query("link_prediction_jaccard")  # oracle attached below (plane literals)
-def link_prediction_jaccard_q(spark, sf_dir):
-    """Link prediction on the kNN graph via neighbor-set Jaccard
-    (Liben-Nowell & Kleinberg '03 — the 'which vectors SHOULD be
-    neighbors but the index missed' signal that NN-descent uses to
-    densify a graph index): the graph is symmetrized, candidates are
-    non-adjacent 2-hop pairs (volume Σdeg², never n²), common-neighbor
-    counts come from one wedge join on (node, node) longs, and the
-    Jaccard score |N(u)∩N(v)| / |N(u)∪N(v)| ranks top-20 with
-    deterministic ties. No vector data moves past the shared edge
-    build."""
-    edges = _knn_graph_edges(spark, sf_dir).select("src", "dst")
-    und = (
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
-        .distinct()
-    )
-    e1, e2 = und.alias("e1"), und.alias("e2")
-    two_hop = (
-        e1.join(e2, (F.col("e1.b") == F.col("e2.a")) & (F.col("e1.a") < F.col("e2.b")))
-        .select(F.col("e1.a").alias("u"), F.col("e2.b").alias("v"))
-        .distinct()
-    )
-    cand = two_hop.join(
-        und.select(F.col("a").alias("u"), F.col("b").alias("v")),
-        ["u", "v"],
-        "left_anti",
-    )
-    x, y = und.alias("x"), und.alias("y")
-    cn = (
-        cand.join(x, F.col("x.a") == F.col("u"))
-        .join(y, (F.col("y.a") == F.col("v")) & (F.col("y.b") == F.col("x.b")))
-        .groupBy("u", "v")
-        .agg(F.count("*").cast("long").alias("common"))
-    )
-    deg = und.groupBy("a").agg(F.count("*").cast("long").alias("d"))
-    scored = (
-        cn.join(deg.select(F.col("a").alias("u"), F.col("d").alias("_du")), "u")
-        .join(deg.select(F.col("a").alias("v"), F.col("d").alias("_dv")), "v")
-        .select(
-            "u",
-            "v",
-            "common",
-            (
-                F.col("common").cast("double")
-                / (F.col("_du") + F.col("_dv") - F.col("common"))
-            ).alias("j"),
-        )
-    )
-    ranked = scored.withColumn(
-        "rnk",
-        F.row_number()
-        .over(Window.orderBy(F.col("j").desc(), "u", "v"))
-        .cast("long"),
-    ).filter(F.col("rnk") <= 20)
-    return ranked.select("u", "v", "common", F.round("j", 6).alias("jaccard"), "rnk")
-
-
-ORACLES["link_prediction_jaccard"] = _link_prediction_oracle()
-
-
-@query(
-    "conformal_interval",
-    oracle="""
-    WITH b AS (
-        SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS cut FROM events
-    ), pred AS (
-        SELECT event_type,
-               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut
-                             THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END)
-                    AS BIGINT) AS s_cal,
-               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_cal
-        FROM events, b GROUP BY event_type
-    ), resid AS (
-        SELECT e.event_type,
-               abs(CAST(round(e.value * 1000000) AS BIGINT)
-                   - CAST(round(CAST(p.s_cal AS DOUBLE) / p.n_cal) AS BIGINT)) AS r_u
-        FROM events e JOIN pred p USING (event_type) CROSS JOIN b
-        WHERE epoch_ns(e.ts) <= b.cut
-    ), q AS (
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal,
-               list_sort(list(r_u)) AS rs
-        FROM resid GROUP BY event_type
-    ), qhat AS (
-        SELECT event_type, n_cal,
-               rs[CAST(least(n_cal, CAST(ceil((n_cal + 1) * 0.9) AS BIGINT))
-                   AS INTEGER)] AS q_u
-        FROM q
-    ), cov AS (
-        SELECT e.event_type,
-               CAST(count(*) AS BIGINT) AS n_test,
-               CAST(sum(CASE WHEN abs(CAST(round(e.value * 1000000) AS BIGINT)
-                    - CAST(round(CAST(p.s_cal AS DOUBLE) / p.n_cal) AS BIGINT))
-                    <= h.q_u THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
-        FROM events e
-        JOIN pred p USING (event_type)
-        JOIN qhat h USING (event_type)
-        CROSS JOIN b
-        WHERE epoch_ns(e.ts) > b.cut
-        GROUP BY e.event_type
-    )
-    SELECT c.event_type, h.n_cal, c.n_test,
-           round(h.q_u / 1e6, 6) AS interval_halfwidth,
-           round(CAST(c.n_covered AS DOUBLE) / c.n_test, 6) AS coverage
-    FROM cov c JOIN qhat h USING (event_type)
-    """,
-)
-def conformal_interval_q(spark, sf_dir):
-    """Split-conformal prediction intervals (the distribution-free
-    coverage guarantee: calibrate the ceil((n+1)·0.9)-th absolute
-    residual on the PRE half, and the post-half interval
-    pred ± q̂ covers >=90%% regardless of the value distribution —
-    the honest uncertainty wrapper for any per-segment predictor):
-    the predictor is the per-type calibration mean (exact micro
-    units); residual quantiles use the exact sorted-selection rule
-    per type; coverage on the held-out half is an exact conditional
-    count. Three passes over the fact, all map-side-combinable."""
-    ev = load_table(spark, sf_dir, "events")
-    b = ev.agg(F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("cut"))
-    evb = ev.crossJoin(F.broadcast(b))
-    pred = evb.groupBy("event_type").agg(
-        F.sum(
-            F.when(
-                F.col("ts_ns") <= F.col("cut"),
-                F.expr("cast(round(value * 1000000) as bigint)"),
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("s_cal"),
-        F.sum(F.when(F.col("ts_ns") <= F.col("cut"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_cal"),
-    )
-    mu = F.expr("cast(round(cast(s_cal as double) / n_cal) as bigint)")
-    resid = (
-        evb.filter(F.col("ts_ns") <= F.col("cut"))
-        .join(F.broadcast(pred), "event_type")
-        .select(
-            "event_type",
-            F.abs(F.expr("cast(round(value * 1000000) as bigint)") - mu).alias("r_u"),
-        )
-    )
-    q = resid.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n_cal"),
-        F.sort_array(F.collect_list("r_u")).alias("rs"),
-    )
-    qhat = q.select(
-        "event_type",
-        "n_cal",
-        F.element_at(
-            "rs",
-            F.least(
-                F.col("n_cal"), F.ceil((F.col("n_cal") + 1) * 0.9).cast("long")
-            ).cast("int"),
-        ).alias("q_u"),
-    )
-    cov = (
-        evb.filter(F.col("ts_ns") > F.col("cut"))
-        .join(F.broadcast(pred), "event_type")
-        .join(F.broadcast(qhat.select("event_type", "q_u")), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count("*").cast("long").alias("n_test"),
-            F.sum(
-                F.when(
-                    F.abs(F.expr("cast(round(value * 1000000) as bigint)") - mu)
-                    <= F.col("q_u"),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_covered"),
-        )
-    )
-    return cov.join(F.broadcast(qhat), "event_type").select(
-        "event_type",
-        "n_cal",
-        "n_test",
-        F.round(F.col("q_u") / F.lit(1e6), 6).alias("interval_halfwidth"),
-        F.round(F.col("n_covered").cast("double") / F.col("n_test"), 6).alias(
-            "coverage"
-        ),
-    )
-
-
-@query(
-    "dp_noise_calibration",
-    oracle="""
-    WITH t AS (
-        SELECT source, CAST(count(*) AS BIGINT) AS true_count FROM documents
-        GROUP BY source
-    ), eps AS (SELECT unnest([0.1, 1.0, 10.0]) AS epsilon)
-    SELECT t.source, e.epsilon, t.true_count,
-           round(1.0 / e.epsilon, 6) AS laplace_scale,
-           round(ln(10.0) / e.epsilon, 6) AS p90_abs_error,
-           round(ln(10.0) / e.epsilon / t.true_count * 100, 6) AS p90_rel_error_pct,
-           ln(10.0) / e.epsilon / t.true_count <= 0.01 AS releasable_at_1pct
-    FROM t CROSS JOIN eps e
-    """,
-)
-def dp_noise_calibration_q(spark, sf_dir):
-    """Differential-privacy noise budget table for per-source count
-    releases (Dwork's Laplace mechanism, sensitivity 1: scale = 1/eps,
-    P(|noise| > ln(10)/eps) = 10%%): for each epsilon the p90 absolute
-    and RELATIVE error against the true counts — the go/no-go readout
-    for publishing per-slice statistics of a private corpus (small
-    slices drown in noise; the releasable flag says which survive a
-    1%% error budget). One count rollup; the grid is literal math,
-    bloom_filter_sizing's posture."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.groupBy("source").agg(F.count("*").cast("long").alias("true_count"))
-    eps = spark.createDataFrame([(0.1,), (1.0,), (10.0,)], "epsilon double")
-    ln10 = F.log(F.lit(10.0))
-    return t.crossJoin(F.broadcast(eps)).select(
-        "source",
-        "epsilon",
-        "true_count",
-        F.round(1.0 / F.col("epsilon"), 6).alias("laplace_scale"),
-        F.round(ln10 / F.col("epsilon"), 6).alias("p90_abs_error"),
-        F.round(ln10 / F.col("epsilon") / F.col("true_count") * 100, 6).alias(
-            "p90_rel_error_pct"
-        ),
-        (ln10 / F.col("epsilon") / F.col("true_count") <= 0.01).alias(
-            "releasable_at_1pct"
-        ),
-    )
-
-
-@query(
-    "oneway_anova_f",
-    oracle="""
-    WITH g AS (
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n_i,
-               CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS s_i,
-               CAST(sum(CAST(round(value * 1000) AS BIGINT)
-                        * CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS q_i
-        FROM events GROUP BY event_type
-    ), t AS (
-        SELECT CAST(count(*) AS BIGINT) AS k,
-               CAST(sum(n_i) AS BIGINT) AS nn,
-               CAST(sum(s_i) AS BIGINT) AS ss,
-               CAST(sum(CAST(round((CAST(q_i AS DOUBLE)
-                    - CAST(s_i AS DOUBLE) * s_i / n_i)) AS BIGINT)) AS BIGINT) AS ssw_u,
-               CAST(sum(CAST(round((CAST(s_i AS DOUBLE) * s_i / n_i)) AS BIGINT))
-                    AS BIGINT) AS sb_u
-        FROM g
-    )
-    SELECT k AS n_groups, nn AS n_rows,
-           round((CAST(sb_u AS DOUBLE)
-                  - CAST(round(CAST(ss AS DOUBLE) * ss / nn) AS BIGINT))
-                 / (k - 1) / 1e6, 6) AS ms_between,
-           round(CAST(ssw_u AS DOUBLE) / (nn - k) / 1e6, 6) AS ms_within,
-           round(((CAST(sb_u AS DOUBLE)
-                   - CAST(round(CAST(ss AS DOUBLE) * ss / nn) AS BIGINT)) / (k - 1))
-                 / (CAST(ssw_u AS DOUBLE) / (nn - k)), 6) AS f_stat
-    FROM t
-    """,
-)
-def oneway_anova_f_q(spark, sf_dir):
-    """One-way ANOVA F-test across ALL event types at once (the
-    k-group omnibus test: run THIS before pairwise Welch/Mann-Whitney
-    comparisons — if F can't reject, the pairwise hunt is p-hacking):
-    per-group exact milli-unit (n, Σx, Σx²) from one rollup, within/
-    between sums-of-squares quantized to unit-milli² so the group-frame
-    totals stay order-free (intraclass_correlation's decomposition,
-    pointed at groups instead of clusters), F from the mean squares in
-    identical double arithmetic."""
-    ev = load_table(spark, sf_dir, "events")
-    v_m = F.expr("cast(round(value * 1000) as bigint)")
-    g = ev.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n_i"),
-        F.sum(v_m).cast("long").alias("s_i"),
-        F.sum(v_m * v_m).cast("long").alias("q_i"),
-    )
-    t = g.agg(
-        F.count("*").cast("long").alias("k"),
-        F.sum("n_i").cast("long").alias("nn"),
-        F.sum("s_i").cast("long").alias("ss"),
-        F.sum(
-            F.expr(
-                "cast(round((cast(q_i as double) - cast(s_i as double) * s_i / n_i)) as bigint)"
-            )
-        )
-        .cast("long")
-        .alias("ssw_u"),
-        F.sum(F.expr("cast(round((cast(s_i as double) * s_i / n_i)) as bigint)"))
-        .cast("long")
-        .alias("sb_u"),
-    )
-    ssb = F.col("sb_u").cast("double") - F.expr(
-        "cast(round(cast(ss as double) * ss / nn) as bigint)"
-    )
-    msb = ssb / (F.col("k") - 1)
-    msw = F.col("ssw_u").cast("double") / (F.col("nn") - F.col("k"))
-    return t.select(
-        F.col("k").alias("n_groups"),
-        F.col("nn").alias("n_rows"),
-        F.round(msb / F.lit(1e6), 6).alias("ms_between"),
-        F.round(msw / F.lit(1e6), 6).alias("ms_within"),
-        F.round(msb / msw, 6).alias("f_stat"),
-    )
-
-
-@query(
-    "hill_tail_index",
-    oracle="""
-    WITH v AS (
-        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v_c FROM orders
-    ), s AS (
-        SELECT CAST(count(*) AS BIGINT) AS n,
-               list_sort(list(v_c), 'DESC') AS vs
-        FROM v
-    ), ks AS (SELECT unnest([50, 100, 500]) AS k),
-    h AS (
-        SELECT ks.k, s.n,
-               list_sum(list_transform(s.vs[1:ks.k],
-                   x -> CAST(round(ln(CAST(x AS DOUBLE)
-                        / s.vs[CAST(ks.k + 1 AS INTEGER)]) * 1000000) AS BIGINT)))
-                   AS sum_u
-        FROM s CROSS JOIN ks
-    )
-    SELECT CAST(k AS BIGINT) AS k, n,
-           round(CAST(sum_u AS DOUBLE) / k / 1000000, 6) AS hill_gamma,
-           round(CAST(k AS DOUBLE) * 1000000 / sum_u, 6) AS tail_alpha
-    FROM h
-    """,
-)
-def hill_tail_index_q(spark, sf_dir):
-    """Hill estimator of the heavy-tail index on order values (Hill
-    '75: gamma = mean ln(x_(i)/x_(k+1)) over the top-k order
-    statistics; alpha = 1/gamma < 2 means INFINITE variance — the
-    number that says whether skew_profile's hot keys are an anomaly
-    or the distribution's nature, and whether mean-based SLAs are
-    even well-defined): top-k selection by exact sorted list
-    (TakeOrdered at scale), per-order-statistic log ratios quantized
-    to micro-units so the k-sums are exact integers; three k values
-    probe estimator stability."""
-    o = load_table(spark, sf_dir, "orders")
-    v = o.select(F.expr("cast(round(o_totalprice * 100) as bigint)").alias("v_c"))
-    s = v.agg(
-        F.count("*").cast("long").alias("n"),
-        F.reverse(F.sort_array(F.collect_list("v_c"))).alias("vs"),
-    )
-    ks = spark.createDataFrame([(50,), (100,), (500,)], "k long")
-    h = s.crossJoin(F.broadcast(ks)).select(
-        "k",
-        "n",
-        F.aggregate(
-            F.transform(
-                F.slice("vs", 1, F.col("k").cast("int")),
-                lambda x: F.round(
-                    F.log(
-                        x.cast("double")
-                        / F.element_at(F.col("vs"), (F.col("k") + 1).cast("int"))
-                    )
-                    * 1000000
-                ).cast("long"),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, y: acc + y,
-        ).alias("sum_u"),
-    )
-    return h.select(
-        "k",
-        "n",
-        F.round(F.col("sum_u").cast("double") / F.col("k") / F.lit(1000000), 6).alias(
-            "hill_gamma"
-        ),
-        F.round(
-            F.col("k").cast("double") * 1000000 / F.col("sum_u"), 6
-        ).alias("tail_alpha"),
-    )
-
-
-@query(
-    "daily_autocorrelation",
-    oracle="""
-    WITH d AS (
-        SELECT epoch_ns(ts) // 86400000000000 AS day,
-               CAST(count(*) AS BIGINT) AS n
-        FROM events GROUP BY day
-    ), lags AS (SELECT unnest([1, 2, 7]) AS lag_d),
-    p AS (
-        SELECT l.lag_d, a.n AS x, b.n AS y
-        FROM d a JOIN lags l ON TRUE
-        JOIN d b ON b.day = a.day + l.lag_d
-    ), s AS (
-        SELECT lag_d, CAST(count(*) AS BIGINT) AS np,
-               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-               CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
-               CAST(sum(x * y) AS BIGINT) AS sxy
-        FROM p GROUP BY lag_d
-    )
-    SELECT CAST(lag_d AS BIGINT) AS lag_days, np AS n_pairs,
-           CASE WHEN (np * sxx - sx * sx) * (np * syy - sy * sy) = 0 THEN NULL
-                ELSE round((CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                           / sqrt((CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                                  * (CAST(np AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
-                           6)
-           END AS autocorr
-    FROM s
-    """,
-)
-def daily_autocorrelation_q(spark, sf_dir):
-    """Autocorrelation of daily event volume at lags 1/2/7 (the
-    seasonality detector that DECIDES whether seasonal_decompose's
-    period assumption holds — a strong lag-7 spike means weekly
-    cycling): the stream collapses to day counts once; each lag is a
-    self-join on the DAY frame (calendar-bounded, never event-sized),
-    and the lag-correlation derives from exact integer moments with
-    the shared degenerate-variance NULL guard."""
-    ev = load_table(spark, sf_dir, "events")
-    d = ev.groupBy(F.expr("ts_ns div 86400000000000").alias("day")).agg(
-        F.count("*").cast("long").alias("n")
-    )
-    lags = spark.createDataFrame([(1,), (2,), (7,)], "lag_d long")
-    a = d.crossJoin(F.broadcast(lags)).select(
-        "lag_d", (F.col("day") + F.col("lag_d")).alias("jday"), F.col("n").alias("x")
-    )
-    b = d.select(F.col("day").alias("jday"), F.col("n").alias("y"))
-    p = a.join(b, "jday")
-    s = p.groupBy("lag_d").agg(
-        F.count("*").cast("long").alias("np"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-    )
-    nd = F.col("np").cast("double")
-    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
-    den = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
-    deny = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
-    den0 = (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
-        F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")
-    )
-    return s.select(
-        F.col("lag_d").alias("lag_days"),
-        F.col("np").alias("n_pairs"),
-        F.when(den0 == 0, F.lit(None).cast("double"))
-        .otherwise(F.round(num / F.sqrt(den * deny), 6))
-        .alias("autocorr"),
-    )
-
-
-@query(
-    "count_overdispersion",
-    oracle="""
-    WITH u AS (
-        SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY user_id
-    ), s AS (
-        SELECT CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(c) AS BIGINT) AS sc,
-               CAST(sum(c * c) AS BIGINT) AS scc
-        FROM u
-    )
-    SELECT n AS n_users,
-           round(CAST(sc AS DOUBLE) / n, 6) AS mean_count,
-           round((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * sc / n) / (n - 1), 6)
-               AS var_count,
-           round(((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * sc / n) / (n - 1))
-                 / (CAST(sc AS DOUBLE) / n), 6) AS dispersion_index,
-           CASE WHEN (CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * sc / n) / (n - 1)
-                     <= CAST(sc AS DOUBLE) / n THEN NULL
-                ELSE round(pow(CAST(sc AS DOUBLE) / n, 2)
-                     / ((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * sc / n) / (n - 1)
-                        - CAST(sc AS DOUBLE) / n), 6)
-           END AS nb_size
-    FROM s
-    """,
-)
-def count_overdispersion_q(spark, sf_dir):
-    """Per-user event-count overdispersion (Poisson says var=mean;
-    real user activity is negative-binomial — the dispersion index
-    decides whether rate alerts should use Poisson or NB thresholds,
-    and the NB size parameter k = mu²/(var−mu) by method of moments
-    feeds them; events_interarrival profiles TIME burstiness, this
-    profiles COUNT burstiness): one user rollup, exact integer
-    moments, NULL when the data is actually under-dispersed (the
-    identical CASE on both engines)."""
-    ev = load_table(spark, sf_dir, "events")
-    u = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("c"))
-    s = u.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("c").cast("long").alias("sc"),
-        F.sum(F.col("c") * F.col("c")).cast("long").alias("scc"),
-    )
-    mean_c = F.col("sc").cast("double") / F.col("n")
-    var_c = (
-        F.col("scc").cast("double") - F.col("sc").cast("double") * F.col("sc") / F.col("n")
-    ) / (F.col("n") - 1)
-    return s.select(
-        F.col("n").alias("n_users"),
-        F.round(mean_c, 6).alias("mean_count"),
-        F.round(var_c, 6).alias("var_count"),
-        F.round(var_c / mean_c, 6).alias("dispersion_index"),
-        F.when(var_c <= mean_c, F.lit(None).cast("double"))
-        .otherwise(F.round(F.pow(mean_c, F.lit(2.0)) / (var_c - mean_c), 6))
-        .alias("nb_size"),
-    )
-
-
-@query(
-    "churn_auc_baseline",
-    oracle="""
-    WITH b AS (
-        SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS cut FROM events
-    ), u AS (
-        SELECT user_id,
-               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut THEN 1 ELSE 0 END) AS BIGINT)
-                   AS score,
-               CAST(max(CASE WHEN epoch_ns(ts) > b.cut THEN 1 ELSE 0 END) AS BIGINT)
-                   AS active_later
-        FROM events, b GROUP BY user_id
-    ), pre AS (
-        SELECT score, active_later FROM u WHERE score > 0
-    ), g AS (
-        SELECT score,
-               CAST(sum(active_later) AS BIGINT) AS pos,
-               CAST(sum(1 - active_later) AS BIGINT) AS neg
-        FROM pre GROUP BY score
-    ), r AS (
-        SELECT pos, neg,
-               COALESCE(sum(neg) OVER (ORDER BY score
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below,
-               CAST(sum(pos) OVER () AS BIGINT) AS n_pos,
-               CAST(sum(neg) OVER () AS BIGINT) AS n_neg
-        FROM g
-    ), s AS (
-        SELECT n_pos, n_neg,
-               CAST(sum(2 * pos * neg_below + pos * neg) AS BIGINT) AS u2
-        FROM r GROUP BY n_pos, n_neg
-    )
-    SELECT n_pos AS n_retained, n_neg AS n_churned,
-           CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
-                ELSE round(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) END AS auc
-    FROM s
-    """,
-)
-def churn_auc_baseline_q(spark, sf_dir):
-    """Exact AUC of the simplest churn predictor — 'first-half
-    activity count predicts second-half activity' (the baseline every
-    churn model must beat, with AUC computed EXACTLY via the
-    Mann-Whitney identity AUC = U/(n+ n−) rather than a sampled ROC):
-    per-user score and label from one conditional aggregate; the
-    distinct-SCORE frame carries tie-aware rank math in doubled
-    integer units (mann_whitney_u's machinery re-aimed at
-    classification), so the AUC is a ratio of exact integers."""
-    ev = load_table(spark, sf_dir, "events")
-    b = ev.agg(F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("cut"))
-    u = ev.crossJoin(F.broadcast(b)).groupBy("user_id").agg(
-        F.sum(F.when(F.col("ts_ns") <= F.col("cut"), 1).otherwise(0))
-        .cast("long")
-        .alias("score"),
-        F.max(F.when(F.col("ts_ns") > F.col("cut"), 1).otherwise(0))
-        .cast("long")
-        .alias("active_later"),
-    )
-    g = u.filter(F.col("score") > 0).groupBy("score").agg(
-        F.sum("active_later").cast("long").alias("pos"),
-        F.sum(1 - F.col("active_later")).cast("long").alias("neg"),
-    )
-    wc = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-    wa = Window.partitionBy()
-    r = g.select(
-        "pos",
-        "neg",
-        F.coalesce(F.sum("neg").over(wc), F.lit(0)).alias("neg_below"),
-        F.sum("pos").over(wa).cast("long").alias("n_pos"),
-        F.sum("neg").over(wa).cast("long").alias("n_neg"),
-    )
-    s = r.groupBy("n_pos", "n_neg").agg(
-        F.sum(2 * F.col("pos") * F.col("neg_below") + F.col("pos") * F.col("neg"))
-        .cast("long")
-        .alias("u2")
-    )
-    return s.select(
-        F.col("n_pos").alias("n_retained"),
-        F.col("n_neg").alias("n_churned"),
-        F.when(
-            (F.col("n_pos") == 0) | (F.col("n_neg") == 0), F.lit(None).cast("double")
-        )
-        .otherwise(
-            F.round(
-                F.col("u2").cast("double") / (2.0 * F.col("n_pos") * F.col("n_neg")), 6
-            )
-        )
-        .alias("auc"),
-    )
-
-
-@query(
-    "cohort_ltv_curve",
-    oracle="""
-    WITH f AS (
-        SELECT user_id, min(epoch_ns(ts)) // 86400000000000 // 7 AS cohort_week
-        FROM events GROUP BY user_id
-    ), cs AS (
-        SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users FROM f
-        GROUP BY cohort_week
-    ), r AS (
-        SELECT f.cohort_week,
-               epoch_ns(e.ts) // 86400000000000 // 7 - f.cohort_week AS age_week,
-               CAST(sum(CASE WHEN e.event_type = 'purchase'
-                             THEN CAST(round(e.value * 1000000) AS BIGINT)
-                             ELSE 0 END) AS BIGINT) AS rev_u
-        FROM events e JOIN f ON e.user_id = f.user_id
-        GROUP BY f.cohort_week, age_week
-    )
-    SELECT CAST(r.cohort_week AS BIGINT) AS cohort_week,
-           CAST(r.age_week AS BIGINT) AS age_week,
-           c.n_users,
-           round(r.rev_u / 1e6, 6) AS revenue,
-           round(CAST(sum(r.rev_u) OVER (PARTITION BY r.cohort_week ORDER BY r.age_week
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-                 / c.n_users / 1e6, 6) AS cum_ltv_per_user
-    FROM r JOIN cs c USING (cohort_week)
-    """,
-)
-def cohort_ltv_curve_q(spark, sf_dir):
-    """Cumulative LTV curve per signup cohort (cohort_retention counts
-    who COMES BACK; this sums what they SPEND — the payback-period
-    readout marketing reads against acquisition cost): first-touch
-    week from one conditional rollup, purchase revenue lands in
-    (cohort, age) cells via the user-keyed join (the only fact
-    shuffle), and the running LTV-per-user is an exact integer
-    cumulative window over the cohort x age frame (calendar-bounded).
-    Exact micro-unit revenue throughout."""
-    ev = load_table(spark, sf_dir, "events")
-    f = ev.groupBy("user_id").agg(
-        F.expr("min(ts_ns) div 86400000000000 div 7").alias("cohort_week")
-    )
-    cs = f.groupBy("cohort_week").agg(F.count("*").cast("long").alias("n_users"))
-    r = (
-        ev.join(f, "user_id")
-        .groupBy(
-            "cohort_week",
-            (F.expr("ts_ns div 86400000000000 div 7") - F.col("cohort_week")).alias(
-                "age_week"
-            ),
-        )
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("event_type") == "purchase",
-                    F.expr("cast(round(value * 1000000) as bigint)"),
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("rev_u")
-        )
-    )
-    wc = (
-        Window.partitionBy("cohort_week")
-        .orderBy("age_week")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        r.join(F.broadcast(cs), "cohort_week")
-        .select(
-            F.col("cohort_week").cast("long"),
-            F.col("age_week").cast("long"),
-            "n_users",
-            F.round(F.col("rev_u") / F.lit(1e6), 6).alias("revenue"),
-            F.round(
-                F.sum("rev_u").over(wc).cast("double") / F.col("n_users") / F.lit(1e6),
-                6,
-            ).alias("cum_ltv_per_user"),
-        )
-    )
-
-
-@query(
-    "term_burstiness",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-    ), tc AS (
-        SELECT term, CAST(count(*) AS BIGINT) AS n_t,
-               CAST(count(DISTINCT doc_id) AS BIGINT) AS df_t
-        FROM toks WHERE term <> '' GROUP BY term
-    ), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-    sc AS (
-        SELECT t.term, t.n_t, t.df_t,
-               CAST(t.n_t AS DOUBLE) / t.df_t AS obs_per_doc,
-               (CAST(t.n_t AS DOUBLE) / d.n_docs)
-               / (1 - exp(-CAST(t.n_t AS DOUBLE) / d.n_docs)) AS poisson_per_doc
-        FROM tc t CROSS JOIN nd d WHERE t.n_t >= 20
-    )
-    SELECT term, n_t AS n_occurrences, df_t AS doc_freq,
-           round(obs_per_doc, 6) AS obs_per_doc,
-           round(obs_per_doc / poisson_per_doc, 6) AS burstiness,
-           CAST(rnk AS BIGINT) AS rnk
-    FROM (
-        SELECT *, row_number() OVER (ORDER BY obs_per_doc / poisson_per_doc DESC,
-                                     term) AS rnk
-        FROM sc
-    ) WHERE rnk <= 20
-    """,
-)
-def term_burstiness_q(spark, sf_dir):
-    """Church-Gale term burstiness (CompLing '95: content words CLUMP —
-    once a term appears in a doc it repeats far beyond Poisson; the
-    top-bursty list is topical vocabulary, and a corpus whose
-    burstiness is flat is shuffled word soup — a corpus-health probe
-    alongside zipf_fit/heaps_law_fit): per-term (occurrences, doc
-    freq) from one vocab rollup, the zero-truncated-Poisson expected
-    repeats lambda/(1-e^-lambda) as one identical double expression,
-    top-20 ratio with deterministic ties."""
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    tc = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-        .filter(F.col("term") != "")
-        .groupBy("term")
-        .agg(
-            F.count("*").cast("long").alias("n_t"),
-            F.count_distinct("doc_id").cast("long").alias("df_t"),
-        )
-    )
-    nd = docs.agg(F.count("*").cast("long").alias("n_docs"))
-    obs = F.col("n_t").cast("double") / F.col("df_t")
-    lam = F.col("n_t").cast("double") / F.col("n_docs")
-    poisson = lam / (1 - F.exp(-lam))
-    sc = (
-        tc.crossJoin(F.broadcast(nd))
-        .filter(F.col("n_t") >= 20)
-        .select(
-            "term",
-            "n_t",
-            "df_t",
-            obs.alias("obs_per_doc"),
-            (obs / poisson).alias("b"),
-        )
-    )
-    ranked = sc.withColumn(
-        "rnk",
-        F.row_number().over(Window.orderBy(F.col("b").desc(), "term")).cast("long"),
-    ).filter(F.col("rnk") <= 20)
-    return ranked.select(
-        "term",
-        F.col("n_t").alias("n_occurrences"),
-        F.col("df_t").alias("doc_freq"),
-        F.round("obs_per_doc", 6).alias("obs_per_doc"),
-        F.round("b", 6).alias("burstiness"),
-        "rnk",
-    )
-
-
-@query(
-    "ratio_metric_delta",
-    oracle="""
-    WITH u AS (
-        SELECT user_id,
-               CAST(sum(CASE WHEN event_type = 'purchase'
-                             THEN CAST(round(value * 1000) AS BIGINT)
-                             ELSE 0 END) AS BIGINT) AS x_u,
-               CAST(count(*) AS BIGINT) AS y
-        FROM events GROUP BY user_id
-    ), s AS (
-        SELECT CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(x_u) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-               CAST(sum(x_u * x_u) AS BIGINT) AS sxx,
-               CAST(sum(y * y) AS BIGINT) AS syy,
-               CAST(sum(x_u * y) AS BIGINT) AS sxy
-        FROM u
-    ), d AS (
-        SELECT n,
-               CAST(sx AS DOUBLE) / sy AS r,
-               CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
-               (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1) AS vx,
-               (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS vy,
-               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1) AS cxy
-        FROM s
-    )
-    SELECT n AS n_users,
-           round(r / 1e3, 6) AS ratio,
-           round(sqrt((vx - 2 * r * cxy + r * r * vy) / n) / my / 1e3, 6) AS delta_se,
-           round((r - 1.959964 * sqrt((vx - 2 * r * cxy + r * r * vy) / n) / my)
-                 / 1e3, 6) AS ci_lo,
-           round((r + 1.959964 * sqrt((vx - 2 * r * cxy + r * r * vy) / n) / my)
-                 / 1e3, 6) AS ci_hi
-    FROM d
-    """,
-)
-def ratio_metric_delta_q(spark, sf_dir):
-    """Delta-method CI for a RATIO metric — revenue per event
-    (Σx/Σy over users): naive per-row variance is WRONG for ratio
-    metrics because the denominator is random too; the delta method
-    (the standard experimentation-platform fix, cf. Deng KDD'18)
-    expands var(X̄/Ȳ) ≈ (σx² − 2Rσxy + R²σy²)/(n·μy²). One user
-    rollup, exact milli-unit moments (milli keeps x² inside BIGINT at
-    100x user spend), CI from shared z literals. Pairs with cuped_adjustment and
-    ab_power_analysis to complete the metric-engineering toolkit."""
-    ev = load_table(spark, sf_dir, "events")
-    u = ev.groupBy("user_id").agg(
-        F.sum(
-            F.when(
-                F.col("event_type") == "purchase",
-                F.expr("cast(round(value * 1000) as bigint)"),
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("x_u"),
-        F.count("*").cast("long").alias("y"),
-    )
-    s = u.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("x_u").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x_u") * F.col("x_u")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
-        F.sum(F.col("x_u") * F.col("y")).cast("long").alias("sxy"),
-    )
-    r = F.col("sx").cast("double") / F.col("sy")
-    my = F.col("sy").cast("double") / F.col("n")
-    vx = (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n")) / (
-        F.col("n") - 1
-    )
-    vy = (F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / F.col("n")) / (
-        F.col("n") - 1
-    )
-    cxy = (F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("n")) / (
-        F.col("n") - 1
-    )
-    se = F.sqrt((vx - 2 * r * cxy + r * r * vy) / F.col("n")) / my
-    return s.select(
-        F.col("n").alias("n_users"),
-        F.round(r / F.lit(1e3), 6).alias("ratio"),
-        F.round(se / F.lit(1e3), 6).alias("delta_se"),
-        F.round((r - F.lit(1.959964) * se) / F.lit(1e3), 6).alias("ci_lo"),
-        F.round((r + F.lit(1.959964) * se) / F.lit(1e3), 6).alias("ci_hi"),
-    )
-
-
-@query(
-    "embedding_isotropy",
-    oracle=f"""
-    WITH cd AS (
-        SELECT pos, round(avg(v), 6) AS mv
-        FROM (
-            SELECT unnest(embedding::DOUBLE[]) AS v,
-                   unnest(range(len(embedding))) AS pos
-            FROM embeddings
-        ) GROUP BY pos
-    ), mu AS (
-        SELECT list(mv ORDER BY pos) AS mvec FROM cd
-    ), c AS (
-        SELECT e.vec_id,
-               list_transform(list_zip(e.embedding::DOUBLE[], m.mvec),
-                              x -> x[1] - x[2]) AS cv,
-               e.embedding::DOUBLE[] AS ev
-        FROM embeddings e CROSS JOIN mu m
-    ), pairs AS (
-        SELECT {_dd_cosine('a.ev', 'b.ev')} AS raw_cos,
-               {_dd_cosine('a.cv', 'b.cv')} AS cen_cos
-        FROM c a JOIN c b ON a.vec_id < b.vec_id
-        WHERE {H.dd_md5_long("(a.vec_id::VARCHAR || ':' || b.vec_id::VARCHAR)")}
-              / 1152921504606846976.0 < 0.02
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-           round(CAST(sum(CAST(round(raw_cos * 1000000) AS BIGINT)) AS DOUBLE)
-                 / count(*) / 1e6, 6) AS mean_cos,
-           round(CAST(sum(CAST(round(cen_cos * 1000000) AS BIGINT)) AS DOUBLE)
-                 / count(*) / 1e6, 6) AS mean_cos_centered
-    FROM pairs
-    """,
-)
-def embedding_isotropy_q(spark, sf_dir):
-    """Embedding-space isotropy audit (Ethayarajh '19 / Mu '18
-    representation degeneration: if random pairs average HIGH cosine,
-    vectors live in a narrow cone and cosine similarity loses
-    discriminative power — mean-centering should collapse the average
-    toward 0; a large gap between raw and centered means the space
-    needs centering before ANN): the mean vector is the
-    label_centroids rollup (6dp-quantized so both engines share its
-    bits), centering is an in-plan zip, and random pairs come from the
-    engine-portable md5 gate at 2%% — pair volume is rate-bounded, the
-    estimator posture of embedding_dedup_recall. Micro-unit cosine
-    sums keep both means order-free."""
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    cd = (
-        emb.select(F.posexplode(V._as_double(F.col("embedding"))))
-        .groupBy("pos")
-        .agg(F.round(F.avg("col"), 6).alias("mv"))
-    )
-    mu = cd.agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("pos", "mv"))), lambda s: s.mv
-        ).alias("mvec")
-    )
-    c = emb.crossJoin(F.broadcast(mu)).select(
-        "vec_id",
-        V._as_double(F.col("embedding")).alias("ev"),
-        F.zip_with(
-            V._as_double(F.col("embedding")), F.col("mvec"), lambda x, m: x - m
-        ).alias("cv"),
-    )
-    a, b = c.alias("a"), c.alias("b")
-    gate = (
-        H.md5_long(
-            F.concat(
-                F.col("a.vec_id").cast("string"),
-                F.lit(":"),
-                F.col("b.vec_id").cast("string"),
-            )
-        )
-        / F.lit(1152921504606846976.0)
-        < 0.02
-    )
-    pairs = a.join(b, (F.col("a.vec_id") < F.col("b.vec_id")) & gate).select(
-        V.cosine(F.col("a.ev"), F.col("b.ev")).alias("raw_cos"),
-        V.cosine(F.col("a.cv"), F.col("b.cv")).alias("cen_cos"),
-    )
-    return pairs.agg(
-        F.count("*").cast("long").alias("n_pairs"),
-        F.round(
-            F.sum(F.expr("cast(round(raw_cos * 1000000) as bigint)")).cast("double")
-            / F.count("*")
-            / F.lit(1e6),
-            6,
-        ).alias("mean_cos"),
-        F.round(
-            F.sum(F.expr("cast(round(cen_cos * 1000000) as bigint)")).cast("double")
-            / F.count("*")
-            / F.lit(1e6),
-            6,
-        ).alias("mean_cos_centered"),
-    )
-
-
-_DD_QF_STOP = (
-    "['the','a','an','and','or','of','to','in','on','for','is','are',"
-    "'was','be','it','this','that','with','as','at']"
-)
-
-
-@query(
-    "boosting_stump_round",
-    oracle=f"""
-    WITH feat AS (
-        SELECT doc_id,
-               CAST(len({_DD_TOKS}) AS BIGINT) AS f_ntok,
-               CAST(round(round(CAST(len(list_filter({_DD_TOKS},
-                    t -> list_contains({_DD_QF_STOP}, t))) AS DOUBLE)
-                    / len({_DD_TOKS}), 6) * 1000000) AS BIGINT) AS f_stop,
-               CAST(round(round(CAST(len(list_distinct({_DD_TOKS})) AS DOUBLE)
-                    / len({_DD_TOKS}), 6) * 1000000) AS BIGINT) AS f_ttr,
-               (len({_DD_TOKS}) >= 20 AND len({_DD_TOKS}) <= 80
-                AND CAST(length(text) - (len({_DD_TOKS}) - 1) AS DOUBLE)
-                    / len({_DD_TOKS}) >= 3.0
-                AND CAST(length(text) - (len({_DD_TOKS}) - 1) AS DOUBLE)
-                    / len({_DD_TOKS}) <= 8.0
-                AND CAST(len(list_filter({_DD_TOKS},
-                    t -> list_contains({_DD_QF_STOP}, t))) AS DOUBLE)
-                    / len({_DD_TOKS}) >= 0.05
-                AND CAST(len(list_distinct({_DD_TOKS})) AS DOUBLE)
-                    / len({_DD_TOKS}) >= 0.3) AS label
-        FROM documents
-    ), lf AS (
-        SELECT 'n_tokens' AS feature, f_ntok AS v, label FROM feat
-        UNION ALL
-        SELECT 'stopword_frac', f_stop, label FROM feat
-        UNION ALL
-        SELECT 'ttr', f_ttr, label FROM feat
-    ), th AS (
-        SELECT DISTINCT feature, thr FROM (
-            SELECT feature,
-                   vs[CAST(n * k // 10 + 1 AS INTEGER)] AS thr
-            FROM (
-                SELECT feature, CAST(count(*) AS BIGINT) AS n,
-                       list_sort(list(v)) AS vs
-                FROM lf GROUP BY feature
-            ) CROSS JOIN (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS k)
-        )
-    ), ev AS (
-        SELECT l.feature, t.thr,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CASE WHEN l.v <= t.thr AND NOT l.label THEN 1 ELSE 0 END)
-                    + sum(CASE WHEN l.v > t.thr AND l.label THEN 1 ELSE 0 END)
-                    AS BIGINT) AS mis_plus
-        FROM lf l JOIN th t USING (feature)
-        GROUP BY l.feature, t.thr
-    ), sc AS (
-        SELECT feature, thr, n,
-               least(mis_plus, n - mis_plus) AS mis,
-               CASE WHEN mis_plus <= n - mis_plus
-                    THEN 'keep_if_le' ELSE 'keep_if_gt' END AS polarity
-        FROM ev
-    ), best AS (
-        SELECT * FROM (
-            SELECT *, row_number() OVER (ORDER BY mis, feature, thr) AS r FROM sc
-        ) WHERE r = 1
-    )
-    SELECT feature, CAST(thr AS BIGINT) AS threshold, polarity, n,
-           mis AS n_misclassified,
-           round(CAST(mis AS DOUBLE) / n, 6) AS error,
-           round(0.5 * ln((1 - greatest(least(CAST(mis AS DOUBLE) / n,
-                                              1 - 0.5 / n), 0.5 / n))
-                          / greatest(least(CAST(mis AS DOUBLE) / n,
-                                           1 - 0.5 / n), 0.5 / n)), 6) AS alpha
-    FROM best
-    """,
-)
-def boosting_stump_round_q(spark, sf_dir):
-    """One AdaBoost round fitting a decision stump IN THE ENGINE
-    (Freund-Schapire with uniform initial weights — demonstrating that
-    a weak-learner training step is just a grouped aggregate, the way
-    the quality classifier's documented swap point expects trained
-    weights to be produced): features are quality_filters' own
-    columns (token count, stopword fraction, TTR — micro-quantized so
-    thresholds are exact integers), candidate thresholds are the 9
-    exact decile selections per feature, and ALL 27 stumps evaluate in
-    ONE conditional aggregate over the melted feature frame (a stump
-    more costs a counter, not a pass). Best stump by exact integer
-    misclassification count with deterministic ties; alpha from the
-    clamped-error formula."""
-    from .operators import curation
-
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    qf = curation.quality_filters(docs).select(
-        "doc_id",
-        F.col("n_tokens").alias("f_ntok"),
-        F.expr("cast(round(stopword_frac * 1000000) as bigint)").alias("f_stop"),
-        F.expr("cast(round(ttr * 1000000) as bigint)").alias("f_ttr"),
-        F.col("keep").alias("label"),
-    )
-    lf = (
-        qf.select(F.lit("n_tokens").alias("feature"), F.col("f_ntok").alias("v"), "label")
-        .unionByName(
-            qf.select(
-                F.lit("stopword_frac").alias("feature"), F.col("f_stop").alias("v"), "label"
-            )
-        )
-        .unionByName(
-            qf.select(F.lit("ttr").alias("feature"), F.col("f_ttr").alias("v"), "label")
-        )
-    )
-    ks = spark.createDataFrame([(k,) for k in range(1, 10)], "k long")
-    th = (
-        lf.groupBy("feature")
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.sort_array(F.collect_list("v")).alias("vs"),
-        )
-        .crossJoin(F.broadcast(ks))
-        .select(
-            "feature",
-            F.element_at("vs", (F.expr("n * k div 10") + 1).cast("int")).alias("thr"),
-        )
-        .distinct()
-    )
-    ev = (
-        lf.join(F.broadcast(th), "feature")
-        .groupBy("feature", "thr")
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            (
-                F.sum(F.when((F.col("v") <= F.col("thr")) & ~F.col("label"), 1).otherwise(0))
-                + F.sum(F.when((F.col("v") > F.col("thr")) & F.col("label"), 1).otherwise(0))
-            )
-            .cast("long")
-            .alias("mis_plus"),
-        )
-    )
-    sc = ev.select(
-        "feature",
-        "thr",
-        "n",
-        F.least(F.col("mis_plus"), F.col("n") - F.col("mis_plus")).alias("mis"),
-        F.when(F.col("mis_plus") <= F.col("n") - F.col("mis_plus"), "keep_if_le")
-        .otherwise("keep_if_gt")
-        .alias("polarity"),
-    )
-    best = (
-        sc.withColumn(
-            "r", F.row_number().over(Window.orderBy("mis", "feature", "thr"))
-        )
-        .filter(F.col("r") == 1)
-        .drop("r")
-    )
-    e = F.col("mis").cast("double") / F.col("n")
-    e_c = F.greatest(F.least(e, 1 - 0.5 / F.col("n")), 0.5 / F.col("n"))
-    return best.select(
-        "feature",
-        F.col("thr").cast("long").alias("threshold"),
-        "polarity",
-        "n",
-        F.col("mis").alias("n_misclassified"),
-        F.round(e, 6).alias("error"),
-        F.round(0.5 * F.log((1 - e_c) / e_c), 6).alias("alpha"),
-    )
-
-
-@query(
-    "neyman_allocation",
-    oracle="""
-    WITH g AS (
-        SELECT n.n_name,
-               CAST(count(*) AS BIGINT) AS n_h,
-               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s_h,
-               sum(CAST(CAST(round(o.o_totalprice * 100) AS BIGINT) AS DECIMAL(18,0))
-                   * CAST(round(o.o_totalprice * 100) AS BIGINT)) AS q_h
-        FROM orders o
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        JOIN nation n ON c.c_nationkey = n.n_nationkey
-        GROUP BY n.n_name
-    ), w AS (
-        SELECT n_name, n_h,
-               CAST(round(n_h * sqrt((CAST(q_h AS DOUBLE)
-                    - CAST(s_h AS DOUBLE) * s_h / n_h) / (n_h - 1)) / 100)
-                    AS BIGINT) AS w_u
-        FROM g
-    ), t AS (
-        SELECT n_name, n_h, w_u,
-               CAST(sum(w_u) OVER () AS BIGINT) AS tw
-        FROM w
-    ), fl AS (
-        SELECT n_name, n_h, w_u, tw,
-               CAST(1000 * w_u // tw AS BIGINT) AS base,
-               1000 * w_u % tw AS rem
-        FROM t
-    )
-    SELECT n_name, n_h AS stratum_rows,
-           round(CAST(w_u AS DOUBLE) / tw, 6) AS neyman_share,
-           CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, n_name)
-                            <= 1000 - sum(base) OVER () THEN 1 ELSE 0 END AS BIGINT)
-               AS allocated_n
-    FROM fl
-    """,
-)
-def neyman_allocation_q(spark, sf_dir):
-    """Neyman optimal allocation of a 1000-row sampling budget across
-    nation strata (n_h ∝ N_h·σ_h — minimum-variance stratified
-    sampling; the principled upgrade to stratified_sample's
-    proportional split, and intraclass_correlation's design-effect
-    lesson applied): per-stratum std from ONE exact rollup (DECIMAL
-    squares), N·σ weights quantized to exact cent units, and the
-    integer budget splits by largest-remainder (token_budget_plan's
-    Hamilton method) so Σ allocated_n == 1000 EXACTLY on both
-    engines."""
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    cents = F.expr("cast(round(o_totalprice * 100) as bigint)")
-    g = (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            F.count("*").cast("long").alias("n_h"),
-            F.sum(cents).cast("long").alias("s_h"),
-            F.sum(cents.cast("decimal(18,0)") * cents).alias("q_h"),
-        )
-    )
-    w = g.select(
-        "n_name",
-        "n_h",
-        F.expr(
-            "cast(round(n_h * sqrt((cast(q_h as double)"
-            " - cast(s_h as double) * s_h / n_h) / (n_h - 1)) / 100) as bigint)"
-        ).alias("w_u"),
-    )
-    wa = Window.partitionBy()
-    t = w.select("n_name", "n_h", "w_u", F.sum("w_u").over(wa).cast("long").alias("tw"))
-    fl = t.select(
-        "n_name",
-        "n_h",
-        "w_u",
-        "tw",
-        F.expr("1000 * w_u div tw").cast("long").alias("base"),
-        F.expr("1000 * w_u % tw").alias("rem"),
-    )
-    return fl.select(
-        "n_name",
-        F.col("n_h").alias("stratum_rows"),
-        F.round(F.col("w_u").cast("double") / F.col("tw"), 6).alias("neyman_share"),
-        (
-            F.col("base")
-            + F.when(
-                F.row_number().over(Window.orderBy(F.col("rem").desc(), "n_name"))
-                <= 1000 - F.sum("base").over(wa),
-                1,
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("allocated_n"),
-    )
-
-
-@query(
-    "horvitz_thompson_total",
-    oracle=f"""
-    WITH b AS (
-        SELECT CAST(count(*) AS BIGINT) AS nn,
-               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS true_c
-        FROM orders
-    ), p AS (
-        SELECT o_orderkey,
-               CAST(round(o_totalprice * 100) AS BIGINT) AS v_c,
-               least(1.0, 2000 * CAST(round(o_totalprice * 100) AS BIGINT)
-                          / CAST(b.true_c AS DOUBLE)) AS pi,
-               {H.dd_md5_long('o_orderkey::VARCHAR')} / 1152921504606846976.0 AS u
-        FROM orders, b
-    ), s AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_sampled,
-               CAST(sum(CAST(round(v_c / pi) AS BIGINT)) AS BIGINT) AS ht_c
-        FROM p WHERE u < pi
-    )
-    SELECT b.nn AS n_rows, s.n_sampled,
-           round(CAST(b.true_c AS DOUBLE) / 100, 6) AS true_total,
-           round(CAST(s.ht_c AS DOUBLE) / 100, 6) AS ht_estimate,
-           round(abs(CAST(s.ht_c AS DOUBLE) - b.true_c) / b.true_c * 100, 6)
-               AS abs_err_pct
-    FROM s, b
-    """,
-)
-def horvitz_thompson_total_q(spark, sf_dir):
-    """Probability-proportional-to-size sampling + Horvitz-Thompson
-    total (the unequal-probability estimator behind every 'sample the
-    big accounts more' audit design: pi_i ∝ value, estimate
-    Σ y_i/pi_i is unbiased): inclusion probabilities from one exact
-    scalar pass (clamped at 1 for takeall units), the sample selected
-    by the engine-portable md5 uniform — so both engines draw the
-    SAME sample and the HT estimate matches to the cent; the
-    abs-error column demonstrates the estimator against the true
-    total it can see at test scale."""
-    o = load_table(spark, sf_dir, "orders")
-    b = o.agg(
-        F.count("*").cast("long").alias("nn"),
-        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
-        .cast("long")
-        .alias("true_c"),
-    )
-    p = o.crossJoin(F.broadcast(b)).select(
-        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("v_c"),
-        F.least(
-            F.lit(1.0),
-            2000
-            * F.expr("cast(round(o_totalprice * 100) as bigint)")
-            / F.col("true_c").cast("double"),
-        ).alias("pi"),
-        (
-            H.md5_long(F.col("o_orderkey").cast("string"))
-            / F.lit(1152921504606846976.0)
-        ).alias("u"),
-        "nn",
-        "true_c",
-    )
-    s = p.filter(F.col("u") < F.col("pi")).agg(
-        F.count("*").cast("long").alias("n_sampled"),
-        F.sum(F.expr("cast(round(v_c / pi) as bigint)")).cast("long").alias("ht_c"),
-        F.max("nn").alias("nn"),
-        F.max("true_c").alias("true_c"),
-    )
-    return s.select(
-        F.col("nn").alias("n_rows"),
-        "n_sampled",
-        F.round(F.col("true_c").cast("double") / 100, 6).alias("true_total"),
-        F.round(F.col("ht_c").cast("double") / 100, 6).alias("ht_estimate"),
-        F.round(
-            F.abs(F.col("ht_c").cast("double") - F.col("true_c"))
-            / F.col("true_c")
-            * 100,
-            6,
-        ).alias("abs_err_pct"),
-    )
-
-
-@query(
-    "quadratic_trend_fit",
-    oracle="""
-    WITH m AS (
-        SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS x,
-               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y_c
-        FROM orders GROUP BY x
-    ), s AS (
-        SELECT CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(x) AS BIGINT) AS s1, CAST(sum(x * x) AS BIGINT) AS s2,
-               CAST(sum(x * x * x) AS BIGINT) AS s3,
-               CAST(sum(x * x * x * x) AS BIGINT) AS s4,
-               CAST(sum(y_c) AS BIGINT) AS sy,
-               CAST(sum(x * y_c) AS BIGINT) AS sxy,
-               CAST(sum(x * x * y_c) AS BIGINT) AS sx2y
-        FROM m
-    ), d AS (
-        SELECT n, sy, sxy, sx2y,
-               CAST(n AS DOUBLE) * (CAST(s2 AS DOUBLE) * s4 - CAST(s3 AS DOUBLE) * s3)
-               - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s4 - CAST(s3 AS DOUBLE) * s2)
-               + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s3 - CAST(s2 AS DOUBLE) * s2)
-                   AS det,
-               CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
-               CAST(s3 AS DOUBLE) AS d3, CAST(s4 AS DOUBLE) AS d4
-        FROM s
-    )
-    SELECT n AS n_months,
-           round((CAST(sy AS DOUBLE) * (d2 * d4 - d3 * d3)
-                  - d1 * (CAST(sxy AS DOUBLE) * d4 - d3 * CAST(sx2y AS DOUBLE))
-                  + d2 * (CAST(sxy AS DOUBLE) * d3 - d2 * CAST(sx2y AS DOUBLE)))
-                 / det / 100, 6) AS c0,
-           round((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) * d4
-                      - d3 * CAST(sx2y AS DOUBLE))
-                  - CAST(sy AS DOUBLE) * (d1 * d4 - d3 * d2)
-                  + d2 * (d1 * CAST(sx2y AS DOUBLE) - CAST(sxy AS DOUBLE) * d2))
-                 / det / 100, 6) AS c1,
-           round((CAST(n AS DOUBLE) * (d2 * CAST(sx2y AS DOUBLE)
-                      - CAST(sxy AS DOUBLE) * d3)
-                  - d1 * (d1 * CAST(sx2y AS DOUBLE) - CAST(sxy AS DOUBLE) * d2)
-                  + CAST(sy AS DOUBLE) * (d1 * d3 - d2 * d2))
-                 / det / 100, 6) AS c2
-    FROM d
-    """,
-)
-def quadratic_trend_fit_q(spark, sf_dir):
-    """Quadratic trend fit of monthly revenue, y = c0 + c1·x + c2·x²
-    (revenue_forecast's linear trend can't see acceleration — c2's
-    sign IS the 'growth is speeding up / rolling over' readout): the
-    classic closed-form normal equations via Cramer's rule on the
-    3×3 moment matrix — ALL seven moments (Σx..Σx⁴, Σy, Σxy, Σx²y)
-    are exact integers from the month-frame rollup (x ≤ 84 keeps x⁴
-    well inside BIGINT), and the three determinant expansions are
-    written in the identical expansion order on both engines. No
-    solver, no iteration: polynomial regression as one aggregate."""
-    o = load_table(spark, sf_dir, "orders")
-    m = o.groupBy(
-        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1).alias("x")
-    ).agg(
-        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
-        .cast("long")
-        .alias("y_c")
-    )
-    x = F.col("x")
-    s = m.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(x).cast("long").alias("s1"),
-        F.sum(x * x).cast("long").alias("s2"),
-        F.sum(x * x * x).cast("long").alias("s3"),
-        F.sum(x * x * x * x).cast("long").alias("s4"),
-        F.sum("y_c").cast("long").alias("sy"),
-        F.sum(x * F.col("y_c")).cast("long").alias("sxy"),
-        F.sum(x * x * F.col("y_c")).cast("long").alias("sx2y"),
-    )
-    nd = F.col("n").cast("double")
-    d1, d2 = F.col("s1").cast("double"), F.col("s2").cast("double")
-    d3, d4 = F.col("s3").cast("double"), F.col("s4").cast("double")
-    syd = F.col("sy").cast("double")
-    sxyd = F.col("sxy").cast("double")
-    sx2yd = F.col("sx2y").cast("double")
-    det = (
-        nd * (d2 * d4 - d3 * d3)
-        - d1 * (d1 * d4 - d3 * d2)
-        + d2 * (d1 * d3 - d2 * d2)
-    )
-    c0 = (
-        syd * (d2 * d4 - d3 * d3)
-        - d1 * (sxyd * d4 - d3 * sx2yd)
-        + d2 * (sxyd * d3 - d2 * sx2yd)
-    ) / det
-    c1 = (
-        nd * (sxyd * d4 - d3 * sx2yd)
-        - syd * (d1 * d4 - d3 * d2)
-        + d2 * (d1 * sx2yd - sxyd * d2)
-    ) / det
-    c2 = (
-        nd * (d2 * sx2yd - sxyd * d3)
-        - d1 * (d1 * sx2yd - sxyd * d2)
-        + syd * (d1 * d3 - d2 * d2)
-    ) / det
-    return s.select(
-        F.col("n").alias("n_months"),
-        F.round(c0 / 100, 6).alias("c0"),
-        F.round(c1 / 100, 6).alias("c1"),
-        F.round(c2 / 100, 6).alias("c2"),
-    )
-
-
-@query(
-    "mix_shift_decomposition",
-    oracle="""
-    WITH b AS (
-        SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS cut FROM events
-    ), g AS (
-        SELECT event_type,
-               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut THEN 0 ELSE 1 END) AS BIGINT) AS n2,
-               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut
-                             THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END)
-                    AS BIGINT) AS s1,
-               CAST(sum(CASE WHEN epoch_ns(ts) <= b.cut THEN 0
-                             ELSE CAST(round(value * 1000000) AS BIGINT) END)
-                    AS BIGINT) AS s2
-        FROM events, b GROUP BY event_type
-    ), t AS (
-        SELECT event_type, n1, n2, s1, s2,
-               CAST(sum(n1) OVER () AS BIGINT) AS t1,
-               CAST(sum(n2) OVER () AS BIGINT) AS t2
-        FROM g
-    ), c AS (
-        SELECT event_type,
-               CAST(n1 AS DOUBLE) / t1 AS share1, CAST(n2 AS DOUBLE) / t2 AS share2,
-               CAST(s1 AS DOUBLE) / n1 / 1e6 AS rate1,
-               CAST(s2 AS DOUBLE) / n2 / 1e6 AS rate2
-        FROM t WHERE n1 > 0 AND n2 > 0
-    )
-    SELECT event_type,
-           round(share1, 6) AS share_pre, round(share2, 6) AS share_post,
-           round(rate1, 6) AS rate_pre, round(rate2, 6) AS rate_post,
-           round((share2 - share1) * rate1, 6) AS mix_effect,
-           round(share2 * (rate2 - rate1), 6) AS rate_effect,
-           round(CAST(sum(CAST(round(((share2 - share1) * rate1
-                 + share2 * (rate2 - rate1)) * 1000000) AS BIGINT)) OVER ()
-                 AS DOUBLE) / 1e6, 6) AS total_delta
-    FROM c
-    """,
-)
-def mix_shift_decomposition_q(spark, sf_dir):
-    """Mix-vs-rate decomposition of the mean event value's change
-    across the cutover (the 'why did the average move' analysis every
-    metrics review runs: did segment RATES change, or did the MIX of
-    segments shift? — Oaxaca-Blinder's accounting identity
-    Δ = Σ(Δshare·rate_pre + share_post·Δrate)): one conditional
-    rollup builds all per-type cells, totals ride window sums on the
-    types frame, each effect is an identical double expression over
-    exact integers, and the reconciliation total sums 6dp micro-unit
-    contributions so Δ decomposes EXACTLY on both engines."""
-    ev = load_table(spark, sf_dir, "events")
-    b = ev.agg(F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("cut"))
-    v_u = "cast(round(value * 1000000) as bigint)"
-    g = ev.crossJoin(F.broadcast(b)).groupBy("event_type").agg(
-        F.sum(F.when(F.col("ts_ns") <= F.col("cut"), 1).otherwise(0))
-        .cast("long")
-        .alias("n1"),
-        F.sum(F.when(F.col("ts_ns") <= F.col("cut"), 0).otherwise(1))
-        .cast("long")
-        .alias("n2"),
-        F.sum(F.when(F.col("ts_ns") <= F.col("cut"), F.expr(v_u)).otherwise(0))
-        .cast("long")
-        .alias("s1"),
-        F.sum(F.when(F.col("ts_ns") <= F.col("cut"), 0).otherwise(F.expr(v_u)))
-        .cast("long")
-        .alias("s2"),
-    )
-    wa = Window.partitionBy()
-    t = g.select(
-        "*",
-        F.sum("n1").over(wa).cast("long").alias("t1"),
-        F.sum("n2").over(wa).cast("long").alias("t2"),
-    ).filter((F.col("n1") > 0) & (F.col("n2") > 0))
-    share1 = F.col("n1").cast("double") / F.col("t1")
-    share2 = F.col("n2").cast("double") / F.col("t2")
-    rate1 = F.col("s1").cast("double") / F.col("n1") / F.lit(1e6)
-    rate2 = F.col("s2").cast("double") / F.col("n2") / F.lit(1e6)
-    c = t.select(
-        "event_type",
-        F.round(share1, 6).alias("share_pre"),
-        F.round(share2, 6).alias("share_post"),
-        F.round(rate1, 6).alias("rate_pre"),
-        F.round(rate2, 6).alias("rate_post"),
-        F.round((share2 - share1) * rate1, 6).alias("mix_effect"),
-        F.round(share2 * (rate2 - rate1), 6).alias("rate_effect"),
-        (
-            (share2 - share1) * rate1 + share2 * (rate2 - rate1)
-        ).alias("_contrib"),
-    )
-    return c.select(
-        "event_type",
-        "share_pre",
-        "share_post",
-        "rate_pre",
-        "rate_post",
-        "mix_effect",
-        "rate_effect",
-        F.round(
-            F.sum(F.expr("cast(round(_contrib * 1000000) as bigint)"))
-            .over(wa)
-            .cast("double")
-            / F.lit(1e6),
-            6,
-        ).alias("total_delta"),
-    )
-
-
-def _cost_optimal_threshold_oracle() -> str:
-    base = _classifier_calibration_oracle().rsplit(", binned AS", 1)[0]
-    return (
-        base
-        + """
-    , thr AS (
-        SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS tau
-    ), j AS (
-        SELECT t.tau,
-               CAST(sum(CASE WHEN p.prob >= t.tau AND NOT l.label THEN 1 ELSE 0 END)
-                    AS BIGINT) AS fp,
-               CAST(sum(CASE WHEN p.prob < t.tau AND l.label THEN 1 ELSE 0 END)
-                    AS BIGINT) AS fn
-        FROM probs p JOIN labels l ON l.doc_id = p.doc_id CROSS JOIN thr t
-        GROUP BY t.tau
-    ), costed AS (
-        SELECT tau, fp, fn, fp * 1 + fn * 5 AS cost
-        FROM j
-    )
-    SELECT tau, fp, fn, CAST(cost AS BIGINT) AS cost,
-           CAST(cost AS BIGINT) = CAST(min(cost) OVER () AS BIGINT) AS is_optimal
-    FROM costed
-    """
-    )
-
-
-@query("cost_optimal_threshold", oracle=None)  # oracle attached below
-def cost_optimal_threshold_q(spark, sf_dir):
-    """Cost-sensitive operating point for the quality classifier (the
-    decision-theory step after classifier_pr_curve: with a false
-    negative 5x as expensive as a false positive — dropping good
-    training data costs more than keeping some junk — which tau
-    minimizes expected cost?): the same single counting aggregate as
-    the PR curve, an exact integer cost per threshold, and the
-    argmin flagged via a window over the 9-row grid. Change the cost
-    literals and the whole policy re-derives in one pass."""
-    from .operators import curation
-
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    probs = curation.quality_classifier(docs).select("doc_id", "prob")
-    labels = curation.quality_filters(docs).select(
-        "doc_id", F.col("keep").alias("label")
-    )
-    thr = spark.createDataFrame([(t / 10.0,) for t in range(1, 10)], "tau double")
-    j = (
-        probs.join(labels, "doc_id")
-        .crossJoin(F.broadcast(thr))
-        .groupBy("tau")
-        .agg(
-            F.sum(
-                F.when((F.col("prob") >= F.col("tau")) & ~F.col("label"), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("fp"),
-            F.sum(F.when((F.col("prob") < F.col("tau")) & F.col("label"), 1).otherwise(0))
-            .cast("long")
-            .alias("fn"),
-        )
-    )
-    costed = j.select(
-        "tau", "fp", "fn", (F.col("fp") * 1 + F.col("fn") * 5).cast("long").alias("cost")
-    )
-    return costed.select(
-        "tau",
-        "fp",
-        "fn",
-        "cost",
-        (F.col("cost") == F.min("cost").over(Window.partitionBy())).alias("is_optimal"),
-    )
-
-
-ORACLES["cost_optimal_threshold"] = _cost_optimal_threshold_oracle()
-
-
-@query(
-    "winsorized_mean_stats",
-    oracle="""
-    WITH e AS (
-        SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v_u
-        FROM events
-    ), s AS (
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-               list_sort(list(v_u)) AS vs
-        FROM e GROUP BY event_type
-    ), b AS (
-        SELECT event_type, n,
-               vs[CAST(n // 10 + 1 AS INTEGER)] AS lo,
-               vs[CAST(n - n // 10 AS INTEGER)] AS hi
-        FROM s
-    )
-    SELECT e.event_type, b.n,
-           round(b.lo / 1e6, 6) AS clamp_lo,
-           round(b.hi / 1e6, 6) AS clamp_hi,
-           round(CAST(sum(least(greatest(e.v_u, b.lo), b.hi)) AS DOUBLE)
-                 / b.n / 1e6, 6) AS winsorized_mean,
-           round(CAST(sum(e.v_u) AS DOUBLE) / b.n / 1e6, 6) AS raw_mean
-    FROM e JOIN b USING (event_type)
-    GROUP BY e.event_type, b.n, b.lo, b.hi
-    """,
-)
-def winsorized_mean_stats_q(spark, sf_dir):
-    """10%%-winsorized mean per event type (trimmed_mean_stats DROPS
-    the tails — winsorizing CLAMPS them, keeping n constant, which is
-    what a metrics pipeline wants when downstream joins assume every
-    row survives): clamp bounds by exact sorted selection (the
-    documented approx_percentile swap at 100 TB), then ONE more pass
-    clamps and sums exact integers — the winsorized mean is
-    order-free, shown against the raw mean as the outlier-impact
-    readout."""
-    ev = load_table(spark, sf_dir, "events")
-    e = ev.select(
-        "event_type", F.expr("cast(round(value * 1000000) as bigint)").alias("v_u")
-    )
-    s = e.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sort_array(F.collect_list("v_u")).alias("vs"),
-    )
-    b = s.select(
-        "event_type",
-        "n",
-        F.element_at("vs", (F.expr("n div 10") + 1).cast("int")).alias("lo"),
-        F.element_at("vs", (F.col("n") - F.expr("n div 10")).cast("int")).alias("hi"),
-    )
-    return (
-        e.join(F.broadcast(b), "event_type")
-        .groupBy("event_type", "n", "lo", "hi")
-        .agg(
-            F.sum(F.least(F.greatest(F.col("v_u"), F.col("lo")), F.col("hi")))
-            .cast("long")
-            .alias("_ws"),
-            F.sum("v_u").cast("long").alias("_rs"),
-        )
-        .select(
-            "event_type",
-            "n",
-            F.round(F.col("lo") / F.lit(1e6), 6).alias("clamp_lo"),
-            F.round(F.col("hi") / F.lit(1e6), 6).alias("clamp_hi"),
-            F.round(F.col("_ws").cast("double") / F.col("n") / F.lit(1e6), 6).alias(
-                "winsorized_mean"
-            ),
-            F.round(F.col("_rs").cast("double") / F.col("n") / F.lit(1e6), 6).alias(
-                "raw_mean"
-            ),
-        )
-    )
-
-
-@query(
-    "revenue_max_drawdown",
-    oracle="""
-    WITH m AS (
-        SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS month_id,
-               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
-        FROM orders GROUP BY month_id
-    ), anom AS (
-        SELECT month_id, rev_c,
-               CAST(count(*) OVER () AS BIGINT) AS nm,
-               CAST(count(*) OVER () AS BIGINT) * rev_c
-               - CAST(sum(rev_c) OVER () AS BIGINT) AS dev_u
-        FROM m
-    ), c AS (
-        SELECT month_id, nm,
-               CAST(sum(dev_u) OVER (ORDER BY month_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                   AS cum_u
-        FROM anom
-    ), dd AS (
-        SELECT month_id, nm, cum_u,
-               CAST(max(cum_u) OVER (ORDER BY month_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                   AS peak_u
-        FROM c
-    )
-    SELECT CAST(month_id AS BIGINT) AS month_id,
-           round(CAST(cum_u AS DOUBLE) / nm / 100, 6) AS cum_deviation,
-           round(CAST(peak_u AS DOUBLE) / nm / 100, 6) AS running_peak,
-           round(CAST(peak_u - cum_u AS DOUBLE) / nm / 100, 6) AS drawdown,
-           CAST(peak_u - cum_u AS BIGINT)
-               = CAST(max(peak_u - cum_u) OVER () AS BIGINT) AS is_max_drawdown
-    FROM dd
-    """,
-)
-def revenue_max_drawdown_q(spark, sf_dir):
-    """Maximum drawdown of cumulative revenue DEVIATION from its mean
-    month (the risk lens on the revenue series: the deepest sustained
-    under-performance stretch vs trend — where cusum_changepoint finds
-    WHERE the level shifted, drawdown says HOW BAD the worst run was):
-    month rollup → mean-deviation cumulative sum → running peak →
-    drawdown, all EXACT integers via the scale-by-n identity
-    n·rev − total (cusum_changepoint's trick — no float mean enters
-    the scan) on calendar-bounded window frames; the max-drawdown
-    month is flagged by exact integer comparison."""
-    o = load_table(spark, sf_dir, "orders")
-    m = o.groupBy(
-        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1).alias(
-            "month_id"
-        )
-    ).agg(
-        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
-        .cast("long")
-        .alias("rev_c")
-    )
-    wa = Window.partitionBy()
-    anom = m.select(
-        "month_id",
-        F.count("*").over(wa).cast("long").alias("nm"),
-        (
-            F.count("*").over(wa).cast("long") * F.col("rev_c")
-            - F.sum("rev_c").over(wa).cast("long")
-        ).alias("dev_u"),
-    )
-    wc = Window.orderBy("month_id").rowsBetween(Window.unboundedPreceding, 0)
-    c = anom.select(
-        "month_id", "nm", F.sum("dev_u").over(wc).cast("long").alias("cum_u")
-    )
-    dd = c.select(
-        "month_id", "nm", "cum_u", F.max("cum_u").over(wc).cast("long").alias("peak_u")
-    )
-    return dd.select(
-        F.col("month_id").cast("long"),
-        F.round(F.col("cum_u").cast("double") / F.col("nm") / F.lit(100), 6).alias(
-            "cum_deviation"
-        ),
-        F.round(F.col("peak_u").cast("double") / F.col("nm") / F.lit(100), 6).alias(
-            "running_peak"
-        ),
-        F.round(
-            (F.col("peak_u") - F.col("cum_u")).cast("double") / F.col("nm") / F.lit(100),
-            6,
-        ).alias("drawdown"),
-        (
-            (F.col("peak_u") - F.col("cum_u"))
-            == F.max(F.col("peak_u") - F.col("cum_u")).over(wa).cast("long")
-        ).alias("is_max_drawdown"),
-    )
-
-
-@query(
-    "mix_entropy_trend",
-    oracle="""
-    WITH w AS (
-        SELECT epoch_ns(ts) // 86400000000000 // 7 AS week_id, event_type,
-               CAST(count(*) AS BIGINT) AS n
-        FROM events GROUP BY week_id, event_type
-    ), t AS (
-        SELECT week_id, event_type, n,
-               CAST(sum(n) OVER (PARTITION BY week_id) AS BIGINT) AS tw
-        FROM w
-    ), h AS (
-        SELECT week_id, CAST(max(tw) AS BIGINT) AS n_events,
-               CAST(sum(CAST(round(-(CAST(n AS DOUBLE) / tw)
-                    * ln(CAST(n AS DOUBLE) / tw) * 1000000) AS BIGINT)) AS BIGINT)
-                   AS h_u,
-               CAST(count(*) AS BIGINT) AS n_types
-        FROM t GROUP BY week_id
-    )
-    SELECT CAST(week_id AS BIGINT) AS week_id, n_events, n_types,
-           round(h_u / 1e6, 6) AS mix_entropy,
-           round(h_u / 1e6 / ln(CAST(n_types AS DOUBLE)), 6) AS normalized_entropy
-    FROM h WHERE n_types > 1
-    """,
-)
-def mix_entropy_trend_q(spark, sf_dir):
-    """Traffic-mix diversity over time — weekly Shannon entropy of the
-    event-type distribution (a collapsing entropy means one event type
-    is taking over: bot storms, a broken emitter, or a product shift;
-    corpus_mix snapshots the mix, THIS trends its diversity): the
-    stream collapses to (week, type) counts, shares ride one
-    week-partitioned window, per-cell -p·ln(p) terms quantize to
-    micro-units so each week's entropy is an order-free integer sum;
-    normalized by ln(k) to a 0-1 scale."""
-    ev = load_table(spark, sf_dir, "events")
-    w = ev.groupBy(
-        F.expr("ts_ns div 86400000000000 div 7").alias("week_id"), "event_type"
-    ).agg(F.count("*").cast("long").alias("n"))
-    t = w.select(
-        "week_id",
-        "n",
-        F.sum("n").over(Window.partitionBy("week_id")).cast("long").alias("tw"),
-    )
-    p = F.col("n").cast("double") / F.col("tw")
-    h = t.groupBy("week_id").agg(
-        F.max("tw").cast("long").alias("n_events"),
-        F.sum(F.expr(
-            "cast(round(-(cast(n as double) / tw) * ln(cast(n as double) / tw)"
-            " * 1000000) as bigint)"
-        ))
-        .cast("long")
-        .alias("h_u"),
-        F.count("*").cast("long").alias("n_types"),
-    )
-    return h.filter(F.col("n_types") > 1).select(
-        F.col("week_id").cast("long"),
-        "n_events",
-        "n_types",
-        F.round(F.col("h_u") / F.lit(1e6), 6).alias("mix_entropy"),
-        F.round(
-            F.col("h_u") / F.lit(1e6) / F.log(F.col("n_types").cast("double")), 6
-        ).alias("normalized_entropy"),
-    )
-
-
-def _gate_agreement_oracle() -> str:
-    base = _classifier_calibration_oracle().rsplit(", binned AS", 1)[0]
-    return (
-        base
-        + """
-    , cells AS (
-        SELECT CAST(sum(CASE WHEN p.prob >= 0.5 AND l.label THEN 1 ELSE 0 END)
-                    AS BIGINT) AS a,
-               CAST(sum(CASE WHEN p.prob >= 0.5 AND NOT l.label THEN 1 ELSE 0 END)
-                    AS BIGINT) AS b,
-               CAST(sum(CASE WHEN p.prob < 0.5 AND l.label THEN 1 ELSE 0 END)
-                    AS BIGINT) AS c,
-               CAST(sum(CASE WHEN p.prob < 0.5 AND NOT l.label THEN 1 ELSE 0 END)
-                    AS BIGINT) AS d
-        FROM probs p JOIN labels l ON l.doc_id = p.doc_id
-    )
-    SELECT a + b + c + d AS n,
-           round(CAST(a + d AS DOUBLE) / (a + b + c + d), 6) AS observed_agreement,
-           round((CAST(a + b AS DOUBLE) * (a + c) + CAST(c + d AS DOUBLE) * (b + d))
-                 / pow(CAST(a + b + c + d AS DOUBLE), 2), 6) AS chance_agreement,
-           round((CAST(a + d AS DOUBLE) / (a + b + c + d)
-                  - (CAST(a + b AS DOUBLE) * (a + c) + CAST(c + d AS DOUBLE) * (b + d))
-                    / pow(CAST(a + b + c + d AS DOUBLE), 2))
-                 / (1 - (CAST(a + b AS DOUBLE) * (a + c)
-                         + CAST(c + d AS DOUBLE) * (b + d))
-                       / pow(CAST(a + b + c + d AS DOUBLE), 2)), 6) AS cohen_kappa
-    FROM cells
-    """
-    )
-
-
-@query("gate_agreement_kappa", oracle=None)  # oracle attached below
-def gate_agreement_kappa_q(spark, sf_dir):
-    """Cohen's kappa between the two independent quality signals — the
-    learned scorer at tau=0.5 vs the hand-set filter gates (accuracy
-    says how often they agree; kappa says how much BEYOND CHANCE,
-    which is the honest number when classes are imbalanced — the
-    rater-agreement check before trusting either gate as ground
-    truth): one 2x2 contingency from a single conditional aggregate
-    over the shared doc_id join; observed/chance/kappa in identical
-    double arithmetic over four exact counts."""
-    from .operators import curation
-
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    probs = curation.quality_classifier(docs).select("doc_id", "prob")
-    labels = curation.quality_filters(docs).select(
-        "doc_id", F.col("keep").alias("label")
-    )
-    cells = probs.join(labels, "doc_id").agg(
-        F.sum(F.when((F.col("prob") >= 0.5) & F.col("label"), 1).otherwise(0))
-        .cast("long")
-        .alias("a"),
-        F.sum(F.when((F.col("prob") >= 0.5) & ~F.col("label"), 1).otherwise(0))
-        .cast("long")
-        .alias("b"),
-        F.sum(F.when((F.col("prob") < 0.5) & F.col("label"), 1).otherwise(0))
-        .cast("long")
-        .alias("c"),
-        F.sum(F.when((F.col("prob") < 0.5) & ~F.col("label"), 1).otherwise(0))
-        .cast("long")
-        .alias("d"),
-    )
-    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
-    po = (F.col("a") + F.col("d")).cast("double") / n
-    pe = (
-        (F.col("a") + F.col("b")).cast("double") * (F.col("a") + F.col("c"))
-        + (F.col("c") + F.col("d")).cast("double") * (F.col("b") + F.col("d"))
-    ) / F.pow(n, F.lit(2.0))
-    return cells.select(
-        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("long").alias("n"),
-        F.round(po, 6).alias("observed_agreement"),
-        F.round(pe, 6).alias("chance_agreement"),
-        F.round((po - pe) / (1 - pe), 6).alias("cohen_kappa"),
-    )
-
-
-ORACLES["gate_agreement_kappa"] = _gate_agreement_oracle()
-
-
-@query(
-    "sampling_weights_ess",
-    oracle=f"""
-    WITH b AS (
-        SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS true_c
-        FROM orders
-    ), p AS (
-        SELECT o_orderkey,
-               least(1.0, 2000 * CAST(round(o_totalprice * 100) AS BIGINT)
-                          / CAST(b.true_c AS DOUBLE)) AS pi,
-               {H.dd_md5_long('o_orderkey::VARCHAR')} / 1152921504606846976.0 AS u
-        FROM orders, b
-    ), s AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_sampled,
-               CAST(sum(CAST(round(1.0 / pi * 1000) AS BIGINT)) AS BIGINT) AS sw_m,
-               CAST(sum(CAST(round(1.0 / pi * 1000) AS BIGINT)
-                        * CAST(round(1.0 / pi * 1000) AS BIGINT)) AS BIGINT) AS sww
-        FROM p WHERE u < pi
-    )
-    SELECT n_sampled,
-           round(CAST(sw_m AS DOUBLE) * sw_m / sww / 1, 6) AS effective_n,
-           round(CAST(sw_m AS DOUBLE) * sw_m / sww / n_sampled, 6) AS ess_ratio,
-           round(CAST(sww AS DOUBLE) * n_sampled / (CAST(sw_m AS DOUBLE) * sw_m), 6)
-               AS kish_deff
-    FROM s
-    """,
-)
-def sampling_weights_ess_q(spark, sf_dir):
-    """Kish effective sample size of the PPS design weights (the
-    weights-health check that must accompany ANY weighted estimate —
-    horvitz_thompson_total's n_sampled overstates information when
-    weights vary; ESS = (Σw)²/Σw² is what the estimate is really
-    worth, and Kish's deff = n·Σw²/(Σw)² is the variance inflation):
-    the same md5-drawn PPS sample, weights 1/pi quantized to
-    milli-units so both sums are exact integers; ESS, ESS ratio and
-    deff from identical arithmetic."""
-    o = load_table(spark, sf_dir, "orders")
-    b = o.agg(
-        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
-        .cast("long")
-        .alias("true_c")
-    )
-    p = o.crossJoin(F.broadcast(b)).select(
-        F.least(
-            F.lit(1.0),
-            2000
-            * F.expr("cast(round(o_totalprice * 100) as bigint)")
-            / F.col("true_c").cast("double"),
-        ).alias("pi"),
-        (
-            H.md5_long(F.col("o_orderkey").cast("string"))
-            / F.lit(1152921504606846976.0)
-        ).alias("u"),
-    )
-    w_m = F.expr("cast(round(1.0 / pi * 1000) as bigint)")
-    s = p.filter(F.col("u") < F.col("pi")).agg(
-        F.count("*").cast("long").alias("n_sampled"),
-        F.sum(w_m).cast("long").alias("sw_m"),
-        F.sum(w_m * w_m).cast("long").alias("sww"),
-    )
-    ess = F.col("sw_m").cast("double") * F.col("sw_m") / F.col("sww")
-    return s.select(
-        "n_sampled",
-        F.round(ess / F.lit(1), 6).alias("effective_n"),
-        F.round(ess / F.col("n_sampled"), 6).alias("ess_ratio"),
-        F.round(
-            F.col("sww").cast("double")
-            * F.col("n_sampled")
-            / (F.col("sw_m").cast("double") * F.col("sw_m")),
-            6,
-        ).alias("kish_deff"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Vector search completion wave (r5 cont.): range search, filter-order
-# recall, HNSW capacity planning
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "knn_range_search",
-    oracle=f"""
-    WITH q AS (
-        SELECT vec_id AS query_id, embedding AS query_vec
-        FROM embeddings WHERE vec_id < 5
-    )
-    SELECT q.query_id, e.vec_id,
-           round({_dd_cosine('e.embedding', 'q.query_vec')}, 6) AS score
-    FROM embeddings e, q
-    WHERE {_dd_cosine('e.embedding', 'q.query_vec')} >= 0.25
-      AND e.vec_id <> q.query_id
-    """,
-)
-def knn_range_search_q(spark, sf_dir):
-    """Range (radius) search — ALL neighbors with cosine >= tau per
-    query, no k (the Milvus range-search / faiss range_search verb
-    beside search_vectors' top-k, milvus_db.py:107): broadcast query
-    side, ONE corpus pass, and the tau predicate is a plain filter on
-    the scored rows — zero shuffles, a pure map job at 100 TB (top-k
-    needs a reduction; range search does not). The raw-double
-    threshold compares identically in both engines because the cosine
-    arithmetic tree is bit-identical (norms factored once per side,
-    same as topk_batch)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"),
-        V.l2_norm(F.col("embedding")).alias("_qnorm"),
-    )
-    c = emb.select(
-        "vec_id", "embedding", V.l2_norm(F.col("embedding")).alias("_cnorm")
-    )
-    scored = c.crossJoin(F.broadcast(queries)).select(
-        "query_id",
-        "vec_id",
-        (
-            V.dot(F.col("embedding"), F.col("query_vec"))
-            / (F.col("_cnorm") * F.col("_qnorm"))
-        ).alias("score"),
-    )
-    return (
-        scored.filter(
-            (F.col("score") >= 0.25) & (F.col("vec_id") != F.col("query_id"))
-        )
-        .select("query_id", "vec_id", F.round("score", 6).alias("score"))
-    )
-
-
-@query(
-    "post_filter_recall",
-    oracle=f"""
-    WITH q AS (
-        SELECT vec_id AS query_id, embedding AS query_vec
-        FROM embeddings WHERE vec_id < 5
-    ), scored AS (
-        SELECT q.query_id, e.vec_id, e.label,
-               {_dd_cosine('e.embedding', 'q.query_vec')} AS score
-        FROM embeddings e, q
-    ), ranked AS (
-        SELECT query_id, vec_id, label, score,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY score DESC, vec_id) AS rank_full,
-               CASE WHEN label = 3 THEN
-                   row_number() OVER (PARTITION BY query_id, (label = 3)
-                                      ORDER BY score DESC, vec_id)
-               END AS rank_filt
-        FROM scored
-    ), truth AS (
-        SELECT query_id, count(*) AS truth_n, list(vec_id) AS tids
-        FROM ranked WHERE rank_filt <= 10 GROUP BY query_id
-    ), post AS (
-        SELECT query_id, count(*) AS post_kept, list(vec_id) AS pids
-        FROM ranked WHERE rank_full <= 10 AND label = 3 GROUP BY query_id
-    )
-    SELECT t.query_id,
-           CAST(t.truth_n AS BIGINT) AS truth_n,
-           CAST(coalesce(p.post_kept, 0) AS BIGINT) AS post_kept,
-           CAST(coalesce(len(list_intersect(t.tids, p.pids)), 0) AS BIGINT) AS hits,
-           round(CAST(coalesce(len(list_intersect(t.tids, p.pids)), 0) AS DOUBLE)
-                 / t.truth_n, 6) AS recall
-    FROM truth t LEFT JOIN post p USING (query_id)
-    """,
-)
-def post_filter_recall_q(spark, sf_dir):
-    """Pre-filter vs post-filter recall@10 for filtered vector search —
-    the measurement behind knn_filtered's pre-filter posture (Milvus
-    filtered search design: filtering AFTER top-k loses every hit the
-    filter would have admitted below rank k): the corpus is scored
-    ONCE per query (norm-factored cosine), a map-side partial prune
-    keeps BOTH candidate sets per partition (top-10 overall carrying
-    labels, top-10 among label matches), and one final agg per query
-    merges both and computes the intersection — no second corpus
-    pass, no join between the two rankings. Truth = filter-then-rank;
-    post = rank-then-filter; recall = |post ∩ truth| / |truth|."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"),
-        V.l2_norm(F.col("embedding")).alias("_qnorm"),
-    )
-    c = emb.select(
-        "vec_id", "label", "embedding", V.l2_norm(F.col("embedding")).alias("_cnorm")
-    )
-    scored = c.crossJoin(F.broadcast(queries)).select(
-        "query_id",
-        "vec_id",
-        "label",
-        (
-            V.dot(F.col("embedding"), F.col("query_vec"))
-            / (F.col("_cnorm") * F.col("_qnorm"))
-        ).alias("score"),
-    )
-    pair = F.struct(
-        (-F.col("score")).alias("_o"), F.col("vec_id"), F.col("label").alias("_l")
-    )
-    # map-side partial: both k-sets per (partition, query) in one agg
-    part = (
-        scored.withColumn("_pid", F.spark_partition_id())
-        .groupBy("_pid", "query_id")
-        .agg(
-            F.slice(F.sort_array(F.collect_list(pair)), 1, 10).alias("full"),
-            F.slice(
-                F.sort_array(F.collect_list(F.when(F.col("label") == 3, pair))), 1, 10
-            ).alias("filt"),
-        )
-    )
-    # final merge: flatten partials, re-sort, cut to 10, then set math
-    merged = part.groupBy("query_id").agg(
-        F.slice(F.sort_array(F.flatten(F.collect_list("full"))), 1, 10).alias("full"),
-        F.slice(F.sort_array(F.flatten(F.collect_list("filt"))), 1, 10).alias("filt"),
-    )
-    truth_ids = F.expr("transform(filt, x -> x.vec_id)")
-    post_ids = F.expr("transform(filter(full, x -> x._l = 3), x -> x.vec_id)")
-    hits = F.size(F.array_intersect(post_ids, truth_ids))
-    return merged.select(
-        "query_id",
-        F.size(truth_ids).cast("long").alias("truth_n"),
-        F.size(post_ids).cast("long").alias("post_kept"),
-        hits.cast("long").alias("hits"),
-        F.round(hits.cast("double") / F.size(truth_ids), 6).alias("recall"),
-    )
-
-
-@query(
-    "hnsw_layer_plan",
-    oracle=f"""
-    WITH h AS (
-        SELECT vec_id, {H.dd_md5_long('vec_id::VARCHAR', 'hnsw')} AS hv
-        FROM embeddings
-    ), lv AS (
-        SELECT vec_id,
-               least(length(regexp_extract(bin(hv), '(0*)$', 1)) // 2, 6) AS level
-        FROM h
-    ), per AS (
-        SELECT CAST(level AS BIGINT) AS level, CAST(count(*) AS BIGINT) AS n_nodes
-        FROM lv GROUP BY level
-    )
-    SELECT level, n_nodes,
-           CAST(sum(n_nodes) OVER (ORDER BY level DESC) AS BIGINT) AS layer_size,
-           CAST(sum(n_nodes) OVER (ORDER BY level DESC)
-                * (CASE WHEN level = 0 THEN 32 ELSE 16 END) AS BIGINT) AS layer_edges,
-           round(CAST(n_nodes AS DOUBLE)
-                 / (SELECT sum(n_nodes) FROM per), 6) AS node_share
-    FROM per
-    """,
-)
-def hnsw_layer_plan_q(spark, sf_dir):
-    """HNSW capacity planning — the layer-occupancy table an HNSW
-    build (Malkov & Yashunin TPAMI'18) materializes before allocating
-    neighbor lists: each node's max level is geometric(p=1/4), drawn
-    here EXACTLY as trailing-zero bit PAIRS of the node's md5 (two
-    zero bits per level — integer arithmetic both engines agree on,
-    where the canonical floor(-ln(u)*mL) puts a libm ln at a floor
-    boundary). Per level: nodes whose max level is exactly l, the
-    cumulative layer size (every node of level >= l participates in
-    layer l's graph — the sum the index sizes its M=16 / M0=32
-    neighbor arrays by), edge budget, and node share. One narrow scan
-    + one map-side-combinable groupBy; windows run over the <=7-row
-    level frame."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    hv = H.md5_long(F.col("vec_id").cast("string"), "hnsw")
-    tz = F.length(F.regexp_extract(F.bin(hv), r"(0*)$", 1))
-    lv = emb.select(F.least(tz.cast("long") / F.lit(2), F.lit(6)).cast("long").alias("level"))
-    per = lv.groupBy("level").agg(F.count("*").cast("long").alias("n_nodes"))
-    w = Window.orderBy(F.col("level").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wa = Window.partitionBy()
-    return per.select(
-        "level",
-        "n_nodes",
-        F.sum("n_nodes").over(w).cast("long").alias("layer_size"),
-        (
-            F.sum("n_nodes").over(w)
-            * F.when(F.col("level") == 0, 32).otherwise(16)
-        )
-        .cast("long")
-        .alias("layer_edges"),
-        F.round(
-            F.col("n_nodes").cast("double") / F.sum("n_nodes").over(wa), 6
-        ).alias("node_share"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Training-sample + governance wave (r5 cont.): FIM transform,
-# k-anonymity audit, filter bias audit
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "fim_transform",
-    oracle=f"""
-    WITH d AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM documents
-    ), cuts AS (
-        SELECT doc_id, t, len(t) AS n,
-               {H.dd_md5_long("doc_id::VARCHAR || '|a'", 'fim')} % (len(t) + 1) AS h1,
-               {H.dd_md5_long("doc_id::VARCHAR || '|b'", 'fim')} % (len(t) + 1) AS h2
-        FROM d
-    ), spans AS (
-        SELECT doc_id, t, n,
-               least(h1, h2) AS lo, greatest(h1, h2) AS hi
-        FROM cuts
-    )
-    SELECT doc_id,
-           CAST(n AS BIGINT) AS n_tokens,
-           CAST(lo AS BIGINT) AS cut_lo,
-           CAST(hi AS BIGINT) AS cut_hi,
-           '<PRE> ' || coalesce(array_to_string(t[1 : CAST(lo AS INTEGER)], ' '), '')
-               || ' <SUF> ' || coalesce(array_to_string(t[CAST(hi + 1 AS INTEGER) : CAST(n AS INTEGER)], ' '), '')
-               || ' <MID>' AS input_text,
-           coalesce(array_to_string(t[CAST(lo + 1 AS INTEGER) : CAST(hi AS INTEGER)], ' '), '')
-               AS target_text
-    FROM spans
-    """,
-)
-def fim_transform_q(spark, sf_dir):
-    """Fill-in-the-middle training transform (Bavarian et al. 2022 —
-    the FIM objective code models train with): two deterministic cut
-    points from the seeded md5 family split each doc's token stream
-    into prefix/middle/suffix, serialized in PSM order
-    (`<PRE> prefix <SUF> suffix <MID>` -> middle) so the model learns
-    to infill. Completes the sample-generation family beside
-    mlm_mask_corpus / span_corrupt_corpus / skipgram_pairs. Pure
-    codegen HOFs over ONE scan, zero shuffles — a map-only rewrite job
-    at 100 TB; the FULL (input, target) pair is hash-checked, and the
-    same md5 draw makes the corpus split identically across engines,
-    runs, and cluster sizes."""
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    t = F.split(F.col("text"), " ")
-    d = docs.select("doc_id", t.alias("t"), F.size(t).alias("n"))
-    h1 = H.md5_long(F.concat(F.col("doc_id").cast("string"), F.lit("|a")), "fim") % (
-        F.col("n") + 1
-    )
-    h2 = H.md5_long(F.concat(F.col("doc_id").cast("string"), F.lit("|b")), "fim") % (
-        F.col("n") + 1
-    )
-    s = d.select(
-        "doc_id",
-        "t",
-        "n",
-        F.least(h1, h2).alias("lo"),
-        F.greatest(h1, h2).alias("hi"),
-    )
-    return s.select(
-        "doc_id",
-        F.col("n").cast("long").alias("n_tokens"),
-        F.col("lo").cast("long").alias("cut_lo"),
-        F.col("hi").cast("long").alias("cut_hi"),
-        F.concat(
-            F.lit("<PRE> "),
-            F.array_join(F.slice(F.col("t"), 1, F.col("lo").cast("int")), " "),
-            F.lit(" <SUF> "),
-            F.array_join(
-                F.slice(
-                    F.col("t"),
-                    (F.col("hi") + 1).cast("int"),
-                    (F.col("n") - F.col("hi")).cast("int"),
-                ),
-                " ",
-            ),
-            F.lit(" <MID>"),
-        ).alias("input_text"),
-        F.array_join(
-            F.slice(
-                F.col("t"),
-                (F.col("lo") + 1).cast("int"),
-                (F.col("hi") - F.col("lo")).cast("int"),
-            ),
-            " ",
-        ).alias("target_text"),
-    )
-
-
-@query(
-    "k_anonymity_audit",
-    oracle="""
-    WITH g AS (
-        SELECT c_nationkey, c_mktsegment,
-               CAST(count(*) AS BIGINT) AS k,
-               CAST(count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT) // 100000)
-                    AS BIGINT) AS l
-        FROM customer GROUP BY c_nationkey, c_mktsegment
-    ), s AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_groups,
-               CAST(min(k) AS BIGINT) AS min_k,
-               CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS violating_groups,
-               CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
-                   AS rows_at_risk,
-               list_sort(list(k)) AS ks,
-               CAST(min(l) AS BIGINT) AS min_l,
-               CAST(sum(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS groups_low_diversity
-        FROM g
-    )
-    SELECT n_groups, min_k, violating_groups, rows_at_risk,
-           CAST(ks[CAST((n_groups + 1) // 2 AS INTEGER)] AS BIGINT) AS median_k,
-           min_l, groups_low_diversity
-    FROM s
-    """,
-)
-def k_anonymity_audit_q(spark, sf_dir):
-    """k-anonymity / l-diversity audit (Sweeney '02 / Machanavajjhala
-    '07 — the privacy gate before releasing a table keyed on
-    quasi-identifiers): equivalence classes over the QI pair
-    (nation, market segment), per-class size k and sensitive-value
-    diversity l (account-balance bands in exact integer cents — no
-    float floor boundary), then one rollup: classes below k=5, rows
-    at re-identification risk, median class size by exact sorted
-    selection, and low-diversity class count. One map-side-combinable
-    groupBy + one aggregate over the QI-cardinality-bounded frame."""
-    c = load_table(spark, sf_dir, "customer")
-    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count("*").cast("long").alias("k"),
-        F.countDistinct(
-            F.expr("cast(round(c_acctbal * 100) as bigint) div 100000")
-        )
-        .cast("long")
-        .alias("l"),
-    )
-    s = g.agg(
-        F.count("*").cast("long").alias("n_groups"),
-        F.min("k").cast("long").alias("min_k"),
-        F.sum(F.when(F.col("k") < 5, 1).otherwise(0)).cast("long").alias(
-            "violating_groups"
-        ),
-        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0))
-        .cast("long")
-        .alias("rows_at_risk"),
-        F.sort_array(F.collect_list("k")).alias("ks"),
-        F.min("l").cast("long").alias("min_l"),
-        F.sum(F.when(F.col("l") < 2, 1).otherwise(0))
-        .cast("long")
-        .alias("groups_low_diversity"),
-    )
-    return s.select(
-        "n_groups",
-        "min_k",
-        "violating_groups",
-        "rows_at_risk",
-        F.element_at("ks", F.expr("cast((n_groups + 1) div 2 as int)"))
-        .cast("long")
-        .alias("median_k"),
-        "min_l",
-        "groups_low_diversity",
-    )
-
-
-@query(
-    "filter_bias_audit",
-    oracle=f"""
-    WITH q AS (
-      SELECT lang,
-             CAST(len({_DD_TOKS}) AS BIGINT) AS n,
-             CAST(length(text) - (len({_DD_TOKS}) - 1) AS DOUBLE)
-               / len({_DD_TOKS}) AS mean_wl,
-             CAST(len(list_filter({_DD_TOKS},
-                  t -> list_contains(['the','a','an','and','or','of','to','in','on','for','is','are','was','be','it','this','that','with','as','at'], t)))
-               AS DOUBLE) / len({_DD_TOKS}) AS swf,
-             CAST(len(list_distinct({_DD_TOKS})) AS DOUBLE)
-               / len({_DD_TOKS}) AS ttr
-      FROM documents
-    ), per AS (
-      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(CASE WHEN n >= 20 AND n <= 80 AND mean_wl >= 3.0
-                            AND mean_wl <= 8.0 AND swf >= 0.05 AND ttr >= 0.3
-                           THEN 1 ELSE 0 END) AS BIGINT) AS kept
-      FROM q GROUP BY lang
-    )
-    SELECT lang, n_docs, kept,
-           round(CAST(kept AS DOUBLE) / n_docs, 6) AS keep_rate,
-           round((CAST(kept AS DOUBLE) / n_docs)
-                 / max(CAST(kept AS DOUBLE) / n_docs) OVER (), 6) AS di_ratio,
-           ((CAST(kept AS DOUBLE) / n_docs)
-            / max(CAST(kept AS DOUBLE) / n_docs) OVER ()) < 0.8 AS flagged
-    FROM per
-    """,
-)
-def filter_bias_audit_q(spark, sf_dir):
-    """Disparate-impact audit of the quality filter gates per language
-    (the fairness check a multilingual curation pipeline runs before
-    shipping a filter config — C4's blocklist famously over-filtered
-    minority dialects; the four-fifths rule flags any language whose
-    keep rate falls below 0.8x the best-treated language): the same
-    quality_filters signals computed inline so ONE corpus scan feeds
-    per-lang keep counts, then the disparate-impact ratio via a
-    window over the languages-sized frame. Exact integer counts;
-    the 0.8 comparison runs on identical doubles in both engines."""
-    from .functions import text as X
-
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    t = F.col("text")
-    toks = X.tokens(t)
-    n = F.size(toks)
-    mean_wl = (F.length(t) - (n - 1)) / n
-    swf = X.stopword_count(t) / n
-    ttr = F.size(F.array_distinct(toks)) / n
-    keep = (
-        (n >= 20)
-        & (n <= 80)
-        & (mean_wl >= 3.0)
-        & (mean_wl <= 8.0)
-        & (swf >= 0.05)
-        & (ttr >= 0.3)
-    )
-    per = docs.groupBy("lang").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum(keep.cast("int")).cast("long").alias("kept"),
-    )
-    wa = Window.partitionBy()
-    rate = F.col("kept").cast("double") / F.col("n_docs")
-    di = rate / F.max(rate).over(wa)
-    return per.select(
-        "lang",
-        "n_docs",
-        "kept",
-        F.round(rate, 6).alias("keep_rate"),
-        F.round(di, 6).alias("di_ratio"),
-        (di < 0.8).alias("flagged"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Fuzzy matching + sketch algebra + forecast evaluation wave (r5 cont.)
-# ---------------------------------------------------------------------------
-
-_FUZZY_QUERY_TERMS = ["bacth", "cusomer", "windoow", "sparc", "filtter"]
-
-
-@query(
-    "trigram_fuzzy_match",
-    oracle=f"""
-    WITH vocab AS (
-        SELECT DISTINCT unnest(string_split(text, ' ')) AS term FROM documents
-    ), v AS (
-        SELECT term,
-               list_distinct([substr('  ' || term || ' ', i, 3)
-                              FOR i IN range(1, length(term) + 2)]) AS tgs
-        FROM vocab WHERE term <> ''
-    ), q AS (
-        SELECT qterm,
-               list_distinct([substr('  ' || qterm || ' ', i, 3)
-                              FOR i IN range(1, length(qterm) + 2)]) AS tgs
-        FROM (VALUES {", ".join(f"('{t}')" for t in _FUZZY_QUERY_TERMS)}) AS t(qterm)
-    ), pairs AS (
-        SELECT q.qterm, v.term,
-               CAST(len(list_intersect(q.tgs, v.tgs)) AS BIGINT) AS shared,
-               CAST(len(list_intersect(q.tgs, v.tgs)) AS DOUBLE)
-                 / (len(q.tgs) + len(v.tgs) - len(list_intersect(q.tgs, v.tgs)))
-                 AS sim
-        FROM q, v
-        WHERE len(list_intersect(q.tgs, v.tgs)) > 0
-    ), ranked AS (
-        SELECT qterm, term, shared, sim,
-               row_number() OVER (PARTITION BY qterm
-                                  ORDER BY sim DESC, term) AS rank
-        FROM pairs
-    )
-    SELECT qterm, term, shared, round(sim, 6) AS sim, CAST(rank AS BIGINT) AS rank
-    FROM ranked WHERE rank <= 3
-    """,
-)
-def trigram_fuzzy_match_q(spark, sf_dir):
-    """Trigram fuzzy term matching (pg_trgm / Elasticsearch fuzzy — the
-    typo-tolerant did-you-mean layer in front of keyword search):
-    padded character trigrams ('  t', ' te', ...) per vocab term,
-    similarity = trigram-set Jaccard, top-3 corrections per misspelled
-    query term. The corpus collapses to its DISTINCT vocabulary first
-    (the bpe_pair_counts trick — everything downstream is
-    vocabulary-sized, independent of corpus size), candidates come
-    from the trigram-keyed equi-join (a query term only meets vocab
-    terms SHARING a trigram — never all of vocab), and per-query
-    top-3 reduces via the agg-based top-k (rank on full-precision
-    sim with term tie-break, round at emit)."""
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    vocab = (
-        docs.select(F.explode(F.split("text", " ")).alias("term"))
-        .filter(F.col("term") != "")
-        .distinct()
-    )
-
-    # trigram set builder as a SQL expr (1-based substr, both engines;
-    # padded length is len+3, last trigram start = len+1)
-    def tg_expr(name):
-        return F.expr(
-            f"array_distinct(transform(sequence(1, length({name}) + 1), "
-            f"i -> substr(concat('  ', {name}, ' '), i, 3)))"
-        )
-
-    v = vocab.select("term", tg_expr("term").alias("tgs"), F.size(tg_expr("term")).alias("nv"))
-    q = spark.createDataFrame(
-        [(t,) for t in _FUZZY_QUERY_TERMS], "qterm string"
-    ).select("qterm", tg_expr("qterm").alias("qtgs"), F.size(tg_expr("qterm")).alias("nq"))
-    vx = v.select("term", "nv", F.explode("tgs").alias("tg"))
-    qx = q.select("qterm", "nq", F.explode("qtgs").alias("tg"))
-    pairs = (
-        vx.join(F.broadcast(qx), "tg")
-        .groupBy("qterm", "term", "nq", "nv")
-        .agg(F.count("*").cast("long").alias("shared"))
-        .select(
-            "qterm",
-            "term",
-            "shared",
-            (
-                F.col("shared").cast("double")
-                / (F.col("nq") + F.col("nv") - F.col("shared"))
-            ).alias("sim"),
-        )
-    )
-    cand = F.struct(
-        (-F.col("sim")).alias("_o"), F.col("term"), F.col("shared"), F.col("sim").alias("_s")
-    )
-    top = (
-        pairs.groupBy("qterm")
-        .agg(F.slice(F.sort_array(F.collect_list(cand)), 1, 3).alias("top"))
-        .select("qterm", F.posexplode("top").alias("pos", "p"))
-    )
-    return top.select(
-        "qterm",
-        F.col("p.term").alias("term"),
-        F.col("p.shared").alias("shared"),
-        F.round(F.col("p._s"), 6).alias("sim"),
-        (F.col("pos") + 1).cast("long").alias("rank"),
-    )
-
-
-@query(
-    "kmv_set_ops",
-    oracle=f"""
-    WITH du AS (
-        SELECT DISTINCT event_type, user_id FROM events
-        WHERE event_type IN ('click', 'purchase')
-    ), h AS (
-        SELECT event_type, {H.dd_md5_long('user_id::VARCHAR')} AS h FROM du
-    ), per AS (
-        SELECT event_type, (list_sort(list(h)))[1:32] AS sk
-        FROM h GROUP BY event_type
-    ), row_ AS (
-        SELECT max(CASE WHEN event_type = 'click' THEN sk END) AS ska,
-               max(CASE WHEN event_type = 'purchase' THEN sk END) AS skb
-        FROM per
-    ), u AS (
-        SELECT ska, skb,
-               (list_sort(list_distinct(ska || skb)))[1:32] AS sku
-        FROM row_
-    ), ex AS (
-        SELECT CAST(count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS BIGINT) AS exact_a,
-               CAST(count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT) AS exact_b,
-               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_union
-        FROM du
-    ), exi AS (
-        SELECT CAST(count(*) AS BIGINT) AS exact_inter FROM (
-            SELECT user_id FROM du GROUP BY user_id HAVING count(DISTINCT event_type) = 2)
-    ), est AS (
-        SELECT
-            CASE WHEN len(ska) < 32 THEN CAST(len(ska) AS DOUBLE)
-                 ELSE 31 / (ska[len(ska)] / 1152921504606846976.0) END AS est_a,
-            CASE WHEN len(skb) < 32 THEN CAST(len(skb) AS DOUBLE)
-                 ELSE 31 / (skb[len(skb)] / 1152921504606846976.0) END AS est_b,
-            CASE WHEN len(sku) < 32 THEN CAST(len(sku) AS DOUBLE)
-                 ELSE 31 / (sku[len(sku)] / 1152921504606846976.0) END AS est_union,
-            CAST(len(list_intersect(list_intersect(sku, ska), skb)) AS DOUBLE)
-                / len(sku) AS rho
-        FROM u
-    )
-    SELECT CAST(32 AS BIGINT) AS k, exact_a, exact_b, exact_union, exact_inter,
-           round(est_a, 6) AS est_a, round(est_b, 6) AS est_b,
-           round(est_union, 6) AS est_union,
-           round(rho * est_union, 6) AS est_inter,
-           round(rho, 6) AS jaccard_est
-    FROM est, ex, exi
-    """,
-)
-def kmv_set_ops_q(spark, sf_dir):
-    """KMV sketch SET ALGEBRA (Beyer SIGMOD'07 §5 — the property that
-    makes KMV more than a distinct counter: k-min sketches compose
-    under union, and membership of the union sketch in both input
-    sketches is EXACT, so intersection/Jaccard estimates need no
-    second pass over the data): click-user and purchase-user sketches
-    merge into the union sketch by re-taking the k smallest; every
-    audience-overlap number (union NDV, intersection NDV, Jaccard)
-    then derives from three k-bounded integer arrays. The
-    at-the-sketch-level answer to audience_overlap's exact join —
-    at 100 TB you ship 32 longs per segment, not user lists.
-    Small-range correction (sketch not full -> exact count) matches
-    kmv_distinct's convention."""
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "purchase")
-    )
-    du = ev.select("event_type", "user_id").distinct()
-    h = du.select("event_type", H.md5_long(F.col("user_id").cast("string")).alias("h"))
-    # two-phase k-min (sketch.kmv_distinct's scale path): each input
-    # partition collapses its hashes to <=k per type BEFORE the
-    # exchange, so no NDV-sized array ever sits in one agg buffer
-    partial = (
-        h.withColumn("_pid", F.spark_partition_id())
-        .groupBy("event_type", "_pid")
-        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, 32).alias("hs"))
-        .select("event_type", F.explode("hs").alias("h"))
-    )
-    per = partial.groupBy("event_type").agg(
-        F.slice(F.sort_array(F.collect_set("h")), 1, 32).alias("sk")
-    )
-    row = per.agg(
-        F.max(F.when(F.col("event_type") == "click", F.col("sk"))).alias("ska"),
-        F.max(F.when(F.col("event_type") == "purchase", F.col("sk"))).alias("skb"),
-    )
-    u = row.select(
-        "ska",
-        "skb",
-        F.slice(F.array_sort(F.array_distinct(F.concat("ska", "skb"))), 1, 32).alias(
-            "sku"
-        ),
-    )
-    ex = du.agg(
-        F.countDistinct(
-            F.when(F.col("event_type") == "click", F.col("user_id"))
-        ).alias("exact_a"),
-        F.countDistinct(
-            F.when(F.col("event_type") == "purchase", F.col("user_id"))
-        ).alias("exact_b"),
-        F.countDistinct("user_id").alias("exact_union"),
-    )
-    exi = (
-        du.groupBy("user_id")
-        .agg(F.countDistinct("event_type").alias("nt"))
-        .filter(F.col("nt") == 2)
-        .agg(F.count("*").cast("long").alias("exact_inter"))
-    )
-
-    def est(sk):
-        return F.when(F.size(sk) < 32, F.size(sk).cast("double")).otherwise(
-            F.lit(31) / (F.element_at(sk, F.size(sk)) / F.lit(1152921504606846976.0))
-        )
-
-    rho = (
-        F.size(F.array_intersect(F.array_intersect("sku", "ska"), F.col("skb"))).cast(
-            "double"
-        )
-        / F.size("sku")
-    )
-    out = u.crossJoin(F.broadcast(ex)).crossJoin(F.broadcast(exi))
-    return out.select(
-        F.lit(32).cast("long").alias("k"),
-        "exact_a",
-        "exact_b",
-        "exact_union",
-        "exact_inter",
-        F.round(est(F.col("ska")), 6).alias("est_a"),
-        F.round(est(F.col("skb")), 6).alias("est_b"),
-        F.round(est(F.col("sku")), 6).alias("est_union"),
-        F.round(rho * est(F.col("sku")), 6).alias("est_inter"),
-        F.round(rho, 6).alias("jaccard_est"),
-    )
-
-
-@query(
-    "forecast_backtest",
-    oracle="""
-    WITH m AS (
-        SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS month_id,
-               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
-        FROM orders GROUP BY month_id
-    ), w AS (
-        SELECT month_id, rev_c,
-               row_number() OVER (ORDER BY month_id) AS rn,
-               count(*) OVER () AS nm,
-               lag(rev_c, 1) OVER (ORDER BY month_id) AS prev_c,
-               lag(rev_c, 12) OVER (ORDER BY month_id) AS seas_c,
-               first_value(rev_c) OVER (ORDER BY month_id) AS first_c
-        FROM m
-    ), folds AS (
-        SELECT * FROM w WHERE rn > nm - 3
-    ), preds AS (
-        SELECT month_id, rev_c, method,
-               CASE method
-                   WHEN 'naive' THEN CAST(prev_c AS DOUBLE)
-                   WHEN 'drift' THEN prev_c + CAST(prev_c - first_c AS DOUBLE) / (rn - 2)
-                   WHEN 'seasonal_naive' THEN CAST(coalesce(seas_c, prev_c) AS DOUBLE)
-               END AS pred_c
-        FROM folds, (VALUES ('naive'), ('drift'), ('seasonal_naive')) AS t(method)
-    )
-    SELECT CAST(month_id AS BIGINT) AS month_id, method,
-           round(pred_c / 100, 6) AS predicted,
-           round(CAST(rev_c AS DOUBLE) / 100, 6) AS actual,
-           round(abs(pred_c - rev_c) / rev_c, 6) AS ape
-    FROM preds
-    """,
-)
-def forecast_backtest_q(spark, sf_dir):
-    """Rolling-origin forecast backtest (the evaluation loop behind
-    trusting holt_forecast's point forecasts — each of the last 3
-    months becomes a 1-step-ahead test fold with train = strictly
-    earlier months): naive (last value), drift (last + mean
-    historical increment — the random-walk-with-drift closed form
-    (last-first)/(n-1)), and seasonal-naive (lag 12) baselines, each
-    fold's prediction derived from CUMULATIVE window state so all
-    folds come out of ONE pass over the month-bounded frame (no
-    per-fold re-fit, no self-joins). Cent-exact integers everywhere;
-    the drift division is the single double op, identical order both
-    engines; APE per (fold, method) is the model-selection readout."""
-    o = load_table(spark, sf_dir, "orders")
-    m = o.groupBy(
-        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1).alias(
-            "month_id"
-        )
-    ).agg(
-        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
-        .cast("long")
-        .alias("rev_c")
-    )
-    wo = Window.orderBy("month_id")
-    wa = Window.partitionBy()
-    w = m.select(
-        "month_id",
-        "rev_c",
-        F.row_number().over(wo).alias("rn"),
-        F.count("*").over(wa).alias("nm"),
-        F.lag("rev_c", 1).over(wo).alias("prev_c"),
-        F.lag("rev_c", 12).over(wo).alias("seas_c"),
-        F.first("rev_c").over(wo).alias("first_c"),
-    )
-    folds = w.filter(F.col("rn") > F.col("nm") - 3)
-    methods = F.explode(F.array(F.lit("naive"), F.lit("drift"), F.lit("seasonal_naive")))
-    p = folds.select("month_id", "rev_c", "rn", "prev_c", "seas_c", "first_c", methods.alias("method"))
-    pred = (
-        F.when(F.col("method") == "naive", F.col("prev_c").cast("double"))
-        .when(
-            F.col("method") == "drift",
-            F.col("prev_c")
-            + (F.col("prev_c") - F.col("first_c")).cast("double") / (F.col("rn") - 2),
-        )
-        .otherwise(F.coalesce(F.col("seas_c"), F.col("prev_c")).cast("double"))
-    )
-    return p.select(
-        F.col("month_id").cast("long").alias("month_id"),
-        "method",
-        F.round(pred / 100, 6).alias("predicted"),
-        F.round(F.col("rev_c").cast("double") / 100, 6).alias("actual"),
-        F.round(F.abs(pred - F.col("rev_c")) / F.col("rev_c"), 6).alias("ape"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Reference-surface completion + RAG evaluation wave (r5 cont.)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "list_collections",
-    oracle="""
-    WITH counts AS (
-        SELECT 'region' AS collection, count(*) AS row_count FROM region
-        UNION ALL SELECT 'nation', count(*) FROM nation
-        UNION ALL SELECT 'customer', count(*) FROM customer
-        UNION ALL SELECT 'supplier', count(*) FROM supplier
-        UNION ALL SELECT 'part', count(*) FROM part
-        UNION ALL SELECT 'orders', count(*) FROM orders
-        UNION ALL SELECT 'lineitem', count(*) FROM lineitem
-        UNION ALL SELECT 'events', count(*) FROM events
-        UNION ALL SELECT 'documents', count(*) FROM documents
-        UNION ALL SELECT 'embeddings', count(*) FROM embeddings
-    ), cols AS (
-        SELECT table_name AS collection, CAST(count(*) AS BIGINT) AS n_fields
-        FROM information_schema.columns
-        WHERE table_name IN ('region','nation','customer','supplier','part',
-                             'orders','lineitem','events','documents','embeddings')
-        GROUP BY table_name
-    )
-    SELECT c.collection, CAST(c.row_count AS BIGINT) AS row_count, l.n_fields
-    FROM counts c JOIN cols l USING (collection)
-    """,
-)
-def list_collections_q(spark, sf_dir):
-    """Collection listing surface (milvus_db.py:36 list_collections —
-    the one REST verb not yet mirrored 1:1; completes the client
-    surface beside describe_collection and get_collection_stats): one
-    row per registered collection with row count and field count, the
-    field count read from the ENGINE'S OWN resolved parquet schema so
-    lake drift surfaces as a parity failure against the oracle's
-    information_schema. Ten narrow count aggs unioned in one plan —
-    each a metadata-cheap scan of one column at any scale."""
-    from functools import reduce
-
-    from .sources import TABLES
-
-    parts = []
-    for tbl in TABLES:
-        df = load_table(spark, sf_dir, tbl)
-        # field count from the RAW parquet footer, not the loaded frame
-        # (load_table normalizes events' dual ts layout by adding a
-        # derived column; the catalog surface reports storage schema)
-        n_fields = len(spark.read.parquet(f"{sf_dir}/{tbl}.parquet").schema.fields)
-        parts.append(
-            df.agg(F.count("*").cast("long").alias("row_count")).select(
-                F.lit(tbl).alias("collection"),
-                "row_count",
-                F.lit(n_fields).cast("long").alias("n_fields"),
-            )
-        )
-    return reduce(lambda a, b: a.unionByName(b), parts)
-
-
-@query(
-    "rag_groundedness",
-    oracle=f"""
-    WITH tot AS (SELECT count(*) AS t FROM embeddings),
-    q AS (
-        SELECT vec_id AS query_id, embedding AS qv,
-               (vec_id * 7 + 3) % (SELECT t FROM tot) AS expected_id
-        FROM embeddings WHERE vec_id < 20
-    ), scored AS (
-        SELECT q.query_id, q.expected_id, e.vec_id,
-               {_dd_cosine('e.embedding', 'q.qv')} AS score
-        FROM embeddings e, q
-    ), ctx AS (
-        SELECT query_id, vec_id FROM (
-            SELECT query_id, vec_id,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY score DESC, vec_id) AS rk
-            FROM scored) WHERE rk <= 3
-    ), dt AS (
-        SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
-    ), ctx_bi AS (
-        SELECT DISTINCT query_id, unnest((CASE WHEN len(string_split(text, ' ')) < 2 THEN []::VARCHAR[] ELSE [array_to_string((string_split(text, ' '))[i + 1 : i + 2], ' ') FOR i IN range(len(string_split(text, ' ')) - 2 + 1)] END)) AS bg
-        FROM ctx JOIN dt ON dt.doc_id = ctx.vec_id
-    ), ans AS (
-        SELECT query_id, expected_id,
-               array_to_string(t[1:20], ' ') AS head
-        FROM q JOIN dt ON dt.doc_id = q.expected_id
-    ), ans_bi AS (
-        SELECT query_id, expected_id,
-               unnest(list_distinct((CASE WHEN len(string_split(head, ' ')) < 2 THEN []::VARCHAR[] ELSE [array_to_string((string_split(head, ' '))[i + 1 : i + 2], ' ') FOR i IN range(len(string_split(head, ' ')) - 2 + 1)] END))) AS bg
-        FROM ans
-    ), j AS (
-        SELECT a.query_id, a.expected_id,
-               (c.bg IS NOT NULL) AS hit
-        FROM ans_bi a LEFT JOIN ctx_bi c
-          ON a.query_id = c.query_id AND a.bg = c.bg
-    )
-    SELECT query_id, CAST(expected_id AS BIGINT) AS expected_id,
-           CAST(count(*) AS BIGINT) AS n_answer_bigrams,
-           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS supported,
-           round(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*), 6) AS groundedness
-    FROM j GROUP BY query_id, expected_id
-    """,
-)
-def rag_groundedness_q(spark, sf_dir):
-    """Groundedness / context-support audit for the RAG pipeline (the
-    RAGAS context-recall shape: is the REFERENCE answer actually
-    supported by what retrieval brought back? — the metric that
-    catches a retriever whose top-k misses the evidence even when
-    rag_eval_retrieval's hit-rank looks fine): per query, the
-    expected doc's first-20-token answer stub decomposes into word
-    bigrams, the top-3 retrieved docs' bigram sets form the support
-    set, groundedness = supported / total answer bigrams. Retrieval
-    reuses topk_batch's broadcast-query partial-top-k plan; bigram
-    matching joins on (query_id, bigram) — k-bounded context, never
-    corpus-wide text movement."""
-    from .functions import text as X
-    from .operators import knn as knn_ops
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    total_df = emb.select(F.count("*").alias("_t"))
-    queries = (
-        emb.filter(F.col("vec_id") < 20)
-        .crossJoin(F.broadcast(total_df))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("query_vec"),
-            ((F.col("vec_id") * 7 + 3) % F.col("_t")).alias("expected_id"),
-        )
-    )
-    ctx = knn_ops.topk_batch(emb, queries, k=3).select("query_id", "vec_id")
-    dt = docs.select("doc_id", "text")
-    ctx_bi = (
-        ctx.join(dt, ctx.vec_id == dt.doc_id)
-        .select(
-            "query_id", F.explode(X.word_shingles(F.col("text"), 2)).alias("bg")
-        )
-        .distinct()
-    )
-    ans = (
-        queries.select("query_id", "expected_id")
-        .join(dt, F.col("expected_id") == dt.doc_id)
-        .select(
-            "query_id",
-            "expected_id",
-            F.array_join(F.slice(X.tokens(F.col("text")), 1, 20), " ").alias("head"),
-        )
-    )
-    ans_bi = ans.select(
-        "query_id",
-        "expected_id",
-        F.explode(F.array_distinct(X.word_shingles(F.col("head"), 2))).alias("bg"),
-    )
-    j = ans_bi.join(
-        ctx_bi.withColumn("_hit", F.lit(1)),
-        ["query_id", "bg"],
-        "left",
-    )
-    return j.groupBy("query_id", "expected_id").agg(
-        F.count("*").cast("long").alias("n_answer_bigrams"),
-        F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("supported"),
-        F.round(
-            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)).cast("double")
-            / F.count("*"),
-            6,
-        ).alias("groundedness"),
-    ).select(
-        "query_id",
-        F.col("expected_id").cast("long").alias("expected_id"),
-        "n_answer_bigrams",
-        "supported",
-        "groundedness",
-    )
-
-
-# ---------------------------------------------------------------------------
-# Product-analytics depth wave (r5 cont.): time-window funnel, position
-# bias, multi-touch attribution
-# ---------------------------------------------------------------------------
-
-_HOUR_NS = 3_600_000_000_000
-_WEEK_NS = 604_800_000_000_000
-
-
-@query(
-    "window_funnel",
-    oracle=f"""
-    WITH ev AS (
-        SELECT event_id, user_id, event_type, epoch_ns(ts) AS tn FROM events
-    ), v AS (SELECT * FROM ev WHERE event_type = 'view'),
-    c1 AS (
-        SELECT v.event_id AS aid, v.user_id, v.tn AS atn,
-               c.tn AS ctn, c.event_id AS cid,
-               row_number() OVER (PARTITION BY v.event_id
-                                  ORDER BY c.tn, c.event_id) AS rk
-        FROM v LEFT JOIN ev c
-          ON c.user_id = v.user_id AND c.event_type = 'click'
-         AND (c.tn > v.tn OR (c.tn = v.tn AND c.event_id > v.event_id))
-    ), c2 AS (SELECT * FROM c1 WHERE rk = 1),
-    p1 AS (
-        SELECT c2.aid, c2.user_id, c2.atn, c2.ctn, p.tn AS ptn,
-               row_number() OVER (PARTITION BY c2.aid
-                                  ORDER BY p.tn, p.event_id) AS rk2
-        FROM c2 LEFT JOIN ev p
-          ON c2.ctn IS NOT NULL AND p.user_id = c2.user_id
-         AND p.event_type = 'purchase'
-         AND (p.tn > c2.ctn OR (p.tn = c2.ctn AND p.event_id > c2.cid))
-    ), p2 AS (SELECT * FROM p1 WHERE rk2 = 1),
-    da AS (
-        SELECT user_id,
-               CASE WHEN ctn IS NOT NULL AND ctn <= atn + {_HOUR_NS}
-                    THEN CASE WHEN ptn IS NOT NULL AND ptn <= atn + {_HOUR_NS}
-                              THEN 3 ELSE 2 END
-                    ELSE 1 END AS depth
-        FROM p2
-    ), pu AS (SELECT user_id, max(depth) AS depth FROM da GROUP BY user_id),
-    allu AS (SELECT DISTINCT user_id FROM ev),
-    f AS (
-        SELECT coalesce(pu.depth, 0) AS depth
-        FROM allu LEFT JOIN pu USING (user_id)
-    )
-    SELECT CAST(depth AS BIGINT) AS depth,
-           CAST(count(*) AS BIGINT) AS n_users,
-           round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 6) AS share
-    FROM f GROUP BY depth
-    """,
-)
-def window_funnel_q(spark, sf_dir):
-    """Time-window funnel (ClickHouse windowFunnel, strict order):
-    deepest view -> click -> purchase chain per user where every later
-    step lands within 1 HOUR of the anchor view (funnel_analysis
-    orders first occurrences globally; this demands the chain inside
-    a sliding window — the conversion-latency-aware funnel). Greedy
-    chain choice (earliest next step) is optimal for an
-    anchor-fixed window, and both next-step lookups come from ONE
-    descending window pass per user (running min of future
-    click/purchase (ts, id) structs — the union-tag as-of trick), so
-    the only exchanges are the user-keyed window shuffle and one
-    (user, ts, id) equi-join to fetch the chosen click's own next
-    purchase. The oracle replays with naive theta joins, proving the
-    window recurrence equivalent."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "ts_ns"
-    )
-    w_future = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts_ns").desc(), F.col("event_id").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    # Two STACKED windows on the identical spec (one exchange, no
-    # join): pass 1 gives every row its next purchase; pass 2 takes
-    # the first future click CARRYING that click's own next-purchase
-    # struct as payload — so an anchor reads the whole chain from one
-    # column and the click fetch-back join disappears.
-    e1 = ev.withColumn(
-        "np",
-        F.min(
-            F.when(F.col("event_type") == "purchase", F.struct("ts_ns", "event_id"))
-        ).over(w_future),
-    )
-    e2 = e1.withColumn(
-        "nc",
-        F.min(
-            F.when(
-                F.col("event_type") == "click", F.struct("ts_ns", "event_id", "np")
-            )
-        ).over(w_future),
-    )
-    anchors = e2.filter(F.col("event_type") == "view").select(
-        "user_id", F.col("ts_ns").alias("atn"), "nc"
-    )
-    depth = (
-        F.when(
-            F.col("nc").isNull() | (F.col("nc.ts_ns") > F.col("atn") + _HOUR_NS), 1
-        )
-        .when(
-            F.col("nc.np").isNull()
-            | (F.col("nc.np.ts_ns") > F.col("atn") + _HOUR_NS),
-            2,
-        )
-        .otherwise(3)
-    )
-    pu = anchors.select("user_id", depth.alias("depth")).groupBy("user_id").agg(
-        F.max("depth").alias("depth")
-    )
-    allu = ev.select("user_id").distinct()
-    f = allu.join(pu, "user_id", "left").select(
-        F.coalesce(F.col("depth"), F.lit(0)).alias("depth")
-    )
-    out = f.groupBy("depth").agg(F.count("*").cast("long").alias("n_users"))
-    wa = Window.partitionBy()
-    return out.select(
-        F.col("depth").cast("long").alias("depth"),
-        "n_users",
-        F.round(
-            F.col("n_users").cast("double") / F.sum("n_users").over(wa), 6
-        ).alias("share"),
-    )
-
-
-@query(
-    "position_bias_coec",
-    oracle="""
-    WITH imp AS (
-        SELECT user_id % 40 AS item,
-               json_extract_string(props, '$.k')::BIGINT % 10 AS pos,
-               (value >= 50.0) AS clicked
-        FROM events WHERE event_type = 'view'
-    ), ps AS (
-        SELECT pos, CAST(count(*) AS BIGINT) AS n_p,
-               CAST(sum(CASE WHEN clicked THEN 1 ELSE 0 END) AS BIGINT) AS c_p
-        FROM imp GROUP BY pos
-    ), cells AS (
-        SELECT item, pos, CAST(count(*) AS BIGINT) AS cnt,
-               CAST(sum(CASE WHEN clicked THEN 1 ELSE 0 END) AS BIGINT) AS clk
-        FROM imp GROUP BY item, pos
-    ), j AS (
-        SELECT item, cnt, clk,
-               CAST(round(cnt * c_p * 1000000.0 / n_p) AS BIGINT) AS exp_u
-        FROM cells JOIN ps USING (pos)
-    )
-    SELECT CAST(item AS BIGINT) AS item,
-           CAST(sum(cnt) AS BIGINT) AS impressions,
-           CAST(sum(clk) AS BIGINT) AS clicks,
-           round(CAST(sum(exp_u) AS DOUBLE) / 1e6, 6) AS expected_clicks,
-           CASE WHEN sum(exp_u) = 0 THEN NULL
-                ELSE round(CAST(sum(clk) AS DOUBLE) * 1e6 / sum(exp_u), 6)
-           END AS coec
-    FROM j GROUP BY item
-    """,
-)
-def position_bias_coec_q(spark, sf_dir):
-    """Position-bias-corrected CTR via COEC (clicks over expected
-    clicks — the examination-model correction every ranking team
-    applies before reading item CTRs: rank-1 slots get clicked more
-    for REASONS OF POSITION, so raw CTR overrates whatever is already
-    ranked high): the impression log (view events; slot = props.k mod
-    10, item = user mod 40, click = value threshold) yields per-slot
-    baseline CTRs, each item's expected clicks = sum of its
-    impressions' slot baselines, COEC = actual/expected (1.0 = as
-    expected for its slots). Expected-click terms quantize to exact
-    micro-units per (item, slot) CELL before summing, so the
-    data-proportional aggregation is order-free integer math; the
-    per-slot frame is 10 rows, broadcast back. Two
-    map-side-combinable groupBys over one scan."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
-    imp = ev.select(
-        (F.col("user_id") % 40).alias("item"),
-        (F.get_json_object("props", "$.k").cast("long") % 10).alias("pos"),
-        (F.col("value") >= 50.0).alias("clicked"),
-    )
-    ps = imp.groupBy("pos").agg(
-        F.count("*").cast("long").alias("n_p"),
-        F.sum(F.col("clicked").cast("int")).cast("long").alias("c_p"),
-    )
-    cells = imp.groupBy("item", "pos").agg(
-        F.count("*").cast("long").alias("cnt"),
-        F.sum(F.col("clicked").cast("int")).cast("long").alias("clk"),
-    )
-    j = cells.join(F.broadcast(ps), "pos").select(
-        "item",
-        "cnt",
-        "clk",
-        F.expr("cast(round(cnt * c_p * 1000000.0 / n_p) as bigint)").alias("exp_u"),
-    )
-    return j.groupBy("item").agg(
-        F.sum("cnt").cast("long").alias("impressions"),
-        F.sum("clk").cast("long").alias("clicks"),
-        F.round(F.sum("exp_u").cast("double") / F.lit(1e6), 6).alias(
-            "expected_clicks"
-        ),
-        F.when(F.sum("exp_u") == 0, F.lit(None).cast("double"))
-        .otherwise(F.round(F.sum("clk").cast("double") * 1e6 / F.sum("exp_u"), 6))
-        .alias("coec"),
-    ).select(
-        F.col("item").cast("long").alias("item"),
-        "impressions",
-        "clicks",
-        "expected_clicks",
-        "coec",
-    )
-
-
-@query(
-    "multitouch_attribution",
-    oracle=f"""
-    WITH ev AS (
-        SELECT event_id, user_id, event_type, epoch_ns(ts) AS tn FROM events
-    ), t0 AS (SELECT * FROM ev WHERE event_type <> 'purchase'),
-    n1 AS (
-        SELECT t0.event_id, t0.user_id, t0.event_type, t0.tn,
-               p.event_id AS conv_id, p.tn AS ptn,
-               row_number() OVER (PARTITION BY t0.event_id
-                                  ORDER BY p.tn, p.event_id) AS rk
-        FROM t0 JOIN ev p
-          ON p.user_id = t0.user_id AND p.event_type = 'purchase'
-         AND (p.tn > t0.tn OR (p.tn = t0.tn AND p.event_id > t0.event_id))
-    ), touches AS (
-        SELECT event_id, user_id, event_type, tn, conv_id
-        FROM n1 WHERE rk = 1 AND ptn - tn <= {_WEEK_NS}
-    ), per_conv AS (
-        SELECT conv_id, CAST(count(*) AS BIGINT) AS n
-        FROM touches GROUP BY conv_id
-    ), fl AS (
-        SELECT conv_id,
-               min(ROW(tn, event_id, event_type)) AS frow,
-               max(ROW(tn, event_id, event_type)) AS lrow
-        FROM touches GROUP BY conv_id
-    ), firsts AS (
-        SELECT frow[3] AS touch_type, CAST(count(*) AS BIGINT) AS c FROM fl
-        GROUP BY frow[3]
-    ), lasts AS (
-        SELECT lrow[3] AS touch_type, CAST(count(*) AS BIGINT) AS c FROM fl
-        GROUP BY lrow[3]
-    ), lin AS (
-        SELECT t.event_type AS touch_type,
-               CAST(sum(CAST(round(1000000.0 * cnt / n) AS BIGINT)) AS BIGINT) AS lin_u
-        FROM (SELECT conv_id, event_type, CAST(count(*) AS BIGINT) AS cnt
-              FROM touches GROUP BY conv_id, event_type) t
-        JOIN per_conv USING (conv_id)
-        GROUP BY t.event_type
-    ), direct AS (
-        SELECT CAST(count(*) AS BIGINT) AS c FROM ev
-        WHERE event_type = 'purchase'
-          AND event_id NOT IN (SELECT conv_id FROM per_conv)
-    ), typed AS (
-        SELECT coalesce(f.touch_type, l.touch_type, n.touch_type) AS touch_type,
-               coalesce(f.c, 0) AS first_touch,
-               coalesce(l.c, 0) AS last_touch,
-               round(coalesce(n.lin_u, 0) / 1e6, 6) AS linear
-        FROM firsts f
-        FULL OUTER JOIN lasts l USING (touch_type)
-        FULL OUTER JOIN lin n USING (touch_type)
-    )
-    SELECT * FROM typed
-    UNION ALL
-    SELECT 'direct', c, c, round(CAST(c AS DOUBLE), 6) FROM direct
-    """,
-)
-def multitouch_attribution_q(spark, sf_dir):
-    """Multi-touch conversion attribution (first-touch / last-touch /
-    linear — the marketing-analytics credit models): every
-    non-purchase event attributes to the user's NEXT purchase within
-    7 days (one descending window pass computes each event's next
-    purchase — the same as-of recurrence as window_funnel, no
-    touch x purchase join), then per-conversion first/last structs
-    and per-(conversion, type) counts reduce on the SAME conv_id
-    partitioning. Linear credit 1/n quantizes to micro-units per
-    (conversion, type) cell before the cross-conversion sum, so the
-    only float is at emit; purchases with no attributed touch get
-    the 'direct' row (LEFT ANTI on bare ids). The oracle replays
-    next-purchase choice with a naive theta join."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "ts_ns"
-    )
-    w_future = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts_ns").desc(), F.col("event_id").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    st = F.struct("ts_ns", "event_id")
-    e2 = ev.select(
-        "event_id",
-        "user_id",
-        "event_type",
-        "ts_ns",
-        F.min(F.when(F.col("event_type") == "purchase", st)).over(w_future).alias("np"),
-    )
-    touches = (
-        e2.filter(
-            (F.col("event_type") != "purchase")
-            & F.col("np").isNotNull()
-            & (F.col("np.ts_ns") - F.col("ts_ns") <= _WEEK_NS)
-        )
-        .select(
-            F.col("np.event_id").alias("conv_id"),
-            "event_type",
-            "ts_ns",
-            "event_id",
-        )
-        # touches feeds two aggregation subtrees (per-conv rollup and
-        # per-(conv, type) linear cells) — checkpoint so the window
-        # pass over events runs ONCE, not once per consumer
-        .localCheckpoint(eager=False)
-    )
-    per_conv = touches.groupBy("conv_id").agg(
-        F.count("*").cast("long").alias("n"),
-        F.min(F.struct("ts_ns", "event_id", "event_type")).alias("frow"),
-        F.max(F.struct("ts_ns", "event_id", "event_type")).alias("lrow"),
-    ).localCheckpoint(eager=False)
-    firsts = per_conv.groupBy(F.col("frow.event_type").alias("touch_type")).agg(
-        F.count("*").cast("long").alias("first_touch")
-    )
-    lasts = per_conv.groupBy(F.col("lrow.event_type").alias("touch_type")).agg(
-        F.count("*").cast("long").alias("last_touch")
-    )
-    lin = (
-        touches.groupBy("conv_id", "event_type")
-        .agg(F.count("*").cast("long").alias("cnt"))
-        .join(per_conv.select("conv_id", "n"), "conv_id")
-        .groupBy(F.col("event_type").alias("touch_type"))
-        .agg(
-            F.sum(F.expr("cast(round(1000000.0 * cnt / n) as bigint)"))
-            .cast("long")
-            .alias("lin_u")
-        )
-    )
-    typed = (
-        firsts.join(lasts, "touch_type", "full_outer")
-        .join(lin, "touch_type", "full_outer")
-        .select(
-            "touch_type",
-            F.coalesce("first_touch", F.lit(0)).cast("long").alias("first_touch"),
-            F.coalesce("last_touch", F.lit(0)).cast("long").alias("last_touch"),
-            F.round(F.coalesce("lin_u", F.lit(0)) / F.lit(1e6), 6).alias("linear"),
-        )
-    )
-    direct = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(
-            per_conv.select(F.col("conv_id").alias("event_id")),
-            "event_id",
-            "left_anti",
-        )
-        .agg(F.count("*").cast("long").alias("c"))
-        .select(
-            F.lit("direct").alias("touch_type"),
-            F.col("c").alias("first_touch"),
-            F.col("c").alias("last_touch"),
-            F.round(F.col("c").cast("double"), 6).alias("linear"),
-        )
-    )
-    return typed.unionByName(direct)
-
-
-# ---------------------------------------------------------------------------
-# Feature-store + sketch + join-planning wave (r5 cont.)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "pit_feature_join",
-    oracle="""
-    WITH u AS (
-        SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
-        FROM events WHERE event_type = 'purchase'
-    ), chg AS (
-        SELECT *, lag(value) OVER (
-            PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
-        FROM u
-    ), c AS (
-        SELECT user_id, ts_us, event_id, value FROM chg
-        WHERE prev IS NULL OR value <> prev
-    ), v AS (
-        SELECT user_id, value, ts_us AS valid_from_us,
-               lead(ts_us) OVER (
-                   PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us,
-               row_number() OVER (
-                   PARTITION BY user_id ORDER BY ts_us, event_id) AS version
-        FROM c
-    ), clicks AS (
-        SELECT event_id, user_id, epoch_us(ts) AS ts_us
-        FROM events WHERE event_type = 'click'
-    )
-    SELECT k.event_id, k.user_id, k.ts_us,
-           CAST(v.version AS BIGINT) AS dim_version,
-           round(v.value, 6) AS dim_value
-    FROM clicks k LEFT JOIN v
-      ON v.user_id = k.user_id
-     AND k.ts_us >= v.valid_from_us
-     AND (v.valid_to_us IS NULL OR k.ts_us < v.valid_to_us)
-    """,
-)
-def pit_feature_join_q(spark, sf_dir):
-    """Point-in-time feature join (the feature-store / training-set
-    join that prevents feature leakage: each observation must see the
-    dimension version valid AT ITS OWN timestamp, never a later one
-    — Feast/Tecton's point-in-time correctness, Kimball's type-2
-    lookup): clicks join the SCD2 dimension scd2_intervals builds
-    (per-user purchase-value versions). NOT executed as an interval
-    join — change rows and observation rows UNION-TAG into one
-    (user, ts, tag, id) ordering and a running last(ignorenulls)
-    carries the in-effect version onto every observation: ONE window
-    pass, zero interval predicates (the as-of recurrence of
-    events_asof_attribution applied to dimension versioning; change
-    rows sort before same-instant observations so valid_from is
-    inclusive, matching the oracle's [from, to) theta join)."""
-    ev = load_table(spark, sf_dir, "events")
-    u = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.expr("ts_ns div 1000").alias("ts_us"),
-        "event_id",
-        "value",
-    )
-    wl = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    c = (
-        u.withColumn("prev", F.lag("value").over(wl))
-        .filter(F.col("prev").isNull() | (F.col("value") != F.col("prev")))
-        .select(
-            "user_id",
-            "ts_us",
-            "event_id",
-            "value",
-            F.row_number().over(wl).alias("version"),
-        )
-    )
-    changes = c.select(
-        "user_id",
-        "ts_us",
-        F.lit(0).alias("tag"),
-        "event_id",
-        F.col("version").cast("long").alias("dim_version"),
-        F.col("value").alias("dim_value"),
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id",
-        F.expr("ts_ns div 1000").alias("ts_us"),
-        F.lit(1).alias("tag"),
-        "event_id",
-        F.lit(None).cast("long").alias("dim_version"),
-        F.lit(None).cast("double").alias("dim_value"),
-    )
-    wa = (
-        Window.partitionBy("user_id")
-        .orderBy("ts_us", "tag", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    tagged = changes.unionByName(clicks).select(
-        "user_id",
-        "ts_us",
-        "tag",
-        "event_id",
-        F.last(F.when(F.col("tag") == 0, F.col("dim_version")), ignorenulls=True)
-        .over(wa)
-        .alias("cur_version"),
-        F.last(F.when(F.col("tag") == 0, F.col("dim_value")), ignorenulls=True)
-        .over(wa)
-        .alias("cur_value"),
-    )
-    return tagged.filter(F.col("tag") == 1).select(
-        "event_id",
-        "user_id",
-        "ts_us",
-        F.col("cur_version").alias("dim_version"),
-        F.round("cur_value", 6).alias("dim_value"),
-    )
-
-
-@query(
-    "histogram_quantile_sketch",
-    oracle="""
-    WITH e AS (
-        SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v_u
-        FROM events
-    ), st AS (
-        SELECT event_type, min(v_u) AS mn, max(v_u) AS mx,
-               CAST(count(*) AS BIGINT) AS n,
-               list_sort(list(v_u)) AS vs
-        FROM e GROUP BY event_type
-    ), wd AS (
-        SELECT event_type, mn, n, vs, (mx - mn) // 64 + 1 AS width
-        FROM st
-    ), hist AS (
-        SELECT e.event_type, (e.v_u - w.mn) // w.width AS bin,
-               CAST(count(*) AS BIGINT) AS cnt
-        FROM e JOIN wd w USING (event_type)
-        GROUP BY e.event_type, bin
-    ), cum AS (
-        SELECT event_type, bin, cnt,
-               CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
-               CAST(coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-        FROM hist
-    ), qs AS (
-        SELECT c.event_type, q.q, c.bin, c.cnt, c.cum_before, w.mn, w.width, w.n, w.vs,
-               (q.q * w.n + 99) // 100 AS target
-        FROM cum c
-        JOIN wd w USING (event_type)
-        CROSS JOIN (VALUES (50), (95), (99)) AS q(q)
-        WHERE (q.q * w.n + 99) // 100 <= c.cum
-          AND (q.q * w.n + 99) // 100 > c.cum_before
-    )
-    SELECT event_type, CAST(q AS BIGINT) AS q,
-           round((mn + bin * width + ((target - cum_before) * width) // cnt)
-                 / 1e6, 6) AS approx,
-           round(vs[CAST(target AS INTEGER)] / 1e6, 6) AS exact,
-           round(abs(mn + bin * width + ((target - cum_before) * width) // cnt
-                     - vs[CAST(target AS INTEGER)]) / 1e6, 6) AS abs_err
-    FROM qs
-    """,
-)
-def histogram_quantile_sketch_q(spark, sf_dir):
-    """Mergeable equi-width histogram quantile sketch per event type —
-    the quantile member of the sketch family (CMS = counts, KMV/HLL =
-    distinct, this = quantiles): 64 integer-edged bins per type whose
-    counts are ADDITIVE state (partial histograms merge by summing —
-    the per-partition/streaming property), p50/p95/p99 read off the
-    cumulative histogram with EXACT-INTEGER interpolation (bin lo +
-    (rank remainder x width) div count — no float until the display
-    division), graded against the exact sorted-selection quantile.
-    The whole sketch path is one map-side-combinable groupBy over a
-    5x64-bounded frame; the exact tower is the test-scale yardstick
-    (approx IS the 100 TB path)."""
-    ev = load_table(spark, sf_dir, "events")
-    e = ev.select(
-        "event_type", F.expr("cast(round(value * 1000000) as bigint)").alias("v_u")
-    )
-    st = e.groupBy("event_type").agg(
-        F.min("v_u").alias("mn"),
-        F.max("v_u").alias("mx"),
-        F.count("*").cast("long").alias("n"),
-        F.sort_array(F.collect_list("v_u")).alias("vs"),
-    )
-    wd = st.select(
-        "event_type", "mn", "n", "vs", F.expr("(mx - mn) div 64 + 1").alias("width")
-    )
-    hist = (
-        e.join(F.broadcast(wd.select("event_type", "mn", "width")), "event_type")
-        .groupBy("event_type", F.expr("(v_u - mn) div width").alias("bin"))
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
-    wcum = Window.partitionBy("event_type").orderBy("bin")
-    cum = hist.select(
-        "event_type",
-        "bin",
-        "cnt",
-        F.sum("cnt").over(wcum.rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("cum"),
-        F.coalesce(
-            F.sum("cnt").over(wcum.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
-        )
-        .cast("long")
-        .alias("cum_before"),
-    )
-    qlit = spark.createDataFrame([(50,), (95,), (99,)], "q int")
-    qs = (
-        cum.join(F.broadcast(wd), "event_type")
-        .crossJoin(F.broadcast(qlit))
-        .withColumn("target", F.expr("(q * n + 99) div 100"))
-        .filter(
-            (F.col("target") <= F.col("cum")) & (F.col("target") > F.col("cum_before"))
-        )
-    )
-    approx = F.expr("mn + bin * width + ((target - cum_before) * width) div cnt")
-    exact = F.element_at("vs", F.col("target").cast("int"))
-    return qs.select(
-        "event_type",
-        F.col("q").cast("long").alias("q"),
-        F.round(approx / F.lit(1e6), 6).alias("approx"),
-        F.round(exact / F.lit(1e6), 6).alias("exact"),
-        F.round(F.abs(approx - exact) / F.lit(1e6), 6).alias("abs_err"),
-    )
-
-
-@query(
-    "broadcast_size_advisor",
-    oracle="""
-    WITH sizes AS (
-        SELECT 'region' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
-               CAST(4 * count(*) + sum(length(r_name) + 4) AS BIGINT) AS est_bytes
-        FROM region
-        UNION ALL SELECT 'nation', count(*),
-               CAST(8 * count(*) + sum(length(n_name) + 4) AS BIGINT) FROM nation
-        UNION ALL SELECT 'customer', count(*),
-               CAST(20 * count(*) + sum(length(c_name) + 4 + length(c_mktsegment) + 4) AS BIGINT)
-        FROM customer
-        UNION ALL SELECT 'supplier', count(*),
-               CAST(20 * count(*) + sum(length(s_name) + 4) AS BIGINT) FROM supplier
-        UNION ALL SELECT 'part', count(*),
-               CAST(20 * count(*) + sum(length(p_name) + 4 + length(p_brand) + 4
-                                        + length(p_type) + 4) AS BIGINT) FROM part
-        UNION ALL SELECT 'orders', count(*),
-               CAST(32 * count(*) + sum(length(o_orderstatus) + 4
-                                        + length(o_orderpriority) + 4) AS BIGINT)
-        FROM orders
-        UNION ALL SELECT 'lineitem', count(*),
-               CAST(68 * count(*) + sum(length(l_returnflag) + 4
-                                        + length(l_linestatus) + 4) AS BIGINT)
-        FROM lineitem
-        UNION ALL SELECT 'events', count(*),
-               CAST(32 * count(*) + sum(length(event_type) + 4
-                                        + length(props) + 4) AS BIGINT) FROM events
-        UNION ALL SELECT 'documents', count(*),
-               CAST(16 * count(*) + sum(length(text) + 4 + length(lang) + 4
-                                        + length(source) + 4) AS BIGINT)
-        FROM documents
-        UNION ALL SELECT 'embeddings', count(*),
-               CAST(12 * count(*) + sum(4 * len(embedding) + 4) AS BIGINT)
-        FROM embeddings
-    )
-    SELECT tbl AS collection, n_rows, est_bytes,
-           round(CAST(est_bytes AS DOUBLE) / 1048576, 6) AS est_mb,
-           est_bytes < 10485760 AS broadcastable
-    FROM sizes
-    """,
-)
-def broadcast_size_advisor_q(spark, sf_dir):
-    """Broadcast-join planning advisor: per-table IN-MEMORY size
-    estimate (the number Catalyst compares against
-    autoBroadcastJoinThreshold, which sizes COMPRESSED parquet wrong
-    by 3-10x — string-heavy tables blow past the threshold after
-    decompression): fixed widths from the resolved schema (8/4 per
-    numeric/timestamp, 4-byte overhead per string/array) plus EXACT
-    integer sums of variable lengths, one narrow agg per table
-    unioned in one plan. The verdict column is the < 10 MiB default
-    threshold; at 100 TB this runs on table stats or a hash sample
-    and decides which dimension joins get the hint (see §6's
-    no-data-proportional-hint rule — this advisor is how the list of
-    'fixed-size dims' stays honest as tables grow)."""
-    from functools import reduce
-
-    from pyspark.sql import types as T
-
-    from .sources import TABLES
-
-    parts = []
-    for tbl in TABLES:
-        df = spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
-        fixed = 0
-        var_terms = []
-        for f in df.schema.fields:
-            dt = f.dataType
-            if isinstance(dt, T.IntegerType):
-                fixed += 4
-            elif isinstance(dt, (T.LongType, T.DoubleType, T.TimestampType, T.TimestampNTZType)):
-                fixed += 8
-            elif isinstance(dt, T.StringType):
-                var_terms.append(F.length(F.col(f.name)) + 4)
-            elif isinstance(dt, T.ArrayType):
-                var_terms.append(F.size(F.col(f.name)) * 4 + 4)
-            else:
-                raise TypeError(f"unhandled type in {tbl}: {dt}")
-        var_sum = (
-            F.sum(sum(var_terms[1:], start=var_terms[0]).cast("long"))
-            if var_terms
-            else F.lit(0)
-        )
-        parts.append(
-            df.agg(
-                F.count("*").cast("long").alias("n_rows"),
-                var_sum.cast("long").alias("_var"),
-            ).select(
-                F.lit(tbl).alias("collection"),
-                "n_rows",
-                (F.lit(fixed) * F.col("n_rows") + F.coalesce("_var", F.lit(0)))
-                .cast("long")
-                .alias("est_bytes"),
-            )
-        )
-    out = reduce(lambda a, b: a.unionByName(b), parts)
-    return out.select(
-        "collection",
-        "n_rows",
-        "est_bytes",
-        F.round(F.col("est_bytes").cast("double") / F.lit(1048576), 6).alias("est_mb"),
-        (F.col("est_bytes") < 10485760).alias("broadcastable"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Markov removal-effect attribution (r5 cont.)
-# ---------------------------------------------------------------------------
-
-_MARKOV_CHANNELS = ("view", "click", "signup", "error")
-_MARKOV_K = 24
-
-
-def _markov_oracle() -> str:
-    """Generate the recursive-CTE oracle: 5 scenarios (full + one
-    removal per channel) x 5 states iterate 24 absorption steps in
-    exact micro-unit integers, so the whole fixed point hash-checks."""
-    states = ("start",) + _MARKOV_CHANNELS
-    scen = {"f": None}
-    for ch in _MARKOV_CHANNELS:
-        scen["r" + ch[0]] = ch  # rv, rc, rs, re
-    cols = [f"{p}_{s}" for p in scen for s in states]
-    zero = ", ".join(f"CAST(0 AS BIGINT) AS {c}" for c in cols)
-
-    def step(p: str, removed: str | None, s: str) -> str:
-        if removed is not None and s == removed:
-            return f"CAST(0 AS BIGINT) AS {p}_{s}"
-        branches = ["WHEN 'conv' THEN 1000000", "WHEN 'null' THEN 0"]
-        for ch in _MARKOV_CHANNELS:
-            if removed is not None and ch == removed:
-                branches.append(f"WHEN '{ch}' THEN 0")
-            else:
-                branches.append(f"WHEN '{ch}' THEN it.{p}_{ch}")
-        case = "CASE t " + " ".join(branches) + " ELSE 0 END"
-        return (
-            f"(SELECT coalesce(sum(pu * ({case})), 0) FROM tp WHERE s = '{s}')"
-            f" // 1000000 AS {p}_{s}"
-        )
-
-    steps = ",\n        ".join(
-        step(p, rm, s) for p, rm in scen.items() for s in states
-    )
-    chan_rows = ", ".join(
-        f"('{ch}', r{ch[0]}_start)" for ch in _MARKOV_CHANNELS
-    )
-    return f"""
-    WITH RECURSIVE
-    ev AS (
-        SELECT user_id, epoch_ns(ts) AS tn, event_id,
-               CASE WHEN event_type = 'purchase' THEN 'conv'
-                    ELSE event_type END AS state,
-               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isc
-        FROM events
-    ), je AS (
-        SELECT *, coalesce(sum(isc) OVER (
-            PARTITION BY user_id ORDER BY tn, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
-        FROM ev
-    ), pairs AS (
-        SELECT coalesce(lag(state) OVER (
-                   PARTITION BY user_id, jid ORDER BY tn, event_id),
-               'start') AS s,
-               state AS t
-        FROM je
-    ), tails AS (
-        SELECT lr[3] AS s, 'null' AS t FROM (
-            SELECT user_id, jid, max(ROW(tn, event_id, state)) AS lr,
-                   max(isc) AS hasc
-            FROM je GROUP BY user_id, jid)
-        WHERE hasc = 0
-    ), trans AS (
-        SELECT s, t, CAST(count(*) AS BIGINT) AS c
-        FROM (SELECT * FROM pairs UNION ALL SELECT * FROM tails)
-        GROUP BY s, t
-    ), tp AS (
-        SELECT s, t, (2000000 * c + ns) // (2 * ns) AS pu
-        FROM (SELECT s, t, c, sum(c) OVER (PARTITION BY s) AS ns FROM trans)
-    ), it AS (
-        SELECT 0 AS k, {zero}
-        UNION ALL
-        SELECT k + 1,
-        {steps}
-        FROM it WHERE k < {_MARKOV_K}
-    ), fin AS (SELECT * FROM it WHERE k = {_MARKOV_K}),
-    chans AS (
-        SELECT c.channel, fin.f_start AS pf_u, c.pr_u
-        FROM fin, (SELECT * FROM (VALUES {chan_rows}) AS t(channel, _dummy)) c0,
-        LATERAL (SELECT c0.channel AS channel,
-                        CASE c0.channel {" ".join(f"WHEN '{ch}' THEN fin.r{ch[0]}_start" for ch in _MARKOV_CHANNELS)} END AS pr_u) c
-    ), eff AS (
-        SELECT channel,
-               round(pf_u / 1e6, 6) AS p_full,
-               round(pr_u / 1e6, 6) AS p_removed,
-               CASE WHEN pf_u = 0 THEN NULL
-                    ELSE CAST(pf_u - pr_u AS DOUBLE) / pf_u END AS re_raw
-        FROM chans
-    )
-    SELECT channel, p_full, p_removed, round(re_raw, 6) AS removal_effect,
-           CASE WHEN sum(re_raw) OVER () = 0 OR sum(re_raw) OVER () IS NULL
-                THEN NULL
-                ELSE round(re_raw / sum(re_raw) OVER (), 6) END AS attribution_share
-    FROM eff
-    """
-
-
-@query("markov_attribution", oracle=None)  # oracle attached below
-def markov_attribution_q(spark, sf_dir):
-    """Markov removal-effect attribution (Anderl et al. 2014 — the
-    data-driven credit model beside multitouch_attribution's
-    heuristics: channel credit = how much absorption probability the
-    chain LOSES if the channel's node is deleted): user journeys
-    split at conversions into (user, journey) chains, transition
-    counts come from one lag pass + per-journey tail rows (two
-    windows sharing the user partitioning), and the absorbing-chain
-    fixed point runs 24 synchronous steps ENTIRELY IN EXACT
-    MICRO-UNIT INTEGERS (transition probs as floor-rounded
-    micro-probs, each step an integer dot product div 1e6) — so the
-    iteration is order-free and the DuckDB recursive CTE replays it
-    bit-for-bit (the prove-the-iteration posture of kmeans_refine /
-    knn_graph_pagerank applied to absorption probabilities). The
-    state space is bounded by the channel taxonomy, so the fixed
-    point itself runs on a ≤49-row matrix collected driver-side
-    (bounded-fit posture, like retrieval_mmr's greedy) while every
-    data-proportional step stays distributed."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "ts_ns",
-        "event_id",
-        F.when(F.col("event_type") == "purchase", "conv")
-        .otherwise(F.col("event_type"))
-        .alias("state"),
-        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("isc"),
-    )
-    wu = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    je = ev.withColumn(
-        "jid",
-        F.coalesce(
-            F.sum("isc").over(wu.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ),
-    )
-    wj = Window.partitionBy("user_id", "jid").orderBy("ts_ns", "event_id")
-    pairs = je.select(
-        F.coalesce(F.lag("state").over(wj), F.lit("start")).alias("s"),
-        F.col("state").alias("t"),
-    )
-    tails = (
-        je.groupBy("user_id", "jid")
-        .agg(
-            F.max(F.struct("ts_ns", "event_id", "state")).alias("lr"),
-            F.max("isc").alias("hasc"),
-        )
-        .filter(F.col("hasc") == 0)
-        .select(F.col("lr.state").alias("s"), F.lit("null").alias("t"))
-    )
-    trans = (
-        pairs.unionByName(tails)
-        .groupBy("s", "t")
-        .agg(F.count("*").cast("long").alias("c"))
-        .collect()
-    )
-    # bounded driver-side fixed point in exact integers
-    ns: dict[str, int] = {}
-    for r in trans:
-        ns[r["s"]] = ns.get(r["s"], 0) + r["c"]
-    pu = {(r["s"], r["t"]): (2_000_000 * r["c"] + ns[r["s"]]) // (2 * ns[r["s"]]) for r in trans}
-    states = ("start",) + _MARKOV_CHANNELS
-
-    def absorb(removed: str | None) -> int:
-        p = {s: 0 for s in states}
-        for _ in range(_MARKOV_K):
-            newp = {}
-            for s in states:
-                if removed is not None and s == removed:
-                    newp[s] = 0
-                    continue
-                tot = 0
-                for (ss, t), w in pu.items():
-                    if ss != s:
-                        continue
-                    if t == "conv":
-                        pt = 1_000_000
-                    elif t == "null" or t == removed:
-                        pt = 0
-                    else:
-                        pt = p.get(t, 0)
-                    tot += w * pt
-                newp[s] = tot // 1_000_000
-            p = newp
-        return p["start"]
-
-    pf = absorb(None)
-    rows = []
-    effs = {}
-    for ch in _MARKOV_CHANNELS:
-        pr = absorb(ch)
-        effs[ch] = None if pf == 0 else (pf - pr) / pf
-        rows.append((ch, pf, pr))
-    tot_eff = (
-        sum(v for v in effs.values() if v is not None)
-        if any(v is not None for v in effs.values())
-        else None
-    )
-    def _r6(x: float | None) -> float | None:
-        # DuckDB round() is half-away-from-zero; Python round() is
-        # banker's. Values here are non-negative, so half-up matches.
-        return None if x is None else _math.floor(x * 1e6 + 0.5) / 1e6
-
-    out = []
-    for ch, pfv, prv in rows:
-        re_raw = effs[ch]
-        share = (
-            None if re_raw is None or not tot_eff else _r6(re_raw / tot_eff)
-        )
-        out.append(
-            (
-                ch,
-                pfv / 1e6,  # exact micro-units: ≤6 decimals already
-                prv / 1e6,
-                _r6(re_raw),
-                share,
-            )
-        )
-    return spark.createDataFrame(
-        out,
-        "channel string, p_full double, p_removed double, "
-        "removal_effect double, attribution_share double",
-    )
-
-
-ORACLES["markov_attribution"] = _markov_oracle()
-
-
-# ---------------------------------------------------------------------------
-# IR pruning + packing efficiency wave (r5 cont.)
-# ---------------------------------------------------------------------------
-
-_WAND_TERMS = ("spark", "join", "fast", "batch", "scan")
-
-
-@query(
-    "wand_pruning_sim",
-    oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS dl,
-               unnest(string_split(text, ' ')) AS term
-        FROM documents
-    ), qtoks AS (
-        SELECT * FROM toks
-        WHERE term IN ({", ".join(f"'{t}'" for t in _WAND_TERMS)})
-    ), tf AS (
-        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
-        FROM qtoks GROUP BY doc_id, term
-    ), stats AS (
-        SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl
-        FROM documents
-    ), dfreq AS (
-        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
-    ), contrib AS (
-        SELECT tf.doc_id, tf.term,
-               ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
-                 * (tf.tf * (1.2 + 1))
-                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS w
-        FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
-    ), ub AS (
-        SELECT term, max(w) AS ub FROM contrib GROUP BY term
-    ), full_score AS (
-        SELECT doc_id, sum(w) AS score FROM contrib GROUP BY doc_id
-    ), theta AS (
-        SELECT min(score) AS theta FROM (
-            SELECT score FROM full_score
-            ORDER BY score DESC, doc_id LIMIT 10)
-    ), per_doc AS (
-        SELECT c.doc_id, sum(u.ub) AS ub_sum, sum(c.w) AS score
-        FROM contrib c JOIN ub u USING (term)
-        GROUP BY c.doc_id
-    ), verdict AS (
-        SELECT d.doc_id, d.ub_sum < t.theta AS skippable,
-               d.score >= t.theta AS in_topk
-        FROM per_doc d CROSS JOIN theta t
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_candidates,
-           CAST(sum(CASE WHEN skippable THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_skippable,
-           round(CAST(sum(CASE WHEN skippable THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*), 6) AS skip_fraction,
-           round((SELECT theta FROM theta), 6) AS theta,
-           CAST(sum(CASE WHEN skippable AND in_topk THEN 1 ELSE 0 END) AS BIGINT)
-               = 0 AS safe
-    FROM verdict
-    """,
-)
-def wand_pruning_sim_q(spark, sf_dir):
-    """WAND dynamic-pruning audit (Broder CIKM'03 — the upper-bound
-    skipping that makes exhaustive BM25 top-k affordable: a doc whose
-    sum of per-term score CEILINGS can't reach the current k-th score
-    is never fully scored): per-term max contributions form the
-    upper-bound table (terms-sized, broadcast), theta = exact 10th
-    best full score, and the verdict counts candidates WAND would
-    skip plus the safety proof (no skipped doc is in the true
-    top-k — the certificate the pruning's correctness rests on).
-    One tokenize pass feeds tf/df/contributions; everything after is
-    term- or candidate-bounded. The skip_fraction is the number that
-    justifies (or kills) maintaining per-term max-score metadata in
-    keyword_index_* layouts at 100 TB."""
-    from .functions import text as X
-
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    toks = docs.select(
-        "doc_id",
-        F.size(X.tokens(F.col("text"))).alias("dl"),
-        F.explode(X.tokens(F.col("text"))).alias("term"),
-    )
-    qtoks = toks.filter(F.col("term").isin(*_WAND_TERMS))
-    tf = qtoks.groupBy("doc_id", "term").agg(
-        F.count("*").cast("double").alias("tf"), F.min("dl").alias("dl")
-    )
-    stats = docs.agg(
-        F.count("*").alias("n"),
-        F.avg(F.size(X.tokens(F.col("text")))).alias("avgdl"),
-    )
-    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    contrib = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            "term",
-            (
-                F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-                * (F.col("tf") * (1.2 + 1))
-                / (
-                    F.col("tf")
-                    + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
-                )
-            ).alias("w"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    ub = contrib.groupBy("term").agg(F.max("w").alias("ub"))
-    full_score = contrib.groupBy("doc_id").agg(F.sum("w").alias("score"))
-    theta = (
-        full_score.orderBy(F.col("score").desc(), "doc_id")
-        .limit(10)
-        .agg(F.min("score").alias("theta"))
-    )
-    per_doc = (
-        contrib.join(F.broadcast(ub), "term")
-        .groupBy("doc_id")
-        .agg(F.sum("ub").alias("ub_sum"), F.sum("w").alias("score"))
-    )
-    verdict = per_doc.crossJoin(F.broadcast(theta)).select(
-        (F.col("ub_sum") < F.col("theta")).alias("skippable"),
-        (F.col("score") >= F.col("theta")).alias("in_topk"),
-        "theta",
-    )
-    return verdict.agg(
-        F.count("*").cast("long").alias("n_candidates"),
-        F.sum(F.when(F.col("skippable"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_skippable"),
-        F.round(
-            F.sum(F.when(F.col("skippable"), 1).otherwise(0)).cast("double")
-            / F.count("*"),
-            6,
-        ).alias("skip_fraction"),
-        F.round(F.first("theta"), 6).alias("theta"),
-        (
-            F.sum(F.when(F.col("skippable") & F.col("in_topk"), 1).otherwise(0)) == 0
-        ).alias("safe"),
-    )
-
-
-@query(
-    "padding_waste_audit",
-    oracle="""
-    WITH d AS (
-        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents
-    ), tot AS (
-        SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
-               CAST(count(*) AS BIGINT) AS n_docs
-        FROM d
-    ), grid AS (
-        SELECT L FROM (VALUES (32), (64), (128)) AS t(L)
-    ), per AS (
-        SELECT g.L,
-               CAST(sum(((d.n + g.L - 1) // g.L) * g.L - d.n) AS BIGINT)
-                   AS doc_pad_tokens
-        FROM d CROSS JOIN grid g GROUP BY g.L
-    )
-    SELECT CAST(p.L AS BIGINT) AS seq_len,
-           t.n_docs, t.total_tokens,
-           p.doc_pad_tokens,
-           round(CAST(p.doc_pad_tokens AS DOUBLE)
-                 / (t.total_tokens + p.doc_pad_tokens), 6) AS doc_pad_fraction,
-           CAST(CASE WHEN t.total_tokens % p.L = 0 THEN 0
-                     ELSE p.L - t.total_tokens % p.L END AS BIGINT)
-               AS concat_pad_tokens,
-           round(CAST(CASE WHEN t.total_tokens % p.L = 0 THEN 0
-                           ELSE p.L - t.total_tokens % p.L END AS DOUBLE)
-                 / (t.total_tokens
-                    + CASE WHEN t.total_tokens % p.L = 0 THEN 0
-                           ELSE p.L - t.total_tokens % p.L END), 6)
-               AS concat_pad_fraction
-    FROM per p CROSS JOIN tot t
-    """,
-)
-def padding_waste_audit_q(spark, sf_dir):
-    """Padding-waste audit across a sequence-length grid (the sizing
-    table behind sequence_packing: pad-per-document wastes
-    ceil(n/L)·L − n tokens PER DOC, concat-then-chunk packing wastes
-    only the stream tail — this measures exactly how much compute the
-    packing layout buys at each candidate training length): per-doc
-    token counts reduce map-side, the 3-point grid joins as a
-    broadcast literal at the aggregation (3 rows cost one grouped
-    agg, the bm25_tuning_grid trick), every waste number an exact
-    integer. At 100 TB the doc_pad_fraction column is the GPU-hours
-    argument for running sequence_packing at all."""
-    from .functions import text as X
-
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    d = docs.select(F.size(X.tokens(F.col("text"))).cast("long").alias("n"))
-    grid = spark.createDataFrame([(32,), (64,), (128,)], "L int")
-    per = (
-        d.crossJoin(F.broadcast(grid))
-        .groupBy("L")
-        .agg(
-            F.sum(F.expr("((n + L - 1) div L) * L - n"))
-            .cast("long")
-            .alias("doc_pad_tokens")
-        )
-    )
-    tot = d.agg(
-        F.sum("n").cast("long").alias("total_tokens"),
-        F.count("*").cast("long").alias("n_docs"),
-    )
-    j = per.crossJoin(F.broadcast(tot))
-    concat_pad = F.when(
-        F.col("total_tokens") % F.col("L") == 0, F.lit(0)
-    ).otherwise(F.col("L") - F.col("total_tokens") % F.col("L"))
-    return j.select(
-        F.col("L").cast("long").alias("seq_len"),
-        "n_docs",
-        "total_tokens",
-        "doc_pad_tokens",
-        F.round(
-            F.col("doc_pad_tokens").cast("double")
-            / (F.col("total_tokens") + F.col("doc_pad_tokens")),
-            6,
-        ).alias("doc_pad_fraction"),
-        concat_pad.cast("long").alias("concat_pad_tokens"),
-        F.round(
-            concat_pad.cast("double") / (F.col("total_tokens") + concat_pad), 6
-        ).alias("concat_pad_fraction"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Cascade retrieval + lakehouse MERGE wave (r5 cont.)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "cascade_retrieval_sim",
-    oracle=f"""
-    WITH w AS (
-        SELECT vec_id, embedding,
-               CAST(list_sum([CASE WHEN embedding[i+1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END FOR i IN range(32)]) AS BIGINT) AS lo,
-               CAST(list_sum([CASE WHEN embedding[i+33] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END FOR i IN range(32)]) AS BIGINT) AS hi
-        FROM embeddings
-    ), q AS (SELECT lo AS qlo, hi AS qhi, embedding AS qv FROM w WHERE vec_id = 0),
-    s1 AS (
-        SELECT w.vec_id, w.embedding
-        FROM w, q WHERE w.vec_id <> 0
-        ORDER BY bit_count(xor(w.lo, q.qlo)) + bit_count(xor(w.hi, q.qhi)), w.vec_id
-        LIMIT 50
-    ), am AS (
-        SELECT max(list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))) AS absmax
-        FROM embeddings
-    ), qc AS (
-        SELECT list_transform(e.embedding::DOUBLE[],
-                   x -> CAST(greatest(-127, least(127, floor(x / (am.absmax / 127) + 0.5))) AS BIGINT)) AS qcodes
-        FROM embeddings e, am WHERE e.vec_id = 0
-    ), s2 AS (
-        SELECT s1.vec_id, s1.embedding
-        FROM s1, am, qc
-        ORDER BY list_sum(list_transform(list_zip(
-                   list_transform(s1.embedding::DOUBLE[],
-                       x -> CAST(greatest(-127, least(127, floor(x / (am.absmax / 127) + 0.5))) AS BIGINT)),
-                   qc.qcodes), p -> (p[1] - p[2]) * (p[1] - p[2]))), s1.vec_id
-        LIMIT 20
-    ), s3 AS (
-        SELECT s2.vec_id, {_dd_euclid('s2.embedding', 'q.qv')} AS l2
-        FROM s2, q
-        ORDER BY l2, s2.vec_id LIMIT 10
-    ), truth AS (
-        SELECT w.vec_id FROM w, q WHERE w.vec_id <> 0
-        ORDER BY {_dd_euclid('w.embedding', 'q.qv')}, w.vec_id LIMIT 10
-    )
-    SELECT CAST(row_number() OVER (ORDER BY s3.l2, s3.vec_id) AS BIGINT) AS rank,
-           s3.vec_id, round(s3.l2, 6) AS exact_l2,
-           t.vec_id IS NOT NULL AS in_exact_topk
-    FROM s3 LEFT JOIN truth t ON s3.vec_id = t.vec_id
-    """,
-)
-def cascade_retrieval_sim_q(spark, sf_dir):
-    """Multi-stage cascade retrieval (the production serving shape
-    that makes billion-scale ANN affordable: a dirt-cheap stage
-    over-recalls, each later stage re-ranks a shrinking shortlist
-    with a more faithful distance): sign-bit Hamming (8 B/vector,
-    xor+popcount) recalls 50 → uniform-SQ8 integer distance re-ranks
-    to 20 → exact float L2 scores the survivors, graded against the
-    exact top-10 with a per-row membership flag. Stage budgets bound
-    every later stage's work (candidate fetches are broadcast-id
-    semi-joins, never corpus passes); the full corpus is touched only
-    by the 8-byte word scan, the absmax scalar agg, and the truth
-    tower (which exists only to grade — production runs stages 1-3).
-    Composes the ann_binary_hamming and ann_sq8 kernels bit-exactly,
-    so the whole cascade hash-checks."""
-    from .operators.ann import sign_bit_words
-
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    lo, hi = sign_bit_words(F.col("embedding"))
-    words = emb.select("vec_id", "embedding", lo.alias("_lo"), hi.alias("_hi"))
-    q = words.filter(F.col("vec_id") == 0).select(
-        F.col("_lo").alias("_qlo"),
-        F.col("_hi").alias("_qhi"),
-        F.col("embedding").alias("_qv"),
-    )
-    s1 = (
-        words.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q.select("_qlo", "_qhi")))
-        .select(
-            "vec_id",
-            "embedding",
-            (
-                F.bit_count(F.col("_lo").bitwiseXOR(F.col("_qlo")))
-                + F.bit_count(F.col("_hi").bitwiseXOR(F.col("_qhi")))
-            ).alias("_ham"),
-        )
-        .orderBy("_ham", "vec_id")
-        .limit(50)
-        .select("vec_id", "embedding")
-    )
-    absmax = emb.agg(
-        F.max(
-            F.array_max(F.transform(F.col("embedding").cast("array<double>"), F.abs))
-        ).alias("_absmax")
-    )
-
-    def codes(vec):
-        return F.transform(
-            vec.cast("array<double>"),
-            lambda x: F.greatest(
-                F.lit(-127).cast("long"),
-                F.least(
-                    F.lit(127).cast("long"),
-                    F.floor(x / (F.col("_absmax") / 127) + F.lit(0.5)),
-                ),
-            ),
-        )
-
-    qc = (
-        emb.filter(F.col("vec_id") == 0)
-        .crossJoin(F.broadcast(absmax))
-        .select(codes(F.col("embedding")).alias("_qcodes"))
-    )
-    s2 = (
-        s1.crossJoin(F.broadcast(absmax))
-        .crossJoin(F.broadcast(qc))
-        .select(
-            "vec_id",
-            "embedding",
-            F.aggregate(
-                F.zip_with(
-                    codes(F.col("embedding")),
-                    F.col("_qcodes"),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("_cd"),
-        )
-        .orderBy("_cd", "vec_id")
-        .limit(20)
-        .select("vec_id", "embedding")
-    )
-    s3 = (
-        s2.crossJoin(F.broadcast(q.select("_qv")))
-        .select("vec_id", V.euclidean(F.col("embedding"), F.col("_qv")).alias("l2"))
-        .orderBy("l2", "vec_id")
-        .limit(10)
-    )
-    truth = (
-        words.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q.select("_qv")))
-        .select("vec_id", V.euclidean(F.col("embedding"), F.col("_qv")).alias("tl2"))
-        .orderBy("tl2", "vec_id")
-        .limit(10)
-        .select(F.col("vec_id").alias("tid"))
-    )
-    wr = Window.orderBy("l2", "vec_id")
-    return (
-        s3.join(F.broadcast(truth), s3.vec_id == truth.tid, "left")
-        .select(
-            F.row_number().over(wr).cast("long").alias("rank"),
-            "vec_id",
-            F.round("l2", 6).alias("exact_l2"),
-            F.col("tid").isNotNull().alias("in_exact_topk"),
-        )
-    )
-
-
-@query(
-    "merge_into_apply",
-    oracle="""
-    WITH t AS (
-        SELECT c_custkey AS key,
-               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
-        FROM customer
-    ), mx AS (SELECT max(key) AS mk FROM t),
-    src AS (
-        SELECT key, 'U' AS op, bal_c * 11 // 10 AS new_bal
-        FROM t WHERE key % 7 = 0 AND key % 13 <> 0
-        UNION ALL
-        SELECT key, 'D', NULL FROM t WHERE key % 13 = 0
-        UNION ALL
-        SELECT mx.mk + i + 1, 'I', CAST((i + 1) * 1000 + 50 AS BIGINT)
-        FROM range(50) AS r(i), mx
-    ), m AS (
-        SELECT coalesce(t.key, s.key) AS key,
-               CASE WHEN s.op IS NULL THEN 'unchanged'
-                    WHEN s.op = 'U' THEN 'updated'
-                    WHEN s.op = 'D' THEN 'deleted'
-                    ELSE 'inserted' END AS status,
-               CASE WHEN s.op = 'U' THEN s.new_bal
-                    WHEN s.op = 'I' THEN s.new_bal
-                    ELSE t.bal_c END AS bal_c
-        FROM t FULL OUTER JOIN src s ON t.key = s.key
-    )
-    SELECT CAST(key AS BIGINT) AS c_custkey, CAST(bal_c AS BIGINT) AS balance_c,
-           status
-    FROM m WHERE status <> 'deleted'
-    """,
-)
-def merge_into_apply_q(spark, sf_dir):
-    """Lakehouse MERGE INTO (Delta/Iceberg's upsert verb — the
-    three-branch fold cdc_apply's last-write-wins is a special case
-    of): WHEN MATCHED AND cond THEN DELETE (every 13th key), WHEN
-    MATCHED THEN UPDATE (every 7th key, +10% balance in EXACT integer
-    cents — bal·11 div 10, no float money math), WHEN NOT MATCHED
-    THEN INSERT (50 new keys above the current max, which rides a
-    1-row broadcast). One FULL OUTER join on bare keys resolves every
-    branch; the emitted frame is the complete post-MERGE table state
-    with per-row status, so the oracle hash-checks the entire merge
-    result, not just counts. Delete-wins precedence for keys matching
-    both conditions is by source construction (a key contributes one
-    source row)."""
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("key"),
-        F.expr("cast(round(c_acctbal * 100) as bigint)").alias("bal_c"),
-    )
-    mx = c.agg(F.max("key").alias("mk"))
-    upd = c.filter((F.col("key") % 7 == 0) & (F.col("key") % 13 != 0)).select(
-        "key", F.lit("U").alias("op"), F.expr("bal_c * 11 div 10").alias("new_bal")
-    )
-    dele = c.filter(F.col("key") % 13 == 0).select(
-        "key", F.lit("D").alias("op"), F.lit(None).cast("long").alias("new_bal")
-    )
-    ins = (
-        spark.range(50)
-        .crossJoin(F.broadcast(mx))
-        .select(
-            (F.col("mk") + F.col("id") + 1).alias("key"),
-            F.lit("I").alias("op"),
-            ((F.col("id") + 1) * 1000 + 50).cast("long").alias("new_bal"),
-        )
-    )
-    src = upd.unionByName(dele).unionByName(ins)
-    m = c.join(src, "key", "full_outer").select(
-        "key",
-        F.when(F.col("op").isNull(), "unchanged")
-        .when(F.col("op") == "U", "updated")
-        .when(F.col("op") == "D", "deleted")
-        .otherwise("inserted")
-        .alias("status"),
-        F.when(F.col("op").isin("U", "I"), F.col("new_bal"))
-        .otherwise(F.col("bal_c"))
-        .alias("bal_c"),
-    )
-    return m.filter(F.col("status") != "deleted").select(
-        F.col("key").cast("long").alias("c_custkey"),
-        F.col("bal_c").cast("long").alias("balance_c"),
-        "status",
-    )
-
-
-# ---------------------------------------------------------------------------
-# Seeding quality + graph walk sampling wave (r5 cont.)
-# ---------------------------------------------------------------------------
-
-
-def _seeding_sets(sf_dir: str, k: int = 8, sample_limit: int = 4096):
-    """Two deterministic seedings over the bounded sample: naive
-    first-k (kmeans_fit's init) vs Gonzalez farthest-point (the
-    deterministic k-means++ shape: next seed = point maximizing its
-    min distance to the chosen set, ties to lowest index)."""
-    import duckdb
-    import numpy as np
-
-    rel = duckdb.sql(
-        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
-        f"ORDER BY vec_id LIMIT {sample_limit}"
-    )
-    x = np.array([list(r[1]) for r in rel.fetchall()], dtype=np.float64)
-    firstk = [[float(v) for v in row] for row in x[:k]]
-    chosen = [0]
-    d2 = ((x - x[0]) ** 2).sum(axis=1)
-    for _ in range(k - 1):
-        nxt = int(d2.argmax())  # argmax ties -> lowest index
-        chosen.append(nxt)
-        d2 = np.minimum(d2, ((x - x[nxt]) ** 2).sum(axis=1))
-    far = [[float(v) for v in x[i]] for i in chosen]
-    return firstk, far
-
-
-def _min_d2_sql(vec: str, cents: list[list[float]]) -> str:
-    terms = []
-    for c in cents:
-        lit = "[" + ", ".join(repr(v) for v in c) + "]"
-        terms.append(
-            f"list_sum(list_transform(list_zip(({vec})::DOUBLE[], {lit}::DOUBLE[]),"
-            f" x -> (x[1]-x[2])*(x[1]-x[2])))"
-        )
-    return "least(" + ", ".join(terms) + ")"
-
-
-def _seeding_oracle(sf_dir: str) -> str:
-    firstk, far = _seeding_sets(sf_dir)
-    return f"""
-    WITH costs AS (
-        SELECT CAST(round(1000000 * {_min_d2_sql('embedding', firstk)}) AS BIGINT) AS c_first,
-               CAST(round(1000000 * {_min_d2_sql('embedding', far)}) AS BIGINT) AS c_far
-        FROM embeddings
-    ), s AS (
-        SELECT CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(c_first) AS BIGINT) AS t_first,
-               CAST(sum(c_far) AS BIGINT) AS t_far
-        FROM costs
-    ), u AS (
-        SELECT 'first_k' AS seeding, n, t_first AS total_u FROM s
-        UNION ALL
-        SELECT 'farthest_point', n, t_far FROM s
-    )
-    SELECT seeding, n,
-           round(total_u / 1e6, 6) AS total_cost,
-           round(CAST(total_u AS DOUBLE) / n / 1e6, 6) AS mean_cost,
-           round(CAST(total_u AS DOUBLE) / min(total_u) OVER (), 6) AS vs_best
-    FROM u
-    """
-
-
-@query("seeding_quality_eval")  # oracle: LAZY_ORACLES (per-sf seed literals)
-def seeding_quality_eval_q(spark, sf_dir):
-    """Quantizer seeding quality (the init step kmeans_refine /
-    kmeans_fit take as given — k-means++-style spread seeding vs the
-    naive first-k init, measured as k-means assignment cost BEFORE
-    any Lloyd round): both seed sets fit driver-side on the bounded
-    deterministic sample (Gonzalez '85 farthest-point as the
-    deterministic k-means++ shape), then ONE corpus pass scores both
-    (per-vector min squared L2 to each literal set, micro-quantized
-    before the order-free integer sum). The vs_best column is the
-    init-quality gap a bad seeding hands to every later Lloyd
-    iteration. Same literal-inlining oracle posture as IVF centroids
-    / PCA basis."""
-    firstk, far = _seeding_sets(sf_dir)
-
-    def min_d2(vec, cents):
-        exprs = []
-        for c in cents:
-            lit = F.array(*[F.lit(float(v)) for v in c])
-            exprs.append(
-                F.aggregate(
-                    F.zip_with(
-                        vec.cast("array<double>"), lit, lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            )
-        return F.least(*exprs)
-
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    costs = emb.select(
-        F.round(1_000_000 * min_d2(F.col("embedding"), firstk))
-        .cast("long")
-        .alias("c_first"),
-        F.round(1_000_000 * min_d2(F.col("embedding"), far))
-        .cast("long")
-        .alias("c_far"),
-    )
-    s = costs.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("c_first").cast("long").alias("t_first"),
-        F.sum("c_far").cast("long").alias("t_far"),
-    )
-    u = s.select(
-        F.explode(
-            F.array(
-                F.struct(F.lit("first_k").alias("seeding"), F.col("t_first").alias("total_u")),
-                F.struct(F.lit("farthest_point").alias("seeding"), F.col("t_far").alias("total_u")),
-            )
-        ).alias("r"),
-        "n",
-    ).select(F.col("r.seeding").alias("seeding"), "n", F.col("r.total_u").alias("total_u"))
-    wa = Window.partitionBy()
-    return u.select(
-        "seeding",
-        "n",
-        F.round(F.col("total_u") / F.lit(1e6), 6).alias("total_cost"),
-        F.round(F.col("total_u").cast("double") / F.col("n") / F.lit(1e6), 6).alias(
-            "mean_cost"
-        ),
-        F.round(
-            F.col("total_u").cast("double") / F.min("total_u").over(wa), 6
-        ).alias("vs_best"),
-    )
-
-
-LAZY_ORACLES["seeding_quality_eval"] = _seeding_oracle
-
-
-def _walks_oracle() -> str:
-    base = _knn_graph_oracle().rsplit("SELECT src, dst", 1)[0]
-    steps_sql = ""
-    prev = "w0"
-    selects = ["SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM w0"]
-    for i in (1, 2, 3):
-        steps_sql += f"""
-    , s{i} AS (
-        SELECT {prev}.walk_id, e.dst AS node
-        FROM {prev}
-        JOIN dg d ON d.src = {prev}.node
-        JOIN edges e ON e.src = {prev}.node
-         AND e.rank = {H.dd_md5_long(f"({prev}.walk_id)::VARCHAR || '|{i}'", 'walk')} % d.deg + 1
-    )"""
-        selects.append(f"SELECT walk_id, {i}, node FROM s{i}")
-        prev = f"s{i}"
-    return (
-        base
-        + """, e3 AS (SELECT src, dst, rank FROM ranked WHERE rank <= 3),
-    dg AS (SELECT src, CAST(max(rank) AS BIGINT) AS deg FROM e3 GROUP BY src),
-    w0 AS (SELECT vec_id AS walk_id, vec_id AS node FROM embeddings)
-    """
-        + steps_sql.replace("JOIN edges e", "JOIN e3 e")
-        + "\n    "
-        + " UNION ALL ".join(selects)
-    )
-
-
-@query("graph_random_walks")  # oracle attached below (plane literals)
-def graph_random_walks_q(spark, sf_dir):
-    """Deterministic random-walk sampling over the corpus kNN graph
-    (DeepWalk/node2vec's sequence-generation step — walks feed the
-    same skip-gram machinery skipgram_pairs builds for text): one
-    walk of length 4 starts at every node, and step i moves to
-    neighbor index md5(walk_id|i) mod degree — the seeded-md5 family
-    again, so the walk corpus is identical across engines, runs, and
-    cluster sizes (rand() could never be). Edges come from the shared
-    LSH-bounded kNN build (degree ≤ 3); each step is one equi-join of
-    the frontier against the ranked edge list on (node, chosen rank)
-    — 3 bounded joins, no iteration state. Isolated nodes emit only
-    their start row (the walk terminates, as in DeepWalk)."""
-    edges = _knn_graph_edges(spark, sf_dir).select("src", "dst", "rank")
-    edges = edges.localCheckpoint(eager=False)
-    dg = edges.groupBy("src").agg(F.max("rank").cast("long").alias("deg"))
-    emb = load_table(spark, sf_dir, "embeddings")
-    frontier = emb.select(
-        F.col("vec_id").alias("walk_id"), F.col("vec_id").alias("node")
-    )
-    outs = [
-        frontier.select(
-            "walk_id", F.lit(0).cast("long").alias("step"), "node"
-        )
-    ]
-    for i in (1, 2, 3):
-        chosen = (
-            H.md5_long(
-                F.concat(F.col("walk_id").cast("string"), F.lit(f"|{i}")), "walk"
-            )
-            % F.col("deg")
-            + 1
-        )
-        frontier = (
-            frontier.join(dg, dg.src == frontier.node)
-            .join(
-                edges.select(
-                    F.col("src").alias("_es"),
-                    F.col("dst").alias("_ed"),
-                    F.col("rank").alias("_er"),
-                ),
-                (F.col("_es") == F.col("node")) & (F.col("_er") == chosen),
-            )
-            .select("walk_id", F.col("_ed").alias("node"))
-        )
-        outs.append(
-            frontier.select("walk_id", F.lit(i).cast("long").alias("step"), "node")
-        )
-    from functools import reduce
-
-    return reduce(lambda a, b: a.unionByName(b), outs)
-
-
-ORACLES["graph_random_walks"] = _walks_oracle()
-
-
-# ---------------------------------------------------------------------------
-# OOD mining + retention decay + sketch-merge proof wave (r5 cont.)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "ood_mahalanobis",
-    oracle="""
-    WITH ex AS (
-        SELECT vec_id, label, i AS pos, embedding[i + 1]::DOUBLE AS v
-        FROM embeddings, range(64) t(i)
-    ), st AS (
-        SELECT label, pos, round(avg(v), 6) AS m,
-               round(avg(v * v) - avg(v) * avg(v), 6) AS s2
-        FROM ex GROUP BY label, pos
-    ), d AS (
-        SELECT e.vec_id, e.label,
-               CAST(sum(CAST(round((e.v - st.m) * (e.v - st.m)
-                    / (st.s2 + 0.000001) * 1e9) AS BIGINT)) AS BIGINT) AS mdu
-        FROM ex e JOIN st ON e.label = st.label AND e.pos = st.pos
-        GROUP BY e.vec_id, e.label
-    )
-    SELECT CAST(row_number() OVER (ORDER BY mdu DESC, vec_id) AS BIGINT) AS rank,
-           vec_id, label, round(sqrt(mdu / 1e9), 6) AS mahalanobis
-    FROM d ORDER BY mdu DESC, vec_id LIMIT 20
-    """,
-)
-def ood_mahalanobis_q(spark, sf_dir):
-    """Out-of-distribution mining via diagonal-covariance Mahalanobis
-    distance (Lee NeurIPS'18's OOD score; the statistically-honest
-    upgrade of label_outliers' euclidean — a dimension with natural
-    spread shouldn't scream outlier): per-(label, dim) mean AND
-    variance from the same single posexplode shuffle, both ROUNDED to
-    6 dp so the reference representation is engine-stable; per-dim
-    contributions (x−μ)²/(σ²+ε) quantize to nano-units before the
-    order-free integer sum; top-20 via sort-limit. The |labels|×dim
-    stats frame broadcasts — nothing pairwise anywhere."""
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    ex = emb.select(
-        "vec_id",
-        "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
-    )
-    st = ex.groupBy("label", "pos").agg(
-        F.round(F.avg("v"), 6).alias("m"),
-        F.round(F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v"), 6).alias(
-            "s2"
-        ),
-    )
-    contrib = F.round(
-        (F.col("v") - F.col("m"))
-        * (F.col("v") - F.col("m"))
-        / (F.col("s2") + 0.000001)
-        * 1e9
-    ).cast("long")
-    d = (
-        ex.join(F.broadcast(st), ["label", "pos"])
-        .groupBy("vec_id", "label")
-        .agg(F.sum(contrib).alias("mdu"))
-    )
-    w = Window.orderBy(F.col("mdu").desc(), "vec_id")
-    return (
-        d.orderBy(F.col("mdu").desc(), "vec_id")
-        .limit(20)
-        .select(
-            F.row_number().over(w).cast("long").alias("rank"),
-            "vec_id",
-            "label",
-            F.round(F.sqrt(F.col("mdu") / 1e9), 6).alias("mahalanobis"),
-        )
-    )
-
-
-@query(
-    "retention_halflife_fit",
-    oracle="""
-    WITH e AS (
-        SELECT user_id, epoch_ns(ts) // 86400000000000 AS wk FROM events
-    ), fw AS (
-        SELECT user_id, min(wk) AS first_wk FROM e GROUP BY user_id
-    ), mx AS (SELECT max(wk) AS maxw FROM e),
-    act AS (
-        SELECT DISTINCT e.user_id, e.wk - f.first_wk AS off
-        FROM e JOIN fw f USING (user_id)
-    ), num AS (
-        SELECT off, CAST(count(*) AS BIGINT) AS active
-        FROM act WHERE off >= 1 AND off <= 14 GROUP BY off
-    ), den AS (
-        SELECT o.off, CAST(count(*) AS BIGINT) AS eligible
-        FROM fw, mx, (SELECT unnest(range(1, 15)) AS off) o
-        WHERE fw.first_wk + o.off <= mx.maxw
-        GROUP BY o.off
-    ), pts AS (
-        SELECT n.off AS x,
-               ln(CAST(n.active AS DOUBLE) / d.eligible) AS y
-        FROM num n JOIN den d USING (off)
-        WHERE n.active > 0 AND d.eligible > 0
-    ), q AS (
-        SELECT CAST(x AS BIGINT) AS xi,
-               CAST(round(y * 1000000) AS BIGINT) AS yu
-        FROM pts
-    ), m AS (
-        SELECT CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(xi) AS BIGINT) AS sx,
-               CAST(sum(xi * xi) AS BIGINT) AS sxx,
-               CAST(sum(yu) AS BIGINT) AS sy,
-               CAST(sum(xi * yu) AS BIGINT) AS sxy,
-               CAST(sum(yu * yu) AS BIGINT) AS syy
-        FROM q
-    )
-    SELECT n AS n_points,
-           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-                ELSE round(-(CAST(n * sxy - sx * sy AS DOUBLE)
-                             / (n * sxx - sx * sx)) / 1e6, 6) END AS lambda,
-           CASE WHEN n * sxx - sx * sx = 0 OR n * sxy - sx * sy >= 0 THEN NULL
-                ELSE round(0.6931471805599453
-                           / ((CAST(n * sxy - sx * sy AS DOUBLE)
-                               / (n * sxx - sx * sx)) / -1e6), 6) END
-               AS half_life_days,
-           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
-                ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) * (n * sxy - sx * sy)
-                           / ((CAST(n * sxx - sx * sx AS DOUBLE))
-                              * (CAST(n * syy - sy * sy AS DOUBLE))), 6) END AS r2
-    FROM m
-    """,
-)
-def retention_halflife_fit_q(spark, sf_dir):
-    """Retention half-life fit (the engagement-decay constant a
-    growth model plugs into LTV math: retention ≈ e^(−λ·age) ⇒
-    half-life = ln2/λ): pooled daily retention rates at offsets 1-14
-    with censoring-aware denominators (only users whose first week
-    leaves room for the offset count as eligible), then log-linear
-    OLS via the exact-moment closed form — ln(rate) micro-quantizes
-    so all five moments are order-free BIGINTs (zipf_fit's recipe
-    pointed at the retention curve). One (user, week) distinct +
-    week-bounded frames after."""
-    ev = load_table(spark, sf_dir, "events")
-    e = ev.select("user_id", F.expr("ts_ns div 86400000000000").alias("wk"))
-    fw = e.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
-    mx = e.agg(F.max("wk").alias("maxw"))
-    act = (
-        e.join(fw, "user_id")
-        .select("user_id", (F.col("wk") - F.col("first_wk")).alias("off"))
-        .distinct()
-    )
-    num = (
-        act.filter((F.col("off") >= 1) & (F.col("off") <= 14))
-        .groupBy("off")
-        .agg(F.count("*").cast("long").alias("active"))
-    )
-    offs = spark.range(1, 15).select(F.col("id").alias("off"))
-    den = (
-        fw.crossJoin(F.broadcast(mx))
-        .crossJoin(F.broadcast(offs))
-        .filter(F.col("first_wk") + F.col("off") <= F.col("maxw"))
-        .groupBy("off")
-        .agg(F.count("*").cast("long").alias("eligible"))
-    )
-    pts = (
-        num.join(den, "off")
-        .filter((F.col("active") > 0) & (F.col("eligible") > 0))
-        .select(
-            F.col("off").cast("long").alias("xi"),
-            F.expr(
-                "cast(round(ln(cast(active as double) / eligible) * 1000000) as bigint)"
-            ).alias("yu"),
-        )
-    )
-    m = pts.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("xi").cast("long").alias("sx"),
-        F.sum(F.col("xi") * F.col("xi")).cast("long").alias("sxx"),
-        F.sum("yu").cast("long").alias("sy"),
-        F.sum(F.col("xi") * F.col("yu")).cast("long").alias("sxy"),
-        F.sum(F.col("yu") * F.col("yu")).cast("long").alias("syy"),
-    )
-    sxx_d = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    sxy_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    syy_d = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    slope = sxy_n.cast("double") / sxx_d
-    return m.select(
-        F.col("n").alias("n_points"),
-        F.when(sxx_d == 0, F.lit(None).cast("double"))
-        .otherwise(F.round(-slope / 1e6, 6))
-        .alias("lambda"),
-        F.when((sxx_d == 0) | (sxy_n >= 0), F.lit(None).cast("double"))
-        .otherwise(
-            F.round(F.lit(0.6931471805599453) / (slope / F.lit(-1e6)), 6)
-        )
-        .alias("half_life_days"),
-        F.when((sxx_d == 0) | (syy_d == 0), F.lit(None).cast("double"))
-        .otherwise(
-            F.round(
-                sxy_n.cast("double") * sxy_n / (sxx_d.cast("double") * syy_d.cast("double")),
-                6,
-            )
-        )
-        .alias("r2"),
-    )
-
-
-@query("hll_merge_rollup", oracle=None)  # oracle attached below
-def hll_merge_rollup_q(spark, sf_dir):
-    """HLL register-merge proof (the property that makes HLL the
-    distributed distinct counter: per-slice sketches merge by
-    register-wise max, and merging per-type sketches yields EXACTLY
-    the registers a direct whole-corpus sketch builds — so the merged
-    estimate equals the rebuild estimate bit-for-bit, hash-proven
-    here by the 'merged' and 'direct' rows agreeing): per-event-type
-    register tables from one (type, idx) groupBy over the shift-or
-    rho cascade, the merged sketch one register-wise max over the
-    5×256-bounded frame, the direct sketch recomputed from scratch
-    from the raw hashes. Per scope: set registers, HLL estimate
-    (small-range corrected), exact NDV. 256 bytes of state per
-    slice is what crosses the wire at 100 TB — not user lists."""
-    ev = load_table(spark, sf_dir, "events")
-    SCALE = 9007199254740992  # 2^53
-
-    def regs_for(frame, scope_col):
-        h = frame.select(
-            scope_col.alias("scope"),
-            H.md5_long(F.col("user_id").cast("string")).alias("h"),
-        ).distinct()
-        b = h.select(
-            "scope",
-            F.expr("shiftright(h, 52)").alias("idx"),
-            F.expr("h & 4503599627370495").alias("w"),
-        )
-        for k in (1, 2, 4, 8, 16, 32):
-            b = b.withColumn("w", F.expr(f"w | shiftright(w, {k})"))
-        return b.groupBy("scope", "idx").agg(
-            F.expr("max(53 - bit_count(w))").alias("m_j")
-        )
-
-    per_type = regs_for(ev, F.col("event_type")).localCheckpoint(eager=False)
-    merged = per_type.groupBy("idx").agg(F.max("m_j").alias("m_j")).select(
-        F.lit("merged").alias("scope"), "idx", "m_j"
-    )
-    direct = regs_for(ev, F.lit("direct"))
-    regs = per_type.unionByName(merged).unionByName(direct)
-    agg = regs.groupBy("scope").agg(
-        F.count("*").alias("n_present"),
-        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(53 - m_j as int))")).alias(
-            "sum_scaled"
-        ),
-    )
-    est = agg.select(
-        "scope",
-        (F.lit(256) - F.col("n_present")).alias("n_zero"),
-        (
-            F.lit(0.7213 / (1 + 1.079 / 256))
-            * F.lit(65536.0)
-            * F.lit(float(SCALE))
-            / (F.col("sum_scaled") + (F.lit(256) - F.col("n_present")) * F.lit(SCALE))
-        ).alias("e_raw"),
-    )
-    ex_t = ev.groupBy(F.col("event_type").alias("scope")).agg(
-        F.count_distinct("user_id").alias("ndv_exact")
-    )
-    ex_all = ev.agg(F.count_distinct("user_id").alias("ndv"))
-    ex_md = ex_all.select(
-        F.explode(F.array(F.lit("merged"), F.lit("direct"))).alias("scope"),
-        F.col("ndv").alias("ndv_exact"),
-    )
-    exact = ex_t.unionByName(ex_md)
-    e_fix = F.when(
-        (F.col("e_raw") <= F.lit(640.0)) & (F.col("n_zero") > 0),
-        F.lit(256.0) * F.log(F.lit(256.0) / F.col("n_zero")),
-    ).otherwise(F.col("e_raw"))
-    return est.join(exact, "scope").select(
-        "scope",
-        F.col("n_zero").cast("long").alias("n_zero_registers"),
-        F.round(e_fix, 6).alias("ndv_est"),
-        F.col("ndv_exact").cast("long").alias("ndv_exact"),
-    )
-
-
-def _hll_merge_oracle() -> str:
-    def cascade(src_sql: str) -> str:
-        return f"""
-        SELECT scope, idx, max(53 - bit_count(
-            w | (w >> 1) | (w >> 2) | (w >> 4) | (w >> 8) | (w >> 16) | (w >> 32)
-        )) AS m_j
-        FROM (
-            SELECT scope, h >> 52 AS idx, h & 4503599627370495 AS w FROM ({src_sql})
-        ) GROUP BY scope, idx
-        """
-
-    # NOTE: the fill cascade above is equivalent to the sequential
-    # shift-or chain: OR-ing all shifted copies of the already-filled
-    # word saturates every bit below the highest set bit.
-    per_type_src = (
-        "SELECT DISTINCT event_type AS scope, "
-        + H.dd_md5_long("user_id::VARCHAR")
-        + " AS h FROM events"
-    )
-    direct_src = (
-        "SELECT DISTINCT 'direct' AS scope, "
-        + H.dd_md5_long("user_id::VARCHAR")
-        + " AS h FROM events"
-    )
-    return f"""
-    WITH per_type AS ({cascade(per_type_src)}),
-    merged AS (
-        SELECT 'merged' AS scope, idx, max(m_j) AS m_j FROM per_type GROUP BY idx
-    ),
-    direct AS ({cascade(direct_src)}),
-    regs AS (
-        SELECT * FROM per_type UNION ALL SELECT * FROM merged
-        UNION ALL SELECT * FROM direct
-    ), agg AS (
-        SELECT scope, count(*) AS n_present,
-               sum(1::BIGINT << (53 - m_j)) AS sum_scaled
-        FROM regs GROUP BY scope
-    ), est AS (
-        SELECT scope, 256 - n_present AS n_zero,
-               (0.7213 / (1 + 1.079 / 256)) * 65536.0 * 9007199254740992.0
-                   / (sum_scaled + (256 - n_present) * 9007199254740992) AS e_raw
-        FROM agg
-    ), ex AS (
-        SELECT event_type AS scope, count(DISTINCT user_id) AS ndv_exact
-        FROM events GROUP BY event_type
-        UNION ALL
-        SELECT 'merged', count(DISTINCT user_id) FROM events
-        UNION ALL
-        SELECT 'direct', count(DISTINCT user_id) FROM events
-    )
-    SELECT est.scope,
-           CAST(n_zero AS BIGINT) AS n_zero_registers,
-           round(CASE WHEN e_raw <= 640.0 AND n_zero > 0
-                      THEN 256.0 * ln(256.0 / n_zero) ELSE e_raw END, 6) AS ndv_est,
-           CAST(ndv_exact AS BIGINT) AS ndv_exact
-    FROM est JOIN ex ON est.scope = ex.scope
-    """
-
-
-ORACLES["hll_merge_rollup"] = _hll_merge_oracle()
-
-
-# ---------------------------------------------------------------------------
-# Growth accounting + LTR pairs + autocomplete wave (r5 cont.)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "growth_accounting",
-    oracle="""
-    WITH ud AS (
-        SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
-        FROM events
-    ), mx AS (SELECT max(day) AS maxd FROM ud),
-    w AS (
-        SELECT user_id, day,
-               lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
-               lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
-        FROM ud
-    ), status AS (
-        SELECT day,
-               CASE WHEN prev IS NULL THEN 'new'
-                    WHEN prev = day - 1 THEN 'retained'
-                    ELSE 'resurrected' END AS st
-        FROM w
-    ), per AS (
-        SELECT day,
-               CAST(count(*) AS BIGINT) AS dau,
-               CAST(sum(CASE WHEN st = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
-               CAST(sum(CASE WHEN st = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS retained,
-               CAST(sum(CASE WHEN st = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
-        FROM status GROUP BY day
-    ), churn AS (
-        SELECT day + 1 AS day, CAST(count(*) AS BIGINT) AS churned
-        FROM w, mx
-        WHERE (nxt IS NULL OR nxt > day + 1) AND day + 1 <= mx.maxd
-        GROUP BY day + 1
-    )
-    SELECT CAST(p.day AS BIGINT) AS day, p.dau, p.new_users, p.retained,
-           p.resurrected, CAST(coalesce(c.churned, 0) AS BIGINT) AS churned
-    FROM per p LEFT JOIN churn c ON p.day = c.day
-    """,
-)
-def growth_accounting_q(spark, sf_dir):
-    """Growth accounting (the DAU decomposition identity every growth
-    team reports: DAU(t) = new + retained + resurrected, and net
-    growth = new + resurrected − churned — which of the three is
-    moving is the difference between a launch working and a leaky
-    bucket): one DISTINCT (user, day) pass, then lag/lead on the SAME
-    user window classify every active day (first-ever / consecutive /
-    gap-return) and locate each churn event at its day+1; two
-    map-side-combinable day rollups merge on integer day keys. The
-    conservation identity is hash-checked by construction and
-    invariant-tested."""
-    ev = load_table(spark, sf_dir, "events")
-    ud = ev.select(
-        "user_id", F.expr("ts_ns div 86400000000000").alias("day")
-    ).distinct()
-    mx = ud.agg(F.max("day").alias("maxd"))
-    wu = Window.partitionBy("user_id").orderBy("day")
-    w = ud.select(
-        "user_id",
-        "day",
-        F.lag("day").over(wu).alias("prev"),
-        F.lead("day").over(wu).alias("nxt"),
-    )
-    st = F.when(F.col("prev").isNull(), "new").when(
-        F.col("prev") == F.col("day") - 1, "retained"
-    ).otherwise("resurrected")
-    per = w.groupBy("day").agg(
-        F.count("*").cast("long").alias("dau"),
-        F.sum((st == "new").cast("int")).cast("long").alias("new_users"),
-        F.sum((st == "retained").cast("int")).cast("long").alias("retained"),
-        F.sum((st == "resurrected").cast("int")).cast("long").alias("resurrected"),
-    )
-    churn = (
-        w.crossJoin(F.broadcast(mx))
-        .filter(
-            (F.col("nxt").isNull() | (F.col("nxt") > F.col("day") + 1))
-            & (F.col("day") + 1 <= F.col("maxd"))
-        )
-        .groupBy((F.col("day") + 1).alias("day"))
-        .agg(F.count("*").cast("long").alias("churned"))
-    )
-    return per.join(churn, "day", "left").select(
-        F.col("day").cast("long").alias("day"),
-        "dau",
-        "new_users",
-        "retained",
-        "resurrected",
-        F.coalesce("churned", F.lit(0)).cast("long").alias("churned"),
-    )
-
-
-@query(
-    "ltr_pair_gen",
-    oracle=f"""
-    WITH tot AS (SELECT count(*) AS t FROM embeddings),
-    q AS (
-        SELECT vec_id AS query_id, embedding AS qv,
-               (vec_id * 7 + 3) % (SELECT t FROM tot) AS expected_id
-        FROM embeddings WHERE vec_id < 10
-    ), scored AS (
-        SELECT q.query_id, q.expected_id, e.vec_id,
-               {_dd_cosine('e.embedding', 'q.qv')} AS score
-        FROM embeddings e, q
-    ), ranked AS (
-        SELECT query_id, expected_id, vec_id, score,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY score DESC, vec_id) AS rank
-        FROM scored
-    ), top AS (SELECT * FROM ranked WHERE rank <= 10),
-    pos AS (
-        SELECT query_id, vec_id AS pos_id, rank AS pos_rank, score AS pos_score
-        FROM top WHERE vec_id = expected_id
-    )
-    SELECT p.query_id, p.pos_id,
-           t.vec_id AS neg_id,
-           CAST(p.pos_rank AS BIGINT) AS pos_rank,
-           CAST(t.rank AS BIGINT) AS neg_rank,
-           round(p.pos_score - t.score, 6) AS score_margin
-    FROM pos p JOIN top t
-      ON t.query_id = p.query_id AND t.rank < p.pos_rank
-    """,
-)
-def ltr_pair_gen_q(spark, sf_dir):
-    """Learning-to-rank pair extraction (Joachims KDD'02 skip-above:
-    when the relevant doc sits at rank r, every doc ranked ABOVE it
-    was seen and skipped — each (skipped, relevant) pair is a
-    preference judgment, the training data behind rerank_two_stage's
-    swap point): batch retrieval reuses topk_batch's broadcast-query
-    partial-top-k plan, the positive is the expected doc when it
-    lands in the top-10, negatives are exactly the docs out-ranking
-    it, score_margin the regression target. Pair volume is
-    k-bounded per query (≤ k−1 pairs), never corpus-shaped."""
-    from .operators import knn as knn_ops
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    total_df = emb.select(F.count("*").alias("_t"))
-    queries = (
-        emb.filter(F.col("vec_id") < 10)
-        .crossJoin(F.broadcast(total_df))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("query_vec"),
-            ((F.col("vec_id") * 7 + 3) % F.col("_t")).alias("expected_id"),
-        )
-    )
-    top = knn_ops.topk_batch(emb, queries, k=10).join(
-        F.broadcast(queries.select("query_id", "expected_id")), "query_id"
-    )
-    pos = top.filter(F.col("vec_id") == F.col("expected_id")).select(
-        "query_id",
-        F.col("vec_id").alias("pos_id"),
-        F.col("rank").alias("pos_rank"),
-        F.col("score").alias("pos_score"),
-    )
-    return (
-        top.join(F.broadcast(pos), "query_id")
-        .filter(F.col("rank") < F.col("pos_rank"))
-        .select(
-            "query_id",
-            "pos_id",
-            F.col("vec_id").alias("neg_id"),
-            F.col("pos_rank").cast("long").alias("pos_rank"),
-            F.col("rank").cast("long").alias("neg_rank"),
-            F.round(F.col("pos_score") - F.col("score"), 6).alias("score_margin"),
-        )
-    )
-
-
-_AUTOCOMPLETE_PREFIXES = ("sp", "ba", "fi", "wi", "s")
-
-
-@query(
-    "prefix_autocomplete",
-    oracle=f"""
-    WITH tok AS (
-        SELECT unnest(string_split(text, ' ')) AS term FROM documents
-    ), freq AS (
-        SELECT term, CAST(count(*) AS BIGINT) AS freq
-        FROM tok WHERE term <> '' GROUP BY term
-    ), edge AS (
-        SELECT term, freq, substr(term, 1, i) AS prefix
-        FROM freq, range(1, 5) t(i)
-        WHERE length(term) >= i
-    ), q AS (
-        SELECT prefix FROM (VALUES {", ".join(f"('{p}')" for p in _AUTOCOMPLETE_PREFIXES)}) AS t(prefix)
-    ), ranked AS (
-        SELECT q.prefix, e.term, e.freq,
-               row_number() OVER (PARTITION BY q.prefix
-                                  ORDER BY e.freq DESC, e.term) AS rank
-        FROM q JOIN edge e ON e.prefix = q.prefix
-    )
-    SELECT prefix, CAST(rank AS BIGINT) AS rank, term, freq
-    FROM ranked WHERE rank <= 5
-    """,
-)
-def prefix_autocomplete_q(spark, sf_dir):
-    """Prefix autocomplete via edge n-grams (Elasticsearch's
-    edge_ngram / search-as-you-type index): the corpus collapses to
-    its frequency-weighted VOCABULARY first (everything downstream
-    vocabulary-sized), terms explode into 1-4 char edge prefixes (the
-    materialization an autocomplete index stores), live-typed
-    prefixes join by exact key, completions rank by corpus frequency
-    with term tie-break via the agg-based top-k. At 100 TB the edge
-    table is the build artifact — query cost is a point lookup per
-    keystroke, independent of corpus size."""
-    from .functions import text as X
-
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    freq = (
-        docs.select(F.explode(X.tokens(F.col("text"))).alias("term"))
-        .filter(F.col("term") != "")
-        .groupBy("term")
-        .agg(F.count("*").cast("long").alias("freq"))
-    )
-    edge = freq.select(
-        "term",
-        "freq",
-        F.explode(
-            F.expr(
-                "filter(transform(sequence(1, 4), i -> substr(term, 1, i)), "
-                "p -> length(term) >= length(p))"
-            )
-        ).alias("prefix"),
-    )
-    q = spark.createDataFrame(
-        [(p,) for p in _AUTOCOMPLETE_PREFIXES], "prefix string"
-    )
-    pairs = edge.join(F.broadcast(q), "prefix")
-    cand = F.struct(
-        (-F.col("freq")).alias("_o"), F.col("term"), F.col("freq").alias("_f")
-    )
-    top = (
-        pairs.groupBy("prefix")
-        .agg(F.slice(F.sort_array(F.collect_list(cand)), 1, 5).alias("top"))
-        .select("prefix", F.posexplode("top").alias("pos", "p"))
-    )
-    return top.select(
-        "prefix",
-        (F.col("pos") + 1).cast("long").alias("rank"),
-        F.col("p.term").alias("term"),
-        F.col("p._f").alias("freq"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Decision-systems wave (r5 cont.): UCB bandit replay, propensity matching
-# ---------------------------------------------------------------------------
-
-_UCB_ARMS = ("click", "error", "purchase", "signup", "view")  # alpha order
-_UCB_ROUNDS = 30
-
-
-def _ucb_oracle() -> str:
-    arms = _UCB_ARMS
-    short = {a: a[0] + ("2" if a == "signup" else "") for a in arms}
-    zero = ", ".join(
-        f"CAST(0 AS BIGINT) AS n_{short[a]}, CAST(0 AS BIGINT) AS s_{short[a]}"
-        for a in arms
-    )
-    ucb = {
-        a: (
-            f"(CAST(it.s_{short[a]} AS DOUBLE) / it.n_{short[a]} / 1e6"
-            f" + sqrt(2 * ln(CAST(it.t AS DOUBLE)) / it.n_{short[a]}))"
-        )
-        for a in arms
-    }
-    maxu = "greatest(" + ", ".join(ucb[a] for a in arms) + ")"
-    pick_ucb = "CASE " + " ".join(
-        f"WHEN {ucb[a]} = {maxu} THEN '{a}'" for a in arms
-    ) + " END"
-    init_pick = "CASE it.t + 1 " + " ".join(
-        f"WHEN {i + 1} THEN '{a}'" for i, a in enumerate(arms)
-    ) + " END"
-    choice = f"CASE WHEN it.t + 1 <= {len(arms)} THEN {init_pick} ELSE {pick_ucb} END"
-    arm_arr = "CASE ch.arm " + " ".join(
-        f"WHEN '{a}' THEN rrow.rs_{short[a]}" for a in arms
-    ) + " END"
-    best_arr = "CASE best.arm " + " ".join(
-        f"WHEN '{a}' THEN rrow.rs_{short[a]}" for a in arms
-    ) + " END"
-    upd = ", ".join(
-        f"it.n_{short[a]} + CASE WHEN ch.arm = '{a}' THEN 1 ELSE 0 END AS n_{short[a]}, "
-        f"it.s_{short[a]} + CASE WHEN ch.arm = '{a}' THEN ch.r_u ELSE 0 END AS s_{short[a]}"
-        for a in arms
-    )
-    rrow_cols = ", ".join(
-        f"max(CASE WHEN arm = '{a}' THEN rs END) AS rs_{short[a]}" for a in arms
-    )
-    return f"""
-    WITH RECURSIVE rt AS (
-        SELECT event_type AS arm, epoch_ns(ts) // 86400000000000
-               - (SELECT min(epoch_ns(ts) // 86400000000000) FROM events) AS day,
-               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
-                 // CAST(count(*) AS BIGINT) AS r_u
-        FROM events GROUP BY 1, 2
-    ), spine AS (
-        SELECT a.arm, d.day
-        FROM (SELECT unnest({list(arms)!r}) AS arm) a, range({_UCB_ROUNDS}) d(day)
-    ), filled AS (
-        SELECT s.arm, s.day, coalesce(rt.r_u, 0) AS r_u
-        FROM spine s LEFT JOIN rt ON rt.arm = s.arm AND rt.day = s.day
-    ), rarr AS (
-        SELECT arm, list(r_u ORDER BY day) AS rs FROM filled GROUP BY arm
-    ), rrow AS (SELECT {rrow_cols} FROM rarr),
-    it AS (
-        SELECT 0 AS t, NULL::VARCHAR AS chosen, CAST(0 AS BIGINT) AS reward_u, {zero}
-        UNION ALL
-        SELECT it.t + 1, ch.arm, ({arm_arr})[it.t + 1], {upd}
-        FROM it, rrow, LATERAL (
-            SELECT {choice} AS arm,
-                   ({arm_arr.replace('ch.arm', choice)})[it.t + 1] AS r_u
-        ) ch
-        WHERE it.t < {_UCB_ROUNDS}
-    ), best AS (
-        SELECT arm FROM (
-            SELECT arm, CAST(list_sum(rs) AS BIGINT) AS tot FROM rarr
-        ) ORDER BY tot DESC, arm LIMIT 1
-    )
-    SELECT CAST(it.t AS BIGINT) AS round, it.chosen AS arm,
-           round(it.reward_u / 1e6, 6) AS reward,
-           round(CAST(sum(({best_arr})[it.t] - it.reward_u)
-                      OVER (ORDER BY it.t) AS DOUBLE) / 1e6, 6) AS cum_regret
-    FROM it, best, rrow
-    WHERE it.t >= 1
-    """
-
-
-@query("ucb_bandit_replay", oracle=None)  # oracle attached below
-def ucb_bandit_replay_q(spark, sf_dir):
-    """UCB1 bandit offline replay (Auer '02 — the
-    explore/exploit policy an adaptive experimentation platform runs
-    where a fixed A/B split would keep sending traffic to a losing
-    arm): arms = event types, rounds = the 30 days, reward(arm, day)
-    = that cell's EXACT integer micro-unit mean value (sum div n —
-    no float mean), each arm played once then UCB_i = mean_i +
-    √(2·ln t / n_i) with alphabetical tie-break. The replay is
-    inherently sequential, so it runs driver-side over the
-    150-row (arm × day) reward table (bounded-fit posture) and the
-    DuckDB RECURSIVE CTE replays all 30 decisions — state updates
-    are exact integers, the UCB comparison the single double
-    expression, so every pull, reward and the regret-vs-best-fixed-
-    arm ladder hash-check. The arm×day rollup is the only
-    data-proportional work."""
-    ev = load_table(spark, sf_dir, "events")
-    mind = ev.agg(F.min(F.expr("ts_ns div 86400000000000")).alias("d0"))
-    rt_rows = (
-        ev.crossJoin(F.broadcast(mind))
-        .groupBy(
-            F.col("event_type").alias("arm"),
-            (F.expr("ts_ns div 86400000000000") - F.col("d0")).alias("day"),
-        )
-        .agg(
-            (
-                F.sum(F.expr("cast(round(value * 1000000) as bigint)"))
-                .cast("long")
-                / F.count("*").cast("long")
-            )
-            .cast("long")
-            .alias("r_u")
-        )
-        .collect()
-    )
-    rt = {(r["arm"], r["day"]): r["r_u"] for r in rt_rows}
-    n = {a: 0 for a in _UCB_ARMS}
-    s = {a: 0 for a in _UCB_ARMS}
-    steps = []
-    for t in range(1, _UCB_ROUNDS + 1):
-        if t <= len(_UCB_ARMS):
-            arm = _UCB_ARMS[t - 1]
-        else:
-            tprev = t - 1
-            best_u, arm = None, None
-            us = {
-                a: s[a] / n[a] / 1e6 + _math.sqrt(2 * _math.log(float(tprev)) / n[a])
-                for a in _UCB_ARMS
-            }
-            mx = max(us.values())
-            arm = next(a for a in _UCB_ARMS if us[a] == mx)
-        r = rt.get((arm, t - 1), 0)
-        n[arm] += 1
-        s[arm] += r
-        steps.append((t, arm, r))
-    totals = {
-        a: sum(rt.get((a, d), 0) for d in range(_UCB_ROUNDS)) for a in _UCB_ARMS
-    }
-    best_arm = sorted(_UCB_ARMS, key=lambda a: (-totals[a], a))[0]
-    out, cum = [], 0
-    for t, arm, r in steps:
-        cum += rt.get((best_arm, t - 1), 0) - r
-        out.append((t, arm, r / 1e6, cum / 1e6))
-    return spark.createDataFrame(
-        out, "round long, arm string, reward double, cum_regret double"
-    )
-
-
-ORACLES["ucb_bandit_replay"] = _ucb_oracle()
-
-
-@query(
-    "propensity_matching_att",
-    oracle="""
-    WITH u0 AS (
-        SELECT user_id,
-               CAST(count(*) AS BIGINT) AS n_ev,
-               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
-               CAST(sum(CASE WHEN event_type = 'purchase'
-                             THEN CAST(round(value * 1000000) AS BIGINT)
-                             ELSE 0 END) AS BIGINT) AS y_u
-        FROM events GROUP BY user_id
-    ), med AS (
-        SELECT ns[CAST((n + 1) // 2 AS INTEGER)] AS med FROM (
-            SELECT list_sort(list(n_ev)) AS ns, count(*) AS n FROM u0)
-    ), u AS (
-        SELECT u0.*, CASE WHEN u0.n_ev > med.med THEN 1 ELSE 0 END AS treated
-        FROM u0, med
-    ), ps AS (
-        SELECT user_id, treated, y_u,
-               1.0 / (1.0 + exp(-(-1.0 + 0.3 * ln(1.0 + n_ev)
-                                  + 0.8 * (CAST(n_click AS DOUBLE) / n_ev)))) AS p
-        FROM u
-    ), tagged AS (
-        SELECT user_id, treated, y_u, p,
-               last_value(CASE WHEN treated = 0 THEN user_id END IGNORE NULLS)
-                   OVER (ORDER BY p, treated, user_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_user,
-               last_value(CASE WHEN treated = 0 THEN y_u END IGNORE NULLS)
-                   OVER (ORDER BY p, treated, user_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_y,
-               last_value(CASE WHEN treated = 0 THEN p END IGNORE NULLS)
-                   OVER (ORDER BY p, treated, user_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_p
-        FROM ps
-    ), matched AS (
-        SELECT * FROM tagged WHERE treated = 1 AND m_user IS NOT NULL
-    ), agg AS (
-        SELECT CAST((SELECT count(*) FROM ps WHERE treated = 1) AS BIGINT) AS n_treated,
-               CAST(count(*) AS BIGINT) AS n_matched,
-               CAST(sum(y_u - m_y) AS BIGINT) AS att_num_u,
-               CAST(sum(CAST(round(abs(p - m_p) * 1000000) AS BIGINT)) AS BIGINT) AS gap_u
-        FROM matched
-    ), naive AS (
-        SELECT CAST(sum(CASE WHEN treated = 1 THEN y_u ELSE 0 END) AS BIGINT) AS yt,
-               CAST(sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
-               CAST(sum(CASE WHEN treated = 0 THEN y_u ELSE 0 END) AS BIGINT) AS yc,
-               CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc
-        FROM ps
-    )
-    SELECT a.n_treated, a.n_matched,
-           round(CAST(a.att_num_u AS DOUBLE) / a.n_matched / 1e6, 6) AS att,
-           round(CAST(n.yt AS DOUBLE) / n.nt / 1e6
-                 - CAST(n.yc AS DOUBLE) / n.nc / 1e6, 6) AS naive_diff,
-           round(CAST(a.gap_u AS DOUBLE) / a.n_matched / 1e6, 6) AS mean_ps_gap
-    FROM agg a, naive n
-    """,
-)
-def propensity_matching_att_q(spark, sf_dir):
-    """Propensity-score matching ATT (Rosenbaum & Rubin '83 — the
-    observational-causal estimate when you can't randomize: compare
-    each treated user to a control with a similar propensity to be
-    treated, not to the control average): treatment = signed-up
-    users, outcome = purchase spend in exact micro-units, propensity
-    from a literal-weight logistic over activity features (documented
-    swap point for a trained model — the quality_classifier posture).
-    Matching is NOT a pairwise search: controls and treated UNION-TAG
-    onto one propensity ordering and a running last(control) window
-    hands every treated user its nearest preceding control in ONE
-    pass (greedy with replacement, deterministic ties) — the as-of
-    recurrence on the propensity axis instead of time. ATT and the
-    balance readout (mean propensity gap) come from exact integer
-    sums; naive_diff shows the selection bias matching removed."""
-    ev = load_table(spark, sf_dir, "events")
-    u0 = ev.groupBy("user_id").agg(
-        F.count("*").cast("long").alias("n_ev"),
-        F.sum((F.col("event_type") == "click").cast("int"))
-        .cast("long")
-        .alias("n_click"),
-        F.sum(
-            F.when(
-                F.col("event_type") == "purchase",
-                F.expr("cast(round(value * 1000000) as bigint)"),
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("y_u"),
-    )
-    # treatment = above-median activity (exact sorted-selection median
-    # as a broadcast scalar; approx_percentile is the 100 TB swap-in)
-    med = u0.agg(
-        F.element_at(
-            F.sort_array(F.collect_list("n_ev")),
-            F.expr("cast((count(*) + 1) div 2 as int)"),
-        ).alias("med")
-    )
-    u = u0.crossJoin(F.broadcast(med)).select(
-        "user_id",
-        "n_ev",
-        "n_click",
-        "y_u",
-        (F.col("n_ev") > F.col("med")).cast("long").alias("treated"),
-    )
-    p = 1.0 / (
-        1.0
-        + F.exp(
-            -(
-                -1.0
-                + 0.3 * F.log(1.0 + F.col("n_ev"))
-                + 0.8 * (F.col("n_click").cast("double") / F.col("n_ev"))
-            )
-        )
-    )
-    ps = u.select("user_id", "treated", "y_u", p.alias("p"))
-    wm = Window.orderBy("p", "treated", "user_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    tagged = ps.select(
-        "user_id",
-        "treated",
-        "y_u",
-        "p",
-        F.last(F.when(F.col("treated") == 0, F.col("user_id")), ignorenulls=True)
-        .over(wm)
-        .alias("m_user"),
-        F.last(F.when(F.col("treated") == 0, F.col("y_u")), ignorenulls=True)
-        .over(wm)
-        .alias("m_y"),
-        F.last(F.when(F.col("treated") == 0, F.col("p")), ignorenulls=True)
-        .over(wm)
-        .alias("m_p"),
-    )
-    matched = tagged.filter((F.col("treated") == 1) & F.col("m_user").isNotNull())
-    nt_df = ps.agg(
-        F.sum(F.when(F.col("treated") == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n_treated"),
-        F.sum(F.when(F.col("treated") == 1, F.col("y_u")).otherwise(0))
-        .cast("long")
-        .alias("yt"),
-        F.sum(F.when(F.col("treated") == 1, 1).otherwise(0)).cast("long").alias("nt"),
-        F.sum(F.when(F.col("treated") == 0, F.col("y_u")).otherwise(0))
-        .cast("long")
-        .alias("yc"),
-        F.sum(F.when(F.col("treated") == 0, 1).otherwise(0)).cast("long").alias("nc"),
-    )
-    agg = matched.agg(
-        F.count("*").cast("long").alias("n_matched"),
-        F.sum(F.col("y_u") - F.col("m_y")).cast("long").alias("att_num_u"),
-        F.sum(
-            F.expr("cast(round(abs(p - m_p) * 1000000) as bigint)")
-        )
-        .cast("long")
-        .alias("gap_u"),
-    )
-    return agg.crossJoin(F.broadcast(nt_df)).select(
-        "n_treated",
-        "n_matched",
-        F.round(F.col("att_num_u").cast("double") / F.col("n_matched") / 1e6, 6).alias(
-            "att"
-        ),
-        F.round(
-            F.col("yt").cast("double") / F.col("nt") / 1e6
-            - F.col("yc").cast("double") / F.col("nc") / 1e6,
-            6,
-        ).alias("naive_diff"),
-        F.round(F.col("gap_u").cast("double") / F.col("n_matched") / 1e6, 6).alias(
-            "mean_ps_gap"
-        ),
-    )
-
-
-# ---------------------------------------------------------------------------
-# In-engine learning + causal + graph-quality wave (r5 cont.)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "gmm_em_round",
-    oracle="""
-    WITH e AS (
-        SELECT CAST(round(value * 1000000) AS BIGINT) AS v_u FROM events
-    ), s AS (
-        SELECT CAST(count(*) AS BIGINT) AS n,
-               list_sort(list(v_u)) AS vs,
-               CAST(sum(CAST(v_u AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sv,
-               CAST(sum(CAST(v_u AS DECIMAL(38,0)) * v_u) AS DECIMAL(38,0)) AS svv
-        FROM e
-    ), init AS (
-        SELECT n,
-               vs[CAST((n + 3) // 4 AS INTEGER)] AS mu1,
-               vs[CAST((3 * n + 3) // 4 AS INTEGER)] AS mu2,
-               (CAST(svv AS DOUBLE) / n)
-                 - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n) AS sig2
-        FROM s
-    ), r AS (
-        SELECT e.v_u, i.mu1, i.mu2, i.sig2, i.n,
-               CAST(round(1000000.0 / (1.0 + exp(
-                   (CAST(e.v_u - i.mu1 AS DOUBLE) * (e.v_u - i.mu1)
-                    - CAST(e.v_u - i.mu2 AS DOUBLE) * (e.v_u - i.mu2))
-                   / (2.0 * i.sig2)))) AS BIGINT) AS r_u
-        FROM e, init i
-    ), m AS (
-        SELECT any_value(mu1) AS mu1, any_value(mu2) AS mu2,
-               any_value(sig2) AS sig2, any_value(n) AS n,
-               CAST(sum(CAST(r_u AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sr,
-               CAST(sum(CAST(r_u AS DECIMAL(38,0)) * v_u) AS DECIMAL(38,0)) AS srv,
-               CAST(sum(CAST(1000000 - r_u AS DECIMAL(38,0)) * v_u) AS DECIMAL(38,0)) AS scv,
-               CAST(sum(CAST(1000000 - r_u AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sc
-        FROM r
-    )
-    SELECT round(mu1 / 1e6, 6) AS mu1_init,
-           round(mu2 / 1e6, 6) AS mu2_init,
-           round(sig2 / 1e12, 6) AS sigma2_init,
-           round(CAST(srv AS DOUBLE) / CAST(sr AS DOUBLE) / 1e6, 6) AS mu1_next,
-           round(CAST(scv AS DOUBLE) / CAST(sc AS DOUBLE) / 1e6, 6) AS mu2_next,
-           round(CAST(sr AS DOUBLE) / n / 1e6, 6) AS pi1_next
-    FROM m
-    """,
-)
-def gmm_em_round_q(spark, sf_dir):
-    """One EM round of a 2-component 1-D Gaussian mixture on event
-    values (in-engine learning beside boosting_stump_round — the
-    bimodality probe behind 'is this metric one population or two?'):
-    deterministic init (μ = exact-selection quartiles, shared σ² from
-    exact DECIMAL moments, π = ½), E-step responsibilities collapse
-    to ONE sigmoid per row under the shared-σ identity
-    r = 1/(1+exp((d₁²−d₂²)/2σ²)) and quantize to micro-units, M-step
-    means/weights from DECIMAL-exact weighted sums — so the whole
-    round is order-free and hash-checks. One scan + one aggregate
-    per step; further rounds repeat the same shape (the
-    prove-the-iteration posture, one round deep here)."""
-    ev = load_table(spark, sf_dir, "events")
-    e = ev.select(F.expr("cast(round(value * 1000000) as bigint)").alias("v_u"))
-    s = e.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sort_array(F.collect_list("v_u")).alias("vs"),
-        F.sum(F.col("v_u").cast("decimal(38,0)")).alias("sv"),
-        F.sum(F.col("v_u").cast("decimal(38,0)") * F.col("v_u")).alias("svv"),
-    )
-    init = s.select(
-        "n",
-        F.element_at("vs", F.expr("cast((n + 3) div 4 as int)")).alias("mu1"),
-        F.element_at("vs", F.expr("cast((3 * n + 3) div 4 as int)")).alias("mu2"),
-        (
-            F.col("svv").cast("double") / F.col("n")
-            - (F.col("sv").cast("double") / F.col("n"))
-            * (F.col("sv").cast("double") / F.col("n"))
-        ).alias("sig2"),
-    )
-    r = e.crossJoin(F.broadcast(init)).select(
-        "v_u",
-        "mu1",
-        "mu2",
-        "sig2",
-        "n",
-        F.round(
-            1000000.0
-            / (
-                1.0
-                + F.exp(
-                    (
-                        (F.col("v_u") - F.col("mu1")).cast("double")
-                        * (F.col("v_u") - F.col("mu1"))
-                        - (F.col("v_u") - F.col("mu2")).cast("double")
-                        * (F.col("v_u") - F.col("mu2"))
-                    )
-                    / (2.0 * F.col("sig2"))
-                )
-            )
-        )
-        .cast("long")
-        .alias("r_u"),
-    )
-    m = r.agg(
-        F.first("mu1").alias("mu1"),
-        F.first("mu2").alias("mu2"),
-        F.first("sig2").alias("sig2"),
-        F.first("n").alias("n"),
-        F.sum(F.col("r_u").cast("decimal(38,0)")).alias("sr"),
-        F.sum(F.col("r_u").cast("decimal(38,0)") * F.col("v_u")).alias("srv"),
-        F.sum((F.lit(1000000) - F.col("r_u")).cast("decimal(38,0)") * F.col("v_u")).alias(
-            "scv"
-        ),
-        F.sum((F.lit(1000000) - F.col("r_u")).cast("decimal(38,0)")).alias("sc"),
-    )
-    return m.select(
-        F.round(F.col("mu1") / 1e6, 6).alias("mu1_init"),
-        F.round(F.col("mu2") / 1e6, 6).alias("mu2_init"),
-        F.round(F.col("sig2") / 1e12, 6).alias("sigma2_init"),
-        F.round(
-            F.col("srv").cast("double") / F.col("sr").cast("double") / 1e6, 6
-        ).alias("mu1_next"),
-        F.round(
-            F.col("scv").cast("double") / F.col("sc").cast("double") / 1e6, 6
-        ).alias("mu2_next"),
-        F.round(F.col("sr").cast("double") / F.col("n") / 1e6, 6).alias("pi1_next"),
-    )
-
-
-@query(
-    "mediation_analysis",
-    oracle="""
-    WITH d AS (
-        SELECT CAST(round(l_discount * 100) AS BIGINT) AS x,
-               CAST(round(l_quantity) AS BIGINT) AS md,
-               CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS y
-        FROM lineitem
-    ), mo AS (
-        SELECT CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
-               CAST(sum(CAST(md AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sm,
-               CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
-               CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
-               CAST(sum(CAST(md AS DECIMAL(38,0)) * md) AS DECIMAL(38,0)) AS smm,
-               CAST(sum(CAST(x AS DECIMAL(38,0)) * md) AS DECIMAL(38,0)) AS sxm,
-               CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
-               CAST(sum(CAST(md AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS smy
-        FROM d
-    ), c AS (
-        SELECT n,
-               CAST(n * sxx - sx * sx AS DOUBLE) AS cxx,
-               CAST(n * smm - sm * sm AS DOUBLE) AS cmm,
-               CAST(n * sxm - sx * sm AS DOUBLE) AS cxm,
-               CAST(n * sxy - sx * sy AS DOUBLE) AS cxy,
-               CAST(n * smy - sm * sy AS DOUBLE) AS cmy
-        FROM mo
-    )
-    SELECT n,
-           round(cxy / cxx / 100, 6) AS c_total,
-           round(cxm / cxx, 6) AS a_path,
-           round((cxx * cmy - cxm * cxy) / (cxx * cmm - cxm * cxm) / 100, 6) AS b_path,
-           round((cmm * cxy - cxm * cmy) / (cxx * cmm - cxm * cxm) / 100, 6) AS c_direct,
-           round((cxm / cxx) * ((cxx * cmy - cxm * cxy) / (cxx * cmm - cxm * cxm)) / 100, 6)
-               AS indirect,
-           round((cxm / cxx) * ((cxx * cmy - cxm * cxy) / (cxx * cmm - cxm * cxm))
-                 / (cxy / cxx), 6) AS prop_mediated
-    FROM c
-    """,
-)
-def mediation_analysis_q(spark, sf_dir):
-    """Baron-Kenny mediation decomposition (does discount move revenue
-    DIRECTLY or through quantity? — the causal-pathway accounting
-    behind pricing decisions): three OLS fits (y~x, m~x, y~x+m) all
-    derived from ONE aggregate's nine DECIMAL-exact moments — the
-    two-predictor fit via Cramer's rule on the centered 2×2 system
-    (quadratic_trend_fit's recipe), so no solver and no second scan;
-    total = direct + indirect reconciles by construction. Units:
-    discount in integer percent, revenue in cents, coefficients
-    emitted per-percent in currency units."""
-    li = load_table(spark, sf_dir, "lineitem")
-    d = li.select(
-        F.expr("cast(round(l_discount * 100) as bigint)").alias("x"),
-        F.expr("cast(round(l_quantity) as bigint)").alias("md"),
-        F.expr(
-            "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"
-        ).alias("y"),
-    )
-    mo = d.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
-        F.sum(F.col("md").cast("decimal(38,0)")).alias("sm"),
-        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
-        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
-        F.sum(F.col("md").cast("decimal(38,0)") * F.col("md")).alias("smm"),
-        F.sum(F.col("x").cast("decimal(38,0)") * F.col("md")).alias("sxm"),
-        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
-        F.sum(F.col("md").cast("decimal(38,0)") * F.col("y")).alias("smy"),
-    )
-    c = mo.select(
-        "n",
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double").alias("cxx"),
-        (F.col("n") * F.col("smm") - F.col("sm") * F.col("sm")).cast("double").alias("cmm"),
-        (F.col("n") * F.col("sxm") - F.col("sx") * F.col("sm")).cast("double").alias("cxm"),
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double").alias("cxy"),
-        (F.col("n") * F.col("smy") - F.col("sm") * F.col("sy")).cast("double").alias("cmy"),
-    )
-    det = F.col("cxx") * F.col("cmm") - F.col("cxm") * F.col("cxm")
-    b_path = (F.col("cxx") * F.col("cmy") - F.col("cxm") * F.col("cxy")) / det
-    return c.select(
-        "n",
-        F.round(F.col("cxy") / F.col("cxx") / 100, 6).alias("c_total"),
-        F.round(F.col("cxm") / F.col("cxx"), 6).alias("a_path"),
-        F.round(b_path / 100, 6).alias("b_path"),
-        F.round(
-            (F.col("cmm") * F.col("cxy") - F.col("cxm") * F.col("cmy")) / det / 100, 6
-        ).alias("c_direct"),
-        F.round((F.col("cxm") / F.col("cxx")) * b_path / 100, 6).alias("indirect"),
-        F.round(
-            (F.col("cxm") / F.col("cxx")) * b_path / (F.col("cxy") / F.col("cxx")), 6
-        ).alias("prop_mediated"),
-    )
-
-
-@query("graph_modularity", oracle=None)  # oracle attached below
-def graph_modularity_q(spark, sf_dir):
-    """Directed modularity of the LABEL partition on the kNN graph
-    (Newman '04 — does the graph 'see' the labels? high Q means
-    neighborhoods respect class structure, the go signal for
-    graph-propagated pseudo-labels and cluster-scoped dedup; Q≈0
-    means the labels are invisible to the geometry): edges from the
-    shared LSH-bounded build join id-keyed label lookups on both
-    endpoints, the mixing matrix is |labels|²-bounded, and
-    Q = Σ_c (e_cc·m − out_c·in_c) / m² keeps the whole numerator an
-    EXACT integer (one double division at emit). Companion number to
-    knn_graph_assortativity's degree correlation."""
-    edges = _knn_graph_edges(spark, sf_dir).select("src", "dst")
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    lab = (
-        edges.join(
-            emb.select(F.col("vec_id").alias("src"), F.col("label").alias("sl")),
-            "src",
-        )
-        .join(
-            emb.select(F.col("vec_id").alias("dst"), F.col("label").alias("dl")),
-            "dst",
-        )
-    )
-    mix = lab.groupBy("sl", "dl").agg(F.count("*").cast("long").alias("c"))
-    per = mix.groupBy("sl").agg(
-        F.sum("c").cast("long").alias("out_c"),
-        F.sum(F.when(F.col("sl") == F.col("dl"), F.col("c")).otherwise(0))
-        .cast("long")
-        .alias("e_cc"),
-    )
-    incoming = mix.groupBy(F.col("dl").alias("sl")).agg(
-        F.sum("c").cast("long").alias("in_c")
-    )
-    j = per.join(incoming, "sl", "full_outer").select(
-        F.coalesce("e_cc", F.lit(0)).alias("e_cc"),
-        F.coalesce("out_c", F.lit(0)).alias("out_c"),
-        F.coalesce("in_c", F.lit(0)).alias("in_c"),
-    )
-    tot = mix.agg(F.sum("c").cast("long").alias("m"))
-    agg = j.agg(
-        F.count("*").cast("long").alias("n_labels"),
-        F.sum("e_cc").cast("long").alias("sum_ecc"),
-        F.sum(F.col("out_c") * F.col("in_c")).cast("long").alias("sum_oi"),
-    )
-    return agg.crossJoin(F.broadcast(tot)).select(
-        F.col("m").alias("m_edges"),
-        "n_labels",
-        F.round(
-            (F.col("sum_ecc") * F.col("m") - F.col("sum_oi")).cast("double")
-            / (F.col("m").cast("double") * F.col("m")),
-            6,
-        ).alias("modularity"),
-    )
-
-
-def _modularity_oracle() -> str:
-    base = _knn_graph_oracle().rsplit("SELECT src, dst", 1)[0]
-    return base + """, e AS (
-        SELECT src, dst FROM ranked WHERE rank <= 3
-    ), lab AS (
-        SELECT a.label AS sl, b.label AS dl, CAST(count(*) AS BIGINT) AS c
-        FROM e JOIN embeddings a ON a.vec_id = e.src
-               JOIN embeddings b ON b.vec_id = e.dst
-        GROUP BY 1, 2
-    ), per AS (
-        SELECT sl, CAST(sum(c) AS BIGINT) AS out_c,
-               CAST(sum(CASE WHEN sl = dl THEN c ELSE 0 END) AS BIGINT) AS e_cc
-        FROM lab GROUP BY sl
-    ), inc AS (
-        SELECT dl AS sl, CAST(sum(c) AS BIGINT) AS in_c FROM lab GROUP BY dl
-    ), j AS (
-        SELECT coalesce(p.e_cc, 0) AS e_cc, coalesce(p.out_c, 0) AS out_c,
-               coalesce(i.in_c, 0) AS in_c
-        FROM per p FULL OUTER JOIN inc i USING (sl)
-    ), tot AS (SELECT CAST(sum(c) AS BIGINT) AS m FROM lab)
-    SELECT tot.m AS m_edges,
-           CAST((SELECT count(*) FROM j) AS BIGINT) AS n_labels,
-           round(CAST((SELECT sum(e_cc) FROM j) * tot.m
-                      - (SELECT sum(out_c * in_c) FROM j) AS DOUBLE)
-                 / (CAST(tot.m AS DOUBLE) * tot.m), 6) AS modularity
-    FROM tot
-    """
-
-
-ORACLES["graph_modularity"] = _modularity_oracle()
-
-
-# ---------------------------------------------------------------------------
-# Ranking agreement + sliding sketch wave (r5 cont.)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "rank_biased_overlap",
-    oracle=f"""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
-    toks AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS dl,
-               unnest(string_split(text, ' ')) AS term
-        FROM documents
-    ), qtoks AS (
-        SELECT * FROM toks WHERE term IN ('spark', 'join', 'fast')
-    ), tf AS (
-        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
-        FROM qtoks GROUP BY doc_id, term
-    ), stats AS (
-        SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl FROM documents
-    ), dfreq AS (
-        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
-    ), bm25 AS (
-        SELECT tf.doc_id,
-               sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
-                   * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))) AS bm25
-        FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
-        GROUP BY tf.doc_id
-    ), kw AS (
-        SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS ra
-        FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT 20
-    ), vec AS (
-        SELECT e.vec_id AS doc_id,
-               row_number() OVER (ORDER BY {_dd_cosine('e.embedding', 'q.qv')} DESC, e.vec_id) AS rb
-        FROM embeddings e, q
-        ORDER BY {_dd_cosine('e.embedding', 'q.qv')} DESC, e.vec_id LIMIT 20
-    ), shared AS (
-        SELECT kw.ra, vec.rb FROM kw JOIN vec USING (doc_id)
-    ), depths AS (SELECT unnest(range(1, 21)) AS d),
-    terms AS (
-        SELECT d.d,
-               CAST((SELECT count(*) FROM shared s WHERE s.ra <= d.d AND s.rb <= d.d)
-                    AS BIGINT) AS x_d
-        FROM depths d
-    ), contrib AS (
-        SELECT d, x_d,
-               CAST(round((1 - 0.9) * pow(0.9, d - 1) * x_d / d * 1000000000)
-                    AS BIGINT) AS c_u
-        FROM terms
-    )
-    SELECT CAST(20 AS BIGINT) AS depth, 0.9 AS p,
-           CAST((SELECT x_d FROM terms WHERE d = 20) AS BIGINT) AS overlap_at_depth,
-           round(CAST(sum(c_u) AS BIGINT) / 1e9, 6) AS rbo
-    FROM contrib
-    """,
-)
-def rank_biased_overlap_q(spark, sf_dir):
-    """Rank-biased overlap between the keyword and vector towers
-    (Webber TOIS'10 — the TOP-WEIGHTED ranking agreement measure:
-    kendall_tau_ranks weights every swap equally, RBO geometrically
-    discounts depth, which is what serving cares about when two
-    ranker versions disagree only in the tail): both depth-20
-    rankings reuse hybrid_search_rrf's towers, the per-depth overlap
-    X_d comes from one ≤20-row join crossed with the 20-row depth
-    spine (conditional counts on exact integer ranks), and the
-    truncated RBO sum quantizes each (1−p)p^(d−1)·X_d/d term to
-    nano-units so the 20-term sum is order-free. Everything after
-    the two top-k cuts is constant-bounded."""
-    from .operators.hybrid import bm25_scores
-    from .operators.knn import topk_per_key_agg
-
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
-    kw_sc = bm25_scores(docs, ["spark", "join", "fast"]).select(
-        F.col("doc_id").alias("_id"), F.col("bm25").alias("score")
-    )
-    kw = topk_per_key_agg(kw_sc.withColumn("_q", F.lit(0)), "_q", "_id", 20).select(
-        F.col("_id").alias("doc_id"), F.col("rank").alias("ra")
-    )
-    vec_sc = emb.crossJoin(F.broadcast(q)).select(
-        F.col("vec_id").alias("_id"),
-        V.cosine(F.col("embedding"), F.col("qv")).alias("score"),
-    )
-    vec = topk_per_key_agg(vec_sc.withColumn("_q", F.lit(0)), "_q", "_id", 20).select(
-        F.col("_id").alias("doc_id"), F.col("rank").alias("rb")
-    )
-    shared = kw.join(vec, "doc_id").select("ra", "rb")
-    depths = spark.range(1, 21).select(F.col("id").alias("d"))
-    terms = (
-        shared.crossJoin(F.broadcast(depths))
-        .groupBy("d")
-        .agg(
-            F.sum(
-                F.when((F.col("ra") <= F.col("d")) & (F.col("rb") <= F.col("d")), 1)
-                .otherwise(0)
-            )
-            .cast("long")
-            .alias("x_d")
-        )
-        # depths with zero overlap drop out of the groupBy — restore
-        .join(depths, "d", "right")
-        .select("d", F.coalesce("x_d", F.lit(0)).alias("x_d"))
-    )
-    contrib = terms.select(
-        "d",
-        "x_d",
-        F.round(
-            (1 - 0.9)
-            * F.pow(F.lit(0.9), F.col("d") - 1)
-            * F.col("x_d")
-            / F.col("d")
-            * 1e9
-        )
-        .cast("long")
-        .alias("c_u"),
-    )
-    x20 = terms.filter(F.col("d") == 20).select(F.col("x_d").alias("overlap_at_depth"))
-    return (
-        contrib.agg(F.sum("c_u").cast("long").alias("s_u"))
-        .crossJoin(F.broadcast(x20))
-        .select(
-            F.lit(20).cast("long").alias("depth"),
-            F.lit(0.9).alias("p"),
-            F.col("overlap_at_depth").cast("long").alias("overlap_at_depth"),
-            F.round(F.col("s_u") / F.lit(1e9), 6).alias("rbo"),
-        )
-    )
-
-
-@query(
-    "sliding_window_hll",
-    oracle=f"""
-    WITH ud AS (
-        SELECT DISTINCT user_id,
-               epoch_ns(ts) // 86400000000000
-               - (SELECT min(epoch_ns(ts) // 86400000000000) FROM events) AS day
-        FROM events
-    ), h AS (
-        SELECT DISTINCT day, {H.dd_md5_long('user_id::VARCHAR')} AS h FROM ud
-    ), regs AS (
-        SELECT day, h >> 52 AS idx,
-               max(53 - bit_count(
-                   (h & 4503599627370495)
-                   | ((h & 4503599627370495) >> 1) | ((h & 4503599627370495) >> 2)
-                   | ((h & 4503599627370495) >> 4) | ((h & 4503599627370495) >> 8)
-                   | ((h & 4503599627370495) >> 16) | ((h & 4503599627370495) >> 32)
-               )) AS m_j
-        FROM h GROUP BY day, idx
-    ), days AS (SELECT DISTINCT day FROM ud),
-    anchors AS (SELECT day AS anchor FROM days WHERE day >= 6),
-    win AS (
-        SELECT a.anchor, r.idx, max(r.m_j) AS m_j
-        FROM anchors a JOIN regs r
-          ON r.day BETWEEN a.anchor - 6 AND a.anchor
-        GROUP BY a.anchor, r.idx
-    ), agg AS (
-        SELECT anchor, count(*) AS n_present,
-               sum(1::BIGINT << (53 - m_j)) AS sum_scaled
-        FROM win GROUP BY anchor
-    ), est AS (
-        SELECT anchor, 256 - n_present AS n_zero,
-               (0.7213 / (1 + 1.079 / 256)) * 65536.0 * 9007199254740992.0
-                   / (sum_scaled + (256 - n_present) * 9007199254740992) AS e_raw
-        FROM agg
-    ), exact AS (
-        SELECT a.anchor, CAST(count(DISTINCT u.user_id) AS BIGINT) AS ndv_exact
-        FROM anchors a JOIN ud u ON u.day BETWEEN a.anchor - 6 AND a.anchor
-        GROUP BY a.anchor
-    )
-    SELECT CAST(e.anchor AS BIGINT) AS day, x.ndv_exact,
-           round(CASE WHEN e_raw <= 640.0 AND n_zero > 0
-                      THEN 256.0 * ln(256.0 / n_zero) ELSE e_raw END, 6) AS ndv_est,
-           round(abs(CASE WHEN e_raw <= 640.0 AND n_zero > 0
-                          THEN 256.0 * ln(256.0 / n_zero) ELSE e_raw END
-                     - x.ndv_exact) / x.ndv_exact, 6) AS rel_err
-    FROM est e JOIN exact x ON e.anchor = x.anchor
-    """,
-)
-def sliding_window_hll_q(spark, sf_dir):
-    """Rolling 7-day distinct users via HLL register merge (the
-    sketch answer to dau_stickiness' day-spine COUNT(DISTINCT):
-    sliding distinct does NOT decompose over window frames, but HLL
-    registers DO — per-day 256-byte register tables merge by max
-    over any window, so a year of rolling uniques costs one bounded
-    register join instead of 365 distinct recounts): per-day
-    registers from one grouped rho cascade, anchors join a 7-day
-    register range (days × 256-bounded), estimates carry the
-    standard small-range correction and are graded against the exact
-    rolling distinct. THIS is why the 100 TB pipeline stores per-day
-    sketches next to per-day rollups."""
-    ev = load_table(spark, sf_dir, "events")
-    mind = ev.agg(F.min(F.expr("ts_ns div 86400000000000")).alias("d0"))
-    ud = (
-        ev.crossJoin(F.broadcast(mind))
-        .select(
-            "user_id",
-            (F.expr("ts_ns div 86400000000000") - F.col("d0")).alias("day"),
-        )
-        .distinct()
-    )
-    h = ud.select(
-        "day", H.md5_long(F.col("user_id").cast("string")).alias("h")
-    ).distinct()
-    b = h.select(
-        "day",
-        F.expr("shiftright(h, 52)").alias("idx"),
-        F.expr("h & 4503599627370495").alias("w"),
-    )
-    for k in (1, 2, 4, 8, 16, 32):
-        b = b.withColumn("w", F.expr(f"w | shiftright(w, {k})"))
-    regs = b.groupBy("day", "idx").agg(
-        F.expr("max(53 - bit_count(w))").alias("m_j")
-    ).localCheckpoint(eager=False)
-    anchors = ud.select("day").distinct().filter(F.col("day") >= 6).select(
-        F.col("day").alias("anchor")
-    )
-    win = (
-        anchors.join(
-            regs,
-            (F.col("day") >= F.col("anchor") - 6) & (F.col("day") <= F.col("anchor")),
-        )
-        .groupBy("anchor", "idx")
-        .agg(F.max("m_j").alias("m_j"))
-    )
-    agg = win.groupBy("anchor").agg(
-        F.count("*").alias("n_present"),
-        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(53 - m_j as int))")).alias(
-            "sum_scaled"
-        ),
-    )
-    SCALE = 9007199254740992
-    est = agg.select(
-        "anchor",
-        (F.lit(256) - F.col("n_present")).alias("n_zero"),
-        (
-            F.lit(0.7213 / (1 + 1.079 / 256))
-            * F.lit(65536.0)
-            * F.lit(float(SCALE))
-            / (F.col("sum_scaled") + (F.lit(256) - F.col("n_present")) * F.lit(SCALE))
-        ).alias("e_raw"),
-    )
-    exact = (
-        anchors.join(
-            ud,
-            (F.col("day") >= F.col("anchor") - 6) & (F.col("day") <= F.col("anchor")),
-        )
-        .groupBy("anchor")
-        .agg(F.count_distinct("user_id").cast("long").alias("ndv_exact"))
-    )
-    e_fix = F.when(
-        (F.col("e_raw") <= F.lit(640.0)) & (F.col("n_zero") > 0),
-        F.lit(256.0) * F.log(F.lit(256.0) / F.col("n_zero")),
-    ).otherwise(F.col("e_raw"))
-    return est.join(exact, "anchor").select(
-        F.col("anchor").cast("long").alias("day"),
-        "ndv_exact",
-        F.round(e_fix, 6).alias("ndv_est"),
-        F.round(F.abs(e_fix - F.col("ndv_exact")) / F.col("ndv_exact"), 6).alias(
-            "rel_err"
-        ),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Content-defined chunking + backfill planning wave (r5 cont.)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "cdc_chunking",
-    oracle=f"""
-    WITH d AS (
-        SELECT doc_id, string_split(text, ' ') AS t,
-               len(string_split(text, ' ')) AS n
-        FROM documents
-    ), cuts AS (
-        SELECT doc_id, t, n,
-               [0] || [j FOR j IN range(4, CAST(n AS BIGINT))
-                       IF {H.dd_md5_long("array_to_string(t[j - 3 : j], ' ')", 'cdc')} % 32 = 0]
-                   || [CAST(n AS BIGINT)] AS c
-        FROM d
-    ), chunks AS (
-        SELECT doc_id, n, len(c) - 1 AS n_chunks,
-               [md5(array_to_string(t[CAST(c[i] + 1 AS INTEGER) : CAST(c[i + 1] AS INTEGER)], ' '))
-                FOR i IN range(1, len(c))] AS hs,
-               [c[i + 1] - c[i] FOR i IN range(1, len(c))] AS lens
-        FROM cuts
-    ), ex AS (
-        SELECT doc_id, unnest(hs) AS ch FROM chunks
-    ), freq AS (
-        SELECT ch, CAST(count(*) AS BIGINT) AS cnt FROM ex GROUP BY ch
-    ), dup AS (
-        SELECT e.doc_id,
-               CAST(sum(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks
-        FROM ex e JOIN freq f USING (ch) GROUP BY e.doc_id
-    )
-    SELECT c.doc_id,
-           CAST(c.n_chunks AS BIGINT) AS n_chunks,
-           CAST(list_max(c.lens) AS BIGINT) AS max_chunk_tokens,
-           round(CAST(c.n AS DOUBLE) / c.n_chunks, 6) AS mean_chunk_tokens,
-           d.dup_chunks
-    FROM chunks c JOIN dup d USING (doc_id)
-    """,
-)
-def cdc_chunking_q(spark, sf_dir):
-    """Content-defined chunking (FastCDC / LBFS rolling-hash cut
-    points — the dedup-friendly chunking under restic/borg/rsync and
-    chunk-level corpus dedup: boundaries depend on CONTENT, so a
-    shared passage yields the same chunks regardless of where it
-    sits in the doc, where fixed-size chunking shifts every boundary
-    after one insertion): a cut lands after token j iff the 4-gram
-    ending at j hashes to 0 mod 32 (seeded-md5 family — expected
-    chunk ~32 tokens), chunk hashes and lengths come from pure
-    codegen HOFs over one scan, and one (chunk-hash) count shuffle
-    grades the payoff: dup_chunks counts this doc's chunks that
-    recur ANYWHERE in the corpus. Raw text never crosses the
-    shuffle — 16-byte digests do (substring_dedup's posture at
-    chunk granularity)."""
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    d = docs.select(
-        "doc_id",
-        F.split("text", " ").alias("t"),
-        F.size(F.split("text", " ")).alias("n"),
-    )
-    bound_cond = (
-        "conv(substring(md5(concat('cdc:', array_join(slice(t, j - 3, 4), ' '))), 1, 15), 16, 10) % 32 = 0"
-    )
-    cuts = d.select(
-        "doc_id",
-        "t",
-        "n",
-        F.expr(
-            f"concat(array(0L), CASE WHEN n >= 5 THEN "
-            f"transform(filter(sequence(4, n - 1), j -> {bound_cond}), j -> cast(j as long)) "
-            f"ELSE array() END, array(cast(n as long)))"
-        ).alias("c"),
-    )
-    chunks = cuts.select(
-        "doc_id",
-        "n",
-        (F.size("c") - 1).alias("n_chunks"),
-        F.expr(
-            "transform(sequence(1, size(c) - 1), "
-            "i -> md5(array_join(slice(t, cast(element_at(c, i) + 1 as int), "
-            "cast(element_at(c, i + 1) - element_at(c, i) as int)), ' ')))"
-        ).alias("hs"),
-        F.expr(
-            "transform(sequence(1, size(c) - 1), "
-            "i -> element_at(c, i + 1) - element_at(c, i))"
-        ).alias("lens"),
-    ).localCheckpoint(eager=False)
-    ex = chunks.select("doc_id", F.explode("hs").alias("ch"))
-    freq = ex.groupBy("ch").agg(F.count("*").cast("long").alias("cnt"))
-    dup = (
-        ex.join(freq, "ch")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
-            .cast("long")
-            .alias("dup_chunks")
-        )
-    )
-    return chunks.join(dup, "doc_id").select(
-        "doc_id",
-        F.col("n_chunks").cast("long").alias("n_chunks"),
-        F.array_max("lens").cast("long").alias("max_chunk_tokens"),
-        F.round(F.col("n").cast("double") / F.col("n_chunks"), 6).alias(
-            "mean_chunk_tokens"
-        ),
-        "dup_chunks",
-    )
-
-
-@query(
-    "backfill_plan",
-    oracle="""
-    WITH b AS (
-        SELECT epoch_ns(ts) // 3600000000000
-               - (SELECT min(epoch_ns(ts) // 3600000000000) FROM events) AS hour_id,
-               event_type
-        FROM events
-    ), mx AS (SELECT max(hour_id) AS maxh FROM b),
-    spine AS (
-        SELECT t.event_type, h.hour_id
-        FROM (SELECT DISTINCT event_type FROM b) t,
-             (SELECT unnest(range((SELECT maxh + 1 FROM mx))) AS hour_id) h
-    ), present AS (
-        SELECT DISTINCT event_type, hour_id FROM b
-    ), missing AS (
-        SELECT s.event_type, s.hour_id
-        FROM spine s LEFT JOIN present p
-          ON s.event_type = p.event_type AND s.hour_id = p.hour_id
-        WHERE p.event_type IS NULL
-    )
-    SELECT event_type, CAST(hour_id AS BIGINT) AS hour_id,
-           CAST((row_number() OVER (ORDER BY event_type, hour_id) - 1) // 10
-                AS BIGINT) AS batch_id
-    FROM missing
-    """,
-)
-def backfill_plan_q(spark, sf_dir):
-    """Backfill planner (the orchestration pass a scheduler runs
-    after an outage: which (partition, hour) cells are MISSING from
-    the lake, batched into bounded-size runs so the backfill doesn't
-    starve the live pipeline): the expected spine is types × hours
-    (generated in-plan, no driver loop), present cells come from one
-    DISTINCT pass, missing = spine LEFT ANTI present on bare integer
-    keys, and batch ids assign by deterministic (type, hour) order
-    div batch-size — the compaction_plan trick for work scheduling.
-    The spine is |types|·|hours|-bounded; only the DISTINCT pass
-    touches the fact table."""
-    ev = load_table(spark, sf_dir, "events")
-    minh = ev.agg(F.min(F.expr("ts_ns div 3600000000000")).alias("h0"))
-    b = ev.crossJoin(F.broadcast(minh)).select(
-        (F.expr("ts_ns div 3600000000000") - F.col("h0")).alias("hour_id"),
-        "event_type",
-    )
-    mx = b.agg(F.max("hour_id").alias("maxh"))
-    types = b.select("event_type").distinct()
-    spine = (
-        types.crossJoin(F.broadcast(mx))
-        .select("event_type", F.explode(F.sequence(F.lit(0), F.col("maxh"))).alias("hour_id"))
-    )
-    present = b.distinct()
-    missing = spine.join(present, ["event_type", "hour_id"], "left_anti")
-    w = Window.orderBy("event_type", "hour_id")
-    return missing.select(
-        "event_type",
-        F.col("hour_id").cast("long").alias("hour_id"),
-        ((F.row_number().over(w) - 1) / 10).cast("long").alias("batch_id"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Recommender + weighted dedup wave (r5 cont.)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "als_rank1_round",
-    oracle="""
-    WITH r AS (
-        SELECT o.o_custkey AS c, l.l_partkey AS p, CAST(count(*) AS BIGINT) AS r
-        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        GROUP BY 1, 2
-    ), u AS (
-        SELECT c, (1000000 * CAST(sum(r) AS BIGINT)) // CAST(count(*) AS BIGINT) AS u_u
-        FROM r GROUP BY c
-    ), v AS (
-        SELECT r.p,
-               CAST(count(*) AS BIGINT) AS n_raters,
-               CAST(sum(r.r * u.u_u) AS BIGINT) AS num_u,
-               CAST(sum(u.u_u * u.u_u) AS BIGINT) AS den_u
-        FROM r JOIN u USING (c) GROUP BY r.p
-    ), ranked AS (
-        SELECT p, n_raters,
-               CAST(num_u AS DOUBLE) * 1000000 / den_u AS v_next,
-               row_number() OVER (
-                   ORDER BY CAST(num_u AS DOUBLE) * 1000000 / den_u DESC, p) AS rank
-        FROM v
-    )
-    SELECT CAST(rank AS BIGINT) AS rank, CAST(p AS BIGINT) AS partkey,
-           n_raters, round(v_next, 6) AS item_factor
-    FROM ranked WHERE rank <= 20
-    """,
-)
-def als_rank1_round_q(spark, sf_dir):
-    """One alternation of rank-1 implicit-feedback ALS on the real
-    (customer × part) interaction matrix (matrix factorization's
-    inner loop as two grouped aggregates — at rank 1 each
-    least-squares solve is a closed-form ratio, no linear algebra):
-    interactions from the orders ⋈ lineitem purchase counts, item
-    factors init 1 ⇒ user step u_i = Σr/n_i in exact micro-units
-    (integer div), item step v_j = Σ r·u / Σ u² from exact integer
-    products — the whole round order-free, one double division per
-    item at emit. Top-20 item factors = the first popularity-cum-
-    quality ranking a recommender bootstrap produces. Higher rank =
-    the same two keyed aggregates with k-vector state (documented
-    swap); interactions shuffle on their natural keys, nothing
-    user×item-shaped materializes."""
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    r = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .agg(F.count("*").cast("long").alias("r"))
-    )
-    u = r.groupBy("c").agg(
-        F.expr("(1000000 * cast(sum(r) as bigint)) div cast(count(*) as bigint)").alias(
-            "u_u"
-        )
-    )
-    v = (
-        r.join(u, "c")
-        .groupBy("p")
-        .agg(
-            F.count("*").cast("long").alias("n_raters"),
-            F.sum(F.col("r") * F.col("u_u")).cast("long").alias("num_u"),
-            F.sum(F.col("u_u") * F.col("u_u")).cast("long").alias("den_u"),
-        )
-    )
-    v_next = F.col("num_u").cast("double") * 1000000 / F.col("den_u")
-    w = Window.orderBy(v_next.desc(), "p")
-    return (
-        v.select(
-            F.row_number().over(w).cast("long").alias("rank"),
-            F.col("p").cast("long").alias("partkey"),
-            "n_raters",
-            F.round(v_next, 6).alias("item_factor"),
-        )
-        .filter(F.col("rank") <= 20)
-    )
-
-
-@query(
-    "weighted_jaccard_pairs",
-    oracle=f"""
-    WITH {_DD_SHINGLES}, {_DD_MINHASH_SIG}, {_DD_BANDS},
-    cand AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a
-        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
-                    AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ), tf AS (
-        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
-        GROUP BY doc_id, term
-    ), dl AS (
-        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
-    ), smin AS (
-        SELECT c.doc_a, c.doc_b,
-               CAST(sum(least(ta.tf, tb.tf)) AS BIGINT) AS sum_min
-        FROM cand c
-        JOIN tf ta ON ta.doc_id = c.doc_a
-        JOIN tf tb ON tb.doc_id = c.doc_b AND tb.term = ta.term
-        GROUP BY c.doc_a, c.doc_b
-    )
-    SELECT s.doc_a, s.doc_b, s.sum_min,
-           round(CAST(s.sum_min AS DOUBLE)
-                 / (da.dl + db.dl - s.sum_min), 6) AS weighted_jaccard
-    FROM smin s
-    JOIN dl da ON da.doc_id = s.doc_a
-    JOIN dl db ON db.doc_id = s.doc_b
-    """,
-)
-def weighted_jaccard_pairs_q(spark, sf_dir):
-    """Weighted (multiset) Jaccard on the MinHash-LSH candidates —
-    the near-dup score SET Jaccard gets wrong when token COUNTS
-    differ (a doc that repeats a template 5× has set-Jaccard ≈ 1
-    against one copy; weighted Jaccard Σmin/Σmax sees the
-    difference): candidates come from the same banding build as
-    dedup_minhash_lsh (bucket-bound, never all-pairs), Σmin from the
-    (doc, term) tf join keyed on candidate ids + term, and
-    Σmax = dl_a + dl_b − Σmin by the max+min identity so only ONE
-    per-pair aggregation runs. Exact integer counts, one double
-    division per emitted pair."""
-    from .operators import dedup
-    from .functions import text as X
-
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    cand = dedup.dedup_minhash_lsh(docs).select("doc_a", "doc_b")
-    tf = (
-        docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("long").alias("tf"))
-        .localCheckpoint(eager=False)
-    )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-    ta = tf.select(
-        F.col("doc_id").alias("doc_a"), F.col("term"), F.col("tf").alias("tfa")
-    )
-    tb = tf.select(
-        F.col("doc_id").alias("doc_b"), F.col("term"), F.col("tf").alias("tfb")
-    )
-    smin = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "term"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.least("tfa", "tfb")).cast("long").alias("sum_min"))
-    )
-    da = dl.select(F.col("doc_id").alias("doc_a"), F.col("dl").alias("dla"))
-    db = dl.select(F.col("doc_id").alias("doc_b"), F.col("dl").alias("dlb"))
-    return (
-        smin.join(da, "doc_a")
-        .join(db, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "sum_min",
-            F.round(
-                F.col("sum_min").cast("double")
-                / (F.col("dla") + F.col("dlb") - F.col("sum_min")),
-                6,
-            ).alias("weighted_jaccard"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Dimensionality + graph-text wave (r5 cont.)
-# ---------------------------------------------------------------------------
-
-
-def _jl_matrix(k: int = 16, dim: int = 64) -> list[list[float]]:
-    """Deterministic ±1/√k Johnson-Lindenstrauss matrix from the
-    md5 family (same static-literal posture as LSH hyperplanes)."""
-    import hashlib
-
-    rows = []
-    for i in range(k):
-        row = []
-        for j in range(dim):
-            h = hashlib.md5(f"jl:{i}|{j}".encode()).hexdigest()
-            row.append((1.0 if int(h[:2], 16) % 2 == 0 else -1.0) / (k ** 0.5))
-        rows.append(row)
-    return rows
-
-
-@query("jl_projection_audit")  # oracle: LAZY (static matrix literals)
-def jl_projection_audit_q(spark, sf_dir):
-    """Johnson-Lindenstrauss distance-preservation audit (the theorem
-    random projection indexes lean on: a ±1/√k matrix into k=16 dims
-    preserves pairwise L2 up to 1±ε — this measures the actual ε on
-    real pairs before anyone trusts a 4× cheaper distance): each
-    vector projects ONCE through the md5-derived literal matrix
-    (deterministic — the same matrix on every engine/run), then the
-    bounded 40-vector sample pairs up (780 pairs) and the
-    distortion ratio d_proj/d_orig rolls up with micro-quantized
-    means and a ±30%% containment share. Projection is narrow
-    codegen; nothing pairwise ever touches the full corpus."""
-    R = _jl_matrix()
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
-
-    def proj(vec):
-        return F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        vec.cast("array<double>"),
-                        F.array(*[F.lit(v) for v in row]),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for row in R
-            ]
-        )
-
-    p = emb.select("vec_id", "embedding", proj(F.col("embedding")).alias("pv"))
-    a = p.select(
-        F.col("vec_id").alias("ida"),
-        F.col("embedding").alias("ea"),
-        F.col("pv").alias("pa"),
-    )
-    b = p.select(
-        F.col("vec_id").alias("idb"),
-        F.col("embedding").alias("eb"),
-        F.col("pv").alias("pb"),
-    )
-    pairs = a.join(b, F.col("ida") < F.col("idb")).select(
-        (
-            V.euclidean(F.col("pa"), F.col("pb"))
-            / V.euclidean(F.col("ea"), F.col("eb"))
-        ).alias("ratio")
-    )
-    return pairs.agg(
-        F.count("*").cast("long").alias("n_pairs"),
-        F.round(
-            F.sum(F.expr("cast(round(ratio * 1000000) as bigint)")).cast("double")
-            / F.count("*")
-            / 1e6,
-            6,
-        ).alias("mean_ratio"),
-        F.round(F.min("ratio"), 6).alias("min_ratio"),
-        F.round(F.max("ratio"), 6).alias("max_ratio"),
-        F.round(
-            F.sum(
-                F.when((F.col("ratio") >= 0.7) & (F.col("ratio") <= 1.3), 1).otherwise(
-                    0
-                )
-            ).cast("double")
-            / F.count("*"),
-            6,
-        ).alias("within_30pct"),
-    )
-
-
-def _jl_oracle(sf_dir: str) -> str:
-    R = _jl_matrix()
-
-    def proj_sql(vec: str) -> str:
-        comps = []
-        for row in R:
-            lit = "[" + ", ".join(repr(v) for v in row) + "]"
-            comps.append(
-                f"list_sum(list_transform(list_zip(({vec})::DOUBLE[], {lit}::DOUBLE[]),"
-                f" x -> x[1]*x[2]))"
-            )
-        return "[" + ", ".join(comps) + "]"
-
-    return f"""
-    WITH p AS (
-        SELECT vec_id, embedding, {proj_sql('embedding')} AS pv
-        FROM embeddings WHERE vec_id < 40
-    ), pairs AS (
-        SELECT {_dd_euclid('a.pv', 'b.pv')} / {_dd_euclid('a.embedding', 'b.embedding')} AS ratio
-        FROM p a JOIN p b ON a.vec_id < b.vec_id
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-           round(CAST(sum(CAST(round(ratio * 1000000) AS BIGINT)) AS DOUBLE)
-                 / count(*) / 1e6, 6) AS mean_ratio,
-           round(min(ratio), 6) AS min_ratio,
-           round(max(ratio), 6) AS max_ratio,
-           round(CAST(sum(CASE WHEN ratio >= 0.7 AND ratio <= 1.3 THEN 1 ELSE 0 END)
-                      AS DOUBLE) / count(*), 6) AS within_30pct
-    FROM pairs
-    """
-
-
-LAZY_ORACLES["jl_projection_audit"] = _jl_oracle
-
-
-def _pca_spectrum(sf_dir: str, k: int = 8, sample_limit: int = 4096):
-    """Sample-fit PCA basis WITH eigenvalue shares (extends
-    embedding.pca_fit_sample's posture)."""
-    import duckdb
-    import numpy as np
-
-    rel = duckdb.sql(
-        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
-        f"ORDER BY vec_id LIMIT {sample_limit}"
-    )
-    x = np.array([list(r[1]) for r in rel.fetchall()], dtype=np.float64)
-    mu = x.mean(axis=0)
-    xc = x - mu
-    vals, vecs = np.linalg.eigh(xc.T @ xc)
-    tot = float(vals.sum())
-    comps, shares = [], []
-    for i in range(1, k + 1):
-        v = vecs[:, -i]
-        jmax = int(np.abs(v).argmax())
-        if v[jmax] < 0:
-            v = -v
-        comps.append([float(t) for t in v])
-        shares.append(float(vals[-i]) / tot)
-    return [float(t) for t in mu], comps, shares
-
-
-@query("pca_explained_variance")  # oracle: LAZY (basis literals)
-def pca_explained_variance_q(spark, sf_dir):
-    """PCA spectrum audit (the sizing table behind pca_project and
-    matryoshka truncation: how many directions actually carry
-    variance, and does the SAMPLE-fit spectrum hold corpus-wide?):
-    the bounded-sample eigendecomposition contributes eigenvalue
-    shares as literals, then ONE corpus pass measures the realized
-    variance along each of the 8 components (projections
-    micro-quantized, DECIMAL-exact moment sums — order-free), with
-    cumulative explained share per rank. A sample share that
-    disagrees with the measured column is the drift alarm for
-    refitting the basis."""
-    mu, comps, shares = _pca_spectrum(sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings", split=True)
-    mu_lit = F.array(*[F.lit(v) for v in mu])
-    centered = F.zip_with(
-        F.col("embedding").cast("array<double>"), mu_lit, lambda a, b: a - b
-    )
-    projs = [
-        F.aggregate(
-            F.zip_with(centered, F.array(*[F.lit(v) for v in c]), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        for c in comps
-    ]
-    row = emb.select(
-        *[p.alias(f"_raw{i}") for i, p in enumerate(projs)]
-    ).select(
-        *[
-            F.expr(f"cast(round(_raw{i} * 1000000) as bigint)").alias(f"p{i}")
-            for i in range(len(projs))
-        ]
-    )
-    agg = row.agg(
-        F.count("*").cast("long").alias("n"),
-        *[
-            F.sum(F.col(f"p{i}").cast("decimal(38,0)")).alias(f"s{i}")
-            for i in range(len(projs))
-        ],
-        *[
-            F.sum(F.col(f"p{i}").cast("decimal(38,0)") * F.col(f"p{i}")).alias(
-                f"q{i}"
-            )
-            for i in range(len(projs))
-        ],
-    )
-    rows_expr = F.array(
-        *[
-            F.struct(
-                F.lit(i + 1).cast("long").alias("component"),
-                F.lit(round(shares[i], 6)).alias("sample_share"),
-                F.lit(round(sum(shares[: i + 1]), 6)).alias("sample_cum_share"),
-                F.round(
-                    (
-                        F.col(f"q{i}").cast("double") / F.col("n")
-                        - (F.col(f"s{i}").cast("double") / F.col("n"))
-                        * (F.col(f"s{i}").cast("double") / F.col("n"))
-                    )
-                    / 1e12,
-                    6,
-                ).alias("measured_var"),
-            )
-            for i in range(len(projs))
-        ]
-    )
-    return agg.select(F.explode(rows_expr).alias("r")).select(
-        F.col("r.component").alias("component"),
-        F.col("r.sample_share").alias("sample_share"),
-        F.col("r.sample_cum_share").alias("sample_cum_share"),
-        F.col("r.measured_var").alias("measured_var"),
-    )
-
-
-def _pca_var_oracle(sf_dir: str) -> str:
-    mu, comps, shares = _pca_spectrum(sf_dir)
-    mu_lit = "[" + ", ".join(repr(v) for v in mu) + "]"
-    sel = []
-    for i, c in enumerate(comps):
-        lit = "[" + ", ".join(repr(v) for v in c) + "]"
-        sel.append(
-            f"CAST(round(list_sum(list_transform(list_zip("
-            f"list_transform(list_zip(embedding::DOUBLE[], {mu_lit}::DOUBLE[]), x -> x[1]-x[2]),"
-            f" {lit}::DOUBLE[]), x -> x[1]*x[2])) * 1000000) AS BIGINT) AS p{i}"
-        )
-    rows = []
-    for i in range(len(comps)):
-        rows.append(
-            f"SELECT CAST({i + 1} AS BIGINT) AS component,"
-            f" {round(shares[i], 6)!r} AS sample_share,"
-            f" {round(sum(shares[: i + 1]), 6)!r} AS sample_cum_share,"
-            f" round((CAST(q{i} AS DOUBLE) / n"
-            f" - (CAST(s{i} AS DOUBLE) / n) * (CAST(s{i} AS DOUBLE) / n)) / 1e12, 6)"
-            f" AS measured_var FROM agg"
-        )
-    return f"""
-    WITH proj AS (
-        SELECT {", ".join(sel)} FROM embeddings
-    ), agg AS (
-        SELECT CAST(count(*) AS BIGINT) AS n,
-               {", ".join(f"CAST(sum(CAST(p{i} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s{i}, CAST(sum(CAST(p{i} AS DECIMAL(38,0)) * p{i}) AS DECIMAL(38,0)) AS q{i}" for i in range(len(comps)))}
-        FROM proj
-    )
-    {" UNION ALL ".join(rows)}
-    """
-
-
-LAZY_ORACLES["pca_explained_variance"] = _pca_var_oracle
-
-
-def _textrank_iter_sql(prev: str, out: str) -> str:
-    return f"""
-    {out} AS (
-        SELECT n.term,
-               150000 + CAST(coalesce((
-                   SELECT sum((p.p_u * e.w * 850000) // (wt.wtot * 1000000))
-                   FROM edges e
-                   JOIN {prev} p ON p.term = e.a
-                   JOIN wtot wt ON wt.term = e.a
-                   WHERE e.b = n.term), 0) AS BIGINT) AS p_u
-        FROM nodes n
-    )"""
-
-
-@query("textrank_keywords", oracle=None)  # oracle attached below
-def textrank_keywords_q(spark, sf_dir):
-    """TextRank keyword extraction (Mihalcea & Tarau EMNLP'04 —
-    PageRank on the word co-occurrence graph; the unsupervised
-    keyword ranker that beats raw frequency by rewarding words that
-    CONNECT the vocabulary): the corpus collapses to the
-    vocabulary-sized ±2-window co-occurrence edge list first (the
-    bpe_pair_counts trick — iteration cost is independent of corpus
-    size), then 3 damped power-iteration rounds run as unrolled
-    join-aggregates in a DEFINED exact-integer arithmetic
-    (contributions (p·w·0.85e6) div (W·1e6), base 0.15 in
-    micro-units) so both engines iterate bit-for-bit — the
-    prove-the-iteration posture of knn_graph_pagerank generalized to
-    arbitrary degree distributions via per-edge integer division.
-    Top-10 words by final score."""
-
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    toks = docs.select(F.split("text", " ").alias("t"))
-    pairs = toks.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(1, size(t)), i -> "
-                "filter(transform(sequence(1, 2), o -> "
-                "CASE WHEN i + o <= size(t) AND element_at(t, i) != element_at(t, i + o) "
-                "THEN struct(element_at(t, i) AS a, element_at(t, i + o) AS b) END), "
-                "x -> x IS NOT NULL)))"
-            )
-        ).alias("p")
-    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-    # symmetric edges
-    edges = (
-        pairs.unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .groupBy("a", "b")
-        .agg(F.count("*").cast("long").alias("w"))
-        .localCheckpoint(eager=False)
-    )
-    wtot = edges.groupBy("a").agg(F.sum("w").cast("long").alias("wtot"))
-    nodes = edges.select(F.col("a").alias("term")).distinct()
-    p = nodes.select("term", F.lit(1_000_000).cast("long").alias("p_u"))
-    for _ in range(3):
-        contrib = (
-            edges.join(p.select(F.col("term").alias("a"), "p_u"), "a")
-            .join(wtot.select(F.col("a"), F.col("wtot")), "a")
-            .groupBy(F.col("b").alias("term"))
-            .agg(
-                F.sum(
-                    F.expr("(p_u * w * 850000) div (wtot * 1000000)")
-                )
-                .cast("long")
-                .alias("inflow")
-            )
-        )
-        p = nodes.join(contrib, "term", "left").select(
-            "term",
-            (F.lit(150_000) + F.coalesce("inflow", F.lit(0))).cast("long").alias("p_u"),
-        )
-    w10 = Window.orderBy(F.col("p_u").desc(), "term")
-    return (
-        p.orderBy(F.col("p_u").desc(), "term")
-        .limit(10)
-        .select(
-            F.row_number().over(w10).cast("long").alias("rank"),
-            "term",
-            F.round(F.col("p_u") / 1e6, 6).alias("score"),
-        )
-    )
-
-
-def _textrank_oracle() -> str:
-    its = ",".join(
-        _textrank_iter_sql(f"p{i}", f"p{i + 1}") for i in range(3)
-    )
-    return f"""
-    WITH toks AS (
-        SELECT string_split(text, ' ') AS t FROM documents
-    ), pairs0 AS (
-        SELECT t[i] AS a, t[i + o] AS b
-        FROM toks, range(1, 3) oo(o), LATERAL (
-            SELECT unnest(range(1, len(t) + 1)) AS i)
-        WHERE i + o <= len(t) AND t[i] <> t[i + o]
-    ), pairs AS (
-        SELECT a, b FROM pairs0 UNION ALL SELECT b, a FROM pairs0
-    ), edges AS (
-        SELECT a, b, CAST(count(*) AS BIGINT) AS w FROM pairs GROUP BY a, b
-    ), wtot AS (
-        SELECT a AS term, CAST(sum(w) AS BIGINT) AS wtot FROM edges GROUP BY a
-    ), nodes AS (SELECT DISTINCT a AS term FROM edges),
-    p0 AS (SELECT term, CAST(1000000 AS BIGINT) AS p_u FROM nodes),
-    {its}
-    SELECT CAST(row_number() OVER (ORDER BY p_u DESC, term) AS BIGINT) AS rank,
-           term, round(p_u / 1e6, 6) AS score
-    FROM p3 ORDER BY p_u DESC, term LIMIT 10
-    """
-
-
-ORACLES["textrank_keywords"] = _textrank_oracle()
-
-
-# ---------------------------------------------------------------------------
-# Signed sketch + collaborative filtering wave (r5 cont.)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "count_sketch_estimate",
-    oracle=f"""
-    WITH ev AS (SELECT user_id::VARCHAR AS k FROM events),
-    grid AS (
-        SELECT r, {H.dd_md5_long("k", None)} AS _h,
-               {H.dd_md5_long("('csb' || r || ':' || k)", None)} % 256 AS b,
-               CASE WHEN {H.dd_md5_long("('css' || r || ':' || k)", None)} % 2 = 0
-                    THEN 1 ELSE -1 END AS s
-        FROM ev, range(4) t(r)
-    ), counters AS (
-        SELECT r, b, CAST(sum(s) AS BIGINT) AS c FROM grid GROUP BY r, b
-    ), exact AS (
-        SELECT k, CAST(count(*) AS BIGINT) AS f
-        FROM ev GROUP BY k ORDER BY f DESC, k LIMIT 10
-    ), est AS (
-        SELECT e.k, e.f, t.r,
-               (CASE WHEN {H.dd_md5_long("('css' || t.r || ':' || e.k)", None)} % 2 = 0
-                     THEN 1 ELSE -1 END) * c.c AS g
-        FROM exact e, range(4) t(r)
-        JOIN counters c
-          ON c.r = t.r
-         AND c.b = {H.dd_md5_long("('csb' || t.r || ':' || e.k)", None)} % 256
-    ), med AS (
-        SELECT k, f, list_sort(list(g)) AS gs FROM est GROUP BY k, f
-    )
-    SELECT CAST(k AS BIGINT) AS user_id, f AS exact_count,
-           CAST((gs[2] + gs[3]) // 2 AS BIGINT) AS estimate,
-           CAST((gs[2] + gs[3]) // 2 - f AS BIGINT) AS signed_err
-    FROM med
-    """,
-)
-def count_sketch_estimate_q(spark, sf_dir):
-    """CountSketch frequency estimation (Charikar ICALP'02 — the
-    UNBIASED signed sibling of cms_heavy_hitters: CMS only
-    over-counts, CountSketch's random signs cancel collisions in
-    expectation, which is what downstream inner-product estimates
-    need): 4×256 signed integer counters from one
-    map-side-combinable grouped aggregate (the additive-mergeable
-    state again), per-key estimate = exact-selection median of the
-    four signed reads (integer floor-average of the middle pair),
-    graded with SIGNED error against the true top-10 counts — the
-    two-sided error profile CMS cannot produce. Hash family =
-    seeded md5, engine-identical."""
-    ev = load_table(spark, sf_dir, "events").select(
-        F.col("user_id").cast("string").alias("k")
-    )
-    r4 = spark.range(4).select(F.col("id").cast("int").alias("r"))
-    grid = ev.crossJoin(F.broadcast(r4)).select(
-        "r",
-        (
-            H.md5_long(F.concat(F.lit("csb"), F.col("r"), F.lit(":"), F.col("k")))
-            % 256
-        ).alias("b"),
-        F.when(
-            H.md5_long(F.concat(F.lit("css"), F.col("r"), F.lit(":"), F.col("k"))) % 2
-            == 0,
-            1,
-        )
-        .otherwise(-1)
-        .alias("s"),
-    )
-    counters = grid.groupBy("r", "b").agg(F.sum("s").cast("long").alias("c"))
-    exact = (
-        ev.groupBy("k")
-        .agg(F.count("*").cast("long").alias("f"))
-        .orderBy(F.col("f").desc(), "k")
-        .limit(10)
-    )
-    est = (
-        exact.crossJoin(F.broadcast(r4))
-        .withColumn(
-            "b",
-            H.md5_long(F.concat(F.lit("csb"), F.col("r"), F.lit(":"), F.col("k")))
-            % 256,
-        )
-        .withColumn(
-            "s",
-            F.when(
-                H.md5_long(F.concat(F.lit("css"), F.col("r"), F.lit(":"), F.col("k")))
-                % 2
-                == 0,
-                1,
-            ).otherwise(-1),
-        )
-        .join(F.broadcast(counters), ["r", "b"])
-        .select("k", "f", (F.col("s") * F.col("c")).alias("g"))
-    )
-    med = est.groupBy("k", "f").agg(F.sort_array(F.collect_list("g")).alias("gs"))
-    e = F.expr("(element_at(gs, 2) + element_at(gs, 3)) div 2")
-    return med.select(
-        F.col("k").cast("long").alias("user_id"),
-        F.col("f").alias("exact_count"),
-        e.cast("long").alias("estimate"),
-        (e - F.col("f")).cast("long").alias("signed_err"),
-    )
-
-
-@query(
-    "itemcf_topk",
-    oracle="""
-    WITH ui AS (
-        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
-        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    ), buyers AS (
-        SELECT p, CAST(count(*) AS BIGINT) AS nb FROM ui GROUP BY p
-    ), co AS (
-        SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS co
-        FROM ui a JOIN ui b ON a.c = b.c AND a.p <> b.p
-        GROUP BY a.p, b.p
-    ), scored AS (
-        SELECT co.pa, co.pb, co.co,
-               CAST(co.co AS DOUBLE) / (ba.nb + bb.nb - co.co) AS jac
-        FROM co JOIN buyers ba ON ba.p = co.pa
-                JOIN buyers bb ON bb.p = co.pb
-        WHERE co.pa < 20
-    ), ranked AS (
-        SELECT pa, pb, co, jac,
-               row_number() OVER (PARTITION BY pa ORDER BY jac DESC, pb) AS rank
-        FROM scored
-    )
-    SELECT CAST(pa AS BIGINT) AS partkey, CAST(rank AS BIGINT) AS rank,
-           CAST(pb AS BIGINT) AS neighbor, co AS common_buyers,
-           round(jac, 6) AS jaccard
-    FROM ranked WHERE rank <= 3
-    """,
-)
-def itemcf_topk_q(spark, sf_dir):
-    """Item-item collaborative filtering neighbors (Sarwar WWW'01 —
-    the 'customers who bought X also bought' list, THE production
-    recommender baseline): distinct (customer, part) ownership from
-    the fact join, co-ownership pairs via the CUSTOMER-keyed
-    self-join (volume = Σ C(items-per-customer, 2) — the
-    basket-bounded candidate rule, never |parts|²), buyer-set
-    Jaccard from exact integer counts, per-anchor top-3 with
-    deterministic ties. market_basket_lift mines RULES from
-    co-baskets; this builds the per-item NEIGHBOR LIST a recommender
-    serves. Anchors bounded to partkey < 20 for the emitted frame;
-    the pair computation is the same at any anchor set."""
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    ui = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    buyers = ui.groupBy("p").agg(F.count("*").cast("long").alias("nb"))
-    a = ui.select(F.col("c"), F.col("p").alias("pa"))
-    b = ui.select(F.col("c"), F.col("p").alias("pb"))
-    co = (
-        a.join(b, "c")
-        .filter(F.col("pa") != F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count("*").cast("long").alias("co"))
-        .filter(F.col("pa") < 20)
-    )
-    scored = (
-        co.join(buyers.select(F.col("p").alias("pa"), F.col("nb").alias("ba")), "pa")
-        .join(buyers.select(F.col("p").alias("pb"), F.col("nb").alias("bb")), "pb")
-        .select(
-            "pa",
-            "pb",
-            "co",
-            (
-                F.col("co").cast("double")
-                / (F.col("ba") + F.col("bb") - F.col("co"))
-            ).alias("jac"),
-        )
-    )
-    cand = F.struct((-F.col("jac")).alias("_o"), F.col("pb"), F.col("co"), F.col("jac").alias("_j"))
-    top = (
-        scored.groupBy("pa")
-        .agg(F.slice(F.sort_array(F.collect_list(cand)), 1, 3).alias("top"))
-        .select("pa", F.posexplode("top").alias("pos", "t"))
-    )
-    return top.select(
-        F.col("pa").cast("long").alias("partkey"),
-        (F.col("pos") + 1).cast("long").alias("rank"),
-        F.col("t.pb").cast("long").alias("neighbor"),
-        F.col("t.co").alias("common_buyers"),
-        F.round(F.col("t._j"), 6).alias("jaccard"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Kneser-Ney LM + MoE routing wave (r5 cont.)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "kneser_ney_bigram_ppl",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM documents
-    ), bg AS (
-        SELECT doc_id, t[i] || ' ' || t[i + 1] AS b, t[i] AS w1, t[i + 1] AS w2
-        FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
-    ), cb AS (
-        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2
-    ), cpre AS (
-        SELECT w1, CAST(sum(c) AS BIGINT) AS cp,
-               CAST(count(*) AS BIGINT) AS n1p_fwd
-        FROM cb GROUP BY w1
-    ), ccont AS (
-        SELECT w2, CAST(count(*) AS BIGINT) AS n1p_bwd FROM cb GROUP BY w2
-    ), nbi AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM cb),
-    pkn AS (
-        SELECT cb.w1, cb.w2,
-               (CAST(4 * cb.c - 3 AS DOUBLE) / (4 * p.cp))
-               + (0.75 * p.n1p_fwd / p.cp)
-                 * (CAST(cc.n1p_bwd AS DOUBLE) / nbi.nb) AS p
-        FROM cb JOIN cpre p USING (w1)
-                JOIN ccont cc USING (w2)
-                CROSS JOIN nbi
-    ), scored AS (
-        SELECT g.doc_id,
-               CAST(count(*) AS BIGINT) AS n_bigrams,
-               CAST(sum(CAST(round(ln(pkn.p) * 1000000) AS BIGINT)) AS BIGINT) AS lnp_u
-        FROM bg g JOIN pkn ON pkn.w1 = g.w1 AND pkn.w2 = g.w2
-        GROUP BY g.doc_id
-    )
-    SELECT doc_id, n_bigrams,
-           round(exp(-(CAST(lnp_u AS DOUBLE) / n_bigrams / 1e6)), 6) AS ppl
-    FROM scored
-    """,
-)
-def kneser_ney_bigram_ppl_q(spark, sf_dir):
-    """Interpolated Kneser-Ney bigram perplexity (Kneser & Ney '95 —
-    THE n-gram smoothing: the backoff weight of a word is how many
-    DISTINCT contexts it continues, not how often it occurs, which
-    is why 'Francisco' stops getting high unigram backoff outside
-    'San'): absolute discount D=¾ keeps max(c−D,0)/c_prefix an exact
-    rational ((4c−3)/4c_prefix for c≥1 — no float discounting), the
-    continuation distribution N1+(·w)/|bigram types| comes from the
-    SAME vocab²-bounded count frame, and per-doc scores quantize
-    ln p to micro-units × counts (order-free) before the one exp at
-    emit. Completes the LM ladder: unigram mix (lm_perplexity),
-    add-1 bigram (lm_perplexity_bigram), KN bigram — all from one
-    tokenize pass + vocab-bounded joins."""
-
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
-    bg = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 1), "
-                "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
-            )
-        ).alias("p"),
-    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    cb = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c")).localCheckpoint(
-        eager=False
-    )
-    cpre = cb.groupBy("w1").agg(
-        F.sum("c").cast("long").alias("cp"),
-        F.count("*").cast("long").alias("n1p_fwd"),
-    )
-    ccont = cb.groupBy("w2").agg(F.count("*").cast("long").alias("n1p_bwd"))
-    nbi = cb.agg(F.count("*").cast("long").alias("nb"))
-    pkn = (
-        cb.join(cpre, "w1")
-        .join(ccont, "w2")
-        .crossJoin(F.broadcast(nbi))
-        .select(
-            "w1",
-            "w2",
-            (
-                (4 * F.col("c") - 3).cast("double") / (4 * F.col("cp"))
-                + (0.75 * F.col("n1p_fwd") / F.col("cp"))
-                * (F.col("n1p_bwd").cast("double") / F.col("nb"))
-            ).alias("p"),
-        )
-    )
-    scored = (
-        bg.join(pkn, ["w1", "w2"])
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.sum(F.expr("cast(round(ln(p) * 1000000) as bigint)"))
-            .cast("long")
-            .alias("lnp_u"),
-        )
-    )
-    return scored.select(
-        "doc_id",
-        "n_bigrams",
-        F.round(
-            F.exp(-(F.col("lnp_u").cast("double") / F.col("n_bigrams") / 1e6)), 6
-        ).alias("ppl"),
-    )
-
-
-@query(
-    "moe_router_balance",
-    oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, i AS pos
-        FROM (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
-             LATERAL (SELECT unnest(range(1, n + 1)) AS i)
-    ), logits AS (
-        SELECT doc_id, pos, e,
-               {H.dd_md5_long("(doc_id || '|' || pos || '|' || e)", 'moe')} AS h
-        FROM toks, range(8) t(e)
-    ), z AS (
-        SELECT doc_id, pos, e, h, h / 1152921504606846976.0 AS x FROM logits
-    ), sm AS (
-        SELECT doc_id, pos, e, h,
-               exp(x) / sum(exp(x)) OVER (PARTITION BY doc_id, pos) AS p,
-               h = max(h) OVER (PARTITION BY doc_id, pos) AS routed
-        FROM z
-    ), per AS (
-        SELECT e, CAST(sum(CASE WHEN routed THEN 1 ELSE 0 END) AS BIGINT) AS n_routed,
-               CAST(sum(CAST(round(p * 1000000) AS BIGINT)) AS BIGINT) AS p_u,
-               CAST(count(*) AS BIGINT) AS n_tok
-        FROM sm GROUP BY e
-    )
-    SELECT CAST(e AS BIGINT) AS expert, n_routed,
-           round(CAST(n_routed AS DOUBLE) / (n_tok / 8) / 8, 6) AS load_share,
-           round(CAST(p_u AS DOUBLE) / n_tok / 1e6, 6) AS mean_prob,
-           round(8 * sum(CAST(n_routed AS DOUBLE) / (n_tok / 8)
-                         * (CAST(p_u AS DOUBLE) / n_tok / 1e6)) OVER () / 8, 6)
-               AS aux_loss
-    FROM per
-    """,
-)
-def moe_router_balance_q(spark, sf_dir):
-    """Mixture-of-Experts router load-balance audit (the Switch
-    Transformer auxiliary loss, Fedus '21 — a router that funnels
-    tokens to two favorite experts wastes 6/8 of the FLOPs you paid
-    for; this is the number that says so BEFORE training diverges):
-    every corpus token draws 8 deterministic md5 logits, routing is
-    the EXACT-INTEGER hash argmax (no float compare), router probs
-    are the softmax over the derived uniforms with per-token
-    micro-quantization before the cross-token sums, and
-    aux = N·Σ f_e·P_e (load fraction × mean prob) — ≈1 balanced,
-    →8 collapsed. One token explode + one 8-way fan-out, all
-    map-side-combinable; per-expert frame is 8 rows."""
-    from .functions import text as X
-
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.size(X.tokens(F.col("text"))))).alias("pos"),
-    )
-    e8 = spark.range(8).select(F.col("id").cast("int").alias("e"))
-    logits = toks.crossJoin(F.broadcast(e8)).select(
-        "doc_id",
-        "pos",
-        "e",
-        H.md5_long(
-            F.concat(
-                F.col("doc_id"), F.lit("|"), F.col("pos"), F.lit("|"), F.col("e")
-            ),
-            "moe",
-        ).alias("h"),
-    )
-    wt = Window.partitionBy("doc_id", "pos")
-    sm = logits.select(
-        "e",
-        (
-            F.exp(F.col("h") / F.lit(1152921504606846976.0))
-            / F.sum(F.exp(F.col("h") / F.lit(1152921504606846976.0))).over(wt)
-        ).alias("p"),
-        (F.col("h") == F.max("h").over(wt)).alias("routed"),
-    )
-    per = sm.groupBy("e").agg(
-        F.sum(F.when(F.col("routed"), 1).otherwise(0)).cast("long").alias("n_routed"),
-        F.sum(F.expr("cast(round(p * 1000000) as bigint)")).cast("long").alias("p_u"),
-        F.count("*").cast("long").alias("n_tok"),
-    )
-    wa = Window.partitionBy()
-    f_e = F.col("n_routed").cast("double") / (F.col("n_tok") / 8) / 8
-    p_e = F.col("p_u").cast("double") / F.col("n_tok") / 1e6
-    return per.select(
-        F.col("e").cast("long").alias("expert"),
-        "n_routed",
-        F.round(f_e, 6).alias("load_share"),
-        F.round(p_e, 6).alias("mean_prob"),
-        F.round(F.lit(8) * F.sum(f_e * 8 * p_e).over(wa) / 8, 6).alias("aux_loss"),
-    )
-
-
-@query(
-    "topic_coherence_npmi",
-    oracle="""
-    WITH pres AS (
-        SELECT DISTINCT doc_id, source, term FROM (
-            SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
-            FROM documents)
-        WHERE term <> ''
-    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-    sfreq AS (
-        SELECT source, term, CAST(count(*) AS BIGINT) AS c
-        FROM pres GROUP BY source, term
-    ), topic AS (
-        SELECT source, term FROM (
-            SELECT source, term,
-                   row_number() OVER (PARTITION BY source
-                                      ORDER BY c DESC, term) AS rk
-            FROM sfreq) WHERE rk <= 3
-    ), dfreq AS (
-        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM pres
-        GROUP BY term
-    ), tpairs AS (
-        SELECT a.source, a.term AS ta, b.term AS tb
-        FROM topic a JOIN topic b
-          ON a.source = b.source AND a.term < b.term
-    ), copres AS (
-        SELECT tp.source, tp.ta, tp.tb,
-               CAST(count(DISTINCT pa.doc_id) AS BIGINT) AS cab
-        FROM tpairs tp
-        JOIN pres pa ON pa.term = tp.ta
-        JOIN pres pb ON pb.term = tp.tb AND pb.doc_id = pa.doc_id
-        GROUP BY tp.source, tp.ta, tp.tb
-    ), scored AS (
-        SELECT c.source,
-               CAST(round(
-                   ln((CAST(c.cab AS DOUBLE) * n.n) / (da.df * CAST(db.df AS DOUBLE)))
-                   / -ln(CAST(c.cab AS DOUBLE) / n.n) * 1000000) AS BIGINT) AS npmi_u
-        FROM copres c
-        JOIN dfreq da ON da.term = c.ta
-        JOIN dfreq db ON db.term = c.tb
-        CROSS JOIN n
-        WHERE c.cab > 0
-    ), tl AS (
-        SELECT source, string_agg(term, ',' ORDER BY term) AS topic_terms
-        FROM topic GROUP BY source
-    )
-    SELECT s.source, tl.topic_terms,
-           CAST(count(*) AS BIGINT) AS n_pairs,
-           round(CAST(sum(npmi_u) AS DOUBLE) / count(*) / 1e6, 6) AS mean_npmi
-    FROM scored s JOIN tl USING (source)
-    GROUP BY s.source, tl.topic_terms
-    """,
-)
-def topic_coherence_npmi_q(spark, sf_dir):
-    """Topic coherence via NPMI (Bouma '09 / the standard topic-model
-    eval — do a topic's words actually CO-OCCUR, or did the model
-    stitch frequent-but-unrelated terms?): each source's top-3
-    presence terms play the topic, pairwise NPMI comes from
-    document-level co-occurrence counts (NPMI = PMI normalized by
-    −ln p(a,b): +1 perfect co-occurrence, 0 independence, −1 never
-    together), per-pair scores micro-quantize before the per-topic
-    mean. Presence/co-occurrence joins are keyed by the 15-row topic
-    term set — the corpus contributes one DISTINCT (doc, term) pass
-    and everything after is topic-bounded."""
-    from .functions import text as X
-
-    docs = load_table(spark, sf_dir, "documents", split=True)
-    pres = (
-        docs.select(
-            "doc_id", "source", F.explode(X.tokens(F.col("text"))).alias("term")
-        )
-        .filter(F.col("term") != "")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    n = docs.agg(F.count("*").cast("long").alias("n"))
-    sfreq = pres.groupBy("source", "term").agg(F.count("*").cast("long").alias("c"))
-    wt = Window.partitionBy("source").orderBy(F.col("c").desc(), "term")
-    topic = (
-        sfreq.select("source", "term", F.row_number().over(wt).alias("rk"))
-        .filter(F.col("rk") <= 3)
-        .drop("rk")
-    )
-    dfreq = pres.groupBy("term").agg(
-        F.countDistinct("doc_id").cast("long").alias("df")
-    )
-    ta = topic.select("source", F.col("term").alias("ta"))
-    tb = topic.select("source", F.col("term").alias("tb"))
-    tpairs = ta.join(tb, "source").filter(F.col("ta") < F.col("tb"))
-    pa = pres.select(F.col("term").alias("ta"), F.col("doc_id"))
-    pb = pres.select(F.col("term").alias("tb"), F.col("doc_id"))
-    copres = (
-        tpairs.join(pa, "ta")
-        .join(pb, ["tb", "doc_id"])
-        .groupBy("source", "ta", "tb")
-        .agg(F.countDistinct("doc_id").cast("long").alias("cab"))
-    )
-    scored = (
-        copres.join(dfreq.select(F.col("term").alias("ta"), F.col("df").alias("dfa")), "ta")
-        .join(dfreq.select(F.col("term").alias("tb"), F.col("df").alias("dfb")), "tb")
-        .crossJoin(F.broadcast(n))
-        .filter(F.col("cab") > 0)
-        .select(
-            "source",
-            F.expr(
-                "cast(round(ln((cast(cab as double) * n) / (dfa * cast(dfb as double)))"
-                " / -ln(cast(cab as double) / n) * 1000000) as bigint)"
-            ).alias("npmi_u"),
-        )
-    )
-    tl = topic.groupBy("source").agg(
-        F.array_join(F.sort_array(F.collect_list("term")), ",").alias("topic_terms")
-    )
-    return (
-        scored.groupBy("source")
-        .agg(
-            F.count("*").cast("long").alias("n_pairs"),
-            F.round(F.sum("npmi_u").cast("double") / F.count("*") / 1e6, 6).alias(
-                "mean_npmi"
-            ),
-        )
-        .join(tl, "source")
-        .select("source", "topic_terms", "n_pairs", "mean_npmi")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Holt-Winters seasonal forecast (r5 cont. — completes the forecasting
-# ladder: OLS line -> Holt level+trend -> HW level+trend+season)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "holt_winters_forecast",
-    oracle="""
-    WITH m AS (
-        SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS month_id,
-               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
-        FROM orders GROUP BY month_id
-    ), ser AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_months,
-               list(CAST(rev_c AS DOUBLE) / 100 ORDER BY month_id) AS ys
-        FROM m
-    ), init AS (
-        SELECT n_months, ys,
-               list_sum(ys[1:12]) / 12 AS l0
-        FROM ser
-    ), fit AS (
-        SELECT n_months,
-               list_reduce(
-                   [[l0, 0.0] || list_transform(ys[1:12], y -> y - l0)]
-                   || list_transform(ys[13:CAST(n_months AS INTEGER)],
-                                     y -> [y] || [0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
-                                                  0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
-                   (acc, x) ->
-                       [0.5 * (x[1] - acc[3]) + 0.5 * (acc[1] + acc[2]),
-                        0.5 * ((0.5 * (x[1] - acc[3]) + 0.5 * (acc[1] + acc[2])) - acc[1])
-                          + 0.5 * acc[2]]
-                       || acc[4:14]
-                       || [0.5 * (x[1] - (0.5 * (x[1] - acc[3])
-                                          + 0.5 * (acc[1] + acc[2])))
-                           + 0.5 * acc[3]]
-               ) AS st
-        FROM init
-    )
-    SELECT CAST(h AS BIGINT) AS horizon, n_months,
-           round(st[1], 6) AS level_end,
-           round(st[2], 6) AS trend_end,
-           round(st[1] + h * st[2] + st[2 + h], 6) AS forecast
-    FROM fit CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
-    """,
-)
-def holt_winters_forecast_q(spark, sf_dir):
-    """Holt-Winters additive triple smoothing + 3-month seasonal
-    forecast (the seasonality-aware member of the forecasting ladder:
-    revenue_forecast's OLS line -> holt_forecast's level+trend -> HW
-    level+trend+12 seasonal states; alpha=beta=gamma=0.5): the
-    inherently sequential recursion runs as the bit-identical ordered
-    fold (survival_km's contract) with a 14-element state vector —
-    and the seasonal array is a ROTATING QUEUE (head = current
-    month's seasonal; each step consumes the head and appends the
-    updated value), so the fold needs NO computed list indices: pure
-    concat/slice lambdas both engines evaluate identically. Init:
-    level = first-year mean, seasonals = first-year deviations.
-    Forecast h steps out reads the queue h positions in. The fact
-    table collapses to ~80 cent-exact month totals before any of
-    this; the fold runs on one row."""
-    o = load_table(spark, sf_dir, "orders")
-    m = o.groupBy(
-        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1).alias(
-            "month_id"
-        )
-    ).agg(
-        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
-        .cast("long")
-        .alias("rev_c")
-    )
-    ser = m.agg(
-        F.count("*").cast("long").alias("n_months"),
-        F.expr(
-            "transform(array_sort(collect_list(struct(month_id, rev_c))), "
-            "s -> cast(s.rev_c as double) / 100)"
-        ).alias("ys"),
-    )
-    init = ser.select(
-        "n_months",
-        "ys",
-        F.expr(
-            "aggregate(slice(ys, 1, 12), cast(0.0 as double), (a, y) -> a + y) / 12"
-        ).alias("l0"),
-    )
-    fit = init.select(
-        "n_months",
-        F.expr(
-            """
-            aggregate(
-                transform(slice(ys, 13, cast(n_months as int) - 12),
-                          y -> concat(array(y), array_repeat(cast(0.0 as double), 13))),
-                concat(array(l0, cast(0.0 as double)),
-                       transform(slice(ys, 1, 12), y -> y - l0)),
-                (acc, x) ->
-                    concat(
-                        array(
-                            0.5 * (element_at(x, 1) - element_at(acc, 3))
-                              + 0.5 * (element_at(acc, 1) + element_at(acc, 2)),
-                            0.5 * ((0.5 * (element_at(x, 1) - element_at(acc, 3))
-                                    + 0.5 * (element_at(acc, 1) + element_at(acc, 2)))
-                                   - element_at(acc, 1))
-                              + 0.5 * element_at(acc, 2)),
-                        slice(acc, 4, 11),
-                        array(
-                            0.5 * (element_at(x, 1)
-                                   - (0.5 * (element_at(x, 1) - element_at(acc, 3))
-                                      + 0.5 * (element_at(acc, 1) + element_at(acc, 2))))
-                              + 0.5 * element_at(acc, 3))))
-            """
-        ).alias("st"),
-    )
-    hs = spark.createDataFrame([(1,), (2,), (3,)], "h int")
-    return fit.crossJoin(F.broadcast(hs)).select(
-        F.col("h").cast("long").alias("horizon"),
-        "n_months",
-        F.round(F.element_at("st", 1), 6).alias("level_end"),
-        F.round(F.element_at("st", 2), 6).alias("trend_end"),
-        F.round(
-            F.element_at("st", 1)
-            + F.col("h") * F.element_at("st", 2)
-            + F.element_at("st", F.lit(2) + F.col("h")),
-            6,
-        ).alias("forecast"),
-    )
+from .registry_core import (  # noqa: F401
+    LAZY_ORACLES,
+    ORACLES,
+    QUERIES,
+    query,
+)
+from . import registry_parts  # noqa: F401  (imports run registrations)
