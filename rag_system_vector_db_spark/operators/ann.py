@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
+from ..sources.tables import duck_parquet_path as _duck_path
 
 
 def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
@@ -299,7 +300,7 @@ def kmeans_fit_sample(
     import duckdb
 
     rel = duckdb.sql(
-        f"SELECT {id_col}, {vec_col} FROM read_parquet('{sf_dir}/{table}.parquet') "
+        f"SELECT {id_col}, {vec_col} FROM read_parquet('{_duck_path(sf_dir, table)}') "
         f"ORDER BY {id_col} LIMIT {sample_limit}"
     )
     x = np.array([list(r[1]) for r in rel.fetchall()], dtype=np.float64)
@@ -621,7 +622,7 @@ def pq_fit_sample(
     import duckdb
 
     rel = duckdb.sql(
-        f"SELECT {id_col}, {vec_col} FROM read_parquet('{sf_dir}/{table}.parquet') "
+        f"SELECT {id_col}, {vec_col} FROM read_parquet('{_duck_path(sf_dir, table)}') "
         f"ORDER BY {id_col} LIMIT {sample_limit}"
     )
     x = np.array([list(r[1]) for r in rel.fetchall()], dtype=np.float64)
@@ -672,7 +673,7 @@ def pq_fit_residual_sample(
     import duckdb
 
     rel = duckdb.sql(
-        f"SELECT {id_col}, {vec_col} FROM read_parquet('{sf_dir}/{table}.parquet') "
+        f"SELECT {id_col}, {vec_col} FROM read_parquet('{_duck_path(sf_dir, table)}') "
         f"ORDER BY {id_col} LIMIT {sample_limit}"
     )
     x = np.array([list(r[1]) for r in rel.fetchall()], dtype=np.float64)

@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..sources.tables import duck_parquet_path as _duck_path
+
 DIM = 64
 
 
@@ -95,7 +97,7 @@ def pca_fit_sample(
     import duckdb
 
     rel = duckdb.sql(
-        f"SELECT {id_col}, {vec_col} FROM read_parquet('{sf_dir}/{table}.parquet') "
+        f"SELECT {id_col}, {vec_col} FROM read_parquet('{_duck_path(sf_dir, table)}') "
         f"ORDER BY {id_col} LIMIT {sample_limit}"
     )
     x = np.array([list(r[1]) for r in rel.fetchall()], dtype=np.float64)

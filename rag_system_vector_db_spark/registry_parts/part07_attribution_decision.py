@@ -19,6 +19,7 @@ from ..functions import vector as V  # noqa: F401
 from ..operators import chunking, knn, text_analysis  # noqa: F401
 from ..operators.text_analysis import STOPWORDS  # noqa: F401
 from ..sources import load_table  # noqa: F401
+from ..sources.tables import duck_parquet_path  # noqa: F401
 
 from ..registry_core import (  # noqa: F401
     LAZY_ORACLES,
@@ -507,8 +508,9 @@ def _seeding_sets(sf_dir: str, k: int = 8, sample_limit: int = 4096):
     import duckdb
     import numpy as np
 
+    emb_path = duck_parquet_path(sf_dir, "embeddings")
     rel = duckdb.sql(
-        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"SELECT vec_id, embedding FROM read_parquet('{emb_path}') "
         f"ORDER BY vec_id LIMIT {sample_limit}"
     )
     x = np.array([list(r[1]) for r in rel.fetchall()], dtype=np.float64)

@@ -106,6 +106,17 @@ def load_table(
     return df
 
 
+def duck_parquet_path(sf_dir: str, name: str) -> str:
+    """read_parquet() argument for one sf table on the DuckDB side (the
+    bounded in-process model fits and the oracle views). The shipped
+    testdata sfs are single-file parquet; derived sfs (tools/gen_sf1.py)
+    are Spark directory-style — glob the part files then."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    return f"{path}/*.parquet" if os.path.isdir(path) else path
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (mirrors the DuckDB oracle's
     pre-registered views, so SQL text can be shared)."""

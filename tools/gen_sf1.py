@@ -20,6 +20,7 @@ Output: .scratch/sf1.0/*.parquet (gitignored, ~170 MB). Deterministic
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -118,8 +119,19 @@ def main() -> None:
     jobs["embeddings"] = replicate(t("embeddings"), {"vec_id": vk}, extra=perturb_vec)
 
     for name, df in jobs.items():
+        # Single-file layout exactly like the shipped testdata sfs, so
+        # every consumer (tests/oracle.py views, the bounded in-process
+        # DuckDB model fits) sees the same contract at every sf.
         path = f"{DST}/{name}.parquet"
-        df.coalesce(max(1, min(8, N_REP))).write.mode("overwrite").parquet(path)
+        tmp = f"{DST}/_tmp_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.replace(os.path.join(tmp, part), path)
+        shutil.rmtree(tmp)
         print(name, spark.read.parquet(path).count(), flush=True)
     spark.stop()
     print("sf1.0 written to", DST)
