@@ -45,10 +45,12 @@ def revenue_topn(spark: SparkSession, sf_dir: str, n: int = 10) -> DataFrame:
     """Join-heavy: lineitem ⋈ orders ⋈ customer ⋈ nation, revenue per
     customer, top-N. Dimensions broadcast; the fact tables join on
     their natural keys and AQE picks the physical strategy."""
-    # split=True: the local file scans as 3 partitions, serializing the
-    # join probe on 3 of 32 cores; the gate makes it a no-op once the
-    # input has >= defaultParallelism natural splits (any real fact table).
-    li = load_table(spark, sf_dir, "lineitem", split=True)
+    # NO split here: the join's own exchange on l_orderkey already
+    # redistributes to full parallelism, so a round-robin repartition
+    # of the fact table is a wasted extra shuffle — measured 2x slower
+    # at both sf0.1 and the derived sf1 (r6 scaling study). split=True
+    # is for map-heavy per-row work, not shuffle-join shapes.
+    li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")

@@ -335,3 +335,32 @@ def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
     explicit = spark.read.schema(merged.schema).parquet(out)
     assert explicit.count() == 2 * n
     assert explicit.filter((F.col("batch") == 1) & F.col("origin").isNull()).count() == 0
+
+
+def test_duck_parquet_path_layouts(tmp_path):
+    """Single-file sfs (shipped testdata) pass through; Spark
+    directory-style sfs (derived, e.g. tools/gen_sf1.py) glob their
+    part files — the contract the in-process DuckDB fits rely on."""
+    import duckdb
+
+    from rag_system_vector_db_spark.sources.tables import duck_parquet_path
+
+    sf = str(tmp_path)
+    # file layout
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"vec_id": [1, 2], "v": [0.5, 1.5]})
+    pq.write_table(t, f"{sf}/embeddings.parquet")
+    p = duck_parquet_path(sf, "embeddings")
+    assert p == f"{sf}/embeddings.parquet"
+    assert duckdb.sql(f"SELECT count(*) FROM read_parquet('{p}')").fetchone()[0] == 2
+    # directory layout
+    import os
+
+    os.makedirs(f"{sf}/documents.parquet")
+    pq.write_table(t, f"{sf}/documents.parquet/part-00000.parquet")
+    pq.write_table(t, f"{sf}/documents.parquet/part-00001.parquet")
+    p = duck_parquet_path(sf, "documents")
+    assert p.endswith("/*.parquet")
+    assert duckdb.sql(f"SELECT count(*) FROM read_parquet('{p}')").fetchone()[0] == 4
