@@ -16,13 +16,14 @@ import math
 import duckdb
 
 from rag_system_vector_db_spark.sources import TABLES
+from rag_system_vector_db_spark.sources.tables import duck_parquet_path
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{duck_parquet_path(sf_dir, t)}')"
         )
     return con
 
