@@ -994,18 +994,29 @@ def hll_merge_rollup_q(spark, sf_dir):
 
 def _hll_merge_oracle() -> str:
     def cascade(src_sql: str) -> str:
+        # SEQUENTIAL saturating fill, stage n ORing the shift of stage
+        # n-1's already-partially-filled word — the same chain the
+        # Spark side and the hll_distinct oracle run. A one-pass OR of
+        # shifted copies of the ORIGINAL word is NOT equivalent: a set
+        # bit only reaches offsets {1,2,4,8,16,32} below itself, so a
+        # sparse-top word under-fills and inflates rho. The r6 sf1
+        # parity gate caught exactly that here: at gate scales
+        # (sf<=0.1) every estimate rides the linear-counting branch,
+        # which depends only on register PRESENCE and so masked the
+        # divergence; at sf1 the raw harmonic branch exposed it
+        # (oracle 52749 vs the correct 15277 for ndv_exact 15000).
         return f"""
-        SELECT scope, idx, max(53 - bit_count(
-            w | (w >> 1) | (w >> 2) | (w >> 4) | (w >> 8) | (w >> 16) | (w >> 32)
-        )) AS m_j
+        SELECT scope, idx, max(53 - bit_count(w)) AS m_j
         FROM (
+        SELECT scope, idx, w | (w >> 32) AS w FROM (
+        SELECT scope, idx, w | (w >> 16) AS w FROM (
+        SELECT scope, idx, w | (w >> 8) AS w FROM (
+        SELECT scope, idx, w | (w >> 4) AS w FROM (
+        SELECT scope, idx, w | (w >> 2) AS w FROM (
+        SELECT scope, idx, w | (w >> 1) AS w FROM (
             SELECT scope, h >> 52 AS idx, h & 4503599627370495 AS w FROM ({src_sql})
-        ) GROUP BY scope, idx
+        ))))))) GROUP BY scope, idx
         """
-
-    # NOTE: the fill cascade above is equivalent to the sequential
-    # shift-or chain: OR-ing all shifted copies of the already-filled
-    # word saturates every bit below the highest set bit.
     per_type_src = (
         "SELECT DISTINCT event_type AS scope, "
         + H.dd_md5_long("user_id::VARCHAR")
@@ -2075,14 +2086,19 @@ def rank_biased_overlap_q(spark, sf_dir):
     ), h AS (
         SELECT DISTINCT day, {H.dd_md5_long('user_id::VARCHAR')} AS h FROM ud
     ), regs AS (
-        SELECT day, h >> 52 AS idx,
-               max(53 - bit_count(
-                   (h & 4503599627370495)
-                   | ((h & 4503599627370495) >> 1) | ((h & 4503599627370495) >> 2)
-                   | ((h & 4503599627370495) >> 4) | ((h & 4503599627370495) >> 8)
-                   | ((h & 4503599627370495) >> 16) | ((h & 4503599627370495) >> 32)
-               )) AS m_j
-        FROM h GROUP BY day, idx
+        -- sequential saturating fill (see _hll_merge_oracle: the
+        -- one-pass OR of shifts of the ORIGINAL word under-fills
+        -- sparse-top words; masked by linear counting below sf1)
+        SELECT day, idx, max(53 - bit_count(w)) AS m_j
+        FROM (
+        SELECT day, idx, w | (w >> 32) AS w FROM (
+        SELECT day, idx, w | (w >> 16) AS w FROM (
+        SELECT day, idx, w | (w >> 8) AS w FROM (
+        SELECT day, idx, w | (w >> 4) AS w FROM (
+        SELECT day, idx, w | (w >> 2) AS w FROM (
+        SELECT day, idx, w | (w >> 1) AS w FROM (
+            SELECT day, h >> 52 AS idx, h & 4503599627370495 AS w FROM h
+        ))))))) GROUP BY day, idx
     ), days AS (SELECT DISTINCT day FROM ud),
     anchors AS (SELECT day AS anchor FROM days WHERE day >= 6),
     win AS (

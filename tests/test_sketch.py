@@ -97,3 +97,81 @@ def test_label_centroids_matches_numpy(spark, sf_dir):
         mat = np.stack(by_label[r.label])
         assert r.n == len(mat)
         assert abs(r.mean_val - round(float(mat[:, r.pos].mean()), 6)) < 2e-6
+
+
+def test_hll_oracles_match_in_raw_harmonic_regime(spark, tmp_path):
+    """r6 regression (caught by the sf1 parity gate): at every gate sf
+    the HLL estimate rides the linear-counting branch, which depends
+    only on register PRESENCE — so a broken rho fill in an oracle is
+    invisible. This test builds a synthetic events table with enough
+    distinct users (4000 >> 2.5m=640) that every scope/window lands in
+    the raw harmonic branch, then requires full cross-engine parity
+    for both register-merging entries AND agreement with a pure-Python
+    HLL ground truth."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    sys_path_dir = str(tmp_path)
+    n_users, n_days = 4000, 10
+    rows = []
+    for u in range(n_users):
+        day = u % n_days
+        rows.append(
+            (
+                u,
+                pd.Timestamp("2024-01-01") + pd.Timedelta(days=day, minutes=u % 60),
+                u,
+                ["click", "view", "purchase"][u % 3],
+                float(u % 7),
+                "{}",
+            )
+        )
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    # micros, not pandas-default nanos: Spark rejects TIMESTAMP(NANOS)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(f"{sys_path_dir}/events.parquet")
+
+    # pure-Python ground truth for the global sketch
+    regs: dict[int, int] = {}
+    for u in range(n_users):
+        h = int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+        idx, w = h >> 52, h & ((1 << 52) - 1)
+        for k in (1, 2, 4, 8, 16, 32):
+            w |= w >> k
+        regs[idx] = max(regs.get(idx, 0), 53 - bin(w).count("1"))
+    scale = 1 << 53
+    n_zero = 256 - len(regs)
+    e_raw = (
+        (0.7213 / (1 + 1.079 / 256))
+        * 65536.0
+        * float(scale)
+        / (sum(1 << (53 - m) for m in regs.values()) + n_zero * scale)
+    )
+    assert e_raw > 640.0  # the regime this test exists to pin
+    expected = round(e_raw, 6) if not (e_raw <= 640.0 and n_zero > 0) else round(
+        256.0 * math.log(256.0 / n_zero), 6
+    )
+
+    import duckdb
+
+    from oracle import compare
+
+    from rag_system_vector_db_spark.registry import ORACLES, QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sys_path_dir}/events.parquet')"
+    )
+    for name in ("hll_distinct", "hll_merge_rollup", "sliding_window_hll"):
+        sdf = QUERIES[name](spark, sys_path_dir)
+        compare(sdf, con, ORACLES[name])
+    # and the merged/direct/global estimates equal the Python sketch
+    got = {
+        r.scope: r.ndv_est
+        for r in QUERIES["hll_merge_rollup"](spark, sys_path_dir).collect()
+    }
+    assert got["merged"] == got["direct"] == expected
