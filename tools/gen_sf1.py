@@ -6,12 +6,19 @@ study (VERDICT r5 "Next round #4") derives one: every scaling table
 is replicated 10x with primary/foreign keys shifted per replica so
 referential integrity holds and key cardinality scales 10x;
 nation/region stay fixed (TPC-H semantics). Text and embedding
-payloads are deterministically perturbed per replica — exact copies
-would hand every document a 10-clique of true duplicates and inflate
-dedup candidate volumes quadratically, which is NOT how a 10x corpus
-behaves; near-miss perturbation keeps duplicate density constant,
-which is the honest scaling posture for the candidate-volume-bound
-operators this study exists to measure.
+payloads are deterministically perturbed per replica so EXACT-dup
+density stays constant (no cross-replica 10-cliques for hash dedup).
+Caveat measured in the r6 study: the perturbation is a near-miss by
+construction, so the NEAR-dup detectors (simhash, minhash banding)
+correctly treat replicas as near-duplicate cliques — their sf1
+candidate/output volumes grow ~60-100x rather than 10x (e.g.
+dedup_simhash emits 100.5M pairs at sf1 vs 1.57M at sf0.1). That
+makes the measured wall-clock scaling exponents for the pair family
+CONSERVATIVE (they absorb a quadratic output inflation and still come
+out sublinear); a constant-near-dup-density corpus would need replica
+payloads drawn from disjoint token spaces, which would instead zero
+out cross-replica candidates entirely. Both extremes are wrong ways
+to fake 10x organic data — the study reads exponents with this noted.
 
 Output: .scratch/sf1.0/*.parquet (gitignored, ~170 MB). Deterministic
 (no RNG — perturbations are hash/trig functions of ids).
