@@ -30,8 +30,11 @@ _ORACLE_SF_DIR = "/root/testdata/sf0.01"
 # r6 rotation (per VERDICT r5 "Next round #1", operator growth frozen):
 # (a) the 14 changed-after-stamp entries FIRST — their r3/r4 stamps
 # predate the current code, so the stale-stamp risk outranks the
-# never-stamped cohort; the ONLY r6 code change near any of them is
-# the mechanical registry split (module move, no behavior edit).
+# never-stamped cohort. Every entry whose code or oracle moved later
+# in r6 is ALSO inside this window: join_revenue_topn (revenue_topn
+# dropped its forced repartition) and hll_merge_rollup /
+# sliding_window_hll (oracle rho-fill fix caught by the sf1 sweep),
+# so the driver stamps all of them against current code.
 # (b) the quantile family whose exact/approx parameterization landed
 # this round (quantile_stats had a pass-r4 stamp; the others were
 # never stamped).
