@@ -27,78 +27,68 @@ from rag_system_vector_db_spark.registry import (  # noqa: E402
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 # The driver's correctness run checks the FIRST 50 dict entries only.
-# r6 rotation (per VERDICT r5 "Next round #1", operator growth frozen):
-# (a) the 14 changed-after-stamp entries FIRST — their r3/r4 stamps
-# predate the current code, so the stale-stamp risk outranks the
-# never-stamped cohort. Every entry whose code or oracle moved later
-# in r6 is ALSO inside this window: join_revenue_topn (revenue_topn
-# dropped its forced repartition) and hll_merge_rollup /
-# sliding_window_hll (oracle rho-fill fix caught by the sf1 sweep),
-# so the driver stamps all of them against current code.
-# (b) the quantile family whose exact/approx parameterization landed
-# this round (quantile_stats had a pass-r4 stamp; the others were
-# never stamped).
-# (c) never-stamped flagships: curation/sample-gen, the sketch family
-# (HLL/KMV/CMS/CountSketch/histogram), lakehouse merge + feature-store
-# joins, and the judge-named retrieval/attribution flagships.
-# Unslotted entries follow at positions 51+ in registration order;
-# 151 oracle-backed entries remain never-stamped after this window —
-# r7 should continue the rotation (next up: the remaining r5-cont.
-# statistical-testing wave, then the closing waves in §2 order).
+# r7 rotation (per VERDICT r6 "Next round #1", operator growth frozen):
+# continue stamping never-stamped entries. Nothing in the r6 window
+# needs re-stamping (no code/oracle moves since dedeaa7 at rotation
+# time). This window = (a) the r5-continuation statistical-testing
+# wave (part04: corr_matrix .. filter_selectivity_estimate, 35
+# entries), then (b) the first 15 of the part03 closing wave in §2
+# order (events_gap_fill .. lm_perplexity_bigram). 116 oracle-backed
+# entries remain never-stamped after this window — r8 continues with
+# the rest of part03 (session_paths ..) then part05+ in §2 order.
 _VERIFY_FIRST = [
-    # (a) stale stamps — code changed after last driver-green stamp
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "minhash_accuracy",
-    "knn_graph_lsh",
-    "skew_profile",
-    "semdedup_clusters",
-    "hybrid_index_rrf",
-    "chunk_documents",
-    "dedup_cluster",
-    "join_revenue_topn",
-    "split_large_chunks",
-    "extract_dates",
-    "local_supplier_volume",
-    "regex_extract_meta",
-    # (b) exact-quantile family parameterized this round
-    "quantile_stats",
-    "conversion_latency",
-    "grouped_latency_slo",
-    "trimmed_mean_stats",
-    "events_histogram_equidepth",
-    "quantile_confidence_bands",
-    # (c) never-stamped flagships
-    "curation_pipeline",
-    "kmeans_refine",
-    "salted_join_topn",
-    "triangle_count",
-    "data_quality_checks",
-    "mlm_mask_corpus",
-    "span_corrupt_corpus",
-    "fim_transform",
-    "merge_into_apply",
-    "pit_feature_join",
-    "window_funnel",
-    "cascade_retrieval_sim",
-    "hll_distinct",
-    "hll_merge_rollup",
-    "sliding_window_hll",
-    "kmv_distinct_by_group",
-    "kmv_set_ops",
-    "cms_heavy_hitters",
-    "count_sketch_estimate",
-    "histogram_quantile_sketch",
-    "markov_attribution",
-    "ucb_bandit_replay",
-    "graph_random_walks",
-    "seeding_quality_eval",
-    "wand_pruning_sim",
-    "soft_dedup_weights",
-    "rag_context_budget",
-    "query_expansion_prf",
-    "rerank_two_stage",
-    "qlm_dirichlet_topk",
+    # (a) statistical-testing wave (part04, §2 order)
+    "corr_matrix",
+    "cusum_changepoint",
+    "events_interarrival",
+    "ab_welch_ttest",
+    "corpus_temperature_mix",
+    "token_budget_plan",
+    "retrieval_mmr",
+    "classifier_calibration",
+    "describe_collection",
+    "chi_square_independence",
+    "layout_skipping_compare",
+    "events_decayed_topk",
+    "grouped_ols_slopes",
+    "mann_whitney_u",
+    "knn_classifier_eval",
+    "survival_km",
+    "silhouette_simplified",
+    "zipf_fit",
+    "jackknife_variance",
+    "bootstrap_ci",
+    "partition_plan_sim",
+    "postings_compression_stats",
+    "source_distinctive_terms",
+    "psi_drift",
+    "knn_graph_assortativity",
+    "bm25_tuning_grid",
+    "snippet_extraction",
+    "cross_source_duplication",
+    "holt_forecast",
+    "kendall_tau_ranks",
+    "ab_power_analysis",
+    "classifier_pr_curve",
+    "brier_decomposition",
+    "join_cardinality_estimate",
+    "filter_selectivity_estimate",
+    # (b) part03 closing wave, §2 order
+    "events_gap_fill",
+    "events_ohlc",
+    "lineitem_priority_mix",
+    "train_test_split",
+    "lang_confusion",
+    "pmi_collocations",
+    "ann_binary_hamming",
+    "ann_sq8",
+    "revenue_cube",
+    "events_ewma",
+    "incremental_agg_maintenance",
+    "token_entropy",
+    "faceted_search_counts",
+    "rfm_segments",
+    "lm_perplexity_bigram",
 ]
 
 
