@@ -276,6 +276,51 @@ def recall_at_k(
 # --- IVF ---
 
 
+def corpus_rows(sf_dir: str, table: str = "embeddings") -> int:
+    """Row count straight off parquet metadata (no Spark job) — the
+    one corpus statistic the scale-aware sizing helpers below need."""
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{_duck_path(sf_dir, table)}')"
+    ).fetchone()[0]
+
+
+def kmeans_k_for(
+    sf_dir: str,
+    rows_per_cell: int = 250,
+    k_min: int = 8,
+    table: str = "embeddings",
+) -> int:
+    """Scale-honest cell count for SemDeDup/IVF-style partition-then-
+    pair operators: k grows with N so expected cell occupancy (and
+    therefore within-cell pair volume) stays LINEAR in N instead of
+    quadratic. Fixed k=8 measured superlinear (+1.17 exponent) on the
+    sf0.1->sf1 study; k=N/250 measured the remedy (29.5 s vs 61.5 s at
+    sf1, pair volume provably linear). At the gate scales
+    (N=500..2000) this floors at k_min=8, so gate-scale oracles are
+    byte-identical to the fixed-k plan."""
+    return max(k_min, corpus_rows(sf_dir, table) // rows_per_cell)
+
+
+def lsh_bits_for(
+    sf_dir: str,
+    rows_per_bucket: float = 7.8125,
+    bits_min: int = 6,
+    bits_max: int = 24,
+    table: str = "embeddings",
+) -> int:
+    """Scale-honest LSH plane count: bits = log2(N / target_occupancy)
+    keeps expected bucket occupancy (and same-bucket pair volume per
+    vector) constant as N grows. The 7.8125 default reproduces the
+    historical 6-bit plan at the N=500 gate scale (500/64), giving 8
+    bits at sf0.1 (N=2000) and 11 at the derived sf1 (N=20000)."""
+    import math
+
+    n = max(1, corpus_rows(sf_dir, table))
+    return min(bits_max, max(bits_min, round(math.log2(max(2.0, n / rows_per_bucket)))))
+
+
 def kmeans_fit_sample(
     sf_dir: str,
     k: int = 8,

@@ -312,10 +312,10 @@ def intraclass_correlation_q(spark, sf_dir):
     )
 
 
-def _dedup_threshold_sweep_oracle() -> str:
+def _dedup_threshold_sweep_oracle(sf_dir: str) -> str:
     from ..operators import ann
 
-    planes = ann.hyperplanes(6, 64)
+    planes = ann.hyperplanes(ann.lsh_bits_for(sf_dir), 64)
     return f"""
     WITH {_planes_sql(planes)},
     dots AS (
@@ -343,7 +343,7 @@ def _dedup_threshold_sweep_oracle() -> str:
     """
 
 
-@query("dedup_threshold_sweep")  # oracle attached below (plane literals)
+@query("dedup_threshold_sweep")  # oracle: LAZY_ORACLES (plane literals, bits ∝ log N)
 def dedup_threshold_sweep_q(spark, sf_dir):
     """Near-dup threshold policy sweep (how aggressive should semantic
     dedup be? — the tuning table a curation team reads before fixing
@@ -351,11 +351,14 @@ def dedup_threshold_sweep_q(spark, sf_dir):
     ONCE; all 7 thresholds are conditional sums over that single
     scored pass (one more threshold = one more counter, not another
     pair join). The pairs-per-doc column is the de-dup pressure
-    readout per tau; candidate volume stays bucket-bounded."""
+    readout per tau; candidate volume stays bucket-bounded — and the
+    bucket COUNT scales with N (lsh_bits_for: bits = log2(N/7.8), so
+    expected occupancy is constant and pair volume linear; a fixed
+    6-bit table would go quadratic at 10x data)."""
     from ..operators import ann
 
     emb = load_table(spark, sf_dir, "embeddings", split=True)
-    planes = ann.hyperplanes(6, 64)
+    planes = ann.hyperplanes(ann.lsh_bits_for(sf_dir), 64)
     v = emb.select(
         "vec_id", "embedding", ann.lsh_bucket(F.col("embedding"), planes).alias("_b")
     )
@@ -392,7 +395,7 @@ def dedup_threshold_sweep_q(spark, sf_dir):
     )
 
 
-ORACLES["dedup_threshold_sweep"] = _dedup_threshold_sweep_oracle()
+LAZY_ORACLES["dedup_threshold_sweep"] = _dedup_threshold_sweep_oracle
 
 
 @query(
