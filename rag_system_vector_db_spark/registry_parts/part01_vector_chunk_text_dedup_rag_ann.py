@@ -232,18 +232,38 @@ def knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_batch_np")  # rows-only: BLAS matmul sums differ in last-ulp
+@query(
+    "knn_batch_np",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS query_vec
+        FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+        SELECT q.query_id, e.vec_id,
+               {_dd_cosine('e.embedding', 'q.query_vec')} AS score
+        FROM embeddings e, q
+    ), ranked AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
+    """,
+)
 def knn_batch_np(spark, sf_dir):
-    """Arrow+BLAS batch kNN — raw-throughput twin of knn_batch; exact
-    ranks (unit-tested against the HOF path), float scores off by ulps."""
+    """Arrow+BLAS batch kNN — raw-throughput twin of knn_batch. The
+    registry surface hash-checks the DETERMINISTIC columns
+    (query_id, vec_id, rank — BLAS ordering agrees with exact-sum
+    ordering wherever score gaps exceed ulp noise, which the gate now
+    proves per sf); the float scores differ from the sequential-sum
+    HOF path in last-ulp rounding and stay un-oracled — read them off
+    knn.topk_batch_np directly (VERDICT r6 "Next round #7")."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     out = knn.topk_batch_np(emb, queries, k=10)
-    return out.select(
-        "query_id", "vec_id", F.round("score", 6).alias("score"), F.col("rank").cast("long")
-    )
+    return out.select("query_id", "vec_id", F.col("rank").cast("long"))
 
 
 @query(
@@ -974,11 +994,16 @@ def hybrid_search_rrf(spark, sf_dir):
     )
 
 
-@query("rag_pipeline_e2e")  # rows-only: uses the Python hash embedder
+@query("rag_pipeline_e2e")  # oracle: LAZY_ORACLES (Python re-implementation literals)
 def rag_pipeline_e2e(spark, sf_dir):
     """Full app.py pipeline on raw text: embed corpus (pandas_udf) +
-    embed question → retrieve → context rows. Deterministic but not
-    SQL-expressible (Python embedder)."""
+    embed question → retrieve → context rows. Not SQL-expressible (the
+    hash embedder's md5→Gaussian kernel has no DuckDB form), but fully
+    deterministic — so the lazy oracle re-runs the WHOLE pipeline in
+    independent pure Python (driver-side embed_text_py + sequential
+    float64 cosine, no Spark) and inlines the 5 expected rows as
+    literals. The former rows-only declaration is upgraded to a real
+    cross-implementation hash check (VERDICT r6 "Next round #7")."""
     from ..operators import embedding, knn as _knn
 
     docs = load_table(spark, sf_dir, "documents")
@@ -991,6 +1016,65 @@ def rag_pipeline_e2e(spark, sf_dir):
         "rank", "doc_id", F.round("score", 6).alias("score"),
         F.substring("text", 1, 60).alias("snippet"),
     )
+
+
+def _py_dot(a: list[float], b: list[float]) -> float:
+    """Sequential left-to-right float64 sum — bit-identical to
+    functions/vector.py's F.aggregate fold."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def _py_cosine(a: list[float], b: list[float]) -> float:
+    na, nb = _math.sqrt(_py_dot(a, a)), _math.sqrt(_py_dot(b, b))
+    d = na * nb
+    return float("nan") if d == 0.0 else _py_dot(a, b) / d
+
+
+def _round6_half_up(x: float) -> float:
+    """Spark F.round / DuckDB round: 6dp, half away from zero."""
+    if x != x:  # NaN
+        return x
+    return _math.copysign(_math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _rag_e2e_oracle(sf_dir: str) -> str:
+    import duckdb
+
+    from ..operators.embedding import embed_text_py
+    from ..sources.tables import duck_parquet_path
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{duck_parquet_path(sf_dir, 'documents')}')"
+        " ORDER BY doc_id"
+    ).fetchall()
+    qv = [float(x) for x in embed_text_py("spark join performance tuning")]
+    scored = []
+    for doc_id, text in docs:
+        e = [float(x) for x in embed_text_py(text)]
+        scored.append((doc_id, _py_cosine(e, qv), text))
+    # Spark sorts NaN as the GREATEST double: desc puts NaN first
+    scored.sort(key=lambda r: (0 if r[1] != r[1] else 1, -r[1] if r[1] == r[1] else 0, r[0]))
+    rows = []
+    for rank, (doc_id, score, text) in enumerate(scored[:5], start=1):
+        rows.append(
+            f"(CAST({rank} AS BIGINT), CAST({doc_id} AS BIGINT), "
+            f"CAST({_round6_half_up(score)!r} AS DOUBLE), {_sql_str(text[:60])})"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ') AS t("rank", doc_id, score, snippet)'
+    )
+
+
+LAZY_ORACLES["rag_pipeline_e2e"] = _rag_e2e_oracle
 
 
 # ---------------------------------------------------------------------------
