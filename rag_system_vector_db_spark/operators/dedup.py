@@ -99,6 +99,40 @@ def lsh_band_buckets(
     ).select(id_col, F.col("e.band").alias("band"), F.col("e.band_sig").alias("band_sig"))
 
 
+def cap_hot_buckets(df: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """Drop every row belonging to a bucket with more than ``max_bucket``
+    members, BEFORE any collect/self-join sees it.
+
+    The 100 TB failure mode this guards: one boilerplate mega-bucket
+    (an empty-string shingle, an all-zero simhash byte) puts its whole
+    membership in a single aggregation buffer and then emits O(m²)
+    pairs — a 10M-doc bucket means 10^14 pairs either way, so the only
+    scale-correct move is to drop it, not join it (near-dup signal from
+    boilerplate buckets is noise anyway; that's the same df-cut BM25
+    applies to stopwords). The unbounded count window hash-partitions
+    on the same keys the downstream groupBy/join clusters on, so the
+    window's exchange is REUSED (its output partitioning satisfies the
+    aggregate's required distribution) — the cap costs one in-partition
+    sort, never a second shuffle of the banded rows."""
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+
+
+def hot_bucket_report(df: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """Side report of the buckets cap_hot_buckets dropped:
+    (keys..., n_members) per over-cap bucket — the audit trail a
+    curation run publishes next to its dedup output."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .filter(F.col("n_members") > max_bucket)
+    )
+
+
 def dedup_minhash_lsh(
     docs: DataFrame,
     n: int = 3,
@@ -107,9 +141,12 @@ def dedup_minhash_lsh(
     rows: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
-    Returns (doc_a, doc_b, n_shared_bands)."""
+    Returns (doc_a, doc_b, n_shared_bands). ``max_bucket`` drops
+    pathological hot buckets before the collect (cap_hot_buckets);
+    capped output ≡ uncapped whenever no bucket exceeds the cap."""
     # explode+groupBy (codegen'd md5 + map-side partial mins) beats the
     # map-only HOF variant locally: higher-order functions are
     # interpreted (CodegenFallback) and get re-evaluated per reference.
@@ -122,10 +159,10 @@ def dedup_minhash_lsh(
     # Pair generation via bucket-collect instead of a self-join: the
     # signature pipeline (shingle explode + md5s + mins) runs ONCE, and
     # one groupBy replaces the join's two exchanges. Bucket arrays are
-    # bounded by dup-cluster size; for pathological hot buckets at
-    # scale, cap with a document-frequency filter before this groupBy
-    # (a 10M-doc bucket means 10^14 pairs either way — drop it, don't
-    # join it).
+    # bounded by dup-cluster size; max_bucket caps pathological hot
+    # buckets before this groupBy ever buffers them.
+    if max_bucket is not None:
+        b = cap_hot_buckets(b, ["band", "band_sig"], max_bucket)
     buckets = (
         b.groupBy("band", "band_sig")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
@@ -270,12 +307,14 @@ def dedup_simhash(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming. Candidates
     via byte-banding: 4 bands of 8 bits, so by pigeonhole every pair
     with hamming ≤ 3 shares at least one whole band — the default is
     exact. max_hamming > 3 trades recall for reach (pairs differing in
-    4+ bits spread across all 4 bands are missed).
+    4+ bits spread across all 4 bands are missed). ``max_bucket`` drops
+    boilerplate mega-buckets before the collect (cap_hot_buckets).
     Returns (doc_a, doc_b, hamming)."""
     s = simhash(docs, id_col, text_col)
     bands = s.select(
@@ -298,6 +337,8 @@ def dedup_simhash(
     # Bucket-collect pair generation (see dedup_minhash_lsh): the
     # simhash aggregation runs once; sorted (id, simhash) structs give
     # doc_a < doc_b for free.
+    if max_bucket is not None:
+        bands = cap_hot_buckets(bands, ["band", "band_val"], max_bucket)
     bk = (
         bands.groupBy("band", "band_val")
         .agg(F.sort_array(F.collect_list(F.struct(id_col, "simhash"))).alias("ds"))
