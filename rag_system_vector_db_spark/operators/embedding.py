@@ -69,11 +69,68 @@ def embed_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+# The documented swap point, made mechanical: any batch encoder
+# (list[str] -> (n, dim) float array) becomes the Arrow-batched UDF.
+# sentence_transformer_encoder() below wires the reference's real
+# model (Snowflake/snowflake-arctic-embed-s, prepare_data.py:50)
+# through the SAME plumbing when its wheel is present — the gated
+# smoke test in tests/test_embedding.py proves the swap works where
+# the wheel exists (same posture as sources/pdf.py's pypdf gate).
+_HAVE_ST = False
+try:  # pragma: no cover - wheel absent in this container
+    import sentence_transformers  # noqa: F401
+
+    _HAVE_ST = True
+except ImportError:
+    pass
+
+
+def make_embed_udf(encode_batch, dim: int = DIM):
+    """Wrap a batch text encoder (list[str] -> (n, dim) array) as an
+    Arrow-batched pandas_udf. The encoder is serialized to executors,
+    so it must be picklable (SentenceTransformer models are; they load
+    lazily per worker on first batch)."""
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def _udf(texts: pd.Series) -> pd.Series:
+        vecs = np.asarray(encode_batch([t or "" for t in texts]), dtype=np.float32)
+        if vecs.ndim != 2 or vecs.shape[1] != dim:
+            raise ValueError(f"encoder returned shape {vecs.shape}, want (n, {dim})")
+        return pd.Series(list(vecs))
+
+    return _udf
+
+
+def sentence_transformer_encoder(model_name: str = "Snowflake/snowflake-arctic-embed-s"):
+    """Real-model batch encoder (wheel-gated). Returns (encode_batch,
+    dim); raises ImportError where sentence-transformers is absent."""
+    from sentence_transformers import SentenceTransformer
+
+    model = SentenceTransformer(model_name)
+    dim = model.get_sentence_embedding_dimension()
+
+    def encode_batch(texts):
+        return model.encode(list(texts), normalize_embeddings=True)
+
+    return encode_batch, dim
+
+
 def embed_documents(
-    docs: DataFrame, text_col: str = "text", out_col: str = "embedding"
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    encoder=None,
+    dim: int = DIM,
 ) -> DataFrame:
-    """Batch index build: attach a normalized embedding column."""
-    return docs.withColumn(out_col, embed_udf(F.col(text_col)))
+    """Batch index build: attach a normalized embedding column.
+
+    ``encoder=None`` -> the deterministic feature-hashing stand-in;
+    pass ``encoder=encode_batch`` (e.g. from
+    ``sentence_transformer_encoder()``) to run a real model through
+    identical Arrow-batched, shuffle-free plumbing."""
+    if encoder is None:
+        return docs.withColumn(out_col, embed_udf(F.col(text_col)))
+    return docs.withColumn(out_col, make_embed_udf(encoder, dim)(F.col(text_col)))
 
 
 def pca_fit_sample(

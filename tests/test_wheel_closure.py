@@ -20,6 +20,7 @@ import importlib.util
 def closure_report() -> dict[str, str]:
     """wheel -> live branch, derived from the SAME flags the product
     code branches on (not a parallel re-detection that could drift)."""
+    from rag_system_vector_db_spark.operators import embedding as emb_mod
     from rag_system_vector_db_spark.sources import pdf as pdf_mod
 
     report = {
@@ -29,6 +30,9 @@ def closure_report() -> dict[str, str]:
             if importlib.util.find_spec("google") is not None
             and importlib.util.find_spec("google.protobuf") is not None
             else "compile-only"
+        ),
+        "sentence-transformers": (
+            "real-encoder" if emb_mod._HAVE_ST else "hash-encoder"
         ),
     }
     return report
@@ -74,7 +78,18 @@ def test_branch_identity_is_reported(capsys):
     asserts the report names every gated wheel so a new import guard
     cannot be added without joining the closure contract."""
     report = closure_report()
-    assert set(report) == {"pypdf", "google.protobuf"}, report
+    assert set(report) == {"pypdf", "google.protobuf", "sentence-transformers"}, report
     # every branch value is one of the declared identities
     assert report["pypdf"] in {"real-decode", "fake-codec"}
     assert report["google.protobuf"] in {"tws-runtime", "compile-only"}
+    assert report["sentence-transformers"] in {"real-encoder", "hash-encoder"}
+
+
+def test_st_branch_matches_wheel_presence():
+    """sentence-transformers importable => the real-encoder swap point
+    (operators/embedding.py) must report live; absent => the
+    deterministic hash encoder is the declared branch, and the gated
+    smoke test in test_embedding.py skips."""
+    wheel_present = importlib.util.find_spec("sentence_transformers") is not None
+    branch = closure_report()["sentence-transformers"]
+    assert branch == ("real-encoder" if wheel_present else "hash-encoder")
