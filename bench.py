@@ -469,7 +469,14 @@ def main() -> None:
         # instead of costing an adjudication (r5 lesson).
         "calibration_sec": calibration_sec,
         "calibration_ref_sec": CAL_REF_SEC,
-        "value_calibrated": round(total * CAL_REF_SEC / calibration_sec, 4),
+        # CAL_REF_SEC was measured at sf0.1 (the driver's bench scale);
+        # at any other sf the ratio is meaningless, so the calibrated
+        # total is null there rather than parseable-but-wrong
+        # (ADVICE r6). calibration_valid flags it explicitly.
+        "calibration_valid": sf == 0.1,
+        "value_calibrated": (
+            round(total * CAL_REF_SEC / calibration_sec, 4) if sf == 0.1 else None
+        ),
         # queries that got the one extra anti-outlier pass this run
         # (their value is best-of-3; empty on a clean run)
         "outlier_retimed": retimed,
@@ -507,6 +514,7 @@ def main() -> None:
         "queries": timings,
         "calibration_sec": calibration_sec,
         "calibration_ref_sec": CAL_REF_SEC,
+        "calibration_valid": result["calibration_valid"],
         "value_calibrated": result["value_calibrated"],
         "timed_passes": 2,
         "extras": "BENCH_result.json",

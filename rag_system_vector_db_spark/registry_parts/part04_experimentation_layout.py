@@ -798,7 +798,15 @@ def events_histogram_equidepth_q(spark, sf_dir, exact_quantiles: bool = True):
                 "v_u", F.lit([i / 10 for i in range(1, 10)]), F.lit(10000)
             ).alias("_edges")
         )
-        r = vu.join(F.broadcast(edges), "event_type").select(
+        # percentile_approx returns TIED edges on heavily duplicated
+        # values; counting ties would skip decile ids entirely (empty
+        # bins). Distinct edges instead COLLAPSE the tied bins: decile
+        # ids stay consecutive 1..k (k < 10 exactly when ties ate
+        # bins), every value lands in a well-defined bin (ADVICE r6).
+        r = vu.join(
+            F.broadcast(edges.withColumn("_edges", F.array_distinct("_edges"))),
+            "event_type",
+        ).select(
             "event_type",
             "v_u",
             (
