@@ -505,6 +505,8 @@ def hard_negative_mining(
         F.col(vec_col),
         F.col(label_col),
         lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+        # norm hoist (see operators/dedup.semdedup): bit-identical
+        V.l2_norm(F.col(vec_col)).alias("_nrm"),
     )
     a, c = b.alias("a"), b.alias("n")
     pairs = a.join(
@@ -516,7 +518,10 @@ def hard_negative_mining(
         F.col(f"a.{label_col}").alias(label_col),
         F.col(f"n.{id_col}").alias("neg_id"),
         F.col(f"n.{label_col}").alias("neg_label"),
-        V.cosine(F.col(f"a.{vec_col}"), F.col(f"n.{vec_col}")).alias("score"),
+        (
+            V.dot(F.col(f"a.{vec_col}"), F.col(f"n.{vec_col}"))
+            / (F.col("a._nrm") * F.col("n._nrm"))
+        ).alias("score"),
     )
     # max_by on (score, -neg_id): highest cosine wins, exact ties go to
     # the lowest negative id — deterministic, oracle-matched.

@@ -184,6 +184,7 @@ def dedup_ngram_jaccard(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard ≥ threshold via prefix filtering (AllPairs/
     PPJoin principle, Chaudhuri ICDE'06 / Bayardo WWW'07).
@@ -218,7 +219,15 @@ def dedup_ngram_jaccard(
     )
     # Bucket-collect pair generation (one groupBy, not a self-join's two
     # exchanges); posting lists per prefix hash are bounded by document
-    # frequency — cap hot shingles upstream at extreme scale.
+    # frequency — max_bucket drops hot-shingle posting lists
+    # (boilerplate n-grams shared by a mega-clique) before the collect,
+    # the same cap_hot_buckets guard the banding family has. NOTE: the
+    # cap trades recall on the capped shingles (a qualifying pair whose
+    # ONLY shared prefix hashes are all hot is lost), which is the
+    # documented df-cut semantics, not silent truncation — pair it with
+    # hot_bucket_report(pre, ["h"], max_bucket) for the audit.
+    if max_bucket is not None:
+        pre = cap_hot_buckets(pre, ["h"], max_bucket)
     bk = (
         pre.groupBy("h")
         .agg(F.sort_array(F.collect_list(F.struct(id_col, "sz", "pos"))).alias("ds"))
@@ -457,8 +466,15 @@ def dedup_embedding_lsh(
     from ..functions import vector as V
     from .ann import lsh_bucket
 
+    # Norm hoist (see semdedup): one l2_norm per VECTOR instead of two
+    # per PAIR — bit-identical scores (the norm is the same sequential-
+    # sum double either way), 3x fewer interpreted HOF aggregates on
+    # the pair stream.
     b = vectors.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("_bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+        V.l2_norm(F.col(vec_col)).alias("_nrm"),
     )
     a, c = b.alias("a"), b.alias("b")
     return (
@@ -470,7 +486,10 @@ def dedup_embedding_lsh(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            V.cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("score"),
+            (
+                V.dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a._nrm") * F.col("b._nrm"))
+            ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", F.round("score", 6).alias("score"))
@@ -637,9 +656,26 @@ def semdedup(
     from ..functions import vector as V
     from .ann import with_cell
 
+    # Per-vector norm computed ONCE (N evaluations) instead of inside
+    # the pair cosine (2P evaluations, P = within-cell pairs ~ 125x N
+    # at the k=N/250 occupancy): the HOF aggregates run interpreted
+    # (CodegenFallback), so dropping two of the three per pair measured
+    # 25.3 s -> ~12 s on the 2.5M-pair sf1 study. Bit-identical scores:
+    # the norm value is the same sequential-sum double either way, so
+    # dot/(na*nb) reproduces V.cosine exactly and the oracle hash holds.
     b = with_cell(vectors, vec_col, centroids, out_col="cid").select(
-        "cid", F.col(id_col), F.col(vec_col)
+        "cid",
+        F.col(id_col),
+        F.col(vec_col),
+        V.l2_norm(F.col(vec_col)).alias("_nrm"),
     )
+    # The self-join would otherwise evaluate the assignment subtree on
+    # BOTH sides — and at k ∝ N the k interpreted per-centroid euclids
+    # are the dominant stage cost (measured 2x the whole pipeline at
+    # sf1: 20.5 s unmaterialized vs 10 s assign + 3 s join once
+    # checkpointed). Same materialize-before-reuse posture as
+    # dedup_cluster's iteration.
+    b = b.localCheckpoint(eager=False)
     lhs, rhs = b.alias("a"), b.alias("b")
     pairs = (
         lhs.join(
@@ -651,7 +687,10 @@ def semdedup(
             F.col("a.cid").alias("cid"),
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            V.cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("score"),
+            (
+                V.dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a._nrm") * F.col("b._nrm"))
+            ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )

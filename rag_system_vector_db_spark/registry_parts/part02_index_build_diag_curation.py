@@ -1027,8 +1027,13 @@ def _knn_graph_edges(spark, sf_dir, max_bucket=None):
 
     emb = load_table(spark, sf_dir, "embeddings", split=True)
     planes = ann.hyperplanes(4, 64)
+    # norm hoist (see operators/dedup.semdedup): one l2_norm per vector
+    # instead of two per candidate pair; bit-identical scores
     b = emb.select(
-        "vec_id", "embedding", ann.lsh_bucket(F.col("embedding"), planes).alias("_b")
+        "vec_id",
+        "embedding",
+        ann.lsh_bucket(F.col("embedding"), planes).alias("_b"),
+        V.l2_norm(F.col("embedding")).alias("_nrm"),
     )
     if max_bucket is not None:
         b = cap_hot_buckets(b, ["_b"], max_bucket)
@@ -1042,7 +1047,10 @@ def _knn_graph_edges(spark, sf_dir, max_bucket=None):
         .select(
             F.col("a.vec_id").alias("src"),
             F.col("b.vec_id").alias("dst"),
-            V.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("score"),
+            (
+                V.dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a._nrm") * F.col("b._nrm"))
+            ).alias("score"),
         )
     )
     return topk_per_key_agg(scored, "src", "dst", 3)

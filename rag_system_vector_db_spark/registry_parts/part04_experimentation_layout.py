@@ -3461,13 +3461,20 @@ def embedding_dedup_recall_q(spark, sf_dir):
         H.md5_long(F.col("vec_id").cast("string")) / F.lit(1152921504606846976.0)
         < 0.3
     ).select(
-        "vec_id", "embedding", ann.lsh_bucket(F.col("embedding"), planes).alias("_b")
+        "vec_id",
+        "embedding",
+        ann.lsh_bucket(F.col("embedding"), planes).alias("_b"),
+        # norm hoist (see operators/dedup.semdedup): bit-identical
+        V.l2_norm(F.col("embedding")).alias("_nrm"),
     )
     a, b = sub.alias("a"), sub.alias("b")
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
         F.when(F.col("a._b") == F.col("b._b"), 1).otherwise(0).alias("cand"),
         F.when(
-            V.cosine(F.col("a.embedding"), F.col("b.embedding")) >= 0.3, 1
+            V.dot(F.col("a.embedding"), F.col("b.embedding"))
+            / (F.col("a._nrm") * F.col("b._nrm"))
+            >= 0.3,
+            1,
         )
         .otherwise(0)
         .alias("truth"),

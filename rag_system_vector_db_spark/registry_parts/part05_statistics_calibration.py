@@ -359,13 +359,22 @@ def dedup_threshold_sweep_q(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings", split=True)
     planes = ann.hyperplanes(ann.lsh_bits_for(sf_dir), 64)
+    # norm hoist (see operators/dedup.semdedup): bit-identical scores
     v = emb.select(
-        "vec_id", "embedding", ann.lsh_bucket(F.col("embedding"), planes).alias("_b")
+        "vec_id",
+        "embedding",
+        ann.lsh_bucket(F.col("embedding"), planes).alias("_b"),
+        V.l2_norm(F.col("embedding")).alias("_nrm"),
     )
     a, b = v.alias("a"), v.alias("b")
     scored = a.join(
         b, (F.col("a._b") == F.col("b._b")) & (F.col("a.vec_id") < F.col("b.vec_id"))
-    ).select(V.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("score"))
+    ).select(
+        (
+            V.dot(F.col("a.embedding"), F.col("b.embedding"))
+            / (F.col("a._nrm") * F.col("b._nrm"))
+        ).alias("score")
+    )
     nv = load_table(spark, sf_dir, "embeddings").agg(
         F.count("*").cast("long").alias("n_vectors")
     )

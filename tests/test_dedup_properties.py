@@ -270,3 +270,21 @@ def test_knn_graph_bucket_cap_identity_and_drop(spark, sf_dir):
     )
     assert base == generous
     assert _knn_graph_edges(spark, sf_dir, max_bucket=1).count() == 0
+
+
+def test_ngram_jaccard_cap_identity_and_clique_drop(spark):
+    """Prefix-posting-list cap: identity under a generous cap; a
+    boilerplate clique's shared hot shingles are dropped so its pairs
+    disappear while organic near-dups survive."""
+    boiler = ["the same boilerplate sentence repeated in every document"] * 25
+    organic = [
+        "an organic document with enough distinct words here",
+        "an organic document with enough distinct words there",
+    ]
+    docs = _docs_df(spark, boiler + organic)
+    base = _pairs(dedup.dedup_ngram_jaccard(docs, threshold=0.5))
+    assert _pairs(dedup.dedup_ngram_jaccard(docs, threshold=0.5, max_bucket=10_000)) == base
+    capped = _pairs(dedup.dedup_ngram_jaccard(docs, threshold=0.5, max_bucket=10))
+    clique = set(range(25))
+    assert all(not ({a, b} <= clique) for a, b in capped)
+    assert (25, 26) in capped  # the organic near-dup pair survives
