@@ -27,68 +27,70 @@ from rag_system_vector_db_spark.registry import (  # noqa: E402
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 # The driver's correctness run checks the FIRST 50 dict entries only.
-# r7 rotation (per VERDICT r6 "Next round #1", operator growth frozen):
-# continue stamping never-stamped entries. Nothing in the r6 window
-# needs re-stamping (no code/oracle moves since dedeaa7 at rotation
-# time). This window = (a) the r5-continuation statistical-testing
-# wave (part04: corr_matrix .. filter_selectivity_estimate, 35
-# entries), then (b) the first 15 of the part03 closing wave in §2
-# order (events_gap_fill .. lm_perplexity_bigram). 116 oracle-backed
-# entries remain never-stamped after this window — r8 continues with
-# the rest of part03 (session_paths ..) then part05+ in §2 order.
+# r8 rotation (per VERDICT r7 "Next round #1"): (a) the stale trio
+# first — knn_batch_np / rag_pipeline_e2e / eval_results_artifact
+# carry pre-r7 `no_oracle` stamps in the driver ledger even though r7
+# gave them real oracles; re-stamp them green. Then (b) the next 47
+# never-stamped entries in registry (§2) order: the rest of the part03
+# closing wave (session_paths .. dau_stickiness), then part05's head
+# (embedding_dedup_recall .. seasonal_residual_anomaly). 69 oracle-
+# backed entries remain never-stamped after this window (plus the two
+# r8-registered capped-dedup entries) — r9 continues with
+# lorenz_curve_points .. then part06+ in §2 order.
 _VERIFY_FIRST = [
-    # (a) statistical-testing wave (part04, §2 order)
-    "corr_matrix",
-    "cusum_changepoint",
-    "events_interarrival",
-    "ab_welch_ttest",
-    "corpus_temperature_mix",
-    "token_budget_plan",
-    "retrieval_mmr",
-    "classifier_calibration",
-    "describe_collection",
-    "chi_square_independence",
-    "layout_skipping_compare",
-    "events_decayed_topk",
-    "grouped_ols_slopes",
-    "mann_whitney_u",
-    "knn_classifier_eval",
-    "survival_km",
-    "silhouette_simplified",
-    "zipf_fit",
-    "jackknife_variance",
-    "bootstrap_ci",
-    "partition_plan_sim",
-    "postings_compression_stats",
-    "source_distinctive_terms",
-    "psi_drift",
-    "knn_graph_assortativity",
-    "bm25_tuning_grid",
-    "snippet_extraction",
-    "cross_source_duplication",
-    "holt_forecast",
-    "kendall_tau_ranks",
-    "ab_power_analysis",
-    "classifier_pr_curve",
-    "brier_decomposition",
-    "join_cardinality_estimate",
-    "filter_selectivity_estimate",
+    # (a) stale-stamp trio (oracles added r7; driver ledger re-stamp)
+    "knn_batch_np",
+    "rag_pipeline_e2e",
+    "eval_results_artifact",
     # (b) part03 closing wave, §2 order
-    "events_gap_fill",
-    "events_ohlc",
-    "lineitem_priority_mix",
-    "train_test_split",
-    "lang_confusion",
-    "pmi_collocations",
-    "ann_binary_hamming",
-    "ann_sq8",
-    "revenue_cube",
-    "events_ewma",
-    "incremental_agg_maintenance",
-    "token_entropy",
-    "faceted_search_counts",
-    "rfm_segments",
-    "lm_perplexity_bigram",
+    "session_paths",
+    "skipgram_pairs",
+    "temporal_split",
+    "ann_ivf_sq8",
+    "dataset_card",
+    "quantization_recall",
+    "embedding_quality_checks",
+    "bpe_train_rounds",
+    "label_outliers",
+    "tfidf_vsm_topk",
+    "vocab_coverage",
+    "knn_graph_2hop",
+    "multimodal_shard_plan",
+    "pre_post_analysis",
+    "hybrid_combsum",
+    "chunk_overlap",
+    "dedup_containment",
+    "percolate_queries",
+    "snapshot_diff",
+    "events_twa",
+    "events_anomaly_mad",
+    "vocab_drift",
+    "split_ngram_leakage",
+    "discount_elasticity",
+    "revenue_concentration",
+    "seasonality_profile",
+    "topk_stability",
+    "exactly_once_ingest",
+    "slo_burn_rate",
+    "audience_overlap",
+    "market_basket_lift",
+    "dau_stickiness",
+    # (c) part05 head, §2 order
+    "embedding_dedup_recall",
+    "order_backlog_timeseries",
+    "rollup_grain_advisor",
+    "seasonal_decompose",
+    "dedup_keep_best",
+    "intraclass_correlation",
+    "dedup_threshold_sweep",
+    "embedding_dim_profile",
+    "eb_rate_shrinkage",
+    "simpson_paradox_check",
+    "bloom_filter_sizing",
+    "recall_at_k_sweep",
+    "uncertainty_sampling",
+    "source_ngram_similarity",
+    "seasonal_residual_anomaly",
 ]
 
 
