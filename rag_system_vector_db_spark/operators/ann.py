@@ -290,6 +290,7 @@ def kmeans_k_for(
     sf_dir: str,
     rows_per_cell: int = 250,
     k_min: int = 8,
+    k_max: int = 4096,
     table: str = "embeddings",
 ) -> int:
     """Scale-honest cell count for SemDeDup/IVF-style partition-then-
@@ -299,8 +300,21 @@ def kmeans_k_for(
     sf0.1->sf1 study; k=N/250 measured the remedy (29.5 s vs 61.5 s at
     sf1, pair volume provably linear). At the gate scales
     (N=500..2000) this floors at k_min=8, so gate-scale oracles are
-    byte-identical to the fixed-k plan."""
-    return max(k_min, corpus_rows(sf_dir, table) // rows_per_cell)
+    byte-identical to the fixed-k plan.
+
+    ``k_max`` bounds the OTHER quadratic: centroid assignment costs
+    N*k interpreted euclideans, so uncapped k = N/250 makes assignment
+    O(N²/250) — linear pair volume bought with a quadratic assignment
+    term one scale later — and the driver-side fit sample (16*k rows)
+    plus the k*dim centroid literals inlined into plans and lazy-oracle
+    SQL would grow unboundedly. k_max=4096 holds assignment cost at
+    N*4096 (linear), keeps the fit sample ≤64k rows and the literal
+    block ≤~4 MB of SQL, and concedes that beyond N ≈ k_max*250 ≈ 1M
+    sampled vectors per fit scope, cell occupancy grows ~N/k_max again
+    — within-cell pair volume is then quadratic with a 1/4096
+    constant; the 100 TB posture for that regime is sharding the fit
+    scope (per-partition SemDeDup), not a bigger flat k."""
+    return min(k_max, max(k_min, corpus_rows(sf_dir, table) // rows_per_cell))
 
 
 def lsh_bits_for(
@@ -319,6 +333,29 @@ def lsh_bits_for(
 
     n = max(1, corpus_rows(sf_dir, table))
     return min(bits_max, max(bits_min, round(math.log2(max(2.0, n / rows_per_bucket)))))
+
+
+def planes_for(
+    sf_dir: str,
+    rows_per_bucket: float = 7.8125,
+    bits_min: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    table: str = "embeddings",
+) -> list[list[float]]:
+    """Corpus-sized hyperplane set: lsh_bits_for picks the plane count,
+    hyperplanes draws them. The r7 sf1 study's lesson generalized: every
+    pair-GENERATING LSH consumer (bucketed dedup, kNN-graph build,
+    hard-negative mining) must size bits to N or same-bucket pair
+    volume grows ~N²/2^bits; the floors reproduce the historical fixed
+    plans at the N=500 gate scales so gate oracles (and prior driver
+    stamps) are unchanged by construction. The first ``bits_min``
+    planes of a larger draw equal the fixed draw's planes only when the
+    seed and order match — hyperplanes() draws plane-by-plane from one
+    rng stream, so growing the count EXTENDS the set without changing
+    the shared prefix; bucket ids still differ (more bits), which is
+    the point."""
+    return hyperplanes(lsh_bits_for(sf_dir, rows_per_bucket, bits_min, table=table), dim, seed=seed)
 
 
 def kmeans_fit_sample(

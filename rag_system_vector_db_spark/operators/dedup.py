@@ -142,11 +142,15 @@ def dedup_minhash_lsh(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int | None = None,
+    with_report: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
     Returns (doc_a, doc_b, n_shared_bands). ``max_bucket`` drops
     pathological hot buckets before the collect (cap_hot_buckets);
-    capped output ≡ uncapped whenever no bucket exceeds the cap."""
+    capped output ≡ uncapped whenever no bucket exceeds the cap.
+    ``with_report=True`` returns (pairs, hot_bucket_report) so a capped
+    production run publishes WHAT it dropped next to its output instead
+    of relying on the caller to remember the audit (ADVICE r7)."""
     # explode+groupBy (codegen'd md5 + map-side partial mins) beats the
     # map-only HOF variant locally: higher-order functions are
     # interpreted (CodegenFallback) and get re-evaluated per reference.
@@ -161,7 +165,10 @@ def dedup_minhash_lsh(
     # one groupBy replaces the join's two exchanges. Bucket arrays are
     # bounded by dup-cluster size; max_bucket caps pathological hot
     # buckets before this groupBy ever buffers them.
+    report = None
     if max_bucket is not None:
+        if with_report:
+            report = hot_bucket_report(b, ["band", "band_sig"], max_bucket)
         b = cap_hot_buckets(b, ["band", "band_sig"], max_bucket)
     buckets = (
         b.groupBy("band", "band_sig")
@@ -173,9 +180,10 @@ def dedup_minhash_lsh(
         "doc_a",
         F.explode(F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))).alias("doc_b"),
     )
-    return pairs.groupBy("doc_a", "doc_b").agg(
+    out = pairs.groupBy("doc_a", "doc_b").agg(
         F.count("*").cast("long").alias("n_shared_bands")
     )
+    return (out, report) if with_report else out
 
 
 def dedup_ngram_jaccard(
@@ -185,6 +193,7 @@ def dedup_ngram_jaccard(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int | None = None,
+    with_report: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard ≥ threshold via prefix filtering (AllPairs/
     PPJoin principle, Chaudhuri ICDE'06 / Bayardo WWW'07).
@@ -224,9 +233,13 @@ def dedup_ngram_jaccard(
     # the same cap_hot_buckets guard the banding family has. NOTE: the
     # cap trades recall on the capped shingles (a qualifying pair whose
     # ONLY shared prefix hashes are all hot is lost), which is the
-    # documented df-cut semantics, not silent truncation — pair it with
-    # hot_bucket_report(pre, ["h"], max_bucket) for the audit.
+    # documented df-cut semantics, not silent truncation —
+    # with_report=True returns (pairs, hot_bucket_report) so the capped
+    # path publishes its own audit (ADVICE r7).
+    report = None
     if max_bucket is not None:
+        if with_report:
+            report = hot_bucket_report(pre, ["h"], max_bucket)
         pre = cap_hot_buckets(pre, ["h"], max_bucket)
     bk = (
         pre.groupBy("h")
@@ -266,7 +279,7 @@ def dedup_ngram_jaccard(
     # broadcast plan, large ones get a shuffle hash join on the id.
     aa = arrs.select(F.col(id_col).alias("doc_a"), F.col("arr").alias("arr_a"))
     bb = arrs.select(F.col(id_col).alias("doc_b"), F.col("arr").alias("arr_b"))
-    return (
+    out = (
         cands.join(aa, "doc_a")
         .join(bb, "doc_b")
         .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")).cast("long"))
@@ -278,6 +291,7 @@ def dedup_ngram_jaccard(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", F.round("jaccard", 6).alias("jaccard"))
     )
+    return (out, report) if with_report else out
 
 
 SIMHASH_BITS = 32
@@ -317,6 +331,7 @@ def dedup_simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int | None = None,
+    with_report: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming. Candidates
     via byte-banding: 4 bands of 8 bits, so by pigeonhole every pair
@@ -346,7 +361,10 @@ def dedup_simhash(
     # Bucket-collect pair generation (see dedup_minhash_lsh): the
     # simhash aggregation runs once; sorted (id, simhash) structs give
     # doc_a < doc_b for free.
+    report = None
     if max_bucket is not None:
+        if with_report:
+            report = hot_bucket_report(bands, ["band", "band_val"], max_bucket)
         bands = cap_hot_buckets(bands, ["band", "band_val"], max_bucket)
     bk = (
         bands.groupBy("band", "band_val")
@@ -370,7 +388,7 @@ def dedup_simhash(
             (F.col("band") <= j)
             | (F.shiftright(xor, 8 * j).bitwiseAND(F.lit(255)) != 0)
         )
-    return (
+    out = (
         pairs.select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
@@ -380,6 +398,7 @@ def dedup_simhash(
         .filter((F.col("hamming") <= max_hamming) & F.col("_first"))
         .drop("_first")
     )
+    return (out, report) if with_report else out
 
 
 def dedup_cluster(

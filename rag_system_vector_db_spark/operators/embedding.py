@@ -76,13 +76,12 @@ def embed_udf(texts: pd.Series) -> pd.Series:
 # through the SAME plumbing when its wheel is present — the gated
 # smoke test in tests/test_embedding.py proves the swap works where
 # the wheel exists (same posture as sources/pdf.py's pypdf gate).
-_HAVE_ST = False
-try:  # pragma: no cover - wheel absent in this container
-    import sentence_transformers  # noqa: F401
+# Wheel detection without importing the package: sentence-transformers
+# pulls in torch at import time (multi-second startup), which would tax
+# every session/bench run that never uses the real encoder.
+import importlib.util as _ilu
 
-    _HAVE_ST = True
-except ImportError:
-    pass
+_HAVE_ST = _ilu.find_spec("sentence_transformers") is not None
 
 
 def make_embed_udf(encode_batch, dim: int = DIM):
@@ -93,6 +92,10 @@ def make_embed_udf(encode_batch, dim: int = DIM):
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def _udf(texts: pd.Series) -> pd.Series:
+        # Zero-row Arrow batches are legal; real encoders return a 1-D
+        # empty array for [] which would fail the shape check below.
+        if len(texts) == 0:
+            return pd.Series([], dtype=object)
         vecs = np.asarray(encode_batch([t or "" for t in texts]), dtype=np.float32)
         if vecs.ndim != 2 or vecs.shape[1] != dim:
             raise ValueError(f"encoder returned shape {vecs.shape}, want (n, {dim})")

@@ -746,6 +746,78 @@ def dedup_minhash_lsh(spark, sf_dir):
     return dedup.dedup_minhash_lsh(load_table(spark, sf_dir, "documents"))
 
 
+# The registered 100 TB configuration for boilerplate-heavy sources
+# (VERDICT r7 #4): the SAME banding plan with the hot-bucket cap ON,
+# plus the audit report, both oracle-backed. The cap here (4) is the
+# gate-scale analog of the skew study's 512 — small enough that real
+# over-cap buckets exist at N=500 (1 at sf0.001, 5 at sf0.01, 1128 at
+# sf0.1), so the cap MECHANISM itself is hash-checked, not just the
+# no-op path where capped ≡ uncapped. The oracle replays the cap as a
+# membership-count filter on the identical band buckets.
+_CAPPED_MAX_BUCKET = 4
+
+
+@query(
+    "dedup_minhash_lsh_capped",
+    oracle=f"""
+    WITH {_DD_SHINGLES}, {_DD_MINHASH_SIG}, {_DD_BANDS},
+    sz AS (
+        SELECT band, band_sig, count(*) AS n FROM bands GROUP BY band, band_sig
+    ),
+    keep AS (
+        SELECT b.doc_id, b.band, b.band_sig
+        FROM bands b JOIN sz USING (band, band_sig)
+        WHERE sz.n <= {_CAPPED_MAX_BUCKET}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared_bands
+    FROM keep a
+    JOIN keep b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh_capped(spark, sf_dir):
+    """dedup_minhash_lsh with cap_hot_buckets(max_bucket=4) applied
+    before the bucket collect — the skew-hardened configuration the
+    SCALE_sf1_skew study measured (there at cap 512 against a 10k-doc
+    boilerplate clique: +0.27 exponent vs an uncapped ~10^8-pair
+    blow-up). Pairs whose every shared band bucket is over-cap are
+    dropped by design; hot_bucket_report (next entry) is the audit."""
+    from ..operators import dedup
+
+    return dedup.dedup_minhash_lsh(
+        load_table(spark, sf_dir, "documents"), max_bucket=_CAPPED_MAX_BUCKET
+    )
+
+
+@query(
+    "hot_bucket_report",
+    oracle=f"""
+    WITH {_DD_SHINGLES}, {_DD_MINHASH_SIG}, {_DD_BANDS}
+    SELECT CAST(band AS BIGINT) AS band, band_sig,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM bands GROUP BY band, band_sig
+    HAVING count(*) > {_CAPPED_MAX_BUCKET}
+    """,
+)
+def hot_bucket_report_q(spark, sf_dir):
+    """The audit trail a capped dedup run publishes next to its pair
+    output: every over-cap minhash band bucket with its membership
+    count (operators/dedup.py hot_bucket_report). One groupBy over the
+    banded rows — measured 1.2 s flat on the 10x skew corpus."""
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = dedup.lsh_band_buckets(
+        dedup.minhash_signatures(dedup.shingle_set(docs, 3, "doc_id", "text"), 8, "doc_id"),
+        4,
+        2,
+        "doc_id",
+    )
+    rep = dedup.hot_bucket_report(b, ["band", "band_sig"], _CAPPED_MAX_BUCKET)
+    return rep.select(F.col("band").cast("long"), "band_sig", "n_members")
+
+
 @query(
     "dedup_ngram_jaccard",
     # Ground-truth formulation: FULL inverted-index join (no prefix
@@ -820,29 +892,37 @@ def dedup_simhash(spark, sf_dir):
 
 @query("dedup_embedding_lsh")  # oracle attached after _planes_sql below
 def dedup_embedding_lsh(spark, sf_dir):
-    """Embedding near-dup at scale: 6-plane LSH buckets generate
-    candidates, exact cosine ≥ 0.3 on same-bucket pairs only."""
+    """Embedding near-dup at scale: corpus-sized LSH buckets
+    (ann.planes_for: bits = log2(N/7.8), floor 6 — the r7 semdedup
+    lesson generalized so same-bucket pair volume stays linear in N)
+    generate candidates, exact cosine ≥ 0.3 on same-bucket pairs
+    only. Floors reproduce the historical 6-plane plan at the N=500
+    gate scales; the lazy oracle sizes identically."""
     from ..operators import ann, dedup
 
     # split=True: the per-row hyperplane dot products (map-side LSH
     # bucketing) are the hot path — measured 2x faster parallelized.
     emb = load_table(spark, sf_dir, "embeddings", split=True)
-    return dedup.dedup_embedding_lsh(emb, ann.hyperplanes(6, 64), threshold=0.3)
+    return dedup.dedup_embedding_lsh(emb, ann.planes_for(sf_dir), threshold=0.3)
 
 
 @query("dedup_embedding_cosine")  # oracle attached after _bucketed_pairs_oracle below
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (≥ 0.3) — the NAMED operator runs
-    the scale path over the FULL table: 4-plane LSH candidates (higher
-    recall than the 6-plane entry), exact cosine rescoring of
-    same-bucket pairs only. The O(n²) all-pairs form survives only as
+    the scale path over the FULL table: corpus-sized LSH candidates at
+    4x the bucket occupancy of the dedup_embedding_lsh entry
+    (rows_per_bucket=31.25, floor 4 — higher recall at every scale),
+    exact cosine rescoring of same-bucket pairs only. The O(n²)
+    all-pairs form survives only as
     dedup.dedup_embedding_cosine(all_pairs=True), the explicit
     bounded-slice escape hatch (see dedup_cluster's pair seed)."""
     from ..operators import ann, dedup
 
     emb = load_table(spark, sf_dir, "embeddings", split=True)
     return dedup.dedup_embedding_cosine(
-        emb, threshold=0.3, planes=ann.hyperplanes(4, 64, seed=7)
+        emb,
+        threshold=0.3,
+        planes=ann.planes_for(sf_dir, rows_per_bucket=31.25, bits_min=4, seed=7),
     )
 
 
@@ -1082,6 +1162,18 @@ LAZY_ORACLES["rag_pipeline_e2e"] = _rag_e2e_oracle
 # ---------------------------------------------------------------------------
 
 
+def _sized_planes4(sf_dir: str) -> list[list[float]]:
+    """Corpus-sized planes for the 4-bit-floor LSH family (probe ops +
+    kNN-graph build): rows_per_bucket=31.25 reproduces the historical
+    4-plane/16-bucket plan at the N=500 gate scales and grows bits with
+    log N so bucket occupancy — candidate volume per query and
+    same-bucket pair volume per vector — stays ~constant (6 bits at
+    sf0.1, 9 at the derived sf1)."""
+    from ..operators import ann
+
+    return ann.planes_for(sf_dir, rows_per_bucket=31.25, bits_min=4)
+
+
 def _planes_sql(planes) -> str:
     rows = ", ".join(
         f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])" for i, p in enumerate(planes)
@@ -1098,7 +1190,7 @@ def ann_lsh_cosine(spark, sf_dir):
     # Corpus side split (heavy map-side plane dots); the broadcast
     # query side stays an unsplit scan so no exchange sits under it.
     emb = load_table(spark, sf_dir, "embeddings", split=True)
-    planes = ann.hyperplanes(4, 64)
+    planes = _sized_planes4(sf_dir)
     queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -1108,10 +1200,8 @@ def ann_lsh_cosine(spark, sf_dir):
     )
 
 
-def _ann_lsh_oracle() -> str:
-    from ..operators import ann
-
-    planes = ann.hyperplanes(4, 64)
+def _ann_lsh_oracle(sf_dir: str) -> str:
+    planes = _sized_planes4(sf_dir)
     return f"""
     WITH {_planes_sql(planes)},
     dots AS (
@@ -1140,7 +1230,7 @@ def _ann_lsh_oracle() -> str:
     """
 
 
-ORACLES["ann_lsh_cosine"] = _ann_lsh_oracle()
+LAZY_ORACLES["ann_lsh_cosine"] = _ann_lsh_oracle
 
 
 def _bucketed_pairs_oracle(planes, threshold: float) -> str:
@@ -1165,18 +1255,24 @@ def _bucketed_pairs_oracle(planes, threshold: float) -> str:
     """
 
 
-def _attach_bucketed_pair_oracles():
+def _dedup_embedding_lsh_oracle(sf_dir: str) -> str:
     from ..operators import ann
 
-    ORACLES["dedup_embedding_lsh"] = _bucketed_pairs_oracle(
-        ann.hyperplanes(6, 64), 0.3
-    )
-    ORACLES["dedup_embedding_cosine"] = _bucketed_pairs_oracle(
-        ann.hyperplanes(4, 64, seed=7), 0.3
+    return _bucketed_pairs_oracle(ann.planes_for(sf_dir), 0.3)
+
+
+def _dedup_embedding_cosine_oracle(sf_dir: str) -> str:
+    from ..operators import ann
+
+    return _bucketed_pairs_oracle(
+        ann.planes_for(sf_dir, rows_per_bucket=31.25, bits_min=4, seed=7), 0.3
     )
 
 
-_attach_bucketed_pair_oracles()
+# Lazy: the plane COUNT is corpus-sized (ann.planes_for), so the
+# literal block must be rendered per sf_dir exactly as the plan does.
+LAZY_ORACLES["dedup_embedding_lsh"] = _dedup_embedding_lsh_oracle
+LAZY_ORACLES["dedup_embedding_cosine"] = _dedup_embedding_cosine_oracle
 
 
 @query("ann_ivf")  # oracle: LAZY_ORACLES["ann_ivf"] (centroids are per-sf literals)
@@ -1270,7 +1366,7 @@ def ann_lsh_multiprobe(spark, sf_dir):
     from ..operators import ann
 
     emb = load_table(spark, sf_dir, "embeddings", split=True)
-    planes = ann.hyperplanes(4, 64)
+    planes = _sized_planes4(sf_dir)
     queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -1280,10 +1376,9 @@ def ann_lsh_multiprobe(spark, sf_dir):
     )
 
 
-def _multiprobe_oracle() -> str:
-    from ..operators import ann
-
-    planes = ann.hyperplanes(4, 64)
+def _multiprobe_oracle(sf_dir: str) -> str:
+    planes = _sized_planes4(sf_dir)
+    flips = ", ".join(str(i) for i in range(len(planes)))
     return f"""
     WITH {_planes_sql(planes)},
     dots AS (
@@ -1299,7 +1394,7 @@ def _multiprobe_oracle() -> str:
         SELECT query_id, query_vec, bucket AS pb FROM q
         UNION ALL
         SELECT query_id, query_vec, xor(bucket, (1::BIGINT << t.i)) AS pb
-        FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) t
+        FROM q CROSS JOIN (SELECT unnest([{flips}]) AS i) t
     ), c AS (
         SELECT e.vec_id, e.embedding, b.bucket
         FROM embeddings e JOIN buckets b USING (vec_id)
@@ -1317,7 +1412,7 @@ def _multiprobe_oracle() -> str:
     """
 
 
-ORACLES["ann_lsh_multiprobe"] = _multiprobe_oracle()
+LAZY_ORACLES["ann_lsh_multiprobe"] = _multiprobe_oracle
 
 
 @query("ann_ivf_rerank")  # oracle: LAZY_ORACLES["ann_ivf_rerank"]
@@ -1385,7 +1480,7 @@ def ann_probe_sweep(spark, sf_dir):
     from ..operators import ann
 
     emb = load_table(spark, sf_dir, "embeddings", split=True)
-    planes = ann.hyperplanes(4, 64)
+    planes = _sized_planes4(sf_dir)
     queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -1393,10 +1488,10 @@ def ann_probe_sweep(spark, sf_dir):
     return ann.probe_sweep(emb, queries, planes, bf, k=10)
 
 
-def _probe_sweep_oracle() -> str:
-    from ..operators import ann
-
-    planes = ann.hyperplanes(4, 64)
+def _probe_sweep_oracle(sf_dir: str) -> str:
+    planes = _sized_planes4(sf_dir)
+    flips = ", ".join(str(i) for i in range(len(planes)))
+    budgets = ", ".join(str(i) for i in range(len(planes) + 1))
     return f"""
     WITH {_planes_sql(planes)},
     dots AS (
@@ -1415,13 +1510,13 @@ def _probe_sweep_oracle() -> str:
         SELECT query_id, query_vec, bucket AS pb, 0 AS m_min FROM q
         UNION ALL
         SELECT query_id, query_vec, xor(bucket, (1::BIGINT << t.i)) AS pb, t.i + 1 AS m_min
-        FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) t
+        FROM q CROSS JOIN (SELECT unnest([{flips}]) AS i) t
     ), cand AS (
         SELECT p.query_id, c.vec_id, p.m_min,
                {_dd_cosine('c.embedding', 'p.query_vec')} AS score
         FROM c JOIN probes p ON c.bucket = p.pb
     ), budgets AS (
-        SELECT unnest([0, 1, 2, 3, 4]) AS m
+        SELECT unnest([{budgets}]) AS m
     ), pb AS (
         SELECT b.m, cand.query_id, cand.vec_id, cand.score
         FROM cand JOIN budgets b ON b.m >= cand.m_min
@@ -1464,7 +1559,7 @@ def _probe_sweep_oracle() -> str:
     """
 
 
-ORACLES["ann_probe_sweep"] = _probe_sweep_oracle()
+LAZY_ORACLES["ann_probe_sweep"] = _probe_sweep_oracle
 
 
 @query("ann_recall_at_k")  # oracle attached after _recall_oracle below
@@ -1475,7 +1570,7 @@ def ann_recall_at_k(spark, sf_dir):
     from ..operators import ann
 
     emb = load_table(spark, sf_dir, "embeddings", split=True)
-    planes = ann.hyperplanes(4, 64)
+    planes = _sized_planes4(sf_dir)
     queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -1491,10 +1586,9 @@ def ann_recall_at_k(spark, sf_dir):
     return r1.join(r2, "query_id")
 
 
-def _recall_oracle() -> str:
-    from ..operators import ann
-
-    planes = ann.hyperplanes(4, 64)
+def _recall_oracle(sf_dir: str) -> str:
+    planes = _sized_planes4(sf_dir)
+    flips = ", ".join(str(i) for i in range(len(planes)))
     return f"""
     WITH {_planes_sql(planes)},
     dots AS (
@@ -1531,7 +1625,7 @@ def _recall_oracle() -> str:
         SELECT query_id, query_vec, bucket AS pb FROM q
         UNION ALL
         SELECT query_id, query_vec, xor(bucket, (1::BIGINT << t.i)) AS pb
-        FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) t
+        FROM q CROSS JOIN (SELECT unnest([{flips}]) AS i) t
     ), multi AS (
         SELECT query_id, vec_id FROM (
             SELECT p.query_id, c.vec_id,
@@ -1559,7 +1653,7 @@ def _recall_oracle() -> str:
     """
 
 
-ORACLES["ann_recall_at_k"] = _recall_oracle()
+LAZY_ORACLES["ann_recall_at_k"] = _recall_oracle
 
 
 # ---------------------------------------------------------------------------

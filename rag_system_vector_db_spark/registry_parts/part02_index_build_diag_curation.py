@@ -1014,19 +1014,32 @@ def maxsim_group_retrieval(spark, sf_dir):
     )
 
 
+def _graph_planes(sf_dir: str) -> list[list[float]]:
+    """Corpus-sized plane set shared by the kNN-graph build and its
+    oracle — the same 4-bit-floor sizing as the probe family
+    (part01._sized_planes4): floor 4 reproduces the historical
+    16-bucket plan at the N=500 gate scales; 6 bits at sf0.1, 9 at the
+    derived sf1, so same-bucket candidate volume per vector stays
+    ~constant instead of ~N/2^4."""
+    from .part01_vector_chunk_text_dedup_rag_ann import _sized_planes4
+
+    return _sized_planes4(sf_dir)
+
+
 def _knn_graph_edges(spark, sf_dir, max_bucket=None):
     """Shared kNN-graph edge build for knn_graph_lsh and its degree
     diagnostics: per-vector top-3 cosine neighbors among LSH-bucket
-    candidates (4 planes -> 16 buckets), agg-based per-source prune.
-    ``max_bucket`` (cap_hot_buckets) drops over-occupied buckets before
-    the self-join — the same mega-bucket guard the pair-dedup family
-    has; capped ≡ uncapped when no bucket exceeds the cap."""
+    candidates (corpus-sized planes, _graph_planes), agg-based
+    per-source prune. ``max_bucket`` (cap_hot_buckets) drops
+    over-occupied buckets before the self-join — the same mega-bucket
+    guard the pair-dedup family has; capped ≡ uncapped when no bucket
+    exceeds the cap."""
     from ..operators import ann
     from ..operators.dedup import cap_hot_buckets
     from ..operators.knn import topk_per_key_agg
 
     emb = load_table(spark, sf_dir, "embeddings", split=True)
-    planes = ann.hyperplanes(4, 64)
+    planes = _graph_planes(sf_dir)
     # norm hoist (see operators/dedup.semdedup): one l2_norm per vector
     # instead of two per candidate pair; bit-identical scores
     b = emb.select(
@@ -1056,26 +1069,25 @@ def _knn_graph_edges(spark, sf_dir, max_bucket=None):
     return topk_per_key_agg(scored, "src", "dst", 3)
 
 
-@query("knn_graph_lsh")  # oracle attached below (plane literals)
+@query("knn_graph_lsh")  # oracle: LAZY_ORACLES (corpus-sized plane literals)
 def knn_graph_lsh(spark, sf_dir):
     """Corpus kNN-graph build (the neighborhood-graph step behind
     HNSW/NN-descent index construction and graph-based dedup): every
     vector's top-3 cosine neighbors among its LSH bucket's candidates
-    (4 planes -> 16 buckets). The bucket equi-self-join bounds
-    candidate volume by bucket occupancy (never n²); per-source top-k
-    is the agg-based prune. Vectors alone in their bucket have no
-    rows — at scale raise recall with multiprobe, not bigger
-    buckets."""
+    (corpus-sized planes — bits grow with log N so bucket occupancy,
+    and with it candidate volume per vector, stays ~constant). The
+    bucket equi-self-join bounds candidate volume by bucket occupancy
+    (never n²); per-source top-k is the agg-based prune. Vectors alone
+    in their bucket have no rows — at scale raise recall with
+    multiprobe, not bigger buckets."""
     out = _knn_graph_edges(spark, sf_dir)
     return out.select(
         "src", "dst", F.round("score", 6).alias("score"), F.col("rank").cast("long")
     )
 
 
-def _knn_graph_oracle() -> str:
-    from ..operators import ann
-
-    planes = ann.hyperplanes(4, 64)
+def _knn_graph_oracle(sf_dir: str) -> str:
+    planes = _graph_planes(sf_dir)
     return f"""
     WITH {_planes_sql(planes)},
     dots AS (
@@ -1101,7 +1113,7 @@ def _knn_graph_oracle() -> str:
     """
 
 
-ORACLES["knn_graph_lsh"] = _knn_graph_oracle()
+LAZY_ORACLES["knn_graph_lsh"] = _knn_graph_oracle
 
 
 @query(
@@ -1452,12 +1464,13 @@ def hard_negative_mining(spark, sf_dir):
     """Contrastive hard-negative mining for embedding training: per
     anchor, the most-similar DIFFERENT-label vector among its
     LSH-bucket candidates (highest cosine, ties to lowest id).
-    Bucket-bound candidate volume — the same 6-plane index
-    dedup_embedding_lsh uses."""
+    Bucket-bound candidate volume — the same corpus-sized index
+    dedup_embedding_lsh uses (ann.planes_for, floor 6 at gate
+    scales)."""
     from ..operators import ann
 
     emb = load_table(spark, sf_dir, "embeddings", split=True)
-    planes = ann.hyperplanes(6, 64)
+    planes = ann.planes_for(sf_dir)
     out = ann.hard_negative_mining(emb, planes)
     return out.select(
         "vec_id",
@@ -1468,10 +1481,10 @@ def hard_negative_mining(spark, sf_dir):
     )
 
 
-def _hard_negative_oracle() -> str:
+def _hard_negative_oracle(sf_dir: str) -> str:
     from ..operators import ann
 
-    planes = ann.hyperplanes(6, 64)
+    planes = ann.planes_for(sf_dir)
     return f"""
     WITH {_planes_sql(planes)},
     dots AS (
@@ -1498,7 +1511,7 @@ def _hard_negative_oracle() -> str:
     """
 
 
-ORACLES["hard_negative_mining"] = _hard_negative_oracle()
+LAZY_ORACLES["hard_negative_mining"] = _hard_negative_oracle
 
 
 @query("cluster_purity")  # oracle: LAZY_ORACLES["cluster_purity"] (centroid literals)
@@ -2885,8 +2898,8 @@ def retrieval_ndcg(spark, sf_dir):
     )
 
 
-def _knn_graph_degree_oracle() -> str:
-    base = _knn_graph_oracle().rsplit("SELECT src, dst", 1)[0]
+def _knn_graph_degree_oracle(sf_dir: str) -> str:
+    base = _knn_graph_oracle(sf_dir).rsplit("SELECT src, dst", 1)[0]
     return base + """
     , edges AS (SELECT src, dst FROM ranked WHERE rank <= 3),
     n AS (SELECT count(*) AS n_nodes FROM embeddings),
@@ -2956,7 +2969,7 @@ def knn_graph_degree_stats(spark, sf_dir):
     )
 
 
-ORACLES["knn_graph_degree_stats"] = _knn_graph_degree_oracle()
+LAZY_ORACLES["knn_graph_degree_stats"] = _knn_graph_degree_oracle
 
 
 @query(
@@ -3315,8 +3328,8 @@ def event_transitions_q(spark, sf_dir):
     )
 
 
-def _pagerank_oracle() -> str:
-    base = _knn_graph_oracle().rsplit("SELECT src, dst", 1)[0]
+def _pagerank_oracle(sf_dir: str) -> str:
+    base = _knn_graph_oracle(sf_dir).rsplit("SELECT src, dst", 1)[0]
     rounds = []
     D = 1
     prev = "p0"
@@ -3386,11 +3399,11 @@ def knn_graph_pagerank_q(spark, sf_dir):
     )
 
 
-ORACLES["knn_graph_pagerank"] = _pagerank_oracle()
+LAZY_ORACLES["knn_graph_pagerank"] = _pagerank_oracle
 
 
-def _mutual_knn_oracle() -> str:
-    base = _knn_graph_oracle().rsplit("SELECT src, dst", 1)[0]
+def _mutual_knn_oracle(sf_dir: str) -> str:
+    base = _knn_graph_oracle(sf_dir).rsplit("SELECT src, dst", 1)[0]
     return base + """
     , edges AS (SELECT src, dst, score FROM ranked WHERE rank <= 3)
     SELECT e.src AS id_a, e.dst AS id_b, round(e.score, 6) AS score
@@ -3425,7 +3438,7 @@ def mutual_knn_q(spark, sf_dir):
     )
 
 
-ORACLES["mutual_knn"] = _mutual_knn_oracle()
+LAZY_ORACLES["mutual_knn"] = _mutual_knn_oracle
 
 
 def _kmeans_oracle() -> str:
@@ -3598,8 +3611,8 @@ def salted_join_topn_q(spark, sf_dir):
     )
 
 
-def _triangle_oracle() -> str:
-    base = _knn_graph_oracle().rsplit("SELECT src, dst", 1)[0]
+def _triangle_oracle(sf_dir: str) -> str:
+    base = _knn_graph_oracle(sf_dir).rsplit("SELECT src, dst", 1)[0]
     return base + """
     , und AS (
         SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -3678,7 +3691,7 @@ def triangle_count_q(spark, sf_dir):
     )
 
 
-ORACLES["triangle_count"] = _triangle_oracle()
+LAZY_ORACLES["triangle_count"] = _triangle_oracle
 
 
 _DD_CANON = (

@@ -2000,10 +2000,10 @@ def vocab_coverage_q(spark, sf_dir):
     )
 
 
-def _knn_graph_2hop_oracle() -> str:
-    from ..operators import ann
+def _knn_graph_2hop_oracle(sf_dir: str) -> str:
+    from .part02_index_build_diag_curation import _graph_planes
 
-    planes = ann.hyperplanes(4, 64)
+    planes = _graph_planes(sf_dir)
     return f"""
     WITH {_planes_sql(planes)},
     dots AS (
@@ -2085,7 +2085,7 @@ def knn_graph_2hop_q(spark, sf_dir):
     )
 
 
-ORACLES["knn_graph_2hop"] = _knn_graph_2hop_oracle()
+LAZY_ORACLES["knn_graph_2hop"] = _knn_graph_2hop_oracle
 
 
 @query(

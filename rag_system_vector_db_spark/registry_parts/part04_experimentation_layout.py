@@ -2329,8 +2329,8 @@ def psi_drift_q(spark, sf_dir):
     )
 
 
-def _assortativity_oracle() -> str:
-    base = _knn_graph_oracle().rsplit("SELECT src, dst", 1)[0]
+def _assortativity_oracle(sf_dir: str) -> str:
+    base = _knn_graph_oracle(sf_dir).rsplit("SELECT src, dst", 1)[0]
     return (
         base
         + """
@@ -2404,7 +2404,7 @@ def knn_graph_assortativity_q(spark, sf_dir):
     )
 
 
-ORACLES["knn_graph_assortativity"] = _assortativity_oracle()
+LAZY_ORACLES["knn_graph_assortativity"] = _assortativity_oracle
 
 
 @query(
@@ -3409,10 +3409,10 @@ def filter_selectivity_estimate_q(spark, sf_dir):
     )
 
 
-def _embedding_dedup_recall_oracle() -> str:
+def _embedding_dedup_recall_oracle(sf_dir: str) -> str:
     from ..operators import ann
 
-    planes = ann.hyperplanes(6, 64)
+    planes = ann.planes_for(sf_dir)
     gate = f"{H.dd_md5_long('vec_id::VARCHAR')} / 1152921504606846976.0 < 0.3"
     return f"""
     WITH {_planes_sql(planes)},
@@ -3456,7 +3456,7 @@ def embedding_dedup_recall_q(spark, sf_dir):
     from ..operators import ann
 
     emb = load_table(spark, sf_dir, "embeddings", split=True)
-    planes = ann.hyperplanes(6, 64)
+    planes = ann.planes_for(sf_dir)
     sub = emb.filter(
         H.md5_long(F.col("vec_id").cast("string")) / F.lit(1152921504606846976.0)
         < 0.3
@@ -3493,7 +3493,7 @@ def embedding_dedup_recall_q(spark, sf_dir):
     )
 
 
-ORACLES["embedding_dedup_recall"] = _embedding_dedup_recall_oracle()
+LAZY_ORACLES["embedding_dedup_recall"] = _embedding_dedup_recall_oracle
 
 
 @query(

@@ -725,10 +725,10 @@ def bloom_filter_sizing_q(spark, sf_dir):
     )
 
 
-def _recall_sweep_oracle() -> str:
-    from ..operators import ann
+def _recall_sweep_oracle(sf_dir: str) -> str:
+    from .part01_vector_chunk_text_dedup_rag_ann import _sized_planes4
 
-    planes = ann.hyperplanes(4, 64)
+    planes = _sized_planes4(sf_dir)
     return f"""
     WITH {_planes_sql(planes)},
     dots AS (
@@ -787,8 +787,10 @@ def recall_at_k_sweep_q(spark, sf_dir):
     retrieval passes."""
     from ..operators import ann
 
+    from .part01_vector_chunk_text_dedup_rag_ann import _sized_planes4
+
     emb = load_table(spark, sf_dir, "embeddings", split=True)
-    planes = ann.hyperplanes(4, 64)
+    planes = _sized_planes4(sf_dir)
     queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -824,7 +826,7 @@ def recall_at_k_sweep_q(spark, sf_dir):
     )
 
 
-ORACLES["recall_at_k_sweep"] = _recall_sweep_oracle()
+LAZY_ORACLES["recall_at_k_sweep"] = _recall_sweep_oracle
 
 
 def _uncertainty_sampling_oracle() -> str:
@@ -1906,8 +1908,8 @@ def cuped_adjustment_q(spark, sf_dir):
     )
 
 
-def _link_prediction_oracle() -> str:
-    base = _knn_graph_oracle().rsplit("SELECT src, dst", 1)[0]
+def _link_prediction_oracle(sf_dir: str) -> str:
+    base = _knn_graph_oracle(sf_dir).rsplit("SELECT src, dst", 1)[0]
     return (
         base
         + """
@@ -2005,7 +2007,7 @@ def link_prediction_jaccard_q(spark, sf_dir):
     return ranked.select("u", "v", "common", F.round("j", 6).alias("jaccard"), "rnk")
 
 
-ORACLES["link_prediction_jaccard"] = _link_prediction_oracle()
+LAZY_ORACLES["link_prediction_jaccard"] = _link_prediction_oracle
 
 
 @query(

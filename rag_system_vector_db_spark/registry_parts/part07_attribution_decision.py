@@ -631,8 +631,8 @@ def seeding_quality_eval_q(spark, sf_dir):
 LAZY_ORACLES["seeding_quality_eval"] = _seeding_oracle
 
 
-def _walks_oracle() -> str:
-    base = _knn_graph_oracle().rsplit("SELECT src, dst", 1)[0]
+def _walks_oracle(sf_dir: str) -> str:
+    base = _knn_graph_oracle(sf_dir).rsplit("SELECT src, dst", 1)[0]
     steps_sql = ""
     prev = "w0"
     selects = ["SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM w0"]
@@ -712,7 +712,7 @@ def graph_random_walks_q(spark, sf_dir):
     return reduce(lambda a, b: a.unionByName(b), outs)
 
 
-ORACLES["graph_random_walks"] = _walks_oracle()
+LAZY_ORACLES["graph_random_walks"] = _walks_oracle
 
 
 # ---------------------------------------------------------------------------
@@ -1913,8 +1913,8 @@ def graph_modularity_q(spark, sf_dir):
     )
 
 
-def _modularity_oracle() -> str:
-    base = _knn_graph_oracle().rsplit("SELECT src, dst", 1)[0]
+def _modularity_oracle(sf_dir: str) -> str:
+    base = _knn_graph_oracle(sf_dir).rsplit("SELECT src, dst", 1)[0]
     return base + """, e AS (
         SELECT src, dst FROM ranked WHERE rank <= 3
     ), lab AS (
@@ -1942,7 +1942,7 @@ def _modularity_oracle() -> str:
     """
 
 
-ORACLES["graph_modularity"] = _modularity_oracle()
+LAZY_ORACLES["graph_modularity"] = _modularity_oracle
 
 
 # ---------------------------------------------------------------------------

@@ -288,3 +288,30 @@ def test_ngram_jaccard_cap_identity_and_clique_drop(spark):
     clique = set(range(25))
     assert all(not ({a, b} <= clique) for a, b in capped)
     assert (25, 26) in capped  # the organic near-dup pair survives
+
+
+def test_with_report_returns_pairs_and_audit_together(spark):
+    """ADVICE r7: the capped path must be able to EMIT its own audit.
+    with_report=True returns (pairs, report) from one build; the report
+    names exactly the over-cap buckets, and the pairs equal the plain
+    capped call's pairs."""
+    boiler = ["lorem ipsum dolor sit amet consectetur"] * 30
+    organic = [f"organic doc {i} unique text payload {i}" for i in range(3)]
+    docs = _docs_df(spark, boiler + organic)
+
+    pairs, rep = dedup.dedup_minhash_lsh(docs, max_bucket=10, with_report=True)
+    assert _pairs(pairs) == _pairs(dedup.dedup_minhash_lsh(docs, max_bucket=10))
+    rows = rep.collect()
+    assert rows and all(r.n_members == 30 for r in rows)
+
+    pairs, rep = dedup.dedup_ngram_jaccard(
+        docs, threshold=0.5, max_bucket=10, with_report=True
+    )
+    assert rep.count() > 0
+    assert _pairs(pairs) == _pairs(
+        dedup.dedup_ngram_jaccard(docs, threshold=0.5, max_bucket=10)
+    )
+
+    pairs, rep = dedup.dedup_simhash(docs, max_bucket=10, with_report=True)
+    assert rep.count() > 0
+    assert _pairs(pairs) == _pairs(dedup.dedup_simhash(docs, max_bucket=10))

@@ -184,3 +184,30 @@ def test_probe_sweep_monotone(emb, spark):
         assert b.mean_recall >= a.mean_recall
         assert b.mean_candidates >= a.mean_candidates
     assert rows[0].mean_recall > 0  # the self bucket always hits
+
+
+def test_knn_batch_np_rank_gaps_exceed_blas_noise():
+    """Pin the PROPERTY the knn_batch_np oracle rests on, not the
+    environment (ADVICE r7): its (query_id, vec_id, rank) surface is
+    hash-checked against an exact-sequential-sum DuckDB ordering, which
+    is only environment-independent if no two candidates near the
+    rank-k boundary are within BLAS summation-reorder noise
+    (~dim*eps ≈ 1.4e-14 for 64-d unit vectors). Assert the minimum
+    adjacent score gap inside each query's top-(k+1) exceeds 1e-9 at
+    BOTH gate sfs — five orders of magnitude of margin; if a future
+    dataset regenerates with near-ties, this fails loudly instead of
+    the gate flaking per-platform."""
+    import duckdb
+    import numpy as np
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = duckdb.sql(
+            f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+            " ORDER BY vec_id"
+        ).fetchall()
+        x = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        norms = np.linalg.norm(x, axis=1)
+        scores = (x[:5] @ x.T) / (norms[:5][:, None] * norms[None, :])
+        for qi in range(5):
+            top = np.sort(scores[qi])[::-1][:11]
+            assert float(np.min(np.abs(np.diff(top)))) > 1e-9, (sf_dir, qi)
