@@ -34,9 +34,10 @@ _ORACLE_SF_DIR = "/root/testdata/sf0.01"
 # never-stamped entries in registry (§2) order: the rest of the part03
 # closing wave (session_paths .. dau_stickiness), then part05's head
 # (embedding_dedup_recall .. seasonal_residual_anomaly). 69 oracle-
-# backed entries remain never-stamped after this window (plus the two
-# r8-registered capped-dedup entries) — r9 continues with
-# lorenz_curve_points .. then part06+ in §2 order.
+# backed entries remain never-stamped after this window (plus the
+# three r8-registered entries: dedup_minhash_lsh_capped,
+# hot_bucket_report, dedup_simhash_capped) — r9 continues with those
+# three, then lorenz_curve_points .. and part06+ in §2 order.
 _VERIFY_FIRST = [
     # (a) stale-stamp trio (oracles added r7; driver ledger re-stamp)
     "knn_batch_np",

@@ -359,6 +359,10 @@ EXTRA = [
     "moe_router_balance",
     "topic_coherence_npmi",
     "holt_winters_forecast",
+    # r8: registered capped-dedup configuration + audit
+    "dedup_minhash_lsh_capped",
+    "dedup_simhash_capped",
+    "hot_bucket_report",
 ]
 
 

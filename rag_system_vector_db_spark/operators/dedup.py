@@ -378,26 +378,32 @@ def dedup_simhash(
         F.explode(F.slice(F.col("ds"), F.col("i") + 2, F.size("ds"))).alias("b"),
     )
     # A pair qualifies in every band whose byte matches, so it would be
-    # emitted up to 4x. Keep only the FIRST matching band — a codegen
-    # filter on the xor bytes — instead of a distinct(), which would
-    # shuffle every surviving pair a second time.
+    # emitted up to 4x. Uncapped, keep only the FIRST matching band — a
+    # codegen filter on the xor bytes — instead of a distinct(), which
+    # would shuffle every surviving pair a second time. CAPPED, the
+    # first-band trick is WRONG: a pair whose first matching band's
+    # bucket was dropped by the cap still exists via a later kept band,
+    # but the xor-byte filter (cap-blind) would reject it — so the
+    # capped path pays the distinct() on the (small) surviving pair set
+    # instead, matching the oracle's "shares ≥1 kept band" semantics.
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    first_band = F.lit(True)
-    for j in range(3):
-        first_band = first_band & (
-            (F.col("band") <= j)
-            | (F.shiftright(xor, 8 * j).bitwiseAND(F.lit(255)) != 0)
-        )
-    out = (
-        pairs.select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.bit_count(xor).cast("long").alias("hamming"),
-            first_band.alias("_first"),
-        )
-        .filter((F.col("hamming") <= max_hamming) & F.col("_first"))
-        .drop("_first")
-    )
+    sel = pairs.select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        F.bit_count(xor).cast("long").alias("hamming"),
+        xor.alias("_xor"),
+        F.col("band"),
+    ).filter(F.col("hamming") <= max_hamming)
+    if max_bucket is not None:
+        out = sel.drop("_xor", "band").distinct()
+    else:
+        first_band = F.lit(True)
+        for j in range(3):
+            first_band = first_band & (
+                (F.col("band") <= j)
+                | (F.shiftright(F.col("_xor"), 8 * j).bitwiseAND(F.lit(255)) != 0)
+            )
+        out = sel.filter(first_band).drop("_xor", "band")
     return (out, report) if with_report else out
 
 

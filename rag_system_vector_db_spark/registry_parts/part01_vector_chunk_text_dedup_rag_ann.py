@@ -890,6 +890,55 @@ def dedup_simhash(spark, sf_dir):
     return dedup.dedup_simhash(load_table(spark, sf_dir, "documents"))
 
 
+# SimHash's byte bands have only 4x256 possible buckets, so the
+# boilerplate failure mode is saturation, not md5 collision: at 10M
+# docs a single band value can hold ~40k members -> ~10^9 pairs. The
+# registered cap (128, the skew study's order of magnitude) bounds any
+# band bucket's pair volume at C(128,2) ~ 8k. At the N=500 gate scales
+# occupancy is ~0.5 so capped ≡ uncapped — the oracle replays the cap
+# as a membership-count filter either way, and the skew-corpus parity
+# run (tools/skew_parity.py) exercises the non-trivial drop path
+# cross-engine.
+_SIMHASH_MAX_BUCKET = 128
+
+
+@query(
+    "dedup_simhash_capped",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), hv AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks
+    ), {_DD_SIMHASH_SUMS}, {_DD_SIMHASH_VAL},
+    bands AS (
+        SELECT doc_id, simhash, band, (simhash >> (8 * band)) & 255 AS band_val
+        FROM sim, (VALUES (0), (1), (2), (3)) b(band)
+    ), sz AS (
+        SELECT band, band_val, count(*) AS n FROM bands GROUP BY band, band_val
+    ), keep AS (
+        SELECT b.doc_id, b.simhash, b.band, b.band_val
+        FROM bands b JOIN sz USING (band, band_val)
+        WHERE sz.n <= {_SIMHASH_MAX_BUCKET}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM keep a
+    JOIN keep b ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_capped(spark, sf_dir):
+    """dedup_simhash with cap_hot_buckets(max_bucket=128) — the
+    skew-hardened configuration (SCALE_sf1_skew measured capped simhash
+    at +0.08 exponent against a 10k-doc boilerplate clique that would
+    otherwise emit ~10^8 pairs)."""
+    from ..operators import dedup
+
+    return dedup.dedup_simhash(
+        load_table(spark, sf_dir, "documents"), max_bucket=_SIMHASH_MAX_BUCKET
+    )
+
+
 @query("dedup_embedding_lsh")  # oracle attached after _planes_sql below
 def dedup_embedding_lsh(spark, sf_dir):
     """Embedding near-dup at scale: corpus-sized LSH buckets

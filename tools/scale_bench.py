@@ -41,6 +41,13 @@ SET = [
     "semdedup_clusters",
     "substring_dedup",
     "dedup_exact",
+    # r8: the corpus-sized LSH family (planes_for) — the verdict's
+    # done-criterion is exponent <= ~0.7 for the first two
+    "dedup_embedding_lsh",
+    "knn_graph_lsh",
+    "dedup_embedding_cosine",
+    "hard_negative_mining",
+    "mutual_knn",
     # vector search
     "knn_topk_cosine",
     "ann_lsh_cosine",

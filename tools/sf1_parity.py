@@ -76,6 +76,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.path.join(ROOT, ".scratch", "sf1.0"))
     ap.add_argument("--names", default="")
+    ap.add_argument(
+        "--window",
+        default="",
+        help="driver round to re-check at sf1, e.g. r07 (reads CORRECTNESS_<round>.json)",
+    )
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     args = ap.parse_args()
 
@@ -87,7 +92,8 @@ def main() -> int:
     if args.names:
         names = [n.strip() for n in args.names.split(",") if n.strip()]
     else:
-        with open(os.path.join(ROOT, "CORRECTNESS_r06.json")) as f:
+        rnd = args.window or "r06"
+        with open(os.path.join(ROOT, f"CORRECTNESS_{rnd}.json")) as f:
             names = list(json.load(f))
 
     spark = get_spark("sf1-parity", cpus=int(args.cpus))
