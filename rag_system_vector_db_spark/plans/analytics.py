@@ -337,11 +337,20 @@ def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
         ev.withColumn("new_sess", F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0))
         .withColumn("session_no", F.sum("new_sess").over(w))
     )
+    # Exact micro-unit sum (the repo's money-sum convention): a plain
+    # double sum is order-sensitive in the last ulp, which the 6dp
+    # round EXPOSES once a single session holds ~250k events (the skew
+    # corpus's hot user: 12439640.049999 vs .05 — caught by
+    # tools/skew_parity.py r8). Long micro-units are associative, so
+    # Spark's partial-agg order and DuckDB's scan order produce the
+    # identical integer at any scale.
     return (
         with_sess.groupBy("user_id", "session_no")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(
+                F.sum(F.expr("cast(round(value * 1000000) as bigint)")) / 1e6, 6
+            ).alias("sum_value"),
         )
     )
 

@@ -2297,7 +2297,8 @@ def topk_per_group(spark, sf_dir):
                CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS session_no
         FROM s
     )
-    SELECT user_id, session_no, count(*) AS n_events, round(sum(value), 6) AS sum_value
+    SELECT user_id, session_no, count(*) AS n_events,
+           round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1e6, 6) AS sum_value
     FROM sess GROUP BY user_id, session_no
     """,
 )
