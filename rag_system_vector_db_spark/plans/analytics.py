@@ -201,7 +201,11 @@ def window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            # exact micro-unit sum (see sessionize_events: a raw double
+            # sum is order-sensitive once one window holds ~10^5 rows)
+            F.round(
+                F.sum(F.expr("cast(round(value * 1000000) as bigint)")) / 1e6, 6
+            ).alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
@@ -218,7 +222,9 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "2 hours", "1 hour"), F.col("event_type"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(
+                F.sum(F.expr("cast(round(value * 1000000) as bigint)")) / 1e6, 6
+            ).alias("sum_value"),
         )
         .select(
             (F.unix_timestamp("window.start") / 3600)

@@ -2210,7 +2210,7 @@ def dormant_customers(spark, sf_dir):
     oracle="""
     SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
            count(*) AS n_events,
-           round(sum(value), 6) AS sum_value,
+           round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1e6, 6) AS sum_value,
            count(DISTINCT user_id) AS n_users
     FROM events
     GROUP BY epoch_ns(ts) // 3600000000000, event_type
@@ -2228,7 +2228,7 @@ def window_events(spark, sf_dir):
     oracle="""
     SELECT t.win_start_hour, event_type,
            count(*) AS n_events,
-           round(sum(value), 6) AS sum_value
+           round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1e6, 6) AS sum_value
     FROM (
         SELECT event_type, value,
                unnest([epoch_ns(ts) // 3600000000000,
