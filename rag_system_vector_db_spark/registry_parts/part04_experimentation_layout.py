@@ -1230,8 +1230,20 @@ def grouped_ols_slopes_q(spark, sf_dir):
     num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
     den = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
     deny = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
-    den0 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    deny0 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # Exact zero guards in decimal(38,0): sx*sx overflows BIGINT at the
+    # 10x corpus (sx ~ 6e10 -> sx² ~ 3.6e21; caught by sf1 parity r8) —
+    # DuckDB auto-promotes to HUGEINT, so decimal is the matching exact
+    # domain Spark-side. Test den0==0 OR deny0==0, never the product
+    # (the product would overflow even decimal38 at ~1e43).
+    dec = "decimal(38,0)"
+    den0 = (
+        F.col("n").cast(dec) * F.col("sxx").cast(dec)
+        - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+    )
+    deny0 = (
+        F.col("n").cast(dec) * F.col("syy").cast(dec)
+        - F.col("sy").cast(dec) * F.col("sy").cast(dec)
+    )
     slope = num / den
     return s.select(
         "n_name",
@@ -1246,7 +1258,7 @@ def grouped_ols_slopes_q(spark, sf_dir):
             )
         )
         .alias("intercept"),
-        F.when(den0 * deny0 == 0, F.lit(None).cast("double"))
+        F.when((den0 == 0) | (deny0 == 0), F.lit(None).cast("double"))
         .otherwise(F.round(F.pow(num, F.lit(2.0)) / (den * deny), 6))
         .alias("r2"),
     )
@@ -2392,13 +2404,23 @@ def knn_graph_assortativity_q(spark, sf_dir):
     num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
     den = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
     deny = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
-    den0 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    deny0 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # Exact zero guards in decimal(38,0) with an OR test: the long
+    # product den0*deny0 ~ 81·n_edges⁴ overflows BIGINT past ~60k edges
+    # (hit at the derived sf1; same class as grouped_ols_slopes r8).
+    dec = "decimal(38,0)"
+    den0 = (
+        F.col("n").cast(dec) * F.col("sxx").cast(dec)
+        - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+    )
+    deny0 = (
+        F.col("n").cast(dec) * F.col("syy").cast(dec)
+        - F.col("sy").cast(dec) * F.col("sy").cast(dec)
+    )
     return s.select(
         F.col("n").alias("n_edges"),
         F.round(F.col("sx").cast("double") / F.col("n"), 6).alias("mean_src_outdeg"),
         F.round(F.col("sy").cast("double") / F.col("n"), 6).alias("mean_dst_indeg"),
-        F.when(den0 * deny0 == 0, F.lit(None).cast("double"))
+        F.when((den0 == 0) | (deny0 == 0), F.lit(None).cast("double"))
         .otherwise(F.round(num / F.sqrt(den * deny), 6))
         .alias("assortativity"),
     )

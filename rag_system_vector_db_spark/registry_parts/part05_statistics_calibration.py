@@ -2383,13 +2383,22 @@ def daily_autocorrelation_q(spark, sf_dir):
     num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
     den = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
     deny = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
-    den0 = (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
-        F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")
+    # decimal(38,0) guards + OR test: the long product of the two
+    # variance factors overflows BIGINT once daily counts reach ~1e4
+    # (sf1 scale) — same class as grouped_ols_slopes r8.
+    dec = "decimal(38,0)"
+    den0a = (
+        F.col("np").cast(dec) * F.col("sxx").cast(dec)
+        - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+    )
+    den0b = (
+        F.col("np").cast(dec) * F.col("syy").cast(dec)
+        - F.col("sy").cast(dec) * F.col("sy").cast(dec)
     )
     return s.select(
         F.col("lag_d").alias("lag_days"),
         F.col("np").alias("n_pairs"),
-        F.when(den0 == 0, F.lit(None).cast("double"))
+        F.when((den0a == 0) | (den0b == 0), F.lit(None).cast("double"))
         .otherwise(F.round(num / F.sqrt(den * deny), 6))
         .alias("autocorr"),
     )
