@@ -2344,7 +2344,8 @@ def hill_tail_index_q(spark, sf_dir):
         FROM p GROUP BY lag_d
     )
     SELECT CAST(lag_d AS BIGINT) AS lag_days, np AS n_pairs,
-           CASE WHEN (np * sxx - sx * sx) * (np * syy - sy * sy) = 0 THEN NULL
+           CASE WHEN CAST(np AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+                  OR CAST(np AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy = 0 THEN NULL
                 ELSE round((CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
                            / sqrt((CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
                                   * (CAST(np AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
