@@ -2638,8 +2638,12 @@ def kmv_distinct_by_group_q(spark, sf_dir):
     SELECT h.hour_id, h.cnt,
            CAST(m.med AS BIGINT) AS med,
            CAST(d.mad AS BIGINT) AS mad,
-           round(0.6745 * (h.cnt - m.med) / d.mad, 6) AS modified_z,
-           abs(0.6745 * (h.cnt - m.med) / d.mad) > 3.5 AS is_anomaly
+           CAST((2 * (674500 * (h.cnt - m.med))
+                 + CASE WHEN h.cnt < m.med THEN -d.mad ELSE d.mad END)
+                // (2 * d.mad) AS DOUBLE) / 1000000 AS modified_z,
+           abs((2 * (674500 * (h.cnt - m.med))
+                + CASE WHEN h.cnt < m.med THEN -d.mad ELSE d.mad END)
+               // (2 * d.mad)) > 3500000 AS is_anomaly
     FROM hourly h, med m, mad d
     """,
 )
@@ -2672,7 +2676,14 @@ def events_anomaly_mad_q(spark, sf_dir):
     mad = dev.select(
         F.get("_ds", F.expr("CAST(_n div 2 AS INT)")).cast("long").alias("mad")
     )
-    z = 0.6745 * (F.col("cnt") - F.col("med")) / F.col("mad")
+    # Exact micro-unit z (r8: round(0.6745·Δ/mad, 6) can land on a
+    # decimal boundary where the engines' round() primitives disagree;
+    # 0.6745 = 674500 micro exactly, so z_u is an exact round-div
+    # integer and the displayed double is ONE exact-integer division)
+    z_u = F.expr(
+        "(2 * (674500 * (cnt - med))"
+        " + CASE WHEN cnt < med THEN -mad ELSE mad END) div (2 * mad)"
+    )
     return (
         hourly.crossJoin(F.broadcast(med))
         .crossJoin(F.broadcast(mad))
@@ -2681,8 +2692,8 @@ def events_anomaly_mad_q(spark, sf_dir):
             "cnt",
             "med",
             "mad",
-            F.round(z, 6).alias("modified_z"),
-            (F.abs(z) > 3.5).alias("is_anomaly"),
+            (z_u.cast("double") / 1000000).alias("modified_z"),
+            (F.abs(z_u) > 3500000).alias("is_anomaly"),
         )
     )
 

@@ -3695,23 +3695,27 @@ def rollup_grain_advisor_q(spark, sf_dir):
         WINDOW w AS (ORDER BY month_id ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
     ), dt AS (
         SELECT month_id, rev_c,
-               CAST(win_sum AS DOUBLE) / 13 / 100 AS trend,
-               CAST(rev_c AS DOUBLE) / 100 - CAST(win_sum AS DOUBLE) / 13 / 100
-                   AS detrended
+               (2 * (win_sum * 10000)
+                + CASE WHEN win_sum < 0 THEN -13 ELSE 13 END) // 26 AS trend_u,
+               rev_c * 10000
+               - (2 * (win_sum * 10000)
+                  + CASE WHEN win_sum < 0 THEN -13 ELSE 13 END) // 26 AS det_u
         FROM tr WHERE win_n = 13
     ), si AS (
         SELECT month_id % 12 AS moy,
-               CAST(sum(CAST(round(detrended * 1000000) AS BIGINT)) AS BIGINT) AS s_u,
-               CAST(count(*) AS BIGINT) AS n
+               CAST(sum(det_u) AS BIGINT) AS s_u, CAST(count(*) AS BIGINT) AS n
         FROM dt GROUP BY month_id % 12
+    ), se AS (
+        SELECT moy, n,
+               (2 * s_u + CASE WHEN s_u < 0 THEN -n ELSE n END) // (2 * n) AS seas_u
+        FROM si
     )
     SELECT CAST(d.month_id AS BIGINT) AS month_id,
-           round(CAST(d.rev_c AS DOUBLE) / 100, 6) AS revenue,
-           round(d.trend, 6) AS trend,
-           round(CAST(s.s_u AS DOUBLE) / s.n / 1000000, 6) AS seasonal,
-           round(d.detrended
-                 - round(CAST(s.s_u AS DOUBLE) / s.n / 1000000, 6), 6) AS residual
-    FROM dt d JOIN si s ON d.month_id % 12 = s.moy
+           CAST(d.rev_c AS DOUBLE) / 100 AS revenue,
+           CAST(d.trend_u AS DOUBLE) / 1000000 AS trend,
+           CAST(e.seas_u AS DOUBLE) / 1000000 AS seasonal,
+           CAST(d.det_u - e.seas_u AS DOUBLE) / 1000000 AS residual
+    FROM dt d JOIN se e ON d.month_id % 12 = e.moy
     """,
 )
 def seasonal_decompose_q(spark, sf_dir):
@@ -3721,10 +3725,16 @@ def seasonal_decompose_q(spark, sf_dir):
     holt_forecast's diagnostic partner): the fact table collapses to
     exact cent-unit month totals, the centered MA is an exact integer
     window sum over the calendar-bounded frame (only full 13-month
-    windows emit), seasonal indices are micro-unit integer means per
-    month-of-year, and the residual subtracts the ROUNDED seasonal so
-    both engines share the final arithmetic. Everything past the one
-    fact shuffle runs on <=84 rows."""
+    windows emit), and EVERY emitted float is a single division of an
+    exact micro-unit integer (trend_u = round-div(win_sum·10⁴, 13),
+    seasonal = round-div(Σdet_u, n), residual = det_u − seas_u; the
+    round-div is the truncating-division half-away formula
+    (2a ± b) div 2b, identical in both engines). r8 lesson: round(x,6)
+    of a 4.8e9-magnitude double is sub-ulp — the 6th decimal sits
+    below ulp(x) ≈ 9.5e-7, so the two engines' round() primitives can
+    legitimately disagree; exact-integer division before the ONE
+    double conversion removes the ambiguity at any magnitude.
+    Everything past the one fact shuffle runs on <=84 rows."""
     o = load_table(spark, sf_dir, "orders")
     m = o.groupBy(
         ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1).alias(
@@ -3745,26 +3755,30 @@ def seasonal_decompose_q(spark, sf_dir):
     dt = tr.filter(F.col("win_n") == 13).select(
         "month_id",
         "rev_c",
-        (F.col("win_sum").cast("double") / 13 / 100).alias("trend"),
-        (
-            F.col("rev_c").cast("double") / 100
-            - F.col("win_sum").cast("double") / 13 / 100
-        ).alias("detrended"),
-    )
+        F.expr(
+            "(2 * (win_sum * 10000)"
+            " + CASE WHEN win_sum < 0 THEN -13 ELSE 13 END) div 26"
+        ).alias("trend_u"),
+    ).withColumn("det_u", F.expr("rev_c * 10000 - trend_u"))
     si = dt.groupBy((F.col("month_id") % 12).alias("moy")).agg(
-        F.sum(F.expr("cast(round(detrended * 1000000) as bigint)"))
-        .cast("long")
-        .alias("s_u"),
+        F.sum("det_u").cast("long").alias("s_u"),
         F.count("*").cast("long").alias("n"),
     )
-    seas = F.round(F.col("s_u").cast("double") / F.col("n") / F.lit(1000000), 6)
+    se = si.select(
+        "moy",
+        F.expr(
+            "(2 * s_u + CASE WHEN s_u < 0 THEN -n ELSE n END) div (2 * n)"
+        ).alias("seas_u"),
+    )
     return (
-        dt.join(F.broadcast(si), F.col("month_id") % 12 == F.col("moy"))
+        dt.join(F.broadcast(se), F.col("month_id") % 12 == F.col("moy"))
         .select(
             F.col("month_id").cast("long"),
-            F.round(F.col("rev_c").cast("double") / 100, 6).alias("revenue"),
-            F.round("trend", 6).alias("trend"),
-            seas.alias("seasonal"),
-            F.round(F.col("detrended") - seas, 6).alias("residual"),
+            (F.col("rev_c").cast("double") / 100).alias("revenue"),
+            (F.col("trend_u").cast("double") / 1000000).alias("trend"),
+            (F.col("seas_u").cast("double") / 1000000).alias("seasonal"),
+            ((F.col("det_u") - F.col("seas_u")).cast("double") / 1000000).alias(
+                "residual"
+            ),
         )
     )
