@@ -23,17 +23,27 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet; all aggs map-side combinable; two-column group key."""
     li = load_table(spark, sf_dir, "lineitem")
     # Narrow decimal factors keep every product within decimal(38,_)
-    # in both engines, so sums stay exact and order-independent.
+    # in both engines, so sums stay exact and order-independent. The
+    # EMISSION is the two-step double(exact integer units) / 10^s on
+    # both engines (r8): Spark's decimal->double is correctly rounded
+    # while DuckDB's divides double(mantissa) by 10^scale — one ulp
+    # apart once the scaled mantissa exceeds 2^53 (sum_charge at the
+    # derived sf1: 2.8e16 micro-units). Converting the INTEGER is
+    # correctly rounded in both engines; the final /10^s is then one
+    # identical double op.
     disc = F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 3, 2)
     charge = _dec("l_extendedprice") * disc * (F.lit(1).cast("decimal(3,2)") + _dec("l_tax", 3, 2))
+    def emit(sum_col, scale):
+        u = (sum_col * F.lit(10 ** scale)).cast("decimal(38,0)")
+        return u.cast("double") / F.lit(float(10 ** scale))
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(_dec("l_extendedprice") * disc).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            emit(F.sum(_dec("l_extendedprice")), 2).alias("sum_base_price"),
+            emit(F.sum(_dec("l_extendedprice") * disc), 4).alias("sum_disc_price"),
+            emit(F.sum(charge), 6).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
