@@ -344,7 +344,11 @@ def lm_perplexity(
         (F.sum(F.col("tf") * F.log("cnt")) / F.sum("tf")).alias("_a"),
     )
     w_all = Window.partitionBy()  # single-partition frame: n_docs rows
-    w_rank = Window.orderBy(F.col("_a").desc(), F.col(id_col))
+    # tercile split on the 6dp-ROUNDED score (r8, the bm25 lesson):
+    # replica docs are mathematically tied but carry 1-ulp-different
+    # doubles per engine (per-doc agg order), so ordering by the raw
+    # double makes the tie-break nondeterministic cross-engine.
+    w_rank = Window.orderBy(F.round(F.col("_a"), 6).desc(), F.col(id_col))
     with_tot = per_doc.withColumn(
         "_logp", F.col("_a") - F.log(F.sum("n_tokens").over(w_all).cast("double"))
     ).withColumn("_bucket", F.ntile(3).over(w_rank))

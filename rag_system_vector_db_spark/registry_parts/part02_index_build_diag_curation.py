@@ -575,7 +575,7 @@ def minhash_accuracy(spark, sf_dir):
         -- same decomposition as the Spark plan: logp = a - ln(total)
         SELECT doc_id, n_tokens,
                a - ln(CAST(sum(n_tokens) OVER () AS DOUBLE)) AS logp,
-               ntile(3) OVER (ORDER BY a DESC, doc_id) AS b
+               ntile(3) OVER (ORDER BY round(a, 6) DESC, doc_id) AS b
         FROM d
     )
     SELECT doc_id, n_tokens, round(logp, 6) AS avg_logp,

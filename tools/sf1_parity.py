@@ -82,6 +82,18 @@ def main() -> int:
         help="driver round to re-check at sf1, e.g. r07 (reads CORRECTNESS_<round>.json)",
     )
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument(
+        "--per-entry-timeout",
+        type=int,
+        default=0,
+        help="seconds per entry before interrupting both engines and "
+        "recording TIMEOUT (0 = no limit). Entries whose ORACLES are "
+        "deliberately naive-quadratic (dedup_fuzzy_edit's theta "
+        "levenshtein, events_range_join's theta band join) are "
+        "intractable at 10x — the timeout records them explicitly "
+        "instead of hanging the sweep; spot-check those with bounded "
+        "slices (see .sf1_parity_r8all.log tail).",
+    )
     args = ap.parse_args()
 
     from oracle import compare, duck_connection
@@ -99,8 +111,27 @@ def main() -> int:
     spark = get_spark("sf1-parity", cpus=int(args.cpus))
     con = duck_connection(args.sf)
     failures = 0
+    timeouts = []
+    import threading
+
     for i, name in enumerate(names, 1):
         t0 = time.time()
+        timed_out = threading.Event()
+        timer = None
+        if args.per_entry_timeout:
+            def _kill(con=con, ev=timed_out):
+                ev.set()
+                try:
+                    con.interrupt()
+                except Exception:
+                    pass
+                try:
+                    spark.sparkContext.cancelAllJobs()
+                except Exception:
+                    pass
+
+            timer = threading.Timer(args.per_entry_timeout, _kill)
+            timer.start()
         try:
             df = QUERIES[name](spark, args.sf)
             sql = ORACLES.get(name) or LAZY_ORACLES[name](args.sf)
@@ -112,13 +143,26 @@ def main() -> int:
                 tag = "MATCH"
             print(f"[{i}/{len(names)}] {tag} {name} ({time.time()-t0:.1f}s)")
         except AssertionError as e:
-            failures += 1
-            print(f"[{i}/{len(names)}] MISMATCH {name}: {str(e)[:300]}")
+            if timed_out.is_set():
+                timeouts.append(name)
+                print(f"[{i}/{len(names)}] TIMEOUT {name} (>{args.per_entry_timeout}s)")
+            else:
+                failures += 1
+                print(f"[{i}/{len(names)}] MISMATCH {name}: {str(e)[:300]}")
         except Exception:
-            failures += 1
-            print(f"[{i}/{len(names)}] ERROR {name}:")
-            traceback.print_exc(limit=5)
+            if timed_out.is_set():
+                timeouts.append(name)
+                print(f"[{i}/{len(names)}] TIMEOUT {name} (>{args.per_entry_timeout}s)")
+            else:
+                failures += 1
+                print(f"[{i}/{len(names)}] ERROR {name}:")
+                traceback.print_exc(limit=5)
+        finally:
+            if timer is not None:
+                timer.cancel()
         sys.stdout.flush()
+    if timeouts:
+        print(f"TIMEOUTS ({len(timeouts)}): {', '.join(timeouts)}")
     print(f"SF1 PARITY DONE {len(names)} entries, {failures} failures")
     return 1 if failures else 0
 
