@@ -1430,14 +1430,19 @@ def benford_first_digit_q(spark, sf_dir):
         SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks
         FROM toks t WHERE t.term <> '' GROUP BY t.doc_id
     ), pts AS (
-        SELECT p.frac,
-               CAST(sum(CASE WHEN n.doc_id <= CAST(m.mx * p.frac AS BIGINT)
+        -- exact integer prefix cuts (mx*k)//5: CAST(mx * 0.2 AS BIGINT)
+        -- ROUNDS in DuckDB but TRUNCATES in Spark (r8 sf1 catch: at
+        -- mx=49999 the cuts differ and so does the fit; invisible at
+        -- gate scale only because the synthetic vocab saturates there,
+        -- making the slope 0 for any cuts)
+        SELECT p.k,
+               CAST(sum(CASE WHEN n.doc_id <= (m.mx * p.k) // 5
                              THEN n.n_toks ELSE 0 END) AS BIGINT) AS n_tokens,
                (SELECT CAST(count(*) AS BIGINT) FROM tf, mx
-                WHERE tf.first_doc <= CAST(mx.mx * p.frac AS BIGINT)) AS vocab
+                WHERE tf.first_doc <= (mx.mx * p.k) // 5) AS vocab
         FROM tok_n n CROSS JOIN mx m
-        CROSS JOIN (SELECT unnest([0.2, 0.4, 0.6, 0.8, 1.0]) AS frac) p
-        GROUP BY p.frac, m.mx
+        CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5]) AS k) p
+        GROUP BY p.k, m.mx
     ), lg AS (
         SELECT CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS x_u,
                CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000) AS BIGINT) AS y_u
@@ -1475,12 +1480,14 @@ def heaps_law_fit_q(spark, sf_dir):
     ).filter(F.col("term") != "")
     tf = toks.groupBy("term").agg(F.min("doc_id").cast("long").alias("first_doc"))
     tok_n = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_toks"))
-    fr = spark.createDataFrame([(0.2,), (0.4,), (0.6,), (0.8,), (1.0,)], "frac double")
-    cut = F.expr("cast(mx * frac as bigint)")
+    # exact integer cuts (see oracle comment): (mx*k) div 5, never a
+    # double-cast whose trunc/round semantics differ across engines
+    fr = spark.createDataFrame([(1,), (2,), (3,), (4,), (5,)], "k long")
+    cut = F.expr("(mx * k) div 5")
     tok_pts = (
         tok_n.crossJoin(F.broadcast(mx))
         .crossJoin(F.broadcast(fr))
-        .groupBy("frac")
+        .groupBy("k")
         .agg(
             F.sum(F.when(F.col("doc_id") <= cut, F.col("n_toks")).otherwise(0))
             .cast("long")
@@ -1490,7 +1497,7 @@ def heaps_law_fit_q(spark, sf_dir):
     voc_pts = (
         tf.crossJoin(F.broadcast(mx))
         .crossJoin(F.broadcast(fr))
-        .groupBy("frac")
+        .groupBy("k")
         .agg(
             F.sum(F.when(F.col("first_doc") <= cut, 1).otherwise(0))
             .cast("long")
@@ -1498,7 +1505,7 @@ def heaps_law_fit_q(spark, sf_dir):
         )
     )
     lg = (
-        tok_pts.join(voc_pts, "frac")
+        tok_pts.join(voc_pts, "k")
         .filter((F.col("n_tokens") > 0) & (F.col("vocab") > 0))
         .select(
             F.expr("cast(round(ln(cast(n_tokens as double)) * 1000000) as bigint)").alias(
@@ -3615,9 +3622,18 @@ def winsorized_mean_stats_q(spark, sf_dir):
         FROM c
     )
     SELECT CAST(month_id AS BIGINT) AS month_id,
-           round(CAST(cum_u AS DOUBLE) / nm / 100, 6) AS cum_deviation,
-           round(CAST(peak_u AS DOUBLE) / nm / 100, 6) AS running_peak,
-           round(CAST(peak_u - cum_u AS DOUBLE) / nm / 100, 6) AS drawdown,
+           -- exact micro emission (r8): round(double/nm/100, 6) at 4e9+
+           -- magnitudes is sub-ulp and engine-dependent; round-div the
+           -- exact integers to micro-dollars first (HUGEINT headroom),
+           -- then ONE double division
+           CAST((2 * (CAST(cum_u AS HUGEINT) * 10000)
+                 + CASE WHEN cum_u < 0 THEN -nm ELSE nm END) // (2 * nm)
+                AS DOUBLE) / 1000000 AS cum_deviation,
+           CAST((2 * (CAST(peak_u AS HUGEINT) * 10000)
+                 + CASE WHEN peak_u < 0 THEN -nm ELSE nm END) // (2 * nm)
+                AS DOUBLE) / 1000000 AS running_peak,
+           CAST((2 * (CAST(peak_u - cum_u AS HUGEINT) * 10000) + nm) // (2 * nm)
+                AS DOUBLE) / 1000000 AS drawdown,
            CAST(peak_u - cum_u AS BIGINT)
                = CAST(max(peak_u - cum_u) OVER () AS BIGINT) AS is_max_drawdown
     FROM dd
@@ -3659,18 +3675,18 @@ def revenue_max_drawdown_q(spark, sf_dir):
     dd = c.select(
         "month_id", "nm", "cum_u", F.max("cum_u").over(wc).cast("long").alias("peak_u")
     )
+    micro = lambda a_sql: (  # noqa: E731 - exact round-div to micro-dollars
+        F.expr(
+            f"cast((2 * (cast({a_sql} as decimal(38,0)) * 10000)"
+            f" + (case when ({a_sql}) < 0 then -nm else nm end)) div (2 * nm)"
+            " as double) / 1000000"
+        )
+    )
     return dd.select(
         F.col("month_id").cast("long"),
-        F.round(F.col("cum_u").cast("double") / F.col("nm") / F.lit(100), 6).alias(
-            "cum_deviation"
-        ),
-        F.round(F.col("peak_u").cast("double") / F.col("nm") / F.lit(100), 6).alias(
-            "running_peak"
-        ),
-        F.round(
-            (F.col("peak_u") - F.col("cum_u")).cast("double") / F.col("nm") / F.lit(100),
-            6,
-        ).alias("drawdown"),
+        micro("cum_u").alias("cum_deviation"),
+        micro("peak_u").alias("running_peak"),
+        micro("(peak_u - cum_u)").alias("drawdown"),
         (
             (F.col("peak_u") - F.col("cum_u"))
             == F.max(F.col("peak_u") - F.col("cum_u")).over(wa).cast("long")
